@@ -1,0 +1,245 @@
+"""The reference's one query, decomposed into Spark operators.
+
+The reference (ThreatMetrix/Cassandra2Aerospike) continuously evaluates:
+
+    for every partition key across N sorted runs, merge all versions of
+    every column, keep the newest value per column (last-write-wins),
+    discard values covered by point/row/range tombstones, fold a record
+    TTL from column expirations, drop expired records, emit key -> map.
+
+Its execution is a k-way sort-merge iterator over SSTable cursors
+(/root/reference/CassandraParser.cpp:375-529).  Here the same semantics are
+declared as DataFrame ops and Catalyst plans them: union-of-runs ->
+tombstone reconciliation (equi-joins) -> groupBy LWW argmax -> groupBy
+record assembly.  One shuffle per grouping level, no custom iterator.
+
+Cell model (EAV long form, SURVEY.md §1.3): the fixture ``events`` table
+stands in for the cell stream: user_id ≡ partition key, event_type ≡ column
+name, value ≡ cell value, ts ≡ write timestamp (epoch µs).
+
+Because the fixtures carry no tombstone flags, we derive a deterministic
+cell classification from ``event_id`` (documented here, replicated in the
+DuckDB oracles; precedence top to bottom):
+
+    event_id % 97 == 0 -> row tombstone    (deletes the whole key at ts)
+    event_id % 13 == 0 -> range tombstone  (deletes cols <= event_type at ts)
+    event_id % 10 == 0 -> point tombstone  (deletes (key, event_type) at ts)
+    event_id %  7 == 0 -> expiring cell    (ttl 3600 s)
+    otherwise          -> normal cell
+
+Liveness follows the reference exactly: a cell survives iff its ts is
+strictly greater than every covering tombstone's ts
+(CassandraParser.cpp:481 — emit iff ts > minTime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic "now" so expiry queries are reproducible and oracle-checkable
+# (the reference uses wall-clock `time(0)`, AerospikeWriter.cpp:240).
+NOW_EPOCH_S = 1_719_792_000  # 2024-07-01T00:00:00Z
+# Reference sentinel: expiry == UINT32_MAX means "never expires"
+# (AerospikeWriter.cpp:27-29).
+ETERNAL = 4_294_967_295
+TTL_S = 3600
+MIN_TTL_S = 1  # reference -L default (AerospikeWriter.cpp:29)
+
+
+def _is_row_tomb(c: Column) -> Column:
+    return c % 97 == 0
+
+
+def _is_range_tomb(c: Column) -> Column:
+    return (c % 97 != 0) & (c % 13 == 0)
+
+
+def _is_point_tomb(c: Column) -> Column:
+    return (c % 97 != 0) & (c % 13 != 0) & (c % 10 == 0)
+
+
+def _is_cell(c: Column) -> Column:
+    return (c % 97 != 0) & (c % 13 != 0) & (c % 10 != 0)
+
+
+def derive_cells(events: DataFrame) -> DataFrame:
+    """Value cells: (key, col_name, value, ts, ttl?, expiration?).
+
+    Mirrors the decoded cell of the reference's scan (ColumnInfo,
+    CassandraParser.hpp:54-72): expiring cells carry (ttl, expiration).
+    """
+    eid = F.col("event_id")
+    expiring = _is_cell(eid) & (eid % 7 == 0)
+    return events.filter(_is_cell(eid)).select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("col_name"),
+        F.col("value"),
+        F.col("ts_us").alias("ts"),
+        F.when(expiring, F.lit(TTL_S)).alias("ttl"),
+        F.when(expiring, F.expr(f"ts_us div 1000000 + {TTL_S}")).alias("expiration"),
+    )
+
+
+def derive_row_tombstones(events: DataFrame) -> DataFrame:
+    """Row tombstones: (key, ts) — whole-partition deletions (the reference's
+    `marked_for_deletion`, SSTable.cpp:354)."""
+    return events.filter(_is_row_tomb(F.col("event_id"))).select(
+        F.col("user_id").alias("key"), F.col("ts_us").alias("ts")
+    )
+
+
+def derive_range_tombstones(events: DataFrame) -> DataFrame:
+    """Range tombstones: (key, col_end, ts) — delete cols <= col_end
+    (reference keeps a running end-key -> ts map, CassandraParser.cpp:337-372)."""
+    return events.filter(_is_range_tomb(F.col("event_id"))).select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("col_end"),
+        F.col("ts_us").alias("ts"),
+    )
+
+
+def derive_point_tombstones(events: DataFrame) -> DataFrame:
+    """Point tombstones: (key, col_name, ts) — single-cell deletions
+    (the `deleted` cell flag, SSTable.hpp:86-94)."""
+    return events.filter(_is_point_tomb(F.col("event_id"))).select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("col_name"),
+        F.col("ts_us").alias("ts"),
+    )
+
+
+def covering_tombstone_ts(
+    cells: DataFrame,
+    row_tombs: DataFrame,
+    range_tombs: DataFrame,
+    point_tombs: DataFrame,
+) -> DataFrame:
+    """Max covering-tombstone ts per (key, col_name) present in `cells`.
+
+    Scale design: all three tombstone kinds are reduced to per-(key, col)
+    maxima BEFORE joining the (much larger) cell stream, so the cell-side
+    join is a plain equi-join — never a θ-join fan-out.  The range
+    tombstone's `col <= col_end` condition is resolved against the distinct
+    column-name dimension (tiny — broadcast) instead of against the cells.
+    """
+    cols = cells.select("col_name").distinct()  # small dimension
+    point_max = point_tombs.groupBy("key", "col_name").agg(F.max("ts").alias("tomb_ts"))
+    row_max = (
+        row_tombs.groupBy("key")
+        .agg(F.max("ts").alias("tomb_ts"))
+        .crossJoin(F.broadcast(cols))
+        .select("key", "col_name", "tomb_ts")
+    )
+    range_max = (
+        range_tombs.join(F.broadcast(cols), F.col("col_name") <= F.col("col_end"))
+        .groupBy("key", "col_name")
+        .agg(F.max("ts").alias("tomb_ts"))
+    )
+    return (
+        point_max.unionByName(row_max)
+        .unionByName(range_max)
+        .groupBy("key", "col_name")
+        .agg(F.max("tomb_ts").alias("tomb_ts"))
+    )
+
+
+def live_cells(events: DataFrame) -> DataFrame:
+    """F1: a cell survives iff no covering tombstone has ts >= cell ts
+    (strict `ts > minTime` survival, CassandraParser.cpp:481)."""
+    cells = derive_cells(events)
+    cover = covering_tombstone_ts(
+        cells,
+        derive_row_tombstones(events),
+        derive_range_tombstones(events),
+        derive_point_tombstones(events),
+    )
+    return (
+        cells.join(cover, ["key", "col_name"], "left")
+        .filter(F.col("tomb_ts").isNull() | (F.col("ts") > F.col("tomb_ts")))
+        .drop("tomb_ts")
+    )
+
+
+def lww_latest(cells: DataFrame) -> DataFrame:
+    """A1: last-write-wins argmax per (key, col_name)
+    (choose_latest_match, CassandraParser.cpp:316-333).
+
+    One hash aggregation with map-side partial combine — max_by carries the
+    whole surviving cell struct, so no self-join / window pass is needed.
+    """
+    packed = F.struct("value", "ttl", "expiration")
+    return (
+        cells.groupBy("key", "col_name")
+        .agg(
+            F.max_by(packed, "ts").alias("c"),
+            F.max("ts").alias("ts"),
+        )
+        .select(
+            "key",
+            "col_name",
+            F.col("c.value").alias("value"),
+            "ts",
+            F.col("c.ttl").alias("ttl"),
+            F.col("c.expiration").alias("expiration"),
+        )
+    )
+
+
+def fold_expiry(latest: DataFrame, first_expiring: bool = False) -> DataFrame:
+    """A4: fold per-key record expiry from the surviving cells' expirations
+    (AerospikeDatabaseRow::new_column/new_column_with_ttl,
+    AerospikeWriter.cpp:40-78).
+
+    last-expiring mode (default): any non-TTL cell forces ETERNAL, else the
+    max expiration wins.  first-expiring mode (`-f`): min expiration over
+    expiring cells, ETERNAL only if no cell expires.
+    """
+    if first_expiring:
+        expiry = F.coalesce(F.min("expiration"), F.lit(ETERNAL))
+    else:
+        expiry = F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(ETERNAL)
+        ).otherwise(F.max("expiration"))
+    return latest.groupBy("key").agg(
+        expiry.cast("long").alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+
+
+def assemble_records(latest: DataFrame, first_expiring: bool = False) -> DataFrame:
+    """A5 + A4 + F2: one pass assembles the record — sorted column map
+    (deterministic; map ordering is col_name), folded expiry, live-column
+    count.  Ghost rows (zero live cells) never appear because grouping only
+    sees surviving cells (CassandraParser.cpp:524-529).
+    """
+    if first_expiring:
+        expiry = F.coalesce(F.min("expiration"), F.lit(ETERNAL))
+    else:
+        expiry = F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(ETERNAL)
+        ).otherwise(F.max("expiration"))
+    return latest.groupBy("key").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("col_name", "value")))
+        ).alias("columns"),
+        expiry.cast("long").alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+
+
+def filter_expired(records: DataFrame, now_s: int = NOW_EPOCH_S, min_ttl_s: int = MIN_TTL_S) -> DataFrame:
+    """F3/F4: drop records whose expiry precedes now + minimum TTL
+    (AerospikeWriter.cpp:238-249); ETERNAL records always survive."""
+    return records.filter(
+        (F.col("expiry") == ETERNAL) | (F.col("expiry") >= F.lit(now_s + min_ttl_s))
+    )
+
+
+def merge_records(events: DataFrame, first_expiring: bool = False, now_s: int = NOW_EPOCH_S) -> DataFrame:
+    """The reference's end-to-end query: cells -> tombstone reconciliation ->
+    LWW -> record assembly -> expiry filter.  Two shuffles total (one per
+    grouping level), both on keys the data is naturally distributed by."""
+    return filter_expired(
+        assemble_records(lww_latest(live_cells(events)), first_expiring), now_s
+    )

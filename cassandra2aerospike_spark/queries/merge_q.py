@@ -1,0 +1,244 @@
+"""Merge-semantics queries (SURVEY.md §2 — A1/A2/A4/A5, F1-F4, J3) with
+DuckDB oracles.  The derived-cell classification is documented in
+operators/merge.py and replicated verbatim in the oracle CTEs below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import merge
+from ..sources import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------- Spark side
+
+def q_a1_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 flagship: last-write-wins argmax over the raw cell stream."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("value", "ts_us").alias("latest_value"),
+            F.max("ts_us").alias("latest_ts_us"),
+        )
+    )
+
+
+def q_f1_live_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + J3 + A2/A3: cells surviving point/row/range tombstone cover."""
+    return merge.live_cells(_events(spark, sf_dir))
+
+
+def q_f2_live_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: ghost-row elimination — only keys with >=1 live cell appear."""
+    return merge.live_cells(_events(spark, sf_dir)).groupBy("key").agg(
+        F.count("*").alias("n_live")
+    )
+
+
+def q_a2_row_tombstone_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-key row-deletion timestamp (max over runs)."""
+    return (
+        merge.derive_row_tombstones(_events(spark, sf_dir))
+        .groupBy("key")
+        .agg(F.max("ts").alias("row_tomb_ts"))
+    )
+
+
+def q_j3_range_tombstone_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: range-tombstone coverage resolved to per-(key, col) max ts via the
+    tiny column-name dimension (broadcast) — never a θ-join against cells."""
+    ev = _events(spark, sf_dir)
+    cols = merge.derive_cells(ev).select("col_name").distinct()
+    return (
+        merge.derive_range_tombstones(ev)
+        .join(F.broadcast(cols), F.col("col_name") <= F.col("col_end"))
+        .groupBy("key", "col_name")
+        .agg(F.max("ts").alias("tomb_ts"))
+    )
+
+
+def q_a4_expiry_fold_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 default mode: last-expiring; any non-TTL cell forces ETERNAL."""
+    return merge.fold_expiry(
+        merge.lww_latest(merge.live_cells(_events(spark, sf_dir))), first_expiring=False
+    )
+
+
+def q_a4_expiry_fold_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 `-f` mode: first-expiring (min expiration)."""
+    return merge.fold_expiry(
+        merge.lww_latest(merge.live_cells(_events(spark, sf_dir))), first_expiring=True
+    )
+
+
+def q_f3_expired_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: drop records expiring before now + min TTL (deterministic now)."""
+    return merge.filter_expired(
+        merge.fold_expiry(merge.lww_latest(merge.live_cells(_events(spark, sf_dir))))
+    )
+
+
+def q_a5_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: record assembly — deterministic sorted col=value string per key
+    (string form so the oracle hash is engine-portable; the engine-native
+    form is MapType, operators/merge.py::assemble_records)."""
+    latest = merge.lww_latest(merge.live_cells(_events(spark, sf_dir)))
+    return latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.count("*").alias("n_cols"),
+    )
+
+
+def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference query: live cells -> LWW -> assembly -> expiry
+    filter; string column form for oracle portability."""
+    latest = merge.lww_latest(merge.live_cells(_events(spark, sf_dir)))
+    records = latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(merge.ETERNAL)
+        )
+        .otherwise(F.max("expiration"))
+        .cast("long")
+        .alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+    return merge.filter_expired(records)
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+# CTE prefix replicating operators/merge.py's derived-cell model: kinds by
+# event_id precedence (row %97, range %13, point %10, expiring cell %7),
+# liveness = ts strictly greater than every covering tombstone ts.
+_CTE = f"""
+WITH cls AS (
+  SELECT user_id AS key, event_type AS col_name, value,
+         epoch_us(ts) AS ts, event_id,
+         CASE WHEN event_id % 97 = 0 THEN 'row'
+              WHEN event_id % 13 = 0 THEN 'range'
+              WHEN event_id % 10 = 0 THEN 'point'
+              ELSE 'cell' END AS kind
+  FROM events
+), cells AS (
+  SELECT key, col_name, value, ts,
+         CASE WHEN event_id % 7 = 0 THEN 3600 END AS ttl,
+         CASE WHEN event_id % 7 = 0 THEN ts // 1000000 + 3600 END AS expiration
+  FROM cls WHERE kind = 'cell'
+), colsd AS (
+  SELECT DISTINCT col_name FROM cells
+), cover AS (
+  SELECT key, col_name, max(ts) AS tomb_ts FROM (
+    SELECT key, col_name, ts FROM cls WHERE kind = 'point'
+    UNION ALL
+    SELECT r.key, c.col_name, r.ts FROM cls r CROSS JOIN colsd c WHERE r.kind = 'row'
+    UNION ALL
+    SELECT r.key, c.col_name, r.ts FROM cls r JOIN colsd c ON c.col_name <= r.col_name
+    WHERE r.kind = 'range'
+  ) GROUP BY 1, 2
+), live AS (
+  SELECT c.key, c.col_name, c.value, c.ts, c.ttl, c.expiration
+  FROM cells c LEFT JOIN cover v ON c.key = v.key AND c.col_name = v.col_name
+  WHERE v.tomb_ts IS NULL OR c.ts > v.tomb_ts
+), latest AS (
+  SELECT key, col_name,
+         arg_max(struct_pack(v := value, t := ttl, e := expiration), ts) AS c,
+         max(ts) AS ts
+  FROM live GROUP BY 1, 2
+), latest_f AS (
+  SELECT key, col_name, c['v'] AS value, ts, c['t'] AS ttl, c['e'] AS expiration
+  FROM latest
+), records AS (
+  SELECT key,
+         CASE WHEN max(CASE WHEN expiration IS NULL THEN 1 ELSE 0 END) = 1
+              THEN {merge.ETERNAL} ELSE max(expiration) END AS expiry,
+         count(*) AS n_cols
+  FROM latest_f GROUP BY key
+)
+"""
+
+QUERIES = {
+    "a1_lww_latest": q_a1_lww_latest,
+    "f1_live_cells": q_f1_live_cells,
+    "f2_live_row_counts": q_f2_live_row_counts,
+    "a2_row_tombstone_max": q_a2_row_tombstone_max,
+    "j3_range_tombstone_cover": q_j3_range_tombstone_cover,
+    "a4_expiry_fold_last": q_a4_expiry_fold_last,
+    "a4_expiry_fold_first": q_a4_expiry_fold_first,
+    "f3_expired_filter": q_f3_expired_filter,
+    "a5_record_assembly": q_a5_record_assembly,
+    "merge_full": q_merge_full,
+}
+
+ORACLES = {
+    "a1_lww_latest": """
+        SELECT user_id, event_type,
+               arg_max(value, epoch_us(ts)) AS latest_value,
+               max(epoch_us(ts)) AS latest_ts_us
+        FROM events GROUP BY user_id, event_type
+    """,
+    "f1_live_cells": _CTE + "SELECT key, col_name, value, ts, ttl, expiration FROM live",
+    "f2_live_row_counts": _CTE + "SELECT key, count(*) AS n_live FROM live GROUP BY key",
+    "a2_row_tombstone_max": _CTE
+    + "SELECT key, max(ts) AS row_tomb_ts FROM cls WHERE kind = 'row' GROUP BY key",
+    "j3_range_tombstone_cover": _CTE
+    + """
+        SELECT r.key, c.col_name, max(r.ts) AS tomb_ts
+        FROM cls r JOIN colsd c ON c.col_name <= r.col_name
+        WHERE r.kind = 'range' GROUP BY r.key, c.col_name
+    """,
+    "a4_expiry_fold_last": _CTE + "SELECT key, expiry, n_cols FROM records",
+    "a4_expiry_fold_first": _CTE
+    + f"""
+        SELECT key,
+               coalesce(min(expiration), {merge.ETERNAL}) AS expiry,
+               count(*) AS n_cols
+        FROM latest_f GROUP BY key
+    """,
+    "f3_expired_filter": _CTE
+    + f"""
+        SELECT key, expiry, n_cols FROM records
+        WHERE expiry = {merge.ETERNAL}
+           OR expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    "a5_record_assembly": _CTE
+    + """
+        SELECT key,
+               string_agg(col_name || '=' || printf('%.2f', value), ','
+                          ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str,
+               count(*) AS n_cols
+        FROM latest_f GROUP BY key
+    """,
+    "merge_full": _CTE
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+}

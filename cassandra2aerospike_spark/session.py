@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is for tests only; every config here is chosen to also make
+sense on a large cluster (AQE, adaptive coalesce/skew-join, Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "cassandra2aerospike_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale posture:
+      - AQE on: runtime coalescing of shuffle partitions, skew-join splitting.
+      - shuffle.partitions sized to cores locally; on a real cluster this is
+        overridden by AQE's coalescing from an initial higher value.
+      - Arrow enabled so the pandas-UDF slow path is batch-vectorized.
+      - nanosAsLong: the fixture events table stores TIMESTAMP(NANOS), which
+        Spark has no native type for; we read the raw int64 and convert to
+        microsecond timestamps in the loader (sources/tables.py).
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

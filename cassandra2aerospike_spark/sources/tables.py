@@ -1,0 +1,73 @@
+"""Fixture table loaders.
+
+Reproduces the reference's source discovery (CassandraParser::open,
+/root/reference/CassandraParser.cpp:83-175 — directory scan + per-run schema)
+as plain `spark.read.parquet(dir)`: Spark's file listing, footer-schema read
+and partition planning are the idiomatic equivalent of the reference's
+Data.db/Statistics.db scan, with predicate pushdown and row-group pruning
+standing in for its Summary/Index seek (SSTable.cpp:58-87, 122-180).
+
+One quirk handled here: the driver-generated ``events`` table stores
+TIMESTAMP(NANOS), which Spark cannot represent.  We read the raw int64
+(``spark.sql.legacy.parquet.nanosAsLong``) and derive:
+
+    ts_us  BIGINT       — epoch microseconds, floor(ns / 1000)
+    ts     TIMESTAMP_NTZ — microsecond timestamp (matches DuckDB, which
+                           truncates parquet nanos to its µs TIMESTAMP)
+
+``ts_ns`` (the raw value) is kept for full-precision ordering.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes the events nanos timestamp.
+
+    Must work on ANY caller-supplied session (the driver passes its own),
+    so the nanos handling is set at runtime here, and the NTZ timestamp is
+    derived by pure epoch arithmetic — independent of the session timezone.
+    """
+    if name == "events":
+        # session-level but runtime-settable; required to read TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # integer division keeps exactness (double division would lose
+        # precision above 2^53 — epoch-nanos is ~2^61); interval arithmetic
+        # on TIMESTAMP_NTZ avoids any session-timezone dependence
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn(
+                "ts",
+                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00' + ts_us * INTERVAL '1' MICROSECOND"),
+            )
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each fixture table as a temp view for spark.sql queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
