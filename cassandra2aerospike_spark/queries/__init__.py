@@ -12,11 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import merge_q
+from . import merge_q, relational_q
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for _mod in (merge_q,):
+for _mod in (merge_q, relational_q):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,726 @@
+"""Relational-surface queries (SURVEY.md §2.3 joins, §2.4 aggregations,
+§2.5 windows, §2.6 sort/limit/top-k, §2.7 set ops, §2.8 scalar families)
+over the TPC-H-ish fixtures, each with a DuckDB oracle.
+
+Engine-portability conventions (see operators/relational.py): double sums
+go through exact DECIMAL; window orderings always carry a unique tiebreak
+column; half-dependent rounding and libm-dependent functions are avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import asof_join, dsum, range_join, topk_per_group
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------------- joins
+
+def q_join_inner(spark, sf_dir):
+    """J-surface: plain inner equi-join (Catalyst picks broadcast vs SMJ)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+def q_join_left(spark, sf_dir):
+    """Left outer join + per-customer order count (nulls counted as 0)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_right(spark, sf_dir):
+    """Right outer join preserving customers without orders."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_full_outer(spark, sf_dir):
+    """Full outer join of two aggregates (per-nation customers vs suppliers)."""
+    c = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust")
+    )
+    s = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp")
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """Left semi join: customers having at least one order (EXISTS)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark, sf_dir):
+    """Left anti join: customers with no orders (NOT EXISTS) — also the
+    create-only sink predicate (S11, AerospikeWriter.cpp:244-247)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_broadcast_star(spark, sf_dir):
+    """Star join: fact lineitem ⋈ broadcast dims; revenue per brand/nation.
+
+    The dims are explicitly broadcast — at 100 TB the fact side never
+    shuffles for the join, only for the final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_join_range_theta(spark, sf_dir):
+    """θ/range join: parts matched to size buckets via BETWEEN (broadcast
+    nested-loop on the tiny bucket dim — J3's pattern, never a cartesian)."""
+    p = _t(spark, sf_dir, "part")
+    buckets = (
+        p.select((F.col("p_size") - F.col("p_size") % 10).alias("lo"))
+        .distinct()
+        .withColumn("hi", F.col("lo") + 9)
+        .withColumn("bucket", (F.col("lo") / 10).cast("int"))
+    )
+    joined = range_join(
+        p, buckets, (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi"))
+    )
+    return joined.groupBy("bucket").agg(
+        F.count("*").alias("n_parts"),
+        dsum("p_retailprice").alias("sum_price"),
+    )
+
+
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each purchase event, the user's latest prior view
+    (union + ordered window — the scalable as-of pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us").alias("p_ts"), F.col("value").alias("amount")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("v_ts")
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="p_ts", right_ts="v_ts",
+        value_cols=["v_ts"],
+    ).select("event_id", "user_id", "p_ts", "amount", F.col("v_ts").alias("last_view_ts"))
+
+
+# ------------------------------------------------------------- aggregations
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical multi-agg scan (A-family surface)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+             / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) — expands to two-phase aggregate in Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP region -> nation with GROUPING markers (A-surface)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        dsum("c_acctbal").alias("sum_bal"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+    )
+
+
+def q_agg_cube(spark, sf_dir):
+    """CUBE over order status × priority with GROUPING markers."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+    )
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via SQL (distinct from rollup/cube lattices)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_agg_minmax_stats(spark, sf_dir):
+    """min/max/count over doubles and strings per group."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_name").alias("first_name"),
+        F.max("c_name").alias("last_name"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_agg_collect(spark, sf_dir):
+    """collect_list/collect_set made deterministic: sorted + joined."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations_set"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — sketch values are engine-specific, so
+    no SQL oracle: driver records a rows-only check.  The exact-distinct
+    counterpart is q_agg_distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("approx_median_price"),
+    )
+
+
+# ------------------------------------------------------------------ windows
+
+def q_win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer (row_number ranking window; unique
+    tiebreak keeps it deterministic across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+def q_win_rank(spark, sf_dir):
+    """rank / dense_rank with ties (same ordering both engines)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+def q_win_lag_lead(spark, sf_dir):
+    """lag/lead over per-user event time (analytic window family)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+
+
+def q_win_running_sum(spark, sf_dir):
+    """Running aggregate over a rows frame.  Decimal accumulation: window
+    sums are NOT a plain left fold in every engine (DuckDB uses a segment
+    tree), so double running sums are not portable — decimal is exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+def q_win_distribution(spark, sf_dir):
+    """ntile / percent_rank / cume_dist distribution windows."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --------------------------------------------------------- sort/limit/top-k
+
+def q_topk_global(spark, sf_dir):
+    """Global ORDER BY ... LIMIT — Spark's TakeOrderedAndProject (no full
+    sort materialization)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(100).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_sort_multi_limit(spark, sf_dir):
+    """Multi-column sort + limit with fully deterministic key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .limit(1000)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+# ----------------------------------------------------------------- set ops
+
+def q_set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q_set_union_all(spark, sf_dir):
+    """Bag union (UNION ALL) — multiset compare via the driver's row sort."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s)
+
+
+def q_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_set_except(spark, sf_dir):
+    """EXCEPT (set semantics — subtract, not the bag-difference exceptAll)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ----------------------------------------------------------- scalar families
+
+def q_scalar_strings(spark, sf_dir):
+    """String function family (T2/F6 analogs: case, substring, length,
+    concat, replace, pattern match, hex)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("novowels"),
+        F.col("p_type").rlike("^STANDARD").cast("int").alias("is_standard"),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+    )
+
+
+def q_scalar_dates(spark, sf_dir):
+    """Date/time family (T1 analogs): extract, trunc, diff vs fixed epoch."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("days_since_92"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+    )
+
+
+def q_scalar_math(spark, sf_dir):
+    """Math family: abs/ceil/floor/round/sqrt/mod (libm-stable subset)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.round(F.col("l_discount") * 100, 0).alias("disc_pct"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+    )
+
+
+def q_scalar_conditional(spark, sf_dir):
+    """CASE / COALESCE / NULLIF / greatest / least."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_nb"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+def q_scalar_json(spark, sf_dir):
+    """JSON family (X5 multimodal props): extraction + typed cast."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod10"),
+    )
+
+
+QUERIES = {
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_right": q_join_right,
+    "join_full_outer": q_join_full_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_broadcast_star": q_join_broadcast_star,
+    "join_range_theta": q_join_range_theta,
+    "join_asof": q_join_asof,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "agg_distinct": q_agg_distinct,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_minmax_stats": q_agg_minmax_stats,
+    "agg_collect": q_agg_collect,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "win_topk_per_group": q_win_topk_per_group,
+    "win_rank": q_win_rank,
+    "win_lag_lead": q_win_lag_lead,
+    "win_running_sum": q_win_running_sum,
+    "win_distribution": q_win_distribution,
+    "topk_global": q_topk_global,
+    "sort_multi_limit": q_sort_multi_limit,
+    "set_union": q_set_union,
+    "set_union_all": q_set_union_all,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "scalar_strings": q_scalar_strings,
+    "scalar_dates": q_scalar_dates,
+    "scalar_math": q_scalar_math,
+    "scalar_conditional": q_scalar_conditional,
+    "scalar_json": q_scalar_json,
+}
+
+ORACLES = {
+    "join_inner": """
+        SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_left": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "join_right": """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_full_outer": """
+        WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+        SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+        FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_broadcast_star": """
+        SELECT p_brand, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY p_brand, n_name
+    """,
+    "join_range_theta": """
+        WITH buckets AS (
+          SELECT DISTINCT p_size - p_size % 10 AS lo, p_size - p_size % 10 + 9 AS hi,
+                 CAST((p_size - p_size % 10) / 10 AS INT) AS bucket
+          FROM part
+        )
+        SELECT bucket, count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM part JOIN buckets ON p_size >= lo AND p_size <= hi
+        GROUP BY bucket
+    """,
+    "join_asof": """
+        SELECT p.event_id, p.user_id, p.p_ts, p.amount, v.v_ts AS last_view_ts
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS p_ts, value AS amount
+              FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id, epoch_us(ts) AS v_ts
+              FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.p_ts >= v.v_ts
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+                    AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+               CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part,
+               count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_rollup": """
+        SELECT r_name, n_name, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+               CAST(grouping(r_name) AS INT) AS g_region,
+               CAST(grouping(n_name) AS INT) AS g_nation
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "agg_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "agg_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "agg_minmax_stats": """
+        SELECT c_nationkey,
+               min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+               min(c_name) AS first_name, max(c_name) AS last_name,
+               count(*) AS n
+        FROM customer GROUP BY c_nationkey
+    """,
+    "agg_collect": """
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_set,
+               count(*) AS n
+        FROM nation GROUP BY n_regionkey
+    """,
+    "win_topk_per_group": """
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+    """,
+    "win_rank": """
+        SELECT p_brand, p_partkey, p_retailprice,
+               rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+    "win_lag_lead": """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    "win_running_sum": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS order_seq
+        FROM orders
+    """,
+    "win_distribution": """
+        SELECT c_custkey, c_acctbal,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    "topk_global": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "sort_multi_limit": """
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1000
+    """,
+    "set_union": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier
+    """,
+    "set_union_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL SELECT s_nationkey FROM supplier
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier
+    """,
+    "set_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier
+    """,
+    "scalar_strings": """
+        SELECT p_partkey,
+               upper(p_name) AS uname,
+               lower(p_brand) AS lbrand,
+               substring(p_name, 1, 5) AS prefix5,
+               length(p_name) AS name_len,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+               CAST(regexp_matches(p_type, '^STANDARD') AS INT) AS is_standard,
+               upper(to_hex(p_partkey)) AS key_hex
+        FROM part
+    """,
+    "scalar_dates": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS INT)
+                   AS days_since_92,
+               epoch(o_orderdate) AS epoch_s
+        FROM orders
+    """,
+    "scalar_math": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25) AS abs_dev,
+               CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+               round(l_discount * 100, 0) AS disc_pct,
+               sqrt(l_quantity) AS qty_sqrt,
+               l_orderkey % 7 AS key_mod7,
+               l_quantity * l_quantity AS qty_sq
+        FROM lineitem
+    """,
+    "scalar_conditional": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_nb,
+               greatest(c_acctbal, 0.0) AS bal_floor0,
+               least(c_acctbal, 1000.0) AS bal_cap1k
+        FROM customer
+    """,
+    "scalar_json": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10
+        FROM events
+    """,
+}
