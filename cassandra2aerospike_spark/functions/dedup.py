@@ -1,0 +1,164 @@
+"""Deduplication operators (north-star X1/X2): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design: every method reduces to hash-groupBy / equi-join on derived
+keys — no pairwise O(n²) pass ever touches the full corpus.  Candidate
+generation (shared shingle, LSH band bucket, SimHash band) prunes first;
+exact verification runs only on candidates.  All hashes derive from md5
+(bit-identical across engines), so even MinHash signatures are
+oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles, tokens
+
+
+def exact_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X1: exact dedup via content-hash groupBy.  One shuffle on the hash;
+    at 100 TB this is the canonical map-side-combine aggregation."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cluster_size"))
+    )
+
+
+def shingle_frame(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Exploded (doc_id, shingle) pairs with per-doc shingle counts."""
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """X2 exact n-gram Jaccard over candidate pairs that share >= 1 shingle.
+
+    intersection counts come from a self-equi-join on the shingle key
+    (shuffle on shingle — skew-prone for stop-shingles; at scale, drop
+    shingles with document frequency above a cap first), union sizes from
+    per-doc counts; Jaccard = |∩| / (|A| + |B| - |∩|) is exact integer
+    arithmetic until the final division.
+    """
+    sh = shingle_frame(docs, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_values(n_hashes: int = 16) -> Column:
+    """MinHash signature as an array column over the exploded shingle set:
+    h_i(doc) = min over shingles of md5(i || '|' || shingle).  md5-hex
+    ordering is the hash ordering — portable to any engine with md5."""
+    return F.array(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature (array<string> of n_hashes md5 minima)."""
+    sh = shingle_frame(docs, k, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: band key = md5 of the band's signature slice; candidate
+    pairs = docs sharing any (band, key) bucket.  Equi-join on the bucket —
+    the classic shuffle-friendly near-dup candidate generator."""
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band), "|"
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X2 SimHash: 64-bit fingerprint = sign-aggregate of per-token md5 bits.
+
+    Each token votes +1/-1 per bit position (bit taken from the token's
+    md5); the fingerprint sets bits with positive vote sums.  Pure
+    explode + groupBy + bit arithmetic — engine-portable and shuffle-lean
+    (one aggregation keyed by doc).
+    """
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    # token hash: first 16 hex chars of md5 -> 64-bit value via conv
+    th = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(60)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return votes.select("doc_id", total.alias("simhash"))

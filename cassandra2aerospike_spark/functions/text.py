@@ -1,0 +1,127 @@
+"""Text-analysis column expressions (north-star X4) — language ID,
+quality scoring, token statistics, fingerprinting.
+
+All built from JVM-side `pyspark.sql.functions` (no Python UDFs in the
+hot path): at 100 TB these run inside whole-stage codegen on the scan.
+Every expression has an exact SQL equivalent so the DuckDB oracles can
+replicate it (queries/text_q.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lexicons (public, standard closed-class
+# words).  Deterministic language ID = argmax of stopword hit-rate.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "de", "un", "une", "est", "que"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text, empty-safe."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != F.lit(""))
+
+
+def word_tokens_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword proxy: split on word boundaries keeping punctuation
+    as its own token (the regex most tokenizers pre-split with)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in the language's lexicon."""
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+
+def cjk_chars(text: Column) -> Column:
+    """Count of CJK-unified-ideograph characters (zh signal)."""
+    return F.length(F.regexp_replace(text, "[^一-鿿]", ""))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scores = {
+        lang: stopword_hits(toks, lang).cast("double") / n for lang in STOPWORDS
+    }
+    scores["zh"] = cjk_chars(text).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+    return scores
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic argmax over language scores; ties break by language
+    code ascending; all-zero scores -> 'und'."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    # pick the FIRST language (ascending code order) achieving the max score
+    max_score = F.array_max(F.transform(pairs, lambda p: p["score"]))
+    first_best = F.filter(pairs, lambda p: p["score"] == max_score)[0]["lang"]
+    return F.when(max_score <= 0, F.lit("und")).otherwise(first_best)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features; the composite score is a fixed
+    IEEE expression tree so it is bit-identical across engines."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(text).cast("double")
+    safe_tok = F.greatest(n_tok, F.lit(1.0))
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+        / safe_tok
+    )
+    stop_ratio = stopword_hits(toks, "en").cast("double") / safe_tok
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / safe_tok
+    return {
+        "n_chars_f": n_char,
+        "n_tokens_f": n_tok,
+        "mean_word_len": mean_word_len,
+        "stop_ratio": stop_ratio,
+        "distinct_ratio": distinct_ratio,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    f = quality_features(text)
+    return (
+        F.least(f["n_tokens_f"] / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + f["stop_ratio"] * F.lit(0.3)
+        + f["distinct_ratio"] * F.lit(0.3)
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (md5 is bit-identical across engines; the hex string is the id)."""
+    return F.md5(F.array_join(tokens(text), " "))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (distinct), the unit for Jaccard/MinHash."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        )
+    )

@@ -1,0 +1,209 @@
+"""Deduplication queries (north-star X1/X2): exact, prefix-cluster,
+n-gram Jaccard, MinHash+LSH, SimHash — over the documents fixture.
+
+Everything down to the MinHash signatures and SimHash bits is derived
+from md5, so even the LSH pipelines have exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """X1: exact dedup clusters by normalized-content hash."""
+    return D.exact_clusters(_docs(spark, sf_dir))
+
+
+def q_dedup_prefix(spark, sf_dir):
+    """Near-exact dedup on a 100-char prefix hash (the fixture plants
+    prefix-duplicate groups); only clusters of size > 1."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("pfp", F.md5(F.substring("text", 1, 100)))
+        .groupBy("pfp")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """X2 exact n-gram Jaccard near-dup pairs (threshold 0.6)."""
+    return D.jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.6)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """X2 MinHash+LSH: 16 md5-derived min-hashes, 4 bands × 4 rows,
+    bucket-join candidates, verified with exact Jaccard >= 0.5."""
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, n_hashes=16, k=3)
+    cand = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
+    verified = D.jaccard_pairs(docs, k=3, threshold=0.5)
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """X2 SimHash 60-bit fingerprints per document."""
+    return D.simhash64(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: 4 bands × 15 bits, verify Hamming <= 3."""
+    sim = D.simhash64(_docs(spark, sf_dir))
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 15).bitwiseAND(F.lit(0x7FFF)).alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOKS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+)
+"""
+
+# distinct word-3-gram shingles, exploded
+_SHINGLES = _TOKS + """
+, sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(t[i : i + 2], ' ')))) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+_JACCARD = _SHINGLES + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+_SIMHASH = _TOKS + """
+, tokh AS (
+  SELECT doc_id,
+         list_reduce(list_transform(range(1, 16),
+             i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1),
+             (a, b) -> a * 16 + b) AS h
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+),
+bits AS (
+  SELECT doc_id, j, sum(2 * ((h >> j) & 1) - 1) AS vote
+  FROM tokh, (SELECT unnest(range(0, 60)) AS j)
+  GROUP BY doc_id, j
+),
+simh AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+ORACLES = {
+    "dedup_exact": _TOKS
+    + """
+        SELECT md5(array_to_string(t, ' ')) AS fp,
+               min(doc_id) AS rep_doc_id, count(*) AS cluster_size
+        FROM toks GROUP BY 1
+    """,
+    "dedup_prefix": """
+        SELECT md5(text[1:100]) AS pfp, min(doc_id) AS rep_doc_id,
+               count(*) AS cluster_size
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "dedup_jaccard_pairs": _JACCARD
+    + "SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.6",
+    "dedup_minhash_lsh": _JACCARD
+    + """
+        , mh AS (
+          SELECT doc_id, i, min(md5(i || '|' || shingle)) AS h
+          FROM sh, (SELECT unnest(range(0, 16)) AS i)
+          GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(h, '|' ORDER BY i)) AS bkey
+          FROM mh GROUP BY doc_id, i // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, j.jaccard
+        FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jaccard >= 0.5
+    """,
+    "dedup_simhash": _SIMHASH + "SELECT doc_id, simhash FROM simh",
+    "dedup_simhash_pairs": _SIMHASH
+    + """
+        , bands AS (
+          SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bval
+          FROM simh, (SELECT unnest(range(0, 4)) AS b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_prefix": q_dedup_prefix,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}

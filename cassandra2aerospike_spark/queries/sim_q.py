@@ -1,0 +1,178 @@
+"""Similarity-search queries (north-star X3) + embedding near-dup (X2) +
+multimodal plumbing (X5) over the embeddings/documents fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import multimodal as M
+from ..functions import similarity as S
+from ..sources import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries_frame(emb):
+    """Deterministic query subset: every 50th vector."""
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    """X3 baseline: brute-force exact cosine top-5 per query vector."""
+    emb = _emb(spark, sf_dir)
+    return S.brute_force_topk(_queries_frame(emb), emb, k=5)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    """X3 scale path: sign-bucket LSH top-5 (bucket equi-join, no cross
+    join).  Oracle replicates the same bucket restriction exactly."""
+    emb = _emb(spark, sf_dir)
+    return S.lsh_topk(_queries_frame(emb), emb, k=5, n_bits=8)
+
+
+def q_sim_embedding_neardup(spark, sf_dir):
+    """X2 embedding-cosine near-dup pairs within sign buckets.  Threshold
+    0.35 is calibrated to the synthetic fixture (max pairwise cos ~0.51);
+    real corpora would use ~0.95."""
+    emb = _emb(spark, sf_dir)
+    b = emb.withColumn("bucket", S.sign_bucket(F.col("embedding"), 8))
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            S.cosine(
+                S.as_double_vec(F.col("a.embedding")),
+                S.as_double_vec(F.col("c.embedding")),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
+def q_mm_binary_meta(spark, sf_dir):
+    """X5: opaque binary payload + typed metadata (length, sha256, magic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.with_binary_payload(docs).select(
+        "doc_id", "byte_len", "sha256", "magic_hex"
+    )
+
+
+def q_mm_decode_features(spark, sf_dir):
+    """X5: mapInPandas decode/feature-extract (STUB codec, real plumbing).
+    No SQL oracle — rows-only check; determinism is unit-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_image_stub(M.with_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        "n_frames",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
+ORACLES = {
+    "sim_cosine_topk": """
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 list_inner_product(q.q_vec, e.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+                    * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                     AS sim
+          FROM embeddings e CROSS JOIN q
+          WHERE q.q_id != e.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    "sim_lsh_topk": """
+        WITH bucketed AS (
+          SELECT vec_id, embedding,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+               + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+               + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM bucketed
+              WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 list_inner_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                    * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                     AS sim
+          FROM bucketed e JOIN q ON e.bucket = q.bucket
+          WHERE q.q_id != e.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    "sim_embedding_neardup": """
+        WITH bucketed AS (
+          SELECT vec_id, embedding,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+               + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+               + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                   AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+              >= 0.35
+    """,
+    "mm_binary_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS sha256,
+               lower(substr(hex(encode(text)), 1, 16)) AS magic_hex
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_embedding_neardup": q_sim_embedding_neardup,
+    "mm_binary_meta": q_mm_binary_meta,
+    "mm_decode_features": q_mm_decode_features,
+}

@@ -1,0 +1,162 @@
+"""Text-analysis queries (north-star X4) over the documents fixture, each
+with a DuckDB oracle replicating the exact expression tree
+(functions/text.py documents the conventions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword proxy."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(X.word_tokens_bpe_ish(F.col("text"))).cast("long").alias("n_bpe"),
+        (
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("mean_word_len"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: stopword/distinct ratios + composite score."""
+    d = _docs(spark, sf_dir)
+    f = X.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["stop_ratio"].alias("stop_ratio"),
+        f["distinct_ratio"].alias("distinct_ratio"),
+        X.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Language ID: stopword-ratio argmax + CJK char ratio (deterministic
+    tie-break by language code)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint (md5 of normalized text) + shingle count."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        F.size(X.shingles(F.col("text"), 3)).cast("long").alias("n_shingles"),
+    )
+
+
+def q_text_term_freq(spark, sf_dir):
+    """Corpus term frequency: explode + count + deterministic top-50."""
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return tf.orderBy(F.col("freq").desc(), F.col("token")).limit(50)
+
+
+# ---------------------------------------------------------------- oracles
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.STOPWORDS.items()}
+
+_TOKS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+)
+"""
+
+ORACLES = {
+    "text_token_stats": _TOKS
+    + """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct,
+               len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                               x -> x != '')) AS n_bpe,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len
+        FROM toks
+    """,
+    "text_quality": _TOKS
+    + f"""
+        SELECT doc_id,
+               CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS stop_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS distinct_ratio,
+               least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) * 0.3
+                 + CAST(len(list_distinct(t)) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) * 0.3 AS quality_score
+        FROM toks
+    """,
+    "text_lang_id": _TOKS
+    + f"""
+        , scores AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(t, x -> list_contains([{_SW['de']}], x))) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS s_de,
+                 CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS s_en,
+                 CAST(len(list_filter(t, x -> list_contains([{_SW['es']}], x))) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS s_es,
+                 CAST(len(list_filter(t, x -> list_contains([{_SW['fr']}], x))) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS s_fr,
+                 CAST(length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) AS s_zh
+          FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM scores
+    """,
+    "text_fingerprint": _TOKS
+    + """
+        SELECT doc_id,
+               md5(array_to_string(t, ' ')) AS fp,
+               CASE WHEN len(t) < 3 THEN 0
+                    ELSE len(list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i : i + 2], ' ')))) END AS n_shingles
+        FROM toks
+    """,
+    "text_term_freq": _TOKS
+    + """
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest(t) AS token FROM toks)
+        GROUP BY token ORDER BY freq DESC, token LIMIT 50
+    """,
+}
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "text_term_freq": q_text_term_freq,
+}

@@ -1,0 +1,88 @@
+"""Token / partitioner / ordering / resume queries (SURVEY.md §2.6, §2.8
+P1-P3, O1-O4) over the fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import tokens as TK
+from ..sources import load_table
+
+
+def q_token_md5(spark, sf_dir):
+    """P2 RandomPartitioner analog: md5 token per key (hex order == ring
+    order)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", TK.md5_token(F.col("c_custkey")).alias("token")
+    )
+
+
+def q_token_ring_ranges(spark, sf_dir):
+    """O1: token-ring range assignment — first token byte buckets the ring
+    into 32 ranges; per-range key counts (the unit of the reference's
+    global (token, key) iteration order, CassandraParser.cpp:38-46)."""
+    c = load_table(spark, sf_dir, "customer")
+    tok = TK.md5_token(F.col("c_custkey"))
+    range_id = F.floor(
+        F.conv(F.substring(tok, 1, 2), 16, 10).cast("int") / 8
+    ).cast("int")
+    return (
+        c.select(tok.alias("token"), range_id.alias("range_id"))
+        .groupBy("range_id")
+        .agg(F.count("*").alias("n_keys"), F.min("token").alias("range_start"))
+    )
+
+
+def q_token_resume_scan(spark, sf_dir):
+    """O2/O3: resume-from-key — keys at or after a token cutpoint, plus the
+    next resume point (min token of the remainder).  The reference's
+    Summary/Index seek (SSTable.cpp:122-180) becomes a filter that prunes
+    via parquet min/max stats."""
+    c = load_table(spark, sf_dir, "customer")
+    toks = c.select("c_custkey", TK.md5_token(F.col("c_custkey")).alias("token"))
+    remainder = toks.filter(F.col("token") >= "80")
+    return remainder.agg(
+        F.count("*").alias("n_remaining"),
+        F.min("token").alias("resume_token"),
+        F.max("token").alias("last_token"),
+    )
+
+
+def q_token_murmur3(spark, sf_dir):
+    """P1: Cassandra-compatible Murmur3 tokens (pandas UDF — the one
+    computation with no Spark builtin).  No SQL oracle (DuckDB has no
+    Cassandra murmur3) -> rows-only; bit-level vectors are unit-tested."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        TK.murmur3_token(F.col("c_custkey").cast("string")).alias("token"),
+    ).orderBy("token")
+
+
+ORACLES = {
+    "token_md5": """
+        SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer
+    """,
+    "token_ring_ranges": """
+        WITH t AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer)
+        SELECT CAST(floor(((strpos('0123456789abcdef', substr(token, 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef', substr(token, 2, 1)) - 1) / 8.0)
+                    AS INT) AS range_id,
+               count(*) AS n_keys, min(token) AS range_start
+        FROM t GROUP BY 1
+    """,
+    "token_resume_scan": """
+        WITH t AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer)
+        SELECT count(*) AS n_remaining, min(token) AS resume_token,
+               max(token) AS last_token
+        FROM t WHERE token >= '80'
+    """,
+}
+
+QUERIES = {
+    "token_md5": q_token_md5,
+    "token_ring_ranges": q_token_ring_ranges,
+    "token_resume_scan": q_token_resume_scan,
+    "token_murmur3": q_token_murmur3,
+}

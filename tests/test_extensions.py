@@ -1,0 +1,82 @@
+"""Unit tests for the north-star extension operators: dedup planting,
+multimodal decode determinism, similarity ranking sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra2aerospike_spark.functions import dedup as D
+from cassandra2aerospike_spark.functions import multimodal as M
+from cassandra2aerospike_spark.functions import similarity as S
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_clusters(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "the same text here"),
+            (2, "THE  same   text HERE"),  # normalizes identically
+            (3, "different entirely words"),
+        ],
+    )
+    out = {r.rep_doc_id: r.cluster_size for r in D.exact_clusters(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs(spark, [(1, text), (2, text), (3, "totally unrelated words only here")])
+    pairs = D.jaccard_pairs(d, k=3, threshold=0.6).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_identical(spark):
+    text = "one two three four five six seven eight nine ten"
+    d = _docs(spark, [(1, text), (2, text), (3, "zzz yyy xxx www vvv uuu ttt sss")])
+    sigs = D.minhash_signatures(d, n_hashes=16, k=3)
+    cand = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in cand
+    assert (1, 3) not in cand and (2, 3) not in cand
+
+
+def test_simhash_close_for_similar_docs(spark):
+    base = "spark merge window batch table column join stream order group"
+    d = _docs(spark, [(1, base), (2, base + " extra"), (3, "qq ww ee rr tt yy uu ii oo pp")])
+    rows = {r.doc_id: r.simhash for r in D.simhash64(d).collect()}
+    ham12 = bin(rows[1] ^ rows[2]).count("1")
+    ham13 = bin(rows[1] ^ rows[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_multimodal_decode_deterministic(spark):
+    d = _docs(spark, [(1, "hello world payload"), (2, "")])
+    binary = M.with_binary_payload(d)
+    a = {r.doc_id: (r.width, r.height, r.n_frames, tuple(r.features))
+         for r in M.decode_image_stub(binary).collect()}
+    b = {r.doc_id: (r.width, r.height, r.n_frames, tuple(r.features))
+         for r in M.decode_image_stub(binary).collect()}
+    assert a == b
+    assert a[2] == (0, 0, 0, ())  # empty payload handled
+
+
+def test_brute_force_topk_self_similarity(spark):
+    import math
+
+    rows = [(i, [float((i + 1) * (d + 1) % 7 - 3) for d in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.brute_force_topk(q, emb, k=3).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(not math.isnan(r.sim) for r in out)
+    # vec 7 and 14 have identical direction to vec 0 (multiples mod 7)
+    sims = {r.vec_id: r.sim for r in out}
+    top = max(sims.values())
+    assert abs(top - 1.0) < 1e-9

@@ -1,0 +1,58 @@
+"""Cassandra-flavored Murmur3 token tests (SURVEY.md P1).
+
+The algorithm is the canonical MurmurHash3 x64-128 (public smhasher
+reference) with Cassandra's Java semantics: SIGNED tail bytes and the
+MIN_LONG -> MAX_LONG clamp.  Regression vectors below pin the exact bit
+behavior; the pandas-UDF path is exercised through Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra2aerospike_spark.functions.tokens import murmur3_128_h1, murmur3_token
+
+# Regression vectors (pinned from this implementation; ASCII keys equal
+# canonical x64-128 h1 since sign extension only affects bytes >= 0x80).
+VECTORS = {
+    b"jim": 2680261686609811218,
+    b"carol": -3169904368870211108,
+    b"\xff\xfe\xfd": 4778542740094909933,
+    bytes(range(20)): -6642154758453422773,
+    b"": 0,
+}
+
+
+def test_murmur3_regression_vectors():
+    for key, expect in VECTORS.items():
+        assert murmur3_128_h1(key) == expect, key
+
+
+def test_murmur3_int64_range_and_determinism():
+    for i in range(200):
+        key = f"key-{i}".encode()
+        t1, t2 = murmur3_128_h1(key), murmur3_128_h1(key)
+        assert t1 == t2
+        assert -(2**63) < t1 <= 2**63 - 1  # MIN_LONG never returned (clamp)
+
+
+def test_signed_tail_differs_from_unsigned():
+    # a high-bit tail byte must sign-extend (Java semantics); flipping the
+    # high bit of a tail byte must change the token
+    assert murmur3_128_h1(b"ab\xff") != murmur3_128_h1(b"ab\x7f")
+
+
+def test_murmur3_udf_matches_local(spark):
+    df = spark.createDataFrame([("jim",), ("carol",)], "k string")
+    rows = {r.k: r.tok for r in df.select("k", murmur3_token("k").alias("tok")).collect()}
+    assert rows["jim"] == VECTORS[b"jim"]
+    assert rows["carol"] == VECTORS[b"carol"]
+
+
+def test_block_path_16_32_bytes():
+    # exercise 1-block and 2-block paths plus each tail length 0..15
+    seen = set()
+    for n in range(0, 48):
+        t = murmur3_128_h1(bytes(range(n)))
+        assert t not in seen  # distinct inputs -> distinct tokens here
+        seen.add(t)
