@@ -1,0 +1,134 @@
+"""Pipeline queries: k-way merge over multiple runs (J1/J2), run
+accounting (S14/A6), dry-run record formatting (S13)."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from ..operators import merge
+from ..sources import load_table
+from .merge_q import _CTE
+
+
+def q_j1_kway_merge(spark, sf_dir):
+    """J1/J2: k-way merge-union — the events stream split into 3 sorted
+    'runs' (the reference's SSTables), unioned and co-grouped per
+    (key, column) with LWW resolution; n_runs counts contributing runs
+    (the reference's tie-set size, CassandraParser.cpp:265-281)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "run_id", (F.col("event_id") % 3).cast("int")
+    )
+    runs = [ev.filter(F.col("run_id") == i) for i in range(3)]
+    unioned = reduce(lambda a, b: a.unionByName(b), runs)
+    return (
+        unioned.groupBy(
+            F.col("user_id").alias("key"), F.col("event_type").alias("col_name")
+        )
+        .agg(
+            F.max_by("value", "ts_us").alias("latest_value"),
+            F.max("ts_us").alias("latest_ts_us"),
+            F.countDistinct("run_id").alias("n_runs"),
+        )
+    )
+
+
+def q_s14_run_accounting(spark, sf_dir):
+    """S14/A6: end-of-run reconciliation counters in one pass over the
+    cell classification (read / tombstones by kind / live / records —
+    the reference's final report, Cassandra2Aerospike.cpp:376-401)."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    is_row = eid % 97 == 0
+    is_range = (~is_row) & (eid % 13 == 0)
+    is_point = (~is_row) & (eid % 13 != 0) & (eid % 10 == 0)
+    is_cell = (~is_row) & (eid % 13 != 0) & (eid % 10 != 0)
+    counts = ev.agg(
+        F.count("*").alias("n_events"),
+        F.sum(is_cell.cast("long")).alias("n_cells"),
+        F.sum(is_row.cast("long")).alias("n_row_tombs"),
+        F.sum(is_range.cast("long")).alias("n_range_tombs"),
+        F.sum(is_point.cast("long")).alias("n_point_tombs"),
+    )
+    live = merge.live_cells(ev).agg(F.count("*").alias("n_live"))
+    recs = merge.merge_records(ev).agg(F.count("*").alias("n_records"))
+    return counts.crossJoin(live).crossJoin(recs)
+
+
+def q_s13_dry_run(spark, sf_dir):
+    """S13: dry-run golden output — first 20 merged records as
+    deterministic text (key, sorted name=value list, timeout suffix for
+    expiring records; DryRun.cpp:22-72's diffable format)."""
+    latest = merge.lww_latest(merge.live_cells(load_table(spark, sf_dir, "events")))
+    recs = latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            " ",
+        ).alias("cols_str"),
+        F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(merge.ETERNAL)
+        )
+        .otherwise(F.max("expiration"))
+        .cast("long")
+        .alias("expiry"),
+    )
+    line = F.concat(
+        F.lit("key="),
+        F.col("key").cast("string"),
+        F.when(F.col("expiry") == merge.ETERNAL, F.lit("")).otherwise(
+            F.concat(F.lit(" (timeout="), F.col("expiry").cast("string"), F.lit(")"))
+        ),
+        F.lit(": "),
+        F.col("cols_str"),
+    )
+    return recs.select("key", line.alias("record_line")).orderBy("key").limit(20)
+
+
+QUERIES = {
+    "j1_kway_merge": q_j1_kway_merge,
+    "s14_run_accounting": q_s14_run_accounting,
+    "s13_dry_run": q_s13_dry_run,
+}
+
+ORACLES = {
+    "j1_kway_merge": """
+        SELECT user_id AS key, event_type AS col_name,
+               arg_max(value, epoch_us(ts)) AS latest_value,
+               max(epoch_us(ts)) AS latest_ts_us,
+               count(DISTINCT event_id % 3) AS n_runs
+        FROM events GROUP BY 1, 2
+    """,
+    "s14_run_accounting": _CTE
+    + """
+        SELECT (SELECT count(*) FROM events) AS n_events,
+               (SELECT count(*) FROM cls WHERE kind = 'cell') AS n_cells,
+               (SELECT count(*) FROM cls WHERE kind = 'row') AS n_row_tombs,
+               (SELECT count(*) FROM cls WHERE kind = 'range') AS n_range_tombs,
+               (SELECT count(*) FROM cls WHERE kind = 'point') AS n_point_tombs,
+               (SELECT count(*) FROM live) AS n_live,
+               (SELECT count(*) FROM records
+                WHERE expiry = 4294967295 OR expiry >= 1719792001) AS n_records
+    """,
+    "s13_dry_run": _CTE
+    + """
+        , recs AS (
+          SELECT key,
+                 string_agg(col_name || '=' || printf('%.2f', value), ' '
+                            ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str,
+                 CASE WHEN max(CASE WHEN expiration IS NULL THEN 1 ELSE 0 END) = 1
+                      THEN 4294967295 ELSE max(expiration) END AS expiry
+          FROM latest_f GROUP BY key
+        )
+        SELECT key,
+               'key=' || key
+               || CASE WHEN expiry = 4294967295 THEN ''
+                       ELSE ' (timeout=' || expiry || ')' END
+               || ': ' || cols_str AS record_line
+        FROM recs ORDER BY key LIMIT 20
+    """,
+}

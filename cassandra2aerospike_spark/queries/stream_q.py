@@ -1,0 +1,67 @@
+"""Streaming queries (SURVEY.md §2.8): each callable drives a real
+Structured Streaming query to completion and returns the result, oracle-
+checked against batch SQL (streaming/stream_queries.py for semantics)."""
+
+from __future__ import annotations
+
+from ..streaming import (
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+    streaming_dedup_keys,
+)
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sliding_counts": stream_sliding_counts,
+    "stream_session_windows": stream_session_windows,
+    "stream_dedup_keys": streaming_dedup_keys,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": """
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour')
+                   AS window_end_us,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "stream_sliding_counts": """
+        WITH starts AS (
+          SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS s0,
+                 CAST(ts AS TIMESTAMP) AS ts
+          FROM events
+        ), expanded AS (
+          SELECT unnest([s0, s0 - INTERVAL '30 minutes']) AS window_start, ts
+          FROM starts
+        )
+        SELECT epoch_us(window_start) AS window_start_us,
+               epoch_us(window_start + INTERVAL '1 hour') AS window_end_us,
+               count(*) AS n
+        FROM expanded
+        WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+        GROUP BY 1, 2
+    """,
+    "stream_session_windows": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        m AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        g AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+               count(*) AS n_events
+        FROM g GROUP BY user_id, sid
+    """,
+    "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+}

@@ -1,0 +1,125 @@
+"""Sinks (SURVEY.md §2.1 S11-S13): create-only KV writes, bounded-async
+pipelined writer, dry-run print sink.
+
+The reference writes each merged record to Aerospike with exists=CREATE
+semantics, 100 async ops in flight per event loop, transient-error retry
+(AerospikeWriter.cpp:216-380).  Spark-first mapping:
+
+  * create-only   -> left-anti join against the sink's existing keys, then
+                     append.  Idempotent under task retries for the same
+                     reason the reference is: creates of already-present
+                     keys are no-ops, so replayed partitions converge.
+  * bounded async -> foreachPartition with a bounded in-flight window over
+                     a caller-supplied async `put`; Spark's task retry
+                     replaces the reference's resend queue.
+  * dry run       -> deterministic textual record dump (DryRun.cpp:22-72's
+                     golden-output mechanism).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def create_only_append(
+    records: DataFrame, sink_path: str, key_col: str = "key"
+) -> dict[str, int]:
+    """S11: create-only append to a parquet-backed KV sink directory.
+
+    Existing keys are never overwritten (policy exists=CREATE,
+    Cassandra2Aerospike.cpp:244-247): new records are anti-joined against
+    the sink's current keys before appending.  Returns accounting counters
+    (S14: written / already_existing) like the reference's end-of-run
+    report (Cassandra2Aerospike.cpp:376-401).
+
+    Scale: the anti-join shuffles on the key — the same key distribution
+    the merge already produced, so AQE reuses the partitioning; the
+    existing-keys side prunes to the key column only.
+    """
+    spark = records.sparkSession
+    n_total = records.count()
+    if os.path.isdir(sink_path) and any(
+        f.endswith(".parquet") for f in os.listdir(sink_path)
+    ):
+        existing = spark.read.parquet(sink_path).select(key_col)
+        fresh = records.join(existing, key_col, "left_anti")
+    else:
+        fresh = records
+    n_written = fresh.count()
+    fresh.write.mode("append").parquet(sink_path)
+    return {"read": n_total, "written": n_written, "already_existing": n_total - n_written}
+
+
+def bounded_async_foreach_writer(
+    records: DataFrame,
+    put: Callable[[dict], "object"],
+    wait: Callable[["object"], bool],
+    max_in_flight: int = 100,
+) -> None:
+    """S12: pipelined writes with a bounded in-flight window, per partition.
+
+    `put(row_dict)` starts an async write and returns a handle; `wait(h)`
+    blocks until that write completes (returns success).  At most
+    `max_in_flight` handles are outstanding per task — the reference's
+    backpressure default (-a 100, AerospikeWriter.cpp:25).  Failures raise,
+    letting Spark's task retry re-drive the partition; combined with
+    create-only semantics the replay is idempotent (the reference's
+    transient-error requeue, AerospikeWriter.cpp:138-180, plays the same
+    role).
+    """
+
+    def write_partition(rows: Iterator) -> None:
+        in_flight: deque = deque()
+        for row in rows:
+            if len(in_flight) >= max_in_flight:
+                h = in_flight.popleft()
+                if not wait(h):
+                    raise RuntimeError("write failed; task will retry")
+            in_flight.append(put(row.asDict()))
+        while in_flight:
+            if not wait(in_flight.popleft()):
+                raise RuntimeError("write failed; task will retry")
+
+    records.foreachPartition(write_partition)
+
+
+def dry_run(records: DataFrame, limit: int = 20) -> list[str]:
+    """S13: deterministic textual dump of merged records, mirroring the
+    reference's dry-run format — key line, then `name=value` per column
+    with `(timeout=...)` for expiring records (DryRun.cpp:27-63).
+
+    Returns the lines (ordered by key) rather than printing, so tests and
+    golden files can diff them.
+    """
+    from ..operators.merge import ETERNAL
+
+    rows = (
+        records.orderBy("key")
+        .limit(limit)
+        .select("key", "columns", "expiry")
+        .collect()
+    )
+    lines: list[str] = []
+    for r in rows:
+        suffix = "" if r.expiry == ETERNAL else f" (timeout={r.expiry})"
+        lines.append(f"key={r.key}{suffix}")
+        for name in sorted(r.columns):
+            lines.append(f"  {name}={r.columns[name]:.2f}")
+    return lines
+
+
+def run_with_accounting(records: DataFrame, name: str = "sink") -> DataFrame:
+    """S14: attach observable metrics to the record stream (the engine's
+    version of the reference's read/skipped/expired counters) — collected
+    by the driver via QueryExecutionListener or `observe` results."""
+    return records.observe(
+        name,
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("n_cols")).alias("n_cells"),
+        F.count(F.when(F.col("expiry") != 4294967295, 1)).alias("n_expiring"),
+    )

@@ -41,29 +41,35 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the raw events frame (ts read as int64 nanos):
+
+    integer division keeps exactness (double division would lose precision
+    above 2^53 — epoch-nanos is ~2^61); interval arithmetic on
+    TIMESTAMP_NTZ avoids any session-timezone dependence.
+    """
+    return (
+        df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn(
+            "ts",
+            F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00' + ts_us * INTERVAL '1' MICROSECOND"),
+        )
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes the events nanos timestamp.
 
     Must work on ANY caller-supplied session (the driver passes its own),
-    so the nanos handling is set at runtime here, and the NTZ timestamp is
-    derived by pure epoch arithmetic — independent of the session timezone.
+    so the nanos handling is set at runtime here.
     """
     if name == "events":
         # session-level but runtime-settable; required to read TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # integer division keeps exactness (double division would lose
-        # precision above 2^53 — epoch-nanos is ~2^61); interval arithmetic
-        # on TIMESTAMP_NTZ avoids any session-timezone dependence
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn(
-                "ts",
-                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00' + ts_us * INTERVAL '1' MICROSECOND"),
-            )
-        )
+        df = normalize_events(df)
     return df
 
 

@@ -1,0 +1,15 @@
+from .stream_queries import (
+    stream_events,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+    streaming_dedup_keys,
+)
+
+__all__ = [
+    "stream_events",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "streaming_dedup_keys",
+]

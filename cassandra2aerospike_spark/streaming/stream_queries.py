@@ -1,0 +1,144 @@
+"""Structured Streaming track (SURVEY.md §2.8).
+
+The reference is batch-only but incremental and resumable (seek-to-key
+resume + backpressured async sink).  The engine maps that contract to
+Structured Streaming: file source -> watermark -> windowed/stateful ops ->
+checkpointed sink; watermark semantics replace the reference's resume-key
+contract (O2/O3), checkpoint+idempotent-sink replaces its resend queue.
+
+Each query here drives a real streaming query over the events fixture to
+completion (memory sink, processAllAvailable) and returns the result
+DataFrame, so the driver can oracle-check streaming semantics against
+batch SQL.  Window aggregations run in `complete` mode (the finite fixture
+would otherwise withhold unclosed windows in append mode); the dedup query
+runs append with a watermark — the streaming-native A1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import normalize_events
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture as a file-source stream (schema from the batch
+    footer; same nanos normalization as the batch loader).
+
+    Adds `ts_event` (TIMESTAMP, i.e. LTZ) for watermarking — Spark event
+    time must be TIMESTAMP, not NTZ.  Built from epoch micros so the
+    instant is session-timezone-independent; queries emit window bounds
+    as epoch-µs BIGINTs to stay tz-proof in oracle comparison.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file source requires a directory; stage a symlink dir holding
+    # just the events file (the fixture dir mixes all tables).  The stage
+    # path is DETERMINISTIC per sf_dir so checkpointed queries can resume
+    # (the checkpoint pins the source path).
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_src_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return normalize_events(raw).withColumn(
+        "ts_event", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Execute the streaming plan to completion into a memory sink and
+    return the materialized result."""
+    name = "stream_out_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (watermark + F.window)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_event", "10 minutes")
+        .groupBy(F.window("ts_event", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("w.end")).alias("window_end_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour every 30 minutes."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_event", "10 minutes")
+        .groupBy(F.window("ts_event", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("w.end")).alias("window_end_us"),
+        "n",
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (F.session_window)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_event", "10 minutes")
+        .groupBy(F.session_window("ts_event", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A1: stateful dedup under a watermark
+    (dropDuplicatesWithinWatermark) — emits each (user_id, event_type)
+    once; which physical row wins is arrival-order-dependent, so only the
+    key columns are exposed (deterministic; oracle = SELECT DISTINCT)."""
+    ev = stream_events(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts_event", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dedup, "append")
