@@ -236,10 +236,84 @@ def filter_expired(records: DataFrame, now_s: int = NOW_EPOCH_S, min_ttl_s: int 
     )
 
 
+def merged_latest_cells(events: DataFrame) -> DataFrame:
+    """Single-scan tombstone-aware LWW: the 100 TB plan for the reference's
+    merge (replaces the didactic live_cells -> lww_latest join pipeline).
+
+    Plan shape (verify with .explain(): one parquet scan, zero joins on the
+    big side, two exchanges):
+
+      1. classify cells/tombstones in the scan projection;
+      2. expand row/range tombstones onto the tiny distinct-column
+         dimension via broadcast (map-side fan-out of the *small* side
+         only — never a θ-join against cells);
+      3. ONE groupBy(key, col_name): covering tombstone ts = conditional
+         max; LWW winner = max_by over cell rows.  A cell survives iff the
+         max-ts cell beats every covering tombstone (tombstones kill all
+         earlier cells, so only the argmax needs the liveness test).
+
+    Returns one row per live (key, col_name) with the winning cell.
+    """
+    eid = F.col("event_id")
+    expiring = _is_cell(eid) & (eid % 7 == 0)
+    classified = events.select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("col_name"),
+        F.col("value"),
+        F.col("ts_us").alias("ts"),
+        F.when(expiring, F.lit(TTL_S)).alias("ttl"),
+        F.when(expiring, F.expr(f"ts_us div 1000000 + {TTL_S}")).alias("expiration"),
+        F.when(_is_cell(eid), F.lit("cell"))
+        .when(_is_row_tomb(eid), F.lit("row"))
+        .when(_is_range_tomb(eid), F.lit("range"))
+        .otherwise(F.lit("point"))
+        .alias("kind"),
+    )
+    cols = classified.filter(F.col("kind") == "cell").select("col_name").distinct()
+    cells = classified.filter(F.col("kind") == "cell")
+    point = classified.filter(F.col("kind") == "point").select("key", "col_name", "ts")
+    row_range = classified.filter(F.col("kind").isin("row", "range")).select(
+        "key", F.col("col_name").alias("col_end"), "ts", "kind"
+    )
+    expanded = row_range.join(
+        F.broadcast(cols),
+        (F.col("kind") == "row") | (F.col("col_name") <= F.col("col_end")),
+    ).select("key", "col_name", "ts")
+    tombs = point.unionByName(expanded).select(
+        "key",
+        "col_name",
+        F.lit(None).cast("double").alias("value"),
+        "ts",
+        F.lit(None).cast("int").alias("ttl"),
+        F.lit(None).cast("long").alias("expiration"),
+        F.lit(True).alias("is_tomb"),
+    )
+    unioned = cells.select(
+        "key", "col_name", "value", "ts", "ttl", "expiration",
+        F.lit(False).alias("is_tomb"),
+    ).unionByName(tombs)
+    packed = F.struct("ts", "value", "ttl", "expiration")
+    agg = unioned.groupBy("key", "col_name").agg(
+        F.max(F.when(F.col("is_tomb"), F.col("ts"))).alias("tomb_ts"),
+        F.max_by(packed, F.when(~F.col("is_tomb"), F.col("ts"))).alias("c"),
+    )
+    return agg.filter(
+        F.col("c").isNotNull()
+        & (F.col("tomb_ts").isNull() | (F.col("c.ts") > F.col("tomb_ts")))
+    ).select(
+        "key",
+        "col_name",
+        F.col("c.value").alias("value"),
+        F.col("c.ts").alias("ts"),
+        F.col("c.ttl").alias("ttl"),
+        F.col("c.expiration").alias("expiration"),
+    )
+
+
 def merge_records(events: DataFrame, first_expiring: bool = False, now_s: int = NOW_EPOCH_S) -> DataFrame:
     """The reference's end-to-end query: cells -> tombstone reconciliation ->
-    LWW -> record assembly -> expiry filter.  Two shuffles total (one per
-    grouping level), both on keys the data is naturally distributed by."""
+    LWW -> record assembly -> expiry filter.  Single scan, two shuffles
+    (both keyed by the partition key the data naturally groups on)."""
     return filter_expired(
-        assemble_records(lww_latest(live_cells(events)), first_expiring), now_s
+        assemble_records(merged_latest_cells(events), first_expiring), now_s
     )
