@@ -20,10 +20,22 @@ from cassandra2aerospike_spark.session import get_spark
 # Headline subset: the reference's end-to-end query plus one per operator
 # family (kept in sync as families land).
 HEADLINE = [
+    # merge-semantics core (the reference's one query, end to end + pieces)
     "merge_full",
     "a1_lww_latest",
     "f1_live_cells",
     "a5_record_assembly",
+    # relational families
+    "join_broadcast_star",
+    "agg_pricing_summary",
+    "win_topk_per_group",
+    "topk_global",
+    # ordering / resume
+    "token_resume_scan",
+    # training-pipeline extensions
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
 ]
 
 

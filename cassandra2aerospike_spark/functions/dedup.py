@@ -14,7 +14,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles, tokens
+from ..sources import spread
+from .text import fingerprint, shingles_of, tokens
+
+
+def _tokenized(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, toks) spread across cores.  The exchange doubles as a
+    projection-collapse barrier: downstream shingle lambdas reference the
+    materialized token array, so the regex tokenizer runs once per doc —
+    not once per shingle position (interpreted higher-order lambdas would
+    otherwise re-run the inlined split ~n_shingles times)."""
+    return spread(
+        docs.select("doc_id", tokens(F.col(text_col)).alias("toks")), "doc_id"
+    )
 
 
 def exact_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -28,9 +40,13 @@ def exact_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_frame(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """Exploded (doc_id, shingle) pairs with per-doc shingle counts."""
-    return (
-        docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    """Exploded (doc_id, shingle) pairs with per-doc shingle counts.
+
+    Repartitioned by doc_id pre-explode: the signature/size groupBys on
+    doc_id then reuse this exchange instead of shuffling the k×-exploded
+    shingle rows (see sources.spread)."""
+    return _tokenized(docs, text_col).select(
+        "doc_id", F.explode(shingles_of(F.col("toks"), k)).alias("shingle")
     )
 
 
@@ -85,7 +101,12 @@ def minhash_signatures(
     docs: DataFrame, n_hashes: int = 16, k: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """Per-doc MinHash signature (array<string> of n_hashes md5 minima)."""
-    sh = shingle_frame(docs, k, text_col)
+    return minhash_from_shingles(shingle_frame(docs, k, text_col), n_hashes)
+
+
+def minhash_from_shingles(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash signatures from a prebuilt (doc_id, shingle) frame, so one
+    shingle explode can feed both signatures and verification."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -96,25 +117,63 @@ def minhash_signatures(
     )
 
 
+def shingle_sets(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_set) with the doc's distinct shingle array — the compact
+    per-doc form.  Purely narrow (no explode, no aggregation): the shingle
+    set never leaves the row, so MinHash/verification built on it add ZERO
+    aggregation shuffles.  Docs with < k tokens keep an EMPTY sh_set row
+    here — do not filter them: a row filter on a derived array gets
+    predicate-pushed below the exchange and re-inlines the whole pipeline
+    into the scan (measured 20×).  Consumers neutralize empties
+    structurally (null band keys in lsh_candidate_pairs never equi-join)."""
+    return _tokenized(docs, text_col).select(
+        "doc_id", shingles_of(F.col("toks"), k).alias("sh_set")
+    )
+
+
+def minhash_from_sets(sets: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash as a narrow projection over the per-doc shingle array:
+    h_i = array_min(md5(i || '|' || s) for s in sh_set).  Identical result
+    to the groupBy form (same md5-hex ordering), but no shuffle at all —
+    at 100 TB this runs entirely inside the scan stage."""
+    def hash_fn(i: int):
+        prefix = F.lit(str(i) + "|")
+        # single-arg lambda: a two-arg lambda would receive the ARRAY INDEX
+        # as its second argument from F.transform, silently shadowing i
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh_set"), hash_fn(i)))
+            for i in range(n_hashes)
+        ]
+    )
+    return sets.select("doc_id", sig.alias("sig"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: band key = md5 of the band's signature slice; candidate
     pairs = docs sharing any (band, key) bucket.  Equi-join on the bucket —
-    the classic shuffle-friendly near-dup candidate generator."""
+    the classic shuffle-friendly near-dup candidate generator.
+
+    Null-signature docs (empty shingle set -> array_min = null) get a NULL
+    band key, which an equi-join never matches — they drop out of
+    candidate generation without any row filter (see shingle_sets)."""
+
+    def band_key(b: int):
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        return F.when(
+            sl[0].isNotNull(), F.md5(F.array_join(sl, "|"))
+        )  # else NULL
+
     bands = signatures.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band), "|"
-                            )
-                        ).alias("bkey"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
                     for b in range(n_bands)
                 ]
             )
@@ -133,6 +192,39 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_on_candidates(
+    cand: DataFrame, sets: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard restricted to an already-pruned candidate-pair set.
+
+    This is the scale path for LSH verification: instead of the full
+    shingle self-join (every pair sharing any shingle — quadratic in
+    bucket skew), join the (tiny) candidate pairs back to the per-doc
+    shingle SETS and intersect arrays in-row: |∩| = size(array_intersect).
+    Two equi-joins on doc ids, no aggregation; AQE broadcasts the pair
+    side when it fits.
+    """
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """X2 SimHash: 64-bit fingerprint = sign-aggregate of per-token md5 bits.
 
@@ -141,7 +233,9 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     explode + groupBy + bit arithmetic — engine-portable and shuffle-lean
     (one aggregation keyed by doc).
     """
-    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     # token hash: first 16 hex chars of md5 -> 64-bit value via conv
     th = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources import spread
+
 
 def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -40,8 +42,12 @@ def brute_force_topk(
     corpus (at scale the query side is the small one), rank per query.
 
     Expects `queries` (q_id, q_vec) and `corpus` (vec_id, embedding).
+    The corpus side is spread across cores first: the broadcast join is
+    narrow, so scoring parallelism equals corpus partition count.
     """
-    scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id")).select(
+    scored = spread(corpus).join(
+        F.broadcast(queries), F.col("q_id") != F.col("vec_id")
+    ).select(
         "q_id",
         "vec_id",
         cosine(as_double_vec(F.col("q_vec")), as_double_vec(F.col("embedding"))).alias(
@@ -75,7 +81,7 @@ def lsh_topk(
     """ANN top-k restricted to the query's sign bucket: equi-join on the
     bucket key replaces the cross join — the scale path.  Recall < 1 by
     construction; pair with brute_force_topk as the correctness baseline."""
-    cb = corpus.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
+    cb = spread(corpus).withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
     qb = queries.withColumn("bucket", sign_bucket(F.col("q_vec"), n_bits))
     scored = cb.join(F.broadcast(qb), "bucket").filter(
         F.col("q_id") != F.col("vec_id")

@@ -116,8 +116,21 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles (distinct), the unit for Jaccard/MinHash."""
-    toks = tokens(text)
+    """Word k-gram shingles (distinct), the unit for Jaccard/MinHash.
+
+    PERF: only use this directly when `text` is consumed once.  The
+    transform lambda references `toks` per element, and higher-order
+    lambdas are interpreted — if Catalyst inlines the tokenize expression
+    here (CollapseProject), the regex split re-runs for EVERY shingle
+    position (~20× slower).  For pipelines, tokenize behind an exchange
+    first and call `shingles_of` on the materialized array column
+    (dedup.shingle_sets does this).
+    """
+    return shingles_of(tokens(text), k)
+
+
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles from an already-materialized token array."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array().cast("array<string>")).otherwise(

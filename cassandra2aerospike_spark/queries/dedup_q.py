@@ -43,10 +43,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """X2 MinHash+LSH: 16 md5-derived min-hashes, 4 bands × 4 rows,
     bucket-join candidates, verified with exact Jaccard >= 0.5."""
     docs = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(docs, n_hashes=16, k=3)
+    sets = D.shingle_sets(docs, k=3)
+    sigs = D.minhash_from_sets(sets, n_hashes=16)
     cand = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
-    verified = D.jaccard_pairs(docs, k=3, threshold=0.5)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
+    return D.jaccard_on_candidates(cand, sets, threshold=0.5).select(
         "doc_a", "doc_b", "jaccard"
     )
 

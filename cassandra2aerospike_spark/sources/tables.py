@@ -73,6 +73,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *key_cols: str, n: int | None = None) -> DataFrame:
+    """Repartition a compute-heavy frame across cores BEFORE an expensive
+    narrow projection (explode / hash / vector pipelines).
+
+    Why this is the scale-correct shape, not a local hack: shuffling the
+    compact pre-explode rows is strictly cheaper than letting the
+    downstream groupBy shuffle the k×-larger exploded data — and because
+    we key the exchange by the downstream aggregation key, Catalyst reuses
+    this partitioning and the groupBy needs NO second exchange (verify:
+    one Exchange in .explain()).  Locally it also fixes the
+    one-small-file → one-task parallelism collapse.  Explicit partition
+    count so AQE does not coalesce a CPU-bound stage by its (tiny) size.
+    """
+    from ..session import default_parallelism
+
+    n = n or default_parallelism()
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each fixture table as a temp view for spark.sql queries."""
     for name in names:
