@@ -237,23 +237,31 @@ def filter_expired(records: DataFrame, now_s: int = NOW_EPOCH_S, min_ttl_s: int 
 
 
 def merged_latest_cells(events: DataFrame) -> DataFrame:
-    """Single-scan tombstone-aware LWW: the 100 TB plan for the reference's
-    merge (replaces the didactic live_cells -> lww_latest join pipeline).
+    """Single-scan, single-shuffle tombstone-aware LWW: the 100 TB plan for
+    the reference's merge (replaces the didactic live_cells -> lww_latest
+    join pipeline).
 
-    Plan shape (verify with .explain(): one parquet scan, zero joins on the
-    big side, two exchanges):
+    Plan shape (enforced by tests/test_plans.py): ONE parquet scan, ONE
+    shuffle exchange, no joins at all.
 
       1. classify cells/tombstones in the scan projection;
-      2. expand row/range tombstones onto the tiny distinct-column
-         dimension via broadcast (map-side fan-out of the *small* side
-         only — never a θ-join against cells);
-      3. ONE groupBy(key, col_name): covering tombstone ts = conditional
-         max; LWW winner = max_by over cell rows.  A cell survives iff the
-         max-ts cell beats every covering tombstone (tombstones kill all
-         earlier cells, so only the argmax needs the liveness test).
+      2. window over `key` (the only exchange) attaches the row-tombstone
+         max and the key's range-tombstone list to every row — the Spark
+         equivalent of the reference's running tombstone map
+         (CassandraParser.cpp:337-372), resolved per-row with array
+         expressions instead of a θ-join;
+      3. groupBy(key, col_name) folds point tombstones (conditional max)
+         and picks the LWW winner (max_by over cell rows).  Because
+         hash(key) satisfies every downstream clustering — (key, col_name)
+         grouping, then (key) record assembly — neither aggregation adds
+         an exchange.  A cell survives iff the max-ts cell beats every
+         covering tombstone (tombstones kill all earlier cells, so only
+         the argmax needs the liveness test).
 
     Returns one row per live (key, col_name) with the winning cell.
     """
+    from pyspark.sql import Window
+
     eid = F.col("event_id")
     expiring = _is_cell(eid) & (eid % 7 == 0)
     classified = events.select(
@@ -269,33 +277,35 @@ def merged_latest_cells(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("point"))
         .alias("kind"),
     )
-    cols = classified.filter(F.col("kind") == "cell").select("col_name").distinct()
-    cells = classified.filter(F.col("kind") == "cell")
-    point = classified.filter(F.col("kind") == "point").select("key", "col_name", "ts")
-    row_range = classified.filter(F.col("kind").isin("row", "range")).select(
-        "key", F.col("col_name").alias("col_end"), "ts", "kind"
+    w = Window.partitionBy("key")
+    kind = F.col("kind")
+    enriched = classified.withColumn(
+        "row_tomb_ts", F.max(F.when(kind == "row", F.col("ts"))).over(w)
+    ).withColumn(
+        "ranges",
+        F.collect_list(
+            F.when(
+                kind == "range",
+                F.struct(F.col("col_name").alias("col_end"), F.col("ts")),
+            )
+        ).over(w),
     )
-    expanded = row_range.join(
-        F.broadcast(cols),
-        (F.col("kind") == "row") | (F.col("col_name") <= F.col("col_end")),
-    ).select("key", "col_name", "ts")
-    tombs = point.unionByName(expanded).select(
-        "key",
-        "col_name",
-        F.lit(None).cast("double").alias("value"),
-        "ts",
-        F.lit(None).cast("int").alias("ttl"),
-        F.lit(None).cast("long").alias("expiration"),
-        F.lit(True).alias("is_tomb"),
+    # per-row covering ts from row + range tombstones (point handled in agg)
+    range_cover = F.array_max(
+        F.transform(
+            F.filter(F.col("ranges"), lambda r: r["col_end"] >= F.col("col_name")),
+            lambda r: r["ts"],
+        )
     )
-    unioned = cells.select(
-        "key", "col_name", "value", "ts", "ttl", "expiration",
-        F.lit(False).alias("is_tomb"),
-    ).unionByName(tombs)
+    cp = enriched.filter(kind.isin("cell", "point")).withColumn(
+        "cover_ts", F.greatest(F.col("row_tomb_ts"), range_cover)
+    )
     packed = F.struct("ts", "value", "ttl", "expiration")
-    agg = unioned.groupBy("key", "col_name").agg(
-        F.max(F.when(F.col("is_tomb"), F.col("ts"))).alias("tomb_ts"),
-        F.max_by(packed, F.when(~F.col("is_tomb"), F.col("ts"))).alias("c"),
+    agg = cp.groupBy("key", "col_name").agg(
+        F.greatest(
+            F.max(F.when(kind == "point", F.col("ts"))), F.max("cover_ts")
+        ).alias("tomb_ts"),
+        F.max_by(packed, F.when(kind == "cell", F.col("ts"))).alias("c"),
     )
     return agg.filter(
         F.col("c").isNotNull()

@@ -67,21 +67,21 @@ def q_j3_range_tombstone_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a4_expiry_fold_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 default mode: last-expiring; any non-TTL cell forces ETERNAL."""
     return merge.fold_expiry(
-        merge.lww_latest(merge.live_cells(_events(spark, sf_dir))), first_expiring=False
+        merge.merged_latest_cells(_events(spark, sf_dir)), first_expiring=False
     )
 
 
 def q_a4_expiry_fold_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 `-f` mode: first-expiring (min expiration)."""
     return merge.fold_expiry(
-        merge.lww_latest(merge.live_cells(_events(spark, sf_dir))), first_expiring=True
+        merge.merged_latest_cells(_events(spark, sf_dir)), first_expiring=True
     )
 
 
 def q_f3_expired_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F4: drop records expiring before now + min TTL (deterministic now)."""
     return merge.filter_expired(
-        merge.fold_expiry(merge.lww_latest(merge.live_cells(_events(spark, sf_dir))))
+        merge.fold_expiry(merge.merged_latest_cells(_events(spark, sf_dir)))
     )
 
 
@@ -89,7 +89,7 @@ def q_a5_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: record assembly — deterministic sorted col=value string per key
     (string form so the oracle hash is engine-portable; the engine-native
     form is MapType, operators/merge.py::assemble_records)."""
-    latest = merge.lww_latest(merge.live_cells(_events(spark, sf_dir)))
+    latest = merge.merged_latest_cells(_events(spark, sf_dir))
     return latest.groupBy("key").agg(
         F.array_join(
             F.sort_array(
@@ -106,7 +106,7 @@ def q_a5_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference query: live cells -> LWW -> assembly -> expiry
     filter; string column form for oracle portability."""
-    latest = merge.lww_latest(merge.live_cells(_events(spark, sf_dir)))
+    latest = merge.merged_latest_cells(_events(spark, sf_dir))
     records = latest.groupBy("key").agg(
         F.array_join(
             F.sort_array(

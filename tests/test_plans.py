@@ -1,0 +1,105 @@
+"""Physical-plan posture tests: assert the plan properties that must
+survive a 100× scale-up (SURVEY.md §4).  A regression that adds a
+shuffle, drops a broadcast, leaks a cartesian product, or sneaks a
+row-at-a-time Python UDF into a hot path fails here — before it ever
+shows up as a slow benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from cassandra2aerospike_spark.plans import assert_scale_posture, audit
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_merge_full_single_scan_single_shuffle(spark, sf_dir, queries):
+    """The reference's end-to-end merge: ONE pass over the input, ONE
+    shuffle (the key exchange feeds window + both aggregations)."""
+    rep = assert_scale_posture(
+        queries["merge_full"](spark, sf_dir), max_scans=1, max_exchanges=1
+    )
+    assert rep.n_sortmerge_joins == 0 and rep.n_broadcast_joins == 0
+
+
+def test_lww_latest_one_shuffle(spark, sf_dir, queries):
+    assert_scale_posture(
+        queries["a1_lww_latest"](spark, sf_dir), max_scans=1, max_exchanges=1
+    )
+
+
+def test_record_assembly_reuses_key_partitioning(spark, sf_dir, queries):
+    """groupBy(key, col) then groupBy(key): hash(key) satisfies both, so
+    record assembly must not re-shuffle."""
+    assert_scale_posture(
+        queries["a5_record_assembly"](spark, sf_dir), max_scans=1, max_exchanges=1
+    )
+
+
+def test_broadcast_star_join_broadcasts_all_dims(spark, sf_dir, queries):
+    rep = assert_scale_posture(
+        queries["join_broadcast_star"](spark, sf_dir), require_broadcast=True
+    )
+    assert rep.n_sortmerge_joins == 0, "dim join fell back to sort-merge"
+
+
+def test_resume_scan_pushes_key_filter(spark, sf_dir):
+    """O2 resume: a start-key predicate on a STORED column must reach the
+    parquet scan (the Spark analog of the reference's Summary/Index seek).
+    The md5-token variant (token_resume_scan) filters a derived column and
+    legitimately cannot push — this covers the prunable path."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.sources import load_table
+
+    df = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 100)
+    rep = audit(df)
+    assert any("GreaterThanOrEqual(c_custkey,100)" in pf for pf in rep.pushed_filters), (
+        rep.pushed_filters
+    )
+
+
+def test_no_python_row_udfs_anywhere(spark, sf_dir, queries):
+    """UDF discipline: vectorized (Arrow) stages are allowed, BatchEvalPython
+    is not.  Streaming queries excluded (no batch plan to audit)."""
+    offenders = {}
+    for name, fn in queries.items():
+        if name.startswith("stream_"):
+            continue
+        rep = audit(fn(spark, sf_dir))
+        if rep.n_python_row_udf:
+            offenders[name] = rep.n_python_row_udf
+    assert not offenders, f"row-UDF stages found: {offenders}"
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir, queries):
+    """No unbounded cartesian joins.  BroadcastNestedLoopJoin is tolerated
+    only when one side is a broadcast small-dim (θ-join patterns); plain
+    CartesianProduct is always a bug."""
+    offenders = {}
+    for name, fn in queries.items():
+        if name.startswith("stream_"):
+            continue
+        rep = audit(fn(spark, sf_dir))
+        if "CartesianProduct" in rep.plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian products found: {offenders}"
+
+
+def test_dedup_lsh_no_explosive_plan(spark, sf_dir, queries):
+    rep = assert_scale_posture(queries["dedup_minhash_lsh"](spark, sf_dir))
+    assert rep.n_cartesian == 0
+
+
+def test_scan_prunes_columns(spark, sf_dir, queries):
+    """Column pruning reaches the scan: a 2-column aggregate must not read
+    the whole events schema."""
+    rep = audit(queries["a1_lww_latest"](spark, sf_dir))
+    assert rep.read_schemas, "no ReadSchema found"
+    # a1 needs user_id, event_type, value, ts — not event_id/props/etc.
+    assert all("props" not in s for s in rep.read_schemas), rep.read_schemas
