@@ -9,9 +9,12 @@ The reference (ThreatMetrix/Cassandra2Aerospike) continuously evaluates:
 
 Its execution is a k-way sort-merge iterator over SSTable cursors
 (/root/reference/CassandraParser.cpp:375-529).  Here the same semantics are
-declared as DataFrame ops and Catalyst plans them: union-of-runs ->
-tombstone reconciliation (equi-joins) -> groupBy LWW argmax -> groupBy
-record assembly.  One shuffle per grouping level, no custom iterator.
+declared as DataFrame ops and Catalyst plans them: scan classification ->
+tombstone cover via key-windows -> groupBy LWW argmax -> groupBy record
+assembly.  ONE scan and ONE shuffle end-to-end (the hash(key) exchange
+serves the windows and both grouping levels); no custom iterator.  The
+decomposed join pipeline (covering_tombstone_ts) is kept as the didactic
+J3 surface.
 
 Cell model (EAV long form, SURVEY.md §1.3): the fixture ``events`` table
 stands in for the cell stream: user_id ≡ partition key, event_type ≡ column
@@ -144,20 +147,82 @@ def covering_tombstone_ts(
     )
 
 
+def classify_cells(events: DataFrame) -> DataFrame:
+    """Shared scan projection: every event classified as cell / row- /
+    range- / point-tombstone, with TTL fields populated on expiring cells
+    (the decoded ColumnInfo of the reference's scan,
+    CassandraParser.hpp:54-72)."""
+    eid = F.col("event_id")
+    expiring = _is_cell(eid) & (eid % 7 == 0)
+    return events.select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("col_name"),
+        F.col("value"),
+        F.col("ts_us").alias("ts"),
+        F.when(expiring, F.lit(TTL_S)).alias("ttl"),
+        F.when(expiring, F.expr(f"ts_us div 1000000 + {TTL_S}")).alias("expiration"),
+        F.when(_is_cell(eid), F.lit("cell"))
+        .when(_is_row_tomb(eid), F.lit("row"))
+        .when(_is_range_tomb(eid), F.lit("range"))
+        .otherwise(F.lit("point"))
+        .alias("kind"),
+    )
+
+
+def _with_tombstone_cover(classified: DataFrame):
+    """Attach per-row covering-tombstone state via windows keyed by the
+    partition key — the Spark form of the reference's running tombstone
+    map (CassandraParser.cpp:337-372).  hash(key) satisfies BOTH window
+    specs (key) and (key, col_name), so this costs one exchange total;
+    range cover resolves in-row against the key's (tiny) range list
+    instead of a θ-join.  Returns (cells+points frame, covering-ts col).
+    """
+    from pyspark.sql import Window
+
+    kind = F.col("kind")
+    w = Window.partitionBy("key")
+    wc = Window.partitionBy("key", "col_name")
+    enriched = (
+        classified.withColumn(
+            "row_tomb_ts", F.max(F.when(kind == "row", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "ranges",
+            F.collect_list(
+                F.when(
+                    kind == "range",
+                    F.struct(F.col("col_name").alias("col_end"), F.col("ts")),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "point_tomb_ts", F.max(F.when(kind == "point", F.col("ts"))).over(wc)
+        )
+    )
+    range_cover = F.array_max(
+        F.transform(
+            F.filter(F.col("ranges"), lambda r: r["col_end"] >= F.col("col_name")),
+            lambda r: r["ts"],
+        )
+    )
+    cover = F.greatest(F.col("row_tomb_ts"), F.col("point_tomb_ts"), range_cover)
+    return enriched, cover
+
+
 def live_cells(events: DataFrame) -> DataFrame:
     """F1: a cell survives iff no covering tombstone has ts >= cell ts
-    (strict `ts > minTime` survival, CassandraParser.cpp:481)."""
-    cells = derive_cells(events)
-    cover = covering_tombstone_ts(
-        cells,
-        derive_row_tombstones(events),
-        derive_range_tombstones(events),
-        derive_point_tombstones(events),
-    )
+    (strict `ts > minTime` survival, CassandraParser.cpp:481).
+
+    Single scan, single shuffle: tombstone cover comes from key-windows,
+    not joins (see _with_tombstone_cover).  The decomposed join pipeline
+    (covering_tombstone_ts) remains as the didactic J3 surface.
+    """
+    enriched, cover = _with_tombstone_cover(classify_cells(events))
     return (
-        cells.join(cover, ["key", "col_name"], "left")
-        .filter(F.col("tomb_ts").isNull() | (F.col("ts") > F.col("tomb_ts")))
-        .drop("tomb_ts")
+        enriched.filter(F.col("kind") == "cell")
+        .withColumn("_cover", cover)
+        .filter(F.col("_cover").isNull() | (F.col("ts") > F.col("_cover")))
+        .select("key", "col_name", "value", "ts", "ttl", "expiration")
     )
 
 
@@ -237,87 +302,15 @@ def filter_expired(records: DataFrame, now_s: int = NOW_EPOCH_S, min_ttl_s: int 
 
 
 def merged_latest_cells(events: DataFrame) -> DataFrame:
-    """Single-scan, single-shuffle tombstone-aware LWW: the 100 TB plan for
-    the reference's merge (replaces the didactic live_cells -> lww_latest
-    join pipeline).
+    """Tombstone-aware LWW, optimal plan: ONE parquet scan, ONE shuffle,
+    zero joins (enforced by tests/test_plans.py).
 
-    Plan shape (enforced by tests/test_plans.py): ONE parquet scan, ONE
-    shuffle exchange, no joins at all.
-
-      1. classify cells/tombstones in the scan projection;
-      2. window over `key` (the only exchange) attaches the row-tombstone
-         max and the key's range-tombstone list to every row — the Spark
-         equivalent of the reference's running tombstone map
-         (CassandraParser.cpp:337-372), resolved per-row with array
-         expressions instead of a θ-join;
-      3. groupBy(key, col_name) folds point tombstones (conditional max)
-         and picks the LWW winner (max_by over cell rows).  Because
-         hash(key) satisfies every downstream clustering — (key, col_name)
-         grouping, then (key) record assembly — neither aggregation adds
-         an exchange.  A cell survives iff the max-ts cell beats every
-         covering tombstone (tombstones kill all earlier cells, so only
-         the argmax needs the liveness test).
-
-    Returns one row per live (key, col_name) with the winning cell.
+    Now that live_cells resolves tombstone cover with key-windows, the
+    didactic composition IS the 100 TB plan: the hash(key) exchange feeds
+    the windows, the (key, col_name) LWW aggregation, and record assembly
+    downstream — Catalyst inserts no further exchange anywhere.
     """
-    from pyspark.sql import Window
-
-    eid = F.col("event_id")
-    expiring = _is_cell(eid) & (eid % 7 == 0)
-    classified = events.select(
-        F.col("user_id").alias("key"),
-        F.col("event_type").alias("col_name"),
-        F.col("value"),
-        F.col("ts_us").alias("ts"),
-        F.when(expiring, F.lit(TTL_S)).alias("ttl"),
-        F.when(expiring, F.expr(f"ts_us div 1000000 + {TTL_S}")).alias("expiration"),
-        F.when(_is_cell(eid), F.lit("cell"))
-        .when(_is_row_tomb(eid), F.lit("row"))
-        .when(_is_range_tomb(eid), F.lit("range"))
-        .otherwise(F.lit("point"))
-        .alias("kind"),
-    )
-    w = Window.partitionBy("key")
-    kind = F.col("kind")
-    enriched = classified.withColumn(
-        "row_tomb_ts", F.max(F.when(kind == "row", F.col("ts"))).over(w)
-    ).withColumn(
-        "ranges",
-        F.collect_list(
-            F.when(
-                kind == "range",
-                F.struct(F.col("col_name").alias("col_end"), F.col("ts")),
-            )
-        ).over(w),
-    )
-    # per-row covering ts from row + range tombstones (point handled in agg)
-    range_cover = F.array_max(
-        F.transform(
-            F.filter(F.col("ranges"), lambda r: r["col_end"] >= F.col("col_name")),
-            lambda r: r["ts"],
-        )
-    )
-    cp = enriched.filter(kind.isin("cell", "point")).withColumn(
-        "cover_ts", F.greatest(F.col("row_tomb_ts"), range_cover)
-    )
-    packed = F.struct("ts", "value", "ttl", "expiration")
-    agg = cp.groupBy("key", "col_name").agg(
-        F.greatest(
-            F.max(F.when(kind == "point", F.col("ts"))), F.max("cover_ts")
-        ).alias("tomb_ts"),
-        F.max_by(packed, F.when(kind == "cell", F.col("ts"))).alias("c"),
-    )
-    return agg.filter(
-        F.col("c").isNotNull()
-        & (F.col("tomb_ts").isNull() | (F.col("c.ts") > F.col("tomb_ts")))
-    ).select(
-        "key",
-        "col_name",
-        F.col("c.value").alias("value"),
-        F.col("c.ts").alias("ts"),
-        F.col("c.ttl").alias("ttl"),
-        F.col("c.expiration").alias("expiration"),
-    )
+    return lww_latest(live_cells(events))
 
 
 def merge_records(events: DataFrame, first_expiring: bool = False, now_s: int = NOW_EPOCH_S) -> DataFrame:
