@@ -209,6 +209,19 @@ def _with_tombstone_cover(classified: DataFrame):
     return enriched, cover
 
 
+def live_cells_from_classified(classified: DataFrame) -> DataFrame:
+    """F1 over an already-classified cell stream (any source: the parquet
+    fixture via classify_cells, or the raw SSTable-run source via
+    sources.sstable.fixtures.classified_from_runs)."""
+    enriched, cover = _with_tombstone_cover(classified)
+    return (
+        enriched.filter(F.col("kind") == "cell")
+        .withColumn("_cover", cover)
+        .filter(F.col("_cover").isNull() | (F.col("ts") > F.col("_cover")))
+        .select("key", "col_name", "value", "ts", "ttl", "expiration")
+    )
+
+
 def live_cells(events: DataFrame) -> DataFrame:
     """F1: a cell survives iff no covering tombstone has ts >= cell ts
     (strict `ts > minTime` survival, CassandraParser.cpp:481).
@@ -217,13 +230,7 @@ def live_cells(events: DataFrame) -> DataFrame:
     not joins (see _with_tombstone_cover).  The decomposed join pipeline
     (covering_tombstone_ts) remains as the didactic J3 surface.
     """
-    enriched, cover = _with_tombstone_cover(classify_cells(events))
-    return (
-        enriched.filter(F.col("kind") == "cell")
-        .withColumn("_cover", cover)
-        .filter(F.col("_cover").isNull() | (F.col("ts") > F.col("_cover")))
-        .select("key", "col_name", "value", "ts", "ttl", "expiration")
-    )
+    return live_cells_from_classified(classify_cells(events))
 
 
 def lww_latest(cells: DataFrame) -> DataFrame:

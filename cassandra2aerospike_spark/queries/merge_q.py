@@ -127,6 +127,41 @@ def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.filter_expired(records)
 
 
+def q_s9_sstable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-S10 + O2 end-to-end: events materialized as 3 binary SSTable-style
+    runs (vint/delta encoding, deflate chunks + CRC32, Summary/Index seek),
+    read back through the Python DataSource, then the full merge.  Must
+    equal merge_full's oracle — the strongest source-parity check the
+    fixtures allow."""
+    from ..sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+        default_runs_dir,
+    )
+
+    runs_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
+    classified = classified_from_runs(spark, runs_dir)
+    latest = merge.lww_latest(merge.live_cells_from_classified(classified))
+    records = latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(merge.ETERNAL)
+        )
+        .otherwise(F.max("expiration"))
+        .cast("long")
+        .alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+    return merge.filter_expired(records)
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 # CTE prefix replicating operators/merge.py's derived-cell model: kinds by
@@ -189,6 +224,7 @@ QUERIES = {
     "f3_expired_filter": q_f3_expired_filter,
     "a5_record_assembly": q_a5_record_assembly,
     "merge_full": q_merge_full,
+    "s9_sstable_merge": q_s9_sstable_merge,
 }
 
 ORACLES = {
@@ -231,6 +267,17 @@ ORACLES = {
         FROM latest_f GROUP BY key
     """,
     "merge_full": _CTE
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    "s9_sstable_merge": _CTE
     + f"""
         SELECT r.key, a.cols_str, r.expiry, r.n_cols
         FROM records r

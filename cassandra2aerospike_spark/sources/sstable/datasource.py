@@ -1,0 +1,186 @@
+"""Spark Python DataSource over SSTable-style runs (SURVEY.md §2.1, §7
+Phase 6): `spark.read.format("sstable_run").load(dir)` yields the EAV cell
+stream across every run in the directory.
+
+Scale design:
+  - one InputPartition per (run, token sub-range): each run is split at
+    Summary.db sample boundaries into `splits_per_run` ranges, so a single
+    huge run parallelizes across executors (the Spark analog of the
+    reference's one-cursor-per-SSTable fan-out, CassandraParser.cpp:177-194,
+    but horizontally partitioned);
+  - token-range predicate pushdown (`pushFilters`): GreaterThan[OrEqual]
+    filters on `token` prune whole runs via the Statistics.db token range
+    and seek within surviving runs via Summary+Index (operator O2,
+    CassandraParser.cpp:196-216).  Filters are also left for Spark to
+    re-apply, so pruning is safe even when partial;
+  - merging is NOT done here: the source emits the raw multi-run cell
+    stream; LWW/tombstone reconciliation is the job of operators/merge.py
+    (J1's union-of-runs becomes "one DataFrame over all runs").
+
+Row schema (EAV long form, §1.3): run, token, key, col_name, value, ts,
+ttl, expiration, deleted, range_tomb, row_tomb_ts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import codec as C
+from .format import RunReader, discover_runs
+
+SCHEMA = StructType(
+    [
+        StructField("run", IntegerType()),
+        StructField("token", LongType()),
+        StructField("key", BinaryType()),
+        StructField("col_name", StringType()),
+        StructField("value", BinaryType()),
+        StructField("ts", LongType()),
+        StructField("ttl", IntegerType()),
+        StructField("expiration", LongType()),
+        StructField("deleted", BooleanType()),
+        StructField("range_tomb", BooleanType()),
+        StructField("row_tomb_ts", LongType()),
+    ]
+)
+
+
+@dataclass
+class RunSlice(InputPartition):
+    directory: str
+    gen: int
+    start_token: int | None  # inclusive seek point (None = run start)
+    end_token: int | None  # exclusive upper bound (None = run end)
+    verify: bool
+
+
+def _summary_tokens(directory: str, gen: int) -> list[int]:
+    import os
+
+    path = os.path.join(directory, f"{gen}-Summary.db")
+    buf = open(path, "rb").read()
+    toks = []
+    for off in range(0, len(buf), 16):
+        t, _ = C.dec_i64(buf, off)
+        toks.append(t)
+    return toks
+
+
+class SSTableRunReader(DataSourceReader):
+    def __init__(self, options):
+        self.directory = options.get("path")
+        if not self.directory:
+            raise ValueError("sstable_run requires a path")
+        self.splits = int(options.get("splits_per_run", "4"))
+        self.verify = options.get("verify_checksums", "true").lower() == "true"
+        self.min_token: int | None = None
+        self.min_inclusive = True
+
+    def schema(self):
+        return SCHEMA
+
+    def pushFilters(self, filters: list[Filter]):
+        """Consume token lower-bound filters for pruning/seek; report every
+        filter back as unhandled so Spark re-applies them exactly."""
+        for f in filters:
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and f.attribute == (
+                "token",
+            ):
+                v = int(f.value)
+                inclusive = isinstance(f, GreaterThanOrEqual)
+                cand = v if inclusive else v + 1
+                if self.min_token is None or cand > self.min_token:
+                    self.min_token = cand
+            yield f  # never claim full handling — pruning only
+
+    def partitions(self):
+        parts: list[RunSlice] = []
+        for gen in discover_runs(self.directory):
+            rr = RunReader(self.directory, gen, verify_checksums=False)
+            if self.min_token is not None and rr.stats.token_hi < self.min_token:
+                continue  # whole-run prune via Statistics token range
+            samples = _summary_tokens(self.directory, gen)
+            lo = self.min_token  # None = start of run
+            # split at summary sample boundaries into ~self.splits ranges
+            bounds: list[int] = []
+            if len(samples) > 1 and self.splits > 1:
+                step = max(1, len(samples) // self.splits)
+                bounds = [
+                    samples[i]
+                    for i in range(step, len(samples), step)
+                    if lo is None or samples[i] > lo
+                ][: self.splits - 1]
+            edges: list[tuple[int | None, int | None]] = []
+            prev: int | None = lo
+            for b in bounds:
+                edges.append((prev, b))
+                prev = b
+            edges.append((prev, None))
+            for s, e in edges:
+                parts.append(RunSlice(self.directory, gen, s, e, self.verify))
+        return parts
+
+    def read(self, part: RunSlice):
+        rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
+        for p in rr.partitions(start_token=part.start_token):
+            t = p.token
+            if part.end_token is not None and t >= part.end_token:
+                break
+            if p.row_tomb_ts is not None:
+                # marker row (col_name NULL): a row tombstone survives even
+                # when the partition carries no cells in this run
+                yield (
+                    part.gen, t, p.key, None, None, p.row_tomb_ts,
+                    None, None, False, False, p.row_tomb_ts,
+                )
+            for c in p.cells:
+                yield (
+                    part.gen,
+                    t,
+                    p.key,
+                    c.col_name,
+                    c.value,
+                    c.ts,
+                    c.ttl,
+                    c.expiration,
+                    c.deleted,
+                    c.range_tomb,
+                    p.row_tomb_ts,
+                )
+
+
+class SSTableRunDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "sstable_run"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return SSTableRunReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source (idempotent) and enable Python-source filter
+    pushdown — runtime-settable, so this works on any caller session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SSTableRunDataSource)

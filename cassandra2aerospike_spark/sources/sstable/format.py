@@ -1,0 +1,386 @@
+"""An SSTable-style sorted-run file format, and its reader/writer.
+
+Design goals mirror the reference's storage layer behavior (SURVEY.md §2.1
+S3-S10) without being byte-compatible with Cassandra — this is an
+*inspired-by* format defined here, built only on public format concepts:
+
+  - a run = immutable `<gen>-Data.db` sorted by (token, key), with sidecars
+    `<gen>-Statistics.db` (schema + minima for delta decoding + token
+    range), `<gen>-Index.db` (key -> logical offset), `<gen>-Summary.db`
+    (sampled index for seek), `<gen>-CompressionInfo.db` (chunk table)
+    — the same five-file shape as CassandraParser.cpp:83-175 discovers;
+  - block compression with per-chunk CRC32 verified BEFORE decompression
+    (Buffer.cpp:274-295, 297-371): Data.db is a sequence of
+    deflate-compressed chunks of a logical byte stream;
+  - per-cell flag byte (deleted / expiring / range-tombstone / use-row-ts:
+    SSTable.hpp:86-94, 112-127), vint-delta timestamps and TTLs against
+    per-run minima from Statistics.db (SSTable.cpp:585-598, 655-679),
+    column names referenced by schema index (the column-subset idea of
+    SSTable.cpp:505-717 §S9);
+  - indexed seek: Summary binary search -> Index scan -> chunk-aligned
+    Data seek (SSTable.cpp:58-87, 122-180 — operator O2).
+
+Cell records decode to the engine's EAV cell model (SURVEY.md §1.3):
+(key bytes, col_name, value bytes, ts µs, ttl s?, expiration s?, deleted,
+range_tombstone, row_tomb_ts?).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+from dataclasses import dataclass, field
+
+from . import codec as C
+
+MAGIC = b"SGR1"  # spark-graft run, format 1
+DEFAULT_CHUNK = 64 * 1024
+SUMMARY_INTERVAL = 16  # every Nth index entry sampled into Summary.db
+
+# cell flag bits (analog of SSTable.hpp:86-94 masks)
+F_DELETED = 0x01
+F_EXPIRING = 0x02
+F_RANGE_TOMB = 0x04
+
+SIDECARS = ("Data", "Index", "Summary", "Statistics", "CompressionInfo")
+
+
+def token_of(key: bytes) -> int:
+    """64-bit token: first 8 bytes of md5(key), big-endian, as signed —
+    the partitioner role (Partitioners.cpp:28-75's MD5 family; we keep
+    md5 so tokens are reproducible in any engine, cf. functions/tokens.py)."""
+    h = hashlib.md5(key).digest()
+    t = int.from_bytes(h[:8], "big", signed=True)
+    return t
+
+
+@dataclass
+class RunStats:
+    partitioner: str
+    min_ts: int
+    min_ttl: int
+    columns: list[str]
+    n_partitions: int
+    token_lo: int
+    token_hi: int
+
+
+@dataclass
+class Cell:
+    col_name: str
+    value: bytes = b""
+    ts: int = 0
+    ttl: int | None = None
+    expiration: int | None = None
+    deleted: bool = False
+    range_tomb: bool = False
+
+
+@dataclass
+class Partition:
+    key: bytes
+    row_tomb_ts: int | None = None
+    cells: list[Cell] = field(default_factory=list)
+
+    @property
+    def token(self) -> int:
+        return token_of(self.key)
+
+
+# ---------------------------------------------------------------- writer
+
+class RunWriter:
+    """Writes one sorted run.  Partitions must be appended in (token, key)
+    order — enforced, mirroring the reference's DEBUG order assertions
+    (CassandraParser.cpp:424-432)."""
+
+    def __init__(self, directory: str, gen: int, codec: str = "deflate",
+                 chunk_size: int = DEFAULT_CHUNK):
+        self.dir = directory
+        self.gen = gen
+        self.codec = codec
+        self.chunk_size = chunk_size
+        self.data = bytearray()
+        self.index = bytearray()
+        self.summary = bytearray()
+        self.n_parts = 0
+        self.last = None
+        self.columns: list[str] = []
+        self.col_ids: dict[str, int] = {}
+        self.min_ts: int | None = None
+        self.min_ttl: int | None = None
+        self.token_lo: int | None = None
+        self.token_hi: int | None = None
+        self._staged: list[Partition] = []
+
+    def path(self, component: str) -> str:
+        return os.path.join(self.dir, f"{self.gen}-{component}.db")
+
+    def add(self, part: Partition) -> None:
+        key = (part.token, part.key)
+        if self.last is not None and key <= self.last:
+            raise ValueError(f"out-of-order partition {key!r} after {self.last!r}")
+        self.last = key
+        self._staged.append(part)
+        def see_ts(t: int) -> None:
+            self.min_ts = t if self.min_ts is None else min(self.min_ts, t)
+
+        if part.row_tomb_ts is not None:
+            see_ts(part.row_tomb_ts)
+        for c in part.cells:
+            if c.col_name not in self.col_ids:
+                self.col_ids[c.col_name] = len(self.columns)
+                self.columns.append(c.col_name)
+            see_ts(c.ts)
+            if c.ttl is not None:
+                self.min_ttl = c.ttl if self.min_ttl is None else min(self.min_ttl, c.ttl)
+        t = part.token
+        self.token_lo = t if self.token_lo is None else min(self.token_lo, t)
+        self.token_hi = t if self.token_hi is None else max(self.token_hi, t)
+        self.n_parts += 1
+
+    def _encode_partition(self, p: Partition) -> bytes:
+        out = bytearray()
+        out += C.enc_i64(p.token)
+        out += C.enc_u16(len(p.key)) + p.key
+        flags = 0x01 if p.row_tomb_ts is not None else 0x00
+        out.append(flags)
+        if p.row_tomb_ts is not None:
+            out += C.enc_vint(p.row_tomb_ts - self.min_ts)
+        out += C.enc_uvint(len(p.cells))
+        for c in p.cells:
+            f = (
+                (F_DELETED if c.deleted else 0)
+                | (F_EXPIRING if c.ttl is not None else 0)
+                | (F_RANGE_TOMB if c.range_tomb else 0)
+            )
+            out.append(f)
+            out += C.enc_uvint(self.col_ids[c.col_name])
+            out += C.enc_vint(c.ts - self.min_ts)
+            if c.ttl is not None:
+                out += C.enc_vint(c.ttl - self.min_ttl)
+                out += C.enc_vint((c.expiration or 0))
+            if not c.deleted:
+                out += C.enc_vblob(c.value)
+        return bytes(out)
+
+    def finish(self) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        self.min_ts = self.min_ts or 0
+        self.min_ttl = self.min_ttl or 0
+        # encode partitions now that minima are known
+        for i, p in enumerate(self._staged):
+            logical_off = len(self.data)
+            entry = C.enc_i64(p.token) + C.enc_u16(len(p.key)) + p.key + C.enc_u64(logical_off)
+            if i % SUMMARY_INTERVAL == 0:
+                self.summary += C.enc_i64(p.token) + C.enc_u64(len(self.index))
+            self.index += entry
+            self.data += self._encode_partition(p)
+
+        # --- Data.db: chunked + compressed + per-chunk CRC32 table
+        chunks = []
+        blob = bytes(self.data)
+        comp_stream = bytearray()
+        for off in range(0, max(len(blob), 1), self.chunk_size):
+            raw = blob[off : off + self.chunk_size]
+            comp = zlib.compress(raw, 6) if self.codec == "deflate" else raw
+            chunks.append((len(comp_stream), len(comp), zlib.crc32(comp), len(raw)))
+            comp_stream += comp
+        with open(self.path("Data"), "wb") as fh:
+            fh.write(bytes(comp_stream))
+
+        ci = bytearray()
+        ci += MAGIC
+        ci += C.enc_vstr(self.codec)
+        ci += C.enc_u32(self.chunk_size)
+        ci += C.enc_uvint(len(chunks))
+        for coff, clen, crc, rawlen in chunks:
+            ci += C.enc_u64(coff) + C.enc_u32(clen) + C.enc_u32(crc) + C.enc_u32(rawlen)
+        with open(self.path("CompressionInfo"), "wb") as fh:
+            fh.write(bytes(ci))
+
+        st = bytearray()
+        st += MAGIC
+        st += C.enc_vstr("md5")  # partitioner name (P4 registry analog)
+        st += C.enc_vint(self.min_ts)
+        st += C.enc_vint(self.min_ttl)
+        st += C.enc_uvint(len(self.columns))
+        for name in self.columns:
+            st += C.enc_vstr(name)
+        st += C.enc_uvint(self.n_parts)
+        st += C.enc_i64(self.token_lo or 0)
+        st += C.enc_i64(self.token_hi or 0)
+        with open(self.path("Statistics"), "wb") as fh:
+            fh.write(bytes(st))
+
+        with open(self.path("Index"), "wb") as fh:
+            fh.write(bytes(self.index))
+        with open(self.path("Summary"), "wb") as fh:
+            fh.write(bytes(self.summary))
+
+
+# ---------------------------------------------------------------- reader
+
+class RunReader:
+    """Reads one run with lazy chunk decompression + CRC verification and
+    indexed seek (operators S3-S10, O2)."""
+
+    def __init__(self, directory: str, gen: int, verify_checksums: bool = True):
+        self.dir = directory
+        self.gen = gen
+        self.verify = verify_checksums
+        self._read_compression_info()
+        self._read_statistics()
+
+    def path(self, component: str) -> str:
+        return os.path.join(self.dir, f"{self.gen}-{component}.db")
+
+    def _read_compression_info(self) -> None:
+        buf = open(self.path("CompressionInfo"), "rb").read()
+        if buf[:4] != MAGIC:
+            raise ValueError("bad CompressionInfo magic")
+        off = 4
+        self.codec, off = C.dec_vstr(buf, off)
+        self.chunk_size, off = C.dec_u32(buf, off)
+        n, off = C.dec_uvint(buf, off)
+        self.chunks = []
+        for _ in range(n):
+            coff, off = C.dec_u64(buf, off)
+            clen, off = C.dec_u32(buf, off)
+            crc, off = C.dec_u32(buf, off)
+            rawlen, off = C.dec_u32(buf, off)
+            self.chunks.append((coff, clen, crc, rawlen))
+
+    def _read_statistics(self) -> None:
+        buf = open(self.path("Statistics"), "rb").read()
+        if buf[:4] != MAGIC:
+            raise ValueError("bad Statistics magic")
+        off = 4
+        partitioner, off = C.dec_vstr(buf, off)
+        min_ts, off = C.dec_vint(buf, off)
+        min_ttl, off = C.dec_vint(buf, off)
+        ncols, off = C.dec_uvint(buf, off)
+        cols = []
+        for _ in range(ncols):
+            name, off = C.dec_vstr(buf, off)
+            cols.append(name)
+        nparts, off = C.dec_uvint(buf, off)
+        tlo, off = C.dec_i64(buf, off)
+        thi, off = C.dec_i64(buf, off)
+        self.stats = RunStats(partitioner, min_ts, min_ttl, cols, nparts, tlo, thi)
+
+    # --- logical data stream, chunk at a time -------------------------
+    def _logical_data(self, start_chunk: int = 0):
+        """Yield decompressed chunks from `start_chunk`, verifying CRC32 of
+        the compressed bytes before inflating (Buffer.cpp:346-364 order
+        for modern formats)."""
+        with open(self.path("Data"), "rb") as fh:
+            for coff, clen, crc, rawlen in self.chunks[start_chunk:]:
+                fh.seek(coff)
+                comp = fh.read(clen)
+                if self.verify and zlib.crc32(comp) != crc:
+                    raise IOError(
+                        f"chunk CRC mismatch in {self.path('Data')} @{coff}"
+                    )
+                yield zlib.decompress(comp) if self.codec == "deflate" else comp
+
+    def _buffer_from(self, logical_off: int) -> bytes:
+        """Decompressed logical stream from logical_off to EOF."""
+        chunk_idx = logical_off // self.chunk_size
+        skip = logical_off - chunk_idx * self.chunk_size
+        parts = []
+        for raw in self._logical_data(chunk_idx):
+            parts.append(raw)
+        blob = b"".join(parts)
+        return blob[skip:]
+
+    # --- seek (O2) ----------------------------------------------------
+    def seek_offset(self, start_token: int) -> int | None:
+        """Summary binary search -> Index linear scan: logical Data offset
+        of the first partition with token >= start_token; None if the run
+        is exhausted before it (CassandraParser.cpp:196-216 contract)."""
+        summary = open(self.path("Summary"), "rb").read()
+        entry = 16  # i64 token + u64 index offset
+        n = len(summary) // entry
+        lo, hi = 0, n
+        while lo < hi:  # last summary entry with token <= start
+            mid = (lo + hi) // 2
+            tok, _ = C.dec_i64(summary, mid * entry)
+            if tok <= start_token:
+                lo = mid + 1
+            else:
+                hi = mid
+        idx_start = 0
+        if lo > 0:
+            _, o = C.dec_i64(summary, (lo - 1) * entry)
+            idx_start, _ = C.dec_u64(summary, (lo - 1) * entry + 8)
+        index = open(self.path("Index"), "rb").read()
+        off = idx_start
+        while off < len(index):
+            tok, off = C.dec_i64(index, off)
+            klen, off = C.dec_u16(index, off)
+            off += klen
+            data_off, off = C.dec_u64(index, off)
+            if tok >= start_token:
+                return data_off
+        return None
+
+    # --- scan (S8/S9) -------------------------------------------------
+    def partitions(self, start_token: int | None = None):
+        """Iterate Partition objects in (token, key) order, optionally
+        seeking to start_token first."""
+        if start_token is None:
+            logical = 0
+        else:
+            logical = self.seek_offset(start_token)
+            if logical is None:
+                return
+        buf = self._buffer_from(logical)
+        off = 0
+        st = self.stats
+        while off < len(buf):
+            token, off = C.dec_i64(buf, off)
+            klen, off = C.dec_u16(buf, off)
+            key = bytes(buf[off : off + klen]); off += klen
+            flags = buf[off]; off += 1
+            row_tomb = None
+            if flags & 0x01:
+                delta, off = C.dec_vint(buf, off)
+                row_tomb = st.min_ts + delta
+            ncells, off = C.dec_uvint(buf, off)
+            cells = []
+            for _ in range(ncells):
+                f = buf[off]; off += 1
+                cid, off = C.dec_uvint(buf, off)
+                tsd, off = C.dec_vint(buf, off)
+                ttl = expiration = None
+                if f & F_EXPIRING:
+                    ttld, off = C.dec_vint(buf, off)
+                    ttl = st.min_ttl + ttld
+                    expiration, off = C.dec_vint(buf, off)
+                value = b""
+                if not (f & F_DELETED):
+                    value, off = C.dec_vblob(buf, off)
+                cells.append(
+                    Cell(
+                        col_name=st.columns[cid],
+                        value=value,
+                        ts=st.min_ts + tsd,
+                        ttl=ttl,
+                        expiration=expiration,
+                        deleted=bool(f & F_DELETED),
+                        range_tomb=bool(f & F_RANGE_TOMB),
+                    )
+                )
+            yield Partition(key=key, row_tomb_ts=row_tomb, cells=cells)
+
+
+def discover_runs(directory: str) -> list[int]:
+    """Directory scan for `<gen>-Data.db` runs (CassandraParser::open,
+    CassandraParser.cpp:83-175)."""
+    gens = []
+    for name in os.listdir(directory):
+        if name.endswith("-Data.db"):
+            gens.append(int(name.split("-")[0]))
+    return sorted(gens)

@@ -1,0 +1,249 @@
+"""Tests for the SSTable-style run source (SURVEY.md §2.1 S3-S10, O2):
+codec properties, writer/reader round-trip, indexed seek, checksum
+verification, Spark DataSource integration, and merge parity through the
+binary format.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cassandra2aerospike_spark.sources.sstable import (
+    Cell,
+    Partition,
+    RunReader,
+    RunWriter,
+    discover_runs,
+    register,
+    token_of,
+)
+from cassandra2aerospike_spark.sources.sstable import codec as C
+
+# ---------------------------------------------------------------- codecs
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+def test_uvint_roundtrip(v):
+    buf = C.enc_uvint(v)
+    got, off = C.dec_uvint(buf, 0)
+    assert got == v and off == len(buf)
+
+
+@given(st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1))
+def test_vint_zigzag_roundtrip(v):
+    buf = C.enc_vint(v)
+    got, off = C.dec_vint(buf, 0)
+    assert got == v and off == len(buf)
+
+
+def test_uvint_is_compact():
+    assert len(C.enc_uvint(0)) == 1
+    assert len(C.enc_uvint(127)) == 1
+    assert len(C.enc_uvint(128)) == 2
+    assert len(C.enc_uvint((1 << 14) - 1)) == 2
+    assert len(C.enc_uvint(1 << 62)) == 9
+
+
+@given(st.text(max_size=300))
+def test_vstr_roundtrip(s):
+    got, off = C.dec_vstr(C.enc_vstr(s), 0)
+    assert got == s
+
+
+@given(st.binary(max_size=300))
+def test_vblob_roundtrip(b):
+    got, off = C.dec_vblob(C.enc_vblob(b), 0)
+    assert got == b
+
+
+# ---------------------------------------------------------------- run files
+
+
+def _mk_parts(n=200, seed=3):
+    rng = random.Random(seed)
+    parts = []
+    for i in range(n):
+        key = f"key{i:05d}".encode()
+        cells = [
+            Cell(
+                col_name=f"c{j}",
+                value=bytes(rng.randbytes(rng.randint(0, 32))),
+                ts=1_700_000_000_000_000 + rng.randint(0, 10**9),
+                ttl=3600 if j % 3 == 0 else None,
+                expiration=1_719_795_600 if j % 3 == 0 else None,
+                deleted=j % 5 == 4,
+                range_tomb=j % 7 == 6,
+            )
+            for j in range(rng.randint(1, 5))
+        ]
+        parts.append(
+            Partition(
+                key=key,
+                row_tomb_ts=1_700_000_000_000_123 if i % 11 == 0 else None,
+                cells=cells,
+            )
+        )
+    parts.sort(key=lambda p: (p.token, p.key))
+    return parts
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("runs"))
+    parts = _mk_parts()
+    w = RunWriter(d, 1, chunk_size=4096)  # small chunks -> many CRC checks
+    for p in parts:
+        w.add(p)
+    w.finish()
+    return d, parts
+
+
+def test_roundtrip(run_dir):
+    d, parts = run_dir
+    got = list(RunReader(d, 1).partitions())
+    assert len(got) == len(parts)
+    for a, b in zip(parts, got):
+        assert (a.key, a.row_tomb_ts) == (b.key, b.row_tomb_ts)
+        for ca, cb in zip(a.cells, b.cells):
+            assert (
+                ca.col_name,
+                ca.ts,
+                ca.ttl,
+                ca.expiration,
+                ca.deleted,
+                ca.range_tomb,
+            ) == (cb.col_name, cb.ts, cb.ttl, cb.expiration, cb.deleted, cb.range_tomb)
+            assert (b"" if ca.deleted else ca.value) == cb.value
+
+
+def test_seek_matches_full_scan(run_dir):
+    """O2: seek result == filter of full scan, at several cut points."""
+    d, parts = run_dir
+    rr = RunReader(d, 1)
+    toks = [p.token for p in parts]
+    for cut in [toks[0], toks[37], toks[len(toks) // 2], toks[-1], toks[-1] + 1]:
+        got = [p.key for p in rr.partitions(start_token=cut)]
+        want = [p.key for p in parts if p.token >= cut]
+        assert got == want
+
+
+def test_out_of_order_rejected(tmp_path):
+    w = RunWriter(str(tmp_path), 1)
+    ps = _mk_parts(10)  # sorted by (token, key)
+    w.add(ps[5])
+    with pytest.raises(ValueError, match="out-of-order"):
+        w.add(ps[4])
+
+
+def test_checksum_detects_corruption(run_dir, tmp_path):
+    d, _ = run_dir
+    import shutil
+
+    dd = str(tmp_path / "corrupt")
+    shutil.copytree(d, dd)
+    path = os.path.join(dd, "1-Data.db")
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(IOError, match="CRC"):
+        list(RunReader(dd, 1).partitions())
+    # verification off -> reference's -C flag (Buffer.hpp:103-106): no raise
+    # (decode may still produce garbage; only the check is skipped)
+    try:
+        list(RunReader(dd, 1, verify_checksums=False).partitions())
+    except IOError as e:
+        assert "CRC" not in str(e)
+    except Exception:
+        pass  # garbage decode is acceptable without verification
+
+
+# ---------------------------------------------------------------- DataSource
+
+
+@pytest.fixture(scope="module")
+def multi_run_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("multiruns"))
+    parts = _mk_parts(300, seed=9)
+    buckets = {1: [], 2: [], 3: []}
+    for i, p in enumerate(parts):
+        buckets[1 + i % 3].append(p)
+    for gen, ps in buckets.items():
+        w = RunWriter(d, gen)
+        for p in ps:
+            w.add(p)
+        w.finish()
+    return d, parts
+
+
+def test_discover_runs(multi_run_dir):
+    d, _ = multi_run_dir
+    assert discover_runs(d) == [1, 2, 3]
+
+
+def test_datasource_reads_all_cells(spark, multi_run_dir):
+    d, parts = multi_run_dir
+    register(spark)
+    df = spark.read.format("sstable_run").option("splits_per_run", "3").load(d)
+    n_cells = sum(len(p.cells) for p in parts)
+    n_markers = sum(1 for p in parts if p.row_tomb_ts is not None)
+    assert df.count() == n_cells + n_markers
+    assert df.rdd.getNumPartitions() > 3  # splits within runs
+
+
+def test_datasource_token_pushdown_counts(spark, multi_run_dir):
+    from pyspark.sql import functions as F
+
+    d, parts = multi_run_dir
+    register(spark)
+    df = spark.read.format("sstable_run").load(d)
+    cut = sorted(p.token for p in parts)[150]
+    got = df.filter(F.col("token") >= cut).count()
+    want = sum(
+        len(p.cells) + (1 if p.row_tomb_ts is not None else 0)
+        for p in parts
+        if p.token >= cut
+    )
+    assert got == want
+
+
+def test_reader_prunes_runs_by_token_range(multi_run_dir):
+    """Unit-level pushdown check: a lower bound above a run's token_hi
+    drops that run from partitions()."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from cassandra2aerospike_spark.sources.sstable.datasource import SSTableRunReader
+
+    d, parts = multi_run_dir
+    hi = max(p.token for p in parts)
+    reader = SSTableRunReader({"path": d, "splits_per_run": "2"})
+    unhandled = list(reader.pushFilters([GreaterThanOrEqual(("token",), hi + 1)]))
+    assert len(unhandled) == 1  # filter returned for Spark to re-apply
+    assert reader.partitions() == []
+
+
+# ---------------------------------------------------------------- merge parity
+
+
+def test_merge_over_sstable_source_equals_parquet(spark, sf_dir, tmp_path):
+    """The flagship parity statement: the full merge over the binary
+    multi-run source equals the merge over parquet events."""
+    import __spark_entry__ as entrymod
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+    )
+    from cassandra2aerospike_spark.operators import merge as M
+    from cassandra2aerospike_spark.sources import load_table
+
+    runs_dir = build_runs_from_events(spark, sf_dir, str(tmp_path / "runs"))
+    classified = classified_from_runs(spark, runs_dir)
+    via_sstable = M.lww_latest(M.live_cells_from_classified(classified))
+    via_parquet = M.merged_latest_cells(load_table(spark, sf_dir, "events"))
+    a = sorted(map(tuple, via_sstable.collect()))
+    b = sorted(map(tuple, via_parquet.collect()))
+    assert a == b and len(a) > 0
