@@ -68,8 +68,15 @@ def audit(df: DataFrame) -> PlanReport:
     rep.n_cartesian = len(
         re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", simple)
     )
-    rep.n_python_row_udf = len(re.findall(r"BatchEvalPython", simple))
-    rep.n_arrow_eval = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", simple))
+    # BatchEvalPythonUDTF is the (declared) table-function slow path, not a
+    # row UDF leak — only bare BatchEvalPython is banned
+    rep.n_python_row_udf = len(re.findall(r"BatchEvalPython(?!UDTF)", simple))
+    rep.n_arrow_eval = len(
+        re.findall(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|AggregateInPandas",
+            simple,
+        )
+    )
     rep.n_codegen_spans = len(set(re.findall(r"\*\((\d+)\)", simple)))
     rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     rep.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)

@@ -3,6 +3,7 @@ from .stream_queries import (
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
+    stream_stateful_lww,
     streaming_dedup_keys,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_tumbling_counts",
+    "stream_stateful_lww",
     "streaming_dedup_keys",
 ]

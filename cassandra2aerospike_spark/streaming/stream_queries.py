@@ -142,3 +142,63 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(dedup, "append")
+
+
+def stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a CUSTOM stateful streaming operator (applyInPandasWithState,
+    SURVEY.md §2.8/§2.9): per-(user_id, event_type) GroupState holds the
+    running last-write-wins winner — the streaming twin of
+    choose_latest_match (CassandraParser.cpp:316-333), with checkpointed
+    state standing in for the reference's resume contract (O3).
+
+    Emits the state after every batch (update mode); the final answer is
+    the per-key row with the greatest state version, which equals the
+    batch a1_lww_latest result regardless of how the source was batched.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            value, ts, version = state.get
+        else:
+            value, ts, version = None, -(1 << 62), 0
+        for pdf in pdfs:
+            for v, t in zip(pdf["value"], pdf["ts_us"]):
+                t = int(t)
+                if t > ts:  # strict >: first-seen wins ties, like the ref
+                    value, ts = float(v), t
+        version += 1
+        state.update((value, ts, version))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "latest_value": [value],
+                "latest_ts_us": [ts],
+                "version": [version],
+            }
+        )
+
+    out_schema = (
+        "user_id long, event_type string, latest_value double, "
+        "latest_ts_us long, version long"
+    )
+    state_schema = "value double, ts long, version long"
+    res = (
+        ev.select("user_id", "event_type", "value", "ts_us")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    table = _run_to_memory(res, "update")
+    final = F.max_by(F.struct("latest_value", "latest_ts_us"), "version").alias("s")
+    return (
+        table.groupBy("user_id", "event_type")
+        .agg(final)
+        .select("user_id", "event_type", F.col("s.latest_value").alias("latest_value"),
+                F.col("s.latest_ts_us").alias("latest_ts_us"))
+    )
