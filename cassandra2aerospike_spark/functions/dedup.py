@@ -225,6 +225,33 @@ def jaccard_on_candidates(
     )
 
 
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """X2 end-to-end MinHash+LSH near-dup pairs: signatures -> band-bucket
+    candidates -> exact-Jaccard verification.
+
+    The per-doc shingle-set frame is PERSISTED (memory-and-disk): it feeds
+    three consumers (signatures, and both sides of the verification join),
+    and without a materialization barrier each re-executes the full
+    scan+tokenize+shingle lineage — the dominant cost at any scale.  One
+    compact (doc_id, sh_set) row per document is the cheapest thing to
+    keep; this is the same reuse pattern Spark MLlib's MinHashLSH uses.
+    """
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(docs, k, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_from_sets(sets, n_hashes)
+    cand = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
+    return jaccard_on_candidates(cand, sets, threshold)
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """X2 SimHash: 64-bit fingerprint = sign-aggregate of per-token md5 bits.
 

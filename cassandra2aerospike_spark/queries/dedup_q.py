@@ -42,13 +42,9 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     """X2 MinHash+LSH: 16 md5-derived min-hashes, 4 bands × 4 rows,
     bucket-join candidates, verified with exact Jaccard >= 0.5."""
-    docs = _docs(spark, sf_dir)
-    sets = D.shingle_sets(docs, k=3)
-    sigs = D.minhash_from_sets(sets, n_hashes=16)
-    cand = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
-    return D.jaccard_on_candidates(cand, sets, threshold=0.5).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=16, n_bands=4, rows_per_band=4, k=3, threshold=0.5
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def q_dedup_simhash(spark, sf_dir):
