@@ -323,6 +323,99 @@ def q_win_distribution(spark, sf_dir):
     )
 
 
+def q_win_frame_analytics(spark, sf_dir):
+    """first_value / last_value / IGNORE NULLS frames (SURVEY.md §2.5):
+    per-user running forward-fill of the last purchase value (the classic
+    `last_value ignore nulls` training-pipeline op), plus whole-partition
+    first/last frames."""
+    ev = _t(spark, sf_dir, "events")
+    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.last(purchase_val, ignorenulls=True).over(w_run).alias("ffill_purchase"),
+        F.first("value").over(w_run).alias("first_value_seen"),
+        F.last("value").over(w_all).alias("final_value"),
+    )
+
+
+def q_agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90 / p99) per group —
+    Spark `percentile` ≡ SQL percentile_cont ≡ DuckDB quantile_cont.
+    Rounded to 6 decimals: the lerp is evaluated in double on both
+    engines, identical operand order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_scalar_arrays(spark, sf_dir):
+    """Array function family (X5 seeds): per-order sorted quantity array —
+    size / min / max / fold-sum / slice / contains / distinct.  Arrays are
+    emitted as joined strings (engine-portable representation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = F.col("qs")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qs")
+        )
+        .select(
+            "l_orderkey",
+            F.size(qs).alias("n_items"),
+            F.array_min(qs).alias("q_min"),
+            F.array_max(qs).alias("q_max"),
+            F.aggregate(qs, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.array_join(F.slice(qs, 1, 3), ",").alias("first3"),
+            F.array_contains(qs, 50).cast("int").alias("has_50"),
+            F.size(F.array_distinct(qs)).alias("n_distinct_qty"),
+        )
+    )
+
+
+def q_scalar_maps(spark, sf_dir):
+    """Map function family (X5): per-region name->key map built with
+    map_from_entries; lookups / keys / size extracted to scalars (the
+    map machinery is Spark-side, the oracle checks the extracted values)."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.col("m")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("n_name", "n_nationkey")))
+            ).alias("m")
+        )
+        .select(
+            "n_regionkey",
+            F.map_entries(m)[0]["key"].alias("first_nation"),
+            F.element_at(m, "CANADA").alias("canada_key"),
+            F.size(m).alias("n_entries"),
+            F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+            F.aggregate(
+                F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("key_sum"),
+        )
+    )
+
+
 # --------------------------------------------------------- sort/limit/top-k
 
 def q_topk_global(spark, sf_dir):
@@ -472,6 +565,10 @@ QUERIES = {
     "win_lag_lead": q_win_lag_lead,
     "win_running_sum": q_win_running_sum,
     "win_distribution": q_win_distribution,
+    "win_frame_analytics": q_win_frame_analytics,
+    "agg_percentiles": q_agg_percentiles,
+    "scalar_arrays": q_scalar_arrays,
+    "scalar_maps": q_scalar_maps,
     "topk_global": q_topk_global,
     "sort_multi_limit": q_sort_multi_limit,
     "set_union": q_set_union,
@@ -647,6 +744,51 @@ ORACLES = {
                cume_dist() OVER w AS cume
         FROM customer
         WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    "win_frame_analytics": """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS) OVER w_run AS ffill_purchase,
+               first_value(value) OVER w_run AS first_value_seen,
+               last_value(value) OVER w_all AS final_value
+        FROM events
+        WINDOW w_run AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS UNBOUNDED PRECEDING),
+               w_all AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "scalar_arrays": """
+        WITH qa AS (
+          SELECT l_orderkey,
+                 list_sort(list(CAST(l_quantity AS INT))) AS qs
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               len(qs) AS n_items,
+               list_aggregate(qs, 'min') AS q_min,
+               list_aggregate(qs, 'max') AS q_max,
+               CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+               array_to_string(qs[1:3], ',') AS first3,
+               CAST(list_contains(qs, 50) AS INT) AS has_50,
+               len(list_distinct(qs)) AS n_distinct_qty
+        FROM qa
+    """,
+    "scalar_maps": """
+        SELECT n_regionkey,
+               min(n_name) AS first_nation,
+               max(CASE WHEN n_name = 'CANADA' THEN n_nationkey END) AS canada_key,
+               count(*) AS n_entries,
+               string_agg(n_name, ',' ORDER BY n_name) AS keys_csv,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation GROUP BY n_regionkey
     """,
     "topk_global": """
         SELECT o_orderkey, o_custkey, o_totalprice

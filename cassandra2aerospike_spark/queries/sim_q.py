@@ -34,6 +34,14 @@ def q_sim_lsh_topk(spark, sf_dir):
     return S.lsh_topk(_queries_frame(emb), emb, k=5, n_bits=8)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """X3 scale path #2: IVF ANN — nearest-centroid cell assignment
+    (in-row argmax against a broadcast codebook), then top-5 within the
+    query's cell only (nprobe=1)."""
+    emb = _emb(spark, sf_dir)
+    return S.ivf_topk(_queries_frame(emb), emb, k=5, n_centroids=16)
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     """X2 embedding-cosine near-dup pairs within sign buckets.  Threshold
     0.35 is calibrated to the synthetic fixture (max pairwise cos ~0.51);
@@ -135,6 +143,44 @@ ORACLES = {
         )
         SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= 5
     """,
+    "sim_ivf_topk": """
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS c_vec
+          FROM embeddings WHERE vec_id < 16
+        ),
+        corpus_scored AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 list_inner_product(e.embedding::DOUBLE[], c.c_vec)
+                 / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(c.c_vec, c.c_vec))) AS sim
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus_cells AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM corpus_scored) WHERE rn = 1
+        ),
+        q_cells AS (
+          SELECT vec_id AS q_id, embedding AS q_vec, cell
+          FROM corpus_cells WHERE vec_id % 50 = 0
+        ),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 list_inner_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                    * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                     AS sim
+          FROM corpus_cells e JOIN q_cells q ON e.cell = q.cell
+          WHERE q.q_id != e.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
     "sim_embedding_neardup": """
         WITH bucketed AS (
           SELECT vec_id, embedding,
@@ -172,6 +218,7 @@ ORACLES = {
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_features": q_mm_decode_features,

@@ -49,6 +49,40 @@ def q_token_resume_scan(spark, sf_dir):
     )
 
 
+def q_token_byteorder(spark, sf_dir):
+    """P3 ByteOrdered/OrderPreserving partitioner: token = the key itself
+    (Partitioners.cpp:212-240) — ring ranges become plain key-prefix
+    buckets; per-bucket count and boundary keys."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(F.col("c_name").alias("key"))
+        .groupBy(F.substring("key", 1, 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("key").alias("first_key"),
+            F.max("key").alias("last_key"),
+        )
+    )
+
+
+def q_token_resume_after_sink(spark, sf_dir):
+    """O3 resume-point computation: the next `-S` hint = min token over
+    keys NOT yet in the sink (get_first_unsent_record / get_next_key,
+    AerospikeWriter.cpp:424-446, CassandraParser.cpp:394-409).  The
+    'already written' set (every third order) is left-anti-joined away;
+    at scale both sides shuffle on the key — same distribution the
+    create-only sink itself uses."""
+    o = load_table(spark, sf_dir, "orders")
+    toks = o.select("o_orderkey", TK.md5_token(F.col("o_orderkey")).alias("token"))
+    written = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    remaining = toks.join(written, "o_orderkey", "left_anti")
+    return remaining.agg(
+        F.count("*").alias("n_unsent"),
+        F.min("token").alias("resume_token"),
+        F.min_by("o_orderkey", "token").alias("resume_key"),
+    )
+
+
 def q_token_murmur3(spark, sf_dir):
     """P1: Cassandra-compatible Murmur3 tokens (pandas UDF — the one
     computation with no Spark builtin).  No SQL oracle (DuckDB has no
@@ -78,11 +112,27 @@ ORACLES = {
                max(token) AS last_token
         FROM t WHERE token >= '80'
     """,
+    "token_byteorder": """
+        SELECT substring(c_name, 1, 10) AS bucket, count(*) AS n_keys,
+               min(c_name) AS first_key, max(c_name) AS last_key
+        FROM customer GROUP BY 1
+    """,
+    "token_resume_after_sink": """
+        WITH t AS (
+          SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS token
+          FROM orders WHERE o_orderkey % 3 != 0
+        )
+        SELECT count(*) AS n_unsent, min(token) AS resume_token,
+               arg_min(o_orderkey, token) AS resume_key
+        FROM t
+    """,
 }
 
 QUERIES = {
     "token_md5": q_token_md5,
     "token_ring_ranges": q_token_ring_ranges,
     "token_resume_scan": q_token_resume_scan,
+    "token_byteorder": q_token_byteorder,
+    "token_resume_after_sink": q_token_resume_after_sink,
     "token_murmur3": q_token_murmur3,
 }
