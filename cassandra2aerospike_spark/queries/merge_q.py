@@ -162,6 +162,44 @@ def q_s9_sstable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.filter_expired(records)
 
 
+def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 capability FIX: the reference knowingly merges clustering and
+    static columns incorrectly (reference README.md:30-39, skip-only
+    parsing at SSTable.cpp:487-503); this engine supports them properly.
+    Composite key = extra GROUP BY columns: partition key user_id,
+    clustering key = event day; regular columns LWW per (key, ck, col),
+    static column ('signup', per Cassandra semantics partition-resident)
+    LWW per key only, repeated onto every clustering row."""
+    ev = _events(spark, sf_dir)
+    key, ck = F.col("user_id").alias("key"), F.expr("ts_us div 86400000000").alias("ck")
+    regular = (
+        ev.filter(F.col("event_type") != "signup")
+        .select(key, ck, "event_type", "value", "ts_us")
+        .groupBy("key", "ck", "event_type")
+        .agg(F.max_by("value", "ts_us").alias("v"))
+        .groupBy("key", "ck")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(F.col("event_type"), F.lit("="), F.format_string("%.2f", "v"))
+                    )
+                ),
+                ",",
+            ).alias("cols_str"),
+            F.count("*").alias("n_cols"),
+        )
+    )
+    static = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.max_by("value", "ts_us").alias("static_signup"))
+    )
+    return regular.join(static, "key", "left").select(
+        "key", "ck", "cols_str", "n_cols", "static_signup"
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 # CTE prefix replicating operators/merge.py's derived-cell model: kinds by
@@ -225,9 +263,29 @@ QUERIES = {
     "a5_record_assembly": q_a5_record_assembly,
     "merge_full": q_merge_full,
     "s9_sstable_merge": q_s9_sstable_merge,
+    "s10_clustering_merge": q_s10_clustering_merge,
 }
 
 ORACLES = {
+    "s10_clustering_merge": """
+        WITH regular AS (
+          SELECT user_id AS key, epoch_us(ts) // 86400000000 AS ck,
+                 event_type, arg_max(value, epoch_us(ts)) AS v
+          FROM events WHERE event_type != 'signup'
+          GROUP BY 1, 2, 3
+        ), rows_ AS (
+          SELECT key, ck,
+                 string_agg(event_type || '=' || format('{:.2f}', v), ','
+                            ORDER BY event_type || '=' || format('{:.2f}', v)) AS cols_str,
+                 count(*) AS n_cols
+          FROM regular GROUP BY 1, 2
+        ), static AS (
+          SELECT user_id AS key, arg_max(value, epoch_us(ts)) AS static_signup
+          FROM events WHERE event_type = 'signup' GROUP BY 1
+        )
+        SELECT r.key, r.ck, r.cols_str, r.n_cols, s.static_signup
+        FROM rows_ r LEFT JOIN static s ON r.key = s.key
+    """,
     "a1_lww_latest": """
         SELECT user_id, event_type,
                arg_max(value, epoch_us(ts)) AS latest_value,
