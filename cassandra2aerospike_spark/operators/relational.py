@@ -44,6 +44,41 @@ def topk_per_group(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt_source: Column,
+    metrics: dict[str, tuple[Column, str]],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-immune two-phase aggregation (SURVEY.md §4 'salting for skew').
+
+    Low-cardinality or hot grouping keys funnel whole key-groups through
+    single reducers; salting splits each group into `n_salts` sub-groups
+    on a derived salt (hash of a high-cardinality column), partially
+    aggregates, then finishes on the bare keys.  The second shuffle moves
+    only keys × n_salts rows — negligible — while the first distributes
+    evenly.  Only algebraic metrics compose: 'sum' (re-sum), 'count'
+    (sum of partials), 'min'/'max' (idempotent).
+
+    metrics: output_name -> (input column, 'sum'|'count'|'min'|'max').
+    """
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt = F.pmod(F.hash(salt_source), F.lit(n_salts)).alias("_salt")
+    partial = df.groupBy(*keys, salt).agg(
+        *[
+            (F.count(c) if how == "count" else getattr(F, how)(c)).alias(f"_p_{name}")
+            for name, (c, how) in metrics.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            recombine[how](F.col(f"_p_{name}")).alias(name)
+            for name, (_, how) in metrics.items()
+        ]
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

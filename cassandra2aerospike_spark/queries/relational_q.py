@@ -246,6 +246,33 @@ def q_agg_approx_distinct(spark, sf_dir):
 
 # ------------------------------------------------------------------ windows
 
+def q_agg_salted_skew(spark, sf_dir):
+    """Skew-immune salted aggregation (SURVEY.md §4): event_type has only
+    5 values — an unsalted groupBy funnels 1/5 of the table through each
+    of 5 reducers.  Salting on hash(event_id) distributes the first pass
+    across 32×5 sub-groups; the finish pass moves 160 rows."""
+    from ..operators.relational import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        F.col("event_id"),
+        {
+            "n_events": (F.col("event_id"), "count"),
+            "sum_value": (F.col("value").cast("decimal(18,2)"), "sum"),
+            "max_ts_us": (F.col("ts_us"), "max"),
+        },
+        n_salts=32,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_ts_us",
+    )
+
+
 def q_win_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer (row_number ranking window; unique
     tiebreak keeps it deterministic across engines)."""
@@ -560,6 +587,7 @@ QUERIES = {
     "agg_minmax_stats": q_agg_minmax_stats,
     "agg_collect": q_agg_collect,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_salted_skew": q_agg_salted_skew,
     "win_topk_per_group": q_win_topk_per_group,
     "win_rank": q_win_rank,
     "win_lag_lead": q_win_lag_lead,
@@ -705,6 +733,12 @@ ORACLES = {
                string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_set,
                count(*) AS n
         FROM nation GROUP BY n_regionkey
+    """,
+    "agg_salted_skew": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               max(epoch_us(ts)) AS max_ts_us
+        FROM events GROUP BY event_type
     """,
     "win_topk_per_group": """
         SELECT * FROM (
