@@ -103,3 +103,58 @@ def test_scan_prunes_columns(spark, sf_dir, queries):
     assert rep.read_schemas, "no ReadSchema found"
     # a1 needs user_id, event_type, value, ts — not event_id/props/etc.
     assert all("props" not in s for s in rep.read_schemas), rep.read_schemas
+
+
+def test_salted_agg_two_exchanges_no_joins(spark, sf_dir, queries):
+    """Salted aggregation trades exactly ONE extra (tiny) shuffle for skew
+    immunity: partial agg on (keys, salt), finish on keys — and no joins."""
+    rep = assert_scale_posture(queries["agg_salted_skew"](spark, sf_dir), max_exchanges=2, max_scans=1)
+    assert rep.n_sortmerge_joins == 0 and rep.n_broadcast_joins == 0
+
+
+def test_ivf_topk_broadcasts_cell_join(spark, sf_dir, queries):
+    """IVF ANN: the query-side cell join must be a broadcast hash join
+    (query set is the small side); the corpus must never sort-merge or
+    cartesian against anything (the 1-row codebook BNLJ is the one
+    tolerated nested-loop, audited by the global cartesian test)."""
+    rep = assert_scale_posture(
+        queries["sim_ivf_topk"](spark, sf_dir),
+        require_broadcast=True,
+        forbid_cartesian=False,  # 1-row broadcast codebook only
+    )
+    assert rep.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in rep.plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing (SURVEY.md §4 'merge without sort'):
+    two tables bucketed+sorted on the join key join with ZERO exchanges —
+    the Spark analog of the reference exploiting pre-sorted runs."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+       .option("path", str(tmp_path / "b_orders")).saveAsTable("b_orders"))
+    (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+       .option("path", str(tmp_path / "b_customer")).saveAsTable("b_customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey")
+            .agg(F.count("*").alias("n"))
+        )
+        rep = audit(j)
+        assert rep.n_exchanges == 0, f"bucketed join shuffled:\n{rep.plan}"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
