@@ -25,16 +25,21 @@ HEADLINE = [
     "a1_lww_latest",
     "f1_live_cells",
     "a5_record_assembly",
+    "s10_clustering_merge",
     # relational families
     "join_broadcast_star",
     "agg_pricing_summary",
+    "agg_salted_skew",
     "win_topk_per_group",
+    "win_frame_analytics",
     "topk_global",
     # ordering / resume
     "token_resume_scan",
+    "token_resume_after_sink",
     # training-pipeline extensions
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "text_quality",
 ]
 

@@ -85,30 +85,21 @@ def jaccard_pairs(
     )
 
 
-def minhash_values(n_hashes: int = 16) -> Column:
-    """MinHash signature as an array column over the exploded shingle set:
-    h_i(doc) = min over shingles of md5(i || '|' || shingle).  md5-hex
-    ordering is the hash ordering — portable to any engine with md5."""
-    return F.array(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-
-
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 16, k: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """Per-doc MinHash signature (array<string> of n_hashes md5 minima)."""
+    """Per-doc MinHash signature (array<long>; same hash family as
+    minhash_from_sets)."""
     return minhash_from_shingles(shingle_frame(docs, k, text_col), n_hashes)
 
 
 def minhash_from_shingles(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """MinHash signatures from a prebuilt (doc_id, shingle) frame, so one
-    shingle explode can feed both signatures and verification."""
+    """MinHash signatures from a prebuilt exploded (doc_id, shingle) frame
+    — the aggregation (one-shuffle) twin of the narrow minhash_from_sets,
+    same universal-hash family, identical signatures."""
+    x = shingle_hash64(F.col("shingle")) % MINHASH_P
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"h{i}")
+        F.min((F.lit(minhash_a(i)) * x + F.lit(minhash_b(i))) % MINHASH_P).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -117,30 +108,54 @@ def minhash_from_shingles(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
     )
 
 
+# Universal-hash family over the 31-bit prime field: h_i(x) = (a_i x + b_i)
+# mod P.  All operands stay < 2^62, so the arithmetic is overflow-free
+# int64 on every engine (Spark wraps, DuckDB raises — neither happens).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_a(i: int) -> int:
+    return (i * 2_654_435_761 + 1) % MINHASH_P
+
+
+def minhash_b(i: int) -> int:
+    return (i * 40_503 + 7) % MINHASH_P
+
+
+def shingle_hash64(s: Column) -> Column:
+    """Shingle -> 60-bit int64 via md5 prefix (engine-portable: DuckDB
+    reproduces it by folding the first 15 hex chars)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def shingle_sets(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh_set) with the doc's distinct shingle array — the compact
-    per-doc form.  Purely narrow (no explode, no aggregation): the shingle
-    set never leaves the row, so MinHash/verification built on it add ZERO
-    aggregation shuffles.  Docs with < k tokens keep an EMPTY sh_set row
-    here — do not filter them: a row filter on a derived array gets
-    predicate-pushed below the exchange and re-inlines the whole pipeline
-    into the scan (measured 20×).  Consumers neutralize empties
-    structurally (null band keys in lsh_candidate_pairs never equi-join)."""
-    return _tokenized(docs, text_col).select(
-        "doc_id", shingles_of(F.col("toks"), k).alias("sh_set")
-    )
+    """(doc_id, sh_set) with the doc's distinct shingles HASHED to int64 —
+    the compact per-doc form.  Hashing once at the boundary is the scale
+    move: every downstream pass (persist, minhash, array_intersect
+    verification) touches 8-byte ints instead of ~25-byte strings, and
+    set cardinalities are preserved (60-bit space: collisions are
+    negligible at corpus scale and would only perturb a Jaccard count by
+    1).  Purely narrow: no explode, no aggregation shuffle.  Docs with
+    < k tokens keep an EMPTY sh_set row here — do not filter them: a row
+    filter on a derived array gets predicate-pushed below the exchange
+    and re-inlines the whole pipeline into the scan (measured 20×).
+    Consumers neutralize empties structurally (null band keys in
+    lsh_candidate_pairs never match)."""
+    hashed = F.transform(shingles_of(F.col("toks"), k), shingle_hash64)
+    return _tokenized(docs, text_col).select("doc_id", hashed.alias("sh_set"))
 
 
 def minhash_from_sets(sets: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """MinHash as a narrow projection over the per-doc shingle array:
-    h_i = array_min(md5(i || '|' || s) for s in sh_set).  Identical result
-    to the groupBy form (same md5-hex ordering), but no shuffle at all —
-    at 100 TB this runs entirely inside the scan stage."""
+    """MinHash as a narrow projection over the per-doc hashed-shingle
+    array: h_i = min over shingles of (a_i * (x mod P) + b_i) mod P —
+    integer universal hashing, ~100× cheaper than per-shingle string md5
+    and still bit-identical across engines.  No shuffle at all — at
+    100 TB this runs entirely inside the scan stage."""
     def hash_fn(i: int):
-        prefix = F.lit(str(i) + "|")
+        a, b = minhash_a(i), minhash_b(i)
         # single-arg lambda: a two-arg lambda would receive the ARRAY INDEX
         # as its second argument from F.transform, silently shadowing i
-        return lambda s: F.md5(F.concat(prefix, s))
+        return lambda x: (F.lit(a) * (x % MINHASH_P) + F.lit(b)) % MINHASH_P
 
     sig = F.array(
         *[
@@ -164,9 +179,8 @@ def lsh_candidate_pairs(
 
     def band_key(b: int):
         sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        return F.when(
-            sl[0].isNotNull(), F.md5(F.array_join(sl, "|"))
-        )  # else NULL
+        joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), "|")
+        return F.when(sl[0].isNotNull(), F.md5(joined))  # else NULL
 
     bands = signatures.select(
         "doc_id",
@@ -179,15 +193,30 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # bucket-grouped pair expansion instead of a self-join: ONE pass over
+    # the signature lineage (a self-join would recompute the md5 signature
+    # pipeline once per side — no ReusedExchange across join inputs), one
+    # shuffle to the bucket, pairs expanded in-row from the sorted member
+    # list.  Same output as the equi-join: all (a < b) pairs per bucket.
+    members = (
+        bands.filter(F.col("bkey").isNotNull())
+        .groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        members.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

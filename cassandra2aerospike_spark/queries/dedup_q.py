@@ -161,14 +161,23 @@ ORACLES = {
     + "SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.6",
     "dedup_minhash_lsh": _JACCARD
     + """
-        , mh AS (
-          SELECT doc_id, i, min(md5(i || '|' || shingle)) AS h
-          FROM sh, (SELECT unnest(range(0, 16)) AS i)
+        , shh AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(range(1, 16),
+                     j -> strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1),
+                     (a, b) -> a * 16 + b) % 2147483647 AS hp
+          FROM sh
+        ),
+        mh AS (
+          SELECT doc_id, i,
+                 min((((i * 2654435761 + 1) % 2147483647) * hp
+                      + ((i * 40503 + 7) % 2147483647)) % 2147483647) AS h
+          FROM shh, (SELECT unnest(range(0, 16)) AS i)
           GROUP BY doc_id, i
         ),
         bands AS (
           SELECT doc_id, i // 4 AS band,
-                 md5(string_agg(h, '|' ORDER BY i)) AS bkey
+                 md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bkey
           FROM mh GROUP BY doc_id, i // 4
         ),
         cand AS (
