@@ -83,6 +83,32 @@ def q_token_resume_after_sink(spark, sf_dir):
     )
 
 
+def q_o2_layout_resume(spark, sf_dir):
+    """O2 at scale: resume scan over a token-range PARTITIONED layout —
+    the coarse range predicate prunes directories (partition pruning),
+    the token predicate prunes row groups (parquet stats), before any row
+    is read (the analog of the reference's Summary/Index seek +
+    whole-run drop).  Layout staged once under /tmp per sf_dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.token_layout import read_resume, write_token_layout
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_layout_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_token_layout(load_table(spark, sf_dir, "customer"), "c_custkey", out)
+    return (
+        read_resume(spark, out, "80", n_ranges=32)
+        .select("c_custkey", "token")
+        .orderBy("token")
+    )
+
+
 def q_token_murmur3(spark, sf_dir):
     """P1: Cassandra-compatible Murmur3 tokens (pandas UDF — the one
     computation with no Spark builtin).  No SQL oracle (DuckDB has no
@@ -112,6 +138,11 @@ ORACLES = {
                max(token) AS last_token
         FROM t WHERE token >= '80'
     """,
+    "o2_layout_resume": """
+        SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS token
+        FROM customer
+        WHERE md5(CAST(c_custkey AS VARCHAR)) >= '80'
+    """,
     "token_byteorder": """
         SELECT substring(c_name, 1, 10) AS bucket, count(*) AS n_keys,
                min(c_name) AS first_key, max(c_name) AS last_key
@@ -134,5 +165,6 @@ QUERIES = {
     "token_resume_scan": q_token_resume_scan,
     "token_byteorder": q_token_byteorder,
     "token_resume_after_sink": q_token_resume_after_sink,
+    "o2_layout_resume": q_o2_layout_resume,
     "token_murmur3": q_token_murmur3,
 }
