@@ -82,3 +82,76 @@ def decode_image_stub(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload", "byte_len").mapInPandas(
         decode_batches, FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "scale_x double, scale_y double, thumb binary"
+)
+
+
+def resize_stub(binary_df: DataFrame, dst_w: int = 32, dst_h: int = 32) -> DataFrame:
+    """X5 resize over mapInPandas (STUB: real impl would call PIL here).
+
+    The fake 'thumbnail' is the payload truncated/cycled to dst_w*dst_h
+    bytes — deterministic, size-correct, exercises binary-out columns
+    through Arrow.  Source dims come from the stub decoder."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, _ = _fake_decode(payload)
+                n = dst_w * dst_h
+                reps = -(-n // max(1, len(payload))) if payload else 1
+                thumb = ((bytes(payload) * reps)[:n]) if payload else b""
+                rows.append(
+                    (
+                        doc_id, w, h, dst_w, dst_h,
+                        dst_w / w if w else 0.0,
+                        dst_h / h if h else 0.0,
+                        thumb,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                    "scale_x", "scale_y", "thumb",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        resize_batches, RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def frame_sample_stub(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """X5 video frame sampling over mapInPandas: one OUTPUT ROW PER
+    SAMPLED FRAME (the cardinality-expanding flatMap shape).  Frame count
+    is the stub decoder's byte_len // 1024 rule; the per-frame 'content
+    hash' is md5(doc_id:frame_idx) — both SQL-expressible on purpose, so
+    this Python path has an exact DuckDB oracle."""
+    import hashlib
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, blen in zip(pdf["doc_id"], pdf["byte_len"]):
+                n_frames = max(1, int(blen) // 1024)
+                for idx in range(0, n_frames, every_n):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_md5.append(
+                        hashlib.md5(f"{doc_id}:{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return binary_df.select("doc_id", "byte_len").mapInPandas(
+        sample_batches, FRAME_SCHEMA
+    )

@@ -92,7 +92,36 @@ def q_mm_decode_features(spark, sf_dir):
     )
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """X5 frame sampling (mapInPandas flatMap shape) — exact SQL oracle:
+    the stub's frame-count and hash rules are SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample_stub(M.with_binary_payload(docs), every_n=4)
+
+
+def q_mm_resize(spark, sf_dir):
+    """X5 resize stub (mapInPandas, binary-out thumbnail).  No SQL oracle
+    (thumbnail derives from the stub decoder) -> rows-only; determinism
+    unit-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = M.resize_stub(M.with_binary_payload(docs), dst_w=32, dst_h=32)
+    return r.select(
+        "doc_id", "src_w", "src_h", "scale_x", "scale_y",
+        F.octet_length("thumb").alias("thumb_len"),
+    )
+
+
 ORACLES = {
+    "mm_frame_sample": """
+        WITH f AS (
+          SELECT doc_id,
+                 greatest(1, octet_length(encode(text)) // 1024) AS n_frames
+          FROM documents
+        )
+        SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+               md5(doc_id || ':' || idx) AS frame_md5
+        FROM f, LATERAL (SELECT unnest(range(0, n_frames, 4)) AS idx)
+    """,
     "sim_cosine_topk": """
         WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
                    FROM embeddings WHERE vec_id % 50 = 0),
@@ -222,4 +251,6 @@ QUERIES = {
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_features": q_mm_decode_features,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
 }

@@ -80,3 +80,26 @@ def test_brute_force_topk_self_similarity(spark):
     sims = {r.vec_id: r.sim for r in out}
     top = max(sims.values())
     assert abs(top - 1.0) < 1e-9
+
+
+def test_resize_stub_deterministic_and_sized(spark):
+    d = M.with_binary_payload(_docs(spark, [(1, "hello world " * 40), (2, "x")]))
+    out = {r.doc_id: r for r in M.resize_stub(d, dst_w=8, dst_h=4).collect()}
+    assert len(out[1].thumb) == 32 and len(out[2].thumb) == 32
+    again = {r.doc_id: r for r in M.resize_stub(d, dst_w=8, dst_h=4).collect()}
+    assert out[1].thumb == again[1].thumb
+    assert out[1].scale_x == 8 / out[1].src_w
+
+
+def test_frame_sample_stub_cardinality(spark):
+    import hashlib
+
+    d = M.with_binary_payload(_docs(spark, [(7, "a" * 5000), (8, "b")]))
+    rows = M.frame_sample_stub(d, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 5000 bytes -> 4 frames -> sampled 0, 2 ; 1 byte -> 1 frame -> 0
+    assert sorted(r.frame_idx for r in by_doc[7]) == [0, 2]
+    assert [r.frame_idx for r in by_doc[8]] == [0]
+    assert by_doc[8][0].frame_md5 == hashlib.md5(b"8:0").hexdigest()
