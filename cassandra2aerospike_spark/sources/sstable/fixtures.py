@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ...operators.merge import classify_cells
@@ -101,6 +101,76 @@ def classified_from_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
         "expiration",
         kind.alias("kind"),
     )
+
+
+def spark_token_of(key_str: Column) -> Column:
+    """format.token_of reproduced as a Catalyst expression: first 8 bytes
+    of md5(key) big-endian as SIGNED int64 (exact decimal arithmetic for
+    the two's-complement wrap)."""
+    d = F.conv(F.substring(F.md5(key_str), 1, 16), 16, 10).cast("decimal(20,0)")
+    # 2^63 / 2^64 exceed int64 literals — build them as decimal-string casts
+    half = F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
+    full = F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
+    return F.when(d >= half, d - full).otherwise(d).cast("long")
+
+
+def compact_runs(
+    spark: SparkSession, runs_dir: str, out_dir: str, n_runs_out: int = 1
+) -> str:
+    """Major compaction — the reference's whole job as one round trip:
+    merge every run (LWW + tombstone reconciliation), write the surviving
+    cells back as n_runs_out sorted tombstone-free runs.
+
+    Distributed shape: records are range-partitioned by token (each task
+    owns a contiguous ring slice, like one output SSTable per compaction
+    shard) and each task writes its own run with RunWriter inside
+    foreachPartition — no driver-side collect.  Run generation = task
+    partition id + 1."""
+    import shutil
+
+    from ...operators.merge import live_cells_from_classified, lww_latest
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    latest = lww_latest(live_cells_from_classified(classified_from_runs(spark, runs_dir)))
+    recs = (
+        latest.groupBy("key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("col_name", "value", "ts", "ttl", "expiration"))
+            ).alias("cells")
+        )
+        .withColumn("key_str", F.col("key").cast("string"))
+        .withColumn("token", spark_token_of(F.col("key_str")))
+        .repartitionByRange(n_runs_out, "token", "key_str")
+        .sortWithinPartitions("token", "key_str")
+    )
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        gen = TaskContext.get().partitionId() + 1
+        writer = None
+        for r in rows:
+            if writer is None:
+                writer = RunWriter(out_dir, gen)
+            cells = [
+                Cell(
+                    col_name=c.col_name,
+                    value=repr(float(c.value)).encode("utf-8"),
+                    ts=c.ts,
+                    ttl=c.ttl,
+                    expiration=c.expiration,
+                )
+                for c in r.cells
+            ]
+            writer.add(Partition(key=r.key_str.encode("utf-8"), cells=cells))
+        if writer is not None:
+            writer.finish()
+
+    recs.foreachPartition(write_partition)
+    return out_dir
 
 
 def default_runs_dir(sf_dir: str) -> str:

@@ -247,3 +247,39 @@ def test_merge_over_sstable_source_equals_parquet(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, via_sstable.collect()))
     b = sorted(map(tuple, via_parquet.collect()))
     assert a == b and len(a) > 0
+
+
+def test_compaction_roundtrip(spark, sf_dir, tmp_path):
+    """Major compaction parity: merge N runs -> write single tombstone-free
+    run (distributed foreachPartition write) -> read back -> the cell set
+    is exactly the merged LWW survivors, and re-merging is a no-op."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.operators.merge import (
+        live_cells_from_classified,
+        lww_latest,
+    )
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+        compact_runs,
+        default_runs_dir,
+    )
+
+    runs_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
+    out = compact_runs(spark, runs_dir, str(tmp_path / "compacted"), n_runs_out=2)
+
+    def cellset(df):
+        return {
+            (r.key, r.col_name, r.value, r.ts, r.ttl, r.expiration)
+            for r in df.collect()
+        }
+
+    merged = lww_latest(live_cells_from_classified(classified_from_runs(spark, runs_dir)))
+    readback = classified_from_runs(spark, out)
+    assert set(r.kind for r in readback.select("kind").distinct().collect()) == {"cell"}
+    got = readback.select("key", "col_name", "value", "ts", "ttl", "expiration")
+    assert cellset(got) == cellset(merged) and len(cellset(merged)) > 0
+    # idempotence: compacting the compacted run changes nothing
+    remerged = lww_latest(live_cells_from_classified(readback))
+    assert cellset(remerged) == cellset(merged)
