@@ -200,6 +200,34 @@ def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major compaction parity (the reference's whole job as one loop):
+    events -> N binary runs -> merge -> distributed write of a single
+    tombstone-free run -> read back.  The read-back cell stream must
+    equal the merged LWW survivors — checked against the same oracle CTE
+    as the in-memory merge."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+        compact_runs,
+        default_runs_dir,
+    )
+
+    runs_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    compact_runs(spark, runs_dir, out, n_runs_out=2)
+    return classified_from_runs(spark, out).select(
+        "key", "col_name", "value", "ts", "ttl", "expiration"
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 # CTE prefix replicating operators/merge.py's derived-cell model: kinds by
@@ -264,9 +292,12 @@ QUERIES = {
     "merge_full": q_merge_full,
     "s9_sstable_merge": q_s9_sstable_merge,
     "s10_clustering_merge": q_s10_clustering_merge,
+    "compaction_roundtrip": q_compaction_roundtrip,
 }
 
 ORACLES = {
+    "compaction_roundtrip": _CTE
+    + "SELECT key, col_name, value, ts, ttl, expiration FROM latest_f",
     "s10_clustering_merge": """
         WITH regular AS (
           SELECT user_id AS key, epoch_us(ts) // 86400000000 AS ck,
