@@ -200,6 +200,36 @@ def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTER column semantics (SSTableSchema.hpp:29-41 COLUMN_COUNTER;
+    ColumnInfo's counter-timestamp union, CassandraParser.hpp:54-72):
+    counter cells merge ADDITIVELY across runs — sum of deltas — unlike
+    regular cells' LWW.  Demonstrated per (key, column) over the cell
+    stream, with the latest-update timestamp carried alongside."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("user_id").alias("key"), F.col("event_type").alias("col_name"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("counter_value"),
+            F.count("*").alias("n_deltas"),
+            F.max("ts_us").alias("last_update_ts"),
+        )
+    )
+
+
+def q_a5_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 alternate form: record assembly via PIVOT — key rows with one
+    typed column per cell name (the engine-native wide schema; SURVEY.md
+    §2.4 A5's pivot variant), latest value per cell by LWW."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .pivot("event_type", types)
+        .agg(F.max_by("value", "ts_us"))
+    )
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Major compaction parity (the reference's whole job as one loop):
     events -> N binary runs -> merge -> distributed write of a single
@@ -293,9 +323,32 @@ QUERIES = {
     "s9_sstable_merge": q_s9_sstable_merge,
     "s10_clustering_merge": q_s10_clustering_merge,
     "compaction_roundtrip": q_compaction_roundtrip,
+    "counter_merge": q_counter_merge,
+    "a5_pivot_wide": q_a5_pivot_wide,
 }
 
 ORACLES = {
+    "counter_merge": """
+        SELECT user_id AS key, event_type AS col_name,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS counter_value,
+               count(*) AS n_deltas,
+               max(epoch_us(ts)) AS last_update_ts
+        FROM events GROUP BY 1, 2
+    """,
+    "a5_pivot_wide": """
+        SELECT user_id AS key,
+               arg_max(CASE WHEN event_type = 'click' THEN value END,
+                       CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS click,
+               arg_max(CASE WHEN event_type = 'error' THEN value END,
+                       CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS error,
+               arg_max(CASE WHEN event_type = 'purchase' THEN value END,
+                       CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purchase,
+               arg_max(CASE WHEN event_type = 'signup' THEN value END,
+                       CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup,
+               arg_max(CASE WHEN event_type = 'view' THEN value END,
+                       CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS view
+        FROM events GROUP BY user_id
+    """,
     "compaction_roundtrip": _CTE
     + "SELECT key, col_name, value, ts, ttl, expiration FROM latest_f",
     "s10_clustering_merge": """

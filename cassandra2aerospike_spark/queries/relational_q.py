@@ -492,6 +492,32 @@ def q_set_except(spark, sf_dir):
     return c.subtract(s)
 
 
+def q_set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics — multiplicity = min of the sides)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+def q_set_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag difference — multiplicity = left minus right)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+def q_unpivot_melt(spark, sf_dir):
+    """UNPIVOT/melt: wide per-customer numeric columns to long
+    (metric, value) form — the inverse of A5's pivot."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey_d"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey_d"], "metric", "value")
+
+
 # ----------------------------------------------------------- scalar families
 
 def q_scalar_strings(spark, sf_dir):
@@ -603,6 +629,9 @@ QUERIES = {
     "set_union_all": q_set_union_all,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
+    "set_intersect_all": q_set_intersect_all,
+    "set_except_all": q_set_except_all,
+    "unpivot_melt": q_unpivot_melt,
     "scalar_strings": q_scalar_strings,
     "scalar_dates": q_scalar_dates,
     "scalar_math": q_scalar_math,
@@ -847,6 +876,22 @@ ORACLES = {
     "set_except": """
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT SELECT s_nationkey FROM supplier
+    """,
+    "set_intersect_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL SELECT s_nationkey FROM supplier
+    """,
+    "set_except_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL SELECT s_nationkey FROM supplier
+    """,
+    "unpivot_melt": """
+        SELECT c_custkey, metric, value FROM (
+          SELECT c_custkey, acctbal, nationkey_d FROM (
+            SELECT c_custkey, c_acctbal AS acctbal,
+                   CAST(c_nationkey AS DOUBLE) AS nationkey_d
+            FROM customer)
+        ) UNPIVOT (value FOR metric IN (acctbal, nationkey_d))
     """,
     "scalar_strings": """
         SELECT p_partkey,
