@@ -246,6 +246,28 @@ def q_agg_approx_distinct(spark, sf_dir):
 
 # ------------------------------------------------------------------ windows
 
+def q_agg_session_windows_batch(spark, sf_dir):
+    """Native F.session_window in BATCH (30-min gap): per-user sessions
+    with bounds and event counts — the batch twin of the streaming
+    session-window query and of the grouped-map sessionize UDx.  Oracle:
+    classic gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            # NTZ-to-NTZ diff: session-timezone-independent epoch µs
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " session_window.start)"
+            ).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def q_agg_salted_skew(spark, sf_dir):
     """Skew-immune salted aggregation (SURVEY.md §4): event_type has only
     5 values — an unsalted groupBy funnels 1/5 of the table through each
@@ -613,6 +635,7 @@ QUERIES = {
     "agg_minmax_stats": q_agg_minmax_stats,
     "agg_collect": q_agg_collect,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_session_windows_batch": q_agg_session_windows_batch,
     "agg_salted_skew": q_agg_salted_skew,
     "win_topk_per_group": q_win_topk_per_group,
     "win_rank": q_win_rank,
@@ -762,6 +785,24 @@ ORACLES = {
                string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_set,
                count(*) AS n
         FROM nation GROUP BY n_regionkey
+    """,
+    "agg_session_windows_batch": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, tus,
+                 CASE WHEN lag(tus) OVER w IS NULL
+                        OR tus - lag(tus) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        ),
+        s AS (
+          SELECT user_id, tus,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "agg_salted_skew": """
         SELECT event_type, count(*) AS n_events,
