@@ -61,8 +61,11 @@ def jaccard_pairs(
     per-doc counts; Jaccard = |∩| / (|A| + |B| - |∩|) is exact integer
     arithmetic until the final division.
     """
-    sh = shingle_frame(docs, k, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(docs, k, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    sizes = sets.select("doc_id", F.size("sh_set").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
