@@ -56,6 +56,25 @@ def q_s14_run_accounting(spark, sf_dir):
     return counts.crossJoin(live).crossJoin(recs)
 
 
+def q_s2_run_identity(spark, sf_dir):
+    """S2: keyspace/table identity derived from the storage path
+    (extractKeyspaceAndTable, SSTable.cpp:227-267) — input_file_name +
+    regexp_extract per row, aggregated to (table_name, n_rows, n_files);
+    the single-table consistency check (CassandraParser.cpp:67-77) is the
+    assertion that exactly one table_name appears."""
+    ev = load_table(spark, sf_dir, "events")
+    named = ev.select(
+        F.regexp_extract(F.input_file_name(), r"([a-z]+)\.parquet", 1).alias(
+            "table_name"
+        ),
+        F.input_file_name().alias("f"),
+    )
+    return named.groupBy("table_name").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("f").alias("n_files"),
+    )
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -93,9 +112,15 @@ QUERIES = {
     "j1_kway_merge": q_j1_kway_merge,
     "s14_run_accounting": q_s14_run_accounting,
     "s13_dry_run": q_s13_dry_run,
+    "s2_run_identity": q_s2_run_identity,
 }
 
 ORACLES = {
+    "s2_run_identity": """
+        SELECT 'events' AS table_name, count(*) AS n_rows,
+               CAST(1 AS BIGINT) AS n_files
+        FROM events
+    """,
     "j1_kway_merge": """
         SELECT user_id AS key, event_type AS col_name,
                arg_max(value, epoch_us(ts)) AS latest_value,

@@ -606,6 +606,24 @@ def q_scalar_conditional(spark, sf_dir):
     )
 
 
+def q_scalar_hex_roundtrip(spark, sf_dir):
+    """O4/T2/F6: hex encode/parse round trips (the reference's `-S` hex
+    resume-key parsing, Cassandra2Aerospike.cpp:126-150, and the dry-run
+    hex projection, Utilities.cpp:20-60)."""
+    p = _t(spark, sf_dir, "part")
+    name_hex = F.hex(F.encode(F.col("p_name"), "UTF-8"))
+    return p.select(
+        "p_partkey",
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.conv(F.hex(F.col("p_partkey")), 16, 10).cast("bigint").alias("key_back"),
+        F.lower(name_hex).alias("name_hex"),
+        F.decode(F.unhex(name_hex), "UTF-8").alias("name_back"),
+        (F.decode(F.unhex(name_hex), "UTF-8") == F.col("p_name"))
+        .cast("int")
+        .alias("roundtrip_ok"),
+    )
+
+
 def q_scalar_json(spark, sf_dir):
     """JSON family (X5 multimodal props): extraction + typed cast."""
     ev = _t(spark, sf_dir, "events")
@@ -660,6 +678,7 @@ QUERIES = {
     "scalar_math": q_scalar_math,
     "scalar_conditional": q_scalar_conditional,
     "scalar_json": q_scalar_json,
+    "scalar_hex_roundtrip": q_scalar_hex_roundtrip,
 }
 
 ORACLES = {
@@ -977,6 +996,15 @@ ORACLES = {
                greatest(c_acctbal, 0.0) AS bal_floor0,
                least(c_acctbal, 1000.0) AS bal_cap1k
         FROM customer
+    """,
+    "scalar_hex_roundtrip": """
+        SELECT p_partkey,
+               upper(to_hex(p_partkey)) AS key_hex,
+               CAST(p_partkey AS BIGINT) AS key_back,
+               lower(hex(encode(p_name))) AS name_hex,
+               decode(from_hex(hex(encode(p_name)))) AS name_back,
+               CAST(decode(from_hex(hex(encode(p_name)))) = p_name AS INT) AS roundtrip_ok
+        FROM part
     """,
     "scalar_json": """
         SELECT event_id,
