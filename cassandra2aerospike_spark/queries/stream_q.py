@@ -7,6 +7,7 @@ from __future__ import annotations
 from ..streaming import (
     stream_session_windows,
     stream_sliding_counts,
+    stream_stream_join,
     stream_tumbling_counts,
     streaming_dedup_keys,
 )
@@ -16,6 +17,7 @@ QUERIES = {
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": streaming_dedup_keys,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLES = {
@@ -64,4 +66,14 @@ ORACLES = {
         FROM g GROUP BY user_id, sid
     """,
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_stream_join": """
+        SELECT p.event_id, p.user_id, count(*) AS n_prior_views
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+              FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id AS v_user, CAST(ts AS TIMESTAMP) AS vts
+              FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.v_user
+         AND v.vts >= p.pts - INTERVAL '1 hour' AND v.vts <= p.pts
+        GROUP BY 1, 2
+    """,
 }

@@ -130,6 +130,37 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: each purchase joined to
+    the same user's view events in the preceding hour.  Both sides carry
+    watermarks and the join has a time-bound condition, so state is
+    evictable — the production-shape streaming join.  Counted per
+    purchase (deterministic; oracle = the equivalent batch range join)."""
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts_event").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts_event").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    table = _run_to_memory(joined, "append")
+    return (
+        table.groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("n_prior_views"))
+    )
+
+
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A1: stateful dedup under a watermark
     (dropDuplicatesWithinWatermark) — emits each (user_id, event_type)
