@@ -75,6 +75,54 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     return total
 
 
+def brute_force_topk_fast(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Vectorized twin of brute_force_topk: one numpy GEMM per Arrow batch
+    (mapInPandas) scores the batch against the whole (small, collected)
+    query matrix at once — the actual 100 TB hot path, ~10-100× the
+    throughput of the expression-tree fold.  Numerically it differs from
+    the fold by summation order (BLAS pairwise), so this is rows-only:
+    brute_force_topk is the oracle-exact baseline, and tests pin the two
+    rankings against each other."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("q_id", "q_vec").collect()  # small by contract
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q_vec for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score_batches(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_ids = pdf["vec_id"].to_numpy()
+            sims = (c_mat @ q_mat.T) / (
+                np.linalg.norm(c_mat, axis=1)[:, None] * q_norm[None, :]
+            )
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_c),
+                    "vec_id": np.repeat(c_ids, n_q),
+                    "sim": sims.ravel(),
+                }
+            )
+
+    scored = (
+        spread(corpus)
+        .select("vec_id", "embedding")
+        .mapInPandas(score_batches, "q_id long, vec_id long, sim double")
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "sim")
+    )
+
+
 def centroid_frame(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
     """Deterministic coarse-quantizer codebook: the n lowest vec_ids stand
     in for trained k-means centroids (engine-portable; a real deployment

@@ -34,6 +34,14 @@ def q_sim_lsh_topk(spark, sf_dir):
     return S.lsh_topk(_queries_frame(emb), emb, k=5, n_bits=8)
 
 
+def q_sim_cosine_topk_fast(spark, sf_dir):
+    """X3 hot path: GEMM-vectorized brute-force top-5 (one numpy matmul
+    per Arrow batch).  Rows-only: BLAS summation order differs from the
+    oracle-exact fold; tests pin it against sim_cosine_topk."""
+    emb = _emb(spark, sf_dir)
+    return S.brute_force_topk_fast(_queries_frame(emb), emb, k=5)
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """X3 scale path #2: IVF ANN — nearest-centroid cell assignment
     (in-row argmax against a broadcast codebook), then top-5 within the
@@ -246,6 +254,7 @@ ORACLES = {
 
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_cosine_topk_fast": q_sim_cosine_topk_fast,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_embedding_neardup": q_sim_embedding_neardup,

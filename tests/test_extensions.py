@@ -103,3 +103,23 @@ def test_frame_sample_stub_cardinality(spark):
     assert sorted(r.frame_idx for r in by_doc[7]) == [0, 2]
     assert [r.frame_idx for r in by_doc[8]] == [0]
     assert by_doc[8][0].frame_md5 == hashlib.md5(b"8:0").hexdigest()
+
+
+def test_fast_topk_matches_exact_ranking(spark, sf_dir):
+    """The GEMM fast path must produce the same neighbor SETS as the
+    oracle-exact fold baseline (sims differ only by float summation
+    order, far below the fixture's ranking gaps)."""
+    from cassandra2aerospike_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.brute_force_topk(q, emb, k=5).collect()
+    fast = S.brute_force_topk_fast(q, emb, k=5).collect()
+    ex = {(r.q_id, r.vec_id) for r in exact}
+    fs = {(r.q_id, r.vec_id) for r in fast}
+    assert ex == fs
+    sims_ex = {(r.q_id, r.vec_id): r.sim for r in exact}
+    for r in fast:
+        assert abs(sims_ex[(r.q_id, r.vec_id)] - r.sim) < 1e-9
