@@ -246,6 +246,33 @@ def q_agg_approx_distinct(spark, sf_dir):
 
 # ------------------------------------------------------------------ windows
 
+def q_agg_stats_moments(spark, sf_dir):
+    """Statistical aggregate family: stddev/variance (sample), correlation
+    and covariance — rounded to 6 decimals (both engines evaluate in
+    double; rounding absorbs the last-ulp differences of their update
+    formulas)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise aggregate family: AND/OR/XOR folds of event ids per user —
+    integer-exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_agg_session_windows_batch(spark, sf_dir):
     """Native F.session_window in BATCH (30-min gap): per-user sessions
     with bounds and event counts — the batch twin of the streaming
@@ -653,6 +680,8 @@ QUERIES = {
     "agg_minmax_stats": q_agg_minmax_stats,
     "agg_collect": q_agg_collect,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_stats_moments": q_agg_stats_moments,
+    "agg_bitwise": q_agg_bitwise,
     "agg_session_windows_batch": q_agg_session_windows_batch,
     "agg_salted_skew": q_agg_salted_skew,
     "win_topk_per_group": q_win_topk_per_group,
@@ -804,6 +833,23 @@ ORACLES = {
                string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_set,
                count(*) AS n
         FROM nation GROUP BY n_regionkey
+    """,
+    "agg_stats_moments": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 6) AS sd_price,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_bitwise": """
+        SELECT user_id,
+               bit_and(event_id) AS ids_and,
+               bit_or(event_id) AS ids_or,
+               bit_xor(event_id) AS ids_xor,
+               count(*) AS n
+        FROM events GROUP BY user_id
     """,
     "agg_session_windows_batch": """
         WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

@@ -158,3 +158,11 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_topk_per_group_pushes_window_group_limit(spark, sf_dir, queries):
+    """rank-filter top-k must trigger WindowGroupLimit (per-partition
+    top-k below the shuffle) — without it, skewed groups materialize
+    their full window state."""
+    rep = audit(queries["win_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in rep.plan, rep.plan
