@@ -244,7 +244,6 @@ def q_agg_approx_distinct(spark, sf_dir):
     )
 
 
-# ------------------------------------------------------------------ windows
 
 def q_agg_stats_moments(spark, sf_dir):
     """Statistical aggregate family: stddev/variance (sample), correlation
@@ -253,10 +252,10 @@ def q_agg_stats_moments(spark, sf_dir):
     formulas)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_disc_tax"),
         F.count("*").alias("n"),
     )
 
@@ -321,6 +320,8 @@ def q_agg_salted_skew(spark, sf_dir):
         "max_ts_us",
     )
 
+
+# ------------------------------------------------------------------ windows
 
 def q_win_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer (row_number ranking window; unique
@@ -836,10 +837,10 @@ ORACLES = {
     """,
     "agg_stats_moments": """
         SELECT l_returnflag,
-               round(stddev_samp(l_extendedprice), 6) AS sd_price,
-               round(var_samp(l_quantity), 6) AS var_qty,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+               round(stddev_samp(l_extendedprice), 4) AS sd_price,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,
