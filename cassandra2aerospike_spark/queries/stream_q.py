@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from ..streaming import (
     stream_session_windows,
+    stream_sstable_ingest,
     stream_sliding_counts,
     stream_stream_join,
     stream_tumbling_counts,
@@ -18,6 +19,7 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": streaming_dedup_keys,
     "stream_stream_join": stream_stream_join,
+    "stream_sstable_ingest": stream_sstable_ingest,
 }
 
 ORACLES = {
@@ -66,6 +68,19 @@ ORACLES = {
         FROM g GROUP BY user_id, sid
     """,
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_sstable_ingest": """
+        WITH cls AS (
+          SELECT epoch_us(ts) % 3 AS run0,
+                 CASE WHEN event_id % 97 = 0 THEN 'row'
+                      WHEN event_id % 13 = 0 THEN 'range'
+                      WHEN event_id % 10 = 0 THEN 'point'
+                      ELSE 'cell' END AS kind
+          FROM events
+        )
+        SELECT CAST(run0 + 1 AS INT) AS run, count(*) AS n_cells
+        FROM cls WHERE kind = 'cell'
+        GROUP BY 1
+    """,
     "stream_stream_join": """
         SELECT p.event_id, p.user_id, count(*) AS n_prior_views
         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts

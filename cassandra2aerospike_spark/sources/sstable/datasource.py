@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -167,6 +168,45 @@ class SSTableRunReader(DataSourceReader):
                 )
 
 
+class SSTableRunStreamReader(DataSourceStreamReader):
+    """Streaming flavor of the run source: each newly-arrived run
+    generation is a microbatch (the reference's *continuous* operation —
+    it re-walks the table directory and resumes as new SSTables land;
+    CassandraParser.cpp:83-175 + the `-s` resume contract).
+
+    Offset = highest run generation ingested; partition-planned (one
+    InputPartition per new run, split like the batch reader), so executors
+    do the reading — not the driver.  Checkpointed offsets give exactly-
+    once per run: the streaming analog of the resume-key hint (O3)."""
+
+    def __init__(self, options):
+        self.directory = options.get("path")
+        if not self.directory:
+            raise ValueError("sstable_run stream requires a path")
+        self.verify = options.get("verify_checksums", "true").lower() == "true"
+
+    def initialOffset(self):
+        return {"max_gen": 0}
+
+    def latestOffset(self):
+        gens = discover_runs(self.directory)
+        return {"max_gen": max(gens) if gens else 0}
+
+    def partitions(self, start, end):
+        lo, hi = start["max_gen"], end["max_gen"]
+        return [
+            RunSlice(self.directory, gen, None, None, self.verify)
+            for gen in discover_runs(self.directory)
+            if lo < gen <= hi
+        ]
+
+    def read(self, part: RunSlice):
+        return SSTableRunReader.read(self, part)  # same per-slice scan
+
+    def commit(self, end):
+        pass
+
+
 class SSTableRunDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -177,6 +217,9 @@ class SSTableRunDataSource(DataSource):
 
     def reader(self, schema):
         return SSTableRunReader(self.options)
+
+    def streamReader(self, schema):
+        return SSTableRunStreamReader(self.options)
 
 
 def register(spark) -> None:

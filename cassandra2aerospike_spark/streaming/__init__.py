@@ -4,6 +4,7 @@ from .stream_queries import (
     stream_sliding_counts,
     stream_tumbling_counts,
     stream_stateful_lww,
+    stream_sstable_ingest,
     stream_stream_join,
     streaming_dedup_keys,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "stream_sliding_counts",
     "stream_tumbling_counts",
     "stream_stateful_lww",
+    "stream_sstable_ingest",
     "stream_stream_join",
     "streaming_dedup_keys",
 ]

@@ -161,6 +161,26 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sstable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CONTINUOUS operation: the SSTable-run directory as
+    a stream — each run generation is one microbatch via the custom
+    streaming DataSource (checkpointed offsets = exactly-once per run,
+    the O3 resume contract).  Emits live-cell counts per run; row-
+    tombstone markers are excluded (they collapse per partition in the
+    run encoding, so only cell rows are count-stable)."""
+    from ..sources.sstable import register
+    from ..sources.sstable.fixtures import build_runs_from_events, default_runs_dir
+
+    runs_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
+    register(spark)
+    stream = spark.readStream.format("sstable_run").load(runs_dir)
+    cells = stream.filter(
+        F.col("col_name").isNotNull() & ~F.col("deleted") & ~F.col("range_tomb")
+    )
+    agg = cells.groupBy("run").agg(F.count("*").alias("n_cells"))
+    return _run_to_memory(agg, "complete")
+
+
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A1: stateful dedup under a watermark
     (dropDuplicatesWithinWatermark) — emits each (user_id, event_type)

@@ -283,3 +283,61 @@ def test_compaction_roundtrip(spark, sf_dir, tmp_path):
     # idempotence: compacting the compacted run changes nothing
     remerged = lww_latest(live_cells_from_classified(readback))
     assert cellset(remerged) == cellset(merged)
+
+
+def test_streaming_source_ingests_new_runs(spark, tmp_path):
+    """Streaming run source: each new run generation arrives as a
+    microbatch; checkpointed offsets make reprocessing exactly-once per
+    run (the continuous-operation contract of the reference)."""
+    import time as _time
+
+    from cassandra2aerospike_spark.sources.sstable import register
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        Cell,
+        Partition,
+        RunWriter,
+    )
+
+    runs_dir = str(tmp_path / "runs")
+    import os
+
+    os.makedirs(runs_dir)
+
+    def write_run(gen, keys):
+        w = RunWriter(runs_dir, gen)
+        parts = [
+            Partition(
+                key=str(k).encode(),
+                cells=[Cell(col_name="c", value=str(k).encode(), ts=k)],
+            )
+            for k in keys
+        ]
+        for p in sorted(parts, key=lambda p: (p.token, p.key)):
+            w.add(p)
+        w.finish()
+
+    write_run(1, range(0, 10))
+    write_run(2, range(5, 15))
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.format("sstable_run").load(runs_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sst_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.table("sst_stream").count()
+        assert n1 == 20  # both initial runs ingested
+
+        write_run(3, range(100, 104))
+        q.processAllAvailable()
+        got = spark.table("sst_stream")
+        assert got.count() == 24  # only the new run arrived (no reprocess)
+        assert got.filter("run = 3").count() == 4
+    finally:
+        q.stop()
