@@ -5,6 +5,7 @@ checked against batch SQL (streaming/stream_queries.py for semantics)."""
 from __future__ import annotations
 
 from ..streaming import (
+    stream_lww_tws,
     stream_session_windows,
     stream_sstable_ingest,
     stream_sliding_counts,
@@ -21,6 +22,18 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_sstable_ingest": stream_sstable_ingest,
 }
+
+# transformWithStateInPandas needs the protobuf wire between the JVM and
+# the Python state server; register its query only where the dependency
+# exists (this container ships a broken google.protobuf — the
+# applyInPandasWithState twin stream_stateful_lww covers the semantics).
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    QUERIES["stream_lww_tws"] = stream_lww_tws
+    _HAS_TWS = True
+except ImportError:
+    _HAS_TWS = False
 
 ORACLES = {
     "stream_tumbling_counts": """
@@ -68,6 +81,7 @@ ORACLES = {
         FROM g GROUP BY user_id, sid
     """,
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+
     "stream_sstable_ingest": """
         WITH cls AS (
           SELECT epoch_us(ts) % 3 AS run0,
@@ -92,3 +106,11 @@ ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+if _HAS_TWS:
+    ORACLES["stream_lww_tws"] = """
+        SELECT user_id, event_type,
+               arg_max(value, epoch_us(ts)) AS latest_value,
+               max(epoch_us(ts)) AS latest_ts_us
+        FROM events GROUP BY user_id, event_type
+    """

@@ -4,6 +4,7 @@ from .stream_queries import (
     stream_sliding_counts,
     stream_tumbling_counts,
     stream_stateful_lww,
+    stream_lww_tws,
     stream_sstable_ingest,
     stream_stream_join,
     streaming_dedup_keys,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_sliding_counts",
     "stream_tumbling_counts",
     "stream_stateful_lww",
+    "stream_lww_tws",
     "stream_sstable_ingest",
     "stream_stream_join",
     "streaming_dedup_keys",

@@ -161,6 +161,87 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_lww_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on the MODERN stateful API (transformWithStateInPandas,
+    Spark 4): a StatefulProcessor with a ValueState cell per
+    (user_id, event_type) holds the running LWW winner — the
+    forward-looking twin of stream_stateful_lww's applyInPandasWithState.
+    Output mode 'update' emits the current winner per batch; the final
+    answer per key is the emission with the greatest timestamp."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("latest_value", DoubleType()),
+            StructField("latest_ts_us", LongType()),
+        ]
+    )
+
+    class LWWProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState(
+                "lww", StructType([StructField("v", DoubleType()), StructField("t", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.state.exists():
+                v, t = self.state.get()
+            else:
+                v, t = None, -(1 << 62)
+            for pdf in rows:
+                for val, ts in zip(pdf["value"], pdf["ts_us"]):
+                    ts = int(ts)
+                    if ts > t:  # strict >: first-seen wins ties (A1)
+                        v, t = float(val), ts
+            self.state.update((v, t))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "latest_value": [v],
+                    "latest_ts_us": [t],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir)
+    res = (
+        ev.select("user_id", "event_type", "value", "ts_us")
+        .groupBy("user_id", "event_type")
+        .transformWithStateInPandas(
+            LWWProcessor(), outputStructType=out_schema, outputMode="Update",
+            timeMode="None",
+        )
+    )
+    table = _run_to_memory(res, "update")
+    final = F.max_by(F.struct("latest_value", "latest_ts_us"), "latest_ts_us").alias("s")
+    return (
+        table.groupBy("user_id", "event_type")
+        .agg(final)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s.latest_value").alias("latest_value"),
+            F.col("s.latest_ts_us").alias("latest_ts_us"),
+        )
+    )
+
+
 def stream_sstable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's CONTINUOUS operation: the SSTable-run directory as
     a stream — each run generation is one microbatch via the custom
