@@ -29,10 +29,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -207,6 +209,102 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         pass
 
 
+class RunCommit(WriterCommitMessage):
+    def __init__(self, tmp_dir: str, n_parts: int):
+        self.tmp_dir = tmp_dir
+        self.n_parts = n_parts
+
+
+class SSTableRunWriter(DataSourceWriter):
+    """Write side of the run source: `df.write.format("sstable_run")`.
+
+    Each task sorts its partition's cells into (token, key) order and
+    writes ONE run into a task-private temp directory; the driver-side
+    commit renames temp runs to sequential final generations, and abort
+    removes them — task retries can never leave half-written runs visible
+    (the DataSource-API analog of the reference's resumable, idempotent
+    sink contract).  Local-FS rename commit; a cloud deployment would
+    swap in a manifest committer.
+
+    Expected input schema (the EAV cell stream, reader-symmetric):
+      key string, col_name string?, value binary?, ts long,
+      ttl int?, expiration long?, deleted bool, range_tomb bool,
+      row_tomb_ts long?
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.directory = options.get("path")
+        if not self.directory:
+            raise ValueError("sstable_run write requires a path")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        from .format import Cell, Partition, RunWriter
+
+        tmp = os.path.join(self.directory, f".tmp-{uuid.uuid4().hex[:12]}")
+        os.makedirs(tmp, exist_ok=True)
+        parts: dict[bytes, Partition] = {}
+        for r in rows:
+            key = r.key.encode("utf-8") if isinstance(r.key, str) else bytes(r.key)
+            p = parts.get(key)
+            if p is None:
+                p = parts[key] = Partition(key=key)
+            if r.col_name is None:
+                p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
+            else:
+                p.cells.append(
+                    Cell(
+                        col_name=r.col_name,
+                        value=bytes(r.value) if r.value is not None else None,
+                        ts=r.ts,
+                        ttl=r.ttl,
+                        expiration=r.expiration,
+                        deleted=bool(r.deleted),
+                        range_tomb=bool(r.range_tomb),
+                    )
+                )
+        if not parts:
+            os.rmdir(tmp)
+            return RunCommit("", 0)
+        w = RunWriter(tmp, 1)
+        for p in sorted(parts.values(), key=lambda p: (p.token, p.key)):
+            p.cells.sort(key=lambda c: (c.col_name, c.ts))
+            w.add(p)
+        w.finish()
+        return RunCommit(tmp, len(parts))
+
+    def commit(self, messages):
+        import glob
+        import os
+        import shutil
+
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.directory, "*-*.db")):
+                os.remove(f)
+        gen = 0
+        for m in messages:
+            if m is None or not m.tmp_dir:
+                continue
+            gen += 1
+            for f in sorted(os.listdir(m.tmp_dir)):
+                comp = f.split("-", 1)[1]
+                os.rename(
+                    os.path.join(m.tmp_dir, f),
+                    os.path.join(self.directory, f"{gen}-{comp}"),
+                )
+            shutil.rmtree(m.tmp_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        for m in messages:
+            if m is not None and m.tmp_dir:
+                shutil.rmtree(m.tmp_dir, ignore_errors=True)
+
+
 class SSTableRunDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -220,6 +318,9 @@ class SSTableRunDataSource(DataSource):
 
     def streamReader(self, schema):
         return SSTableRunStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return SSTableRunWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -341,3 +341,33 @@ def test_streaming_source_ingests_new_runs(spark, tmp_path):
         assert got.filter("run = 3").count() == 4
     finally:
         q.stop()
+
+
+def test_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format('sstable_run'): tasks write temp runs, the commit
+    renames them into place (abort-safe).  Read-back must equal the input
+    cell set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.sources.sstable import register
+
+    register(spark)
+    out = str(tmp_path / "written")
+    os.makedirs(out)
+    cells = spark.createDataFrame(
+        [(str(k), "c%d" % (k % 3), str(k).encode(), 1000 + k, None, None, False, False, None)
+         for k in range(200)],
+        "key string, col_name string, value binary, ts long, ttl int, "
+        "expiration long, deleted boolean, range_tomb boolean, row_tomb_ts long",
+    )
+    cells.repartition(3).write.format("sstable_run").mode("append").save(out)
+
+    back = spark.read.format("sstable_run").load(out)
+    assert back.count() == 200
+    got = {(r.key.decode(), r.col_name, bytes(r.value).decode(), r.ts) for r in back.collect()}
+    want = {(str(k), "c%d" % (k % 3), str(k), 1000 + k) for k in range(200)}
+    assert got == want
+    # multiple runs were produced (one per non-empty task)
+    assert back.select("run").distinct().count() >= 2
