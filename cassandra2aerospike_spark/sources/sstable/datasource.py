@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     Filter,
     GreaterThan,
@@ -305,6 +306,43 @@ class SSTableRunWriter(DataSourceWriter):
                 shutil.rmtree(m.tmp_dir, ignore_errors=True)
 
 
+class SSTableRunStreamWriter(DataSourceStreamWriter):
+    """Streaming write side: each microbatch's tasks write temp runs and
+    the per-epoch commit renames them into place (exactly-once per batch
+    under checkpointed re-execution: a replayed epoch re-writes temp dirs
+    and the rename commit is idempotent per batch id).  Together with the
+    stream reader this closes the loop: continuous ingest -> transform ->
+    continuous sorted-run output (the reference's steady-state operation)."""
+
+    def __init__(self, options):
+        self._w = SSTableRunWriter(options, overwrite=False)
+        self.directory = self._w.directory
+
+    def write(self, rows):
+        return self._w.write(rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        gen = 0
+        for m in messages:
+            if m is None or not m.tmp_dir:
+                continue
+            gen += 1
+            final_gen = batchId * 1000 + gen  # unique, monotone per epoch
+            for f in sorted(os.listdir(m.tmp_dir)):
+                comp = f.split("-", 1)[1]
+                dst = os.path.join(self.directory, f"{final_gen}-{comp}")
+                if os.path.exists(dst):  # replayed epoch: idempotent
+                    os.remove(dst)
+                os.rename(os.path.join(m.tmp_dir, f), dst)
+            shutil.rmtree(m.tmp_dir, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)
+
+
 class SSTableRunDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -321,6 +359,9 @@ class SSTableRunDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return SSTableRunWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return SSTableRunStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -371,3 +371,55 @@ def test_datasource_write_roundtrip(spark, tmp_path):
     assert got == want
     # multiple runs were produced (one per non-empty task)
     assert back.select("run").distinct().count() >= 2
+
+
+def test_streaming_write_roundtrip(spark, tmp_path):
+    """writeStream.format('sstable_run'): the stream reader's microbatches
+    flow through a transform and land as new sorted runs — continuous
+    ingest -> continuous run output, the 4th quadrant of the source."""
+    import os
+
+    from cassandra2aerospike_spark.sources.sstable import register
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        Cell,
+        Partition,
+        RunWriter,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src"); os.makedirs(src)
+    dst = str(tmp_path / "dst"); os.makedirs(dst)
+
+    def write_run(gen, keys):
+        w = RunWriter(src, gen)
+        parts = [
+            Partition(key=str(k).encode(), cells=[Cell(col_name="c", value=str(k).encode(), ts=k)])
+            for k in keys
+        ]
+        for p in sorted(parts, key=lambda p: (p.token, p.key)):
+            w.add(p)
+        w.finish()
+
+    write_run(1, range(0, 30))
+    stream = spark.readStream.format("sstable_run").load(src)
+    q = (
+        stream.select("key", "col_name", "value", "ts", "ttl", "expiration",
+                      "deleted", "range_tomb", "row_tomb_ts")
+        .withColumn("key", stream.key.cast("string"))
+        .writeStream.format("sstable_run")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_run(2, range(100, 120))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.format("sstable_run").load(dst)
+    assert back.count() == 50
+    keys = {int(bytes(r.key).decode()) for r in back.select("key").collect()}
+    assert keys == set(range(0, 30)) | set(range(100, 120))
