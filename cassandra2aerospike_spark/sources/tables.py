@@ -64,6 +64,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Must work on ANY caller-supplied session (the driver passes its own),
     so the nanos handling is set at runtime here.
     """
+    # tz-pin every caller session (runtime-settable): date-part extraction
+    # on LTZ timestamps (orders/lineitem dates) must agree with DuckDB's
+    # tz-naive reading regardless of the driver session's local timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # session-level but runtime-settable; required to read TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
