@@ -284,6 +284,66 @@ def minhash_lsh_pairs(
     return jaccard_on_candidates(cand, sets, threshold)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected pair set -> (node, component)
+    with component = min node id in the component.
+
+    This turns near-dup PAIRS into dedup CLUSTERS (pick min doc_id as the
+    canonical representative — the standard corpus-dedup final step).
+
+    Algorithm: large-star-ish min-label propagation — each node adopts
+    the minimum label in its neighborhood, iterated to fixpoint.  Each
+    round is one join + one aggregation (two shuffles) over the EDGE set;
+    rounds needed = O(log(diameter)) in practice since labels jump to the
+    component minimum along shortcuts.  Distributed throughout: no
+    driver-side graph, only a fixpoint check per round (a 1-row count);
+    frames are persisted per round and unpersisted after the next round
+    materializes (lineage would otherwise grow exponentially).
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """X2 SimHash: 64-bit fingerprint = sign-aggregate of per-token md5 bits.
 

@@ -47,6 +47,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).select("doc_a", "doc_b", "jaccard")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """X2 endgame: near-dup PAIRS -> dedup CLUSTERS via distributed
+    connected components (min-label propagation to fixpoint); cluster id
+    = min doc_id = the canonical representative to keep.  Oracle: the
+    same pair set closed transitively with a recursive CTE."""
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=16, n_bands=4, rows_per_band=4, k=3, threshold=0.5
+    )
+    return D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """X2 SimHash 60-bit fingerprints per document."""
     return D.simhash64(_docs(spark, sf_dir))
@@ -91,6 +104,34 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- oracles
+
+_LSH_BODY = """
+        , shh AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(range(1, 16),
+                     j -> strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1),
+                     (a, b) -> a * 16 + b) % 2147483647 AS hp
+          FROM sh
+        ),
+        mh AS (
+          SELECT doc_id, i,
+                 min((((i * 2654435761 + 1) % 2147483647) * hp
+                      + ((i * 40503 + 7) % 2147483647)) % 2147483647) AS h
+          FROM shh, (SELECT unnest(range(0, 16)) AS i)
+          GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT doc_id, i // 4 AS band,
+                 md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bkey
+          FROM mh GROUP BY doc_id, i // 4
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+"""
+
 
 _TOKS = """
 WITH toks AS (
@@ -160,35 +201,30 @@ ORACLES = {
     "dedup_jaccard_pairs": _JACCARD
     + "SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.6",
     "dedup_minhash_lsh": _JACCARD
+    + _LSH_BODY
     + """
-        , shh AS (
-          SELECT doc_id,
-                 list_reduce(list_transform(range(1, 16),
-                     j -> strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1),
-                     (a, b) -> a * 16 + b) % 2147483647 AS hp
-          FROM sh
-        ),
-        mh AS (
-          SELECT doc_id, i,
-                 min((((i * 2654435761 + 1) % 2147483647) * hp
-                      + ((i * 40503 + 7) % 2147483647)) % 2147483647) AS h
-          FROM shh, (SELECT unnest(range(0, 16)) AS i)
-          GROUP BY doc_id, i
-        ),
-        bands AS (
-          SELECT doc_id, i // 4 AS band,
-                 md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bkey
-          FROM mh GROUP BY doc_id, i // 4
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        )
         SELECT c.doc_a, c.doc_b, j.jaccard
         FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         WHERE j.jaccard >= 0.5
     """,
+    "dedup_clusters": (_JACCARD + _LSH_BODY + """
+        , pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    """).replace("WITH toks", "WITH RECURSIVE toks", 1),
     "dedup_simhash": _SIMHASH + "SELECT doc_id, simhash FROM simh",
     "dedup_simhash_pairs": _SIMHASH
     + """
@@ -209,6 +245,7 @@ QUERIES = {
     "dedup_prefix": q_dedup_prefix,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }

@@ -123,3 +123,12 @@ def test_fast_topk_matches_exact_ranking(spark, sf_dir):
     sims_ex = {(r.q_id, r.vec_id): r.sim for r in exact}
     for r in fast:
         assert abs(sims_ex[(r.q_id, r.vec_id)] - r.sim) < 1e-9
+
+
+def test_connected_components_small_graph(spark):
+    # two components {1,2,3,9} (chain + shortcut) and {5,6}; singleton 7-8 pair absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (1, 9), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
