@@ -60,6 +60,40 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """The corpus-dedup DECISION, end to end: a document is kept iff it is
+    (a) the representative (min doc_id) of its exact-duplicate group AND
+    (b) the canonical (min doc_id) of its near-dup cluster — or in no
+    cluster at all.  One boolean per document: the actual drop list a
+    100 TB training-data pipeline materializes."""
+    docs = _docs(spark, sf_dir)
+    exact_rep = (
+        D.exact_clusters(docs)
+        .select(F.col("rep_doc_id").alias("doc_id"))
+        .withColumn("is_exact_rep", F.lit(1))
+    )
+    pairs = D.minhash_lsh_pairs(
+        docs, n_hashes=16, n_bands=4, rows_per_band=4, k=3, threshold=0.5
+    )
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_rep, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("is_exact_rep").isNotNull()
+                & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """X2 SimHash 60-bit fingerprints per document."""
     return D.simhash64(_docs(spark, sf_dir))
@@ -225,6 +259,37 @@ ORACLES = {
         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         FROM reach GROUP BY a
     """).replace("WITH toks", "WITH RECURSIVE toks", 1),
+    "dedup_keep_list": (_JACCARD + _LSH_BODY + """
+        , pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a
+        ),
+        exact_rep AS (
+          SELECT min(doc_id) AS doc_id FROM toks
+          GROUP BY md5(array_to_string(t, ' '))
+        )
+        SELECT d.doc_id,
+               CAST(e.doc_id IS NOT NULL
+                    AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+                    AS INT) AS keep
+        FROM documents d
+        LEFT JOIN exact_rep e ON e.doc_id = d.doc_id
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """).replace("WITH toks", "WITH RECURSIVE toks", 1),
     "dedup_simhash": _SIMHASH + "SELECT doc_id, simhash FROM simh",
     "dedup_simhash_pairs": _SIMHASH
     + """
@@ -246,6 +311,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
