@@ -72,6 +72,22 @@ def q_text_term_freq(spark, sf_dir):
     return tf.orderBy(F.col("freq").desc(), F.col("token")).limit(50)
 
 
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-independent key
+    hash (md5 bucket): reproducible across engines, runs and partitionings
+    — the sampling/split primitive a training pipeline needs (Spark's
+    df.sample is partition-order-dependent, so it cannot be the split of
+    record).  80/10/10 by the first 4 hex digits of md5(doc_id)."""
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 52429, "train")   # 0.8 * 65536
+        .when(bucket < 58982, "val")      # 0.9 * 65536
+        .otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
 # ---------------------------------------------------------------- oracles
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.STOPWORDS.items()}
@@ -145,6 +161,21 @@ ORACLES = {
                              i -> array_to_string(t[i : i + 2], ' ')))) END AS n_shingles
         FROM toks
     """,
+    "sample_hash_split": """
+        WITH b AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(range(1, 5),
+                     j -> strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1),
+                     (a, b) -> a * 16 + b) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, CAST(bucket AS INT) AS bucket,
+               CASE WHEN bucket < 52429 THEN 'train'
+                    WHEN bucket < 58982 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
     "text_term_freq": _TOKS
     + """
         SELECT token, count(*) AS freq
@@ -159,4 +190,5 @@ QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "text_term_freq": q_text_term_freq,
+    "sample_hash_split": q_sample_hash_split,
 }
