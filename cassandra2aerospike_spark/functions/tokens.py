@@ -127,3 +127,37 @@ def md5_token(key: Column) -> Column:
 def byte_ordered_token(key: Column) -> Column:
     """P3 ByteOrderedPartitioner: the key bytes themselves."""
     return key.cast("string")
+
+
+# ------------------------------------------------------------ P4: registry
+
+# Partitioner registry (P4): fully-qualified Cassandra class name ->
+# token column function, mirroring the reference's name dispatch
+# (Partitioners.cpp:247-288).  Unknown names raise, matching its abort.
+PARTITIONERS = {
+    "org.apache.cassandra.dht.Murmur3Partitioner": murmur3_token,
+    "org.apache.cassandra.dht.RandomPartitioner": md5_token,
+    "org.apache.cassandra.dht.ByteOrderedPartitioner": byte_ordered_token,
+    "org.apache.cassandra.dht.OrderPreservingPartitioner": byte_ordered_token,
+}
+
+# pre-"hc" format versions carry no partitioner name; the reference
+# defaults to RandomPartitioner (SSTable.cpp:332-334)
+DEFAULT_PARTITIONER = "org.apache.cassandra.dht.RandomPartitioner"
+
+
+def partitioner_for(name: str | None):
+    """Resolve a partitioner by class name (None -> the pre-'hc' default).
+    Short names ('murmur3', 'random', 'byteordered') also accepted."""
+    if name is None:
+        name = DEFAULT_PARTITIONER
+    if name in PARTITIONERS:
+        return PARTITIONERS[name]
+    short = {
+        "murmur3": murmur3_token,
+        "random": md5_token,
+        "byteordered": byte_ordered_token,
+    }
+    if name.lower() in short:
+        return short[name.lower()]
+    raise ValueError(f"unknown partitioner: {name!r}")

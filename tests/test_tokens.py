@@ -56,3 +56,20 @@ def test_block_path_16_32_bytes():
         t = murmur3_128_h1(bytes(range(n)))
         assert t not in seen  # distinct inputs -> distinct tokens here
         seen.add(t)
+
+
+def test_partitioner_registry(spark):
+    from cassandra2aerospike_spark.functions.tokens import (
+        DEFAULT_PARTITIONER,
+        md5_token,
+        partitioner_for,
+    )
+
+    assert partitioner_for("org.apache.cassandra.dht.Murmur3Partitioner") is not None
+    assert partitioner_for(None) is md5_token  # pre-"hc" default
+    assert partitioner_for("byteordered") is not None
+    assert "RandomPartitioner" in DEFAULT_PARTITIONER
+    import pytest
+
+    with pytest.raises(ValueError):
+        partitioner_for("org.apache.cassandra.dht.NopePartitioner")
