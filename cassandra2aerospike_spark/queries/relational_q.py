@@ -429,6 +429,53 @@ def q_win_frame_analytics(spark, sf_dir):
     )
 
 
+def q_win_range_frame(spark, sf_dir):
+    """RANGE-framed window (value-based frame, vs win_running_sum's
+    ROWS frame): per order, the customer's order count and exact-decimal
+    spend over the preceding 30 days (inclusive)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("day_no"),
+        F.count("*").over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+def q_series_gap_fill(spark, sf_dir):
+    """Time-series densification: month spine via sequence+explode, left
+    join of monthly order counts — empty months appear with zero counts
+    (the gap-fill shape every time-series rollup needs)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count("*").alias("n_orders"))
+    return (
+        spine.join(monthly, "month", "left")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
 def q_agg_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (median / p90 / p99) per group —
     Spark `percentile` ≡ SQL percentile_cont ≡ DuckDB quantile_cont.
@@ -691,6 +738,8 @@ QUERIES = {
     "win_running_sum": q_win_running_sum,
     "win_distribution": q_win_distribution,
     "win_frame_analytics": q_win_frame_analytics,
+    "win_range_frame": q_win_range_frame,
+    "series_gap_fill": q_series_gap_fill,
     "agg_percentiles": q_agg_percentiles,
     "scalar_arrays": q_scalar_arrays,
     "scalar_maps": q_scalar_maps,
@@ -926,6 +975,33 @@ ORACLES = {
                          ROWS UNBOUNDED PRECEDING),
                w_all AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "win_range_frame": """
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS INT) AS day_no,
+               count(*) OVER w AS n_orders_30d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+    "series_gap_fill": """
+        WITH bounds AS (
+          SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                 date_trunc('month', max(o_orderdate)) AS hi
+          FROM orders
+        ),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds
+        ),
+        monthly AS (
+          SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT strftime(s.month, '%Y-%m') AS month,
+               coalesce(m.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN monthly m ON s.month = m.month
     """,
     "agg_percentiles": """
         SELECT l_returnflag,
