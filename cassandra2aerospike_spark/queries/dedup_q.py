@@ -137,6 +137,28 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_edit_distance(spark, sf_dir):
+    """X2: edit-distance near-dup verification — SimHash band candidates
+    verified with Levenshtein over the raw text (integer-exact in any
+    engine).  The classic high-precision final filter when near-dups must
+    survive small in-place edits."""
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+            F.greatest(F.length("text_a"), F.length("text_b")).alias("max_len"),
+        )
+        .filter(F.col("edit_dist") * 5 <= F.col("max_len"))  # <= 20% edits
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _LSH_BODY = """
@@ -290,6 +312,25 @@ ORACLES = {
         LEFT JOIN exact_rep e ON e.doc_id = d.doc_id
         LEFT JOIN comp c ON c.doc_id = d.doc_id
     """).replace("WITH toks", "WITH RECURSIVE toks", 1),
+    "dedup_edit_distance": _SIMHASH + """
+        , bands AS (
+          SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bval
+          FROM simh, (SELECT unnest(range(0, 4)) AS b)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+               CAST(greatest(length(da.text), length(db.text)) AS INT) AS max_len
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        WHERE levenshtein(da.text, db.text) * 5 <= greatest(length(da.text), length(db.text))
+    """,
     "dedup_simhash": _SIMHASH + "SELECT doc_id, simhash FROM simh",
     "dedup_simhash_pairs": _SIMHASH
     + """
@@ -312,6 +353,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
