@@ -490,6 +490,20 @@ def q_agg_percentiles(spark, sf_dir):
     )
 
 
+def q_agg_approx_percentiles(spark, sf_dir):
+    """Sketch-based percentiles (percentile_approx): the mergeable
+    approximate path for 100 TB quantiles — map-side sketches combine
+    without holding values.  No SQL oracle (DuckDB's approximation
+    differs) -> rows-only; accuracy vs the exact interpolation is pinned
+    by a unit test (<1% relative error at accuracy 10000)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_scalar_arrays(spark, sf_dir):
     """Array function family (X5 seeds): per-order sorted quantity array —
     size / min / max / fold-sum / slice / contains / distinct.  Arrays are
@@ -741,6 +755,7 @@ QUERIES = {
     "win_range_frame": q_win_range_frame,
     "series_gap_fill": q_series_gap_fill,
     "agg_percentiles": q_agg_percentiles,
+    "agg_approx_percentiles": q_agg_approx_percentiles,
     "scalar_arrays": q_scalar_arrays,
     "scalar_maps": q_scalar_maps,
     "topk_global": q_topk_global,

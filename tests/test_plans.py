@@ -166,3 +166,13 @@ def test_topk_per_group_pushes_window_group_limit(spark, sf_dir, queries):
     their full window state."""
     rep = audit(queries["win_topk_per_group"](spark, sf_dir))
     assert "WindowGroupLimit" in rep.plan, rep.plan
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir, queries):
+    approx = {r.l_returnflag: (r.p50_approx, r.p90_approx)
+              for r in queries["agg_approx_percentiles"](spark, sf_dir).collect()}
+    exact = {r.l_returnflag: (r.p50, r.p90)
+             for r in queries["agg_percentiles"](spark, sf_dir).collect()}
+    for k, (a50, a90) in approx.items():
+        e50, e90 = exact[k]
+        assert abs(a50 - e50) / e50 < 0.01 and abs(a90 - e90) / e90 < 0.01
