@@ -241,10 +241,15 @@ def lww_latest(cells: DataFrame) -> DataFrame:
     whole surviving cell struct, so no self-join / window pass is needed.
     """
     packed = F.struct("value", "ttl", "expiration")
+    # tie-break: the reference keeps the FIRST-matched run on equal ts
+    # (strict >, CassandraParser.cpp:325) — order-dependent.  We define a
+    # deterministic, partitioning-independent rule instead (documented
+    # divergence, SURVEY.md §7): among equal ts, the greatest packed cell
+    # struct wins.
     return (
         cells.groupBy("key", "col_name")
         .agg(
-            F.max_by(packed, "ts").alias("c"),
+            F.max_by(packed, F.struct(F.col("ts"), packed)).alias("c"),
             F.max("ts").alias("ts"),
         )
         .select(
@@ -258,6 +263,18 @@ def lww_latest(cells: DataFrame) -> DataFrame:
     )
 
 
+def _record_expiry(first_expiring: bool) -> Column:
+    """A4 fold expression shared by fold_expiry and assemble_records:
+    last-expiring (default — any non-TTL cell forces ETERNAL, else max
+    expiration) or first-expiring (`-f` — min expiration, ETERNAL only if
+    nothing expires)."""
+    if first_expiring:
+        return F.coalesce(F.min("expiration"), F.lit(ETERNAL))
+    return F.when(
+        F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(ETERNAL)
+    ).otherwise(F.max("expiration"))
+
+
 def fold_expiry(latest: DataFrame, first_expiring: bool = False) -> DataFrame:
     """A4: fold per-key record expiry from the surviving cells' expirations
     (AerospikeDatabaseRow::new_column/new_column_with_ttl,
@@ -267,14 +284,8 @@ def fold_expiry(latest: DataFrame, first_expiring: bool = False) -> DataFrame:
     max expiration wins.  first-expiring mode (`-f`): min expiration over
     expiring cells, ETERNAL only if no cell expires.
     """
-    if first_expiring:
-        expiry = F.coalesce(F.min("expiration"), F.lit(ETERNAL))
-    else:
-        expiry = F.when(
-            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(ETERNAL)
-        ).otherwise(F.max("expiration"))
     return latest.groupBy("key").agg(
-        expiry.cast("long").alias("expiry"),
+        _record_expiry(first_expiring).cast("long").alias("expiry"),
         F.count("*").alias("n_cols"),
     )
 
@@ -285,17 +296,11 @@ def assemble_records(latest: DataFrame, first_expiring: bool = False) -> DataFra
     count.  Ghost rows (zero live cells) never appear because grouping only
     sees surviving cells (CassandraParser.cpp:524-529).
     """
-    if first_expiring:
-        expiry = F.coalesce(F.min("expiration"), F.lit(ETERNAL))
-    else:
-        expiry = F.when(
-            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(ETERNAL)
-        ).otherwise(F.max("expiration"))
     return latest.groupBy("key").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("col_name", "value")))
         ).alias("columns"),
-        expiry.cast("long").alias("expiry"),
+        _record_expiry(first_expiring).cast("long").alias("expiry"),
         F.count("*").alias("n_cols"),
     )
 

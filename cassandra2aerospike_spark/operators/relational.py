@@ -103,8 +103,6 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.col(c) for c in value_cols],
     )
-    for c in value_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)

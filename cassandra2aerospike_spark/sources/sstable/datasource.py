@@ -144,10 +144,8 @@ class SSTableRunReader(DataSourceReader):
 
     def read(self, part: RunSlice):
         rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
-        for p in rr.partitions(start_token=part.start_token):
+        for p in rr.partitions(start_token=part.start_token, end_token=part.end_token):
             t = p.token
-            if part.end_token is not None and t >= part.end_token:
-                break
             if p.row_tomb_ts is not None:
                 # marker row (col_name NULL): a row tombstone survives even
                 # when the partition carries no cells in this run
@@ -210,6 +208,25 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         pass
 
 
+def _install_run(tmp_dir: str, directory: str, final_gen: int) -> None:
+    """Move a task-written temp run into place as <final_gen>-*.db.
+    Data.db is renamed LAST: discover_runs keys on it, so a concurrent
+    reader (the streaming source polls the directory) never sees a run
+    whose sidecars are still missing.  Existing files are replaced
+    (replayed-epoch idempotence for the stream writer)."""
+    import os
+    import shutil
+
+    files = sorted(os.listdir(tmp_dir), key=lambda f: f.endswith("-Data.db"))
+    for f in files:
+        comp = f.split("-", 1)[1]
+        dst = os.path.join(directory, f"{final_gen}-{comp}")
+        if os.path.exists(dst):
+            os.remove(dst)
+        os.rename(os.path.join(tmp_dir, f), dst)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 class RunCommit(WriterCommitMessage):
     def __init__(self, tmp_dir: str, n_parts: int):
         self.tmp_dir = tmp_dir
@@ -259,7 +276,7 @@ class SSTableRunWriter(DataSourceWriter):
                 p.cells.append(
                     Cell(
                         col_name=r.col_name,
-                        value=bytes(r.value) if r.value is not None else None,
+                        value=bytes(r.value) if r.value is not None else b"",
                         ts=r.ts,
                         ttl=r.ttl,
                         expiration=r.expiration,
@@ -280,23 +297,19 @@ class SSTableRunWriter(DataSourceWriter):
     def commit(self, messages):
         import glob
         import os
-        import shutil
 
         if self.overwrite:
             for f in glob.glob(os.path.join(self.directory, "*-*.db")):
                 os.remove(f)
-        gen = 0
+            gen = 0
+        else:
+            existing = discover_runs(self.directory)
+            gen = max(existing) if existing else 0  # append AFTER current runs
         for m in messages:
             if m is None or not m.tmp_dir:
                 continue
             gen += 1
-            for f in sorted(os.listdir(m.tmp_dir)):
-                comp = f.split("-", 1)[1]
-                os.rename(
-                    os.path.join(m.tmp_dir, f),
-                    os.path.join(self.directory, f"{gen}-{comp}"),
-                )
-            shutil.rmtree(m.tmp_dir, ignore_errors=True)
+            _install_run(m.tmp_dir, self.directory, gen)
 
     def abort(self, messages):
         import shutil
@@ -322,22 +335,14 @@ class SSTableRunStreamWriter(DataSourceStreamWriter):
         return self._w.write(rows)
 
     def commit(self, messages, batchId: int) -> None:
-        import os
-        import shutil
-
         gen = 0
         for m in messages:
             if m is None or not m.tmp_dir:
                 continue
             gen += 1
-            final_gen = batchId * 1000 + gen  # unique, monotone per epoch
-            for f in sorted(os.listdir(m.tmp_dir)):
-                comp = f.split("-", 1)[1]
-                dst = os.path.join(self.directory, f"{final_gen}-{comp}")
-                if os.path.exists(dst):  # replayed epoch: idempotent
-                    os.remove(dst)
-                os.rename(os.path.join(m.tmp_dir, f), dst)
-            shutil.rmtree(m.tmp_dir, ignore_errors=True)
+            # 1e6 per epoch: no cross-epoch collision below a million
+            # non-empty tasks per microbatch (cap is 4096 partitions/stage)
+            _install_run(m.tmp_dir, self.directory, batchId * 1_000_000 + gen)
 
     def abort(self, messages, batchId: int) -> None:
         self._w.abort(messages)

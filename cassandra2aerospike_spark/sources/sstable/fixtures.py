@@ -8,7 +8,7 @@ runs) is materialized in our run format, and `merge over sstable source`
 must equal `merge over parquet` — the strongest parity statement the
 fixtures allow.
 
-Run assignment: event_id % n_runs, so most keys have cells in several
+Run assignment: ts % n_runs, so most keys have cells in several
 runs (the k-way merge shape of CassandraParser.cpp:219-281).  Values are
 stored as repr(float) bytes: byte-opaque in the format (README.md:39 "all
 columns are written ... as binary blobs") yet exactly recoverable with
@@ -35,7 +35,7 @@ def build_runs_from_events(
     a _DONE marker skips rebuild).  Driver-side build — this is fixture
     authoring, not a query path; the scale path for writing runs would be
     a DataSourceWriter."""
-    marker = os.path.join(out_dir, "_DONE")
+    marker = os.path.join(out_dir, f"_DONE_{n_runs}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import struct
 import zlib
 from dataclasses import dataclass, field
 
@@ -286,7 +287,9 @@ class RunReader:
                 yield zlib.decompress(comp) if self.codec == "deflate" else comp
 
     def _buffer_from(self, logical_off: int) -> bytes:
-        """Decompressed logical stream from logical_off to EOF."""
+        """Decompressed logical stream from logical_off to EOF (eager —
+        kept for tests/tools; the scan path decodes incrementally via
+        partitions())."""
         chunk_idx = logical_off // self.chunk_size
         skip = logical_off - chunk_idx * self.chunk_size
         parts = []
@@ -304,10 +307,13 @@ class RunReader:
         entry = 16  # i64 token + u64 index offset
         n = len(summary) // entry
         lo, hi = 0, n
-        while lo < hi:  # last summary entry with token <= start
+        while lo < hi:  # last summary entry with token STRICTLY below start
             mid = (lo + hi) // 2
             tok, _ = C.dec_i64(summary, mid * entry)
-            if tok <= start_token:
+            # strict <: a sample with token == start must not be skipped —
+            # partitions between the previous sample and it share the token
+            # boundary and belong to the >= start result
+            if tok < start_token:
                 lo = mid + 1
             else:
                 hi = mid
@@ -327,53 +333,93 @@ class RunReader:
         return None
 
     # --- scan (S8/S9) -------------------------------------------------
-    def partitions(self, start_token: int | None = None):
+    def _decode_partition(self, buf, off: int):
+        """Decode one partition at off; returns (Partition, new_off).
+        Raises IndexError/struct.error on byte-level underflow; callers
+        must also reject new_off > len(buf) (silent short slices)."""
+        st = self.stats
+        token, off = C.dec_i64(buf, off)
+        klen, off = C.dec_u16(buf, off)
+        key = bytes(buf[off : off + klen]); off += klen
+        flags = buf[off]; off += 1
+        row_tomb = None
+        if flags & 0x01:
+            delta, off = C.dec_vint(buf, off)
+            row_tomb = st.min_ts + delta
+        ncells, off = C.dec_uvint(buf, off)
+        cells = []
+        for _ in range(ncells):
+            f = buf[off]; off += 1
+            cid, off = C.dec_uvint(buf, off)
+            tsd, off = C.dec_vint(buf, off)
+            ttl = expiration = None
+            if f & F_EXPIRING:
+                ttld, off = C.dec_vint(buf, off)
+                ttl = st.min_ttl + ttld
+                expiration, off = C.dec_vint(buf, off)
+            value = b""
+            if not (f & F_DELETED):
+                value, off = C.dec_vblob(buf, off)
+            cells.append(
+                Cell(
+                    col_name=st.columns[cid],
+                    value=value,
+                    ts=st.min_ts + tsd,
+                    ttl=ttl,
+                    expiration=expiration,
+                    deleted=bool(f & F_DELETED),
+                    range_tomb=bool(f & F_RANGE_TOMB),
+                )
+            )
+        return Partition(key=key, row_tomb_ts=row_tomb, cells=cells), off
+
+    def partitions(
+        self, start_token: int | None = None, end_token: int | None = None
+    ):
         """Iterate Partition objects in (token, key) order, optionally
-        seeking to start_token first."""
+        seeking to start_token first and stopping at end_token (exclusive).
+
+        INCREMENTAL: chunks are pulled (and decompressed, and
+        CRC-verified) one at a time, only as the decoder needs bytes, and
+        the consumed prefix is dropped — peak memory is O(chunk + one
+        partition) and an end-bounded slice never decompresses past its
+        boundary.  This is what makes splits_per_run genuinely parallel
+        instead of k tasks each decompressing the run tail."""
         if start_token is None:
             logical = 0
         else:
             logical = self.seek_offset(start_token)
             if logical is None:
                 return
-        buf = self._buffer_from(logical)
-        off = 0
-        st = self.stats
-        while off < len(buf):
-            token, off = C.dec_i64(buf, off)
-            klen, off = C.dec_u16(buf, off)
-            key = bytes(buf[off : off + klen]); off += klen
-            flags = buf[off]; off += 1
-            row_tomb = None
-            if flags & 0x01:
-                delta, off = C.dec_vint(buf, off)
-                row_tomb = st.min_ts + delta
-            ncells, off = C.dec_uvint(buf, off)
-            cells = []
-            for _ in range(ncells):
-                f = buf[off]; off += 1
-                cid, off = C.dec_uvint(buf, off)
-                tsd, off = C.dec_vint(buf, off)
-                ttl = expiration = None
-                if f & F_EXPIRING:
-                    ttld, off = C.dec_vint(buf, off)
-                    ttl = st.min_ttl + ttld
-                    expiration, off = C.dec_vint(buf, off)
-                value = b""
-                if not (f & F_DELETED):
-                    value, off = C.dec_vblob(buf, off)
-                cells.append(
-                    Cell(
-                        col_name=st.columns[cid],
-                        value=value,
-                        ts=st.min_ts + tsd,
-                        ttl=ttl,
-                        expiration=expiration,
-                        deleted=bool(f & F_DELETED),
-                        range_tomb=bool(f & F_RANGE_TOMB),
+        chunk_idx = logical // self.chunk_size
+        skip = logical - chunk_idx * self.chunk_size
+        chunks = self._logical_data(chunk_idx)
+        buf = bytearray()
+        exhausted = False
+        off = skip
+        while True:
+            try:
+                p, new_off = self._decode_partition(buf, off)
+                if new_off > len(buf):
+                    raise IndexError("short partition")
+            except (IndexError, struct.error):
+                if exhausted:
+                    if off == len(buf):
+                        return  # clean EOF
+                    raise IOError(
+                        f"truncated run {self.path('Data')} @logical {off}"
                     )
-                )
-            yield Partition(key=key, row_tomb_ts=row_tomb, cells=cells)
+                try:
+                    buf += next(chunks)
+                except StopIteration:
+                    exhausted = True
+                continue
+            if end_token is not None and p.token >= end_token:
+                return
+            yield p
+            # drop the consumed prefix to bound memory
+            del buf[:new_off]
+            off = 0
 
 
 def discover_runs(directory: str) -> list[int]:
