@@ -423,3 +423,33 @@ def test_streaming_write_roundtrip(spark, tmp_path):
     assert back.count() == 50
     keys = {int(bytes(r.key).decode()) for r in back.select("key").collect()}
     assert keys == set(range(0, 30)) | set(range(100, 120))
+
+
+def test_datasource_write_append_no_clobber(spark, tmp_path):
+    """Second append write must land AFTER existing generations, never
+    renaming over the first write's runs."""
+    import os
+
+    from cassandra2aerospike_spark.sources.sstable import register
+    from cassandra2aerospike_spark.sources.sstable.format import discover_runs
+
+    register(spark)
+    out = str(tmp_path / "w"); os.makedirs(out)
+    schema = ("key string, col_name string, value binary, ts long, ttl int, "
+              "expiration long, deleted boolean, range_tomb boolean, row_tomb_ts long")
+
+    def write(keys):
+        df = spark.createDataFrame(
+            [(str(k), "c", str(k).encode(), k, None, None, False, False, None) for k in keys],
+            schema,
+        )
+        df.coalesce(1).write.format("sstable_run").mode("append").save(out)
+
+    write(range(0, 50))
+    gens1 = discover_runs(out)
+    write(range(100, 150))
+    gens2 = discover_runs(out)
+    assert set(gens1) < set(gens2) and len(gens2) == len(gens1) + 1
+    back = spark.read.format("sstable_run").load(out)
+    keys = {int(bytes(r.key).decode()) for r in back.select("key").collect()}
+    assert keys == set(range(0, 50)) | set(range(100, 150))
