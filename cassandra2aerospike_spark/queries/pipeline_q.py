@@ -3,6 +3,8 @@ accounting (S14/A6), dry-run record formatting (S13)."""
 
 from __future__ import annotations
 
+import os
+
 from functools import reduce
 
 from pyspark.sql import functions as F
@@ -75,6 +77,40 @@ def q_s2_run_identity(spark, sf_dir):
     )
 
 
+def q_s11_create_only_sink(spark, sf_dir):
+    """S11/S12: create-only KV sink round trip — write the merged records
+    twice; the second write's anti-join sees every key existing and
+    writes nothing (policy exists=CREATE, Cassandra2Aerospike.cpp:244-247;
+    idempotent under task retries for the same reason).  Returns the
+    accounting counters of both passes (S14's end-of-run report shape)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..sinks.kv_sink import create_only_append
+
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_kv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(sink, ignore_errors=True)
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).select(
+        "key", "expiry", "n_cols"
+    )
+    first = create_only_append(records, sink)
+    second = create_only_append(records, sink)
+    return spark.createDataFrame(
+        [
+            (
+                first["read"], first["written"], first["already_existing"],
+                second["written"], second["already_existing"],
+            )
+        ],
+        "n_read long, n_written_first long, n_existing_first long, "
+        "n_written_second long, n_existing_second long",
+    )
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -113,9 +149,22 @@ QUERIES = {
     "s14_run_accounting": q_s14_run_accounting,
     "s13_dry_run": q_s13_dry_run,
     "s2_run_identity": q_s2_run_identity,
+    "s11_create_only_sink": q_s11_create_only_sink,
 }
 
 ORACLES = {
+    "s11_create_only_sink": _CTE + """
+        , live_records AS (
+          SELECT key FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT count(*) AS n_read,
+               count(*) AS n_written_first,
+               CAST(0 AS BIGINT) AS n_existing_first,
+               CAST(0 AS BIGINT) AS n_written_second,
+               count(*) AS n_existing_second
+        FROM live_records
+    """,
     "s2_run_identity": """
         SELECT 'events' AS table_name, count(*) AS n_rows,
                CAST(1 AS BIGINT) AS n_files
