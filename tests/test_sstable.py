@@ -453,3 +453,46 @@ def test_datasource_write_append_no_clobber(spark, tmp_path):
     back = spark.read.format("sstable_run").load(out)
     keys = {int(bytes(r.key).decode()) for r in back.select("key").collect()}
     assert keys == set(range(0, 50)) | set(range(100, 150))
+
+
+def test_tiny_chunks_stress_incremental_decode(tmp_path):
+    """Chunk boundaries mid-partition everywhere: 64-byte chunks force the
+    incremental decoder through its pull-more-bytes path on nearly every
+    partition; full scan, bounded scan, and seek must all agree."""
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        Cell,
+        Partition,
+        RunReader,
+        RunWriter,
+        token_of,
+    )
+
+    d = str(tmp_path)
+    w = RunWriter(d, 1, chunk_size=64)
+    parts = [
+        Partition(
+            key=str(k).encode(),
+            cells=[
+                Cell(col_name=f"c{j}", value=(str(k) * (j + 1)).encode(), ts=1000 + k + j)
+                for j in range(3)
+            ],
+        )
+        for k in range(50)
+    ]
+    parts.sort(key=lambda p: (p.token, p.key))
+    for p in parts:
+        w.add(p)
+    w.finish()
+
+    rr = RunReader(d, 1)
+    full = list(rr.partitions())
+    assert [p.key for p in full] == [p.key for p in parts]
+    assert all(
+        [c.value for c in a.cells] == [c.value for c in b.cells]
+        for a, b in zip(full, parts)
+    )
+    # seek + end bound: middle third only
+    toks = [p.token for p in parts]
+    lo, hi = toks[15], toks[35]
+    mid = list(RunReader(d, 1).partitions(start_token=lo, end_token=hi))
+    assert [p.token for p in mid] == [t for t in toks if lo <= t < hi]
