@@ -496,3 +496,70 @@ def test_tiny_chunks_stress_incremental_decode(tmp_path):
     lo, hi = toks[15], toks[35]
     mid = list(RunReader(d, 1).partitions(start_token=lo, end_token=hi))
     assert [p.token for p in mid] == [t for t in toks if lo <= t < hi]
+
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_cells = _st.lists(
+    _st.tuples(
+        _st.sampled_from(["a", "b", "c", "dd", "e1"]),          # col_name
+        _st.binary(min_size=0, max_size=40),                     # value
+        _st.integers(min_value=0, max_value=2**50),              # ts
+        _st.one_of(_st.none(), _st.integers(min_value=0, max_value=10**6)),  # ttl
+        _st.booleans(),                                          # deleted
+        _st.booleans(),                                          # range_tomb
+    ),
+    max_size=6,
+)
+
+_parts = _st.dictionaries(
+    _st.binary(min_size=1, max_size=24),                         # key
+    _st.tuples(_st.one_of(_st.none(), _st.integers(min_value=0, max_value=2**50)), _cells),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_settings(max_examples=25, deadline=None, suppress_health_check=[_HC.too_slow])
+@_given(data=_parts, chunk=_st.sampled_from([48, 256, 65536]))
+def test_run_roundtrip_property(tmp_path_factory, data, chunk):
+    """Hypothesis roundtrip of the full run format: random keys, cells,
+    tombstones, TTLs and chunk sizes survive write -> read bit-exactly,
+    in (token, key) order."""
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        Cell,
+        Partition,
+        RunReader,
+        RunWriter,
+    )
+
+    d = str(tmp_path_factory.mktemp("runs"))
+    parts = []
+    for key, (row_tomb, cells) in data.items():
+        cs = [
+            Cell(col_name=c, value=v, ts=ts, ttl=ttl,
+                 expiration=(ts // 1000 + ttl) if ttl is not None else None,
+                 deleted=dl, range_tomb=rt)
+            for (c, v, ts, ttl, dl, rt) in cells
+        ]
+        parts.append(Partition(key=key, row_tomb_ts=row_tomb, cells=cs))
+    parts.sort(key=lambda p: (p.token, p.key))
+    w = RunWriter(d, 1, chunk_size=chunk)
+    for p in parts:
+        w.add(p)
+    w.finish()
+
+    got = list(RunReader(d, 1).partitions())
+    assert [p.key for p in got] == [p.key for p in parts]
+    for a, b in zip(got, parts):
+        assert a.row_tomb_ts == b.row_tomb_ts
+        assert len(a.cells) == len(b.cells)
+        for ca, cb in zip(a.cells, b.cells):
+            assert (ca.col_name, ca.ts, ca.ttl, ca.deleted, ca.range_tomb) == (
+                cb.col_name, cb.ts, cb.ttl, cb.deleted, cb.range_tomb)
+            if not cb.deleted:
+                assert ca.value == cb.value
+            assert ca.expiration == (cb.expiration if cb.ttl is not None else None)
