@@ -713,6 +713,25 @@ def q_scalar_hex_roundtrip(spark, sf_dir):
     )
 
 
+def q_scalar_safe_cast(spark, sf_dir):
+    """Error-safe scalar family: try_divide / try_cast return NULL instead
+    of failing the job — the semantics a 100 TB pipeline needs when a
+    bad row must not kill a stage (ANSI-mode-safe)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("ln_roundtrip"),
+        F.concat(F.lit("x"), F.col("l_returnflag")).try_cast("double").alias(
+            "bad_double"
+        ),
+    )
+
+
 def q_scalar_json(spark, sf_dir):
     """JSON family (X5 multimodal props): extraction + typed cast."""
     ev = _t(spark, sf_dir, "events")
@@ -772,6 +791,7 @@ QUERIES = {
     "scalar_math": q_scalar_math,
     "scalar_conditional": q_scalar_conditional,
     "scalar_json": q_scalar_json,
+    "scalar_safe_cast": q_scalar_safe_cast,
     "scalar_hex_roundtrip": q_scalar_hex_roundtrip,
 }
 
@@ -1143,6 +1163,15 @@ ORACLES = {
                decode(from_hex(hex(encode(p_name)))) AS name_back,
                CAST(decode(from_hex(hex(encode(p_name)))) = p_name AS INT) AS roundtrip_ok
         FROM part
+    """,
+    "scalar_safe_cast": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount = 0 THEN NULL
+                    ELSE l_extendedprice / l_discount END AS price_per_disc,
+               TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+               TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS ln_roundtrip,
+               TRY_CAST('x' || l_returnflag AS DOUBLE) AS bad_double
+        FROM lineitem
     """,
     "scalar_json": """
         SELECT event_id,
