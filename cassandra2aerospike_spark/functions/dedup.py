@@ -51,40 +51,49 @@ def shingle_frame(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
 
 
 def jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.6, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    df_cap: int = 64,
 ) -> DataFrame:
     """X2 exact n-gram Jaccard over candidate pairs that share >= 1 shingle.
 
-    intersection counts come from a self-equi-join on the shingle key
-    (shuffle on shingle — skew-prone for stop-shingles; at scale, drop
-    shingles with document frequency above a cap first), union sizes from
-    per-doc counts; Jaccard = |∩| / (|A| + |B| - |∩|) is exact integer
-    arithmetic until the final division.
+    intersection counts come from a self-equi-join on the shingle key;
+    union sizes from per-doc counts; Jaccard = |∩| / (|A| + |B| - |∩|) is
+    exact integer arithmetic until the final division.
+
+    Skew guard (the scale-killer fix): shingles whose document frequency
+    exceeds `df_cap` generate NO candidates — a stop-shingle in d
+    documents would otherwise fan out d² join rows (quadratic on exactly
+    the hottest keys).  Candidate fanout per shingle is now bounded by
+    df_cap².  The surviving candidates are then verified EXACTLY against
+    the full per-doc shingle sets (array_intersect in-row, same shape as
+    the LSH verification path), so reported Jaccard is exact — the cap
+    affects candidate RECALL only: a qualifying pair is missed iff every
+    shared shingle is a stop shingle, which at threshold >= 0.6 means two
+    documents built almost entirely of corpus-hottest n-grams.
     """
     from pyspark import StorageLevel
 
     sets = shingle_sets(docs, k, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
-    sizes = sets.select("doc_id", F.size("sh_set").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    return jaccard_on_candidates(cand, sets, threshold).select(
+        "doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard"
     )
 
 
@@ -327,7 +336,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # localCheckpoint (not just persist): TRUNCATES lineage each
+            # round, so the logical plan stays O(1) per round instead of
+            # compounding — a 20-round run otherwise carries an
+            # exponentially-nested plan through every optimizer pass
+            # (static audit showed ~1000 scans).  Eager: materialized
+            # here, so the old round's storage can be freed immediately.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

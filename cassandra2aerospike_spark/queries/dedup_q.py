@@ -254,8 +254,22 @@ ORACLES = {
                count(*) AS cluster_size
         FROM documents GROUP BY 1 HAVING count(*) > 1
     """,
+    # mirrors jaccard_pairs' df_cap=64 skew guard: stop-shingles (df > 64)
+    # generate no candidates; surviving pairs verified on FULL shingle sets
     "dedup_jaccard_pairs": _JACCARD
-    + "SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.6",
+    + """
+        , rare AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+        ),
+        capped_cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        )
+        SELECT j.doc_a, j.doc_b, j.n_inter, j.n_a, j.n_b, j.jaccard
+        FROM jac j JOIN capped_cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jaccard >= 0.6
+    """,
     "dedup_minhash_lsh": _JACCARD
     + _LSH_BODY
     + """

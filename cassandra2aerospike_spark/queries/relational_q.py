@@ -234,29 +234,75 @@ def q_agg_collect(spark, sf_dir):
 
 
 def q_agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++) — sketch values are engine-specific, so
-    no SQL oracle: driver records a rows-only check.  The exact-distinct
-    counterpart is q_agg_distinct."""
+    """approx_count_distinct (HLL++) made oracle-checkable: sketch values
+    are engine-specific, so each engine emits the EXACT distinct count
+    plus a boolean asserting its own sketch landed within the documented
+    error bound (HLL++ default rsd 5% -> check at 3x rsd).  Both sides
+    hash-match because both sketches are deterministic and in-bound; the
+    mergeable sketch is still what runs at 100 TB (exact distinct is the
+    verification twin)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= 0.15 * F.countDistinct("l_partkey")
+        )
+        .cast("int")
+        .alias("approx_in_bound"),
     )
 
 
 
+# Shared moment formulas (stats family): both the Spark query and the
+# DuckDB oracle compute sample stddev/variance/correlation/covariance
+# from EXACT DECIMAL power sums (n, Σx, Σx², Σxy — all integer-exact at
+# scale 2/4) with these literally-identical double expressions, so the
+# only floating-point ops are the same IEEE-deterministic sequence on
+# the same inputs.  Engine-native stddev/corr/covar use different update
+# formulas + summation orders and are NOT hash-stable across engines.
+_MOMENT_SUMS = """
+    COUNT(*) AS n,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+    SUM(CAST(l_discount AS DECIMAL(18,2))) AS sdisc,
+    SUM(CAST(l_tax AS DECIMAL(18,2))) AS stax,
+    SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sdt
+"""
+
+_MOMENT_EXPRS = {
+    "sd_price": "sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1))",
+    "var_qty": "(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)",
+    "corr_qty_price": (
+        "(CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)"
+        " / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)"
+        " * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n))"
+    ),
+    "cov_disc_tax": "(CAST(sdt AS DOUBLE) - CAST(sdisc AS DOUBLE) * CAST(stax AS DOUBLE) / n) / (n - 1)",
+}
+
+
 def q_agg_stats_moments(spark, sf_dir):
-    """Statistical aggregate family: stddev/variance (sample), correlation
-    and covariance — rounded to 6 decimals (both engines evaluate in
-    double; rounding absorbs the last-ulp differences of their update
-    formulas)."""
+    """Statistical aggregate family: sample stddev / variance / correlation
+    / covariance, derived from exact DECIMAL power sums via the shared
+    _MOMENT_EXPRS formulas (identical text on the oracle side) — the
+    hash-stable convention this project uses for all double aggregates."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_disc_tax"),
-        F.count("*").alias("n"),
+    sums = [e.strip() for e in _MOMENT_SUMS.strip().split(",\n")]
+    agg_exprs = [F.expr(s) for s in sums]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(*agg_exprs)
+        .selectExpr(
+            "l_returnflag",
+            *[f"{expr} AS {name}" for name, expr in _MOMENT_EXPRS.items()],
+            "n",
+        )
     )
 
 
@@ -491,15 +537,31 @@ def q_agg_percentiles(spark, sf_dir):
 
 
 def q_agg_approx_percentiles(spark, sf_dir):
-    """Sketch-based percentiles (percentile_approx): the mergeable
-    approximate path for 100 TB quantiles — map-side sketches combine
-    without holding values.  No SQL oracle (DuckDB's approximation
-    differs) -> rows-only; accuracy vs the exact interpolation is pinned
-    by a unit test (<1% relative error at accuracy 10000)."""
+    """Sketch-based percentiles (percentile_approx) made oracle-checkable:
+    the sketches differ across engines (KLL-ish vs t-digest), so each
+    engine emits the EXACT interpolated percentile (rounded to 6 — the
+    same convention agg_percentiles hash-passes with) plus a boolean
+    asserting its own sketch is within 2% relative of exact.  The
+    mergeable sketch is still the 100 TB path — map-side sketches
+    combine without holding values."""
     li = _t(spark, sf_dir, "lineitem")
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact90 = F.expr("percentile(l_extendedprice, 0.9)")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+        F.round(exact50, 6).alias("p50_exact"),
+        F.round(exact90, 6).alias("p90_exact"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", 0.5, 10000) - exact50)
+            <= 0.02 * exact50
+        )
+        .cast("int")
+        .alias("p50_in_bound"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", 0.9, 10000) - exact90)
+            <= 0.02 * exact90
+        )
+        .cast("int")
+        .alias("p90_in_bound"),
         F.count("*").alias("n"),
     )
 
@@ -880,6 +942,13 @@ ORACLES = {
                count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
         FROM lineitem GROUP BY l_returnflag
     """,
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                    <= 0.15 * count(DISTINCT l_partkey) AS INT) AS approx_in_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "agg_rollup": """
         SELECT r_name, n_name, count(*) AS n_cust,
                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
@@ -920,14 +989,18 @@ ORACLES = {
         FROM nation GROUP BY n_regionkey
     """,
     "agg_stats_moments": """
+        WITH s AS (
+            SELECT l_returnflag, {moment_sums}
+            FROM lineitem GROUP BY l_returnflag
+        )
         SELECT l_returnflag,
-               round(stddev_samp(l_extendedprice), 4) AS sd_price,
-               round(var_samp(l_quantity), 4) AS var_qty,
-               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-               round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax,
-               count(*) AS n
-        FROM lineitem GROUP BY l_returnflag
-    """,
+               {sd_price} AS sd_price,
+               {var_qty} AS var_qty,
+               {corr_qty_price} AS corr_qty_price,
+               {cov_disc_tax} AS cov_disc_tax,
+               n
+        FROM s
+    """.format(moment_sums=_MOMENT_SUMS, **_MOMENT_EXPRS),
     "agg_bitwise": """
         SELECT user_id,
                bit_and(event_id) AS ids_and,
@@ -1043,6 +1116,17 @@ ORACLES = {
                round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
                round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
                round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_approx_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+               CAST(abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+                    <= 0.02 * quantile_cont(l_extendedprice, 0.5) AS INT) AS p50_in_bound,
+               CAST(abs(approx_quantile(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+                    <= 0.02 * quantile_cont(l_extendedprice, 0.9) AS INT) AS p90_in_bound,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,

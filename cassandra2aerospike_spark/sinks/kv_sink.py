@@ -39,10 +39,33 @@ def create_only_append(
 
     Scale: the anti-join shuffles on the key — the same key distribution
     the merge already produced, so AQE reuses the partitioning; the
-    existing-keys side prunes to the key column only.
+    existing-keys side prunes to the key column only.  The record lineage
+    (typically the full merge) is materialized ONCE: `observe` counters
+    ride the single write pass, so read/written/already_existing all come
+    from the same execution instead of three recomputations.
+
+    Intra-batch duplicate keys are collapsed to one row (deterministic
+    min-ordering) before the anti-join — the reference's exists=CREATE
+    would keep exactly one of them too (first arrival wins; we pick a
+    deterministic winner instead of a racy one).
     """
+    from pyspark.sql import Observation
+
     spark = records.sparkSession
-    n_total = records.count()
+    # deterministic intra-batch winner: lowest sort-order row per key
+    value_cols = [c for c in records.columns if c != key_col]
+    records = (
+        records.groupBy(key_col).agg(
+            *[F.min_by(c, F.struct(*value_cols)).alias(c) for c in value_cols]
+        )
+        if value_cols
+        else records.dropDuplicates([key_col])
+    )
+    # both counters ride the ONE write execution: obs_read sits upstream
+    # of the anti-join, obs_written downstream — no recomputation of the
+    # record lineage (the dominant cost at scale is the merge feeding it)
+    obs_read, obs_written = Observation(), Observation()
+    records = records.observe(obs_read, F.count(F.lit(1)).alias("n_read"))
     if os.path.isdir(sink_path) and any(
         f.endswith(".parquet") for f in os.listdir(sink_path)
     ):
@@ -50,8 +73,10 @@ def create_only_append(
         fresh = records.join(existing, key_col, "left_anti")
     else:
         fresh = records
-    n_written = fresh.count()
+    fresh = fresh.observe(obs_written, F.count(F.lit(1)).alias("n_written"))
     fresh.write.mode("append").parquet(sink_path)
+    n_total = obs_read.get["n_read"]
+    n_written = obs_written.get["n_written"]
     return {"read": n_total, "written": n_written, "already_existing": n_total - n_written}
 
 

@@ -335,6 +335,22 @@ class SSTableRunStreamWriter(DataSourceStreamWriter):
         return self._w.write(rows)
 
     def commit(self, messages, batchId: int) -> None:
+        # replay idempotence: a partially-committed earlier attempt of this
+        # epoch may have installed MORE runs than this attempt produces
+        # (AQE/repartition nondeterminism changes the non-empty task set),
+        # so first clear the epoch's whole gen range — otherwise leftover
+        # higher-gen runs from the failed attempt double-count downstream
+        import glob as _glob
+        import os
+
+        lo, hi = batchId * 1_000_000 + 1, (batchId + 1) * 1_000_000
+        for f in _glob.glob(os.path.join(self.directory, "*-*.db")):
+            try:
+                g = int(os.path.basename(f).split("-")[0])
+            except ValueError:
+                continue
+            if lo <= g < hi:
+                os.remove(f)
         gen = 0
         for m in messages:
             if m is None or not m.tmp_dir:

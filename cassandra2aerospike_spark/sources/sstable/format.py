@@ -35,9 +35,48 @@ from dataclasses import dataclass, field
 
 from . import codec as C
 
-MAGIC = b"SGR1"  # spark-graft run, format 1
+MAGIC = b"SGR1"  # spark-graft run, format 1 (schema-indexed names, delta ts)
+MAGIC_V0 = b"SGR0"  # format 0: per-cell EMBEDDED names, absolute ts — the
+# "old generation" analog of the reference's <"ma" SSTables
+# (SSTable.cpp:337-457 reads embedded names; 505-717 the schema-indexed
+# new format; create_table dispatches on version, SSTable.cpp:45-55)
 DEFAULT_CHUNK = 64 * 1024
 SUMMARY_INTERVAL = 16  # every Nth index entry sampled into Summary.db
+
+# ---- chunk codec registry (S5 analog of Buffer.cpp:243-272's
+# LZ4/Snappy/Deflate dispatch).  zlib is stdlib; lz4 activates if the
+# package is importable (it is not in this container — the deflate path
+# is the tested default, the seam is real).  CRC32 is always computed on
+# the COMPRESSED bytes, verified before decompression (Buffer.cpp:346-364
+# modern-format order).
+try:  # pragma: no cover - environment-dependent
+    import lz4.block as _lz4block
+except ImportError:
+    _lz4block = None
+
+
+def compress_chunk(codec: str, raw: bytes) -> bytes:
+    if codec == "deflate":
+        return zlib.compress(raw, 6)
+    if codec == "lz4":
+        if _lz4block is None:
+            raise ValueError("lz4 codec requested but lz4 is not importable")
+        return _lz4block.compress(raw, store_size=True)
+    if codec == "none":
+        return raw
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decompress_chunk(codec: str, comp: bytes) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(comp)
+    if codec == "lz4":
+        if _lz4block is None:
+            raise ValueError("run written with lz4 but lz4 is not importable")
+        return _lz4block.decompress(comp)
+    if codec == "none":
+        return comp
+    raise ValueError(f"unknown codec {codec!r}")
 
 # cell flag bits (analog of SSTable.hpp:86-94 masks)
 F_DELETED = 0x01
@@ -97,9 +136,12 @@ class RunWriter:
     (CassandraParser.cpp:424-432)."""
 
     def __init__(self, directory: str, gen: int, codec: str = "deflate",
-                 chunk_size: int = DEFAULT_CHUNK):
+                 chunk_size: int = DEFAULT_CHUNK, fmt: bytes = MAGIC):
+        if fmt not in (MAGIC, MAGIC_V0):
+            raise ValueError(f"unknown run format {fmt!r}")
         self.dir = directory
         self.gen = gen
+        self.fmt = fmt
         self.codec = codec
         self.chunk_size = chunk_size
         self.data = bytearray()
@@ -142,13 +184,16 @@ class RunWriter:
         self.n_parts += 1
 
     def _encode_partition(self, p: Partition) -> bytes:
+        old = self.fmt == MAGIC_V0
         out = bytearray()
         out += C.enc_i64(p.token)
         out += C.enc_u16(len(p.key)) + p.key
         flags = 0x01 if p.row_tomb_ts is not None else 0x00
         out.append(flags)
         if p.row_tomb_ts is not None:
-            out += C.enc_vint(p.row_tomb_ts - self.min_ts)
+            # old format: absolute timestamps (no Statistics minima to
+            # delta against — SSTable.cpp:354 reads them raw)
+            out += C.enc_vint(p.row_tomb_ts if old else p.row_tomb_ts - self.min_ts)
         out += C.enc_uvint(len(p.cells))
         for c in p.cells:
             f = (
@@ -157,10 +202,16 @@ class RunWriter:
                 | (F_RANGE_TOMB if c.range_tomb else 0)
             )
             out.append(f)
-            out += C.enc_uvint(self.col_ids[c.col_name])
-            out += C.enc_vint(c.ts - self.min_ts)
+            if old:
+                # per-cell EMBEDDED column name (SSTable.cpp:392's
+                # name-per-cell layout) — self-describing, no schema
+                out += C.enc_vstr(c.col_name)
+                out += C.enc_vint(c.ts)
+            else:
+                out += C.enc_uvint(self.col_ids[c.col_name])
+                out += C.enc_vint(c.ts - self.min_ts)
             if c.ttl is not None:
-                out += C.enc_vint(c.ttl - self.min_ttl)
+                out += C.enc_vint(c.ttl if old else c.ttl - self.min_ttl)
                 out += C.enc_vint((c.expiration or 0))
             if not c.deleted:
                 out += C.enc_vblob(c.value)
@@ -185,14 +236,14 @@ class RunWriter:
         comp_stream = bytearray()
         for off in range(0, max(len(blob), 1), self.chunk_size):
             raw = blob[off : off + self.chunk_size]
-            comp = zlib.compress(raw, 6) if self.codec == "deflate" else raw
+            comp = compress_chunk(self.codec, raw)
             chunks.append((len(comp_stream), len(comp), zlib.crc32(comp), len(raw)))
             comp_stream += comp
         with open(self.path("Data"), "wb") as fh:
             fh.write(bytes(comp_stream))
 
         ci = bytearray()
-        ci += MAGIC
+        ci += self.fmt
         ci += C.enc_vstr(self.codec)
         ci += C.enc_u32(self.chunk_size)
         ci += C.enc_uvint(len(chunks))
@@ -202,13 +253,18 @@ class RunWriter:
             fh.write(bytes(ci))
 
         st = bytearray()
-        st += MAGIC
+        st += self.fmt
         st += C.enc_vstr("md5")  # partitioner name (P4 registry analog)
-        st += C.enc_vint(self.min_ts)
-        st += C.enc_vint(self.min_ttl)
-        st += C.enc_uvint(len(self.columns))
-        for name in self.columns:
-            st += C.enc_vstr(name)
+        if self.fmt == MAGIC:
+            # new format only: decode minima + schema-indexed column list
+            # (the old format is self-describing — names embedded per
+            # cell, timestamps absolute; its Statistics carries no schema,
+            # like pre-"ka" files have no HEADER component)
+            st += C.enc_vint(self.min_ts)
+            st += C.enc_vint(self.min_ttl)
+            st += C.enc_uvint(len(self.columns))
+            for name in self.columns:
+                st += C.enc_vstr(name)
         st += C.enc_uvint(self.n_parts)
         st += C.enc_i64(self.token_lo or 0)
         st += C.enc_i64(self.token_hi or 0)
@@ -239,7 +295,7 @@ class RunReader:
 
     def _read_compression_info(self) -> None:
         buf = open(self.path("CompressionInfo"), "rb").read()
-        if buf[:4] != MAGIC:
+        if buf[:4] not in (MAGIC, MAGIC_V0):
             raise ValueError("bad CompressionInfo magic")
         off = 4
         self.codec, off = C.dec_vstr(buf, off)
@@ -254,18 +310,24 @@ class RunReader:
             self.chunks.append((coff, clen, crc, rawlen))
 
     def _read_statistics(self) -> None:
+        """Format-version dispatch (S3 analog of SSTable.cpp:45-55): the
+        Statistics magic picks the decode layout — SGR1 carries minima +
+        schema, SGR0 (old generation) is self-describing."""
         buf = open(self.path("Statistics"), "rb").read()
-        if buf[:4] != MAGIC:
+        if buf[:4] not in (MAGIC, MAGIC_V0):
             raise ValueError("bad Statistics magic")
+        self.fmt = bytes(buf[:4])
         off = 4
         partitioner, off = C.dec_vstr(buf, off)
-        min_ts, off = C.dec_vint(buf, off)
-        min_ttl, off = C.dec_vint(buf, off)
-        ncols, off = C.dec_uvint(buf, off)
-        cols = []
-        for _ in range(ncols):
-            name, off = C.dec_vstr(buf, off)
-            cols.append(name)
+        min_ts = min_ttl = 0
+        cols: list[str] = []
+        if self.fmt == MAGIC:
+            min_ts, off = C.dec_vint(buf, off)
+            min_ttl, off = C.dec_vint(buf, off)
+            ncols, off = C.dec_uvint(buf, off)
+            for _ in range(ncols):
+                name, off = C.dec_vstr(buf, off)
+                cols.append(name)
         nparts, off = C.dec_uvint(buf, off)
         tlo, off = C.dec_i64(buf, off)
         thi, off = C.dec_i64(buf, off)
@@ -284,7 +346,7 @@ class RunReader:
                     raise IOError(
                         f"chunk CRC mismatch in {self.path('Data')} @{coff}"
                     )
-                yield zlib.decompress(comp) if self.codec == "deflate" else comp
+                yield decompress_chunk(self.codec, comp)
 
     def _buffer_from(self, logical_off: int) -> bytes:
         """Decompressed logical stream from logical_off to EOF (eager —

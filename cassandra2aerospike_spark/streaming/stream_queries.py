@@ -48,7 +48,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows the link, so a stale/broken
+    # symlink (fixture moved) would return False and the re-symlink would
+    # raise FileExistsError, permanently wedging the deterministic stage
+    if os.path.lexists(link) and os.readlink(link) != path:
+        os.remove(link)
+    if not os.path.lexists(link):
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stage)

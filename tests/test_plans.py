@@ -169,10 +169,14 @@ def test_topk_per_group_pushes_window_group_limit(spark, sf_dir, queries):
 
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir, queries):
-    approx = {r.l_returnflag: (r.p50_approx, r.p90_approx)
-              for r in queries["agg_approx_percentiles"](spark, sf_dir).collect()}
+    # the query now carries its own sketch-vs-exact bound check (that's
+    # what makes it oracle-checkable); assert every group is in-bound and
+    # the exact side agrees with the exact-percentile query
+    rows = {r.l_returnflag: r
+            for r in queries["agg_approx_percentiles"](spark, sf_dir).collect()}
     exact = {r.l_returnflag: (r.p50, r.p90)
              for r in queries["agg_percentiles"](spark, sf_dir).collect()}
-    for k, (a50, a90) in approx.items():
+    for k, r in rows.items():
+        assert r.p50_in_bound == 1 and r.p90_in_bound == 1
         e50, e90 = exact[k]
-        assert abs(a50 - e50) / e50 < 0.01 and abs(a90 - e90) / e90 < 0.01
+        assert r.p50_exact == e50 and r.p90_exact == e90
