@@ -33,9 +33,8 @@ HEADLINE = [
     "win_topk_per_group",
     "win_frame_analytics",
     "topk_global",
-    # ordering / resume
-    "token_resume_scan",
-    "token_resume_after_sink",
+    # ordering / resume (merged O2+O3 query)
+    "token_resume",
     # training-pipeline extensions
     "dedup_minhash_lsh",
     "sim_cosine_topk",

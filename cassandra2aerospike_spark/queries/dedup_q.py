@@ -17,21 +17,30 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
-def q_dedup_exact(spark, sf_dir):
-    """X1: exact dedup clusters by normalized-content hash."""
-    return D.exact_clusters(_docs(spark, sf_dir))
-
-
-def q_dedup_prefix(spark, sf_dir):
-    """Near-exact dedup on a 100-char prefix hash (the fixture plants
-    prefix-duplicate groups); only clusters of size > 1."""
+def q_dedup_exact_prefix(spark, sf_dir):
+    """X1 hash-dedup family, tagged by method: 'content' = exact clusters
+    by normalized-content hash; 'prefix100' = near-exact clusters on a
+    100-char prefix hash (fixture plants prefix-duplicate groups; only
+    clusters of size > 1 reported for that branch).  Both are the same
+    one-shuffle hash-groupBy shape — merged so the family checks in one
+    driver row."""
     d = _docs(spark, sf_dir)
-    return (
+    full = D.exact_clusters(d).select(
+        F.lit("content").alias("method"), "fp", "rep_doc_id", "cluster_size"
+    )
+    pref = (
         d.withColumn("pfp", F.md5(F.substring("text", 1, 100)))
         .groupBy("pfp")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
+        .select(
+            F.lit("prefix100").alias("method"),
+            F.col("pfp").alias("fp"),
+            "rep_doc_id",
+            "cluster_size",
+        )
     )
+    return full.unionByName(pref)
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
@@ -92,11 +101,6 @@ def q_dedup_keep_list(spark, sf_dir):
             .alias("keep"),
         )
     )
-
-
-def q_dedup_simhash(spark, sf_dir):
-    """X2 SimHash 60-bit fingerprints per document."""
-    return D.simhash64(_docs(spark, sf_dir))
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -243,16 +247,15 @@ simh AS (
 """
 
 ORACLES = {
-    "dedup_exact": _TOKS
+    "dedup_exact_prefix": _TOKS
     + """
-        SELECT md5(array_to_string(t, ' ')) AS fp,
+        SELECT 'content' AS method, md5(array_to_string(t, ' ')) AS fp,
                min(doc_id) AS rep_doc_id, count(*) AS cluster_size
-        FROM toks GROUP BY 1
-    """,
-    "dedup_prefix": """
-        SELECT md5(text[1:100]) AS pfp, min(doc_id) AS rep_doc_id,
-               count(*) AS cluster_size
-        FROM documents GROUP BY 1 HAVING count(*) > 1
+        FROM toks GROUP BY 2
+        UNION ALL
+        SELECT 'prefix100' AS method, md5(text[1:100]) AS fp,
+               min(doc_id) AS rep_doc_id, count(*) AS cluster_size
+        FROM documents GROUP BY 2 HAVING count(*) > 1
     """,
     # mirrors jaccard_pairs' df_cap=64 skew guard: stop-shingles (df > 64)
     # generate no candidates; surviving pairs verified on FULL shingle sets
@@ -345,7 +348,6 @@ ORACLES = {
         JOIN documents db ON db.doc_id = p.doc_b
         WHERE levenshtein(da.text, db.text) * 5 <= greatest(length(da.text), length(db.text))
     """,
-    "dedup_simhash": _SIMHASH + "SELECT doc_id, simhash FROM simh",
     "dedup_simhash_pairs": _SIMHASH
     + """
         , bands AS (
@@ -361,13 +363,11 @@ ORACLES = {
 }
 
 QUERIES = {
-    "dedup_exact": q_dedup_exact,
-    "dedup_prefix": q_dedup_prefix,
+    "dedup_exact_prefix": q_dedup_exact_prefix,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "dedup_edit_distance": q_dedup_edit_distance,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }

@@ -162,6 +162,45 @@ def q_s9_sstable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.filter_expired(records)
 
 
+def q_s8_oldformat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + S3: MIXED-generation merge — run 1 written in the SGR0 old
+    format (per-cell embedded names, absolute timestamps: the reference's
+    <"ma" layout, SSTable.cpp:337-457), runs 2-3 in SGR1 (schema-indexed
+    names, delta timestamps); the reader's format-version dispatch
+    (SSTable.cpp:45-55's create_table analog) decodes both inside ONE
+    DataSource scan and the merged result must equal the all-new-format
+    s9 merge — same DuckDB oracle."""
+    from ..sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+        default_runs_dir,
+    )
+
+    runs_dir = build_runs_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_mixedfmt", old_format_runs=1
+    )
+    classified = classified_from_runs(spark, runs_dir)
+    latest = merge.lww_latest(merge.live_cells_from_classified(classified))
+    records = latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(merge.ETERNAL)
+        )
+        .otherwise(F.max("expiration"))
+        .cast("long")
+        .alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+    return merge.filter_expired(records)
+
+
 def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 capability FIX: the reference knowingly merges clustering and
     static columns incorrectly (reference README.md:30-39, skip-only
@@ -321,6 +360,7 @@ QUERIES = {
     "a5_record_assembly": q_a5_record_assembly,
     "merge_full": q_merge_full,
     "s9_sstable_merge": q_s9_sstable_merge,
+    "s8_oldformat_merge": q_s8_oldformat_merge,
     "s10_clustering_merge": q_s10_clustering_merge,
     "compaction_roundtrip": q_compaction_roundtrip,
     "counter_merge": q_counter_merge,
@@ -420,6 +460,19 @@ ORACLES = {
            OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
     """,
     "s9_sstable_merge": _CTE
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    # identical oracle to s9: the on-disk format generation must be
+    # invisible to the merged result
+    "s8_oldformat_merge": _CTE
     + f"""
         SELECT r.key, a.cols_str, r.expiry, r.n_cols
         FROM records r

@@ -275,15 +275,29 @@ _MOMENT_SUMS = """
     SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sdt
 """
 
+def _dd(s: str) -> str:
+    """Deterministic DECIMAL -> DOUBLE: a direct CAST of a >16-significant-
+    digit decimal is NOT correctly rounded identically across engines
+    (measured: DuckDB differs from Java BigDecimal by 1 ulp on
+    7096786968835.8685).  Split into FLOOR (exact BIGINT; int64->double
+    conversion is correctly rounded everywhere) and a 4-decimal fraction
+    scaled to an exact integer, then rebuild with the same IEEE op
+    sequence on both engines — bit-identical by construction."""
+    return (
+        f"(CAST(CAST(FLOOR({s}) AS BIGINT) AS DOUBLE)"
+        f" + CAST(CAST(({s} - FLOOR({s})) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)"
+    )
+
+
 _MOMENT_EXPRS = {
-    "sd_price": "sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1))",
-    "var_qty": "(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)",
+    "sd_price": f"sqrt(({_dd('spp')} - {_dd('sp')} * {_dd('sp')} / n) / (n - 1))",
+    "var_qty": f"({_dd('sqq')} - {_dd('sq')} * {_dd('sq')} / n) / (n - 1)",
     "corr_qty_price": (
-        "(CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)"
-        " / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)"
-        " * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n))"
+        f"({_dd('sqp')} - {_dd('sq')} * {_dd('sp')} / n)"
+        f" / sqrt(({_dd('sqq')} - {_dd('sq')} * {_dd('sq')} / n)"
+        f" * ({_dd('spp')} - {_dd('sp')} * {_dd('sp')} / n))"
     ),
-    "cov_disc_tax": "(CAST(sdt AS DOUBLE) - CAST(sdisc AS DOUBLE) * CAST(stax AS DOUBLE) / n) / (n - 1)",
+    "cov_disc_tax": f"({_dd('sdt')} - {_dd('sdisc')} * {_dd('stax')} / n) / (n - 1)",
 }
 
 
@@ -639,44 +653,36 @@ def q_sort_multi_limit(spark, sf_dir):
 
 # ----------------------------------------------------------------- set ops
 
-def q_set_union(spark, sf_dir):
+def _set_sides(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
+    return c, s
 
 
-def q_set_union_all(spark, sf_dir):
-    """Bag union (UNION ALL) — multiset compare via the driver's row sort."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s)
+def q_set_ops_distinct(spark, sf_dir):
+    """§2.7 set-semantics family in one result: UNION / INTERSECT /
+    EXCEPT over the same two sides, tagged by op.  (Formerly three
+    registry entries — merged so the whole family fits inside the
+    driver's checked prefix; each branch is still the distinct Catalyst
+    operator.)"""
+    c, s = _set_sides(spark, sf_dir)
+    return (
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey")
+        .unionByName(c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"))
+        .unionByName(c.subtract(s).select(F.lit("except").alias("op"), "nationkey"))
+    )
 
 
-def q_set_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-def q_set_except(spark, sf_dir):
-    """EXCEPT (set semantics — subtract, not the bag-difference exceptAll)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
-
-
-def q_set_intersect_all(spark, sf_dir):
-    """INTERSECT ALL (bag semantics — multiplicity = min of the sides)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersectAll(s)
-
-
-def q_set_except_all(spark, sf_dir):
-    """EXCEPT ALL (bag difference — multiplicity = left minus right)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.exceptAll(s)
+def q_set_ops_all(spark, sf_dir):
+    """§2.7 bag-semantics family in one result: UNION ALL / INTERSECT ALL
+    (multiplicity = min of sides) / EXCEPT ALL (left minus right),
+    tagged by op — multiset compare via the driver's row sort."""
+    c, s = _set_sides(spark, sf_dir)
+    return (
+        c.union(s).select(F.lit("union_all").alias("op"), "nationkey")
+        .unionByName(c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nationkey"))
+        .unionByName(c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey"))
+    )
 
 
 def q_unpivot_melt(spark, sf_dir):
@@ -693,10 +699,15 @@ def q_unpivot_melt(spark, sf_dir):
 
 # ----------------------------------------------------------- scalar families
 
-def q_scalar_strings(spark, sf_dir):
+def q_scalar_strings_hex(spark, sf_dir):
     """String function family (T2/F6 analogs: case, substring, length,
-    concat, replace, pattern match, hex)."""
+    concat, replace, pattern match) PLUS the hex encode/parse round trips
+    (O4: the reference's `-S` hex resume-key parsing,
+    Cassandra2Aerospike.cpp:126-150, and the dry-run hex projection,
+    Utilities.cpp:20-60) — one query, same table, whole T2/F6/O4
+    surface."""
     p = _t(spark, sf_dir, "part")
+    name_hex = F.hex(F.encode(F.col("p_name"), "UTF-8"))
     return p.select(
         "p_partkey",
         F.upper("p_name").alias("uname"),
@@ -707,6 +718,12 @@ def q_scalar_strings(spark, sf_dir):
         F.regexp_replace("p_name", "[aeiou]", "").alias("novowels"),
         F.col("p_type").rlike("^STANDARD").cast("int").alias("is_standard"),
         F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.conv(F.hex(F.col("p_partkey")), 16, 10).cast("bigint").alias("key_back"),
+        F.lower(name_hex).alias("name_hex"),
+        F.decode(F.unhex(name_hex), "UTF-8").alias("name_back"),
+        (F.decode(F.unhex(name_hex), "UTF-8") == F.col("p_name"))
+        .cast("int")
+        .alias("roundtrip_ok"),
     )
 
 
@@ -724,8 +741,12 @@ def q_scalar_dates(spark, sf_dir):
     )
 
 
-def q_scalar_math(spark, sf_dir):
-    """Math family: abs/ceil/floor/round/sqrt/mod (libm-stable subset)."""
+def q_scalar_math_safe(spark, sf_dir):
+    """Math family (abs/ceil/floor/round/sqrt/mod — libm-stable subset)
+    PLUS the error-safe cast family: try_divide / try_cast return NULL
+    instead of failing the job — the semantics a 100 TB pipeline needs
+    when a bad row must not kill a stage (ANSI-mode-safe).  One query,
+    same table."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -737,6 +758,14 @@ def q_scalar_math(spark, sf_dir):
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("ln_roundtrip"),
+        F.concat(F.lit("x"), F.col("l_returnflag")).try_cast("double").alias(
+            "bad_double"
+        ),
     )
 
 
@@ -757,41 +786,6 @@ def q_scalar_conditional(spark, sf_dir):
     )
 
 
-def q_scalar_hex_roundtrip(spark, sf_dir):
-    """O4/T2/F6: hex encode/parse round trips (the reference's `-S` hex
-    resume-key parsing, Cassandra2Aerospike.cpp:126-150, and the dry-run
-    hex projection, Utilities.cpp:20-60)."""
-    p = _t(spark, sf_dir, "part")
-    name_hex = F.hex(F.encode(F.col("p_name"), "UTF-8"))
-    return p.select(
-        "p_partkey",
-        F.hex(F.col("p_partkey")).alias("key_hex"),
-        F.conv(F.hex(F.col("p_partkey")), 16, 10).cast("bigint").alias("key_back"),
-        F.lower(name_hex).alias("name_hex"),
-        F.decode(F.unhex(name_hex), "UTF-8").alias("name_back"),
-        (F.decode(F.unhex(name_hex), "UTF-8") == F.col("p_name"))
-        .cast("int")
-        .alias("roundtrip_ok"),
-    )
-
-
-def q_scalar_safe_cast(spark, sf_dir):
-    """Error-safe scalar family: try_divide / try_cast return NULL instead
-    of failing the job — the semantics a 100 TB pipeline needs when a
-    bad row must not kill a stage (ANSI-mode-safe)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
-            "price_per_disc"
-        ),
-        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
-        F.col("l_linenumber").cast("string").try_cast("int").alias("ln_roundtrip"),
-        F.concat(F.lit("x"), F.col("l_returnflag")).try_cast("double").alias(
-            "bad_double"
-        ),
-    )
 
 
 def q_scalar_json(spark, sf_dir):
@@ -841,20 +835,14 @@ QUERIES = {
     "scalar_maps": q_scalar_maps,
     "topk_global": q_topk_global,
     "sort_multi_limit": q_sort_multi_limit,
-    "set_union": q_set_union,
-    "set_union_all": q_set_union_all,
-    "set_intersect": q_set_intersect,
-    "set_except": q_set_except,
-    "set_intersect_all": q_set_intersect_all,
-    "set_except_all": q_set_except_all,
+    "set_ops_distinct": q_set_ops_distinct,
+    "set_ops_all": q_set_ops_all,
     "unpivot_melt": q_unpivot_melt,
-    "scalar_strings": q_scalar_strings,
+    "scalar_strings_hex": q_scalar_strings_hex,
     "scalar_dates": q_scalar_dates,
-    "scalar_math": q_scalar_math,
+    "scalar_math_safe": q_scalar_math_safe,
     "scalar_conditional": q_scalar_conditional,
     "scalar_json": q_scalar_json,
-    "scalar_safe_cast": q_scalar_safe_cast,
-    "scalar_hex_roundtrip": q_scalar_hex_roundtrip,
 }
 
 ORACLES = {
@@ -1163,29 +1151,31 @@ ORACLES = {
         SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
         FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1000
     """,
-    "set_union": """
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION SELECT s_nationkey FROM supplier
+    "set_ops_distinct": """
+        SELECT 'union' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT SELECT s_nationkey FROM supplier)
     """,
-    "set_union_all": """
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION ALL SELECT s_nationkey FROM supplier
-    """,
-    "set_intersect": """
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT SELECT s_nationkey FROM supplier
-    """,
-    "set_except": """
-        SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT SELECT s_nationkey FROM supplier
-    """,
-    "set_intersect_all": """
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT ALL SELECT s_nationkey FROM supplier
-    """,
-    "set_except_all": """
-        SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT ALL SELECT s_nationkey FROM supplier
+    "set_ops_all": """
+        SELECT 'union_all' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect_all' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except_all' AS op, nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL SELECT s_nationkey FROM supplier)
     """,
     "unpivot_melt": """
         SELECT c_custkey, metric, value FROM (
@@ -1195,7 +1185,7 @@ ORACLES = {
             FROM customer)
         ) UNPIVOT (value FOR metric IN (acctbal, nationkey_d))
     """,
-    "scalar_strings": """
+    "scalar_strings_hex": """
         SELECT p_partkey,
                upper(p_name) AS uname,
                lower(p_brand) AS lbrand,
@@ -1204,7 +1194,11 @@ ORACLES = {
                concat_ws('|', p_brand, p_type) AS brand_type,
                regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
                CAST(regexp_matches(p_type, '^STANDARD') AS INT) AS is_standard,
-               upper(to_hex(p_partkey)) AS key_hex
+               upper(to_hex(p_partkey)) AS key_hex,
+               CAST(p_partkey AS BIGINT) AS key_back,
+               lower(hex(encode(p_name))) AS name_hex,
+               decode(from_hex(hex(encode(p_name)))) AS name_back,
+               CAST(decode(from_hex(hex(encode(p_name)))) = p_name AS INT) AS roundtrip_ok
         FROM part
     """,
     "scalar_dates": """
@@ -1218,7 +1212,7 @@ ORACLES = {
                epoch(o_orderdate) AS epoch_s
         FROM orders
     """,
-    "scalar_math": """
+    "scalar_math_safe": """
         SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25) AS abs_dev,
                CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
@@ -1226,7 +1220,12 @@ ORACLES = {
                round(l_discount * 100, 0) AS disc_pct,
                sqrt(l_quantity) AS qty_sqrt,
                l_orderkey % 7 AS key_mod7,
-               l_quantity * l_quantity AS qty_sq
+               l_quantity * l_quantity AS qty_sq,
+               CASE WHEN l_discount = 0 THEN NULL
+                    ELSE l_extendedprice / l_discount END AS price_per_disc,
+               TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+               TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS ln_roundtrip,
+               TRY_CAST('x' || l_returnflag AS DOUBLE) AS bad_double
         FROM lineitem
     """,
     "scalar_conditional": """
@@ -1238,24 +1237,6 @@ ORACLES = {
                greatest(c_acctbal, 0.0) AS bal_floor0,
                least(c_acctbal, 1000.0) AS bal_cap1k
         FROM customer
-    """,
-    "scalar_hex_roundtrip": """
-        SELECT p_partkey,
-               upper(to_hex(p_partkey)) AS key_hex,
-               CAST(p_partkey AS BIGINT) AS key_back,
-               lower(hex(encode(p_name))) AS name_hex,
-               decode(from_hex(hex(encode(p_name)))) AS name_back,
-               CAST(decode(from_hex(hex(encode(p_name)))) = p_name AS INT) AS roundtrip_ok
-        FROM part
-    """,
-    "scalar_safe_cast": """
-        SELECT l_orderkey, l_linenumber,
-               CASE WHEN l_discount = 0 THEN NULL
-                    ELSE l_extendedprice / l_discount END AS price_per_disc,
-               TRY_CAST(l_returnflag AS INT) AS flag_as_int,
-               TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS ln_roundtrip,
-               TRY_CAST('x' || l_returnflag AS DOUBLE) AS bad_double
-        FROM lineitem
     """,
     "scalar_json": """
         SELECT event_id,

@@ -119,7 +119,43 @@ def q_mm_resize(spark, sf_dir):
     )
 
 
+# the stub decoder's rules (multimodal._fake_decode) are deliberately
+# byte-arithmetic so the Python mapInPandas path has EXACT SQL oracles:
+# width = byte[0]+1, height = last byte of the first 64 + 1,
+# n_frames = max(1, len//1024), features = first 8 bytes / 255.0
+_MM_BYTES = """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS byte_len
+      FROM documents
+    ), b AS (
+      SELECT doc_id, byte_len,
+             list_transform(range(1, least(byte_len, 64) + 1),
+               i -> (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
+      FROM p
+    )
+"""
+
 ORACLES = {
+    "mm_decode_features": _MM_BYTES + """
+        SELECT doc_id, CAST(byte_len AS INT) AS byte_len,
+               CAST(bytes[1] + 1 AS INT) AS width,
+               CAST(bytes[least(byte_len, 64)] + 1 AS INT) AS height,
+               CAST(greatest(1, byte_len // 1024) AS INT) AS n_frames,
+               round(list_reduce(list_transform(bytes[1:8], x -> x / 255.0),
+                                 (a, b) -> a + b), 6) AS feat_sum
+        FROM b
+    """,
+    "mm_resize": _MM_BYTES + """
+        SELECT doc_id,
+               CAST(bytes[1] + 1 AS INT) AS src_w,
+               CAST(bytes[least(byte_len, 64)] + 1 AS INT) AS src_h,
+               32.0 / (bytes[1] + 1) AS scale_x,
+               32.0 / (bytes[least(byte_len, 64)] + 1) AS scale_y,
+               CAST(32 * 32 AS INT) AS thumb_len
+        FROM b
+    """,
     "mm_frame_sample": """
         WITH f AS (
           SELECT doc_id,

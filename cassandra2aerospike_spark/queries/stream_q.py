@@ -8,15 +8,13 @@ from ..streaming import (
     stream_lww_tws,
     stream_session_windows,
     stream_sstable_ingest,
-    stream_sliding_counts,
     stream_stream_join,
-    stream_tumbling_counts,
+    stream_window_counts,
     streaming_dedup_keys,
 )
 
 QUERIES = {
-    "stream_tumbling_counts": stream_tumbling_counts,
-    "stream_sliding_counts": stream_sliding_counts,
+    "stream_window_counts": stream_window_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": streaming_dedup_keys,
     "stream_stream_join": stream_stream_join,
@@ -36,15 +34,7 @@ except ImportError:
     _HAS_TWS = False
 
 ORACLES = {
-    "stream_tumbling_counts": """
-        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
-               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour')
-                   AS window_end_us,
-               event_type, count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2, 3
-    """,
-    "stream_sliding_counts": """
+    "stream_window_counts": """
         WITH starts AS (
           SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS s0,
                  CAST(ts AS TIMESTAMP) AS ts
@@ -53,12 +43,23 @@ ORACLES = {
           SELECT unnest([s0, s0 - INTERVAL '30 minutes']) AS window_start, ts
           FROM starts
         )
-        SELECT epoch_us(window_start) AS window_start_us,
+        SELECT 'tumbling' AS op,
+               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour')
+                   AS window_end_us,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 2, 3, 4
+        UNION ALL
+        SELECT 'sliding' AS op,
+               epoch_us(window_start) AS window_start_us,
                epoch_us(window_start + INTERVAL '1 hour') AS window_end_us,
-               count(*) AS n
+               CAST(NULL AS VARCHAR) AS event_type,
+               count(*) AS n,
+               CAST(NULL AS DOUBLE) AS sum_value
         FROM expanded
         WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
-        GROUP BY 1, 2
+        GROUP BY 2, 3
     """,
     "stream_session_windows": """
         WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -18,69 +18,72 @@ def q_token_md5(spark, sf_dir):
     )
 
 
-def q_token_ring_ranges(spark, sf_dir):
-    """O1: token-ring range assignment — first token byte buckets the ring
-    into 32 ranges; per-range key counts (the unit of the reference's
-    global (token, key) iteration order, CassandraParser.cpp:38-46)."""
+def q_token_ring_buckets(spark, sf_dir):
+    """O1 + P3 in one tagged result: ring-range assignment under BOTH
+    partitioner families.  'md5' = first token byte buckets the ring into
+    32 ranges (the unit of the reference's global (token, key) iteration
+    order, CassandraParser.cpp:38-46); 'byteorder' = token is the key
+    itself (Partitioners.cpp:212-240), so ranges become key-prefix
+    buckets.  Identical aggregate shape, tagged union."""
     c = load_table(spark, sf_dir, "customer")
     tok = TK.md5_token(F.col("c_custkey"))
     range_id = F.floor(
         F.conv(F.substring(tok, 1, 2), 16, 10).cast("int") / 8
     ).cast("int")
-    return (
+    md5_branch = (
         c.select(tok.alias("token"), range_id.alias("range_id"))
         .groupBy("range_id")
-        .agg(F.count("*").alias("n_keys"), F.min("token").alias("range_start"))
-    )
-
-
-def q_token_resume_scan(spark, sf_dir):
-    """O2/O3: resume-from-key — keys at or after a token cutpoint, plus the
-    next resume point (min token of the remainder).  The reference's
-    Summary/Index seek (SSTable.cpp:122-180) becomes a filter that prunes
-    via parquet min/max stats."""
-    c = load_table(spark, sf_dir, "customer")
-    toks = c.select("c_custkey", TK.md5_token(F.col("c_custkey")).alias("token"))
-    remainder = toks.filter(F.col("token") >= "80")
-    return remainder.agg(
-        F.count("*").alias("n_remaining"),
-        F.min("token").alias("resume_token"),
-        F.max("token").alias("last_token"),
-    )
-
-
-def q_token_byteorder(spark, sf_dir):
-    """P3 ByteOrdered/OrderPreserving partitioner: token = the key itself
-    (Partitioners.cpp:212-240) — ring ranges become plain key-prefix
-    buckets; per-bucket count and boundary keys."""
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        c.select(F.col("c_name").alias("key"))
-        .groupBy(F.substring("key", 1, 10).alias("bucket"))
-        .agg(
-            F.count("*").alias("n_keys"),
-            F.min("key").alias("first_key"),
-            F.max("key").alias("last_key"),
+        .agg(F.count("*").alias("n_keys"), F.min("token").alias("first_key"),
+             F.max("token").alias("last_key"))
+        .select(
+            F.lit("md5").alias("partitioner"),
+            F.col("range_id").cast("string").alias("bucket"),
+            "n_keys", "first_key", "last_key",
         )
     )
-
-
-def q_token_resume_after_sink(spark, sf_dir):
-    """O3 resume-point computation: the next `-S` hint = min token over
-    keys NOT yet in the sink (get_first_unsent_record / get_next_key,
-    AerospikeWriter.cpp:424-446, CassandraParser.cpp:394-409).  The
-    'already written' set (every third order) is left-anti-joined away;
-    at scale both sides shuffle on the key — same distribution the
-    create-only sink itself uses."""
-    o = load_table(spark, sf_dir, "orders")
-    toks = o.select("o_orderkey", TK.md5_token(F.col("o_orderkey")).alias("token"))
-    written = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
-    remaining = toks.join(written, "o_orderkey", "left_anti")
-    return remaining.agg(
-        F.count("*").alias("n_unsent"),
-        F.min("token").alias("resume_token"),
-        F.min_by("o_orderkey", "token").alias("resume_key"),
+    bo_branch = (
+        c.select(F.col("c_name").alias("key"))
+        .groupBy(F.substring("key", 1, 10).alias("bucket"))
+        .agg(F.count("*").alias("n_keys"), F.min("key").alias("first_key"),
+             F.max("key").alias("last_key"))
+        .select(F.lit("byteorder").alias("partitioner"), "bucket",
+                "n_keys", "first_key", "last_key")
     )
+    return md5_branch.unionByName(bo_branch)
+
+
+def q_token_resume(spark, sf_dir):
+    """O2 + O3 in one tagged result.  'scan_cut': keys at or after a token
+    cutpoint plus the next resume point — the reference's Summary/Index
+    seek (SSTable.cpp:122-180) as a stats-pruned filter.  'after_sink':
+    the next `-S` hint = min token over keys NOT yet written
+    (get_first_unsent_record / get_next_key, AerospikeWriter.cpp:424-446,
+    CassandraParser.cpp:394-409) — the written set anti-joined away on
+    the same key distribution the create-only sink uses."""
+    c = load_table(spark, sf_dir, "customer")
+    toks = c.select("c_custkey", TK.md5_token(F.col("c_custkey")).alias("token"))
+    scan = (
+        toks.filter(F.col("token") >= "80")
+        .agg(
+            F.count("*").alias("n_remaining"),
+            F.min("token").alias("resume_token"),
+            F.max("token").alias("detail"),
+        )
+        .select(F.lit("scan_cut").alias("op"), "n_remaining", "resume_token", "detail")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    otoks = o.select("o_orderkey", TK.md5_token(F.col("o_orderkey")).alias("token"))
+    written = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    after_sink = (
+        otoks.join(written, "o_orderkey", "left_anti")
+        .agg(
+            F.count("*").alias("n_remaining"),
+            F.min("token").alias("resume_token"),
+            F.min_by("o_orderkey", "token").cast("string").alias("detail"),
+        )
+        .select(F.lit("after_sink").alias("op"), "n_remaining", "resume_token", "detail")
+    )
+    return scan.unionByName(after_sink)
 
 
 def q_o2_layout_resume(spark, sf_dir):
@@ -111,8 +114,11 @@ def q_o2_layout_resume(spark, sf_dir):
 
 def q_token_murmur3(spark, sf_dir):
     """P1: Cassandra-compatible Murmur3 tokens (pandas UDF — the one
-    computation with no Spark builtin).  No SQL oracle (DuckDB has no
-    Cassandra murmur3) -> rows-only; bit-level vectors are unit-tested."""
+    computation with no Spark builtin, Partitioners.cpp:80-191).  The
+    oracle reimplements Cassandra Murmur3 in PURE DuckDB SQL over
+    HUGEINT limb arithmetic (see _MURMUR3_ORACLE) — customer keys are
+    ASCII digits <= 8 bytes, so only the tail path + finalization is
+    exercised, which a CTE chain expresses exactly."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -120,51 +126,124 @@ def q_token_murmur3(spark, sf_dir):
     ).orderBy("token")
 
 
+# --- Cassandra Murmur3 x64-128 h1 in pure SQL (DuckDB HUGEINT) ----------
+# 64-bit wrapping ops emulated on HUGEINT: values live in [0, 2^64);
+# a*b mod 2^64 via 32-bit limbs (every intermediate < 2^65 < HUGEINT max);
+# rotl/shr via exact powers of two (disjoint bit ranges -> '+' is '|').
+# Keys here are ASCII digits (< 0x80), so Java's signed-byte tail quirk
+# is value-neutral; keys are <= 8 bytes, so nblocks=0 and k2=0 — the
+# whole algorithm reduces to the k1 tail mix + finalization, which is
+# what this CTE chain encodes.  Constants from Partitioners.cpp:80-191.
+_B64 = "CAST('18446744073709551616' AS HUGEINT)"  # 2^64
+_B63 = "CAST('9223372036854775808' AS HUGEINT)"  # 2^63
+
+
+def _mul64(a: str, b: str) -> str:
+    """(a * b) mod 2^64 without overflowing HUGEINT."""
+    return (
+        f"(((({a}) % 4294967296) * (({b}) % 4294967296)"
+        f" + (((({a}) // 4294967296) * (({b}) % 4294967296)"
+        f"     + (({a}) % 4294967296) * (({b}) // 4294967296)) % 4294967296)"
+        f"   * 4294967296) % {_B64})"
+    )
+
+
+def _rotl64(x: str, r: int) -> str:
+    return f"(((({x}) * {1 << r}) % {_B64}) + (({x}) // {1 << (64 - r)}))"
+
+
+def _xor_shr(x: str, s: int) -> str:
+    return f"xor(({x}), ({x}) // {1 << s})"
+
+
+def _fmix_stages(src: str, pfx: str, prev: str) -> str:
+    """Three CTE stages computing fmix64(src) into column {pfx}f."""
+    m1 = "CAST('18397679294719823053' AS HUGEINT)"  # 0xff51afd7ed558ccd
+    m2 = "CAST('14181476777654086739' AS HUGEINT)"  # 0xc4ceb9fe1a85ec53
+    return (
+        f"{pfx}1 AS (SELECT *, {_mul64(_xor_shr(src, 33), m1)} AS {pfx}a FROM {prev}),\n"
+        f"{pfx}2 AS (SELECT *, {_mul64(_xor_shr(pfx + 'a', 33), m2)} AS {pfx}b FROM {pfx}1),\n"
+        f"{pfx}3 AS (SELECT *, {_xor_shr(pfx + 'b', 33)} AS {pfx}f FROM {pfx}2)"
+    )
+
+
+def _murmur3_oracle() -> str:
+    c1 = "CAST('9782798678568883157' AS HUGEINT)"  # 0x87c37b91114253d5
+    c2 = "CAST('5545529020109919103' AS HUGEINT)"  # 0x4cf5ad432745937f
+    return f"""
+        WITH base AS (
+          SELECT c_custkey,
+                 CAST(length(CAST(c_custkey AS VARCHAR)) AS HUGEINT) AS n,
+                 CAST(list_reduce(list_transform(
+                        range(length(CAST(c_custkey AS VARCHAR)), 0, -1),
+                        i -> ascii(substr(CAST(c_custkey AS VARCHAR), CAST(i AS INT), 1))),
+                      (a, b) -> a * 256 + b) AS HUGEINT) AS k1
+          FROM customer
+        ),
+        s1 AS (SELECT *, {_mul64('k1', c1)} AS k1a FROM base),
+        s2 AS (SELECT *, {_rotl64('k1a', 31)} AS k1b FROM s1),
+        s3 AS (SELECT *, {_mul64('k1b', c2)} AS k1c FROM s2),
+        -- tail <= 8 bytes: h1 = (0 ^ k1c) ^ n, h2 = 0 ^ n,
+        -- then h1 += h2; h2 += h1 (sequential)
+        s4 AS (SELECT *, xor(k1c, n) AS h1x, n AS h2x FROM s3),
+        s5 AS (SELECT *, (h1x + h2x) % {_B64} AS h1y FROM s4),
+        s6 AS (SELECT *, (h2x + h1y) % {_B64} AS h2y FROM s5),
+        {_fmix_stages('h1y', 'fa', 's6')},
+        {_fmix_stages('h2y', 'fb', 'fa3')},
+        fin AS (SELECT c_custkey, (faf + fbf) % {_B64} AS tu FROM fb3)
+        SELECT c_custkey,
+               CAST(CASE WHEN tu = {_B63} THEN {_B63} - 1
+                         WHEN tu >= {_B63} THEN tu - {_B64}
+                         ELSE tu END AS BIGINT) AS token
+        FROM fin
+    """
+
+
 ORACLES = {
+    "token_murmur3": _murmur3_oracle(),
     "token_md5": """
         SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer
     """,
-    "token_ring_ranges": """
+    "token_ring_buckets": """
         WITH t AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer)
-        SELECT CAST(floor(((strpos('0123456789abcdef', substr(token, 1, 1)) - 1) * 16
+        SELECT 'md5' AS partitioner,
+               CAST(CAST(floor(((strpos('0123456789abcdef', substr(token, 1, 1)) - 1) * 16
                            + strpos('0123456789abcdef', substr(token, 2, 1)) - 1) / 8.0)
-                    AS INT) AS range_id,
-               count(*) AS n_keys, min(token) AS range_start
-        FROM t GROUP BY 1
+                    AS INT) AS VARCHAR) AS bucket,
+               count(*) AS n_keys, min(token) AS first_key, max(token) AS last_key
+        FROM t GROUP BY 2
+        UNION ALL
+        SELECT 'byteorder' AS partitioner,
+               substring(c_name, 1, 10) AS bucket, count(*) AS n_keys,
+               min(c_name) AS first_key, max(c_name) AS last_key
+        FROM customer GROUP BY 2
     """,
-    "token_resume_scan": """
-        WITH t AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer)
-        SELECT count(*) AS n_remaining, min(token) AS resume_token,
-               max(token) AS last_token
+    "token_resume": """
+        WITH t AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer),
+        u AS (
+          SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS token
+          FROM orders WHERE o_orderkey % 3 != 0
+        )
+        SELECT 'scan_cut' AS op, count(*) AS n_remaining,
+               min(token) AS resume_token, max(token) AS detail
         FROM t WHERE token >= '80'
+        UNION ALL
+        SELECT 'after_sink' AS op, count(*) AS n_remaining,
+               min(token) AS resume_token,
+               CAST(arg_min(o_orderkey, token) AS VARCHAR) AS detail
+        FROM u
     """,
     "o2_layout_resume": """
         SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS token
         FROM customer
         WHERE md5(CAST(c_custkey AS VARCHAR)) >= '80'
     """,
-    "token_byteorder": """
-        SELECT substring(c_name, 1, 10) AS bucket, count(*) AS n_keys,
-               min(c_name) AS first_key, max(c_name) AS last_key
-        FROM customer GROUP BY 1
-    """,
-    "token_resume_after_sink": """
-        WITH t AS (
-          SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS token
-          FROM orders WHERE o_orderkey % 3 != 0
-        )
-        SELECT count(*) AS n_unsent, min(token) AS resume_token,
-               arg_min(o_orderkey, token) AS resume_key
-        FROM t
-    """,
 }
 
 QUERIES = {
     "token_md5": q_token_md5,
-    "token_ring_ranges": q_token_ring_ranges,
-    "token_resume_scan": q_token_resume_scan,
-    "token_byteorder": q_token_byteorder,
-    "token_resume_after_sink": q_token_resume_after_sink,
+    "token_ring_buckets": q_token_ring_buckets,
+    "token_resume": q_token_resume,
     "o2_layout_resume": q_o2_layout_resume,
     "token_murmur3": q_token_murmur3,
 }

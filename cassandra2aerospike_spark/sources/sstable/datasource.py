@@ -117,8 +117,21 @@ class SSTableRunReader(DataSourceReader):
 
     def partitions(self):
         parts: list[RunSlice] = []
+        seen_partitioner: tuple[int, str] | None = None
         for gen in discover_runs(self.directory):
             rr = RunReader(self.directory, gen, verify_checksums=False)
+            # P5: every run in a table must share one partitioner — the
+            # k-way merge's global (token, key) order is meaningless
+            # across token functions (CassandraParser.cpp:144-153 aborts
+            # on the same condition)
+            if seen_partitioner is None:
+                seen_partitioner = (gen, rr.stats.partitioner)
+            elif rr.stats.partitioner != seen_partitioner[1]:
+                raise ValueError(
+                    f"inconsistent partitioners in {self.directory}: run "
+                    f"{seen_partitioner[0]} uses {seen_partitioner[1]!r} but "
+                    f"run {gen} uses {rr.stats.partitioner!r}"
+                )
             if self.min_token is not None and rr.stats.token_hi < self.min_token:
                 continue  # whole-run prune via Statistics token range
             samples = _summary_tokens(self.directory, gen)

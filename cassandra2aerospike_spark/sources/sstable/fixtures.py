@@ -29,13 +29,20 @@ from .format import Cell, Partition, RunWriter
 
 
 def build_runs_from_events(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_runs: int = 3
+    spark: SparkSession, sf_dir: str, out_dir: str, n_runs: int = 3,
+    old_format_runs: int = 0,
 ) -> str:
     """Materialize events as n_runs sorted runs under out_dir (idempotent:
     a _DONE marker skips rebuild).  Driver-side build — this is fixture
     authoring, not a query path; the scale path for writing runs would be
-    a DataSourceWriter."""
-    marker = os.path.join(out_dir, f"_DONE_{n_runs}")
+    a DataSourceWriter.
+
+    `old_format_runs`: the first N generations are written in the SGR0
+    old format (embedded names, absolute timestamps) — a mixed-generation
+    directory, the exact situation the reference's version dispatch
+    handles (one table, files from different Cassandra eras,
+    SSTable.cpp:45-55)."""
+    marker = os.path.join(out_dir, f"_DONE_{n_runs}_{old_format_runs}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -69,8 +76,10 @@ def build_runs_from_events(
                     expiration=r.expiration,
                 )
             )
+    from .format import MAGIC, MAGIC_V0
+
     for gen, parts in by_run.items():
-        w = RunWriter(out_dir, gen + 1)
+        w = RunWriter(out_dir, gen + 1, fmt=MAGIC_V0 if gen < old_format_runs else MAGIC)
         for p in sorted(parts.values(), key=lambda p: (p.token, p.key)):
             p.cells.sort(key=lambda c: (c.col_name, c.ts))
             w.add(p)

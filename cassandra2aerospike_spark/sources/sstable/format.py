@@ -400,33 +400,42 @@ class RunReader:
         Raises IndexError/struct.error on byte-level underflow; callers
         must also reject new_off > len(buf) (silent short slices)."""
         st = self.stats
+        old = self.fmt == MAGIC_V0
         token, off = C.dec_i64(buf, off)
         klen, off = C.dec_u16(buf, off)
         key = bytes(buf[off : off + klen]); off += klen
         flags = buf[off]; off += 1
         row_tomb = None
         if flags & 0x01:
-            delta, off = C.dec_vint(buf, off)
-            row_tomb = st.min_ts + delta
+            v, off = C.dec_vint(buf, off)
+            row_tomb = v if old else st.min_ts + v
         ncells, off = C.dec_uvint(buf, off)
         cells = []
         for _ in range(ncells):
             f = buf[off]; off += 1
-            cid, off = C.dec_uvint(buf, off)
-            tsd, off = C.dec_vint(buf, off)
+            if old:
+                # old generation (SGR0): embedded name, absolute ts —
+                # the SSTable.cpp:337-457 read path shape
+                col_name, off = C.dec_vstr(buf, off)
+                ts, off = C.dec_vint(buf, off)
+            else:
+                cid, off = C.dec_uvint(buf, off)
+                col_name = st.columns[cid]
+                tsd, off = C.dec_vint(buf, off)
+                ts = st.min_ts + tsd
             ttl = expiration = None
             if f & F_EXPIRING:
                 ttld, off = C.dec_vint(buf, off)
-                ttl = st.min_ttl + ttld
+                ttl = ttld if old else st.min_ttl + ttld
                 expiration, off = C.dec_vint(buf, off)
             value = b""
             if not (f & F_DELETED):
                 value, off = C.dec_vblob(buf, off)
             cells.append(
                 Cell(
-                    col_name=st.columns[cid],
+                    col_name=col_name,
                     value=value,
-                    ts=st.min_ts + tsd,
+                    ts=ts,
                     ttl=ttl,
                     expiration=expiration,
                     deleted=bool(f & F_DELETED),

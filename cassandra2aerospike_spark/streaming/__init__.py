@@ -3,6 +3,7 @@ from .stream_queries import (
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
+    stream_window_counts,
     stream_stateful_lww,
     stream_lww_tws,
     stream_sstable_ingest,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_tumbling_counts",
+    "stream_window_counts",
     "stream_stateful_lww",
     "stream_lww_tws",
     "stream_sstable_ingest",

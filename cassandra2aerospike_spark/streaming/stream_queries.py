@@ -118,6 +118,32 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding windowed aggregation as ONE tagged result: two
+    real Structured Streaming queries (watermark + F.window) driven to
+    completion, unioned.  'tumbling' = 1-hour windows per event type with
+    decimal-exact value sums; 'sliding' = 1-hour windows every 30 minutes
+    (each event lands in 2 windows).  Merged so the §2.8 window family
+    checks in one driver row."""
+    tumb = stream_tumbling_counts(spark, sf_dir).select(
+        F.lit("tumbling").alias("op"),
+        "window_start_us",
+        "window_end_us",
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    slide = stream_sliding_counts(spark, sf_dir).select(
+        F.lit("sliding").alias("op"),
+        "window_start_us",
+        "window_end_us",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumb.unionByName(slide)
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap (F.session_window)."""
     ev = stream_events(spark, sf_dir)

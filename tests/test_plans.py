@@ -51,7 +51,7 @@ def test_broadcast_star_join_broadcasts_all_dims(spark, sf_dir, queries):
 def test_resume_scan_pushes_key_filter(spark, sf_dir):
     """O2 resume: a start-key predicate on a STORED column must reach the
     parquet scan (the Spark analog of the reference's Summary/Index seek).
-    The md5-token variant (token_resume_scan) filters a derived column and
+    The md5-token variant (token_resume 'scan_cut' branch) filters a derived column and
     legitimately cannot push — this covers the prunable path."""
     from pyspark.sql import functions as F
 

@@ -132,6 +132,78 @@ def test_seek_matches_full_scan(run_dir):
         assert got == want
 
 
+def test_oldformat_roundtrip_and_seek(tmp_path):
+    """S8: the SGR0 old format (embedded names, absolute timestamps)
+    roundtrips byte-exactly and seeks like the new format."""
+    from cassandra2aerospike_spark.sources.sstable.format import MAGIC_V0
+
+    d = str(tmp_path)
+    parts = _mk_parts(120, seed=5)
+    w = RunWriter(d, 1, chunk_size=4096, fmt=MAGIC_V0)
+    for p in parts:
+        w.add(p)
+    w.finish()
+    rr = RunReader(d, 1)
+    assert rr.fmt == MAGIC_V0
+    assert rr.stats.columns == []  # self-describing: no schema sidecar
+    got = list(rr.partitions())
+    assert len(got) == len(parts)
+    for a, b in zip(parts, got):
+        assert (a.key, a.row_tomb_ts) == (b.key, b.row_tomb_ts)
+        for ca, cb in zip(a.cells, b.cells):
+            assert (ca.col_name, ca.ts, ca.ttl, ca.deleted) == (
+                cb.col_name, cb.ts, cb.ttl, cb.deleted,
+            )
+    cut = parts[40].token
+    assert [p.key for p in rr.partitions(start_token=cut)] == [
+        p.key for p in parts if p.token >= cut
+    ]
+
+
+def test_mixed_format_directory_reads_identically(spark, tmp_path):
+    """S3 version dispatch: one directory holding an SGR0 run and an SGR1
+    run decodes both in one DataSource scan (the reference's old+new
+    generation coexistence, SSTable.cpp:45-55)."""
+    from cassandra2aerospike_spark.sources.sstable.format import MAGIC, MAGIC_V0
+
+    d = str(tmp_path)
+    parts = _mk_parts(100, seed=11)
+    halves = (parts[0::2], parts[1::2])
+    for gen, (ps, fmt) in enumerate(zip(halves, (MAGIC_V0, MAGIC)), start=1):
+        w = RunWriter(d, gen, fmt=fmt)
+        for p in ps:
+            w.add(p)
+        w.finish()
+    register(spark)
+    df = spark.read.format("sstable_run").load(d)
+    n_cells = sum(len(p.cells) for p in parts)
+    n_markers = sum(1 for p in parts if p.row_tomb_ts is not None)
+    assert df.count() == n_cells + n_markers
+    names = {r.col_name for r in df.select("col_name").distinct().collect()}
+    assert {f"c{j}" for j in range(5)} <= names | {None}
+
+
+def test_mixed_partitioners_abort(spark, tmp_path):
+    """P5: runs with different partitioners in one table directory must
+    abort planning (CassandraParser.cpp:144-153)."""
+    d = str(tmp_path)
+    parts = _mk_parts(40, seed=13)
+    for gen, ps in ((1, parts[0::2]), (2, parts[1::2])):
+        w = RunWriter(d, gen)
+        for p in ps:
+            w.add(p)
+        w.finish()
+    # binary-patch run 2's Statistics partitioner name ("md5" -> "xd5")
+    stats_path = os.path.join(d, "2-Statistics.db")
+    blob = open(stats_path, "rb").read()
+    open(stats_path, "wb").write(blob.replace(b"md5", b"xd5", 1))
+    from cassandra2aerospike_spark.sources.sstable.datasource import SSTableRunReader
+
+    rdr = SSTableRunReader({"path": d})
+    with pytest.raises(ValueError, match="inconsistent partitioners"):
+        rdr.partitions()
+
+
 def test_out_of_order_rejected(tmp_path):
     w = RunWriter(str(tmp_path), 1)
     ps = _mk_parts(10)  # sorted by (token, key)
@@ -523,12 +595,25 @@ _parts = _st.dictionaries(
 )
 
 
+from cassandra2aerospike_spark.sources.sstable.format import MAGIC as _MAGIC
+from cassandra2aerospike_spark.sources.sstable.format import MAGIC_V0 as _MAGIC_V0
+from cassandra2aerospike_spark.sources.sstable.format import _lz4block as _lz4
+
+_codecs = ["deflate", "none"] + (["lz4"] if _lz4 is not None else [])
+
+
 @_settings(max_examples=25, deadline=None, suppress_health_check=[_HC.too_slow])
-@_given(data=_parts, chunk=_st.sampled_from([48, 256, 65536]))
-def test_run_roundtrip_property(tmp_path_factory, data, chunk):
+@_given(
+    data=_parts,
+    chunk=_st.sampled_from([48, 256, 65536]),
+    fmt=_st.sampled_from([_MAGIC, _MAGIC_V0]),
+    codec=_st.sampled_from(_codecs),
+)
+def test_run_roundtrip_property(tmp_path_factory, data, chunk, fmt, codec):
     """Hypothesis roundtrip of the full run format: random keys, cells,
-    tombstones, TTLs and chunk sizes survive write -> read bit-exactly,
-    in (token, key) order."""
+    tombstones, TTLs, chunk sizes, BOTH format generations and every
+    importable chunk codec survive write -> read bit-exactly, in
+    (token, key) order."""
     from cassandra2aerospike_spark.sources.sstable.format import (
         Cell,
         Partition,
@@ -547,7 +632,7 @@ def test_run_roundtrip_property(tmp_path_factory, data, chunk):
         ]
         parts.append(Partition(key=key, row_tomb_ts=row_tomb, cells=cs))
     parts.sort(key=lambda p: (p.token, p.key))
-    w = RunWriter(d, 1, chunk_size=chunk)
+    w = RunWriter(d, 1, chunk_size=chunk, fmt=fmt, codec=codec)
     for p in parts:
         w.add(p)
     w.finish()
