@@ -61,8 +61,13 @@ _PRIORITY = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
-    "text_term_freq",
-    "sample_hash_split",
+    # new this round: the bucketed co-located join (exchange-free
+    # big-big join) and deterministic watermark late-data semantics —
+    # flagship scale capabilities, so they take the prefix slots of two
+    # same-family variants (text_term_freq, sample_hash_split rotate in
+    # next round)
+    "join_bucketed_colocated",
+    "stream_late_data",
     # X1/X2 dedup
     "dedup_exact_prefix",
     "dedup_minhash_lsh",

@@ -135,6 +135,31 @@ def q_join_asof(spark, sf_dir):
     ).select("event_id", "user_id", "p_ts", "amount", F.col("v_ts").alias("last_view_ts"))
 
 
+def q_join_bucketed_colocated(spark, sf_dir):
+    """Co-located big-big join over BUCKETED tables: lineitem and orders
+    are both hash-clustered into 16 buckets on the order key (one
+    write-time shuffle each, staged once), so the join AND the following
+    per-order aggregation run with ZERO runtime exchanges — the plan
+    audit asserts it.  The 100 TB shape: fact-fact joins repeated across
+    a pipeline shuffle once at layout time, not once per query.  The
+    merge hint pins SortMergeJoin so the demo doesn't degrade to a
+    broadcast at toy scale (at 100 TB neither side broadcasts anyway)."""
+    from ..sources.bucketed import bucketed_table
+
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.min("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
 # ------------------------------------------------------------- aggregations
 
 def q_agg_pricing_summary(spark, sf_dir):
@@ -809,6 +834,7 @@ QUERIES = {
     "join_broadcast_star": q_join_broadcast_star,
     "join_range_theta": q_join_range_theta,
     "join_asof": q_join_asof,
+    "join_bucketed_colocated": q_join_bucketed_colocated,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_distinct": q_agg_distinct,
     "agg_rollup": q_agg_rollup,
@@ -895,6 +921,13 @@ ORACLES = {
                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM part JOIN buckets ON p_size >= lo AND p_size <= hi
         GROUP BY bucket
+    """,
+    "join_bucketed_colocated": """
+        SELECT o_orderkey, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               min(o_totalprice) AS totalprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
     """,
     "join_asof": """
         SELECT p.event_id, p.user_id, p.p_ts, p.amount, v.v_ts AS last_view_ts

@@ -5,6 +5,7 @@ checked against batch SQL (streaming/stream_queries.py for semantics)."""
 from __future__ import annotations
 
 from ..streaming import (
+    stream_late_data,
     stream_lww_tws,
     stream_session_windows,
     stream_sstable_ingest,
@@ -15,6 +16,7 @@ from ..streaming import (
 
 QUERIES = {
     "stream_window_counts": stream_window_counts,
+    "stream_late_data": stream_late_data,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keys": streaming_dedup_keys,
     "stream_stream_join": stream_stream_join,
@@ -60,6 +62,45 @@ ORACLES = {
         FROM expanded
         WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
         GROUP BY 2, 3
+    """,
+    # late-data semantics as pure SQL: runs arrive in gen order (ts%3+1),
+    # ONE RUN PER MICROBATCH (source admission control).  Spark publishes
+    # a new watermark with one full batch of lag — the value applied
+    # while processing batch k was computed from data through batch k-2
+    # (measured: the k-1 model undercounts, this one hash-matches) — so
+    # a row is DROPPED iff its window end <= max ts of runs <= k-2 minus
+    # the 10-minute delay, and a window is EMITTED (append mode) once
+    # the final watermark (global max - delay, published by the trailing
+    # no-data batch) passes its end
+    "stream_late_data": """
+        WITH cls AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(epoch_us(ts) % 3 + 1 AS INT) AS run
+          FROM events
+          WHERE NOT (event_id % 97 = 0 OR event_id % 13 = 0 OR event_id % 10 = 0)
+        ),
+        maxes AS (SELECT run, max(ts) AS m FROM cls GROUP BY run),
+        wm AS (
+          SELECT r.run,
+                 (SELECT max(m.m) FROM maxes m WHERE m.run < r.run - 1)
+                   - INTERVAL '10 minutes' AS wm_before
+          FROM (SELECT DISTINCT run FROM cls) r
+        ),
+        kept AS (
+          SELECT e.ts
+          FROM cls e JOIN wm ON wm.run = e.run
+          WHERE wm.wm_before IS NULL
+             OR date_trunc('hour', e.ts) + INTERVAL '1 hour' > wm.wm_before
+        ),
+        final_wm AS (
+          SELECT max(m) - INTERVAL '10 minutes' AS fw FROM maxes
+        )
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               epoch_us(date_trunc('hour', ts) + INTERVAL '1 hour') AS window_end_us,
+               count(*) AS n_on_time
+        FROM kept
+        GROUP BY 1, 2
+        HAVING window_end_us <= (SELECT epoch_us(fw) FROM final_wm)
     """,
     "stream_session_windows": """
         WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

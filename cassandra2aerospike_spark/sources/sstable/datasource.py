@@ -191,10 +191,36 @@ class SSTableRunStreamReader(DataSourceStreamReader):
     Offset = highest run generation ingested; partition-planned (one
     InputPartition per new run, split like the batch reader), so executors
     do the reading — not the driver.  Checkpointed offsets give exactly-
-    once per run: the streaming analog of the resume-key hint (O3)."""
+    once per run: the streaming analog of the resume-key hint (O3).
+
+    Admission control: `max_gens_per_batch` caps how many new generations
+    one microbatch admits (the maxFilesPerTrigger analog, and the
+    reference's bounded-in-flight backpressure idea, S12 /
+    AerospikeWriter.cpp:25).  A backlog of runs then drains as a
+    SEQUENCE of microbatches in gen order — which also makes watermark
+    progression across the backlog deterministic (stream_late_data
+    depends on exactly that).
+
+    The cap's floor is the END of the last PLANNED batch (recorded in
+    `partitions(start, end)`), not the engine's commits and not the last
+    value latestOffset returned: `commit(end)` only arrives when Spark
+    plans a subsequent batch, so a commit-gated cap deadlocks a draining
+    stream, and a per-call self-advancing floor over-admits because the
+    trigger loop polls latestOffset many times per planned batch (both
+    measured).  Planning is the one per-batch signal the Python API
+    exposes, and it makes latestOffset idempotent between plannings —
+    each batch admits exactly the next `max_gens` generations.
+    LIMITATION: the floor is in-memory — after a JVM/driver restart the
+    first capped trigger may plan one stale empty batch (hi < lo yields
+    no partitions, nothing re-read) and the offset sequence restarts
+    from the checkpoint, so batch BOUNDARIES are not stable across
+    restarts; the uncapped default is unaffected."""
 
     def __init__(self, options):
         self.directory = options.get("path")
+        self.max_gens = int(options.get("max_gens_per_batch", "0"))  # 0 = all
+        self._committed = 0  # highest gen seen in commit()/partitions()
+        self._floor = 0  # highest offset this reader has returned
         if not self.directory:
             raise ValueError("sstable_run stream requires a path")
         self.verify = options.get("verify_checksums", "true").lower() == "true"
@@ -204,21 +230,31 @@ class SSTableRunStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         gens = discover_runs(self.directory)
-        return {"max_gen": max(gens) if gens else 0}
+        latest = max(gens) if gens else 0
+        if self.max_gens > 0:
+            floor = max(self._floor, self._committed)
+            capped = [g for g in sorted(gens) if g > floor][: self.max_gens]
+            latest = max(capped) if capped else floor
+        return {"max_gen": latest}
 
     def partitions(self, start, end):
         lo, hi = start["max_gen"], end["max_gen"]
+        # planned-through watermark: the admission floor advances here
+        # (once per planned batch), keeping latestOffset idempotent
+        # between plannings
+        self._committed = max(self._committed, lo)
+        self._floor = max(self._floor, lo, hi)
         return [
             RunSlice(self.directory, gen, None, None, self.verify)
             for gen in discover_runs(self.directory)
-            if lo < gen <= hi
+            if lo < gen <= hi  # hi < lo (stale floor after restart) -> empty
         ]
 
     def read(self, part: RunSlice):
         return SSTableRunReader.read(self, part)  # same per-slice scan
 
     def commit(self, end):
-        pass
+        self._committed = max(self._committed, end["max_gen"])
 
 
 def _install_run(tmp_dir: str, directory: str, final_gen: int) -> None:

@@ -6,6 +6,7 @@ from .stream_queries import (
     stream_window_counts,
     stream_stateful_lww,
     stream_lww_tws,
+    stream_late_data,
     stream_sstable_ingest,
     stream_stream_join,
     streaming_dedup_keys,
@@ -19,6 +20,7 @@ __all__ = [
     "stream_window_counts",
     "stream_stateful_lww",
     "stream_lww_tws",
+    "stream_late_data",
     "stream_sstable_ingest",
     "stream_stream_join",
     "streaming_dedup_keys",

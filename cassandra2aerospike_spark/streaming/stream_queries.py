@@ -293,6 +293,49 @@ def stream_sstable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, deterministically: the 3-generation
+    run stream delivers each run as one microbatch in gen order, and the
+    ts%3 run assignment makes every run span the whole time range — so
+    batches 2 and 3 are mostly LATE relative to the watermark set by
+    earlier batches.  Append-mode windowed aggregation then (a) drops
+    arriving rows whose window already closed (window_end <= watermark
+    before their batch) and (b) emits only windows the final watermark
+    passed.  Both rules are pure functions of per-run maxima, so the
+    DuckDB oracle reproduces the exact surviving counts — the strongest
+    statement the fixtures can make about watermark correctness
+    (SURVEY §2.8: watermark replaces the reference's resume-key
+    contract for late/replayed data)."""
+    from ..sources.sstable import register
+    from ..sources.sstable.fixtures import build_runs_from_events, default_runs_dir
+
+    runs_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
+    register(spark)
+    stream = (
+        spark.readStream.format("sstable_run")
+        # admission control: ONE generation per microbatch, so the
+        # watermark advances between runs and late-data drops are
+        # deterministic functions of per-run maxima
+        .option("max_gens_per_batch", "1")
+        .load(runs_dir)
+    )
+    cells = stream.filter(
+        F.col("col_name").isNotNull() & ~F.col("deleted") & ~F.col("range_tomb")
+    )
+    ev = cells.withColumn("ts_event", F.timestamp_micros(F.col("ts")))
+    agg = (
+        ev.withWatermark("ts_event", "10 minutes")
+        .groupBy(F.window("ts_event", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_on_time"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("w.end")).alias("window_end_us"),
+        "n_on_time",
+    )
+
+
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A1: stateful dedup under a watermark
     (dropDuplicatesWithinWatermark) — emits each (user_id, event_type)

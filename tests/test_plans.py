@@ -105,6 +105,16 @@ def test_scan_prunes_columns(spark, sf_dir, queries):
     assert all("props" not in s for s in rep.read_schemas), rep.read_schemas
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir, queries):
+    """Co-located bucketed join: both sides hash-clustered on the join key
+    at WRITE time, so the SortMergeJoin AND the downstream per-key
+    aggregation plan with zero runtime Exchanges — the layout technique
+    that amortizes the fact-table shuffle across every query at 100 TB."""
+    rep = audit(queries["join_bucketed_colocated"](spark, sf_dir))
+    assert rep.n_exchanges == 0, rep.summary()
+    assert rep.n_sortmerge_joins == 1 and rep.n_broadcast_joins == 0, rep.summary()
+
+
 def test_salted_agg_two_exchanges_no_joins(spark, sf_dir, queries):
     """Salted aggregation trades exactly ONE extra (tiny) shuffle for skew
     immunity: partial agg on (keys, salt), finish on keys — and no joins."""

@@ -204,6 +204,41 @@ def test_mixed_partitioners_abort(spark, tmp_path):
         rdr.partitions()
 
 
+def test_stream_admission_control_one_gen_per_batch(spark, multi_run_dir, tmp_path):
+    """max_gens_per_batch=1: a 3-run backlog drains as 3 microbatches in
+    gen order (admission control — the maxFilesPerTrigger analog), with
+    the same total row count as an uncapped read."""
+    import tempfile
+    import uuid
+
+    d, parts = multi_run_dir
+    register(spark)
+    name = "adm_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.format("sstable_run")
+        .option("max_gens_per_batch", "1")
+        .load(d)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_adm_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    n_cells = sum(len(p.cells) for p in parts)
+    n_markers = sum(1 for p in parts if p.row_tomb_ts is not None)
+    assert spark.table(name).count() == n_cells + n_markers
+    assert len(data_batches) == 3, [p["numInputRows"] for p in q.recentProgress]
+
+
 def test_out_of_order_rejected(tmp_path):
     w = RunWriter(str(tmp_path), 1)
     ps = _mk_parts(10)  # sorted by (token, key)
