@@ -157,17 +157,43 @@ def assign_cells(vecs: DataFrame, centroids: DataFrame, vec_col: str = "embeddin
     return scored.withColumn("cell", -F.array_max(sims)["neg_cid"]).drop("codebook")
 
 
+def assign_probe_cells(
+    vecs: DataFrame, centroids: DataFrame, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Multi-probe cell assignment for the QUERY side: each query expands
+    to its `nprobe` nearest centroids (sim desc, cid asc tie-break — the
+    same order as assign_cells' argmax).  The explode multiplies only the
+    tiny query set; the corpus keeps its single home cell."""
+    scored = vecs.crossJoin(F.broadcast(_centroid_array(centroids)))
+    sims = F.transform(
+        F.col("codebook"),
+        lambda c: F.struct(
+            cosine(as_double_vec(F.col(vec_col)), as_double_vec(c["c_vec"])).alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+    return (
+        scored.withColumn("probe", F.explode(top))
+        .withColumn("cell", -F.col("probe.neg_cid"))
+        .drop("codebook", "probe")
+    )
+
+
 def ivf_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 5, n_centroids: int = 16
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_centroids: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
     """X3 scale path #2: IVF (inverted-file) ANN — corpus partitioned into
-    coarse cells, each query searched only against its own cell (nprobe=1).
+    coarse cells, each query searched against its `nprobe` nearest cells.
     The cell equi-join replaces the cross join exactly like lsh_topk, but
-    with a data-adaptive partition (codebook) instead of fixed sign bits.
-    Recall < 1 by construction; brute_force_topk is the baseline."""
+    with a data-adaptive partition (codebook) instead of fixed sign bits;
+    raising nprobe buys recall for a proportional slice of the corpus
+    scanned per query (the standard IVF knob).  Recall < 1 by
+    construction; brute_force_topk is the baseline."""
     cents = centroid_frame(corpus, n_centroids)
     cb = assign_cells(spread(corpus), cents, "embedding")
-    qb = assign_cells(queries, cents, "q_vec")
+    qb = assign_probe_cells(queries, cents, "q_vec", nprobe)
     scored = cb.join(F.broadcast(qb), "cell").filter(
         F.col("q_id") != F.col("vec_id")
     ).select(

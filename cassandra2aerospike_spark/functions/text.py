@@ -109,6 +109,46 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style document-quality rules (the public repetition/quality
+    heuristics from the Gopher paper, Rae et al. 2021 §A1.1): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, minimum stop-word hits, bullet-line and ellipsis-line
+    fractions.  Every rule is evaluated with INTEGER cross-multiplication
+    (e.g. `10*n_symbols <= n_tokens` instead of `ratio <= 0.1`), so the
+    booleans are integer-exact in any engine — no float thresholds to
+    drift."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    n_hash = (F.length(text) - F.length(F.expr("replace(text, '#', '')"))).cast("long")
+    n_ell = F.expr(
+        "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"
+    )
+    stops = stopword_hits(toks, "en").cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    ).cast("long")
+    n_ell_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))).cast(
+        "long"
+    )
+    return {
+        "n_tokens": n_tok,
+        "r_word_count": ((n_tok >= 50) & (n_tok <= 100_000)).cast("int"),
+        "r_mean_word_len": ((3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)).cast("int"),
+        "r_symbol_ratio": (10 * (n_hash + n_ell) <= n_tok).cast("int"),
+        "r_alpha_words": (5 * n_alpha >= 4 * n_tok).cast("int"),
+        "r_stopwords": (stops >= 2).cast("int"),
+        "r_bullet_lines": (10 * n_bullet <= 9 * n_lines).cast("int"),
+        "r_ellipsis_lines": (10 * n_ell_lines <= 3 * n_lines).cast("int"),
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (md5 is bit-identical across engines; the hex string is the id)."""

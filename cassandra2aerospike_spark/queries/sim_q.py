@@ -45,9 +45,10 @@ def q_sim_cosine_topk_fast(spark, sf_dir):
 def q_sim_ivf_topk(spark, sf_dir):
     """X3 scale path #2: IVF ANN — nearest-centroid cell assignment
     (in-row argmax against a broadcast codebook), then top-5 within the
-    query's cell only (nprobe=1)."""
+    query's TWO nearest cells (nprobe=2: each probe is another equi-join
+    partition of the corpus, the standard recall knob)."""
     emb = _emb(spark, sf_dir)
-    return S.ivf_topk(_queries_frame(emb), emb, k=5, n_centroids=16)
+    return S.ivf_topk(_queries_frame(emb), emb, k=5, n_centroids=16, nprobe=2)
 
 
 def q_sim_embedding_neardup(spark, sf_dir):
@@ -235,8 +236,11 @@ ORACLES = {
             FROM corpus_scored) WHERE rn = 1
         ),
         q_cells AS (
-          SELECT vec_id AS q_id, embedding AS q_vec, cell
-          FROM corpus_cells WHERE vec_id % 50 = 0
+          -- nprobe=2: each query probes its two nearest cells
+          SELECT vec_id AS q_id, embedding AS q_vec, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM corpus_scored WHERE vec_id % 50 = 0) WHERE rn <= 2
         ),
         scored AS (
           SELECT q.q_id, e.vec_id,

@@ -44,6 +44,24 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality FILTER (the decision a pretraining corpus
+    pipeline actually materializes): per-document rule booleans +
+    keep/drop verdict, all integer-exact (functions/text.gopher_rules)."""
+    d = _docs(spark, sf_dir)
+    r = X.gopher_rules(F.col("text"))
+    rules = [k for k in r if k.startswith("r_")]
+    keep = None
+    for k in rules:
+        keep = r[k] if keep is None else keep * r[k]
+    return d.select(
+        "doc_id",
+        r["n_tokens"].alias("n_tokens"),
+        *[r[k].alias(k) for k in rules],
+        keep.alias("gopher_keep"),
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     """Language ID: stopword-ratio argmax + CJK char ratio (deterministic
     tie-break by language code)."""
@@ -127,6 +145,40 @@ ORACLES = {
                    / CAST(greatest(len(t), 1) AS DOUBLE) * 0.3 AS quality_score
         FROM toks
     """,
+    "text_gopher_rules": _TOKS
+    + f"""
+        , g AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+                 CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+                 CAST(len(list_filter(t, x -> list_contains([{{sw}}], x))) AS BIGINT) AS stops,
+                 CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(string_split(text, chr(10)),
+                          l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+                 CAST(len(list_filter(string_split(text, chr(10)),
+                          l -> suffix(rtrim(l), '...'))) AS BIGINT) AS n_ell_lines
+          FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(n_tokens >= 50 AND n_tokens <= 100000 AS INT) AS r_word_count,
+               CAST(3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens AS INT) AS r_mean_word_len,
+               CAST(10 * (n_hash + n_ell) <= n_tokens AS INT) AS r_symbol_ratio,
+               CAST(5 * n_alpha >= 4 * n_tokens AS INT) AS r_alpha_words,
+               CAST(stops >= 2 AS INT) AS r_stopwords,
+               CAST(10 * n_bullet <= 9 * n_lines AS INT) AS r_bullet_lines,
+               CAST(10 * n_ell_lines <= 3 * n_lines AS INT) AS r_ellipsis_lines,
+               CAST((n_tokens >= 50 AND n_tokens <= 100000)
+                AND (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+                AND (10 * (n_hash + n_ell) <= n_tokens)
+                AND (5 * n_alpha >= 4 * n_tokens)
+                AND (stops >= 2)
+                AND (10 * n_bullet <= 9 * n_lines)
+                AND (10 * n_ell_lines <= 3 * n_lines) AS INT) AS gopher_keep
+        FROM g
+    """.replace("{sw}", _SW["en"]),
     "text_lang_id": _TOKS
     + f"""
         , scores AS (
@@ -187,6 +239,7 @@ ORACLES = {
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
+    "text_gopher_rules": q_text_gopher_rules,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "text_term_freq": q_text_term_freq,

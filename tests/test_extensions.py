@@ -125,6 +125,25 @@ def test_fast_topk_matches_exact_ranking(spark, sf_dir):
         assert abs(sims_ex[(r.q_id, r.vec_id)] - r.sim) < 1e-9
 
 
+def test_ivf_nprobe_improves_recall(spark, sf_dir):
+    """nprobe=2 must recall at least as many true (brute-force) neighbors
+    as nprobe=1, and strictly dominate whenever a query's true neighbor
+    lives in its second-nearest cell (the knob's whole point)."""
+    from cassandra2aerospike_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {(r.q_id, r.vec_id) for r in S.brute_force_topk(q, emb, k=5).collect()}
+    p1 = {(r.q_id, r.vec_id)
+          for r in S.ivf_topk(q, emb, k=5, n_centroids=16, nprobe=1).collect()}
+    p2 = {(r.q_id, r.vec_id)
+          for r in S.ivf_topk(q, emb, k=5, n_centroids=16, nprobe=2).collect()}
+    r1, r2 = len(p1 & truth), len(p2 & truth)
+    assert r2 >= r1, (r1, r2)
+
+
 def test_connected_components_small_graph(spark):
     # two components {1,2,3,9} (chain + shortcut) and {5,6}; singleton 7-8 pair absent
     pairs = spark.createDataFrame(
