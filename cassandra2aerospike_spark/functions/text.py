@@ -149,6 +149,89 @@ def gopher_rules(text: Column) -> dict[str, Column]:
     }
 
 
+def _mode_run(sorted_arr: Column) -> Column:
+    """(count, value) of the most frequent element of a SORTED array,
+    ties broken to the smallest value — computed as the longest run, via
+    one in-row fold (no explode, no shuffle).  Strictly-greater update
+    keeps the FIRST (= smallest, array is ascending) run on count ties."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_cnt"), F.lit("").alias("best_val"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["best_cnt"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, g).otherwise(acc["best_val"]).alias("best_val"),
+        )
+
+    acc = F.aggregate(sorted_arr, init, step)
+    return F.struct(acc["best_cnt"].alias("cnt"), acc["best_val"].alias("val"))
+
+
+def _dup_run_chars(sorted_arr: Column) -> Column:
+    """Σ count·length(value) over elements of a SORTED array occurring
+    more than once — the 'characters inside duplicated n-grams' measure,
+    as one in-row fold."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+
+    def step(acc, g):
+        closing = (g != acc["prev"]) & (acc["run"] >= 2)
+        flushed = F.when(
+            closing, acc["acc"] + acc["run"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(acc["acc"])
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(g.alias("prev"), run.alias("run"), flushed.alias("acc"))
+
+    def finish(acc):
+        return F.when(
+            acc["run"] >= 2, acc["acc"] + acc["run"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(acc["acc"])
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array (space-joined, position-ordered)."""
+    return F.transform(
+        F.sequence(F.lit(n), F.size(toks)),
+        lambda i: F.array_join(F.slice(toks, i - (n - 1), n), " "),
+    )
+
+
+def repetition_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style REPETITION rules (Rae et al. 2021 §A1.1, the other
+    half of gopher_rules): duplicate-line fraction, top word-2-gram
+    character fraction, duplicated word-5-gram character fraction.  All
+    computed IN-ROW (sorted-array run folds — no explode, no shuffle:
+    the whole filter runs inside the scan stage at any scale) and
+    compared with integer cross-multiplication."""
+    toks = tokens(text)
+    n_chars = F.length(text).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    g2 = _mode_run(F.array_sort(ngrams_of(toks, 2)))
+    top2_chars = g2["cnt"] * F.length(g2["val"]).cast("long")
+    dup5_chars = _dup_run_chars(F.array_sort(ngrams_of(toks, 5)))
+    return {
+        "n_chars": n_chars,
+        "top2_cnt": g2["cnt"],
+        "dup5_chars": dup5_chars,
+        # <= 30% duplicate lines; top 2-gram <= 20% of chars;
+        # duplicated 5-grams <= 15% of chars (Gopher thresholds)
+        "r_dup_lines": (10 * n_dup_lines <= 3 * n_lines).cast("int"),
+        "r_top_2gram": (5 * top2_chars <= n_chars).cast("int"),
+        "r_dup_5gram": (20 * dup5_chars <= 3 * n_chars).cast("int"),
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (md5 is bit-identical across engines; the hex string is the id)."""

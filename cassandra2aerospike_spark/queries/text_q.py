@@ -62,6 +62,25 @@ def q_text_gopher_rules(spark, sf_dir):
     )
 
 
+def q_text_repetition_rules(spark, sf_dir):
+    """Gopher repetition filters (dup-line / top-2-gram / dup-5-gram
+    character fractions) — computed entirely in-row via sorted-array run
+    folds (functions/text.repetition_rules): zero shuffles, so the
+    filter rides the scan stage at 100 TB."""
+    d = _docs(spark, sf_dir)
+    r = X.repetition_rules(F.col("text"))
+    return d.select(
+        "doc_id",
+        r["n_chars"].alias("n_chars"),
+        r["top2_cnt"].alias("top2_cnt"),
+        r["dup5_chars"].alias("dup5_chars"),
+        r["r_dup_lines"].alias("r_dup_lines"),
+        r["r_top_2gram"].alias("r_top_2gram"),
+        r["r_dup_5gram"].alias("r_dup_5gram"),
+        (r["r_dup_lines"] * r["r_top_2gram"] * r["r_dup_5gram"]).alias("rep_keep"),
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     """Language ID: stopword-ratio argmax + CJK char ratio (deterministic
     tie-break by language code)."""
@@ -88,6 +107,35 @@ def q_text_term_freq(spark, sf_dir):
         .agg(F.count("*").alias("freq"))
     )
     return tf.orderBy(F.col("freq").desc(), F.col("token")).limit(50)
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    """Sequence PACKING for training (the op that turns a document corpus
+    into fixed-token-budget training sequences): documents are sharded by
+    hash (so packing parallelizes — one window per shard, never a global
+    sort), ordered deterministically within the shard, and assigned
+    seq_id = floor(cumulative_tokens_before / budget) — streaming
+    packing where a document overflowing the budget opens the next
+    sequence.  Integer-exact; budget 2048 whitespace tokens."""
+    budget = 2048
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(X.tokens(F.col("text"))).cast("long")
+    shard = (F.col("doc_id") % 8).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = d.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+        F.floor(cum_before / budget).cast("long").alias("seq_id"),
+        (cum_before % budget).cast("long").alias("seq_offset"),
+    )
 
 
 def q_sample_hash_split(spark, sf_dir):
@@ -179,6 +227,77 @@ ORACLES = {
                 AND (10 * n_ell_lines <= 3 * n_lines) AS INT) AS gopher_keep
         FROM g
     """.replace("{sw}", _SW["en"]),
+    "text_repetition_rules": _TOKS
+    + """
+        , g2 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> array_to_string(t[i : i + 1], ' '))) AS g
+          FROM toks WHERE len(t) >= 2
+        ),
+        g2c AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        top2 AS (
+          SELECT doc_id, cnt, g FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, g) AS rn
+            FROM g2c) WHERE rn = 1
+        ),
+        g5 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i : i + 4], ' '))) AS g
+          FROM toks WHERE len(t) >= 5
+        ),
+        g5c AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        dup5 AS (
+          SELECT doc_id,
+                 CAST(coalesce(sum(cnt * length(g)) FILTER (cnt >= 2), 0) AS BIGINT)
+                     AS dup5_chars
+          FROM g5c GROUP BY doc_id
+        ),
+        base AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(len(string_split(text, chr(10)))
+                      - len(list_distinct(string_split(text, chr(10)))) AS BIGINT)
+                     AS n_dup_lines
+          FROM toks
+        )
+        SELECT b.doc_id, b.n_chars,
+               CAST(coalesce(t2.cnt, 0) AS BIGINT) AS top2_cnt,
+               CAST(coalesce(d5.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+               CAST(10 * b.n_dup_lines <= 3 * b.n_lines AS INT) AS r_dup_lines,
+               CAST(5 * coalesce(t2.cnt * length(t2.g), 0) <= b.n_chars AS INT)
+                   AS r_top_2gram,
+               CAST(20 * coalesce(d5.dup5_chars, 0) <= 3 * b.n_chars AS INT)
+                   AS r_dup_5gram,
+               CAST((10 * b.n_dup_lines <= 3 * b.n_lines)
+                AND (5 * coalesce(t2.cnt * length(t2.g), 0) <= b.n_chars)
+                AND (20 * coalesce(d5.dup5_chars, 0) <= 3 * b.n_chars) AS INT)
+                   AS rep_keep
+        FROM base b
+        LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+        LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+    """,
+    "text_pack_sequences": _TOKS
+    + """
+        , base AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                 CAST(len(t) AS BIGINT) AS n_tokens
+          FROM toks
+        ),
+        cum AS (
+          SELECT *,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS cum_before
+          FROM base
+        )
+        SELECT doc_id, shard, n_tokens, cum_before,
+               CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+               CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+        FROM cum
+    """,
     "text_lang_id": _TOKS
     + f"""
         , scores AS (
@@ -240,6 +359,8 @@ QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_gopher_rules": q_text_gopher_rules,
+    "text_repetition_rules": q_text_repetition_rules,
+    "text_pack_sequences": q_text_pack_sequences,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "text_term_freq": q_text_term_freq,
