@@ -36,10 +36,16 @@ def q_sim_lsh_topk(spark, sf_dir):
 
 def q_sim_cosine_topk_fast(spark, sf_dir):
     """X3 hot path: GEMM-vectorized brute-force top-5 (one numpy matmul
-    per Arrow batch).  Rows-only: BLAS summation order differs from the
-    oracle-exact fold; tests pin it against sim_cosine_topk."""
+    per Arrow batch).  Oracle-checked on (q_id, vec_id, rank): the
+    neighbor IDENTITIES and ordering are stable (the fixture's sim gaps
+    are orders of magnitude above BLAS-vs-fold summation noise — the
+    rank-equality is also pinned by a unit test); only the raw sim
+    values differ in final ulps, so they are excluded from the hashed
+    output."""
     emb = _emb(spark, sf_dir)
-    return S.brute_force_topk_fast(_queries_frame(emb), emb, k=5)
+    return S.brute_force_topk_fast(_queries_frame(emb), emb, k=5).select(
+        "q_id", "vec_id", "rank"
+    )
 
 
 def q_sim_ivf_topk(spark, sf_dir):
@@ -185,6 +191,26 @@ ORACLES = {
           FROM scored
         )
         SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    # rank-only twin of sim_cosine_topk (see q_sim_cosine_topk_fast)
+    "sim_cosine_topk_fast": """
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 list_inner_product(q.q_vec, e.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+                    * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                     AS sim
+          FROM embeddings e CROSS JOIN q
+          WHERE q.q_id != e.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
     """,
     "sim_lsh_topk": """
         WITH bucketed AS (
