@@ -1,0 +1,180 @@
+"""CLI — the reference binary's surface, Spark-first.
+
+Mirrors the getopt surface of Cassandra2Aerospike.cpp:41-62 (usage) and
+73-231 (parse_arguments), so a user of the reference can run the same
+job shapes against SSTable-style run directories:
+
+    python -m cassandra2aerospike_spark \\
+        -i RUNS_DIR [-i DIR2 ...]      # input tables (S1 discovery)
+        [-D]                           # dry run: print records (S13)
+        [-o OUT_DIR]                   # create-only KV sink dir (S11;
+                                       #   stands in for -h/-p/-n/-t
+                                       #   aerospike host/port/ns/set)
+        [-S HEXKEY | -s TOKEN]         # resume from hex key / raw token
+                                       #   (O2/O3/O4)
+        [-L MIN_TTL]                   # minimum-TTL cutoff, default 1 (F3)
+        [-f]                           # first-expiring expiry fold (A4)
+        [-C]                           # disable chunk checksums (S5 -C)
+        [-e N]                         # parallelism (event loops -> shuffle
+                                       #   partitions)
+        [--now EPOCH_S]                # pin 'now' for expiry (tests)
+        [--limit N]                    # dry-run record cap, default 20
+
+Unmapped reference flags: -a (async ops in flight) is the bounded-async
+writer's max_in_flight (sinks/kv_sink.py) — the parquet sink path is
+synchronous per task; -u/-p (aerospike auth) have no parquet analog.
+
+Exit report mirrors the reference's end-of-run accounting + resume hint
+(Cassandra2Aerospike.cpp:376-401).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _classified_binary(spark, dirs: list[str], verify: bool, min_token: int | None):
+    """Multi-dir run scan -> classified EAV frame with BINARY values and
+    hex keys (the reference treats every value as an opaque blob,
+    README.md:39)."""
+    from .sources.sstable.datasource import register
+
+    register(spark)
+    frames = []
+    for d in dirs:
+        rd = (
+            spark.read.format("sstable_run")
+            .option("verify_checksums", "true" if verify else "false")
+            .load(d)
+        )
+        frames.append(rd)
+    raw = frames[0]
+    for f in frames[1:]:
+        raw = raw.unionByName(f)
+    if min_token is not None:
+        # O2: pushFilters prunes runs via Statistics + seeks via
+        # Summary/Index before Spark re-applies the predicate
+        raw = raw.filter(F.col("token") >= F.lit(min_token))
+    kind = (
+        F.when(F.col("col_name").isNull(), F.lit("row"))
+        .when(F.col("range_tomb"), F.lit("range"))
+        .when(F.col("deleted"), F.lit("point"))
+        .otherwise(F.lit("cell"))
+    )
+    return raw.select(
+        F.lower(F.hex(F.col("key"))).alias("key"),
+        F.col("token"),
+        "col_name",
+        F.col("value"),
+        "ts",
+        "ttl",
+        "expiration",
+        kind.alias("kind"),
+    )
+
+
+def _merge(classified: DataFrame, first_expiring: bool) -> DataFrame:
+    """The reference's one query over binary cells: F1 liveness -> A1
+    LWW -> A5 record assembly (+A4 expiry fold).  Records come out as
+    (key, token, cells array<struct<col_name, value>>, expiry, n_cols) —
+    an ARRAY, not a map, so downstream set ops stay orderable."""
+    from .operators.merge import _record_expiry, live_cells_from_classified, lww_latest
+
+    live = live_cells_from_classified(classified.drop("token"))
+    latest = lww_latest(live)
+    toks = classified.select("key", "token").distinct()
+    recs = latest.groupBy("key").agg(
+        F.sort_array(F.collect_list(F.struct("col_name", "value"))).alias("cells"),
+        _record_expiry(first_expiring).cast("long").alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+    return recs.join(toks, "key")
+
+
+def _display_value(v: bytes) -> str:
+    """Printable passthrough / hex fallback (Utilities.cpp:20-39, used by
+    the reference dry run for non-printable blobs)."""
+    if v is None:
+        return ""
+    try:
+        s = v.decode("ascii")
+        if all(32 <= ord(c) < 127 for c in s):
+            return s
+    except UnicodeDecodeError:
+        pass
+    return "0x" + v.hex()
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .operators.merge import ETERNAL, filter_expired
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(prog="cassandra2aerospike_spark")
+    p.add_argument("-i", dest="inputs", action="append", required=True)
+    p.add_argument("-D", dest="dry_run", action="store_true")
+    p.add_argument("-o", dest="out_dir")
+    p.add_argument("-S", dest="resume_hex")
+    p.add_argument("-s", dest="resume_token", type=int)
+    p.add_argument("-L", dest="min_ttl", type=int, default=1)
+    p.add_argument("-f", dest="first_expiring", action="store_true")
+    p.add_argument("-C", dest="no_checksums", action="store_true")
+    p.add_argument("-e", dest="parallelism", type=int)
+    p.add_argument("--now", dest="now_s", type=int, default=None)
+    p.add_argument("--limit", dest="limit", type=int, default=20)
+    args = p.parse_args(argv)
+
+    spark = get_spark("cassandra2aerospike")
+    if args.parallelism:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
+
+    min_token = None
+    if args.resume_hex is not None:
+        from .sources.sstable.format import token_of
+
+        min_token = token_of(bytes.fromhex(args.resume_hex))
+    elif args.resume_token is not None:
+        min_token = args.resume_token
+
+    classified = _classified_binary(
+        spark, args.inputs, verify=not args.no_checksums, min_token=min_token
+    )
+    now_s = args.now_s if args.now_s is not None else int(time.time())
+    records = filter_expired(
+        _merge(classified, args.first_expiring), now_s=now_s, min_ttl_s=args.min_ttl
+    )
+
+    if args.dry_run or not args.out_dir:
+        # S13: deterministic textual dump, reference DryRun.cpp format
+        rows = records.orderBy("token", "key").limit(args.limit).collect()
+        for r in rows:
+            suffix = "" if r.expiry == ETERNAL else f" (timeout={r.expiry})"
+            print(f"key={r.key}{suffix}")
+            for c in r.cells:
+                print(f"  {c.col_name}={_display_value(c.value)}")
+        print(f"# dry run: showed {len(rows)} records (limit {args.limit})")
+        return 0
+
+    # S11/S14: create-only sink + accounting + resume hint
+    from .sinks.kv_sink import create_only_append
+
+    counters = create_only_append(
+        records.select("key", "token", "cells", "expiry", "n_cols"),
+        args.out_dir,
+        key_col="key",
+    )
+    last = records.agg(F.max("token").alias("t")).collect()[0].t
+    print(
+        f"# records read: {counters['read']}  written: {counters['written']}"
+        f"  already existing: {counters['already_existing']}"
+    )
+    if last is not None:
+        print(f"# resume hint: -s {last + 1}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
