@@ -174,10 +174,12 @@ def _murmur3_oracle() -> str:
         WITH base AS (
           SELECT c_custkey,
                  CAST(length(CAST(c_custkey AS VARCHAR)) AS HUGEINT) AS n,
-                 CAST(list_reduce(list_transform(
+                 list_reduce(list_transform(
                         range(length(CAST(c_custkey AS VARCHAR)), 0, -1),
-                        i -> ascii(substr(CAST(c_custkey AS VARCHAR), CAST(i AS INT), 1))),
-                      (a, b) -> a * 256 + b) AS HUGEINT) AS k1
+                        -- HUGEINT per element: the fold overflows INT32
+                        -- at >= 5 key bytes otherwise
+                        i -> CAST(ascii(substr(CAST(c_custkey AS VARCHAR), CAST(i AS INT), 1)) AS HUGEINT)),
+                      (a, b) -> a * 256 + b) AS k1
           FROM customer
         ),
         s1 AS (SELECT *, {_mul64('k1', c1)} AS k1a FROM base),
