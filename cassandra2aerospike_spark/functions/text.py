@@ -198,10 +198,16 @@ def _dup_run_chars(sorted_arr: Column) -> Column:
 
 
 def ngrams_of(toks: Column, n: int) -> Column:
-    """Word n-grams of a token array (space-joined, position-ordered)."""
-    return F.transform(
+    """Word n-grams of a token array (space-joined, position-ordered).
+    Guarded for short arrays: F.sequence(n, size) REVERSES when
+    size < n (Spark auto-negative step), producing invalid slice
+    starts — caught by the hypothesis property test."""
+    grams = F.transform(
         F.sequence(F.lit(n), F.size(toks)),
         lambda i: F.array_join(F.slice(toks, i - (n - 1), n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -59,6 +59,27 @@ def test_cli_resume_token_filters(runs_dir, capsys):
     assert 0 < n_half < n_all  # roughly the upper half of the md5 token ring
 
 
+def test_cli_multi_dir_union(runs_dir, spark, tmp_path, capsys):
+    """Multiple -i dirs union into one merge (the reference accepts many
+    input directories, CassandraParser.cpp:83-175): splitting the same
+    runs across two dirs must produce the same records as one dir."""
+    import os
+    import shutil
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(d1), os.makedirs(d2)
+    for f in os.listdir(runs_dir):
+        if f.startswith("_"):
+            continue
+        gen = int(f.split("-")[0])
+        shutil.copy(os.path.join(runs_dir, f), os.path.join(d1 if gen == 1 else d2, f))
+    assert main(["-i", runs_dir, "-D", "--limit", "1000"] + NOW) == 0
+    single = capsys.readouterr().out
+    assert main(["-i", d1, "-i", d2, "-D", "--limit", "1000"] + NOW) == 0
+    multi = capsys.readouterr().out
+    assert single == multi
+
+
 def test_cli_first_expiring_and_no_checksums(runs_dir, capsys):
     assert main(["-i", runs_dir, "-D", "-f", "-C", "--limit", "3"] + NOW) == 0
     out = capsys.readouterr().out
