@@ -104,11 +104,18 @@ def q_dedup_keep_list(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates: 4 bands × 15 bits, verify Hamming <= 3."""
+    """SimHash near-dup candidates: 4 bands × 15 bits, verify Hamming <= 3.
+
+    Bucket-grouped in-row pair expansion, the same shape as the
+    MinHash-LSH path (functions/dedup.lsh_candidate_pairs): ONE pass over
+    the simhash lineage (a band self-join would recompute the
+    explode+groupBy fingerprint pipeline per side — Spark does not reuse
+    exchanges across self-join inputs), one shuffle to the bucket, pairs
+    expanded from the sorted member list so doc_a < doc_b by
+    construction."""
     sim = D.simhash64(_docs(spark, sf_dir))
     bands = sim.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("ds_el"),
         F.explode(
             F.array(
                 *[
@@ -120,22 +127,29 @@ def q_dedup_simhash_pairs(spark, sf_dir):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    a, b = bands.alias("a"), bands.alias("b")
+    ).select("ds_el", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    members = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_set("ds_el")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
