@@ -143,9 +143,15 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.inputs, verify=not args.no_checksums, min_token=min_token
     )
     now_s = args.now_s if args.now_s is not None else int(time.time())
-    records = filter_expired(
-        _merge(classified, args.first_expiring), now_s=now_s, min_ttl_s=args.min_ttl
+    from pyspark.sql import Observation
+
+    # S14: the expired counter rides the same execution as the sink write
+    # (reference end-of-run report, Cassandra2Aerospike.cpp:376-401)
+    obs_merged = Observation()
+    merged = _merge(classified, args.first_expiring).observe(
+        obs_merged, F.count(F.lit(1)).alias("n_merged")
     )
+    records = filter_expired(merged, now_s=now_s, min_ttl_s=args.min_ttl)
 
     if args.dry_run or not args.out_dir:
         # S13: deterministic textual dump, reference DryRun.cpp format
@@ -158,18 +164,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"# dry run: showed {len(rows)} records (limit {args.limit})")
         return 0
 
-    # S11/S14: create-only sink + accounting + resume hint
+    # S11/S14: create-only sink + accounting + resume hint — every
+    # counter (merged, expired, read, written, last token) rides the ONE
+    # write execution via observations; nothing recomputes the merge
     from .sinks.kv_sink import create_only_append
 
-    counters = create_only_append(
-        records.select("key", "token", "cells", "expiry", "n_cols"),
-        args.out_dir,
-        key_col="key",
+    obs_last = Observation()
+    sink_input = records.select("key", "token", "cells", "expiry", "n_cols").observe(
+        obs_last, F.max("token").alias("t")
     )
-    last = records.agg(F.max("token").alias("t")).collect()[0].t
+    counters = create_only_append(sink_input, args.out_dir, key_col="key")
+    last = obs_last.get["t"]
+    n_expired = obs_merged.get["n_merged"] - counters["read"]
     print(
         f"# records read: {counters['read']}  written: {counters['written']}"
         f"  already existing: {counters['already_existing']}"
+        f"  expired: {n_expired}"
     )
     if last is not None:
         print(f"# resume hint: -s {last + 1}")
