@@ -20,6 +20,57 @@ def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Narrow per-partition pre-top-k over a (q_id, vec_id, sim) frame.
+
+    Keeps at most k candidates per q_id per partition, in the SAME order
+    the global rank uses (sim desc — NaN greatest, as Spark sorts doubles —
+    then vec_id asc), so composing with the final Window.partitionBy(q_id)
+    row_number is exact.  This is the 100 TB fix for the single-reducer
+    rank hotspot: the final exchange carries ≤ k × n_partitions rows per
+    query instead of every scored candidate.  Sim doubles pass through
+    Arrow bit-exactly, so oracle-exact fold scores stay oracle-exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    recompact_at = 64 * 1024
+
+    def _shrink(parts):
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        skey = pdf["sim"].fillna(np.inf)  # Spark: NaN sorts greatest
+        pdf = pdf.assign(_skey=skey).sort_values(
+            ["q_id", "_skey", "vec_id"], ascending=[True, False, True]
+        )
+        return pdf.groupby("q_id", sort=False).head(k).drop(columns="_skey")
+
+    def keep_topk(batches):
+        acc: list[pd.DataFrame] = []
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc.append(pdf)
+            n += len(pdf)
+            if n > recompact_at:
+                acc = [_shrink(acc)]
+                n = len(acc[0])
+        if acc:
+            yield _shrink(acc)
+
+    return scored.mapInPandas(keep_topk, scored.schema)
+
+
+def _global_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Final exact per-query rank over the (small) pre-top-k'd candidates."""
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "sim")
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold double dot product (engine-portable order)."""
     return F.aggregate(
@@ -54,12 +105,7 @@ def brute_force_topk(
             "sim"
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "sim")
-    )
+    return _global_rank(_local_topk(scored, k), k)
 
 
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
@@ -84,7 +130,12 @@ def brute_force_topk_fast(
     throughput of the expression-tree fold.  Numerically it differs from
     the fold by summation order (BLAS pairwise), so this is rows-only:
     brute_force_topk is the oracle-exact baseline, and tests pin the two
-    rankings against each other."""
+    rankings against each other.
+
+    Scale shape: each Arrow batch emits only its LOCAL top-k per query
+    (tie-exact lexsort on (-sim, vec_id), the same order the global rank
+    uses), so the per-q_id rank exchange carries ≤ k × n_batches rows —
+    never the full scored corpus."""
     import numpy as np
     import pandas as pd
 
@@ -101,11 +152,21 @@ def brute_force_topk_fast(
                 np.linalg.norm(c_mat, axis=1)[:, None] * q_norm[None, :]
             )
             n_c, n_q = sims.shape
+            # keep k+1 locally: the q_id == vec_id self-row is filtered
+            # AFTER this, so the boundary candidate must survive
+            kk = min(k + 1, n_c)
+            skey = np.where(np.isnan(sims), np.inf, sims)  # NaN sorts greatest
+            out_q, out_v, out_s = [], [], []
+            for j in range(n_q):
+                top = np.lexsort((c_ids, -skey[:, j]))[:kk]
+                out_q.append(np.full(kk, q_ids[j]))
+                out_v.append(c_ids[top])
+                out_s.append(sims[top, j])
             yield pd.DataFrame(
                 {
-                    "q_id": np.tile(q_ids, n_c),
-                    "vec_id": np.repeat(c_ids, n_q),
-                    "sim": sims.ravel(),
+                    "q_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "sim": np.concatenate(out_s),
                 }
             )
 
@@ -115,12 +176,7 @@ def brute_force_topk_fast(
         .mapInPandas(score_batches, "q_id long, vec_id long, sim double")
         .filter(F.col("q_id") != F.col("vec_id"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "sim")
-    )
+    return _global_rank(scored, k)
 
 
 def centroid_frame(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
@@ -203,12 +259,7 @@ def ivf_topk(
             "sim"
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "sim")
-    )
+    return _global_rank(_local_topk(scored, k), k)
 
 
 def lsh_topk(
@@ -228,9 +279,4 @@ def lsh_topk(
             "sim"
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "sim")
-    )
+    return _global_rank(_local_topk(scored, k), k)

@@ -753,16 +753,24 @@ def q_scalar_strings_hex(spark, sf_dir):
 
 
 def q_scalar_dates(spark, sf_dir):
-    """Date/time family (T1 analogs): extract, trunc, diff vs fixed epoch."""
+    """Date/time family (T1 analogs): extract, trunc, diff vs fixed epoch.
+
+    Every output is session-TZ-independent: month_start stays a DATE
+    (``F.trunc``, not ``date_trunc`` which promotes to TIMESTAMP in the
+    session zone) and epoch_s is pure day arithmetic from the Unix epoch
+    rather than ``unix_timestamp`` (which interprets midnight in the
+    session zone).  A driver running under a non-UTC TZ hashes the same
+    values as the DuckDB oracle."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("days_since_92"),
-        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("bigint") * 86400)
+        .alias("epoch_s"),
     )
 
 
@@ -1239,10 +1247,11 @@ ORACLES = {
                CAST(year(o_orderdate) AS INT) AS yr,
                CAST(month(o_orderdate) AS INT) AS mo,
                CAST(day(o_orderdate) AS INT) AS dom,
-               date_trunc('month', o_orderdate) AS month_start,
-               CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS INT)
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT)
                    AS days_since_92,
-               epoch(o_orderdate) AS epoch_s
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+                   * 86400 AS epoch_s
         FROM orders
     """,
     "scalar_math_safe": """

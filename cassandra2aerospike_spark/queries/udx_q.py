@@ -67,7 +67,7 @@ ORACLES = {
           FROM events
         )
         SELECT user_id,
-               1 + sum(new_session) AS n_sessions,
+               CAST(1 + sum(new_session) AS BIGINT) AS n_sessions,
                count(*) AS n_events,
                min(ts_us) AS first_ts_us,
                max(ts_us) AS last_ts_us

@@ -42,20 +42,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """Normalize the raw events frame (ts read as int64 nanos):
+    """Normalize the raw events frame to (ts_ns BIGINT, ts_us BIGINT,
+    ts TIMESTAMP_NTZ) regardless of how the fixture stored the timestamp.
 
-    integer division keeps exactness (double division would lose precision
-    above 2^53 — epoch-nanos is ~2^61); interval arithmetic on
-    TIMESTAMP_NTZ avoids any session-timezone dependence.
+    Two layouts exist across driver generations:
+      - TIMESTAMP(NANOS): unreadable natively; read as raw int64 via
+        ``spark.sql.legacy.parquet.nanosAsLong`` and divided down.
+        Integer division keeps exactness (double division would lose
+        precision above 2^53 — epoch-nanos is ~2^61).
+      - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ;
+        derive the epoch integers with ``timestampdiff`` (tz-independent
+        on NTZ — no session-zone reinterpretation anywhere).
     """
-    return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
-        .withColumn(
-            "ts",
-            F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00' + ts_us * INTERVAL '1' MICROSECOND"),
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn(
+                "ts",
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + ts_us * INTERVAL '1' MICROSECOND"
+                ),
+            )
         )
-    )
+    return df.withColumn(
+        "ts_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    ).withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
