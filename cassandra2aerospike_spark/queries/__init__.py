@@ -35,73 +35,71 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
-    # fixed / semantics-changed this round
-    "agg_stats_moments",
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "s8_oldformat_merge",
-    "s11_create_only_sink",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "mm_decode_features",
-    "mm_resize",
-    "stream_window_counts",
-    # §2.7 set ops + unpivot
-    "set_ops_distinct",
-    "set_ops_all",
-    "unpivot_melt",
-    # §2.8 scalar families
-    "scalar_strings_hex",
+    # -- round-3 must-haves: the two round-2 hash failures, now fixed
+    #    (TZ-independent dates; BIGINT-cast oracle sum) ...
     "scalar_dates",
-    "scalar_math_safe",
-    "scalar_conditional",
-    "scalar_json",
-    # X4 text analysis
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    # new this round: the bucketed co-located join (exchange-free
-    # big-big join) and deterministic watermark late-data semantics —
-    # flagship scale capabilities, so they take the prefix slots of two
-    # same-family variants (text_term_freq, sample_hash_split rotate in
-    # next round)
-    "join_bucketed_colocated",
-    "stream_late_data",
-    # X1/X2 dedup
-    "dedup_exact_prefix",
-    "dedup_minhash_lsh",
-    "dedup_keep_list",
-    "dedup_edit_distance",
-    "dedup_simhash_pairs",
-    # X3 similarity + X5 multimodal
+    "gm_sessionize",
+    # ... and the 8 queries that have never been inside a checked prefix —
+    # after these, every one of the 105 registry queries has a driver row
+    "token_md5",
+    "sim_cosine_topk_fast",
+    "stream_session_windows",
+    "text_gopher_rules",
+    "text_repetition_rules",
+    "text_pack_sequences",
+    "text_term_freq",
+    "sample_hash_split",
+    # -- implementation changed this round: similarity rank now does a
+    #    per-partition pre-top-k before the global per-q_id window
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_embedding_neardup",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    # P/O token + resume surface (md5 tokens are also exercised inside
-    # ring_buckets/resume/o2_layout, so P1 murmur3 — now with an exact
-    # HUGEINT SQL oracle — takes the md5 slot in the checked prefix)
-    "token_murmur3",
-    "token_ring_buckets",
-    "token_resume",
-    "o2_layout_resume",
-    # S/J pipeline surface
+    # -- the events fixture changed layout (TIMESTAMP(MICROS) vs nanos) and
+    #    the loader branch is new, so every events consumer re-confirms:
+    # streaming family
+    "stream_window_counts",
+    "stream_late_data",
+    "stream_dedup_keys",
+    "stream_stream_join",
+    "stream_sstable_ingest",
+    "stream_stateful_lww",
+    # UDx over events
+    "udaf_expiry_fold",
+    "udtf_tokenize",
+    # merge/cell pipeline over events
+    "merge_full",
+    "a1_lww_latest",
+    "f1_live_cells",
+    "a5_record_assembly",
+    "a4_expiry_fold_last",
+    "j3_range_tombstone_cover",
+    "s9_sstable_merge",
+    "s10_clustering_merge",
+    # relational queries reading events
+    "join_asof",
+    "agg_bitwise",
+    "agg_session_windows_batch",
+    "win_lag_lead",
+    "win_frame_analytics",
+    "scalar_json",
+    # -- S/J/P surfaces expected to change later this round (S5 codecs,
+    #    S8 composite paths, P5 abort, CLI -x ride these queries)
     "j1_kway_merge",
     "s2_run_identity",
     "s13_dry_run",
     "s14_run_accounting",
-    # §2.8 streaming
-    "stream_dedup_keys",
-    "stream_stream_join",
-    "stream_sstable_ingest",
-    # §2.9 UDx
-    "udaf_expiry_fold",
-    "gm_sessionize",
-    "udtf_tokenize",
-    "stream_stateful_lww",
+    "s8_oldformat_merge",
+    "token_murmur3",
+    "token_ring_buckets",
+    "token_resume",
+    "o2_layout_resume",
+    # -- re-confirmations of round-2 greens (slots 46-50)
+    "join_bucketed_colocated",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "mm_decode_features",
+    "agg_stats_moments",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
