@@ -21,44 +21,30 @@ def as_double_vec(col: Column) -> Column:
 
 
 def _local_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Narrow per-partition pre-top-k over a (q_id, vec_id, sim) frame.
+    """Per-input-partition pre-top-k over a (q_id, vec_id, sim) frame.
 
-    Keeps at most k candidates per q_id per partition, in the SAME order
-    the global rank uses (sim desc — NaN greatest, as Spark sorts doubles —
-    then vec_id asc), so composing with the final Window.partitionBy(q_id)
-    row_number is exact.  This is the 100 TB fix for the single-reducer
-    rank hotspot: the final exchange carries ≤ k × n_partitions rows per
-    query instead of every scored candidate.  Sim doubles pass through
-    Arrow bit-exactly, so oracle-exact fold scores stay oracle-exact.
+    Keeps at most k candidates per q_id per input partition before the
+    final global rank, so the per-q_id exchange carries ≤ k × n_partitions
+    rows per query instead of every scored candidate — the 100 TB fix for
+    the single-reducer rank hotspot.  Implemented entirely JVM-side: a
+    row_number window keyed on (captured input partition id, q_id) using
+    the EXACT order expression `_global_rank` uses, so the composition is
+    exact by construction — including NULL (last under desc) and NaN
+    (greatest) placement, which a Python/Arrow pre-pass could not
+    guarantee (Arrow turns pandas NaN into NULL).  The (pid, q_id) keying
+    spreads the first exchange across n_partitions × n_queries reducers;
+    no single key ever receives more than one input partition's
+    candidates.
     """
-    import numpy as np
-    import pandas as pd
-
-    recompact_at = 64 * 1024
-
-    def _shrink(parts):
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        skey = pdf["sim"].fillna(np.inf)  # Spark: NaN sorts greatest
-        pdf = pdf.assign(_skey=skey).sort_values(
-            ["q_id", "_skey", "vec_id"], ascending=[True, False, True]
-        )
-        return pdf.groupby("q_id", sort=False).head(k).drop(columns="_skey")
-
-    def keep_topk(batches):
-        acc: list[pd.DataFrame] = []
-        n = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            acc.append(pdf)
-            n += len(pdf)
-            if n > recompact_at:
-                acc = [_shrink(acc)]
-                n = len(acc[0])
-        if acc:
-            yield _shrink(acc)
-
-    return scored.mapInPandas(keep_topk, scored.schema)
+    pre = scored.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid", "q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        pre.withColumn("_lr", F.row_number().over(w))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
 
 
 def _global_rank(scored: DataFrame, k: int) -> DataFrame:

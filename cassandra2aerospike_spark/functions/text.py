@@ -124,10 +124,10 @@ def gopher_rules(text: Column) -> dict[str, Column]:
         toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
     )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
-    n_hash = (F.length(text) - F.length(F.expr("replace(text, '#', '')"))).cast("long")
-    n_ell = F.expr(
-        "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"
-    )
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast("long")
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    ).cast("long")
     stops = stopword_hits(toks, "en").cast("long")
     lines = F.split(text, "\n")
     n_lines = F.size(lines).cast("long")
