@@ -19,13 +19,23 @@ from .text import fingerprint, shingles_of, tokens
 
 
 def _tokenized(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, toks) spread across cores.  The exchange doubles as a
-    projection-collapse barrier: downstream shingle lambdas reference the
-    materialized token array, so the regex tokenizer runs once per doc —
-    not once per shingle position (interpreted higher-order lambdas would
-    otherwise re-run the inlined split ~n_shingles times)."""
+    """(doc_id, toks) spread across cores.  Two-level shape:
+
+    - spread_scan first: the regex tokenizer itself must run AFTER an
+      exchange, else it executes in the scan stage with the scan's
+      parallelism (one task for a single small parquet file — measured
+      ~4 s single-core at sf0.1).  A no-op at real input-split counts.
+    - spread(doc_id) above the tokenizer: the keyed exchange doubles as a
+      projection-collapse barrier — downstream shingle lambdas reference
+      the materialized token array, so the tokenizer runs once per doc,
+      not once per shingle position (interpreted higher-order lambdas
+      would otherwise re-run the inlined split ~n_shingles times) — and
+      doc_id-keyed consumers (groupBy/join) reuse the partitioning."""
+    from ..sources import spread_scan
+
+    raw = spread_scan(docs.select("doc_id", F.col(text_col).alias("_text")))
     return spread(
-        docs.select("doc_id", tokens(F.col(text_col)).alias("toks")), "doc_id"
+        raw.select("doc_id", tokens(F.col("_text")).alias("toks")), "doc_id"
     )
 
 

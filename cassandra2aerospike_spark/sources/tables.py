@@ -110,6 +110,27 @@ def spread(df: DataFrame, *key_cols: str, n: int | None = None) -> DataFrame:
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
 
 
+def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin an UNDER-partitioned scan before a compute-heavy narrow
+    projection (regex tokenization, vector math).
+
+    A `spread()` above the projection parallelizes everything downstream
+    of the exchange, but the projection itself still executes in the
+    exchange's MAP stage — i.e. with the scan's parallelism, which for a
+    single small parquet file is one task.  This helper fixes that by
+    exchanging the raw pre-projection rows first — and only when the scan
+    actually has fewer splits than cores: at 100 TB input-split counts
+    (thousands of tasks) it is a structural no-op, so the extra exchange
+    exists exactly where it is free and nowhere else.
+    """
+    from ..session import default_parallelism
+
+    n = n or default_parallelism()
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each fixture table as a temp view for spark.sql queries."""
     for name in names:
