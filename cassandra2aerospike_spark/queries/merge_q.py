@@ -139,7 +139,12 @@ def q_s9_sstable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_runs_dir,
     )
 
-    runs_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
+    runs_dir = build_runs_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir),
+        # S5 codec dispatch inside one scan: generation 2 is
+        # Snappy-compressed (pure-Python block codec), 1 and 3 deflate
+        codecs=("deflate", "snappy", "deflate"),
+    )
     classified = classified_from_runs(spark, runs_dir)
     latest = merge.lww_latest(merge.live_cells_from_classified(classified))
     records = latest.groupBy("key").agg(
@@ -163,13 +168,16 @@ def q_s9_sstable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s8_oldformat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 + S3: MIXED-generation merge — run 1 written in the SGR0 old
-    format (per-cell embedded names, absolute timestamps: the reference's
-    <"ma" layout, SSTable.cpp:337-457), runs 2-3 in SGR1 (schema-indexed
-    names, delta timestamps); the reader's format-version dispatch
-    (SSTable.cpp:45-55's create_table analog) decodes both inside ONE
-    DataSource scan and the merged result must equal the all-new-format
-    s9 merge — same DuckDB oracle."""
+    """S8 + S3 + S5: MIXED-generation merge across all three format eras —
+    run 1 in SGRA (ancient: embedded COMPOSITE cell paths the reader must
+    unwrap to the final component, SSTable.cpp:399-412; Snappy chunks;
+    CRC32 of the DECOMPRESSED bytes verified after decompression), run 2
+    in SGR0 (old: embedded names, absolute timestamps, Adler32 before
+    decompression — SSTable.cpp:102-105's ["jb","ma") discipline), run 3
+    in SGR1 (schema-indexed names, delta timestamps, CRC32 before).  The
+    reader's format-version dispatch (SSTable.cpp:45-55's create_table
+    analog) decodes all three inside ONE DataSource scan and the merged
+    result must equal the all-new-format s9 merge — same DuckDB oracle."""
     from ..sources.sstable.fixtures import (
         build_runs_from_events,
         classified_from_runs,
@@ -177,7 +185,9 @@ def q_s8_oldformat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     runs_dir = build_runs_from_events(
-        spark, sf_dir, default_runs_dir(sf_dir) + "_mixedfmt", old_format_runs=1
+        spark, sf_dir, default_runs_dir(sf_dir) + "_mixedfmt",
+        old_format_runs=2, codecs=("snappy", "deflate", "deflate"),
+        composite_old_names=True,
     )
     classified = classified_from_runs(spark, runs_dir)
     latest = merge.lww_latest(merge.live_cells_from_classified(classified))

@@ -30,19 +30,32 @@ from .format import Cell, Partition, RunWriter
 
 def build_runs_from_events(
     spark: SparkSession, sf_dir: str, out_dir: str, n_runs: int = 3,
-    old_format_runs: int = 0,
+    old_format_runs: int = 0, codecs: tuple[str, ...] = ("deflate",),
+    composite_old_names: bool = False,
 ) -> str:
     """Materialize events as n_runs sorted runs under out_dir (idempotent:
     a _DONE marker skips rebuild).  Driver-side build — this is fixture
     authoring, not a query path; the scale path for writing runs would be
     a DataSourceWriter.
 
-    `old_format_runs`: the first N generations are written in the SGR0
-    old format (embedded names, absolute timestamps) — a mixed-generation
-    directory, the exact situation the reference's version dispatch
-    handles (one table, files from different Cassandra eras,
-    SSTable.cpp:45-55)."""
-    marker = os.path.join(out_dir, f"_DONE_{n_runs}_{old_format_runs}")
+    `old_format_runs`: the first N generations are written in old formats
+    (embedded names, absolute timestamps) — generation 1 as SGRA (ancient:
+    decompressed-side CRC32 verified after decompression), later old
+    generations as SGR0 (Adler32 before decompression) — a
+    mixed-generation directory, the exact situation the reference's
+    version dispatch handles (one table, files from different Cassandra
+    eras, SSTable.cpp:45-55, checksum discipline SSTable.cpp:102-105).
+
+    `codecs`: per-generation chunk codec, cycled (deflate / snappy / none).
+
+    `composite_old_names`: old-format runs wrap each cell name in a
+    composite path (2-byte-BE-length components); the reader must unwrap
+    to the final component (SSTable.cpp:399-412) for the merge to agree
+    with the flat-name oracle."""
+    fingerprint = "-".join(codecs) + ("_comp" if composite_old_names else "")
+    marker = os.path.join(
+        out_dir, f"_DONE_{n_runs}_{old_format_runs}_{fingerprint}"
+    )
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -76,10 +89,21 @@ def build_runs_from_events(
                     expiration=r.expiration,
                 )
             )
-    from .format import MAGIC, MAGIC_V0
+    from .format import MAGIC, MAGIC_V0, MAGIC_VA
 
     for gen, parts in by_run.items():
-        w = RunWriter(out_dir, gen + 1, fmt=MAGIC_V0 if gen < old_format_runs else MAGIC)
+        if gen < old_format_runs:
+            fmt = MAGIC_VA if gen == 0 else MAGIC_V0
+        else:
+            fmt = MAGIC
+        old = fmt != MAGIC
+        w = RunWriter(
+            out_dir,
+            gen + 1,
+            fmt=fmt,
+            codec=codecs[gen % len(codecs)],
+            composite_path=("tmx", "cols") if (old and composite_old_names) else (),
+        )
         for p in sorted(parts.values(), key=lambda p: (p.token, p.key)):
             p.cells.sort(key=lambda c: (c.col_name, c.ts))
             w.add(p)

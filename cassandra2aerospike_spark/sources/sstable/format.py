@@ -37,27 +37,62 @@ from . import codec as C
 
 MAGIC = b"SGR1"  # spark-graft run, format 1 (schema-indexed names, delta ts)
 MAGIC_V0 = b"SGR0"  # format 0: per-cell EMBEDDED names, absolute ts — the
-# "old generation" analog of the reference's <"ma" SSTables
+# "old generation" analog of the reference's ["jb","ma") SSTables
 # (SSTable.cpp:337-457 reads embedded names; 505-717 the schema-indexed
 # new format; create_table dispatches on version, SSTable.cpp:45-55)
+MAGIC_VA = b"SGRA"  # "ancient generation": SGR0 cell layout, but the
+# pre-"jb" checksum discipline (see CHECKSUM_SPEC below)
+FORMATS = (MAGIC, MAGIC_V0, MAGIC_VA)
 DEFAULT_CHUNK = 64 * 1024
 SUMMARY_INTERVAL = 16  # every Nth index entry sampled into Summary.db
 
+# ---- per-format-version checksum discipline (S5).  The reference derives
+# BOTH the checksum algorithm and whether it covers the compressed or the
+# decompressed bytes from the SSTable format version (SSTable.cpp:102-105:
+# ADLER32 for ["jb","ma"), CRC32 otherwise; checksum-before-decompression
+# iff version >= "jb"; Buffer.cpp:346-364 verifies either side).  Mapped
+# onto our three generations:
+#   SGRA (ancient, pre-"jb" analog): CRC32 over the DECOMPRESSED chunk,
+#        verified AFTER decompression;
+#   SGR0 (old, ["jb","ma") analog): Adler32 over the compressed chunk,
+#        verified BEFORE decompression;
+#   SGR1 (modern, >= "ma" analog):  CRC32 over the compressed chunk,
+#        verified BEFORE decompression.
+CHECKSUM_SPEC: dict[bytes, tuple[str, bool]] = {
+    MAGIC_VA: ("crc32", False),
+    MAGIC_V0: ("adler32", True),
+    MAGIC: ("crc32", True),
+}
+
+
+def chunk_checksum(alg: str, data: bytes) -> int:
+    """CRC32 / Adler32 over one chunk (Buffer.cpp:274-295's two zlib
+    families; both start from the algorithm's canonical seed)."""
+    if alg == "crc32":
+        return zlib.crc32(data)
+    if alg == "adler32":
+        return zlib.adler32(data)
+    raise ValueError(f"unknown checksum algorithm {alg!r}")
+
+
 # ---- chunk codec registry (S5 analog of Buffer.cpp:243-272's
-# LZ4/Snappy/Deflate dispatch).  zlib is stdlib; lz4 activates if the
-# package is importable (it is not in this container — the deflate path
-# is the tested default, the seam is real).  CRC32 is always computed on
-# the COMPRESSED bytes, verified before decompression (Buffer.cpp:346-364
-# modern-format order).
+# LZ4/Snappy/Deflate dispatch).  zlib is stdlib; Snappy is the local
+# pure-Python block codec (snappy_py — the package is not installable
+# here, so the format itself is implemented); lz4 activates if the
+# package is importable (it is not in this container — the seam is real).
 try:  # pragma: no cover - environment-dependent
     import lz4.block as _lz4block
 except ImportError:
     _lz4block = None
 
+from . import snappy_py as _snappy
+
 
 def compress_chunk(codec: str, raw: bytes) -> bytes:
     if codec == "deflate":
         return zlib.compress(raw, 6)
+    if codec == "snappy":
+        return _snappy.compress(raw)
     if codec == "lz4":
         if _lz4block is None:
             raise ValueError("lz4 codec requested but lz4 is not importable")
@@ -70,6 +105,8 @@ def compress_chunk(codec: str, raw: bytes) -> bytes:
 def decompress_chunk(codec: str, comp: bytes) -> bytes:
     if codec == "deflate":
         return zlib.decompress(comp)
+    if codec == "snappy":
+        return _snappy.decompress(comp)
     if codec == "lz4":
         if _lz4block is None:
             raise ValueError("run written with lz4 but lz4 is not importable")
@@ -77,6 +114,36 @@ def decompress_chunk(codec: str, comp: bytes) -> bytes:
     if codec == "none":
         return comp
     raise ValueError(f"unknown codec {codec!r}")
+
+
+def encode_composite(elems: list[bytes]) -> bytes:
+    """Composite cell-name encoding: each path element is a 2-byte
+    big-endian length, the element bytes, and one end-of-component byte
+    (the layout SSTable.cpp:399-412 walks)."""
+    out = bytearray()
+    for e in elems:
+        out += struct.pack(">H", len(e)) + e + b"\x00"
+    return bytes(out)
+
+
+def unwrap_composite(name: bytes) -> bytes:
+    """S8 composite-path unwrap — the exact reference loop
+    (SSTable.cpp:399-412): walk length-prefixed components; if the whole
+    name parses as a composite, the cell name becomes the LAST component's
+    bytes; any parse mismatch leaves the name untouched (flat embedded
+    names — whose first two bytes read as a huge big-endian length —
+    fall out of the loop on the first probe)."""
+    buffer_len = len(name)
+    while buffer_len >= 2:
+        advanced = len(name) - buffer_len
+        ln = (name[advanced] << 8) | name[advanced + 1]
+        if buffer_len > ln + 3:
+            buffer_len -= ln + 3
+        else:
+            if buffer_len == ln + 3:
+                name = name[advanced + 2 : advanced + 2 + ln]
+            break
+    return name
 
 # cell flag bits (analog of SSTable.hpp:86-94 masks)
 F_DELETED = 0x01
@@ -136,13 +203,21 @@ class RunWriter:
     (CassandraParser.cpp:424-432)."""
 
     def __init__(self, directory: str, gen: int, codec: str = "deflate",
-                 chunk_size: int = DEFAULT_CHUNK, fmt: bytes = MAGIC):
-        if fmt not in (MAGIC, MAGIC_V0):
+                 chunk_size: int = DEFAULT_CHUNK, fmt: bytes = MAGIC,
+                 composite_path: tuple[str, ...] = (),
+                 partitioner: str = "md5"):
+        if fmt not in FORMATS:
             raise ValueError(f"unknown run format {fmt!r}")
+        if composite_path and fmt == MAGIC:
+            # composite cell paths are an old-generation feature: the new
+            # format references names by schema index (SSTable.cpp:505+)
+            raise ValueError("composite_path requires an old-format run")
         self.dir = directory
         self.gen = gen
         self.fmt = fmt
         self.codec = codec
+        self.composite_path = tuple(e.encode("utf-8") for e in composite_path)
+        self.partitioner = partitioner
         self.chunk_size = chunk_size
         self.data = bytearray()
         self.index = bytearray()
@@ -184,7 +259,7 @@ class RunWriter:
         self.n_parts += 1
 
     def _encode_partition(self, p: Partition) -> bytes:
-        old = self.fmt == MAGIC_V0
+        old = self.fmt != MAGIC
         out = bytearray()
         out += C.enc_i64(p.token)
         out += C.enc_u16(len(p.key)) + p.key
@@ -204,8 +279,14 @@ class RunWriter:
             out.append(f)
             if old:
                 # per-cell EMBEDDED column name (SSTable.cpp:392's
-                # name-per-cell layout) — self-describing, no schema
-                out += C.enc_vstr(c.col_name)
+                # name-per-cell layout) — self-describing, no schema.
+                # With a composite path the name is wrapped as a
+                # length-prefixed component sequence ending with the cell
+                # name itself; readers unwrap it (SSTable.cpp:399-412).
+                name_b = c.col_name.encode("utf-8")
+                if self.composite_path:
+                    name_b = encode_composite([*self.composite_path, name_b])
+                out += C.enc_vblob(name_b)
                 out += C.enc_vint(c.ts)
             else:
                 out += C.enc_uvint(self.col_ids[c.col_name])
@@ -230,14 +311,18 @@ class RunWriter:
             self.index += entry
             self.data += self._encode_partition(p)
 
-        # --- Data.db: chunked + compressed + per-chunk CRC32 table
+        # --- Data.db: chunked + compressed + per-chunk checksum table.
+        # The checksum algorithm AND which side of the codec it covers are
+        # format-version properties (CHECKSUM_SPEC; SSTable.cpp:102-105).
+        alg, before = CHECKSUM_SPEC[self.fmt]
         chunks = []
         blob = bytes(self.data)
         comp_stream = bytearray()
         for off in range(0, max(len(blob), 1), self.chunk_size):
             raw = blob[off : off + self.chunk_size]
             comp = compress_chunk(self.codec, raw)
-            chunks.append((len(comp_stream), len(comp), zlib.crc32(comp), len(raw)))
+            chk = chunk_checksum(alg, comp if before else raw)
+            chunks.append((len(comp_stream), len(comp), chk, len(raw)))
             comp_stream += comp
         with open(self.path("Data"), "wb") as fh:
             fh.write(bytes(comp_stream))
@@ -254,7 +339,7 @@ class RunWriter:
 
         st = bytearray()
         st += self.fmt
-        st += C.enc_vstr("md5")  # partitioner name (P4 registry analog)
+        st += C.enc_vstr(self.partitioner)  # partitioner name (P4 registry analog)
         if self.fmt == MAGIC:
             # new format only: decode minima + schema-indexed column list
             # (the old format is self-describing — names embedded per
@@ -295,8 +380,9 @@ class RunReader:
 
     def _read_compression_info(self) -> None:
         buf = open(self.path("CompressionInfo"), "rb").read()
-        if buf[:4] not in (MAGIC, MAGIC_V0):
+        if buf[:4] not in FORMATS:
             raise ValueError("bad CompressionInfo magic")
+        self.fmt = bytes(buf[:4])
         off = 4
         self.codec, off = C.dec_vstr(buf, off)
         self.chunk_size, off = C.dec_u32(buf, off)
@@ -314,9 +400,12 @@ class RunReader:
         Statistics magic picks the decode layout — SGR1 carries minima +
         schema, SGR0 (old generation) is self-describing."""
         buf = open(self.path("Statistics"), "rb").read()
-        if buf[:4] not in (MAGIC, MAGIC_V0):
+        if buf[:4] not in FORMATS:
             raise ValueError("bad Statistics magic")
-        self.fmt = bytes(buf[:4])
+        if bytes(buf[:4]) != self.fmt:
+            raise ValueError(
+                f"Statistics magic {bytes(buf[:4])!r} != CompressionInfo {self.fmt!r}"
+            )
         off = 4
         partitioner, off = C.dec_vstr(buf, off)
         min_ts = min_ttl = 0
@@ -335,18 +424,35 @@ class RunReader:
 
     # --- logical data stream, chunk at a time -------------------------
     def _logical_data(self, start_chunk: int = 0):
-        """Yield decompressed chunks from `start_chunk`, verifying CRC32 of
-        the compressed bytes before inflating (Buffer.cpp:346-364 order
-        for modern formats)."""
+        """Yield decompressed chunks from `start_chunk`, verifying the
+        format-version checksum discipline (CHECKSUM_SPEC): modern/old
+        formats check the compressed bytes BEFORE decompressing, the
+        ancient format checks the decompressed bytes AFTER
+        (Buffer.cpp:346-364's two verify_checksum call sites)."""
+        alg, before = CHECKSUM_SPEC[self.fmt]
         with open(self.path("Data"), "rb") as fh:
             for coff, clen, crc, rawlen in self.chunks[start_chunk:]:
                 fh.seek(coff)
                 comp = fh.read(clen)
-                if self.verify and zlib.crc32(comp) != crc:
+                if self.verify and before and chunk_checksum(alg, comp) != crc:
                     raise IOError(
-                        f"chunk CRC mismatch in {self.path('Data')} @{coff}"
+                        f"chunk {alg} mismatch in {self.path('Data')} @{coff}"
                     )
-                yield decompress_chunk(self.codec, comp)
+                try:
+                    raw = decompress_chunk(self.codec, comp)
+                except Exception as e:
+                    # the ancient format checksums the DECOMPRESSED side, so
+                    # corrupt compressed bytes can fail inside the codec
+                    # first; surface it as the same I/O failure class
+                    raise IOError(
+                        f"chunk decompress failure in {self.path('Data')} "
+                        f"@{coff}: {e}"
+                    ) from e
+                if self.verify and not before and chunk_checksum(alg, raw) != crc:
+                    raise IOError(
+                        f"chunk {alg} mismatch in {self.path('Data')} @{coff}"
+                    )
+                yield raw
 
     def _buffer_from(self, logical_off: int) -> bytes:
         """Decompressed logical stream from logical_off to EOF (eager —
@@ -400,7 +506,7 @@ class RunReader:
         Raises IndexError/struct.error on byte-level underflow; callers
         must also reject new_off > len(buf) (silent short slices)."""
         st = self.stats
-        old = self.fmt == MAGIC_V0
+        old = self.fmt != MAGIC
         token, off = C.dec_i64(buf, off)
         klen, off = C.dec_u16(buf, off)
         key = bytes(buf[off : off + klen]); off += klen
@@ -414,9 +520,12 @@ class RunReader:
         for _ in range(ncells):
             f = buf[off]; off += 1
             if old:
-                # old generation (SGR0): embedded name, absolute ts —
-                # the SSTable.cpp:337-457 read path shape
-                col_name, off = C.dec_vstr(buf, off)
+                # old generation (SGR0/SGRA): embedded name, absolute ts —
+                # the SSTable.cpp:337-457 read path shape.  The name may be
+                # a composite path; unwrap takes the final component and
+                # leaves flat names untouched (SSTable.cpp:399-412)
+                name_b, off = C.dec_vblob(buf, off)
+                col_name = unwrap_composite(name_b).decode("utf-8")
                 ts, off = C.dec_vint(buf, off)
             else:
                 cid, off = C.dec_uvint(buf, off)

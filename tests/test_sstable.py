@@ -257,14 +257,14 @@ def test_checksum_detects_corruption(run_dir, tmp_path):
     blob = bytearray(open(path, "rb").read())
     blob[len(blob) // 2] ^= 0xFF
     open(path, "wb").write(bytes(blob))
-    with pytest.raises(IOError, match="CRC"):
+    with pytest.raises(IOError, match="mismatch"):
         list(RunReader(dd, 1).partitions())
     # verification off -> reference's -C flag (Buffer.hpp:103-106): no raise
     # (decode may still produce garbage; only the check is skipped)
     try:
         list(RunReader(dd, 1, verify_checksums=False).partitions())
     except IOError as e:
-        assert "CRC" not in str(e)
+        assert "mismatch" not in str(e)
     except Exception:
         pass  # garbage decode is acceptable without verification
 
@@ -683,3 +683,126 @@ def test_run_roundtrip_property(tmp_path_factory, data, chunk, fmt, codec):
             if not cb.deleted:
                 assert ca.value == cb.value
             assert ca.expiration == (cb.expiration if cb.ttl is not None else None)
+
+
+# ------------------------------------------------- S5 codecs + checksums
+
+
+from cassandra2aerospike_spark.sources.sstable import snappy_py
+from cassandra2aerospike_spark.sources.sstable.format import (
+    CHECKSUM_SPEC,
+    FORMATS,
+    MAGIC,
+    MAGIC_V0,
+    MAGIC_VA,
+    encode_composite,
+    unwrap_composite,
+)
+
+
+@given(st.binary(max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_snappy_roundtrip(b):
+    assert snappy_py.decompress(snappy_py.compress(b)) == b
+
+
+def test_snappy_compresses_repetition():
+    raw = b"the quick brown fox " * 2000
+    comp = snappy_py.compress(raw)
+    assert len(comp) < len(raw) // 10
+    assert snappy_py.decompress(comp) == raw
+
+
+def test_snappy_overlapping_copy_and_one_byte_offset():
+    # hand-built streams exercise the decoder paths our compressor does
+    # not emit: overlapping copy (RLE) and the 1-byte / 4-byte offset forms
+    rle = snappy_py._uvarint_enc(9) + bytes([0, ord("a")]) \
+        + bytes([((8 - 1) << 2) | 2]) + (1).to_bytes(2, "little")
+    assert snappy_py.decompress(rle) == b"a" * 9
+    one = snappy_py._uvarint_enc(8) + bytes([3 << 2]) + b"abcd" \
+        + bytes([1 | ((4 - 4) << 2)]) + bytes([4])  # copy1: len=4, off=4
+    assert snappy_py.decompress(one) == b"abcdabcd"
+    four = snappy_py._uvarint_enc(8) + bytes([3 << 2]) + b"abcd" \
+        + bytes([3 | ((4 - 1) << 2)]) + (4).to_bytes(4, "little")
+    assert snappy_py.decompress(four) == b"abcdabcd"
+
+
+def test_snappy_rejects_bad_offset():
+    bad = snappy_py._uvarint_enc(4) + bytes([((4 - 1) << 2) | 2]) + (9).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="offset"):
+        snappy_py.decompress(bad)
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+@pytest.mark.parametrize("codec", ["deflate", "snappy", "none"])
+def test_format_codec_matrix_roundtrip_and_corruption(tmp_path, fmt, codec):
+    """Every (format-era, codec) pair round-trips, and a flipped byte in
+    Data.db is caught under that era's checksum discipline
+    (SSTable.cpp:102-105: SGRA = CRC32-of-decompressed after, SGR0 =
+    Adler32 before, SGR1 = CRC32 before)."""
+    d = str(tmp_path / f"{fmt.decode()}_{codec}")
+    parts = _mk_parts(60, seed=11)
+    w = RunWriter(d, 1, chunk_size=2048, fmt=fmt, codec=codec)
+    for p in parts:
+        w.add(p)
+    w.finish()
+    got = list(RunReader(d, 1).partitions())
+    assert [p.key for p in got] == [p.key for p in parts]
+    assert all(
+        [c.col_name for c in a.cells] == [c.col_name for c in b.cells]
+        for a, b in zip(got, parts)
+    )
+    path = os.path.join(d, "1-Data.db")
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 3] ^= 0x55
+    open(path, "wb").write(bytes(blob))
+    alg, _before = CHECKSUM_SPEC[fmt]
+    try:
+        list(RunReader(d, 1).partitions())
+    except (IOError, ValueError) as e:
+        # checksum mismatch, or (before=False paths) a codec-level error
+        # from decompressing corrupted bytes — both are detection
+        assert ("mismatch" in str(e)) or codec != "none" or alg
+    else:
+        pytest.fail("corruption not detected")
+
+
+def test_composite_unwrap_reference_semantics():
+    # well-formed composite -> LAST component
+    name = encode_composite([b"tmx", b"cols", b"price"])
+    assert unwrap_composite(name) == b"price"
+    assert unwrap_composite(encode_composite([b"x"])) == b"x"
+    # flat ASCII names parse as a huge first length -> untouched
+    for flat in (b"price", b"ab", b"c1", b"a"):
+        assert unwrap_composite(flat) == flat
+    # partial/malformed composite (trailing garbage) -> untouched
+    partial = encode_composite([b"tmx"]) + b"\x00\x01"
+    assert unwrap_composite(partial) == partial
+    assert unwrap_composite(b"") == b""
+
+
+@pytest.mark.parametrize("fmt", [MAGIC_VA, MAGIC_V0])
+def test_composite_names_roundtrip(tmp_path, fmt):
+    d = str(tmp_path / "comp")
+    parts = _mk_parts(40, seed=13)
+    w = RunWriter(d, 1, fmt=fmt, codec="snappy", composite_path=("ks", "tab"))
+    for p in parts:
+        w.add(p)
+    w.finish()
+    got = list(RunReader(d, 1).partitions())
+    for a, b in zip(got, parts):
+        assert [c.col_name for c in a.cells] == [c.col_name for c in b.cells]
+
+
+def test_composite_path_rejected_for_new_format(tmp_path):
+    with pytest.raises(ValueError, match="old-format"):
+        RunWriter(str(tmp_path), 1, fmt=MAGIC, composite_path=("ks",))
+
+
+def test_partitioner_name_in_statistics(tmp_path):
+    d = str(tmp_path / "pn")
+    w = RunWriter(d, 1, partitioner="byteordered")
+    for p in _mk_parts(5, seed=17):
+        w.add(p)
+    w.finish()
+    assert RunReader(d, 1).stats.partitioner == "byteordered"
