@@ -14,6 +14,8 @@ job shapes against SSTable-style run directories:
                                        #   (O2/O3/O4)
         [-L MIN_TTL]                   # minimum-TTL cutoff, default 1 (F3)
         [-f]                           # first-expiring expiry fold (A4)
+        [-x]                           # eternal records get the namespace
+                                       #   default TTL, not never-expire (F4)
         [-C]                           # disable chunk checksums (S5 -C)
         [-e N]                         # parallelism (event loops -> shuffle
                                        #   partitions)
@@ -121,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-s", dest="resume_token", type=int)
     p.add_argument("-L", dest="min_ttl", type=int, default=1)
     p.add_argument("-f", dest="first_expiring", action="store_true")
+    p.add_argument("-x", dest="prohibit_eternal", action="store_true")
     p.add_argument("-C", dest="no_checksums", action="store_true")
     p.add_argument("-e", dest="parallelism", type=int)
     p.add_argument("--now", dest="now_s", type=int, default=None)
@@ -152,12 +155,22 @@ def main(argv: list[str] | None = None) -> int:
         obs_merged, F.count(F.lit(1)).alias("n_merged")
     )
     records = filter_expired(merged, now_s=now_s, min_ttl_s=args.min_ttl)
+    # F4 TTL policy: -x maps eternal records to the namespace-default TTL
+    # instead of never-expire (reference Cassandra2Aerospike.cpp:165-167)
+    from .operators.merge import apply_ttl_policy
+
+    records = apply_ttl_policy(
+        records, now_s=now_s, prohibit_eternal=args.prohibit_eternal
+    )
 
     if args.dry_run or not args.out_dir:
         # S13: deterministic textual dump, reference DryRun.cpp format
         rows = records.orderBy("token", "key").limit(args.limit).collect()
         for r in rows:
-            suffix = "" if r.expiry == ETERNAL else f" (timeout={r.expiry})"
+            if r.expiry == ETERNAL:
+                suffix = " (ttl=default)" if args.prohibit_eternal else ""
+            else:
+                suffix = f" (timeout={r.expiry})"
             print(f"key={r.key}{suffix}")
             for c in r.cells:
                 print(f"  {c.col_name}={_display_value(c.value)}")
@@ -170,9 +183,9 @@ def main(argv: list[str] | None = None) -> int:
     from .sinks.kv_sink import create_only_append
 
     obs_last = Observation()
-    sink_input = records.select("key", "token", "cells", "expiry", "n_cols").observe(
-        obs_last, F.max("token").alias("t")
-    )
+    sink_input = records.select(
+        "key", "token", "cells", "expiry", "write_ttl", "n_cols"
+    ).observe(obs_last, F.max("token").alias("t"))
     counters = create_only_append(sink_input, args.out_dir, key_col="key")
     last = obs_last.get["t"]
     n_expired = obs_merged.get["n_merged"] - counters["read"]

@@ -313,6 +313,33 @@ def filter_expired(records: DataFrame, now_s: int = NOW_EPOCH_S, min_ttl_s: int 
     )
 
 
+# Sink write-TTL sentinels (public Aerospike client semantics: -1 = record
+# never expires, 0 = use the namespace's default TTL — the reference's
+# AS_RECORD_NO_EXPIRE_TTL / AS_RECORD_DEFAULT_TTL pair).
+TTL_NO_EXPIRE = -1
+TTL_NAMESPACE_DEFAULT = 0
+
+
+def apply_ttl_policy(
+    records: DataFrame, now_s: int = NOW_EPOCH_S, prohibit_eternal: bool = False
+) -> DataFrame:
+    """F4: map each surviving record's folded expiry to the sink
+    write-TTL (AerospikeWriter.cpp:232-241: eternal records write
+    s_ttl_for_eternal_records, others write expiry - now).  The `-x`
+    flag (prohibit eternal records, Cassandra2Aerospike.cpp:165-167 ->
+    set_prohibit_eternal_records, AerospikeWriter.cpp:398-401) switches
+    the eternal sentinel from never-expire to the namespace-default TTL.
+
+    Expects records already passed through filter_expired, so
+    expiry - now is never below the minimum TTL."""
+    eternal_ttl = TTL_NAMESPACE_DEFAULT if prohibit_eternal else TTL_NO_EXPIRE
+    return records.withColumn(
+        "write_ttl",
+        F.when(F.col("expiry") == ETERNAL, F.lit(eternal_ttl).cast("long"))
+        .otherwise((F.col("expiry") - F.lit(now_s)).cast("long")),
+    )
+
+
 def merged_latest_cells(events: DataFrame) -> DataFrame:
     """Tombstone-aware LWW, optimal plan: ONE parquet scan, ONE shuffle,
     zero joins (enforced by tests/test_plans.py).

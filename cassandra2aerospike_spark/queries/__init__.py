@@ -35,71 +35,66 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
-    # -- round-3 must-haves: the two round-2 hash failures, now fixed
-    #    (TZ-independent dates; BIGINT-cast oracle sum) ...
-    "scalar_dates",
-    "gm_sessionize",
-    # ... and the 8 queries that have never been inside a checked prefix —
-    # after these, every one of the 105 registry queries has a driver row
-    "token_md5",
-    "sim_cosine_topk_fast",
-    "stream_session_windows",
-    "text_gopher_rules",
-    "text_repetition_rules",
-    "text_pack_sequences",
-    "text_term_freq",
-    "sample_hash_split",
-    # -- implementation changed this round: similarity rank now does a
-    #    per-partition pre-top-k before the global per-q_id window
+    # -- round-4 NEW queries: components that previously had no driver row
+    "f4_ttl_policy",            # CLI -x eternal-record TTL policy
+    "p4_partitioner_registry",  # registry dispatch + default + abort
+    "p5_partitioner_abort",     # multi-run partitioner consistency abort
+    "s12_retry_backpressure",   # bounded-async writer requeue counters
+    # -- round-4 CHANGED surfaces: mixed-era fixtures now include SGRA +
+    #    Snappy chunks + composite cell paths + Adler32 discipline ...
+    "s8_oldformat_merge",
+    "s9_sstable_merge",
+    # ... similarity local pre-top-k moved from mapInPandas to a JVM
+    #     (partition_id, q_id) row_number window ...
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_embedding_neardup",
-    # -- the events fixture changed layout (TIMESTAMP(MICROS) vs nanos) and
-    #    the loader branch is new, so every events consumer re-confirms:
-    # streaming family
-    "stream_window_counts",
-    "stream_late_data",
-    "stream_dedup_keys",
-    "stream_stream_join",
-    "stream_sstable_ingest",
-    "stream_stateful_lww",
-    # UDx over events
-    "udaf_expiry_fold",
-    "udtf_tokenize",
-    # merge/cell pipeline over events
-    "merge_full",
-    "a1_lww_latest",
-    "f1_live_cells",
-    "a5_record_assembly",
-    "a4_expiry_fold_last",
-    "j3_range_tombstone_cover",
-    "s9_sstable_merge",
-    "s10_clustering_merge",
-    # relational queries reading events
-    "join_asof",
-    "agg_bitwise",
-    "agg_session_windows_batch",
-    "win_lag_lead",
-    "win_frame_analytics",
-    "scalar_json",
-    # -- S/J/P surfaces expected to change later this round (S5 codecs,
-    #    S8 composite paths, P5 abort, CLI -x ride these queries)
-    "j1_kway_merge",
-    "s2_run_identity",
-    "s13_dry_run",
-    "s14_run_accounting",
-    "s8_oldformat_merge",
-    "token_murmur3",
-    "token_ring_buckets",
-    "token_resume",
-    "o2_layout_resume",
-    # -- re-confirmations of round-2 greens (slots 46-50)
-    "join_bucketed_colocated",
+    # ... the dedup tokenizer stage gained the spread_scan exchange ...
     "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "dedup_keep_list",
     "dedup_clusters",
-    "mm_decode_features",
-    "agg_stats_moments",
+    "dedup_simhash_pairs",
+    "dedup_edit_distance",
+    # ... gopher_rules builds symbol counts from the passed Column now ...
+    "text_gopher_rules",
+    "text_repetition_rules",
+    # ... and the murmur3 oracle gained the <= 8-byte loud guard
+    "token_murmur3",
+    # -- rotation: queries whose only driver row is from ROUND 1 (the
+    #    stalest evidence; r2/r3-green entries sit after the cut)
+    "f2_live_row_counts",
+    "a2_row_tombstone_max",
+    "a4_expiry_fold_first",
+    "f3_expired_filter",
+    "compaction_roundtrip",
+    "counter_merge",
+    "a5_pivot_wide",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_star",
+    "join_range_theta",
+    "agg_pricing_summary",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_minmax_stats",
+    "agg_collect",
+    "agg_salted_skew",
+    "win_topk_per_group",
+    "win_rank",
+    "win_running_sum",
+    "win_distribution",
+    "win_range_frame",
+    "series_gap_fill",
+    "agg_percentiles",
+    "scalar_arrays",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

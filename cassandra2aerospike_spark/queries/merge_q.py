@@ -127,6 +127,28 @@ def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.filter_expired(records)
 
 
+def q_f4_ttl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 + CLI `-x`: folded record expiry mapped to the sink write-TTL
+    under BOTH eternal-record policies side by side — default (eternal ->
+    never-expire, -1) and prohibit-eternal (-x: eternal -> namespace
+    default TTL, 0); non-eternal records write expiry - now
+    (AerospikeWriter.cpp:232-241, 398-401; Cassandra2Aerospike.cpp:165-167)."""
+    latest = merge.merged_latest_cells(_events(spark, sf_dir))
+    records = merge.filter_expired(
+        latest.groupBy("key").agg(
+            merge._record_expiry(False).cast("long").alias("expiry"),
+            F.count("*").alias("n_cols"),
+        )
+    )
+    both = merge.apply_ttl_policy(records).withColumnRenamed(
+        "write_ttl", "ttl_default"
+    )
+    both = merge.apply_ttl_policy(both, prohibit_eternal=True).withColumnRenamed(
+        "write_ttl", "ttl_prohibit"
+    )
+    return both.select("key", "expiry", "ttl_default", "ttl_prohibit")
+
+
 def q_s9_sstable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3-S10 + O2 end-to-end: events materialized as 3 binary SSTable-style
     runs (vint/delta encoding, deflate chunks + CRC32, Summary/Index seek),
@@ -369,6 +391,7 @@ QUERIES = {
     "f3_expired_filter": q_f3_expired_filter,
     "a5_record_assembly": q_a5_record_assembly,
     "merge_full": q_merge_full,
+    "f4_ttl_policy": q_f4_ttl_policy,
     "s9_sstable_merge": q_s9_sstable_merge,
     "s8_oldformat_merge": q_s8_oldformat_merge,
     "s10_clustering_merge": q_s10_clustering_merge,
@@ -468,6 +491,19 @@ ORACLES = {
               FROM latest_f GROUP BY key) a ON a.key = r.key
         WHERE r.expiry = {merge.ETERNAL}
            OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    "f4_ttl_policy": _CTE
+    + f"""
+        SELECT key, expiry,
+               CASE WHEN expiry = {merge.ETERNAL}
+                    THEN CAST({merge.TTL_NO_EXPIRE} AS BIGINT)
+                    ELSE expiry - {merge.NOW_EPOCH_S} END AS ttl_default,
+               CASE WHEN expiry = {merge.ETERNAL}
+                    THEN CAST({merge.TTL_NAMESPACE_DEFAULT} AS BIGINT)
+                    ELSE expiry - {merge.NOW_EPOCH_S} END AS ttl_prohibit
+        FROM records
+        WHERE expiry = {merge.ETERNAL}
+           OR expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
     """,
     "s9_sstable_merge": _CTE
     + f"""

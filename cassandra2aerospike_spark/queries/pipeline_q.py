@@ -111,6 +111,55 @@ def q_s11_create_only_sink(spark, sf_dir):
     )
 
 
+def q_s12_retry_backpressure(spark, sf_dir):
+    """S12 driver-visible: merged records pushed through the bounded-async
+    pipelined writer against a fake async client whose FIRST attempt fails
+    for every key % 7 == 0 — exercising the transient-error resend queue
+    (AerospikeWriter.cpp:138-180) and the bounded in-flight window
+    (-a backpressure, AerospikeWriter.cpp:25).  Accumulators surface the
+    counters as a queryable frame: first-attempt puts, requeued retries,
+    completions, and window-bound violations (must be 0)."""
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    sc = spark.sparkContext
+    n_first = sc.accumulator(0)
+    n_retry = sc.accumulator(0)
+    n_completed = sc.accumulator(0)
+    n_viol = sc.accumulator(0)
+    window = 8
+    # per-task state: the closure is pickled fresh into each task
+    state = {"open": 0}
+    attempts: dict = {}
+
+    def put(rd):
+        state["open"] += 1
+        if state["open"] > window:
+            n_viol.add(1)
+        k = rd["key"]
+        a = attempts.get(k, 0)
+        attempts[k] = a + 1
+        (n_first if a == 0 else n_retry).add(1)
+        return (k, a)
+
+    def wait(h):
+        state["open"] -= 1
+        k, a = h
+        if a == 0 and k % 7 == 0:
+            return False  # transient failure: writer requeues the row
+        n_completed.add(1)
+        return True
+
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).select(
+        "key", "expiry", "n_cols"
+    )
+    bounded_async_foreach_writer(records, put, wait, max_in_flight=window)
+    return spark.createDataFrame(
+        [(n_first.value, n_retry.value, n_completed.value, n_viol.value)],
+        "n_first_puts long, n_retried long, n_completed long, "
+        "n_window_violations long",
+    )
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -150,6 +199,7 @@ QUERIES = {
     "s13_dry_run": q_s13_dry_run,
     "s2_run_identity": q_s2_run_identity,
     "s11_create_only_sink": q_s11_create_only_sink,
+    "s12_retry_backpressure": q_s12_retry_backpressure,
 }
 
 ORACLES = {
@@ -169,6 +219,17 @@ ORACLES = {
         SELECT 'events' AS table_name, count(*) AS n_rows,
                CAST(1 AS BIGINT) AS n_files
         FROM events
+    """,
+    "s12_retry_backpressure": _CTE + """
+        , live_records AS (
+          SELECT key FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT count(*) AS n_first_puts,
+               count(*) FILTER (WHERE key % 7 = 0) AS n_retried,
+               count(*) AS n_completed,
+               CAST(0 AS BIGINT) AS n_window_violations
+        FROM live_records
     """,
     "j1_kway_merge": """
         SELECT user_id AS key, event_type AS col_name,

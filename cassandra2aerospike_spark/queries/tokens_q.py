@@ -112,6 +112,104 @@ def q_o2_layout_resume(spark, sf_dir):
     )
 
 
+def q_p4_partitioner_registry(spark, sf_dir):
+    """P4: partitioner-registry dispatch (Partitioners.cpp:247-288) as a
+    functional check — every registered fully-qualified class name and
+    its short alias must resolve to the SAME token function (token values
+    compared key-by-key over a sample, mismatches counted), the pre-'hc'
+    default (no name) must resolve to RandomPartitioner
+    (SSTable.cpp:332-334), and an unknown name must abort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    key = F.col("c_custkey").cast("string")
+    pairs = [
+        ("org.apache.cassandra.dht.Murmur3Partitioner", "murmur3"),
+        ("org.apache.cassandra.dht.RandomPartitioner", "random"),
+        ("org.apache.cassandra.dht.ByteOrderedPartitioner", "byteordered"),
+        ("org.apache.cassandra.dht.OrderPreservingPartitioner", "byteordered"),
+    ]
+    frames = []
+    for full, short in pairs:
+        t_full = TK.partitioner_for(full)(key).cast("string")
+        t_short = TK.partitioner_for(short)(key).cast("string")
+        frames.append(
+            c.select((t_full != t_short).cast("long").alias("mm"))
+            .agg(F.count("*").alias("n_keys"), F.sum("mm").alias("n_mismatch"))
+            .select(F.lit(full).alias("partitioner"), "n_keys", "n_mismatch")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    # registry edge rows, only present when the dispatch behaves
+    edges = []
+    if TK.partitioner_for(None) is TK.PARTITIONERS[TK.DEFAULT_PARTITIONER]:
+        edges.append(("(default -> random)", 0, 0))
+    try:
+        TK.partitioner_for("org.apache.cassandra.dht.Bogus")
+    except ValueError:
+        edges.append(("(unknown -> abort)", 0, 0))
+    return out.unionByName(
+        spark.createDataFrame(
+            edges, "partitioner string, n_keys long, n_mismatch long"
+        )
+    )
+
+
+def q_p5_partitioner_abort(spark, sf_dir):
+    """P5: the multi-run consistent-partitioner check — a directory whose
+    runs declare different partitioners must ABORT the scan (the global
+    (token, key) merge order is meaningless across token functions;
+    CassandraParser.cpp:144-153), while a consistent directory scans
+    fine.  Both outcomes surfaced as rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.format import Cell, Partition, RunWriter
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p5_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+
+    def build(d: str, partitioners: list[str]) -> None:
+        if os.path.exists(os.path.join(d, "_DONE")):
+            return
+        os.makedirs(d, exist_ok=True)
+        for gen, pname in enumerate(partitioners, start=1):
+            w = RunWriter(d, gen, partitioner=pname)
+            parts = [
+                Partition(
+                    key=f"k{i}".encode(),
+                    cells=[Cell(col_name="c", value=b"1", ts=1_700_000_000_000_000 + i)],
+                )
+                for i in range(10)
+            ]
+            for p in sorted(parts, key=lambda p: (p.token, p.key)):
+                w.add(p)
+            w.finish()
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+
+    build(os.path.join(base, "consistent"), ["md5", "md5"])
+    build(os.path.join(base, "mixed"), ["md5", "byteordered"])
+    register(spark)
+
+    def outcome(label: str, d: str):
+        try:
+            n = spark.read.format("sstable_run").load(d).count()
+            return (label, int(n), 0)
+        except Exception as e:  # noqa: BLE001 - abort surfaces via Py4J
+            return (label, -1, 1 if "partitioner" in str(e) else 0)
+
+    return spark.createDataFrame(
+        [
+            outcome("consistent", os.path.join(base, "consistent")),
+            outcome("mixed", os.path.join(base, "mixed")),
+        ],
+        "runs string, n_cells long, aborted long",
+    )
+
+
 def q_token_murmur3(spark, sf_dir):
     """P1: Cassandra-compatible Murmur3 tokens (pandas UDF — the one
     computation with no Spark builtin, Partitioners.cpp:80-191).  The
@@ -192,12 +290,22 @@ def _murmur3_oracle() -> str:
         s6 AS (SELECT *, (h2x + h1y) % {_B64} AS h2y FROM s5),
         {_fmix_stages('h1y', 'fa', 's6')},
         {_fmix_stages('h2y', 'fb', 'fa3')},
-        fin AS (SELECT c_custkey, (faf + fbf) % {_B64} AS tu FROM fb3)
+        fin AS (SELECT c_custkey, (faf + fbf) % {_B64} AS tu FROM fb3),
+        -- the base CTE folds ALL key bytes into k1 (nblocks = 0, k2 = 0),
+        -- which is only Murmur3 for keys <= 8 bytes; fail LOUDLY if a
+        -- larger SF ever produces a 9-digit key instead of silently
+        -- emitting wrong expected tokens
+        guard AS (
+          SELECT CASE WHEN max(length(CAST(c_custkey AS VARCHAR))) > 8
+                      THEN error('murmur3 oracle: key > 8 bytes; k2 limb not modeled')
+                      ELSE 1 END AS ok
+          FROM customer
+        )
         SELECT c_custkey,
                CAST(CASE WHEN tu = {_B63} THEN {_B63} - 1
                          WHEN tu >= {_B63} THEN tu - {_B64}
                          ELSE tu END AS BIGINT) AS token
-        FROM fin
+        FROM fin, guard WHERE guard.ok = 1
     """
 
 
@@ -248,4 +356,31 @@ QUERIES = {
     "token_resume": q_token_resume,
     "o2_layout_resume": q_o2_layout_resume,
     "token_murmur3": q_token_murmur3,
+    "p4_partitioner_registry": q_p4_partitioner_registry,
+    "p5_partitioner_abort": q_p5_partitioner_abort,
 }
+
+ORACLES["p4_partitioner_registry"] = """
+    WITH s AS (SELECT count(*) AS n FROM customer WHERE c_custkey <= 200)
+    SELECT 'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
+           n AS n_keys, CAST(0 AS BIGINT) AS n_mismatch FROM s
+    UNION ALL
+    SELECT 'org.apache.cassandra.dht.RandomPartitioner', n, 0 FROM s
+    UNION ALL
+    SELECT 'org.apache.cassandra.dht.ByteOrderedPartitioner', n, 0 FROM s
+    UNION ALL
+    SELECT 'org.apache.cassandra.dht.OrderPreservingPartitioner', n, 0 FROM s
+    UNION ALL
+    SELECT '(default -> random)', 0, 0
+    UNION ALL
+    SELECT '(unknown -> abort)', 0, 0
+"""
+
+# 2 runs x 10 single-cell partitions scan clean when partitioners agree;
+# the mixed directory aborts before producing any row
+ORACLES["p5_partitioner_abort"] = """
+    SELECT 'consistent' AS runs, CAST(20 AS BIGINT) AS n_cells,
+           CAST(0 AS BIGINT) AS aborted
+    UNION ALL
+    SELECT 'mixed', -1, 1
+"""

@@ -85,30 +85,43 @@ def bounded_async_foreach_writer(
     put: Callable[[dict], "object"],
     wait: Callable[["object"], bool],
     max_in_flight: int = 100,
+    max_retries: int = 5,
 ) -> None:
-    """S12: pipelined writes with a bounded in-flight window, per partition.
+    """S12: pipelined writes with a bounded in-flight window and a
+    transient-failure requeue, per partition.
 
     `put(row_dict)` starts an async write and returns a handle; `wait(h)`
     blocks until that write completes (returns success).  At most
     `max_in_flight` handles are outstanding per task — the reference's
-    backpressure default (-a 100, AerospikeWriter.cpp:25).  Failures raise,
-    letting Spark's task retry re-drive the partition; combined with
-    create-only semantics the replay is idempotent (the reference's
-    transient-error requeue, AerospikeWriter.cpp:138-180, plays the same
-    role).
+    backpressure default (-a 100, AerospikeWriter.cpp:25).  A failed wait
+    RE-PUTS the same row (the reference's transient-error resend queue,
+    AerospikeWriter.cpp:138-180) up to `max_retries` times per row; only
+    exhausted retries raise, letting Spark's task retry re-drive the
+    partition — idempotent when combined with create-only semantics.
     """
 
     def write_partition(rows: Iterator) -> None:
-        in_flight: deque = deque()
+        in_flight: deque = deque()  # (handle, row_dict, attempts)
+
+        def drain_one() -> None:
+            h, rd, attempts = in_flight.popleft()
+            if wait(h):
+                return
+            if attempts >= max_retries:
+                raise RuntimeError("write retries exhausted; task will retry")
+            # requeue: one slot was just freed, so the window stays bounded
+            in_flight.append((put(rd), rd, attempts + 1))
+
         for row in rows:
-            if len(in_flight) >= max_in_flight:
-                h = in_flight.popleft()
-                if not wait(h):
-                    raise RuntimeError("write failed; task will retry")
-            in_flight.append(put(row.asDict()))
+            # `while`, not `if`: a failed wait REQUEUES (length unchanged),
+            # so a single drain could leave the window full and the append
+            # below would breach the in-flight bound
+            while len(in_flight) >= max_in_flight:
+                drain_one()
+            rd = row.asDict()
+            in_flight.append((put(rd), rd, 0))
         while in_flight:
-            if not wait(in_flight.popleft()):
-                raise RuntimeError("write failed; task will retry")
+            drain_one()
 
     records.foreachPartition(write_partition)
 

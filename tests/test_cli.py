@@ -84,3 +84,115 @@ def test_cli_first_expiring_and_no_checksums(runs_dir, capsys):
     assert main(["-i", runs_dir, "-D", "-f", "-C", "--limit", "3"] + NOW) == 0
     out = capsys.readouterr().out
     assert sum(1 for l in out.splitlines() if l.startswith("key=")) == 3
+
+
+def test_cli_prohibit_eternal_ttl_policy(runs_dir, tmp_path, capsys):
+    """-x (F4): eternal records write the namespace-default TTL sentinel
+    instead of never-expire (Cassandra2Aerospike.cpp:165-167)."""
+    from pyspark.sql import SparkSession
+
+    out_x = str(tmp_path / "kvx")
+    out_d = str(tmp_path / "kvd")
+    assert main(["-i", runs_dir, "-o", out_x, "-x"] + NOW) == 0
+    assert main(["-i", runs_dir, "-o", out_d] + NOW) == 0
+    capsys.readouterr()
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    px = {r.key: r.write_ttl for r in spark.read.parquet(out_x).collect()}
+    pd_ = {r.key: r.write_ttl for r in spark.read.parquet(out_d).collect()}
+    exp = {r.key: r.expiry for r in spark.read.parquet(out_d).collect()}
+    assert px.keys() == pd_.keys()
+    eternal = [k for k, e in exp.items() if e == 4294967295]
+    assert eternal, "fixture must contain eternal records"
+    for k in px:
+        if k in eternal:
+            assert px[k] == 0 and pd_[k] == -1
+        else:
+            assert px[k] == pd_[k] == exp[k] - 1719792000
+    # dry run marks eternal records under -x
+    assert main(["-i", runs_dir, "-D", "-x", "--limit", "200"] + NOW) == 0
+    out = capsys.readouterr().out
+    assert "(ttl=default)" in out
+
+
+def test_bounded_writer_requeues_within_window():
+    """S12: a failed wait requeues the SAME row; the in-flight window is
+    never breached even on the requeue path (the bug the driver row
+    caught: `if` instead of `while` on the drain)."""
+    from pyspark.sql import SparkSession
+
+    from cassandra2aerospike_spark.sinks import bounded_async_foreach_writer
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.range(0, 200, 1, 2).withColumnRenamed("id", "key").coalesce(1)
+    sc = spark.sparkContext
+    n_done = sc.accumulator(0)
+    n_retry_put = sc.accumulator(0)
+    n_viol = sc.accumulator(0)
+    # per-task state: the closure is pickled fresh into the worker
+    state = {"open": 0}
+    attempts: dict = {}
+
+    def put(rd):
+        state["open"] += 1
+        if state["open"] > 4:
+            n_viol.add(1)
+        a = attempts.get(rd["key"], 0)
+        attempts[rd["key"]] = a + 1
+        if a > 0:
+            n_retry_put.add(1)
+        return (rd["key"], a)
+
+    def wait(h):
+        k, a = h
+        state["open"] -= 1
+        if a < 2 and k % 3 == 0:
+            return False  # fail first TWO attempts of every 3rd key
+        n_done.add(1)
+        return True
+
+    bounded_async_foreach_writer(df, put, wait, max_in_flight=4, max_retries=3)
+    # every key eventually succeeded, the window never exceeded 4, and
+    # every 3rd key was requeued exactly twice
+    assert n_done.value == 200
+    assert n_viol.value == 0
+    assert n_retry_put.value == 2 * len([k for k in range(200) if k % 3 == 0])
+
+
+def test_bounded_writer_exhausted_retries_raises():
+    from pyspark.sql import SparkSession
+
+    from cassandra2aerospike_spark.sinks import bounded_async_foreach_writer
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.range(0, 10, 1, 1).withColumnRenamed("id", "key")
+
+    def put(rd):
+        return rd["key"]
+
+    def wait(h):
+        return h != 5  # key 5 fails every attempt
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="retries exhausted"):
+        bounded_async_foreach_writer(df, put, wait, max_in_flight=4, max_retries=2)
+
+
+def test_apply_ttl_policy_unit(spark):
+    from cassandra2aerospike_spark.operators.merge import (
+        ETERNAL,
+        TTL_NAMESPACE_DEFAULT,
+        TTL_NO_EXPIRE,
+        apply_ttl_policy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ETERNAL), (2, 1719792000 + 500)], "key long, expiry long"
+    )
+    d = {r.key: r.write_ttl for r in apply_ttl_policy(df, now_s=1719792000).collect()}
+    assert d == {1: TTL_NO_EXPIRE, 2: 500}
+    x = {
+        r.key: r.write_ttl
+        for r in apply_ttl_policy(df, now_s=1719792000, prohibit_eternal=True).collect()
+    }
+    assert x == {1: TTL_NAMESPACE_DEFAULT, 2: 500}
