@@ -77,21 +77,22 @@ def canon_cell(v):
         return ("decimal", str(v.normalize()))
     if v is pd.NaT:
         return ("null",)
-    # date and timestamp share one tag: pandas has no date dtype, so a
-    # DATE column round-trips as midnight datetime64 from DuckDB while
-    # Spark+Arrow yields datetime.date objects — the engine-level type is
-    # the same.  A session-TZ shift still fails (different instant), and
-    # tz-aware offsets stay in the canonical string.
+    # DATE and TIMESTAMP carry DISTINCT tags: DuckDB results are fetched
+    # via Arrow (date32 -> datetime.date objects, like Spark's toPandas),
+    # so a Spark DATE vs an oracle TIMESTAMP (or vice versa) fails here
+    # the way the driver's typed hash fails it.  A session-TZ shift also
+    # fails (different instant / local rendering), and tz-aware offsets
+    # stay in the canonical string.
     if isinstance(v, pd.Timestamp):
         return ("datetime", v.isoformat())
     if isinstance(v, np.datetime64):
         if np.isnat(v):
             return ("null",)
         return ("datetime", pd.Timestamp(v).isoformat())
-    if isinstance(v, datetime.datetime):
+    if isinstance(v, datetime.datetime):  # must precede the date check
         return ("datetime", v.isoformat())
     if isinstance(v, datetime.date):
-        return ("datetime", v.isoformat() + "T00:00:00")
+        return ("date", v.isoformat())
     if isinstance(v, datetime.timedelta):
         return ("interval", str(v))
     if isinstance(v, (bytes, bytearray)):
@@ -173,7 +174,16 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spark_pd = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            if tz:
+                # re-assert the hostile zone AFTER query building: every
+                # query's load_table pins the session to UTC while the
+                # plan is built, so without this the hostile zone would
+                # never be in effect at EXECUTION time (spark.conf wins
+                # at action, not at plan construction) and --tz would be
+                # a no-op
+                spark.conf.set("spark.sql.session.timeZone", tz)
+            spark_pd = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -182,7 +192,9 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            duck_pd = con.execute(oracles[name]).fetchdf()
+            # Arrow fetch (not fetchdf): preserves date32 as datetime.date
+            # so the date-vs-timestamp tag distinction survives
+            duck_pd = con.execute(oracles[name]).arrow().to_pandas()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
