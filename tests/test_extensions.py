@@ -151,3 +151,26 @@ def test_connected_components_small_graph(spark):
     )
     got = {r.node: r.component for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_jaccard_df_cap_costs_no_recall_at_fixture_scale(spark, sf_dir):
+    """Contract check for the df_cap skew guard (the oracle mirrors the
+    cap, so recall loss would be invisible to the correctness gate): at
+    sf0.001/sf0.01 the capped (df_cap=64) candidate generation must find
+    EXACTLY the pairs the uncapped generation finds at threshold 0.6 —
+    i.e. no qualifying pair consists solely of stop-shingles here.  If a
+    future corpus breaks this, the failure is loud instead of silent."""
+    from cassandra2aerospike_spark.functions import dedup as D
+    from cassandra2aerospike_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    capped = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.6, df_cap=64).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.6, df_cap=1 << 30).collect()
+    }
+    assert capped == uncapped
+    assert len(uncapped) > 0, "fixture must contain near-dup pairs"

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # static batch-plan audit would mostly measure the staging fixture
 EXCLUDED_PREFIXES = ("stream_",)
 EXCLUDED = {
+    "p5_partitioner_abort",
+    "s12_retry_backpressure",
     "s8_oldformat_merge",
     "s9_sstable_merge",
     "compaction_roundtrip",
