@@ -126,8 +126,35 @@ def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
     from ..session import default_parallelism
 
     n = n or default_parallelism()
-    if df.rdd.getNumPartitions() >= n:
+    # Probe the scan's split count CHEAPLY: inputFiles() costs one
+    # analysis pass (~ms); df.rdd.getNumPartitions() would force a full
+    # physical plan + RDD conversion (~seconds of driver time per query
+    # build).  Many files -> scan is already parallel -> no-op.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= n:
         return df
+    # few files: estimate splits from local sizes (FileSourceScan splits
+    # at spark.sql.files.maxPartitionBytes).  Non-local paths where sizes
+    # are unreadable conservatively no-op: at real scale the file count
+    # already exceeded the core count above.
+    if files:
+        try:
+            total = sum(
+                os.path.getsize(f.removeprefix("file:").removeprefix("//"))
+                for f in files
+            )
+        except OSError:
+            return df
+        spark = df.sparkSession
+        max_bytes = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            .removesuffix("b").removesuffix("B")
+        )
+        if total // max_bytes >= n:
+            return df
     return df.repartition(n)
 
 
