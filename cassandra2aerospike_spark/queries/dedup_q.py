@@ -376,8 +376,132 @@ ORACLES = {
     """,
 }
 
+
+def _corpus_prep_oracle() -> str:
+    """Capstone oracle assembled from the SAME CTE fragments the
+    standalone dedup oracles use, with the shingle base restricted to
+    quality-passing documents (qtoks)."""
+    from .text_q import _SW
+
+    sh_frag = _SHINGLES[len(_TOKS):].replace("FROM toks", "FROM qtoks")
+    jac_frag = _JACCARD[len(_SHINGLES):]
+    quality = f"""
+        , g AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS BIGINT) AS stops
+          FROM toks
+        ),
+        q AS (
+          SELECT doc_id, n_tokens,
+                 CAST(n_tokens >= 50 AND n_tokens <= 100000
+                  AND stops >= 2 AND 5 * n_alpha >= 4 * n_tokens AS INT) AS q_pass
+          FROM g
+        ),
+        qtoks AS (SELECT toks.* FROM toks JOIN q USING (doc_id) WHERE q.q_pass = 1)"""
+    tail = """
+        , pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a
+        ),
+        exact_rep AS (
+          SELECT min(doc_id) AS doc_id FROM qtoks
+          GROUP BY md5(array_to_string(t, ' '))
+        )
+        SELECT d.doc_id, q.n_tokens, q.q_pass,
+               CAST(e.doc_id IS NOT NULL AS INT) AS is_exact_rep,
+               CAST(c.cluster_id IS NOT NULL AS INT) AS in_cluster,
+               CAST(q.q_pass = 1 AND e.doc_id IS NOT NULL
+                    AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+                    AS INT) AS keep
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN exact_rep e ON e.doc_id = d.doc_id
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """
+    return (_TOKS + quality + sh_frag + jac_frag + _LSH_BODY + tail).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+
+
+ORACLES["pipeline_corpus_prep"] = _corpus_prep_oracle()
+
+
+def q_pipeline_corpus_prep(spark, sf_dir):
+    """Capstone X1+X2+X4 composition — the decision pipeline a pretraining
+    corpus actually materializes, as ONE query:
+
+      1. quality gate (X4): Gopher word-count + stopword + alpha-word
+         rules (functions/text.gopher_rules subset);
+      2. exact dedup (X1) among quality survivors: keep = min doc_id per
+         content fingerprint;
+      3. near-dup (X2) among quality survivors: MinHash-LSH candidate
+         pairs -> exact-Jaccard verify (>= 0.5) -> connected components,
+         keep = cluster canonical (min doc_id);
+      4. one verdict row per document with per-stage reasons.
+
+    Every stage shape is the one its standalone query uses, so the 100 TB
+    posture is inherited: in-row quality folds on the scan, one-shuffle
+    fingerprint groupBy, banded LSH equi-join, label propagation."""
+    from ..functions import text as X
+
+    docs = _docs(spark, sf_dir)
+    r = X.gopher_rules(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        "text",
+        r["n_tokens"].alias("n_tokens"),
+        (r["r_word_count"] * r["r_stopwords"] * r["r_alpha_words"]).alias("q_pass"),
+    )
+    qdocs = q.filter(F.col("q_pass") == 1).select("doc_id", "text")
+    exact_rep = (
+        D.exact_clusters(qdocs)
+        .select(F.col("rep_doc_id").alias("doc_id"))
+        .withColumn("is_rep", F.lit(1))
+    )
+    pairs = D.minhash_lsh_pairs(qdocs, 16, 4, 4, 3, 0.5)
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        q.select("doc_id", "n_tokens", "q_pass")
+        .join(exact_rep, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "q_pass",
+            F.col("is_rep").isNotNull().cast("int").alias("is_exact_rep"),
+            F.col("cluster_id").isNotNull().cast("int").alias("in_cluster"),
+            (
+                (F.col("q_pass") == 1)
+                & F.col("is_rep").isNotNull()
+                & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact_prefix": q_dedup_exact_prefix,
+    "pipeline_corpus_prep": q_pipeline_corpus_prep,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,

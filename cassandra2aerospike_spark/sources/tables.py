@@ -155,6 +155,12 @@ def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
         )
         if total // max_bytes >= n:
             return df
+        # floor: an exchange is its own stage (scheduling + codegen); it
+        # only pays for itself when each core gets meaningful compute.
+        # Below ~1 MiB/core of input the single-task projection is
+        # cheaper than the extra stage.
+        if total < n * (1 << 20):
+            return df
     return df.repartition(n)
 
 
