@@ -59,12 +59,23 @@ def main() -> None:
         qs["merge_full"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()  # materialize fully, leave results distributed
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # second pass: steady-state time for the SAME query (codegen/JIT
+        # compiled, OS cache warm) — separates per-query fixed JVM cost
+        # and machine noise from actual data-path cost; `value` stays the
+        # single-pass total for cross-round comparability
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        warm[name] = round(time.time() - t0, 3)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s (warm {warm[name]}s)",
+            file=sys.stderr,
+        )
 
     # Throughput probe against the reference's one published number
     # (~100k rows/s end-to-end, BASELINE.md): the full merge over a
@@ -96,6 +107,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
         "sf": sf,
         "merge_throughput_rows_per_sec": round(thru),
         "baseline_reference_rows_per_sec": 100000,
