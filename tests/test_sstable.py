@@ -806,3 +806,27 @@ def test_partitioner_name_in_statistics(tmp_path):
         w.add(p)
     w.finish()
     assert RunReader(d, 1).stats.partitioner == "byteordered"
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_unwrap_composite_total(b):
+    """unwrap never crashes on arbitrary bytes and returns a slice of the
+    input (either the whole name or one component's bytes)."""
+    out = unwrap_composite(b)
+    assert isinstance(out, bytes)
+    assert out == b or out in b
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_snappy_decompress_never_hangs_on_garbage(b):
+    """Arbitrary bytes either decode or raise cleanly (ValueError /
+    IndexError from truncation) — no hangs, no silent wrong lengths."""
+    try:
+        out = snappy_py.decompress(b)
+    except (ValueError, IndexError):
+        return
+    # if it decoded, the declared length matched
+    n, _ = snappy_py._uvarint_dec(b, 0)
+    assert len(out) == n
