@@ -102,6 +102,53 @@ def main() -> None:
     amp.unpersist()
     print(f"# merge throughput: {thru:,.0f} cells/s over {n_cells} cells", file=sys.stderr)
 
+    # Extension-family scale probes (steady-state, like the merge probe):
+    # 20x-amplified documents through the full MinHash-LSH near-dup
+    # pipeline (docs/s), and the GEMM similarity path over 10x-amplified
+    # embeddings (vectors/s) — the numbers that support the 100 TB story
+    # for the north-star operators.
+    from cassandra2aerospike_spark.functions import dedup as dedup_fns
+    from cassandra2aerospike_spark.functions import similarity as sim_fns
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_amp = (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+        .withColumn(
+            "text",
+            F.when(F.col("rep") % 2 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string"))
+            ),
+        )
+        .drop("rep")
+        .persist()
+    )
+    n_docs = docs_amp.count()
+    dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()  # warm
+    t0 = time.time()
+    dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()
+    dedup_thru = n_docs / (time.time() - t0)
+    docs_amp.unpersist()
+    print(f"# dedup throughput: {dedup_thru:,.0f} docs/s over {n_docs} docs", file=sys.stderr)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb_amp = (
+        emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+        .persist()
+    )
+    n_vecs = emb_amp.count()
+    qset = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    sim_fns.brute_force_topk_fast(qset, emb_amp, k=5).count()  # warm
+    t0 = time.time()
+    sim_fns.brute_force_topk_fast(qset, emb_amp, k=5).count()
+    sim_thru = n_vecs / (time.time() - t0)
+    emb_amp.unpersist()
+    print(f"# similarity GEMM throughput: {sim_thru:,.0f} vecs/s over {n_vecs} vecs x 10 queries", file=sys.stderr)
+
     out = {
         "metric": "headline_query_suite",
         "value": round(sum(timings.values()), 3),
@@ -112,6 +159,8 @@ def main() -> None:
         "sf": sf,
         "merge_throughput_rows_per_sec": round(thru),
         "baseline_reference_rows_per_sec": 100000,
+        "dedup_throughput_docs_per_sec": round(dedup_thru),
+        "similarity_gemm_vecs_per_sec": round(sim_thru),
     }
     print(json.dumps(out))
 
