@@ -23,7 +23,9 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     if name not in ORACLES:
         assert len(spark_pd) >= 0  # rows-only check
         return
-    duck_pd = duck.execute(ORACLES[name]).fetchdf()
+    # Arrow fetch like the gate: preserves date32 as datetime.date so the
+    # DATE-vs-TIMESTAMP tag distinction matches tools/check_oracle.py
+    duck_pd = duck.execute(ORACLES[name]).arrow().to_pandas()
     errs = compare(name, spark_pd, duck_pd)
     assert not errs, f"{name}: {errs}"
 
