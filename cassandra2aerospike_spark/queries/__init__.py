@@ -41,6 +41,7 @@ _PRIORITY = [
     "p5_partitioner_abort",     # multi-run partitioner consistency abort
     "s12_retry_backpressure",   # bounded-async writer requeue counters
     "pipeline_corpus_prep",     # capstone quality->exact->near-dup keep list
+    "text_line_dedup",          # C4-style corpus-level line dedup
     # -- round-4 CHANGED surfaces: mixed-era fixtures now include SGRA +
     #    Snappy chunks + composite cell paths + Adler32 discipline ...
     "s8_oldformat_merge",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "win_distribution",
     "win_range_frame",
     "series_gap_fill",
-    "agg_percentiles",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -353,10 +353,81 @@ ORACLES = {
         FROM (SELECT unnest(t) AS token FROM toks)
         GROUP BY token ORDER BY freq DESC, token LIMIT 50
     """,
+    "text_line_dedup": """
+        WITH lraw AS (
+          SELECT doc_id,
+                 unnest(list_transform(string_split(text, chr(10)),
+                        (l, i) -> struct_pack(line_no := i - 1, line := l))) AS s
+          FROM documents
+        ),
+        l2 AS (SELECT doc_id, s.line_no AS line_no, s.line AS line FROM lraw),
+        firsts AS (
+          SELECT doc_id, line_no, line,
+                 row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+          FROM l2 WHERE length(line) >= 10
+        ),
+        kept AS (
+          SELECT doc_id, line_no, line FROM firsts WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, line_no, line FROM l2 WHERE length(line) < 10
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 md5(string_agg(line, chr(10) ORDER BY line_no)) AS fp
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM l2 GROUP BY doc_id)
+        SELECT a.doc_id, t.n_lines, a.n_kept, a.fp
+        FROM agg a JOIN tot t ON t.doc_id = a.doc_id
+    """,
 }
+
+def q_text_line_dedup(spark, sf_dir):
+    """X4: C4-style CORPUS-LEVEL line dedup — every line of length >= 10
+    is kept only at its first occurrence across the whole corpus (first =
+    lowest (doc_id, line_no)); shorter lines always pass through.  Each
+    document is reassembled from its surviving lines in order.
+
+    Scale shape: posexplode -> one hash(line) exchange for the
+    first-occurrence window -> join back on (doc_id, line_no) -> per-doc
+    regroup.  The >= 10 length floor keeps degenerate hot keys (empty
+    lines, bullets) out of the exchange — they bypass dedup entirely, so
+    the hottest keys never shuffle.  Output carries md5 of the
+    reassembled text, not the text, so the result stays narrow."""
+    d = _docs(spark, sf_dir)
+    lines = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line")
+    )
+    dd = lines.filter(F.length("line") >= 10)
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    kept_dedup = (
+        dd.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    kept = kept_dedup.unionByName(lines.filter(F.length("line") < 10))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("fp"),
+        )
+        .join(
+            lines.groupBy("doc_id").agg(F.count("*").alias("n_lines")), "doc_id"
+        )
+        .select("doc_id", "n_lines", "n_kept", "fp")
+    )
+
 
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_line_dedup": q_text_line_dedup,
     "text_quality": q_text_quality,
     "text_gopher_rules": q_text_gopher_rules,
     "text_repetition_rules": q_text_repetition_rules,
