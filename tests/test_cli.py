@@ -196,3 +196,23 @@ def test_apply_ttl_policy_unit(spark):
         for r in apply_ttl_policy(df, now_s=1719792000, prohibit_eternal=True).collect()
     }
     assert x == {1: TTL_NAMESPACE_DEFAULT, 2: 500}
+
+
+def test_cli_mixed_era_dir_equals_modern(runs_dir, spark, sf_dir, capsys):
+    """End-to-end era-independence: a directory mixing SGRA (snappy,
+    composite names, after-decompress CRC32), SGR0 (Adler32) and SGR1
+    must dry-run print EXACTLY what the all-modern directory prints."""
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_runs_from_events,
+        default_runs_dir,
+    )
+
+    mixed = build_runs_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_mixedfmt",
+        old_format_runs=2, codecs=("snappy", "deflate", "deflate"),
+        composite_old_names=True,
+    )
+    assert main(["-i", runs_dir, "-D", "--limit", "1000"] + NOW) == 0
+    modern = capsys.readouterr().out
+    assert main(["-i", mixed, "-D", "--limit", "1000"] + NOW) == 0
+    assert capsys.readouterr().out == modern
