@@ -398,12 +398,23 @@ def q_text_line_dedup(spark, sf_dir):
     lines = d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line")
     )
-    dd = lines.filter(F.length("line") >= 10)
-    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
-    kept_dedup = (
-        dd.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    # ONE window over all lines: dedup-eligible lines (len >= 10) key by
+    # content; short lines get a per-row unique key (disjoint 'S' prefix)
+    # so they are always rank 1 — no filter+union branch, no second scan
+    # of the exploded frame, and the degenerate hot keys (empty lines,
+    # bullets) never share a window partition
+    pkey = F.when(
+        F.length("line") >= 10, F.concat(F.lit("L"), F.col("line"))
+    ).otherwise(
+        F.concat_ws("\x00", F.lit("S"), F.col("doc_id"), F.col("line_no"))
     )
-    kept = kept_dedup.unionByName(lines.filter(F.length("line") < 10))
+    w = Window.partitionBy(pkey).orderBy("doc_id", "line_no")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    totals = d.select(
+        "doc_id", F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_lines")
+    )
     return (
         kept.groupBy("doc_id")
         .agg(
@@ -418,9 +429,7 @@ def q_text_line_dedup(spark, sf_dir):
                 )
             ).alias("fp"),
         )
-        .join(
-            lines.groupBy("doc_id").agg(F.count("*").alias("n_lines")), "doc_id"
-        )
+        .join(totals, "doc_id")
         .select("doc_id", "n_lines", "n_kept", "fp")
     )
 
