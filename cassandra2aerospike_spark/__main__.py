@@ -19,12 +19,20 @@ job shapes against SSTable-style run directories:
         [-C]                           # disable chunk checksums (S5 -C)
         [-e N]                         # parallelism (event loops -> shuffle
                                        #   partitions)
+        [-n NS] [-t SET]               # namespace/set -> sink subdirectory
+                                       #   (parquet analog of -n/-t)
+        [-h HOST[:PORT] ...]           # accepted with a warning (no client)
+        [-a N]                         # async in-flight window (recorded;
+                                       #   applied by the programmatic
+                                       #   bounded-async writer, S12)
+        [-u USER] [-p PASSWORD]        # accepted with a warning
+        [-v]                           # print version and exit
         [--now EPOCH_S]                # pin 'now' for expiry (tests)
         [--limit N]                    # dry-run record cap, default 20
 
-Unmapped reference flags: -a (async ops in flight) is the bounded-async
-writer's max_in_flight (sinks/kv_sink.py) — the parquet sink path is
-synchronous per task; -u/-p (aerospike auth) have no parquet analog.
+Every reference flag is accepted, so a migrating invocation runs
+unmodified; help moved to --help because the reference uses -h for
+hosts.
 
 Exit report mirrors the reference's end-of-run accounting + resume hint
 (Cassandra2Aerospike.cpp:376-401).
@@ -115,10 +123,27 @@ def main(argv: list[str] | None = None) -> int:
     from .operators.merge import ETERNAL, filter_expired
     from .session import get_spark
 
-    p = argparse.ArgumentParser(prog="cassandra2aerospike_spark")
-    p.add_argument("-i", dest="inputs", action="append", required=True)
+    # add_help=False: the reference uses -h for aerospike hosts, so help
+    # moves to --help (added back explicitly below)
+    p = argparse.ArgumentParser(prog="cassandra2aerospike_spark", add_help=False)
+    p.add_argument("-i", dest="inputs", action="append")
     p.add_argument("-D", dest="dry_run", action="store_true")
     p.add_argument("-o", dest="out_dir")
+    # reference-surface flags a migrating invocation WILL pass
+    # (Cassandra2Aerospike.cpp:41-62): -n/-t namespace the sink directory
+    # (the parquet analog of aerospike namespace/set); -h/-u/-p have no
+    # parquet analog and are accepted with a warning; -a is the bounded
+    # writer's in-flight window (sinks.bounded_async_foreach_writer) —
+    # the parquet sink path is synchronous per task, so it is recorded,
+    # not applied; -v prints the version and exits
+    p.add_argument("-n", dest="namespace")
+    p.add_argument("-t", dest="set_name")
+    p.add_argument("-h", dest="hosts", action="append")
+    p.add_argument("-u", dest="username")
+    p.add_argument("-p", dest="password")
+    p.add_argument("-a", dest="max_async", type=int, default=100)
+    p.add_argument("-v", dest="version", action="store_true")
+    p.add_argument("--help", action="help")
     p.add_argument("-S", dest="resume_hex")
     p.add_argument("-s", dest="resume_token", type=int)
     p.add_argument("-L", dest="min_ttl", type=int, default=1)
@@ -129,6 +154,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--now", dest="now_s", type=int, default=None)
     p.add_argument("--limit", dest="limit", type=int, default=20)
     args = p.parse_args(argv)
+
+    if args.version:
+        print("cassandra2aerospike_spark 0.4 (spark-graft)")
+        return 0
+    if not args.inputs:
+        p.error("at least one -i <run directory> is required")
+    if args.hosts or args.username or args.password:
+        print(
+            "# note: -h/-u/-p describe an aerospike client this engine does "
+            "not ship; records go to the parquet KV sink (-o)",
+            file=sys.stderr,
+        )
+    if (args.namespace or args.set_name) and args.out_dir:
+        # aerospike namespace/set -> sink subdirectory (the parquet analog)
+        import os as _os
+
+        args.out_dir = _os.path.join(
+            args.out_dir, args.namespace or "default", args.set_name or "default"
+        )
 
     spark = get_spark("cassandra2aerospike")
     if args.parallelism:

@@ -216,3 +216,24 @@ def test_cli_mixed_era_dir_equals_modern(runs_dir, spark, sf_dir, capsys):
     modern = capsys.readouterr().out
     assert main(["-i", mixed, "-D", "--limit", "1000"] + NOW) == 0
     assert capsys.readouterr().out == modern
+
+
+def test_cli_reference_flag_surface(runs_dir, tmp_path, capsys):
+    """A migrating reference invocation — hosts, namespace, set, async
+    window, credentials — must run, not crash: -n/-t namespace the sink
+    path (the parquet analog of aerospike namespace/set), -h/-u/-p warn,
+    -v prints a version."""
+    import os
+
+    assert main(["-v"]) == 0
+    assert "spark-graft" in capsys.readouterr().out
+    out_dir = str(tmp_path / "kvns")
+    rc = main([
+        "-i", runs_dir, "-h", "10.0.0.1:3000", "-h", "10.0.0.2",
+        "-n", "prod", "-t", "events", "-a", "100", "-u", "svc", "-p", "pw",
+        "-o", out_dir,
+    ] + NOW)
+    assert rc == 0
+    err_plus_out = capsys.readouterr()
+    assert os.path.isdir(os.path.join(out_dir, "prod", "events"))
+    assert "parquet KV sink" in err_plus_out.err
