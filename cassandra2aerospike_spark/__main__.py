@@ -236,7 +236,7 @@ def main(argv: list[str] | None = None) -> int:
     print(
         f"# records read: {counters['read']}  written: {counters['written']}"
         f"  already existing: {counters['already_existing']}"
-        f"  expired: {n_expired}"
+        f"  expired: {n_expired}  async window: {args.max_async}"
     )
     if last is not None:
         print(f"# resume hint: -s {last + 1}")

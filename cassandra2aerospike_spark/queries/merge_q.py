@@ -134,12 +134,7 @@ def q_f4_ttl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     default TTL, 0); non-eternal records write expiry - now
     (AerospikeWriter.cpp:232-241, 398-401; Cassandra2Aerospike.cpp:165-167)."""
     latest = merge.merged_latest_cells(_events(spark, sf_dir))
-    records = merge.filter_expired(
-        latest.groupBy("key").agg(
-            merge._record_expiry(False).cast("long").alias("expiry"),
-            F.count("*").alias("n_cols"),
-        )
-    )
+    records = merge.filter_expired(merge.fold_expiry(latest))
     both = merge.apply_ttl_policy(records).withColumnRenamed(
         "write_ttl", "ttl_default"
     )

@@ -52,10 +52,15 @@ def build_runs_from_events(
     composite path (2-byte-BE-length components); the reader must unwrap
     to the final component (SSTable.cpp:399-412) for the merge to agree
     with the flat-name oracle."""
+    # every parameterization owns its own LEAF directory: two callers with
+    # different codec/format params previously shared one directory, where
+    # accumulated _DONE markers let a later build silently clobber an
+    # earlier caller's fixture while its marker still matched
     fingerprint = "-".join(codecs) + ("_comp" if composite_old_names else "")
-    marker = os.path.join(
-        out_dir, f"_DONE_{n_runs}_{old_format_runs}_{fingerprint}"
+    out_dir = os.path.join(
+        out_dir, f"v_{n_runs}_{old_format_runs}_{fingerprint}"
     )
+    marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

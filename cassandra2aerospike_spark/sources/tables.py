@@ -110,6 +110,18 @@ def spread(df: DataFrame, *key_cols: str, n: int | None = None) -> DataFrame:
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
 
 
+def _parse_bytes_conf(v: str, default: int = 134217728) -> int:
+    """Spark byte-conf strings: bare digits or digits + k/m/g/t (+'b')
+    unit suffix ('128MB', '64m', '134217728b').  Unparseable -> default."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", v, re.IGNORECASE)
+    if not m:
+        return default
+    scale = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * scale[m.group(2).lower()]
+
+
 def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin an UNDER-partitioned scan before a compute-heavy narrow
     projection (regex tokenization, vector math).
@@ -149,9 +161,8 @@ def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
         except OSError:
             return df
         spark = df.sparkSession
-        max_bytes = int(
+        max_bytes = _parse_bytes_conf(
             str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            .removesuffix("b").removesuffix("B")
         )
         if total // max_bytes >= n:
             return df

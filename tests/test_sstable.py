@@ -756,13 +756,17 @@ def test_format_codec_matrix_roundtrip_and_corruption(tmp_path, fmt, codec):
     blob = bytearray(open(path, "rb").read())
     blob[len(blob) // 3] ^= 0x55
     open(path, "wb").write(bytes(blob))
-    alg, _before = CHECKSUM_SPEC[fmt]
+    _alg, before = CHECKSUM_SPEC[fmt]
     try:
         list(RunReader(d, 1).partitions())
     except (IOError, ValueError) as e:
-        # checksum mismatch, or (before=False paths) a codec-level error
-        # from decompressing corrupted bytes — both are detection
-        assert ("mismatch" in str(e)) or codec != "none" or alg
+        if before or codec == "none":
+            # checksum of the corrupt side runs first: must be a mismatch
+            assert "mismatch" in str(e), e
+        else:
+            # after-decompress discipline: the codec may reject the
+            # corrupt bytes before the checksum gets to run
+            assert "mismatch" in str(e) or "decompress failure" in str(e), e
     else:
         pytest.fail("corruption not detected")
 
