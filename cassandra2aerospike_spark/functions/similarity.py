@@ -248,6 +248,107 @@ def ivf_topk(
     return _global_rank(_local_topk(scored, k), k)
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared-L2 distance (engine-portable order,
+    like `dot`: (0.0 + e1) + e2 + ... is bit-identical to DuckDB's
+    list_reduce since 0.0 + e1 == e1)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame, m: int = 4, k_sub: int = 16, dim: int = 64
+) -> DataFrame:
+    """X3 scale path #3 support: product-quantization codebook — one row
+    holding array<struct(sub, cid, c_sub)>: for each of `m` subspaces of
+    width dim/m, `k_sub` sub-centroids taken from the lowest vec_ids
+    (deterministic stand-in for trained k-means, same shape a real
+    deployment would plug in; cf. centroid_frame)."""
+    w = dim // m
+    cents = corpus.filter(F.col("vec_id") < k_sub)
+    entries = cents.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.col("vec_id").alias("cid"),
+                        F.slice(as_double_vec(F.col("embedding")), s * w + 1, w).alias(
+                            "c_sub"
+                        ),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e")
+    )
+    return entries.agg(F.sort_array(F.collect_list("e")).alias("cb"))
+
+
+def pq_encode(
+    vecs: DataFrame, codebook: DataFrame, vec_col: str = "embedding",
+    m: int = 4, dim: int = 64,
+) -> DataFrame:
+    """PQ encoding, entirely IN-ROW after the tiny codebook broadcast: per
+    subspace, argmin squared-L2 sub-centroid (ties to the lowest cid via
+    lexicographic struct array_min) — yielding the m-byte code AND the
+    reconstruction (concatenated chosen sub-centroids).  At 100 TB this
+    is the compression pass that shrinks an f32[dim] corpus to m bytes
+    per vector; it runs inside the scan stage, no exchange."""
+    w = dim // m
+    v = vecs.crossJoin(F.broadcast(codebook))
+
+    def best_sub(s: int) -> Column:
+        sub = F.slice(as_double_vec(F.col(vec_col)), s * w + 1, w)
+        cands = F.filter(F.col("cb"), lambda e: e["sub"] == F.lit(s))
+        scored = F.transform(
+            cands,
+            lambda e: F.struct(
+                l2sq(sub, e["c_sub"]).alias("d"),
+                e["cid"].alias("cid"),
+                e["c_sub"].alias("c_sub"),
+            ),
+        )
+        return F.array_min(scored)
+
+    best = F.array(*[best_sub(s) for s in range(m)])
+    return v.select(
+        *vecs.columns,
+        F.transform(best, lambda b: b["cid"]).alias("codes"),
+        F.flatten(F.transform(best, lambda b: b["c_sub"])).alias("recon"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    m: int = 4, k_sub: int = 16, dim: int = 64,
+) -> DataFrame:
+    """X3 scale path #3: PQ/ADC approximate top-k — corpus vectors
+    compressed to m sub-centroid codes, queries scored against the
+    RECONSTRUCTIONS by squared L2 (asymmetric distance computation).
+    Recall < 1 by construction (quantization error); brute_force_topk is
+    the exactness baseline.  Plan shape: broadcast codebook -> in-row
+    encode -> broadcast queries -> per-partition pre-top-k -> global
+    rank; the only exchanges are the two tiny broadcasts and the
+    bounded rank exchange."""
+    enc = pq_encode(spread(corpus), pq_codebook(corpus, m, k_sub, dim), "embedding", m, dim)
+    scored = (
+        enc.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            # negate: ADC ranks ASCENDING, the shared rank helpers order
+            # sim DESCENDING; the sign flip is exact
+            (-l2sq(as_double_vec(F.col("q_vec")), F.col("recon"))).alias("sim"),
+        )
+    )
+    ranked = _global_rank(_local_topk(scored, k), k)
+    return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("adc"))
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8
 ) -> DataFrame:

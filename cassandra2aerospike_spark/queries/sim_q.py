@@ -57,6 +57,17 @@ def q_sim_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_queries_frame(emb), emb, k=5, n_centroids=16, nprobe=2)
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """X3 scale path #3: product quantization + asymmetric distance —
+    the corpus compressed to 4 sub-centroid codes (16-dim subspaces,
+    16 sub-centroids from the lowest vec_ids), queries ranked by squared
+    L2 against the reconstructions.  The compression pass every
+    billion-vector ANN deployment runs; exact DuckDB oracle (sequential
+    double folds are engine-identical)."""
+    emb = _emb(spark, sf_dir)
+    return S.pq_topk(_queries_frame(emb), emb, k=5, m=4, k_sub=16, dim=64)
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     """X2 embedding-cosine near-dup pairs within sign buckets.  Threshold
     0.35 is calibrated to the synthetic fixture (max pairwise cos ~0.51);
@@ -243,6 +254,54 @@ ORACLES = {
         )
         SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= 5
     """,
+    "sim_pq_topk": """
+        WITH cb AS (
+          SELECT s.sub, vec_id AS cid,
+                 list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                                i -> CAST(embedding[i] AS DOUBLE)) AS c_sub
+          FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) s
+          WHERE vec_id < 16
+        ),
+        vsub AS (
+          SELECT vec_id, s.sub,
+                 list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                                i -> CAST(embedding[i] AS DOUBLE)) AS v_sub
+          FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) s
+        ),
+        best AS (
+          SELECT v.vec_id, v.sub,
+                 min(struct_pack(
+                   d := list_reduce(
+                          list_transform(range(1, 17),
+                            i -> (v.v_sub[i] - cb.c_sub[i]) * (v.v_sub[i] - cb.c_sub[i])),
+                          (x, y) -> x + y),
+                   cid := cb.cid, c_sub := cb.c_sub)) AS b
+          FROM vsub v JOIN cb ON cb.sub = v.sub
+          GROUP BY 1, 2
+        ),
+        recon AS (
+          SELECT vec_id, flatten(list(b.c_sub ORDER BY sub)) AS recon
+          FROM best GROUP BY vec_id
+        ),
+        q AS (
+          SELECT vec_id AS q_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+          FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        scored AS (
+          SELECT q_id, r.vec_id,
+                 list_reduce(
+                   list_transform(range(1, 65),
+                     i -> (q_vec[i] - recon[i]) * (q_vec[i] - recon[i])),
+                   (x, y) -> x + y) AS adc
+          FROM q, recon r WHERE q_id != r.vec_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, adc
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                           ORDER BY adc, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """,
     "sim_ivf_topk": """
         WITH cents AS (
           SELECT vec_id AS cid, embedding::DOUBLE[] AS c_vec
@@ -323,6 +382,7 @@ QUERIES = {
     "sim_cosine_topk_fast": q_sim_cosine_topk_fast,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_pq_topk": q_sim_pq_topk,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_features": q_mm_decode_features,

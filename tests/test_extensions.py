@@ -174,3 +174,25 @@ def test_jaccard_df_cap_costs_no_recall_at_fixture_scale(spark, sf_dir):
     }
     assert capped == uncapped
     assert len(uncapped) > 0, "fixture must contain near-dup pairs"
+
+
+def test_pq_encode_centroids_reconstruct_exactly(spark, sf_dir):
+    """A vector that IS a sub-centroid source must encode to its own id
+    in every subspace and reconstruct bit-exactly (zero quantization
+    error) — the PQ invariant that makes ADC a distance estimate."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.functions import similarity as S
+    from cassandra2aerospike_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_codebook(emb, m=4, k_sub=16, dim=64)
+    enc = S.pq_encode(emb.filter(F.col("vec_id") < 16), cb, "embedding", m=4, dim=64)
+    rows = enc.select(
+        "vec_id", "codes",
+        (S.l2sq(S.as_double_vec(F.col("embedding")), F.col("recon")) == 0.0).alias("exact"),
+    ).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.codes == [r.vec_id] * 4
+        assert r.exact
