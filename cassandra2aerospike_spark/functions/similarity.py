@@ -349,6 +349,36 @@ def pq_topk(
     return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("adc"))
 
 
+def ivfpq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 2,
+    m: int = 4, k_sub: int = 16, dim: int = 64,
+) -> DataFrame:
+    """X3 flagship composition: IVF + PQ — the standard billion-vector
+    ANN architecture (coarse cells restrict the candidate set, PQ codes
+    compress it, ADC scores it).  The cell equi-join bounds work per
+    query to nprobe cells; every vector in them is scored against its
+    RECONSTRUCTION, never its raw floats — at 100 TB the scan reads m
+    code bytes + the broadcast codebook instead of the f32[dim] column.
+    Recall < 1 twice over (cell misses + quantization error);
+    brute_force_topk is the baseline."""
+    cents = centroid_frame(corpus, n_centroids)
+    cells = assign_cells(spread(corpus), cents, "embedding")
+    enc = pq_encode(cells, pq_codebook(corpus, m, k_sub, dim), "embedding", m, dim)
+    qb = assign_probe_cells(queries, cents, "q_vec", nprobe)
+    scored = (
+        enc.join(F.broadcast(qb), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (-l2sq(as_double_vec(F.col("q_vec")), F.col("recon"))).alias("sim"),
+        )
+    )
+    ranked = _global_rank(_local_topk(scored, k), k)
+    return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("adc"))
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8
 ) -> DataFrame:

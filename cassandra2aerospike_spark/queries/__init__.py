@@ -43,6 +43,7 @@ _PRIORITY = [
     "pipeline_corpus_prep",     # capstone quality->exact->near-dup keep list
     "text_line_dedup",          # C4-style corpus-level line dedup
     "sim_pq_topk",              # product-quantization ADC top-k
+    "sim_ivfpq_topk",           # IVF cells + PQ reconstructions (flagship ANN)
     # -- round-4 CHANGED surfaces: mixed-era fixtures now include SGRA +
     #    Snappy chunks + composite cell paths + Adler32 discipline ...
     "s8_oldformat_merge",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "win_rank",
     "win_running_sum",
     "win_distribution",
-    "win_range_frame",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -68,6 +68,18 @@ def q_sim_pq_topk(spark, sf_dir):
     return S.pq_topk(_queries_frame(emb), emb, k=5, m=4, k_sub=16, dim=64)
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """X3 flagship: IVF-PQ — coarse cells (nprobe=2) restrict candidates,
+    PQ reconstructions score them by ADC; the FAISS-style architecture a
+    billion-vector corpus actually deploys, here as one composed Spark
+    plan with an exact DuckDB oracle."""
+    emb = _emb(spark, sf_dir)
+    return S.ivfpq_topk(
+        _queries_frame(emb), emb, k=5, n_centroids=16, nprobe=2,
+        m=4, k_sub=16, dim=64,
+    )
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     """X2 embedding-cosine near-dup pairs within sign buckets.  Threshold
     0.35 is calibrated to the synthetic fixture (max pairwise cos ~0.51);
@@ -302,6 +314,76 @@ ORACLES = {
               FROM scored)
         WHERE rank <= 5
     """,
+    "sim_ivfpq_topk": """
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS c_vec
+          FROM embeddings WHERE vec_id < 16
+        ),
+        corpus_scored AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 list_inner_product(e.embedding::DOUBLE[], c.c_vec)
+                 / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(c.c_vec, c.c_vec))) AS sim
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus_cells AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM corpus_scored) WHERE rn = 1
+        ),
+        q_cells AS (
+          SELECT vec_id AS q_id, embedding AS q_vec, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM corpus_scored WHERE vec_id % 50 = 0) WHERE rn <= 2
+        ),
+        pqcb AS (
+          SELECT s.sub, vec_id AS cid,
+                 list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                                i -> CAST(embedding[i] AS DOUBLE)) AS c_sub
+          FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) s
+          WHERE vec_id < 16
+        ),
+        vsub AS (
+          SELECT vec_id, s.sub,
+                 list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+                                i -> CAST(embedding[i] AS DOUBLE)) AS v_sub
+          FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) s
+        ),
+        best AS (
+          SELECT v.vec_id, v.sub,
+                 min(struct_pack(
+                   d := list_reduce(
+                          list_transform(range(1, 17),
+                            i -> (v.v_sub[i] - pqcb.c_sub[i]) * (v.v_sub[i] - pqcb.c_sub[i])),
+                          (x, y) -> x + y),
+                   cid := pqcb.cid, c_sub := pqcb.c_sub)) AS b
+          FROM vsub v JOIN pqcb ON pqcb.sub = v.sub
+          GROUP BY 1, 2
+        ),
+        recon AS (
+          SELECT vec_id, flatten(list(b.c_sub ORDER BY sub)) AS recon
+          FROM best GROUP BY vec_id
+        ),
+        scored AS (
+          SELECT qc.q_id, cc.vec_id,
+                 list_reduce(
+                   list_transform(range(1, 65),
+                     i -> (CAST(qc.q_vec[i] AS DOUBLE) - r.recon[i])
+                        * (CAST(qc.q_vec[i] AS DOUBLE) - r.recon[i])),
+                   (x, y) -> x + y) AS adc
+          FROM q_cells qc
+          JOIN corpus_cells cc ON cc.cell = qc.cell
+          JOIN recon r ON r.vec_id = cc.vec_id
+          WHERE qc.q_id != cc.vec_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, adc
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                           ORDER BY adc, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """,
     "sim_ivf_topk": """
         WITH cents AS (
           SELECT vec_id AS cid, embedding::DOUBLE[] AS c_vec
@@ -383,6 +465,7 @@ QUERIES = {
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_pq_topk": q_sim_pq_topk,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_features": q_mm_decode_features,
