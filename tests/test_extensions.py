@@ -196,3 +196,41 @@ def test_pq_encode_centroids_reconstruct_exactly(spark, sf_dir):
     for r in rows:
         assert r.codes == [r.vec_id] * 4
         assert r.exact
+
+
+def test_pq_and_ivfpq_recall_better_than_random(spark, sf_dir):
+    """ANN sanity against the matching EXACT metric (squared L2 — PQ/ADC
+    is an L2 estimator, so brute COSINE is the wrong baseline on
+    unnormalized vectors): with the deterministic untrained codebook
+    (16 codewords per 16-dim subspace of ~random vectors) recall is
+    structurally low, but it must beat random top-5 (~1% here) by a
+    clear margin — measured 8-10%."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.functions import similarity as S
+    from cassandra2aerospike_spark.sources import load_table, spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        spread(emb)
+        .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (-S.l2sq(S.as_double_vec(F.col("q_vec")),
+                     S.as_double_vec(F.col("embedding")))).alias("sim"),
+        )
+    )
+
+    def pairs(df):
+        return {(r.q_id, r.vec_id) for r in df.select("q_id", "vec_id").collect()}
+
+    exact_l2 = pairs(S._global_rank(scored, 5))
+    pq = pairs(S.pq_topk(q, emb, k=5))
+    ivfpq = pairs(S.ivfpq_topk(q, emb, k=5, nprobe=2))
+    assert len(exact_l2) > 0
+    assert len(pq & exact_l2) / len(exact_l2) >= 0.05
+    assert len(ivfpq & exact_l2) / len(exact_l2) >= 0.05
