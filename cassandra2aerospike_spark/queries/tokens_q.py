@@ -173,7 +173,13 @@ def q_p5_partitioner_abort(spark, sf_dir):
     )
 
     def build(d: str, partitioners: list[str]) -> None:
-        if os.path.exists(os.path.join(d, "_DONE")):
+        from ..sources.sstable.format import MAGIC
+
+        # marker carries the run-format magic: a format bump invalidates
+        # fixtures left in /tmp by an earlier build instead of feeding
+        # the scan stale bytes
+        marker = os.path.join(d, f"_DONE_{MAGIC.decode()}")
+        if os.path.exists(marker):
             return
         os.makedirs(d, exist_ok=True)
         for gen, pname in enumerate(partitioners, start=1):
@@ -188,7 +194,7 @@ def q_p5_partitioner_abort(spark, sf_dir):
             for p in sorted(parts, key=lambda p: (p.token, p.key)):
                 w.add(p)
             w.finish()
-        open(os.path.join(d, "_DONE"), "w").write("ok")
+        open(marker, "w").write("ok")
 
     build(os.path.join(base, "consistent"), ["md5", "md5"])
     build(os.path.join(base, "mixed"), ["md5", "byteordered"])
