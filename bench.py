@@ -129,6 +129,10 @@ def main() -> None:
     dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()
     dedup_thru = n_docs / (time.time() - t0)
     docs_amp.unpersist()
+    # minhash_lsh_pairs persists its shingle-set frame internally with no
+    # external handle; drop both calls' caches so the similarity probe
+    # does not run under their memory pressure
+    spark.catalog.clearCache()
     print(f"# dedup throughput: {dedup_thru:,.0f} docs/s over {n_docs} docs", file=sys.stderr)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

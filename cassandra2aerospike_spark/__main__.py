@@ -7,11 +7,13 @@ job shapes against SSTable-style run directories:
     python -m cassandra2aerospike_spark \\
         -i RUNS_DIR [-i DIR2 ...]      # input tables (S1 discovery)
         [-D]                           # dry run: print records (S13)
-        [-o OUT_DIR]                   # create-only KV sink dir (S11;
-                                       #   stands in for -h/-p/-n/-t
-                                       #   aerospike host/port/ns/set)
-        [-S HEXKEY | -s TOKEN]         # resume from hex key / raw token
-                                       #   (O2/O3/O4)
+        [-o OUT_DIR]                   # create-only KV sink dir (S11; the
+                                       #   parquet stand-in for a live
+                                       #   aerospike cluster)
+        [-S HEXKEY | -s KEY]           # resume from hex / raw key string
+                                       #   (reference firstKey semantics);
+                                       #   --token N resumes from a raw
+                                       #   token value (O2/O3/O4)
         [-L MIN_TTL]                   # minimum-TTL cutoff, default 1 (F3)
         [-f]                           # first-expiring expiry fold (A4)
         [-x]                           # eternal records get the namespace
@@ -25,8 +27,11 @@ job shapes against SSTable-style run directories:
         [-a N]                         # async in-flight window (recorded;
                                        #   applied by the programmatic
                                        #   bounded-async writer, S12)
-        [-u USER] [-p PASSWORD]        # accepted with a warning
-        [-v]                           # print version and exit
+        [-u USER] [-p PASSWORD]        # accepted with a warning (the
+                                       #   reference's -p is the password;
+                                       #   a port rides on -h host:port)
+        [-V]                           # print version and exit (reference
+                                       #   optstring uses capital V)
         [--now EPOCH_S]                # pin 'now' for expiry (tests)
         [--limit N]                    # dry-run record cap, default 20
 
@@ -142,10 +147,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-u", dest="username")
     p.add_argument("-p", dest="password")
     p.add_argument("-a", dest="max_async", type=int, default=100)
-    p.add_argument("-v", dest="version", action="store_true")
+    p.add_argument("-V", "-v", dest="version", action="store_true")
     p.add_argument("--help", action="help")
     p.add_argument("-S", dest="resume_hex")
-    p.add_argument("-s", dest="resume_token", type=int)
+    # reference -s is a RAW KEY STRING (firstKey = optarg,
+    # Cassandra2Aerospike.cpp:122-124), hashed to its token; --token
+    # resumes from an explicit token value (the resume-hint round trip)
+    p.add_argument("-s", dest="resume_key")
+    p.add_argument("--token", dest="resume_token", type=int)
     p.add_argument("-L", dest="min_ttl", type=int, default=1)
     p.add_argument("-f", dest="first_expiring", action="store_true")
     p.add_argument("-x", dest="prohibit_eternal", action="store_true")
@@ -183,6 +192,10 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.sstable.format import token_of
 
         min_token = token_of(bytes.fromhex(args.resume_hex))
+    elif args.resume_key is not None:
+        from .sources.sstable.format import token_of
+
+        min_token = token_of(args.resume_key.encode("utf-8"))
     elif args.resume_token is not None:
         min_token = args.resume_token
 
@@ -239,7 +252,7 @@ def main(argv: list[str] | None = None) -> int:
         f"  expired: {n_expired}  async window: {args.max_async}"
     )
     if last is not None:
-        print(f"# resume hint: -s {last + 1}")
+        print(f"# resume hint: --token {last + 1}")
     return 0
 
 

@@ -56,9 +56,15 @@ def build_runs_from_events(
     # different codec/format params previously shared one directory, where
     # accumulated _DONE markers let a later build silently clobber an
     # earlier caller's fixture while its marker still matched
+    from .format import MAGIC as _MAGIC
+
+    # the leaf name embeds the run-format magic too: a format bump must
+    # invalidate /tmp fixtures written by an older encoder, not feed the
+    # reader stale bytes under a still-matching marker
     fingerprint = "-".join(codecs) + ("_comp" if composite_old_names else "")
     out_dir = os.path.join(
-        out_dir, f"v_{n_runs}_{old_format_runs}_{fingerprint}"
+        out_dir,
+        f"v{_MAGIC.decode()}_{n_runs}_{old_format_runs}_{fingerprint}",
     )
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):

@@ -119,7 +119,8 @@ def _parse_bytes_conf(v: str, default: int = 134217728) -> int:
     if not m:
         return default
     scale = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    return int(m.group(1)) * scale[m.group(2).lower()]
+    parsed = int(m.group(1)) * scale[m.group(2).lower()]
+    return parsed if parsed > 0 else default  # '0' would divide-by-zero
 
 
 def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:

@@ -40,7 +40,7 @@ def test_cli_sink_create_only_idempotent(runs_dir, tmp_path, capsys):
     assert main(["-i", runs_dir, "-o", out_dir] + NOW) == 0
     first = capsys.readouterr().out
     assert "written: " in first and "already existing: 0" in first
-    assert "# resume hint: -s " in first
+    assert "# resume hint: --token " in first
     # replay: exists=CREATE semantics -> nothing written twice
     assert main(["-i", runs_dir, "-o", out_dir] + NOW) == 0
     second = capsys.readouterr().out
@@ -52,7 +52,7 @@ def test_cli_resume_token_filters(runs_dir, capsys):
     n_all = sum(
         1 for l in capsys.readouterr().out.splitlines() if l.startswith("key=")
     )
-    assert main(["-i", runs_dir, "-D", "--limit", "1000", "-s", "0"] + NOW) == 0
+    assert main(["-i", runs_dir, "-D", "--limit", "1000", "--token", "0"] + NOW) == 0
     n_half = sum(
         1 for l in capsys.readouterr().out.splitlines() if l.startswith("key=")
     )
@@ -237,3 +237,16 @@ def test_cli_reference_flag_surface(runs_dir, tmp_path, capsys):
     err_plus_out = capsys.readouterr()
     assert os.path.isdir(os.path.join(out_dir, "prod", "events"))
     assert "parquet KV sink" in err_plus_out.err
+
+
+def test_cli_resume_raw_key_matches_hex(runs_dir, capsys):
+    """-s KEY (reference firstKey semantics: raw key string hashed to its
+    token) must resume at the same point as -S with the key's hex."""
+    key = "42"
+    assert main(["-i", runs_dir, "-D", "--limit", "1000", "-s", key] + NOW) == 0
+    via_raw = capsys.readouterr().out
+    assert main(
+        ["-i", runs_dir, "-D", "--limit", "1000", "-S", key.encode().hex()] + NOW
+    ) == 0
+    assert capsys.readouterr().out == via_raw
+    assert "key=" in via_raw
