@@ -102,6 +102,34 @@ def main() -> None:
     amp.unpersist()
     print(f"# merge throughput: {thru:,.0f} cells/s over {n_cells} cells", file=sys.stderr)
 
+    # Full binary-path probe — the apples-to-apples number against the
+    # reference's ~100k rows/s (its figure INCLUDES SSTable parsing):
+    # events amplified 10x, materialized as binary runs (cached in /tmp;
+    # ~20 s one-time build), then scanned through the Python DataSource
+    # (vint/delta decode + chunk checksums, Arrow-batched) into the LWW
+    # merge, measured warm.
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+        default_runs_dir,
+    )
+
+    big_runs = build_runs_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir), amplify=10
+    )
+    src = classified_from_runs(spark, big_runs)
+    n_src = src.count()
+    merge.lww_latest(merge.live_cells_from_classified(src)).count()  # warm
+    t0 = time.time()
+    merge.lww_latest(
+        merge.live_cells_from_classified(classified_from_runs(spark, big_runs))
+    ).count()
+    sst_thru = n_src / (time.time() - t0)
+    print(
+        f"# sstable->merge throughput: {sst_thru:,.0f} cells/s over {n_src} cells",
+        file=sys.stderr,
+    )
+
     # Extension-family scale probes (steady-state, like the merge probe):
     # 20x-amplified documents through the full MinHash-LSH near-dup
     # pipeline (docs/s), and the GEMM similarity path over 10x-amplified
@@ -162,6 +190,7 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "sf": sf,
         "merge_throughput_rows_per_sec": round(thru),
+        "sstable_merge_throughput_rows_per_sec": round(sst_thru),
         "baseline_reference_rows_per_sec": 100000,
         "dedup_throughput_docs_per_sec": round(dedup_thru),
         "similarity_gemm_vecs_per_sec": round(sim_thru),

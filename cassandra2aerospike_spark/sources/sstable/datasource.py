@@ -156,30 +156,65 @@ class SSTableRunReader(DataSourceReader):
         return parts
 
     def read(self, part: RunSlice):
+        """Yield pyarrow.RecordBatch, not per-row tuples: row tuples pay
+        pickle + per-row conversion on the JVM side (~60k cells/s
+        measured end-to-end); columnar batches move the same cells at
+        several hundred k/s.  The decode loop itself stays Python (the
+        format is vint-delta binary), but everything downstream of it is
+        Arrow."""
+        import pyarrow as pa
+
+        arrow_schema = pa.schema(
+            [
+                pa.field("run", pa.int32()),
+                pa.field("token", pa.int64()),
+                pa.field("key", pa.binary()),
+                pa.field("col_name", pa.string()),
+                pa.field("value", pa.binary()),
+                pa.field("ts", pa.int64()),
+                pa.field("ttl", pa.int32()),
+                pa.field("expiration", pa.int64()),
+                pa.field("deleted", pa.bool_()),
+                pa.field("range_tomb", pa.bool_()),
+                pa.field("row_tomb_ts", pa.int64()),
+            ]
+        )
+        batch_rows = 8192
+        cols: list[list] = [[] for _ in range(11)]
+
+        def flush():
+            arrays = [
+                pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)
+            ]
+            for c in cols:
+                c.clear()
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+        def emit(run, t, key, name, value, ts, ttl, exp, dele, rt, rts):
+            for c, v in zip(
+                cols, (run, t, key, name, value, ts, ttl, exp, dele, rt, rts)
+            ):
+                c.append(v)
+
         rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
         for p in rr.partitions(start_token=part.start_token, end_token=part.end_token):
             t = p.token
             if p.row_tomb_ts is not None:
                 # marker row (col_name NULL): a row tombstone survives even
                 # when the partition carries no cells in this run
-                yield (
+                emit(
                     part.gen, t, p.key, None, None, p.row_tomb_ts,
                     None, None, False, False, p.row_tomb_ts,
                 )
             for c in p.cells:
-                yield (
-                    part.gen,
-                    t,
-                    p.key,
-                    c.col_name,
-                    c.value,
-                    c.ts,
-                    c.ttl,
-                    c.expiration,
-                    c.deleted,
-                    c.range_tomb,
-                    p.row_tomb_ts,
+                emit(
+                    part.gen, t, p.key, c.col_name, c.value, c.ts,
+                    c.ttl, c.expiration, c.deleted, c.range_tomb, p.row_tomb_ts,
                 )
+            if len(cols[0]) >= batch_rows:
+                yield flush()
+        if cols[0]:
+            yield flush()
 
 
 class SSTableRunStreamReader(DataSourceStreamReader):

@@ -31,7 +31,7 @@ from .format import Cell, Partition, RunWriter
 def build_runs_from_events(
     spark: SparkSession, sf_dir: str, out_dir: str, n_runs: int = 3,
     old_format_runs: int = 0, codecs: tuple[str, ...] = ("deflate",),
-    composite_old_names: bool = False,
+    composite_old_names: bool = False, amplify: int = 1,
 ) -> str:
     """Materialize events as n_runs sorted runs under out_dir (idempotent:
     a _DONE marker skips rebuild).  Driver-side build — this is fixture
@@ -51,7 +51,11 @@ def build_runs_from_events(
     `composite_old_names`: old-format runs wrap each cell name in a
     composite path (2-byte-BE-length components); the reader must unwrap
     to the final component (SSTable.cpp:399-412) for the merge to agree
-    with the flat-name oracle."""
+    with the flat-name oracle.
+
+    `amplify`: replicate the event stream N× with distinct keys — for
+    throughput probes that need runs big enough to amortize fixed task
+    cost (no oracle reads an amplified directory)."""
     # every parameterization owns its own LEAF directory: two callers with
     # different codec/format params previously shared one directory, where
     # accumulated _DONE markers let a later build silently clobber an
@@ -62,6 +66,8 @@ def build_runs_from_events(
     # invalidate /tmp fixtures written by an older encoder, not feed the
     # reader stale bytes under a still-matching marker
     fingerprint = "-".join(codecs) + ("_comp" if composite_old_names else "")
+    if amplify > 1:
+        fingerprint += f"_x{amplify}"
     out_dir = os.path.join(
         out_dir,
         f"v{_MAGIC.decode()}_{n_runs}_{old_format_runs}_{fingerprint}",
@@ -71,6 +77,15 @@ def build_runs_from_events(
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     events = load_table(spark, sf_dir, "events")
+    if amplify > 1:
+        events = (
+            events.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1)))
+            )
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * 100_000)
+            .withColumn("ts_us", F.col("ts_us") + F.col("rep"))
+            .drop("rep")
+        )
     rows = (
         classify_cells(events)
         .withColumn("run", (F.col("ts") % n_runs).cast("int"))
