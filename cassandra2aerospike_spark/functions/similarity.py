@@ -69,7 +69,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not `/`: under ANSI mode (Spark 4 default) a zero-norm
+    # vector anywhere in a 100 TB corpus would fail the whole job; NULL
+    # sim instead sorts nulls-last out of every top-k.  DuckDB's double
+    # division returns NULL on ÷0 too, so the oracle matches bit-for-bit.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

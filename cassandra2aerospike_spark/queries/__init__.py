@@ -35,66 +35,65 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
-    # -- round-4 NEW queries: components that previously had no driver row
-    "f4_ttl_policy",            # CLI -x eternal-record TTL policy
-    "p4_partitioner_registry",  # registry dispatch + default + abort
-    "p5_partitioner_abort",     # multi-run partitioner consistency abort
-    "s12_retry_backpressure",   # bounded-async writer requeue counters
-    "pipeline_corpus_prep",     # capstone quality->exact->near-dup keep list
-    "text_line_dedup",          # C4-style corpus-level line dedup
-    "sim_pq_topk",              # product-quantization ADC top-k
-    "sim_ivfpq_topk",           # IVF cells + PQ reconstructions (flagship ANN)
-    # -- round-4 CHANGED surfaces: mixed-era fixtures now include SGRA +
-    #    Snappy chunks + composite cell paths + Adler32 discipline ...
+    # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise
+    #    all three reference compressors in one scan (deflate + Snappy +
+    #    the new pure-Python LZ4 block codec, Buffer.cpp:243-272)
     "s8_oldformat_merge",
     "s9_sstable_merge",
-    # ... similarity local pre-top-k moved from mapInPandas to a JVM
-    #     (partition_id, q_id) row_number window ...
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_embedding_neardup",
-    # ... the dedup tokenizer stage gained the spread_scan exchange ...
-    "dedup_minhash_lsh",
-    "dedup_jaccard_pairs",
-    "dedup_keep_list",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "dedup_edit_distance",
-    # ... gopher_rules builds symbol counts from the passed Column now ...
-    "text_gopher_rules",
-    "text_repetition_rules",
-    # ... and the murmur3 oracle gained the <= 8-byte loud guard
-    "token_murmur3",
-    # -- rotation: queries whose only driver row is from ROUND 1 (the
-    #    stalest evidence; r2/r3-green entries sit after the cut)
-    "f2_live_row_counts",
-    "a2_row_tombstone_max",
-    "a4_expiry_fold_first",
-    "f3_expired_filter",
-    "compaction_roundtrip",
-    "counter_merge",
-    "a5_pivot_wide",
-    "join_inner",
-    "join_left",
-    "join_right",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_star",
-    "join_range_theta",
-    "agg_pricing_summary",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_minmax_stats",
-    "agg_collect",
-    "agg_salted_skew",
-    "win_topk_per_group",
-    "win_rank",
-    "win_running_sum",
-    "win_distribution",
+    # -- rotation, stalest first (VERDICT r4 item 1: after r05 no
+    #    registry query's newest green row may be older than two rounds).
+    #    These 7 were round-1-latest ...
+    "agg_percentiles",
+    "scalar_arrays",
+    "scalar_maps",
+    "series_gap_fill",
+    "sort_multi_limit",
+    "topk_global",
+    "win_range_frame",
+    # ... these 17 round-2-latest ...
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "dedup_exact_prefix",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "mm_resize",
+    "s11_create_only_sink",
+    "scalar_conditional",
+    "scalar_math_safe",
+    "scalar_strings_hex",
+    "set_ops_all",
+    "set_ops_distinct",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "unpivot_melt",
+    # ... and the rest of the prefix rolls through the round-3-latest
+    #     cohort so it cannot age past two rounds either
+    "merge_full",
+    "a1_lww_latest",
+    "a4_expiry_fold_last",
+    "a5_record_assembly",
+    "f1_live_cells",
+    "j1_kway_merge",
+    "j3_range_tombstone_cover",
+    "s2_run_identity",
+    "s10_clustering_merge",
+    "s13_dry_run",
+    "s14_run_accounting",
+    "o2_layout_resume",
+    "join_asof",
+    "join_bucketed_colocated",
+    "agg_bitwise",
+    "agg_session_windows_batch",
+    "agg_stats_moments",
+    "gm_sessionize",
+    "mm_decode_features",
+    "sample_hash_split",
+    "scalar_dates",
+    "scalar_json",
+    "sim_cosine_topk_fast",
+    "token_md5",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

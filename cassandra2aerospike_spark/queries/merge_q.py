@@ -158,9 +158,10 @@ def q_s9_sstable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     runs_dir = build_runs_from_events(
         spark, sf_dir, default_runs_dir(sf_dir),
-        # S5 codec dispatch inside one scan: generation 2 is
-        # Snappy-compressed (pure-Python block codec), 1 and 3 deflate
-        codecs=("deflate", "snappy", "deflate"),
+        # S5 codec dispatch inside one scan: all three reference
+        # compressors at once (Buffer.cpp:243-272) — generation 1
+        # deflate, 2 Snappy, 3 LZ4 (both pure-Python block codecs)
+        codecs=("deflate", "snappy", "lz4"),
     )
     classified = classified_from_runs(spark, runs_dir)
     latest = merge.lww_latest(merge.live_cells_from_classified(classified))
@@ -203,7 +204,7 @@ def q_s8_oldformat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     runs_dir = build_runs_from_events(
         spark, sf_dir, default_runs_dir(sf_dir) + "_mixedfmt",
-        old_format_runs=2, codecs=("snappy", "deflate", "deflate"),
+        old_format_runs=2, codecs=("snappy", "deflate", "lz4"),
         composite_old_names=True,
     )
     classified = classified_from_runs(spark, runs_dir)

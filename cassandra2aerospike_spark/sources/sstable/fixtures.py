@@ -46,7 +46,7 @@ def build_runs_from_events(
     version dispatch handles (one table, files from different Cassandra
     eras, SSTable.cpp:45-55, checksum discipline SSTable.cpp:102-105).
 
-    `codecs`: per-generation chunk codec, cycled (deflate / snappy / none).
+    `codecs`: per-generation chunk codec, cycled (deflate / snappy / lz4 / none).
 
     `composite_old_names`: old-format runs wrap each cell name in a
     composite path (2-byte-BE-length components); the reader must unwrap

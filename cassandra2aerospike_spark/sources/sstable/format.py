@@ -76,15 +76,18 @@ def chunk_checksum(alg: str, data: bytes) -> int:
 
 
 # ---- chunk codec registry (S5 analog of Buffer.cpp:243-272's
-# LZ4/Snappy/Deflate dispatch).  zlib is stdlib; Snappy is the local
-# pure-Python block codec (snappy_py — the package is not installable
-# here, so the format itself is implemented); lz4 activates if the
-# package is importable (it is not in this container — the seam is real).
+# LZ4/Snappy/Deflate dispatch — the reference tries LZ4 FIRST; it is
+# modern Cassandra's default compressor).  zlib is stdlib; Snappy and LZ4
+# are local pure-Python block codecs (snappy_py, lz4_py — the packages
+# are not installable here, so the formats themselves are implemented).
+# If the real lz4 package IS importable it is preferred for speed; its
+# store_size=True framing is byte-compatible with lz4_py.
 try:  # pragma: no cover - environment-dependent
     import lz4.block as _lz4block
 except ImportError:
     _lz4block = None
 
+from . import lz4_py as _lz4py
 from . import snappy_py as _snappy
 
 
@@ -94,9 +97,9 @@ def compress_chunk(codec: str, raw: bytes) -> bytes:
     if codec == "snappy":
         return _snappy.compress(raw)
     if codec == "lz4":
-        if _lz4block is None:
-            raise ValueError("lz4 codec requested but lz4 is not importable")
-        return _lz4block.compress(raw, store_size=True)
+        if _lz4block is not None:
+            return _lz4block.compress(raw, store_size=True)
+        return _lz4py.compress(raw)
     if codec == "none":
         return raw
     raise ValueError(f"unknown codec {codec!r}")
@@ -108,9 +111,9 @@ def decompress_chunk(codec: str, comp: bytes) -> bytes:
     if codec == "snappy":
         return _snappy.decompress(comp)
     if codec == "lz4":
-        if _lz4block is None:
-            raise ValueError("run written with lz4 but lz4 is not importable")
-        return _lz4block.decompress(comp)
+        if _lz4block is not None:
+            return _lz4block.decompress(comp)
+        return _lz4py.decompress(comp)
     if codec == "none":
         return comp
     raise ValueError(f"unknown codec {codec!r}")

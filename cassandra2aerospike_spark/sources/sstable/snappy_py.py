@@ -42,13 +42,24 @@ def _uvarint_enc(v: int) -> bytes:
 
 def _uvarint_dec(buf: bytes, off: int) -> tuple[int, int]:
     shift = v = 0
+    n = len(buf)
     while True:
+        if off >= n:
+            raise ValueError("snappy: truncated varint")
         b = buf[off]
         off += 1
         v |= (b & 0x7F) << shift
         if b < 0x80:
             return v, off
         shift += 7
+
+
+def _read_le(comp: bytes, off: int, nb: int) -> tuple[int, int]:
+    """Bounds-checked little-endian read: truncated input fails uniformly
+    as a snappy error, never as a silent short value or IndexError."""
+    if off + nb > len(comp):
+        raise ValueError("snappy: truncated")
+    return int.from_bytes(comp[off : off + nb], "little"), off + nb
 
 
 def decompress(comp: bytes) -> bytes:
@@ -62,9 +73,7 @@ def decompress(comp: bytes) -> bytes:
         if kind == 0:  # literal
             ln = tag >> 2
             if ln >= 60:
-                nb = ln - 59
-                ln = int.from_bytes(comp[off : off + nb], "little")
-                off += nb
+                ln, off = _read_le(comp, off, ln - 59)
             ln += 1
             if off + ln > n:
                 raise ValueError("snappy: truncated literal")
@@ -73,16 +82,14 @@ def decompress(comp: bytes) -> bytes:
             continue
         if kind == 1:
             ln = ((tag >> 2) & 7) + 4
-            o = ((tag >> 5) << 8) | comp[off]
-            off += 1
+            lo, off = _read_le(comp, off, 1)
+            o = ((tag >> 5) << 8) | lo
         elif kind == 2:
             ln = (tag >> 2) + 1
-            o = int.from_bytes(comp[off : off + 2], "little")
-            off += 2
+            o, off = _read_le(comp, off, 2)
         else:
             ln = (tag >> 2) + 1
-            o = int.from_bytes(comp[off : off + 4], "little")
-            off += 4
+            o, off = _read_le(comp, off, 4)
         if o == 0 or o > len(out):
             raise ValueError("snappy: copy offset out of range")
         start = len(out) - o

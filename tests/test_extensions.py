@@ -82,6 +82,58 @@ def test_brute_force_topk_self_similarity(spark):
     assert abs(top - 1.0) < 1e-9
 
 
+def test_local_topk_null_sim_composition(spark):
+    """_local_topk ∘ _global_rank must equal ONE global window even when
+    sims are NULL — zero vectors (÷0 → NULL), NULL embeddings, and ragged
+    vectors (zip_with pads with NULL → NULL fold) all hit the nulls-last
+    branch of `sim.desc(), vec_id`; both windows share that exact order
+    expression, and this pins the composition (VERDICT r4 wart 2)."""
+    rows = []
+    for i in range(12):  # well-formed vectors
+        rows.append((i, [float((i + 1) * (d + 2) % 5 - 2) for d in range(4)]))
+    for i in range(12, 20):  # zero vectors: norm 0 -> sim NULL
+        rows.append((i, [0.0, 0.0, 0.0, 0.0]))
+    for i in range(20, 26):  # NULL embeddings
+        rows.append((i, None))
+    for i in range(26, 32):  # ragged (short) vectors -> NULL fold
+        rows.append((i, [1.0, 2.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, [1.0, -1.0, 2.0, 0.5]), (200, [0.0, 0.0, 0.0, 0.0])],
+        "q_id long, q_vec array<double>",
+    )
+    scored = (
+        emb.repartition(8)  # multiple input partitions: local pass is real
+        .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            S.cosine(
+                S.as_double_vec(F.col("q_vec")), S.as_double_vec(F.col("embedding"))
+            ).alias("sim"),
+        )
+    )
+    # k > count of non-NULL sims per query forces NULL-sim rows INTO the
+    # top-k, where a nulls-first/last divergence between the two windows
+    # would change the picked vec_ids, not just the order
+    k = 15
+    composed = S._global_rank(S._local_topk(scored, k), k).collect()
+    direct = S._global_rank(scored, k).collect()
+    as_tuples = lambda rs: [(r.q_id, r.vec_id, r.rank, r.sim) for r in rs]
+    assert as_tuples(composed) == as_tuples(direct)
+    # and the NULL rows really are present + last, deterministic by vec_id
+    per_q = {}
+    for r in direct:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in per_q.items():
+        sims = [r.sim for r in rs]
+        first_null = next((i for i, s in enumerate(sims) if s is None), len(sims))
+        assert all(s is None for s in sims[first_null:])
+        assert first_null < len(sims)  # NULLs did enter the k window
+        null_ids = [r.vec_id for r in rs[first_null:]]
+        assert null_ids == sorted(null_ids)
+
+
 def test_resize_stub_deterministic_and_sized(spark):
     d = M.with_binary_payload(_docs(spark, [(1, "hello world " * 40), (2, "x")]))
     out = {r.doc_id: r for r in M.resize_stub(d, dst_w=8, dst_h=4).collect()}

@@ -632,9 +632,7 @@ _parts = _st.dictionaries(
 
 from cassandra2aerospike_spark.sources.sstable.format import MAGIC as _MAGIC
 from cassandra2aerospike_spark.sources.sstable.format import MAGIC_V0 as _MAGIC_V0
-from cassandra2aerospike_spark.sources.sstable.format import _lz4block as _lz4
-
-_codecs = ["deflate", "none"] + (["lz4"] if _lz4 is not None else [])
+_codecs = ["deflate", "none", "snappy", "lz4"]
 
 
 @_settings(max_examples=25, deadline=None, suppress_health_check=[_HC.too_slow])
@@ -733,8 +731,110 @@ def test_snappy_rejects_bad_offset():
         snappy_py.decompress(bad)
 
 
+def test_snappy_rejects_truncation_uniformly():
+    """Every multi-byte read is bounds-checked: chopping a valid stream at
+    ANY byte raises ValueError('snappy: ...'), never IndexError and never
+    a silent short-value decode (the ADVICE r4 hazard)."""
+    raw = b"abcdabcdabcdabcd truncation probe " * 8
+    comp = snappy_py.compress(raw)
+    for cut in range(len(comp)):
+        with pytest.raises(ValueError, match="snappy"):
+            snappy_py.decompress(comp[:cut])
+    # extended-length literal with missing length bytes
+    ext = snappy_py._uvarint_enc(300) + bytes([60 << 2])  # tag says 1 length byte
+    with pytest.raises(ValueError, match="snappy"):
+        snappy_py.decompress(ext)
+
+
+# ------------------------------------------------------- S5 codec: LZ4
+
+
+from cassandra2aerospike_spark.sources.sstable import lz4_py
+from cassandra2aerospike_spark.sources.sstable.format import _lz4block
+
+
+@given(st.binary(max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_lz4_roundtrip(b):
+    assert lz4_py.decompress(lz4_py.compress(b)) == b
+
+
+@given(st.binary(min_size=1, max_size=64).flatmap(
+    lambda unit: st.integers(min_value=1, max_value=400).map(lambda k: unit * k)))
+@settings(max_examples=60, deadline=None)
+def test_lz4_roundtrip_repetitive(b):
+    """Highly repetitive inputs force long matches, extended match-length
+    bytes (low nibble 15 + 255-runs) and overlapping copies."""
+    assert lz4_py.decompress(lz4_py.compress(b)) == b
+
+
+def test_lz4_compresses_repetition():
+    raw = b"the quick brown fox " * 2000
+    comp = lz4_py.compress(raw)
+    assert len(comp) < len(raw) // 10
+    assert lz4_py.decompress(comp) == raw
+
+
+def test_lz4_handbuilt_streams():
+    # overlapping copy (RLE): 1 literal 'a', then match len 8 offset 1
+    rle = (9).to_bytes(4, "little") + bytes([(1 << 4) | (8 - 4)]) + b"a" \
+        + (1).to_bytes(2, "little")
+    assert lz4_py.decompress(rle) == b"a" * 9
+    # extended literal length: 16 literals needs 15 + ext byte 1
+    lit = b"0123456789abcdef"
+    ext = (16).to_bytes(4, "little") + bytes([0xF0, 1]) + lit
+    assert lz4_py.decompress(ext) == lit
+    # extended match length: 4 literals + match of 19 (15+4 -> ext 0)
+    m = (23).to_bytes(4, "little") + bytes([(4 << 4) | 15]) + b"abcd" \
+        + (4).to_bytes(2, "little") + bytes([0])
+    assert lz4_py.decompress(m) == b"abcd" + b"abcd" * 4 + b"abc"
+    # empty block
+    assert lz4_py.decompress((0).to_bytes(4, "little") + b"\x00") == b""
+    assert lz4_py.compress(b"") == (0).to_bytes(4, "little") + b"\x00"
+
+
+def test_lz4_rejects_malformed():
+    with pytest.raises(ValueError, match="lz4"):
+        lz4_py.decompress(b"\x01\x00")  # truncated size prefix
+    # zero offset
+    bad = (8).to_bytes(4, "little") + bytes([(4 << 4) | 0]) + b"abcd" \
+        + (0).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="offset"):
+        lz4_py.decompress(bad)
+    # offset beyond produced output
+    far = (8).to_bytes(4, "little") + bytes([(4 << 4) | 0]) + b"abcd" \
+        + (9).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="offset"):
+        lz4_py.decompress(far)
+    # length mismatch vs size prefix
+    short = (99).to_bytes(4, "little") + bytes([4 << 4]) + b"abcd"
+    with pytest.raises(ValueError, match="mismatch"):
+        lz4_py.decompress(short)
+
+
+def test_lz4_rejects_truncation_uniformly():
+    raw = b"abcdabcdabcdabcd truncation probe " * 8
+    comp = lz4_py.compress(raw)
+    for cut in range(4, len(comp)):
+        try:
+            got = lz4_py.decompress(comp[:cut])
+        except ValueError as e:
+            assert "lz4" in str(e)
+        else:
+            pytest.fail(f"cut at {cut} decoded to {len(got)} bytes")
+
+
+@pytest.mark.skipif(_lz4block is None, reason="real lz4 package not importable")
+def test_lz4_interop_with_real_package():  # pragma: no cover - env-dependent
+    """lz4_py's framing matches lz4.block store_size=True byte semantics:
+    each decodes the other's output."""
+    raw = b"interop " * 500 + bytes(range(256))
+    assert _lz4block.decompress(lz4_py.compress(raw)) == raw
+    assert lz4_py.decompress(_lz4block.compress(raw, store_size=True)) == raw
+
+
 @pytest.mark.parametrize("fmt", FORMATS)
-@pytest.mark.parametrize("codec", ["deflate", "snappy", "none"])
+@pytest.mark.parametrize("codec", ["deflate", "snappy", "lz4", "none"])
 def test_format_codec_matrix_roundtrip_and_corruption(tmp_path, fmt, codec):
     """Every (format-era, codec) pair round-trips, and a flipped byte in
     Data.db is caught under that era's checksum discipline
