@@ -195,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.resume_key is not None:
         from .sources.sstable.format import token_of
 
+        if args.resume_key.isdigit():
+            # pre-0.4 resume hints printed '-s <token+1>' with a raw token;
+            # -s now takes a KEY STRING (reference firstKey semantics,
+            # Cassandra2Aerospike.cpp:122-124) and an old hint would be
+            # re-hashed to an unrelated ring position, silently skipping
+            # unwritten records
+            print(
+                "# note: -s now takes a key string and this value is "
+                "all digits; pass --token N to resume from a raw token"
+            )
         min_token = token_of(args.resume_key.encode("utf-8"))
     elif args.resume_token is not None:
         min_token = args.resume_token
@@ -249,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
     print(
         f"# records read: {counters['read']}  written: {counters['written']}"
         f"  already existing: {counters['already_existing']}"
-        f"  expired: {n_expired}  async window: {args.max_async}"
+        f"  expired: {n_expired}  async window (recorded): {args.max_async}"
     )
     if last is not None:
         print(f"# resume hint: --token {last + 1}")
