@@ -39,7 +39,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
     "text_quality",
+    "text_line_dedup",
+    "pipeline_corpus_prep",
 ]
 
 
@@ -87,20 +91,43 @@ def main() -> None:
     from cassandra2aerospike_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    amp = (
-        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
-        .withColumn("user_id", F.col("user_id") + F.col("rep") * 100000)
-        .withColumn("ts_us", F.col("ts_us") + F.col("rep"))
-        .drop("rep")
-        .persist()
-    )
-    n_cells = amp.count()
-    merge.merge_records(amp).count()  # warm-up pass
-    t0 = time.time()
-    merge.merge_records(amp).count()
-    thru = n_cells / (time.time() - t0)
-    amp.unpersist()
+
+    def merge_probe(factor: int) -> tuple[float, int]:
+        amp = (
+            ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * 100000)
+            .withColumn("ts_us", F.col("ts_us") + F.col("rep"))
+            .drop("rep")
+            .persist()
+        )
+        n_cells = amp.count()
+        merge.merge_records(amp).count()  # warm-up pass
+        t0 = time.time()
+        merge.merge_records(amp).count()
+        rate = n_cells / (time.time() - t0)
+        amp.unpersist()
+        return rate, n_cells
+
+    thru, n_cells = merge_probe(10)
     print(f"# merge throughput: {thru:,.0f} cells/s over {n_cells} cells", file=sys.stderr)
+
+    # Scale-slope probe (opt-in: SPARK_GRAFT_SLOPE=1): the same merge at
+    # 3x the amplification.  cells/s holding steady (or rising, as fixed
+    # cost amortizes) across the 3x step is the evidence that probe cost
+    # scales sublinearly — the two-point anchor for the 100x story.
+    slope: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SLOPE"):
+        thru30, n30 = merge_probe(30)
+        slope = {
+            "merge_rows_per_sec_x10": round(thru),
+            "merge_rows_per_sec_x30": round(thru30),
+            "merge_slope_ratio": round(thru30 / thru, 3),
+        }
+        print(
+            f"# merge slope: x10 {thru:,.0f} -> x30 {thru30:,.0f} cells/s "
+            f"(ratio {thru30 / thru:.2f}, {n30} cells)",
+            file=sys.stderr,
+        )
 
     # Full binary-path probe — the apples-to-apples number against the
     # reference's ~100k rows/s (its figure INCLUDES SSTable parsing):
@@ -139,47 +166,85 @@ def main() -> None:
     from cassandra2aerospike_spark.functions import similarity as sim_fns
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs_amp = (
-        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(19))))
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
-        .withColumn(
-            "text",
-            F.when(F.col("rep") % 2 == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string"))
-            ),
+
+    def dedup_probe(factor: int) -> tuple[float, int]:
+        docs_amp = (
+            docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+            .withColumn(
+                "text",
+                F.when(F.col("rep") % 2 == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string"))
+                ),
+            )
+            .drop("rep")
+            .persist()
         )
-        .drop("rep")
-        .persist()
-    )
-    n_docs = docs_amp.count()
-    dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()  # warm
-    t0 = time.time()
-    dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()
-    dedup_thru = n_docs / (time.time() - t0)
-    docs_amp.unpersist()
-    # minhash_lsh_pairs persists its shingle-set frame internally with no
-    # external handle; drop both calls' caches so the similarity probe
-    # does not run under their memory pressure
-    spark.catalog.clearCache()
+        n_docs = docs_amp.count()
+        dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()  # warm
+        t0 = time.time()
+        dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()
+        rate = n_docs / (time.time() - t0)
+        docs_amp.unpersist()
+        # minhash_lsh_pairs persists its shingle-set frame internally with
+        # no external handle; drop both calls' caches so later probes do
+        # not run under their memory pressure
+        spark.catalog.clearCache()
+        return rate, n_docs
+
+    dedup_thru, n_docs = dedup_probe(20)
     print(f"# dedup throughput: {dedup_thru:,.0f} docs/s over {n_docs} docs", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_SLOPE"):
+        dedup60, nd60 = dedup_probe(60)
+        slope.update(
+            {
+                "dedup_docs_per_sec_x20": round(dedup_thru),
+                "dedup_docs_per_sec_x60": round(dedup60),
+                "dedup_slope_ratio": round(dedup60 / dedup_thru, 3),
+            }
+        )
+        print(
+            f"# dedup slope: x20 {dedup_thru:,.0f} -> x60 {dedup60:,.0f} docs/s "
+            f"(ratio {dedup60 / dedup_thru:.2f}, {nd60} docs)",
+            file=sys.stderr,
+        )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb_amp = (
-        emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
-        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
-        .drop("rep")
-        .persist()
-    )
-    n_vecs = emb_amp.count()
     qset = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    sim_fns.brute_force_topk_fast(qset, emb_amp, k=5).count()  # warm
-    t0 = time.time()
-    sim_fns.brute_force_topk_fast(qset, emb_amp, k=5).count()
-    sim_thru = n_vecs / (time.time() - t0)
-    emb_amp.unpersist()
+
+    def gemm_probe(factor: int) -> tuple[float, int]:
+        emb_amp = (
+            emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
+            .drop("rep")
+            .persist()
+        )
+        n_vecs = emb_amp.count()
+        sim_fns.brute_force_topk_fast(qset, emb_amp, k=5).count()  # warm
+        t0 = time.time()
+        sim_fns.brute_force_topk_fast(qset, emb_amp, k=5).count()
+        rate = n_vecs / (time.time() - t0)
+        emb_amp.unpersist()
+        return rate, n_vecs
+
+    sim_thru, n_vecs = gemm_probe(10)
     print(f"# similarity GEMM throughput: {sim_thru:,.0f} vecs/s over {n_vecs} vecs x 10 queries", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_SLOPE"):
+        gemm30, nv30 = gemm_probe(30)
+        slope.update(
+            {
+                "gemm_vecs_per_sec_x10": round(sim_thru),
+                "gemm_vecs_per_sec_x30": round(gemm30),
+                "gemm_slope_ratio": round(gemm30 / sim_thru, 3),
+            }
+        )
+        print(
+            f"# GEMM slope: x10 {sim_thru:,.0f} -> x30 {gemm30:,.0f} vecs/s "
+            f"(ratio {gemm30 / sim_thru:.2f}, {nv30} vecs)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_query_suite",
@@ -195,6 +260,8 @@ def main() -> None:
         "dedup_throughput_docs_per_sec": round(dedup_thru),
         "similarity_gemm_vecs_per_sec": round(sim_thru),
     }
+    if slope:
+        out["scale_slope"] = slope
     print(json.dumps(out))
 
 

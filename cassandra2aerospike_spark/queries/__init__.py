@@ -35,6 +35,9 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
+    # -- round-5 NEW query: REAL Cassandra 3.x ma-format table read
+    #    end-to-end through the DataSource layout=ma branch
+    "s15_ma_format_merge",
     # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise
     #    all three reference compressors in one scan (deflate + Snappy +
     #    the new pure-Python LZ4 block codec, Buffer.cpp:243-272)
@@ -93,7 +96,6 @@ _PRIORITY = [
     "scalar_dates",
     "scalar_json",
     "sim_cosine_topk_fast",
-    "token_md5",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

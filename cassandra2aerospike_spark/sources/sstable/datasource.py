@@ -74,6 +74,7 @@ class RunSlice(InputPartition):
     start_token: int | None  # inclusive seek point (None = run start)
     end_token: int | None  # exclusive upper bound (None = run end)
     verify: bool
+    layout: str = "sgr"  # "sgr" (engine-native runs) | "ma" (real Cassandra 3.x)
 
 
 def _summary_tokens(directory: str, gen: int) -> list[int]:
@@ -100,6 +101,9 @@ class SSTableRunReader(DataSourceReader):
         # cores / n_runs via the reader option.
         self.splits = int(options.get("splits_per_run", "8"))
         self.verify = options.get("verify_checksums", "true").lower() == "true"
+        # layout "ma": the directory is a real Cassandra 3.x table dir
+        # (<keyspace>/<table>/ma-<gen>-big-*.db) read via ma_format.MaReader
+        self.layout = options.get("layout", "sgr")
         self.min_token: int | None = None
         self.min_inclusive = True
 
@@ -121,6 +125,8 @@ class SSTableRunReader(DataSourceReader):
             yield f  # never claim full handling — pruning only
 
     def partitions(self):
+        if self.layout == "ma":
+            return self._ma_partitions()
         parts: list[RunSlice] = []
         seen_partitioner: tuple[int, str] | None = None
         for gen in discover_runs(self.directory):
@@ -158,6 +164,31 @@ class SSTableRunReader(DataSourceReader):
             edges.append((prev, None))
             for s, e in edges:
                 parts.append(RunSlice(self.directory, gen, s, e, self.verify))
+        return parts
+
+    def _ma_partitions(self) -> list[RunSlice]:
+        """Real-format branch: one InputPartition per ma sstable — the
+        reference's own one-cursor-per-SSTable fan-out
+        (CassandraParser.cpp:177-194).  Partitioner consistency is
+        enforced across sstables exactly as for SGR runs (P5,
+        CassandraParser.cpp:144-153); token-range sub-splitting via the
+        ma Summary mirrors the SGR O2 path and lands when a single
+        sstable outgrows one task."""
+        from .ma_format import MaReader, discover_ma_sstables
+
+        parts: list[RunSlice] = []
+        seen: tuple[int, str] | None = None
+        for gen in discover_ma_sstables(self.directory):
+            rd = MaReader(self.directory, gen, verify_checksums=False)
+            if seen is None:
+                seen = (gen, rd.stats.partitioner)
+            elif rd.stats.partitioner != seen[1]:
+                raise ValueError(
+                    f"inconsistent partitioners in {self.directory}: sstable "
+                    f"{seen[0]} uses {seen[1]!r} but {gen} uses "
+                    f"{rd.stats.partitioner!r}"
+                )
+            parts.append(RunSlice(self.directory, gen, None, None, self.verify, "ma"))
         return parts
 
     def read(self, part: RunSlice):
@@ -201,9 +232,21 @@ class SSTableRunReader(DataSourceReader):
             ):
                 c.append(v)
 
-        rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
-        for p in rr.partitions(start_token=part.start_token, end_token=part.end_token):
-            t = p.token
+        if part.layout == "ma":
+            from .ma_format import MaReader
+
+            source = MaReader(
+                part.directory, part.gen, verify_checksums=part.verify
+            ).partitions()
+        else:
+            rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
+            source = (
+                (p.token, p)
+                for p in rr.partitions(
+                    start_token=part.start_token, end_token=part.end_token
+                )
+            )
+        for t, p in source:
             if p.row_tomb_ts is not None:
                 # marker row (col_name NULL): a row tombstone survives even
                 # when the partition carries no cells in this run

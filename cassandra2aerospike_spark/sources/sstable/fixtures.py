@@ -138,6 +138,100 @@ def build_runs_from_events(
     return out_dir
 
 
+def build_ma_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 3,
+    codec_classes: tuple[str, ...] = (
+        "LZ4Compressor", "SnappyCompressor", "DeflateCompressor",
+    ),
+) -> str:
+    """Materialize events as a REAL-format Cassandra 3.x table directory
+    (<out>/<fingerprint>/tmx/events/ma-<gen>-big-*.db) — the ma analog of
+    build_runs_from_events, feeding the MaReader end-to-end driver check.
+
+    Kind mapping vs the SGR fixtures: 'row' events stay row tombstones
+    (style cycling per key across partition-header / HAS_DELETION /
+    marker encodings); 'range' events become ma MARKERS — an open
+    marker with no clustering covers the whole partition, so in the ma
+    pipeline they act as row tombstones (the oracle maps them to 'row').
+    """
+    from .ma_format import MaWriter
+
+    fingerprint = "ma_" + str(n_sstables) + "_" + "-".join(
+        c.removesuffix("Compressor").lower() for c in codec_classes
+    )
+    table_dir = os.path.join(out_dir, fingerprint, "tmx", "events")
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        classify_cells(events)
+        .withColumn("run", (F.col("ts") % n_sstables).cast("int"))
+        .select("run", "key", "col_name", "value", "ts", "ttl", "expiration", "kind")
+        .collect()
+    )
+    col_names = sorted({r.col_name for r in rows if r.kind == "cell"})
+    schema_cols = [(n, "UTF8Type") for n in col_names]
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    tomb_style: dict[bytes, str] = {}
+    styles = ("partition", "row", "marker")
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        parts = by_run[r.run]
+        p = parts.get(key)
+        if p is None:
+            p = parts[key] = Partition(key=key)
+            tomb_style.setdefault(key, styles[len(tomb_style) % len(styles)])
+        if r.kind in ("row", "range"):
+            p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
+        elif r.kind == "point":
+            p.cells.append(Cell(col_name=r.col_name, ts=r.ts, deleted=True))
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ttl=r.ttl,
+                    expiration=r.expiration,
+                )
+            )
+    for gen, parts in by_run.items():
+        w = MaWriter(
+            table_dir, gen + 1, schema_cols,
+            codec_class=codec_classes[gen % len(codec_classes)],
+        )
+        for key in sorted(parts):
+            p = parts[key]
+            p.cells.sort(key=lambda c: (c.col_name, c.ts))
+            w.add(p, row_tomb_style=tomb_style[key])
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
+def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
+    """classified_from_runs for a real-format ma table directory (the
+    reader emits no range-tombstone cells: markers fold into row_tomb_ts)."""
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    kind = (
+        F.when(F.col("col_name").isNull(), F.lit("row"))
+        .when(F.col("deleted"), F.lit("point"))
+        .otherwise(F.lit("cell"))
+    )
+    return raw.select(
+        F.col("key").cast("string").cast("long").alias("key"),
+        "col_name",
+        F.col("value").cast("string").try_cast("double").alias("value"),
+        "ts",
+        "ttl",
+        "expiration",
+        kind.alias("kind"),
+    )
+
+
 def classified_from_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
     """Read the runs back into the classified EAV frame (key, col_name,
     value, ts, ttl, expiration, kind) that operators/merge.py consumes —

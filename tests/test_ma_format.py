@@ -1,0 +1,341 @@
+"""Real Cassandra ma-format reader: golden hand-built bytes, writer
+round-trips across codecs and tombstone styles, vint properties, chunk
+corruption, and filename/path parsing (reference grammar:
+SSTable.cpp:505-717, SSTableSchema.cpp:121-136, Buffer.cpp:60-424)."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cassandra2aerospike_spark.sources.sstable import ma_format as MA
+from cassandra2aerospike_spark.sources.sstable.format import Cell, Partition
+
+# ---------------------------------------------------------------- vints
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+@settings(max_examples=300, deadline=None)
+def test_uvint_roundtrip(v):
+    enc = MA.enc_uvint(v)
+    got, off = MA.dec_uvint(enc, 0)
+    assert got == v and off == len(enc)
+
+
+def test_uvint_reference_exact_cases():
+    # single byte through 0x7f (Buffer.cpp:67-71 + the 0x7f quirk: it
+    # takes the slow path but still decodes to 127 with zero extra bytes)
+    assert MA.enc_uvint(0) == b"\x00"
+    assert MA.enc_uvint(0x7F) == b"\x7f"
+    assert MA.dec_uvint(b"\x7f", 0) == (127, 1)
+    # 2-byte form: 1 leading one, 6+8 value bits
+    assert MA.enc_uvint(300) == bytes([0x81, 0x2C])
+    assert MA.dec_uvint(bytes([0x81, 0x2C]), 0) == (300, 2)
+    # full 9-byte form
+    big = (1 << 64) - 1
+    assert MA.enc_uvint(big) == b"\xff" + b"\xff" * 8
+    assert MA.dec_uvint(MA.enc_uvint(big), 0) == (big, 9)
+    with pytest.raises(ValueError, match="truncated"):
+        MA.dec_uvint(b"\x81", 0)
+    with pytest.raises(ValueError, match="negative"):
+        MA.enc_uvint(-1)
+
+
+def test_filename_version_and_path_parse():
+    # VERSION_STRING_TO_VERSION('m','a') == 12*26 (SSTable.cpp:26-28)
+    assert MA.sstable_version("ma-1-big-Data.db") == 12 * 26
+    assert MA.sstable_version("la-3-big-Data.db") == 11 * 26
+    assert MA.sstable_version("ks-tab-ja-1-Data.db") is None  # old naming
+    assert MA.keyspace_and_table("/x/y/tmx/events") == ("tmx", "events")
+
+
+# ------------------------------------------------- golden hand-built file
+# Bytes authored HERE from the reference reader's grammar, not by
+# MaWriter — pinning the reader against an independent derivation.
+
+
+def _golden_table(tmp_path, codec="DeflateCompressor"):
+    d = str(tmp_path / "ks" / "tab")
+    os.makedirs(d, exist_ok=True)
+    uv, s16 = MA.enc_uvint, MA._enc_str16
+
+    min_ts, min_ldt, min_ttl = 1_000_000, 500, 60
+    # Statistics.db: TOC(validation@?, header@?) + partitioner + schema
+    schema = bytearray()
+    schema += uv(min_ts) + uv(min_ldt) + uv(min_ttl)
+    schema += MA._enc_vstr(b"org.apache.cassandra.db.marshal.UTF8Type")  # key
+    schema += uv(0)  # no clustering
+    schema += uv(0)  # no static columns
+    schema += uv(3)  # regular: a TEXT, b LONG, c TEXT
+    schema += MA._enc_vstr(b"a") + MA._enc_vstr(b"org.apache.cassandra.db.marshal.UTF8Type")
+    schema += MA._enc_vstr(b"b") + MA._enc_vstr(b"org.apache.cassandra.db.marshal.LongType")
+    schema += MA._enc_vstr(b"c") + MA._enc_vstr(b"org.apache.cassandra.db.marshal.UTF8Type")
+    validation = s16(b"org.apache.cassandra.dht.Murmur3Partitioner")
+    st_ = struct.pack(">i", 2)
+    st_ += struct.pack(">ii", 0, 20)  # validation at end of 20-byte TOC
+    st_ += struct.pack(">ii", 3, 20 + len(validation))
+    st_ += validation + bytes(schema)
+    open(os.path.join(d, "ma-1-big-Statistics.db"), "wb").write(st_)
+
+    data = bytearray()
+    # -- partition 1: live header, marker row (boundary type -> extra
+    #    12 bytes), then a normal row with a column subset {a, b}
+    data += s16(b"k1")
+    data += struct.pack(">i", MA.LIVE_LOCAL_DELETION)
+    data += struct.pack(">q", MA.LIVE_MARKED_FOR_DELETE)
+    data += bytes([MA.IS_MARKER])
+    data += bytes([MA.EXCL_END_INCL_START_BOUNDARY])
+    data += struct.pack(">H", 0)
+    data += uv(0) + uv(0)  # rowsize, prevsize
+    data += struct.pack(">q", 1_500_000)  # marker deletion ts
+    data += struct.pack(">i", 1)  # local deletion
+    data += b"\x00" * 12  # boundary second deletion time (skipped)
+    # normal row: HAS_TIMESTAMP only, subset bitmask 0b011 -> a, b
+    data += bytes([MA.HAS_TIMESTAMP])
+    data += uv(0) + uv(0)
+    data += uv(2_000_000 - min_ts)  # row ts
+    data += uv(0b011)
+    #   cell a: USE_ROW_TIMESTAMP, expiring (ldt 900, ttl 120), value "va"
+    data += bytes([MA.CELL_USE_ROW_TIMESTAMP | MA.CELL_IS_EXPIRING])
+    data += uv(900 - min_ldt) + uv(120 - min_ttl)
+    data += uv(2) + b"va"
+    #   cell b: explicit ts, fixed-width LongType value 7
+    data += bytes([0])
+    data += uv(2_000_500 - min_ts)
+    data += struct.pack(">q", 7)
+    data += bytes([MA.END_OF_PARTITION])
+    # -- partition 2: partition-header tombstone; row with HAS_ALL_COLUMNS
+    #    + HAS_TTL; cells exercise USE_ROW_TTL, deleted, empty value
+    data += s16(b"k2")
+    data += struct.pack(">i", 3)
+    data += struct.pack(">q", 3_000_000)  # partition marked-for-delete
+    data += bytes([MA.HAS_TIMESTAMP | MA.HAS_TTL | MA.HAS_ALL_COLUMNS])
+    data += uv(0) + uv(0)
+    data += uv(4_000_000 - min_ts)  # row ts
+    data += uv(300 - min_ttl) + uv(1000 - min_ldt)  # row ttl, row ldt
+    #   cell a: row ts + row ttl
+    data += bytes([MA.CELL_USE_ROW_TIMESTAMP | MA.CELL_IS_EXPIRING | MA.CELL_USE_ROW_TTL])
+    data += uv(1) + b"x"
+    #   cell b: deleted (empty value), own ts + deletion ldt
+    data += bytes([MA.CELL_IS_DELETED | MA.CELL_HAS_EMPTY_VALUE])
+    data += uv(4_100_000 - min_ts) + uv(800 - min_ldt)
+    #   cell c: empty value, not deleted
+    data += bytes([MA.CELL_HAS_EMPTY_VALUE])
+    data += uv(4_200_000 - min_ts)
+    data += bytes([MA.END_OF_PARTITION])
+
+    comp = MA._compress_chunk(codec, bytes(data))
+    blob = comp + struct.pack(">I", zlib.crc32(comp) & 0xFFFFFFFF)
+    open(os.path.join(d, "ma-1-big-Data.db"), "wb").write(blob)
+
+    ci = s16(codec.encode())
+    ci += struct.pack(">i", 0)
+    ci += struct.pack(">i", 64 * 1024)
+    ci += struct.pack(">q", len(data))
+    ci += struct.pack(">i", 1)
+    ci += struct.pack(">q", 0)
+    open(os.path.join(d, "ma-1-big-CompressionInfo.db"), "wb").write(ci)
+    return d
+
+
+def test_golden_ma_decode(tmp_path):
+    d = _golden_table(tmp_path)
+    r = MA.MaReader(d, 1)
+    assert r.stats.partitioner == MA.MURMUR3_CLASS
+    assert r.stats.schema.regular_columns == [
+        ("a", "UTF8Type"), ("b", "LongType"), ("c", "UTF8Type")
+    ]
+    got = {p.key: (tok, p) for tok, p in r.partitions()}
+    assert set(got) == {b"k1", b"k2"}
+
+    tok1, p1 = got[b"k1"]
+    assert tok1 == MA.murmur3_token(b"k1")
+    assert p1.row_tomb_ts == 1_500_000  # from the boundary marker
+    assert [(c.col_name, c.value, c.ts, c.ttl, c.expiration, c.deleted)
+            for c in p1.cells] == [
+        ("a", b"va", 2_000_000, 120, 900, False),
+        ("b", struct.pack(">q", 7), 2_000_500, None, None, False),
+    ]
+
+    _tok2, p2 = got[b"k2"]
+    assert p2.row_tomb_ts == 3_000_000  # partition header
+    assert [(c.col_name, c.value, c.ts, c.ttl, c.expiration, c.deleted)
+            for c in p2.cells] == [
+        ("a", b"x", 4_000_000, 300, 1000, False),  # row ts + row ttl/ldt
+        ("b", b"", 4_100_000, None, None, True),
+        ("c", b"", 4_200_000, None, None, False),
+    ]
+
+
+def test_golden_ma_chunk_corruption_detected(tmp_path):
+    d = _golden_table(tmp_path, codec="LZ4Compressor")
+    path = os.path.join(d, "ma-1-big-Data.db")
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 2] ^= 0x55
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        list(MA.MaReader(d, 1).partitions())
+    # -C analog: verification off decodes whatever it can or fails in the
+    # codec — but must NOT report a checksum mismatch
+    try:
+        list(MA.MaReader(d, 1, verify_checksums=False).partitions())
+    except ValueError as e:
+        assert "checksum" not in str(e)
+
+
+# -------------------------------------------------- writer round-trips
+
+
+def _mk_parts(n: int, seed: int) -> list[Partition]:
+    import random
+
+    rnd = random.Random(seed)
+    cols = ["alpha", "beta", "gamma", "delta"]
+    parts = []
+    for i in range(n):
+        key = f"key{i:04d}".encode()
+        p = Partition(key=key)
+        if rnd.random() < 0.25:
+            p.row_tomb_ts = rnd.randrange(10**9, 2 * 10**9)
+        for col in rnd.sample(cols, rnd.randint(0, len(cols))):
+            for _ver in range(rnd.randint(1, 3)):
+                ts = rnd.randrange(10**9, 2 * 10**9)
+                if rnd.random() < 0.2:
+                    p.cells.append(Cell(col_name=col, ts=ts, deleted=True))
+                elif rnd.random() < 0.4:
+                    ttl = rnd.randrange(60, 9000)
+                    p.cells.append(Cell(
+                        col_name=col, value=f"v{ts}".encode(), ts=ts,
+                        ttl=ttl, expiration=ts // 1_000_000 + ttl,
+                    ))
+                else:
+                    p.cells.append(Cell(col_name=col, value=f"v{ts}".encode(), ts=ts))
+        p.cells.sort(key=lambda c: (c.col_name, c.ts))
+        parts.append(p)
+    return parts
+
+
+@pytest.mark.parametrize("codec", ["LZ4Compressor", "SnappyCompressor", "DeflateCompressor"])
+@pytest.mark.parametrize("style", ["partition", "row", "marker"])
+def test_ma_roundtrip_matrix(tmp_path, codec, style):
+    d = str(tmp_path / "ks" / f"t_{codec}_{style}")
+    parts = _mk_parts(40, seed=7)
+    w = MA.MaWriter(d, 2, [(c, "UTF8Type") for c in ["alpha", "beta", "gamma", "delta"]],
+                    codec_class=codec, chunk_size=512)
+    for p in parts:
+        w.add(p, row_tomb_style=style)
+    w.finish()
+    got = {p.key: p for _t, p in MA.MaReader(d, 2).partitions()}
+    assert len(got) == len(parts)
+    prev_tok = None
+    for tok, _p in MA.MaReader(d, 2).partitions():
+        if prev_tok is not None:
+            assert tok >= prev_tok  # murmur3 token order on disk
+        prev_tok = tok
+    for want in parts:
+        have = got[want.key]
+        assert have.row_tomb_ts == want.row_tomb_ts
+        have_cells = sorted(
+            ((c.col_name, c.value if not c.deleted else b"", c.ts, c.ttl,
+              c.expiration, c.deleted) for c in have.cells)
+        )
+        want_cells = sorted(
+            ((c.col_name, c.value, c.ts, c.ttl, c.expiration, c.deleted)
+             for c in want.cells)
+        )
+        assert have_cells == want_cells
+
+
+def test_ma_summary_and_index_follow_reference_shape(tmp_path):
+    """Parse Summary.db and Index.db with the REFERENCE algorithms
+    (find_partition_in_summary SSTable.cpp:122-180, init_at_key:58-87)
+    and confirm they locate every partition in Data.db order."""
+    d = str(tmp_path / "ks" / "t_sum")
+    parts = _mk_parts(80, seed=11)
+    w = MA.MaWriter(d, 1, [(c, "UTF8Type") for c in ["alpha", "beta", "gamma", "delta"]])
+    for p in parts:
+        w.add(p)
+    w.finish()
+
+    # Summary: skip 4, int32 size, int64 memSize, skip 8, toc[memSize]
+    buf = open(os.path.join(d, "ma-1-big-Summary.db"), "rb").read()
+    (size,) = struct.unpack_from(">i", buf, 4)
+    (mem_size,) = struct.unpack_from(">q", buf, 8)
+    toc = buf[24 : 24 + mem_size]
+    offsets = struct.unpack_from(f"={size}i", toc, 0)
+    summary_keys, summary_pos = [], []
+    for i, off in enumerate(offsets):
+        end = mem_size if i + 1 == size else offsets[i + 1]
+        summary_keys.append(toc[off : end - 8])
+        summary_pos.append(struct.unpack_from("=q", toc, end - 8)[0])
+
+    # Index: [short key][uvint position][uvint promoted size]
+    ibuf = open(os.path.join(d, "ma-1-big-Index.db"), "rb").read()
+    index_keys, index_entry_offsets = [], []
+    off = 0
+    while off < len(ibuf):
+        index_entry_offsets.append(off)
+        k, off = MA._dec_str16(ibuf, off)
+        _pos, off = MA.dec_uvint(ibuf, off)
+        skip, off = MA.dec_uvint(ibuf, off)
+        off += skip
+        index_keys.append(k)
+
+    data_keys = [p.key for _t, p in MA.MaReader(d, 1).partitions()]
+    assert index_keys == data_keys
+    assert summary_keys == data_keys[:: MA.SUMMARY_INTERVAL]
+    assert summary_pos == index_entry_offsets[:: MA.SUMMARY_INTERVAL]
+
+
+def test_ma_multi_chunk_and_empty(tmp_path):
+    d = str(tmp_path / "ks" / "t_chunks")
+    parts = _mk_parts(120, seed=3)
+    w = MA.MaWriter(d, 1, [(c, "UTF8Type") for c in ["alpha", "beta", "gamma", "delta"]],
+                    chunk_size=256)  # force many chunks
+    for p in parts:
+        w.add(p)
+    w.finish()
+    assert len({p.key for _t, p in MA.MaReader(d, 1).partitions()}) == len(parts)
+
+    e = str(tmp_path / "ks" / "t_empty")
+    MA.MaWriter(e, 1, [("alpha", "UTF8Type")]).finish()
+    assert list(MA.MaReader(e, 1).partitions()) == []
+
+
+def test_ma_datasource_layout_option(spark, tmp_path):
+    """spark.read.format('sstable_run').option('layout','ma') yields the
+    same EAV frame shape as the SGR path, and mixed partitioners abort
+    (P5 on the real format)."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import register
+
+    d = str(tmp_path / "ksx" / "tabx")
+    parts = _mk_parts(30, seed=5)
+    for gen, style in ((1, "partition"), (2, "marker")):
+        w = MA.MaWriter(d, gen, [(c, "UTF8Type") for c in ["alpha", "beta", "gamma", "delta"]])
+        for p in parts[: 15 * gen]:
+            w.add(p, row_tomb_style=style)
+        w.finish()
+    register(spark)
+    df = spark.read.format("sstable_run").option("layout", "ma").load(d)
+    rows = df.collect()
+    assert {r.run for r in rows} == {1, 2}
+    n_cells = sum(len(p.cells) for p in parts[:15]) + sum(
+        len(p.cells) for p in parts[:30]
+    )
+    n_tombs = sum(1 for p in parts[:15] if p.row_tomb_ts) + sum(
+        1 for p in parts[:30] if p.row_tomb_ts
+    )
+    assert len(rows) == n_cells + n_tombs
+
+    # mixed-partitioner abort
+    w = MA.MaWriter(d, 3, [(c, "UTF8Type") for c in ["alpha", "beta", "gamma", "delta"]],
+                    partitioner="org.apache.cassandra.dht.RandomPartitioner")
+    w.add(parts[0])
+    w.finish()
+    with pytest.raises(Exception, match="[Ii]nconsistent partitioner"):
+        spark.read.format("sstable_run").option("layout", "ma").load(d).collect()
