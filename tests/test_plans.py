@@ -190,3 +190,45 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir, queries):
         assert r.p50_in_bound == 1 and r.p90_in_bound == 1
         e50, e90 = exact[k]
         assert r.p50_exact == e50 and r.p90_exact == e90
+
+
+def test_jaccard_shingle_frame_materializes_once(spark, sf_dir, queries):
+    """RUNTIME one-materialization assertion (PLANS.md caveat): the static
+    plan for dedup_jaccard_pairs prints the persisted shingle frame's
+    build subtree under every one of its ~12 consumers, which reads as 12
+    scans.  At execution there must be exactly ONE fully-cached RDD whose
+    build contains the documents scan, and the executed stage count must
+    sit in the one-materialization regime (measured 16; a per-consumer
+    re-build would add ~2 stages per consumer, landing 30+)."""
+    sc = spark.sparkContext
+    df = queries["dedup_jaccard_pairs"](spark, sf_dir)
+    sc.setJobGroup("jaccard_runtime_probe", "one-materialization assertion")
+    try:
+        df.count()
+    finally:
+        sc.setJobGroup(None, None)
+
+    jsc = sc._jsc.sc()
+    cached = [
+        info
+        for info in jsc.getRDDStorageInfo()
+        if "documents.parquet" in info.name()
+    ]
+    assert len(cached) == 1, f"expected one cached shingle RDD, got {len(cached)}"
+    info = cached[0]
+    assert info.numCachedPartitions() == info.numPartitions(), (
+        f"shingle cache partial: {info.numCachedPartitions()}/{info.numPartitions()}"
+    )
+
+    tracker = sc.statusTracker()
+    stage_ids = set()
+    for jid in tracker.getJobIdsForGroup("jaccard_runtime_probe"):
+        stage_ids.update(tracker.getJobInfo(jid).stageIds)
+    executed = 0
+    for sid in stage_ids:
+        si = tracker.getStageInfo(sid)
+        if si is not None and si.numCompletedTasks > 0:
+            executed += 1
+    assert 0 < executed <= 24, (
+        f"{executed} executed stages — above the one-materialization regime"
+    )
