@@ -155,3 +155,132 @@ def frame_sample_stub(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
     return binary_df.select("doc_id", "byte_len").mapInPandas(
         sample_batches, FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# REAL media-container header probe (round 5): no codec libraries exist
+# in this container, but container HEADERS are plain binary layouts — so
+# metadata extraction (the corrupt-media filter every 100 TB multimodal
+# pipeline runs before decode) is implemented for real: PNG IHDR, GIF
+# logical screen, JPEG SOFn scan, and WAV fmt-chunk parsing from bytes.
+# Only pixel/sample DECODE remains stubbed (decode_image_stub above).
+
+PROBE_SCHEMA = (
+    "doc_id long, kind string, width int, height int, "
+    "sample_rate int, channels int"
+)
+
+
+def probe_media_header(payload: bytes) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """Parse (kind, width, height, sample_rate, channels) from a media
+    blob's container header.  Pure binary parsing — PNG spec §5.2/11.2.2,
+    GIF89a spec §17-18, JPEG JFIF SOFn segments, RIFF/WAVE fmt chunk."""
+    import struct as _struct
+
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = _struct.unpack_from(">II", payload, 16)
+        return "png", w, h, None, None
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _struct.unpack_from("<HH", payload, 6)
+        return "gif", w, h, None, None
+    if n >= 2 and payload[:2] == b"\xff\xd8":
+        # walk JFIF segments to the first SOFn (baseline/progressive)
+        off = 2
+        while off + 4 <= n:
+            if payload[off] != 0xFF:
+                break
+            marker = payload[off + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                off += 2
+                continue
+            (seg_len,) = _struct.unpack_from(">H", payload, off + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if off + 9 <= n:
+                    h, w = _struct.unpack_from(">HH", payload, off + 5)
+                    return "jpeg", w, h, None, None
+                break
+            off += 2 + seg_len
+        return "jpeg", None, None, None, None
+    if n >= 36 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        off = 12
+        while off + 8 <= n:
+            cid = payload[off : off + 4]
+            (clen,) = _struct.unpack_from("<I", payload, off + 4)
+            if cid == b"fmt " and off + 16 <= n:
+                channels, rate = _struct.unpack_from("<HI", payload, off + 10)
+                return "wav", None, None, rate, channels
+            off += 8 + clen + (clen & 1)
+        return "wav", None, None, None, None
+    return "unknown", None, None, None, None
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: build VALID container headers deterministically
+    from doc_id (kind = doc_id % 3 over png/gif/wav; dimensions/rates are
+    fixed arithmetic on doc_id) with the doc text as trailing payload.
+    The arithmetic is SQL-expressible on purpose: synthesize -> probe is
+    a real binary round trip whose oracle is pure CASE arithmetic."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                w = 16 + d % 624
+                h = 16 + (d * 7) % 464
+                body = str(text).encode("utf-8")
+                if d % 3 == 0:  # PNG with a correct IHDR (incl. CRC)
+                    ihdr = b"IHDR" + _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+                    blob = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + _struct.pack(">I", 13)
+                        + ihdr
+                        + _struct.pack(">I", _zlib.crc32(ihdr) & 0xFFFFFFFF)
+                        + body
+                    )
+                elif d % 3 == 1:  # GIF89a logical screen descriptor
+                    blob = b"GIF89a" + _struct.pack("<HHBBB", w, h, 0, 0, 0) + body
+                else:  # RIFF/WAVE with a 16-byte PCM fmt chunk
+                    rate = 8000 + (d % 5) * 8000
+                    ch = 1 + d % 2
+                    fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+                    blob = (
+                        b"RIFF"
+                        + _struct.pack("<I", 4 + 8 + len(fmt) + len(body))
+                        + b"WAVE"
+                        + b"fmt "
+                        + _struct.pack("<I", len(fmt))
+                        + fmt
+                        + body
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth_batches, "doc_id long, payload binary"
+    )
+
+
+def probe_media(media_df: DataFrame) -> DataFrame:
+    """X5 metadata extraction over mapInPandas: parse container headers
+    of a (doc_id, payload) frame into PROBE_SCHEMA — zero shuffles, the
+    probe rides the scan."""
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe_media_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": [r[0] for r in rows],
+                    "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[4] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return media_df.mapInPandas(probe_batches, PROBE_SCHEMA)

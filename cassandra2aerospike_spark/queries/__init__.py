@@ -35,9 +35,11 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
-    # -- round-5 NEW query: REAL Cassandra 3.x ma-format table read
-    #    end-to-end through the DataSource layout=ma branch
+    # -- round-5 NEW queries: REAL Cassandra 3.x ma-format table read
+    #    end-to-end through the DataSource layout=ma branch, and REAL
+    #    media-container header parsing (PNG/GIF/WAV) for X5
     "s15_ma_format_merge",
+    "mm_media_probe",
     # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise
     #    all three reference compressors in one scan (deflate + Snappy +
     #    the new pure-Python LZ4 block codec, Buffer.cpp:243-272)
@@ -95,7 +97,6 @@ _PRIORITY = [
     "sample_hash_split",
     "scalar_dates",
     "scalar_json",
-    "sim_cosine_topk_fast",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

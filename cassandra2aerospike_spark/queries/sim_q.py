@@ -152,6 +152,17 @@ def q_mm_resize(spark, sf_dir):
 # the stub decoder's rules (multimodal._fake_decode) are deliberately
 # byte-arithmetic so the Python mapInPandas path has EXACT SQL oracles:
 # width = byte[0]+1, height = last byte of the first 64 + 1,
+def q_mm_media_probe(spark, sf_dir):
+    """X5 REAL metadata extraction: synthesize valid PNG/GIF/WAV container
+    headers deterministically from doc_id (trailing payload = doc text),
+    then PARSE them back with the pure-binary header probe
+    (functions/multimodal.py probe_media_header — PNG IHDR, GIF logical
+    screen, RIFF/WAVE fmt chunk).  The synthesize->probe round trip is
+    real binary parsing; the oracle is the generating arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.probe_media(M.synthesize_media(docs))
+
+
 # n_frames = max(1, len//1024), features = first 8 bytes / 255.0
 _MM_BYTES = """
     WITH p AS (
@@ -168,6 +179,20 @@ _MM_BYTES = """
 """
 
 ORACLES = {
+    "mm_media_probe": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                               ELSE 'wav' END AS kind,
+               CASE WHEN doc_id % 3 IN (0, 1)
+                    THEN CAST(16 + doc_id % 624 AS INT) END AS width,
+               CASE WHEN doc_id % 3 IN (0, 1)
+                    THEN CAST(16 + (doc_id * 7) % 464 AS INT) END AS height,
+               CASE WHEN doc_id % 3 = 2
+                    THEN CAST(8000 + (doc_id % 5) * 8000 AS INT) END AS sample_rate,
+               CASE WHEN doc_id % 3 = 2
+                    THEN CAST(1 + doc_id % 2 AS INT) END AS channels
+        FROM documents
+    """,
     "mm_decode_features": _MM_BYTES + """
         SELECT doc_id, CAST(byte_len AS INT) AS byte_len,
                CAST(bytes[1] + 1 AS INT) AS width,
@@ -468,6 +493,7 @@ QUERIES = {
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
+    "mm_media_probe": q_mm_media_probe,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,

@@ -286,3 +286,50 @@ def test_pq_and_ivfpq_recall_better_than_random(spark, sf_dir):
     assert len(exact_l2) > 0
     assert len(pq & exact_l2) / len(exact_l2) >= 0.05
     assert len(ivfpq & exact_l2) / len(exact_l2) >= 0.05
+
+
+def test_probe_media_header_real_parsing():
+    """The X5 header probe does REAL container parsing: hand-built PNG /
+    GIF / JPEG(SOFn walk) / WAV headers parse to their true metadata;
+    truncated or alien bytes degrade to 'unknown' or NULL fields, never
+    raise."""
+    import struct
+    import zlib
+
+    probe = M.probe_media_header
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + ihdr
+           + struct.pack(">I", zlib.crc32(ihdr)))
+    assert probe(png) == ("png", 640, 480, None, None)
+
+    gif = b"GIF89a" + struct.pack("<HHBBB", 320, 200, 0, 0, 0)
+    assert probe(gif) == ("gif", 320, 200, None, None)
+
+    # JPEG: APP0 then a DHT (to skip) then SOF0 with h=600 w=800
+    jpeg = b"\xff\xd8"
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    jpeg += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    jpeg += b"\xff\xc4" + struct.pack(">H", 5) + b"abc"  # DHT, skipped
+    jpeg += b"\xff\xc0" + struct.pack(">H", 8) + bytes([8]) + struct.pack(">HH", 600, 800) + b"\x03"
+    assert probe(jpeg) == ("jpeg", 800, 600, None, None)
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    assert probe(wav) == ("wav", None, None, 44100, 2)
+
+    assert probe(b"")[0] == "unknown"
+    assert probe(b"plain text payload")[0] == "unknown"
+    assert probe(png[:10])[0] == "unknown"  # truncated before IHDR
+    assert probe(b"\xff\xd8\xff") == ("jpeg", None, None, None, None)
+    # WAV with no fmt chunk -> kind known, fields NULL
+    assert probe(b"RIFF" + struct.pack("<I", 4) + b"WAVE" + b"\x00" * 24)[0] == "wav"
+
+
+def test_synthesize_probe_roundtrip(spark):
+    d = _docs(spark, [(0, "png doc"), (1, "gif doc"), (2, "wav doc"), (301, "gif2")])
+    out = {r.doc_id: r for r in M.probe_media(M.synthesize_media(d)).collect()}
+    assert out[0].kind == "png" and out[0].width == 16 and out[0].height == 16
+    assert out[1].kind == "gif" and out[1].width == 17 and out[1].height == 23
+    assert out[2].kind == "wav" and out[2].sample_rate == 24000 and out[2].channels == 1
+    assert out[301].kind == "gif" and out[301].width == 16 + 301 % 624
