@@ -59,11 +59,20 @@ def _classified_binary(spark, dirs: list[str], verify: bool, min_token: int | No
     from .sources.sstable.datasource import register
 
     register(spark)
+    from .sources.sstable.old_format import discover_cassandra_sstables
+
     frames = []
     for d in dirs:
+        # S1/S3: a directory holding real Cassandra sstables (any era's
+        # *-Data.db naming) is read through the real-format branch with
+        # per-file version dispatch — the CLI points at an actual table
+        # dir exactly like the reference binary (CassandraParser.cpp:
+        # 108-135); engine-native SGR runs otherwise
+        layout = "ma" if discover_cassandra_sstables(d) else "sgr"
         rd = (
             spark.read.format("sstable_run")
             .option("verify_checksums", "true" if verify else "false")
+            .option("layout", layout)
             .load(d)
         )
         frames.append(rd)

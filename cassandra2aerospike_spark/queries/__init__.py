@@ -38,6 +38,7 @@ _PRIORITY = [
     # -- round-5 NEW queries: REAL Cassandra 3.x ma-format table read
     #    end-to-end through the DataSource layout=ma branch, and REAL
     #    media-container header parsing (PNG/GIF/WAV) for X5
+    "s16_mixed_era_merge",
     "s15_ma_format_merge",
     "mm_media_probe",
     # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise

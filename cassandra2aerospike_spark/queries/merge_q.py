@@ -273,6 +273,51 @@ def q_s15_ma_format_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.filter_expired(records)
 
 
+def q_s16_mixed_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pre-ma format + mixed-era version dispatch (the "version <
+    MA" half of the real-format gap): events materialized as ONE table
+    directory holding a Cassandra 2.1 `ka` sstable (old flat naming
+    tmx-events-ka-1-*.db, Snappy chunks with Adler32-before-decompress,
+    composite cell names exercising the real S8 unwrap), a 2.2 `la`
+    sstable (la-2-big-*.db, Deflate), and a 3.x `ma` sstable
+    (ma-3-big-*.db, LZ4) — the post-upgrade state the reference's
+    create_table dispatch exists for (SSTable.cpp:45-55, grammar
+    SSTable.cpp:337-452 OldSStable) — read back through the DataSource's
+    real-format branch with per-file era dispatch, then the full merge.
+    Old-era 'range' events stay REAL range-tombstone cells
+    (RANGE_TOMBSTONE_MASK); the ma era's become markers, i.e. row
+    tombstones — _CTE_MIXED mirrors the split on ts % 3."""
+    from ..sources.sstable.fixtures import (
+        build_mixed_era_table_from_events,
+        classified_from_ma,
+        default_runs_dir,
+    )
+
+    table_dir = build_mixed_era_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_mixed_era"
+    )
+    classified = classified_from_ma(spark, table_dir)
+    latest = merge.lww_latest(merge.live_cells_from_classified(classified))
+    records = latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(merge.ETERNAL)
+        )
+        .otherwise(F.max("expiration"))
+        .cast("long")
+        .alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+    return merge.filter_expired(records)
+
+
 def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 capability FIX: the reference knowingly merges clustering and
     static columns incorrectly (reference README.md:30-39, skip-only
@@ -429,7 +474,19 @@ _CTE_MA = _CTE.replace(
 )
 assert _CTE_MA != _CTE, "ma oracle CTE rewrite missed the kind CASE"
 
+# mixed-era variant (s16): events route to sstable eras by ts % 3 — the
+# 'range' event landing in the ma era (ts % 3 = 2) is written as a marker
+# (-> row tombstone); those in the ka/la eras stay real old-format
+# range-tombstone cells
+_CTE_MIXED = _CTE.replace(
+    "WHEN event_id % 13 = 0 THEN 'range'",
+    "WHEN event_id % 13 = 0 THEN "
+    "(CASE WHEN epoch_us(ts) % 3 = 2 THEN 'row' ELSE 'range' END)",
+)
+assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
+
 QUERIES = {
+    "s16_mixed_era_merge": q_s16_mixed_era_merge,
     "s15_ma_format_merge": q_s15_ma_format_merge,
     "a1_lww_latest": q_a1_lww_latest,
     "f1_live_cells": q_f1_live_cells,
@@ -558,6 +615,19 @@ ORACLES = {
     # s9's merged-result oracle over the ma kind mapping (range -> row):
     # the REAL on-disk format must be invisible to the merged result too
     "s15_ma_format_merge": _CTE_MA
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    # s16: the same merged-result oracle over the mixed-era kind mapping
+    # (range -> row only for the ma-era third of the stream)
+    "s16_mixed_era_merge": _CTE_MIXED
     + f"""
         SELECT r.key, a.cols_str, r.expiry, r.n_cols
         FROM records r

@@ -74,7 +74,11 @@ class RunSlice(InputPartition):
     start_token: int | None  # inclusive seek point (None = run start)
     end_token: int | None  # exclusive upper bound (None = run end)
     verify: bool
-    layout: str = "sgr"  # "sgr" (engine-native runs) | "ma" (real Cassandra 3.x)
+    layout: str = "sgr"  # "sgr" (engine-native runs) | "ma" (real Cassandra, any era)
+    # real-format branch: the sstable's Data.db filename — carries the
+    # per-file version so read() can dispatch old-era vs ma-era decoders
+    # (SSTable.cpp:45-55 create_table)
+    data_name: str | None = None
 
 
 def _summary_tokens(directory: str, gen: int) -> list[int]:
@@ -167,28 +171,40 @@ class SSTableRunReader(DataSourceReader):
         return parts
 
     def _ma_partitions(self) -> list[RunSlice]:
-        """Real-format branch: one InputPartition per ma sstable — the
+        """Real-format branch: one InputPartition per sstable — the
         reference's own one-cursor-per-SSTable fan-out
-        (CassandraParser.cpp:177-194).  Partitioner consistency is
-        enforced across sstables exactly as for SGR runs (P5,
+        (CassandraParser.cpp:177-194).  A mixed-era directory (old
+        ka/la files alongside ma files, the post-upgrade state the
+        reference's version dispatch exists for, SSTable.cpp:45-55) is
+        handled per file.  Partitioner consistency is enforced across
+        sstables AND eras exactly as for SGR runs (P5,
         CassandraParser.cpp:144-153); token-range sub-splitting via the
-        ma Summary mirrors the SGR O2 path and lands when a single
-        sstable outgrows one task."""
-        from .ma_format import MaReader, discover_ma_sstables
+        Summary mirrors the SGR O2 path and lands when a single sstable
+        outgrows one task."""
+        from .ma_format import MaReader
+        from .old_format import V_MA, OldReader, discover_cassandra_sstables
 
         parts: list[RunSlice] = []
-        seen: tuple[int, str] | None = None
-        for gen in discover_ma_sstables(self.directory):
-            rd = MaReader(self.directory, gen, verify_checksums=False)
+        seen: tuple[str, str] | None = None
+        for vcode, gen, name in discover_cassandra_sstables(self.directory):
+            if vcode >= V_MA:
+                pner = MaReader(
+                    self.directory, gen, verify_checksums=False
+                ).stats.partitioner
+            else:
+                pner = OldReader(
+                    self.directory, name, verify_checksums=False
+                ).partitioner
             if seen is None:
-                seen = (gen, rd.stats.partitioner)
-            elif rd.stats.partitioner != seen[1]:
+                seen = (name, pner)
+            elif pner != seen[1]:
                 raise ValueError(
                     f"inconsistent partitioners in {self.directory}: sstable "
-                    f"{seen[0]} uses {seen[1]!r} but {gen} uses "
-                    f"{rd.stats.partitioner!r}"
+                    f"{seen[0]} uses {seen[1]!r} but {name} uses {pner!r}"
                 )
-            parts.append(RunSlice(self.directory, gen, None, None, self.verify, "ma"))
+            parts.append(
+                RunSlice(self.directory, gen, None, None, self.verify, "ma", name)
+            )
         return parts
 
     def read(self, part: RunSlice):
@@ -233,11 +249,19 @@ class SSTableRunReader(DataSourceReader):
                 c.append(v)
 
         if part.layout == "ma":
-            from .ma_format import MaReader
+            from .old_format import V_MA, OldReader, parse_data_filename
 
-            source = MaReader(
-                part.directory, part.gen, verify_checksums=part.verify
-            ).partitions()
+            parsed = parse_data_filename(part.data_name or "")
+            if parsed is not None and parsed[0] < V_MA:
+                source = OldReader(
+                    part.directory, part.data_name, verify_checksums=part.verify
+                ).partitions()
+            else:
+                from .ma_format import MaReader
+
+                source = MaReader(
+                    part.directory, part.gen, verify_checksums=part.verify
+                ).partitions()
         else:
             rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
             source = (

@@ -211,13 +211,91 @@ def build_ma_table_from_events(
     return table_dir
 
 
+def build_mixed_era_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Materialize events as a REAL mixed-era Cassandra table directory —
+    the post-upgrade state the reference's version dispatch exists for
+    (SSTable.cpp:45-55): one directory holding a ka sstable (old flat
+    naming tmx-events-ka-1-*, composite cell names exercising the real
+    S8 unwrap), an la sstable (la-2-big-*), and an ma sstable
+    (ma-3-big-*), each under a different chunk codec.
+
+    Kind mapping: events route to eras by ts % 3 (0 -> ka, 1 -> la,
+    2 -> ma).  'range' events landing in the OLD eras are written as
+    real old-format range-tombstone cells (name-bounded, kind stays
+    'range'); the one landing in the ma era becomes a marker, i.e. a row
+    tombstone — the oracle mirrors exactly this split (_CTE_MIXED)."""
+    from .ma_format import MaWriter
+    from .old_format import OldWriter
+
+    table_dir = os.path.join(out_dir, "mixed_ka-la-ma", "tmx", "events")
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        classify_cells(events)
+        .withColumn("run", (F.col("ts") % 3).cast("int"))
+        .select("run", "key", "col_name", "value", "ts", "ttl", "expiration", "kind")
+        .collect()
+    )
+    col_names = sorted({r.col_name for r in rows if r.kind == "cell"})
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(3)}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        parts = by_run[r.run]
+        p = parts.get(key)
+        if p is None:
+            p = parts[key] = Partition(key=key)
+        if r.kind == "row" or (r.kind == "range" and r.run == 2):
+            # ma markers cover the whole partition -> row tombstone
+            p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
+        elif r.kind == "range":
+            p.cells.append(Cell(col_name=r.col_name, ts=r.ts, range_tomb=True))
+        elif r.kind == "point":
+            p.cells.append(Cell(col_name=r.col_name, ts=r.ts, deleted=True))
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ttl=r.ttl,
+                    expiration=r.expiration,
+                )
+            )
+    writers = [
+        OldWriter(
+            table_dir, 1, version="ka", codec_class="SnappyCompressor",
+            composite_path=("tmx", "cols"),
+        ),
+        OldWriter(table_dir, 2, version="la", codec_class="DeflateCompressor"),
+        MaWriter(table_dir, 3, [(n, "UTF8Type") for n in col_names],
+                 codec_class="LZ4Compressor"),
+    ]
+    for gen, w in enumerate(writers):
+        for key in sorted(by_run[gen]):
+            p = by_run[gen][key]
+            p.cells.sort(key=lambda c: (c.col_name, c.ts))
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
 def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
-    """classified_from_runs for a real-format ma table directory (the
-    reader emits no range-tombstone cells: markers fold into row_tomb_ts)."""
+    """classified_from_runs for a real-format Cassandra table directory,
+    any era.  ma sstables emit no range-tombstone cells (markers fold
+    into row_tomb_ts); pre-ma sstables DO carry real range-tombstone
+    cells (RANGE_TOMBSTONE_MASK, SSTable.cpp:416-423), so the mapping
+    must classify both."""
     register(spark)
     raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
     kind = (
         F.when(F.col("col_name").isNull(), F.lit("row"))
+        .when(F.col("range_tomb"), F.lit("range"))
         .when(F.col("deleted"), F.lit("point"))
         .otherwise(F.lit("cell"))
     )

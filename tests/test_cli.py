@@ -244,9 +244,15 @@ def test_cli_resume_raw_key_matches_hex(runs_dir, capsys):
     token) must resume at the same point as -S with the key's hex."""
     key = "42"
     assert main(["-i", runs_dir, "-D", "--limit", "1000", "-s", key] + NOW) == 0
-    via_raw = capsys.readouterr().out
+    raw_out = capsys.readouterr().out
+    # an all-digit -s prints an advisory note (old hints were raw tokens);
+    # the note must appear but not change the records printed
+    assert "# note: -s now takes a key string" in raw_out
+    via_raw = "\n".join(
+        ln for ln in raw_out.splitlines() if not ln.startswith("# note:")
+    )
     assert main(
         ["-i", runs_dir, "-D", "--limit", "1000", "-S", key.encode().hex()] + NOW
     ) == 0
-    assert capsys.readouterr().out == via_raw
+    assert capsys.readouterr().out.rstrip("\n") == via_raw.rstrip("\n")
     assert "key=" in via_raw

@@ -201,6 +201,11 @@ def test_jaccard_shingle_frame_materializes_once(spark, sf_dir, queries):
     sit in the one-materialization regime (measured 16; a per-consumer
     re-build would add ~2 stages per consumer, landing 30+)."""
     sc = spark.sparkContext
+    # session-scoped fixture: earlier tests may have left their own
+    # persisted frames (also named over documents.parquet) in the RDD
+    # storage info — start from a clean cache so the count-1 assertion
+    # sees only THIS query's shingle frame
+    spark.catalog.clearCache()
     df = queries["dedup_jaccard_pairs"](spark, sf_dir)
     sc.setJobGroup("jaccard_runtime_probe", "one-materialization assertion")
     try:
