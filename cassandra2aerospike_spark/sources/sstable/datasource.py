@@ -181,20 +181,18 @@ class SSTableRunReader(DataSourceReader):
         CassandraParser.cpp:144-153); token-range sub-splitting via the
         Summary mirrors the SGR O2 path and lands when a single sstable
         outgrows one task."""
-        from .ma_format import MaReader
-        from .old_format import V_MA, OldReader, discover_cassandra_sstables
+        from .ma_format import MURMUR3_CLASS, MaReader, murmur3_token, read_summary
+        from .old_format import V_KA, V_MA, OldReader, discover_cassandra_sstables
 
         parts: list[RunSlice] = []
         seen: tuple[str, str] | None = None
         for vcode, gen, name in discover_cassandra_sstables(self.directory):
             if vcode >= V_MA:
-                pner = MaReader(
-                    self.directory, gen, verify_checksums=False
-                ).stats.partitioner
+                rd = MaReader(self.directory, gen, verify_checksums=False)
+                pner = rd.stats.partitioner
             else:
-                pner = OldReader(
-                    self.directory, name, verify_checksums=False
-                ).partitioner
+                rd = OldReader(self.directory, name, verify_checksums=False)
+                pner = rd.partitioner
             if seen is None:
                 seen = (name, pner)
             elif pner != seen[1]:
@@ -202,9 +200,41 @@ class SSTableRunReader(DataSourceReader):
                     f"inconsistent partitioners in {self.directory}: sstable "
                     f"{seen[0]} uses {seen[1]!r} but {name} uses {pner!r}"
                 )
-            parts.append(
-                RunSlice(self.directory, gen, None, None, self.verify, "ma", name)
-            )
+            # O2 for real files: sub-split one sstable into token ranges
+            # at Summary sample boundaries (seek via Summary + Index,
+            # SSTable.cpp:58-180), so a single huge sstable parallelizes
+            # instead of pinning one task.  Only under Murmur3 — token
+            # math must match the file's own partition order.
+            samples: list[int] = []
+            if pner == MURMUR3_CLASS and self.splits > 1:
+                try:
+                    samples = [
+                        murmur3_token(k)
+                        for k, _ in read_summary(
+                            rd.path("Summary"), extra_header=vcode >= V_KA
+                        )
+                    ]
+                except (FileNotFoundError, ValueError, OSError):
+                    samples = []
+            lo = self.min_token  # pushdown lower bound (None = file start)
+            bounds: list[int] = []
+            if len(samples) > 1:
+                step = max(1, len(samples) // self.splits)
+                bounds = [
+                    samples[i]
+                    for i in range(step, len(samples), step)
+                    if lo is None or samples[i] > lo
+                ][: self.splits - 1]
+            edges: list[tuple[int | None, int | None]] = []
+            prev: int | None = lo
+            for b in bounds:
+                edges.append((prev, b))
+                prev = b
+            edges.append((prev, None))
+            for s, e in edges:
+                parts.append(
+                    RunSlice(self.directory, gen, s, e, self.verify, "ma", name)
+                )
         return parts
 
     def read(self, part: RunSlice):
@@ -255,13 +285,13 @@ class SSTableRunReader(DataSourceReader):
             if parsed is not None and parsed[0] < V_MA:
                 source = OldReader(
                     part.directory, part.data_name, verify_checksums=part.verify
-                ).partitions()
+                ).partitions(part.start_token, part.end_token)
             else:
                 from .ma_format import MaReader
 
                 source = MaReader(
                     part.directory, part.gen, verify_checksums=part.verify
-                ).partitions()
+                ).partitions(part.start_token, part.end_token)
         else:
             rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
             source = (

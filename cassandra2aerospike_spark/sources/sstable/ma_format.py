@@ -559,6 +559,36 @@ class MaWriter:
 # --------------------------------------------------------------- reader
 
 
+def read_summary(path: str, extra_header: bool) -> list[tuple[bytes, int]]:
+    """Sampled (key, index_offset) pairs from a Summary.db — the shape
+    find_partition_in_summary walks (SSTable.cpp:122-180): 4-byte
+    minIndexInterval skip, size, memSize, the ka+/ma 8-byte extra header
+    when `extra_header`, then a native-endian toc of int32 entry offsets
+    followed by (key bytes + native int64 index position) entries."""
+    buf = open(path, "rb").read()
+    off = 4
+    if off + 12 > len(buf):
+        raise ValueError("summary: truncated header")
+    (size,) = struct.unpack_from(">i", buf, off)
+    (mem_size,) = struct.unpack_from(">q", buf, off + 4)
+    off += 12
+    if extra_header:
+        off += 8
+    toc = buf[off : off + mem_size]
+    if len(toc) < mem_size or size < 0 or 4 * size > mem_size:
+        raise ValueError("summary: truncated toc")
+    offsets = list(struct.unpack_from(f"={size}i", toc, 0))
+    out: list[tuple[bytes, int]] = []
+    for i, o in enumerate(offsets):
+        nxt = offsets[i + 1] if i + 1 < size else mem_size
+        if nxt - o < 8 or nxt > mem_size:
+            raise ValueError("summary: bad entry bounds")
+        key = toc[o : nxt - 8]
+        (ioff,) = struct.unpack_from("=q", toc, nxt - 8)
+        out.append((key, ioff))
+    return out
+
+
 @dataclass
 class MaStats:
     partitioner: str
@@ -593,7 +623,9 @@ class MaReader:
         schema = MaSchema.decode(buf, header_off)
         return MaStats(partitioner=pname.decode(), schema=schema)
 
-    def _logical_data(self) -> bytes:
+    def _compression_info(self) -> tuple[str, int, int, list[int]]:
+        """(codec_class, chunk_len, data_len, chunk_offsets) from
+        CompressionInfo.db (Buffer.cpp:378-424)."""
         ci = open(self.path("CompressionInfo"), "rb").read()
         codec_class_b, off = _dec_str16(ci, 0)
         codec_class = codec_class_b.decode()
@@ -607,10 +639,28 @@ class MaReader:
         (n_chunks,) = struct.unpack_from(">i", ci, off)
         off += 4
         offsets = list(struct.unpack_from(f">{n_chunks}q", ci, off))
+        return codec_class, chunk_len, data_len, offsets
 
+    def _logical_window(
+        self, start_off: int, end_off: int | None
+    ) -> tuple[bytes, int]:
+        """Decompress ONLY the chunks covering logical [start_off,
+        end_off) — the CompressedBuffer discipline of reading whole
+        chunks around the requested window (Buffer.cpp:297-339).
+        Returns (bytes, base) with base = the window's first byte's
+        logical offset."""
+        codec_class, chunk_len, data_len, offsets = self._compression_info()
+        n_chunks = len(offsets)
+        if end_off is None:
+            end_off = data_len
+        first = start_off // chunk_len if chunk_len > 0 else 0
+        last = min(
+            n_chunks, (end_off + chunk_len - 1) // chunk_len if chunk_len > 0 else n_chunks
+        )
         blob = open(self.path("Data"), "rb").read()
         out = bytearray()
-        for i, start in enumerate(offsets):
+        for i in range(first, last):
+            start = offsets[i]
             end = offsets[i + 1] if i + 1 < n_chunks else len(blob)
             comp, check = blob[start : end - 4], blob[end - 4 : end]
             if self.verify:
@@ -620,9 +670,68 @@ class MaReader:
                         f"ma: chunk {i} checksum mismatch in {self.path('Data')}"
                     )
             out += _decompress_chunk(codec_class, comp)
-        if len(out) != data_len:
+        base = first * chunk_len
+        if first == 0 and last == n_chunks and len(out) != data_len:
             raise ValueError(f"ma: data length {len(out)} != {data_len}")
-        return bytes(out)
+        return bytes(out), base
+
+    def _logical_data(self) -> bytes:
+        buf, _base = self._logical_window(0, None)
+        return buf
+
+    def _index_entries(self, start_from: int = 0):
+        """(key, data_offset) pairs from Index.db, starting at byte
+        `start_from` (ma layout: key, uvint position, uvint
+        promoted-index size to skip — SSTable.cpp:76-84)."""
+        buf = open(self.path("Index"), "rb").read()
+        off = start_from
+        while off < len(buf):
+            key, off = _dec_str16(buf, off)
+            pos, off = dec_uvint(buf, off)
+            promoted, off = dec_uvint(buf, off)
+            off = _fixed(buf, off, promoted) + promoted
+            yield key, pos
+
+    def _summary_seek(self, start_token: int) -> int:
+        """Index offset of the last summary sample STRICTLY below
+        start_token (find_partition_in_summary, SSTable.cpp:122-180;
+        strict < so a token collision at a sample can never skip an
+        equal-token entry that belongs to this slice); 0 when there is
+        no summary or no sample qualifies."""
+        try:
+            samples = read_summary(self.path("Summary"), extra_header=True)
+        except (FileNotFoundError, ValueError):
+            return 0
+        best = 0
+        for key, ioff in samples:
+            if murmur3_token(key) < start_token:
+                best = ioff
+            else:
+                break
+        return best
+
+    def _slice_offsets(
+        self, start_token: int | None, end_token: int | None
+    ) -> tuple[int, int | None] | None:
+        """Logical Data.db byte window [start_off, end_off) for a token
+        range, resolved via Summary seek + Index scan (the init_at_key
+        walk, SSTable.cpp:58-86).  None = empty slice.  A partition
+        whose token equals a bound belongs to the slice STARTING there
+        (first >= start; stop at first >= end) — collision-safe because
+        both sides use the same comparison."""
+        start_off: int | None = 0 if start_token is None else None
+        end_off: int | None = None
+        seek = 0 if start_token is None else self._summary_seek(start_token)
+        for key, pos in self._index_entries(seek):
+            t = murmur3_token(key)
+            if start_off is None and t >= start_token:
+                start_off = pos
+            if end_token is not None and t >= end_token:
+                end_off = pos
+                break
+        if start_off is None:
+            return None
+        return start_off, end_off
 
     def _read_cell(
         self,
@@ -688,11 +797,29 @@ class MaReader:
         subset = [(encoded >> i) & 1 == 1 for i in range(n)]
         return subset, off
 
-    def partitions(self):
+    def partitions(
+        self, start_token: int | None = None, end_token: int | None = None
+    ):
+        """(token, Partition) pairs, optionally restricted to the token
+        range [start_token, end_token) — resolved via Summary seek +
+        Index scan into a chunk-bounded logical window, so a slice
+        decompresses only its own chunks (the O2 sub-split path; bounds
+        are only meaningful under the Murmur3 partitioner)."""
         s = self.stats.schema
         cols = s.regular_columns
-        buf = self._logical_data()
-        off, n = 0, len(buf)
+        if start_token is None and end_token is None:
+            buf, n = self._logical_data(), None
+        else:
+            window = self._slice_offsets(start_token, end_token)
+            if window is None:
+                return
+            start_off, end_off = window
+            buf, base = self._logical_window(start_off, end_off)
+            buf = buf[start_off - base :]
+            n = None if end_off is None else end_off - start_off
+        if n is None:
+            n = len(buf)
+        off = 0
         while off < n:
             key, off = _dec_str16(buf, off)
             off += 4  # partition localDeletion (the reference skips it too)

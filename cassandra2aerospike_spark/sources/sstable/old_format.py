@@ -392,7 +392,7 @@ class OldReader:
     def path(self, component: str) -> str:
         return os.path.join(self.table_dir, f"{self._prefix}-{component}.db")
 
-    def _logical_data(self) -> bytes:
+    def _compression_info(self) -> tuple[str, int, int, list[int]]:
         ci = open(self.path("CompressionInfo"), "rb").read()
         codec_class_b, off = _dec_str16(ci, 0)
         codec_class = codec_class_b.decode()
@@ -406,16 +406,31 @@ class OldReader:
         (n_chunks,) = struct.unpack_from(">i", ci, _need(ci, off, 4))
         off += 4
         offsets = list(struct.unpack_from(f">{n_chunks}q", ci, _need(ci, off, 8 * n_chunks)))
+        return codec_class, chunk_len, data_len, offsets
 
+    def _logical_window(
+        self, start_off: int, end_off: int | None
+    ) -> tuple[bytes, int]:
+        """Decompress only the chunks covering logical [start_off,
+        end_off), verifying per the era's checksum discipline.  Returns
+        (bytes, base_logical_offset)."""
+        codec_class, chunk_len, data_len, offsets = self._compression_info()
+        n_chunks = len(offsets)
+        if end_off is None:
+            end_off = data_len
+        first = start_off // chunk_len if chunk_len > 0 else 0
+        last = min(
+            n_chunks, (end_off + chunk_len - 1) // chunk_len if chunk_len > 0 else n_chunks
+        )
         alg, before = checksum_spec(self.vcode)
         blob = open(self.path("Data"), "rb").read()
         out = bytearray()
-        for i, start in enumerate(offsets):
+        for i in range(first, last):
+            start = offsets[i]
             end = offsets[i + 1] if i + 1 < n_chunks else len(blob)
             if end - 4 < start:
                 raise ValueError("old: truncated chunk")
             comp, check = blob[start : end - 4], blob[end - 4 : end]
-            raw = None
             if self.verify and before:
                 if _chunk_checksum(alg, comp) != struct.unpack(">I", check)[0]:
                     raise ValueError(
@@ -430,13 +445,81 @@ class OldReader:
                         f"old: chunk {i} {alg} mismatch in {self.path('Data')}"
                     )
             out += raw
-        if len(out) != data_len:
+        if first == 0 and last == n_chunks and len(out) != data_len:
             raise ValueError(f"old: data length {len(out)} != {data_len}")
-        return bytes(out)
+        return bytes(out), first * chunk_len
 
-    def partitions(self):
-        buf = self._logical_data()
-        off, n = 0, len(buf)
+    def _logical_data(self) -> bytes:
+        buf, _base = self._logical_window(0, None)
+        return buf
+
+    def _index_entries(self, start_from: int = 0):
+        """(key, data_offset) pairs from the old-era Index.db: key,
+        be64 position, be32 promoted-index size to skip
+        (SSTable.cpp:76-84, pre-ma branches)."""
+        buf = open(self.path("Index"), "rb").read()
+        off = start_from
+        while off < len(buf):
+            key, off = _dec_str16(buf, off)
+            (pos,) = struct.unpack_from(">q", buf, _need(buf, off, 12))
+            (skip,) = struct.unpack_from(">i", buf, off + 8)
+            off = _need(buf, off + 12, skip) + skip
+            yield key, pos
+
+    def _summary_seek(self, start_token: int) -> int:
+        from .ma_format import read_summary
+
+        try:
+            samples = read_summary(
+                self.path("Summary"), extra_header=self.vcode >= V_KA
+            )
+        except (FileNotFoundError, ValueError):
+            return 0
+        best = 0
+        for key, ioff in samples:
+            if murmur3_token(key) < start_token:
+                best = ioff
+            else:
+                break
+        return best
+
+    def _slice_offsets(
+        self, start_token: int | None, end_token: int | None
+    ) -> tuple[int, int | None] | None:
+        start_off: int | None = 0 if start_token is None else None
+        end_off: int | None = None
+        seek = 0 if start_token is None else self._summary_seek(start_token)
+        for key, pos in self._index_entries(seek):
+            t = murmur3_token(key)
+            if start_off is None and t >= start_token:
+                start_off = pos
+            if end_token is not None and t >= end_token:
+                end_off = pos
+                break
+        if start_off is None:
+            return None
+        return start_off, end_off
+
+    def partitions(
+        self, start_token: int | None = None, end_token: int | None = None
+    ):
+        """(token, Partition) pairs, optionally restricted to the token
+        range [start_token, end_token) via Summary seek + Index scan
+        into a chunk-bounded window (the same O2 sub-split discipline as
+        MaReader; bounds only meaningful under Murmur3)."""
+        if start_token is None and end_token is None:
+            buf, n = self._logical_data(), None
+        else:
+            window = self._slice_offsets(start_token, end_token)
+            if window is None:
+                return
+            start_off, end_off = window
+            buf, base = self._logical_window(start_off, end_off)
+            buf = buf[start_off - base :]
+            n = None if end_off is None else end_off - start_off
+        if n is None:
+            n = len(buf)
+        off = 0
         while off < n:
             key, off = _dec_str16(buf, off)
             off = _need(buf, off, 12)

@@ -384,3 +384,101 @@ def test_cli_reads_real_mixed_era_directory(spark, sf_dir, capsys):
     lines = out.strip().splitlines()
     assert lines[-1].startswith("# dry run: showed 5")
     assert sum(1 for l in lines if l.startswith("key=")) == 5
+
+
+# ------------------------------------------- token-range sub-splitting
+
+
+def _many_parts(n: int):
+    import random
+
+    rnd = random.Random(7)
+    out = []
+    for i in range(n):
+        key = f"user-{i:05d}".encode()
+        cells = [
+            Cell("alpha", str(rnd.random()).encode(), ts=1000 + i),
+            Cell("beta", str(i).encode(), ts=2000 + i),
+        ]
+        out.append(Partition(key=key, cells=cells))
+    return out
+
+
+def _slice_union(reader, bounds):
+    got = []
+    edges = [None, *bounds, None]
+    for s, e in zip(edges[:-1], edges[1:]):
+        got.extend(reader.partitions(s, e))
+    return got
+
+
+def test_ma_token_slices_union_equals_whole(tmp_path):
+    from cassandra2aerospike_spark.sources.sstable.ma_format import (
+        MaReader,
+        murmur3_token,
+        read_summary,
+    )
+
+    d = str(tmp_path / "ma")
+    w = MaWriter(d, 1, [("alpha", "UTF8Type"), ("beta", "UTF8Type")],
+                 codec_class="LZ4Compressor", chunk_size=512)
+    for p in _many_parts(200):
+        w.add(p)
+    w.finish()
+    r = MaReader(d, 1)
+    whole = [(t, p.key, len(p.cells)) for t, p in r.partitions()]
+    assert len(whole) == 200
+    samples = [murmur3_token(k) for k, _ in
+               read_summary(os.path.join(d, "ma-1-big-Summary.db"), True)]
+    assert len(samples) >= 8  # 200/16 samples
+    bounds = samples[3::3]
+    sliced = [(t, p.key, len(p.cells))
+              for t, p in _slice_union(r, bounds)]
+    assert sliced == whole  # no dup, no miss, order preserved per slice
+
+
+def test_old_token_slices_union_equals_whole(tmp_path):
+    d = str(tmp_path / "la")
+    w = OLD.OldWriter(d, 1, version="la", codec_class="DeflateCompressor",
+                      chunk_size=512)
+    for p in _many_parts(200):
+        w.add(p)
+    w.finish()
+    r = OLD.OldReader(d, w.data_filename())
+    whole = [(t, p.key, len(p.cells)) for t, p in r.partitions()]
+    assert len(whole) == 200
+    from cassandra2aerospike_spark.sources.sstable.ma_format import (
+        murmur3_token,
+        read_summary,
+    )
+
+    samples = [murmur3_token(k) for k, _ in
+               read_summary(r.path("Summary"), True)]
+    bounds = samples[2::4]
+    sliced = [(t, p.key, len(p.cells)) for t, p in _slice_union(r, bounds)]
+    assert sliced == whole
+
+
+def test_datasource_subsplits_real_sstables(tmp_path):
+    """splits_per_run > 1 must fan one real sstable out into multiple
+    token-range InputPartitions whose union is exactly the file."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+    )
+
+    d = str(tmp_path / "t")
+    w = MaWriter(d, 1, [("alpha", "UTF8Type"), ("beta", "UTF8Type")],
+                 codec_class="DeflateCompressor", chunk_size=512)
+    for p in _many_parts(150):
+        w.add(p)
+    w.finish()
+    rd = SSTableRunReader({"path": d, "layout": "ma", "splits_per_run": "6"})
+    parts = rd.partitions()
+    assert len(parts) > 1  # actually sub-split
+    rows = []
+    for part in parts:
+        for batch in rd.read(part):
+            rows.extend(batch.to_pylist())
+    keys = sorted(r["key"] for r in rows if r["col_name"] == "alpha")
+    assert keys == sorted(f"user-{i:05d}".encode() for i in range(150))
+    assert len(rows) == 300  # 2 cells per partition, once each
