@@ -157,6 +157,32 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # REAL-format binary-path probe: the same 10x-amplified events
+    # materialized as an actual Cassandra ma table (vints, delta minima,
+    # chunk checksums), read through the real-format DataSource branch
+    # (token-range sub-split per sstable) into the LWW merge — the
+    # number a user with real SSTables would see.
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        classified_from_ma,
+    )
+
+    ma_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma", amplify=10
+    )
+    src_ma = classified_from_ma(spark, ma_dir)
+    n_ma = src_ma.count()
+    merge.lww_latest(merge.live_cells_from_classified(src_ma)).count()  # warm
+    t0 = time.time()
+    merge.lww_latest(
+        merge.live_cells_from_classified(classified_from_ma(spark, ma_dir))
+    ).count()
+    ma_thru = n_ma / (time.time() - t0)
+    print(
+        f"# REAL-ma->merge throughput: {ma_thru:,.0f} cells/s over {n_ma} cells",
+        file=sys.stderr,
+    )
+
     # Extension-family scale probes (steady-state, like the merge probe):
     # 20x-amplified documents through the full MinHash-LSH near-dup
     # pipeline (docs/s), and the GEMM similarity path over 10x-amplified
@@ -263,6 +289,7 @@ def main() -> None:
         "sf": sf,
         "merge_throughput_rows_per_sec": round(thru),
         "sstable_merge_throughput_rows_per_sec": round(sst_thru),
+        "real_ma_merge_throughput_rows_per_sec": round(ma_thru),
         "baseline_reference_rows_per_sec": 100000,
         "dedup_throughput_docs_per_sec": round(dedup_thru),
         "similarity_gemm_vecs_per_sec": round(sim_thru),

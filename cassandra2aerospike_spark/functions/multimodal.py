@@ -7,10 +7,18 @@ runs as Arrow-batched `mapInPandas` so each task streams record batches
 without materializing the whole partition; at 100 TB the binary column
 rides the same parquet scan and never passes through the driver.
 
-The container has no image/audio codecs, so `decode_image_stub` is a
-clearly-marked STUB: it produces deterministic fake features from the
-bytes.  The Spark-side plumbing — schema, batch iteration, partitioning —
-is real and tested; swap `_fake_decode` for a real codec in production.
+Decode coverage is split by what pure Python + numpy can express:
+
+  REAL     container-header metadata probe (PNG/GIF/JPEG/WAV,
+           `probe_media_header`), WAV-PCM sample decode with audio
+           features (`decode_wav_pcm`), uncompressed 24-bit BMP pixel
+           decode with channel stats (`decode_bmp`)
+  STUBBED  PNG/JPEG pixel decode (needs inflate-over-scanline-filters /
+           a DCT codec; the container has neither PIL nor ffmpeg) —
+           `decode_image_stub` produces deterministic fake features so
+           the Spark-side plumbing (schema, batch iteration,
+           partitioning) stays real and tested; swap `_fake_decode`
+           for a real codec in production.
 """
 
 from __future__ import annotations
@@ -284,3 +292,179 @@ def probe_media(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(probe_batches, PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# REAL sample/pixel decode (round 5): WAV-PCM and BMP are pure binary
+# layouts decodable with numpy alone — no codec library required — so
+# for these two formats the X5 decode path is REAL end to end: bytes ->
+# samples/pixels -> features.  PNG/JPEG pixel decode (which needs
+# zlib-inflate-over-scanline-filters / a DCT codec) remains the
+# documented stub above.
+
+DECODE_SCHEMA = (
+    "doc_id long, kind string, n_samples int, rms double, peak int, "
+    "zero_crossings int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_wav_pcm(payload: bytes):
+    """REAL audio decode: RIFF/WAVE 16-bit PCM -> int16 sample array ->
+    (n_samples, rms, peak, zero_crossings).  Raises ValueError on
+    non-PCM16 or truncated chunks."""
+    import struct as _struct
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE blob")
+    off = 12
+    channels = None
+    samples = None
+    while off + 8 <= n:
+        cid = payload[off : off + 4]
+        (clen,) = _struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("wav: truncated chunk")
+        if cid == b"fmt ":
+            fmt_code, channels = _struct.unpack_from("<HH", body, 0)
+            (bits,) = _struct.unpack_from("<H", body, 14)
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(f"wav: only PCM16 supported, got fmt={fmt_code} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body[: len(body) & ~1], dtype="<i2")
+        off += 8 + clen + (clen & 1)
+    if channels is None or samples is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    if channels > 1:  # downmix interleaved channels for the features
+        usable = len(samples) - len(samples) % channels
+        samples = samples[:usable].reshape(-1, channels).mean(axis=1)
+    x = samples.astype(np.float64)
+    n_samples = len(x)
+    if n_samples == 0:
+        return 0, 0.0, 0, 0
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = int(np.max(np.abs(x)))
+    zcr = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return n_samples, rms, peak, zcr
+
+
+def decode_bmp(payload: bytes):
+    """REAL image decode: uncompressed 24-bit BI_RGB BMP -> (h, w, 3)
+    uint8 pixel array (RGB order; BMP stores BGR bottom-up with 4-byte
+    row padding).  Raises ValueError on other BMP variants."""
+    import struct as _struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("bmp: not a BM blob")
+    (data_off,) = _struct.unpack_from("<I", payload, 10)
+    w, h = _struct.unpack_from("<ii", payload, 18)
+    (bpp,) = _struct.unpack_from("<H", payload, 28)
+    (compression,) = _struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"bmp: only 24-bit BI_RGB supported, got bpp={bpp} comp={compression}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if w <= 0 or h <= 0 or len(payload) < need:
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """X5 REAL decode over mapInPandas: dispatch by container magic —
+    RIFF/WAVE blobs through the PCM decoder (audio features: rms, peak,
+    zero-crossing count), BM blobs through the BMP decoder (channel
+    means).  Zero shuffles; the decode rides the scan."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] == b"RIFF":
+                    n_s, rms, peak, zcr = decode_wav_pcm(p)
+                    rows.append((doc_id, "wav", n_s, rms, peak, zcr,
+                                 None, None, None, None, None))
+                elif p[:2] == b"BM":
+                    img = decode_bmp(p)
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append((doc_id, "bmp", None, None, None, None,
+                                 img.shape[1], img.shape[0],
+                                 float(means[0]), float(means[1]), float(means[2])))
+                else:
+                    rows.append((doc_id, "unknown", None, None, None, None,
+                                 None, None, None, None, None))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_samples", "rms", "peak",
+                         "zero_crossings", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+            for c in ("n_samples", "peak", "zero_crossings", "width", "height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        decode_batches, DECODE_SCHEMA
+    )
+
+
+def synthesize_av_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the REAL decode path: deterministic WAV-PCM
+    square waves (even doc_id: amplitude 1000 + d%100, n = 400 + d%50
+    samples, mono 8 kHz — RMS and peak are EXACTLY the amplitude, and a
+    square wave alternating every sample has n-1 zero crossings) and
+    solid-color 24-bit BMPs (odd doc_id: w = 8 + d%16, h = 4 + d%8,
+    RGB = (d%256, 3d%256, 7d%256) — channel means equal the color).
+    All features are closed-form arithmetic on doc_id, so the REAL
+    byte-level decode has an exact SQL oracle."""
+    import struct as _struct
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:  # WAV: ±amp alternating square wave
+                    amp = 1000 + d % 100
+                    n = 400 + d % 50
+                    x = np.empty(n, dtype="<i2")
+                    x[0::2] = amp
+                    x[1::2] = -amp
+                    body = x.tobytes()
+                    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                    blob = (
+                        b"RIFF"
+                        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+                        + b"WAVE"
+                        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + _struct.pack("<I", len(body)) + body
+                    )
+                else:  # BMP: solid color, bottom-up, padded rows
+                    w = 8 + d % 16
+                    h = 4 + d % 8
+                    r, g, b = d % 256, (3 * d) % 256, (7 * d) % 256
+                    stride = (w * 3 + 3) & ~3
+                    row = (bytes((b, g, r)) * w).ljust(stride, b"\x00")
+                    pixels = row * h
+                    blob = (
+                        b"BM"
+                        + _struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+                        + _struct.pack("<IiiHHIIiiII",
+                                       40, w, h, 1, 24, 0, len(pixels),
+                                       2835, 2835, 0, 0)
+                        + pixels
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "doc_id long, payload binary"
+    )

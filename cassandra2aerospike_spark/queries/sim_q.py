@@ -163,6 +163,21 @@ def q_mm_media_probe(spark, sf_dir):
     return M.probe_media(M.synthesize_media(docs))
 
 
+def q_mm_real_decode(spark, sf_dir):
+    """X5 REAL sample/pixel decode (no codec library needed): synthesize
+    WAV-PCM square waves (even doc_id) and solid-color 24-bit BMPs (odd)
+    deterministically from doc_id, then DECODE the bytes for real —
+    numpy int16 sample arrays -> rms/peak/zero-crossings, BGR
+    bottom-up padded pixel rows -> channel means
+    (functions/multimodal.py decode_wav_pcm / decode_bmp).  The
+    generating arithmetic is closed-form, so the byte-level decode has
+    an exact SQL oracle: a square wave's RMS and peak ARE its amplitude,
+    alternating samples cross zero n-1 times, and a solid image's
+    channel means ARE its color."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media(M.synthesize_av_media(docs))
+
+
 # n_frames = max(1, len//1024), features = first 8 bytes / 255.0
 _MM_BYTES = """
     WITH p AS (
@@ -179,6 +194,29 @@ _MM_BYTES = """
 """
 
 ORACLES = {
+    "mm_real_decode": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS kind,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(400 + doc_id % 50 AS INT) END AS n_samples,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(1000 + doc_id % 100 AS DOUBLE) END AS rms,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(1000 + doc_id % 100 AS INT) END AS peak,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(399 + doc_id % 50 AS INT) END AS zero_crossings,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(8 + doc_id % 16 AS INT) END AS width,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(4 + doc_id % 8 AS INT) END AS height,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST((3 * doc_id) % 256 AS DOUBLE) END AS mean_g,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST((7 * doc_id) % 256 AS DOUBLE) END AS mean_b
+        FROM documents
+    """,
     "mm_media_probe": """
         SELECT doc_id,
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
@@ -494,6 +532,7 @@ QUERIES = {
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_media_probe": q_mm_media_probe,
+    "mm_real_decode": q_mm_real_decode,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,

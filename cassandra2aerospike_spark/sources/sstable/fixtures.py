@@ -143,6 +143,7 @@ def build_ma_table_from_events(
     codec_classes: tuple[str, ...] = (
         "LZ4Compressor", "SnappyCompressor", "DeflateCompressor",
     ),
+    amplify: int = 1,
 ) -> str:
     """Materialize events as a REAL-format Cassandra 3.x table directory
     (<out>/<fingerprint>/tmx/events/ma-<gen>-big-*.db) — the ma analog of
@@ -159,12 +160,25 @@ def build_ma_table_from_events(
     fingerprint = "ma_" + str(n_sstables) + "_" + "-".join(
         c.removesuffix("Compressor").lower() for c in codec_classes
     )
+    if amplify > 1:
+        fingerprint += f"_x{amplify}"
     table_dir = os.path.join(out_dir, fingerprint, "tmx", "events")
     marker = os.path.join(table_dir, "_DONE")
     if os.path.exists(marker):
         return table_dir
     os.makedirs(table_dir, exist_ok=True)
     events = load_table(spark, sf_dir, "events")
+    if amplify > 1:
+        # replicate with distinct keys for throughput probes (mirrors
+        # build_runs_from_events; no oracle reads an amplified table)
+        events = (
+            events.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1)))
+            )
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * 100_000)
+            .withColumn("ts_us", F.col("ts_us") + F.col("rep"))
+            .drop("rep")
+        )
     rows = (
         classify_cells(events)
         .withColumn("run", (F.col("ts") % n_sstables).cast("int"))

@@ -333,3 +333,87 @@ def test_synthesize_probe_roundtrip(spark):
     assert out[1].kind == "gif" and out[1].width == 17 and out[1].height == 23
     assert out[2].kind == "wav" and out[2].sample_rate == 24000 and out[2].channels == 1
     assert out[301].kind == "gif" and out[301].width == 16 + 301 % 624
+
+
+def test_real_wav_pcm_decode_features():
+    """REAL audio decode: handcrafted PCM16 blobs through decode_wav_pcm
+    — stereo downmix, even/odd chunk padding, and error uniformity."""
+    import struct
+
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions.multimodal import decode_wav_pcm
+
+    def wav(samples: np.ndarray, channels: int = 1, extra_chunk: bytes = b"") -> bytes:
+        body = samples.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000 * 2 * channels,
+                          2 * channels, 16)
+        return (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+                + extra_chunk
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    # mono ramp: peak/zcr computed from the actual samples
+    n_s, rms, peak, zcr = decode_wav_pcm(wav(np.array([100, -200, 300, -400])))
+    assert (n_s, peak, zcr) == (4, 400, 3)
+    assert abs(rms - float(np.sqrt((100**2 + 200**2 + 300**2 + 400**2) / 4))) < 1e-9
+    # stereo: interleaved downmix to mono means
+    n_s, _rms, peak, _z = decode_wav_pcm(
+        wav(np.array([100, 300, -200, -400]), channels=2)
+    )
+    assert (n_s, peak) == (2, 300)  # means (200, -300)
+    # an odd-length unknown chunk before fmt must be skipped with padding
+    n_s, *_ = decode_wav_pcm(
+        wav(np.array([1, -1]), extra_chunk=b"LIST" + struct.pack("<I", 3) + b"abc\x00")
+    )
+    assert n_s == 2
+    # errors are uniform ValueError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm(b"nope")
+    blob = wav(np.array([1, -1]))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav_pcm(blob[:-1])
+    float_fmt = blob.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    with _pytest.raises(ValueError, match="PCM16"):
+        decode_wav_pcm(float_fmt)
+
+
+def test_real_bmp_decode_pixels():
+    """REAL pixel decode: bottom-up row order, BGR->RGB, stride padding,
+    top-down negative height, and error uniformity."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.multimodal import decode_bmp
+
+    def bmp(w: int, h: int, rows_bgr: list[bytes], height_field: int) -> bytes:
+        stride = (w * 3 + 3) & ~3
+        pixels = b"".join(r.ljust(stride, b"\x00") for r in rows_bgr)
+        return (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, 24, 0,
+                              len(pixels), 0, 0, 0, 0)
+                + pixels)
+
+    # 2x2, bottom-up: file row 0 is the image's BOTTOM row
+    bottom = bytes((255, 0, 0)) + bytes((0, 255, 0))    # blue px, green px
+    top = bytes((0, 0, 255)) + bytes((255, 255, 255))   # red px, white px
+    img = decode_bmp(bmp(2, 2, [bottom, top], 2))
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)   # top-left is RED (RGB order)
+    assert tuple(img[1, 0]) == (0, 0, 255)   # bottom-left is BLUE
+    # negative height = top-down storage: same bytes, flipped meaning
+    img_td = decode_bmp(bmp(2, 2, [bottom, top], -2))
+    assert tuple(img_td[0, 0]) == (0, 0, 255)
+    with _pytest.raises(ValueError, match="BM"):
+        decode_bmp(b"PNG...")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp(2, 2, [bottom, top], 2)[:-3])
+    blob32 = bmp(2, 1, [bottom], 1).replace(
+        struct.pack("<H", 24), struct.pack("<H", 32), 1
+    )
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(blob32)
