@@ -42,6 +42,7 @@ _PRIORITY = [
     "s15_ma_format_merge",
     "mm_media_probe",
     "mm_real_decode",
+    "ma_compaction_roundtrip",
     # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise
     #    all three reference compressors in one scan (deflate + Snappy +
     #    the new pure-Python LZ4 block codec, Buffer.cpp:243-272)

@@ -318,6 +318,66 @@ def q_s16_mixed_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.filter_expired(records)
 
 
+def q_ma_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format compaction, both directions: read an actual ma table
+    (the s15 fixture), merge (LWW + tombstones), WRITE the survivors
+    back as actual ma sstables through the DataSource write path
+    (`layout=ma`: each task emits one ma-<gen>-big-* sstable, rename
+    commit), read those back and return the cell stream.  The engine
+    both consumes AND produces real Cassandra 3.x files — the read-back
+    must equal the in-memory merge survivors (same oracle as s15's
+    pipeline, cell-level)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.tokens import murmur3_token
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        classified_from_ma,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    latest = merge.lww_latest(
+        merge.live_cells_from_classified(classified_from_ma(spark, table_dir))
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ma_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    eav = (
+        latest.select(
+            F.col("key").cast("string").alias("key"),
+            "col_name",
+            # double -> shortest round-trip string -> bytes: the byte
+            # payload survives cast(string as double) exactly
+            F.encode(F.col("value").cast("string"), "UTF-8").alias("value"),
+            "ts",
+            "ttl",
+            "expiration",
+            F.lit(False).alias("deleted"),
+            F.lit(False).alias("range_tomb"),
+            F.lit(None).cast("long").alias("row_tomb_ts"),
+        )
+        # ring-sliced output: each task owns a contiguous Murmur3 range,
+        # so each output sstable is one compaction shard
+        .withColumn("_tok", murmur3_token(F.col("key")))
+        .repartitionByRange(2, "_tok", "key")
+        .sortWithinPartitions("_tok", "key")
+        .drop("_tok")
+    )
+    eav.write.format("sstable_run").option("layout", "ma").mode("append").save(out)
+    return classified_from_ma(spark, out).select(
+        "key", "col_name", "value", "ts", "ttl", "expiration"
+    )
+
+
 def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 capability FIX: the reference knowingly merges clustering and
     static columns incorrectly (reference README.md:30-39, skip-only
@@ -487,6 +547,7 @@ assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
 QUERIES = {
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
+    "ma_compaction_roundtrip": q_ma_compaction_roundtrip,
     "s15_ma_format_merge": q_s15_ma_format_merge,
     "a1_lww_latest": q_a1_lww_latest,
     "f1_live_cells": q_f1_live_cells,
@@ -530,6 +591,10 @@ ORACLES = {
         FROM events GROUP BY user_id
     """,
     "compaction_roundtrip": _CTE
+    + "SELECT key, col_name, value, ts, ttl, expiration FROM latest_f",
+    # real-format compaction: same cell-level survivors, but over the ma
+    # kind mapping (range -> row, markers cover the partition)
+    "ma_compaction_roundtrip": _CTE_MA
     + "SELECT key, col_name, value, ts, ttl, expiration FROM latest_f",
     "s10_clustering_merge": """
         WITH regular AS (

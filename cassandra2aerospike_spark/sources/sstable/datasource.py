@@ -413,6 +413,23 @@ def _install_run(tmp_dir: str, directory: str, final_gen: int) -> None:
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def _install_ma_sstable(tmp_dir: str, directory: str, final_gen: int) -> None:
+    """Move a task-written temp ma sstable (ma-1-big-*.db) into place as
+    ma-<final_gen>-big-*.db.  Data.db last, same visibility discipline
+    as _install_run (discovery keys on Data.db)."""
+    import os
+    import shutil
+
+    files = sorted(os.listdir(tmp_dir), key=lambda f: f.endswith("-Data.db"))
+    for f in files:
+        comp = f.split("-big-", 1)[1]
+        dst = os.path.join(directory, f"ma-{final_gen}-big-{comp}")
+        if os.path.exists(dst):
+            os.remove(dst)
+        os.rename(os.path.join(tmp_dir, f), dst)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 class RunCommit(WriterCommitMessage):
     def __init__(self, tmp_dir: str, n_parts: int):
         self.tmp_dir = tmp_dir
@@ -441,6 +458,11 @@ class SSTableRunWriter(DataSourceWriter):
         if not self.directory:
             raise ValueError("sstable_run write requires a path")
         self.overwrite = overwrite
+        # layout "ma": each task writes a REAL Cassandra 3.x ma sstable
+        # (ma_format.MaWriter) instead of an engine-native SGR run — the
+        # engine can then hand its compaction output back to any tool
+        # that reads actual SSTables
+        self.layout = options.get("layout", "sgr")
 
     def write(self, rows):
         import os
@@ -459,6 +481,13 @@ class SSTableRunWriter(DataSourceWriter):
             if r.col_name is None:
                 p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
             else:
+                if self.layout == "ma" and r.range_tomb:
+                    raise ValueError(
+                        "layout=ma cannot express name-bounded range "
+                        "tombstones (an ma marker covers the whole "
+                        "partition); rewrite them as point or row "
+                        "tombstones before writing"
+                    )
                 p.cells.append(
                     Cell(
                         col_name=r.col_name,
@@ -473,7 +502,13 @@ class SSTableRunWriter(DataSourceWriter):
         if not parts:
             os.rmdir(tmp)
             return RunCommit("", 0)
-        w = RunWriter(tmp, 1)
+        if self.layout == "ma":
+            from .ma_format import MaWriter
+
+            cols = sorted({c.col_name for p in parts.values() for c in p.cells})
+            w = MaWriter(tmp, 1, [(c, "UTF8Type") for c in cols])
+        else:
+            w = RunWriter(tmp, 1)
         for p in sorted(parts.values(), key=lambda p: (p.token, p.key)):
             p.cells.sort(key=lambda c: (c.col_name, c.ts))
             w.add(p)
@@ -484,6 +519,24 @@ class SSTableRunWriter(DataSourceWriter):
         import glob
         import os
 
+        if self.layout == "ma":
+            from .old_format import discover_cassandra_sstables
+
+            if self.overwrite:
+                for _v, _g, name in discover_cassandra_sstables(self.directory):
+                    prefix = name[: -len("Data.db")]
+                    for f in glob.glob(os.path.join(self.directory, prefix + "*.db")):
+                        os.remove(f)
+                gen = 0
+            else:
+                gens = [g for _v, g, _n in discover_cassandra_sstables(self.directory)]
+                gen = max(gens) if gens else 0
+            for m in messages:
+                if m is None or not m.tmp_dir:
+                    continue
+                gen += 1
+                _install_ma_sstable(m.tmp_dir, self.directory, gen)
+            return
         if self.overwrite:
             for f in glob.glob(os.path.join(self.directory, "*-*.db")):
                 os.remove(f)

@@ -482,3 +482,46 @@ def test_datasource_subsplits_real_sstables(tmp_path):
     keys = sorted(r["key"] for r in rows if r["col_name"] == "alpha")
     assert keys == sorted(f"user-{i:05d}".encode() for i in range(150))
     assert len(rows) == 300  # 2 cells per partition, once each
+
+
+def test_datasource_ma_write_roundtrip_and_errors(spark, tmp_path):
+    """layout=ma WRITE path: EAV rows out as a real ma sstable, append
+    generation numbering, and range-tombstone rejection."""
+    import pyspark.sql.functions as F
+
+    from cassandra2aerospike_spark.sources.sstable.datasource import register
+    from cassandra2aerospike_spark.sources.sstable.ma_format import MaReader
+
+    register(spark)
+    out = str(tmp_path / "ma_out")
+    rows = [
+        ("k1", "alpha", bytearray(b"1.5"), 100, None, None, False, False, None),
+        ("k1", "beta", bytearray(b"2.5"), 200, 3600, 4000, False, False, None),
+        ("k2", None, None, 500, None, None, False, False, 500),  # row tomb
+        ("k3", "alpha", bytearray(b"9"), 300, None, None, True, False, None),
+    ]
+    schema = ("key string, col_name string, value binary, ts long, ttl int, "
+              "expiration long, deleted boolean, range_tomb boolean, row_tomb_ts long")
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    df.write.format("sstable_run").option("layout", "ma").mode("append").save(out)
+    # a real, readable ma sstable landed
+    got = {p.key: p for _t, p in MaReader(out, 1).partitions()}
+    assert set(got) == {b"k1", b"k2", b"k3"}
+    assert got[b"k2"].row_tomb_ts == 500 and got[b"k2"].cells == []
+    assert {c.col_name for c in got[b"k1"].cells} == {"alpha", "beta"}
+    assert got[b"k3"].cells[0].deleted
+    # append mode: next write lands as generation 2
+    df.limit(1).write.format("sstable_run").option("layout", "ma").mode(
+        "append"
+    ).save(out)
+    import os
+
+    assert os.path.exists(os.path.join(out, "ma-2-big-Data.db"))
+    # range tombstones cannot be expressed in ma
+    bad = spark.createDataFrame(
+        [("k1", "a", bytearray(b""), 1, None, None, False, True, None)], schema
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="range"):
+        bad.write.format("sstable_run").option("layout", "ma").mode("append").save(out)
