@@ -196,14 +196,36 @@ def main(argv: list[str] | None = None) -> int:
     if args.parallelism:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
 
+    # -s/-S hash the key into the INPUT's token space: real Cassandra
+    # directories order by Murmur3, engine-native SGR runs by the md5
+    # analog — hashing with the wrong partitioner would resume at an
+    # unrelated ring position and silently skip records (the same hazard
+    # the all-digit -s note guards).  Mixed real+SGR inputs have no
+    # common token space, so a keyed resume is refused there.
+    from .sources.sstable.old_format import discover_cassandra_sstables
+
+    real_flags = [bool(discover_cassandra_sstables(d)) for d in args.inputs]
+    if (args.resume_hex is not None or args.resume_key is not None) and (
+        any(real_flags) and not all(real_flags)
+    ):
+        p.error(
+            "-s/-S cannot resume across mixed input token spaces (real "
+            "Cassandra dirs use Murmur3, SGR runs use md5); pass --token N"
+        )
+
+    def token_of(key: bytes) -> int:
+        if all(real_flags):
+            from .functions.tokens import murmur3_128_h1
+
+            return murmur3_128_h1(key)
+        from .sources.sstable.format import token_of as _md5_token
+
+        return _md5_token(key)
+
     min_token = None
     if args.resume_hex is not None:
-        from .sources.sstable.format import token_of
-
         min_token = token_of(bytes.fromhex(args.resume_hex))
     elif args.resume_key is not None:
-        from .sources.sstable.format import token_of
-
         if args.resume_key.isdigit():
             # pre-0.4 resume hints printed '-s <token+1>' with a raw token;
             # -s now takes a KEY STRING (reference firstKey semantics,

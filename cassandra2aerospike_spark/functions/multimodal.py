@@ -328,6 +328,8 @@ def decode_wav_pcm(payload: bytes):
         if len(body) < clen:
             raise ValueError("wav: truncated chunk")
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("wav: truncated fmt chunk")
             fmt_code, channels = _struct.unpack_from("<HH", body, 0)
             (bits,) = _struct.unpack_from("<H", body, 14)
             if fmt_code != 1 or bits != 16:

@@ -149,9 +149,6 @@ def q_mm_resize(spark, sf_dir):
     )
 
 
-# the stub decoder's rules (multimodal._fake_decode) are deliberately
-# byte-arithmetic so the Python mapInPandas path has EXACT SQL oracles:
-# width = byte[0]+1, height = last byte of the first 64 + 1,
 def q_mm_media_probe(spark, sf_dir):
     """X5 REAL metadata extraction: synthesize valid PNG/GIF/WAV container
     headers deterministically from doc_id (trailing payload = doc text),
@@ -178,6 +175,9 @@ def q_mm_real_decode(spark, sf_dir):
     return M.decode_media(M.synthesize_av_media(docs))
 
 
+# the stub decoder's rules (multimodal._fake_decode) are deliberately
+# byte-arithmetic so the Python mapInPandas path has EXACT SQL oracles:
+# width = byte[0]+1, height = last byte of the first 64 + 1,
 # n_frames = max(1, len//1024), features = first 8 bytes / 255.0
 _MM_BYTES = """
     WITH p AS (

@@ -557,6 +557,145 @@ class MaWriter:
 
 
 # --------------------------------------------------------------- reader
+# Shared chunk-layer machinery for BOTH real-format eras (ma_format and
+# old_format): one implementation so checksum/bounds fixes cannot land
+# in one era's copy and miss the other.
+
+
+def chunk_checksum(alg: str, data: bytes) -> int:
+    if alg == "adler32":
+        return zlib.adler32(data) & 0xFFFFFFFF
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def read_chunked_window(
+    data_path: str,
+    ci: tuple[str, int, int, list[int]],
+    start_off: int,
+    end_off: int | None,
+    verify: bool,
+    alg: str,
+    before: bool,
+    err: str,
+) -> tuple[bytes, int]:
+    """Decompress ONLY the chunks covering logical [start_off, end_off)
+    — the CompressedBuffer discipline of reading whole chunks around the
+    requested window (Buffer.cpp:297-339).  I/O is bounded to the
+    window's compressed byte range (seek + ranged read, never the whole
+    file).  `alg`/`before` select the era's checksum discipline
+    (SSTable.cpp:102-105): verify `alg` over the COMPRESSED chunk before
+    decompression when `before`, over the DECOMPRESSED bytes after
+    otherwise (Buffer.cpp:358-366).  Returns (bytes, base) with base =
+    the first returned byte's logical offset.  Corrupt/truncated input
+    fails uniformly as ValueError."""
+    import os as _os
+
+    codec_class, chunk_len, data_len, offsets = ci
+    n_chunks = len(offsets)
+    if end_off is None:
+        end_off = data_len
+    first = start_off // chunk_len if chunk_len > 0 else 0
+    last = min(
+        n_chunks, (end_off + chunk_len - 1) // chunk_len if chunk_len > 0 else n_chunks
+    )
+    file_size = _os.path.getsize(data_path)
+    read_from = offsets[first] if first < n_chunks else file_size
+    read_to = offsets[last] if last < n_chunks else file_size
+    with open(data_path, "rb") as f:
+        f.seek(read_from)
+        blob = f.read(max(0, read_to - read_from))
+    out = bytearray()
+    for i in range(first, last):
+        start = offsets[i] - read_from
+        end = (offsets[i + 1] if i + 1 < n_chunks else file_size) - read_from
+        if end - 4 < start or end > len(blob):
+            raise ValueError(f"{err}: truncated chunk")
+        comp, check = blob[start : end - 4], blob[end - 4 : end]
+        if verify and before:
+            if chunk_checksum(alg, comp) != struct.unpack(">I", check)[0]:
+                raise ValueError(
+                    f"{err}: chunk {i} {alg} checksum mismatch in {data_path}"
+                )
+        raw = _decompress_chunk(codec_class, comp)
+        if verify and not before:
+            if chunk_checksum(alg, raw) != struct.unpack(">I", check)[0]:
+                raise ValueError(
+                    f"{err}: chunk {i} {alg} checksum mismatch in {data_path}"
+                )
+        out += raw
+    if first == 0 and last == n_chunks and len(out) != data_len:
+        raise ValueError(f"{err}: data length {len(out)} != {data_len}")
+    return bytes(out), first * chunk_len
+
+
+def read_compression_info(path: str, err: str) -> tuple[str, int, int, list[int]]:
+    """(codec_class, chunk_len, data_len, chunk_offsets) from a
+    CompressionInfo.db (Buffer.cpp:378-424) — shared by both eras."""
+    ci = open(path, "rb").read()
+    codec_class_b, off = _dec_str16(ci, 0)
+    codec_class = codec_class_b.decode()
+    if off + 4 > len(ci):
+        raise ValueError(f"{err}: truncated CompressionInfo")
+    (n_params,) = struct.unpack_from(">i", ci, off)
+    off += 4
+    for _ in range(n_params):
+        _k, off = _dec_str16(ci, off)
+        _v, off = _dec_str16(ci, off)
+    if off + 16 > len(ci):
+        raise ValueError(f"{err}: truncated CompressionInfo")
+    chunk_len, data_len = struct.unpack_from(">iq", ci, off)
+    off += 12
+    (n_chunks,) = struct.unpack_from(">i", ci, off)
+    off += 4
+    if n_chunks < 0 or off + 8 * n_chunks > len(ci):
+        raise ValueError(f"{err}: truncated CompressionInfo")
+    offsets = list(struct.unpack_from(f">{n_chunks}q", ci, off))
+    return codec_class, chunk_len, data_len, offsets
+
+
+def summary_seek_below(path: str, extra_header: bool, start_token: int) -> int:
+    """Index offset of the last Summary sample STRICTLY below
+    start_token (find_partition_in_summary, SSTable.cpp:122-180; strict
+    < so a token collision at a sample can never skip an equal-token
+    entry belonging to the slice); 0 when no summary / no sample
+    qualifies."""
+    try:
+        samples = read_summary(path, extra_header)
+    except (FileNotFoundError, ValueError, OSError):
+        return 0
+    best = 0
+    for key, ioff in samples:
+        if murmur3_token(key) < start_token:
+            best = ioff
+        else:
+            break
+    return best
+
+
+def slice_offsets_via_index(
+    index_entries, summary_seek, start_token: int | None, end_token: int | None
+) -> tuple[int, int | None] | None:
+    """Logical Data.db byte window [start_off, end_off) for a token
+    range, resolved via Summary seek + Index scan (the init_at_key walk,
+    SSTable.cpp:58-86).  None = empty slice.  A partition whose token
+    equals a bound belongs to the slice STARTING there (first >= start;
+    stop at first >= end) — collision-safe because both sides use the
+    same comparison.  `index_entries(seek)` yields (key, data_offset)
+    in the era's own Index layout; `summary_seek(token)` returns the
+    index byte offset to start scanning from."""
+    start_off: int | None = 0 if start_token is None else None
+    end_off: int | None = None
+    seek = 0 if start_token is None else summary_seek(start_token)
+    for key, pos in index_entries(seek):
+        t = murmur3_token(key)
+        if start_off is None and t >= start_token:
+            start_off = pos
+        if end_token is not None and t >= end_token:
+            end_off = pos
+            break
+    if start_off is None:
+        return None
+    return start_off, end_off
 
 
 def read_summary(path: str, extra_header: bool) -> list[tuple[bytes, int]]:
@@ -623,57 +762,20 @@ class MaReader:
         schema = MaSchema.decode(buf, header_off)
         return MaStats(partitioner=pname.decode(), schema=schema)
 
-    def _compression_info(self) -> tuple[str, int, int, list[int]]:
-        """(codec_class, chunk_len, data_len, chunk_offsets) from
-        CompressionInfo.db (Buffer.cpp:378-424)."""
-        ci = open(self.path("CompressionInfo"), "rb").read()
-        codec_class_b, off = _dec_str16(ci, 0)
-        codec_class = codec_class_b.decode()
-        (n_params,) = struct.unpack_from(">i", ci, off)
-        off += 4
-        for _ in range(n_params):
-            _k, off = _dec_str16(ci, off)
-            _v, off = _dec_str16(ci, off)
-        chunk_len, data_len = struct.unpack_from(">iq", ci, off)
-        off += 12
-        (n_chunks,) = struct.unpack_from(">i", ci, off)
-        off += 4
-        offsets = list(struct.unpack_from(f">{n_chunks}q", ci, off))
-        return codec_class, chunk_len, data_len, offsets
-
     def _logical_window(
         self, start_off: int, end_off: int | None
     ) -> tuple[bytes, int]:
-        """Decompress ONLY the chunks covering logical [start_off,
-        end_off) — the CompressedBuffer discipline of reading whole
-        chunks around the requested window (Buffer.cpp:297-339).
-        Returns (bytes, base) with base = the window's first byte's
-        logical offset."""
-        codec_class, chunk_len, data_len, offsets = self._compression_info()
-        n_chunks = len(offsets)
-        if end_off is None:
-            end_off = data_len
-        first = start_off // chunk_len if chunk_len > 0 else 0
-        last = min(
-            n_chunks, (end_off + chunk_len - 1) // chunk_len if chunk_len > 0 else n_chunks
+        # >= ma: CRC32 of the COMPRESSED chunk, before decompress
+        return read_chunked_window(
+            self.path("Data"),
+            read_compression_info(self.path("CompressionInfo"), "ma"),
+            start_off,
+            end_off,
+            self.verify,
+            "crc32",
+            True,
+            "ma",
         )
-        blob = open(self.path("Data"), "rb").read()
-        out = bytearray()
-        for i in range(first, last):
-            start = offsets[i]
-            end = offsets[i + 1] if i + 1 < n_chunks else len(blob)
-            comp, check = blob[start : end - 4], blob[end - 4 : end]
-            if self.verify:
-                # >= ma: CRC32 of the COMPRESSED chunk, before decompress
-                if zlib.crc32(comp) & 0xFFFFFFFF != struct.unpack(">I", check)[0]:
-                    raise ValueError(
-                        f"ma: chunk {i} checksum mismatch in {self.path('Data')}"
-                    )
-            out += _decompress_chunk(codec_class, comp)
-        base = first * chunk_len
-        if first == 0 and last == n_chunks and len(out) != data_len:
-            raise ValueError(f"ma: data length {len(out)} != {data_len}")
-        return bytes(out), base
 
     def _logical_data(self) -> bytes:
         buf, _base = self._logical_window(0, None)
@@ -692,46 +794,15 @@ class MaReader:
             off = _fixed(buf, off, promoted) + promoted
             yield key, pos
 
-    def _summary_seek(self, start_token: int) -> int:
-        """Index offset of the last summary sample STRICTLY below
-        start_token (find_partition_in_summary, SSTable.cpp:122-180;
-        strict < so a token collision at a sample can never skip an
-        equal-token entry that belongs to this slice); 0 when there is
-        no summary or no sample qualifies."""
-        try:
-            samples = read_summary(self.path("Summary"), extra_header=True)
-        except (FileNotFoundError, ValueError):
-            return 0
-        best = 0
-        for key, ioff in samples:
-            if murmur3_token(key) < start_token:
-                best = ioff
-            else:
-                break
-        return best
-
     def _slice_offsets(
         self, start_token: int | None, end_token: int | None
     ) -> tuple[int, int | None] | None:
-        """Logical Data.db byte window [start_off, end_off) for a token
-        range, resolved via Summary seek + Index scan (the init_at_key
-        walk, SSTable.cpp:58-86).  None = empty slice.  A partition
-        whose token equals a bound belongs to the slice STARTING there
-        (first >= start; stop at first >= end) — collision-safe because
-        both sides use the same comparison."""
-        start_off: int | None = 0 if start_token is None else None
-        end_off: int | None = None
-        seek = 0 if start_token is None else self._summary_seek(start_token)
-        for key, pos in self._index_entries(seek):
-            t = murmur3_token(key)
-            if start_off is None and t >= start_token:
-                start_off = pos
-            if end_token is not None and t >= end_token:
-                end_off = pos
-                break
-        if start_off is None:
-            return None
-        return start_off, end_off
+        return slice_offsets_via_index(
+            self._index_entries,
+            lambda t: summary_seek_below(self.path("Summary"), True, t),
+            start_token,
+            end_token,
+        )
 
     def _read_cell(
         self,

@@ -122,9 +122,9 @@ def checksum_spec(vcode: int) -> tuple[str, bool]:
 
 
 def _chunk_checksum(alg: str, data: bytes) -> int:
-    if alg == "adler32":
-        return zlib.adler32(data) & 0xFFFFFFFF
-    return zlib.crc32(data) & 0xFFFFFFFF
+    from .ma_format import chunk_checksum
+
+    return chunk_checksum(alg, data)
 
 
 def old_keyspace_and_table(vcode: int, name: str, table_dir: str) -> tuple[str, str]:
@@ -392,62 +392,22 @@ class OldReader:
     def path(self, component: str) -> str:
         return os.path.join(self.table_dir, f"{self._prefix}-{component}.db")
 
-    def _compression_info(self) -> tuple[str, int, int, list[int]]:
-        ci = open(self.path("CompressionInfo"), "rb").read()
-        codec_class_b, off = _dec_str16(ci, 0)
-        codec_class = codec_class_b.decode()
-        (n_params,) = struct.unpack_from(">i", ci, _need(ci, off, 4))
-        off += 4
-        for _ in range(n_params):
-            _k, off = _dec_str16(ci, off)
-            _v, off = _dec_str16(ci, off)
-        chunk_len, data_len = struct.unpack_from(">iq", ci, _need(ci, off, 12))
-        off += 12
-        (n_chunks,) = struct.unpack_from(">i", ci, _need(ci, off, 4))
-        off += 4
-        offsets = list(struct.unpack_from(f">{n_chunks}q", ci, _need(ci, off, 8 * n_chunks)))
-        return codec_class, chunk_len, data_len, offsets
-
     def _logical_window(
         self, start_off: int, end_off: int | None
     ) -> tuple[bytes, int]:
-        """Decompress only the chunks covering logical [start_off,
-        end_off), verifying per the era's checksum discipline.  Returns
-        (bytes, base_logical_offset)."""
-        codec_class, chunk_len, data_len, offsets = self._compression_info()
-        n_chunks = len(offsets)
-        if end_off is None:
-            end_off = data_len
-        first = start_off // chunk_len if chunk_len > 0 else 0
-        last = min(
-            n_chunks, (end_off + chunk_len - 1) // chunk_len if chunk_len > 0 else n_chunks
-        )
+        from .ma_format import read_chunked_window, read_compression_info
+
         alg, before = checksum_spec(self.vcode)
-        blob = open(self.path("Data"), "rb").read()
-        out = bytearray()
-        for i in range(first, last):
-            start = offsets[i]
-            end = offsets[i + 1] if i + 1 < n_chunks else len(blob)
-            if end - 4 < start:
-                raise ValueError("old: truncated chunk")
-            comp, check = blob[start : end - 4], blob[end - 4 : end]
-            if self.verify and before:
-                if _chunk_checksum(alg, comp) != struct.unpack(">I", check)[0]:
-                    raise ValueError(
-                        f"old: chunk {i} {alg} mismatch in {self.path('Data')}"
-                    )
-            raw = _decompress_chunk(codec_class, comp)
-            if self.verify and not before:
-                # < jb: CRC32 of the DECOMPRESSED chunk, after decompress
-                # (Buffer.cpp:358-366)
-                if _chunk_checksum(alg, raw) != struct.unpack(">I", check)[0]:
-                    raise ValueError(
-                        f"old: chunk {i} {alg} mismatch in {self.path('Data')}"
-                    )
-            out += raw
-        if first == 0 and last == n_chunks and len(out) != data_len:
-            raise ValueError(f"old: data length {len(out)} != {data_len}")
-        return bytes(out), first * chunk_len
+        return read_chunked_window(
+            self.path("Data"),
+            read_compression_info(self.path("CompressionInfo"), "old"),
+            start_off,
+            end_off,
+            self.verify,
+            alg,
+            before,
+            "old",
+        )
 
     def _logical_data(self) -> bytes:
         buf, _base = self._logical_window(0, None)
@@ -466,39 +426,19 @@ class OldReader:
             off = _need(buf, off + 12, skip) + skip
             yield key, pos
 
-    def _summary_seek(self, start_token: int) -> int:
-        from .ma_format import read_summary
-
-        try:
-            samples = read_summary(
-                self.path("Summary"), extra_header=self.vcode >= V_KA
-            )
-        except (FileNotFoundError, ValueError):
-            return 0
-        best = 0
-        for key, ioff in samples:
-            if murmur3_token(key) < start_token:
-                best = ioff
-            else:
-                break
-        return best
-
     def _slice_offsets(
         self, start_token: int | None, end_token: int | None
     ) -> tuple[int, int | None] | None:
-        start_off: int | None = 0 if start_token is None else None
-        end_off: int | None = None
-        seek = 0 if start_token is None else self._summary_seek(start_token)
-        for key, pos in self._index_entries(seek):
-            t = murmur3_token(key)
-            if start_off is None and t >= start_token:
-                start_off = pos
-            if end_token is not None and t >= end_token:
-                end_off = pos
-                break
-        if start_off is None:
-            return None
-        return start_off, end_off
+        from .ma_format import slice_offsets_via_index, summary_seek_below
+
+        return slice_offsets_via_index(
+            self._index_entries,
+            lambda t: summary_seek_below(
+                self.path("Summary"), self.vcode >= V_KA, t
+            ),
+            start_token,
+            end_token,
+        )
 
     def partitions(
         self, start_token: int | None = None, end_token: int | None = None

@@ -417,3 +417,17 @@ def test_real_bmp_decode_pixels():
     )
     with _pytest.raises(ValueError, match="24-bit"):
         decode_bmp(blob32)
+
+
+def test_real_wav_short_fmt_chunk_is_wav_error():
+    import struct
+
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.multimodal import decode_wav_pcm
+
+    blob = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 8) + bytes(8)
+            + b"data" + struct.pack("<I", 2) + b"\x01\x00")
+    with _pytest.raises(ValueError, match="fmt"):
+        decode_wav_pcm(blob)

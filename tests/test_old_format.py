@@ -263,7 +263,7 @@ def test_chunk_corruption_detected_per_discipline(tmp_path):
     blob = bytearray(open(path, "rb").read())
     blob[len(blob) // 2] ^= 0x55
     open(path, "wb").write(bytes(blob))
-    with pytest.raises(ValueError, match="adler32 mismatch"):
+    with pytest.raises(ValueError, match="adler32 checksum mismatch"):
         list(OLD.OldReader(d, w.data_filename()).partitions())
     # verification off: decodes whatever it can or fails in the codec —
     # but never reports a checksum mismatch
@@ -284,7 +284,7 @@ def test_chunk_corruption_detected_per_discipline(tmp_path):
     blob2 = bytearray(open(path2, "rb").read())
     blob2[-1] ^= 0xFF  # last 4 bytes are the final chunk's checksum
     open(path2, "wb").write(bytes(blob2))
-    with pytest.raises(ValueError, match="crc32 mismatch"):
+    with pytest.raises(ValueError, match="crc32 checksum mismatch"):
         list(OLD.OldReader(d2, w2.data_filename()).partitions())
     assert (
         len(list(OLD.OldReader(d2, w2.data_filename(), verify_checksums=False).partitions()))
@@ -525,3 +525,57 @@ def test_datasource_ma_write_roundtrip_and_errors(spark, tmp_path):
 
     with _pytest.raises(Exception, match="range"):
         bad.write.format("sstable_run").option("layout", "ma").mode("append").save(out)
+
+
+def test_ma_truncated_data_file_fails_uniformly(tmp_path):
+    """The review-found gap: a truncated ma Data.db must fail as the
+    uniform ValueError (shared read_chunked_window guard), never
+    struct.error."""
+    from cassandra2aerospike_spark.sources.sstable.ma_format import MaReader
+
+    d = str(tmp_path / "ma")
+    w = MaWriter(d, 1, [("alpha", "UTF8Type")], codec_class="DeflateCompressor")
+    w.add(Partition(key=b"k", cells=[Cell("alpha", b"v", ts=1)]))
+    w.finish()
+    blob = open(w.path("Data"), "rb").read()
+    for cut in (0, 1, 3, len(blob) // 2, len(blob) - 1):
+        open(w.path("Data"), "wb").write(blob[:cut])
+        with pytest.raises((ValueError, zlib.error)):
+            list(MaReader(d, 1).partitions())
+
+
+def test_cli_keyed_resume_uses_input_token_space(spark, sf_dir, capsys):
+    """-s over a REAL Cassandra directory must hash the key with the
+    directory's own partitioner (Murmur3), matching --token of the same
+    key's murmur3 value; mixed real+SGR inputs refuse a keyed resume."""
+    from cassandra2aerospike_spark.__main__ import main
+    from cassandra2aerospike_spark.functions.tokens import murmur3_128_h1
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_mixed_era_table_from_events,
+        build_runs_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_mixed_era_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_mixed_era"
+    )
+    now = ["--now", "1719792000"]
+    key = "77"
+    assert main(["-i", table_dir, "-D", "--limit", "1000", "-s", key] + now) == 0
+    via_key = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("key=")
+    ]
+    tok = murmur3_128_h1(key.encode())
+    assert main(
+        ["-i", table_dir, "-D", "--limit", "1000", "--token", str(tok)] + now
+    ) == 0
+    via_token = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("key=")
+    ]
+    assert via_key == via_token and 0 < len(via_key)
+
+    sgr_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
+    with pytest.raises(SystemExit):
+        main(["-i", table_dir, "-i", sgr_dir, "-D", "-s", key] + now)
