@@ -43,6 +43,7 @@ _PRIORITY = [
     "mm_media_probe",
     "mm_real_decode",
     "ma_compaction_roundtrip",
+    "stream_real_sstable_ingest",
     # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise
     #    all three reference compressors in one scan (deflate + Snappy +
     #    the new pure-Python LZ4 block codec, Buffer.cpp:243-272)

@@ -8,6 +8,7 @@ from ..streaming import (
     stream_late_data,
     stream_lww_tws,
     stream_session_windows,
+    stream_real_sstable_ingest,
     stream_sstable_ingest,
     stream_stream_join,
     stream_window_counts,
@@ -21,6 +22,7 @@ QUERIES = {
     "stream_dedup_keys": streaming_dedup_keys,
     "stream_stream_join": stream_stream_join,
     "stream_sstable_ingest": stream_sstable_ingest,
+    "stream_real_sstable_ingest": stream_real_sstable_ingest,
 }
 
 # transformWithStateInPandas needs the protobuf wire between the JVM and
@@ -124,6 +126,19 @@ ORACLES = {
     """,
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
 
+    "stream_real_sstable_ingest": """
+        WITH cls AS (
+          SELECT epoch_us(ts) % 3 AS run0,
+                 CASE WHEN event_id % 97 = 0 THEN 'row'
+                      WHEN event_id % 13 = 0 THEN 'range'
+                      WHEN event_id % 10 = 0 THEN 'point'
+                      ELSE 'cell' END AS kind
+          FROM events
+        )
+        SELECT CAST(run0 + 1 AS INT) AS run, count(*) AS n_cells
+        FROM cls WHERE kind = 'cell'
+        GROUP BY 1
+    """,
     "stream_sstable_ingest": """
         WITH cls AS (
           SELECT epoch_us(ts) % 3 AS run0,

@@ -361,16 +361,28 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         if not self.directory:
             raise ValueError("sstable_run stream requires a path")
         self.verify = options.get("verify_checksums", "true").lower() == "true"
+        # layout "ma": stream a REAL Cassandra table directory — each
+        # newly-flushed/compacted sstable (any era) is a microbatch,
+        # the continuous-ingest story over actual Cassandra data files
+        self.layout = options.get("layout", "sgr")
+
+    def _gen_names(self) -> dict[int, str | None]:
+        """generation -> Data.db filename (None for SGR runs)."""
+        if self.layout == "ma":
+            from .old_format import discover_cassandra_sstables
+
+            return {g: name for _v, g, name in discover_cassandra_sstables(self.directory)}
+        return {g: None for g in discover_runs(self.directory)}
 
     def initialOffset(self):
         return {"max_gen": 0}
 
     def latestOffset(self):
-        gens = discover_runs(self.directory)
+        gens = sorted(self._gen_names())
         latest = max(gens) if gens else 0
         if self.max_gens > 0:
             floor = max(self._floor, self._committed)
-            capped = [g for g in sorted(gens) if g > floor][: self.max_gens]
+            capped = [g for g in gens if g > floor][: self.max_gens]
             latest = max(capped) if capped else floor
         return {"max_gen": latest}
 
@@ -381,9 +393,10 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         # between plannings
         self._committed = max(self._committed, lo)
         self._floor = max(self._floor, lo, hi)
+        names = self._gen_names()
         return [
-            RunSlice(self.directory, gen, None, None, self.verify)
-            for gen in discover_runs(self.directory)
+            RunSlice(self.directory, gen, None, None, self.verify, self.layout, names[gen])
+            for gen in sorted(names)
             if lo < gen <= hi  # hi < lo (stale floor after restart) -> empty
         ]
 

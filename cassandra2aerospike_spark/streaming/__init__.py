@@ -7,6 +7,7 @@ from .stream_queries import (
     stream_stateful_lww,
     stream_lww_tws,
     stream_late_data,
+    stream_real_sstable_ingest,
     stream_sstable_ingest,
     stream_stream_join,
     streaming_dedup_keys,
@@ -21,6 +22,7 @@ __all__ = [
     "stream_stateful_lww",
     "stream_lww_tws",
     "stream_late_data",
+    "stream_real_sstable_ingest",
     "stream_sstable_ingest",
     "stream_stream_join",
     "streaming_dedup_keys",

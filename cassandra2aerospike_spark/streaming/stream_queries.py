@@ -408,3 +408,30 @@ def stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.col("s.latest_value").alias("latest_value"),
                 F.col("s.latest_ts_us").alias("latest_ts_us"))
     )
+
+
+def stream_real_sstable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_sstable_ingest over a REAL Cassandra table directory: the
+    streaming DataSource's `layout=ma` branch treats each actual
+    ma-<gen>-big-* sstable as one microbatch — continuous ingest of a
+    live Cassandra data directory (flushes/compactions land as new
+    sstables; the reference's continuous operation over its true input
+    format).  Emits live-cell counts per sstable generation."""
+    from ..sources.sstable import register
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    register(spark)
+    stream = (
+        spark.readStream.format("sstable_run").option("layout", "ma").load(table_dir)
+    )
+    cells = stream.filter(
+        F.col("col_name").isNotNull() & ~F.col("deleted") & ~F.col("range_tomb")
+    )
+    agg = cells.groupBy("run").agg(F.count("*").alias("n_cells"))
+    return _run_to_memory(agg, "complete")

@@ -579,3 +579,52 @@ def test_cli_keyed_resume_uses_input_token_space(spark, sf_dir, capsys):
     sgr_dir = build_runs_from_events(spark, sf_dir, default_runs_dir(sf_dir))
     with pytest.raises(SystemExit):
         main(["-i", table_dir, "-i", sgr_dir, "-D", "-s", key] + now)
+
+
+def test_streaming_real_format_directory(spark, tmp_path):
+    """Streaming over a REAL Cassandra table directory (layout=ma): each
+    newly-landed sstable — any era — arrives as a microbatch, the
+    continuous-ingest contract over actual Cassandra data files."""
+    from cassandra2aerospike_spark.sources.sstable import register
+
+    d = str(tmp_path / "table")
+    os.makedirs(d)
+
+    def write_ma(gen, keys):
+        w = MaWriter(d, gen, [("c", "UTF8Type")])
+        for k in keys:
+            w.add(Partition(key=str(k).encode(),
+                            cells=[Cell("c", str(k).encode(), ts=k)]))
+        w.finish()
+
+    write_ma(1, range(0, 10))
+    # an OLD-era sstable in the same stream: version dispatch per file
+    w_old = OLD.OldWriter(d, 2, version="la", codec_class="DeflateCompressor")
+    for k in range(10, 15):
+        w_old.add(Partition(key=str(k).encode(),
+                            cells=[Cell("c", str(k).encode(), ts=k)]))
+    w_old.finish()
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("sstable_run").option("layout", "ma").load(d)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("real_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("real_stream").count() == 15
+        write_ma(3, range(100, 104))
+        q.processAllAvailable()
+        got = spark.table("real_stream")
+        assert got.count() == 19  # only the new sstable arrived
+        assert got.filter("run = 3").count() == 4
+        assert got.filter("run = 2").count() == 5  # the la-era sstable
+    finally:
+        q.stop()
