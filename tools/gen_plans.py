@@ -24,6 +24,7 @@ EXCLUDED = {
     "s8_oldformat_merge",
     "s9_sstable_merge",
     "compaction_roundtrip",
+    "ma_compaction_roundtrip",
     "o2_layout_resume",
     "s11_create_only_sink",
 }
