@@ -155,9 +155,12 @@ def build_ma_table_from_events(
     marker with no clustering covers the whole partition, so in the ma
     pipeline they act as row tombstones (the oracle maps them to 'row').
     """
-    from .ma_format import MaWriter
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
 
-    fingerprint = "ma_" + str(n_sstables) + "_" + "-".join(
+    # leaf name embeds the encoder revision: an encoding change must
+    # invalidate /tmp fixtures, not feed stale bytes under a matching
+    # marker (same discipline as the SGR MAGIC-in-leaf-name rule above)
+    fingerprint = "ma" + FIXTURE_ENCODER_REV + "_" + str(n_sstables) + "_" + "-".join(
         c.removesuffix("Compressor").lower() for c in codec_classes
     )
     if amplify > 1:
@@ -240,10 +243,12 @@ def build_mixed_era_table_from_events(
     real old-format range-tombstone cells (name-bounded, kind stays
     'range'); the one landing in the ma era becomes a marker, i.e. a row
     tombstone — the oracle mirrors exactly this split (_CTE_MIXED)."""
-    from .ma_format import MaWriter
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
     from .old_format import OldWriter
 
-    table_dir = os.path.join(out_dir, "mixed_ka-la-ma", "tmx", "events")
+    table_dir = os.path.join(
+        out_dir, "mixed" + FIXTURE_ENCODER_REV + "_ka-la-ma", "tmx", "events"
+    )
     marker = os.path.join(table_dir, "_DONE")
     if os.path.exists(marker):
         return table_dir

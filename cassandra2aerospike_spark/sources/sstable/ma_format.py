@@ -186,6 +186,14 @@ META_DATA_HEADER = 3
 SUMMARY_INTERVAL = 16
 DEFAULT_CHUNK = 64 * 1024
 
+# Encoder revision for FIXTURE CACHE KEYS only (the real on-disk format
+# has no version knob of ours): bump when MaWriter/OldWriter encoding
+# changes so stale /tmp fixtures written by an older encoder are rebuilt
+# instead of being fed to the reader under a still-matching _DONE marker
+# (the SGR sources solve the same problem by embedding MAGIC in leaf
+# names).
+FIXTURE_ENCODER_REV = "e1"
+
 _FNAME_RE = re.compile(r"^ma-(\d+)-big-Data\.db$")
 
 
