@@ -52,23 +52,33 @@ import time
 from pyspark.sql import DataFrame, functions as F
 
 
-def _classified_binary(spark, dirs: list[str], verify: bool, min_token: int | None):
+def _dir_layouts(dirs: list[str]) -> list[str]:
+    """S1/S3 per directory: "ma" when it holds real Cassandra sstables
+    (any era's *-Data.db naming — the CLI then points at an actual table
+    dir exactly like the reference binary, CassandraParser.cpp:108-135),
+    "sgr" for engine-native runs."""
+    from .sources.sstable.old_format import discover_cassandra_sstables
+
+    return ["ma" if discover_cassandra_sstables(d) else "sgr" for d in dirs]
+
+
+def _classified_binary(
+    spark,
+    dirs: list[str],
+    verify: bool,
+    min_token: int | None,
+    layouts: list[str] | None = None,
+):
     """Multi-dir run scan -> classified EAV frame with BINARY values and
     hex keys (the reference treats every value as an opaque blob,
     README.md:39)."""
     from .sources.sstable.datasource import register
 
     register(spark)
-    from .sources.sstable.old_format import discover_cassandra_sstables
-
+    if layouts is None:
+        layouts = _dir_layouts(dirs)
     frames = []
-    for d in dirs:
-        # S1/S3: a directory holding real Cassandra sstables (any era's
-        # *-Data.db naming) is read through the real-format branch with
-        # per-file version dispatch — the CLI points at an actual table
-        # dir exactly like the reference binary (CassandraParser.cpp:
-        # 108-135); engine-native SGR runs otherwise
-        layout = "ma" if discover_cassandra_sstables(d) else "sgr"
+    for d, layout in zip(dirs, layouts):
         rd = (
             spark.read.format("sstable_run")
             .option("verify_checksums", "true" if verify else "false")
@@ -192,19 +202,15 @@ def main(argv: list[str] | None = None) -> int:
             args.out_dir, args.namespace or "default", args.set_name or "default"
         )
 
-    spark = get_spark("cassandra2aerospike")
-    if args.parallelism:
-        spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
-
     # -s/-S hash the key into the INPUT's token space: real Cassandra
     # directories order by Murmur3, engine-native SGR runs by the md5
     # analog — hashing with the wrong partitioner would resume at an
     # unrelated ring position and silently skip records (the same hazard
     # the all-digit -s note guards).  Mixed real+SGR inputs have no
-    # common token space, so a keyed resume is refused there.
-    from .sources.sstable.old_format import discover_cassandra_sstables
-
-    real_flags = [bool(discover_cassandra_sstables(d)) for d in args.inputs]
+    # common token space, so a keyed resume is refused — BEFORE the
+    # Spark session spins up (the check needs only argv + a listdir).
+    layouts = _dir_layouts(args.inputs)
+    real_flags = [lay == "ma" for lay in layouts]
     if (args.resume_hex is not None or args.resume_key is not None) and (
         any(real_flags) and not all(real_flags)
     ):
@@ -212,6 +218,10 @@ def main(argv: list[str] | None = None) -> int:
             "-s/-S cannot resume across mixed input token spaces (real "
             "Cassandra dirs use Murmur3, SGR runs use md5); pass --token N"
         )
+
+    spark = get_spark("cassandra2aerospike")
+    if args.parallelism:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
 
     def token_of(key: bytes) -> int:
         if all(real_flags):
@@ -241,7 +251,8 @@ def main(argv: list[str] | None = None) -> int:
         min_token = args.resume_token
 
     classified = _classified_binary(
-        spark, args.inputs, verify=not args.no_checksums, min_token=min_token
+        spark, args.inputs, verify=not args.no_checksums, min_token=min_token,
+        layouts=layouts,
     )
     now_s = args.now_s if args.now_s is not None else int(time.time())
     from pyspark.sql import Observation

@@ -37,6 +37,22 @@ try:
 except ImportError:
     _HAS_TWS = False
 
+# per-generation live-cell counts: shared by the SGR-run stream and the
+# real-format stream — the ma kind mapping leaves 'cell' rows identical
+_CELLS_PER_RUN_SQL = """
+        WITH cls AS (
+          SELECT epoch_us(ts) % 3 AS run0,
+                 CASE WHEN event_id % 97 = 0 THEN 'row'
+                      WHEN event_id % 13 = 0 THEN 'range'
+                      WHEN event_id % 10 = 0 THEN 'point'
+                      ELSE 'cell' END AS kind
+          FROM events
+        )
+        SELECT CAST(run0 + 1 AS INT) AS run, count(*) AS n_cells
+        FROM cls WHERE kind = 'cell'
+        GROUP BY 1
+    """
+
 ORACLES = {
     "stream_window_counts": """
         WITH starts AS (
@@ -126,32 +142,8 @@ ORACLES = {
     """,
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
 
-    "stream_real_sstable_ingest": """
-        WITH cls AS (
-          SELECT epoch_us(ts) % 3 AS run0,
-                 CASE WHEN event_id % 97 = 0 THEN 'row'
-                      WHEN event_id % 13 = 0 THEN 'range'
-                      WHEN event_id % 10 = 0 THEN 'point'
-                      ELSE 'cell' END AS kind
-          FROM events
-        )
-        SELECT CAST(run0 + 1 AS INT) AS run, count(*) AS n_cells
-        FROM cls WHERE kind = 'cell'
-        GROUP BY 1
-    """,
-    "stream_sstable_ingest": """
-        WITH cls AS (
-          SELECT epoch_us(ts) % 3 AS run0,
-                 CASE WHEN event_id % 97 = 0 THEN 'row'
-                      WHEN event_id % 13 = 0 THEN 'range'
-                      WHEN event_id % 10 = 0 THEN 'point'
-                      ELSE 'cell' END AS kind
-          FROM events
-        )
-        SELECT CAST(run0 + 1 AS INT) AS run, count(*) AS n_cells
-        FROM cls WHERE kind = 'cell'
-        GROUP BY 1
-    """,
+    "stream_real_sstable_ingest": _CELLS_PER_RUN_SQL,
+    "stream_sstable_ingest": _CELLS_PER_RUN_SQL,
     "stream_stream_join": """
         SELECT p.event_id, p.user_id, count(*) AS n_prior_views
         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts

@@ -188,7 +188,10 @@ class SSTableRunReader(DataSourceReader):
         seen: tuple[str, str] | None = None
         for vcode, gen, name in discover_cassandra_sstables(self.directory):
             if vcode >= V_MA:
-                rd = MaReader(self.directory, gen, verify_checksums=False)
+                rd = MaReader(
+                    self.directory, gen, verify_checksums=False,
+                    prefix=name[: -len("-Data.db")],
+                )
                 pner = rd.stats.partitioner
             else:
                 rd = OldReader(self.directory, name, verify_checksums=False)
@@ -290,7 +293,10 @@ class SSTableRunReader(DataSourceReader):
                 from .ma_format import MaReader
 
                 source = MaReader(
-                    part.directory, part.gen, verify_checksums=part.verify
+                    part.directory,
+                    part.gen,
+                    verify_checksums=part.verify,
+                    prefix=parsed[2] if parsed is not None else None,
                 ).partitions(part.start_token, part.end_token)
         else:
             rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
@@ -366,13 +372,20 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         # the continuous-ingest story over actual Cassandra data files
         self.layout = options.get("layout", "sgr")
 
-    def _gen_names(self) -> dict[int, str | None]:
-        """generation -> Data.db filename (None for SGR runs)."""
+    def _gen_names(self) -> dict[int, list[str | None]]:
+        """generation -> Data.db filenames ([None] for SGR runs).  A list
+        per generation: two eras can collide on one generation number
+        (tmx-events-ka-2-* alongside ma-2-big-*) and BOTH must stream —
+        collapsing to one name would silently drop an sstable the batch
+        reader reads."""
         if self.layout == "ma":
             from .old_format import discover_cassandra_sstables
 
-            return {g: name for _v, g, name in discover_cassandra_sstables(self.directory)}
-        return {g: None for g in discover_runs(self.directory)}
+            out: dict[int, list[str | None]] = {}
+            for _v, g, name in discover_cassandra_sstables(self.directory):
+                out.setdefault(g, []).append(name)
+            return out
+        return {g: [None] for g in discover_runs(self.directory)}
 
     def initialOffset(self):
         return {"max_gen": 0}
@@ -395,9 +408,10 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         self._floor = max(self._floor, lo, hi)
         names = self._gen_names()
         return [
-            RunSlice(self.directory, gen, None, None, self.verify, self.layout, names[gen])
+            RunSlice(self.directory, gen, None, None, self.verify, self.layout, name)
             for gen in sorted(names)
             if lo < gen <= hi  # hi < lo (stale floor after restart) -> empty
+            for name in names[gen]
         ]
 
     def read(self, part: RunSlice):

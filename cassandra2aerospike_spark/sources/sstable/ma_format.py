@@ -743,16 +743,28 @@ class MaStats:
 
 
 class MaReader:
-    """Reads one ma sstable back into (token, Partition) pairs."""
+    """Reads one new-format (>= ma) sstable back into (token, Partition)
+    pairs.  `prefix` carries the file's REAL component prefix (e.g.
+    "mc-5-big" for a Cassandra 3.11 table) — the reference treats every
+    version >= ma uniformly (SSTable.cpp:45-55 create_table), so mc/md/…
+    decode through the same grammar; default is the ma naming this
+    module's writer emits."""
 
-    def __init__(self, table_dir: str, gen: int, verify_checksums: bool = True):
+    def __init__(
+        self,
+        table_dir: str,
+        gen: int,
+        verify_checksums: bool = True,
+        prefix: str | None = None,
+    ):
         self.table_dir = table_dir
         self.gen = gen
         self.verify = verify_checksums
+        self._prefix = prefix or f"ma-{gen}-big"
         self.stats = self._read_statistics()
 
     def path(self, component: str) -> str:
-        return os.path.join(self.table_dir, f"ma-{self.gen}-big-{component}.db")
+        return os.path.join(self.table_dir, f"{self._prefix}-{component}.db")
 
     def _read_statistics(self) -> MaStats:
         buf = open(self.path("Statistics"), "rb").read()

@@ -63,6 +63,7 @@ from .ma_format import (
     MURMUR3_CLASS,
     SUMMARY_INTERVAL,
     _compress_chunk,
+    chunk_checksum,
     _dec_str16,
     _decompress_chunk,
     _enc_str16,
@@ -121,10 +122,6 @@ def checksum_spec(vcode: int) -> tuple[str, bool]:
     return "crc32", vcode >= V_JB
 
 
-def _chunk_checksum(alg: str, data: bytes) -> int:
-    from .ma_format import chunk_checksum
-
-    return chunk_checksum(alg, data)
 
 
 def old_keyspace_and_table(vcode: int, name: str, table_dir: str) -> tuple[str, str]:
@@ -319,7 +316,7 @@ class OldWriter:
             comp = _compress_chunk(self.codec_class, raw)
             data_file += comp
             checksummed = comp if before else raw
-            data_file += struct.pack(">I", _chunk_checksum(alg, checksummed))
+            data_file += struct.pack(">I", chunk_checksum(alg, checksummed))
         with open(self.path("Data"), "wb") as f:
             f.write(data_file)
 

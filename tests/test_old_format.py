@@ -628,3 +628,51 @@ def test_streaming_real_format_directory(spark, tmp_path):
         assert got.filter("run = 2").count() == 5  # the la-era sstable
     finally:
         q.stop()
+
+
+def test_mc_version_reads_through_ma_grammar(tmp_path):
+    """Post-ma 3.x version strings (mc, md, ...) decode through the same
+    grammar — create_table treats every version >= ma uniformly
+    (SSTable.cpp:45-55); the reader must use the file's REAL component
+    prefix, not a hardcoded 'ma-'."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+    )
+
+    d = str(tmp_path / "t")
+    w = MaWriter(d, 5, [("c", "UTF8Type")])
+    w.add(Partition(key=b"k", cells=[Cell("c", b"v", ts=1)]))
+    w.finish()
+    for comp in ("Data", "Index", "Summary", "Statistics", "CompressionInfo"):
+        os.rename(
+            os.path.join(d, f"ma-5-big-{comp}.db"),
+            os.path.join(d, f"mc-5-big-{comp}.db"),
+        )
+    rd = SSTableRunReader({"path": d, "layout": "ma", "splits_per_run": "1"})
+    rows = [r for part in rd.partitions() for b in rd.read(part) for r in b.to_pylist()]
+    assert [(r["key"], r["value"]) for r in rows] == [(b"k", b"v")]
+
+
+def test_stream_gen_collision_across_eras(tmp_path):
+    """Two eras colliding on one generation number (ka-1 and ma-1) must
+    BOTH stream — the offset is per generation, the partitions per file."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunStreamReader,
+    )
+
+    d = str(tmp_path / "t")
+    w_old = OLD.OldWriter(d, 1, version="ka")
+    w_old.add(Partition(key=b"k1", cells=[Cell("c", b"old", ts=1)]))
+    w_old.finish()
+    w_ma = MaWriter(d, 1, [("c", "UTF8Type")])
+    w_ma.add(Partition(key=b"k2", cells=[Cell("c", b"new", ts=2)]))
+    w_ma.finish()
+    rd = SSTableRunStreamReader({"path": d, "layout": "ma"})
+    end = rd.latestOffset()
+    parts = rd.partitions(rd.initialOffset(), end)
+    assert len(parts) == 2  # one InputPartition per FILE, not per gen
+    rows = [r for part in parts for b in rd.read(part) for r in b.to_pylist()]
+    assert sorted((r["key"], r["value"]) for r in rows) == [
+        (b"k1", b"old"),
+        (b"k2", b"new"),
+    ]
