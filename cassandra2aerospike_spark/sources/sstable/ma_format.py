@@ -51,7 +51,6 @@ is wired when a table is big enough to need it).
 from __future__ import annotations
 
 import os
-import re
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -194,7 +193,6 @@ DEFAULT_CHUNK = 64 * 1024
 # names).
 FIXTURE_ENCODER_REV = "e1"
 
-_FNAME_RE = re.compile(r"^ma-(\d+)-big-Data\.db$")
 
 
 def sstable_version(name: str) -> int | None:
@@ -978,13 +976,3 @@ class MaReader:
                     cells.append(cell)
             yield murmur3_token(key), Partition(key=key, row_tomb_ts=row_tomb, cells=cells)
 
-
-def discover_ma_sstables(table_dir: str) -> list[int]:
-    """Generations of ma sstables in a table directory (the DATA_SUFFIX
-    walk of CassandraParser.cpp:108-135)."""
-    gens = []
-    for name in os.listdir(table_dir):
-        m = _FNAME_RE.match(name)
-        if m and sstable_version(name) is not None:
-            gens.append(int(m.group(1)))
-    return sorted(gens)
