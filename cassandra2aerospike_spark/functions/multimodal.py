@@ -470,3 +470,55 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         synth_batches, "doc_id long, payload binary"
     )
+
+
+RESIZE_REAL_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "thumb_len int, t_mean_r double, t_mean_g double, t_mean_b double"
+)
+
+
+def resize_nn(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resize: source index floor(i * src / dst)
+    per axis via numpy fancy indexing — the standard NN sampling grid."""
+    h, w, _c = img.shape
+    ys = (np.arange(dst_h) * h) // dst_h
+    xs = (np.arange(dst_w) * w) // dst_w
+    return img[ys][:, xs]
+
+
+def resize_media_real(
+    media_df: DataFrame, dst_w: int = 16, dst_h: int = 12
+) -> DataFrame:
+    """X5 REAL image resize over mapInPandas: BMP payloads are pixel-
+    decoded (decode_bmp), nearest-neighbor resampled to (dst_w, dst_h),
+    and re-emitted with the real thumbnail's byte length and channel
+    means.  Non-BMP payloads emit no row (the filtering flatMap shape).
+    Zero shuffles; the resize rides the scan."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:2] != b"BM":
+                    continue
+                img = decode_bmp(p)
+                thumb = resize_nn(img, dst_w, dst_h)
+                means = thumb.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (doc_id, img.shape[1], img.shape[0], dst_w, dst_h,
+                     thumb.size, float(means[0]), float(means[1]), float(means[2]))
+                )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                         "thumb_len", "t_mean_r", "t_mean_g", "t_mean_b"],
+            )
+            for c in ("src_w", "src_h", "dst_w", "dst_h", "thumb_len"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        resize_batches, RESIZE_REAL_SCHEMA
+    )

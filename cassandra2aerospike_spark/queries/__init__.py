@@ -42,6 +42,7 @@ _PRIORITY = [
     "s15_ma_format_merge",
     "mm_media_probe",
     "mm_real_decode",
+    "mm_real_resize",
     "ma_compaction_roundtrip",
     "stream_real_sstable_ingest",
     # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise

@@ -175,6 +175,17 @@ def q_mm_real_decode(spark, sf_dir):
     return M.decode_media(M.synthesize_av_media(docs))
 
 
+def q_mm_real_resize(spark, sf_dir):
+    """X5 REAL image resize: the synthesized BMPs pixel-decoded and
+    nearest-neighbor resampled to 16x12 (multimodal.resize_nn — the
+    floor(i*src/dst) sampling grid, pinned against a per-pixel reference
+    in tests), emitting the real thumbnail's byte count and channel
+    means.  Solid-color sources make the means closed-form (the color
+    itself); non-BMP (WAV) docs emit no row — the filtering flatMap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_media_real(M.synthesize_av_media(docs))
+
+
 # the stub decoder's rules (multimodal._fake_decode) are deliberately
 # byte-arithmetic so the Python mapInPandas path has EXACT SQL oracles:
 # width = byte[0]+1, height = last byte of the first 64 + 1,
@@ -194,6 +205,18 @@ _MM_BYTES = """
 """
 
 ORACLES = {
+    "mm_real_resize": """
+        SELECT doc_id,
+               CAST(8 + doc_id % 16 AS INT) AS src_w,
+               CAST(4 + doc_id % 8 AS INT) AS src_h,
+               CAST(16 AS INT) AS dst_w,
+               CAST(12 AS INT) AS dst_h,
+               CAST(16 * 12 * 3 AS INT) AS thumb_len,
+               CAST(doc_id % 256 AS DOUBLE) AS t_mean_r,
+               CAST((3 * doc_id) % 256 AS DOUBLE) AS t_mean_g,
+               CAST((7 * doc_id) % 256 AS DOUBLE) AS t_mean_b
+        FROM documents WHERE doc_id % 2 = 1
+    """,
     "mm_real_decode": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS kind,
@@ -533,6 +556,7 @@ QUERIES = {
     "mm_binary_meta": q_mm_binary_meta,
     "mm_media_probe": q_mm_media_probe,
     "mm_real_decode": q_mm_real_decode,
+    "mm_real_resize": q_mm_real_resize,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,

@@ -431,3 +431,25 @@ def test_real_wav_short_fmt_chunk_is_wav_error():
             + b"data" + struct.pack("<I", 2) + b"\x01\x00")
     with _pytest.raises(ValueError, match="fmt"):
         decode_wav_pcm(blob)
+
+
+def test_real_nn_resize_matches_per_pixel_reference():
+    """resize_nn pinned against an independent per-pixel loop on a
+    NON-uniform image (the oracle query's solid colors cannot catch
+    index-mapping bugs; this does)."""
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions.multimodal import resize_nn
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    out = resize_nn(img, 5, 4)
+    ref = np.zeros((4, 5, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(5):
+            ref[y, x] = img[(y * 7) // 4, (x * 11) // 5]
+    assert np.array_equal(out, ref)
+    # upsampling: each source pixel repeats, no out-of-range index
+    up = resize_nn(img, 22, 14)
+    assert up.shape == (14, 22, 3)
+    assert np.array_equal(up[0, 0], img[0, 0]) and np.array_equal(up[-1, -1], img[-1, -1])

