@@ -45,6 +45,7 @@ _PRIORITY = [
     "mm_real_resize",
     "ma_compaction_roundtrip",
     "stream_real_sstable_ingest",
+    "o2_real_resume",
     # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise
     #    all three reference compressors in one scan (deflate + Snappy +
     #    the new pure-Python LZ4 block codec, Buffer.cpp:243-272)

@@ -9,6 +9,13 @@ from ..functions import tokens as TK
 from ..sources import load_table
 
 
+# fixed resume key for o2_real_resume: the bound is this key's Murmur3
+# token, computed once here and inlined into BOTH the Spark filter and
+# the oracle SQL
+_O2_REAL_RESUME_KEY = b"500"
+_O2_REAL_BOUND = TK.murmur3_128_h1(_O2_REAL_RESUME_KEY)
+
+
 def q_token_md5(spark, sf_dir):
     """P2 RandomPartitioner analog: md5 token per key (hex order == ring
     order)."""
@@ -271,20 +278,20 @@ def _fmix_stages(src: str, pfx: str, prev: str) -> str:
     )
 
 
-def _murmur3_oracle() -> str:
+def _murmur3_oracle(source: str = "customer", keycol: str = "c_custkey") -> str:
     c1 = "CAST('9782798678568883157' AS HUGEINT)"  # 0x87c37b91114253d5
     c2 = "CAST('5545529020109919103' AS HUGEINT)"  # 0x4cf5ad432745937f
     return f"""
         WITH base AS (
-          SELECT c_custkey,
-                 CAST(length(CAST(c_custkey AS VARCHAR)) AS HUGEINT) AS n,
+          SELECT {keycol},
+                 CAST(length(CAST({keycol} AS VARCHAR)) AS HUGEINT) AS n,
                  list_reduce(list_transform(
-                        range(length(CAST(c_custkey AS VARCHAR)), 0, -1),
+                        range(length(CAST({keycol} AS VARCHAR)), 0, -1),
                         -- HUGEINT per element: the fold overflows INT32
                         -- at >= 5 key bytes otherwise
-                        i -> CAST(ascii(substr(CAST(c_custkey AS VARCHAR), CAST(i AS INT), 1)) AS HUGEINT)),
+                        i -> CAST(ascii(substr(CAST({keycol} AS VARCHAR), CAST(i AS INT), 1)) AS HUGEINT)),
                       (a, b) -> a * 256 + b) AS k1
-          FROM customer
+          FROM {source}
         ),
         s1 AS (SELECT *, {_mul64('k1', c1)} AS k1a FROM base),
         s2 AS (SELECT *, {_rotl64('k1a', 31)} AS k1b FROM s1),
@@ -296,18 +303,18 @@ def _murmur3_oracle() -> str:
         s6 AS (SELECT *, (h2x + h1y) % {_B64} AS h2y FROM s5),
         {_fmix_stages('h1y', 'fa', 's6')},
         {_fmix_stages('h2y', 'fb', 'fa3')},
-        fin AS (SELECT c_custkey, (faf + fbf) % {_B64} AS tu FROM fb3),
+        fin AS (SELECT {keycol}, (faf + fbf) % {_B64} AS tu FROM fb3),
         -- the base CTE folds ALL key bytes into k1 (nblocks = 0, k2 = 0),
         -- which is only Murmur3 for keys <= 8 bytes; fail LOUDLY if a
         -- larger SF ever produces a 9-digit key instead of silently
         -- emitting wrong expected tokens
         guard AS (
-          SELECT CASE WHEN max(length(CAST(c_custkey AS VARCHAR))) > 8
+          SELECT CASE WHEN max(length(CAST({keycol} AS VARCHAR))) > 8
                       THEN error('murmur3 oracle: key > 8 bytes; k2 limb not modeled')
                       ELSE 1 END AS ok
-          FROM customer
+          FROM {source}
         )
-        SELECT c_custkey,
+        SELECT {keycol},
                CAST(CASE WHEN tu = {_B63} THEN {_B63} - 1
                          WHEN tu >= {_B63} THEN tu - {_B64}
                          ELSE tu END AS BIGINT) AS token
@@ -317,6 +324,23 @@ def _murmur3_oracle() -> str:
 
 ORACLES = {
     "token_murmur3": _murmur3_oracle(),
+    "o2_real_resume": "WITH toks AS MATERIALIZED (" + _murmur3_oracle(
+        "(SELECT DISTINCT user_id AS ukey FROM events) u", "ukey"
+    ) + f"""
+    ), cls AS (
+      SELECT user_id AS key,
+             CASE WHEN event_id % 97 = 0 THEN 'row'
+                  WHEN event_id % 13 = 0 THEN 'range'
+                  WHEN event_id % 10 = 0 THEN 'point'
+                  ELSE 'cell' END AS kind
+      FROM events
+    ), cnt AS (
+      SELECT key, count(*) AS n_cells FROM cls WHERE kind = 'cell' GROUP BY 1
+    )
+    SELECT c.key, t.token, c.n_cells
+    FROM cnt c JOIN toks t ON t.ukey = c.key
+    WHERE t.token >= {_O2_REAL_BOUND}
+    """,
     "token_md5": """
         SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS token FROM customer
     """,
@@ -356,12 +380,44 @@ ORACLES = {
     """,
 }
 
+def q_o2_real_resume(spark, sf_dir):
+    """O2/O3 on REAL files: resume pushdown over the mixed-era REAL
+    Cassandra directory (ka + la + ma).  A fixed resume key's Murmur3
+    token becomes the lower bound: the DataSource consumes it via
+    pushFilters (whole-slice prune + Summary/Index seek inside each
+    sstable), Spark re-applies it exactly, and the oracle recomputes
+    BOTH the Murmur3 tokens (pure-SQL x64-128 h1) AND the per-key
+    live-cell counts — real-format token order and resume semantics
+    pinned end to end."""
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_mixed_era_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_mixed_era_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_mixed_era"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    cells = raw.filter(
+        (F.col("token") >= F.lit(_O2_REAL_BOUND))
+        & F.col("col_name").isNotNull()
+        & ~F.col("deleted")
+        & ~F.col("range_tomb")
+    )
+    return cells.groupBy(
+        F.col("key").cast("string").cast("long").alias("key")
+    ).agg(F.min("token").alias("token"), F.count("*").alias("n_cells"))
+
+
 QUERIES = {
     "token_md5": q_token_md5,
     "token_ring_buckets": q_token_ring_buckets,
     "token_resume": q_token_resume,
     "o2_layout_resume": q_o2_layout_resume,
     "token_murmur3": q_token_murmur3,
+    "o2_real_resume": q_o2_real_resume,
     "p4_partitioner_registry": q_p4_partitioner_registry,
     "p5_partitioner_abort": q_p5_partitioner_abort,
 }
