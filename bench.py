@@ -224,6 +224,11 @@ def main() -> None:
         spark.catalog.clearCache()
         return rate, n_docs
 
+    # probe hygiene: the binary-path probes leave executor heap/cache
+    # state that measurably depresses the pandas-UDF-heavy dedup probe
+    # (isolated 27k docs/s vs 9k in-sequence measured on one host);
+    # start it from a clean cache
+    spark.catalog.clearCache()
     dedup_thru, n_docs = dedup_probe(20)
     print(f"# dedup throughput: {dedup_thru:,.0f} docs/s over {n_docs} docs", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_SLOPE"):
