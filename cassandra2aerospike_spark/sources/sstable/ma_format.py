@@ -41,11 +41,12 @@ it (delta vs minLocalDeletionTime) as the cell expiry.
 
 Scope notes (honest): clustering columns and static rows are parsed per
 the grammar but the fixture writer emits neither; the >= 64-column
-sparse subset encoding decodes but the writer stays < 64 columns; and
-Summary/Index are written + validated but the reader scans sequentially
-(one Spark task per sstable — the reference's own one-cursor-per-SSTable
-shape; Summary-seek sub-splitting mirrors the SGR source's O2 path and
-is wired when a table is big enough to need it).
+sparse subset encoding decodes but the writer stays < 64 columns.
+Summary/Index power token-range sub-splitting: partitions() takes
+[start_token, end_token) bounds resolved via Summary seek + Index scan
+into a chunk-bounded window (read_chunked_window), so one big sstable
+fans out across tasks — the O2 discipline, shared with old_format via
+the module-level chunk-layer helpers below.
 """
 
 from __future__ import annotations
