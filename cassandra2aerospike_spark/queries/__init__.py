@@ -39,6 +39,7 @@ _PRIORITY = [
     #    end-to-end through the DataSource layout=ma branch, and REAL
     #    media-container header parsing (PNG/GIF/WAV) for X5
     "s16_mixed_era_merge",
+    "s17_ma_clustering_merge",
     "s15_ma_format_merge",
     "mm_media_probe",
     "mm_real_decode",

@@ -378,6 +378,64 @@ def q_ma_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s17_ma_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format CLUSTERING support — the capability the reference
+    explicitly lacks on its true input (reference README.md:30-36: for
+    >= MA it sees clustered rows as repeated partition keys and merges
+    them wrongly; SSTable.cpp:487-503 only SKIPS the clustering bytes).
+    Events materialize as an actual clustered ma table (one UTF8
+    clustering column = the event's day bucket; rows in clustering
+    order inside each partition, 2 sstables so versions split across
+    files), read back through the DataSource with the clustering prefix
+    preserved per cell (MaReader._read_clustering), then LWW-merged per
+    (key, ck, column) with point-tombstone cover scoped to the
+    clustering row — s10's semantics, now on real bytes."""
+    from pyspark.sql import Window
+
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_ma_clustered_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_clustered_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_ck"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    df = raw.select(
+        F.col("key").cast("string").cast("long").alias("key"),
+        F.col("ck").cast("string").alias("ck"),
+        "col_name",
+        F.col("value").cast("string").try_cast("double").alias("value"),
+        "ts",
+        "deleted",
+    )
+    w = Window.partitionBy("key", "ck", "col_name")
+    cover = F.max(F.when(F.col("deleted"), F.col("ts"))).over(w)
+    live = (
+        df.withColumn("_cover", cover)
+        .filter(
+            ~F.col("deleted")
+            & (F.col("_cover").isNull() | (F.col("ts") > F.col("_cover")))
+        )
+    )
+    latest = live.groupBy("key", "ck", "col_name").agg(
+        F.max_by("value", "ts").alias("v")
+    )
+    return latest.groupBy("key", "ck").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "v"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.count("*").alias("n_cols"),
+    )
+
+
 def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 capability FIX: the reference knowingly merges clustering and
     static columns incorrectly (reference README.md:30-39, skip-only
@@ -547,6 +605,7 @@ assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
 QUERIES = {
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
+    "s17_ma_clustering_merge": q_s17_ma_clustering_merge,
     "ma_compaction_roundtrip": q_ma_compaction_roundtrip,
     "s15_ma_format_merge": q_s15_ma_format_merge,
     "a1_lww_latest": q_a1_lww_latest,
@@ -689,6 +748,36 @@ ORACLES = {
               FROM latest_f GROUP BY key) a ON a.key = r.key
         WHERE r.expiry = {merge.ETERNAL}
            OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    # s17: clustered-table LWW per (key, ck, column) with ck-scoped
+    # point-tombstone cover; row/range events are omitted by the fixture
+    "s17_ma_clustering_merge": f"""
+        WITH cls AS (
+          SELECT user_id AS key,
+                 CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ck,
+                 event_type AS col_name, value, epoch_us(ts) AS ts,
+                 CASE WHEN event_id % 97 = 0 THEN 'row'
+                      WHEN event_id % 13 = 0 THEN 'range'
+                      WHEN event_id % 10 = 0 THEN 'point'
+                      ELSE 'cell' END AS kind
+          FROM events
+        ), cover AS (
+          SELECT key, ck, col_name, max(ts) AS tomb
+          FROM cls WHERE kind = 'point' GROUP BY 1, 2, 3
+        ), live AS (
+          SELECT c.key, c.ck, c.col_name, c.value, c.ts
+          FROM cls c LEFT JOIN cover v
+            ON c.key = v.key AND c.ck = v.ck AND c.col_name = v.col_name
+          WHERE c.kind = 'cell' AND (v.tomb IS NULL OR c.ts > v.tomb)
+        ), latest AS (
+          SELECT key, ck, col_name, arg_max(value, ts) AS v
+          FROM live GROUP BY 1, 2, 3
+        )
+        SELECT key, ck,
+               string_agg(col_name || '=' || printf('%.2f', v), ','
+                          ORDER BY col_name || '=' || printf('%.2f', v)) AS cols_str,
+               count(*) AS n_cols
+        FROM latest GROUP BY 1, 2
     """,
     # s16: the same merged-result oracle over the mixed-era kind mapping
     # (range -> row only for the ma-era third of the stream)

@@ -56,6 +56,8 @@ SCHEMA = StructType(
         StructField("token", LongType()),
         StructField("key", BinaryType()),
         StructField("col_name", StringType()),
+        # clustering-key prefix (real clustered ma tables; NULL elsewhere)
+        StructField("ck", BinaryType()),
         StructField("value", BinaryType()),
         StructField("ts", LongType()),
         StructField("ttl", IntegerType()),
@@ -255,6 +257,7 @@ class SSTableRunReader(DataSourceReader):
                 pa.field("token", pa.int64()),
                 pa.field("key", pa.binary()),
                 pa.field("col_name", pa.string()),
+                pa.field("ck", pa.binary()),
                 pa.field("value", pa.binary()),
                 pa.field("ts", pa.int64()),
                 pa.field("ttl", pa.int32()),
@@ -265,7 +268,7 @@ class SSTableRunReader(DataSourceReader):
             ]
         )
         batch_rows = 8192
-        cols: list[list] = [[] for _ in range(11)]
+        cols: list[list] = [[] for _ in range(12)]
 
         def flush():
             arrays = [
@@ -275,9 +278,9 @@ class SSTableRunReader(DataSourceReader):
                 c.clear()
             return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-        def emit(run, t, key, name, value, ts, ttl, exp, dele, rt, rts):
+        def emit(run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts):
             for c, v in zip(
-                cols, (run, t, key, name, value, ts, ttl, exp, dele, rt, rts)
+                cols, (run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts)
             ):
                 c.append(v)
 
@@ -311,13 +314,14 @@ class SSTableRunReader(DataSourceReader):
                 # marker row (col_name NULL): a row tombstone survives even
                 # when the partition carries no cells in this run
                 emit(
-                    part.gen, t, p.key, None, None, p.row_tomb_ts,
+                    part.gen, t, p.key, None, None, None, p.row_tomb_ts,
                     None, None, False, False, p.row_tomb_ts,
                 )
             for c in p.cells:
                 emit(
-                    part.gen, t, p.key, c.col_name, c.value, c.ts,
-                    c.ttl, c.expiration, c.deleted, c.range_tomb, p.row_tomb_ts,
+                    part.gen, t, p.key, c.col_name, getattr(c, "ck", None),
+                    c.value, c.ts, c.ttl, c.expiration, c.deleted,
+                    c.range_tomb, p.row_tomb_ts,
                 )
             if len(cols[0]) >= batch_rows:
                 yield flush()

@@ -304,6 +304,75 @@ def build_mixed_era_table_from_events(
     return table_dir
 
 
+def build_ma_clustered_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 2
+) -> str:
+    """Materialize events as a REAL CLUSTERED Cassandra 3.x table: one
+    clustering column (UTF8Type, the event's day bucket) — rows inside a
+    partition are (day, columns) in clustering order, the layout the
+    reference can only skip over and knowingly merges wrongly (reference
+    README.md:30-36).  Kind mapping: 'cell' events are regular cells in
+    their day's row, 'point' events deleted cells there; row/range
+    events are omitted (ck-scoped deletions are out of the writer's
+    scope, and partition-level tombstones would erase the clustering
+    structure this fixture exists to exercise)."""
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    table_dir = os.path.join(
+        out_dir, "ck" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_ck"
+    )
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        classify_cells(events)
+        .withColumn("run", (F.col("ts") % n_sstables).cast("int"))
+        .withColumn("ck", F.expr("ts div 86400000000").cast("string"))
+        .select("run", "key", "ck", "col_name", "value", "ts", "ttl", "expiration", "kind")
+        .collect()
+    )
+    col_names = sorted({r.col_name for r in rows if r.kind == "cell"})
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    for r in rows:
+        if r.kind not in ("cell", "point"):
+            continue
+        key = str(r.key).encode("utf-8")
+        parts = by_run[r.run]
+        p = parts.get(key)
+        if p is None:
+            p = parts[key] = Partition(key=key)
+        if r.kind == "point":
+            p.cells.append(
+                Cell(col_name=r.col_name, ts=r.ts, deleted=True, ck=r.ck.encode())
+            )
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ttl=r.ttl,
+                    expiration=r.expiration,
+                    ck=r.ck.encode(),
+                )
+            )
+    for gen, parts in by_run.items():
+        w = MaWriter(
+            table_dir, gen + 1, [(n, "UTF8Type") for n in col_names],
+            clustering=["UTF8Type"],
+            codec_class="LZ4Compressor" if gen % 2 == 0 else "DeflateCompressor",
+        )
+        for key in sorted(parts):
+            p = parts[key]
+            p.cells.sort(key=lambda c: (c.ck, c.col_name, c.ts))
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
 def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
     """classified_from_runs for a real-format Cassandra table directory,
     any era.  ma sstables emit no range-tombstone cells (markers fold

@@ -185,6 +185,11 @@ class Cell:
     expiration: int | None = None
     deleted: bool = False
     range_tomb: bool = False
+    # clustering-key prefix of the cell's row (real ma format; None for
+    # non-clustered tables and every SGR path).  A capability FIX over
+    # the reference, which skips clustering values and knowingly merges
+    # such rows wrongly (reference README.md:30-36)
+    ck: bytes | None = None
 
 
 @dataclass

@@ -39,8 +39,13 @@ SSTable.cpp:102-105).  The reference discards cell localDeletionTime;
 real Cassandra stores the expiration instant there, so this reader keeps
 it (delta vs minLocalDeletionTime) as the cell expiry.
 
-Scope notes (honest): clustering columns and static rows are parsed per
-the grammar but the fixture writer emits neither; the >= 64-column
+Scope notes (honest): clustering columns are DECODED into a per-cell
+`ck` prefix (writer emits up to one clustering column; the reader
+handles the general multi-column form incl. the empty/null 2-bit
+codes) — a capability fix over the reference's skip-only parsing;
+ck-scoped row deletions and clustered range markers are refused rather
+than silently widened.  Static rows are parsed per the grammar but the
+fixture writer emits none; the >= 64-column
 sparse subset encoding decodes but the writer stays < 64 columns.
 Summary/Index power token-range sub-splitting: partitions() takes
 [start_token, end_token) bounds resolved via Summary seek + Index scan
@@ -334,6 +339,7 @@ class MaWriter:
         codec_class: str = "LZ4Compressor",
         chunk_size: int = DEFAULT_CHUNK,
         partitioner: str = MURMUR3_CLASS,
+        clustering: list[str] | None = None,
     ):
         os.makedirs(table_dir, exist_ok=True)
         self.table_dir = table_dir
@@ -342,6 +348,11 @@ class MaWriter:
         self.codec_class = codec_class
         self.chunk_size = chunk_size
         self.partitioner = partitioner
+        # fixture writer supports at most ONE clustering column (cells
+        # carry a single ck value); the reader decodes the general form
+        self.clustering = clustering or []
+        if len(self.clustering) > 1:
+            raise ValueError("MaWriter supports at most one clustering column")
         # (token, key, partition, row_tomb_style)
         self._parts: list[tuple[int, Partition, str]] = []
 
@@ -424,20 +435,53 @@ class MaWriter:
             out += struct.pack(">q", p.row_tomb_ts)
             out += struct.pack(">i", p.row_tomb_ts // 1_000_000)
 
-        # one version of a column per row: version i of each column goes
+        # group cells into rows: by clustering value on clustered
+        # tables (rows in ck order, like real sstables), else one
+        # version of a column per row — version i of each column goes
         # into row i (the grammar reads rows until END_OF_PARTITION,
         # SSTable.cpp:505-530, so multi-row partitions are well-formed
         # even with no clustering columns)
-        by_col: dict[str, list[Cell]] = {}
-        for c in p.cells:
-            by_col.setdefault(c.col_name, []).append(c)
+        if self.clustering:
+            groups: dict[bytes, list[Cell]] = {}
+            for c in p.cells:
+                if c.ck is None:
+                    raise ValueError("clustered table: every cell needs a ck")
+                groups.setdefault(c.ck, []).append(c)
+            group_items = sorted(groups.items())
+        else:
+            group_items = [(None, p.cells)]
         col_index = {name: i for i, (name, _) in enumerate(self.columns)}
-        n_versions = max((len(v) for v in by_col.values()), default=0)
-        for ver in range(n_versions):
-            row_cells = sorted(
-                (cs[ver] for cs in by_col.values() if len(cs) > ver),
-                key=lambda c: col_index[c.col_name],
-            )
+        for ck, group_cells in group_items:
+            by_col: dict[str, list[Cell]] = {}
+            for c in group_cells:
+                by_col.setdefault(c.col_name, []).append(c)
+            n_versions = max((len(v) for v in by_col.values()), default=0)
+            for ver in range(n_versions):
+                row_cells = sorted(
+                    (cs[ver] for cs in by_col.values() if len(cs) > ver),
+                    key=lambda c: col_index[c.col_name],
+                )
+                self._encode_row(out, row_cells, ck, p, style, ver, schema)
+        out.append(END_OF_PARTITION)
+        return bytes(out)
+
+    def _encode_clustering_prefix(self, ck: bytes) -> bytes:
+        """One clustering value, present: a zero 2-bit header block then
+        the value in its wire format (SSTable.cpp:487-503 reads this)."""
+        out = bytearray()
+        out += enc_uvint(0)  # all values present
+        fixed = COLUMN_SIZES.get(self.clustering[0])
+        if fixed is None:
+            out += enc_uvint(len(ck)) + ck
+        else:
+            if len(ck) != fixed:
+                raise ValueError(
+                    f"clustering {self.clustering[0]} needs {fixed} bytes"
+                )
+            out += ck
+        return bytes(out)
+
+    def _encode_row(self, out, row_cells, ck, p, style, ver, schema) -> None:
             flags = HAS_TIMESTAMP
             row_ts = min(c.ts for c in row_cells)
             # row-level TTL only when every expiring cell shares one
@@ -447,11 +491,15 @@ class MaWriter:
                 flags |= HAS_TTL
             row_del = p.row_tomb_ts if (style == "row" and ver == 0 and p.row_tomb_ts is not None) else None
             if row_del is not None:
+                if ck is not None:
+                    raise ValueError("clustered-row deletions not supported")
                 flags |= HAS_DELETION
             present = [c.col_name for c in row_cells]
             if len(present) == len(self.columns):
                 flags |= HAS_ALL_COLUMNS
             out.append(flags)
+            if ck is not None:
+                out += self._encode_clustering_prefix(ck)
             out += enc_uvint(0)  # rowsize (the reference discards it)
             out += enc_uvint(0)  # previous unfiltered size
             out += enc_uvint(row_ts - schema.min_timestamp)
@@ -462,14 +510,13 @@ class MaWriter:
                 out += enc_uvint(row_del - schema.min_timestamp)
                 out += enc_uvint(row_del // 1_000_000 - schema.min_local_deletion)
             if not flags & HAS_ALL_COLUMNS:
+                col_index = {name: i for i, (name, _) in enumerate(self.columns)}
                 mask = 0
                 for name in present:
                     mask |= 1 << col_index[name]
                 out += enc_uvint(mask)  # < 64 columns: bitmask form
             for c in row_cells:
                 out += self._encode_cell(c, schema, row_ts, row_ttl)
-        out.append(END_OF_PARTITION)
-        return bytes(out)
 
     def finish(self) -> None:
         self._parts.sort(key=lambda t: (t[0], t[1].key))
@@ -491,6 +538,7 @@ class MaWriter:
             min_local_deletion=min(all_ldt, default=0),
             min_ttl=min(all_ttl, default=0),
             regular_columns=list(self.columns),
+            clustering=list(self.clustering),
         )
 
         data = bytearray()
@@ -871,6 +919,38 @@ class MaReader:
             off,
         )
 
+    def _read_clustering(self, buf: bytes, off: int) -> tuple[bytes, int]:
+        """Clustering values of one row (read_clustering_columns,
+        SSTable.cpp:487-503): per 32-column block a uvint header with 2
+        bits per column — 0 = value present (fixed width or
+        vint-length-prefixed per the column's wire format), 1 = empty,
+        2 = null.  Returns the row's clustering prefix as bytes: the
+        single value for one clustering column, the composite encoding
+        for several (nulls encode as empty components)."""
+        s = self.stats.schema
+        vals: list[bytes] = []
+        i, n = 0, len(s.clustering)
+        while i < n:
+            header, off = dec_uvint(buf, off)
+            limit = min(n, i + 32)
+            shift = 0
+            while i < limit:
+                bits = (header >> shift) & 3
+                if bits == 0:
+                    size, off = _column_value_size(s.clustering[i], buf, off)
+                    off = _fixed(buf, off, size)
+                    vals.append(buf[off : off + size])
+                    off += size
+                else:
+                    vals.append(b"")  # empty (1) / null (2): no bytes
+                i += 1
+                shift += 2
+        if len(vals) == 1:
+            return vals[0], off
+        from .format import encode_composite
+
+        return encode_composite(vals), off
+
     def _decode_subset(self, buf: bytes, off: int, n: int) -> tuple[list[bool], int]:
         """decode_column_subset (SSTable.cpp:457-481)."""
         encoded, off = dec_uvint(buf, off)
@@ -947,8 +1027,14 @@ class MaReader:
                     continue
                 if is_static:
                     raise ValueError("ma: static rows not supported")
+                ck = None
                 if s.clustering:
-                    raise ValueError("ma: clustering columns not supported")
+                    # clustering values precede rowsize
+                    # (read_normal_row, SSTable.cpp:574-578) — a
+                    # capability FIX: the reference only SKIPS these
+                    # bytes and knowingly merges clustered rows wrongly
+                    # (reference README.md:30-36); we keep the prefix
+                    ck, off = self._read_clustering(buf, off)
                 _rs, off = dec_uvint(buf, off)
                 _ps, off = dec_uvint(buf, off)
                 row_ts = 0
@@ -962,6 +1048,12 @@ class MaReader:
                         d, off = dec_uvint(buf, off)
                         row_ldt = d + s.min_local_deletion
                 if flags & HAS_DELETION:
+                    if ck is not None:
+                        # a ck-scoped row deletion is NOT a partition
+                        # tombstone; refusing beats silently widening it
+                        raise ValueError(
+                            "ma: clustered-row deletions not supported"
+                        )
                     d, off = dec_uvint(buf, off)
                     rdel = d + s.min_timestamp
                     _d, off = dec_uvint(buf, off)
@@ -974,6 +1066,7 @@ class MaReader:
                     if not present:
                         continue
                     cell, off = self._read_cell(buf, off, cols[i], row_ts, row_ttl, row_ldt)
+                    cell.ck = ck
                     cells.append(cell)
             yield murmur3_token(key), Partition(key=key, row_tomb_ts=row_tomb, cells=cells)
 
