@@ -411,6 +411,8 @@ def q_s17_ma_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "deleted",
     )
+    # ck IS NULL = the STATIC row's cells ('signup'); tombstone cover is
+    # scoped to (key, ck, col) — the NULL ck partition IS the static scope
     w = Window.partitionBy("key", "ck", "col_name")
     cover = F.max(F.when(F.col("deleted"), F.col("ts"))).over(w)
     live = (
@@ -423,7 +425,7 @@ def q_s17_ma_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = live.groupBy("key", "ck", "col_name").agg(
         F.max_by("value", "ts").alias("v")
     )
-    return latest.groupBy("key", "ck").agg(
+    regular = latest.filter(F.col("ck").isNotNull()).groupBy("key", "ck").agg(
         F.array_join(
             F.sort_array(
                 F.collect_list(
@@ -433,6 +435,14 @@ def q_s17_ma_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("cols_str"),
         F.count("*").alias("n_cols"),
+    )
+    static = latest.filter(F.col("ck").isNull()).select(
+        "key", F.format_string("%.2f", "v").alias("signup")
+    )
+    # static value repeats onto every clustering row (Cassandra SELECT
+    # semantics for static columns)
+    return regular.join(F.broadcast(static), "key", "left").select(
+        "key", "ck", "cols_str", "n_cols", "signup"
     )
 
 
@@ -761,23 +771,36 @@ ORACLES = {
                       WHEN event_id % 10 = 0 THEN 'point'
                       ELSE 'cell' END AS kind
           FROM events
+        ), scoped AS (
+          -- 'signup' is the STATIC column: its scope is the partition
+          -- (ck NULL sentinel '~static~'), everything else the day row
+          SELECT key,
+                 CASE WHEN col_name = 'signup' THEN '~static~' ELSE ck END AS ck,
+                 col_name, value, ts, kind
+          FROM cls
         ), cover AS (
           SELECT key, ck, col_name, max(ts) AS tomb
-          FROM cls WHERE kind = 'point' GROUP BY 1, 2, 3
+          FROM scoped WHERE kind = 'point' GROUP BY 1, 2, 3
         ), live AS (
           SELECT c.key, c.ck, c.col_name, c.value, c.ts
-          FROM cls c LEFT JOIN cover v
+          FROM scoped c LEFT JOIN cover v
             ON c.key = v.key AND c.ck = v.ck AND c.col_name = v.col_name
           WHERE c.kind = 'cell' AND (v.tomb IS NULL OR c.ts > v.tomb)
         ), latest AS (
           SELECT key, ck, col_name, arg_max(value, ts) AS v
           FROM live GROUP BY 1, 2, 3
+        ), regular AS (
+          SELECT key, ck,
+                 string_agg(col_name || '=' || printf('%.2f', v), ','
+                            ORDER BY col_name || '=' || printf('%.2f', v)) AS cols_str,
+                 count(*) AS n_cols
+          FROM latest WHERE ck <> '~static~' GROUP BY 1, 2
+        ), static AS (
+          SELECT key, printf('%.2f', v) AS signup
+          FROM latest WHERE ck = '~static~'
         )
-        SELECT key, ck,
-               string_agg(col_name || '=' || printf('%.2f', v), ','
-                          ORDER BY col_name || '=' || printf('%.2f', v)) AS cols_str,
-               count(*) AS n_cols
-        FROM latest GROUP BY 1, 2
+        SELECT r.key, r.ck, r.cols_str, r.n_cols, s.signup
+        FROM regular r LEFT JOIN static s ON s.key = r.key
     """,
     # s16: the same merged-result oracle over the mixed-era kind mapping
     # (range -> row only for the ma-era third of the stream)

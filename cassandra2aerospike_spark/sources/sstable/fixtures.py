@@ -319,7 +319,7 @@ def build_ma_clustered_table_from_events(
     from .ma_format import FIXTURE_ENCODER_REV, MaWriter
 
     table_dir = os.path.join(
-        out_dir, "ck" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_ck"
+        out_dir, "ckst" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_ck"
     )
     marker = os.path.join(table_dir, "_DONE")
     if os.path.exists(marker):
@@ -333,7 +333,12 @@ def build_ma_clustered_table_from_events(
         .select("run", "key", "ck", "col_name", "value", "ts", "ttl", "expiration", "kind")
         .collect()
     )
-    col_names = sorted({r.col_name for r in rows if r.kind == "cell"})
+    # 'signup' is the table's STATIC column (per Cassandra semantics
+    # partition-resident; the s10 modeling choice, now on real bytes);
+    # every other event type is a regular column in its day's row
+    col_names = sorted(
+        {r.col_name for r in rows if r.kind == "cell" and r.col_name != "signup"}
+    )
     by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
     for r in rows:
         if r.kind not in ("cell", "point"):
@@ -343,9 +348,10 @@ def build_ma_clustered_table_from_events(
         p = parts.get(key)
         if p is None:
             p = parts[key] = Partition(key=key)
+        ck = None if r.col_name == "signup" else r.ck.encode()
         if r.kind == "point":
             p.cells.append(
-                Cell(col_name=r.col_name, ts=r.ts, deleted=True, ck=r.ck.encode())
+                Cell(col_name=r.col_name, ts=r.ts, deleted=True, ck=ck)
             )
         else:
             p.cells.append(
@@ -355,18 +361,19 @@ def build_ma_clustered_table_from_events(
                     ts=r.ts,
                     ttl=r.ttl,
                     expiration=r.expiration,
-                    ck=r.ck.encode(),
+                    ck=ck,
                 )
             )
     for gen, parts in by_run.items():
         w = MaWriter(
             table_dir, gen + 1, [(n, "UTF8Type") for n in col_names],
             clustering=["UTF8Type"],
+            static_columns=[("signup", "UTF8Type")],
             codec_class="LZ4Compressor" if gen % 2 == 0 else "DeflateCompressor",
         )
         for key in sorted(parts):
             p = parts[key]
-            p.cells.sort(key=lambda c: (c.ck, c.col_name, c.ts))
+            p.cells.sort(key=lambda c: (c.ck or b"", c.col_name, c.ts))
             w.add(p)
         w.finish()
     open(marker, "w").write("ok")

@@ -44,8 +44,9 @@ Scope notes (honest): clustering columns are DECODED into a per-cell
 handles the general multi-column form incl. the empty/null 2-bit
 codes) — a capability fix over the reference's skip-only parsing;
 ck-scoped row deletions and clustered range markers are refused rather
-than silently widened.  Static rows are parsed per the grammar but the
-fixture writer emits none; the >= 64-column
+than silently widened.  Static rows decode too (IS_STATIC extended
+flag, STATIC column set, ck=None cells) and the writer emits them
+first in each partition, per the real layout; the >= 64-column
 sparse subset encoding decodes but the writer stays < 64 columns.
 Summary/Index power token-range sub-splitting: partitions() takes
 [start_token, end_token) bounds resolved via Summary seek + Index scan
@@ -340,6 +341,7 @@ class MaWriter:
         chunk_size: int = DEFAULT_CHUNK,
         partitioner: str = MURMUR3_CLASS,
         clustering: list[str] | None = None,
+        static_columns: list[tuple[str, str]] | None = None,
     ):
         os.makedirs(table_dir, exist_ok=True)
         self.table_dir = table_dir
@@ -353,6 +355,9 @@ class MaWriter:
         self.clustering = clustering or []
         if len(self.clustering) > 1:
             raise ValueError("MaWriter supports at most one clustering column")
+        self.static_columns = static_columns or []
+        if self.static_columns and not self.clustering:
+            raise ValueError("static columns require a clustering column")
         # (token, key, partition, row_tomb_style)
         self._parts: list[tuple[int, Partition, str]] = []
 
@@ -374,6 +379,7 @@ class MaWriter:
         schema: MaSchema,
         row_ts: int,
         row_ttl: tuple[int, int] | None,
+        static: bool = False,
     ) -> bytes:
         out = bytearray()
         flags = 0
@@ -400,7 +406,7 @@ class MaWriter:
             if expiring:
                 out += enc_uvint(c.ttl - schema.min_ttl)
         if not flags & CELL_HAS_EMPTY_VALUE:
-            fmt = dict(self.columns)[c.col_name]
+            fmt = dict(self.static_columns if static else self.columns)[c.col_name]
             fixed = COLUMN_SIZES.get(fmt)
             if fixed is None:
                 out += enc_uvint(len(c.value)) + c.value
@@ -443,15 +449,28 @@ class MaWriter:
         # even with no clustering columns)
         if self.clustering:
             groups: dict[bytes, list[Cell]] = {}
+            statics: list[Cell] = []
             for c in p.cells:
                 if c.ck is None:
-                    raise ValueError("clustered table: every cell needs a ck")
-                groups.setdefault(c.ck, []).append(c)
-            group_items = sorted(groups.items())
+                    # partition-resident STATIC cell (real format: the
+                    # static row precedes the clustered rows)
+                    if not self.static_columns:
+                        raise ValueError(
+                            "clustered table: every cell needs a ck "
+                            "(or declare static_columns)"
+                        )
+                    statics.append(c)
+                else:
+                    groups.setdefault(c.ck, []).append(c)
+            group_items: list[tuple[bytes | None, list[Cell], bool]] = []
+            if statics:
+                group_items.append((None, statics, True))
+            group_items += [(ck, cs, False) for ck, cs in sorted(groups.items())]
         else:
-            group_items = [(None, p.cells)]
-        col_index = {name: i for i, (name, _) in enumerate(self.columns)}
-        for ck, group_cells in group_items:
+            group_items = [(None, p.cells, False)]
+        for ck, group_cells, is_static in group_items:
+            cols = self.static_columns if is_static else self.columns
+            col_index = {name: i for i, (name, _) in enumerate(cols)}
             by_col: dict[str, list[Cell]] = {}
             for c in group_cells:
                 by_col.setdefault(c.col_name, []).append(c)
@@ -461,7 +480,7 @@ class MaWriter:
                     (cs[ver] for cs in by_col.values() if len(cs) > ver),
                     key=lambda c: col_index[c.col_name],
                 )
-                self._encode_row(out, row_cells, ck, p, style, ver, schema)
+                self._encode_row(out, row_cells, ck, p, style, ver, schema, is_static)
         out.append(END_OF_PARTITION)
         return bytes(out)
 
@@ -481,7 +500,7 @@ class MaWriter:
             out += ck
         return bytes(out)
 
-    def _encode_row(self, out, row_cells, ck, p, style, ver, schema) -> None:
+    def _encode_row(self, out, row_cells, ck, p, style, ver, schema, static=False) -> None:
             flags = HAS_TIMESTAMP
             row_ts = min(c.ts for c in row_cells)
             # row-level TTL only when every expiring cell shares one
@@ -494,10 +513,15 @@ class MaWriter:
                 if ck is not None:
                     raise ValueError("clustered-row deletions not supported")
                 flags |= HAS_DELETION
+            row_columns = self.static_columns if static else self.columns
             present = [c.col_name for c in row_cells]
-            if len(present) == len(self.columns):
+            if len(present) == len(row_columns):
                 flags |= HAS_ALL_COLUMNS
+            if static:
+                flags |= EXTENSION_FLAG
             out.append(flags)
+            if static:
+                out.append(IS_STATIC)
             if ck is not None:
                 out += self._encode_clustering_prefix(ck)
             out += enc_uvint(0)  # rowsize (the reference discards it)
@@ -510,13 +534,13 @@ class MaWriter:
                 out += enc_uvint(row_del - schema.min_timestamp)
                 out += enc_uvint(row_del // 1_000_000 - schema.min_local_deletion)
             if not flags & HAS_ALL_COLUMNS:
-                col_index = {name: i for i, (name, _) in enumerate(self.columns)}
+                col_index = {name: i for i, (name, _) in enumerate(row_columns)}
                 mask = 0
                 for name in present:
                     mask |= 1 << col_index[name]
                 out += enc_uvint(mask)  # < 64 columns: bitmask form
             for c in row_cells:
-                out += self._encode_cell(c, schema, row_ts, row_ttl)
+                out += self._encode_cell(c, schema, row_ts, row_ttl, static)
 
     def finish(self) -> None:
         self._parts.sort(key=lambda t: (t[0], t[1].key))
@@ -539,6 +563,7 @@ class MaWriter:
             min_ttl=min(all_ttl, default=0),
             regular_columns=list(self.columns),
             clustering=list(self.clustering),
+            static_columns=list(self.static_columns),
         )
 
         data = bytearray()
@@ -1025,10 +1050,13 @@ class MaReader:
                     # whole partition: fold into the row tombstone
                     row_tomb = mdel if row_tomb is None else max(row_tomb, mdel)
                     continue
-                if is_static:
-                    raise ValueError("ma: static rows not supported")
+                # static rows: no clustering prefix, cells come from the
+                # STATIC column set (read_normal_row's is_static branch,
+                # SSTable.cpp:573-607); they surface as ck=None cells —
+                # partition-resident per Cassandra semantics
+                row_cols = s.static_columns if is_static else cols
                 ck = None
-                if s.clustering:
+                if s.clustering and not is_static:
                     # clustering values precede rowsize
                     # (read_normal_row, SSTable.cpp:574-578) — a
                     # capability FIX: the reference only SKIPS these
@@ -1048,24 +1076,27 @@ class MaReader:
                         d, off = dec_uvint(buf, off)
                         row_ldt = d + s.min_local_deletion
                 if flags & HAS_DELETION:
-                    if ck is not None:
-                        # a ck-scoped row deletion is NOT a partition
-                        # tombstone; refusing beats silently widening it
+                    if ck is not None or is_static:
+                        # a ck-/static-scoped row deletion is NOT a
+                        # partition tombstone; refusing beats silently
+                        # widening it
                         raise ValueError(
-                            "ma: clustered-row deletions not supported"
+                            "ma: clustered/static row deletions not supported"
                         )
                     d, off = dec_uvint(buf, off)
                     rdel = d + s.min_timestamp
                     _d, off = dec_uvint(buf, off)
                     row_tomb = rdel if row_tomb is None else max(row_tomb, rdel)
                 if flags & HAS_ALL_COLUMNS:
-                    subset = [True] * len(cols)
+                    subset = [True] * len(row_cols)
                 else:
-                    subset, off = self._decode_subset(buf, off, len(cols))
+                    subset, off = self._decode_subset(buf, off, len(row_cols))
                 for i, present in enumerate(subset):
                     if not present:
                         continue
-                    cell, off = self._read_cell(buf, off, cols[i], row_ts, row_ttl, row_ldt)
+                    cell, off = self._read_cell(
+                        buf, off, row_cols[i], row_ts, row_ttl, row_ldt
+                    )
                     cell.ck = ck
                     cells.append(cell)
             yield murmur3_token(key), Partition(key=key, row_tomb_ts=row_tomb, cells=cells)

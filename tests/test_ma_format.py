@@ -378,3 +378,34 @@ def test_clustered_roundtrip_and_bit_codes(tmp_path):
     ck, off = r._read_clustering(bytes(buf), 1)
     from cassandra2aerospike_spark.sources.sstable.format import encode_composite
     assert ck == encode_composite([b"", b""]) and off == len(buf)
+
+
+def test_static_row_roundtrip(tmp_path):
+    """REAL static-column support: the static row (EXTENSION_FLAG +
+    IS_STATIC, no clustering prefix, STATIC column set) precedes the
+    clustered rows and reads back as ck=None cells — with tombstone
+    scope refusals for static row deletions."""
+    d = str(tmp_path / "st")
+    w = MA.MaWriter(d, 1, [("alpha", "UTF8Type")], clustering=["UTF8Type"],
+                    static_columns=[("signup", "UTF8Type")])
+    w.add(Partition(key=b"k1", cells=[
+        Cell("signup", b"2020", ts=5),
+        Cell("signup", ts=9, deleted=True),  # deleted STATIC cell
+        Cell("alpha", b"1.0", ts=100, ck=b"day1"),
+    ]))
+    w.add(Partition(key=b"k2", cells=[
+        Cell("alpha", b"2.0", ts=50, ck=b"day1"),  # no static row at all
+    ]))
+    w.finish()
+    got = {p.key: p for _t, p in MA.MaReader(d, 1).partitions()}
+    assert [(c.col_name, c.ck, c.value, c.deleted) for c in got[b"k1"].cells] == [
+        ("signup", None, b"2020", False),
+        ("signup", None, b"", True),
+        ("alpha", b"day1", b"1.0", False),
+    ]
+    assert [(c.col_name, c.ck) for c in got[b"k2"].cells] == [("alpha", b"day1")]
+    # statics require a clustering column (real tables cannot have
+    # static columns without one)
+    with pytest.raises(ValueError, match="clustering"):
+        MA.MaWriter(str(tmp_path / "bad"), 1, [("a", "UTF8Type")],
+                    static_columns=[("s", "UTF8Type")])
