@@ -99,10 +99,17 @@ def _classified_binary(
         .when(F.col("deleted"), F.lit("point"))
         .otherwise(F.lit("cell"))
     )
+    # clustered real tables: qualify the column with its clustering
+    # prefix (see fixtures.classified_from_ma) so the per-(key, col)
+    # merge stays row-scoped instead of collapsing across ck
+    qual_col = F.when(
+        F.col("ck").isNotNull(),
+        F.concat(F.col("ck").cast("string"), F.lit(":"), F.col("col_name")),
+    ).otherwise(F.col("col_name"))
     return raw.select(
         F.lower(F.hex(F.col("key"))).alias("key"),
         F.col("token"),
-        "col_name",
+        qual_col.alias("col_name"),
         F.col("value"),
         "ts",
         "ttl",

@@ -394,9 +394,19 @@ def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
         .when(F.col("deleted"), F.lit("point"))
         .otherwise(F.lit("cell"))
     )
+    # clustered tables: qualify the column with its clustering prefix so
+    # ck-unaware per-(key, col) merging stays CORRECT — distinct rows
+    # become distinct columns, point tombstones stay scoped to their own
+    # clustering row, statics (ck NULL) stay partition-scoped.  Without
+    # this, a generic merge over a clustered table would collapse rows
+    # across ck — the reference's documented wrong-merge, silently.
+    qual_col = F.when(
+        F.col("ck").isNotNull(),
+        F.concat(F.col("ck").cast("string"), F.lit(":"), F.col("col_name")),
+    ).otherwise(F.col("col_name"))
     return raw.select(
         F.col("key").cast("string").cast("long").alias("key"),
-        "col_name",
+        qual_col.alias("col_name"),
         F.col("value").cast("string").try_cast("double").alias("value"),
         "ts",
         "ttl",
@@ -417,9 +427,19 @@ def classified_from_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
         .when(F.col("deleted"), F.lit("point"))
         .otherwise(F.lit("cell"))
     )
+    # clustered tables: qualify the column with its clustering prefix so
+    # ck-unaware per-(key, col) merging stays CORRECT — distinct rows
+    # become distinct columns, point tombstones stay scoped to their own
+    # clustering row, statics (ck NULL) stay partition-scoped.  Without
+    # this, a generic merge over a clustered table would collapse rows
+    # across ck — the reference's documented wrong-merge, silently.
+    qual_col = F.when(
+        F.col("ck").isNotNull(),
+        F.concat(F.col("ck").cast("string"), F.lit(":"), F.col("col_name")),
+    ).otherwise(F.col("col_name"))
     return raw.select(
         F.col("key").cast("string").cast("long").alias("key"),
-        "col_name",
+        qual_col.alias("col_name"),
         # tombstone rows carry empty values — try_cast yields NULL for them
         F.col("value").cast("string").try_cast("double").alias("value"),
         "ts",

@@ -419,9 +419,11 @@ class MaWriter:
         return bytes(out)
 
     def _encode_partition(self, p: Partition, style: str, schema: MaSchema) -> bytes:
-        if style == "row" and not p.cells:
-            # HAS_DELETION needs a row to ride on; a cell-less partition's
-            # tombstone goes in the partition header instead
+        if style == "row" and (not p.cells or self.clustering):
+            # HAS_DELETION needs a row to ride on — and on a CLUSTERED
+            # table that row would be ck-/static-scoped, not a partition
+            # tombstone (the reader rightly refuses such bytes); both
+            # cases fall back to the partition header
             style = "partition"
         out = bytearray()
         out += _enc_str16(p.key)
@@ -501,46 +503,46 @@ class MaWriter:
         return bytes(out)
 
     def _encode_row(self, out, row_cells, ck, p, style, ver, schema, static=False) -> None:
-            flags = HAS_TIMESTAMP
-            row_ts = min(c.ts for c in row_cells)
-            # row-level TTL only when every expiring cell shares one
-            ttls = {(c.ttl, c.expiration) for c in row_cells if c.ttl is not None and not c.deleted}
-            row_ttl = next(iter(ttls)) if len(ttls) == 1 else None
-            if row_ttl is not None:
-                flags |= HAS_TTL
-            row_del = p.row_tomb_ts if (style == "row" and ver == 0 and p.row_tomb_ts is not None) else None
-            if row_del is not None:
-                if ck is not None:
-                    raise ValueError("clustered-row deletions not supported")
-                flags |= HAS_DELETION
-            row_columns = self.static_columns if static else self.columns
-            present = [c.col_name for c in row_cells]
-            if len(present) == len(row_columns):
-                flags |= HAS_ALL_COLUMNS
-            if static:
-                flags |= EXTENSION_FLAG
-            out.append(flags)
-            if static:
-                out.append(IS_STATIC)
+        flags = HAS_TIMESTAMP
+        row_ts = min(c.ts for c in row_cells)
+        # row-level TTL only when every expiring cell shares one
+        ttls = {(c.ttl, c.expiration) for c in row_cells if c.ttl is not None and not c.deleted}
+        row_ttl = next(iter(ttls)) if len(ttls) == 1 else None
+        if row_ttl is not None:
+            flags |= HAS_TTL
+        row_del = p.row_tomb_ts if (style == "row" and ver == 0 and p.row_tomb_ts is not None) else None
+        if row_del is not None:
             if ck is not None:
-                out += self._encode_clustering_prefix(ck)
-            out += enc_uvint(0)  # rowsize (the reference discards it)
-            out += enc_uvint(0)  # previous unfiltered size
-            out += enc_uvint(row_ts - schema.min_timestamp)
-            if row_ttl is not None:
-                out += enc_uvint(row_ttl[0] - schema.min_ttl)
-                out += enc_uvint(int(row_ttl[1]) - schema.min_local_deletion)
-            if row_del is not None:
-                out += enc_uvint(row_del - schema.min_timestamp)
-                out += enc_uvint(row_del // 1_000_000 - schema.min_local_deletion)
-            if not flags & HAS_ALL_COLUMNS:
-                col_index = {name: i for i, (name, _) in enumerate(row_columns)}
-                mask = 0
-                for name in present:
-                    mask |= 1 << col_index[name]
-                out += enc_uvint(mask)  # < 64 columns: bitmask form
-            for c in row_cells:
-                out += self._encode_cell(c, schema, row_ts, row_ttl, static)
+                raise ValueError("clustered-row deletions not supported")
+            flags |= HAS_DELETION
+        row_columns = self.static_columns if static else self.columns
+        present = [c.col_name for c in row_cells]
+        if len(present) == len(row_columns):
+            flags |= HAS_ALL_COLUMNS
+        if static:
+            flags |= EXTENSION_FLAG
+        out.append(flags)
+        if static:
+            out.append(IS_STATIC)
+        if ck is not None:
+            out += self._encode_clustering_prefix(ck)
+        out += enc_uvint(0)  # rowsize (the reference discards it)
+        out += enc_uvint(0)  # previous unfiltered size
+        out += enc_uvint(row_ts - schema.min_timestamp)
+        if row_ttl is not None:
+            out += enc_uvint(row_ttl[0] - schema.min_ttl)
+            out += enc_uvint(int(row_ttl[1]) - schema.min_local_deletion)
+        if row_del is not None:
+            out += enc_uvint(row_del - schema.min_timestamp)
+            out += enc_uvint(row_del // 1_000_000 - schema.min_local_deletion)
+        if not flags & HAS_ALL_COLUMNS:
+            col_index = {name: i for i, (name, _) in enumerate(row_columns)}
+            mask = 0
+            for name in present:
+                mask |= 1 << col_index[name]
+            out += enc_uvint(mask)  # < 64 columns: bitmask form
+        for c in row_cells:
+            out += self._encode_cell(c, schema, row_ts, row_ttl, static)
 
     def finish(self) -> None:
         self._parts.sort(key=lambda t: (t[0], t[1].key))

@@ -704,6 +704,32 @@ def test_real_format_min_token_prunes_slices(tmp_path):
     rows = [r for part in slices for b in rd.read(part) for r in b.to_pylist()]
     got = sorted({r["token"] for r in rows})
     assert got == [t for t in toks if t >= bound]
-    # and at least the first slice starts AT the bound, not file start
-    assert all(s.start_token is None or s.start_token >= bound or True for s in slices)
+    # every surviving slice starts at or above the bound (the pushdown
+    # seeds the first edge), and the first starts exactly AT it
+    assert all(s.start_token is not None and s.start_token >= bound for s in slices)
     assert any(s.start_token == bound for s in slices)
+
+
+def test_generic_merge_over_clustered_table_stays_row_scoped(spark, tmp_path):
+    """Review finding: ck-unaware consumers (classified_from_ma -> the
+    generic merge) must NOT collapse clustering rows.  The classified
+    mapping qualifies columns with their ck prefix, so a point tombstone
+    in day2 cannot kill day1's value — the exact wrong-merge the
+    reference documents for clustered tables."""
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        classified_from_ma,
+    )
+
+    d = str(tmp_path / "tbl")
+    w = MaWriter(d, 1, [("alpha", "UTF8Type")], clustering=["UTF8Type"])
+    w.add(Partition(key=b"7", cells=[
+        Cell("alpha", b"1.5", ts=10, ck=b"day1"),
+        Cell("alpha", b"2.5", ts=20, ck=b"day2"),
+        Cell("alpha", ts=30, deleted=True, ck=b"day2"),  # kills day2 only
+    ]))
+    w.finish()
+    classified = classified_from_ma(spark, d)
+    live = merge.live_cells_from_classified(classified)
+    got = {(r.col_name, float(r.value)) for r in live.collect()}
+    assert got == {("day1:alpha", 1.5)}  # day1 survives, day2 tombstoned
