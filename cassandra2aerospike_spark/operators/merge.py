@@ -222,6 +222,83 @@ def live_cells_from_classified(classified: DataFrame) -> DataFrame:
     )
 
 
+def clustered_live_cells(raw: DataFrame) -> DataFrame:
+    """F1/J3 over a REAL CLUSTERED table read (sstable_run layout=ma raw
+    frame): tombstone cover scoped by the clustering key, the semantics
+    the reference widens away (its read_marker folds EVERY marker into
+    row_marked_for_deletion, SSTable.cpp:553).
+
+    Cover kinds, all resolved against a cell at (key, ck, col, ts):
+      * partition tombstones — row_tomb_ts on any of the key's rows;
+      * ck-bounded range tombstones — rows with range_tomb=true and NULL
+        col_name: cover iff start < ck < end, bounds per incl_mask
+        (bit0 start-inclusive, bit1 end-inclusive; NULL bound =
+        unbounded), and tomb ts >= cell ts;
+      * clustered-row deletions — emitted by the source as the
+        degenerate inclusive [ck, ck] range;
+      * point tombstones — deleted cells at the same (key, ck, col).
+
+    Scale shape (the merge_full discipline): ONE hash(key) exchange
+    feeds every window — the per-key range list is collected in-row
+    (tiny by contract: tombstones are rare relative to cells) so range
+    cover is an array_max over a filtered array, never a θ-join.
+    Comparisons are on the raw ck BYTES (unsigned lexicographic) —
+    exactly the single-ck clustering order the ma writer lays down."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key")
+    wc = Window.partitionBy("key", "ck", "col_name")
+    is_rt = F.col("range_tomb") & F.col("col_name").isNull()
+    is_cell = F.col("col_name").isNotNull() & ~F.col("range_tomb")
+    enriched = (
+        raw.withColumn("part_tomb", F.max("row_tomb_ts").over(w))
+        .withColumn(
+            "ck_ranges",
+            F.collect_list(
+                F.when(
+                    is_rt,
+                    F.struct(
+                        F.col("ck").alias("s"),
+                        F.col("ck_end").alias("e"),
+                        F.col("incl_mask").alias("m"),
+                        F.col("ts").alias("tts"),
+                    ),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "point_tomb",
+            F.max(F.when(is_cell & F.col("deleted"), F.col("ts"))).over(wc),
+        )
+    )
+    ck = F.col("ck")
+    range_cover = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("ck_ranges"),
+                lambda r: (
+                    r["s"].isNull()
+                    | (ck > r["s"])
+                    | ((r["m"].bitwiseAND(F.lit(1)) != 0) & (ck == r["s"]))
+                )
+                & (
+                    r["e"].isNull()
+                    | (ck < r["e"])
+                    | ((r["m"].bitwiseAND(F.lit(2)) != 0) & (ck == r["e"]))
+                ),
+            ),
+            lambda r: r["tts"],
+        )
+    )
+    cover = F.greatest(F.col("part_tomb"), F.col("point_tomb"), range_cover)
+    return (
+        enriched.filter(is_cell & ~F.col("deleted"))
+        .withColumn("_cover", cover)
+        .filter(F.col("_cover").isNull() | (F.col("ts") > F.col("_cover")))
+        .select("key", "ck", "col_name", "value", "ts", "ttl", "expiration")
+    )
+
+
 def live_cells(events: DataFrame) -> DataFrame:
     """F1: a cell survives iff no covering tombstone has ts >= cell ts
     (strict `ts > minTime` survival, CassandraParser.cpp:481).

@@ -35,6 +35,9 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
+    # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
+    #    range markers + clustered-row deletions) through layout=ma
+    "s18_ma_range_tombstone_merge",
     # -- round-5 NEW queries: REAL Cassandra 3.x ma-format table read
     #    end-to-end through the DataSource layout=ma branch, and REAL
     #    media-container header parsing (PNG/GIF/WAV) for X5

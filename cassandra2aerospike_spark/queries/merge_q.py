@@ -446,6 +446,53 @@ def q_s17_ma_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s18_ma_range_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL clustered tombstones — the last refusal in the ma reader:
+    events materialize as a clustered ma table whose 'range' events are
+    REAL ck-bounded range-tombstone markers (all six ClusteringPrefix
+    kinds: start/end bounds, both inclusivities, boundary forms where
+    normalized ranges touch — SSTable.cpp:541-572's grammar, which the
+    reference widens to a whole-partition tombstone at :553) and whose
+    'row' events are CLUSTERED-ROW deletions (HAS_DELETION scoped to a
+    ck).  Read back through layout=ma, then ck-scoped tombstone
+    reconciliation (merge.clustered_live_cells) + LWW per (key, ck,
+    col), aggregated per clustering row."""
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_ma_rt_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_rt_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_rt"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    live = merge.clustered_live_cells(raw)
+    latest = (
+        live.select(
+            F.col("key").cast("string").cast("long").alias("key"),
+            F.col("ck").cast("string").alias("ck"),
+            "col_name",
+            F.col("value").cast("string").try_cast("double").alias("value"),
+            "ts",
+        )
+        .groupBy("key", "ck", "col_name")
+        .agg(F.max_by("value", "ts").alias("v"))
+    )
+    return latest.groupBy("key", "ck").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "v"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.count("*").alias("n_cols"),
+    )
+
+
 def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 capability FIX: the reference knowingly merges clustering and
     static columns incorrectly (reference README.md:30-39, skip-only
@@ -614,6 +661,7 @@ _CTE_MIXED = _CTE.replace(
 assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
 QUERIES = {
+    "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
     "s17_ma_clustering_merge": q_s17_ma_clustering_merge,
     "ma_compaction_roundtrip": q_ma_compaction_roundtrip,
@@ -761,6 +809,57 @@ ORACLES = {
     """,
     # s17: clustered-table LWW per (key, ck, column) with ck-scoped
     # point-tombstone cover; row/range events are omitted by the fixture
+    # s18: the same derivation the fixture builder encodes into real
+    # markers/row-deletions, replayed relationally.  Day arithmetic is
+    # numeric here, string-compare on the Spark side — constant-width
+    # digit strings make the two orders identical.  Pointwise max over
+    # the ORIGINAL (overlapping) ranges equals the writer's normalized
+    # disjoint segments by construction.
+    "s18_ma_range_tombstone_merge": """
+        WITH cls AS (
+          SELECT user_id AS key,
+                 epoch_us(ts) // 86400000000 AS day,
+                 event_type AS col_name, value, epoch_us(ts) AS ts, event_id,
+                 CASE WHEN event_id % 97 = 0 THEN 'row'
+                      WHEN event_id % 13 = 0 THEN 'range'
+                      WHEN event_id % 10 = 0 THEN 'point'
+                      ELSE 'cell' END AS kind
+          FROM events
+        ), rts AS (
+          SELECT key, day - (1 + event_id % 3) AS s, day AS e,
+                 (event_id % 2 = 0) AS si, (event_id % 4 < 2) AS ei, ts
+          FROM cls WHERE kind = 'range'
+          UNION ALL
+          SELECT key, day, day, TRUE, TRUE, ts FROM cls WHERE kind = 'row'
+        ), cells AS (
+          SELECT * FROM cls WHERE kind = 'cell'
+        ), pt AS (
+          SELECT key, day, col_name, max(ts) AS tomb
+          FROM cls WHERE kind = 'point' GROUP BY 1, 2, 3
+        ), rc AS (
+          SELECT c.event_id, max(r.ts) AS rt
+          FROM cells c JOIN rts r ON r.key = c.key
+            AND (c.day > r.s OR (r.si AND c.day = r.s))
+            AND (c.day < r.e OR (r.ei AND c.day = r.e))
+          GROUP BY 1
+        ), live AS (
+          SELECT c.key, c.day, c.col_name, c.value, c.ts
+          FROM cells c
+          LEFT JOIN rc ON rc.event_id = c.event_id
+          LEFT JOIN pt ON pt.key = c.key AND pt.day = c.day
+                      AND pt.col_name = c.col_name
+          WHERE (rc.rt IS NULL OR c.ts > rc.rt)
+            AND (pt.tomb IS NULL OR c.ts > pt.tomb)
+        ), latest AS (
+          SELECT key, day, col_name, arg_max(value, ts) AS v
+          FROM live GROUP BY 1, 2, 3
+        )
+        SELECT key, CAST(day AS VARCHAR) AS ck,
+               string_agg(col_name || '=' || printf('%.2f', v), ','
+                          ORDER BY col_name || '=' || printf('%.2f', v)) AS cols_str,
+               count(*) AS n_cols
+        FROM latest GROUP BY 1, 2
+    """,
     "s17_ma_clustering_merge": f"""
         WITH cls AS (
           SELECT user_id AS key,

@@ -65,6 +65,12 @@ SCHEMA = StructType(
         StructField("deleted", BooleanType()),
         StructField("range_tomb", BooleanType()),
         StructField("row_tomb_ts", LongType()),
+        # ck-bounded range tombstones (real clustered ma tables): a row
+        # with range_tomb=true, col_name NULL, ck=start bound, ck_end=end
+        # bound (NULL = unbounded side) and incl_mask bit0/bit1 = start/
+        # end inclusive.  NULL on every other row kind.
+        StructField("ck_end", BinaryType()),
+        StructField("incl_mask", IntegerType()),
     ]
 )
 
@@ -265,10 +271,12 @@ class SSTableRunReader(DataSourceReader):
                 pa.field("deleted", pa.bool_()),
                 pa.field("range_tomb", pa.bool_()),
                 pa.field("row_tomb_ts", pa.int64()),
+                pa.field("ck_end", pa.binary()),
+                pa.field("incl_mask", pa.int32()),
             ]
         )
         batch_rows = 8192
-        cols: list[list] = [[] for _ in range(12)]
+        cols: list[list] = [[] for _ in range(14)]
 
         def flush():
             arrays = [
@@ -278,9 +286,14 @@ class SSTableRunReader(DataSourceReader):
                 c.clear()
             return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-        def emit(run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts):
+        def emit(
+            run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts,
+            ck_end=None, incl_mask=None,
+        ):
             for c, v in zip(
-                cols, (run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts)
+                cols,
+                (run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts,
+                 ck_end, incl_mask),
             ):
                 c.append(v)
 
@@ -316,6 +329,20 @@ class SSTableRunReader(DataSourceReader):
                 emit(
                     part.gen, t, p.key, None, None, None, p.row_tomb_ts,
                     None, None, False, False, p.row_tomb_ts,
+                )
+            # ck-bounded range tombstones + clustered-row deletions (real
+            # clustered ma tables; a ck-row deletion IS the degenerate
+            # inclusive [ck, ck] range) — range_tomb rows with ck bounds
+            for rt_ in getattr(p, "range_tombs", ()):
+                emit(
+                    part.gen, t, p.key, None, rt_.start, None, rt_.ts,
+                    None, None, False, True, p.row_tomb_ts, rt_.end,
+                    (1 if rt_.start_incl else 0) | (2 if rt_.end_incl else 0),
+                )
+            for dck, dts in getattr(p, "ck_tombs", ()):
+                emit(
+                    part.gen, t, p.key, None, dck, None, dts,
+                    None, None, False, True, p.row_tomb_ts, dck, 3,
                 )
             for c in p.cells:
                 emit(
@@ -481,8 +508,16 @@ class SSTableRunWriter(DataSourceWriter):
     Expected input schema (the EAV cell stream, reader-symmetric):
       key string, col_name string?, value binary?, ts long,
       ttl int?, expiration long?, deleted bool, range_tomb bool,
-      row_tomb_ts long?
-    """
+      row_tomb_ts long?  [+ optional ck binary?, ck_end binary?,
+      incl_mask int? — clustered real-ma streams]
+
+    layout=ma is CLUSTERING-AWARE: when the stream carries non-NULL ck
+    values (or ck-bounded range-tombstone rows, range_tomb + NULL
+    col_name), the task writes a clustered real sstable — ck cells land
+    in their clustering row, NULL-ck columns become the table's STATIC
+    columns, and ck range tombstones become real markers — so a
+    clustered table read through layout=ma compacts back OUT through
+    layout=ma without losing its structure."""
 
     def __init__(self, options, overwrite: bool):
         self.directory = options.get("path")
@@ -499,7 +534,7 @@ class SSTableRunWriter(DataSourceWriter):
         import os
         import uuid
 
-        from .format import Cell, Partition, RunWriter
+        from .format import Cell, Partition, RangeTomb, RunWriter
 
         tmp = os.path.join(self.directory, f".tmp-{uuid.uuid4().hex[:12]}")
         os.makedirs(tmp, exist_ok=True)
@@ -509,8 +544,28 @@ class SSTableRunWriter(DataSourceWriter):
             p = parts.get(key)
             if p is None:
                 p = parts[key] = Partition(key=key)
+            r_ck = getattr(r, "ck", None)
             if r.col_name is None:
-                p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
+                if getattr(r, "range_tomb", False):
+                    # ck-bounded range tombstone (real clustered ma)
+                    if self.layout != "ma":
+                        raise ValueError(
+                            "sgr runs cannot store ck-bounded range "
+                            "tombstones; write with layout=ma"
+                        )
+                    mask = getattr(r, "incl_mask", None) or 0
+                    r_ck_end = getattr(r, "ck_end", None)
+                    p.range_tombs.append(
+                        RangeTomb(
+                            bytes(r_ck) if r_ck is not None else None,
+                            bool(mask & 1),
+                            bytes(r_ck_end) if r_ck_end is not None else None,
+                            bool(mask & 2),
+                            r.ts,
+                        )
+                    )
+                else:
+                    p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
             else:
                 if self.layout == "ma" and r.range_tomb:
                     raise ValueError(
@@ -528,6 +583,7 @@ class SSTableRunWriter(DataSourceWriter):
                         expiration=r.expiration,
                         deleted=bool(r.deleted),
                         range_tomb=bool(r.range_tomb),
+                        ck=bytes(r_ck) if r_ck is not None else None,
                     )
                 )
         if not parts:
@@ -536,12 +592,42 @@ class SSTableRunWriter(DataSourceWriter):
         if self.layout == "ma":
             from .ma_format import MaWriter
 
-            cols = sorted({c.col_name for p in parts.values() for c in p.cells})
-            w = MaWriter(tmp, 1, [(c, "UTF8Type") for c in cols])
+            clustered = any(
+                c.ck is not None for p in parts.values() for c in p.cells
+            ) or any(p.range_tombs for p in parts.values())
+            reg = sorted(
+                {
+                    c.col_name
+                    for p in parts.values()
+                    for c in p.cells
+                    if not clustered or c.ck is not None
+                }
+            )
+            static = sorted(
+                {
+                    c.col_name
+                    for p in parts.values()
+                    for c in p.cells
+                    if clustered and c.ck is None
+                }
+            )
+            both = set(reg) & set(static)
+            if both:
+                raise ValueError(
+                    f"layout=ma: columns appear with AND without a ck "
+                    f"(cannot be both clustered and static): {sorted(both)}"
+                )
+            w = MaWriter(
+                tmp,
+                1,
+                [(c, "UTF8Type") for c in reg],
+                clustering=["UTF8Type"] if clustered else None,
+                static_columns=[(c, "UTF8Type") for c in static],
+            )
         else:
             w = RunWriter(tmp, 1)
         for p in sorted(parts.values(), key=lambda p: (p.token, p.key)):
-            p.cells.sort(key=lambda c: (c.col_name, c.ts))
+            p.cells.sort(key=lambda c: (c.ck or b"", c.col_name, c.ts))
             w.add(p)
         w.finish()
         return RunCommit(tmp, len(parts))

@@ -380,6 +380,108 @@ def build_ma_clustered_table_from_events(
     return table_dir
 
 
+def build_ma_rt_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 2
+) -> str:
+    """Clustered REAL ma table with REAL clustered tombstones — the
+    markers/deletions the round-5 reader refused.  Derivation (mirrored
+    exactly by the s18 oracle CTE):
+
+      key = user_id; clustering ck = the event's day bucket (VARCHAR of
+      epoch_us // 86400000000 — constant-width digits, so byte order ==
+      numeric order); every event_type is a regular column.
+
+      'cell'  -> regular cell in its day's row
+      'point' -> deleted cell there (point tombstone)
+      'row'   -> CLUSTERED-ROW deletion of its own day (HAS_DELETION on
+                 the day's row when it exists in that sstable, else a
+                 degenerate [day, day] marker pair)
+      'range' -> ck RANGE tombstone over days [day - span, day] with
+                 span = 1 + event_id % 3, start-inclusive iff
+                 event_id % 2 = 0, end-inclusive iff event_id % 4 < 2 —
+                 written as real markers (overlaps normalized to the
+                 disjoint on-disk form; adjacencies become boundary
+                 kinds), exercising every marker type the reader knows.
+    """
+    from .format import RangeTomb
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    table_dir = os.path.join(
+        out_dir, "rt" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_rt"
+    )
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    kind = (
+        F.when(eid % 97 == 0, F.lit("row"))
+        .when(eid % 13 == 0, F.lit("range"))
+        .when(eid % 10 == 0, F.lit("point"))
+        .otherwise(F.lit("cell"))
+    )
+    rows = events.select(
+        (F.col("ts_us") % n_sstables).cast("int").alias("run"),
+        F.col("user_id").alias("key"),
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.col("event_type").alias("col_name"),
+        "value",
+        F.col("ts_us").alias("ts"),
+        kind.alias("kind"),
+        "event_id",
+    ).collect()
+    col_names = sorted({r.col_name for r in rows if r.kind == "cell"})
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        parts = by_run[r.run]
+        p = parts.get(key)
+        if p is None:
+            p = parts[key] = Partition(key=key)
+        day = int(r.day)
+        ck = str(day).encode()
+        if r.kind == "row":
+            p.ck_tombs.append((ck, r.ts))
+        elif r.kind == "range":
+            span = 1 + r.event_id % 3
+            p.range_tombs.append(
+                RangeTomb(
+                    str(day - span).encode(),
+                    r.event_id % 2 == 0,
+                    ck,
+                    r.event_id % 4 < 2,
+                    r.ts,
+                )
+            )
+        elif r.kind == "point":
+            p.cells.append(Cell(col_name=r.col_name, ts=r.ts, deleted=True, ck=ck))
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ck=ck,
+                )
+            )
+    for gen, parts in by_run.items():
+        w = MaWriter(
+            table_dir,
+            gen + 1,
+            [(n, "UTF8Type") for n in col_names],
+            clustering=["UTF8Type"],
+            codec_class="LZ4Compressor" if gen % 2 == 0 else "SnappyCompressor",
+        )
+        for key in sorted(parts):
+            p = parts[key]
+            p.cells.sort(key=lambda c: (c.ck or b"", c.col_name, c.ts))
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
 def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
     """classified_from_runs for a real-format Cassandra table directory,
     any era.  ma sstables emit no range-tombstone cells (markers fold
@@ -387,10 +489,19 @@ def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
     cells (RANGE_TOMBSTONE_MASK, SSTable.cpp:416-423), so the mapping
     must classify both."""
     register(spark)
-    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    raw = (
+        spark.read.format("sstable_run")
+        .option("layout", "ma")
+        .load(table_dir)
+        # ck-BOUNDED range tombstones (range_tomb + NULL col_name) are
+        # clustering-scoped: the flat (key, col) classification cannot
+        # express them — they are handled by the ck-aware merge path
+        # (operators.merge.clustered_live_cells / q_s18), not here
+        .filter(~(F.col("range_tomb") & F.col("col_name").isNull()))
+    )
     kind = (
-        F.when(F.col("col_name").isNull(), F.lit("row"))
-        .when(F.col("range_tomb"), F.lit("range"))
+        F.when(F.col("range_tomb"), F.lit("range"))
+        .when(F.col("col_name").isNull(), F.lit("row"))
         .when(F.col("deleted"), F.lit("point"))
         .otherwise(F.lit("cell"))
     )
@@ -422,8 +533,8 @@ def classified_from_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
     register(spark)
     raw = spark.read.format("sstable_run").load(runs_dir)
     kind = (
-        F.when(F.col("col_name").isNull(), F.lit("row"))
-        .when(F.col("range_tomb"), F.lit("range"))
+        F.when(F.col("range_tomb"), F.lit("range"))
+        .when(F.col("col_name").isNull(), F.lit("row"))
         .when(F.col("deleted"), F.lit("point"))
         .otherwise(F.lit("cell"))
     )

@@ -193,10 +193,34 @@ class Cell:
 
 
 @dataclass
+class RangeTomb:
+    """Clustering-scoped range tombstone (real ma format markers,
+    SSTable.cpp:541-572): covers cells whose ck lies inside
+    [start, end] per the inclusivity flags, written at `ts`.  A None
+    bound is unbounded on that side.  SGR runs never carry these (the
+    analog format's range tombstones are column-NAME-bounded cells,
+    the pre-ma RANGE_TOMBSTONE_MASK semantics)."""
+
+    start: bytes | None
+    start_incl: bool
+    end: bytes | None
+    end_incl: bool
+    ts: int
+
+
+@dataclass
 class Partition:
     key: bytes
     row_tomb_ts: int | None = None
     cells: list[Cell] = field(default_factory=list)
+    # real ma format only: clustering-bounded range tombstones (markers
+    # with a non-empty clustering prefix) and ck-scoped row deletions
+    # (HAS_DELETION on a clustered row).  Both cover (key, ck) scopes,
+    # narrower than row_tomb_ts — the capability the reference refuses
+    # to model (its read_marker widens EVERY marker to
+    # row_marked_for_deletion, SSTable.cpp:553).
+    range_tombs: list[RangeTomb] = field(default_factory=list)
+    ck_tombs: list[tuple[bytes, int]] = field(default_factory=list)
 
     @property
     def token(self) -> int:

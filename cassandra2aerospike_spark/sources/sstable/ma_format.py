@@ -42,9 +42,16 @@ it (delta vs minLocalDeletionTime) as the cell expiry.
 Scope notes (honest): clustering columns are DECODED into a per-cell
 `ck` prefix (writer emits up to one clustering column; the reader
 handles the general multi-column form incl. the empty/null 2-bit
-codes) — a capability fix over the reference's skip-only parsing;
-ck-scoped row deletions and clustered range markers are refused rather
-than silently widened.  Static rows decode too (IS_STATIC extended
+codes) — a capability fix over the reference's skip-only parsing.
+Clustered range-tombstone markers decode into real ck-bounded ranges
+(Partition.range_tombs, all six ClusteringPrefix kinds incl. the
+two-deletion boundary forms) and clustered-row deletions into
+Partition.ck_tombs — where the reference widens every marker to a
+partition tombstone (SSTable.cpp:553) and documents the wrong merge.
+Bound prefixes on MULTI-clustering-column tables decode (grammar), but
+cover comparison downstream is defined on the encoded prefix bytes —
+exact for single-ck tables (the writer's scope); static-row deletions
+are refused.  Static rows decode too (IS_STATIC extended
 flag, STATIC column set, ck=None cells) and the writer emits them
 first in each partition, per the real layout; the >= 64-column
 sparse subset encoding decodes but the writer stays < 64 columns.
@@ -64,7 +71,7 @@ from dataclasses import dataclass, field
 
 from . import lz4_py as _lz4
 from . import snappy_py as _snappy
-from .format import Cell, Partition
+from .format import Cell, Partition, RangeTomb
 
 # ---------------------------------------------------------------- vints
 # Cassandra unsigned vint (Buffer.cpp:60-91): the count of leading ones
@@ -164,9 +171,17 @@ CELL_HAS_EMPTY_VALUE = 0x04
 CELL_USE_ROW_TIMESTAMP = 0x08
 CELL_USE_ROW_TTL = 0x10
 
-# marker types with a trailing second deletion time (SSTable.cpp:556-563)
+# marker (ClusteringPrefix.Kind) type bytes.  The reference names only
+# the two boundary types (SSTable.cpp:556-563) because it skips every
+# other distinction; the full set is the Cassandra 3.x kind ordinal.
+EXCL_END_BOUND = 0
+INCL_START_BOUND = 1
 EXCL_END_INCL_START_BOUNDARY = 2
 INCL_END_EXCL_START_BOUNDARY = 5
+INCL_END_BOUND = 6
+EXCL_START_BOUND = 7
+_BOUNDARIES = (EXCL_END_INCL_START_BOUNDARY, INCL_END_EXCL_START_BOUNDARY)
+_END_MARKERS = (EXCL_END_BOUND, INCL_END_BOUND) + _BOUNDARIES
 
 MURMUR3_CLASS = "org.apache.cassandra.dht.Murmur3Partitioner"
 _MARSHAL = "org.apache.cassandra.db.marshal."
@@ -198,7 +213,40 @@ DEFAULT_CHUNK = 64 * 1024
 # instead of being fed to the reader under a still-matching _DONE marker
 # (the SGR sources solve the same problem by embedding MAGIC in leaf
 # names).
-FIXTURE_ENCODER_REV = "e1"
+FIXTURE_ENCODER_REV = "e2"
+
+
+def _normalize_ck_ranges(ranges: list[RangeTomb]) -> list[list]:
+    """Sweep overlapping [start, end] ck ranges into the disjoint,
+    clustering-ordered segments real sstables store (Cassandra's
+    RangeTombstoneList discipline — on-disk markers never nest), each
+    segment carrying max(deletion ts) of the inputs covering it.
+
+    Positions are (value, side): side 0 = at(value), 1 = just-after;
+    a range occupies the half-open position interval [s, e) with
+    s = (start, 0 if inclusive else 1), e = (end, 1 if inclusive else
+    0).  Cover semantics are unchanged by construction: every point's
+    max-ts over the originals equals its segment's ts."""
+    iv = []
+    for r in ranges:
+        if r.start is None or r.end is None:
+            raise ValueError("MaWriter needs bounded ck ranges")
+        s = (r.start, 0 if r.start_incl else 1)
+        e = (r.end, 1 if r.end_incl else 0)
+        if s < e:
+            iv.append((s, e, r.ts))
+    cuts = sorted({pos for s, e, _ in iv for pos in (s, e)})
+    segs: list[list] = []  # [start_pos, end_pos, ts]
+    for p1, p2 in zip(cuts, cuts[1:]):
+        covering = [t for s, e, t in iv if s <= p1 and e >= p2]
+        if not covering:
+            continue
+        t = max(covering)
+        if segs and segs[-1][1] == p1 and segs[-1][2] == t:
+            segs[-1][1] = p2  # coalesce equal-ts adjacency
+        else:
+            segs.append([p1, p2, t])
+    return segs
 
 
 
@@ -418,6 +466,57 @@ class MaWriter:
                 out += c.value
         return bytes(out)
 
+    def _encode_marker(
+        self, mtype: int, v: bytes, ts: int, ts2: int | None = None
+    ) -> bytes:
+        """One range-tombstone marker row (the grammar the reader's
+        IS_MARKER branch decodes; SSTable.cpp:541-572): flags, kind
+        byte, bound size + clustering prefix, row sizes, deletion time
+        — twice for boundary kinds (close then open)."""
+        out = bytearray([IS_MARKER, mtype])
+        out += struct.pack(">H", 1)  # bound prefix: one clustering value
+        out += self._encode_clustering_prefix(v)
+        out += enc_uvint(0) + enc_uvint(0)  # rowsize / prev size
+        out += struct.pack(">q", ts) + struct.pack(">i", ts // 1_000_000)
+        if ts2 is not None:
+            out += struct.pack(">q", ts2) + struct.pack(">i", ts2 // 1_000_000)
+        return bytes(out)
+
+    def _marker_items(self, segs) -> list[tuple[tuple, bytes]]:
+        """Normalized segments -> positioned marker rows.  Adjacent
+        segments (differing ts) share a bound and collapse into the two
+        real boundary kinds; everything else is a single start/end bound.
+        Sort keys are (ck value, side, 0) so markers interleave with the
+        data rows at (ck, 0, 1) exactly as the real layout orders
+        unfiltereds by clustering position."""
+        items: list[tuple[tuple, bytes]] = []
+
+        def close_item(prev):
+            (v, side), ts = prev
+            mtype = EXCL_END_BOUND if side == 0 else INCL_END_BOUND
+            return ((v, side, 0), self._encode_marker(mtype, v, ts))
+
+        prev = None  # (end position, ts) of the previous segment
+        for s_pos, e_pos, ts in segs:
+            if prev is not None and prev[0] == s_pos:
+                v, side = s_pos
+                mtype = (
+                    EXCL_END_INCL_START_BOUNDARY
+                    if side == 0
+                    else INCL_END_EXCL_START_BOUNDARY
+                )
+                items.append(((v, side, 0), self._encode_marker(mtype, v, prev[1], ts)))
+            else:
+                if prev is not None:
+                    items.append(close_item(prev))
+                v, side = s_pos
+                mtype = INCL_START_BOUND if side == 0 else EXCL_START_BOUND
+                items.append(((v, side, 0), self._encode_marker(mtype, v, ts)))
+            prev = (e_pos, ts)
+        if prev is not None:
+            items.append(close_item(prev))
+        return items
+
     def _encode_partition(self, p: Partition, style: str, schema: MaSchema) -> bytes:
         if style == "row" and (not p.cells or self.clustering):
             # HAS_DELETION needs a row to ride on — and on a CLUSTERED
@@ -442,6 +541,14 @@ class MaWriter:
             out += enc_uvint(0)  # previous unfiltered size
             out += struct.pack(">q", p.row_tomb_ts)
             out += struct.pack(">i", p.row_tomb_ts // 1_000_000)
+
+        # ck-scoped tombstones (markers + clustered-row deletions) need
+        # a clustered table
+        ck_dels: dict[bytes, int] = {}
+        for dck, dts in p.ck_tombs:
+            ck_dels[dck] = max(dts, ck_dels.get(dck, dts))
+        if (p.range_tombs or ck_dels) and not self.clustering:
+            raise ValueError("ck-scoped tombstones need a clustered table")
 
         # group cells into rows: by clustering value on clustered
         # tables (rows in ck order, like real sstables), else one
@@ -470,6 +577,17 @@ class MaWriter:
             group_items += [(ck, cs, False) for ck, cs in sorted(groups.items())]
         else:
             group_items = [(None, p.cells, False)]
+
+        # a deletion of a ck with NO row to ride on becomes a degenerate
+        # [ck, ck] range marker pair; one WITH a row rides it as
+        # HAS_DELETION (both real encodings of a clustered-row deletion)
+        ranges = list(p.range_tombs) + [
+            RangeTomb(dck, True, dck, True, dts)
+            for dck, dts in ck_dels.items()
+            if not self.clustering or dck not in groups
+        ]
+        items = self._marker_items(_normalize_ck_ranges(ranges)) if ranges else []
+
         for ck, group_cells, is_static in group_items:
             cols = self.static_columns if is_static else self.columns
             col_index = {name: i for i, (name, _) in enumerate(cols)}
@@ -482,7 +600,24 @@ class MaWriter:
                     (cs[ver] for cs in by_col.values() if len(cs) > ver),
                     key=lambda c: col_index[c.col_name],
                 )
-                self._encode_row(out, row_cells, ck, p, style, ver, schema, is_static)
+                ck_del = (
+                    ck_dels.get(ck)
+                    if ver == 0 and ck is not None and not is_static
+                    else None
+                )
+                if is_static or not self.clustering:
+                    # statics precede every clustered unfiltered
+                    self._encode_row(
+                        out, row_cells, ck, p, style, ver, schema, is_static
+                    )
+                else:
+                    tmp = bytearray()
+                    self._encode_row(
+                        tmp, row_cells, ck, p, style, ver, schema, False, ck_del
+                    )
+                    items.append(((ck, 0, 1), bytes(tmp)))
+        for _pos, encoded in sorted(items, key=lambda kv: kv[0]):
+            out += encoded
         out.append(END_OF_PARTITION)
         return bytes(out)
 
@@ -502,7 +637,9 @@ class MaWriter:
             out += ck
         return bytes(out)
 
-    def _encode_row(self, out, row_cells, ck, p, style, ver, schema, static=False) -> None:
+    def _encode_row(
+        self, out, row_cells, ck, p, style, ver, schema, static=False, ck_del=None
+    ) -> None:
         flags = HAS_TIMESTAMP
         row_ts = min(c.ts for c in row_cells)
         # row-level TTL only when every expiring cell shares one
@@ -511,9 +648,11 @@ class MaWriter:
         if row_ttl is not None:
             flags |= HAS_TTL
         row_del = p.row_tomb_ts if (style == "row" and ver == 0 and p.row_tomb_ts is not None) else None
+        if ck_del is not None:
+            # clustered-row deletion riding its row (HAS_DELETION with a
+            # non-empty clustering prefix — ck-scoped, not partition)
+            row_del = ck_del
         if row_del is not None:
-            if ck is not None:
-                raise ValueError("clustered-row deletions not supported")
             flags |= HAS_DELETION
         row_columns = self.static_columns if static else self.columns
         present = [c.col_name for c in row_cells]
@@ -552,6 +691,10 @@ class MaWriter:
             if p.row_tomb_ts is not None:
                 all_ts.append(p.row_tomb_ts)
                 all_ldt.append(p.row_tomb_ts // 1_000_000)
+            for _ck, dts in p.ck_tombs:
+                # clustered-row deletions delta-encode on their rows
+                all_ts.append(dts)
+                all_ldt.append(dts // 1_000_000)
             for c in p.cells:
                 all_ts.append(c.ts)
                 if c.deleted:
@@ -946,17 +1089,20 @@ class MaReader:
             off,
         )
 
-    def _read_clustering(self, buf: bytes, off: int) -> tuple[bytes, int]:
+    def _read_clustering(
+        self, buf: bytes, off: int, count: int | None = None
+    ) -> tuple[bytes, int]:
         """Clustering values of one row (read_clustering_columns,
         SSTable.cpp:487-503): per 32-column block a uvint header with 2
         bits per column — 0 = value present (fixed width or
         vint-length-prefixed per the column's wire format), 1 = empty,
         2 = null.  Returns the row's clustering prefix as bytes: the
         single value for one clustering column, the composite encoding
-        for several (nulls encode as empty components)."""
+        for several (nulls encode as empty components).  `count` reads a
+        shorter PREFIX (range-marker bounds carry their own size)."""
         s = self.stats.schema
         vals: list[bytes] = []
-        i, n = 0, len(s.clustering)
+        i, n = 0, len(s.clustering) if count is None else count
         while i < n:
             header, off = dec_uvint(buf, off)
             limit = min(n, i + 32)
@@ -1024,6 +1170,9 @@ class MaReader:
             off += 8
             row_tomb = None if marked == LIVE_MARKED_FOR_DELETE else marked
             cells: list[Cell] = []
+            range_tombs: list[RangeTomb] = []
+            ck_tombs: list[tuple[bytes, int]] = []
+            open_rt: tuple[bytes, bool, int] | None = None
             while True:
                 flags = _byte(buf, off)
                 off += 1
@@ -1040,17 +1189,56 @@ class MaReader:
                     off += 1
                     (csize,) = struct.unpack_from(">H", buf, _fixed(buf, off, 2))
                     off += 2
+                    bound = None
                     if not is_static and csize:
-                        raise ValueError("ma: clustering values not supported")
+                        # the bound's clustering PREFIX (may be shorter
+                        # than the full clustering for multi-ck tables)
+                        bound, off = self._read_clustering(buf, off, csize)
                     _rs, off = dec_uvint(buf, off)
                     _ps, off = dec_uvint(buf, off)
-                    (mdel,) = struct.unpack_from(">q", buf, _fixed(buf, off, 20 if mtype in (EXCL_END_INCL_START_BOUNDARY, INCL_END_EXCL_START_BOUNDARY) else 12))
+                    boundary = mtype in _BOUNDARIES
+                    _fixed(buf, off, 24 if boundary else 12)
+                    (del1,) = struct.unpack_from(">q", buf, off)
                     off += 12  # deletion ts + local deletion
-                    if mtype in (EXCL_END_INCL_START_BOUNDARY, INCL_END_EXCL_START_BOUNDARY):
-                        off += 12  # boundary second deletion time
-                    # an open-ended marker with no clustering covers the
-                    # whole partition: fold into the row tombstone
-                    row_tomb = mdel if row_tomb is None else max(row_tomb, mdel)
+                    del2 = None
+                    if boundary:
+                        # boundaries carry a SECOND deletion time: the
+                        # first closes the preceding range, the second
+                        # opens the next (the reference skips it,
+                        # SSTable.cpp:556-563)
+                        (del2,) = struct.unpack_from(">q", buf, off)
+                        off += 12
+                    if bound is None:
+                        # an unbounded marker covers the whole partition:
+                        # fold into the row tombstone (the reference's
+                        # treatment of EVERY marker, SSTable.cpp:553)
+                        row_tomb = del1 if row_tomb is None else max(row_tomb, del1)
+                        continue
+                    # a BOUNDED marker scopes a real ck range — the
+                    # capability the reference widens away.  Ends close
+                    # the pending open (markers are stored disjoint and
+                    # in clustering order, so one pending open suffices);
+                    # an end with no open is an unbounded-start range.
+                    if mtype in _END_MARKERS:
+                        end_incl = mtype in (INCL_END_BOUND, INCL_END_EXCL_START_BOUNDARY)
+                        if open_rt is not None:
+                            s_ck, s_incl, s_ts = open_rt
+                        else:
+                            s_ck, s_incl, s_ts = None, True, del1
+                        range_tombs.append(
+                            RangeTomb(s_ck, s_incl, bound, end_incl, s_ts)
+                        )
+                        open_rt = None
+                        if mtype == EXCL_END_INCL_START_BOUNDARY:
+                            open_rt = (bound, True, del2)
+                        elif mtype == INCL_END_EXCL_START_BOUNDARY:
+                            open_rt = (bound, False, del2)
+                    elif mtype == INCL_START_BOUND:
+                        open_rt = (bound, True, del1)
+                    elif mtype == EXCL_START_BOUND:
+                        open_rt = (bound, False, del1)
+                    else:
+                        raise ValueError(f"ma: unknown marker type {mtype}")
                     continue
                 # static rows: no clustering prefix, cells come from the
                 # STATIC column set (read_normal_row's is_static branch,
@@ -1078,17 +1266,20 @@ class MaReader:
                         d, off = dec_uvint(buf, off)
                         row_ldt = d + s.min_local_deletion
                 if flags & HAS_DELETION:
-                    if ck is not None or is_static:
-                        # a ck-/static-scoped row deletion is NOT a
-                        # partition tombstone; refusing beats silently
-                        # widening it
-                        raise ValueError(
-                            "ma: clustered/static row deletions not supported"
-                        )
+                    if is_static:
+                        # a static-scoped row deletion is NOT a partition
+                        # tombstone; refusing beats silently widening it
+                        raise ValueError("ma: static row deletions not supported")
                     d, off = dec_uvint(buf, off)
                     rdel = d + s.min_timestamp
                     _d, off = dec_uvint(buf, off)
-                    row_tomb = rdel if row_tomb is None else max(row_tomb, rdel)
+                    if ck is not None:
+                        # clustered-row deletion: covers ONLY this
+                        # (key, ck) row — kept scoped instead of the
+                        # refusal the r5 reader shipped
+                        ck_tombs.append((ck, rdel))
+                    else:
+                        row_tomb = rdel if row_tomb is None else max(row_tomb, rdel)
                 if flags & HAS_ALL_COLUMNS:
                     subset = [True] * len(row_cols)
                 else:
@@ -1101,5 +1292,15 @@ class MaReader:
                     )
                     cell.ck = ck
                     cells.append(cell)
-            yield murmur3_token(key), Partition(key=key, row_tomb_ts=row_tomb, cells=cells)
+            if open_rt is not None:
+                # unclosed open at end-of-partition: unbounded-end range
+                s_ck, s_incl, s_ts = open_rt
+                range_tombs.append(RangeTomb(s_ck, s_incl, None, True, s_ts))
+            yield murmur3_token(key), Partition(
+                key=key,
+                row_tomb_ts=row_tomb,
+                cells=cells,
+                range_tombs=range_tombs,
+                ck_tombs=ck_tombs,
+            )
 

@@ -409,3 +409,107 @@ def test_static_row_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="clustering"):
         MA.MaWriter(str(tmp_path / "bad"), 1, [("a", "UTF8Type")],
                     static_columns=[("s", "UTF8Type")])
+
+
+def test_range_tombstone_marker_roundtrip(tmp_path):
+    """Clustered range-tombstone markers — the refusal the r6 reader
+    removed: overlapping input ranges normalize to the disjoint on-disk
+    form (adjacencies become the two boundary kinds, SSTable.cpp:556-563)
+    and decode back with IDENTICAL pointwise cover; clustered-row
+    deletions ride their row (HAS_DELETION + ck) or degenerate into a
+    [ck, ck] marker pair when no row exists."""
+    d = str(tmp_path / "rt")
+    w = MA.MaWriter(d, 1, [("v", "UTF8Type")], clustering=["UTF8Type"])
+    p = Partition(key=b"k1", cells=[
+        Cell("v", b"a", ts=1000, ck=b"d1"),
+        Cell("v", b"b", ts=1001, ck=b"d4"),
+    ])
+    from cassandra2aerospike_spark.sources.sstable.format import RangeTomb
+    p.range_tombs.append(RangeTomb(b"d1", True, b"d2", False, 5000))
+    p.range_tombs.append(RangeTomb(b"d2", True, b"d3", True, 6000))  # adjacent
+    p.ck_tombs.append((b"d4", 7000))   # rides the d4 row
+    p.ck_tombs.append((b"d9", 8000))   # no row -> degenerate marker pair
+    w.add(p)
+    # marker-only partition (no cells at all)
+    p2 = Partition(key=b"k2")
+    p2.range_tombs.append(RangeTomb(b"x", False, b"y", True, 42))
+    w.add(p2)
+    w.finish()
+
+    got = {p.key: p for _t, p in MA.MaReader(d, 1).partitions()}
+    k1 = got[b"k1"]
+    assert k1.row_tomb_ts is None  # nothing widened to the partition
+    assert k1.ck_tombs == [(b"d4", 7000)]
+    assert k1.range_tombs == [
+        RangeTomb(b"d1", True, b"d2", False, 5000),
+        RangeTomb(b"d2", True, b"d3", True, 6000),
+        RangeTomb(b"d9", True, b"d9", True, 8000),
+    ]
+    assert got[b"k2"].range_tombs == [RangeTomb(b"x", False, b"y", True, 42)]
+    assert got[b"k2"].cells == []
+
+
+def test_range_normalization_preserves_pointwise_cover():
+    """Property: for overlapping/nested/duplicate ranges, the writer's
+    sweep (disjoint segments, max ts) gives every ck value exactly the
+    max deletion ts of the ORIGINAL ranges covering it — the invariant
+    that lets the s18 oracle compute cover over the raw ranges."""
+    import itertools
+    import random
+
+    from cassandra2aerospike_spark.sources.sstable.format import RangeTomb
+
+    rng = random.Random(18)
+    vals = [b"%02d" % i for i in range(10)]
+
+    def covered(r, v):
+        lo = r.start < v or (r.start_incl and r.start == v)
+        hi = v < r.end or (r.end_incl and r.end == v)
+        return lo and hi
+
+    def seg_covered(seg, v):
+        (s, e, ts) = seg
+        return (s <= (v, 0)) and ((v, 0) < e)
+
+    for trial in range(50):
+        ranges = [
+            RangeTomb(
+                vals[a], rng.random() < 0.5, vals[b], rng.random() < 0.5,
+                rng.randrange(1, 5) * 1000,
+            )
+            for _ in range(rng.randrange(1, 6))
+            for a, b in [sorted(rng.sample(range(10), 2))]
+        ]
+        segs = MA._normalize_ck_ranges(ranges)
+        # segments must be disjoint and ordered
+        for s1, s2 in itertools.pairwise(segs):
+            assert s1[1] <= s2[0]
+        for v in vals:
+            want = max((r.ts for r in ranges if covered(r, v)), default=None)
+            gotv = max((ts for s, e, ts in segs if s <= (v, 0) < e), default=None)
+            assert gotv == want, (trial, v, ranges, segs)
+
+
+def test_marker_truncation_fails_uniformly(tmp_path):
+    """Cut a marker-bearing logical stream at every byte: the reader
+    must fail with ValueError (or yield a shorter prefix), never
+    IndexError/struct.error — the snappy_py r4 discipline extended to
+    the marker grammar."""
+    d = str(tmp_path / "trunc")
+    w = MA.MaWriter(d, 1, [("v", "UTF8Type")], clustering=["UTF8Type"],
+                    codec_class="NoopCompressor" if hasattr(MA, "NOOP") else "LZ4Compressor")
+    from cassandra2aerospike_spark.sources.sstable.format import RangeTomb
+    p = Partition(key=b"k1", cells=[Cell("v", b"a", ts=1000, ck=b"d1")])
+    p.range_tombs.append(RangeTomb(b"d0", True, b"d2", False, 5000))
+    p.ck_tombs.append((b"d1", 7000))
+    w.add(p)
+    w.finish()
+    r = MA.MaReader(d, 1)
+    full = r._logical_data()
+    for cut in range(len(full)):
+        rr = MA.MaReader(d, 1)
+        rr._logical_data = lambda buf=full[:cut]: buf
+        try:
+            list(rr.partitions())
+        except ValueError:
+            pass  # uniform failure mode
