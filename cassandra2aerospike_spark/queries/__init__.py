@@ -38,6 +38,7 @@ _PRIORITY = [
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",
+    "a7_counter_reconcile",
     # -- round-5 NEW queries: REAL Cassandra 3.x ma-format table read
     #    end-to-end through the DataSource layout=ma branch, and REAL
     #    media-container header parsing (PNG/GIF/WAV) for X5

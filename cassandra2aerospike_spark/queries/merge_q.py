@@ -493,6 +493,38 @@ def q_s18_ma_range_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTER cells, decoded past the reference's stopping point: the
+    reference reads COUNTER_MASK + counterTs (SSTable.cpp:433-437) and
+    carries the serialized counter context as an opaque blob; this
+    engine decodes the context (shards of 16B id + clock + cumulative
+    count) and implements real counter reconciliation — per shard id
+    keep the max-(clock, count) state across every sstable, counter
+    value = sum of surviving shard counts.  Runs over a REAL two-era
+    (ka + la) counter table built from events, read through the
+    DataSource's mixed-era branch."""
+    from ..functions.counters import counter_reconcile
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_counter_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_counter_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ctr"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    cells = raw.filter(
+        F.col("col_name").isNotNull() & ~F.col("deleted") & ~F.col("range_tomb")
+    ).select(
+        F.col("key").cast("string").cast("long").alias("key"),
+        "col_name",
+        "value",
+    )
+    return counter_reconcile(cells)
+
+
 def q_s10_clustering_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 capability FIX: the reference knowingly merges clustering and
     static columns incorrectly (reference README.md:30-39, skip-only
@@ -662,6 +694,7 @@ assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
 QUERIES = {
     "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
+    "a7_counter_reconcile": q_a7_counter_reconcile,
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
     "s17_ma_clustering_merge": q_s17_ma_clustering_merge,
     "ma_compaction_roundtrip": q_ma_compaction_roundtrip,
@@ -809,6 +842,29 @@ ORACLES = {
     """,
     # s17: clustered-table LWW per (key, ck, column) with ck-scoped
     # point-tombstone cover; row/range events are omitted by the fixture
+    # a7: replay the fixture's shard derivation relationally.  Per-shard
+    # argmax = "max count among max-clock rows" (the window form here ==
+    # Spark's max(struct(clock, cnt)) tie rule); totals cast to BIGINT
+    # because DuckDB sum(BIGINT) widens to HUGEINT.
+    "a7_counter_reconcile": """
+        WITH upd AS (
+          SELECT user_id AS key, event_type AS col_name,
+                 event_id % 5 AS shard, epoch_us(ts) AS clock,
+                 CAST(floor(value * 100) AS BIGINT) AS cnt
+          FROM events
+          WHERE event_id % 97 <> 0 AND event_id % 13 <> 0
+            AND event_id % 10 <> 0
+        ), ranked AS (
+          SELECT *, max(clock) OVER (PARTITION BY key, col_name, shard) AS mc
+          FROM upd
+        ), latest AS (
+          SELECT key, col_name, shard, max(cnt) AS cnt
+          FROM ranked WHERE clock = mc GROUP BY 1, 2, 3
+        )
+        SELECT key, col_name, CAST(sum(cnt) AS BIGINT) AS total,
+               count(*) AS n_shards
+        FROM latest GROUP BY 1, 2
+    """,
     # s18: the same derivation the fixture builder encodes into real
     # markers/row-deletions, replayed relationally.  Day arithmetic is
     # numeric here, string-compare on the Spark side — constant-width

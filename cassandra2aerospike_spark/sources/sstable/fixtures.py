@@ -304,6 +304,83 @@ def build_mixed_era_table_from_events(
     return table_dir
 
 
+def build_counter_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Materialize events as a REAL pre-ma COUNTER table: two sstables
+    (ka + la, different codecs, so reconciliation spans files like the
+    reference's k-way merge) whose cells carry COUNTER_MASK + counterTs
+    (SSTable.cpp:433-437) and whose VALUES are real serialized counter
+    contexts (functions.counters layout).  Derivation (mirrored by the
+    a7 oracle): every 'cell'-kind event is one shard update of counter
+    column event_type — shard id = event_id % 5 (embedded in a 16-byte
+    counter id), clock = ts, count = floor(value * 100)."""
+    from ...functions.counters import encode_counter_context
+    from .ma_format import FIXTURE_ENCODER_REV
+    from .old_format import OldWriter
+
+    table_dir = os.path.join(out_dir, "ctr" + FIXTURE_ENCODER_REV, "tmx", "counters")
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    rows = (
+        events.filter((eid % 97 != 0) & (eid % 13 != 0) & (eid % 10 != 0))
+        .select(
+            (F.col("ts_us") % 2).cast("int").alias("run"),
+            F.col("user_id").alias("key"),
+            F.col("event_type").alias("col_name"),
+            F.floor(F.col("value") * 100).cast("long").alias("cnt"),
+            F.col("ts_us").alias("ts"),
+            (eid % 5).alias("shard"),
+        )
+        .collect()
+    )
+    by_run: dict[int, dict[bytes, Partition]] = {0: {}, 1: {}}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        p = by_run[r.run].setdefault(key, Partition(key=key))
+        if r.cnt is None:
+            continue  # NULL event value: no shard update
+        cid = struct_pack_counter_id(int(r.shard))
+        p.cells.append(
+            Cell(
+                col_name=r.col_name,
+                value=encode_counter_context([(cid, int(r.ts), int(r.cnt))]),
+                ts=int(r.ts),
+            )
+        )
+    writers = [
+        OldWriter(
+            table_dir, 1, version="ka", codec_class="SnappyCompressor",
+            table="counters", counter_cols=frozenset(r.col_name for r in rows),
+        ),
+        OldWriter(
+            table_dir, 2, version="la", codec_class="DeflateCompressor",
+            table="counters", counter_cols=frozenset(r.col_name for r in rows),
+        ),
+    ]
+    for gen, w in enumerate(writers):
+        for key in sorted(by_run[gen]):
+            p = by_run[gen][key]
+            p.cells.sort(key=lambda c: (c.col_name, c.ts))
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
+def struct_pack_counter_id(shard: int) -> bytes:
+    """Deterministic 16-byte counter id for a small shard index (real
+    ids are replica UUIDs; the fixture embeds the index in the low
+    bytes)."""
+    import struct as _s
+
+    return _s.pack(">IIII", 0, 0, 0, shard)
+
+
 def build_ma_clustered_table_from_events(
     spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 2
 ) -> str:
