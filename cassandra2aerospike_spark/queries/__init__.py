@@ -35,6 +35,12 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
+    # -- round-5 NEW training-pipeline queries: benchmark decontamination
+    #    (broadcast n-gram overlap), stratified rate sampling, domain
+    #    mixing by epoch repetition
+    "text_decontaminate",
+    "sample_stratified",
+    "sample_domain_mix",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

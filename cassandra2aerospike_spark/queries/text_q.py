@@ -154,6 +154,92 @@ def q_sample_hash_split(spark, sf_dir):
     return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the word-n-gram-overlap filter every
+    pretraining pipeline runs before training: flag corpus documents
+    sharing too many 5-grams with a held-out eval set (here the
+    deterministic pseudo-benchmark ``doc_id % 50 == 0``).
+
+    Scale shape: the benchmark side is SMALL BY CONTRACT (eval suites are
+    thousands of documents vs a 100 TB corpus), so its distinct-gram set
+    broadcasts; the corpus side explodes its in-row distinct grams into a
+    broadcast hash join that keeps only hits — the full corpus gram
+    stream never crosses an exchange — and one doc_id aggregation counts
+    them.  Contamination is integer-exact: ``10 * hits > grams`` (>10%
+    distinct-gram overlap)."""
+    d = _docs(spark, sf_dir)
+    grams5 = X.shingles_of(X.tokens(F.col("text")), 5)
+    corpus = d.select("doc_id", F.size(grams5).alias("n_grams"), grams5.alias("grams"))
+    bench = (
+        corpus.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    n_hit = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    return (
+        corpus.drop("grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            n_hit.alias("n_hit"),
+            (F.col("doc_id") % 50 == 0).alias("is_benchmark"),
+            ((n_hit * 10 > F.col("n_grams")) & (F.col("n_grams") > 0)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Stratified RATE sampling: per-language keep rates applied through
+    the same deterministic md5 bucket as `sample_hash_split` (en is
+    majority in the fixture, so it downsamples to 25% while the
+    low-resource strata keep 60% — the rebalancing move of corpus
+    mixing).
+
+    Deliberately rate-based, NOT exact-k-per-stratum: an exact cap needs
+    a rank window partitioned by stratum, and with a handful of strata
+    that is a handful of reducers no matter how many executors — the
+    classic 100 TB anti-pattern.  The rate threshold is pure map-side
+    (zero shuffles, rides the scan) and reproducible across engines,
+    runs, and partitionings."""
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    thr = F.when(F.col("lang") == "en", F.lit(16384)).otherwise(F.lit(39321))
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), thr.alias("thr"))
+        .filter(F.col("bucket") < F.col("thr"))
+        .drop("thr")
+    )
+
+
+def q_sample_domain_mix(spark, sf_dir):
+    """Domain MIXING by epoch repetition — reweighting source domains to
+    a target mixture by repeating documents (the static-mixture move of
+    DoReMi-style pipelines, expressed as data): sources src0-src4 train
+    3 epochs, src5-src9 2, the tail 1.  The repeat factor is a literal
+    policy on the domain id and `explode(sequence(...))` is map-side —
+    zero shuffles, the mixture rides the scan at any scale."""
+    d = _docs(spark, sf_dir)
+    dom = F.substring(F.col("source"), 4, 8).cast("int")
+    epochs = F.when(dom < 5, F.lit(3)).when(dom < 10, F.lit(2)).otherwise(F.lit(1))
+    return d.select(
+        "doc_id",
+        "source",
+        epochs.alias("epochs"),
+        F.explode(F.sequence(F.lit(0), epochs - 1)).alias("epoch"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.STOPWORDS.items()}
@@ -347,6 +433,58 @@ ORACLES = {
                     ELSE 'test' END AS split
         FROM b
     """,
+    "text_decontaminate": _TOKS
+    + """
+        , g AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 5 THEN
+                   list_distinct(list_transform(range(1, len(t) - 3),
+                       i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM toks
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hit
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM g) cg
+          JOIN bench USING (gram)
+          GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+               g.doc_id % 50 = 0 AS is_benchmark,
+               coalesce(n_hit, 0) * 10 > len(grams) AND len(grams) > 0
+                   AS contaminated
+        FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+    """,
+    "sample_stratified": """
+        WITH b AS (
+          SELECT doc_id, lang,
+                 list_reduce(list_transform(range(1, 5),
+                     j -> strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1),
+                     (a, b) -> a * 16 + b) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+        FROM b
+        WHERE bucket < CASE WHEN lang = 'en' THEN 16384 ELSE 39321 END
+    """,
+    "sample_domain_mix": """
+        WITH e AS (
+          SELECT doc_id, source,
+                 CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3
+                      WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2
+                      ELSE 1 END AS epochs
+          FROM documents
+        )
+        SELECT doc_id, source, epochs,
+               CAST(unnest(range(0, epochs)) AS INT) AS epoch
+        FROM e
+    """,
     "text_term_freq": _TOKS
     + """
         SELECT token, count(*) AS freq
@@ -445,4 +583,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_term_freq": q_text_term_freq,
     "sample_hash_split": q_sample_hash_split,
+    "text_decontaminate": q_text_decontaminate,
+    "sample_stratified": q_sample_stratified,
+    "sample_domain_mix": q_sample_domain_mix,
 }

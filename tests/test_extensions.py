@@ -453,3 +453,47 @@ def test_real_nn_resize_matches_per_pixel_reference():
     up = resize_nn(img, 22, 14)
     assert up.shape == (14, 22, 3)
     assert np.array_equal(up[0, 0], img[0, 0]) and np.array_equal(up[-1, -1], img[-1, -1])
+
+
+def test_decontaminate_benchmark_docs_self_flag(spark, sf_dir):
+    """Every pseudo-benchmark doc (doc_id % 50 == 0) with at least one
+    5-gram must flag contaminated — its grams ARE the benchmark set —
+    and hit counts can never exceed the doc's distinct-gram count."""
+    from cassandra2aerospike_spark.queries.text_q import q_text_decontaminate
+
+    rows = q_text_decontaminate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_hit <= r.n_grams
+        if r.is_benchmark and r.n_grams > 0:
+            assert r.n_hit == r.n_grams and r.contaminated
+
+
+def test_stratified_rates_and_determinism(spark, sf_dir):
+    """Kept buckets respect the per-stratum threshold; two runs return
+    the identical keep set (the property df.sample cannot give)."""
+    from cassandra2aerospike_spark.queries.text_q import q_sample_stratified
+
+    a = {(r.doc_id, r.lang, r.bucket) for r in q_sample_stratified(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.lang, r.bucket) for r in q_sample_stratified(spark, sf_dir).collect()}
+    assert a == b and a
+    for _, lang, bucket in a:
+        assert bucket < (16384 if lang == "en" else 39321)
+
+
+def test_domain_mix_epoch_counts(spark, sf_dir):
+    """Each doc appears exactly `epochs` times with epoch ids 0..epochs-1,
+    and the epoch policy follows the domain id."""
+    from collections import defaultdict
+
+    from cassandra2aerospike_spark.queries.text_q import q_sample_domain_mix
+
+    per_doc = defaultdict(list)
+    for r in q_sample_domain_mix(spark, sf_dir).collect():
+        dom = int(r.source[3:])
+        want = 3 if dom < 5 else 2 if dom < 10 else 1
+        assert r.epochs == want
+        per_doc[r.doc_id].append(r.epoch)
+    assert per_doc
+    for doc_id, eps in per_doc.items():
+        assert sorted(eps) == list(range(len(eps)))
