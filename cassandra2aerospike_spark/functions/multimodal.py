@@ -12,13 +12,15 @@ Decode coverage is split by what pure Python + numpy can express:
   REAL     container-header metadata probe (PNG/GIF/JPEG/WAV,
            `probe_media_header`), WAV-PCM sample decode with audio
            features (`decode_wav_pcm`), uncompressed 24-bit BMP pixel
-           decode with channel stats (`decode_bmp`)
-  STUBBED  PNG/JPEG pixel decode (needs inflate-over-scanline-filters /
-           a DCT codec; the container has neither PIL nor ffmpeg) —
-           `decode_image_stub` produces deterministic fake features so
-           the Spark-side plumbing (schema, batch iteration,
-           partitioning) stays real and tested; swap `_fake_decode`
-           for a real codec in production.
+           decode with channel stats (`decode_bmp`), and full PNG
+           pixel decode — chunk CRCs, zlib inflate, all five scanline
+           filters — via stdlib zlib (`decode_png`, with `encode_png`
+           emitting spec-valid PNGs for the fixture path)
+  STUBBED  JPEG pixel decode only (needs a DCT codec; the container
+           has neither PIL nor ffmpeg) — `decode_image_stub` produces
+           deterministic fake features so the Spark-side plumbing
+           (schema, batch iteration, partitioning) stays real and
+           tested; swap `_fake_decode` for a real codec in production.
 """
 
 from __future__ import annotations
@@ -296,10 +298,10 @@ def probe_media(media_df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------
 # REAL sample/pixel decode (round 5): WAV-PCM and BMP are pure binary
-# layouts decodable with numpy alone — no codec library required — so
-# for these two formats the X5 decode path is REAL end to end: bytes ->
-# samples/pixels -> features.  PNG/JPEG pixel decode (which needs
-# zlib-inflate-over-scanline-filters / a DCT codec) remains the
+# layouts decodable with numpy alone, and PNG needs only stdlib zlib
+# (inflate + the five scanline filters) — so for these three formats
+# the X5 decode path is REAL end to end: bytes -> samples/pixels ->
+# features.  Only JPEG (which needs a DCT codec) remains the
 # documented stub above.
 
 DECODE_SCHEMA = (
@@ -379,11 +381,132 @@ def decode_bmp(payload: bytes):
     return img[:, :, ::-1]  # BGR -> RGB
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """REAL PNG encode (stdlib zlib only): (h, w, 3) uint8 RGB -> a
+    spec-valid 8-bit truecolor PNG — IHDR/IDAT/IEND with correct CRC32s,
+    filter type 0 per scanline, zlib-deflate stream.  Any conforming PNG
+    reader decodes it; used by the fixture synthesizer so decode_png is
+    exercised on real bytes."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w, nch = img.shape
+    if nch != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png: expects (h, w, 3) uint8 RGB")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode (stdlib zlib only — no codec library): 8-bit
+    truecolor (color type 2) and truecolor+alpha (type 6), interlace 0.
+    Verifies every chunk CRC32, inflates the concatenated IDAT stream,
+    checks the exact decompressed length, and un-applies all five
+    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) -> (h, w,
+    3) uint8 RGB (alpha dropped).  Palette/16-bit/Adam7 raise ValueError
+    — same uniform-rejection discipline as the snappy/lz4 decoders.
+
+    The Sub/Average/Paeth recurrences are per-byte Python loops (they
+    are sequential by definition); Up and None are vectorized.  Cost is
+    bounded by image size, and the fixture path encodes with filter 0."""
+    import struct as _struct
+    import zlib as _zlib
+
+    n = len(payload)
+    if n < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("png: bad signature")
+    off = 8
+    ihdr = None
+    idat: list[bytes] = []
+    saw_end = False
+    while off + 12 <= n:
+        (clen,) = _struct.unpack_from(">I", payload, off)
+        if off + 12 + clen > n:
+            raise ValueError("png: truncated chunk")
+        ctype = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + clen]
+        (crc,) = _struct.unpack_from(">I", payload, off + 8 + clen)
+        if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError("png: chunk crc mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = _struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError(
+                    f"png: unsupported image (depth={depth} color={color} interlace={inter})"
+                )
+            ihdr = (w, h, 3 if color == 2 else 4)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        off += 12 + clen
+    if ihdr is None or not idat or not saw_end:
+        raise ValueError("png: missing IHDR/IDAT/IEND")
+    w, h, nch = ihdr
+    stride = w * nch
+    try:
+        raw = _zlib.decompress(b"".join(idat))
+    except _zlib.error as e:
+        raise ValueError(f"png: bad IDAT stream ({e})") from e
+    if len(raw) != (stride + 1) * h or stride == 0:
+        raise ValueError("png: decompressed size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        line = lines[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:
+            cur = line.copy()
+            for i in range(nch, stride):
+                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+        elif ftype == 3:
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: bad filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, nch)[:, :, :3]
+
+
 def decode_media(media_df: DataFrame) -> DataFrame:
     """X5 REAL decode over mapInPandas: dispatch by container magic —
     RIFF/WAVE blobs through the PCM decoder (audio features: rms, peak,
-    zero-crossing count), BM blobs through the BMP decoder (channel
-    means).  Zero shuffles; the decode rides the scan."""
+    zero-crossing count), BM blobs through the BMP decoder and PNG blobs
+    through the zlib-inflate + unfilter decoder (channel means).  Zero
+    shuffles; the decode rides the scan."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -394,10 +517,11 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                     n_s, rms, peak, zcr = decode_wav_pcm(p)
                     rows.append((doc_id, "wav", n_s, rms, peak, zcr,
                                  None, None, None, None, None))
-                elif p[:2] == b"BM":
-                    img = decode_bmp(p)
+                elif p[:2] == b"BM" or p[:8] == b"\x89PNG\r\n\x1a\n":
+                    kind = "bmp" if p[:2] == b"BM" else "png"
+                    img = decode_bmp(p) if kind == "bmp" else decode_png(p)
                     means = img.reshape(-1, 3).mean(axis=0)
-                    rows.append((doc_id, "bmp", None, None, None, None,
+                    rows.append((doc_id, kind, None, None, None, None,
                                  img.shape[1], img.shape[0],
                                  float(means[0]), float(means[1]), float(means[2])))
                 else:
@@ -420,13 +544,16 @@ def decode_media(media_df: DataFrame) -> DataFrame:
 
 def synthesize_av_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter for the REAL decode path: deterministic WAV-PCM
-    square waves (even doc_id: amplitude 1000 + d%100, n = 400 + d%50
-    samples, mono 8 kHz — RMS and peak are EXACTLY the amplitude, and a
-    square wave alternating every sample has n-1 zero crossings) and
-    solid-color 24-bit BMPs (odd doc_id: w = 8 + d%16, h = 4 + d%8,
-    RGB = (d%256, 3d%256, 7d%256) — channel means equal the color).
-    All features are closed-form arithmetic on doc_id, so the REAL
-    byte-level decode has an exact SQL oracle."""
+    square waves (doc_id % 3 == 0: amplitude 1000 + d%100, n = 400 +
+    d%50 samples, mono 8 kHz — RMS and peak are EXACTLY the amplitude,
+    and a square wave alternating every sample has n-1 zero crossings),
+    solid-color 24-bit BMPs (doc_id % 3 == 1: w = 8 + d%16, h = 4 +
+    d%8, RGB = (d%256, 3d%256, 7d%256)), and solid-color REAL PNGs
+    (doc_id % 3 == 2: same dims, RGB = (5d%256, 11d%256, 13d%256),
+    through encode_png — spec-valid chunks, CRCs and deflate stream, so
+    decode_png inflates and unfilters actual PNG bytes).  Channel means
+    equal the color; all features are closed-form arithmetic on doc_id,
+    so the REAL byte-level decode has an exact SQL oracle."""
     import struct as _struct
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -434,7 +561,7 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 2 == 0:  # WAV: ±amp alternating square wave
+                if d % 3 == 0:  # WAV: ±amp alternating square wave
                     amp = 1000 + d % 100
                     n = 400 + d % 50
                     x = np.empty(n, dtype="<i2")
@@ -449,7 +576,7 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
                         + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
                         + b"data" + _struct.pack("<I", len(body)) + body
                     )
-                else:  # BMP: solid color, bottom-up, padded rows
+                elif d % 3 == 1:  # BMP: solid color, bottom-up, padded rows
                     w = 8 + d % 16
                     h = 4 + d % 8
                     r, g, b = d % 256, (3 * d) % 256, (7 * d) % 256
@@ -464,6 +591,12 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
                                        2835, 2835, 0, 0)
                         + pixels
                     )
+                else:  # PNG: solid color through the real encoder
+                    w = 8 + d % 16
+                    h = 4 + d % 8
+                    color = ((5 * d) % 256, (11 * d) % 256, (13 * d) % 256)
+                    img = np.full((h, w, 3), color, dtype=np.uint8)
+                    blob = encode_png(img)
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
@@ -490,20 +623,24 @@ def resize_nn(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
 def resize_media_real(
     media_df: DataFrame, dst_w: int = 16, dst_h: int = 12
 ) -> DataFrame:
-    """X5 REAL image resize over mapInPandas: BMP payloads are pixel-
-    decoded (decode_bmp), nearest-neighbor resampled to (dst_w, dst_h),
-    and re-emitted with the real thumbnail's byte length and channel
-    means.  Non-BMP payloads emit no row (the filtering flatMap shape).
-    Zero shuffles; the resize rides the scan."""
+    """X5 REAL image resize over mapInPandas: BMP and PNG payloads are
+    pixel-decoded (decode_bmp / decode_png), nearest-neighbor resampled
+    to (dst_w, dst_h), and re-emitted with the real thumbnail's byte
+    length and channel means.  Non-image payloads emit no row (the
+    filtering flatMap shape).  Zero shuffles; the resize rides the
+    scan."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(p)
-                if p[:2] != b"BM":
+                if p[:2] == b"BM":
+                    img = decode_bmp(p)
+                elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(p)
+                else:
                     continue
-                img = decode_bmp(p)
                 thumb = resize_nn(img, dst_w, dst_h)
                 means = thumb.reshape(-1, 3).mean(axis=0)
                 rows.append(

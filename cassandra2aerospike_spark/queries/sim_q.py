@@ -162,26 +162,29 @@ def q_mm_media_probe(spark, sf_dir):
 
 def q_mm_real_decode(spark, sf_dir):
     """X5 REAL sample/pixel decode (no codec library needed): synthesize
-    WAV-PCM square waves (even doc_id) and solid-color 24-bit BMPs (odd)
-    deterministically from doc_id, then DECODE the bytes for real —
-    numpy int16 sample arrays -> rms/peak/zero-crossings, BGR
-    bottom-up padded pixel rows -> channel means
-    (functions/multimodal.py decode_wav_pcm / decode_bmp).  The
-    generating arithmetic is closed-form, so the byte-level decode has
-    an exact SQL oracle: a square wave's RMS and peak ARE its amplitude,
-    alternating samples cross zero n-1 times, and a solid image's
-    channel means ARE its color."""
+    WAV-PCM square waves (doc_id % 3 == 0), solid-color 24-bit BMPs
+    (% 3 == 1) and spec-valid PNGs (% 3 == 2, real chunks/CRCs/deflate
+    via encode_png) deterministically from doc_id, then DECODE the
+    bytes for real — numpy int16 sample arrays ->
+    rms/peak/zero-crossings, BGR bottom-up padded pixel rows -> channel
+    means, zlib inflate + scanline unfilter -> channel means
+    (functions/multimodal.py decode_wav_pcm / decode_bmp / decode_png).
+    The generating arithmetic is closed-form, so the byte-level decode
+    has an exact SQL oracle: a square wave's RMS and peak ARE its
+    amplitude, alternating samples cross zero n-1 times, and a solid
+    image's channel means ARE its color."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_media(M.synthesize_av_media(docs))
 
 
 def q_mm_real_resize(spark, sf_dir):
-    """X5 REAL image resize: the synthesized BMPs pixel-decoded and
-    nearest-neighbor resampled to 16x12 (multimodal.resize_nn — the
-    floor(i*src/dst) sampling grid, pinned against a per-pixel reference
-    in tests), emitting the real thumbnail's byte count and channel
-    means.  Solid-color sources make the means closed-form (the color
-    itself); non-BMP (WAV) docs emit no row — the filtering flatMap."""
+    """X5 REAL image resize: the synthesized BMPs AND PNGs
+    pixel-decoded and nearest-neighbor resampled to 16x12
+    (multimodal.resize_nn — the floor(i*src/dst) sampling grid, pinned
+    against a per-pixel reference in tests), emitting the real
+    thumbnail's byte count and channel means.  Solid-color sources make
+    the means closed-form (the color itself); non-image (WAV) docs emit
+    no row — the filtering flatMap."""
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_media_real(M.synthesize_av_media(docs))
 
@@ -212,32 +215,42 @@ ORACLES = {
                CAST(16 AS INT) AS dst_w,
                CAST(12 AS INT) AS dst_h,
                CAST(16 * 12 * 3 AS INT) AS thumb_len,
-               CAST(doc_id % 256 AS DOUBLE) AS t_mean_r,
-               CAST((3 * doc_id) % 256 AS DOUBLE) AS t_mean_g,
-               CAST((7 * doc_id) % 256 AS DOUBLE) AS t_mean_b
-        FROM documents WHERE doc_id % 2 = 1
+               CAST(CASE doc_id % 3 WHEN 1 THEN doc_id % 256
+                                    ELSE (5 * doc_id) % 256 END
+                    AS DOUBLE) AS t_mean_r,
+               CAST(CASE doc_id % 3 WHEN 1 THEN (3 * doc_id) % 256
+                                    ELSE (11 * doc_id) % 256 END
+                    AS DOUBLE) AS t_mean_g,
+               CAST(CASE doc_id % 3 WHEN 1 THEN (7 * doc_id) % 256
+                                    ELSE (13 * doc_id) % 256 END
+                    AS DOUBLE) AS t_mean_b
+        FROM documents WHERE doc_id % 3 IN (1, 2)
     """,
     "mm_real_decode": """
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS kind,
-               CASE WHEN doc_id % 2 = 0
+               CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                               ELSE 'png' END AS kind,
+               CASE WHEN doc_id % 3 = 0
                     THEN CAST(400 + doc_id % 50 AS INT) END AS n_samples,
-               CASE WHEN doc_id % 2 = 0
+               CASE WHEN doc_id % 3 = 0
                     THEN CAST(1000 + doc_id % 100 AS DOUBLE) END AS rms,
-               CASE WHEN doc_id % 2 = 0
+               CASE WHEN doc_id % 3 = 0
                     THEN CAST(1000 + doc_id % 100 AS INT) END AS peak,
-               CASE WHEN doc_id % 2 = 0
+               CASE WHEN doc_id % 3 = 0
                     THEN CAST(399 + doc_id % 50 AS INT) END AS zero_crossings,
-               CASE WHEN doc_id % 2 = 1
+               CASE WHEN doc_id % 3 != 0
                     THEN CAST(8 + doc_id % 16 AS INT) END AS width,
-               CASE WHEN doc_id % 2 = 1
+               CASE WHEN doc_id % 3 != 0
                     THEN CAST(4 + doc_id % 8 AS INT) END AS height,
-               CASE WHEN doc_id % 2 = 1
-                    THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
-               CASE WHEN doc_id % 2 = 1
-                    THEN CAST((3 * doc_id) % 256 AS DOUBLE) END AS mean_g,
-               CASE WHEN doc_id % 2 = 1
-                    THEN CAST((7 * doc_id) % 256 AS DOUBLE) END AS mean_b
+               CASE doc_id % 3 WHEN 1 THEN CAST(doc_id % 256 AS DOUBLE)
+                    WHEN 2 THEN CAST((5 * doc_id) % 256 AS DOUBLE)
+                    END AS mean_r,
+               CASE doc_id % 3 WHEN 1 THEN CAST((3 * doc_id) % 256 AS DOUBLE)
+                    WHEN 2 THEN CAST((11 * doc_id) % 256 AS DOUBLE)
+                    END AS mean_g,
+               CASE doc_id % 3 WHEN 1 THEN CAST((7 * doc_id) % 256 AS DOUBLE)
+                    WHEN 2 THEN CAST((13 * doc_id) % 256 AS DOUBLE)
+                    END AS mean_b
         FROM documents
     """,
     "mm_media_probe": """

@@ -497,3 +497,106 @@ def test_domain_mix_epoch_counts(spark, sf_dir):
     assert per_doc
     for doc_id, eps in per_doc.items():
         assert sorted(eps) == list(range(len(eps)))
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_roundtrip_random_image():
+    """encode_png -> decode_png is identity on a non-uniform image."""
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_unfilters_all_five_filter_types():
+    """Hand-FILTER a known image with each per-scanline filter (spec §9
+    forward direction, computed independently here) and assert
+    decode_png recovers the exact pixels — pins Sub/Up/Average/Paeth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    h, w, nch = 5, 6, 3
+    img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    flat = img.reshape(h, w * nch).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = b""
+    for y, ftype in zip(range(h), (0, 1, 2, 3, 4)):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * nch, int)
+        line = []
+        for i in range(w * nch):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ftype]
+            line.append((cur[i] - pred) & 0xFF)
+        raw += bytes([ftype]) + bytes(line)
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), img)
+
+
+def test_png_rgba_drops_alpha_and_corruption_rejected():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), rgba[:, :, :3])
+
+    # flip one IDAT payload byte: chunk CRC must catch it
+    bad = bytearray(blob)
+    idat_at = blob.index(b"IDAT") + 6
+    bad[idat_at] ^= 0xFF
+    with _pytest.raises(ValueError, match="crc"):
+        decode_png(bytes(bad))
+    # truncation at any point is a png error, never an IndexError
+    for cut in range(8, len(blob), 7):
+        with _pytest.raises(ValueError, match="png"):
+            decode_png(blob[:cut])
+    # unsupported: 16-bit depth
+    blob16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0))
+    )
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(blob16)
