@@ -43,7 +43,10 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "text_quality",
     "text_line_dedup",
+    "text_decontaminate",
     "pipeline_corpus_prep",
+    # real-format + real-decode paths (round 5)
+    "mm_real_decode",
 ]
 
 
