@@ -178,6 +178,97 @@ def centroid_frame(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def quantize_vec(col: Column, scale: int = 1000) -> Column:
+    """Engine-exact integer quantization: floor(x * scale + 0.5) as long,
+    computed in float64 (float32 -> double promotion is exact, and both
+    Spark and DuckDB then run the identical IEEE multiply/add/floor).
+    Quantized vectors make every k-means distance and centroid update
+    pure integer arithmetic — bit-equal across engines by construction,
+    which is what lets an ITERATIVE training loop carry an exact SQL
+    oracle (float means would diverge in the last ulp per sum order)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    )
+
+
+def _dist2_q(a: Column, b: Column) -> Column:
+    """Exact squared-L2 distance between two long-array vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells_quantized(q: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment over quantized vectors: broadcast the
+    whole codebook as one array row, argmin squared-L2 IN-ROW via
+    array_min over (d2, cid) structs — ties to the lowest cid.  Zero
+    exchange beyond the codebook broadcast; at 100 TB assignment rides
+    the scan stage, exactly like `assign_cells`."""
+    cb = codebook.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c_vec"))).alias("codebook")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("codebook"),
+            lambda c: F.struct(
+                _dist2_q(F.col("xq"), c["c_vec"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        q.crossJoin(F.broadcast(cb))
+        .withColumn("_best", best)
+        .select(
+            "vec_id", "xq", F.col("_best.cid").alias("cell"), F.col("_best.d2").alias("d2")
+        )
+    )
+
+
+def kmeans_fit_quantized(
+    corpus: DataFrame, k: int = 8, iters: int = 2, vec_col: str = "embedding", scale: int = 1000
+) -> DataFrame:
+    """REAL distributed k-means (Lloyd) over quantized vectors — the
+    trained replacement for `centroid_frame`'s take-first-k stand-in.
+
+    Init: the k lowest vec_ids (deterministic).  Each iteration is the
+    canonical scalable shape: broadcast codebook -> in-row assignment ->
+    posexplode by component -> partial-aggregating (cell, pos) sum (the
+    ONE shuffle per iteration, output k x dim rows) -> floor-mean
+    centroids reassembled in order.  The floor-mean uses
+    `(s - ((s % n) + n) % n) DIV n` — floored integer division written
+    so Spark's truncating `%`/`DIV` and DuckDB's produce identical
+    results for negative sums; the numerator is exactly divisible, so
+    the division itself is exact in both engines.
+
+    Returns a (cid int, c_vec array<long>) codebook frame."""
+    q = corpus.select("vec_id", quantize_vec(F.col(vec_col), scale).alias("xq"))
+    codebook = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("xq").alias("c_vec")
+    )
+    for _ in range(iters):
+        assigned = assign_cells_quantized(q, codebook)
+        sums = (
+            assigned.select("cell", F.posexplode("xq").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        comp = sums.select(
+            "cell", "pos", F.expr("(s - (((s % n) + n) % n)) DIV n").alias("c")
+        )
+        codebook = (
+            comp.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform("pc", lambda e: e["c"]).alias("c_vec"),
+            )
+        )
+    return codebook
+
+
 def _centroid_array(centroids: DataFrame) -> DataFrame:
     """One row holding the whole codebook as array<struct(cid, c_vec)> —
     broadcast-crossed into the corpus so cell assignment is a NARROW

@@ -41,6 +41,7 @@ _PRIORITY = [
     "text_decontaminate",
     "sample_stratified",
     "sample_domain_mix",
+    "sim_kmeans_cells",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

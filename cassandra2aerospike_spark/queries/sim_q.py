@@ -80,6 +80,24 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_sim_kmeans_cells(spark, sf_dir):
+    """X3 codebook TRAINING: real distributed k-means (Lloyd, k=8, two
+    full iterations) over integer-quantized embeddings, then the final
+    cell assignment with exact squared-L2 distances.  Quantization makes
+    every distance and floor-mean centroid update pure integer
+    arithmetic, so an ITERATIVE training loop carries an exact SQL
+    oracle — the piece `centroid_frame`'s take-first-k stand-in was
+    missing.  Per iteration: broadcast codebook -> in-row argmin ->
+    one (cell, pos) partial-aggregating shuffle of k x dim rows
+    (functions/similarity.kmeans_fit_quantized)."""
+    emb = _emb(spark, sf_dir)
+    cb = S.kmeans_fit_quantized(emb, k=8, iters=2)
+    q = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+    return S.assign_cells_quantized(q, cb).select(
+        "vec_id", "cell", F.col("d2").cast("long").alias("d2")
+    )
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     """X2 embedding-cosine near-dup pairs within sign buckets.  Threshold
     0.35 is calibrated to the synthetic fixture (max pairwise cos ~0.51);
@@ -483,6 +501,68 @@ ORACLES = {
               FROM scored)
         WHERE rank <= 5
     """,
+    # two unrolled Lloyd iterations; integer quantization makes every
+    # distance and floor-mean exact, so the iterative loop hash-matches
+    "sim_kmeans_cells": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, xq AS c_vec FROM q WHERE vec_id < 8),
+        a1 AS (
+          SELECT vec_id, xq, cell FROM (
+            SELECT q.vec_id, q.xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c0 c
+          ) WHERE rn = 1
+        ),
+        s1 AS (
+          SELECT cell, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM a1)
+          GROUP BY cell, pos
+        ),
+        c1 AS (
+          SELECT cell AS cid,
+                 list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM s1 GROUP BY cell
+        ),
+        a2 AS (
+          SELECT vec_id, xq, cell FROM (
+            SELECT q.vec_id, q.xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c1 c
+          ) WHERE rn = 1
+        ),
+        s2 AS (
+          SELECT cell, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM a2)
+          GROUP BY cell, pos
+        ),
+        c2 AS (
+          SELECT cell AS cid,
+                 list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM s2 GROUP BY cell
+        )
+        SELECT vec_id, cell, CAST(d2 AS BIGINT) AS d2 FROM (
+          SELECT q.vec_id, c.cid AS cell,
+                 list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+          FROM q CROSS JOIN c2 c
+        ) WHERE rn = 1
+    """,
     "sim_ivf_topk": """
         WITH cents AS (
           SELECT vec_id AS cid, embedding::DOUBLE[] AS c_vec
@@ -565,6 +645,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_pq_topk": q_sim_pq_topk,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
+    "sim_kmeans_cells": q_sim_kmeans_cells,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_media_probe": q_mm_media_probe,

@@ -600,3 +600,31 @@ def test_png_rgba_drops_alpha_and_corruption_rejected():
     )
     with _pytest.raises(ValueError, match="unsupported"):
         decode_png(blob16)
+
+
+def test_kmeans_training_reduces_distortion(spark, sf_dir):
+    """Lloyd's guarantee, quantized: total squared-L2 distortion after
+    two training iterations must not exceed the take-first-k init's
+    (floor-mean centroids can deviate from the exact mean by < 1 ulp of
+    the quantized grid, far below the fixture's distortion gap)."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.functions import similarity as S
+    from cassandra2aerospike_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+
+    def distortion(codebook):
+        return (
+            S.assign_cells_quantized(q, codebook)
+            .agg(F.sum("d2").alias("t"))
+            .collect()[0]["t"]
+        )
+
+    d_init = distortion(S.kmeans_fit_quantized(emb, k=8, iters=0))
+    d_one = distortion(S.kmeans_fit_quantized(emb, k=8, iters=1))
+    d_two = distortion(S.kmeans_fit_quantized(emb, k=8, iters=2))
+    assert d_one <= d_init
+    assert d_two <= d_one
+    assert d_two < d_init  # training actually moved the codebook
