@@ -630,11 +630,12 @@ def test_streaming_real_format_directory(spark, tmp_path):
         q.stop()
 
 
-def test_mc_version_reads_through_ma_grammar(tmp_path):
-    """Post-ma 3.x version strings (mc, md, ...) decode through the same
-    grammar — create_table treats every version >= ma uniformly
-    (SSTable.cpp:45-55); the reader must use the file's REAL component
-    prefix, not a hardcoded 'ma-'."""
+@pytest.mark.parametrize("ver", ["mc", "nb", "oa"])
+def test_post_ma_versions_read_through_ma_grammar(tmp_path, ver):
+    """Every post-ma version string — 3.x (mc, md), 4.x (na, nb), 5.x
+    (oa) — decodes through the same grammar: create_table treats every
+    version >= ma uniformly (SSTable.cpp:45-55); the reader must use the
+    file's REAL component prefix, not a hardcoded 'ma-'."""
     from cassandra2aerospike_spark.sources.sstable.datasource import (
         SSTableRunReader,
     )
@@ -646,7 +647,7 @@ def test_mc_version_reads_through_ma_grammar(tmp_path):
     for comp in ("Data", "Index", "Summary", "Statistics", "CompressionInfo"):
         os.rename(
             os.path.join(d, f"ma-5-big-{comp}.db"),
-            os.path.join(d, f"mc-5-big-{comp}.db"),
+            os.path.join(d, f"{ver}-5-big-{comp}.db"),
         )
     rd = SSTableRunReader({"path": d, "layout": "ma", "splits_per_run": "1"})
     rows = [r for part in rd.partitions() for b in rd.read(part) for r in b.to_pylist()]
