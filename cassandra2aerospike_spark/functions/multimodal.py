@@ -504,9 +504,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_media(media_df: DataFrame) -> DataFrame:
     """X5 REAL decode over mapInPandas: dispatch by container magic —
     RIFF/WAVE blobs through the PCM decoder (audio features: rms, peak,
-    zero-crossing count), BM blobs through the BMP decoder and PNG blobs
-    through the zlib-inflate + unfilter decoder (channel means).  Zero
-    shuffles; the decode rides the scan."""
+    zero-crossing count); BM, PNG and baseline-JPEG blobs through their
+    pixel decoders (channel means) — BMP via numpy row math, PNG via
+    zlib inflate + scanline unfilter, JPEG via the full huffman/DCT
+    path (jpeg_py).  Zero shuffles; the decode rides the scan."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -517,9 +518,19 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                     n_s, rms, peak, zcr = decode_wav_pcm(p)
                     rows.append((doc_id, "wav", n_s, rms, peak, zcr,
                                  None, None, None, None, None))
-                elif p[:2] == b"BM" or p[:8] == b"\x89PNG\r\n\x1a\n":
-                    kind = "bmp" if p[:2] == b"BM" else "png"
-                    img = decode_bmp(p) if kind == "bmp" else decode_png(p)
+                elif (
+                    p[:2] == b"BM"
+                    or p[:8] == b"\x89PNG\r\n\x1a\n"
+                    or p[:2] == b"\xff\xd8"
+                ):
+                    if p[:2] == b"BM":
+                        kind, img = "bmp", decode_bmp(p)
+                    elif p[:2] == b"\xff\xd8":
+                        from .jpeg_py import decode_jpeg_baseline
+
+                        kind, img = "jpeg", decode_jpeg_baseline(p)
+                    else:
+                        kind, img = "png", decode_png(p)
                     means = img.reshape(-1, 3).mean(axis=0)
                     rows.append((doc_id, kind, None, None, None, None,
                                  img.shape[1], img.shape[0],
@@ -544,24 +555,29 @@ def decode_media(media_df: DataFrame) -> DataFrame:
 
 def synthesize_av_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter for the REAL decode path: deterministic WAV-PCM
-    square waves (doc_id % 3 == 0: amplitude 1000 + d%100, n = 400 +
+    square waves (doc_id % 4 == 0: amplitude 1000 + d%100, n = 400 +
     d%50 samples, mono 8 kHz — RMS and peak are EXACTLY the amplitude,
     and a square wave alternating every sample has n-1 zero crossings),
-    solid-color 24-bit BMPs (doc_id % 3 == 1: w = 8 + d%16, h = 4 +
-    d%8, RGB = (d%256, 3d%256, 7d%256)), and solid-color REAL PNGs
-    (doc_id % 3 == 2: same dims, RGB = (5d%256, 11d%256, 13d%256),
-    through encode_png — spec-valid chunks, CRCs and deflate stream, so
-    decode_png inflates and unfilters actual PNG bytes).  Channel means
-    equal the color; all features are closed-form arithmetic on doc_id,
-    so the REAL byte-level decode has an exact SQL oracle."""
+    solid-color 24-bit BMPs (doc_id % 4 == 1: w = 8 + d%16, h = 4 +
+    d%8, RGB = (d%256, 3d%256, 7d%256)), solid-color REAL PNGs
+    (doc_id % 4 == 2: same dims, RGB = (5d%256, 11d%256, 13d%256),
+    through encode_png — spec-valid chunks, CRCs and deflate stream)
+    and solid-color REAL baseline JPEGs (doc_id % 4 == 3: same dims,
+    RGB = (17d%256, 23d%256, 29d%256), quant=1 through
+    encode_jpeg_baseline — with flat unit quant tables a constant block
+    is DC-only and decodes EXACTLY to the YCbCr-roundtripped color, so
+    even the lossy format has a closed-form oracle).  All features are
+    deterministic arithmetic on doc_id."""
     import struct as _struct
+
+    from .jpeg_py import encode_jpeg_baseline
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 3 == 0:  # WAV: ±amp alternating square wave
+                if d % 4 == 0:  # WAV: ±amp alternating square wave
                     amp = 1000 + d % 100
                     n = 400 + d % 50
                     x = np.empty(n, dtype="<i2")
@@ -576,7 +592,7 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
                         + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
                         + b"data" + _struct.pack("<I", len(body)) + body
                     )
-                elif d % 3 == 1:  # BMP: solid color, bottom-up, padded rows
+                elif d % 4 == 1:  # BMP: solid color, bottom-up, padded rows
                     w = 8 + d % 16
                     h = 4 + d % 8
                     r, g, b = d % 256, (3 * d) % 256, (7 * d) % 256
@@ -591,12 +607,18 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
                                        2835, 2835, 0, 0)
                         + pixels
                     )
-                else:  # PNG: solid color through the real encoder
+                elif d % 4 == 2:  # PNG: solid color through the real encoder
                     w = 8 + d % 16
                     h = 4 + d % 8
                     color = ((5 * d) % 256, (11 * d) % 256, (13 * d) % 256)
                     img = np.full((h, w, 3), color, dtype=np.uint8)
                     blob = encode_png(img)
+                else:  # JPEG: solid color, unit quant tables (DC-exact)
+                    w = 8 + d % 16
+                    h = 4 + d % 8
+                    color = ((17 * d) % 256, (23 * d) % 256, (29 * d) % 256)
+                    img = np.full((h, w, 3), color, dtype=np.uint8)
+                    blob = encode_jpeg_baseline(img, quant=1)
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
@@ -639,6 +661,10 @@ def resize_media_real(
                     img = decode_bmp(p)
                 elif p[:8] == b"\x89PNG\r\n\x1a\n":
                     img = decode_png(p)
+                elif p[:2] == b"\xff\xd8":
+                    from .jpeg_py import decode_jpeg_baseline
+
+                    img = decode_jpeg_baseline(p)
                 else:
                     continue
                 thumb = resize_nn(img, dst_w, dst_h)

@@ -180,29 +180,30 @@ def q_mm_media_probe(spark, sf_dir):
 
 def q_mm_real_decode(spark, sf_dir):
     """X5 REAL sample/pixel decode (no codec library needed): synthesize
-    WAV-PCM square waves (doc_id % 3 == 0), solid-color 24-bit BMPs
-    (% 3 == 1) and spec-valid PNGs (% 3 == 2, real chunks/CRCs/deflate
-    via encode_png) deterministically from doc_id, then DECODE the
-    bytes for real — numpy int16 sample arrays ->
-    rms/peak/zero-crossings, BGR bottom-up padded pixel rows -> channel
-    means, zlib inflate + scanline unfilter -> channel means
-    (functions/multimodal.py decode_wav_pcm / decode_bmp / decode_png).
-    The generating arithmetic is closed-form, so the byte-level decode
-    has an exact SQL oracle: a square wave's RMS and peak ARE its
-    amplitude, alternating samples cross zero n-1 times, and a solid
-    image's channel means ARE its color."""
+    WAV-PCM square waves (doc_id % 4 == 0), solid-color 24-bit BMPs
+    (% 4 == 1), spec-valid PNGs (% 4 == 2, real chunks/CRCs/deflate via
+    encode_png) and real baseline JPEGs (% 4 == 3, unit quant tables via
+    encode_jpeg_baseline) deterministically from doc_id, then DECODE the
+    bytes for real — PCM sample arrays -> rms/peak/zero-crossings, BMP
+    row math / PNG inflate+unfilter / JPEG huffman+IDCT -> channel means
+    (functions/multimodal.py + functions/jpeg_py.py).  The generating
+    arithmetic is closed-form, so the byte-level decode has an exact SQL
+    oracle: a square wave's RMS and peak ARE its amplitude, a solid
+    image's means ARE its color, and the JPEG branch's means are the
+    exact YCbCr round trip of its color (_MM_PX)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_media(M.synthesize_av_media(docs))
 
 
 def q_mm_real_resize(spark, sf_dir):
-    """X5 REAL image resize: the synthesized BMPs AND PNGs
+    """X5 REAL image resize: the synthesized BMPs, PNGs AND JPEGs
     pixel-decoded and nearest-neighbor resampled to 16x12
     (multimodal.resize_nn — the floor(i*src/dst) sampling grid, pinned
     against a per-pixel reference in tests), emitting the real
     thumbnail's byte count and channel means.  Solid-color sources make
-    the means closed-form (the color itself); non-image (WAV) docs emit
-    no row — the filtering flatMap."""
+    the means closed-form (the color itself, YCbCr-roundtripped for the
+    JPEG branch); non-image (WAV) docs emit no row — the filtering
+    flatMap."""
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_media_real(M.synthesize_av_media(docs))
 
@@ -225,51 +226,84 @@ _MM_BYTES = """
     )
 """
 
+_MM_PX = """
+    WITH base AS (
+      SELECT doc_id, doc_id % 4 AS k,
+             CASE doc_id % 4 WHEN 1 THEN doc_id % 256
+                  WHEN 2 THEN (5 * doc_id) % 256
+                  WHEN 3 THEN (17 * doc_id) % 256 END AS r0,
+             CASE doc_id % 4 WHEN 1 THEN (3 * doc_id) % 256
+                  WHEN 2 THEN (11 * doc_id) % 256
+                  WHEN 3 THEN (23 * doc_id) % 256 END AS g0,
+             CASE doc_id % 4 WHEN 1 THEN (7 * doc_id) % 256
+                  WHEN 2 THEN (13 * doc_id) % 256
+                  WHEN 3 THEN (29 * doc_id) % 256 END AS b0
+      FROM documents
+    ),
+    ycc AS (
+      SELECT *,
+        least(greatest(floor(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5),
+                       0), 255) AS y,
+        least(greatest(floor(128 - 0.168735892 * r0 - 0.331264108 * g0
+                             + 0.5 * b0 + 0.5), 0), 255) AS cb,
+        least(greatest(floor(128 + 0.5 * r0 - 0.418687589 * g0
+                             - 0.081312411 * b0 + 0.5), 0), 255) AS cr
+      FROM base
+    ),
+    px AS (
+      SELECT doc_id, k,
+        CASE WHEN k = 3 THEN least(greatest(
+               floor(y + 1.402 * (cr - 128) + 0.5), 0), 255)
+             ELSE r0 END AS pr,
+        CASE WHEN k = 3 THEN least(greatest(
+               floor(y - 0.344136286 * (cb - 128)
+                     - 0.714136286 * (cr - 128) + 0.5), 0), 255)
+             ELSE g0 END AS pg,
+        CASE WHEN k = 3 THEN least(greatest(
+               floor(y + 1.772 * (cb - 128) + 0.5), 0), 255)
+             ELSE b0 END AS pb
+      FROM ycc
+    )
+"""
+
 ORACLES = {
-    "mm_real_resize": """
+    # _MM_PX: per-doc solid source color by format branch, with the
+    # JPEG branch pushed through the EXACT YCbCr round trip the codec
+    # performs (floor(x+0.5) rounding, identical double constants and
+    # association order as functions/jpeg_py.py — with unit quant tables
+    # the decoded pixel IS this closed form)
+    "mm_real_resize": _MM_PX + """
         SELECT doc_id,
                CAST(8 + doc_id % 16 AS INT) AS src_w,
                CAST(4 + doc_id % 8 AS INT) AS src_h,
                CAST(16 AS INT) AS dst_w,
                CAST(12 AS INT) AS dst_h,
                CAST(16 * 12 * 3 AS INT) AS thumb_len,
-               CAST(CASE doc_id % 3 WHEN 1 THEN doc_id % 256
-                                    ELSE (5 * doc_id) % 256 END
-                    AS DOUBLE) AS t_mean_r,
-               CAST(CASE doc_id % 3 WHEN 1 THEN (3 * doc_id) % 256
-                                    ELSE (11 * doc_id) % 256 END
-                    AS DOUBLE) AS t_mean_g,
-               CAST(CASE doc_id % 3 WHEN 1 THEN (7 * doc_id) % 256
-                                    ELSE (13 * doc_id) % 256 END
-                    AS DOUBLE) AS t_mean_b
-        FROM documents WHERE doc_id % 3 IN (1, 2)
+               CAST(pr AS DOUBLE) AS t_mean_r,
+               CAST(pg AS DOUBLE) AS t_mean_g,
+               CAST(pb AS DOUBLE) AS t_mean_b
+        FROM px WHERE k IN (1, 2, 3)
     """,
-    "mm_real_decode": """
+    "mm_real_decode": _MM_PX + """
         SELECT doc_id,
-               CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
-                               ELSE 'png' END AS kind,
-               CASE WHEN doc_id % 3 = 0
+               CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                      WHEN 2 THEN 'png' ELSE 'jpeg' END AS kind,
+               CASE WHEN k = 0
                     THEN CAST(400 + doc_id % 50 AS INT) END AS n_samples,
-               CASE WHEN doc_id % 3 = 0
+               CASE WHEN k = 0
                     THEN CAST(1000 + doc_id % 100 AS DOUBLE) END AS rms,
-               CASE WHEN doc_id % 3 = 0
+               CASE WHEN k = 0
                     THEN CAST(1000 + doc_id % 100 AS INT) END AS peak,
-               CASE WHEN doc_id % 3 = 0
+               CASE WHEN k = 0
                     THEN CAST(399 + doc_id % 50 AS INT) END AS zero_crossings,
-               CASE WHEN doc_id % 3 != 0
+               CASE WHEN k != 0
                     THEN CAST(8 + doc_id % 16 AS INT) END AS width,
-               CASE WHEN doc_id % 3 != 0
+               CASE WHEN k != 0
                     THEN CAST(4 + doc_id % 8 AS INT) END AS height,
-               CASE doc_id % 3 WHEN 1 THEN CAST(doc_id % 256 AS DOUBLE)
-                    WHEN 2 THEN CAST((5 * doc_id) % 256 AS DOUBLE)
-                    END AS mean_r,
-               CASE doc_id % 3 WHEN 1 THEN CAST((3 * doc_id) % 256 AS DOUBLE)
-                    WHEN 2 THEN CAST((11 * doc_id) % 256 AS DOUBLE)
-                    END AS mean_g,
-               CASE doc_id % 3 WHEN 1 THEN CAST((7 * doc_id) % 256 AS DOUBLE)
-                    WHEN 2 THEN CAST((13 * doc_id) % 256 AS DOUBLE)
-                    END AS mean_b
-        FROM documents
+               CASE WHEN k != 0 THEN CAST(pr AS DOUBLE) END AS mean_r,
+               CASE WHEN k != 0 THEN CAST(pg AS DOUBLE) END AS mean_g,
+               CASE WHEN k != 0 THEN CAST(pb AS DOUBLE) END AS mean_b
+        FROM px
     """,
     "mm_media_probe": """
         SELECT doc_id,

@@ -628,3 +628,57 @@ def test_kmeans_training_reduces_distortion(spark, sf_dir):
     assert d_one <= d_init
     assert d_two <= d_one
     assert d_two < d_init  # training actually moved the codebook
+
+
+def test_jpeg_roundtrip_solid_exact_and_random_bounded():
+    """With unit quant tables a solid image decodes EXACTLY to the
+    YCbCr-roundtripped color (DC-only blocks); a random image — which
+    exercises the full huffman AC path, ZRL runs and EOB — stays within
+    the DCT-coefficient-rounding bound of the YCbCr round trip."""
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions.jpeg_py import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    for color in [(10, 200, 77), (255, 0, 128), (0, 0, 0), (255, 255, 255)]:
+        img = np.full((12, 19, 3), color, dtype=np.uint8)  # non-MCU-aligned
+        out = decode_jpeg_baseline(encode_jpeg_baseline(img))
+        assert out.shape == img.shape
+        assert np.array_equal(out, ycbcr_to_rgb(rgb_to_ycbcr(img)))
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    ref = ycbcr_to_rgb(rgb_to_ycbcr(img)).astype(int)
+    assert np.abs(out.astype(int) - ref).max() <= 4
+
+
+def test_jpeg_rejects_unsupported_and_truncation():
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.jpeg_py import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    blob = encode_jpeg_baseline(img)
+    # progressive: flip SOF0 marker (0xFFC0) to SOF2 (0xFFC2)
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_baseline(prog)
+    # subsampling: find the SOF0 segment and set Y sampling to 2x2
+    sof_at = blob.index(b"\xff\xc0")
+    sub = bytearray(blob)
+    sub[sof_at + 11] = 0x22  # first component's sampling byte
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg_baseline(bytes(sub))
+    # truncation anywhere is a jpeg ValueError, never Index/struct error
+    for cut in range(2, len(blob), 11):
+        with _pytest.raises(ValueError):
+            decode_jpeg_baseline(blob[:cut])
