@@ -381,10 +381,20 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     planes = np.zeros((3, ph, pw), dtype=np.float64)
     prev_dc = [0, 0, 0]
     inv_zz = np.argsort(ZIGZAG)
+    # scan order is the order entropy blocks appear in; each scan
+    # component is matched to its SOF component BY ID (SOF and SOS may
+    # both legally reorder), which fixes the quant table, and the output
+    # plane comes from the JFIF id convention (1=Y, 2=Cb, 3=Cr)
+    sof_tq = {cid: tq for cid, tq in comps}
+    if set(sof_tq) != {1, 2, 3}:
+        raise ValueError("jpeg: only JFIF YCbCr component ids 1/2/3 supported")
+    for cid, _dc, _ac in scan_comps:
+        if cid not in sof_tq:
+            raise ValueError("jpeg: SOS component id not in SOF")
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                tq = comps[ci][1]
+                plane_idx, tq = cid - 1, sof_tq[cid]
                 if tq not in qtabs:
                     raise ValueError("jpeg: missing quant table")
                 dc_tab = hufftabs.get((0, dc_id))
@@ -414,7 +424,7 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                     i += 1
                 coef = (zz * qtabs[tq])[inv_zz].reshape(8, 8).astype(np.float64)
                 block = _C.T @ coef @ _C + 128.0
-                planes[ci, by : by + 8, bx : bx + 8] = block
+                planes[plane_idx, by : by + 8, bx : bx + 8] = block
     if b"\xff\xd9" not in payload[max(br.pos - 1, 0) :]:
         raise ValueError("jpeg: missing EOI")
     ycc = np.clip(_round_half_up(planes), 0, 255).astype(np.uint8)

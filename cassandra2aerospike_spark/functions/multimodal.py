@@ -464,7 +464,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = _zlib.decompress(b"".join(idat))
     except _zlib.error as e:
         raise ValueError(f"png: bad IDAT stream ({e})") from e
-    if len(raw) != (stride + 1) * h or stride == 0:
+    if len(raw) != (stride + 1) * h or stride == 0 or h == 0:
         raise ValueError("png: decompressed size mismatch")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -509,28 +509,26 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     zlib inflate + scanline unfilter, JPEG via the full huffman/DCT
     path (jpeg_py).  Zero shuffles; the decode rides the scan."""
 
+    from .jpeg_py import decode_jpeg_baseline
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(p)
+                img = None
                 if p[:4] == b"RIFF":
                     n_s, rms, peak, zcr = decode_wav_pcm(p)
                     rows.append((doc_id, "wav", n_s, rms, peak, zcr,
                                  None, None, None, None, None))
-                elif (
-                    p[:2] == b"BM"
-                    or p[:8] == b"\x89PNG\r\n\x1a\n"
-                    or p[:2] == b"\xff\xd8"
-                ):
-                    if p[:2] == b"BM":
-                        kind, img = "bmp", decode_bmp(p)
-                    elif p[:2] == b"\xff\xd8":
-                        from .jpeg_py import decode_jpeg_baseline
-
-                        kind, img = "jpeg", decode_jpeg_baseline(p)
-                    else:
-                        kind, img = "png", decode_png(p)
+                    continue
+                elif p[:2] == b"BM":
+                    kind, img = "bmp", decode_bmp(p)
+                elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                    kind, img = "png", decode_png(p)
+                elif p[:2] == b"\xff\xd8":
+                    kind, img = "jpeg", decode_jpeg_baseline(p)
+                if img is not None:
                     means = img.reshape(-1, 3).mean(axis=0)
                     rows.append((doc_id, kind, None, None, None, None,
                                  img.shape[1], img.shape[0],
@@ -645,12 +643,13 @@ def resize_nn(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
 def resize_media_real(
     media_df: DataFrame, dst_w: int = 16, dst_h: int = 12
 ) -> DataFrame:
-    """X5 REAL image resize over mapInPandas: BMP and PNG payloads are
-    pixel-decoded (decode_bmp / decode_png), nearest-neighbor resampled
-    to (dst_w, dst_h), and re-emitted with the real thumbnail's byte
-    length and channel means.  Non-image payloads emit no row (the
-    filtering flatMap shape).  Zero shuffles; the resize rides the
-    scan."""
+    """X5 REAL image resize over mapInPandas: BMP, PNG and baseline-JPEG
+    payloads are pixel-decoded (decode_bmp / decode_png /
+    decode_jpeg_baseline), nearest-neighbor resampled to (dst_w, dst_h),
+    and re-emitted with the real thumbnail's byte length and channel
+    means.  Non-image payloads emit no row (the filtering flatMap
+    shape).  Zero shuffles; the resize rides the scan."""
+    from .jpeg_py import decode_jpeg_baseline
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -662,8 +661,6 @@ def resize_media_real(
                 elif p[:8] == b"\x89PNG\r\n\x1a\n":
                     img = decode_png(p)
                 elif p[:2] == b"\xff\xd8":
-                    from .jpeg_py import decode_jpeg_baseline
-
                     img = decode_jpeg_baseline(p)
                 else:
                     continue

@@ -245,8 +245,14 @@ def kmeans_fit_quantized(
 
     Returns a (cid int, c_vec array<long>) codebook frame."""
     q = corpus.select("vec_id", quantize_vec(F.col(vec_col), scale).alias("xq"))
-    codebook = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("xq").alias("c_vec")
+    # init = the k LOWEST vec_ids by rank (TakeOrderedAndProject — a
+    # bounded top-k, not a global sort), so sparse or offset id spaces
+    # still seed a full codebook; on the dense fixture this is exactly
+    # `vec_id < k`, which is what the SQL oracle encodes
+    codebook = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("xq").alias("c_vec"))
     )
     for _ in range(iters):
         assigned = assign_cells_quantized(q, codebook)

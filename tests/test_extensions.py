@@ -682,3 +682,45 @@ def test_jpeg_rejects_unsupported_and_truncation():
     for cut in range(2, len(blob), 11):
         with _pytest.raises(ValueError):
             decode_jpeg_baseline(blob[:cut])
+
+
+def test_png_zero_height_rejected():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.multimodal import decode_png
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 0, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="png"):
+        decode_png(blob)
+
+
+def test_jpeg_sof_component_order_matched_by_id():
+    """A spec-legal stream whose SOF lists components as (3,2,1) while
+    the scan stays (1,2,3) must decode identically to the canonical
+    file — components are matched by JFIF id, not list position."""
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions.jpeg_py import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 16, 3), (40, 90, 200), dtype=np.uint8)
+    blob = encode_jpeg_baseline(img)
+    ref = decode_jpeg_baseline(blob)
+    sof_at = blob.index(b"\xff\xc0")
+    comp0 = sof_at + 10  # marker(2) + len(2) + prec(1) + h(2) + w(2) + nc(1)
+    b = bytearray(blob)
+    b[comp0 : comp0 + 3], b[comp0 + 6 : comp0 + 9] = (
+        blob[comp0 + 6 : comp0 + 9],
+        blob[comp0 : comp0 + 3],
+    )
+    assert np.array_equal(decode_jpeg_baseline(bytes(b)), ref)
