@@ -42,6 +42,8 @@ _PRIORITY = [
     "sample_stratified",
     "sample_domain_mix",
     "sim_kmeans_cells",
+    "text_rare_token_filter",
+    "text_salient_terms",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

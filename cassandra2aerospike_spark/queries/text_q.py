@@ -240,6 +240,81 @@ def q_sample_domain_mix(spark, sf_dir):
     )
 
 
+def q_text_rare_token_filter(spark, sf_dir):
+    """CCNet-style perplexity-PROXY quality filter, integer-exact: a
+    document is suspect when too many of its tokens are rare in the
+    corpus (the signal LM-perplexity filters approximate, without the
+    cross-engine float logs that cannot hash-match).  Two passes: corpus
+    term frequencies, then per-doc rare counts.
+
+    Scale shape: the membership side broadcast is the COMMON vocabulary
+    (freq >= 3) — small by Zipf's law at any corpus size (the rare tail
+    is huge, its complement is not) — so the exploded token stream takes
+    a broadcast join and one doc_id aggregation; keep = rare tokens are
+    at most half, by integer compare."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    common = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 3)
+        .select("token")
+    )
+    per_doc = (
+        toks.join(F.broadcast(common.withColumn("is_common", F.lit(1))), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("is_common").isNull(), 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+            (
+                F.coalesce(F.col("n_rare"), F.lit(0)) * 2
+                <= F.coalesce(F.col("n_tokens"), F.lit(0))
+            )
+            .cast("int")
+            .alias("rt_keep"),
+        )
+    )
+
+
+def q_text_salient_terms(spark, sf_dir):
+    """Per-document salient-term extraction — the tf-idf move with an
+    integer-exact ordering: each document's top-3 tokens ranked by
+    highest in-doc term frequency, then LOWEST document frequency
+    (rarer is more distinctive), then token.  No float idf logs (which
+    cannot hash-match cross-engine); log is monotone in df, so the
+    (tf desc, df asc) rank IS the tf-idf rank within a fixed tf.
+    Shapes: (doc, token) tf agg, token df agg, equi-join, one rank
+    window PARTITIONED BY doc_id — parallel across documents."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("term_rank").cast("int").alias("term_rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.STOPWORDS.items()}
@@ -473,6 +548,41 @@ ORACLES = {
         FROM b
         WHERE bucket < CASE WHEN lang = 'en' THEN 16384 ELSE 39321 END
     """,
+    "text_rare_token_filter": _TOKS
+    + """
+        , tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        common AS (
+          SELECT token FROM tk GROUP BY token HAVING count(*) >= 3
+        ),
+        per_doc AS (
+          SELECT tk.doc_id, count(*) AS n_tokens,
+                 sum(CASE WHEN c.token IS NULL THEN 1 ELSE 0 END) AS n_rare
+          FROM tk LEFT JOIN common c ON tk.token = c.token
+          GROUP BY tk.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+               CAST(coalesce(n_rare, 0) * 2 <= coalesce(n_tokens, 0) AS INT)
+                   AS rt_keep
+        FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+    "text_salient_terms": _TOKS
+    + """
+        , tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(term_rank AS INT) AS term_rank
+        FROM (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, df.df ASC, tf.token)
+                     AS term_rank
+          FROM tf JOIN df ON tf.token = df.token
+        )
+        WHERE term_rank <= 3
+    """,
     "sample_domain_mix": """
         WITH e AS (
           SELECT doc_id, source,
@@ -586,4 +696,6 @@ QUERIES = {
     "text_decontaminate": q_text_decontaminate,
     "sample_stratified": q_sample_stratified,
     "sample_domain_mix": q_sample_domain_mix,
+    "text_rare_token_filter": q_text_rare_token_filter,
+    "text_salient_terms": q_text_salient_terms,
 }
