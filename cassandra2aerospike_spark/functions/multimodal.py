@@ -460,11 +460,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("png: missing IHDR/IDAT/IEND")
     w, h, nch = ihdr
     stride = w * nch
+    expected = (stride + 1) * h
     try:
-        raw = _zlib.decompress(b"".join(idat))
+        # decompressobj with max_length caps inflation at the declared
+        # image size (+1 to detect overrun), so a crafted deflate bomb
+        # in IDAT cannot allocate beyond the IHDR-declared dimensions
+        dec = _zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except _zlib.error as e:
         raise ValueError(f"png: bad IDAT stream ({e})") from e
-    if len(raw) != (stride + 1) * h or stride == 0 or h == 0:
+    if len(raw) != expected or not dec.eof or stride == 0 or h == 0:
         raise ValueError("png: decompressed size mismatch")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)

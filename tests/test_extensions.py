@@ -724,3 +724,43 @@ def test_jpeg_sof_component_order_matched_by_id():
         blob[comp0 : comp0 + 3],
     )
     assert np.array_equal(decode_jpeg_baseline(bytes(b)), ref)
+
+
+def test_image_decoders_fail_uniformly_on_arbitrary_bytes():
+    """Fuzz: random bytes — including ones wearing valid magics — must
+    raise ValueError from every image decoder, never IndexError/
+    struct.error/zlib.error; and a deflate bomb in IDAT is capped at the
+    IHDR-declared size instead of allocating the expanded stream."""
+    import struct
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra2aerospike_spark.functions.jpeg_py import decode_jpeg_baseline
+    from cassandra2aerospike_spark.functions.multimodal import decode_bmp, decode_png
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=120), st.integers(0, 3))
+    def fuzz(data, prefix_kind):
+        prefix = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"BM"][prefix_kind]
+        blob = prefix + data
+        for fn in (decode_png, decode_jpeg_baseline, decode_bmp):
+            try:
+                fn(blob)
+            except ValueError:
+                pass
+
+    fuzz()
+
+    # bomb: IHDR declares 4x3 but IDAT inflates to 1 MB
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + _png_chunk(b"IEND", b"")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="png"):
+        decode_png(bomb)
