@@ -323,9 +323,22 @@ def assign_probe_cells(
     )
 
 
+def dequantize_codebook(codebook: DataFrame, scale: int = 1000) -> DataFrame:
+    """(cid, c_vec long array) from `kmeans_fit_quantized` -> the
+    (cid, c_vec float array) shape `assign_cells` consumes, so a TRAINED
+    codebook can drive the IVF search path in place of the take-first-k
+    stand-in."""
+    return codebook.select(
+        "cid",
+        F.transform("c_vec", lambda v: (v.cast("double") / float(scale)).cast("float")).alias(
+            "c_vec"
+        ),
+    )
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_centroids: int = 16,
-    nprobe: int = 1,
+    nprobe: int = 1, centroids: DataFrame | None = None,
 ) -> DataFrame:
     """X3 scale path #2: IVF (inverted-file) ANN — corpus partitioned into
     coarse cells, each query searched against its `nprobe` nearest cells.
@@ -333,8 +346,10 @@ def ivf_topk(
     with a data-adaptive partition (codebook) instead of fixed sign bits;
     raising nprobe buys recall for a proportional slice of the corpus
     scanned per query (the standard IVF knob).  Recall < 1 by
-    construction; brute_force_topk is the baseline."""
-    cents = centroid_frame(corpus, n_centroids)
+    construction; brute_force_topk is the baseline.  Pass `centroids`
+    (e.g. dequantize_codebook(kmeans_fit_quantized(...))) to search with
+    a trained codebook instead of the take-first-k default."""
+    cents = centroids if centroids is not None else centroid_frame(corpus, n_centroids)
     cb = assign_cells(spread(corpus), cents, "embedding")
     qb = assign_probe_cells(queries, cents, "q_vec", nprobe)
     scored = cb.join(F.broadcast(qb), "cell").filter(

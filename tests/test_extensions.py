@@ -764,3 +764,30 @@ def test_image_decoders_fail_uniformly_on_arbitrary_bytes():
 
     with _pytest.raises(ValueError, match="png"):
         decode_png(bomb)
+
+
+def test_ivf_with_trained_codebook_searches(spark, sf_dir):
+    """The trained k-means codebook drives ivf_topk end to end
+    (dequantize -> assign -> probe -> rank) and returns a full top-k per
+    query with recall comparable to the take-first-k codebook."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.functions import similarity as S
+    from cassandra2aerospike_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    trained = S.dequantize_codebook(S.kmeans_fit_quantized(emb, k=8, iters=2))
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(qs, emb, k=5).collect()
+    }
+    got = S.ivf_topk(qs, emb, k=5, nprobe=2, centroids=trained).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert per_q and all(len(v) == 5 for v in per_q.values())
+    hits = sum((r.q_id, r.vec_id) in exact for r in got)
+    assert hits / len(exact) >= 0.4  # ANN recall floor on the fixture
