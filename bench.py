@@ -250,6 +250,29 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # X5 media-decode probe: synthesize real WAV/BMP/PNG/JPEG blobs and
+    # run the full byte-level decode (PCM fold, BMP rows, PNG inflate +
+    # unfilter, JPEG huffman + IDCT) through mapInPandas — the
+    # Python-side decode is the cost, Arrow batching the mitigation
+    from cassandra2aerospike_spark.functions import multimodal as mm
+
+    media_docs = (
+        docs.select("doc_id")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("doc_id", F.col("doc_id") * 4 + F.col("rep"))
+        .drop("rep")
+        .persist()
+    )
+    media = mm.synthesize_av_media(media_docs).persist()
+    n_media = media.count()  # materialize blobs so only DECODE is timed
+    mm.decode_media(media).count()  # warm
+    t0 = time.time()
+    mm.decode_media(media).count()
+    media_thru = n_media / (time.time() - t0)
+    media.unpersist()
+    media_docs.unpersist()
+    print(f"# media decode throughput: {media_thru:,.0f} blobs/s over {n_media} blobs", file=sys.stderr)
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qset = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -301,6 +324,7 @@ def main() -> None:
         "baseline_reference_rows_per_sec": 100000,
         "dedup_throughput_docs_per_sec": round(dedup_thru),
         "similarity_gemm_vecs_per_sec": round(sim_thru),
+        "media_decode_blobs_per_sec": round(media_thru),
     }
     if slope:
         out["scale_slope"] = slope
