@@ -514,6 +514,7 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     zlib inflate + scanline unfilter, JPEG via the full huffman/DCT
     path (jpeg_py).  Zero shuffles; the decode rides the scan."""
 
+    from .gif_py import decode_gif
     from .jpeg_py import decode_jpeg_baseline
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -533,6 +534,8 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                     kind, img = "png", decode_png(p)
                 elif p[:2] == b"\xff\xd8":
                     kind, img = "jpeg", decode_jpeg_baseline(p)
+                elif p[:6] in (b"GIF87a", b"GIF89a"):
+                    kind, img = "gif", decode_gif(p)
                 if img is not None:
                     means = img.reshape(-1, 3).mean(axis=0)
                     rows.append((doc_id, kind, None, None, None, None,
@@ -558,21 +561,24 @@ def decode_media(media_df: DataFrame) -> DataFrame:
 
 def synthesize_av_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter for the REAL decode path: deterministic WAV-PCM
-    square waves (doc_id % 4 == 0: amplitude 1000 + d%100, n = 400 +
+    square waves (doc_id % 5 == 0: amplitude 1000 + d%100, n = 400 +
     d%50 samples, mono 8 kHz — RMS and peak are EXACTLY the amplitude,
     and a square wave alternating every sample has n-1 zero crossings),
-    solid-color 24-bit BMPs (doc_id % 4 == 1: w = 8 + d%16, h = 4 +
+    solid-color 24-bit BMPs (doc_id % 5 == 1: w = 8 + d%16, h = 4 +
     d%8, RGB = (d%256, 3d%256, 7d%256)), solid-color REAL PNGs
-    (doc_id % 4 == 2: same dims, RGB = (5d%256, 11d%256, 13d%256),
-    through encode_png — spec-valid chunks, CRCs and deflate stream)
-    and solid-color REAL baseline JPEGs (doc_id % 4 == 3: same dims,
+    (doc_id % 5 == 2: same dims, RGB = (5d%256, 11d%256, 13d%256),
+    through encode_png — spec-valid chunks, CRCs and deflate stream),
+    solid-color REAL baseline JPEGs (doc_id % 5 == 3: same dims,
     RGB = (17d%256, 23d%256, 29d%256), quant=1 through
     encode_jpeg_baseline — with flat unit quant tables a constant block
     is DC-only and decodes EXACTLY to the YCbCr-roundtripped color, so
-    even the lossy format has a closed-form oracle).  All features are
-    deterministic arithmetic on doc_id."""
+    even the lossy format has a closed-form oracle) and REAL LZW GIFs
+    (doc_id % 5 == 4: same dims, RGB = (31d%256, 37d%256, 41d%256),
+    through encode_gif — palette-exact, so decode returns the color).
+    All features are deterministic arithmetic on doc_id."""
     import struct as _struct
 
+    from .gif_py import encode_gif
     from .jpeg_py import encode_jpeg_baseline
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -580,7 +586,7 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 4 == 0:  # WAV: ±amp alternating square wave
+                if d % 5 == 0:  # WAV: ±amp alternating square wave
                     amp = 1000 + d % 100
                     n = 400 + d % 50
                     x = np.empty(n, dtype="<i2")
@@ -595,7 +601,7 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
                         + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
                         + b"data" + _struct.pack("<I", len(body)) + body
                     )
-                elif d % 4 == 1:  # BMP: solid color, bottom-up, padded rows
+                elif d % 5 == 1:  # BMP: solid color, bottom-up, padded rows
                     w = 8 + d % 16
                     h = 4 + d % 8
                     r, g, b = d % 256, (3 * d) % 256, (7 * d) % 256
@@ -610,18 +616,24 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
                                        2835, 2835, 0, 0)
                         + pixels
                     )
-                elif d % 4 == 2:  # PNG: solid color through the real encoder
+                elif d % 5 == 2:  # PNG: solid color through the real encoder
                     w = 8 + d % 16
                     h = 4 + d % 8
                     color = ((5 * d) % 256, (11 * d) % 256, (13 * d) % 256)
                     img = np.full((h, w, 3), color, dtype=np.uint8)
                     blob = encode_png(img)
-                else:  # JPEG: solid color, unit quant tables (DC-exact)
+                elif d % 5 == 3:  # JPEG: solid color, unit quant (DC-exact)
                     w = 8 + d % 16
                     h = 4 + d % 8
                     color = ((17 * d) % 256, (23 * d) % 256, (29 * d) % 256)
                     img = np.full((h, w, 3), color, dtype=np.uint8)
                     blob = encode_jpeg_baseline(img, quant=1)
+                else:  # GIF: solid color through the real LZW encoder
+                    w = 8 + d % 16
+                    h = 4 + d % 8
+                    color = ((31 * d) % 256, (37 * d) % 256, (41 * d) % 256)
+                    img = np.full((h, w, 3), color, dtype=np.uint8)
+                    blob = encode_gif(img)
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
@@ -654,6 +666,7 @@ def resize_media_real(
     and re-emitted with the real thumbnail's byte length and channel
     means.  Non-image payloads emit no row (the filtering flatMap
     shape).  Zero shuffles; the resize rides the scan."""
+    from .gif_py import decode_gif
     from .jpeg_py import decode_jpeg_baseline
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -667,6 +680,8 @@ def resize_media_real(
                     img = decode_png(p)
                 elif p[:2] == b"\xff\xd8":
                     img = decode_jpeg_baseline(p)
+                elif p[:6] in (b"GIF87a", b"GIF89a"):
+                    img = decode_gif(p)
                 else:
                     continue
                 thumb = resize_nn(img, dst_w, dst_h)

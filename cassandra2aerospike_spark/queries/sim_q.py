@@ -180,12 +180,14 @@ def q_mm_media_probe(spark, sf_dir):
 
 def q_mm_real_decode(spark, sf_dir):
     """X5 REAL sample/pixel decode (no codec library needed): synthesize
-    WAV-PCM square waves (doc_id % 4 == 0), solid-color 24-bit BMPs
-    (% 4 == 1), spec-valid PNGs (% 4 == 2, real chunks/CRCs/deflate via
-    encode_png) and real baseline JPEGs (% 4 == 3, unit quant tables via
-    encode_jpeg_baseline) deterministically from doc_id, then DECODE the
+    WAV-PCM square waves (doc_id % 5 == 0), solid-color 24-bit BMPs
+    (% 5 == 1), spec-valid PNGs (% 5 == 2, real chunks/CRCs/deflate via
+    encode_png), real baseline JPEGs (% 5 == 3, unit quant tables via
+    encode_jpeg_baseline) and real LZW GIFs (% 5 == 4, encode_gif)
+    deterministically from doc_id, then DECODE the
     bytes for real — PCM sample arrays -> rms/peak/zero-crossings, BMP
-    row math / PNG inflate+unfilter / JPEG huffman+IDCT -> channel means
+    row math / PNG inflate+unfilter / JPEG huffman+IDCT / GIF LZW ->
+    channel means
     (functions/multimodal.py + functions/jpeg_py.py).  The generating
     arithmetic is closed-form, so the byte-level decode has an exact SQL
     oracle: a square wave's RMS and peak ARE its amplitude, a solid
@@ -196,7 +198,8 @@ def q_mm_real_decode(spark, sf_dir):
 
 
 def q_mm_real_resize(spark, sf_dir):
-    """X5 REAL image resize: the synthesized BMPs, PNGs AND JPEGs
+    """X5 REAL image resize: every synthesized image format (BMP, PNG,
+    JPEG, GIF)
     pixel-decoded and nearest-neighbor resampled to 16x12
     (multimodal.resize_nn — the floor(i*src/dst) sampling grid, pinned
     against a per-pixel reference in tests), emitting the real
@@ -228,16 +231,19 @@ _MM_BYTES = """
 
 _MM_PX = """
     WITH base AS (
-      SELECT doc_id, doc_id % 4 AS k,
-             CASE doc_id % 4 WHEN 1 THEN doc_id % 256
+      SELECT doc_id, doc_id % 5 AS k,
+             CASE doc_id % 5 WHEN 1 THEN doc_id % 256
                   WHEN 2 THEN (5 * doc_id) % 256
-                  WHEN 3 THEN (17 * doc_id) % 256 END AS r0,
-             CASE doc_id % 4 WHEN 1 THEN (3 * doc_id) % 256
+                  WHEN 3 THEN (17 * doc_id) % 256
+                  WHEN 4 THEN (31 * doc_id) % 256 END AS r0,
+             CASE doc_id % 5 WHEN 1 THEN (3 * doc_id) % 256
                   WHEN 2 THEN (11 * doc_id) % 256
-                  WHEN 3 THEN (23 * doc_id) % 256 END AS g0,
-             CASE doc_id % 4 WHEN 1 THEN (7 * doc_id) % 256
+                  WHEN 3 THEN (23 * doc_id) % 256
+                  WHEN 4 THEN (37 * doc_id) % 256 END AS g0,
+             CASE doc_id % 5 WHEN 1 THEN (7 * doc_id) % 256
                   WHEN 2 THEN (13 * doc_id) % 256
-                  WHEN 3 THEN (29 * doc_id) % 256 END AS b0
+                  WHEN 3 THEN (29 * doc_id) % 256
+                  WHEN 4 THEN (41 * doc_id) % 256 END AS b0
       FROM documents
     ),
     ycc AS (
@@ -282,12 +288,13 @@ ORACLES = {
                CAST(pr AS DOUBLE) AS t_mean_r,
                CAST(pg AS DOUBLE) AS t_mean_g,
                CAST(pb AS DOUBLE) AS t_mean_b
-        FROM px WHERE k IN (1, 2, 3)
+        FROM px WHERE k IN (1, 2, 3, 4)
     """,
     "mm_real_decode": _MM_PX + """
         SELECT doc_id,
                CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
-                      WHEN 2 THEN 'png' ELSE 'jpeg' END AS kind,
+                      WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+                      ELSE 'gif' END AS kind,
                CASE WHEN k = 0
                     THEN CAST(400 + doc_id % 50 AS INT) END AS n_samples,
                CASE WHEN k = 0

@@ -737,15 +737,16 @@ def test_image_decoders_fail_uniformly_on_arbitrary_bytes():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    from cassandra2aerospike_spark.functions.gif_py import decode_gif
     from cassandra2aerospike_spark.functions.jpeg_py import decode_jpeg_baseline
     from cassandra2aerospike_spark.functions.multimodal import decode_bmp, decode_png
 
     @settings(max_examples=200, deadline=None)
-    @given(st.binary(max_size=120), st.integers(0, 3))
+    @given(st.binary(max_size=120), st.integers(0, 4))
     def fuzz(data, prefix_kind):
-        prefix = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"BM"][prefix_kind]
+        prefix = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"BM", b"GIF89a"][prefix_kind]
         blob = prefix + data
-        for fn in (decode_png, decode_jpeg_baseline, decode_bmp):
+        for fn in (decode_png, decode_jpeg_baseline, decode_bmp, decode_gif):
             try:
                 fn(blob)
             except ValueError:
@@ -791,3 +792,30 @@ def test_ivf_with_trained_codebook_searches(spark, sf_dir):
     assert per_q and all(len(v) == 5 for v in per_q.values())
     hits = sum((r.q_id, r.vec_id) in exact for r in got)
     assert hits / len(exact) >= 0.4  # ANN recall floor on the fixture
+
+
+def test_gif_lzw_roundtrip_and_rejections():
+    """encode_gif -> decode_gif is identity (palette-exact LZW) across
+    solid, multi-color, and table-growth-forcing sizes; interlace and
+    truncation reject uniformly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.gif_py import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(20, 3), dtype=np.uint8)
+    for shape in [(1, 1), (7, 13), (100, 90)]:
+        img = pal[rng.integers(0, 20, size=shape)]
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    blob = encode_gif(pal[rng.integers(0, 20, size=(9, 9))])
+    # interlace flag set in the image descriptor
+    desc_at = blob.index(b"\x2c")
+    b = bytearray(blob)
+    b[desc_at + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_gif(bytes(b))
+    for cut in range(6, len(blob), 13):
+        with _pytest.raises(ValueError, match="gif"):
+            decode_gif(blob[:cut])
