@@ -44,6 +44,8 @@ _PRIORITY = [
     "sim_kmeans_cells",
     "text_rare_token_filter",
     "text_salient_terms",
+    "layout_zorder",
+    "dedup_incremental",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

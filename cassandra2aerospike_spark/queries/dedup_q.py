@@ -260,7 +260,66 @@ simh AS (
 )
 """
 
+def q_dedup_incremental(spark, sf_dir):
+    """X1 INCREMENTAL ingestion dedup — the shape a continuously-fed
+    corpus actually runs: a new batch (odd doc_ids) checked against the
+    already-ingested corpus (even doc_ids) WITHOUT re-deduplicating the
+    old side.  New docs matching an old fingerprint drop as
+    'dup_of_corpus' (dup_of = the old representative); remaining
+    in-batch duplicates collapse to the min doc_id ('dup_in_batch');
+    survivors 'keep'.  Shapes: one agg on the old side (at scale this is
+    a PRE-COMPUTED fingerprint table, not a rescan), one fp equi-join,
+    one window per fp over the new batch only — the old corpus is never
+    re-shuffled per batch."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    old = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("old_rep"))
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    first_new = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        new.join(old, "fp", "left")
+        .withColumn("first_new", first_new)
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("old_rep").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("first_new"), "dup_in_batch")
+            .otherwise("keep")
+            .alias("decision"),
+            F.when(F.col("old_rep").isNotNull(), F.col("old_rep"))
+            .when(F.col("doc_id") != F.col("first_new"), F.col("first_new"))
+            .alias("dup_of"),
+        )
+    )
+
+
 ORACLES = {
+    "dedup_incremental": _TOKS
+    + """
+        , fps AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM toks),
+        old AS (SELECT fp, min(doc_id) AS old_rep FROM fps
+                WHERE doc_id % 2 = 0 GROUP BY fp),
+        new AS (SELECT doc_id, fp,
+                       min(doc_id) OVER (PARTITION BY fp) AS first_new
+                FROM fps WHERE doc_id % 2 = 1)
+        SELECT new.doc_id, new.fp,
+               CASE WHEN old.old_rep IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN new.doc_id != new.first_new THEN 'dup_in_batch'
+                    ELSE 'keep' END AS decision,
+               CASE WHEN old.old_rep IS NOT NULL THEN old.old_rep
+                    WHEN new.doc_id != new.first_new THEN new.first_new
+                    END AS dup_of
+        FROM new LEFT JOIN old ON new.fp = old.fp
+    """,
     "dedup_exact_prefix": _TOKS
     + """
         SELECT 'content' AS method, md5(array_to_string(t, ' ')) AS fp,
@@ -508,4 +567,5 @@ QUERIES = {
     "dedup_keep_list": q_dedup_keep_list,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_incremental": q_dedup_incremental,
 }

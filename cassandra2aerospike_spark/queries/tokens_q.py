@@ -322,7 +322,52 @@ def _murmur3_oracle(source: str = "customer", keycol: str = "c_custkey") -> str:
     """
 
 
+def q_layout_zorder(spark, sf_dir):
+    """O-family extension: Z-ORDER data layout — the multi-column
+    clustering move of 100 TB lakehouse tables (Delta/Iceberg OPTIMIZE
+    ZORDER): bit-interleave two key dimensions so a range predicate on
+    EITHER column prunes to a bounded set of file buckets instead of
+    scanning everything.  zval interleaves the low 16 bits of
+    (l_orderkey, l_partkey); zbucket = top 8 z bits = one 4096 x 4096
+    quadtree cell (x/y spans inside a bucket are bounded by construction
+    — pinned by test).  Pure bit arithmetic: map-side, integer-exact,
+    identical in SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_orderkey") % 65536).cast("long")
+    y = (F.col("l_partkey") % 65536).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(16):  # disjoint bit positions, so + == bitwise-or
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        z.alias("zval"),
+        F.shiftright(z, 24).cast("int").alias("zbucket"),
+    )
+
+
+_ZEXPR = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
 ORACLES = {
+    "layout_zorder": f"""
+        WITH b AS (
+          SELECT l_orderkey, l_partkey, l_linenumber,
+                 l_orderkey % 65536 AS x, l_partkey % 65536 AS y
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST({_ZEXPR} AS BIGINT) AS zval,
+               CAST(({_ZEXPR}) >> 24 AS INT) AS zbucket
+        FROM b
+    """,
     "token_murmur3": _murmur3_oracle(),
     "o2_real_resume": "WITH toks AS MATERIALIZED (" + _murmur3_oracle(
         "(SELECT DISTINCT user_id AS ukey FROM events) u", "ukey"
@@ -420,6 +465,7 @@ QUERIES = {
     "o2_real_resume": q_o2_real_resume,
     "p4_partitioner_registry": q_p4_partitioner_registry,
     "p5_partitioner_abort": q_p5_partitioner_abort,
+    "layout_zorder": q_layout_zorder,
 }
 
 ORACLES["p4_partitioner_registry"] = """

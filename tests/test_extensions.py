@@ -819,3 +819,50 @@ def test_gif_lzw_roundtrip_and_rejections():
     for cut in range(6, len(blob), 13):
         with _pytest.raises(ValueError, match="gif"):
             decode_gif(blob[:cut])
+
+
+def test_zorder_buckets_are_quadtree_cells(spark, sf_dir):
+    """The z-order pruning guarantee, pinned exactly: a zbucket is the
+    top-8-bit z prefix = one quadtree cell, so within any bucket the x
+    and y spans are each bounded by the 4096-wide cell — the property
+    that lets a range predicate on EITHER column skip buckets."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.queries.tokens_q import q_layout_zorder
+
+    spans = (
+        q_layout_zorder(spark, sf_dir)
+        .select(
+            "zbucket",
+            (F.col("l_orderkey") % 65536).alias("x"),
+            (F.col("l_partkey") % 65536).alias("y"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert spans
+    for r in spans:
+        assert r.xs < 4096 and r.ys < 4096
+
+
+def test_dedup_incremental_decisions_consistent(spark, sf_dir):
+    """Every new doc gets exactly one decision; dup_of points at an old
+    doc for corpus dups, at the batch representative for batch dups,
+    and is NULL for keeps; batch representatives are themselves kept."""
+    from cassandra2aerospike_spark.queries.dedup_q import q_dedup_incremental
+
+    rows = q_dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert r.doc_id % 2 == 1
+        if r.decision == "dup_of_corpus":
+            assert r.dup_of is not None and r.dup_of % 2 == 0
+        elif r.decision == "dup_in_batch":
+            assert r.dup_of in by_id and by_id[r.dup_of].decision == "keep"
+        else:
+            assert r.decision == "keep" and r.dup_of is None
