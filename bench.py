@@ -250,16 +250,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # X5 media-decode probe: synthesize real WAV/BMP/PNG/JPEG blobs and
-    # run the full byte-level decode (PCM fold, BMP rows, PNG inflate +
-    # unfilter, JPEG huffman + IDCT) through mapInPandas — the
-    # Python-side decode is the cost, Arrow batching the mitigation
+    # X5 media-decode probe: synthesize real WAV/BMP/PNG/JPEG/GIF blobs
+    # and run the full byte-level decode (PCM fold, BMP rows, PNG
+    # inflate + unfilter, JPEG huffman + IDCT, GIF LZW) through
+    # mapInPandas — the Python-side decode is the cost, Arrow batching
+    # the mitigation.  doc_id*5 + rep(0..4) covers every format branch
+    # of the % 5 synth policy exactly once per source doc, regardless of
+    # the source id distribution.
     from cassandra2aerospike_spark.functions import multimodal as mm
 
     media_docs = (
         docs.select("doc_id")
-        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(3))))
-        .withColumn("doc_id", F.col("doc_id") * 4 + F.col("rep"))
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(4))))
+        .withColumn("doc_id", F.col("doc_id") * 5 + F.col("rep"))
         .drop("rep")
         .persist()
     )

@@ -145,6 +145,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     if not 2 <= min_code <= 8:
         raise ValueError("gif: bad LZW minimum code size")
     data, pos = _read_subblocks(payload, pos)
+    if 0x3B not in payload[pos:]:  # trailer must follow the image data
+        raise ValueError("gif: missing trailer")
 
     clear = 1 << min_code
     eoi = clear + 1

@@ -509,10 +509,11 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_media(media_df: DataFrame) -> DataFrame:
     """X5 REAL decode over mapInPandas: dispatch by container magic —
     RIFF/WAVE blobs through the PCM decoder (audio features: rms, peak,
-    zero-crossing count); BM, PNG and baseline-JPEG blobs through their
-    pixel decoders (channel means) — BMP via numpy row math, PNG via
-    zlib inflate + scanline unfilter, JPEG via the full huffman/DCT
-    path (jpeg_py).  Zero shuffles; the decode rides the scan."""
+    zero-crossing count); BM, PNG, baseline-JPEG and GIF blobs through
+    their pixel decoders (channel means) — BMP via numpy row math, PNG
+    via zlib inflate + scanline unfilter, JPEG via the full huffman/DCT
+    path (jpeg_py), GIF via variable-width LZW (gif_py).  Zero
+    shuffles; the decode rides the scan."""
 
     from .gif_py import decode_gif
     from .jpeg_py import decode_jpeg_baseline
@@ -660,12 +661,13 @@ def resize_nn(img: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
 def resize_media_real(
     media_df: DataFrame, dst_w: int = 16, dst_h: int = 12
 ) -> DataFrame:
-    """X5 REAL image resize over mapInPandas: BMP, PNG and baseline-JPEG
-    payloads are pixel-decoded (decode_bmp / decode_png /
-    decode_jpeg_baseline), nearest-neighbor resampled to (dst_w, dst_h),
-    and re-emitted with the real thumbnail's byte length and channel
-    means.  Non-image payloads emit no row (the filtering flatMap
-    shape).  Zero shuffles; the resize rides the scan."""
+    """X5 REAL image resize over mapInPandas: BMP, PNG, baseline-JPEG
+    and GIF payloads are pixel-decoded (decode_bmp / decode_png /
+    decode_jpeg_baseline / decode_gif), nearest-neighbor resampled to
+    (dst_w, dst_h), and re-emitted with the real thumbnail's byte
+    length and channel means.  Non-image payloads emit no row (the
+    filtering flatMap shape).  Zero shuffles; the resize rides the
+    scan."""
     from .gif_py import decode_gif
     from .jpeg_py import decode_jpeg_baseline
 

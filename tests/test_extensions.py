@@ -810,8 +810,11 @@ def test_gif_lzw_roundtrip_and_rejections():
         assert np.array_equal(decode_gif(encode_gif(img)), img)
 
     blob = encode_gif(pal[rng.integers(0, 20, size=(9, 9))])
-    # interlace flag set in the image descriptor
-    desc_at = blob.index(b"\x2c")
+    # interlace flag set in the image descriptor — located structurally
+    # (header 6 + screen descriptor 7 + global palette 768), since a
+    # 0x2c byte can legally appear inside the random palette
+    desc_at = 6 + 7 + 3 * 256
+    assert blob[desc_at] == 0x2C
     b = bytearray(blob)
     b[desc_at + 9] |= 0x40
     with _pytest.raises(ValueError, match="interlace"):
