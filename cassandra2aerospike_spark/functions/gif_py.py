@@ -23,21 +23,44 @@ import numpy as np
 
 def encode_gif(img: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB with at most 256 distinct colors -> GIF87a."""
-    h, w, nch = img.shape
-    if nch != 3 or img.dtype != np.uint8:
-        raise ValueError("encode_gif: expects (h, w, 3) uint8")
-    flat = img.reshape(-1, 3)
-    colors, indices = np.unique(flat, axis=0, return_inverse=True)
+    return encode_gif_animation([img])
+
+
+def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Frames (each (h, w, 3) uint8, same dims, <= 256 distinct colors
+    ACROSS all frames) -> an animated GIF89a (GIF87a when one frame):
+    one shared global palette, a graphic-control extension with
+    `delay_cs` centiseconds per frame, one full-size image per frame."""
+    if not frames:
+        raise ValueError("encode_gif: no frames")
+    h, w, nch = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, nch) or f.dtype != np.uint8 or nch != 3:
+            raise ValueError("encode_gif: frames must be same-shape (h, w, 3) uint8")
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
         raise ValueError("encode_gif: more than 256 distinct colors")
     palette = np.zeros((256, 3), dtype=np.uint8)
     palette[: len(colors)] = colors
+    per_frame = inv.reshape(len(frames), h * w)
 
-    out = bytearray(b"GIF87a")
+    animated = len(frames) > 1
+    out = bytearray(b"GIF89a" if animated else b"GIF87a")
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
     out += palette.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    for indices in per_frame:
+        if animated:  # graphic control extension per frame
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += _lzw_image_data(indices)
+    out += b"\x3b"  # trailer
+    return bytes(out)
 
+
+def _lzw_image_data(indices: np.ndarray) -> bytes:
+    """LZW-coded image data (min-code byte + sub-blocks) for one frame's
+    index array, via the literal+clear stream (see module docstring)."""
     min_code = 8
     clear, eoi = 256, 257
     width = 9
@@ -68,12 +91,11 @@ def encode_gif(img: np.ndarray) -> bytes:
     if nbits:
         data.append(acc & 0xFF)
 
-    out += bytes([min_code])
+    out = bytearray([min_code])
     for off in range(0, len(data), 255):
         chunk = data[off : off + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00"  # block terminator
-    out += b"\x3b"  # trailer
     return bytes(out)
 
 
@@ -94,19 +116,31 @@ def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
+    """First (or only) frame of a GIF as (h, w, 3) uint8 RGB."""
+    return decode_gif_frames(payload)[0]
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """EVERY frame of a (possibly animated) GIF as (h, w, 3) uint8 RGB
+    arrays — the real "video" decode path for frame sampling.  Each
+    frame must be full-size at origin (what encode_gif_animation emits;
+    partial-frame composition over a canvas is rejected, not guessed)."""
     n = len(payload)
     if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
-    palette = None
+    global_palette = None
     if flags & 0x80:
         size = 2 << (flags & 0x07)
         if pos + 3 * size > n:
             raise ValueError("gif: truncated global color table")
-        palette = np.frombuffer(payload, np.uint8, 3 * size, pos).reshape(-1, 3)
+        global_palette = np.frombuffer(payload, np.uint8, 3 * size, pos).reshape(-1, 3)
         pos += 3 * size
-    while pos < n:
+    frames: list[np.ndarray] = []
+    while True:
+        if pos >= n:
+            raise ValueError("gif: missing trailer")
         block = payload[pos]
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks, skipped
@@ -115,19 +149,30 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += 1
             _, pos = _read_subblocks(payload, pos)
         elif block == 0x3B:
-            raise ValueError("gif: no image data before trailer")
+            if not frames:
+                raise ValueError("gif: no image data before trailer")
+            return frames
         elif block == 0x2C:
-            break
+            img, pos = _decode_image(payload, pos, global_palette)
+            frames.append(img)
         else:
             raise ValueError(f"gif: unknown block 0x{block:02x}")
-    else:
-        raise ValueError("gif: missing image descriptor")
+
+
+def _decode_image(
+    payload: bytes, pos: int, palette: np.ndarray | None
+) -> tuple[np.ndarray, int]:
+    """One image descriptor + LZW data starting at `pos` (after the 0x2c
+    introducer) -> ((h, w, 3) RGB, next block position)."""
+    n = len(payload)
     if pos + 9 > n:
         raise ValueError("gif: truncated image descriptor")
-    _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+    ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
     pos += 9
     if iflags & 0x40:
         raise ValueError("gif: interlaced images unsupported")
+    if ix != 0 or iy != 0:
+        raise ValueError("gif: partial-frame composition unsupported")
     if iflags & 0x80:  # local color table wins
         size = 2 << (iflags & 0x07)
         if pos + 3 * size > n:
@@ -145,8 +190,6 @@ def decode_gif(payload: bytes) -> np.ndarray:
     if not 2 <= min_code <= 8:
         raise ValueError("gif: bad LZW minimum code size")
     data, pos = _read_subblocks(payload, pos)
-    if 0x3B not in payload[pos:]:  # trailer must follow the image data
-        raise ValueError("gif: missing trailer")
 
     clear = 1 << min_code
     eoi = clear + 1
@@ -202,4 +245,4 @@ def decode_gif(payload: bytes) -> np.ndarray:
     idx = np.frombuffer(bytes(out), dtype=np.uint8)
     if int(idx.max(initial=0)) >= len(palette):
         raise ValueError("gif: pixel index outside color table")
-    return palette[idx].reshape(ih, iw, 3)
+    return palette[idx].reshape(ih, iw, 3), pos

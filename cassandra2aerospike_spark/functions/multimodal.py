@@ -643,6 +643,78 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_REAL_SCHEMA = (
+    "doc_id long, frame_no int, n_frames int, "
+    "f_mean_r double, f_mean_g double, f_mean_b double"
+)
+
+
+def synthesize_animations(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for REAL frame sampling: deterministic animated
+    GIFs (the container standing in for video — n_frames = 2 + d%4
+    full-size frames, frame f solid RGB = ((31d+7f)%256, (37d+11f)%256,
+    (41d+13f)%256), dims w = 8 + d%16, h = 4 + d%8) through
+    encode_gif_animation — real GIF89a with graphic-control extensions
+    and per-frame LZW streams, so decode_gif_frames walks actual
+    multi-image GIF structure."""
+    from .gif_py import encode_gif_animation
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 16, 4 + d % 8
+                frames = [
+                    np.full(
+                        (h, w, 3),
+                        ((31 * d + 7 * f) % 256, (37 * d + 11 * f) % 256,
+                         (41 * d + 13 * f) % 256),
+                        dtype=np.uint8,
+                    )
+                    for f in range(2 + d % 4)
+                ]
+                payloads.append(encode_gif_animation(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "doc_id long, payload binary"
+    )
+
+
+def frame_sample_real(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """X5 REAL frame sampling — the video-pipeline op, on real bytes:
+    decode EVERY frame of each animated GIF (gif_py.decode_gif_frames),
+    keep every `every_n`-th, emit per-frame channel means.  The
+    flatMap-over-frames shape video feature extraction needs; zero
+    shuffles, rides the scan."""
+    from .gif_py import decode_gif_frames
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(p))
+                for f, img in enumerate(frames):
+                    if f % every_n:
+                        continue
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append((doc_id, f, len(frames),
+                                 float(means[0]), float(means[1]), float(means[2])))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "n_frames",
+                         "f_mean_r", "f_mean_g", "f_mean_b"],
+            )
+            for c in ("frame_no", "n_frames"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        sample_batches, FRAME_SAMPLE_REAL_SCHEMA
+    )
+
+
 RESIZE_REAL_SCHEMA = (
     "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
     "thumb_len int, t_mean_r double, t_mean_g double, t_mean_b double"

@@ -46,6 +46,7 @@ _PRIORITY = [
     "text_salient_terms",
     "layout_zorder",
     "dedup_incremental",
+    "mm_real_frame_sample",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

@@ -98,6 +98,18 @@ def q_sim_kmeans_cells(spark, sf_dir):
     )
 
 
+def q_mm_real_frame_sample(spark, sf_dir):
+    """X5 REAL frame sampling over animated GIFs (the video stand-in):
+    synthesize n_frames = 2 + d%4 solid frames per doc through the real
+    GIF89a animation encoder, decode EVERY frame back (multi-image LZW
+    walk, functions/gif_py.decode_gif_frames), keep every 2nd frame,
+    emit per-frame channel means.  The generating colors are closed-form
+    on (doc_id, frame_no), so the real multi-frame byte decode has an
+    exact SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample_real(M.synthesize_animations(docs), every_n=2)
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     """X2 embedding-cosine near-dup pairs within sign buckets.  Threshold
     0.35 is calibrated to the synthetic fixture (max pairwise cos ~0.51);
@@ -132,8 +144,9 @@ def q_mm_binary_meta(spark, sf_dir):
 
 
 def q_mm_decode_features(spark, sf_dir):
-    """X5: mapInPandas decode/feature-extract (STUB codec, real plumbing).
-    No SQL oracle — rows-only check; determinism is unit-tested."""
+    """X5: mapInPandas decode/feature-extract (STUB codec, real plumbing;
+    the real codecs live in mm_real_decode).  Exact SQL oracle over the
+    stub's byte-arithmetic rules (_MM_BYTES)."""
     docs = load_table(spark, sf_dir, "documents")
     feats = M.decode_image_stub(M.with_binary_payload(docs))
     return feats.select(
@@ -156,9 +169,9 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def q_mm_resize(spark, sf_dir):
-    """X5 resize stub (mapInPandas, binary-out thumbnail).  No SQL oracle
-    (thumbnail derives from the stub decoder) -> rows-only; determinism
-    unit-tested."""
+    """X5 resize stub (mapInPandas, binary-out thumbnail; the real
+    resize lives in mm_real_resize).  Exact SQL oracle over the stub's
+    byte-arithmetic scale rules."""
     docs = load_table(spark, sf_dir, "documents")
     r = M.resize_stub(M.with_binary_payload(docs), dst_w=32, dst_h=32)
     return r.select(
@@ -229,6 +242,19 @@ _MM_BYTES = """
     )
 """
 
+ORACLE_FRAME_SAMPLE = """
+    WITH f AS (
+      SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 4)) AS INT) AS frame_no,
+             CAST(2 + doc_id % 4 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, frame_no, n_frames,
+           CAST((31 * doc_id + 7 * frame_no) % 256 AS DOUBLE) AS f_mean_r,
+           CAST((37 * doc_id + 11 * frame_no) % 256 AS DOUBLE) AS f_mean_g,
+           CAST((41 * doc_id + 13 * frame_no) % 256 AS DOUBLE) AS f_mean_b
+    FROM f WHERE frame_no % 2 = 0
+"""
+
 _MM_PX = """
     WITH base AS (
       SELECT doc_id, doc_id % 5 AS k,
@@ -273,6 +299,7 @@ _MM_PX = """
 """
 
 ORACLES = {
+    "mm_real_frame_sample": ORACLE_FRAME_SAMPLE,
     # _MM_PX: per-doc solid source color by format branch, with the
     # JPEG branch pushed through the EXACT YCbCr round trip the codec
     # performs (floor(x+0.5) rounding, identical double constants and
@@ -692,6 +719,7 @@ QUERIES = {
     "mm_media_probe": q_mm_media_probe,
     "mm_real_decode": q_mm_real_decode,
     "mm_real_resize": q_mm_real_resize,
+    "mm_real_frame_sample": q_mm_real_frame_sample,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,

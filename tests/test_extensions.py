@@ -869,3 +869,28 @@ def test_dedup_incremental_decisions_consistent(spark, sf_dir):
             assert r.dup_of in by_id and by_id[r.dup_of].decision == "keep"
         else:
             assert r.decision == "keep" and r.dup_of is None
+
+
+def test_gif_animation_roundtrip_and_frame_sampling():
+    """Multi-frame GIF89a: every frame decodes exactly; decode_gif stays
+    first-frame back-compatible; truncation rejects uniformly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.gif_py import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(20, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 20, size=(9, 11))] for _ in range(5)]
+    blob = encode_gif_animation(frames)
+    out = decode_gif_frames(blob)
+    assert len(out) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+    assert np.array_equal(decode_gif(blob), frames[0])
+    for cut in range(6, len(blob), 37):
+        with _pytest.raises(ValueError, match="gif"):
+            decode_gif_frames(blob[:cut])
