@@ -643,6 +643,140 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def probe_mp4(payload: bytes) -> tuple[str, int, int, int]:
+    """REAL MP4/ISO-BMFF container probe (video metadata without a
+    codec): walks the top-level box tree (32-bit and 64-bit `largesize`
+    boxes), reads the `ftyp` major brand, descends into `moov` for the
+    `mvhd` header and returns (brand, timescale, duration, n_top_boxes)
+    — version 0 and 1 mvhd layouts (ISO/IEC 14496-12 §8.2.2).  Raises
+    ValueError on truncation or a missing ftyp/moov/mvhd."""
+    import struct as _struct
+
+    n = len(payload)
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("mp4: truncated box header")
+            (size,) = _struct.unpack_from(">I", payload, pos)
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    raise ValueError("mp4: truncated largesize")
+                (size,) = _struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                raise ValueError("mp4: box size out of bounds")
+            yield btype, body, pos + size
+            pos += size
+
+    brand = None
+    timescale = duration = None
+    n_top = 0
+    for btype, body, end in walk(0, n):
+        n_top += 1
+        if btype == b"ftyp":
+            if end - body < 8:
+                raise ValueError("mp4: truncated ftyp")
+            brand = payload[body : body + 4].decode("latin-1")
+        elif btype == b"moov":
+            for ctype, cbody, cend in walk(body, end):
+                if ctype != b"mvhd":
+                    continue
+                if cend - cbody < 4:
+                    raise ValueError("mp4: truncated mvhd")
+                version = payload[cbody]
+                if version == 0:
+                    if cend - cbody < 20:
+                        raise ValueError("mp4: truncated mvhd v0")
+                    timescale, duration = _struct.unpack_from(
+                        ">II", payload, cbody + 12
+                    )
+                elif version == 1:
+                    if cend - cbody < 32:
+                        raise ValueError("mp4: truncated mvhd v1")
+                    (timescale,) = _struct.unpack_from(">I", payload, cbody + 20)
+                    (duration,) = _struct.unpack_from(">Q", payload, cbody + 24)
+                else:
+                    raise ValueError(f"mp4: mvhd version {version} unsupported")
+    if brand is None or timescale is None:
+        raise ValueError("mp4: missing ftyp/moov/mvhd")
+    return brand, timescale, duration, n_top
+
+
+def synthesize_mp4(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the MP4 probe: spec-valid ISO-BMFF box trees
+    deterministically from doc_id — ftyp(brand isom) + moov{mvhd v0,
+    timescale = 1000 * (1 + d%5), duration = 1000 + (777*d) % 100000} +
+    an mdat carrying the doc text.  Every 7th doc uses an mvhd VERSION 1
+    (64-bit times) so both layouts are exercised."""
+    import struct as _struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(body)) + btype + body
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                ts = 1000 * (1 + d % 5)
+                dur = 1000 + (777 * d) % 100000
+                if d % 7 == 0:  # version 1: 64-bit create/modify/duration
+                    mvhd = (
+                        b"\x01\x00\x00\x00"
+                        + _struct.pack(">QQIQ", 0, 0, ts, dur)
+                        + bytes(80)
+                    )
+                else:
+                    mvhd = (
+                        b"\x00\x00\x00\x00"
+                        + _struct.pack(">IIII", 0, 0, ts, dur)
+                        + bytes(80)
+                    )
+                blob = (
+                    box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isommp41")
+                    + box(b"moov", box(b"mvhd", mvhd))
+                    + box(b"mdat", str(text).encode())
+                )
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth_batches, "doc_id long, payload binary"
+    )
+
+
+def probe_mp4_media(media_df: DataFrame) -> DataFrame:
+    """X5 video-container probe over mapInPandas: real box-tree walk per
+    blob -> (brand, timescale, duration, duration_ms).  Zero shuffles."""
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                brand, ts, dur, n_top = probe_mp4(bytes(p))
+                rows.append((doc_id, brand, ts, dur, n_top,
+                             1000 * dur // ts))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "brand", "timescale", "duration",
+                         "n_boxes", "duration_ms"],
+            )
+            pdf_out["n_boxes"] = pdf_out["n_boxes"].astype("Int32")
+            yield pdf_out
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        probe_batches,
+        "doc_id long, brand string, timescale long, duration long, "
+        "n_boxes int, duration_ms long",
+    )
+
+
 FRAME_SAMPLE_REAL_SCHEMA = (
     "doc_id long, frame_no int, n_frames int, "
     "f_mean_r double, f_mean_g double, f_mean_b double"

@@ -47,6 +47,7 @@ _PRIORITY = [
     "layout_zorder",
     "dedup_incremental",
     "mm_real_frame_sample",
+    "mm_video_probe",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

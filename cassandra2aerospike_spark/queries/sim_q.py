@@ -110,6 +110,17 @@ def q_mm_real_frame_sample(spark, sf_dir):
     return M.frame_sample_real(M.synthesize_animations(docs), every_n=2)
 
 
+def q_mm_video_probe(spark, sf_dir):
+    """X5 video-CONTAINER metadata (codec-free, like a real ingest
+    pipeline's first pass over video blobs): spec-valid ISO-BMFF box
+    trees synthesized from doc_id (every 7th doc uses the 64-bit mvhd
+    v1 layout), then walked back for real — ftyp brand, mvhd timescale/
+    duration across both versions, top-level box count
+    (functions/multimodal.probe_mp4).  Closed-form oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.probe_mp4_media(M.synthesize_mp4(docs))
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     """X2 embedding-cosine near-dup pairs within sign buckets.  Threshold
     0.35 is calibrated to the synthetic fixture (max pairwise cos ~0.51);
@@ -299,6 +310,15 @@ _MM_PX = """
 """
 
 ORACLES = {
+    "mm_video_probe": """
+        SELECT doc_id, 'isom' AS brand,
+               CAST(1000 * (1 + doc_id % 5) AS BIGINT) AS timescale,
+               CAST(1000 + (777 * doc_id) % 100000 AS BIGINT) AS duration,
+               CAST(3 AS INT) AS n_boxes,
+               CAST(1000 * (1000 + (777 * doc_id) % 100000)
+                    // (1000 * (1 + doc_id % 5)) AS BIGINT) AS duration_ms
+        FROM documents
+    """,
     "mm_real_frame_sample": ORACLE_FRAME_SAMPLE,
     # _MM_PX: per-doc solid source color by format branch, with the
     # JPEG branch pushed through the EXACT YCbCr round trip the codec
@@ -720,6 +740,7 @@ QUERIES = {
     "mm_real_decode": q_mm_real_decode,
     "mm_real_resize": q_mm_real_resize,
     "mm_real_frame_sample": q_mm_real_frame_sample,
+    "mm_video_probe": q_mm_video_probe,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,

@@ -894,3 +894,44 @@ def test_gif_animation_roundtrip_and_frame_sampling():
     for cut in range(6, len(blob), 37):
         with _pytest.raises(ValueError, match="gif"):
             decode_gif_frames(blob[:cut])
+
+
+def test_mp4_probe_box_walk_and_rejections():
+    """probe_mp4 walks real box structure: 64-bit largesize boxes,
+    version 0 and 1 mvhd, size-0 (to-end) boxes; truncation and missing
+    required boxes raise uniformly."""
+    import struct
+
+    import pytest as _pytest
+
+    from cassandra2aerospike_spark.functions.multimodal import probe_mp4
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd0 = b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, 5000) + bytes(80)
+    blob = (
+        box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"isom")
+        + box(b"moov", box(b"mvhd", mvhd0))
+        + box(b"mdat", b"payload")
+    )
+    assert probe_mp4(blob) == ("mp42", 1000, 5000, 3)
+
+    # largesize (size==1 + 64-bit) mdat, and mvhd v1 64-bit duration
+    mvhd1 = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, 90000, 1 << 33) + bytes(80)
+    big = b"\x00\x00\x00\x01" + b"mdat" + struct.pack(">Q", 16 + 5) + b"12345"
+    blob2 = (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+        + box(b"moov", box(b"mvhd", mvhd1))
+        + big
+    )
+    assert probe_mp4(blob2) == ("isom", 90000, 1 << 33, 3)
+
+    with _pytest.raises(ValueError, match="mp4"):
+        probe_mp4(box(b"mdat", b"x"))  # no ftyp/moov
+    # truncation inside the REQUIRED boxes raises; a cut that only drops
+    # the optional trailing mdat still parses, so stop before moov's end
+    moov_end = len(blob) - (8 + 7)
+    for cut in range(1, moov_end, 7):
+        with _pytest.raises(ValueError, match="mp4"):
+            probe_mp4(blob[:cut])
