@@ -48,6 +48,7 @@ _PRIORITY = [
     "dedup_incremental",
     "mm_real_frame_sample",
     "mm_video_probe",
+    "pipeline_sstable_corpus",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

@@ -193,7 +193,76 @@ def q_s13_dry_run(spark, sf_dir):
     return recs.select("key", line.alias("record_line")).orderBy("key").limit(20)
 
 
+def q_pipeline_sstable_corpus(spark, sf_dir):
+    """FLAGSHIP cross-family capstone — real Cassandra files in, training
+    corpus decisions out, one query: a two-generation REAL ma table of
+    the documents corpus (gen 1 stale texts, gen 2 current, row
+    tombstones for doc_id % 97 == 0 in gen 2) is read through the
+    DataSource `layout=ma` branch, merged for real (cross-run LWW picks
+    gen 2; the tombstone cover drops deleted docs), and the surviving
+    texts flow straight into the corpus-prep stages: Gopher quality gate
+    (X4) + exact-dedup representative election (X1).  Any merge defect
+    surfaces as ' OLDSTALE' tokens or resurrected docs and fails the
+    closed-form oracle, which runs the same stages over the parquet
+    documents directly."""
+    from ..functions import text as X
+    from ..functions.text import fingerprint
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import build_ma_docs_table, default_runs_dir
+
+    table_dir = build_ma_docs_table(spark, sf_dir, default_runs_dir(sf_dir) + "_madocs")
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    # inline F1 over the real cell stream: row-tombstone cover per key,
+    # then LWW across the two generations per (key, col)
+    base = raw.select(
+        F.col("key").cast("string").cast("long").alias("doc_id"),
+        "col_name",
+        F.col("value").cast("string").alias("text"),
+        "ts",
+    )
+    row_tomb = (
+        base.filter(F.col("col_name").isNull())
+        .groupBy("doc_id")
+        .agg(F.max("ts").alias("row_ts"))
+    )
+    latest = (
+        base.filter(F.col("col_name") == "text")
+        .join(row_tomb, "doc_id", "left")
+        .filter(F.col("row_ts").isNull() | (F.col("ts") > F.col("row_ts")))
+        .groupBy("doc_id")
+        .agg(F.max_by("text", "ts").alias("text"))
+    )
+    r = X.gopher_rules(F.col("text"))
+    q = latest.select(
+        "doc_id",
+        "text",
+        r["n_tokens"].alias("n_tokens"),
+        (r["r_word_count"] * r["r_stopwords"] * r["r_alpha_words"]).alias("q_pass"),
+    )
+    exact_rep = (
+        q.filter(F.col("q_pass") == 1)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .select(F.col("rep_id").alias("doc_id"), F.lit(1).alias("is_rep"))
+    )
+    return (
+        q.join(exact_rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "q_pass",
+            F.coalesce(F.col("is_rep"), F.lit(0)).alias("is_exact_rep"),
+            ((F.col("q_pass") == 1) & F.col("is_rep").isNotNull())
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 QUERIES = {
+    "pipeline_sstable_corpus": q_pipeline_sstable_corpus,
     "j1_kway_merge": q_j1_kway_merge,
     "s14_run_accounting": q_s14_run_accounting,
     "s13_dry_run": q_s13_dry_run,
@@ -202,7 +271,42 @@ QUERIES = {
     "s12_retry_backpressure": q_s12_retry_backpressure,
 }
 
+def _sstable_corpus_oracle() -> str:
+    """Same stages over the parquet documents directly: the live set is
+    everything the gen-2 tombstones did not delete; quality/dedup
+    fragments mirror dedup_q._corpus_prep_oracle."""
+    from .text_q import _SW, _TOKS
+
+    return _TOKS + f"""
+        , live AS (SELECT doc_id, t FROM toks WHERE doc_id % 97 != 0),
+        g AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS BIGINT) AS stops
+          FROM live
+        ),
+        q AS (
+          SELECT doc_id, n_tokens,
+                 CAST(n_tokens >= 50 AND n_tokens <= 100000
+                  AND stops >= 2 AND 5 * n_alpha >= 4 * n_tokens AS INT) AS q_pass
+          FROM g
+        ),
+        exact_rep AS (
+          SELECT min(live.doc_id) AS doc_id
+          FROM live JOIN q USING (doc_id)
+          WHERE q.q_pass = 1
+          GROUP BY md5(array_to_string(t, ' '))
+        )
+        SELECT q.doc_id, q.n_tokens, q.q_pass,
+               CAST(er.doc_id IS NOT NULL AS INT) AS is_exact_rep,
+               CAST(q.q_pass = 1 AND er.doc_id IS NOT NULL AS INT) AS keep
+        FROM q LEFT JOIN exact_rep er ON q.doc_id = er.doc_id
+    """
+
+
 ORACLES = {
+    "pipeline_sstable_corpus": _sstable_corpus_oracle(),
     "s11_create_only_sink": _CTE + """
         , live_records AS (
           SELECT key FROM records

@@ -228,6 +228,42 @@ def build_ma_table_from_events(
     return table_dir
 
 
+def build_ma_docs_table(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """The documents corpus as a REAL ma table requiring cross-run LWW:
+    generation 1 holds a STALE version of every text (text + ' OLDSTALE',
+    ts=1), generation 2 the current text (ts=2), and every doc_id % 97
+    == 0 partition additionally carries a row tombstone at ts=3 in gen 2
+    — so reading the table correctly requires run merging, last-write-
+    wins AND tombstone cover on actual Cassandra bytes.  A merge bug is
+    visible as ' OLDSTALE' tokens (or resurrected deleted docs) in every
+    downstream corpus-prep stage."""
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    fingerprint = "madocs" + FIXTURE_ENCODER_REV
+    table_dir = os.path.join(out_dir, fingerprint, "tmx", "documents")
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    schema_cols = [("text", "UTF8Type")]
+    for gen, (ts, suffix) in ((1, (1, " OLDSTALE")), (2, (2, ""))):
+        w = MaWriter(table_dir, gen, schema_cols)
+        for r in docs:
+            p = Partition(
+                key=str(int(r.doc_id)).encode("utf-8"),
+                cells=[Cell(col_name="text", value=(r.text + suffix).encode("utf-8"), ts=ts)],
+            )
+            if gen == 2 and int(r.doc_id) % 97 == 0:
+                p.row_tomb_ts = 3
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
 def build_mixed_era_table_from_events(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> str:

@@ -935,3 +935,29 @@ def test_mp4_probe_box_walk_and_rejections():
     for cut in range(1, moov_end, 7):
         with _pytest.raises(ValueError, match="mp4"):
             probe_mp4(blob[:cut])
+
+
+def test_sstable_corpus_merge_semantics(spark, sf_dir):
+    """The real-format corpus capstone's merge guarantees, asserted
+    directly: no stale generation-1 text survives LWW (no ' OLDSTALE'
+    token can influence n_tokens), and row-tombstoned docs
+    (doc_id % 97 == 0) never appear."""
+    from cassandra2aerospike_spark.queries.pipeline_q import (
+        q_pipeline_sstable_corpus,
+    )
+    from cassandra2aerospike_spark.sources import load_table
+
+    rows = q_pipeline_sstable_corpus(spark, sf_dir).collect()
+    assert rows
+    ids = {r.doc_id for r in rows}
+    assert all(d % 97 != 0 for d in ids)
+    # n_tokens must equal the CURRENT text's count (stale adds +1 token)
+    import re
+
+    src = {
+        r.doc_id: len([t for t in re.split(r"\s+", r.text.lower().strip()) if t])
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.doc_id % 97 != 0
+    }
+    for r in rows:
+        assert r.n_tokens == src[r.doc_id]
