@@ -47,6 +47,7 @@ HEADLINE = [
     "pipeline_corpus_prep",
     # real-format + real-decode paths (round 5)
     "mm_real_decode",
+    "pipeline_sstable_corpus",
 ]
 
 
