@@ -116,8 +116,11 @@ def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """First (or only) frame of a GIF as (h, w, 3) uint8 RGB."""
-    return decode_gif_frames(payload)[0]
+    """FIRST image of a GIF as (h, w, 3) uint8 RGB — decodes only the
+    first image block (cheap on long animations; an offset-placed image
+    is returned as its own pixel grid, like standalone viewers do) and
+    requires a trailer byte somewhere after it."""
+    return _decode_gif_impl(payload, first_only=True)[0]
 
 
 def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
@@ -125,6 +128,10 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     arrays — the real "video" decode path for frame sampling.  Each
     frame must be full-size at origin (what encode_gif_animation emits;
     partial-frame composition over a canvas is rejected, not guessed)."""
+    return _decode_gif_impl(payload, first_only=False)
+
+
+def _decode_gif_impl(payload: bytes, first_only: bool) -> list[np.ndarray]:
     n = len(payload)
     if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
@@ -153,14 +160,22 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
                 raise ValueError("gif: no image data before trailer")
             return frames
         elif block == 0x2C:
-            img, pos = _decode_image(payload, pos, global_palette)
+            img, pos = _decode_image(
+                payload, pos, global_palette, require_origin=not first_only
+            )
             frames.append(img)
+            if first_only:
+                # cheap single-frame path: skip decoding any further
+                # frames; the trailer must still exist somewhere after
+                if 0x3B not in payload[pos:]:
+                    raise ValueError("gif: missing trailer")
+                return frames
         else:
             raise ValueError(f"gif: unknown block 0x{block:02x}")
 
 
 def _decode_image(
-    payload: bytes, pos: int, palette: np.ndarray | None
+    payload: bytes, pos: int, palette: np.ndarray | None, require_origin: bool = True
 ) -> tuple[np.ndarray, int]:
     """One image descriptor + LZW data starting at `pos` (after the 0x2c
     introducer) -> ((h, w, 3) RGB, next block position)."""
@@ -171,7 +186,7 @@ def _decode_image(
     pos += 9
     if iflags & 0x40:
         raise ValueError("gif: interlaced images unsupported")
-    if ix != 0 or iy != 0:
+    if require_origin and (ix != 0 or iy != 0):
         raise ValueError("gif: partial-frame composition unsupported")
     if iflags & 0x80:  # local color table wins
         size = 2 << (iflags & 0x07)

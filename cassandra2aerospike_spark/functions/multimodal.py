@@ -705,6 +705,8 @@ def probe_mp4(payload: bytes) -> tuple[str, int, int, int]:
                     raise ValueError(f"mp4: mvhd version {version} unsupported")
     if brand is None or timescale is None:
         raise ValueError("mp4: missing ftyp/moov/mvhd")
+    if timescale == 0:  # uniform rejection, never a ZeroDivisionError later
+        raise ValueError("mp4: zero mvhd timescale")
     return brand, timescale, duration, n_top
 
 

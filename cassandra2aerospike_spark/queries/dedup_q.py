@@ -436,21 +436,21 @@ ORACLES = {
 }
 
 
-def _corpus_prep_oracle() -> str:
-    """Capstone oracle assembled from the SAME CTE fragments the
-    standalone dedup oracles use, with the shingle base restricted to
-    quality-passing documents (qtoks)."""
+def quality_cte(src: str = "toks") -> str:
+    """The Gopher-subset quality gate + qtoks CTE over a (doc_id, t)
+    source — ONE definition shared by every capstone oracle (this
+    module's corpus_prep and pipeline_q's sstable_corpus), so a
+    threshold change in functions/text.gopher_rules has exactly one SQL
+    mirror to update."""
     from .text_q import _SW
 
-    sh_frag = _SHINGLES[len(_TOKS):].replace("FROM toks", "FROM qtoks")
-    jac_frag = _JACCARD[len(_SHINGLES):]
-    quality = f"""
+    return f"""
         , g AS (
           SELECT doc_id,
                  CAST(len(t) AS BIGINT) AS n_tokens,
                  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
                  CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS BIGINT) AS stops
-          FROM toks
+          FROM {src}
         ),
         q AS (
           SELECT doc_id, n_tokens,
@@ -458,7 +458,23 @@ def _corpus_prep_oracle() -> str:
                   AND stops >= 2 AND 5 * n_alpha >= 4 * n_tokens AS INT) AS q_pass
           FROM g
         ),
-        qtoks AS (SELECT toks.* FROM toks JOIN q USING (doc_id) WHERE q.q_pass = 1)"""
+        qtoks AS (SELECT {src}.* FROM {src} JOIN q USING (doc_id) WHERE q.q_pass = 1)"""
+
+
+EXACT_REP_CTE = """
+        , exact_rep AS (
+          SELECT min(doc_id) AS doc_id FROM qtoks
+          GROUP BY md5(array_to_string(t, ' '))
+        )"""
+
+
+def _corpus_prep_oracle() -> str:
+    """Capstone oracle assembled from the SAME CTE fragments the
+    standalone dedup oracles use, with the shingle base restricted to
+    quality-passing documents (qtoks)."""
+    sh_frag = _SHINGLES[len(_TOKS):].replace("FROM toks", "FROM qtoks")
+    jac_frag = _JACCARD[len(_SHINGLES):]
+    quality = quality_cte("toks")
     tail = """
         , pairs AS (
           SELECT c.doc_a, c.doc_b
@@ -477,11 +493,8 @@ def _corpus_prep_oracle() -> str:
         comp AS (
           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
           FROM reach GROUP BY a
-        ),
-        exact_rep AS (
-          SELECT min(doc_id) AS doc_id FROM qtoks
-          GROUP BY md5(array_to_string(t, ' '))
-        )
+        )"""
+    tail += EXACT_REP_CTE + """
         SELECT d.doc_id, q.n_tokens, q.q_pass,
                CAST(e.doc_id IS NOT NULL AS INT) AS is_exact_rep,
                CAST(c.cluster_id IS NOT NULL AS INT) AS in_cluster,

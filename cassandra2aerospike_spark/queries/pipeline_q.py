@@ -207,31 +207,21 @@ def q_pipeline_sstable_corpus(spark, sf_dir):
     documents directly."""
     from ..functions import text as X
     from ..functions.text import fingerprint
-    from ..sources.sstable.datasource import register
-    from ..sources.sstable.fixtures import build_ma_docs_table, default_runs_dir
+    from ..sources.sstable.fixtures import (
+        build_ma_docs_table,
+        classified_from_ma,
+        default_runs_dir,
+    )
 
     table_dir = build_ma_docs_table(spark, sf_dir, default_runs_dir(sf_dir) + "_madocs")
-    register(spark)
-    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
-    # inline F1 over the real cell stream: row-tombstone cover per key,
-    # then LWW across the two generations per (key, col)
-    base = raw.select(
-        F.col("key").cast("string").cast("long").alias("doc_id"),
-        "col_name",
-        F.col("value").cast("string").alias("text"),
-        "ts",
-    )
-    row_tomb = (
-        base.filter(F.col("col_name").isNull())
-        .groupBy("doc_id")
-        .agg(F.max("ts").alias("row_ts"))
-    )
+    # the SHARED merge operators (F1 tombstone cover + A1 LWW with the
+    # reference's deterministic tie-break) over the real cell stream —
+    # the same code path every other merge query proves
+    classified = classified_from_ma(spark, table_dir, value_as="string")
     latest = (
-        base.filter(F.col("col_name") == "text")
-        .join(row_tomb, "doc_id", "left")
-        .filter(F.col("row_ts").isNull() | (F.col("ts") > F.col("row_ts")))
-        .groupBy("doc_id")
-        .agg(F.max_by("text", "ts").alias("text"))
+        merge.lww_latest(merge.live_cells_from_classified(classified))
+        .filter(F.col("col_name") == "text")
+        .select(F.col("key").alias("doc_id"), F.col("value").alias("text"))
     )
     r = X.gopher_rules(F.col("text"))
     q = latest.select(
@@ -273,36 +263,25 @@ QUERIES = {
 
 def _sstable_corpus_oracle() -> str:
     """Same stages over the parquet documents directly: the live set is
-    everything the gen-2 tombstones did not delete; quality/dedup
-    fragments mirror dedup_q._corpus_prep_oracle."""
-    from .text_q import _SW, _TOKS
+    everything the gen-2 tombstones did not delete; the quality gate and
+    exact-rep fragments are the SHARED definitions from dedup_q
+    (quality_cte / EXACT_REP_CTE) — one SQL mirror per rule."""
+    from .dedup_q import EXACT_REP_CTE, quality_cte
+    from .text_q import _TOKS
 
-    return _TOKS + f"""
-        , live AS (SELECT doc_id, t FROM toks WHERE doc_id % 97 != 0),
-        g AS (
-          SELECT doc_id,
-                 CAST(len(t) AS BIGINT) AS n_tokens,
-                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-                 CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS BIGINT) AS stops
-          FROM live
-        ),
-        q AS (
-          SELECT doc_id, n_tokens,
-                 CAST(n_tokens >= 50 AND n_tokens <= 100000
-                  AND stops >= 2 AND 5 * n_alpha >= 4 * n_tokens AS INT) AS q_pass
-          FROM g
-        ),
-        exact_rep AS (
-          SELECT min(live.doc_id) AS doc_id
-          FROM live JOIN q USING (doc_id)
-          WHERE q.q_pass = 1
-          GROUP BY md5(array_to_string(t, ' '))
-        )
+    return (
+        _TOKS
+        + """
+        , live AS (SELECT doc_id, t FROM toks WHERE doc_id % 97 != 0)"""
+        + quality_cte("live")
+        + EXACT_REP_CTE
+        + """
         SELECT q.doc_id, q.n_tokens, q.q_pass,
                CAST(er.doc_id IS NOT NULL AS INT) AS is_exact_rep,
                CAST(q.q_pass = 1 AND er.doc_id IS NOT NULL AS INT) AS keep
         FROM q LEFT JOIN exact_rep er ON q.doc_id = er.doc_id
     """
+    )
 
 
 ORACLES = {

@@ -595,12 +595,16 @@ def build_ma_rt_table_from_events(
     return table_dir
 
 
-def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
+def classified_from_ma(
+    spark: SparkSession, table_dir: str, value_as: str = "double"
+) -> DataFrame:
     """classified_from_runs for a real-format Cassandra table directory,
     any era.  ma sstables emit no range-tombstone cells (markers fold
     into row_tomb_ts); pre-ma sstables DO carry real range-tombstone
     cells (RANGE_TOMBSTONE_MASK, SSTable.cpp:416-423), so the mapping
-    must classify both."""
+    must classify both.  `value_as` picks the cell-value decode: the
+    event fixtures store stringified doubles ('double'); text corpora
+    keep the raw string ('string')."""
     register(spark)
     raw = (
         spark.read.format("sstable_run")
@@ -628,10 +632,15 @@ def classified_from_ma(spark: SparkSession, table_dir: str) -> DataFrame:
         F.col("ck").isNotNull(),
         F.concat(F.col("ck").cast("string"), F.lit(":"), F.col("col_name")),
     ).otherwise(F.col("col_name"))
+    val = F.col("value").cast("string")
+    if value_as == "double":
+        val = val.try_cast("double")
+    elif value_as != "string":
+        raise ValueError(f"classified_from_ma: unknown value_as {value_as!r}")
     return raw.select(
         F.col("key").cast("string").cast("long").alias("key"),
         qual_col.alias("col_name"),
-        F.col("value").cast("string").try_cast("double").alias("value"),
+        val.alias("value"),
         "ts",
         "ttl",
         "expiration",
