@@ -49,6 +49,7 @@ _PRIORITY = [
     "mm_real_frame_sample",
     "mm_video_probe",
     "pipeline_sstable_corpus",
+    "src_formats_roundtrip",
     # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
     #    range markers + clustered-row deletions) through layout=ma
     "s18_ma_range_tombstone_merge",

@@ -251,8 +251,47 @@ def q_pipeline_sstable_corpus(spark, sf_dir):
     )
 
 
+def q_src_formats_roundtrip(spark, sf_dir):
+    """Source-format surface beyond parquet: the nation table staged
+    once as CSV, JSON and ORC (cached in /tmp), read back through
+    Spark's native sources with an EXPLICIT schema (inference is a
+    portability hazard — CSV would read ints as strings depending on
+    options), tagged and unioned.  Hash-matching 3x the parquet rows
+    proves byte-faithful round-trips through all three formats —
+    including CSV round-trip of the string name column."""
+    import os
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_srcfmt", os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        for fmt in ("csv", "json", "orc"):
+            w = nation.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                w = w.option("header", True)
+            w.save(os.path.join(base, fmt))
+        open(marker, "w").write("ok")
+    parts = []
+    for fmt in ("csv", "json", "orc"):
+        r = spark.read.format(fmt).schema(nation.schema)
+        if fmt == "csv":
+            r = r.option("header", True)
+        parts.append(
+            r.load(os.path.join(base, fmt)).withColumn("fmt", F.lit(fmt))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("fmt", "n_nationkey", "n_name", "n_regionkey")
+
+
 QUERIES = {
     "pipeline_sstable_corpus": q_pipeline_sstable_corpus,
+    "src_formats_roundtrip": q_src_formats_roundtrip,
     "j1_kway_merge": q_j1_kway_merge,
     "s14_run_accounting": q_s14_run_accounting,
     "s13_dry_run": q_s13_dry_run,
@@ -286,6 +325,10 @@ def _sstable_corpus_oracle() -> str:
 
 ORACLES = {
     "pipeline_sstable_corpus": _sstable_corpus_oracle(),
+    "src_formats_roundtrip": """
+        SELECT f.fmt, n_nationkey, n_name, n_regionkey
+        FROM nation, (SELECT unnest(['csv', 'json', 'orc']) AS fmt) f
+    """,
     "s11_create_only_sink": _CTE + """
         , live_records AS (
           SELECT key FROM records
