@@ -71,10 +71,9 @@ def main() -> None:
     # READ+merge+corpus path, not MaWriter
     from cassandra2aerospike_spark.sources.sstable.fixtures import (
         build_ma_docs_table,
-        default_runs_dir as _drd,
     )
 
-    build_ma_docs_table(spark, sf_dir, _drd(sf_dir) + "_madocs")
+    build_ma_docs_table(spark, sf_dir)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -161,7 +161,8 @@ def _decode_gif_impl(payload: bytes, first_only: bool) -> list[np.ndarray]:
             return frames
         elif block == 0x2C:
             img, pos = _decode_image(
-                payload, pos, global_palette, require_origin=not first_only
+                payload, pos, global_palette,
+                require_origin=not first_only, screen=(sw, sh),
             )
             frames.append(img)
             if first_only:
@@ -175,7 +176,11 @@ def _decode_gif_impl(payload: bytes, first_only: bool) -> list[np.ndarray]:
 
 
 def _decode_image(
-    payload: bytes, pos: int, palette: np.ndarray | None, require_origin: bool = True
+    payload: bytes,
+    pos: int,
+    palette: np.ndarray | None,
+    require_origin: bool = True,
+    screen: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, int]:
     """One image descriptor + LZW data starting at `pos` (after the 0x2c
     introducer) -> ((h, w, 3) RGB, next block position)."""
@@ -186,7 +191,9 @@ def _decode_image(
     pos += 9
     if iflags & 0x40:
         raise ValueError("gif: interlaced images unsupported")
-    if require_origin and (ix != 0 or iy != 0):
+    if require_origin and (ix != 0 or iy != 0 or (screen is not None and (iw, ih) != screen)):
+        # full-frame contract for the frames API: an origin-placed DELTA
+        # frame smaller than the screen is still partial composition
         raise ValueError("gif: partial-frame composition unsupported")
     if iflags & 0x80:  # local color table wins
         size = 2 << (iflags & 0x07)

@@ -207,13 +207,9 @@ def q_pipeline_sstable_corpus(spark, sf_dir):
     documents directly."""
     from ..functions import text as X
     from ..functions.text import fingerprint
-    from ..sources.sstable.fixtures import (
-        build_ma_docs_table,
-        classified_from_ma,
-        default_runs_dir,
-    )
+    from ..sources.sstable.fixtures import build_ma_docs_table, classified_from_ma
 
-    table_dir = build_ma_docs_table(spark, sf_dir, default_runs_dir(sf_dir) + "_madocs")
+    table_dir = build_ma_docs_table(spark, sf_dir)
     # the SHARED merge operators (F1 tombstone cover + A1 LWW with the
     # reference's deterministic tie-break) over the real cell stream —
     # the same code path every other merge query proves
@@ -259,13 +255,20 @@ def q_src_formats_roundtrip(spark, sf_dir):
     options), tagged and unioned.  Hash-matching 3x the parquet rows
     proves byte-faithful round-trips through all three formats —
     including CSV round-trip of the string name column."""
+    import hashlib
     import os
     import tempfile
 
     nation = load_table(spark, sf_dir, "nation")
-    base = os.path.join(
-        tempfile.gettempdir(), "spark_graft_srcfmt", os.path.basename(os.path.normpath(sf_dir))
-    )
+    # cache key = full source path + the parquet file's (mtime, size):
+    # a regenerated fixture at the same path, or two sf dirs sharing a
+    # basename, cannot serve stale staged copies against a fresh oracle
+    src = os.path.join(sf_dir, "nation.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_srcfmt", key)
     marker = os.path.join(base, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(base, exist_ok=True)

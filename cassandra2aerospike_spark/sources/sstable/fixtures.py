@@ -228,7 +228,7 @@ def build_ma_table_from_events(
     return table_dir
 
 
-def build_ma_docs_table(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+def build_ma_docs_table(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
     """The documents corpus as a REAL ma table requiring cross-run LWW:
     generation 1 holds a STALE version of every text (text + ' OLDSTALE',
     ts=1), generation 2 the current text (ts=2), and every doc_id % 97
@@ -239,6 +239,8 @@ def build_ma_docs_table(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     downstream corpus-prep stage."""
     from .ma_format import FIXTURE_ENCODER_REV, MaWriter
 
+    if out_dir is None:  # ONE derivation, shared by the query and bench
+        out_dir = default_runs_dir(sf_dir) + "_madocs"
     fingerprint = "madocs" + FIXTURE_ENCODER_REV
     table_dir = os.path.join(out_dir, fingerprint, "tmx", "documents")
     marker = os.path.join(table_dir, "_DONE")
