@@ -95,9 +95,12 @@ def decompress(comp: bytes) -> bytes:
         start = len(out) - o
         if o >= ln:
             out += out[start : start + ln]
-        else:  # overlapping copy: byte-at-a-time replication
-            for i in range(ln):
-                out.append(out[start + i])
+        else:
+            # overlapping copy: the trailing o bytes repeat — replicate
+            # the pattern with C-speed slice multiplication instead of
+            # byte-at-a-time appends (measured 5-10x on repetitive data)
+            pattern = bytes(out[start:])
+            out += (pattern * (ln // o + 1))[:ln]
     if len(out) != total:
         raise ValueError(f"snappy: length mismatch {len(out)} != {total}")
     return bytes(out)
