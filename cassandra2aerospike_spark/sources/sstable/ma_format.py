@@ -92,22 +92,28 @@ def enc_uvint(v: int) -> bytes:
     return b"\xff" + v.to_bytes(8, "big")
 
 
+# leading-ones count per first byte (the vint length prefix), precomputed
+# so the decoder's hot path is a table lookup + one int.from_bytes
+_VINT_EXTRA = tuple(
+    next((i for i in range(8) if not b & (0x80 >> i)), 8) for b in range(256)
+)
+
+
 def dec_uvint(buf: bytes, off: int) -> tuple[int, int]:
     if off >= len(buf):
         raise ValueError("ma: truncated vint")
     first = buf[off]
     off += 1
-    if first < 0x7F:
+    if first < 0x80:
         return first, off
-    extra = 0
-    while extra < 8 and first & (0x80 >> extra):
-        extra += 1
-    if off + extra > len(buf):
+    extra = _VINT_EXTRA[first]
+    end = off + extra
+    if end > len(buf):
         raise ValueError("ma: truncated vint")
-    v = first & (0xFF >> extra)
-    for i in range(extra):
-        v = (v << 8) | buf[off + i]
-    return v, off + extra
+    return (
+        ((first & (0xFF >> extra)) << (8 * extra)) | int.from_bytes(buf[off:end], "big"),
+        end,
+    )
 
 
 def _byte(buf: bytes, off: int) -> int:
