@@ -80,13 +80,20 @@ def decompress(comp: bytes) -> bytes:
             out += comp[off : off + ln]
             off += ln
             continue
+        # 1- and 2-byte offset reads inlined (one per tag — the loop's
+        # hottest ops); the rare 4-byte form keeps the shared helper
         if kind == 1:
             ln = ((tag >> 2) & 7) + 4
-            lo, off = _read_le(comp, off, 1)
-            o = ((tag >> 5) << 8) | lo
+            if off >= n:
+                raise ValueError("snappy: truncated")
+            o = ((tag >> 5) << 8) | comp[off]
+            off += 1
         elif kind == 2:
             ln = (tag >> 2) + 1
-            o, off = _read_le(comp, off, 2)
+            if off + 2 > n:
+                raise ValueError("snappy: truncated")
+            o = comp[off] | (comp[off + 1] << 8)
+            off += 2
         else:
             ln = (tag >> 2) + 1
             o, off = _read_le(comp, off, 4)
