@@ -316,10 +316,21 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     hufftabs: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     sof = None
     scan_comps = None
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone (parameterless) markers: TEM, RSTn — no length field
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seg_len]
         if len(body) != seg_len - 2:

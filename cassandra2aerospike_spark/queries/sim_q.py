@@ -616,7 +616,7 @@ ORACLES = {
         ),
         c1 AS (
           SELECT cell AS cid,
-                 list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT)
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
                       ORDER BY pos) AS c_vec
           FROM s1 GROUP BY cell
         ),
@@ -637,7 +637,7 @@ ORACLES = {
         ),
         c2 AS (
           SELECT cell AS cid,
-                 list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT)
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
                       ORDER BY pos) AS c_vec
           FROM s2 GROUP BY cell
         )

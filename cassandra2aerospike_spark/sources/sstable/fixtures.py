@@ -17,6 +17,7 @@ cast(string as double) in any engine.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -241,7 +242,16 @@ def build_ma_docs_table(spark: SparkSession, sf_dir: str, out_dir: str | None = 
 
     if out_dir is None:  # ONE derivation, shared by the query and bench
         out_dir = default_runs_dir(sf_dir) + "_madocs"
-    fingerprint = "madocs" + FIXTURE_ENCODER_REV
+    # cache key folds in the source parquet's (abspath, mtime, size): a
+    # regenerated fixture at the same path, or two sf dirs sharing a
+    # basename, cannot serve a stale staged ma table against a fresh
+    # oracle (mirrors the q_src_formats_roundtrip cache key).
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    src_key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    fingerprint = "madocs" + FIXTURE_ENCODER_REV + "_" + src_key
     table_dir = os.path.join(out_dir, fingerprint, "tmx", "documents")
     marker = os.path.join(table_dir, "_DONE")
     if os.path.exists(marker):

@@ -726,6 +726,30 @@ def test_jpeg_sof_component_order_matched_by_id():
     assert np.array_equal(decode_jpeg_baseline(bytes(b)), ref)
 
 
+def test_jpeg_fill_bytes_and_standalone_markers_in_header():
+    """Spec B.1.1.2: 0xFF fill bytes may precede any marker, and
+    standalone markers (TEM 0x01, RST0-7) carry no length field.  A
+    conforming stream carrying both before SOS must decode identically
+    to the canonical file instead of misreading the next two bytes as a
+    segment length."""
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions.jpeg_py import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 16, 3), (40, 90, 200), dtype=np.uint8)
+    blob = encode_jpeg_baseline(img)
+    ref = decode_jpeg_baseline(blob)
+    sof_at = blob.index(b"\xff\xc0")
+    # fill bytes + TEM + RST4 between SOI-era segments and SOF
+    patched = (
+        blob[:sof_at] + b"\xff\xff\xff\x01\xff\xd4\xff\xff" + blob[sof_at:]
+    )
+    assert np.array_equal(decode_jpeg_baseline(patched), ref)
+
+
 def test_image_decoders_fail_uniformly_on_arbitrary_bytes():
     """Fuzz: random bytes — including ones wearing valid magics — must
     raise ValueError from every image decoder, never IndexError/
