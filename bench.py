@@ -75,22 +75,35 @@ def main() -> None:
 
     build_ma_docs_table(spark, sf_dir)
 
+    # Per-query protocol: one COLD pass (codegen + planning + first data
+    # touch — the cross-round-comparable series, `queries`/`value`), then
+    # k warm passes whose MEDIAN is the steady-state figure
+    # (`queries_warm`) and whose max-min is the noise band
+    # (`queries_spread`).  Medians exist because host noise is large
+    # (±30% measured across rounds on unchanged code, DESIGN.md): a
+    # single warm sample can't distinguish a real regression from a noisy
+    # neighbor; the median of 3 plus an explicit spread can.
+    k_warm = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    import statistics
+
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()  # materialize fully, leave results distributed
         timings[name] = round(time.time() - t0, 3)
-        # second pass: steady-state time for the SAME query (codegen/JIT
-        # compiled, OS cache warm) — separates per-query fixed JVM cost
-        # and machine noise from actual data-path cost; `value` stays the
-        # single-pass total for cross-round comparability
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        warm[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(k_warm):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        warm[name] = round(statistics.median(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
         print(
-            f"# {name}: {n} rows in {timings[name]}s (warm {warm[name]}s)",
+            f"# {name}: {n} rows in {timings[name]}s "
+            f"(warm median {warm[name]}s, spread {spread[name]}s over {k_warm})",
             file=sys.stderr,
         )
 
@@ -226,14 +239,24 @@ def main() -> None:
             .persist()
         )
         n_docs = docs_amp.count()
-        dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()  # warm
+        # parquet checkpoint per call (the production shape, see
+        # functions/dedup.stage_parquet): a FRESH dir each time so the
+        # timed run pays the full write+readback cost — no marker reuse
+        import shutil
+        import tempfile
+
+        dirs = [tempfile.mkdtemp(prefix="graft_dedup_probe_") for _ in range(2)]
+        dedup_fns.minhash_lsh_pairs(
+            docs_amp, 16, 4, 4, 3, 0.5, checkpoint_dir=dirs[0]
+        ).count()  # warm
         t0 = time.time()
-        dedup_fns.minhash_lsh_pairs(docs_amp, 16, 4, 4, 3, 0.5).count()
+        dedup_fns.minhash_lsh_pairs(
+            docs_amp, 16, 4, 4, 3, 0.5, checkpoint_dir=dirs[1]
+        ).count()
         rate = n_docs / (time.time() - t0)
         docs_amp.unpersist()
-        # minhash_lsh_pairs persists its shingle-set frame internally with
-        # no external handle; drop both calls' caches so later probes do
-        # not run under their memory pressure
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
         spark.catalog.clearCache()
         return rate, n_docs
 
@@ -330,6 +353,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
+        "queries_spread": spread,
+        "warm_k": k_warm,
         "sf": sf,
         "merge_throughput_rows_per_sec": round(thru),
         "sstable_merge_throughput_rows_per_sec": round(sst_thru),

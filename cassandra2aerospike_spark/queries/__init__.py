@@ -50,8 +50,10 @@ _PRIORITY = [
     "mm_video_probe",
     "pipeline_sstable_corpus",
     "src_formats_roundtrip",
-    # -- round-6 NEW queries: REAL clustered tombstones (ck-bounded
-    #    range markers + clustered-row deletions) through layout=ma
+    # -- round-6 NEW queries: Cassandra 3.11-era (mc/md) directory
+    #    auto-detect on real files, plus REAL clustered tombstones
+    #    (ck-bounded range markers + clustered-row deletions) via layout=ma
+    "s19_mc_era_merge",
     "s18_ma_range_tombstone_merge",
     "a7_counter_reconcile",
     # -- round-5 NEW queries: REAL Cassandra 3.x ma-format table read

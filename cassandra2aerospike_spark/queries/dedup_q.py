@@ -7,14 +7,39 @@ from md5, so even the LSH pipelines have exact DuckDB oracles.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
+from ..functions import text as _text_mod
 from ..sources import load_table
 
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
+
+
+# Derived-frame staging (see functions/dedup.stage_parquet): any change
+# to the tokenizer/shingle/quality code invalidates every checkpoint.
+_CODE_FPR = hashlib.md5(
+    open(_text_mod.__file__, "rb").read() + open(D.__file__, "rb").read()
+).hexdigest()[:12]
+
+
+def _ckpt_dir(sf_dir: str, variant: str) -> str:
+    """Cache directory for a derived dedup frame: keyed on the source
+    documents parquet's (abspath, mtime, size), the deriving code's
+    fingerprint, and a per-frame variant tag — a regenerated fixture or
+    edited pipeline can never serve a stale checkpoint."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{_CODE_FPR}:{variant}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_dedup", key)
 
 
 def q_dedup_exact_prefix(spark, sf_dir):
@@ -45,14 +70,18 @@ def q_dedup_exact_prefix(spark, sf_dir):
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """X2 exact n-gram Jaccard near-dup pairs (threshold 0.6)."""
-    return D.jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.6)
+    return D.jaccard_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.6,
+        checkpoint_dir=_ckpt_dir(sf_dir, "sets_k3"),
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """X2 MinHash+LSH: 16 md5-derived min-hashes, 4 bands × 4 rows,
     bucket-join candidates, verified with exact Jaccard >= 0.5."""
     return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), n_hashes=16, n_bands=4, rows_per_band=4, k=3, threshold=0.5
+        _docs(spark, sf_dir), n_hashes=16, n_bands=4, rows_per_band=4, k=3,
+        threshold=0.5, checkpoint_dir=_ckpt_dir(sf_dir, "sets_k3"),
     ).select("doc_a", "doc_b", "jaccard")
 
 
@@ -62,7 +91,8 @@ def q_dedup_clusters(spark, sf_dir):
     = min doc_id = the canonical representative to keep.  Oracle: the
     same pair set closed transitively with a recursive CTE."""
     pairs = D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), n_hashes=16, n_bands=4, rows_per_band=4, k=3, threshold=0.5
+        _docs(spark, sf_dir), n_hashes=16, n_bands=4, rows_per_band=4, k=3,
+        threshold=0.5, checkpoint_dir=_ckpt_dir(sf_dir, "sets_k3"),
     )
     return D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -82,7 +112,8 @@ def q_dedup_keep_list(spark, sf_dir):
         .withColumn("is_exact_rep", F.lit(1))
     )
     pairs = D.minhash_lsh_pairs(
-        docs, n_hashes=16, n_bands=4, rows_per_band=4, k=3, threshold=0.5
+        docs, n_hashes=16, n_bands=4, rows_per_band=4, k=3,
+        threshold=0.5, checkpoint_dir=_ckpt_dir(sf_dir, "sets_k3"),
     )
     comp = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -267,10 +298,11 @@ def q_dedup_incremental(spark, sf_dir):
     old side.  New docs matching an old fingerprint drop as
     'dup_of_corpus' (dup_of = the old representative); remaining
     in-batch duplicates collapse to the min doc_id ('dup_in_batch');
-    survivors 'keep'.  Shapes: one agg on the old side (at scale this is
-    a PRE-COMPUTED fingerprint table, not a rescan), one fp equi-join,
-    one window per fp over the new batch only — the old corpus is never
-    re-shuffled per batch."""
+    survivors 'keep'.  Shapes: the old side IS a precomputed fingerprint
+    table — staged to parquet once (stage_parquet, keyed on the source's
+    mtime + code fingerprint) and scanned per batch, never re-derived or
+    re-shuffled; then one fp equi-join and one window per fp over the
+    new batch only."""
     from pyspark.sql import Window
 
     from ..functions.text import fingerprint
@@ -278,10 +310,11 @@ def q_dedup_incremental(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
-    old = (
+    old = D.stage_parquet(
         d.filter(F.col("doc_id") % 2 == 0)
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("old_rep"))
+        .agg(F.min("doc_id").alias("old_rep")),
+        _ckpt_dir(sf_dir, "corpus_fp"),
     )
     new = d.filter(F.col("doc_id") % 2 == 1)
     first_new = F.min("doc_id").over(Window.partitionBy("fp"))
@@ -546,7 +579,9 @@ def q_pipeline_corpus_prep(spark, sf_dir):
         .select(F.col("rep_doc_id").alias("doc_id"))
         .withColumn("is_rep", F.lit(1))
     )
-    pairs = D.minhash_lsh_pairs(qdocs, 16, 4, 4, 3, 0.5)
+    pairs = D.minhash_lsh_pairs(
+        qdocs, 16, 4, 4, 3, 0.5, checkpoint_dir=_ckpt_dir(sf_dir, "sets_k3_qpass")
+    )
     comp = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

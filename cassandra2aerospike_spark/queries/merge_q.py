@@ -287,6 +287,15 @@ def q_s16_mixed_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Old-era 'range' events stay REAL range-tombstone cells
     (RANGE_TOMBSTONE_MASK); the ma era's become markers, i.e. row
     tombstones — _CTE_MIXED mirrors the split on ts % 3."""
+    return _mixed_era_merge(spark, sf_dir, "_mixed_era", ("ma",))
+
+
+def _mixed_era_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    out_suffix: str,
+    versions: tuple[str, ...],
+) -> DataFrame:
     from ..sources.sstable.fixtures import (
         build_mixed_era_table_from_events,
         classified_from_ma,
@@ -294,7 +303,7 @@ def q_s16_mixed_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     table_dir = build_mixed_era_table_from_events(
-        spark, sf_dir, default_runs_dir(sf_dir) + "_mixed_era"
+        spark, sf_dir, default_runs_dir(sf_dir) + out_suffix, versions
     )
     classified = classified_from_ma(spark, table_dir)
     latest = merge.lww_latest(merge.live_cells_from_classified(classified))
@@ -316,6 +325,19 @@ def q_s16_mixed_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cols"),
     )
     return merge.filter_expired(records)
+
+
+def q_s19_mc_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-3.11 version auto-detect (the most common real deployment):
+    the SAME mixed-era cell routing as s16, but the >= ma era is staged
+    as an `mc-3-big-*` sstable PLUS an `md-4-big-*` sstable (partitions
+    split by key hash — disjoint halves), in one directory with the ka
+    and la files.  The reference reads every version >= "ma" through one
+    uniform grammar (SSTable.cpp:45-55); this row proves the engine's
+    directory auto-detect + per-file dispatch does too, on actual files,
+    not by argument.  The merged result is invariant to the split, so
+    the oracle is s16's (_CTE_MIXED)."""
+    return _mixed_era_merge(spark, sf_dir, "_mc_era", ("mc", "md"))
 
 
 def q_ma_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,6 +718,7 @@ QUERIES = {
     "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
     "a7_counter_reconcile": q_a7_counter_reconcile,
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
+    "s19_mc_era_merge": q_s19_mc_era_merge,
     "s17_ma_clustering_merge": q_s17_ma_clustering_merge,
     "ma_compaction_roundtrip": q_ma_compaction_roundtrip,
     "s15_ma_format_merge": q_s15_ma_format_merge,
@@ -960,6 +983,20 @@ ORACLES = {
     # s16: the same merged-result oracle over the mixed-era kind mapping
     # (range -> row only for the ma-era third of the stream)
     "s16_mixed_era_merge": _CTE_MIXED
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+
+    # s19: identical merged result — the mc/md split is by disjoint key
+    # halves within the same era, invisible to the k-way merge
+    "s19_mc_era_merge": _CTE_MIXED
     + f"""
         SELECT r.key, a.cols_str, r.expiry, r.n_cols
         FROM records r

@@ -277,7 +277,10 @@ def build_ma_docs_table(spark: SparkSession, sf_dir: str, out_dir: str | None = 
 
 
 def build_mixed_era_table_from_events(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    new_era_versions: tuple[str, ...] = ("ma",),
 ) -> str:
     """Materialize events as a REAL mixed-era Cassandra table directory —
     the post-upgrade state the reference's version dispatch exists for
@@ -290,12 +293,20 @@ def build_mixed_era_table_from_events(
     2 -> ma).  'range' events landing in the OLD eras are written as
     real old-format range-tombstone cells (name-bounded, kind stays
     'range'); the one landing in the ma era becomes a marker, i.e. a row
-    tombstone — the oracle mirrors exactly this split (_CTE_MIXED)."""
+    tombstone — the oracle mirrors exactly this split (_CTE_MIXED).
+
+    `new_era_versions` names the >= ma era's on-disk version token(s):
+    ("ma",) is the 3.0 default; ("mc", "md") stages the SAME cells as a
+    Cassandra 3.11 post-upgrade directory — run-2 partitions split by
+    key hash across an mc- and an md-prefixed sstable (disjoint key
+    halves, identical merged result), the uniform >= MA dispatch of
+    SSTable.cpp:45-55."""
     from .ma_format import FIXTURE_ENCODER_REV, MaWriter
     from .old_format import OldWriter
 
+    tag = "-".join(("ka", "la") + new_era_versions)
     table_dir = os.path.join(
-        out_dir, "mixed" + FIXTURE_ENCODER_REV + "_ka-la-ma", "tmx", "events"
+        out_dir, "mixed" + FIXTURE_ENCODER_REV + "_" + tag, "tmx", "events"
     )
     marker = os.path.join(table_dir, "_DONE")
     if os.path.exists(marker):
@@ -333,20 +344,36 @@ def build_mixed_era_table_from_events(
                     expiration=r.expiration,
                 )
             )
-    writers = [
+    old_writers = [
         OldWriter(
             table_dir, 1, version="ka", codec_class="SnappyCompressor",
             composite_path=("tmx", "cols"),
         ),
         OldWriter(table_dir, 2, version="la", codec_class="DeflateCompressor"),
-        MaWriter(table_dir, 3, [(n, "UTF8Type") for n in col_names],
-                 codec_class="LZ4Compressor"),
     ]
-    for gen, w in enumerate(writers):
-        for key in sorted(by_run[gen]):
-            p = by_run[gen][key]
+    for run, w in enumerate(old_writers):
+        for key in sorted(by_run[run]):
+            p = by_run[run][key]
             p.cells.sort(key=lambda c: (c.col_name, c.ts))
             w.add(p)
+        w.finish()
+    # run 2 (>= ma era): one sstable per version token, partitions routed
+    # by key hash — disjoint halves, so the k-way merge result is
+    # invariant to how many files the era is split across
+    new_writers = [
+        MaWriter(
+            table_dir, 3 + i, [(n, "UTF8Type") for n in col_names],
+            codec_class="LZ4Compressor", version=v,
+        )
+        for i, v in enumerate(new_era_versions)
+    ]
+    nv = len(new_writers)
+    for key in sorted(by_run[2]):
+        p = by_run[2][key]
+        p.cells.sort(key=lambda c: (c.col_name, c.ts))
+        slot = int(hashlib.md5(key).hexdigest(), 16) % nv
+        new_writers[slot].add(p)
+    for w in new_writers:
         w.finish()
     open(marker, "w").write("ok")
     return table_dir

@@ -396,10 +396,21 @@ class MaWriter:
         partitioner: str = MURMUR3_CLASS,
         clustering: list[str] | None = None,
         static_columns: list[tuple[str, str]] | None = None,
+        version: str = "ma",
     ):
         os.makedirs(table_dir, exist_ok=True)
         self.table_dir = table_dir
         self.gen = gen
+        # Any >= "ma" version token: the reference reads every post-3.0
+        # version through one uniform grammar (SSTable.cpp:45-55 treats
+        # version >= MA identically), so staging the same bytes under an
+        # mc/md/nb filename is exactly what a Cassandra 3.11+ data dir
+        # looks like to this engine's auto-detect.
+        from .old_format import V_MA, version_code
+
+        if version_code(version) < V_MA:
+            raise ValueError(f"MaWriter emits >= ma versions only, got {version!r}")
+        self.version = version
         self.columns = regular_columns
         self.codec_class = codec_class
         self.chunk_size = chunk_size
@@ -416,7 +427,9 @@ class MaWriter:
         self._parts: list[tuple[int, Partition, str]] = []
 
     def path(self, component: str) -> str:
-        return os.path.join(self.table_dir, f"ma-{self.gen}-big-{component}.db")
+        return os.path.join(
+            self.table_dir, f"{self.version}-{self.gen}-big-{component}.db"
+        )
 
     def add(self, p: Partition, row_tomb_style: str = "partition") -> None:
         """row_tomb_style: how a row tombstone is expressed on disk —

@@ -193,37 +193,48 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir, queries):
 
 
 def test_jaccard_shingle_frame_materializes_once(spark, sf_dir, queries):
-    """RUNTIME one-materialization assertion (PLANS.md caveat): the static
-    plan for dedup_jaccard_pairs prints the persisted shingle frame's
-    build subtree under every one of its ~12 consumers, which reads as 12
-    scans.  At execution there must be exactly ONE fully-cached RDD whose
-    build contains the documents scan, and the executed stage count must
-    sit in the one-materialization regime (measured 16; a per-consumer
-    re-build would add ~2 stages per consumer, landing 30+)."""
+    """RUNTIME one-materialization assertion (PLANS.md caveat): the
+    shingle-set frame feeding dedup_jaccard_pairs' ~12 consumers is a
+    STORAGE checkpoint (functions/dedup.stage_parquet) — written to
+    parquet exactly once at build, scanned (not re-derived) by every
+    consumer.  Assertions: (a) after the build, the executed query never
+    touches documents.parquet — every input file is the checkpoint's;
+    (b) a rebuild reuses the checkpoint byte-for-byte (marker-guarded,
+    no rewrite); (c) the executed stage count sits in the
+    one-materialization regime (a per-consumer re-derivation would add
+    ~2 stages per consumer, landing 30+)."""
+    import glob
+    import os
+    import shutil
+
+    from cassandra2aerospike_spark.queries.dedup_q import _ckpt_dir
+
     sc = spark.sparkContext
-    # session-scoped fixture: earlier tests may have left their own
-    # persisted frames (also named over documents.parquet) in the RDD
-    # storage info — start from a clean cache so the count-1 assertion
-    # sees only THIS query's shingle frame
-    spark.catalog.clearCache()
+    ckpt = _ckpt_dir(sf_dir, "sets_k3")
+    shutil.rmtree(ckpt, ignore_errors=True)  # exercise a fresh write
     df = queries["dedup_jaccard_pairs"](spark, sf_dir)
+
+    files = df.inputFiles()
+    assert files and all("documents.parquet" not in f for f in files), (
+        "consumers must scan the checkpoint, not re-derive from documents"
+    )
+    assert all(os.path.abspath(ckpt) in os.path.abspath(f.replace("file:", "")) for f in files)
+
+    snap = sorted(
+        (f, os.path.getmtime(f)) for f in glob.glob(os.path.join(ckpt, "*.parquet"))
+    )
+    assert snap, "checkpoint parquet missing after build"
+    df2 = queries["dedup_jaccard_pairs"](spark, sf_dir)  # rebuild: marker hit
+    snap2 = sorted(
+        (f, os.path.getmtime(f)) for f in glob.glob(os.path.join(ckpt, "*.parquet"))
+    )
+    assert snap2 == snap, "rebuild rewrote the checkpoint instead of reusing it"
+
     sc.setJobGroup("jaccard_runtime_probe", "one-materialization assertion")
     try:
-        df.count()
+        df2.count()
     finally:
         sc.setJobGroup(None, None)
-
-    jsc = sc._jsc.sc()
-    cached = [
-        info
-        for info in jsc.getRDDStorageInfo()
-        if "documents.parquet" in info.name()
-    ]
-    assert len(cached) == 1, f"expected one cached shingle RDD, got {len(cached)}"
-    info = cached[0]
-    assert info.numCachedPartitions() == info.numPartitions(), (
-        f"shingle cache partial: {info.numCachedPartitions()}/{info.numPartitions()}"
-    )
 
     tracker = sc.statusTracker()
     stage_ids = set()
