@@ -54,6 +54,7 @@ _PRIORITY = [
     #    auto-detect on real files, plus REAL clustered tombstones
     #    (ck-bounded range markers + clustered-row deletions) via layout=ma
     "s19_mc_era_merge",
+    "s20_ma_rt_compaction_roundtrip",
     "s18_ma_range_tombstone_merge",
     "a7_counter_reconcile",
     # -- round-5 NEW queries: REAL Cassandra 3.x ma-format table read

@@ -489,6 +489,10 @@ def q_s18_ma_range_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFram
         spark, sf_dir, default_runs_dir(sf_dir) + "_ma_rt"
     )
     register(spark)
+    return _clustered_merge_from(spark, table_dir)
+
+
+def _clustered_merge_from(spark: SparkSession, table_dir: str) -> DataFrame:
     raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
     live = merge.clustered_live_cells(raw)
     latest = (
@@ -513,6 +517,60 @@ def q_s18_ma_range_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("cols_str"),
         F.count("*").alias("n_cols"),
     )
+
+
+def q_s20_ma_rt_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-tombstone WRITE path (closes the r05 read/write asymmetry —
+    the reader decodes all six ClusteringPrefix marker kinds but the
+    writer used to reject range tombstones): the s18 clustered table —
+    real ck-bounded range markers, clustered-row deletions, partition
+    tombstones, point tombstones — is read back, its ENTIRE logical
+    content (every cell version + every tombstone) rewritten through the
+    DataSource `layout=ma` write path into fresh sstables (the writer
+    serializes the normalized disjoint marker ranges,
+    ma_format._normalize_ck_ranges), then re-read and merged with s18's
+    exact pipeline.  The oracle is s18's verbatim: a writer that drops,
+    widens, or mis-bounds ONE marker resurrects covered cells (or
+    deletes live ones) and the merged result diverges.  The reference
+    has no writer at all; real Cassandra compaction must carry
+    tombstones through — this row proves this engine's does."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.tokens import murmur3_token
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_ma_rt_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_rt_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_rt"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ma_rt_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    eav = (
+        raw.select(
+            "key", "col_name", "ck", "value", "ts", "ttl", "expiration",
+            "deleted", "range_tomb", "row_tomb_ts", "ck_end", "incl_mask",
+        )
+        # ring-sliced like q_ma_compaction_roundtrip: each task owns a
+        # contiguous Murmur3 range -> one compaction shard per task
+        .withColumn("_tok", murmur3_token(F.col("key").cast("string")))
+        .repartitionByRange(2, "_tok", "key")
+        .sortWithinPartitions("_tok", "key")
+        .drop("_tok")
+    )
+    eav.write.format("sstable_run").option("layout", "ma").mode("append").save(out)
+    return _clustered_merge_from(spark, out)
 
 
 def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +774,7 @@ assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
 QUERIES = {
     "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
+    "s20_ma_rt_compaction_roundtrip": q_s20_ma_rt_compaction_roundtrip,
     "a7_counter_reconcile": q_a7_counter_reconcile,
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
     "s19_mc_era_merge": q_s19_mc_era_merge,
@@ -895,6 +954,53 @@ ORACLES = {
     # the ORIGINAL (overlapping) ranges equals the writer's normalized
     # disjoint segments by construction.
     "s18_ma_range_tombstone_merge": """
+        WITH cls AS (
+          SELECT user_id AS key,
+                 epoch_us(ts) // 86400000000 AS day,
+                 event_type AS col_name, value, epoch_us(ts) AS ts, event_id,
+                 CASE WHEN event_id % 97 = 0 THEN 'row'
+                      WHEN event_id % 13 = 0 THEN 'range'
+                      WHEN event_id % 10 = 0 THEN 'point'
+                      ELSE 'cell' END AS kind
+          FROM events
+        ), rts AS (
+          SELECT key, day - (1 + event_id % 3) AS s, day AS e,
+                 (event_id % 2 = 0) AS si, (event_id % 4 < 2) AS ei, ts
+          FROM cls WHERE kind = 'range'
+          UNION ALL
+          SELECT key, day, day, TRUE, TRUE, ts FROM cls WHERE kind = 'row'
+        ), cells AS (
+          SELECT * FROM cls WHERE kind = 'cell'
+        ), pt AS (
+          SELECT key, day, col_name, max(ts) AS tomb
+          FROM cls WHERE kind = 'point' GROUP BY 1, 2, 3
+        ), rc AS (
+          SELECT c.event_id, max(r.ts) AS rt
+          FROM cells c JOIN rts r ON r.key = c.key
+            AND (c.day > r.s OR (r.si AND c.day = r.s))
+            AND (c.day < r.e OR (r.ei AND c.day = r.e))
+          GROUP BY 1
+        ), live AS (
+          SELECT c.key, c.day, c.col_name, c.value, c.ts
+          FROM cells c
+          LEFT JOIN rc ON rc.event_id = c.event_id
+          LEFT JOIN pt ON pt.key = c.key AND pt.day = c.day
+                      AND pt.col_name = c.col_name
+          WHERE (rc.rt IS NULL OR c.ts > rc.rt)
+            AND (pt.tomb IS NULL OR c.ts > pt.tomb)
+        ), latest AS (
+          SELECT key, day, col_name, arg_max(value, ts) AS v
+          FROM live GROUP BY 1, 2, 3
+        )
+        SELECT key, CAST(day AS VARCHAR) AS ck,
+               string_agg(col_name || '=' || printf('%.2f', v), ','
+                          ORDER BY col_name || '=' || printf('%.2f', v)) AS cols_str,
+               count(*) AS n_cols
+        FROM latest GROUP BY 1, 2
+    """,
+    # s20: identity-content rewrite through the ma writer -> same
+    # merged result as s18 by construction
+    "s20_ma_rt_compaction_roundtrip": """
         WITH cls AS (
           SELECT user_id AS key,
                  epoch_us(ts) // 86400000000 AS day,

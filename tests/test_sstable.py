@@ -480,6 +480,64 @@ def test_datasource_write_roundtrip(spark, tmp_path):
     assert back.select("run").distinct().count() >= 2
 
 
+def test_datasource_ma_write_carries_range_tombstones(spark, tmp_path):
+    """layout=ma write path serializes ck-bounded range tombstones (the
+    r05 read/write asymmetry): a frame holding clustered cells, an
+    overlapping pair of range tombstones, a ck-row deletion and a
+    partition tombstone writes to real ma files and reads back with the
+    tombstones intact — ranges in the writer's normalized disjoint form
+    with pointwise-identical cover, nothing widened to the partition."""
+    import os
+
+    from cassandra2aerospike_spark.sources.sstable import register
+
+    register(spark)
+    out = str(tmp_path / "ma_rt_written")
+    os.makedirs(out)
+    schema = (
+        "key string, col_name string, ck binary, value binary, ts long, "
+        "ttl int, expiration long, deleted boolean, range_tomb boolean, "
+        "row_tomb_ts long, ck_end binary, incl_mask int"
+    )
+    rows = [
+        # clustered cells on k1
+        ("k1", "v", b"d1", b"a", 1000, None, None, False, False, None, None, None),
+        ("k1", "v", b"d5", b"b", 1001, None, None, False, False, None, None, None),
+        # overlapping range tombstones [d1,d3) ts=5000 and [d2,d4] ts=6000
+        ("k1", None, b"d1", None, 5000, None, None, False, True, None, b"d3", 1),
+        ("k1", None, b"d2", None, 6000, None, None, False, True, None, b"d4", 3),
+        # ck-row deletion at d5 (degenerate [d5,d5] both-inclusive)
+        ("k1", None, b"d5", None, 7000, None, None, False, True, None, b"d5", 3),
+        # k2: partition tombstone only
+        ("k2", None, None, None, 9000, None, None, False, False, None, None, None),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.format(
+        "sstable_run"
+    ).option("layout", "ma").mode("append").save(out)
+
+    back = spark.read.format("sstable_run").option("layout", "ma").load(out)
+    rts = sorted(
+        (bytes(r.ck), bytes(r.ck_end), r.incl_mask, r.ts)
+        for r in back.filter("range_tomb AND col_name IS NULL AND key = CAST('k1' AS BINARY)").collect()
+    )
+    # normalized sweep: [d1,d2) keeps ts 5000, [d2,d4] takes 6000; the
+    # d5 deletion rides its row (ck_tombs -> degenerate range on emit)
+    assert (b"d1", b"d2", rts[0][2], 5000) == (rts[0][0], rts[0][1], rts[0][2], rts[0][3])
+    assert (b"d2", b"d4", 6000) == (rts[1][0], rts[1][1], rts[1][3])
+    assert (b"d5", b"d5", 3, 7000) in rts
+    # partition tombstone survives on k2, nothing widened on k1
+    k1_rows = back.filter("key = CAST('k1' AS BINARY)").collect()
+    assert all(r.row_tomb_ts is None for r in k1_rows)
+    k2 = back.filter("key = CAST('k2' AS BINARY)").collect()
+    assert any(r.row_tomb_ts == 9000 for r in k2)
+    # both cells present with their values
+    cells = {
+        (bytes(r.ck), bytes(r.value))
+        for r in back.filter("col_name = 'v' AND NOT range_tomb").collect()
+    }
+    assert cells == {(b"d1", b"a"), (b"d5", b"b")}
+
+
 def test_streaming_write_roundtrip(spark, tmp_path):
     """writeStream.format('sstable_run'): the stream reader's microbatches
     flow through a transform and land as new sorted runs — continuous
