@@ -16,11 +16,14 @@ Decode coverage is split by what pure Python + numpy can express:
            pixel decode — chunk CRCs, zlib inflate, all five scanline
            filters — via stdlib zlib (`decode_png`, with `encode_png`
            emitting spec-valid PNGs for the fixture path)
-  STUBBED  JPEG pixel decode only (needs a DCT codec; the container
-           has neither PIL nor ffmpeg) — `decode_image_stub` produces
-           deterministic fake features so the Spark-side plumbing
-           (schema, batch iteration, partitioning) stays real and
-           tested; swap `_fake_decode` for a real codec in production.
+           plus baseline JPEG (pure-numpy Huffman+DCT, `jpeg_py`) and
+           GIF incl. animated LZW (`gif_py`)
+  STUBBED  `decode_image_stub` / `resize_stub` / `frame_sample_stub`
+           remain ONLY as deterministic unit-test baselines for the
+           mapInPandas plumbing (schema, batch iteration, flatMap
+           cardinality — tests/test_extensions.py); since round 6 they
+           back no registry query — the real decoders (`mm_real_*`)
+           own that surface.
 """
 
 from __future__ import annotations

@@ -89,8 +89,6 @@ _PRIORITY = [
     "agg_approx_percentiles",
     "dedup_exact_prefix",
     "mm_binary_meta",
-    "mm_frame_sample",
-    "mm_resize",
     "s11_create_only_sink",
     "scalar_conditional",
     "scalar_math_safe",
@@ -122,7 +120,6 @@ _PRIORITY = [
     "agg_session_windows_batch",
     "agg_stats_moments",
     "gm_sessionize",
-    "mm_decode_features",
     "sample_hash_split",
     "scalar_dates",
     "scalar_json",

@@ -154,43 +154,6 @@ def q_mm_binary_meta(spark, sf_dir):
     )
 
 
-def q_mm_decode_features(spark, sf_dir):
-    """X5: mapInPandas decode/feature-extract (STUB codec, real plumbing;
-    the real codecs live in mm_real_decode).  Exact SQL oracle over the
-    stub's byte-arithmetic rules (_MM_BYTES)."""
-    docs = load_table(spark, sf_dir, "documents")
-    feats = M.decode_image_stub(M.with_binary_payload(docs))
-    return feats.select(
-        "doc_id",
-        "byte_len",
-        "width",
-        "height",
-        "n_frames",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feat_sum"
-        ),
-    )
-
-
-def q_mm_frame_sample(spark, sf_dir):
-    """X5 frame sampling (mapInPandas flatMap shape) — exact SQL oracle:
-    the stub's frame-count and hash rules are SQL-expressible."""
-    docs = load_table(spark, sf_dir, "documents")
-    return M.frame_sample_stub(M.with_binary_payload(docs), every_n=4)
-
-
-def q_mm_resize(spark, sf_dir):
-    """X5 resize stub (mapInPandas, binary-out thumbnail; the real
-    resize lives in mm_real_resize).  Exact SQL oracle over the stub's
-    byte-arithmetic scale rules."""
-    docs = load_table(spark, sf_dir, "documents")
-    r = M.resize_stub(M.with_binary_payload(docs), dst_w=32, dst_h=32)
-    return r.select(
-        "doc_id", "src_w", "src_h", "scale_x", "scale_y",
-        F.octet_length("thumb").alias("thumb_len"),
-    )
-
-
 def q_mm_media_probe(spark, sf_dir):
     """X5 REAL metadata extraction: synthesize valid PNG/GIF/WAV container
     headers deterministically from doc_id (trailing payload = doc text),
@@ -234,24 +197,6 @@ def q_mm_real_resize(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_media_real(M.synthesize_av_media(docs))
 
-
-# the stub decoder's rules (multimodal._fake_decode) are deliberately
-# byte-arithmetic so the Python mapInPandas path has EXACT SQL oracles:
-# width = byte[0]+1, height = last byte of the first 64 + 1,
-# n_frames = max(1, len//1024), features = first 8 bytes / 255.0
-_MM_BYTES = """
-    WITH p AS (
-      SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS byte_len
-      FROM documents
-    ), b AS (
-      SELECT doc_id, byte_len,
-             list_transform(range(1, least(byte_len, 64) + 1),
-               i -> (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
-                  + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
-      FROM p
-    )
-"""
 
 ORACLE_FRAME_SAMPLE = """
     WITH f AS (
@@ -372,34 +317,6 @@ ORACLES = {
                CASE WHEN doc_id % 3 = 2
                     THEN CAST(1 + doc_id % 2 AS INT) END AS channels
         FROM documents
-    """,
-    "mm_decode_features": _MM_BYTES + """
-        SELECT doc_id, CAST(byte_len AS INT) AS byte_len,
-               CAST(bytes[1] + 1 AS INT) AS width,
-               CAST(bytes[least(byte_len, 64)] + 1 AS INT) AS height,
-               CAST(greatest(1, byte_len // 1024) AS INT) AS n_frames,
-               round(list_reduce(list_transform(bytes[1:8], x -> x / 255.0),
-                                 (a, b) -> a + b), 6) AS feat_sum
-        FROM b
-    """,
-    "mm_resize": _MM_BYTES + """
-        SELECT doc_id,
-               CAST(bytes[1] + 1 AS INT) AS src_w,
-               CAST(bytes[least(byte_len, 64)] + 1 AS INT) AS src_h,
-               32.0 / (bytes[1] + 1) AS scale_x,
-               32.0 / (bytes[least(byte_len, 64)] + 1) AS scale_y,
-               CAST(32 * 32 AS INT) AS thumb_len
-        FROM b
-    """,
-    "mm_frame_sample": """
-        WITH f AS (
-          SELECT doc_id,
-                 greatest(1, octet_length(encode(text)) // 1024) AS n_frames
-          FROM documents
-        )
-        SELECT doc_id, CAST(idx AS INT) AS frame_idx,
-               md5(doc_id || ':' || idx) AS frame_md5
-        FROM f, LATERAL (SELECT unnest(range(0, n_frames, 4)) AS idx)
     """,
     "sim_cosine_topk": """
         WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
@@ -741,7 +658,4 @@ QUERIES = {
     "mm_real_resize": q_mm_real_resize,
     "mm_real_frame_sample": q_mm_real_frame_sample,
     "mm_video_probe": q_mm_video_probe,
-    "mm_decode_features": q_mm_decode_features,
-    "mm_frame_sample": q_mm_frame_sample,
-    "mm_resize": q_mm_resize,
 }
