@@ -163,13 +163,27 @@ def write_statistics(path: str, vcode: int, partitioner: str) -> None:
 
 
 def read_partitioner(path: str, vcode: int) -> str:
+    """Uniform error surface discipline (mirrors the ma corruption
+    matrix): any truncated/garbage Statistics.db raises ValueError —
+    never struct.error/IndexError — and no field may send an offset
+    backwards (negative counts read as corruption, not as Python
+    end-relative indexing)."""
     buf = open(path, "rb").read()
     if vcode >= V_KA:
+        if len(buf) < 4:
+            raise ValueError("old: truncated Statistics.db TOC")
         (n,) = struct.unpack_from(">i", buf, 0)
+        if n < 0 or 4 + 8 * n > len(buf):
+            raise ValueError("old: corrupt Statistics.db TOC count")
         for i in range(n):
             typ, off = struct.unpack_from(">ii", buf, 4 + 8 * i)
             if typ == META_DATA_VALIDATION:
-                name, _ = _dec_str16(buf, off)
+                if off < 0 or off > len(buf):
+                    raise ValueError("old: corrupt Statistics.db TOC offset")
+                try:
+                    name, _ = _dec_str16(buf, off)
+                except ValueError:
+                    raise ValueError("old: truncated Statistics.db validation")
                 return name.decode()
         raise ValueError("old: Statistics.db missing validation component")
     off = 0
@@ -177,9 +191,16 @@ def read_partitioner(path: str, vcode: int) -> str:
         if off + 4 > len(buf):
             raise ValueError("old: truncated Statistics.db")
         (n_buckets,) = struct.unpack_from(">i", buf, off)
+        if n_buckets < 0 or off + 4 + n_buckets * 16 > len(buf):
+            raise ValueError("old: corrupt Statistics.db histogram")
         off += 4 + n_buckets * 16
     off += 5 * 8 + 2 * 4
-    name, _ = _dec_str16(buf, off)
+    if off > len(buf):
+        raise ValueError("old: truncated Statistics.db")
+    try:
+        name, _ = _dec_str16(buf, off)
+    except ValueError:
+        raise ValueError("old: truncated Statistics.db partitioner")
     return name.decode()
 
 

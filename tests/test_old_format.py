@@ -307,6 +307,54 @@ def test_truncation_fails_uniformly(tmp_path):
     assert len(list(OLD.OldReader(d, w.data_filename()).partitions())) == 3
 
 
+@pytest.mark.parametrize("version", ["ja", "jb", "ka", "la"])
+def test_statistics_corruption_fails_uniformly(tmp_path, version):
+    """Negative corpus for the OLD-era Statistics.db walk (the ma
+    corruption matrix's missing twin): every truncation point, garbage
+    fill, and negative count/offset must surface ValueError from
+    OldReader construction — never struct.error/IndexError — and must
+    never be silently accepted by Python's end-relative indexing."""
+    import struct as _struct
+
+    d = str(tmp_path / f"stcorrupt_{version}")
+    w = OLD.OldWriter(d, 1, version=version, codec_class="DeflateCompressor")
+    for p in _mk_parts():
+        w.add(p)
+    w.finish()
+    st_path = w.path("Statistics")
+    blob = open(st_path, "rb").read()
+
+    def expect_failure_or_valid():
+        try:
+            rd = OLD.OldReader(d, w.data_filename())
+        except ValueError:
+            return
+        # a corruption that happens to still parse must yield a sane
+        # partitioner string, not garbage control bytes
+        assert isinstance(rd.partitioner, str)
+
+    # every truncation point
+    for cut in range(len(blob)):
+        open(st_path, "wb").write(blob[:cut])
+        with pytest.raises(ValueError):
+            OLD.OldReader(d, w.data_filename())
+    # garbage files
+    for junk in (b"", b"\xff" * 64, b"\x00" * 3, bytes(range(256))):
+        open(st_path, "wb").write(junk)
+        expect_failure_or_valid()
+    # negative leading count (TOC count for ka+, histogram buckets below)
+    open(st_path, "wb").write(_struct.pack(">i", -5) + blob[4:])
+    with pytest.raises(ValueError):
+        OLD.OldReader(d, w.data_filename())
+    # absurdly large leading count
+    open(st_path, "wb").write(_struct.pack(">i", 1 << 30) + blob[4:])
+    with pytest.raises(ValueError):
+        OLD.OldReader(d, w.data_filename())
+    # restore: the pristine file still reads
+    open(st_path, "wb").write(blob)
+    assert isinstance(OLD.OldReader(d, w.data_filename()).partitioner, str)
+
+
 def test_ja_statistics_histogram_walk(tmp_path):
     # pre-ka Statistics: two histograms + fixed block + partitioner
     # (SSTable.cpp:310-316); non-empty histograms must be skipped right
@@ -626,6 +674,62 @@ def test_streaming_real_format_directory(spark, tmp_path):
         assert got.count() == 19  # only the new sstable arrived
         assert got.filter("run = 3").count() == 4
         assert got.filter("run = 2").count() == 5  # the la-era sstable
+    finally:
+        q.stop()
+
+
+def test_old_era_sstable_arrives_mid_stream(spark, tmp_path):
+    """The post-upgrade FLUSH case: a stream is already running over a
+    3.x directory when an OLD-era (ka, flat naming, composite cells)
+    sstable lands — e.g. a lagging node replaying a pre-upgrade
+    commitlog segment.  The new generation must arrive as its own
+    microbatch through the per-file version dispatch, and a later ma
+    flush must keep streaming after it (the era switch is per file,
+    not sticky per stream)."""
+    from cassandra2aerospike_spark.sources.sstable import register
+
+    d = str(tmp_path / "table")
+    os.makedirs(d)
+    w = MaWriter(d, 1, [("c", "UTF8Type")])
+    for k in range(5):
+        w.add(Partition(key=str(k).encode(),
+                        cells=[Cell("c", str(k).encode(), ts=k)]))
+    w.finish()
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("sstable_run").option("layout", "ma").load(d)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("upgrade_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("upgrade_stream").count() == 5
+        # mid-stream: a ka-era sstable (old flat naming) lands
+        w_old = OLD.OldWriter(d, 2, version="ka", codec_class="SnappyCompressor")
+        for k in range(100, 103):
+            w_old.add(Partition(key=str(k).encode(),
+                                cells=[Cell("c", str(k).encode(), ts=k)]))
+        w_old.finish()
+        q.processAllAvailable()
+        got = spark.table("upgrade_stream")
+        assert got.filter("run = 2").count() == 3
+        assert {bytes(r.key).decode() for r in got.filter("run = 2").collect()} == {
+            "100", "101", "102"
+        }
+        # and the stream keeps going on a subsequent ma flush
+        w3 = MaWriter(d, 3, [("c", "UTF8Type")])
+        w3.add(Partition(key=b"z", cells=[Cell("c", b"zz", ts=9)]))
+        w3.finish()
+        q.processAllAvailable()
+        assert spark.table("upgrade_stream").filter("run = 3").count() == 1
+        assert spark.table("upgrade_stream").count() == 9
     finally:
         q.stop()
 

@@ -12,15 +12,33 @@ from pyspark.sql import functions as F
 
 from cassandra2aerospike_spark.functions.tokens import murmur3_128_h1, murmur3_token
 
+# EXTERNAL golden vectors — published Cassandra Murmur3Partitioner
+# tokens, not derived from this repo's code: the four-name example from
+# the DataStax "consistent hashing" documentation (token values printed
+# for partition keys jim/carol/johnny/suzy), plus the canonical
+# MurmurHash3 x64-128 fact that the empty input under seed 0 hashes to
+# (0, 0) — so the empty key's token is 0.  These pin the implementation
+# to Cassandra's, independently of the engine-vs-DuckDB oracle (which
+# runs this repo's arithmetic on both sides).
+GOLDEN_EXTERNAL = {
+    b"jim": 2680261686609811218,
+    b"carol": -3169904368870211108,
+    b"johnny": -2876970619340914070,
+    b"suzy": 4113135677556563029,
+    b"": 0,
+}
+
 # Regression vectors (pinned from this implementation; ASCII keys equal
 # canonical x64-128 h1 since sign extension only affects bytes >= 0x80).
 VECTORS = {
-    b"jim": 2680261686609811218,
-    b"carol": -3169904368870211108,
     b"\xff\xfe\xfd": 4778542740094909933,
     bytes(range(20)): -6642154758453422773,
-    b"": 0,
 }
+
+
+def test_murmur3_external_golden_vectors():
+    for key, expect in GOLDEN_EXTERNAL.items():
+        assert murmur3_128_h1(key) == expect, key
 
 
 def test_murmur3_regression_vectors():
