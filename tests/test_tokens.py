@@ -63,8 +63,8 @@ def test_signed_tail_differs_from_unsigned():
 def test_murmur3_udf_matches_local(spark):
     df = spark.createDataFrame([("jim",), ("carol",)], "k string")
     rows = {r.k: r.tok for r in df.select("k", murmur3_token("k").alias("tok")).collect()}
-    assert rows["jim"] == VECTORS[b"jim"]
-    assert rows["carol"] == VECTORS[b"carol"]
+    assert rows["jim"] == GOLDEN_EXTERNAL[b"jim"]
+    assert rows["carol"] == GOLDEN_EXTERNAL[b"carol"]
 
 
 def test_block_path_16_32_bytes():
