@@ -35,74 +35,31 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
-    # -- round-5 NEW training-pipeline queries: benchmark decontamination
-    #    (broadcast n-gram overlap), stratified rate sampling, domain
-    #    mixing by epoch repetition
-    "text_decontaminate",
-    "sample_stratified",
-    "sample_domain_mix",
-    "sim_kmeans_cells",
-    "text_rare_token_filter",
-    "text_salient_terms",
-    "layout_zorder",
-    "dedup_incremental",
-    "mm_real_frame_sample",
-    "mm_video_probe",
-    "pipeline_sstable_corpus",
-    "src_formats_roundtrip",
     # -- round-6 NEW queries: Cassandra 3.11-era (mc/md) directory
-    #    auto-detect on real files, plus REAL clustered tombstones
-    #    (ck-bounded range markers + clustered-row deletions) via layout=ma
+    #    auto-detect on real files, and the range-tombstone WRITE path
+    #    (full-content rewrite of the s18 table through layout=ma)
     "s19_mc_era_merge",
     "s20_ma_rt_compaction_roundtrip",
-    "s18_ma_range_tombstone_merge",
-    "a7_counter_reconcile",
-    # -- round-5 NEW queries: REAL Cassandra 3.x ma-format table read
-    #    end-to-end through the DataSource layout=ma branch, and REAL
-    #    media-container header parsing (PNG/GIF/WAV) for X5
-    "s16_mixed_era_merge",
-    "s17_ma_clustering_merge",
-    "s15_ma_format_merge",
-    "mm_media_probe",
+    # -- round-6 CHANGED surfaces: the LSH family now materializes its
+    #    shingle frame via a parquet storage checkpoint (shared across
+    #    all consumers + the incremental corpus fingerprints); the
+    #    kmeans oracle moved to pure integer division; the jpeg decoder
+    #    accepts fill bytes/standalone markers; the madocs fixture cache
+    #    key folds in the source parquet's identity
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "dedup_incremental",
+    "pipeline_corpus_prep",
+    "sim_kmeans_cells",
     "mm_real_decode",
     "mm_real_resize",
-    "ma_compaction_roundtrip",
-    "stream_real_sstable_ingest",
-    "o2_real_resume",
-    # -- round-5 CHANGED surfaces: the mixed-codec fixtures now exercise
-    #    all three reference compressors in one scan (deflate + Snappy +
-    #    the new pure-Python LZ4 block codec, Buffer.cpp:243-272)
-    "s8_oldformat_merge",
-    "s9_sstable_merge",
-    # -- rotation, stalest first (VERDICT r4 item 1: after r05 no
-    #    registry query's newest green row may be older than two rounds).
-    #    These 7 were round-1-latest ...
-    "agg_percentiles",
-    "scalar_arrays",
-    "scalar_maps",
-    "series_gap_fill",
-    "sort_multi_limit",
-    "topk_global",
-    "win_range_frame",
-    # ... these 17 round-2-latest ...
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "dedup_exact_prefix",
-    "mm_binary_meta",
-    "s11_create_only_sink",
-    "scalar_conditional",
-    "scalar_math_safe",
-    "scalar_strings_hex",
-    "set_ops_all",
-    "set_ops_distinct",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "unpivot_melt",
-    # ... and the rest of the prefix rolls through the round-3-latest
-    #     cohort so it cannot age past two rounds either
-    "merge_full",
+    "mm_real_frame_sample",
+    "pipeline_sstable_corpus",
+    # -- rotation (VERDICT r5 item 9): the entire round-3-latest cohort
+    #    re-enters the checked prefix so no registry row's newest green
+    #    is older than two rounds at r06 end
     "a1_lww_latest",
     "a4_expiry_fold_last",
     "a5_record_assembly",
@@ -123,6 +80,23 @@ _PRIORITY = [
     "sample_hash_split",
     "scalar_dates",
     "scalar_json",
+    "win_lag_lead",
+    "win_frame_analytics",
+    "text_pack_sequences",
+    "text_term_freq",
+    "sim_cosine_topk_fast",
+    "token_md5",
+    "token_ring_buckets",
+    "token_resume",
+    "stream_window_counts",
+    "stream_late_data",
+    "stream_session_windows",
+    "stream_dedup_keys",
+    "stream_stream_join",
+    "stream_sstable_ingest",
+    "udaf_expiry_fold",
+    "udtf_tokenize",
+    "stream_stateful_lww",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -39,7 +39,14 @@ def _ckpt_dir(sf_dir: str, variant: str) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{_CODE_FPR}:{variant}".encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_dedup", key)
+    # On a cluster the checkpoint must live on shared storage (every
+    # executor scans it); SPARK_GRAFT_CHECKPOINT_DIR points it at e.g.
+    # an object-store prefix.  Local default: the system temp dir.
+    base = os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_dedup"),
+    )
+    return os.path.join(base, key)
 
 
 def q_dedup_exact_prefix(spark, sf_dir):
