@@ -200,6 +200,84 @@ def _dist2_q(a: Column, b: Column) -> Column:
     )
 
 
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two long-array vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def semantic_dedup_quantized(
+    assigned: DataFrame, t_num: int = 9025, t_den: int = 10000
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    within each k-means cell, a vector is a DUPLICATE of the
+    lowest-id earlier member whose cosine similarity clears the
+    threshold; cluster structure bounds the quadratic — pairs are only
+    ever formed INSIDE a cell, never across the corpus.
+
+    Input: (vec_id, xq array<long>, cell) — integer-quantized vectors
+    with their cell assignment (assign_cells_quantized).  The cosine
+    test is pure integer arithmetic, cos(a,b) >= sqrt(t_num/t_den)
+    rewritten square-free as
+
+        dot(a,b) > 0  AND  dot(a,b)^2 * t_den >= t_num * |a|^2 * |b|^2
+
+    — exact in int64 for unit-norm embeddings at scale 1000 (|dot| <=
+    1e6, so dot^2 * t_den <= 1e16; both engines reproduce it bit-equal,
+    which gives this pipeline an exact SQL oracle).  Defaults encode
+    cos >= 0.95 (0.95^2 = 9025/10000).
+
+    Shape: one shuffle to the cell, members collected in-row (bounded
+    by cell size — the SemDeDup contract: k scales with corpus size so
+    cells stay small), pair scan via slice/filter over the sorted member
+    list — the lsh_candidate_pairs discipline, no self-join."""
+    with_norm = assigned.select(
+        "cell",
+        F.struct(
+            "vec_id", "xq", dot_q(F.col("xq"), F.col("xq")).alias("n2")
+        ).alias("m"),
+    )
+    cells = with_norm.groupBy("cell").agg(
+        F.array_sort(F.collect_list("m")).alias("ds")
+    )
+    ds = F.col("ds")
+
+    def dup_of(m, i):
+        scored = F.transform(
+            F.slice(ds, 1, i),
+            lambda a: F.struct(
+                a["vec_id"].alias("vec_id"),
+                dot_q(a["xq"], m["xq"]).alias("dab"),
+                a["n2"].alias("n2"),
+            ),
+        )
+        ok = F.filter(
+            scored,
+            lambda s: (s["dab"] > 0)
+            & (s["dab"] * s["dab"] * F.lit(t_den) >= F.lit(t_num) * s["n2"] * m["n2"]),
+        )
+        return F.array_min(F.transform(ok, lambda s: s["vec_id"]))
+
+    decided = F.transform(
+        ds,
+        lambda m, i: F.struct(m["vec_id"].alias("vec_id"), dup_of(m, i).alias("dup_of")),
+    )
+    return (
+        cells.select("cell", F.explode(decided).alias("d"))
+        .select(
+            F.col("d.vec_id").alias("vec_id"),
+            "cell",
+            F.when(F.col("d.dup_of").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+            F.col("d.dup_of").alias("dup_of"),
+        )
+    )
+
+
 def assign_cells_quantized(q: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-centroid assignment over quantized vectors: broadcast the
     whole codebook as one array row, argmin squared-L2 IN-ROW via
@@ -228,7 +306,12 @@ def assign_cells_quantized(q: DataFrame, codebook: DataFrame) -> DataFrame:
 
 
 def kmeans_fit_quantized(
-    corpus: DataFrame, k: int = 8, iters: int = 2, vec_col: str = "embedding", scale: int = 1000
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    quantized: bool = False,
 ) -> DataFrame:
     """REAL distributed k-means (Lloyd) over quantized vectors — the
     trained replacement for `centroid_frame`'s take-first-k stand-in.
@@ -243,8 +326,14 @@ def kmeans_fit_quantized(
     results for negative sums; the numerator is exactly divisible, so
     the division itself is exact in both engines.
 
-    Returns a (cid int, c_vec array<long>) codebook frame."""
-    q = corpus.select("vec_id", quantize_vec(F.col(vec_col), scale).alias("xq"))
+    Returns a (cid int, c_vec array<long>) codebook frame.
+
+    `quantized=True` skips quantization — `corpus` already carries an
+    integer `xq` column (e.g. a synthesized/augmented vector set)."""
+    if quantized:
+        q = corpus.select("vec_id", "xq")
+    else:
+        q = corpus.select("vec_id", quantize_vec(F.col(vec_col), scale).alias("xq"))
     # init = the k LOWEST vec_ids by rank (TakeOrderedAndProject — a
     # bounded top-k, not a global sort), so sparse or offset id spaces
     # still seed a full codebook; on the dense fixture this is exactly

@@ -40,6 +40,13 @@ _PRIORITY = [
     #    (full-content rewrite of the s18 table through layout=ma)
     "s19_mc_era_merge",
     "s20_ma_rt_compaction_roundtrip",
+    # -- round-6 NEW training-pipeline queries: SemDeDup-style semantic
+    #    dedup (integer-cosine within k-means cells, planted near-dups),
+    #    PII scrubbing (Java/RE2 common-subset regexes, full-md5 oracle),
+    #    and the stream-static corpus-dedup join
+    "sim_semantic_dedup",
+    "text_pii_scrub",
+    "stream_corpus_dedup",
     # -- round-6 CHANGED surfaces: the LSH family now materializes its
     #    shingle frame via a parquet storage checkpoint (shared across
     #    all consumers + the incremental corpus fingerprints); the
@@ -54,9 +61,6 @@ _PRIORITY = [
     "pipeline_corpus_prep",
     "sim_kmeans_cells",
     "mm_real_decode",
-    "mm_real_resize",
-    "mm_real_frame_sample",
-    "pipeline_sstable_corpus",
     # -- rotation (VERDICT r5 item 9): the entire round-3-latest cohort
     #    re-enters the checked prefix so no registry row's newest green
     #    is older than two rounds at r06 end

@@ -98,6 +98,34 @@ def q_sim_kmeans_cells(spark, sf_dir):
     )
 
 
+def q_sim_semantic_dedup(spark, sf_dir):
+    """X3+X1 bridge — SemDeDup-style SEMANTIC deduplication (public
+    method: cluster the embedding space, drop within-cluster vectors
+    whose cosine to an earlier member clears a threshold; the
+    cluster structure bounds the quadratic).  The synthetic embeddings
+    carry no natural near-dups (max pairwise cos 0.51 measured), so the
+    corpus is AUGMENTED with planted ones first — every vec_id % 7 == 0
+    vector gains a deterministically perturbed copy (+1 or +2 per
+    component at scale 1000, cos ~0.9995 to its source; id + 1e6) — the
+    same synthesize->operate->verify pattern the X5 media family uses.
+    Pipeline: integer k-means (k=8, 2 Lloyd iterations) over the
+    augmented set -> in-row cell assignment -> per-cell integer-cosine
+    pair scan (functions/similarity.semantic_dedup_quantized, cos >=
+    0.95).  Every stage is exact integer arithmetic -> exact SQL oracle,
+    planted copies land as 'drop' with dup_of = their source."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+    delta = (F.lit(1) + (F.col("vec_id") % 2)).cast("long")
+    planted = q.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("xq", lambda x: x + delta).alias("xq"),
+    )
+    corpus = q.unionByName(planted)
+    cb = S.kmeans_fit_quantized(corpus, k=8, iters=2, quantized=True)
+    assigned = S.assign_cells_quantized(corpus, cb).select("vec_id", "xq", "cell")
+    return S.semantic_dedup_quantized(assigned, t_num=9025, t_den=10000)
+
+
 def q_mm_real_frame_sample(spark, sf_dir):
     """X5 REAL frame sampling over animated GIFs (the video stand-in):
     synthesize n_frames = 2 + d%4 solid frames per doc through the real
@@ -508,6 +536,98 @@ ORACLES = {
     """,
     # two unrolled Lloyd iterations; integer quantization makes every
     # distance and floor-mean exact, so the iterative loop hash-matches
+    # SemDeDup: the kmeans chain over the AUGMENTED corpus (planted
+    # near-dup copies), then the within-cell integer-cosine pair scan.
+    "sim_semantic_dedup": """
+        WITH q0 AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id, xq FROM q0
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(xq, x -> x + 1 + vec_id % 2)
+          FROM q0 WHERE vec_id % 7 = 0
+        ),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, xq AS c_vec FROM q WHERE vec_id < 8),
+        a1 AS (
+          SELECT vec_id, xq, cell FROM (
+            SELECT q.vec_id, q.xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c0 c
+          ) WHERE rn = 1
+        ),
+        s1 AS (
+          SELECT cell, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM a1)
+          GROUP BY cell, pos
+        ),
+        c1 AS (
+          SELECT cell AS cid,
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM s1 GROUP BY cell
+        ),
+        a2 AS (
+          SELECT vec_id, xq, cell FROM (
+            SELECT q.vec_id, q.xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c1 c
+          ) WHERE rn = 1
+        ),
+        s2 AS (
+          SELECT cell, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM a2)
+          GROUP BY cell, pos
+        ),
+        c2 AS (
+          SELECT cell AS cid,
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM s2 GROUP BY cell
+        ),
+        af AS (
+          SELECT vec_id, xq, cell FROM (
+            SELECT q.vec_id, q.xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c2 c
+          ) WHERE rn = 1
+        ),
+        m AS (
+          SELECT vec_id, cell, xq,
+                 list_sum(list_transform(xq, x -> x * x)) AS n2
+          FROM af
+        ),
+        d AS (
+          SELECT b.vec_id, b.cell,
+                 min(a.vec_id) AS dup_of
+          FROM m b
+          LEFT JOIN m a ON a.cell = b.cell AND a.vec_id < b.vec_id
+            AND list_sum(list_transform(list_zip(a.xq, b.xq),
+                         p -> p[1] * p[2])) > 0
+            AND list_sum(list_transform(list_zip(a.xq, b.xq),
+                         p -> p[1] * p[2]))
+                * list_sum(list_transform(list_zip(a.xq, b.xq),
+                           p -> p[1] * p[2])) * 10000
+                >= 9025 * a.n2 * b.n2
+          GROUP BY b.vec_id, b.cell
+        )
+        SELECT vec_id, cell,
+               CASE WHEN dup_of IS NULL THEN 'keep' ELSE 'drop' END AS decision,
+               dup_of
+        FROM d
+    """,
     "sim_kmeans_cells": """
         WITH q AS (
           SELECT vec_id,
@@ -651,6 +771,7 @@ QUERIES = {
     "sim_pq_topk": q_sim_pq_topk,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_kmeans_cells": q_sim_kmeans_cells,
+    "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_media_probe": q_mm_media_probe,

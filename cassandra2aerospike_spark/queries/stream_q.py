@@ -5,6 +5,7 @@ checked against batch SQL (streaming/stream_queries.py for semantics)."""
 from __future__ import annotations
 
 from ..streaming import (
+    stream_corpus_dedup,
     stream_late_data,
     stream_lww_tws,
     stream_session_windows,
@@ -23,6 +24,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_sstable_ingest": stream_sstable_ingest,
     "stream_real_sstable_ingest": stream_real_sstable_ingest,
+    "stream_corpus_dedup": stream_corpus_dedup,
 }
 
 # transformWithStateInPandas needs the protobuf wire between the JVM and
@@ -141,6 +143,27 @@ ORACLES = {
         FROM g GROUP BY user_id, sid
     """,
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # stream-static corpus dedup: same fingerprints as dedup_incremental,
+    # minus the in-batch window (out of scope for the stream-static row)
+    "stream_corpus_dedup": """
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x != '') AS t
+          FROM documents
+        ), fps AS (
+          SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM toks
+        ), old AS (
+          SELECT fp, min(doc_id) AS old_rep FROM fps
+          WHERE doc_id % 2 = 0 GROUP BY fp
+        )
+        SELECT f.doc_id, f.fp,
+               CASE WHEN old.old_rep IS NOT NULL THEN 'dup_of_corpus'
+                    ELSE 'keep' END AS decision,
+               old.old_rep AS dup_of
+        FROM fps f LEFT JOIN old ON f.fp = old.fp
+        WHERE f.doc_id % 2 = 1
+    """,
 
     "stream_real_sstable_ingest": _CELLS_PER_RUN_SQL,
     "stream_sstable_ingest": _CELLS_PER_RUN_SQL,

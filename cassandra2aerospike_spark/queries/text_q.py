@@ -328,6 +328,44 @@ WITH toks AS (
 """
 
 ORACLES = {
+    # PII scrub: the same synthesis arithmetic, the same regexes (common
+    # Java/RE2 subset), DuckDB regexp_replace with the 'g' flag
+    "text_pii_scrub": r"""
+        WITH pii AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                              ELSE '' END
+                      || CASE WHEN doc_id % 4 = 0
+                              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                   || '.' || CAST((3 * doc_id) % 256 AS VARCHAR)
+                                   || '.' || CAST((7 * doc_id) % 256 AS VARCHAR)
+                              ELSE '' END AS pii_text
+          FROM documents
+        ), scrub AS (
+          SELECT doc_id, pii_text,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(pii_text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS s
+          FROM pii
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii_text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(pii_text,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+               CAST(len(regexp_extract_all(pii_text,
+                   '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+               md5(s) AS scrubbed_md5,
+               CAST(length(s) AS INT) AS scrubbed_len
+        FROM scrub
+    """,
+
     "text_token_stats": _TOKS
     + """
         SELECT doc_id,
@@ -682,6 +720,59 @@ def q_text_line_dedup(spark, sf_dir):
     )
 
 
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before release: regex-scrub emails, phone numbers and IPv4
+    addresses, emit per-type counts + the scrubbed text's hash.  The
+    fixture corpus carries no natural PII, so it is synthesized
+    deterministically from doc_id first (every doc gains an email;
+    doc_id % 3 == 0 a 555- phone; doc_id % 4 == 0 an RFC-1918 IP) — the
+    synthesize->operate->verify pattern.  The patterns stay inside the
+    Java-regex/RE2 COMMON SUBSET (character classes, bounded repeats,
+    \\b, no alternation/backrefs), where leftmost-first (Java) and
+    leftmost-longest (RE2) agree — so Spark's regexp_replace and
+    DuckDB's produce byte-identical scrubbed text and the oracle is
+    exact on the full md5, not just the counts."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail"), (did % 5).cast("string"), F.lit(".example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" call 555-"), (1000 + did % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit("."), ((3 * did) % 256).cast("string"),
+                F.lit("."), ((7 * did) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\b\d{3}-\d{4}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), email, "<EMAIL>"),
+            ip, "<IP>",
+        ),
+        phone, "<PHONE>",
+    )
+    return d.select("doc_id", pii.alias("pii_text")).select(
+        "doc_id",
+        F.regexp_count(F.col("pii_text"), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col("pii_text"), F.lit(ip)).alias("n_ips"),
+        F.regexp_count(F.col("pii_text"), F.lit(phone)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_line_dedup": q_text_line_dedup,
@@ -698,4 +789,5 @@ QUERIES = {
     "sample_domain_mix": q_sample_domain_mix,
     "text_rare_token_filter": q_text_rare_token_filter,
     "text_salient_terms": q_text_salient_terms,
+    "text_pii_scrub": q_text_pii_scrub,
 }

@@ -192,6 +192,77 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the streaming production shape of
+    incremental ingestion dedup (dedup_incremental's contract run
+    continuously): documents arrive as file-source microbatches (the
+    'new batch' = odd doc_ids), each batch is fingerprinted MAP-SIDE
+    and LEFT-joined against the PRECOMPUTED corpus fingerprint table —
+    the same parquet checkpoint dedup_incremental stages
+    (functions/dedup.stage_parquet), scanned per microbatch and
+    broadcast when small.  The corpus side is never re-shuffled per
+    batch, and the join is stateless (static right side: no watermark,
+    no state store) — at 100 TB the static side is the object-store
+    fingerprint table every arriving batch checks against.  In-batch
+    dedup is deliberately out of scope here (that is the batch window
+    in dedup_incremental); this query pins the stream-static mechanism.
+    """
+    from ..functions.text import fingerprint
+    from ..queries.dedup_q import _ckpt_dir
+    from .. import functions as _f  # noqa: F401 (package init)
+    from ..functions.dedup import stage_parquet
+
+    # static side: precomputed corpus fingerprints (even doc_ids),
+    # shared byte-for-byte with dedup_incremental's checkpoint
+    docs = load_docs_batch(spark, sf_dir)
+    old = stage_parquet(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("old_rep")),
+        _ckpt_dir(sf_dir, "corpus_fp"),
+    )
+
+    new = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+    joined = new.join(old, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.when(F.col("old_rep").isNotNull(), F.lit("dup_of_corpus"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+        F.col("old_rep").alias("dup_of"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+def load_docs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fixture as a file-source stream (same deterministic
+    symlink-staging discipline as stream_events)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if os.path.lexists(link) and os.readlink(link) != path:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
 def stream_lww_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 on the MODERN stateful API (transformWithStateInPandas,
     Spark 4): a StatefulProcessor with a ValueState cell per
