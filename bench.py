@@ -48,6 +48,9 @@ HEADLINE = [
     # real-format + real-decode paths (round 5)
     "mm_real_decode",
     "pipeline_sstable_corpus",
+    # round-6 training-pipeline additions
+    "sim_semantic_dedup",
+    "text_pii_scrub",
 ]
 
 

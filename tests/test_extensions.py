@@ -985,3 +985,94 @@ def test_sstable_corpus_merge_semantics(spark, sf_dir):
     }
     for r in rows:
         assert r.n_tokens == src[r.doc_id]
+
+
+def test_semantic_dedup_quantized_basics(spark):
+    """SemDeDup unit semantics: identical vectors dedup to the lowest id,
+    opposite-sign vectors never match (dot <= 0 guard), sub-threshold
+    pairs survive, cells isolate pairs, singleton cells keep."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.functions.similarity import (
+        semantic_dedup_quantized,
+    )
+
+    rows = [
+        # cell 0: v1 == v2 (cos 1 -> dup), v3 orthogonal (keep)
+        (1, [1000, 0, 0], 0),
+        (2, [1000, 0, 0], 0),
+        (3, [0, 1000, 0], 0),
+        # cell 1: v4 vs v5 anti-parallel (dot < 0 -> keep both)
+        (4, [0, 0, 1000], 1),
+        (5, [0, 0, -1000], 1),
+        # cell 2: singleton
+        (6, [7, 7, 7], 2),
+        # cell 3: v7 vs v8 cos ~0.707 < 0.95 -> keep both
+        (7, [1000, 0, 0], 3),
+        (8, [1000, 1000, 0], 3),
+        # cell 4: v9 == v1's vector but DIFFERENT cell: no cross-cell pair
+        (9, [1000, 0, 0], 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, xq array<long>, cell int")
+    got = {
+        r.vec_id: (r.decision, r.dup_of)
+        for r in semantic_dedup_quantized(df).collect()
+    }
+    assert got == {
+        1: ("keep", None),
+        2: ("drop", 1),
+        3: ("keep", None),
+        4: ("keep", None),
+        5: ("keep", None),
+        6: ("keep", None),
+        7: ("keep", None),
+        8: ("keep", None),
+        9: ("keep", None),
+    }
+
+
+def test_semantic_dedup_threshold_boundary(spark):
+    """The integer test is EXACT at the boundary: cos^2 == t_num/t_den
+    counts as a duplicate (>=), one ulp under does not."""
+    from cassandra2aerospike_spark.functions.similarity import (
+        semantic_dedup_quantized,
+    )
+
+    # a=(3,4), b=(3,4): cos=1. c=(4,3): cos(a,c)=24/25=0.96 -> with
+    # t = 0.96^2 = 9216/10000 exactly: dup; with t_num 9217: keep
+    rows = [(1, [3, 4], 0), (2, [4, 3], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, xq array<long>, cell int")
+    at = {r.vec_id: r.decision for r in
+          semantic_dedup_quantized(df, t_num=9216, t_den=10000).collect()}
+    over = {r.vec_id: r.decision for r in
+            semantic_dedup_quantized(df, t_num=9217, t_den=10000).collect()}
+    assert at == {1: "keep", 2: "drop"}
+    assert over == {1: "keep", 2: "keep"}
+
+
+def test_pii_scrub_patterns(spark):
+    """The three PII regexes hit the shapes they claim and nothing else
+    (word-boundary guards: digits embedded in hostnames or long digit
+    runs must not match)."""
+    from pyspark.sql import functions as F
+
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\b\d{3}-\d{4}\b"
+    cases = [
+        ("mail me at bob.smith+x@sub.example.org now", 1, 0, 0),
+        ("server 10.0.255.7 and 192.168.1.1", 0, 2, 0),
+        ("call 555-0199 or 555-12345x", 0, 0, 1),  # 555-12345 fails \b
+        ("version v1.2.3.4x is not an ip", 0, 0, 0),  # trailing word char
+        ("mail3.example.com is a host not an email", 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in cases], "t string")
+    got = df.select(
+        "t",
+        F.regexp_count("t", F.lit(email)).alias("e"),
+        F.regexp_count("t", F.lit(ip)).alias("i"),
+        F.regexp_count("t", F.lit(phone)).alias("p"),
+    ).collect()
+    want = {t: (e, i, p) for t, e, i, p in cases}
+    for r in got:
+        assert (r.e, r.i, r.p) == want[r.t], r.t
