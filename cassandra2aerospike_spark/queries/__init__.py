@@ -47,6 +47,7 @@ _PRIORITY = [
     "sim_semantic_dedup",
     "text_pii_scrub",
     "stream_corpus_dedup",
+    "text_chunk_windows",
     # -- round-6 CHANGED surfaces: the LSH family now materializes its
     #    shingle frame via a parquet storage checkpoint (shared across
     #    all consumers + the incremental corpus fingerprints); the
@@ -60,7 +61,6 @@ _PRIORITY = [
     "dedup_incremental",
     "pipeline_corpus_prep",
     "sim_kmeans_cells",
-    "mm_real_decode",
     # -- rotation (VERDICT r5 item 9): the entire round-3-latest cohort
     #    re-enters the checked prefix so no registry row's newest green
     #    is older than two rounds at r06 end

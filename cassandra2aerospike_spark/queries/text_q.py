@@ -328,6 +328,20 @@ WITH toks AS (
 """
 
 ORACLES = {
+    # chunking: same offsets (range step 48), same 1-based inclusive
+    # slice window, same md5-of-joined-tokens chunk identity
+    "text_chunk_windows": _TOKS + """
+        , c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        o AS (SELECT doc_id, t, n, unnest(range(0, n, 48)) AS start_tok FROM c)
+        SELECT doc_id,
+               CAST(start_tok // 48 AS BIGINT) AS chunk_id,
+               CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(least(64, n - start_tok) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 64),
+                                   ' ')) AS chunk_md5
+        FROM o
+    """,
+
     # PII scrub: the same synthesis arithmetic, the same regexes (common
     # Java/RE2 subset), DuckDB regexp_replace with the 'g' flag
     "text_pii_scrub": r"""
@@ -773,6 +787,40 @@ def q_text_pii_scrub(spark, sf_dir):
     )
 
 
+
+def q_text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window CHUNKING — the RAG/pretraining prep op
+    that splits each document into fixed-size windows with stride
+    overlap (window 64 tokens, stride 48 -> 16-token overlap).  Chunk
+    offsets are generated IN-ROW (F.sequence + explode: no join, no
+    shuffle — at 100 TB chunking rides the scan), the window itself is
+    an array slice of the materialized token array, identified by the
+    md5 of its joined tokens.  Zero-token docs produce zero chunks
+    (empty sequence), trailing chunks are short by construction."""
+    W, S = 64, 48
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t").cast("long"))
+    offs = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("n") - 1, F.lit(S).cast("long"))
+    )
+    chunk = F.slice("t", F.col("start_tok").cast("int") + 1, W)
+    return (
+        base.filter(F.col("n") > 0)
+        .select("doc_id", "t", "n", offs.alias("start_tok"))
+        .select(
+            "doc_id",
+            F.floor(F.col("start_tok") / S).cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(F.lit(W).cast("long"), F.col("n") - F.col("start_tok")).alias(
+                "n_chunk_tokens"
+            ),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_line_dedup": q_text_line_dedup,
@@ -790,4 +838,5 @@ QUERIES = {
     "text_rare_token_filter": q_text_rare_token_filter,
     "text_salient_terms": q_text_salient_terms,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_chunk_windows": q_text_chunk_windows,
 }
