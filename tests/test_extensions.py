@@ -1076,3 +1076,63 @@ def test_pii_scrub_patterns(spark):
     want = {t: (e, i, p) for t, e, i, p in cases}
     for r in got:
         assert (r.e, r.i, r.p) == want[r.t], r.t
+
+
+def test_semantic_dedup_fast_matches_declarative(spark):
+    """The GEMM path must be BIT-identical to the declarative expression
+    path on random integer frames (both are exact int64 arithmetic)."""
+    import random
+
+    from cassandra2aerospike_spark.functions.similarity import (
+        semantic_dedup_quantized,
+        semantic_dedup_quantized_fast,
+    )
+
+    rng = random.Random(6)
+    rows = []
+    vid = 0
+    for cell in range(5):
+        for _ in range(rng.randrange(1, 15)):
+            base = [rng.randrange(-800, 800) for _ in range(16)]
+            rows.append((vid, base, cell))
+            vid += 1
+            if rng.random() < 0.4:  # plant a near-copy in the same cell
+                rows.append((vid, [x + rng.randrange(-2, 3) for x in base], cell))
+                vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, xq array<long>, cell int")
+    slow = {(r.vec_id, r.cell, r.decision, r.dup_of)
+            for r in semantic_dedup_quantized(df).collect()}
+    fast = {(r.vec_id, r.cell, r.decision, r.dup_of)
+            for r in semantic_dedup_quantized_fast(df).collect()}
+    assert slow == fast and len(slow) == len(rows)
+
+
+def test_kmeans_np_matches_declarative(spark, sf_dir):
+    """The driver-resident-codebook Lloyd (GEMM assignment + Python
+    floor-mean) must produce the EXACT codebook of the declarative
+    kmeans_fit_quantized on the fixture — same init, ties, floor-mean."""
+    import numpy as np
+
+    from cassandra2aerospike_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+    cb = {
+        int(r.cid): list(r.c_vec)
+        for r in S.kmeans_fit_quantized(emb, k=8, iters=2).collect()
+    }
+    cids, mat = S.kmeans_fit_quantized_np(q, k=8, iters=2)
+    got = {int(c): [int(x) for x in row] for c, row in zip(cids, mat)}
+    assert got == cb
+    # and the GEMM assignment equals the expression-tree assignment
+    decl = {
+        (r.vec_id, r.cell, r.d2)
+        for r in S.assign_cells_quantized(
+            q, S.kmeans_fit_quantized(emb, k=8, iters=2)
+        ).collect()
+    }
+    fast = {
+        (r.vec_id, r.cell, r.d2)
+        for r in S.assign_cells_quantized_np(q, cids, mat).collect()
+    }
+    assert decl == fast
