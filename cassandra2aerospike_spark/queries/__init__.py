@@ -48,6 +48,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "stream_corpus_dedup",
     "text_chunk_windows",
+    "text_dup_span_removal",
     # -- round-6 CHANGED surfaces: the LSH family now materializes its
     #    shingle frame via a parquet storage checkpoint (shared across
     #    all consumers + the incremental corpus fingerprints); the
@@ -55,7 +56,6 @@ _PRIORITY = [
     #    accepts fill bytes/standalone markers; the madocs fixture cache
     #    key folds in the source parquet's identity
     "dedup_minhash_lsh",
-    "dedup_jaccard_pairs",
     "dedup_clusters",
     "dedup_keep_list",
     "dedup_incremental",

@@ -328,6 +328,37 @@ WITH toks AS (
 """
 
 ORACLES = {
+    # duplicated-substring spans: same 12-gram hash, global frequency,
+    # same gaps-and-islands merge (adjacency merges: start <= prev_end+1)
+    "text_dup_span_removal": _TOKS + """
+        , g AS (
+          SELECT doc_id, i AS start_tok, i + 11 AS end_tok,
+                 md5(array_to_string(list_slice(t, i, i + 11), ' ')) AS gh
+          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 10, 1))) AS i)
+        ), f AS (
+          SELECT * FROM (
+            SELECT g.*, count(*) OVER (PARTITION BY gh) AS cnt FROM g
+          ) WHERE cnt > 1
+        ), isl AS (
+          SELECT doc_id, start_tok, end_tok,
+                 CASE WHEN start_tok > coalesce(max(end_tok) OVER (
+                        PARTITION BY doc_id ORDER BY start_tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM f
+        ), isl2 AS (
+          SELECT doc_id, start_tok, end_tok,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start_tok
+                                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        )
+        SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+               CAST(min(start_tok) AS BIGINT) AS start_tok,
+               CAST(max(end_tok) AS BIGINT) AS end_tok,
+               CAST(max(end_tok) - min(start_tok) + 1 AS BIGINT) AS span_tokens
+        FROM isl2 GROUP BY doc_id, island
+    """,
+
     # chunking: same offsets (range step 48), same 1-based inclusive
     # slice window, same md5-of-joined-tokens chunk identity
     "text_chunk_windows": _TOKS + """
@@ -821,6 +852,63 @@ def q_text_chunk_windows(spark, sf_dir):
     )
 
 
+
+def q_text_dup_span_removal(spark, sf_dir):
+    """Exact duplicated-SUBSTRING span removal — the published
+    training-data dedup that document-level methods miss (Lee et al.
+    2022, 'Deduplicating Training Data Makes Language Models Better':
+    cut exact substrings that appear more than once in the corpus, even
+    when the containing documents differ).  Distributed approximation
+    of the suffix-array pass: every 12-token gram is hashed in-row
+    (rides the scan), a gram occurring > 1 time anywhere in the corpus
+    flags its span, and per document the flagged [start, start+11]
+    spans merge into maximal intervals (gaps-and-islands windows) — the
+    spans a pipeline would cut before training.  Two shuffles total:
+    the gram-frequency exchange and the per-doc island window; all
+    integer arithmetic + md5, exact SQL oracle."""
+    W = 12
+    d = _docs(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    )
+    starts = F.when(
+        F.col("n") >= W,
+        F.sequence(F.lit(1).cast("long"), F.col("n") - (W - 1)),
+    ).otherwise(F.array().cast("array<long>"))
+    g = (
+        base.select("doc_id", "t", F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            "start_tok",
+            (F.col("start_tok") + (W - 1)).alias("end_tok"),
+            F.md5(
+                F.array_join(F.slice("t", F.col("start_tok").cast("int"), W), " ")
+            ).alias("gh"),
+        )
+    )
+    cnt = F.count("*").over(Window.partitionBy("gh"))
+    flagged = g.withColumn("cnt", cnt).filter(F.col("cnt") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("start_tok")
+    prev_end = F.max("end_tok").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_isl = (
+        F.col("start_tok") > F.coalesce(prev_end, F.lit(-1)) + 1
+    ).cast("long")
+    isl = flagged.withColumn("new_isl", new_isl).withColumn(
+        "island",
+        F.sum("new_isl").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return isl.groupBy("doc_id", F.col("island").alias("span_id")).agg(
+        F.min("start_tok").alias("start_tok"),
+        F.max("end_tok").alias("end_tok"),
+        (F.max("end_tok") - F.min("start_tok") + 1).alias("span_tokens"),
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_line_dedup": q_text_line_dedup,
@@ -839,4 +927,5 @@ QUERIES = {
     "text_salient_terms": q_text_salient_terms,
     "text_pii_scrub": q_text_pii_scrub,
     "text_chunk_windows": q_text_chunk_windows,
+    "text_dup_span_removal": q_text_dup_span_removal,
 }
