@@ -792,6 +792,23 @@ def compact_runs(
 
 
 def default_runs_dir(sf_dir: str) -> str:
-    """Deterministic per-SF cache location for the generated runs."""
+    """Deterministic per-SF cache location for the generated runs.
+
+    The directory name folds in the source parquets' (mtime, size): a
+    regenerated fixture at the same sf path — or two sf dirs sharing a
+    basename — moves EVERY cached derived table (runs, ma/mixed-era/
+    counter/clustered fixtures, roundtrip outputs, stream stages) to a
+    fresh location instead of serving stale bytes under still-matching
+    _DONE markers.  This generalizes the madocs-specific cache-key fix
+    (r05 advice) to the whole fixture family in one place."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join("/tmp", "spark_graft_runs", tag)
+    parts = [os.path.abspath(sf_dir)]
+    for t in ("events", "documents"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append("absent")
+    key = hashlib.md5(":".join(parts).encode()).hexdigest()[:10]
+    return os.path.join("/tmp", "spark_graft_runs", f"{tag}_{key}")
