@@ -286,6 +286,64 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # semantic-dedup slope: the FULL pipeline (GEMM Lloyd, k=8, 2
+        # iterations + per-cell Gram pair scan) over an id-rotated
+        # amplified embedding corpus — rotation makes replicas distinct
+        # vectors so the within-cell pair output stays proportional, and
+        # the probe measures scan/GEMM/shuffle cost, not output growth
+        emb_base = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+
+        def semdedup_probe(factor: int) -> tuple[float, int]:
+            amp = (
+                emb_base.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .select(
+                    (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+                    F.expr(
+                        "transform(embedding, (x, i) -> "
+                        "element_at(embedding, 1 + int((i + rep) % size(embedding))))"
+                    ).alias("embedding"),
+                )
+                .persist()
+            )
+            n_vecs = amp.count()
+
+            def run() -> None:
+                q = amp.select(
+                    "vec_id", sim_fns.quantize_vec(F.col("embedding")).alias("xq")
+                )
+                cids, mat = sim_fns.kmeans_fit_quantized_np(q, k=8, iters=2)
+                assigned = sim_fns.assign_cells_quantized_np(q, cids, mat).select(
+                    "vec_id", "xq", "cell"
+                )
+                sim_fns.semantic_dedup_quantized_fast(assigned).count()
+
+            run()  # warm
+            t0 = time.time()
+            run()
+            rate = n_vecs / (time.time() - t0)
+            amp.unpersist()
+            spark.catalog.clearCache()
+            return rate, n_vecs
+
+        sd10, _ = semdedup_probe(10)
+        sd30, nsd = semdedup_probe(30)
+        slope.update(
+            {
+                "semdedup_vecs_per_sec_x10": round(sd10),
+                "semdedup_vecs_per_sec_x30": round(sd30),
+                "semdedup_slope_ratio": round(sd30 / sd10, 3),
+            }
+        )
+        print(
+            f"# semantic-dedup slope: x10 {sd10:,.0f} -> x30 {sd30:,.0f} vecs/s "
+            f"(ratio {sd30 / sd10:.2f}, {nsd} vecs)",
+            file=sys.stderr,
+        )
+
     # X5 media-decode probe: synthesize real WAV/BMP/PNG/JPEG/GIF blobs
     # and run the full byte-level decode (PCM fold, BMP rows, PNG
     # inflate + unfilter, JPEG huffman + IDCT, GIF LZW) through
