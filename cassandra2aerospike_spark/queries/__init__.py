@@ -49,6 +49,7 @@ _PRIORITY = [
     "stream_corpus_dedup",
     "text_chunk_windows",
     "text_dup_span_removal",
+    "s21_schema_evolution_merge",
     # -- round-6 CHANGED surfaces: the LSH family now materializes its
     #    shingle frame via a parquet storage checkpoint (shared across
     #    all consumers + the incremental corpus fingerprints); the
@@ -57,7 +58,6 @@ _PRIORITY = [
     #    key folds in the source parquet's identity
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_keep_list",
     "dedup_incremental",
     "pipeline_corpus_prep",
     "sim_kmeans_cells",

@@ -251,6 +251,33 @@ def q_s15_ma_format_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = build_ma_table_from_events(
         spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
     )
+    return _ma_merge_records(spark, table_dir)
+
+
+def q_s21_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across generations — the post-ALTER state every
+    long-lived Cassandra table reaches: generation 1 was flushed BEFORE
+    a column existed (its serialization header lists the old column
+    set), generation 2 after (full set), and partitions overlap so the
+    merge must LWW across files whose headers disagree.  The reader
+    decodes each file against ITS OWN header (column subsets are
+    per-file, SSTableSchema.cpp:121-136); the cell split is a pure
+    partition of the same derived multiset, so the merged result —
+    and the oracle — is exactly s15's (_CTE_MA)."""
+    from ..sources.sstable.fixtures import (
+        build_ma_schema_evolution_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_schema_evolution_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_evo"
+    )
+    return _ma_merge_records(spark, table_dir)
+
+
+def _ma_merge_records(spark: SparkSession, table_dir: str) -> DataFrame:
+    from ..sources.sstable.fixtures import classified_from_ma
+
     classified = classified_from_ma(spark, table_dir)
     latest = merge.lww_latest(merge.live_cells_from_classified(classified))
     records = latest.groupBy("key").agg(
@@ -781,6 +808,7 @@ QUERIES = {
     "s17_ma_clustering_merge": q_s17_ma_clustering_merge,
     "ma_compaction_roundtrip": q_ma_compaction_roundtrip,
     "s15_ma_format_merge": q_s15_ma_format_merge,
+    "s21_schema_evolution_merge": q_s21_schema_evolution_merge,
     "a1_lww_latest": q_a1_lww_latest,
     "f1_live_cells": q_f1_live_cells,
     "f2_live_row_counts": q_f2_live_row_counts,
@@ -912,6 +940,19 @@ ORACLES = {
     # s9's merged-result oracle over the ma kind mapping (range -> row):
     # the REAL on-disk format must be invisible to the merged result too
     "s15_ma_format_merge": _CTE_MA
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    # s21: pure re-split of the same cell multiset across evolved
+    # headers -> same merged result as s15
+    "s21_schema_evolution_merge": _CTE_MA
     + f"""
         SELECT r.key, a.cols_str, r.expiry, r.n_cols
         FROM records r

@@ -229,6 +229,74 @@ def build_ma_table_from_events(
     return table_dir
 
 
+def build_ma_schema_evolution_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Events as a SCHEMA-EVOLVED ma table: generation 1's serialization
+    header lists the OLD column set (the lexicographically-last column
+    did not exist yet — the pre-ALTER flush), generation 2's the full
+    set.  Cell routing: every cell of the new column -> gen 2; other
+    cells -> gen 1 unless ts % 3 == 0 (those land in gen 2 too, so
+    partitions overlap and the merge LWWs across files with DIFFERENT
+    headers).  Tombstones split by ts % 2.  The split is a pure
+    partition of build_ma_table_from_events' derived cell multiset with
+    the same kind mapping (row/range -> partition tombstone, point ->
+    deleted cell), so the merged result equals s15's oracle (_CTE_MA)."""
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    fingerprint = "maevo" + FIXTURE_ENCODER_REV
+    table_dir = os.path.join(out_dir, fingerprint, "tmx", "events")
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        classify_cells(events)
+        .select("key", "col_name", "value", "ts", "ttl", "expiration", "kind")
+        .collect()
+    )
+    col_names = sorted({r.col_name for r in rows if r.kind == "cell"})
+    new_col = col_names[-1]
+    old_schema = [(n, "UTF8Type") for n in col_names if n != new_col]
+    full_schema = [(n, "UTF8Type") for n in col_names]
+    by_run: dict[int, dict[bytes, Partition]] = {0: {}, 1: {}}
+    for r in rows:
+        if r.kind == "cell":
+            run = 1 if (r.col_name == new_col or r.ts % 3 == 0) else 0
+        elif r.kind == "point":
+            # a point tombstone NAMES its column: anything touching the
+            # new column can only exist in the post-ALTER generation
+            run = 1 if r.col_name == new_col else int(r.ts % 2)
+        else:
+            run = int(r.ts % 2)
+        key = str(r.key).encode("utf-8")
+        p = by_run[run].setdefault(key, Partition(key=key))
+        if r.kind in ("row", "range"):
+            p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
+        elif r.kind == "point":
+            p.cells.append(Cell(col_name=r.col_name, ts=r.ts, deleted=True))
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ttl=r.ttl,
+                    expiration=r.expiration,
+                )
+            )
+    for gen, schema in ((0, old_schema), (1, full_schema)):
+        w = MaWriter(table_dir, gen + 1, schema)
+        for key in sorted(by_run[gen]):
+            p = by_run[gen][key]
+            p.cells.sort(key=lambda c: (c.col_name, c.ts))
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
 def build_ma_docs_table(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
     """The documents corpus as a REAL ma table requiring cross-run LWW:
     generation 1 holds a STALE version of every text (text + ' OLDSTALE',
