@@ -286,16 +286,23 @@ def main() -> None:
             file=sys.stderr,
         )
 
-        # semantic-dedup slope: the FULL pipeline (GEMM Lloyd, k=8, 2
+        # semantic-dedup slope: the FULL pipeline (GEMM Lloyd, 2
         # iterations + per-cell Gram pair scan) over an id-rotated
         # amplified embedding corpus — rotation makes replicas distinct
-        # vectors so the within-cell pair output stays proportional, and
-        # the probe measures scan/GEMM/shuffle cost, not output growth
+        # vectors so the within-cell pair output stays proportional.
+        # k SCALES with the corpus (k = 8 per 10x) — the SemDeDup
+        # contract: cluster count grows with corpus size so cells stay
+        # bounded and the per-cell quadratic never grows.  Round-6
+        # measurement with k pinned at 8 showed exactly the failure the
+        # contract exists to prevent: 30x corpus -> 7.5k-member cells ->
+        # slope 0.20.  With scaled k the probe measures scan/GEMM/
+        # shuffle cost, not cell-quadratic growth.
         emb_base = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
 
         def semdedup_probe(factor: int) -> tuple[float, int]:
+            k_cells = max(8, (8 * factor) // 10)
             amp = (
                 emb_base.withColumn(
                     "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
@@ -315,7 +322,7 @@ def main() -> None:
                 q = amp.select(
                     "vec_id", sim_fns.quantize_vec(F.col("embedding")).alias("xq")
                 )
-                cids, mat = sim_fns.kmeans_fit_quantized_np(q, k=8, iters=2)
+                cids, mat = sim_fns.kmeans_fit_quantized_np(q, k=k_cells, iters=2)
                 assigned = sim_fns.assign_cells_quantized_np(q, cids, mat).select(
                     "vec_id", "xq", "cell"
                 )

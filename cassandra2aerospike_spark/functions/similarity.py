@@ -383,13 +383,25 @@ def semantic_dedup_quantized_fast(
                 ["vec_id", "cell", "decision", "dup_of"]
             ]
         X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
-        G = X @ X.T
-        n2 = np.diag(G)
-        ok = (G > 0) & (G * G * np.int64(t_den) >= np.int64(t_num) * np.outer(n2, n2))
+        n2 = (X * X).sum(axis=1)
         idx = np.arange(m)
-        mask = ok & (idx[:, None] < idx[None, :])  # strict i < j, sorted ids
-        has = mask.any(axis=0)
-        first = mask.argmax(axis=0)
+        has = np.zeros(m, dtype=bool)
+        first = np.zeros(m, dtype=np.int64)
+        # BLOCKED Gram: a skewed cell must not allocate an m x m int64
+        # matrix (m=7.5k would be 450 MB); bound the live block to ~8M
+        # entries (64 MB) and sweep column blocks
+        blk = max(1, min(4096, 8_000_000 // m))
+        for j0 in range(0, m, blk):
+            j1 = min(j0 + blk, m)
+            G = X @ X[j0:j1].T  # (m, b)
+            ok = (G > 0) & (
+                G * G * np.int64(t_den)
+                >= np.int64(t_num) * n2[:, None] * n2[j0:j1][None, :]
+            )
+            mask = ok & (idx[:, None] < idx[j0:j1][None, :])  # strict i < j
+            hb = mask.any(axis=0)
+            has[j0:j1] = hb
+            first[j0:j1] = mask.argmax(axis=0)
         vec_ids = pdf["vec_id"].to_numpy()
         dup_of = np.where(has, vec_ids[first], 0).astype("float64")
         return pd.DataFrame(
