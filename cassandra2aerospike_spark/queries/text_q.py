@@ -363,7 +363,7 @@ ORACLES = {
     # slice window, same md5-of-joined-tokens chunk identity
     "text_chunk_windows": _TOKS + """
         , c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
-        o AS (SELECT doc_id, t, n, unnest(range(0, n, 48)) AS start_tok FROM c)
+        o AS (SELECT doc_id, t, n, unnest(range(0, greatest(n - 16, 1), 48)) AS start_tok FROM c)
         SELECT doc_id,
                CAST(start_tok // 48 AS BIGINT) AS chunk_id,
                CAST(start_tok AS BIGINT) AS start_tok,
@@ -833,8 +833,15 @@ def q_text_chunk_windows(spark, sf_dir):
     base = d.select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     ).withColumn("n", F.size("t").cast("long"))
+    # a chunk is emitted only when it covers NEW tokens: the last start
+    # is the smallest multiple of S whose window reaches the doc end, so
+    # a doc of exactly W tokens yields ONE chunk, not a redundant tail
     offs = F.explode(
-        F.sequence(F.lit(0).cast("long"), F.col("n") - 1, F.lit(S).cast("long"))
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(F.col("n") - (W - S) - 1, F.lit(0).cast("long")),
+            F.lit(S).cast("long"),
+        )
     )
     chunk = F.slice("t", F.col("start_tok").cast("int") + 1, W)
     return (

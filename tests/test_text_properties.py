@@ -62,3 +62,45 @@ def test_ngrams_positions(spark):
     assert g2 == ["w1 w2", "w2 w3", "w3 w4"]
     g5 = df.select(ngrams_of(F.col("t"), 5).alias("g")).collect()[0].g
     assert g5 == []
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Property: with window 64 / stride 48, chunk spans tile each doc —
+    starts at 0,48,96..., every token index falls in >= 1 chunk, overlap
+    between consecutive chunks is exactly 16 tokens (until the tail),
+    and md5 identities match the token slices."""
+    import hashlib
+
+    from cassandra2aerospike_spark.queries.text_q import q_text_chunk_windows
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(200))),   # 200 toks -> 4 chunks
+        (2, " ".join(f"x{i}" for i in range(64))),    # exactly one window
+        (3, " ".join(f"y{i}" for i in range(65))),    # 2 chunks, short tail
+        (4, "a b c"),                                  # tiny: one short chunk
+        (5, ""),                                       # empty: no chunks
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="chunk_prop_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {}
+    for r in q_text_chunk_windows(spark, d).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert 5 not in got
+    toks = {i: rows[i - 1][1].split() for i in (1, 2, 3, 4)}
+    for doc_id, chunks in got.items():
+        chunks.sort(key=lambda r: r.start_tok)
+        n = len(toks[doc_id])
+        # tiling: 0-based starts 0, 48, 96, ... cover every token index
+        assert [c.start_tok for c in chunks] == list(range(0, max(n - 16, 1), 48))
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.start_tok, c.start_tok + c.n_chunk_tokens))
+            want = " ".join(toks[doc_id][c.start_tok : c.start_tok + 64])
+            assert c.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
+        assert covered == set(range(n))
+    assert len(got[1]) == 4 and len(got[2]) == 1 and len(got[3]) == 2
