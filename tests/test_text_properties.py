@@ -104,3 +104,40 @@ def test_chunk_windows_cover_every_token(spark):
             assert c.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
         assert covered == set(range(n))
     assert len(got[1]) == 4 and len(got[2]) == 1 and len(got[3]) == 2
+
+
+def test_dup_span_removal_islands(spark):
+    """Crafted corpus with a known duplicated substring: two docs share a
+    20-token run (plus distinct tails), so 12-grams at starts 1..9 of
+    the run are duplicated and must merge into ONE maximal island per
+    doc covering exactly the shared run; a doc with no duplication
+    emits nothing; self-repetition inside one doc also flags."""
+    import os
+    import tempfile
+
+    from cassandra2aerospike_spark.queries.text_q import q_text_dup_span_removal
+
+    shared = " ".join(f"s{i}" for i in range(20))         # 20 shared tokens
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    rep = " ".join(f"r{i % 12}" for i in range(24))       # self-repeat 12-gram
+    rows = [
+        (1, shared + " " + uniq("a", 30)),
+        (2, uniq("b", 7) + " " + shared + " " + uniq("c", 9)),
+        (3, uniq("d", 40)),                                # clean doc
+        (4, rep),                                          # self-duplication
+    ]
+    d = tempfile.mkdtemp(prefix="span_prop_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {}
+    for r in q_text_dup_span_removal(spark, d).collect():
+        got.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok, r.span_tokens))
+    assert 3 not in got
+    # doc 1: shared run occupies tokens 1..20 -> one island [1, 20]
+    assert got[1] == [(1, 20, 20)]
+    # doc 2: shared run occupies tokens 8..27 -> one island [8, 27]
+    assert got[2] == [(8, 27, 20)]
+    # doc 4: every 12-gram repeats (period 12 over 24 tokens) -> the
+    # whole doc is one flagged island
+    assert got[4] == [(1, 24, 24)]
