@@ -51,6 +51,7 @@ HEADLINE = [
     # round-6 training-pipeline additions
     "sim_semantic_dedup",
     "text_pii_scrub",
+    "text_dup_span_removal",
 ]
 
 
