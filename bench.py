@@ -422,7 +422,6 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
-        "queries_spread": spread,
         "warm_k": k_warm,
         "sf": sf,
         "merge_throughput_rows_per_sec": round(thru),
@@ -433,9 +432,27 @@ def main() -> None:
         "similarity_gemm_vecs_per_sec": round(sim_thru),
         "media_decode_blobs_per_sec": round(media_thru),
     }
+    # Full per-query detail (incl. spreads and slope probes) goes to a
+    # sidecar; the stdout line must stay under the driver's 2000-char
+    # tail-capture window or it arrives truncated and unparseable
+    # (BENCH_r06 "parsed": null).  Budget 1750 with room for growth:
+    # if the line would blow it, drop the warm map (the cold series is
+    # the cross-round-comparable one; warm medians stay in the sidecar
+    # and as the value_warm scalar).
+    detail = dict(out)
+    detail["queries_spread"] = spread
     if slope:
-        out["scale_slope"] = slope
-    print(json.dumps(out))
+        detail["scale_slope"] = slope
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1750:
+        del out["queries_warm"]
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -33,12 +33,55 @@ def stage_parquet(df: DataFrame, path: str) -> DataFrame:
     sessions, and each consumer gets a columnar scan with pruning.  The
     caller owns the cache key in `path` (content/mtime/code-derived — see
     queries/dedup_q.py) so a stale checkpoint can never outlive its
-    source."""
+    source.
+
+    Concurrency: two sessions sharing a cache key must not interleave
+    writes or overwrite a directory mid-scan.  Local/POSIX paths get
+    write-to-unique-tmp + atomic os.rename into the keyed path (first
+    rename wins; losers wait for the winner's marker).  Paths with a
+    non-file URI scheme (hdfs://, s3a://, ...) go through the session's
+    Hadoop FileSystem for the marker probe/create — driver-local
+    os.path.exists would be always-false there, forcing a full rewrite
+    per call and then raising on open() — with create-if-absent marker
+    semantics (atomic on HDFS; last-writer-wins on object stores, where
+    both writers produced identical content under the same key)."""
+    spark = df.sparkSession
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        marker = jvm.org.apache.hadoop.fs.Path(path + "/_GRAFT_DONE")
+        if not fs.exists(marker):
+            df.write.mode("overwrite").parquet(path)
+            fs.createNewFile(marker)
+        return spark.read.parquet(path)
+    path = os.path.abspath(path[7:] if path.startswith("file://") else path)
     marker = os.path.join(path, "_GRAFT_DONE")
     if not os.path.exists(marker):
-        df.write.mode("overwrite").parquet(path)
-        open(marker, "w").write("ok")
-    return df.sparkSession.read.parquet(path)
+        import shutil
+        import tempfile
+        import time
+        import uuid
+
+        parent = os.path.dirname(path)
+        os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(parent, f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, "_GRAFT_DONE"), "w").write("ok")
+        try:
+            os.rename(tmp, path)  # atomic publish; fails if a winner exists
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            deadline = time.time() + 300
+            while not os.path.exists(marker):  # winner mid-write: await marker
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"stage_parquet: {path} exists without _GRAFT_DONE "
+                        "after 300s (crashed writer?); remove it to retry"
+                    )
+                time.sleep(0.1)
+    return spark.read.parquet(path)
 
 
 def _materialize_sets(sets: DataFrame, checkpoint_dir: str | None) -> DataFrame:

@@ -403,13 +403,16 @@ def semantic_dedup_quantized_fast(
             has[j0:j1] = hb
             first[j0:j1] = mask.argmax(axis=0)
         vec_ids = pdf["vec_id"].to_numpy()
-        dup_of = np.where(has, vec_ids[first], 0).astype("float64")
+        # nullable Int64, not float64+NaN: a float round-trip silently
+        # corrupts vec_id > 2^53, diverging from the declarative twin
+        dup_of = pd.array(vec_ids[first], dtype="Int64")
+        dup_of[~has] = pd.NA
         return pd.DataFrame(
             {
                 "vec_id": vec_ids,
                 "cell": pdf["cell"],
                 "decision": np.where(has, "drop", "keep"),
-                "dup_of": np.where(has, dup_of, np.nan),
+                "dup_of": dup_of,
             }
         )
 

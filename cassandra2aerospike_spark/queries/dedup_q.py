@@ -24,9 +24,27 @@ def _docs(spark, sf_dir):
 
 # Derived-frame staging (see functions/dedup.stage_parquet): any change
 # to the tokenizer/shingle/quality code invalidates every checkpoint.
-_CODE_FPR = hashlib.md5(
-    open(_text_mod.__file__, "rb").read() + open(D.__file__, "rb").read()
-).hexdigest()[:12]
+# Computed lazily and fault-tolerantly: under a zipped deployment
+# (spark-submit --py-files, __file__ inside an archive) open() raises,
+# and an import-time read would take the whole queries package down
+# rather than just degrading the cache key.
+_CODE_FPR_CACHE: str | None = None
+
+
+def _code_fpr() -> str:
+    global _CODE_FPR_CACHE
+    if _CODE_FPR_CACHE is None:
+        try:
+            _CODE_FPR_CACHE = hashlib.md5(
+                open(_text_mod.__file__, "rb").read() + open(D.__file__, "rb").read()
+            ).hexdigest()[:12]
+        except OSError:
+            # zipped deploy: the archive path itself still changes per
+            # release artifact, so key on it instead of file contents
+            _CODE_FPR_CACHE = hashlib.md5(
+                f"{_text_mod.__file__}:{D.__file__}".encode()
+            ).hexdigest()[:12]
+    return _CODE_FPR_CACHE
 
 
 def _ckpt_dir(sf_dir: str, variant: str) -> str:
@@ -37,11 +55,15 @@ def _ckpt_dir(sf_dir: str, variant: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{_CODE_FPR}:{variant}".encode()
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{_code_fpr()}:{variant}".encode()
     ).hexdigest()[:16]
     # On a cluster the checkpoint must live on shared storage (every
-    # executor scans it); SPARK_GRAFT_CHECKPOINT_DIR points it at e.g.
-    # an object-store prefix.  Local default: the system temp dir.
+    # executor scans it); SPARK_GRAFT_CHECKPOINT_DIR points it at a
+    # shared POSIX path or an hdfs://'/s3a:// prefix — stage_parquet
+    # routes non-file schemes through the session's Hadoop FileSystem
+    # for the marker probe, so a remote prefix actually caches instead
+    # of silently rewriting every call.  Local default: the system temp
+    # dir.
     base = os.environ.get(
         "SPARK_GRAFT_CHECKPOINT_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_dedup"),

@@ -870,9 +870,15 @@ def q_text_dup_span_removal(spark, sf_dir):
     (rides the scan), a gram occurring > 1 time anywhere in the corpus
     flags its span, and per document the flagged [start, start+11]
     spans merge into maximal intervals (gaps-and-islands windows) — the
-    spans a pipeline would cut before training.  Two shuffles total:
-    the gram-frequency exchange and the per-doc island window; all
-    integer arithmetic + md5, exact SQL oracle."""
+    spans a pipeline would cut before training.  Gram frequency is a
+    groupBy (map-side partial agg: a corpus-hottest gram — license
+    boilerplate at 10^7 occurrences — collapses to one partial count
+    per map task, never a single-task window buffer) joined back onto
+    the gram stream; the join's probe side is skew-splittable by AQE
+    because the build side is one row per gh.  Shuffles: the
+    gram-count exchange, the join, and the per-doc island window
+    (bounded by document length); all integer arithmetic + md5, exact
+    SQL oracle."""
     W = 12
     d = _docs(spark, sf_dir)
     toks = X.tokens(F.col("text"))
@@ -894,8 +900,16 @@ def q_text_dup_span_removal(spark, sf_dir):
             ).alias("gh"),
         )
     )
-    cnt = F.count("*").over(Window.partitionBy("gh"))
-    flagged = g.withColumn("cnt", cnt).filter(F.col("cnt") > 1)
+    # dup-gram set: one row per distinct 12-gram hash that occurs more
+    # than once corpus-wide.  NOT a window over gh — WindowExec buffers
+    # each key's rows in one task, so a boilerplate gram shared by 30%
+    # of documents would pin a single task at 100 TB.  The aggregate's
+    # map-side combine bounds per-key traffic at one row per map task,
+    # and the join back is AQE-skew-splittable.
+    dup_gh = g.groupBy("gh").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    flagged = g.join(dup_gh, "gh")
     w_doc = Window.partitionBy("doc_id").orderBy("start_tok")
     prev_end = F.max("end_tok").over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)

@@ -37,14 +37,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as epoch-µs BIGINTs to stay tz-proof in oracle comparison.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+    # abspath: a relative sf_dir would make a relative symlink target
+    # (broken when resolved against the /tmp staging dir) and a second
+    # cache key for the same fixture
+    path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     # the file source requires a directory; stage a symlink dir holding
     # just the events file (the fixture dir mixes all tables).  The stage
     # path is DETERMINISTIC per sf_dir so checkpointed queries can resume
     # (the checkpoint pins the source path).
     stage = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_stream_src_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "spark_graft_stream_src_"
+        + hashlib.md5(os.path.dirname(path).encode()).hexdigest()[:12],
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
@@ -248,10 +252,14 @@ def load_docs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents fixture as a file-source stream (same deterministic
     symlink-staging discipline as stream_events)."""
-    path = os.path.join(sf_dir, "documents.parquet")
+    # abspath before linking/hashing: a relative sf_dir would produce a
+    # relative symlink target (resolved against the staging dir -> broken
+    # link, empty stream) and a second key for the same fixture
+    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     stage = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_stream_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "spark_graft_stream_docs_"
+        + hashlib.md5(os.path.dirname(path).encode()).hexdigest()[:12],
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")

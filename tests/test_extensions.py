@@ -1091,13 +1091,20 @@ def test_semantic_dedup_fast_matches_declarative(spark):
     rng = random.Random(6)
     rows = []
     vid = 0
+    # cells 3-4 get vec_ids above 2^53: a float64 round-trip of dup_of
+    # would silently corrupt them (the r06 latent defect), so equality
+    # with the declarative twin also proves the integer dup_of path
+    big = (1 << 53) + 12345
     for cell in range(5):
+        off = big if cell >= 3 else 0
         for _ in range(rng.randrange(1, 15)):
             base = [rng.randrange(-800, 800) for _ in range(16)]
-            rows.append((vid, base, cell))
+            rows.append((vid + off, base, cell))
             vid += 1
             if rng.random() < 0.4:  # plant a near-copy in the same cell
-                rows.append((vid, [x + rng.randrange(-2, 3) for x in base], cell))
+                rows.append(
+                    (vid + off, [x + rng.randrange(-2, 3) for x in base], cell)
+                )
                 vid += 1
     df = spark.createDataFrame(rows, "vec_id long, xq array<long>, cell int")
     slow = {(r.vec_id, r.cell, r.decision, r.dup_of)
