@@ -231,24 +231,29 @@ def clustered_live_cells(raw: DataFrame) -> DataFrame:
     Cover kinds, all resolved against a cell at (key, ck, col, ts):
       * partition tombstones — row_tomb_ts on any of the key's rows;
       * ck-bounded range tombstones — rows with range_tomb=true and NULL
-        col_name: cover iff start < ck < end, bounds per incl_mask
-        (bit0 start-inclusive, bit1 end-inclusive; NULL bound =
-        unbounded), and tomb ts >= cell ts;
+        col_name: cover decided on the TYPED clustering sort keys
+        (ck_key/ck_end_key — ma_format.make_ck_key_fn memcomparable
+        transforms), so signed numeric clustering columns order
+        numerically and a SHORTER bound covers every extension of its
+        prefix (compare the cell key truncated to the bound's length);
+        bounds per incl_mask (bit0 start-inclusive, bit1 end-inclusive;
+        NULL bound = unbounded), and tomb ts >= cell ts;
       * clustered-row deletions — emitted by the source as the
         degenerate inclusive [ck, ck] range;
+      * STATIC-row deletions — range_tomb rows with incl_mask=4: cover
+        only the key's static (ck NULL) cells;
       * point tombstones — deleted cells at the same (key, ck, col).
 
     Scale shape (the merge_full discipline): ONE hash(key) exchange
     feeds every window — the per-key range list is collected in-row
     (tiny by contract: tombstones are rare relative to cells) so range
-    cover is an array_max over a filtered array, never a θ-join.
-    Comparisons are on the raw ck BYTES (unsigned lexicographic) —
-    exactly the single-ck clustering order the ma writer lays down."""
+    cover is an array_max over a filtered array, never a θ-join."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("key")
     wc = Window.partitionBy("key", "ck", "col_name")
     is_rt = F.col("range_tomb") & F.col("col_name").isNull()
+    is_static_rt = is_rt & (F.col("incl_mask") == 4)
     is_cell = F.col("col_name").isNotNull() & ~F.col("range_tomb")
     enriched = (
         raw.withColumn("part_tomb", F.max("row_tomb_ts").over(w))
@@ -256,10 +261,10 @@ def clustered_live_cells(raw: DataFrame) -> DataFrame:
             "ck_ranges",
             F.collect_list(
                 F.when(
-                    is_rt,
+                    is_rt & ~is_static_rt,
                     F.struct(
-                        F.col("ck").alias("s"),
-                        F.col("ck_end").alias("e"),
+                        F.col("ck_key").alias("s"),
+                        F.col("ck_end_key").alias("e"),
                         F.col("incl_mask").alias("m"),
                         F.col("ts").alias("tts"),
                     ),
@@ -267,30 +272,46 @@ def clustered_live_cells(raw: DataFrame) -> DataFrame:
             ).over(w),
         )
         .withColumn(
+            "static_tomb", F.max(F.when(is_static_rt, F.col("ts"))).over(w)
+        )
+        .withColumn(
             "point_tomb",
             F.max(F.when(is_cell & F.col("deleted"), F.col("ts"))).over(wc),
         )
     )
-    ck = F.col("ck")
+    k = F.col("ck_key")
+    # prefix-aware typed comparison: truncate the cell's sort key to the
+    # bound's byte length — the memcomparable encoding makes byte order
+    # on that truncation equal typed prefix-tuple order, and equality
+    # equal prefix-tuple equality (the encoding is prefix-free per
+    # component), so one substring+compare decides any bound length
+    def _pfx(bound):
+        return F.substring(k, F.lit(1), F.octet_length(bound))
+
     range_cover = F.array_max(
         F.transform(
             F.filter(
                 F.col("ck_ranges"),
                 lambda r: (
                     r["s"].isNull()
-                    | (ck > r["s"])
-                    | ((r["m"].bitwiseAND(F.lit(1)) != 0) & (ck == r["s"]))
+                    | (_pfx(r["s"]) > r["s"])
+                    | ((r["m"].bitwiseAND(F.lit(1)) != 0) & (_pfx(r["s"]) == r["s"]))
                 )
                 & (
                     r["e"].isNull()
-                    | (ck < r["e"])
-                    | ((r["m"].bitwiseAND(F.lit(2)) != 0) & (ck == r["e"]))
+                    | (_pfx(r["e"]) < r["e"])
+                    | ((r["m"].bitwiseAND(F.lit(2)) != 0) & (_pfx(r["e"]) == r["e"]))
                 ),
             ),
             lambda r: r["tts"],
         )
     )
-    cover = F.greatest(F.col("part_tomb"), F.col("point_tomb"), range_cover)
+    cover = F.greatest(
+        F.col("part_tomb"),
+        F.col("point_tomb"),
+        F.when(F.col("ck").isNotNull(), range_cover),
+        F.when(F.col("ck").isNull(), F.col("static_tomb")),
+    )
     return (
         enriched.filter(is_cell & ~F.col("deleted"))
         .withColumn("_cover", cover)

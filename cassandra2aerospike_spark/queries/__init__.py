@@ -35,72 +35,68 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round-1 driver row.  Everything not listed keeps its module order after
 # the prefix.
 _PRIORITY = [
-    # -- round-6 NEW queries: Cassandra 3.11-era (mc/md) directory
-    #    auto-detect on real files, and the range-tombstone WRITE path
-    #    (full-content rewrite of the s18 table through layout=ma)
-    "s19_mc_era_merge",
-    "s20_ma_rt_compaction_roundtrip",
-    # -- round-6 NEW training-pipeline queries: SemDeDup-style semantic
-    #    dedup (integer-cosine within k-means cells, planted near-dups),
-    #    PII scrubbing (Java/RE2 common-subset regexes, full-md5 oracle),
-    #    and the stream-static corpus-dedup join
-    "sim_semantic_dedup",
-    "text_pii_scrub",
-    "stream_corpus_dedup",
-    "text_chunk_windows",
+    # -- round-7 NEW queries: typed multi-clustering-column cover on
+    #    real bytes (signed Int32 + UTF8 clustering, prefix + full
+    #    range-marker bounds, static-row deletions) and its compaction
+    #    roundtrip through the typed DataSource write path
+    "s22_multi_ck_range_merge",
+    "s23_multick_compaction_roundtrip",
+    # -- round-7 CHANGED surfaces that must re-verify: the dup-span
+    #    gram frequency moved from a count-over-window to groupBy+join
+    #    (hot-key fix); the counter fixture gained a REAL ma generation
+    #    (3-era ka+la+ma reconciliation); PII scrubbing gained IPv6 /
+    #    Luhn-checked card / national-ID classes
     "text_dup_span_removal",
-    "s21_schema_evolution_merge",
-    # -- round-6 CHANGED surfaces: the LSH family now materializes its
-    #    shingle frame via a parquet storage checkpoint (shared across
-    #    all consumers + the incremental corpus fingerprints); the
-    #    kmeans oracle moved to pure integer division; the jpeg decoder
-    #    accepts fill bytes/standalone markers; the madocs fixture cache
-    #    key folds in the source parquet's identity
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_incremental",
-    "pipeline_corpus_prep",
-    "sim_kmeans_cells",
-    # -- rotation (VERDICT r5 item 9): the entire round-3-latest cohort
-    #    re-enters the checked prefix so no registry row's newest green
-    #    is older than two rounds at r06 end
-    "a1_lww_latest",
-    "a4_expiry_fold_last",
-    "a5_record_assembly",
-    "f1_live_cells",
-    "j1_kway_merge",
-    "j3_range_tombstone_cover",
-    "s2_run_identity",
-    "s10_clustering_merge",
-    "s13_dry_run",
-    "s14_run_accounting",
-    "o2_layout_resume",
-    "join_asof",
-    "join_bucketed_colocated",
-    "agg_bitwise",
-    "agg_session_windows_batch",
-    "agg_stats_moments",
-    "gm_sessionize",
-    "sample_hash_split",
-    "scalar_dates",
-    "scalar_json",
-    "win_lag_lead",
-    "win_frame_analytics",
-    "text_pack_sequences",
-    "text_term_freq",
-    "sim_cosine_topk_fast",
-    "token_md5",
-    "token_ring_buckets",
-    "token_resume",
-    "stream_window_counts",
-    "stream_late_data",
-    "stream_session_windows",
-    "stream_dedup_keys",
-    "stream_stream_join",
-    "stream_sstable_ingest",
-    "udaf_expiry_fold",
-    "udtf_tokenize",
-    "stream_stateful_lww",
+    "a7_counter_reconcile",
+    "text_pii_scrub",
+    # -- rotation (VERDICT r6 item 6): the entire round-4-latest cohort
+    #    (45 rows) re-enters the checked prefix so no registry row's
+    #    newest green is older than r05 at r07 end
+    "f2_live_row_counts",
+    "a2_row_tombstone_max",
+    "a4_expiry_fold_first",
+    "f3_expired_filter",
+    "compaction_roundtrip",
+    "counter_merge",
+    "a5_pivot_wide",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_star",
+    "join_range_theta",
+    "agg_pricing_summary",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_minmax_stats",
+    "agg_collect",
+    "agg_salted_skew",
+    "win_topk_per_group",
+    "win_rank",
+    "win_running_sum",
+    "win_distribution",
+    "dedup_jaccard_pairs",
+    "dedup_keep_list",
+    "dedup_edit_distance",
+    "dedup_simhash_pairs",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_embedding_neardup",
+    "token_murmur3",
+    "text_gopher_rules",
+    "text_repetition_rules",
+    "f4_ttl_policy",
+    "p4_partitioner_registry",
+    "p5_partitioner_abort",
+    "s12_retry_backpressure",
+    "text_line_dedup",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -600,6 +600,129 @@ def q_s20_ma_rt_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     return _clustered_merge_from(spark, out)
 
 
+def _multick_merge_from(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Shared tail of s22/s23: layout=ma read -> typed ck-scoped
+    tombstone reconciliation (merge.clustered_live_cells on the
+    memcomparable sort keys) -> LWW per (key, day, cat, col) ->
+    per-clustering-row aggregation.  The composite ck decomposes in
+    Spark: component 1 is a signed big-endian Int32 at bytes 3..6
+    (conv(hex) gives the unsigned value; wrap at 2^31), component 2 the
+    UTF8 cat at byte 10 (2B len + value + 0x00 terminator per
+    component).  Static cells (ck NULL) surface as ck_day/ck_cat NULL
+    rows of their partition."""
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    live = merge.clustered_live_cells(raw)
+    u = F.conv(F.hex(F.substring(F.col("ck"), 3, 4)), 16, 10).cast("long")
+    day = (
+        F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u).cast("int")
+    )
+    cat = F.substring(
+        F.col("ck"), F.lit(10), F.octet_length(F.col("ck")) - F.lit(10)
+    ).cast("string")
+    latest = (
+        live.select(
+            F.col("key").cast("string").cast("long").alias("key"),
+            day.alias("ck_day"),
+            cat.alias("ck_cat"),
+            "col_name",
+            F.col("value").cast("string").try_cast("double").alias("value"),
+            "ts",
+        )
+        .groupBy("key", "ck_day", "ck_cat", "col_name")
+        .agg(F.max_by("value", "ts").alias("v"))
+    )
+    return latest.groupBy("key", "ck_day", "ck_cat").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "v"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.count("*").alias("n_cols"),
+    )
+
+
+def q_s22_multi_ck_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED multi-clustering-column cover — the round-7 capability the
+    reference punts on entirely (SSTable.cpp:553-563 widens every
+    marker to a partition tombstone) and that byte-order comparison
+    gets WRONG: clustering (Int32Type day_off, UTF8Type cat) with
+    day_off signed and negative values planted, real PREFIX range
+    markers (day-only bounds covering every cat), full two-component
+    bounds, clustered-row deletions, point tombstones, a STATIC column
+    and real STATIC-row deletions (HAS_DELETION on the IS_STATIC row —
+    refused by the round-6 reader/writer).  Cover resolves on
+    memcomparable typed sort keys (ma_format.make_ck_key_fn), so
+    negative days order numerically and a one-component bound covers
+    exactly the extensions of its prefix."""
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_ma_multick_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_multick_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_mck"
+    )
+    register(spark)
+    return _multick_merge_from(spark, table_dir)
+
+
+def q_s23_multick_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s22's table compacted through the DataSource ma WRITE path with a
+    TYPED clustering spec (option clustering=Int32Type,UTF8Type): the
+    entire logical content — typed multi-ck cells, prefix/full range
+    markers, clustered-row deletions, static cells AND the static-row
+    deletion — rewritten into fresh sstables (composite cks decomposed
+    and re-encoded per marshal type, markers re-normalized in typed
+    position space), re-read, and merged with s22's exact pipeline.
+    The oracle is s22's verbatim: a writer that mis-orders one negative
+    day or drops the static deletion diverges."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.tokens import murmur3_token
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_ma_multick_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_multick_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_mck"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ma_mck_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    eav = (
+        raw.select(
+            "key", "col_name", "ck", "value", "ts", "ttl", "expiration",
+            "deleted", "range_tomb", "row_tomb_ts", "ck_end", "incl_mask",
+        )
+        .withColumn("_tok", murmur3_token(F.col("key").cast("string")))
+        .repartitionByRange(2, "_tok", "key")
+        .sortWithinPartitions("_tok", "key")
+        .drop("_tok")
+    )
+    (
+        eav.write.format("sstable_run")
+        .option("layout", "ma")
+        .option("clustering", "Int32Type,UTF8Type")
+        .mode("append")
+        .save(out)
+    )
+    return _multick_merge_from(spark, out)
+
+
 def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNTER cells, decoded past the reference's stopping point: the
     reference reads COUNTER_MASK + counterTs (SSTable.cpp:433-437) and
@@ -802,6 +925,8 @@ assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 QUERIES = {
     "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
     "s20_ma_rt_compaction_roundtrip": q_s20_ma_rt_compaction_roundtrip,
+    "s22_multi_ck_range_merge": q_s22_multi_ck_range_merge,
+    "s23_multick_compaction_roundtrip": q_s23_multick_compaction_roundtrip,
     "a7_counter_reconcile": q_a7_counter_reconcile,
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
     "s19_mc_era_merge": q_s19_mc_era_merge,
@@ -828,7 +953,100 @@ QUERIES = {
     "a5_pivot_wide": q_a5_pivot_wide,
 }
 
+# s22/s23: the multick fixture derivation replayed relationally.  Day
+# arithmetic is SIGNED numeric on both sides (the Spark path decodes the
+# big-endian Int32 component of the composite ck); prefix ranges carry
+# NULL cat bounds, full ranges two-component tuple comparisons; statics
+# ('signup') live outside the clustering with their own static-row
+# deletion ('sdel') + static point tombstones.  Pointwise max over the
+# ORIGINAL overlapping ranges equals the writer's normalized disjoint
+# markers by construction (typed position sweep).
+_S22_ORACLE = """
+    WITH base AS (
+      SELECT user_id AS key,
+             epoch_us(ts) // 86400000000 AS day,
+             event_type AS col_name, value, epoch_us(ts) AS ts, event_id,
+             chr(97 + CAST(event_id % 3 AS INT)) AS cat,
+             CASE WHEN event_id % 97 = 0 THEN 'row'
+                  WHEN event_id % 89 = 0 THEN 'sdel'
+                  WHEN event_id % 13 = 0 THEN 'range'
+                  WHEN event_id % 10 = 0 THEN 'point'
+                  ELSE 'cell' END AS kind
+      FROM events
+    ), cls AS (
+      SELECT *, day - (SELECT min(day) + 2 FROM base) AS d FROM base
+    ), rts AS (
+      SELECT key, d - (1 + event_id % 3) AS sd, CAST(NULL AS VARCHAR) AS sc,
+             d AS ed, CAST(NULL AS VARCHAR) AS ec,
+             TRUE AS si, (event_id % 4 < 2) AS ei, ts
+      FROM cls WHERE kind = 'range' AND event_id % 2 = 0
+      UNION ALL
+      SELECT key, d - (1 + event_id % 3), cat, d, cat,
+             (event_id % 6 < 3), (event_id % 4 < 2), ts
+      FROM cls WHERE kind = 'range' AND event_id % 2 = 1
+      UNION ALL
+      SELECT key, d, cat, d, cat, TRUE, TRUE, ts
+      FROM cls WHERE kind = 'row'
+    ), cells AS (
+      SELECT * FROM cls WHERE kind = 'cell' AND col_name <> 'signup'
+    ), pt AS (
+      SELECT key, d, cat, col_name, max(ts) AS tomb
+      FROM cls WHERE kind = 'point' AND col_name <> 'signup'
+      GROUP BY 1, 2, 3, 4
+    ), rc AS (
+      SELECT c.event_id, max(r.ts) AS rt
+      FROM cells c JOIN rts r ON r.key = c.key
+        AND (CASE WHEN r.sc IS NULL
+             THEN (c.d > r.sd OR (r.si AND c.d = r.sd))
+             ELSE (c.d > r.sd OR (c.d = r.sd AND
+                   (c.cat > r.sc OR (r.si AND c.cat = r.sc)))) END)
+        AND (CASE WHEN r.ec IS NULL
+             THEN (c.d < r.ed OR (r.ei AND c.d = r.ed))
+             ELSE (c.d < r.ed OR (c.d = r.ed AND
+                   (c.cat < r.ec OR (r.ei AND c.cat = r.ec)))) END)
+      GROUP BY 1
+    ), live AS (
+      SELECT c.key, c.d, c.cat, c.col_name, c.value, c.ts
+      FROM cells c
+      LEFT JOIN rc ON rc.event_id = c.event_id
+      LEFT JOIN pt ON pt.key = c.key AND pt.d = c.d AND pt.cat = c.cat
+                  AND pt.col_name = c.col_name
+      WHERE (rc.rt IS NULL OR c.ts > rc.rt)
+        AND (pt.tomb IS NULL OR c.ts > pt.tomb)
+    ), st_tomb AS (
+      SELECT key, max(ts) AS stomb FROM cls WHERE kind = 'sdel' GROUP BY 1
+    ), st_pt AS (
+      SELECT key, max(ts) AS tomb FROM cls
+      WHERE kind = 'point' AND col_name = 'signup' GROUP BY 1
+    ), st_live AS (
+      SELECT c.key, c.col_name, c.value, c.ts
+      FROM cls c
+      LEFT JOIN st_tomb st ON st.key = c.key
+      LEFT JOIN st_pt sp ON sp.key = c.key
+      WHERE c.kind = 'cell' AND c.col_name = 'signup'
+        AND (st.stomb IS NULL OR c.ts > st.stomb)
+        AND (sp.tomb IS NULL OR c.ts > sp.tomb)
+    ), latest AS (
+      SELECT key, CAST(d AS INT) AS ck_day, cat AS ck_cat, col_name,
+             arg_max(value, ts) AS v
+      FROM live GROUP BY 1, 2, 3, 4
+      UNION ALL
+      SELECT key, CAST(NULL AS INT), CAST(NULL AS VARCHAR), col_name,
+             arg_max(value, ts)
+      FROM st_live GROUP BY 1, 4
+    )
+    SELECT key, ck_day, ck_cat,
+           string_agg(col_name || '=' || printf('%.2f', v), ','
+                      ORDER BY col_name || '=' || printf('%.2f', v)) AS cols_str,
+           count(*) AS n_cols
+    FROM latest GROUP BY 1, 2, 3
+"""
+
 ORACLES = {
+    "s22_multi_ck_range_merge": _S22_ORACLE,
+    # s23: identity-content rewrite through the typed ma writer -> same
+    # merged result as s22 by construction
+    "s23_multick_compaction_roundtrip": _S22_ORACLE,
     "counter_merge": """
         SELECT user_id AS key, event_type AS col_name,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS counter_value,

@@ -68,9 +68,20 @@ SCHEMA = StructType(
         # ck-bounded range tombstones (real clustered ma tables): a row
         # with range_tomb=true, col_name NULL, ck=start bound, ck_end=end
         # bound (NULL = unbounded side) and incl_mask bit0/bit1 = start/
-        # end inclusive.  NULL on every other row kind.
+        # end inclusive.  NULL on every other row kind.  incl_mask=4 (a
+        # range_tomb row with both bounds NULL) is a STATIC-row deletion:
+        # it covers exactly the partition's static (ck NULL) cells.
         StructField("ck_end", BinaryType()),
         StructField("incl_mask", IntegerType()),
+        # TYPED clustering sort keys (round 7): memcomparable transforms
+        # of ck / ck_end whose unsigned-byte order equals the table's
+        # typed clustering-tuple order, incl. shorter-prefix bounds
+        # (ma_format.make_ck_key_fn).  Tombstone-cover comparison happens
+        # on THESE — raw ck bytes misorder signed numeric clustering
+        # columns, the class of bug the reference punts on entirely
+        # (SSTable.cpp:553-563).
+        StructField("ck_key", BinaryType()),
+        StructField("ck_end_key", BinaryType()),
     ]
 )
 
@@ -273,10 +284,12 @@ class SSTableRunReader(DataSourceReader):
                 pa.field("row_tomb_ts", pa.int64()),
                 pa.field("ck_end", pa.binary()),
                 pa.field("incl_mask", pa.int32()),
+                pa.field("ck_key", pa.binary()),
+                pa.field("ck_end_key", pa.binary()),
             ]
         )
         batch_rows = 8192
-        cols: list[list] = [[] for _ in range(14)]
+        cols: list[list] = [[] for _ in range(16)]
 
         def flush():
             arrays = [
@@ -286,6 +299,8 @@ class SSTableRunReader(DataSourceReader):
                 c.clear()
             return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
+        key_of = lambda raw: None  # noqa: E731 — typed ck sort key (ma only)
+
         def emit(
             run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts,
             ck_end=None, incl_mask=None,
@@ -293,7 +308,7 @@ class SSTableRunReader(DataSourceReader):
             for c, v in zip(
                 cols,
                 (run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts,
-                 ck_end, incl_mask),
+                 ck_end, incl_mask, key_of(ck), key_of(ck_end)),
             ):
                 c.append(v)
 
@@ -306,14 +321,16 @@ class SSTableRunReader(DataSourceReader):
                     part.directory, part.data_name, verify_checksums=part.verify
                 ).partitions(part.start_token, part.end_token)
             else:
-                from .ma_format import MaReader
+                from .ma_format import MaReader, make_ck_key_fn
 
-                source = MaReader(
+                rd = MaReader(
                     part.directory,
                     part.gen,
                     verify_checksums=part.verify,
                     prefix=parsed[2] if parsed is not None else None,
-                ).partitions(part.start_token, part.end_token)
+                )
+                key_of = make_ck_key_fn(rd.stats.schema.clustering)
+                source = rd.partitions(part.start_token, part.end_token)
         else:
             rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
             source = (
@@ -343,6 +360,13 @@ class SSTableRunReader(DataSourceReader):
                 emit(
                     part.gen, t, p.key, None, dck, None, dts,
                     None, None, False, True, p.row_tomb_ts, dck, 3,
+                )
+            if getattr(p, "static_tomb_ts", None) is not None:
+                # static-row deletion: range_tomb row, NULL bounds,
+                # incl_mask=4 — covers only the key's static cells
+                emit(
+                    part.gen, t, p.key, None, None, None, p.static_tomb_ts,
+                    None, None, False, True, p.row_tomb_ts, None, 4,
                 )
             for c in p.cells:
                 emit(
@@ -529,6 +553,14 @@ class SSTableRunWriter(DataSourceWriter):
         # engine can then hand its compaction output back to any tool
         # that reads actual SSTables
         self.layout = options.get("layout", "sgr")
+        # typed clustering spec for layout=ma (comma-separated marshal
+        # type names, e.g. "Int32Type,UTF8Type"): multi-/typed-ck streams
+        # carry composite ck bytes that must be decomposed and re-encoded
+        # per component — without the spec the writer infers a single
+        # UTF8Type clustering column (the pre-round-7 behavior)
+        self.clustering_spec = [
+            s for s in (options.get("clustering") or "").split(",") if s
+        ]
 
     def write(self, rows):
         import os
@@ -554,6 +586,10 @@ class SSTableRunWriter(DataSourceWriter):
                             "tombstones; write with layout=ma"
                         )
                     mask = getattr(r, "incl_mask", None) or 0
+                    if mask == 4:
+                        # static-row deletion (NULL bounds, mask 4)
+                        p.static_tomb_ts = max(p.static_tomb_ts or r.ts, r.ts)
+                        continue
                     r_ck_end = getattr(r, "ck_end", None)
                     p.range_tombs.append(
                         RangeTomb(
@@ -592,9 +628,11 @@ class SSTableRunWriter(DataSourceWriter):
         if self.layout == "ma":
             from .ma_format import MaWriter
 
-            clustered = any(
-                c.ck is not None for p in parts.values() for c in p.cells
-            ) or any(p.range_tombs for p in parts.values())
+            clustered = (
+                any(c.ck is not None for p in parts.values() for c in p.cells)
+                or any(p.range_tombs for p in parts.values())
+                or bool(self.clustering_spec)
+            )
             reg = sorted(
                 {
                     c.col_name
@@ -617,17 +655,47 @@ class SSTableRunWriter(DataSourceWriter):
                     f"layout=ma: columns appear with AND without a ck "
                     f"(cannot be both clustered and static): {sorted(both)}"
                 )
+            clustering = (
+                (self.clustering_spec or ["UTF8Type"]) if clustered else None
+            )
             w = MaWriter(
                 tmp,
                 1,
                 [(c, "UTF8Type") for c in reg],
-                clustering=["UTF8Type"] if clustered else None,
+                clustering=clustering,
                 static_columns=[(c, "UTF8Type") for c in static],
             )
         else:
             w = RunWriter(tmp, 1)
+        multi_ck = self.layout == "ma" and len(self.clustering_spec) > 1
+        if multi_ck:
+            # multi-ck streams carry COMPOSITE ck bytes (the reader's
+            # normalized form): decompose back into component tuples so
+            # the writer re-encodes each per its marshal type
+            from .format import decode_composite
+
+            for p in parts.values():
+                for c in p.cells:
+                    if c.ck is not None:
+                        c.ck = tuple(decode_composite(c.ck))
+                p.range_tombs = [
+                    RangeTomb(
+                        tuple(decode_composite(r.start)) if r.start is not None else None,
+                        r.start_incl,
+                        tuple(decode_composite(r.end)) if r.end is not None else None,
+                        r.end_incl,
+                        r.ts,
+                    )
+                    for r in p.range_tombs
+                ]
         for p in sorted(parts.values(), key=lambda p: (p.token, p.key)):
-            p.cells.sort(key=lambda c: (c.ck or b"", c.col_name, c.ts))
+            p.cells.sort(
+                key=lambda c: (
+                    (b"".join(c.ck) if isinstance(c.ck, tuple) else c.ck) or b"",
+                    c.col_name,
+                    c.ts,
+                )
+            )
             w.add(p)
         w.finish()
         return RunCommit(tmp, len(parts))

@@ -702,6 +702,140 @@ def build_ma_rt_table_from_events(
     return table_dir
 
 
+def build_ma_multick_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 2
+) -> str:
+    """Clustered REAL ma table with TWO typed clustering columns —
+    (Int32Type day_off, UTF8Type cat), day_off SIGNED with negative
+    values planted — plus a STATIC column and static-row deletions.
+    This is the round-7 capability fixture: encoded-prefix byte
+    comparison misorders the negative days (0xFF.. sorts above 0x00..)
+    and cannot express prefix bounds, so every cover decision here
+    exercises the typed memcomparable comparator
+    (ma_format.make_ck_key_fn).  Derivation (mirrored by the s22 oracle
+    CTE):
+
+      key = user_id; day_off = day - (min(day) + 2) over all events
+      (negatives guaranteed); cat = chr(97 + event_id % 3); every
+      non-'signup' event_type is a regular column; 'signup' is STATIC.
+
+      kind cadence (disjoint by CASE order):
+      'row'   (event_id % 97 = 0)  -> clustered-row deletion at the full
+                                      (day_off, cat)
+      'sdel'  (event_id % 89 = 0)  -> STATIC-row deletion at ts
+      'range' (event_id % 13 = 0)  -> ck range tombstone over
+               [day_off - span, day_off], span = 1 + event_id % 3:
+               even event_id -> PREFIX bounds (day only, all cats;
+               start-inclusive, end-inclusive iff event_id % 4 < 2);
+               odd  -> FULL bounds ((d-span, cat) .. (d, cat)),
+               start-incl iff event_id % 6 < 3, end-incl iff
+               event_id % 4 < 2
+      'point' (event_id % 10 = 0)  -> deleted cell (static when the
+                                      column is 'signup')
+      else                         -> regular/static cell
+    """
+    import struct
+
+    from .format import RangeTomb
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    table_dir = os.path.join(
+        out_dir, "mck" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_mck"
+    )
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    kind = (
+        F.when(eid % 97 == 0, F.lit("row"))
+        .when(eid % 89 == 0, F.lit("sdel"))
+        .when(eid % 13 == 0, F.lit("range"))
+        .when(eid % 10 == 0, F.lit("point"))
+        .otherwise(F.lit("cell"))
+    )
+    rows = events.select(
+        (F.col("ts_us") % n_sstables).cast("int").alias("run"),
+        F.col("user_id").alias("key"),
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.col("event_type").alias("col_name"),
+        "value",
+        F.col("ts_us").alias("ts"),
+        kind.alias("kind"),
+        "event_id",
+    ).collect()
+    base = min(r.day for r in rows) + 2  # day_off in [-2, ...]
+    i32 = lambda v: struct.pack(">i", int(v))  # noqa: E731
+    col_names = sorted(
+        {r.col_name for r in rows if r.kind == "cell" and r.col_name != "signup"}
+    )
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        parts = by_run[r.run]
+        p = parts.get(key)
+        if p is None:
+            p = parts[key] = Partition(key=key)
+        d = int(r.day - base)
+        cat = chr(97 + r.event_id % 3).encode()
+        ck = (i32(d), cat)
+        if r.kind == "row":
+            p.ck_tombs.append((ck, r.ts))
+        elif r.kind == "sdel":
+            p.static_tomb_ts = max(p.static_tomb_ts or r.ts, r.ts)
+        elif r.kind == "range":
+            span = 1 + r.event_id % 3
+            if r.event_id % 2 == 0:  # prefix bounds: day only
+                p.range_tombs.append(
+                    RangeTomb(
+                        (i32(d - span),), True, (i32(d),),
+                        r.event_id % 4 < 2, r.ts,
+                    )
+                )
+            else:  # full two-component bounds
+                p.range_tombs.append(
+                    RangeTomb(
+                        (i32(d - span), cat), r.event_id % 6 < 3,
+                        (i32(d), cat), r.event_id % 4 < 2, r.ts,
+                    )
+                )
+        elif r.kind == "point":
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name, ts=r.ts, deleted=True,
+                    ck=None if r.col_name == "signup" else ck,
+                )
+            )
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ck=None if r.col_name == "signup" else ck,
+                )
+            )
+    for gen, parts in by_run.items():
+        w = MaWriter(
+            table_dir,
+            gen + 1,
+            [(n, "UTF8Type") for n in col_names],
+            clustering=["Int32Type", "UTF8Type"],
+            static_columns=[("signup", "UTF8Type")],
+            codec_class="LZ4Compressor" if gen % 2 == 0 else "DeflateCompressor",
+        )
+        for key in sorted(parts):
+            p = parts[key]
+            p.cells.sort(
+                key=lambda c: (b"".join(c.ck) if c.ck else b"", c.col_name, c.ts)
+            )
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
 def classified_from_ma(
     spark: SparkSession, table_dir: str, value_as: str = "double"
 ) -> DataFrame:

@@ -129,6 +129,24 @@ def encode_composite(elems: list[bytes]) -> bytes:
     return bytes(out)
 
 
+def decode_composite(name: bytes) -> list[bytes]:
+    """Exact inverse of encode_composite: the component list of a
+    composite-encoded clustering prefix.  Raises on any trailing or
+    malformed bytes — callers use it only on values this module's
+    encode_composite produced (multi-clustering-column ck prefixes)."""
+    comps: list[bytes] = []
+    off = 0
+    while off < len(name):
+        if off + 2 > len(name):
+            raise ValueError("composite: truncated length")
+        ln = (name[off] << 8) | name[off + 1]
+        if off + 3 + ln > len(name):
+            raise ValueError("composite: truncated component")
+        comps.append(name[off + 2 : off + 2 + ln])
+        off += 3 + ln
+    return comps
+
+
 def unwrap_composite(name: bytes) -> bytes:
     """S8 composite-path unwrap — the exact reference loop
     (SSTable.cpp:399-412): walk length-prefixed components; if the whole
@@ -221,6 +239,11 @@ class Partition:
     # row_marked_for_deletion, SSTable.cpp:553).
     range_tombs: list[RangeTomb] = field(default_factory=list)
     ck_tombs: list[tuple[bytes, int]] = field(default_factory=list)
+    # real ma format only: a STATIC-row deletion (HAS_DELETION on the
+    # IS_STATIC row) — covers exactly the partition's static cells,
+    # narrower than row_tomb_ts and disjoint from every ck scope.  The
+    # round-6 reader refused these; now both sides carry them.
+    static_tomb_ts: int | None = None
 
     @property
     def token(self) -> int:

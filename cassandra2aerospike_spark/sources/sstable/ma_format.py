@@ -222,29 +222,145 @@ DEFAULT_CHUNK = 64 * 1024
 FIXTURE_ENCODER_REV = "e2"
 
 
-def _normalize_ck_ranges(ranges: list[RangeTomb]) -> list[list]:
-    """Sweep overlapping [start, end] ck ranges into the disjoint,
-    clustering-ordered segments real sstables store (Cassandra's
-    RangeTombstoneList discipline — on-disk markers never nest), each
-    segment carrying max(deletion ts) of the inputs covering it.
+# ----------------------------------------------- typed clustering order
+# Round 7: range-tombstone / row-deletion cover on multi-clustering-
+# column tables must compare clustering values in TYPED order, not
+# encoded-byte order (a signed bigint clustering key byte-compares
+# wrongly: 0xFF.. > 0x00.. but -1 < 1).  The reference punts on the
+# whole class (SSTable.cpp:553-563 widens every marker to a partition
+# tombstone); this engine's charter is fixing it.  The mechanism is a
+# MEMCOMPARABLE SORT KEY: each clustering component maps through an
+# order-preserving byte transform, multi-component prefixes concatenate
+# escaped components — so unsigned-lexicographic comparison of sort
+# keys (what Spark's BinaryType comparison does) equals Cassandra's
+# typed clustering-tuple comparison, including shorter-prefix-bound
+# semantics.
 
-    Positions are (value, side): side 0 = at(value), 1 = just-after;
-    a range occupies the half-open position interval [s, e) with
-    s = (start, 0 if inclusive else 1), e = (end, 1 if inclusive else
-    0).  Cover semantics are unchanged by construction: every point's
-    max-ts over the originals equals its segment's ts."""
-    iv = []
-    for r in ranges:
-        if r.start is None or r.end is None:
-            raise ValueError("MaWriter needs bounded ck ranges")
-        s = (r.start, 0 if r.start_incl else 1)
-        e = (r.end, 1 if r.end_incl else 0)
-        if s < e:
-            iv.append((s, e, r.ts))
-    cuts = sorted({pos for s, e, _ in iv for pos in (s, e)})
+
+def typed_component_key(fmt: str, raw: bytes) -> bytes:
+    """Order-preserving byte transform for ONE clustering component:
+    unsigned-lexicographic order of the output == the marshal type's
+    comparator order.  Unknown/absent-width values pass through (text
+    and blob types already byte-compare correctly; Cassandra sorts the
+    empty value before every non-empty one, which b'' does too)."""
+    if not raw:
+        return raw
+    if fmt in ("LongType", "TimestampType") and len(raw) == 8:
+        return bytes([raw[0] ^ 0x80]) + raw[1:]  # flip sign bit
+    if fmt == "Int32Type" and len(raw) == 4:
+        return bytes([raw[0] ^ 0x80]) + raw[1:]
+    if fmt == "FloatType" and len(raw) == 4:
+        # IEEE754 total order: negative floats sort by inverting all
+        # bits (magnitude reverses), non-negative by flipping the sign
+        if raw[0] & 0x80:
+            return bytes(b ^ 0xFF for b in raw)
+        return bytes([raw[0] ^ 0x80]) + raw[1:]
+    if fmt == "TimeUUIDType" and len(raw) == 16:
+        # Cassandra compares timeuuids by their 60-bit timestamp first
+        # (time_hi sans version, time_mid, time_low), then raw bytes
+        ts60 = (
+            ((int.from_bytes(raw[6:8], "big") & 0x0FFF) << 48)
+            | (int.from_bytes(raw[4:6], "big") << 32)
+            | int.from_bytes(raw[0:4], "big")
+        )
+        return ts60.to_bytes(8, "big") + raw
+    if fmt == "UUIDType" and len(raw) == 16:
+        # version nibble first; v1 by timestamp; others unsigned bytes
+        ver = (raw[6] >> 4) & 0xF
+        if ver == 1:
+            return bytes([ver]) + typed_component_key("TimeUUIDType", raw)
+        return bytes([ver]) + raw
+    return raw
+
+
+def _escape_component(b: bytes) -> bytes:
+    """Prefix-free component framing for multi-component sort keys:
+    0x00 content bytes escape to 0x00 0xFF, the terminator is 0x00 0x00
+    — the standard memcomparable composite, preserving per-component
+    order and making shorter prefixes sort before their extensions."""
+    return b.replace(b"\x00", b"\x00\xff") + b"\x00\x00"
+
+
+def make_ck_key_fn(clustering: list[str]):
+    """Closure mapping a decoded clustering prefix (the reader's raw
+    `ck` bytes: the bare value for single-ck tables, encode_composite
+    form for multi-ck) to its memcomparable sort key, or None for None.
+    Single text-ish ck is the identity (zero per-cell cost on the
+    common shape)."""
+    if not clustering:
+        return lambda raw: None
+    _TYPED = ("LongType", "TimestampType", "Int32Type", "FloatType",
+              "UUIDType", "TimeUUIDType")
+    if len(clustering) == 1:
+        fmt = clustering[0]
+        if fmt not in _TYPED:  # text/blob-ish: bytes order IS typed order
+            return lambda raw: raw
+        return lambda raw: None if raw is None else typed_component_key(fmt, raw)
+    from .format import decode_composite
+
+    fmts = list(clustering)
+
+    def key_of(raw: bytes | None) -> bytes | None:
+        if raw is None:
+            return None
+        return b"".join(
+            _escape_component(typed_component_key(f, c))
+            for f, c in zip(fmts, decode_composite(raw))
+        )
+
+    return key_of
+
+
+def _pos_cmp(a: tuple, b: tuple) -> int:
+    """Cassandra ClusteringPrefix position order.  A position is
+    (comps, side): `comps` a tuple of TYPED-transformed component keys
+    (typed_component_key per column), `side` the relation to the
+    prefix's extensions — 0.0 = before the prefix and everything that
+    extends it (inclusive-start / exclusive-end bounds), 0.5 = the row
+    AT exactly these components, 1.0 = after the prefix and all its
+    extensions (exclusive-start / inclusive-end bounds).  Component
+    bytes compare unsigned; when one position's comps are a proper
+    prefix of the other's, the SHORTER one's side decides (a bound
+    placed before/after every extension) — the semantics flat
+    byte-concatenation cannot express."""
+    ca, sa = a
+    cb, sb = b
+    for x, y in zip(ca, cb):
+        if x != y:
+            return -1 if x < y else 1
+    if len(ca) == len(cb):
+        return (sa > sb) - (sa < sb)
+    if len(ca) < len(cb):  # a is a proper prefix of b
+        return -1 if sa < 0.5 else 1
+    return 1 if sb < 0.5 else -1
+
+
+def _normalize_ck_ranges(iv: list[tuple]) -> list[list]:
+    """Sweep overlapping ck ranges into the disjoint, clustering-ordered
+    segments real sstables store (Cassandra's RangeTombstoneList
+    discipline — on-disk markers never nest), each segment carrying
+    max(deletion ts) of the inputs covering it.
+
+    `iv` items are (s_pos, e_pos, ts) with _pos_cmp positions:
+    s = (start comps, 0.0 if inclusive else 1.0), e = (end comps, 1.0
+    if inclusive else 0.0); a range occupies the half-open position
+    interval [s, e).  Prefix bounds (fewer components than the
+    clustering) order per _pos_cmp, so a one-component bound correctly
+    brackets every extension.  Cover semantics are unchanged by
+    construction: every point's max-ts over the originals equals its
+    segment's ts."""
+    import functools
+
+    iv = [(s, e, ts) for s, e, ts in iv if _pos_cmp(s, e) < 0]
+    cuts = sorted(
+        {pos for s, e, _ in iv for pos in (s, e)},
+        key=functools.cmp_to_key(_pos_cmp),
+    )
     segs: list[list] = []  # [start_pos, end_pos, ts]
     for p1, p2 in zip(cuts, cuts[1:]):
-        covering = [t for s, e, t in iv if s <= p1 and e >= p2]
+        covering = [
+            t for s, e, t in iv if _pos_cmp(s, p1) <= 0 and _pos_cmp(e, p2) >= 0
+        ]
         if not covering:
             continue
         t = max(covering)
@@ -415,11 +531,11 @@ class MaWriter:
         self.codec_class = codec_class
         self.chunk_size = chunk_size
         self.partitioner = partitioner
-        # fixture writer supports at most ONE clustering column (cells
-        # carry a single ck value); the reader decodes the general form
+        # any clustering-column count (round 7; was single-ck only).
+        # Cell.ck / RangeTomb bounds take bytes (single-ck) or a tuple
+        # of component values — bound tuples may be PREFIXES (fewer
+        # components than the table's clustering), the real marker shape.
         self.clustering = clustering or []
-        if len(self.clustering) > 1:
-            raise ValueError("MaWriter supports at most one clustering column")
         self.static_columns = static_columns or []
         if self.static_columns and not self.clustering:
             raise ValueError("static columns require a clustering column")
@@ -439,6 +555,38 @@ class MaWriter:
         self._parts.append((murmur3_token(p.key), p, row_tomb_style))
 
     # -- encoding helpers
+
+    def _ck_tuple(self, v) -> tuple | None:
+        """Canonical component tuple for a ck value / bound: bytes means
+        the single (or only) component; tuple/list passes through.  A
+        bound may be a strict PREFIX of the clustering columns."""
+        if v is None:
+            return None
+        t = tuple(bytes(x) for x in v) if isinstance(v, (tuple, list)) else (bytes(v),)
+        if not t or len(t) > len(self.clustering):
+            raise ValueError(
+                f"clustering prefix needs 1..{len(self.clustering)} components"
+            )
+        return t
+
+    def _ck_sort_key(self, comps: tuple) -> bytes:
+        """Typed memcomparable key — the writer's layout order MUST be
+        the same order make_ck_key_fn gives the reader, else markers
+        interleave wrongly with rows."""
+        if len(self.clustering) == 1:
+            return typed_component_key(self.clustering[0], comps[0])
+        return b"".join(
+            _escape_component(typed_component_key(f, c))
+            for f, c in zip(self.clustering, comps)
+        )
+
+    def _ck_pos_comps(self, comps: tuple) -> tuple:
+        """Per-component typed keys for _pos_cmp positions (prefix
+        bounds keep their component count so before/after-extension
+        ordering is decidable)."""
+        return tuple(
+            typed_component_key(f, c) for f, c in zip(self.clustering, comps)
+        )
 
     def _encode_cell(
         self,
@@ -486,34 +634,37 @@ class MaWriter:
         return bytes(out)
 
     def _encode_marker(
-        self, mtype: int, v: bytes, ts: int, ts2: int | None = None
+        self, mtype: int, comps: tuple, ts: int, ts2: int | None = None
     ) -> bytes:
         """One range-tombstone marker row (the grammar the reader's
         IS_MARKER branch decodes; SSTable.cpp:541-572): flags, kind
-        byte, bound size + clustering prefix, row sizes, deletion time
-        — twice for boundary kinds (close then open)."""
+        byte, bound size + clustering prefix (possibly SHORTER than the
+        full clustering — the real prefix-bound shape), row sizes,
+        deletion time — twice for boundary kinds (close then open)."""
         out = bytearray([IS_MARKER, mtype])
-        out += struct.pack(">H", 1)  # bound prefix: one clustering value
-        out += self._encode_clustering_prefix(v)
+        out += struct.pack(">H", len(comps))
+        out += self._encode_clustering_prefix(comps)
         out += enc_uvint(0) + enc_uvint(0)  # rowsize / prev size
         out += struct.pack(">q", ts) + struct.pack(">i", ts // 1_000_000)
         if ts2 is not None:
             out += struct.pack(">q", ts2) + struct.pack(">i", ts2 // 1_000_000)
         return bytes(out)
 
-    def _marker_items(self, segs) -> list[tuple[tuple, bytes]]:
+    def _marker_items(self, segs, comps_of) -> list[tuple[tuple, bytes]]:
         """Normalized segments -> positioned marker rows.  Adjacent
         segments (differing ts) share a bound and collapse into the two
         real boundary kinds; everything else is a single start/end bound.
-        Sort keys are (ck value, side, 0) so markers interleave with the
-        data rows at (ck, 0, 1) exactly as the real layout orders
-        unfiltereds by clustering position."""
+        Positions are _pos_cmp pairs (typed comps, side) — markers at
+        side 0.0/1.0 interleave with the data rows at side 0.5 exactly
+        as the real layout orders unfiltereds by clustering position;
+        `comps_of` maps a transformed comps tuple back to the bound's
+        original components for encoding."""
         items: list[tuple[tuple, bytes]] = []
 
         def close_item(prev):
             (v, side), ts = prev
-            mtype = EXCL_END_BOUND if side == 0 else INCL_END_BOUND
-            return ((v, side, 0), self._encode_marker(mtype, v, ts))
+            mtype = EXCL_END_BOUND if side < 0.5 else INCL_END_BOUND
+            return ((v, side), self._encode_marker(mtype, comps_of[v], ts))
 
         prev = None  # (end position, ts) of the previous segment
         for s_pos, e_pos, ts in segs:
@@ -521,16 +672,20 @@ class MaWriter:
                 v, side = s_pos
                 mtype = (
                     EXCL_END_INCL_START_BOUNDARY
-                    if side == 0
+                    if side < 0.5
                     else INCL_END_EXCL_START_BOUNDARY
                 )
-                items.append(((v, side, 0), self._encode_marker(mtype, v, prev[1], ts)))
+                items.append(
+                    ((v, side), self._encode_marker(mtype, comps_of[v], prev[1], ts))
+                )
             else:
                 if prev is not None:
                     items.append(close_item(prev))
                 v, side = s_pos
-                mtype = INCL_START_BOUND if side == 0 else EXCL_START_BOUND
-                items.append(((v, side, 0), self._encode_marker(mtype, v, ts)))
+                mtype = INCL_START_BOUND if side < 0.5 else EXCL_START_BOUND
+                items.append(
+                    ((v, side), self._encode_marker(mtype, comps_of[v], ts))
+                )
             prev = (e_pos, ts)
         if prev is not None:
             items.append(close_item(prev))
@@ -563,11 +718,14 @@ class MaWriter:
 
         # ck-scoped tombstones (markers + clustered-row deletions) need
         # a clustered table
-        ck_dels: dict[bytes, int] = {}
+        ck_dels: dict[tuple, int] = {}
         for dck, dts in p.ck_tombs:
-            ck_dels[dck] = max(dts, ck_dels.get(dck, dts))
+            t = self._ck_tuple(dck) if self.clustering else None
+            ck_dels[t] = max(dts, ck_dels.get(t, dts))
         if (p.range_tombs or ck_dels) and not self.clustering:
             raise ValueError("ck-scoped tombstones need a clustered table")
+        if p.static_tomb_ts is not None and not self.clustering:
+            raise ValueError("static-row deletions need a clustered table")
 
         # group cells into rows: by clustering value on clustered
         # tables (rows in ck order, like real sstables), else one
@@ -576,7 +734,7 @@ class MaWriter:
         # SSTable.cpp:505-530, so multi-row partitions are well-formed
         # even with no clustering columns)
         if self.clustering:
-            groups: dict[bytes, list[Cell]] = {}
+            groups: dict[tuple, list[Cell]] = {}
             statics: list[Cell] = []
             for c in p.cells:
                 if c.ck is None:
@@ -589,25 +747,72 @@ class MaWriter:
                         )
                     statics.append(c)
                 else:
-                    groups.setdefault(c.ck, []).append(c)
-            group_items: list[tuple[bytes | None, list[Cell], bool]] = []
-            if statics:
+                    t = self._ck_tuple(c.ck)
+                    if len(t) != len(self.clustering):
+                        raise ValueError("cells need the FULL clustering tuple")
+                    groups.setdefault(t, []).append(c)
+            group_items: list[tuple[tuple | None, list[Cell], bool]] = []
+            if statics or p.static_tomb_ts is not None:
                 group_items.append((None, statics, True))
-            group_items += [(ck, cs, False) for ck, cs in sorted(groups.items())]
+            group_items += [
+                (ck, cs, False)
+                for ck, cs in sorted(
+                    groups.items(), key=lambda kv: self._ck_sort_key(kv[0])
+                )
+            ]
         else:
             group_items = [(None, p.cells, False)]
 
         # a deletion of a ck with NO row to ride on becomes a degenerate
         # [ck, ck] range marker pair; one WITH a row rides it as
-        # HAS_DELETION (both real encodings of a clustered-row deletion)
+        # HAS_DELETION (both real encodings of a clustered-row deletion).
+        # Range normalization/ordering runs in TYPED sort-key space
+        # (make_ck_key_fn's order) — signed numeric clustering columns
+        # would otherwise interleave markers and rows wrongly.
         ranges = list(p.range_tombs) + [
             RangeTomb(dck, True, dck, True, dts)
             for dck, dts in ck_dels.items()
             if not self.clustering or dck not in groups
         ]
-        items = self._marker_items(_normalize_ck_ranges(ranges)) if ranges else []
+        items: list[tuple[tuple, bytes]] = []
+        if ranges:
+            comps_of: dict[tuple, tuple] = {}
+            iv = []
+            for r in ranges:
+                if r.start is None or r.end is None:
+                    raise ValueError("MaWriter needs bounded ck ranges")
+                sc, ec = self._ck_tuple(r.start), self._ck_tuple(r.end)
+                sk, ek = self._ck_pos_comps(sc), self._ck_pos_comps(ec)
+                comps_of[sk], comps_of[ek] = sc, ec
+                iv.append(
+                    (
+                        (sk, 0.0 if r.start_incl else 1.0),
+                        (ek, 1.0 if r.end_incl else 0.0),
+                        r.ts,
+                    )
+                )
+            items = self._marker_items(_normalize_ck_ranges(iv), comps_of)
 
         for ck, group_cells, is_static in group_items:
+            if is_static and not group_cells:
+                # deletion-only static row (no static cells in this
+                # sstable): HAS_DELETION + an empty column subset —
+                # encoded as a mask with only the above-width bit set,
+                # which both this reader and the reference's
+                # decode_column_subset read as all-absent (mask 0 would
+                # collide with the "all present" special case)
+                out.append(EXTENSION_FLAG | HAS_DELETION | (
+                    HAS_ALL_COLUMNS if not self.static_columns else 0
+                ))
+                out.append(IS_STATIC)
+                out += enc_uvint(0) + enc_uvint(0)  # rowsize / prev size
+                out += enc_uvint(p.static_tomb_ts - schema.min_timestamp)
+                out += enc_uvint(
+                    p.static_tomb_ts // 1_000_000 - schema.min_local_deletion
+                )
+                if self.static_columns:
+                    out += enc_uvint(1 << len(self.static_columns))
+                continue
             cols = self.static_columns if is_static else self.columns
             col_index = {name: i for i, (name, _) in enumerate(cols)}
             by_col: dict[str, list[Cell]] = {}
@@ -625,35 +830,58 @@ class MaWriter:
                     else None
                 )
                 if is_static or not self.clustering:
-                    # statics precede every clustered unfiltered
+                    # statics precede every clustered unfiltered; the
+                    # static-row deletion rides version 0
                     self._encode_row(
-                        out, row_cells, ck, p, style, ver, schema, is_static
+                        out, row_cells, ck, p, style, ver, schema, is_static,
+                        p.static_tomb_ts if is_static and ver == 0 else None,
                     )
                 else:
                     tmp = bytearray()
                     self._encode_row(
                         tmp, row_cells, ck, p, style, ver, schema, False, ck_del
                     )
-                    items.append(((ck, 0, 1), bytes(tmp)))
-        for _pos, encoded in sorted(items, key=lambda kv: kv[0]):
+                    items.append(((self._ck_pos_comps(ck), 0.5), bytes(tmp)))
+        import functools
+
+        for _pos, encoded in sorted(
+            items, key=functools.cmp_to_key(lambda a, b: _pos_cmp(a[0], b[0]))
+        ):
             out += encoded
         out.append(END_OF_PARTITION)
         return bytes(out)
 
-    def _encode_clustering_prefix(self, ck: bytes) -> bytes:
-        """One clustering value, present: a zero 2-bit header block then
-        the value in its wire format (SSTable.cpp:487-503 reads this)."""
+    def _encode_clustering_prefix(self, comps: tuple) -> bytes:
+        """A clustering prefix of one or more components: per 32-column
+        block a uvint header with 2 bits per component (0 = present,
+        1 = empty — matching the reader's decode), then each present
+        value in its wire format (SSTable.cpp:487-503 reads this)."""
         out = bytearray()
-        out += enc_uvint(0)  # all values present
-        fixed = COLUMN_SIZES.get(self.clustering[0])
-        if fixed is None:
-            out += enc_uvint(len(ck)) + ck
-        else:
-            if len(ck) != fixed:
-                raise ValueError(
-                    f"clustering {self.clustering[0]} needs {fixed} bytes"
-                )
-            out += ck
+        i, n = 0, len(comps)
+        while i < n:
+            limit = min(n, i + 32)
+            header = 0
+            body = bytearray()
+            shift = 0
+            for j in range(i, limit):
+                c = comps[j]
+                if c == b"":
+                    header |= 1 << shift  # empty component, no bytes
+                else:
+                    fixed = COLUMN_SIZES.get(self.clustering[j])
+                    if fixed is None:
+                        body += enc_uvint(len(c)) + c
+                    else:
+                        if len(c) != fixed:
+                            raise ValueError(
+                                f"clustering {self.clustering[j]} needs "
+                                f"{fixed} bytes, got {len(c)}"
+                            )
+                        body += c
+                shift += 2
+            out += enc_uvint(header)
+            out += body
+            i = limit
         return bytes(out)
 
     def _encode_row(
@@ -714,6 +942,9 @@ class MaWriter:
                 # clustered-row deletions delta-encode on their rows
                 all_ts.append(dts)
                 all_ldt.append(dts // 1_000_000)
+            if p.static_tomb_ts is not None:
+                all_ts.append(p.static_tomb_ts)
+                all_ldt.append(p.static_tomb_ts // 1_000_000)
             for c in p.cells:
                 all_ts.append(c.ts)
                 if c.deleted:
@@ -1137,8 +1368,11 @@ class MaReader:
                     vals.append(b"")  # empty (1) / null (2): no bytes
                 i += 1
                 shift += 2
-        if len(vals) == 1:
+        if len(s.clustering) == 1:
             return vals[0], off
+        # multi-ck tables: ALWAYS the composite encoding, even for a
+        # one-component marker-bound prefix — so downstream consumers
+        # (make_ck_key_fn) can parse any ck value uniformly
         from .format import encode_composite
 
         return encode_composite(vals), off
@@ -1191,6 +1425,7 @@ class MaReader:
             cells: list[Cell] = []
             range_tombs: list[RangeTomb] = []
             ck_tombs: list[tuple[bytes, int]] = []
+            static_tomb: int | None = None
             open_rt: tuple[bytes, bool, int] | None = None
             while True:
                 flags = _byte(buf, off)
@@ -1285,14 +1520,18 @@ class MaReader:
                         d, off = dec_uvint(buf, off)
                         row_ldt = d + s.min_local_deletion
                 if flags & HAS_DELETION:
-                    if is_static:
-                        # a static-scoped row deletion is NOT a partition
-                        # tombstone; refusing beats silently widening it
-                        raise ValueError("ma: static row deletions not supported")
                     d, off = dec_uvint(buf, off)
                     rdel = d + s.min_timestamp
                     _d, off = dec_uvint(buf, off)
-                    if ck is not None:
+                    if is_static:
+                        # STATIC-row deletion: covers exactly the
+                        # partition's static cells — NOT a partition
+                        # tombstone (the round-6 reader refused these;
+                        # the reference would widen them)
+                        static_tomb = (
+                            rdel if static_tomb is None else max(static_tomb, rdel)
+                        )
+                    elif ck is not None:
                         # clustered-row deletion: covers ONLY this
                         # (key, ck) row — kept scoped instead of the
                         # refusal the r5 reader shipped
@@ -1321,5 +1560,6 @@ class MaReader:
                 cells=cells,
                 range_tombs=range_tombs,
                 ck_tombs=ck_tombs,
+                static_tomb_ts=static_tomb,
             )
 

