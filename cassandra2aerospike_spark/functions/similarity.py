@@ -319,6 +319,17 @@ def assign_cells_quantized_np(q: DataFrame, cids, mat) -> DataFrame:
     )
 
 
+def auto_k(n: int, target_cell: int = 128, k_min: int = 8) -> int:
+    """SemDeDup cell-count contract, enforced by code instead of by the
+    deployment knob alone: k grows with the corpus (k = ceil(n /
+    target_cell), floor k_min) so mean cell size stays bounded and the
+    per-cell quadratic pair scan never grows with corpus scale.  The
+    round-6 slope probe measured exactly the failure this prevents —
+    k pinned at 8 gave 7.5k-member cells and slope 0.20 at 30x; k
+    scaling gave 1.79 (DESIGN.md)."""
+    return max(k_min, -(-n // target_cell))
+
+
 def kmeans_fit_quantized_np(
     corpus_q: DataFrame, k: int = 8, iters: int = 2
 ):

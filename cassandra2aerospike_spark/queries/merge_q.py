@@ -730,9 +730,12 @@ def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine decodes the context (shards of 16B id + clock + cumulative
     count) and implements real counter reconciliation — per shard id
     keep the max-(clock, count) state across every sstable, counter
-    value = sum of surviving shard counts.  Runs over a REAL two-era
-    (ka + la) counter table built from events, read through the
-    DataSource's mixed-era branch."""
+    value = sum of surviving shard counts.  Runs over a REAL THREE-era
+    (ka + la + ma) counter table built from events, read through the
+    DataSource's mixed-era branch: the pre-ma files mark counters with
+    COUNTER_MASK + counterTs, the ma file declares CounterColumnType in
+    its serialization header (the 3.x uniform cell grammar has no
+    counter flag — type dispatch replaces mask dispatch)."""
     from ..functions.counters import counter_reconcile
     from ..sources.sstable.datasource import register
     from ..sources.sstable.fixtures import (

@@ -108,12 +108,15 @@ def q_sim_semantic_dedup(spark, sf_dir):
     vector gains a deterministically perturbed copy (+1 or +2 per
     component at scale 1000, cos ~0.9995 to its source; id + 1e6) — the
     same synthesize->operate->verify pattern the X5 media family uses.
-    Pipeline: integer k-means (k=8, 2 Lloyd iterations) over the
-    augmented set -> in-row cell assignment -> per-cell integer-cosine
-    pair scan (functions/similarity.semantic_dedup_quantized_fast — one
-    exact int64 GEMM per cell; the declarative twin is the tested
+    Pipeline: integer k-means (k = auto_k(n) — the SemDeDup contract
+    that k SCALES with the corpus so cells stay bounded, enforced by
+    code since round 7; 2 Lloyd iterations) over the augmented set ->
+    in-row cell assignment -> per-cell integer-cosine pair scan
+    (functions/similarity.semantic_dedup_quantized_fast — one exact
+    int64 GEMM per cell; the declarative twin is the tested
     cross-check, cos >=
-    0.95).  Every stage is exact integer arithmetic -> exact SQL oracle,
+    0.95).  Every stage is exact integer arithmetic -> exact SQL oracle
+    (the oracle derives the SAME k from its own corpus count),
     planted copies land as 'drop' with dup_of = their source."""
     emb = _emb(spark, sf_dir)
     q = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
@@ -123,7 +126,9 @@ def q_sim_semantic_dedup(spark, sf_dir):
         F.transform("xq", lambda x: x + delta).alias("xq"),
     )
     corpus = q.unionByName(planted)
-    cids, mat = S.kmeans_fit_quantized_np(corpus, k=8, iters=2)
+    cids, mat = S.kmeans_fit_quantized_np(
+        corpus, k=S.auto_k(corpus.count()), iters=2
+    )
     assigned = S.assign_cells_quantized_np(corpus, cids, mat).select(
         "vec_id", "xq", "cell"
     )
@@ -556,7 +561,15 @@ ORACLES = {
                  list_transform(xq, x -> x + 1 + vec_id % 2)
           FROM q0 WHERE vec_id % 7 = 0
         ),
-        c0 AS (SELECT CAST(vec_id AS INT) AS cid, xq AS c_vec FROM q WHERE vec_id < 8),
+        kk AS (
+          -- auto_k(n): k = max(8, ceil(n / 128)) -- the same cell-count
+          -- contract the Spark path derives from its corpus.count()
+          SELECT greatest(8, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS k FROM q
+        ),
+        c0 AS (
+          SELECT CAST(vec_id AS INT) AS cid, xq AS c_vec FROM q
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+        ),
         a1 AS (
           SELECT vec_id, xq, cell FROM (
             SELECT q.vec_id, q.xq, c.cid AS cell,

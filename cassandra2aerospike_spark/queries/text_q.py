@@ -387,23 +387,67 @@ ORACLES = {
                               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                                    || '.' || CAST((3 * doc_id) % 256 AS VARCHAR)
                                    || '.' || CAST((7 * doc_id) % 256 AS VARCHAR)
+                              ELSE '' END
+                      || CASE WHEN doc_id % 6 = 0
+                              THEN ' via 2001:db8:' || hex(doc_id % 4096)
+                                   || ':' || hex((5 * doc_id) % 4096)
+                                   || '::' || hex((9 * doc_id) % 4096)
+                              ELSE '' END
+                      || CASE WHEN doc_id % 5 = 0
+                              THEN ' card ' || CAST(4000 + doc_id % 1000 AS VARCHAR)
+                                   || '-' || CAST(1000 + (3 * doc_id) % 9000 AS VARCHAR)
+                                   || '-' || CAST(1000 + (7 * doc_id) % 9000 AS VARCHAR)
+                                   || '-' || CAST(1000 + (11 * doc_id) % 9000 AS VARCHAR)
+                              ELSE '' END
+                      || CASE WHEN doc_id % 9 = 0
+                              THEN ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                                   || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+                                   || '-' || CAST(1000 + (13 * doc_id) % 9000 AS VARCHAR)
                               ELSE '' END AS pii_text
           FROM documents
+        ), cards AS (
+          -- Luhn post-filter: a 16-digit candidate is PII only when its
+          -- checksum validates (same right-indexed fold as the Spark side)
+          SELECT doc_id,
+                 list_filter(
+                   regexp_extract_all(pii_text, '\b\d{4}-\d{4}-\d{4}-\d{4}\b'),
+                   c -> list_sum(list_transform(range(1, 17), i ->
+                          CASE WHEN i % 2 = 0
+                               THEN CASE WHEN (ascii(substring(replace(c, '-', ''), 17 - i, 1)) - 48) * 2 > 9
+                                         THEN (ascii(substring(replace(c, '-', ''), 17 - i, 1)) - 48) * 2 - 9
+                                         ELSE (ascii(substring(replace(c, '-', ''), 17 - i, 1)) - 48) * 2 END
+                               ELSE ascii(substring(replace(c, '-', ''), 17 - i, 1)) - 48
+                          END)) % 10 = 0
+                 ) AS valid
+          FROM pii
         ), scrub AS (
-          SELECT doc_id, pii_text,
+          SELECT p.doc_id, p.pii_text, k.valid,
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(pii_text,
-                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     list_reduce(
+                       list_prepend(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(p.pii_text,
+                               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                             '\b[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{0,4}){2,7}\b', '<IPV6>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                         k.valid),
+                       (acc, c) -> replace(acc, c, '<CARD>')),
+                     '\b\d{3}-\d{2}-\d{4}\b', '<NID>', 'g'),
                    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS s
-          FROM pii
+          FROM pii p JOIN cards k USING (doc_id)
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(pii_text,
                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
                CAST(len(regexp_extract_all(pii_text,
+                   '\b[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{0,4}){2,7}\b')) AS INT) AS n_ipv6,
+               CAST(len(regexp_extract_all(pii_text,
                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+               CAST(len(valid) AS INT) AS n_cards,
+               CAST(len(regexp_extract_all(pii_text,
+                   '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_nids,
                CAST(len(regexp_extract_all(pii_text,
                    '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
                md5(s) AS scrubbed_md5,
@@ -768,17 +812,25 @@ def q_text_line_dedup(spark, sf_dir):
 
 def q_text_pii_scrub(spark, sf_dir):
     """PII redaction — the compliance pass every training-data pipeline
-    runs before release: regex-scrub emails, phone numbers and IPv4
-    addresses, emit per-type counts + the scrubbed text's hash.  The
-    fixture corpus carries no natural PII, so it is synthesized
-    deterministically from doc_id first (every doc gains an email;
-    doc_id % 3 == 0 a 555- phone; doc_id % 4 == 0 an RFC-1918 IP) — the
-    synthesize->operate->verify pattern.  The patterns stay inside the
-    Java-regex/RE2 COMMON SUBSET (character classes, bounded repeats,
-    \\b, no alternation/backrefs), where leftmost-first (Java) and
-    leftmost-longest (RE2) agree — so Spark's regexp_replace and
-    DuckDB's produce byte-identical scrubbed text and the oracle is
-    exact on the full md5, not just the counts."""
+    runs before release: regex-scrub emails, phone numbers, IPv4 AND
+    IPv6 addresses, credit-card numbers (with a LUHN post-filter — a
+    16-digit candidate is only redacted when its checksum validates,
+    the shape/validity split every real scrubber implements) and
+    SSN-shaped national IDs; emit per-type counts + the scrubbed
+    text's hash.  The fixture corpus carries no natural PII, so it is
+    synthesized deterministically from doc_id first (every doc gains an
+    email; % 3 a 555- phone; % 4 an RFC-1918 IP; % 6 an IPv6; % 5 a
+    4xxx-....-.... card candidate whose check digit comes from doc_id —
+    so ~10% validate and the Luhn filter decides, not the synth; % 9 an
+    SSN shape) — the synthesize->operate->verify pattern.  The patterns
+    stay inside the Java-regex/RE2 COMMON SUBSET (character classes,
+    bounded repeats, greedy group repeats, \\b, no alternation/
+    backrefs), where leftmost-first (Java) and leftmost-longest (RE2)
+    agree; the Luhn arithmetic is the same integer fold on both sides —
+    so Spark and DuckDB produce byte-identical scrubbed text and the
+    oracle is exact on the full md5, not just the counts.  Scale shape:
+    map-only, one scan, zero shuffles — the Luhn filter is an in-row
+    fold over at most a handful of candidates per document."""
     d = _docs(spark, sf_dir)
     did = F.col("doc_id")
     pii = F.concat(
@@ -797,21 +849,80 @@ def q_text_pii_scrub(spark, sf_dir):
                 F.lit("."), ((7 * did) % 256).cast("string"),
             ),
         ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit(" via 2001:db8:"), F.hex(did % 4096),
+                F.lit(":"), F.hex((5 * did) % 4096),
+                F.lit("::"), F.hex((9 * did) % 4096),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" card "), (4000 + did % 1000).cast("string"),
+                F.lit("-"), (1000 + (3 * did) % 9000).cast("string"),
+                F.lit("-"), (1000 + (7 * did) % 9000).cast("string"),
+                F.lit("-"), (1000 + (11 * did) % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.lit(" ssn "), (100 + did % 900).cast("string"),
+                F.lit("-"), (10 + did % 90).cast("string"),
+                F.lit("-"), (1000 + (13 * did) % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
     )
     email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ipv6 = r"\b[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{0,4}){2,7}\b"
     ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    card = r"\b\d{4}-\d{4}-\d{4}-\d{4}\b"
+    nid = r"\b\d{3}-\d{2}-\d{4}\b"
     phone = r"\b\d{3}-\d{4}\b"
-    scrubbed = F.regexp_replace(
+
+    def luhn_ok(c):
+        # i counts from the RIGHT (1-based); even positions double,
+        # digits of the doubled value sum via the >9 ? x-9 : x fold
+        s = F.replace(c, F.lit("-"), F.lit(""))
+
+        def term(i):
+            dgt = F.ascii(F.substring(s, 17 - i, 1)) - 48
+            return F.when(
+                i % 2 == 0,
+                F.when(dgt * 2 > 9, dgt * 2 - 9).otherwise(dgt * 2),
+            ).otherwise(dgt)
+
+        total = F.aggregate(
+            F.sequence(F.lit(1), F.lit(16)), F.lit(0),
+            lambda acc, i: acc + term(i),
+        )
+        return total % 10 == 0
+
+    valid_cards = F.filter(
+        F.regexp_extract_all(F.col("pii_text"), F.lit(card), F.lit(0)), luhn_ok
+    )
+    base = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("pii_text"), email, "<EMAIL>"),
-            ip, "<IP>",
+            ipv6, "<IPV6>",
         ),
-        phone, "<PHONE>",
+        ip, "<IP>",
+    )
+    carded = F.aggregate(
+        valid_cards, base, lambda acc, c: F.replace(acc, c, F.lit("<CARD>"))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(carded, nid, "<NID>"), phone, "<PHONE>"
     )
     return d.select("doc_id", pii.alias("pii_text")).select(
         "doc_id",
         F.regexp_count(F.col("pii_text"), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col("pii_text"), F.lit(ipv6)).alias("n_ipv6"),
         F.regexp_count(F.col("pii_text"), F.lit(ip)).alias("n_ips"),
+        F.size(valid_cards).alias("n_cards"),
+        F.regexp_count(F.col("pii_text"), F.lit(nid)).alias("n_nids"),
         F.regexp_count(F.col("pii_text"), F.lit(phone)).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).alias("scrubbed_len"),

@@ -450,16 +450,22 @@ def build_mixed_era_table_from_events(
 def build_counter_table_from_events(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> str:
-    """Materialize events as a REAL pre-ma COUNTER table: two sstables
-    (ka + la, different codecs, so reconciliation spans files like the
-    reference's k-way merge) whose cells carry COUNTER_MASK + counterTs
-    (SSTable.cpp:433-437) and whose VALUES are real serialized counter
-    contexts (functions.counters layout).  Derivation (mirrored by the
-    a7 oracle): every 'cell'-kind event is one shard update of counter
-    column event_type — shard id = event_id % 5 (embedded in a 16-byte
-    counter id), clock = ts, count = floor(value * 100)."""
+    """Materialize events as a REAL THREE-ERA COUNTER table: ka + la
+    sstables whose cells carry COUNTER_MASK + counterTs
+    (SSTable.cpp:433-437) plus a Cassandra 3.x ma sstable whose
+    serialization header declares the columns CounterColumnType — in
+    the 3.0 grammar a counter cell IS a regular cell whose value is the
+    serialized context (no TTL fields, vint-length value; the flag-byte
+    era markers disappeared with the uniform cell grammar), so the ma
+    read path must type-dispatch on the header, not on a mask.  All
+    VALUES are real serialized counter contexts (functions.counters
+    layout); reconciliation spans all three files like the reference's
+    k-way merge.  Derivation (mirrored by the a7 oracle): every
+    'cell'-kind event is one shard update of counter column event_type
+    — shard id = event_id % 5 (embedded in a 16-byte counter id),
+    clock = ts, count = floor(value * 100); run = ts % 3."""
     from ...functions.counters import encode_counter_context
-    from .ma_format import FIXTURE_ENCODER_REV
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
     from .old_format import OldWriter
 
     table_dir = os.path.join(out_dir, "ctr" + FIXTURE_ENCODER_REV, "tmx", "counters")
@@ -472,7 +478,7 @@ def build_counter_table_from_events(
     rows = (
         events.filter((eid % 97 != 0) & (eid % 13 != 0) & (eid % 10 != 0))
         .select(
-            (F.col("ts_us") % 2).cast("int").alias("run"),
+            (F.col("ts_us") % 3).cast("int").alias("run"),
             F.col("user_id").alias("key"),
             F.col("event_type").alias("col_name"),
             F.floor(F.col("value") * 100).cast("long").alias("cnt"),
@@ -481,7 +487,7 @@ def build_counter_table_from_events(
         )
         .collect()
     )
-    by_run: dict[int, dict[bytes, Partition]] = {0: {}, 1: {}}
+    by_run: dict[int, dict[bytes, Partition]] = {0: {}, 1: {}, 2: {}}
     for r in rows:
         key = str(r.key).encode("utf-8")
         p = by_run[r.run].setdefault(key, Partition(key=key))
@@ -495,14 +501,19 @@ def build_counter_table_from_events(
                 ts=int(r.ts),
             )
         )
+    counter_cols = sorted({r.col_name for r in rows})
     writers = [
         OldWriter(
             table_dir, 1, version="ka", codec_class="SnappyCompressor",
-            table="counters", counter_cols=frozenset(r.col_name for r in rows),
+            table="counters", counter_cols=frozenset(counter_cols),
         ),
         OldWriter(
             table_dir, 2, version="la", codec_class="DeflateCompressor",
-            table="counters", counter_cols=frozenset(r.col_name for r in rows),
+            table="counters", counter_cols=frozenset(counter_cols),
+        ),
+        MaWriter(
+            table_dir, 3, [(c, "CounterColumnType") for c in counter_cols],
+            codec_class="LZ4Compressor",
         ),
     ]
     for gen, w in enumerate(writers):

@@ -219,7 +219,7 @@ DEFAULT_CHUNK = 64 * 1024
 # instead of being fed to the reader under a still-matching _DONE marker
 # (the SGR sources solve the same problem by embedding MAGIC in leaf
 # names).
-FIXTURE_ENCODER_REV = "e2"
+FIXTURE_ENCODER_REV = "e3"  # e3: 3-era counter fixture + typed-ck writer
 
 
 # ----------------------------------------------- typed clustering order
@@ -597,6 +597,17 @@ class MaWriter:
         static: bool = False,
     ) -> bytes:
         out = bytearray()
+        # counter cells (3.x): the pre-ma flag-byte era markers
+        # (COUNTER_MASK + counterTs, SSTable.cpp:433-437) disappeared
+        # with the uniform cell grammar — a counter cell is a regular
+        # cell whose column type is CounterColumnType and whose value is
+        # the serialized CounterContext.  The one constraint the grammar
+        # keeps: counters never expire.
+        col_fmt = dict(self.static_columns if static else self.columns).get(
+            c.col_name
+        )
+        if col_fmt == "CounterColumnType" and c.ttl is not None:
+            raise ValueError(f"{c.col_name}: counter cells cannot have a TTL")
         flags = 0
         if c.deleted:
             flags |= CELL_IS_DELETED | CELL_HAS_EMPTY_VALUE

@@ -68,3 +68,47 @@ def test_reconcile_matches_brute_force():
             if cid not in best or (clock, count) > best[cid]:
                 best[cid] = (clock, count)
     assert sum(c for _cl, c in best.values()) == 9 + 4 + 100
+
+
+def test_ma_era_counter_table_roundtrip(tmp_path):
+    """A Cassandra 3.x counter table (CounterColumnType in the
+    serialization header, context blobs as vint-length cell values)
+    writes and reads through the ma path; TTL on a counter cell is
+    refused (counters never expire)."""
+    import pytest
+
+    from cassandra2aerospike_spark.functions.counters import (
+        decode_counter_context_py,
+        encode_counter_context,
+    )
+    from cassandra2aerospike_spark.sources.sstable import ma_format as MA
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        struct_pack_counter_id,
+    )
+    from cassandra2aerospike_spark.sources.sstable.format import Cell, Partition
+
+    d = str(tmp_path / "ctr_ma")
+    w = MA.MaWriter(d, 1, [("hits", "CounterColumnType")])
+    ctx1 = encode_counter_context([(struct_pack_counter_id(0), 10, 5)])
+    ctx2 = encode_counter_context(
+        [(struct_pack_counter_id(0), 12, 7), (struct_pack_counter_id(1), 3, 2)]
+    )
+    w.add(Partition(key=b"k1", cells=[
+        Cell("hits", ctx1, ts=100), Cell("hits", ctx2, ts=200),
+    ]))
+    w.finish()
+    r = MA.MaReader(d, 1)
+    assert r.stats.schema.regular_columns == [("hits", "CounterColumnType")]
+    (_t, p), = r.partitions()
+    assert [c.value for c in p.cells] == [ctx1, ctx2]
+    # contexts decode back shard-exact
+    assert decode_counter_context_py(ctx2) == [
+        (struct_pack_counter_id(0), 12, 7), (struct_pack_counter_id(1), 3, 2)
+    ]
+    # counters never expire: a TTL'd counter cell is refused at encode
+    w2 = MA.MaWriter(str(tmp_path / "bad"), 1, [("hits", "CounterColumnType")])
+    w2.add(Partition(key=b"k", cells=[
+        Cell("hits", ctx1, ts=1, ttl=60, expiration=100)
+    ]))
+    with pytest.raises(ValueError, match="TTL"):
+        w2.finish()
