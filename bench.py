@@ -52,6 +52,8 @@ HEADLINE = [
     "sim_semantic_dedup",
     "text_pii_scrub",
     "text_dup_span_removal",
+    # round-7: typed multi-clustering-column cover on real ma bytes
+    "s22_multi_ck_range_merge",
 ]
 
 

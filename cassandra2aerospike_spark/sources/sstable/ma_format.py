@@ -39,22 +39,29 @@ SSTable.cpp:102-105).  The reference discards cell localDeletionTime;
 real Cassandra stores the expiration instant there, so this reader keeps
 it (delta vs minLocalDeletionTime) as the cell expiry.
 
-Scope notes (honest): clustering columns are DECODED into a per-cell
-`ck` prefix (writer emits up to one clustering column; the reader
-handles the general multi-column form incl. the empty/null 2-bit
-codes) — a capability fix over the reference's skip-only parsing.
-Clustered range-tombstone markers decode into real ck-bounded ranges
+Scope notes: clustering columns are DECODED into a per-cell `ck`
+prefix (any column count, incl. the empty/null 2-bit codes) — a
+capability fix over the reference's skip-only parsing.  Clustered
+range-tombstone markers decode into real ck-bounded ranges
 (Partition.range_tombs, all six ClusteringPrefix kinds incl. the
 two-deletion boundary forms) and clustered-row deletions into
 Partition.ck_tombs — where the reference widens every marker to a
 partition tombstone (SSTable.cpp:553) and documents the wrong merge.
-Bound prefixes on MULTI-clustering-column tables decode (grammar), but
-cover comparison downstream is defined on the encoded prefix bytes —
-exact for single-ck tables (the writer's scope); static-row deletions
-are refused.  Static rows decode too (IS_STATIC extended
-flag, STATIC column set, ck=None cells) and the writer emits them
-first in each partition, per the real layout; the >= 64-column
-sparse subset encoding decodes but the writer stays < 64 columns.
+Cover comparison downstream runs on TYPED memcomparable sort keys
+(make_ck_key_fn — round 7): signed numeric clustering columns order
+numerically and multi-column PREFIX bounds cover exactly the
+extensions of their prefix; the writer emits any clustering count
+with prefix-bound markers, ordering unfiltereds via _pos_cmp
+(Cassandra's before/after-extension ClusteringPrefix position order).
+Static rows decode too (IS_STATIC extended flag, STATIC column set,
+ck=None cells) and the writer emits them first in each partition, per
+the real layout; STATIC-row deletions (HAS_DELETION on the static
+row) round-trip as Partition.static_tomb_ts — covering only the
+partition's static cells.  Counter tables (3.x: CounterColumnType in
+the header, context blob as the cell value — no flag byte) read
+through the typed cell path and the writer refuses TTL'd counter
+cells.  The >= 64-column sparse subset encoding decodes but the
+writer stays < 64 columns.
 Summary/Index power token-range sub-splitting: partitions() takes
 [start_token, end_token) bounds resolved via Summary seek + Index scan
 into a chunk-bounded window (read_chunked_window), so one big sstable
