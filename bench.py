@@ -173,6 +173,11 @@ def main() -> None:
         default_runs_dir,
     )
 
+    # probe hygiene (same discipline as the dedup probe below): the
+    # headline pass — now including s22's writer-heavy roundtrip —
+    # leaves executor heap/cache state that measurably depresses the
+    # Python-DataSource decode probes; start them from a clean cache
+    spark.catalog.clearCache()
     big_runs = build_runs_from_events(
         spark, sf_dir, default_runs_dir(sf_dir), amplify=10
     )

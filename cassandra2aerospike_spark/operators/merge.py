@@ -320,6 +320,59 @@ def clustered_live_cells(raw: DataFrame) -> DataFrame:
     )
 
 
+def collection_live_cells(raw: DataFrame) -> DataFrame:
+    """F1/J3 over a table with COMPLEX (multi-cell collection) columns
+    (sstable_run layout=ma raw frame carrying `path`): the merge the
+    reference cannot run at all — it declares HAS_COMPLEX_DELETION
+    (SSTable.hpp:120) but never reads the complex-cell block, so a 3.x
+    table with a map/set/list column misparses there.
+
+    Cover kinds, resolved against a cell at (key, ck, col, path, ts):
+      * partition tombstones — row_tomb_ts on any of the key's rows;
+      * COMPLEX-COLUMN deletions — rows with range_tomb=true, a
+        col_name, and incl_mask=5: the collection-clear DeletionTime,
+        covering every path of that column in its row;
+      * point tombstones — deleted cells at the same (key, ck, col,
+        path) (a single map-entry / set-element removal).
+    Survival is the strict `ts > cover` rule shared by every merge
+    path.  Simple cells (path NULL) flow through the same windows —
+    their point scope is just (key, ck, col, NULL).
+
+    Scale shape: ONE hash(key) exchange feeds all three windows
+    (partitionBy key / key,ck,col / key,ck,col,path are all satisfied
+    by hash(key) partitioning), same as merge_full.  ck RANGE
+    tombstones are out of scope here — compose with
+    clustered_live_cells for tables that mix both."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key")
+    wcx = Window.partitionBy("key", "ck", "col_name")
+    wp = Window.partitionBy("key", "ck", "col_name", "path")
+    is_cxd = (
+        F.col("range_tomb")
+        & F.col("col_name").isNotNull()
+        & (F.col("incl_mask") == 5)
+    )
+    is_cell = F.col("col_name").isNotNull() & ~F.col("range_tomb")
+    enriched = (
+        raw.withColumn("part_tomb", F.max("row_tomb_ts").over(w))
+        .withColumn("cx_tomb", F.max(F.when(is_cxd, F.col("ts"))).over(wcx))
+        .withColumn(
+            "point_tomb",
+            F.max(F.when(is_cell & F.col("deleted"), F.col("ts"))).over(wp),
+        )
+    )
+    cover = F.greatest(
+        F.col("part_tomb"), F.col("cx_tomb"), F.col("point_tomb")
+    )
+    return (
+        enriched.filter(is_cell & ~F.col("deleted"))
+        .withColumn("_cover", cover)
+        .filter(F.col("_cover").isNull() | (F.col("ts") > F.col("_cover")))
+        .select("key", "ck", "col_name", "path", "value", "ts", "ttl", "expiration")
+    )
+
+
 def live_cells(events: DataFrame) -> DataFrame:
     """F1: a cell survives iff no covering tombstone has ts >= cell ts
     (strict `ts > minTime` survival, CassandraParser.cpp:481).

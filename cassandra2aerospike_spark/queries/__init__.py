@@ -37,10 +37,13 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 _PRIORITY = [
     # -- round-7 NEW queries: typed multi-clustering-column cover on
     #    real bytes (signed Int32 + UTF8 clustering, prefix + full
-    #    range-marker bounds, static-row deletions) and its compaction
-    #    roundtrip through the typed DataSource write path
+    #    range-marker bounds, static-row deletions; tagged-union with
+    #    its compaction roundtrip through the typed DataSource write
+    #    path), and multi-cell COLLECTION columns (map/set/list cell
+    #    paths + complex deletions — the HAS_COMPLEX_DELETION grammar
+    #    the reference declares but cannot read)
     "s22_multi_ck_range_merge",
-    "s23_multick_compaction_roundtrip",
+    "s24_collection_merge",
     # -- round-7 CHANGED surfaces that must re-verify: the dup-span
     #    gram frequency moved from a count-over-window to groupBy+join
     #    (hot-key fix); the counter fixture gained a REAL ma generation

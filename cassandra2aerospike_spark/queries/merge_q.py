@@ -656,30 +656,19 @@ def q_s22_multi_ck_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     refused by the round-6 reader/writer).  Cover resolves on
     memcomparable typed sort keys (ma_format.make_ck_key_fn), so
     negative days order numerically and a one-component bound covers
-    exactly the extensions of its prefix."""
-    from ..sources.sstable.datasource import register
-    from ..sources.sstable.fixtures import (
-        build_ma_multick_table_from_events,
-        default_runs_dir,
-    )
+    exactly the extensions of its prefix.
 
-    table_dir = build_ma_multick_table_from_events(
-        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_mck"
-    )
-    register(spark)
-    return _multick_merge_from(spark, table_dir)
-
-
-def q_s23_multick_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """s22's table compacted through the DataSource ma WRITE path with a
-    TYPED clustering spec (option clustering=Int32Type,UTF8Type): the
-    entire logical content — typed multi-ck cells, prefix/full range
-    markers, clustered-row deletions, static cells AND the static-row
-    deletion — rewritten into fresh sstables (composite cks decomposed
-    and re-encoded per marshal type, markers re-normalized in typed
-    position space), re-read, and merged with s22's exact pipeline.
-    The oracle is s22's verbatim: a writer that mis-orders one negative
-    day or drops the static deletion diverges."""
+    TAGGED-UNION row (two branches, one driver check):
+      src='direct'    — merge straight off the fixture sstables;
+      src='compacted' — the ENTIRE logical content first rewritten
+        through the DataSource ma WRITE path with a typed clustering
+        spec (option clustering=Int32Type,UTF8Type — composite cks
+        decomposed and re-encoded per marshal type, markers
+        re-normalized in typed position space, the static deletion
+        carried through), re-read, and merged with the same pipeline.
+    Both branches must match the SAME relational oracle: a writer that
+    mis-orders one negative day or drops the static deletion diverges
+    on the 'compacted' branch alone."""
     import hashlib
     import os
     import shutil
@@ -696,6 +685,7 @@ def q_s23_multick_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         spark, sf_dir, default_runs_dir(sf_dir) + "_ma_mck"
     )
     register(spark)
+    direct = _multick_merge_from(spark, table_dir)
     raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
     out = os.path.join(
         tempfile.gettempdir(),
@@ -720,7 +710,71 @@ def q_s23_multick_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         .mode("append")
         .save(out)
     )
-    return _multick_merge_from(spark, out)
+    compacted = _multick_merge_from(spark, out)
+    return direct.select(F.lit("direct").alias("src"), "*").unionByName(
+        compacted.select(F.lit("compacted").alias("src"), "*")
+    )
+
+
+def q_s24_collection_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECTION columns on real bytes — map + set + list multi-cell
+    columns with CellPaths, complex-column deletions, single-entry
+    removals, and a simple column in the same rows.  The reference
+    DECLARES the HAS_COMPLEX_DELETION row flag (SSTable.hpp:120) but
+    never reads the complex-cell block, so this exact table misparses
+    there (its COLUMN_UNKNOWN fallback reads the cell count as a flag
+    byte); this engine reads the full 3.x grammar and reconciles per
+    (key, column, path) with the complex deletion as a column-scoped
+    cover (merge.collection_live_cells — one hash(key) exchange feeds
+    all three cover windows).  Output: per (key, column) the merged
+    collection as a sorted entries string — map entries 'key=%.2f',
+    set elements bare, list entries 'hex(position)=%.2f', the simple
+    column its bare value."""
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_ma_collection_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_collection_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_coll"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    live = merge.collection_live_cells(raw)
+    fmt_v = F.format_string(
+        "%.2f", F.col("value").cast("string").try_cast("double")
+    )
+    pstr = F.col("path").cast("string")
+    latest = (
+        live.select(
+            F.col("key").cast("string").cast("long").alias("key"),
+            "col_name",
+            "path",
+            pstr.alias("pstr"),
+            "value",
+            "ts",
+        )
+        .groupBy("key", "col_name", "path", "pstr")
+        .agg(F.max_by("value", "ts").alias("value"), F.max("ts").alias("ts"))
+    )
+    entry = (
+        F.when(F.col("col_name") == "tags", F.col("pstr"))
+        .when(
+            F.col("col_name") == "log",
+            F.concat(F.hex(F.col("path")), F.lit("="), fmt_v),
+        )
+        .when(F.col("path").isNull(), fmt_v)
+        .otherwise(F.concat(F.col("pstr"), F.lit("="), fmt_v))
+    )
+    return latest.select("key", "col_name", entry.alias("entry")).groupBy(
+        "key", "col_name"
+    ).agg(
+        F.array_join(F.sort_array(F.collect_list("entry")), ",").alias(
+            "entries_str"
+        ),
+        F.count("*").alias("n_entries"),
+    )
 
 
 def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,7 +983,7 @@ QUERIES = {
     "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
     "s20_ma_rt_compaction_roundtrip": q_s20_ma_rt_compaction_roundtrip,
     "s22_multi_ck_range_merge": q_s22_multi_ck_range_merge,
-    "s23_multick_compaction_roundtrip": q_s23_multick_compaction_roundtrip,
+    "s24_collection_merge": q_s24_collection_merge,
     "a7_counter_reconcile": q_a7_counter_reconcile,
     "s16_mixed_era_merge": q_s16_mixed_era_merge,
     "s19_mc_era_merge": q_s19_mc_era_merge,
@@ -1045,11 +1099,71 @@ _S22_ORACLE = """
     FROM latest GROUP BY 1, 2, 3
 """
 
+# s24: the collection fixture derivation replayed relationally — the
+# complex deletion is a per-(key, column) max-ts cover, single-entry
+# removals a per-(key, column, path) cover, survival strict ts >.
+_S24_ORACLE = """
+    WITH cls AS (
+      SELECT user_id AS key, event_type AS et, value,
+             epoch_us(ts) AS ts, event_id AS eid,
+             CASE WHEN event_id % 97 = 0 THEN 'cxm'
+                  WHEN event_id % 89 = 0 THEN 'cxt'
+                  WHEN event_id % 10 = 0 THEN 'point'
+                  ELSE 'cell' END AS kind
+      FROM events
+    ), cxm AS (
+      SELECT key, max(ts) AS tomb FROM cls WHERE kind = 'cxm' GROUP BY 1
+    ), cxt AS (
+      SELECT key, max(ts) AS tomb FROM cls WHERE kind = 'cxt' GROUP BY 1
+    ), pt AS (
+      SELECT key, et, max(ts) AS tomb FROM cls WHERE kind = 'point'
+      GROUP BY 1, 2
+    ), entries AS (
+      SELECT c.key, 'metrics' AS col_name, c.et AS pstr, c.value, c.ts
+      FROM cls c
+      LEFT JOIN cxm ON cxm.key = c.key
+      LEFT JOIN pt ON pt.key = c.key AND pt.et = c.et
+      WHERE c.kind = 'cell'
+        AND (cxm.tomb IS NULL OR c.ts > cxm.tomb)
+        AND (pt.tomb IS NULL OR c.ts > pt.tomb)
+      UNION ALL
+      SELECT c.key, 'tags', c.et, NULL, c.ts
+      FROM cls c LEFT JOIN cxt ON cxt.key = c.key
+      WHERE c.kind = 'cell' AND c.eid % 3 = 0
+        AND (cxt.tomb IS NULL OR c.ts > cxt.tomb)
+      UNION ALL
+      SELECT key, 'log', repeat('0', 16) || lpad(hex(eid), 16, '0'),
+             value, ts
+      FROM cls WHERE kind = 'cell' AND eid % 7 = 0
+      UNION ALL
+      SELECT key, 'last_score', NULL, value, ts
+      FROM cls WHERE kind = 'cell' AND eid % 11 = 0
+    ), lww AS (
+      SELECT key, col_name, pstr, arg_max(value, ts) AS v
+      FROM entries GROUP BY 1, 2, 3
+    ), fmtd AS (
+      SELECT key, col_name,
+             CASE WHEN col_name = 'tags' THEN pstr
+                  WHEN pstr IS NULL THEN printf('%.2f', v)
+                  ELSE pstr || '=' || printf('%.2f', v) END AS entry
+      FROM lww
+    )
+    SELECT key, col_name,
+           string_agg(entry, ',' ORDER BY entry) AS entries_str,
+           count(*) AS n_entries
+    FROM fmtd GROUP BY 1, 2
+"""
+
 ORACLES = {
-    "s22_multi_ck_range_merge": _S22_ORACLE,
-    # s23: identity-content rewrite through the typed ma writer -> same
-    # merged result as s22 by construction
-    "s23_multick_compaction_roundtrip": _S22_ORACLE,
+    "s24_collection_merge": _S24_ORACLE,
+    # both branches (direct read, and the identity-content rewrite
+    # through the typed ma writer) must equal the same relational
+    # derivation — tagged so one driver row checks them independently
+    "s22_multi_ck_range_merge": (
+        "WITH o AS (" + _S22_ORACLE + ") "
+        "SELECT 'direct' AS src, * FROM o "
+        "UNION ALL SELECT 'compacted' AS src, * FROM o"
+    ),
     "counter_merge": """
         SELECT user_id AS key, event_type AS col_name,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS counter_value,

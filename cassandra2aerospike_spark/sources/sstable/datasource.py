@@ -82,6 +82,14 @@ SCHEMA = StructType(
         # (SSTable.cpp:553-563).
         StructField("ck_key", BinaryType()),
         StructField("ck_end_key", BinaryType()),
+        # COMPLEX (multi-cell collection) columns (round 7): `path` is
+        # the cell's CellPath (map key / set element / list position);
+        # NULL on simple cells.  A COMPLEX-COLUMN DELETION (the
+        # HAS_COMPLEX_DELETION grammar the reference declares but never
+        # reads, SSTable.hpp:120) emits as range_tomb=true +
+        # col_name=<the collection column> + incl_mask=5: it covers
+        # every path of that column in its row with cell ts <= its ts.
+        StructField("path", BinaryType()),
     ]
 )
 
@@ -286,10 +294,11 @@ class SSTableRunReader(DataSourceReader):
                 pa.field("incl_mask", pa.int32()),
                 pa.field("ck_key", pa.binary()),
                 pa.field("ck_end_key", pa.binary()),
+                pa.field("path", pa.binary()),
             ]
         )
         batch_rows = 8192
-        cols: list[list] = [[] for _ in range(16)]
+        cols: list[list] = [[] for _ in range(17)]
 
         def flush():
             arrays = [
@@ -303,12 +312,12 @@ class SSTableRunReader(DataSourceReader):
 
         def emit(
             run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts,
-            ck_end=None, incl_mask=None,
+            ck_end=None, incl_mask=None, path=None,
         ):
             for c, v in zip(
                 cols,
                 (run, t, key, name, ck, value, ts, ttl, exp, dele, rt, rts,
-                 ck_end, incl_mask, key_of(ck), key_of(ck_end)),
+                 ck_end, incl_mask, key_of(ck), key_of(ck_end), path),
             ):
                 c.append(v)
 
@@ -368,11 +377,19 @@ class SSTableRunReader(DataSourceReader):
                     part.gen, t, p.key, None, None, None, p.static_tomb_ts,
                     None, None, False, True, p.row_tomb_ts, None, 4,
                 )
+            for dck, cname, dts in getattr(p, "complex_tombs", ()):
+                # complex-column deletion: covers every path of cname in
+                # the dck row (incl_mask=5 tags the scope)
+                emit(
+                    part.gen, t, p.key, cname, dck, None, dts,
+                    None, None, False, True, p.row_tomb_ts, None, 5,
+                )
             for c in p.cells:
                 emit(
                     part.gen, t, p.key, c.col_name, getattr(c, "ck", None),
                     c.value, c.ts, c.ttl, c.expiration, c.deleted,
                     c.range_tomb, p.row_tomb_ts,
+                    None, None, getattr(c, "path", None),
                 )
             if len(cols[0]) >= batch_rows:
                 yield flush()
@@ -561,6 +578,16 @@ class SSTableRunWriter(DataSourceWriter):
         self.clustering_spec = [
             s for s in (options.get("clustering") or "").split(",") if s
         ]
+        # typed column spec for layout=ma ("name:MapType(UTF8Type,
+        # UTF8Type);other:SetType(UTF8Type)"): collection columns must
+        # re-declare their marshal type so the writer re-emits the
+        # complex-cell block; unlisted columns default to UTF8Type
+        # (simple).  ';'-separated because collection types contain ','.
+        self.column_spec = dict(
+            s.split(":", 1)
+            for s in (options.get("columns") or "").split(";")
+            if ":" in s
+        )
 
     def write(self, rows):
         import os
@@ -577,6 +604,21 @@ class SSTableRunWriter(DataSourceWriter):
             if p is None:
                 p = parts[key] = Partition(key=key)
             r_ck = getattr(r, "ck", None)
+            if (
+                r.col_name is not None
+                and getattr(r, "range_tomb", False)
+                and getattr(r, "incl_mask", None) == 5
+            ):
+                # complex-column deletion (collection clear)
+                if self.layout != "ma":
+                    raise ValueError(
+                        "sgr runs cannot store complex-column deletions; "
+                        "write with layout=ma"
+                    )
+                p.complex_tombs.append(
+                    (bytes(r_ck) if r_ck is not None else None, r.col_name, r.ts)
+                )
+                continue
             if r.col_name is None:
                 if getattr(r, "range_tomb", False):
                     # ck-bounded range tombstone (real clustered ma)
@@ -610,6 +652,7 @@ class SSTableRunWriter(DataSourceWriter):
                         "partition); rewrite them as point or row "
                         "tombstones before writing"
                     )
+                r_path = getattr(r, "path", None)
                 p.cells.append(
                     Cell(
                         col_name=r.col_name,
@@ -620,6 +663,7 @@ class SSTableRunWriter(DataSourceWriter):
                         deleted=bool(r.deleted),
                         range_tomb=bool(r.range_tomb),
                         ck=bytes(r_ck) if r_ck is not None else None,
+                        path=bytes(r_path) if r_path is not None else None,
                     )
                 )
         if not parts:
@@ -640,6 +684,11 @@ class SSTableRunWriter(DataSourceWriter):
                     for c in p.cells
                     if not clustered or c.ck is not None
                 }
+                | {
+                    cname
+                    for p in parts.values()
+                    for _ck, cname, _ts in p.complex_tombs
+                }
             )
             static = sorted(
                 {
@@ -658,12 +707,31 @@ class SSTableRunWriter(DataSourceWriter):
             clustering = (
                 (self.clustering_spec or ["UTF8Type"]) if clustered else None
             )
+            with_path = {
+                c.col_name
+                for p in parts.values()
+                for c in p.cells
+                if c.path is not None
+            } | {
+                cname
+                for p in parts.values()
+                for _ck, cname, _ts in p.complex_tombs
+            }
+
+            def ctype(name: str) -> str:
+                spec = self.column_spec.get(name)
+                if spec is not None:
+                    return spec
+                # path-bearing columns are complex; without a spec the
+                # map-of-text default keeps path+value bytes verbatim
+                return "MapType(UTF8Type,UTF8Type)" if name in with_path else "UTF8Type"
+
             w = MaWriter(
                 tmp,
                 1,
-                [(c, "UTF8Type") for c in reg],
+                [(c, ctype(c)) for c in reg],
                 clustering=clustering,
-                static_columns=[(c, "UTF8Type") for c in static],
+                static_columns=[(c, ctype(c)) for c in static],
             )
         else:
             w = RunWriter(tmp, 1)

@@ -847,6 +847,105 @@ def build_ma_multick_table_from_events(
     return table_dir
 
 
+def build_ma_collection_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 2
+) -> str:
+    """REAL Cassandra 3.x table with COMPLEX (multi-cell collection)
+    columns — map, set, AND list, beside a simple column — plus real
+    complex-column deletions (the HAS_COMPLEX_DELETION grammar the
+    reference declares at SSTable.hpp:120 but never reads; a table
+    like this MISPARSES there).  Derivation (mirrored by the s24
+    oracle):
+
+      key = user_id.  Columns: metrics MapType(UTF8Type,UTF8Type)
+      (path = event_type, value = repr(float)); tags SetType(UTF8Type)
+      (path = event_type, empty value, on event_id % 3 = 0); log
+      ListType(UTF8Type) (path = 16-byte BE event_id 'timeuuid',
+      value = repr(float), on event_id % 7 = 0); last_score UTF8Type
+      (simple, on event_id % 11 = 0).
+
+      kind cadence: event_id % 97 = 0 -> complex deletion of metrics
+      at ts; % 89 = 0 -> complex deletion of tags; % 10 = 0 -> DELETED
+      metrics cell at its path (single map-entry removal); else the
+      cell fan-out above.  Two sstables (ts % 2) so reconciliation
+      spans files."""
+    import struct
+
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    table_dir = os.path.join(
+        out_dir, "coll" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_coll"
+    )
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    os.makedirs(table_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    kind = (
+        F.when(eid % 97 == 0, F.lit("cxm"))
+        .when(eid % 89 == 0, F.lit("cxt"))
+        .when(eid % 10 == 0, F.lit("point"))
+        .otherwise(F.lit("cell"))
+    )
+    rows = events.select(
+        (F.col("ts_us") % n_sstables).cast("int").alias("run"),
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("et"),
+        "value",
+        F.col("ts_us").alias("ts"),
+        kind.alias("kind"),
+        "event_id",
+    ).collect()
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        p = by_run[r.run].setdefault(key, Partition(key=key))
+        ts = int(r.ts)
+        et = r.et.encode()
+        if r.kind == "cxm":
+            p.complex_tombs.append((None, "metrics", ts))
+        elif r.kind == "cxt":
+            p.complex_tombs.append((None, "tags", ts))
+        elif r.kind == "point":
+            p.cells.append(
+                Cell(col_name="metrics", ts=ts, deleted=True, path=et)
+            )
+        else:
+            val = repr(float(r.value)).encode()
+            p.cells.append(Cell(col_name="metrics", value=val, ts=ts, path=et))
+            if r.event_id % 3 == 0:
+                p.cells.append(Cell(col_name="tags", ts=ts, path=et))
+            if r.event_id % 7 == 0:
+                p.cells.append(
+                    Cell(
+                        col_name="log", value=val, ts=ts,
+                        path=struct.pack(">QQ", 0, int(r.event_id)),
+                    )
+                )
+            if r.event_id % 11 == 0:
+                p.cells.append(Cell(col_name="last_score", value=val, ts=ts))
+    for gen, parts in by_run.items():
+        w = MaWriter(
+            table_dir,
+            gen + 1,
+            [
+                ("last_score", "UTF8Type"),
+                ("log", "ListType(UTF8Type)"),
+                ("metrics", "MapType(UTF8Type,UTF8Type)"),
+                ("tags", "SetType(UTF8Type)"),
+            ],
+            codec_class="LZ4Compressor" if gen % 2 == 0 else "SnappyCompressor",
+        )
+        for key in sorted(parts):
+            p = parts[key]
+            p.cells.sort(key=lambda c: (c.col_name, c.path or b"", c.ts))
+            w.add(p)
+        w.finish()
+    open(marker, "w").write("ok")
+    return table_dir
+
+
 def classified_from_ma(
     spark: SparkSession, table_dir: str, value_as: str = "double"
 ) -> DataFrame:

@@ -208,6 +208,12 @@ class Cell:
     # the reference, which skips clustering values and knowingly merges
     # such rows wrongly (reference README.md:30-36)
     ck: bytes | None = None
+    # CellPath of a COMPLEX (multi-cell collection) column's cell (real
+    # ma format, round 7): the map key / set element / list position
+    # this cell addresses.  None for every simple cell.  The reference
+    # declares HAS_COMPLEX_DELETION (SSTable.hpp:120) but never reads
+    # it — a 3.x table with a collection column misparses there.
+    path: bytes | None = None
 
 
 @dataclass
@@ -244,6 +250,13 @@ class Partition:
     # narrower than row_tomb_ts and disjoint from every ck scope.  The
     # round-6 reader refused these; now both sides carry them.
     static_tomb_ts: int | None = None
+    # real ma format only: COMPLEX-column deletions — (ck, col_name, ts)
+    # clearing every cell of one collection column in one row that is
+    # older than ts (the per-column DeletionTime the HAS_COMPLEX_DELETION
+    # row flag introduces).  ck None = the non-clustered/static row.
+    complex_tombs: list[tuple[bytes | None, str, int]] = field(
+        default_factory=list
+    )
 
     @property
     def token(self) -> int:

@@ -174,6 +174,10 @@ HAS_TIMESTAMP = 0x04
 HAS_TTL = 0x08
 HAS_DELETION = 0x10
 HAS_ALL_COLUMNS = 0x20
+# declared-but-never-read by the reference (SSTable.hpp:120) — a 3.x
+# table with a collection column MISPARSES there; this engine reads the
+# full complex-column block grammar (round 7)
+HAS_COMPLEX_DELETION = 0x40
 EXTENSION_FLAG = 0x80
 IS_STATIC = 0x01  # extended flags (SSTable.hpp:126)
 
@@ -209,11 +213,78 @@ COLUMN_SIZES: dict[str, int | None] = {
     "Int32Type": 4,
     "BoolType": 1,
     "FloatType": 4,
+    "DoubleType": 8,
+    "ShortType": 2,
+    "ByteType": 1,
+    "SimpleDateType": 4,
+    "TimeType": 8,
     "TimestampType": 8,
     "UUIDType": 16,
     "TimeUUIDType": 16,
     "LexicalUUIDType": 16,
+    "EmptyType": 0,
 }
+# any type NOT in COLUMN_SIZES (BytesType, DecimalType, IntegerType,
+# InetAddressType, frozen collections, ...) is vint-length-prefixed —
+# the reference's COLUMN_UNKNOWN treatment (SSTableSchema.cpp:79-86),
+# which is correct for every variable-width SIMPLE type
+
+
+def is_complex_fmt(fmt: str) -> bool:
+    """Multi-cell collection column types (map/set/list, NON-frozen):
+    their row-body encoding is a complex-cell BLOCK ([deletion] count
+    cell-with-path*), not one simple cell — the grammar the reference
+    cannot read (its COLUMN_UNKNOWN fallback parses the cell count as a
+    flag byte and derails).  Frozen collections serialize as one blob
+    value and stay on the simple path."""
+    return fmt.startswith(("MapType(", "SetType(", "ListType("))
+
+
+def _split_params(inner: str) -> list[str]:
+    """Split a parametrized marshal type's arguments at top level
+    (MapType(UTF8Type,MapType(a,b)) -> [UTF8Type, MapType(a,b)])."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    parts.append(inner[start:])
+    return parts
+
+
+def complex_value_fmt(fmt: str) -> str:
+    """Wire format of ONE cell's VALUE inside a complex block: map ->
+    the value type, list -> the element type, set -> empty (the element
+    lives in the cell PATH)."""
+    inner = fmt[fmt.index("(") + 1 : -1]
+    if fmt.startswith("MapType("):
+        return _split_params(inner)[1]
+    if fmt.startswith("ListType("):
+        return inner
+    return "EmptyType"
+
+
+_U64 = (1 << 64) - 1
+
+
+def _enc_delta64(v: int, minv: int) -> bytes:
+    """Delta-vs-minimum with mod-2^64 wrap: DeletionTime.LIVE
+    (markedForDeleteAt = Long.MIN_VALUE) must encode against an
+    arbitrary minTimestamp, so the delta wraps like Cassandra's
+    writeUnsignedVInt(ts - min) does in Java two's-complement."""
+    return enc_uvint((v - minv) & _U64)
+
+
+def _dec_delta64(buf: bytes, off: int, minv: int) -> tuple[int, int]:
+    d, off = dec_uvint(buf, off)
+    x = (d + minv) & _U64
+    if x >= 1 << 63:
+        x -= 1 << 64
+    return x, off
 
 META_DATA_VALIDATION = 0
 META_DATA_HEADER = 3
@@ -256,12 +327,16 @@ def typed_component_key(fmt: str, raw: bytes) -> bytes:
         return bytes([raw[0] ^ 0x80]) + raw[1:]  # flip sign bit
     if fmt == "Int32Type" and len(raw) == 4:
         return bytes([raw[0] ^ 0x80]) + raw[1:]
-    if fmt == "FloatType" and len(raw) == 4:
+    if fmt in ("FloatType", "DoubleType") and len(raw) in (4, 8):
         # IEEE754 total order: negative floats sort by inverting all
         # bits (magnitude reverses), non-negative by flipping the sign
         if raw[0] & 0x80:
             return bytes(b ^ 0xFF for b in raw)
         return bytes([raw[0] ^ 0x80]) + raw[1:]
+    if fmt == "ShortType" and len(raw) == 2:
+        return bytes([raw[0] ^ 0x80]) + raw[1:]
+    if fmt == "ByteType" and len(raw) == 1:
+        return bytes([raw[0] ^ 0x80])
     if fmt == "TimeUUIDType" and len(raw) == 16:
         # Cassandra compares timeuuids by their 60-bit timestamp first
         # (time_hi sans version, time_mid, time_low), then raw bytes
@@ -297,6 +372,7 @@ def make_ck_key_fn(clustering: list[str]):
     if not clustering:
         return lambda raw: None
     _TYPED = ("LongType", "TimestampType", "Int32Type", "FloatType",
+              "DoubleType", "ShortType", "ByteType",
               "UUIDType", "TimeUUIDType")
     if len(clustering) == 1:
         fmt = clustering[0]
@@ -423,20 +499,30 @@ class MaSchema:
     static_columns: list[tuple[str, str]] = field(default_factory=list)
     regular_columns: list[tuple[str, str]] = field(default_factory=list)
 
+    @staticmethod
+    def _marshal_name(fmt: str) -> str:
+        """Fully-qualified marshal class string: the package prefix on
+        EVERY type token, so parametrized collection types serialize
+        exactly as real headers do (MapType(UTF8Type,DoubleType) ->
+        o.a.c.db.marshal.MapType(o...UTF8Type,o...DoubleType))."""
+        import re
+
+        return re.sub(r"([A-Za-z0-9]+Type)", _MARSHAL + r"\1", fmt)
+
     def encode(self) -> bytes:
         out = bytearray()
         out += enc_uvint(self.min_timestamp)
         out += enc_uvint(self.min_local_deletion)
         out += enc_uvint(self.min_ttl)
-        out += _enc_vstr((_MARSHAL + self.key_type).encode())
+        out += _enc_vstr(self._marshal_name(self.key_type).encode())
         out += enc_uvint(len(self.clustering))
         for c in self.clustering:
-            out += _enc_vstr((_MARSHAL + c).encode())
+            out += _enc_vstr(self._marshal_name(c).encode())
         for cols in (self.static_columns, self.regular_columns):
             out += enc_uvint(len(cols))
             for name, fmt in cols:
                 out += _enc_vstr(name.encode())
-                out += _enc_vstr((_MARSHAL + fmt).encode())
+                out += _enc_vstr(self._marshal_name(fmt).encode())
         return bytes(out)
 
     @classmethod
@@ -448,7 +534,13 @@ class MaSchema:
 
         def fmt_of(class_name: bytes) -> str:
             n = class_name.decode()
-            return n[len(_MARSHAL) :] if n.startswith(_MARSHAL) else "UNKNOWN"
+            if not n.startswith(_MARSHAL):
+                return "UNKNOWN"
+            # strip the marshal package from EVERY position so
+            # parametrized collection types keep their structure:
+            # MapType(org...UTF8Type,org...DoubleType) ->
+            # MapType(UTF8Type,DoubleType)
+            return n.replace(_MARSHAL, "")
 
         kt, off = _dec_vstr(buf, off)
         s.key_type = fmt_of(kt)
@@ -638,8 +730,12 @@ class MaWriter:
                 out += enc_uvint(ldt - schema.min_local_deletion)
             if expiring:
                 out += enc_uvint(c.ttl - schema.min_ttl)
+        if is_complex_fmt(col_fmt):
+            # CellPath between the TTL fields and the value
+            pb = c.path or b""
+            out += enc_uvint(len(pb)) + pb
         if not flags & CELL_HAS_EMPTY_VALUE:
-            fmt = dict(self.static_columns if static else self.columns)[c.col_name]
+            fmt = complex_value_fmt(col_fmt) if is_complex_fmt(col_fmt) else col_fmt
             fixed = COLUMN_SIZES.get(fmt)
             if fixed is None:
                 out += enc_uvint(len(c.value)) + c.value
@@ -781,6 +877,18 @@ class MaWriter:
         else:
             group_items = [(None, p.cells, False)]
 
+        # a COMPLEX deletion for a row with no surviving cells still
+        # needs its row (deletion-only complex block)
+        if p.complex_tombs:
+            have = {gk for gk, _cs, st in group_items if not st}
+            for dck, _cname, _dts in p.complex_tombs:
+                t = self._ck_tuple(dck) if self.clustering else None
+                if t is not None and len(t) != len(self.clustering):
+                    raise ValueError("complex deletions need the FULL ck")
+                if t not in have:
+                    group_items.append((t, [], False))
+                    have.add(t)
+
         # a deletion of a ck with NO row to ride on becomes a degenerate
         # [ck, ck] range marker pair; one WITH a row rides it as
         # HAS_DELETION (both real encodings of a clustered-row deletion).
@@ -832,32 +940,65 @@ class MaWriter:
                     out += enc_uvint(1 << len(self.static_columns))
                 continue
             cols = self.static_columns if is_static else self.columns
-            col_index = {name: i for i, (name, _) in enumerate(cols)}
+            fmt_by_name = dict(cols)
             by_col: dict[str, list[Cell]] = {}
             for c in group_cells:
                 by_col.setdefault(c.col_name, []).append(c)
-            n_versions = max((len(v) for v in by_col.values()), default=0)
+            # per column, split cells into row VERSIONS: a simple column
+            # contributes one cell per version-row; a COMPLEX column's
+            # distinct paths share one row (the multi-cell block), only
+            # a repeated path forces a second version
+            ver_cells: dict[str, list[list[Cell]]] = {}
+            for name, cs in by_col.items():
+                if is_complex_fmt(fmt_by_name[name]):
+                    by_path: dict[bytes, list[Cell]] = {}
+                    for c in cs:
+                        by_path.setdefault(c.path or b"", []).append(c)
+                    nv = max(len(v) for v in by_path.values())
+                    ver_cells[name] = [
+                        sorted(
+                            (v[i] for v in by_path.values() if len(v) > i),
+                            key=lambda c: c.path or b"",
+                        )
+                        for i in range(nv)
+                    ]
+                else:
+                    ver_cells[name] = [[c] for c in cs]
+            # complex deletions scoped to THIS row (matched by ck)
+            cdels: dict[str, int] = {}
+            if not is_static:
+                for dck, cname, dts in p.complex_tombs:
+                    dt = self._ck_tuple(dck) if self.clustering else None
+                    if dt == ck and cname in fmt_by_name:
+                        cdels[cname] = max(dts, cdels.get(cname, dts))
+            n_versions = max(
+                [len(v) for v in ver_cells.values()] + ([1] if cdels else [0])
+            )
             for ver in range(n_versions):
-                row_cells = sorted(
-                    (cs[ver] for cs in by_col.values() if len(cs) > ver),
-                    key=lambda c: col_index[c.col_name],
-                )
+                row_by_col = {
+                    name: lst[ver]
+                    for name, lst in ver_cells.items()
+                    if len(lst) > ver
+                }
                 ck_del = (
                     ck_dels.get(ck)
                     if ver == 0 and ck is not None and not is_static
                     else None
                 )
+                cdels_v = cdels if ver == 0 else {}
                 if is_static or not self.clustering:
                     # statics precede every clustered unfiltered; the
                     # static-row deletion rides version 0
                     self._encode_row(
-                        out, row_cells, ck, p, style, ver, schema, is_static,
+                        out, row_by_col, ck, p, style, ver, schema, is_static,
                         p.static_tomb_ts if is_static and ver == 0 else None,
+                        cdels_v,
                     )
                 else:
                     tmp = bytearray()
                     self._encode_row(
-                        tmp, row_cells, ck, p, style, ver, schema, False, ck_del
+                        tmp, row_by_col, ck, p, style, ver, schema, False,
+                        ck_del, cdels_v,
                     )
                     items.append(((self._ck_pos_comps(ck), 0.5), bytes(tmp)))
         import functools
@@ -903,12 +1044,24 @@ class MaWriter:
         return bytes(out)
 
     def _encode_row(
-        self, out, row_cells, ck, p, style, ver, schema, static=False, ck_del=None
+        self, out, row_by_col, ck, p, style, ver, schema, static=False,
+        ck_del=None, complex_dels=None,
     ) -> None:
-        flags = HAS_TIMESTAMP
-        row_ts = min(c.ts for c in row_cells)
+        """One unfiltered row.  `row_by_col` maps column name -> cells:
+        exactly one for a simple column, any number (distinct paths)
+        for a complex column — those emit the complex-cell block
+        ([DeletionTime if HAS_COMPLEX_DELETION] count cell-with-path*).
+        A deletion-only row (no cells, only complex/row deletions) omits
+        HAS_TIMESTAMP entirely."""
+        complex_dels = complex_dels or {}
+        all_cells = [c for cs in row_by_col.values() for c in cs]
+        flags = 0
+        row_ts = None
+        if all_cells:
+            flags |= HAS_TIMESTAMP
+            row_ts = min(c.ts for c in all_cells)
         # row-level TTL only when every expiring cell shares one
-        ttls = {(c.ttl, c.expiration) for c in row_cells if c.ttl is not None and not c.deleted}
+        ttls = {(c.ttl, c.expiration) for c in all_cells if c.ttl is not None and not c.deleted}
         row_ttl = next(iter(ttls)) if len(ttls) == 1 else None
         if row_ttl is not None:
             flags |= HAS_TTL
@@ -919,8 +1072,11 @@ class MaWriter:
             row_del = ck_del
         if row_del is not None:
             flags |= HAS_DELETION
+        if complex_dels:
+            flags |= HAS_COMPLEX_DELETION
         row_columns = self.static_columns if static else self.columns
-        present = [c.col_name for c in row_cells]
+        fmt_by_name = dict(row_columns)
+        present = set(row_by_col) | set(complex_dels)
         if len(present) == len(row_columns):
             flags |= HAS_ALL_COLUMNS
         if static:
@@ -932,10 +1088,11 @@ class MaWriter:
             out += self._encode_clustering_prefix(ck)
         out += enc_uvint(0)  # rowsize (the reference discards it)
         out += enc_uvint(0)  # previous unfiltered size
-        out += enc_uvint(row_ts - schema.min_timestamp)
-        if row_ttl is not None:
-            out += enc_uvint(row_ttl[0] - schema.min_ttl)
-            out += enc_uvint(int(row_ttl[1]) - schema.min_local_deletion)
+        if flags & HAS_TIMESTAMP:
+            out += enc_uvint(row_ts - schema.min_timestamp)
+            if row_ttl is not None:
+                out += enc_uvint(row_ttl[0] - schema.min_ttl)
+                out += enc_uvint(int(row_ttl[1]) - schema.min_local_deletion)
         if row_del is not None:
             out += enc_uvint(row_del - schema.min_timestamp)
             out += enc_uvint(row_del // 1_000_000 - schema.min_local_deletion)
@@ -945,8 +1102,34 @@ class MaWriter:
             for name in present:
                 mask |= 1 << col_index[name]
             out += enc_uvint(mask)  # < 64 columns: bitmask form
-        for c in row_cells:
-            out += self._encode_cell(c, schema, row_ts, row_ttl, static)
+        for name, fmt in row_columns:
+            if name not in present:
+                continue
+            if is_complex_fmt(fmt):
+                if flags & HAS_COMPLEX_DELETION:
+                    # every complex block carries a DeletionTime when
+                    # the row flag is set — LIVE when this column has
+                    # none (mod-2^64 wrapped delta, like Cassandra's)
+                    dts = complex_dels.get(name)
+                    if dts is None:
+                        out += _enc_delta64(
+                            LIVE_MARKED_FOR_DELETE, schema.min_timestamp
+                        )
+                        out += _enc_delta64(
+                            LIVE_LOCAL_DELETION, schema.min_local_deletion
+                        )
+                    else:
+                        out += _enc_delta64(dts, schema.min_timestamp)
+                        out += _enc_delta64(
+                            dts // 1_000_000, schema.min_local_deletion
+                        )
+                cs = row_by_col.get(name, [])
+                out += enc_uvint(len(cs))
+                for c in cs:
+                    out += self._encode_cell(c, schema, row_ts, row_ttl, static)
+            else:
+                (c,) = row_by_col[name]
+                out += self._encode_cell(c, schema, row_ts, row_ttl, static)
 
     def finish(self) -> None:
         self._parts.sort(key=lambda t: (t[0], t[1].key))
@@ -963,6 +1146,9 @@ class MaWriter:
             if p.static_tomb_ts is not None:
                 all_ts.append(p.static_tomb_ts)
                 all_ldt.append(p.static_tomb_ts // 1_000_000)
+            for _ck, _cn, dts in p.complex_tombs:
+                all_ts.append(dts)
+                all_ldt.append(dts // 1_000_000)
             for c in p.cells:
                 all_ts.append(c.ts)
                 if c.deleted:
@@ -1340,9 +1526,18 @@ class MaReader:
             if expiring:
                 d, off = dec_uvint(buf, off)
                 ttl = d + s.min_ttl
+        complex_col = is_complex_fmt(col[1])
+        path = None
+        if complex_col:
+            # CellPath (CollectionType serializer: one vint-length
+            # element) sits between the TTL fields and the value
+            ln, off = dec_uvint(buf, off)
+            path = buf[off : _fixed(buf, off, ln) + ln]
+            off += ln
         value = b""
         if not flags & CELL_HAS_EMPTY_VALUE:
-            size, off = _column_value_size(col[1], buf, off)
+            vfmt = complex_value_fmt(col[1]) if complex_col else col[1]
+            size, off = _column_value_size(vfmt, buf, off)
             value = buf[off : _fixed(buf, off, size) + size]
             off += size
         return (
@@ -1353,6 +1548,7 @@ class MaReader:
                 ttl=ttl,
                 expiration=expiration,
                 deleted=deleted,
+                path=path,
             ),
             off,
         )
@@ -1443,6 +1639,7 @@ class MaReader:
             cells: list[Cell] = []
             range_tombs: list[RangeTomb] = []
             ck_tombs: list[tuple[bytes, int]] = []
+            complex_tombs: list[tuple[bytes, str, int]] = []
             static_tomb: int | None = None
             open_rt: tuple[bytes, bool, int] | None = None
             while True:
@@ -1563,6 +1760,26 @@ class MaReader:
                 for i, present in enumerate(subset):
                     if not present:
                         continue
+                    if is_complex_fmt(row_cols[i][1]):
+                        # complex-cell block: [DeletionTime if the row
+                        # flag says any column carries one] cellCount
+                        # cell-with-path* — the grammar the reference's
+                        # COLUMN_UNKNOWN fallback derails on
+                        if flags & HAS_COMPLEX_DELETION:
+                            mfd, off = _dec_delta64(buf, off, s.min_timestamp)
+                            _l, off = _dec_delta64(
+                                buf, off, s.min_local_deletion
+                            )
+                            if mfd != LIVE_MARKED_FOR_DELETE:
+                                complex_tombs.append((ck, row_cols[i][0], mfd))
+                        n_ccells, off = dec_uvint(buf, off)
+                        for _ in range(n_ccells):
+                            cell, off = self._read_cell(
+                                buf, off, row_cols[i], row_ts, row_ttl, row_ldt
+                            )
+                            cell.ck = ck
+                            cells.append(cell)
+                        continue
                     cell, off = self._read_cell(
                         buf, off, row_cols[i], row_ts, row_ttl, row_ldt
                     )
@@ -1579,5 +1796,6 @@ class MaReader:
                 range_tombs=range_tombs,
                 ck_tombs=ck_tombs,
                 static_tomb_ts=static_tomb,
+                complex_tombs=complex_tombs,
             )
 
