@@ -869,3 +869,30 @@ def test_collection_merge_via_spark(spark, tmp_path):
     raw2 = spark.read.format("sstable_run").option("layout", "ma").load(out)
     live2 = {(r.path, r.value) for r in merge.collection_live_cells(raw2).collect()}
     assert live2 == {(b"a", b"new")}
+
+
+def test_complex_truncation_fails_uniformly(tmp_path):
+    """Cut a collection-bearing logical stream at every byte: ValueError
+    (or a shorter prefix), never IndexError/struct.error — the codec
+    discipline extended to the complex-cell block grammar."""
+    d = str(tmp_path / "trunc_cx")
+    w = MA.MaWriter(d, 1, [
+        ("m", "MapType(UTF8Type,UTF8Type)"), ("s", "SetType(UTF8Type)"),
+    ])
+    p = Partition(key=b"k1", cells=[
+        Cell("m", b"v1", ts=100, path=b"a"),
+        Cell("m", b"", ts=120, path=b"b", deleted=True),
+        Cell("s", b"", ts=110, path=b"x"),
+    ])
+    p.complex_tombs.append((None, "m", 150))
+    w.add(p)
+    w.finish()
+    r = MA.MaReader(d, 1)
+    full = r._logical_data()
+    for cut in range(len(full)):
+        rr = MA.MaReader(d, 1)
+        rr._logical_data = lambda buf=full[:cut]: buf
+        try:
+            list(rr.partitions())
+        except ValueError:
+            pass  # uniform failure mode
