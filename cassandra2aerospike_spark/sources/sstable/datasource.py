@@ -106,6 +106,14 @@ class RunSlice(InputPartition):
     # per-file version so read() can dispatch old-era vs ma-era decoders
     # (SSTable.cpp:45-55 create_table)
     data_name: str | None = None
+    # offset-granular planning for sstables with WIDE partitions
+    # (promoted index entries): [data_lo, data_hi) = explicit logical
+    # range of whole partitions; block = (key, row_tomb_ts, lo, hi) =
+    # ONE promoted block of one wide partition.  Both None = the
+    # ordinary token-range slicing.
+    data_lo: int | None = None
+    data_hi: int | None = None
+    block: tuple | None = None
 
 
 def _summary_tokens(directory: str, gen: int) -> list[int]:
@@ -230,6 +238,11 @@ class SSTableRunReader(DataSourceReader):
                     f"inconsistent partitioners in {self.directory}: sstable "
                     f"{seen[0]} uses {seen[1]!r} but {name} uses {pner!r}"
                 )
+            if vcode >= V_MA:
+                wide = self._wide_partition_slices(rd, gen, name)
+                if wide is not None:
+                    parts += wide
+                    continue
             # O2 for real files: sub-split one sstable into token ranges
             # at Summary sample boundaries (seek via Summary + Index,
             # SSTable.cpp:58-180), so a single huge sstable parallelizes
@@ -266,6 +279,50 @@ class SSTableRunReader(DataSourceReader):
                     RunSlice(self.directory, gen, s, e, self.verify, "ma", name)
                 )
         return parts
+
+    def _wide_partition_slices(self, rd, gen: int, name: str):
+        """Offset-granular plan for an ma sstable containing WIDE
+        partitions (promoted Index.db entries): each promoted BLOCK of a
+        wide partition becomes its own InputPartition — one 10 GB
+        partition fans out across tasks instead of pinning one — and the
+        ordinary partitions between them become contiguous [lo, hi)
+        range slices.  Returns None when the sstable has no promoted
+        entries (the Summary token-split path handles it).  Token
+        lower-bound pushdown is NOT applied to these slices (Spark
+        re-applies every filter; only the pruning shortcut is lost,
+        and only for sstables that contain wide partitions)."""
+        entries = list(rd.index_entries_full())
+        if not any(promoted for _k, _p, promoted in entries):
+            return None
+        total = rd.logical_length()
+        slices: list[RunSlice] = []
+        rng_lo: int | None = None
+        for i, (key, pos, promoted) in enumerate(entries):
+            end = entries[i + 1][1] if i + 1 < len(entries) else total
+            if promoted is None:
+                if rng_lo is None:
+                    rng_lo = pos
+                continue
+            if rng_lo is not None:
+                slices.append(
+                    RunSlice(self.directory, gen, None, None, self.verify,
+                             "ma", name, data_lo=rng_lo, data_hi=pos)
+                )
+                rng_lo = None
+            row_tomb, blocks = promoted
+            for j, b in enumerate(blocks):
+                b_lo = pos + b
+                b_hi = pos + blocks[j + 1] if j + 1 < len(blocks) else end
+                slices.append(
+                    RunSlice(self.directory, gen, None, None, self.verify,
+                             "ma", name, block=(key, row_tomb, b_lo, b_hi))
+                )
+        if rng_lo is not None:
+            slices.append(
+                RunSlice(self.directory, gen, None, None, self.verify,
+                         "ma", name, data_lo=rng_lo, data_hi=total)
+            )
+        return slices
 
     def read(self, part: RunSlice):
         """Yield pyarrow.RecordBatch, not per-row tuples: row tuples pay
@@ -328,7 +385,16 @@ class SSTableRunReader(DataSourceReader):
                     prefix=parsed[2] if parsed is not None else None,
                 )
                 key_of = make_ck_key_fn(rd.stats.schema.clustering)
-                source = rd.partitions(part.start_token, part.end_token)
+                if part.block is not None:
+                    # one promoted block of a wide partition
+                    bkey, brow_tomb, b_lo, b_hi = part.block
+                    source = iter(
+                        [rd.partition_window(bytes(bkey), brow_tomb, b_lo, b_hi)]
+                    )
+                elif part.data_lo is not None:
+                    source = rd.partitions_between(part.data_lo, part.data_hi)
+                else:
+                    source = rd.partitions(part.start_token, part.end_token)
         else:
             rr = RunReader(part.directory, part.gen, verify_checksums=part.verify)
             source = (

@@ -612,6 +612,7 @@ class MaWriter:
         clustering: list[str] | None = None,
         static_columns: list[tuple[str, str]] | None = None,
         version: str = "ma",
+        promoted_threshold: int = 64 * 1024,
     ):
         os.makedirs(table_dir, exist_ok=True)
         self.table_dir = table_dir
@@ -636,6 +637,13 @@ class MaWriter:
         # components than the table's clustering), the real marker shape.
         self.clustering = clustering or []
         self.static_columns = static_columns or []
+        # WIDE-partition promoted index (round 7): partitions whose row
+        # area exceeds this write per-block offsets (+ the header
+        # deletion time, exactly why real Cassandra's RowIndexEntry
+        # stores deletionTime in the promoted index) into their Index.db
+        # entry, so the planner can sub-split ONE giant partition across
+        # tasks.  0/None disables.
+        self.promoted_threshold = promoted_threshold
         if self.static_columns and not self.clustering:
             raise ValueError("static columns require a clustering column")
         # (token, key, partition, row_tomb_style)
@@ -773,12 +781,17 @@ class MaWriter:
         as the real layout orders unfiltereds by clustering position;
         `comps_of` maps a transformed comps tuple back to the bound's
         original components for encoding."""
-        items: list[tuple[tuple, bytes]] = []
+        # third element: open-range state AFTER the marker (True = a
+        # range is open) — the promoted index must not cut a block while
+        # a range is open, else a window scan would see an unpaired
+        # marker and over-cover (the problem real Cassandra's IndexInfo
+        # endOpenMarker field exists for; we solve it by construction)
+        items: list[tuple[tuple, bytes, bool]] = []
 
         def close_item(prev):
             (v, side), ts = prev
             mtype = EXCL_END_BOUND if side < 0.5 else INCL_END_BOUND
-            return ((v, side), self._encode_marker(mtype, comps_of[v], ts))
+            return ((v, side), self._encode_marker(mtype, comps_of[v], ts), False)
 
         prev = None  # (end position, ts) of the previous segment
         for s_pos, e_pos, ts in segs:
@@ -790,7 +803,8 @@ class MaWriter:
                     else INCL_END_EXCL_START_BOUNDARY
                 )
                 items.append(
-                    ((v, side), self._encode_marker(mtype, comps_of[v], prev[1], ts))
+                    ((v, side),
+                     self._encode_marker(mtype, comps_of[v], prev[1], ts), True)
                 )
             else:
                 if prev is not None:
@@ -798,14 +812,23 @@ class MaWriter:
                 v, side = s_pos
                 mtype = INCL_START_BOUND if side < 0.5 else EXCL_START_BOUND
                 items.append(
-                    ((v, side), self._encode_marker(mtype, comps_of[v], ts))
+                    ((v, side), self._encode_marker(mtype, comps_of[v], ts), True)
                 )
             prev = (e_pos, ts)
         if prev is not None:
             items.append(close_item(prev))
         return items
 
-    def _encode_partition(self, p: Partition, style: str, schema: MaSchema) -> bytes:
+    def _encode_partition(
+        self, p: Partition, style: str, schema: MaSchema
+    ) -> tuple[bytes, list[int]]:
+        """Returns (encoded partition, offsets of each unfiltered
+        within it, per-offset cut-eligibility) — the offsets feed the
+        promoted index so block boundaries always fall on row starts,
+        and a boundary is only eligible where NO range-tombstone is
+        open (a window scan must never see an unpaired marker)."""
+        row_offs: list[int] = []
+        can_cut: list[bool] = []
         if style == "row" and (not p.cells or self.clustering):
             # HAS_DELETION needs a row to ride on — and on a CLUSTERED
             # table that row would be ck-/static-scoped, not a partition
@@ -822,6 +845,8 @@ class MaWriter:
             out += struct.pack(">q", LIVE_MARKED_FOR_DELETE)
 
         if p.row_tomb_ts is not None and style == "marker":
+            row_offs.append(len(out))
+            can_cut.append(True)
             out.append(IS_MARKER)
             out.append(0)  # marker type: inclusive open bound
             out += struct.pack(">H", 0)  # no clustering values
@@ -900,7 +925,7 @@ class MaWriter:
             for dck, dts in ck_dels.items()
             if not self.clustering or dck not in groups
         ]
-        items: list[tuple[tuple, bytes]] = []
+        items: list[tuple] = []
         if ranges:
             comps_of: dict[tuple, tuple] = {}
             iv = []
@@ -927,6 +952,8 @@ class MaWriter:
                 # which both this reader and the reference's
                 # decode_column_subset read as all-absent (mask 0 would
                 # collide with the "all present" special case)
+                row_offs.append(len(out))
+                can_cut.append(True)
                 out.append(EXTENSION_FLAG | HAS_DELETION | (
                     HAS_ALL_COLUMNS if not self.static_columns else 0
                 ))
@@ -989,6 +1016,8 @@ class MaWriter:
                 if is_static or not self.clustering:
                     # statics precede every clustered unfiltered; the
                     # static-row deletion rides version 0
+                    row_offs.append(len(out))
+                    can_cut.append(True)
                     self._encode_row(
                         out, row_by_col, ck, p, style, ver, schema, is_static,
                         p.static_tomb_ts if is_static and ver == 0 else None,
@@ -1000,15 +1029,22 @@ class MaWriter:
                         tmp, row_by_col, ck, p, style, ver, schema, False,
                         ck_del, cdels_v,
                     )
-                    items.append(((self._ck_pos_comps(ck), 0.5), bytes(tmp)))
+                    items.append(
+                        ((self._ck_pos_comps(ck), 0.5), bytes(tmp), None)
+                    )
         import functools
 
-        for _pos, encoded in sorted(
+        cur_open = False
+        for _pos, encoded, opens in sorted(
             items, key=functools.cmp_to_key(lambda a, b: _pos_cmp(a[0], b[0]))
         ):
+            row_offs.append(len(out))
+            can_cut.append(not cur_open)
             out += encoded
+            if opens is not None:
+                cur_open = opens
         out.append(END_OF_PARTITION)
-        return bytes(out)
+        return bytes(out), row_offs, can_cut
 
     def _encode_clustering_prefix(self, comps: tuple) -> bytes:
         """A clustering prefix of one or more components: per 32-column
@@ -1172,8 +1208,35 @@ class MaWriter:
             offsets_of_keys.append((p.key, len(index)))
             index += _enc_str16(p.key)
             index += enc_uvint(len(data))  # ma: position is a uvint
-            index += enc_uvint(0)  # promoted-index size
-            data += self._encode_partition(p, style, schema)
+            body, row_offs, can_cut = self._encode_partition(p, style, schema)
+            eff_style = (
+                "partition"
+                if style == "row" and (not p.cells or self.clustering)
+                else style
+            )
+            thr = self.promoted_threshold
+            if thr and len(body) > thr and len(row_offs) > 1:
+                # promoted index: block offsets at row starts + the
+                # partition-header deletion (RowIndexEntry stores the
+                # deletionTime for the same reason: a block reader must
+                # not re-read the partition start)
+                blocks = [row_offs[0]]
+                for o, ok in zip(row_offs[1:], can_cut[1:]):
+                    if ok and o - blocks[-1] >= thr:
+                        blocks.append(o)
+                if p.row_tomb_ts is not None and eff_style == "partition":
+                    ldt, marked = p.row_tomb_ts // 1_000_000, p.row_tomb_ts
+                else:
+                    ldt, marked = LIVE_LOCAL_DELETION, LIVE_MARKED_FOR_DELETE
+                promoted = bytearray()
+                promoted += enc_uvint(len(blocks))
+                promoted += struct.pack(">i", ldt) + struct.pack(">q", marked)
+                for b in blocks:
+                    promoted += enc_uvint(b)
+                index += enc_uvint(len(promoted)) + promoted
+            else:
+                index += enc_uvint(0)  # no promoted index
+            data += body
 
         # -- Data.db + CompressionInfo.db: chunked, CRC32-of-compressed
         chunk_offsets: list[int] = []
@@ -1485,6 +1548,45 @@ class MaReader:
             off = _fixed(buf, off, promoted) + promoted
             yield key, pos
 
+    def index_entries_full(self):
+        """(key, data_offset, promoted) triples from Index.db, where
+        `promoted` is None for ordinary partitions and
+        (row_tomb_ts | None, [block_offsets]) for WIDE partitions whose
+        entry carries a promoted index (block offsets are relative to
+        the partition start; the deletion time rides the entry so a
+        block reader never touches the partition header — the real
+        RowIndexEntry design)."""
+        buf = open(self.path("Index"), "rb").read()
+        off = 0
+        while off < len(buf):
+            key, off = _dec_str16(buf, off)
+            pos, off = dec_uvint(buf, off)
+            psize, off = dec_uvint(buf, off)
+            promoted = None
+            if psize:
+                end = _fixed(buf, off, psize) + psize
+                nb, o2 = dec_uvint(buf, off)
+                _fixed(buf, o2, 12)
+                (marked,) = struct.unpack_from(">q", buf, o2 + 4)
+                o2 += 12
+                blocks = []
+                for _ in range(nb):
+                    b, o2 = dec_uvint(buf, o2)
+                    blocks.append(b)
+                promoted = (
+                    None if marked == LIVE_MARKED_FOR_DELETE else marked,
+                    blocks,
+                )
+                off = end
+            yield key, pos, promoted
+
+    def logical_length(self) -> int:
+        """Total uncompressed Data.db length (CompressionInfo header)."""
+        _codec, _chunk, total, _offs = read_compression_info(
+            self.path("CompressionInfo"), "ma"
+        )
+        return total
+
     def _slice_offsets(
         self, start_token: int | None, end_token: int | None
     ) -> tuple[int, int | None] | None:
@@ -1615,8 +1717,6 @@ class MaReader:
         Index scan into a chunk-bounded logical window, so a slice
         decompresses only its own chunks (the O2 sub-split path; bounds
         are only meaningful under the Murmur3 partitioner)."""
-        s = self.stats.schema
-        cols = s.regular_columns
         if start_token is None and end_token is None:
             buf, n = self._logical_data(), None
         else:
@@ -1629,166 +1729,52 @@ class MaReader:
             n = None if end_off is None else end_off - start_off
         if n is None:
             n = len(buf)
-        off = 0
+        yield from self._partitions_in(buf, 0, n)
+
+    def partitions_between(self, lo: int, hi: int | None):
+        """(token, Partition) pairs from the explicit LOGICAL offset
+        range [lo, hi) — the planner's offset-granular slicing for
+        sstables with promoted (wide-partition) index entries, where
+        Summary token splits would be too coarse."""
+        buf, base = self._logical_window(lo, hi)
+        off = lo - base
+        n = len(buf) if hi is None else hi - base
+        yield from self._partitions_in(buf, off, n)
+
+    def partition_window(self, key: bytes, row_tomb: int | None,
+                         lo: int, hi: int | None):
+        """ONE BLOCK of a wide partition: rows in logical [lo, hi) —
+        a promoted-index block boundary always falls on an unfiltered
+        start — scanned WITHOUT the partition header (key and the
+        header deletion come from the Index.db promoted entry, exactly
+        why real Cassandra's RowIndexEntry carries deletionTime).
+        Returns (token, Partition) holding just this block's content;
+        the distributed merge reconciles blocks like any other
+        partition fragments."""
+        buf, base = self._logical_window(lo, hi)
+        off = lo - base
+        n = len(buf) if hi is None else hi - base
+        (cells, range_tombs, ck_tombs, complex_tombs, static_tomb,
+         row_tomb, _off) = self._scan_unfiltereds(buf, off, n, row_tomb)
+        return murmur3_token(key), Partition(
+            key=key,
+            row_tomb_ts=row_tomb,
+            cells=cells,
+            range_tombs=range_tombs,
+            ck_tombs=ck_tombs,
+            static_tomb_ts=static_tomb,
+            complex_tombs=complex_tombs,
+        )
+
+    def _partitions_in(self, buf: bytes, off: int, n: int):
         while off < n:
             key, off = _dec_str16(buf, off)
             off += 4  # partition localDeletion (the reference skips it too)
             (marked,) = struct.unpack_from(">q", buf, _fixed(buf, off, 8))
             off += 8
             row_tomb = None if marked == LIVE_MARKED_FOR_DELETE else marked
-            cells: list[Cell] = []
-            range_tombs: list[RangeTomb] = []
-            ck_tombs: list[tuple[bytes, int]] = []
-            complex_tombs: list[tuple[bytes, str, int]] = []
-            static_tomb: int | None = None
-            open_rt: tuple[bytes, bool, int] | None = None
-            while True:
-                flags = _byte(buf, off)
-                off += 1
-                if flags & END_OF_PARTITION:
-                    break
-                if flags & EXTENSION_FLAG:
-                    ext = _byte(buf, off)
-                    off += 1
-                else:
-                    ext = 0
-                is_static = bool(ext & IS_STATIC)
-                if flags & IS_MARKER:
-                    mtype = _byte(buf, off)
-                    off += 1
-                    (csize,) = struct.unpack_from(">H", buf, _fixed(buf, off, 2))
-                    off += 2
-                    bound = None
-                    if not is_static and csize:
-                        # the bound's clustering PREFIX (may be shorter
-                        # than the full clustering for multi-ck tables)
-                        bound, off = self._read_clustering(buf, off, csize)
-                    _rs, off = dec_uvint(buf, off)
-                    _ps, off = dec_uvint(buf, off)
-                    boundary = mtype in _BOUNDARIES
-                    _fixed(buf, off, 24 if boundary else 12)
-                    (del1,) = struct.unpack_from(">q", buf, off)
-                    off += 12  # deletion ts + local deletion
-                    del2 = None
-                    if boundary:
-                        # boundaries carry a SECOND deletion time: the
-                        # first closes the preceding range, the second
-                        # opens the next (the reference skips it,
-                        # SSTable.cpp:556-563)
-                        (del2,) = struct.unpack_from(">q", buf, off)
-                        off += 12
-                    if bound is None:
-                        # an unbounded marker covers the whole partition:
-                        # fold into the row tombstone (the reference's
-                        # treatment of EVERY marker, SSTable.cpp:553)
-                        row_tomb = del1 if row_tomb is None else max(row_tomb, del1)
-                        continue
-                    # a BOUNDED marker scopes a real ck range — the
-                    # capability the reference widens away.  Ends close
-                    # the pending open (markers are stored disjoint and
-                    # in clustering order, so one pending open suffices);
-                    # an end with no open is an unbounded-start range.
-                    if mtype in _END_MARKERS:
-                        end_incl = mtype in (INCL_END_BOUND, INCL_END_EXCL_START_BOUNDARY)
-                        if open_rt is not None:
-                            s_ck, s_incl, s_ts = open_rt
-                        else:
-                            s_ck, s_incl, s_ts = None, True, del1
-                        range_tombs.append(
-                            RangeTomb(s_ck, s_incl, bound, end_incl, s_ts)
-                        )
-                        open_rt = None
-                        if mtype == EXCL_END_INCL_START_BOUNDARY:
-                            open_rt = (bound, True, del2)
-                        elif mtype == INCL_END_EXCL_START_BOUNDARY:
-                            open_rt = (bound, False, del2)
-                    elif mtype == INCL_START_BOUND:
-                        open_rt = (bound, True, del1)
-                    elif mtype == EXCL_START_BOUND:
-                        open_rt = (bound, False, del1)
-                    else:
-                        raise ValueError(f"ma: unknown marker type {mtype}")
-                    continue
-                # static rows: no clustering prefix, cells come from the
-                # STATIC column set (read_normal_row's is_static branch,
-                # SSTable.cpp:573-607); they surface as ck=None cells —
-                # partition-resident per Cassandra semantics
-                row_cols = s.static_columns if is_static else cols
-                ck = None
-                if s.clustering and not is_static:
-                    # clustering values precede rowsize
-                    # (read_normal_row, SSTable.cpp:574-578) — a
-                    # capability FIX: the reference only SKIPS these
-                    # bytes and knowingly merges clustered rows wrongly
-                    # (reference README.md:30-36); we keep the prefix
-                    ck, off = self._read_clustering(buf, off)
-                _rs, off = dec_uvint(buf, off)
-                _ps, off = dec_uvint(buf, off)
-                row_ts = 0
-                row_ttl = row_ldt = None
-                if flags & HAS_TIMESTAMP:
-                    d, off = dec_uvint(buf, off)
-                    row_ts = d + s.min_timestamp
-                    if flags & HAS_TTL:
-                        d, off = dec_uvint(buf, off)
-                        row_ttl = d + s.min_ttl
-                        d, off = dec_uvint(buf, off)
-                        row_ldt = d + s.min_local_deletion
-                if flags & HAS_DELETION:
-                    d, off = dec_uvint(buf, off)
-                    rdel = d + s.min_timestamp
-                    _d, off = dec_uvint(buf, off)
-                    if is_static:
-                        # STATIC-row deletion: covers exactly the
-                        # partition's static cells — NOT a partition
-                        # tombstone (the round-6 reader refused these;
-                        # the reference would widen them)
-                        static_tomb = (
-                            rdel if static_tomb is None else max(static_tomb, rdel)
-                        )
-                    elif ck is not None:
-                        # clustered-row deletion: covers ONLY this
-                        # (key, ck) row — kept scoped instead of the
-                        # refusal the r5 reader shipped
-                        ck_tombs.append((ck, rdel))
-                    else:
-                        row_tomb = rdel if row_tomb is None else max(row_tomb, rdel)
-                if flags & HAS_ALL_COLUMNS:
-                    subset = [True] * len(row_cols)
-                else:
-                    subset, off = self._decode_subset(buf, off, len(row_cols))
-                for i, present in enumerate(subset):
-                    if not present:
-                        continue
-                    if is_complex_fmt(row_cols[i][1]):
-                        # complex-cell block: [DeletionTime if the row
-                        # flag says any column carries one] cellCount
-                        # cell-with-path* — the grammar the reference's
-                        # COLUMN_UNKNOWN fallback derails on
-                        if flags & HAS_COMPLEX_DELETION:
-                            mfd, off = _dec_delta64(buf, off, s.min_timestamp)
-                            _l, off = _dec_delta64(
-                                buf, off, s.min_local_deletion
-                            )
-                            if mfd != LIVE_MARKED_FOR_DELETE:
-                                complex_tombs.append((ck, row_cols[i][0], mfd))
-                        n_ccells, off = dec_uvint(buf, off)
-                        for _ in range(n_ccells):
-                            cell, off = self._read_cell(
-                                buf, off, row_cols[i], row_ts, row_ttl, row_ldt
-                            )
-                            cell.ck = ck
-                            cells.append(cell)
-                        continue
-                    cell, off = self._read_cell(
-                        buf, off, row_cols[i], row_ts, row_ttl, row_ldt
-                    )
-                    cell.ck = ck
-                    cells.append(cell)
-            if open_rt is not None:
-                # unclosed open at end-of-partition: unbounded-end range
-                s_ck, s_incl, s_ts = open_rt
-                range_tombs.append(RangeTomb(s_ck, s_incl, None, True, s_ts))
+            (cells, range_tombs, ck_tombs, complex_tombs, static_tomb,
+             row_tomb, off) = self._scan_unfiltereds(buf, off, n, row_tomb)
             yield murmur3_token(key), Partition(
                 key=key,
                 row_tomb_ts=row_tomb,
@@ -1798,4 +1784,172 @@ class MaReader:
                 static_tomb_ts=static_tomb,
                 complex_tombs=complex_tombs,
             )
+
+    def _scan_unfiltereds(self, buf: bytes, off: int, n: int,
+                          row_tomb: int | None):
+        """The unfiltered loop shared by whole-partition reads and
+        promoted-block windows: scans rows/markers until
+        END_OF_PARTITION or the window limit `n`."""
+        s = self.stats.schema
+        cols = s.regular_columns
+        cells: list[Cell] = []
+        range_tombs: list[RangeTomb] = []
+        ck_tombs: list[tuple[bytes, int]] = []
+        complex_tombs: list[tuple[bytes, str, int]] = []
+        static_tomb: int | None = None
+        open_rt: tuple[bytes, bool, int] | None = None
+        while off < n:
+            flags = _byte(buf, off)
+            off += 1
+            if flags & END_OF_PARTITION:
+                break
+            if flags & EXTENSION_FLAG:
+                ext = _byte(buf, off)
+                off += 1
+            else:
+                ext = 0
+            is_static = bool(ext & IS_STATIC)
+            if flags & IS_MARKER:
+                mtype = _byte(buf, off)
+                off += 1
+                (csize,) = struct.unpack_from(">H", buf, _fixed(buf, off, 2))
+                off += 2
+                bound = None
+                if not is_static and csize:
+                    # the bound's clustering PREFIX (may be shorter
+                    # than the full clustering for multi-ck tables)
+                    bound, off = self._read_clustering(buf, off, csize)
+                _rs, off = dec_uvint(buf, off)
+                _ps, off = dec_uvint(buf, off)
+                boundary = mtype in _BOUNDARIES
+                _fixed(buf, off, 24 if boundary else 12)
+                (del1,) = struct.unpack_from(">q", buf, off)
+                off += 12  # deletion ts + local deletion
+                del2 = None
+                if boundary:
+                    # boundaries carry a SECOND deletion time: the
+                    # first closes the preceding range, the second
+                    # opens the next (the reference skips it,
+                    # SSTable.cpp:556-563)
+                    (del2,) = struct.unpack_from(">q", buf, off)
+                    off += 12
+                if bound is None:
+                    # an unbounded marker covers the whole partition:
+                    # fold into the row tombstone (the reference's
+                    # treatment of EVERY marker, SSTable.cpp:553)
+                    row_tomb = del1 if row_tomb is None else max(row_tomb, del1)
+                    continue
+                # a BOUNDED marker scopes a real ck range — the
+                # capability the reference widens away.  Ends close
+                # the pending open (markers are stored disjoint and
+                # in clustering order, so one pending open suffices);
+                # an end with no open is an unbounded-start range.
+                if mtype in _END_MARKERS:
+                    end_incl = mtype in (INCL_END_BOUND, INCL_END_EXCL_START_BOUNDARY)
+                    if open_rt is not None:
+                        s_ck, s_incl, s_ts = open_rt
+                    else:
+                        s_ck, s_incl, s_ts = None, True, del1
+                    range_tombs.append(
+                        RangeTomb(s_ck, s_incl, bound, end_incl, s_ts)
+                    )
+                    open_rt = None
+                    if mtype == EXCL_END_INCL_START_BOUNDARY:
+                        open_rt = (bound, True, del2)
+                    elif mtype == INCL_END_EXCL_START_BOUNDARY:
+                        open_rt = (bound, False, del2)
+                elif mtype == INCL_START_BOUND:
+                    open_rt = (bound, True, del1)
+                elif mtype == EXCL_START_BOUND:
+                    open_rt = (bound, False, del1)
+                else:
+                    raise ValueError(f"ma: unknown marker type {mtype}")
+                continue
+            # static rows: no clustering prefix, cells come from the
+            # STATIC column set (read_normal_row's is_static branch,
+            # SSTable.cpp:573-607); they surface as ck=None cells —
+            # partition-resident per Cassandra semantics
+            row_cols = s.static_columns if is_static else cols
+            ck = None
+            if s.clustering and not is_static:
+                # clustering values precede rowsize
+                # (read_normal_row, SSTable.cpp:574-578) — a
+                # capability FIX: the reference only SKIPS these
+                # bytes and knowingly merges clustered rows wrongly
+                # (reference README.md:30-36); we keep the prefix
+                ck, off = self._read_clustering(buf, off)
+            _rs, off = dec_uvint(buf, off)
+            _ps, off = dec_uvint(buf, off)
+            row_ts = 0
+            row_ttl = row_ldt = None
+            if flags & HAS_TIMESTAMP:
+                d, off = dec_uvint(buf, off)
+                row_ts = d + s.min_timestamp
+                if flags & HAS_TTL:
+                    d, off = dec_uvint(buf, off)
+                    row_ttl = d + s.min_ttl
+                    d, off = dec_uvint(buf, off)
+                    row_ldt = d + s.min_local_deletion
+            if flags & HAS_DELETION:
+                d, off = dec_uvint(buf, off)
+                rdel = d + s.min_timestamp
+                _d, off = dec_uvint(buf, off)
+                if is_static:
+                    # STATIC-row deletion: covers exactly the
+                    # partition's static cells — NOT a partition
+                    # tombstone (the round-6 reader refused these;
+                    # the reference would widen them)
+                    static_tomb = (
+                        rdel if static_tomb is None else max(static_tomb, rdel)
+                    )
+                elif ck is not None:
+                    # clustered-row deletion: covers ONLY this
+                    # (key, ck) row — kept scoped instead of the
+                    # refusal the r5 reader shipped
+                    ck_tombs.append((ck, rdel))
+                else:
+                    row_tomb = rdel if row_tomb is None else max(row_tomb, rdel)
+            if flags & HAS_ALL_COLUMNS:
+                subset = [True] * len(row_cols)
+            else:
+                subset, off = self._decode_subset(buf, off, len(row_cols))
+            for i, present in enumerate(subset):
+                if not present:
+                    continue
+                if is_complex_fmt(row_cols[i][1]):
+                    # complex-cell block: [DeletionTime if the row
+                    # flag says any column carries one] cellCount
+                    # cell-with-path* — the grammar the reference's
+                    # COLUMN_UNKNOWN fallback derails on
+                    if flags & HAS_COMPLEX_DELETION:
+                        mfd, off = _dec_delta64(buf, off, s.min_timestamp)
+                        _l, off = _dec_delta64(
+                            buf, off, s.min_local_deletion
+                        )
+                        if mfd != LIVE_MARKED_FOR_DELETE:
+                            complex_tombs.append((ck, row_cols[i][0], mfd))
+                    n_ccells, off = dec_uvint(buf, off)
+                    for _ in range(n_ccells):
+                        cell, off = self._read_cell(
+                            buf, off, row_cols[i], row_ts, row_ttl, row_ldt
+                        )
+                        cell.ck = ck
+                        cells.append(cell)
+                    continue
+                cell, off = self._read_cell(
+                    buf, off, row_cols[i], row_ts, row_ttl, row_ldt
+                )
+                cell.ck = ck
+                cells.append(cell)
+        if open_rt is not None:
+            # unclosed open at end-of-partition/window: unbounded-end
+            # range (a window cut between a start and its end marker is
+            # impossible — the normalized on-disk form never splits a
+            # segment across promoted blocks without its bounds, and an
+            # unbounded-end here reconciles to the same cover after the
+            # merge unions the neighboring block's markers)
+            s_ck, s_incl, s_ts = open_rt
+            range_tombs.append(RangeTomb(s_ck, s_incl, None, True, s_ts))
+        return (cells, range_tombs, ck_tombs, complex_tombs, static_tomb,
+                row_tomb, off)
 

@@ -896,3 +896,92 @@ def test_complex_truncation_fails_uniformly(tmp_path):
             list(rr.partitions())
         except ValueError:
             pass  # uniform failure mode
+
+
+def test_promoted_index_blocks_and_window(tmp_path):
+    """A wide partition (row area > promoted_threshold) writes a
+    promoted index — block offsets at row starts + the header deletion
+    time (the RowIndexEntry design) — and partition_window() decodes
+    each block independently; the union of blocks equals the whole
+    partition, and ordinary partitions keep empty promoted entries."""
+    d = str(tmp_path / "ks" / "wide")
+    w = MA.MaWriter(d, 1, [("v", "UTF8Type")], clustering=["UTF8Type"],
+                    promoted_threshold=256)
+    big = Partition(key=b"big", row_tomb_ts=500, cells=[
+        Cell("v", b"x%03d" % i, ts=1000 + i, ck=b"ck%04d" % i)
+        for i in range(200)
+    ])
+    small = Partition(key=b"small", cells=[Cell("v", b"y", ts=5, ck=b"c")])
+    w.add(big)
+    w.add(small)
+    w.finish()
+
+    r = MA.MaReader(d, 1)
+    ordered = list(r.index_entries_full())
+    entries = {k: (pos, pr) for k, pos, pr in ordered}
+    assert entries[b"small"][1] is None
+    row_tomb, blocks = entries[b"big"][1]
+    assert row_tomb == 500 and len(blocks) > 2
+    pos = entries[b"big"][0]
+    later = [p for _k, p, _pr in ordered if p > pos]
+    end = min(later) if later else r.logical_length()
+    all_cells = []
+    for j, b in enumerate(blocks):
+        hi = pos + blocks[j + 1] if j + 1 < len(blocks) else end
+        tok, p = r.partition_window(b"big", row_tomb, pos + b, hi)
+        assert tok == MA.murmur3_token(b"big")
+        assert p.row_tomb_ts == 500
+        all_cells += [(c.ck, c.value, c.ts) for c in p.cells]
+    whole = {pp.key: pp for _t, pp in r.partitions()}[b"big"]
+    assert all_cells == [(c.ck, c.value, c.ts) for c in whole.cells]
+
+
+def test_wide_partition_datasource_split(spark, tmp_path):
+    """End-to-end: a directory whose sstable holds one WIDE partition
+    plans one InputPartition per promoted block (plus range slices for
+    the small partitions), and the merged result is IDENTICAL to the
+    same content written without a promoted index — one giant partition
+    no longer pins a single task."""
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+        register,
+    )
+
+    def build(dirname, thr):
+        d = str(tmp_path / dirname / "tmx" / "widet")
+        w = MA.MaWriter(d, 1, [("v", "UTF8Type")], clustering=["UTF8Type"],
+                        promoted_threshold=thr)
+        big = Partition(key=b"big", cells=[
+            Cell("v", b"x%03d" % i, ts=1000 + i, ck=b"ck%04d" % i)
+            for i in range(400)
+        ])
+        # a range tombstone covering ck0000..ck0049 — cover must hold
+        # even when marker and covered rows land in different blocks
+        from cassandra2aerospike_spark.sources.sstable.format import RangeTomb
+        big.range_tombs.append(RangeTomb(b"ck0000", True, b"ck0049", True, 9999))
+        w.add(big)
+        for k in range(5):
+            w.add(Partition(key=b"s%d" % k, cells=[
+                Cell("v", b"y", ts=5 + k, ck=b"c")
+            ]))
+        w.finish()
+        return d
+
+    d_wide = build("wide", 512)
+    d_flat = build("flat", 0)
+    rdr = SSTableRunReader({"path": d_wide, "layout": "ma"})
+    slices = rdr.partitions()
+    assert sum(1 for s in slices if s.block is not None) > 2  # real fan-out
+    register(spark)
+
+    def merged(path):
+        raw = spark.read.format("sstable_run").option("layout", "ma").load(path)
+        return {
+            (r.key, r.ck, r.value, r.ts)
+            for r in merge.clustered_live_cells(raw).collect()
+        }
+
+    got, want = merged(d_wide), merged(d_flat)
+    assert got == want
+    assert len(got) == 350 + 5  # 50 cks killed by the marker
