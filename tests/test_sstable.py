@@ -992,3 +992,52 @@ def test_snappy_decompress_never_hangs_on_garbage(b):
     # if it decoded, the declared length matched
     n, _ = snappy_py._uvarint_dec(b, 0)
     assert len(out) == n
+
+
+def test_stage_parquet_concurrency_and_idempotence(spark, tmp_path):
+    """stage_parquet publishes via write-to-tmp + atomic rename: a
+    repeat call reuses the winner's output (no rewrite — mtimes prove
+    it); a loser racing a completed winner returns immediately; a
+    crashed-winner dir (present, no marker) fails loudly with the
+    remediation hint instead of serving partial data."""
+    import os
+    import time
+
+    import pytest
+
+    from cassandra2aerospike_spark.functions.dedup import stage_parquet
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "ck" / "stage1")
+    out1 = stage_parquet(df, path)
+    assert out1.count() == 100
+    files = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    assert "_GRAFT_DONE" in files
+    time.sleep(0.05)
+    out2 = stage_parquet(df, path)  # idempotent reuse, no rewrite
+    assert out2.count() == 100
+    files2 = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    assert files == files2
+
+    # crashed writer: dir exists without the marker -> loud timeout,
+    # not silent partial reads (the wait loop's clock is monkeypatched
+    # to advance 200s per call so the 300s deadline passes quickly)
+    os.remove(os.path.join(path, "_GRAFT_DONE"))
+    real_time = time.time
+    t0 = real_time()
+    state = {"n": 0}
+
+    def advancing():  # each call jumps 200s: the 300s deadline passes fast
+        state["n"] += 1
+        return t0 + state["n"] * 200
+
+    try:
+        time.time = advancing
+        with pytest.raises(TimeoutError, match="remove it to retry"):
+            stage_parquet(df, path)
+    finally:
+        time.time = real_time
