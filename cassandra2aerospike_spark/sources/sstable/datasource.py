@@ -291,6 +291,8 @@ class SSTableRunReader(DataSourceReader):
         lower-bound pushdown is NOT applied to these slices (Spark
         re-applies every filter; only the pruning shortcut is lost,
         and only for sstables that contain wide partitions)."""
+        # one driver-side Index pass per sstable at planning — the same
+        # order of work as the Summary read above it
         entries = list(rd.index_entries_full())
         if not any(promoted for _k, _p, promoted in entries):
             return None
