@@ -29,6 +29,52 @@ from .datasource import register
 from .format import Cell, Partition, RunWriter
 
 
+def staged_dir(final_dir: str, build) -> str:
+    """Atomic-publish discipline for every keyed on-disk fixture cache
+    (the r07-verdict race fix, generalizing functions/dedup.stage_parquet's
+    local-path branch to arbitrary directory builders): `build(tmp_dir)`
+    writes the fixture into a UNIQUE sibling temp directory, a `_DONE`
+    marker is stamped inside it, and one os.rename publishes the whole
+    tree under `final_dir`.  Two concurrent sessions sharing a cache key
+    (pytest-xdist, driver + local bench) can no longer interleave writes
+    or scan a half-written directory: the first rename wins; losers
+    discard their temp tree and await the winner's marker.  The caller
+    owns cache-key freshness via the directory name (fixture fingerprint
+    + FIXTURE_ENCODER_REV, see default_runs_dir)."""
+    import shutil
+    import time
+    import uuid
+
+    marker = os.path.join(final_dir, "_DONE")
+    if os.path.exists(marker):
+        return final_dir
+    parent = os.path.dirname(os.path.abspath(final_dir))
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(
+        parent, f".{os.path.basename(final_dir)}.tmp-{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(tmp)
+    try:
+        build(tmp)
+        open(os.path.join(tmp, "_DONE"), "w").write("ok")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, final_dir)  # atomic publish; fails if a winner exists
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        deadline = time.time() + 300
+        while not os.path.exists(marker):  # winner mid-write: await marker
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"staged_dir: {final_dir} exists without _DONE after "
+                    "300s (crashed writer?); remove it to retry"
+                )
+            time.sleep(0.1)
+    return final_dir
+
+
 def build_runs_from_events(
     spark: SparkSession, sf_dir: str, out_dir: str, n_runs: int = 3,
     old_format_runs: int = 0, codecs: tuple[str, ...] = ("deflate",),
@@ -944,6 +990,248 @@ def build_ma_collection_table_from_events(
         w.finish()
     open(marker, "w").write("ok")
     return table_dir
+
+
+UDT_ADDR = (
+    "UserType(tmx,61646472,"
+    "63697479:UTF8Type,7a6970:Int32Type,6e6f7465:UTF8Type)"
+)  # fields: city (0, text), zip (1, int32), note (2, text)
+
+
+def build_ma_udt_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 2
+) -> str:
+    """REAL Cassandra 3.x table with a NON-FROZEN USER-DEFINED TYPE
+    column — multi-cell since Cassandra 3.6, the most common real 3.x
+    schema shape the engine still misread before round 8 — beside a
+    FROZEN UDT blob column and an (always-frozen) tuple column.  The
+    non-frozen UDT encodes as the complex-cell block with FIELD-INDEX
+    cell paths (2-byte BE shorts) and per-field typed values (text AND
+    fixed-width int32, so the value-format dispatch is exercised); the
+    frozen twins serialize as single blobs on the simple path.  The
+    reference misparses the non-frozen column exactly as it misparses
+    collections (SSTable.hpp:120 declares HAS_COMPLEX_DELETION, no read
+    path).  Derivation (mirrored by the s25 oracle):
+
+      key = user_id.  Columns: addr UDT_ADDR (non-frozen);
+      faddr FrozenType(UDT_ADDR) (blob = event_type, on
+      event_id % 11 = 0); pair TupleType(Int32Type,UTF8Type)
+      (blob = repr(float(value)), on event_id % 13 = 0).
+
+      kind cadence: event_id % 97 = 0 -> complex deletion of addr at
+      ts (the whole-UDT overwrite's delete half); % 10 = 0 -> DELETED
+      addr cell at field index event_id % 2 (single-field removal);
+      else the cell fan-out: addr.city = event_type, addr.zip =
+      int32(event_id % 89999 + 10000) (every cell event), addr.note =
+      repr(float(value)) on event_id % 3 = 0.  Two sstables (ts % 2)
+      so reconciliation spans files."""
+    import struct
+
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    table_dir = os.path.join(
+        out_dir, "udt" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_udt"
+    )
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    kind = (
+        F.when(eid % 97 == 0, F.lit("cxu"))
+        .when(eid % 10 == 0, F.lit("point"))
+        .otherwise(F.lit("cell"))
+    )
+    rows = events.select(
+        (F.col("ts_us") % n_sstables).cast("int").alias("run"),
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("et"),
+        "value",
+        F.col("ts_us").alias("ts"),
+        kind.alias("kind"),
+        "event_id",
+    ).collect()
+    f16 = lambda i: struct.pack(">H", i)  # noqa: E731 — UDT field path
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        p = by_run[r.run].setdefault(key, Partition(key=key))
+        ts = int(r.ts)
+        if r.kind == "cxu":
+            p.complex_tombs.append((None, "addr", ts))
+        elif r.kind == "point":
+            p.cells.append(
+                Cell(col_name="addr", ts=ts, deleted=True, path=f16(r.event_id % 2))
+            )
+        else:
+            p.cells.append(
+                Cell(col_name="addr", value=r.et.encode(), ts=ts, path=f16(0))
+            )
+            p.cells.append(
+                Cell(
+                    col_name="addr",
+                    value=struct.pack(">i", int(r.event_id) % 89999 + 10000),
+                    ts=ts,
+                    path=f16(1),
+                )
+            )
+            if r.event_id % 3 == 0:
+                p.cells.append(
+                    Cell(
+                        col_name="addr",
+                        value=repr(float(r.value)).encode(),
+                        ts=ts,
+                        path=f16(2),
+                    )
+                )
+            if r.event_id % 11 == 0:
+                p.cells.append(Cell(col_name="faddr", value=r.et.encode(), ts=ts))
+            if r.event_id % 13 == 0:
+                p.cells.append(
+                    Cell(col_name="pair", value=repr(float(r.value)).encode(), ts=ts)
+                )
+
+    def _build(tmp: str) -> None:
+        for gen, parts in by_run.items():
+            w = MaWriter(
+                tmp,
+                gen + 1,
+                [
+                    ("addr", UDT_ADDR),
+                    ("faddr", f"FrozenType({UDT_ADDR})"),
+                    ("pair", "TupleType(Int32Type,UTF8Type)"),
+                ],
+                codec_class="LZ4Compressor" if gen % 2 == 0 else "DeflateCompressor",
+            )
+            for key in sorted(parts):
+                p = parts[key]
+                p.cells.sort(key=lambda c: (c.col_name, c.path or b"", c.ts))
+                w.add(p)
+            w.finish()
+
+    return staged_dir(table_dir, _build)
+
+
+def build_ma_reversed_ck_table_from_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_sstables: int = 2
+) -> str:
+    """The s22 multi-ck fixture with the day column DESCENDING —
+    clustering (ReversedType(Int32Type) day_off, UTF8Type cat), the
+    `CLUSTERING ORDER BY (day DESC)` shape real time-series schemas use
+    constantly and the one typed-order case make_ck_key_fn did not model
+    before round 8.  Same event derivation as
+    build_ma_multick_table_from_events (same oracle-covered sets: a
+    range tombstone over days [d-span, d] deletes the SAME typed set
+    regardless of sort direction), but every range bound is expressed in
+    POSITION order — under a DESC day the positionally-first bound is
+    the LARGEST day, with inclusivities following their bounds — and the
+    writer lays rows out in descending day order.  A reader or writer
+    that ignores ReversedType misorders every marker/row interleave here
+    and diverges from the s22 oracle."""
+    import struct
+
+    from .format import RangeTomb
+    from .ma_format import FIXTURE_ENCODER_REV, MaWriter
+
+    table_dir = os.path.join(
+        out_dir, "rck" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_rck"
+    )
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    kind = (
+        F.when(eid % 97 == 0, F.lit("row"))
+        .when(eid % 89 == 0, F.lit("sdel"))
+        .when(eid % 13 == 0, F.lit("range"))
+        .when(eid % 10 == 0, F.lit("point"))
+        .otherwise(F.lit("cell"))
+    )
+    rows = events.select(
+        (F.col("ts_us") % n_sstables).cast("int").alias("run"),
+        F.col("user_id").alias("key"),
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.col("event_type").alias("col_name"),
+        "value",
+        F.col("ts_us").alias("ts"),
+        kind.alias("kind"),
+        "event_id",
+    ).collect()
+    base = min(r.day for r in rows) + 2  # day_off in [-2, ...]
+    i32 = lambda v: struct.pack(">i", int(v))  # noqa: E731
+    col_names = sorted(
+        {r.col_name for r in rows if r.kind == "cell" and r.col_name != "signup"}
+    )
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        parts = by_run[r.run]
+        p = parts.get(key)
+        if p is None:
+            p = parts[key] = Partition(key=key)
+        d = int(r.day - base)
+        cat = chr(97 + r.event_id % 3).encode()
+        ck = (i32(d), cat)
+        if r.kind == "row":
+            p.ck_tombs.append((ck, r.ts))
+        elif r.kind == "sdel":
+            p.static_tomb_ts = max(p.static_tomb_ts or r.ts, r.ts)
+        elif r.kind == "range":
+            span = 1 + r.event_id % 3
+            # POSITION order under DESC day: start = the LARGER day
+            # (positionally smallest), end = the smaller; each bound
+            # keeps the inclusivity its day carried in the ASC twin
+            if r.event_id % 2 == 0:  # prefix bounds: day only
+                p.range_tombs.append(
+                    RangeTomb(
+                        (i32(d),), r.event_id % 4 < 2,
+                        (i32(d - span),), True, r.ts,
+                    )
+                )
+            else:  # full two-component bounds
+                p.range_tombs.append(
+                    RangeTomb(
+                        (i32(d), cat), r.event_id % 4 < 2,
+                        (i32(d - span), cat), r.event_id % 6 < 3, r.ts,
+                    )
+                )
+        elif r.kind == "point":
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name, ts=r.ts, deleted=True,
+                    ck=None if r.col_name == "signup" else ck,
+                )
+            )
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ck=None if r.col_name == "signup" else ck,
+                )
+            )
+
+    def _build(tmp: str) -> None:
+        for gen, parts in by_run.items():
+            w = MaWriter(
+                tmp,
+                gen + 1,
+                [(n, "UTF8Type") for n in col_names],
+                clustering=["ReversedType(Int32Type)", "UTF8Type"],
+                static_columns=[("signup", "UTF8Type")],
+                codec_class="LZ4Compressor" if gen % 2 == 0 else "DeflateCompressor",
+            )
+            for key in sorted(parts):
+                p = parts[key]
+                p.cells.sort(
+                    key=lambda c: (b"".join(c.ck) if c.ck else b"", c.col_name, c.ts)
+                )
+                w.add(p)
+            w.finish()
+
+    return staged_dir(table_dir, _build)
 
 
 def classified_from_ma(

@@ -231,13 +231,19 @@ COLUMN_SIZES: dict[str, int | None] = {
 
 
 def is_complex_fmt(fmt: str) -> bool:
-    """Multi-cell collection column types (map/set/list, NON-frozen):
-    their row-body encoding is a complex-cell BLOCK ([deletion] count
-    cell-with-path*), not one simple cell — the grammar the reference
-    cannot read (its COLUMN_UNKNOWN fallback parses the cell count as a
-    flag byte and derails).  Frozen collections serialize as one blob
-    value and stay on the simple path."""
-    return fmt.startswith(("MapType(", "SetType(", "ListType("))
+    """Multi-cell column types — NON-frozen collections (map/set/list)
+    AND non-frozen user-defined types (round 8): their row-body encoding
+    is a complex-cell BLOCK ([deletion] count cell-with-path*), not one
+    simple cell — the grammar the reference cannot read (its
+    COLUMN_UNKNOWN fallback parses the cell count as a flag byte and
+    derails; SSTable.hpp:120 declares HAS_COMPLEX_DELETION but no read
+    path exists).  Frozen variants serialize as one blob value on the
+    simple path — real 3.x headers mark them `FrozenType(UserType(...))`
+    / `FrozenType(MapType(...))` (Cassandra's AbstractType.toString
+    wraps iff !isMultiCell), so the prefix test is exact.  TupleType is
+    always frozen in CQL (no multi-cell tuples exist on disk) and its
+    header string carries no FrozenType wrapper — it stays simple."""
+    return fmt.startswith(("MapType(", "SetType(", "ListType(", "UserType("))
 
 
 def _split_params(inner: str) -> list[str]:
@@ -256,10 +262,31 @@ def _split_params(inner: str) -> list[str]:
     return parts
 
 
-def complex_value_fmt(fmt: str) -> str:
+def udt_field_types(fmt: str) -> list[str]:
+    """Field types (by field index) of a UserType marshal string:
+    ``UserType(<keyspace>,<hex type name>,<hex field name>:<type>,...)``
+    — Cassandra's TypeParser form, keyspace and names verbatim, field
+    entries after the first two params.  The FIELD INDEX is the cell-
+    path key (a 2-byte BE short — UserType.cellPathSerializer), unlike
+    collections whose path is the element/key bytes."""
+    inner = fmt[fmt.index("(") + 1 : -1]
+    params = _split_params(inner)
+    return [p.split(":", 1)[1] for p in params[2:]]
+
+
+def complex_value_fmt(fmt: str, path: bytes | None = None) -> str:
     """Wire format of ONE cell's VALUE inside a complex block: map ->
     the value type, list -> the element type, set -> empty (the element
-    lives in the cell PATH)."""
+    lives in the cell PATH), non-frozen UDT -> the type of the field the
+    PATH indexes (2-byte BE field position)."""
+    if fmt.startswith("UserType("):
+        fields = udt_field_types(fmt)
+        idx = int.from_bytes(path or b"", "big")
+        if idx >= len(fields):
+            raise ValueError(
+                f"UDT cell path indexes field {idx} of {len(fields)}"
+            )
+        return fields[idx]
     inner = fmt[fmt.index("(") + 1 : -1]
     if fmt.startswith("MapType("):
         return _split_params(inner)[1]
@@ -363,22 +390,75 @@ def _escape_component(b: bytes) -> bytes:
     return b.replace(b"\x00", b"\x00\xff") + b"\x00\x00"
 
 
+def unwrap_reversed(fmt: str) -> tuple[str, bool]:
+    """(inner type, is_descending) — ``ReversedType(X)`` marks a DESC
+    clustering comparator (Cassandra `CLUSTERING ORDER BY (c DESC)`);
+    the VALUE wire format is the inner type's, only comparison flips."""
+    if fmt.startswith("ReversedType(") and fmt.endswith(")"):
+        return fmt[len("ReversedType(") : -1], True
+    return fmt, False
+
+
+def _complement(b: bytes) -> bytes:
+    return bytes(x ^ 0xFF for x in b)
+
+
+def component_frame(fmt: str, raw: bytes) -> bytes:
+    """ONE clustering component as a self-delimiting sort-key frame:
+    typed transform -> prefix-free escape -> bitwise complement when
+    the comparator is ReversedType (DESC).  Complementing the ESCAPED
+    frame (not the bare value) is what makes variable-width DESC order
+    correct on prefixes: complement alone sorts 'ab' after 'a' (ASC
+    residue); complementing the terminated frame sorts every extension
+    of 'a' BEFORE 'a', which is DESC order.  The complement is a byte
+    bijection, so frames stay mutually prefix-free and concatenations
+    still decide comparisons inside the first differing component."""
+    inner, desc = unwrap_reversed(fmt)
+    framed = _escape_component(typed_component_key(inner, raw))
+    return _complement(framed) if desc else framed
+
+
+def ck_tuple_sort_key(clustering: list[str], comps: tuple) -> bytes:
+    """Memcomparable sort key of a component tuple (possibly a strict
+    PREFIX of the clustering): unsigned-lexicographic byte order of the
+    output equals the table's typed clustering-tuple order, including
+    DESC (ReversedType) columns and shorter-prefix-bound semantics.
+    ONE source of truth shared by the writer's layout order
+    (_ck_sort_key) and the reader's ck_key column (make_ck_key_fn)."""
+    if len(clustering) == 1:
+        fmt, desc = unwrap_reversed(clustering[0])
+        fixed = COLUMN_SIZES.get(fmt)
+        if fixed is not None and not desc:
+            # fixed-width ASC: bare typed key (uniform length, no frame
+            # needed — the common fast path)
+            return typed_component_key(fmt, comps[0])
+        # variable-width or DESC single-ck components are FRAMED too:
+        # an unframed variable-width key cannot distinguish "cell
+        # extends the bound" from "cell equals the bound" under the
+        # truncate-and-compare cover test (bound 'ab' would wrongly
+        # cover cell 'abc'), and DESC needs the complemented frame
+        return component_frame(clustering[0], comps[0])
+    return b"".join(
+        component_frame(f, c) for f, c in zip(clustering, comps)
+    )
+
+
 def make_ck_key_fn(clustering: list[str]):
     """Closure mapping a decoded clustering prefix (the reader's raw
     `ck` bytes: the bare value for single-ck tables, encode_composite
-    form for multi-ck) to its memcomparable sort key, or None for None.
-    Single text-ish ck is the identity (zero per-cell cost on the
-    common shape)."""
+    form for multi-ck) to its memcomparable sort key (ck_tuple_sort_key
+    semantics), or None for None."""
     if not clustering:
         return lambda raw: None
-    _TYPED = ("LongType", "TimestampType", "Int32Type", "FloatType",
-              "DoubleType", "ShortType", "ByteType",
-              "UUIDType", "TimeUUIDType")
     if len(clustering) == 1:
-        fmt = clustering[0]
-        if fmt not in _TYPED:  # text/blob-ish: bytes order IS typed order
-            return lambda raw: raw
-        return lambda raw: None if raw is None else typed_component_key(fmt, raw)
+        fmt, desc = unwrap_reversed(clustering[0])
+        fixed = COLUMN_SIZES.get(fmt)
+        if fixed is not None and not desc:
+            return lambda raw: (
+                None if raw is None else typed_component_key(fmt, raw)
+            )
+        spec = clustering[0]
+        return lambda raw: None if raw is None else component_frame(spec, raw)
     from .format import decode_composite
 
     fmts = list(clustering)
@@ -387,7 +467,7 @@ def make_ck_key_fn(clustering: list[str]):
         if raw is None:
             return None
         return b"".join(
-            _escape_component(typed_component_key(f, c))
+            component_frame(f, c)
             for f, c in zip(fmts, decode_composite(raw))
         )
 
@@ -559,7 +639,10 @@ class MaSchema:
 
 def _column_value_size(fmt: str, buf: bytes, off: int) -> tuple[int, int]:
     """get_column_size (SSTableSchema.cpp:79-109): fixed width or a
-    leading uvint for variable-width types."""
+    leading uvint for variable-width types.  ReversedType (a DESC
+    clustering comparator) wraps the wire type without changing it."""
+    if fmt.startswith("ReversedType("):
+        fmt = fmt[len("ReversedType(") : -1]
     fixed = COLUMN_SIZES.get(fmt)
     if fixed is not None:
         return fixed, off
@@ -679,21 +762,23 @@ class MaWriter:
     def _ck_sort_key(self, comps: tuple) -> bytes:
         """Typed memcomparable key — the writer's layout order MUST be
         the same order make_ck_key_fn gives the reader, else markers
-        interleave wrongly with rows."""
-        if len(self.clustering) == 1:
-            return typed_component_key(self.clustering[0], comps[0])
-        return b"".join(
-            _escape_component(typed_component_key(f, c))
-            for f, c in zip(self.clustering, comps)
-        )
+        interleave wrongly with rows.  Shared implementation:
+        ck_tuple_sort_key (incl. ReversedType DESC columns)."""
+        return ck_tuple_sort_key(self.clustering, comps)
 
     def _ck_pos_comps(self, comps: tuple) -> tuple:
-        """Per-component typed keys for _pos_cmp positions (prefix
+        """Per-component compare keys for _pos_cmp positions (prefix
         bounds keep their component count so before/after-extension
-        ordering is decidable)."""
-        return tuple(
-            typed_component_key(f, c) for f, c in zip(self.clustering, comps)
-        )
+        ordering is decidable).  DESC (ReversedType) components use the
+        complemented frame — bare complement would misorder variable-
+        width prefixes ('ab' vs 'abc') inside _pos_cmp's per-component
+        byte comparison."""
+        out = []
+        for f, c in zip(self.clustering, comps):
+            inner, desc = unwrap_reversed(f)
+            k = typed_component_key(inner, c)
+            out.append(_complement(_escape_component(k)) if desc else k)
+        return tuple(out)
 
     def _encode_cell(
         self,
@@ -743,7 +828,11 @@ class MaWriter:
             pb = c.path or b""
             out += enc_uvint(len(pb)) + pb
         if not flags & CELL_HAS_EMPTY_VALUE:
-            fmt = complex_value_fmt(col_fmt) if is_complex_fmt(col_fmt) else col_fmt
+            fmt = (
+                complex_value_fmt(col_fmt, c.path)
+                if is_complex_fmt(col_fmt)
+                else col_fmt
+            )
             fixed = COLUMN_SIZES.get(fmt)
             if fixed is None:
                 out += enc_uvint(len(c.value)) + c.value
@@ -1063,7 +1152,7 @@ class MaWriter:
                 if c == b"":
                     header |= 1 << shift  # empty component, no bytes
                 else:
-                    fixed = COLUMN_SIZES.get(self.clustering[j])
+                    fixed = COLUMN_SIZES.get(unwrap_reversed(self.clustering[j])[0])
                     if fixed is None:
                         body += enc_uvint(len(c)) + c
                     else:
@@ -1638,7 +1727,7 @@ class MaReader:
             off += ln
         value = b""
         if not flags & CELL_HAS_EMPTY_VALUE:
-            vfmt = complex_value_fmt(col[1]) if complex_col else col[1]
+            vfmt = complex_value_fmt(col[1], path) if complex_col else col[1]
             size, off = _column_value_size(vfmt, buf, off)
             value = buf[off : _fixed(buf, off, size) + size]
             off += size

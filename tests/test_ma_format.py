@@ -985,3 +985,176 @@ def test_wide_partition_datasource_split(spark, tmp_path):
     got, want = merged(d_wide), merged(d_flat)
     assert got == want
     assert len(got) == 350 + 5  # 50 cks killed by the marker
+
+
+# ------------------------------------------------- round 8: UDT columns
+
+
+def test_udt_marshal_parse_and_value_fmt():
+    """UserType marshal strings: field types parse by index, the cell
+    path (2-byte BE field position) selects the value wire format, and
+    frozen variants (FrozenType wrapper — Cassandra's toString marks
+    frozen iff !isMultiCell) plus always-frozen tuples stay SIMPLE."""
+    udt = "UserType(ks,61646472,737472656574:UTF8Type,7a6970:Int32Type,6c61743a:DoubleType)"
+    assert MA.is_complex_fmt(udt)
+    assert MA.udt_field_types(udt) == ["UTF8Type", "Int32Type", "DoubleType"]
+    assert MA.complex_value_fmt(udt, b"\x00\x00") == "UTF8Type"
+    assert MA.complex_value_fmt(udt, b"\x00\x02") == "DoubleType"
+    with pytest.raises(ValueError):
+        MA.complex_value_fmt(udt, b"\x00\x03")
+    # nested parametrized field type splits at top level
+    nested = "UserType(ks,6e,61:MapType(UTF8Type,Int32Type),62:UTF8Type)"
+    assert MA.udt_field_types(nested) == ["MapType(UTF8Type,Int32Type)", "UTF8Type"]
+    assert not MA.is_complex_fmt(f"FrozenType({udt})")
+    assert not MA.is_complex_fmt("TupleType(Int32Type,UTF8Type)")
+    # the marshal package prefix round-trips through the header codec
+    full = MA.MaSchema._marshal_name(udt)
+    assert full.count(MA._MARSHAL) == 4  # UserType + 3 field types
+    s = MA.MaSchema(regular_columns=[("u", udt)])
+    assert MA.MaSchema.decode(s.encode(), 0).regular_columns == [("u", udt)]
+
+
+def test_udt_roundtrip(tmp_path):
+    """Non-frozen UDT columns: field-index cell paths, per-field typed
+    values (fixed AND variable width), complex (whole-UDT overwrite)
+    deletions, and frozen-UDT / tuple blob columns in the same rows all
+    round-trip writer -> reader.  The reference misparses this table the
+    same way it misparses collections (SSTable.hpp:120)."""
+    udt = "UserType(ks,61646472,737472656574:UTF8Type,7a6970:Int32Type)"
+    d = str(tmp_path / "ks" / "udt")
+    w = MA.MaWriter(d, 1, [
+        ("addr", udt),
+        ("faddr", f"FrozenType({udt})"),
+        ("pair", "TupleType(Int32Type,UTF8Type)"),
+    ])
+    f0, f1 = b"\x00\x00", b"\x00\x01"
+    i32 = struct.pack(">i", -7)
+    p = Partition(key=b"k1", cells=[
+        Cell("addr", b"main st", ts=100, path=f0),
+        Cell("addr", i32, ts=100, path=f1),
+        Cell("addr", b"broad st", ts=300, path=f0),     # 2nd version
+        Cell("addr", b"", ts=150, path=f1, deleted=True),
+        Cell("faddr", b"frozen-blob-bytes", ts=100),
+        Cell("pair", b"tuple-blob", ts=100),
+    ])
+    p.complex_tombs.append((None, "addr", 200))
+    w.add(p)
+    w.finish()
+
+    r = MA.MaReader(d, 1)
+    assert dict(r.stats.schema.regular_columns)["addr"] == udt
+    (_t, got), = r.partitions()
+    assert got.complex_tombs == [(None, "addr", 200)]
+    cells = {(c.col_name, c.path, c.ts): (c.value, c.deleted) for c in got.cells}
+    assert cells[("addr", f0, 100)] == (b"main st", False)
+    assert cells[("addr", f1, 100)] == (i32, False)
+    assert cells[("addr", f0, 300)] == (b"broad st", False)
+    assert cells[("addr", f1, 150)] == (b"", True)
+    assert cells[("faddr", None, 100)] == (b"frozen-blob-bytes", False)
+    assert cells[("pair", None, 100)] == (b"tuple-blob", False)
+
+
+def test_udt_merge_via_spark(spark, tmp_path):
+    """collection_live_cells reconciles UDT cells per (key, column,
+    field-index path) across sstables: a whole-UDT overwrite (complex
+    deletion + new field cells) hides older fields, a single-field
+    tombstone kills one path, LWW picks the newest field version."""
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.sources.sstable.datasource import register
+
+    udt = "UserType(ks,61646472,737472656574:UTF8Type,7a6970:Int32Type)"
+    d = str(tmp_path / "ks" / "udtq")
+    f0, f1 = b"\x00\x00", b"\x00\x01"
+    w = MA.MaWriter(d, 1, [("u", udt)])
+    w.add(Partition(key=b"7", cells=[
+        Cell("u", b"old", ts=100, path=f0),
+        Cell("u", struct.pack(">i", 1), ts=100, path=f1),
+    ]))
+    w.finish()
+    w2 = MA.MaWriter(d, 2, [("u", udt)])
+    p = Partition(key=b"7", cells=[
+        Cell("u", b"new", ts=300, path=f0),           # the overwrite
+        Cell("u", b"", ts=310, path=f1, deleted=True),  # field tombstone
+    ])
+    p.complex_tombs.append((None, "u", 200))
+    w2.add(p)
+    w2.finish()
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(d)
+    live = {(r.path, r.value) for r in merge.collection_live_cells(raw).collect()}
+    assert live == {(f0, b"new")}
+
+
+# -------------------------------------- round 8: ReversedType (DESC ck)
+
+
+def test_reversed_component_key_orders():
+    """component_frame under ReversedType: byte order of frames is the
+    EXACT reverse of typed order, including variable-width prefixes
+    ('abc' before 'ab' in DESC — bare complement gets this wrong) and
+    signed numerics."""
+    i32 = lambda v: struct.pack(">i", v)  # noqa: E731
+    asc_days = [i32(v) for v in (-5, -1, 0, 1, 7)]
+    desc = [MA.component_frame("ReversedType(Int32Type)", b) for b in asc_days]
+    assert desc == sorted(desc, reverse=True)
+    texts = [b"a", b"ab", b"abc", b"b"]
+    dframes = [MA.component_frame("ReversedType(UTF8Type)", t) for t in texts]
+    order = [t for _f, t in sorted(zip(dframes, texts))]
+    assert order == [b"b", b"abc", b"ab", b"a"]
+    # single-ck key fn: DESC and variable-width ASC both framed; the
+    # frame keeps truncate-and-compare exact on prefix-shaped values
+    key_asc = MA.make_ck_key_fn(["UTF8Type"])
+    assert key_asc(b"ab") != key_asc(b"abc")[: len(key_asc(b"ab"))]
+    key_desc = MA.make_ck_key_fn(["ReversedType(Int32Type)"])
+    ks = [key_desc(b) for b in asc_days]
+    assert ks == sorted(ks, reverse=True)
+
+
+def test_reversed_ck_roundtrip_and_cover(tmp_path):
+    """A DESC-day clustered table (ReversedType(Int32Type), UTF8Type):
+    rows lay out in descending day order, a positional range marker
+    [day=3 .. day=1] (start = the LARGEST day — position order) covers
+    exactly days 1..3, and reading back through make_ck_key_fn keeps
+    the truncate-and-compare cover correct for prefix bounds."""
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        RangeTomb,
+        encode_composite,
+    )
+
+    i32 = lambda v: struct.pack(">i", v)  # noqa: E731
+    clustering = ["ReversedType(Int32Type)", "UTF8Type"]
+    d = str(tmp_path / "ks" / "revck")
+    w = MA.MaWriter(d, 1, [("v", "UTF8Type")], clustering=clustering)
+    p = Partition(key=b"k", cells=[
+        Cell("v", str(day).encode(), ts=100, ck=(i32(day), b"a"))
+        for day in (-2, 0, 1, 2, 3, 5)
+    ])
+    # prefix marker in POSITION order: with day DESC the positionally
+    # smaller bound is the larger day
+    p.range_tombs.append(RangeTomb((i32(3),), True, (i32(1),), True, 500))
+    w.add(p)
+    w.finish()
+
+    (_t, got), = MA.MaReader(d, 1).partitions()
+    key_of = MA.make_ck_key_fn(clustering)
+    # writer layout: descending day
+    days_in_order = [
+        struct.unpack(">i", c.ck[2:6])[0]
+        for c in got.cells
+    ]
+    assert days_in_order == [5, 3, 2, 1, 0, -2]
+
+    def covered(cell_ck):
+        ck = key_of(cell_ck)
+        hit = False
+        for rt in got.range_tombs:
+            s, e = key_of(rt.start), key_of(rt.end)
+            ps, pe = ck[: len(s)], ck[: len(e)]
+            lo = ps > s or (rt.start_incl and ps == s)
+            hi = pe < e or (rt.end_incl and pe == e)
+            hit = hit or (lo and hi)
+        return hit
+
+    for day in (-2, 0, 1, 2, 3, 5):
+        want = 1 <= day <= 3
+        assert covered(encode_composite([i32(day), b"a"])) == want, day
