@@ -30,76 +30,76 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring).  First the queries that
-# were fixed/changed this round, then one-or-more per family without a
-# round-1 driver row.  Everything not listed keeps its module order after
-# the prefix.
+# Checked-prefix priority (see module docstring) — ROUND-9 prefix.
+# The driver signs the first 50 registry rows; slots are spent on
+# (a) queries with no driver row yet, (b) queries whose fixtures or
+# semantics change this round, (c) the stalest cohort (latest driver
+# green <= r05 — exactly 45 rows entering r09, so the whole cohort
+# fits: 2 + 3 + 45 = 50, no deferrals).
 _PRIORITY = [
-    # -- round-7 NEW queries: typed multi-clustering-column cover on
-    #    real bytes (signed Int32 + UTF8 clustering, prefix + full
-    #    range-marker bounds, static-row deletions; tagged-union with
-    #    its compaction roundtrip through the typed DataSource write
-    #    path), and multi-cell COLLECTION columns (map/set/list cell
-    #    paths + complex deletions — the HAS_COMPLEX_DELETION grammar
-    #    the reference declares but cannot read)
-    "s22_multi_ck_range_merge",
+    # -- (a) never driver-checked: round-8's non-frozen UDT merge
+    #    (field-index cell paths; r09 adds per-generation UDT schema
+    #    evolution to the fixture) and ReversedType DESC clustering
+    #    (complement-after-framing sort keys, both merge branches)
+    "s25_udt_merge",
+    "s26_reversed_ck_merge",
+    # -- (b) changed this round / changed in r08 without re-verify:
+    #    s19's mixed directory gains a REAL nb-era (Cassandra 4.x)
+    #    generation (ka+la+mc+md+nb per-file auto-detect); s20
+    #    exercises the single-variable-width-ck framed keys that r08's
+    #    make_ck_key_fn change altered (ADVICE r08, medium); s24 rides
+    #    the r09 complex_value_fmt malformed-path strictening
+    "s19_mc_era_merge",
+    "s20_ma_rt_compaction_roundtrip",
     "s24_collection_merge",
-    # -- round-7 CHANGED surfaces that must re-verify: the dup-span
-    #    gram frequency moved from a count-over-window to groupBy+join
-    #    (hot-key fix); the counter fixture gained a REAL ma generation
-    #    (3-era ka+la+ma reconciliation); PII scrubbing gained IPv6 /
-    #    Luhn-checked card / national-ID classes
-    "text_dup_span_removal",
-    "a7_counter_reconcile",
-    "text_pii_scrub",
-    # -- rotation (VERDICT r6 item 6): the entire round-4-latest cohort
-    #    (45 rows) re-enters the checked prefix so no registry row's
-    #    newest green is older than r05 at r07 end
-    "f2_live_row_counts",
-    "a2_row_tombstone_max",
-    "a4_expiry_fold_first",
-    "f3_expired_filter",
-    "compaction_roundtrip",
-    "counter_merge",
-    "a5_pivot_wide",
-    "join_inner",
-    "join_left",
-    "join_right",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_star",
-    "join_range_theta",
-    "agg_pricing_summary",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_minmax_stats",
-    "agg_collect",
-    "agg_salted_skew",
-    "win_topk_per_group",
-    "win_rank",
-    "win_running_sum",
-    "win_distribution",
-    "dedup_jaccard_pairs",
-    "dedup_keep_list",
-    "dedup_edit_distance",
-    "dedup_simhash_pairs",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_embedding_neardup",
-    "token_murmur3",
-    "text_gopher_rules",
-    "text_repetition_rules",
-    "f4_ttl_policy",
-    "p4_partitioner_registry",
-    "p5_partitioner_abort",
-    "s12_retry_backpressure",
-    "text_line_dedup",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
+    # -- (c) the full r05-stale cohort (45 rows), semantics-adjacent
+    #    rows first: the sstable read path (old-format promoted-index
+    #    split + the r08 comparator change touch these), then the rest.
+    "s15_ma_format_merge",
+    "s17_ma_clustering_merge",
+    "s18_ma_range_tombstone_merge",
+    "s8_oldformat_merge",
+    "s16_mixed_era_merge",
+    "s9_sstable_merge",
+    "ma_compaction_roundtrip",
+    "merge_full",
+    "pipeline_sstable_corpus",
+    "stream_real_sstable_ingest",
+    "o2_real_resume",
+    "s11_create_only_sink",
+    "mm_binary_meta",
+    "mm_media_probe",
+    "mm_real_decode",
+    "mm_real_frame_sample",
+    "mm_real_resize",
+    "mm_video_probe",
+    "dedup_exact_prefix",
+    "layout_zorder",
+    "sample_domain_mix",
+    "sample_stratified",
+    "scalar_arrays",
+    "scalar_conditional",
+    "scalar_maps",
+    "scalar_math_safe",
+    "scalar_strings_hex",
+    "series_gap_fill",
+    "set_ops_all",
+    "set_ops_distinct",
+    "sort_multi_limit",
+    "src_formats_roundtrip",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_rare_token_filter",
+    "text_salient_terms",
+    "text_token_stats",
+    "topk_global",
+    "unpivot_melt",
+    "win_range_frame",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1121,6 +1121,8 @@ _CTE_MIXED = _CTE.replace(
 assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
 QUERIES = {
+    "s25_udt_merge": q_s25_udt_merge,
+    "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
     "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
     "s20_ma_rt_compaction_roundtrip": q_s20_ma_rt_compaction_roundtrip,
     "s22_multi_ck_range_merge": q_s22_multi_ck_range_merge,
