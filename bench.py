@@ -57,6 +57,43 @@ HEADLINE = [
 ]
 
 
+# Host-speed calibration (VERDICT r07 task 3 / r08 task 3): rounds 7 and
+# 8 showed the whole suite drifting ~1.35x in BOTH directions on
+# byte-identical plans — pure host noise, indistinguishable from a real
+# regression without an anchor.  The probe is a fixed PURE-JVM workload
+# (range -> hash -> shuffle agg; no parquet, no Python, no repo code),
+# so its runtime tracks only the host: same JVM codegen, same shuffle
+# machinery, zero dependence on anything this repo changes.
+# CALIBRATION_REF_SEC pins the round-9 host measurement; future rounds
+# read speed_factor = calibration_sec / CALIBRATION_REF_SEC and compare
+# value_warm_normalized (= value_warm / speed_factor) across rounds.
+CALIBRATION_REF_SEC = 0.49
+
+
+def calibration_probe(spark, k: int = 5) -> float:
+    """Median wall-time of the fixed JVM-only calibration query."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 80_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy(F.pmod("h", F.lit(1024)).alias("b"))
+            # pmod bounds the summand so ANSI mode can't overflow long
+            .agg(F.count("*").alias("n"), F.sum(F.pmod("h", F.lit(1000003))).alias("s"))
+            .agg(F.sum("n"), F.max("s"))
+            .collect()
+        )
+        return time.time() - t0
+
+    for _ in range(3):  # JIT warm-up: first runs are C1-compiled and slower
+        run()
+    return round(statistics.median(run() for _ in range(k)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,6 +106,14 @@ def main() -> None:
     # latency at these SFs (~3-4 s of fixed JVM cost on a ~1 s query), so
     # run the heaviest pipeline once untimed before measuring steady state.
     spark.range(1).count()
+    calib = calibration_probe(spark)
+    speed = round(calib / CALIBRATION_REF_SEC, 3)
+    print(
+        f"# calibration: {calib}s (ref {CALIBRATION_REF_SEC}s, host speed "
+        f"factor {speed} — >1 means THIS host run is slower than the "
+        f"round-9 anchor; divide suite times by it to compare rounds)",
+        file=sys.stderr,
+    )
     if "merge_full" in qs:
         qs["merge_full"](spark, sf_dir).count()
     # stage the capstone's on-disk fixture outside the timed pass (one-
@@ -430,6 +475,10 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
         "warm_k": k_warm,
+        "calibration_sec": calib,
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "host_speed_factor": speed,
+        "value_warm_normalized": round(sum(warm.values()) / max(speed, 1e-9), 3),
         "sf": sf,
         "merge_throughput_rows_per_sec": round(thru),
         "sstable_merge_throughput_rows_per_sec": round(sst_thru),

@@ -281,7 +281,15 @@ def complex_value_fmt(fmt: str, path: bytes | None = None) -> str:
     PATH indexes (2-byte BE field position)."""
     if fmt.startswith("UserType("):
         fields = udt_field_types(fmt)
-        idx = int.from_bytes(path or b"", "big")
+        # UserType.cellPathSerializer writes EXACTLY a 2-byte BE short;
+        # a missing/odd-sized path is a malformed cell and must fail
+        # loudly, not silently decode as field 0
+        if path is None or len(path) != 2:
+            raise ValueError(
+                f"UDT cell path must be a 2-byte BE field index, got "
+                f"{path!r}"
+            )
+        idx = int.from_bytes(path, "big")
         if idx >= len(fields):
             raise ValueError(
                 f"UDT cell path indexes field {idx} of {len(fields)}"
