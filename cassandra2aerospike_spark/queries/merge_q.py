@@ -804,9 +804,13 @@ def q_s25_udt_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the block).  Reconciliation is per (key, column, field-path):
     whole-UDT overwrites ride a complex deletion, single-field removals
     a path-scoped point tombstone (merge.collection_live_cells — the
-    same one-exchange cover as s24).  Output: per (key, column) the
-    merged value as a sorted entries string — addr fields
-    'city=.../zip=.../note=...', the frozen columns their bare value."""
+    same one-exchange cover as s24).  Round 9: the two generations
+    span an `ALTER TYPE addr ADD note` — file 1's header declares the
+    2-field UDT, file 2's the 3-field one, and each decodes against
+    its OWN header (per-file udt_field_types), merging across the
+    ALTER boundary.  Output: per (key, column) the merged value as a
+    sorted entries string — addr fields 'city=.../zip=.../note=...',
+    the frozen columns their bare value."""
     from ..sources.sstable.datasource import register
     from ..sources.sstable.fixtures import (
         build_ma_udt_table_from_events,
@@ -1300,11 +1304,16 @@ _S24_ORACLE = """
 # s25: the UDT fixture derivation replayed relationally — the complex
 # (whole-UDT) deletion is a per-key max-ts cover over every addr field,
 # single-field removals a per-(key, field-index) cover, survival strict
-# ts >; the frozen columns are plain LWW blobs.
+# ts >; the frozen columns are plain LWW blobs.  Generation routing is
+# run = epoch_us % 2: run 0 is the PRE-ALTER file (2-field UDT — point
+# tombstones index mod 2, no note cells), run 1 post-ALTER (mod 3,
+# note on eid % 3 = 0); the field index rides the eid QUOTIENT because
+# every point eid is itself = 0 mod 10 (ADVICE r08).
 _S25_ORACLE = """
     WITH cls AS (
       SELECT user_id AS key, event_type AS et, value,
-             epoch_us(ts) AS ts, event_id AS eid,
+             epoch_us(ts) AS ts, epoch_us(ts) % 2 AS run,
+             event_id AS eid,
              CASE WHEN event_id % 97 = 0 THEN 'cxu'
                   WHEN event_id % 10 = 0 THEN 'point'
                   ELSE 'cell' END AS kind
@@ -1312,8 +1321,10 @@ _S25_ORACLE = """
     ), cxu AS (
       SELECT key, max(ts) AS tomb FROM cls WHERE kind = 'cxu' GROUP BY 1
     ), pt AS (
-      SELECT key, eid % 2 AS f, max(ts) AS tomb FROM cls
-      WHERE kind = 'point' GROUP BY 1, 2
+      SELECT key,
+             (eid // 10) % (CASE WHEN run = 0 THEN 2 ELSE 3 END) AS f,
+             max(ts) AS tomb
+      FROM cls WHERE kind = 'point' GROUP BY 1, 2
     ), fields AS (
       SELECT key, 0 AS f, et AS v, ts FROM cls WHERE kind = 'cell'
       UNION ALL
@@ -1321,7 +1332,7 @@ _S25_ORACLE = """
       FROM cls WHERE kind = 'cell'
       UNION ALL
       SELECT key, 2, printf('%.2f', value), ts
-      FROM cls WHERE kind = 'cell' AND eid % 3 = 0
+      FROM cls WHERE kind = 'cell' AND eid % 3 = 0 AND run = 1
     ), live AS (
       SELECT fi.key, fi.f, fi.v, fi.ts
       FROM fields fi

@@ -996,6 +996,9 @@ UDT_ADDR = (
     "UserType(tmx,61646472,"
     "63697479:UTF8Type,7a6970:Int32Type,6e6f7465:UTF8Type)"
 )  # fields: city (0, text), zip (1, int32), note (2, text)
+UDT_ADDR_V1 = (
+    "UserType(tmx,61646472,63697479:UTF8Type,7a6970:Int32Type)"
+)  # the PRE-`ALTER TYPE addr ADD note` shape: city (0), zip (1) only
 
 
 def build_ma_udt_table_from_events(
@@ -1020,17 +1023,33 @@ def build_ma_udt_table_from_events(
 
       kind cadence: event_id % 97 = 0 -> complex deletion of addr at
       ts (the whole-UDT overwrite's delete half); % 10 = 0 -> DELETED
-      addr cell at field index event_id % 2 (single-field removal);
-      else the cell fan-out: addr.city = event_type, addr.zip =
-      int32(event_id % 89999 + 10000) (every cell event), addr.note =
-      repr(float(value)) on event_id % 3 = 0.  Two sstables (ts % 2)
-      so reconciliation spans files."""
+      addr cell at field index (event_id // 10) % n_fields — the
+      modulus rides the QUOTIENT so every field index actually occurs
+      (event_id itself is = 0 mod 10 here, ADVICE r08); else the cell
+      fan-out: addr.city = event_type, addr.zip = int32(event_id %
+      89999 + 10000) (every cell event), addr.note =
+      repr(float(value)) on event_id % 3 = 0 — note only in the
+      POST-ALTER generation.
+
+      UDT SCHEMA EVOLUTION across generations (VERDICT r08 task 7,
+      the s21 playbook applied to UDTs): generation 1 (run 0) is
+      PRE-`ALTER TYPE addr ADD note` — its Statistics.db header
+      declares the 2-field UDT_ADDR_V1, it carries no note cells, and
+      its point tombstones index fields mod 2; generation 2+ carry
+      the 3-field UDT_ADDR with note cells and mod-3 point indexes.
+      Each file must decode against its OWN header (udt_field_types
+      is per-file) — decoding gen 1 against the 3-field type, or gen
+      2 against the 2-field one, misparses or raises.  Two sstables
+      (ts % 2) so reconciliation spans the ALTER boundary."""
     import struct
 
     from .ma_format import FIXTURE_ENCODER_REV, MaWriter
 
     table_dir = os.path.join(
-        out_dir, "udt" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_udt"
+        # "udtevo": cache identity bumped with the r09 derivation change
+        # (schema evolution + quotient field indexes) — a cached pre-r09
+        # "udt…" tree must not serve the new oracle
+        out_dir, "udtevo" + FIXTURE_ENCODER_REV + f"_{n_sstables}", "tmx", "events_udt"
     )
     marker = os.path.join(table_dir, "_DONE")
     if os.path.exists(marker):
@@ -1057,11 +1076,17 @@ def build_ma_udt_table_from_events(
         key = str(r.key).encode("utf-8")
         p = by_run[r.run].setdefault(key, Partition(key=key))
         ts = int(r.ts)
+        n_fields = 2 if r.run == 0 else 3  # pre- vs post-ALTER generation
         if r.kind == "cxu":
             p.complex_tombs.append((None, "addr", ts))
         elif r.kind == "point":
             p.cells.append(
-                Cell(col_name="addr", ts=ts, deleted=True, path=f16(r.event_id % 2))
+                Cell(
+                    col_name="addr",
+                    ts=ts,
+                    deleted=True,
+                    path=f16((int(r.event_id) // 10) % n_fields),
+                )
             )
         else:
             p.cells.append(
@@ -1075,7 +1100,9 @@ def build_ma_udt_table_from_events(
                     path=f16(1),
                 )
             )
-            if r.event_id % 3 == 0:
+            if r.run != 0 and r.event_id % 3 == 0:
+                # note exists only post-ALTER: pre-ALTER files carry no
+                # field-2 cells (matching real Cassandra after ALTER ADD)
                 p.cells.append(
                     Cell(
                         col_name="addr",
@@ -1093,11 +1120,13 @@ def build_ma_udt_table_from_events(
 
     def _build(tmp: str) -> None:
         for gen, parts in by_run.items():
+            addr_fmt = UDT_ADDR_V1 if gen == 0 else UDT_ADDR
             w = MaWriter(
                 tmp,
                 gen + 1,
                 [
-                    ("addr", UDT_ADDR),
+                    # per-generation header: gen 1 pre-ALTER (2 fields)
+                    ("addr", addr_fmt),
                     ("faddr", f"FrozenType({UDT_ADDR})"),
                     ("pair", "TupleType(Int32Type,UTF8Type)"),
                 ],

@@ -1158,3 +1158,169 @@ def test_reversed_ck_roundtrip_and_cover(tmp_path):
     for day in (-2, 0, 1, 2, 3, 5):
         want = 1 <= day <= 3
         assert covered(encode_composite([i32(day), b"a"])) == want, day
+
+
+def test_udt_schema_evolution_per_generation_headers(tmp_path):
+    """UDT SCHEMA EVOLUTION (VERDICT r08 task 7): two generations of one
+    table span an `ALTER TYPE ... ADD` — gen 1's header declares the
+    2-field UDT, gen 2's the 3-field one.  Each file must decode its
+    cells against its OWN header: the same field-1 path is Int32 in
+    both, but a field-2 path exists only under gen 2's type, and gen 1
+    decoded under gen 2's header (or vice versa) would mis-dispatch.
+    This pins udt_field_types/complex_value_fmt as PER-FILE facts."""
+    v1 = "UserType(ks,61646472,63697479:UTF8Type,7a6970:Int32Type)"
+    v2 = "UserType(ks,61646472,63697479:UTF8Type,7a6970:Int32Type,6e6f7465:UTF8Type)"
+    d = str(tmp_path / "ks" / "evo")
+    f0, f1, f2 = b"\x00\x00", b"\x00\x01", b"\x00\x02"
+
+    w1 = MA.MaWriter(d, 1, [("addr", v1)])
+    w1.add(Partition(key=b"k1", cells=[
+        Cell("addr", b"old town", ts=100, path=f0),
+        Cell("addr", struct.pack(">i", 11), ts=100, path=f1),
+    ]))
+    w1.finish()
+    w2 = MA.MaWriter(d, 2, [("addr", v2)])
+    w2.add(Partition(key=b"k1", cells=[
+        Cell("addr", b"new town", ts=200, path=f0),
+        Cell("addr", struct.pack(">i", 22), ts=200, path=f1),
+        Cell("addr", b"added by ALTER", ts=200, path=f2),
+    ]))
+    w2.finish()
+
+    r1, r2 = MA.MaReader(d, 1), MA.MaReader(d, 2)
+    assert dict(r1.stats.schema.regular_columns)["addr"] == v1
+    assert dict(r2.stats.schema.regular_columns)["addr"] == v2
+    assert MA.udt_field_types(v1) == ["UTF8Type", "Int32Type"]
+    assert MA.udt_field_types(v2) == ["UTF8Type", "Int32Type", "UTF8Type"]
+
+    (_t1, p1), = r1.partitions()
+    (_t2, p2), = r2.partitions()
+    got1 = {(c.path, c.ts): c.value for c in p1.cells}
+    got2 = {(c.path, c.ts): c.value for c in p2.cells}
+    assert got1 == {
+        (f0, 100): b"old town",
+        (f1, 100): struct.pack(">i", 11),
+    }
+    assert got2 == {
+        (f0, 200): b"new town",
+        (f1, 200): struct.pack(">i", 22),
+        (f2, 200): b"added by ALTER",
+    }
+    # a field-2 path under the PRE-ALTER type is a loud error, not a
+    # silent misparse (and so is a malformed/missing path anywhere)
+    with pytest.raises(ValueError):
+        MA.complex_value_fmt(v1, f2)
+    with pytest.raises(ValueError):
+        MA.complex_value_fmt(v2, b"")
+    with pytest.raises(ValueError):
+        MA.complex_value_fmt(v2, None)
+    with pytest.raises(ValueError):
+        MA.complex_value_fmt(v2, b"\x00\x00\x01")
+
+
+def test_multi_ck_pointwise_cover_property_reversed(tmp_path):
+    """The pointwise-cover property under a RANDOM ReversedType mask
+    (VERDICT r08 task 6): each trial draws a DESC/ASC direction per
+    clustering component, writes random prefix/full markers in POSITION
+    order through the real writer, reads the normalized markers back
+    from bytes, and checks the truncate-and-compare cover on sort keys
+    equals direct Cassandra bound semantics (per-component direction-
+    aware comparison) on every grid cell.  Pins complement-AFTER-framing
+    as a property — a bare byte complement misorders variable-width
+    prefixes, and a mask-unaware sweep misplaces every marker."""
+    import random
+    import struct as _s
+
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        RangeTomb,
+        encode_composite,
+    )
+
+    i32 = lambda v: _s.pack(">i", v)  # noqa: E731
+    days = list(range(-3, 4))
+    cats = [b"a", b"b", b"c"]
+
+    def cmp_pos(x, y, desc):
+        """-1/0/1 in POSITION space for one component."""
+        if x == y:
+            return 0
+        lt = x < y
+        if desc:
+            lt = not lt
+        return -1 if lt else 1
+
+    rng = random.Random(26)
+    for trial in range(25):
+        desc_day, desc_cat = rng.random() < 0.5, rng.random() < 0.5
+        spec = [
+            "ReversedType(Int32Type)" if desc_day else "Int32Type",
+            "ReversedType(UTF8Type)" if desc_cat else "UTF8Type",
+        ]
+        key_of = MA.make_ck_key_fn(spec)
+
+        def spec_covered(r, d, c):
+            (sd, sc), si, (ed, ec), ei = r.start, r.start_incl, r.end, r.end_incl
+            cd = cmp_pos(d, sd, desc_day)
+            if sc is None:
+                lo = cd > 0 or (si and cd == 0)
+            else:
+                cc = cmp_pos(c, sc, desc_cat)
+                lo = cd > 0 or (cd == 0 and (cc > 0 or (si and cc == 0)))
+            cd = cmp_pos(d, ed, desc_day)
+            if ec is None:
+                hi = cd < 0 or (ei and cd == 0)
+            else:
+                cc = cmp_pos(c, ec, desc_cat)
+                hi = cd < 0 or (cd == 0 and (cc < 0 or (ei and cc == 0)))
+            return lo and hi
+
+        def merge_covered(rt, cell_key):
+            s, si = key_of(rt.start), rt.start_incl
+            e, ei = key_of(rt.end), rt.end_incl
+            ps, pe = cell_key[: len(s)], cell_key[: len(e)]
+            lo = ps > s or (si and ps == s)
+            hi = pe < e or (ei and pe == e)
+            return lo and hi
+
+        ranges = []
+        for _ in range(rng.randrange(1, 5)):
+            a, b = sorted(rng.sample(days, 2))
+            # positional order: under DESC day the larger day is FIRST
+            sd, ed = (b, a) if desc_day else (a, b)
+            ts = rng.randrange(1, 5) * 1000
+            if rng.random() < 0.5:  # prefix bounds (day only)
+                ranges.append(RangeTomb((sd, None), rng.random() < 0.5,
+                                        (ed, None), rng.random() < 0.5, ts))
+            else:  # full bounds (days distinct, so day decides position)
+                ranges.append(RangeTomb((sd, rng.choice(cats)), rng.random() < 0.5,
+                                        (ed, rng.choice(cats)), rng.random() < 0.5, ts))
+        d = str(tmp_path / f"rprop{trial}")
+        w = MA.MaWriter(d, 1, [("v", "UTF8Type")], clustering=spec)
+        p = Partition(key=b"k", cells=[
+            Cell("v", b"x", ts=100, ck=(i32(dd), cc))
+            for dd in days for cc in cats
+        ])
+        for r in ranges:
+            (sd, sc), (ed, ec) = r.start, r.end
+            p.range_tombs.append(RangeTomb(
+                (i32(sd),) if sc is None else (i32(sd), sc), r.start_incl,
+                (i32(ed),) if ec is None else (i32(ed), ec), r.end_incl, r.ts,
+            ))
+        w.add(p)
+        w.finish()
+        (_t, got), = MA.MaReader(d, 1).partitions()
+        for dd in days:
+            for cc in cats:
+                cell_key = key_of(encode_composite([i32(dd), cc]))
+                want = max(
+                    (r.ts for r in ranges if spec_covered(r, dd, cc)),
+                    default=None,
+                )
+                have = max(
+                    (rt.ts for rt in got.range_tombs
+                     if merge_covered(rt, cell_key)),
+                    default=None,
+                )
+                assert have == want, (
+                    trial, (desc_day, desc_cat), dd, cc, ranges, got.range_tombs
+                )

