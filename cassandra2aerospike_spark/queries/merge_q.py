@@ -411,16 +411,22 @@ def _mixed_era_merge(
 
 
 def q_s19_mc_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-3.11 version auto-detect (the most common real deployment):
-    the SAME mixed-era cell routing as s16, but the >= ma era is staged
-    as an `mc-3-big-*` sstable PLUS an `md-4-big-*` sstable (partitions
-    split by key hash — disjoint halves), in one directory with the ka
-    and la files.  The reference reads every version >= "ma" through one
-    uniform grammar (SSTable.cpp:45-55); this row proves the engine's
-    directory auto-detect + per-file dispatch does too, on actual files,
-    not by argument.  The merged result is invariant to the split, so
-    the oracle is s16's (_CTE_MIXED)."""
-    return _mixed_era_merge(spark, sf_dir, "_mc_era", ("mc", "md"))
+    """Post-3.11 AND post-4.0 version auto-detect (the most common real
+    deployment): the SAME mixed-era cell routing as s16, but the >= ma
+    era is staged as `mc-3-big-*` + `md-4-big-*` + `nb-5-big-*`
+    sstables (partitions split by key hash — disjoint thirds), in one
+    directory with the ka and la files — FIVE eras, ka through
+    Cassandra 4.x.  The nb file is a real 4.x shape: 4-section
+    Statistics.db TOC (VALIDATION + COMPACTION + STATS incl. the
+    pendingRepair/isTransient/originatingHostId fields + HEADER) and a
+    Digest.crc32 sidecar — readers that walk Statistics sequentially
+    instead of by TOC offset break on it (r09; VERDICT r08 task 4).
+    The reference reads every version >= "ma" through one uniform
+    grammar (SSTable.cpp:45-55); this row proves the engine's
+    directory auto-detect + per-file dispatch does too, on actual
+    files, not by argument.  The merged result is invariant to the
+    split, so the oracle is s16's (_CTE_MIXED)."""
+    return _mixed_era_merge(spark, sf_dir, "_mc_era", ("mc", "md", "nb"))
 
 
 def q_ma_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

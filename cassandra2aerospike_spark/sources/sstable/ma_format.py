@@ -322,6 +322,8 @@ def _dec_delta64(buf: bytes, off: int, minv: int) -> tuple[int, int]:
     return x, off
 
 META_DATA_VALIDATION = 0
+META_DATA_COMPACTION = 1
+META_DATA_STATS = 2
 META_DATA_HEADER = 3
 SUMMARY_INTERVAL = 16
 DEFAULT_CHUNK = 64 * 1024
@@ -332,7 +334,10 @@ DEFAULT_CHUNK = 64 * 1024
 # instead of being fed to the reader under a still-matching _DONE marker
 # (the SGR sources solve the same problem by embedding MAGIC in leaf
 # names).
-FIXTURE_ENCODER_REV = "e3"  # e3: 3-era counter fixture + typed-ck writer
+FIXTURE_ENCODER_REV = "e4"  # e4: 4-section 4.x Statistics + fp-chance in
+# VALIDATION (r09).  BUMP THIS whenever MaWriter/OldWriter byte output
+# changes — cached fixture trees AND _staged_ma_rewrite compaction
+# outputs key on it, so a stale rev silently serves pre-change bytes.
 
 
 # ----------------------------------------------- typed clustering order
@@ -1264,6 +1269,51 @@ class MaWriter:
                 (c,) = row_by_col[name]
                 out += self._encode_cell(c, schema, row_ts, row_ttl, static)
 
+    def _compaction_metadata(self) -> bytes:
+        """4.x COMPACTION section: a length-prefixed HyperLogLog
+        cardinality-estimator blob.  Consumers that don't do compaction
+        (this engine, the reference) skip it via the TOC; we emit the
+        minimal legal shape — a 4-byte length and an empty-estimator
+        payload placeholder sized like a tiny real one."""
+        payload = b"\x00" * 16
+        return struct.pack(">i", len(payload)) + payload
+
+    def _stats_metadata_4x(self) -> bytes:
+        """4.x STATS section, real field order for the leading fields a
+        sequential (non-TOC) reader would trip on: two EstimatedHistogram
+        tables (empty: 0 buckets), the commit-log upper-bound position,
+        min/max timestamp, min/max localDeletionTime, min/max TTL,
+        compressionRatio, a 0-bucket streaming tombstone histogram,
+        sstableLevel, repairedAt, min/max clustering-value lists (empty),
+        hasLegacyCounterShards, totalColumnsSet, totalRows, then the
+        4.x additions the nb era exists for: originatingHostId flag,
+        pendingRepair flag, isTransient — all absent/false.  The section
+        is reached only via its TOC offset and skipped wholesale (the
+        reference does the same; SSTable.cpp reads VALIDATION + HEADER
+        only), so unparsed trailing fields are inert by construction."""
+        ts = [t for _tk, p, _s in self._parts for c in p.cells for t in (c.ts,)]
+        lo, hi = (min(ts), max(ts)) if ts else (0, 0)
+        out = bytearray()
+        out += struct.pack(">i", 0)  # estimatedPartitionSize: 0 buckets
+        out += struct.pack(">i", 0)  # estimatedCellPerPartitionCount
+        out += struct.pack(">qi", 0, 0)  # commitLogUpperBound (segment, pos)
+        out += struct.pack(">qq", lo, hi)  # min/max timestamp
+        out += struct.pack(">ii", 0, 0x7FFFFFFF)  # min/max localDeletionTime
+        out += struct.pack(">ii", 0, 0)  # min/max TTL
+        out += struct.pack(">d", 1.0)  # compressionRatio
+        out += struct.pack(">i", 0)  # tombstone histogram: 0 buckets
+        out += struct.pack(">i", 0)  # sstableLevel
+        out += struct.pack(">q", 0)  # repairedAt (unrepaired)
+        out += struct.pack(">i", 0)  # minClusteringValues: empty
+        out += struct.pack(">i", 0)  # maxClusteringValues: empty
+        out += struct.pack(">b", 0)  # hasLegacyCounterShards
+        out += struct.pack(">q", sum(1 for _t, p, _s in self._parts for _ in p.cells))
+        out += struct.pack(">q", len(self._parts))  # totalRows
+        out += struct.pack(">b", 0)  # originatingHostId: absent (nb)
+        out += struct.pack(">b", 0)  # pendingRepair: absent (na+)
+        out += struct.pack(">b", 0)  # isTransient: false (na+)
+        return bytes(out)
+
     def finish(self) -> None:
         self._parts.sort(key=lambda t: (t[0], t[1].key))
         # serialization-header minima span every timestamp/ttl/expiry
@@ -1357,18 +1407,47 @@ class MaWriter:
         with open(self.path("CompressionInfo"), "wb") as f:
             f.write(ci)
 
-        # -- Statistics.db: TOC with validation (partitioner) + header
-        toc_len = 4 + 2 * 8  # count + two (type, offset) pairs
+        # -- Statistics.db: TOC of (type, offset) pairs.  3.x files
+        # carry VALIDATION + HEADER (all this engine and the reference
+        # consume); 4.x-era files (version >= "na") additionally carry
+        # COMPACTION and STATS sections like real Cassandra 4.0
+        # sstables do — the nb StatsMetadata grew pendingRepair /
+        # isTransient / originatingHostId fields, and a reader that
+        # walks Statistics.db sequentially instead of by TOC offset
+        # breaks on them.  Readers (ours and the reference's) seek the
+        # sections they consume via the TOC and never parse the rest,
+        # which is exactly why one grammar spans ma..oa.
+        from .old_format import version_code
+
+        is_4x = version_code(self.version) >= version_code("na")
         validation = _enc_str16(self.partitioner.encode())
+        validation += struct.pack(">d", 0.01)  # bloomFilterFPChance
         header = schema.encode()
+        sections = [(META_DATA_VALIDATION, validation)]
+        if is_4x:
+            sections.append((META_DATA_COMPACTION, self._compaction_metadata()))
+            sections.append((META_DATA_STATS, self._stats_metadata_4x()))
+        sections.append((META_DATA_HEADER, header))
+        toc_len = 4 + 8 * len(sections)
         st = bytearray()
-        st += struct.pack(">i", 2)
-        st += struct.pack(">ii", META_DATA_VALIDATION, toc_len)
-        st += struct.pack(">ii", META_DATA_HEADER, toc_len + len(validation))
-        st += validation
-        st += header
+        st += struct.pack(">i", len(sections))
+        pos = toc_len
+        for typ, body in sections:
+            st += struct.pack(">ii", typ, pos)
+            pos += len(body)
+        for _typ, body in sections:
+            st += body
         with open(self.path("Statistics"), "wb") as f:
             f.write(st)
+
+        if is_4x:
+            # 4.x replaced Digest.sha1/adler32 with Digest.crc32: the
+            # full-file CRC of Data.db as a decimal ASCII string
+            digest = os.path.join(
+                self.table_dir, f"{self.version}-{self.gen}-big-Digest.crc32"
+            )
+            with open(digest, "w") as f:
+                f.write(str(zlib.crc32(data_file) & 0xFFFFFFFF))
 
         with open(self.path("Index"), "wb") as f:
             f.write(index)

@@ -1324,3 +1324,44 @@ def test_multi_ck_pointwise_cover_property_reversed(tmp_path):
                 assert have == want, (
                     trial, (desc_day, desc_cat), dd, cc, ranges, got.range_tombs
                 )
+
+
+def test_nb_era_four_section_statistics_and_digest(tmp_path):
+    """A version >= "na" (Cassandra 4.x) sstable carries the 4-section
+    Statistics.db TOC — VALIDATION, COMPACTION (HLL blob), STATS (the
+    nb StatsMetadata with pendingRepair/isTransient/originatingHostId
+    trailing fields), HEADER — plus a Digest.crc32 sidecar.  The reader
+    must resolve VALIDATION/HEADER by TOC offset (never sequentially)
+    and decode cells identically to an ma file; a 3.x file must keep
+    the 2-section shape."""
+    import os as _os
+    import zlib as _z
+
+    d = str(tmp_path / "ks" / "t4")
+    for ver, gen in (("nb", 1), ("ma", 2)):
+        w = MA.MaWriter(d, gen, [("v", "UTF8Type")], version=ver)
+        w.add(Partition(key=b"k1", cells=[Cell("v", b"x", ts=100)]))
+        w.finish()
+
+    st_nb = open(_os.path.join(d, "nb-1-big-Statistics.db"), "rb").read()
+    st_ma = open(_os.path.join(d, "ma-2-big-Statistics.db"), "rb").read()
+    (n_nb,) = struct.unpack_from(">i", st_nb, 0)
+    (n_ma,) = struct.unpack_from(">i", st_ma, 0)
+    assert (n_nb, n_ma) == (4, 2)
+    types_nb = [struct.unpack_from(">ii", st_nb, 4 + 8 * i)[0] for i in range(4)]
+    assert types_nb == [
+        MA.META_DATA_VALIDATION, MA.META_DATA_COMPACTION,
+        MA.META_DATA_STATS, MA.META_DATA_HEADER,
+    ]
+
+    digest = _os.path.join(d, "nb-1-big-Digest.crc32")
+    data = open(_os.path.join(d, "nb-1-big-Data.db"), "rb").read()
+    assert open(digest).read() == str(_z.crc32(data) & 0xFFFFFFFF)
+    assert not _os.path.exists(_os.path.join(d, "ma-2-big-Digest.crc32"))
+
+    # both decode through the one grammar, schema resolved via TOC
+    for prefix, gen in (("nb-1-big", 1), ("ma-2-big", 2)):
+        r = MA.MaReader(d, gen, prefix=prefix)
+        assert dict(r.stats.schema.regular_columns)["v"] == "UTF8Type"
+        (_t, p), = r.partitions()
+        assert [(c.col_name, c.value, c.ts) for c in p.cells] == [("v", b"x", 100)]
