@@ -238,11 +238,14 @@ class SSTableRunReader(DataSourceReader):
                     f"inconsistent partitioners in {self.directory}: sstable "
                     f"{seen[0]} uses {seen[1]!r} but {name} uses {pner!r}"
                 )
-            if vcode >= V_MA:
-                wide = self._wide_partition_slices(rd, gen, name)
-                if wide is not None:
-                    parts += wide
-                    continue
+            # both eras expose index_entries_full()/logical_length():
+            # ma promoted entries since round 7, the old (ka/la) 2.x
+            # IndexInfo promoted entries since round 9 — one planner
+            # fans out wide partitions regardless of era
+            wide = self._wide_partition_slices(rd, gen, name)
+            if wide is not None:
+                parts += wide
+                continue
             # O2 for real files: sub-split one sstable into token ranges
             # at Summary sample boundaries (seek via Summary + Index,
             # SSTable.cpp:58-180), so a single huge sstable parallelizes
@@ -281,8 +284,10 @@ class SSTableRunReader(DataSourceReader):
         return parts
 
     def _wide_partition_slices(self, rd, gen: int, name: str):
-        """Offset-granular plan for an ma sstable containing WIDE
-        partitions (promoted Index.db entries): each promoted BLOCK of a
+        """Offset-granular plan for a real-format sstable (EITHER era:
+        ma promoted entries, or the 2.x ka/la IndexInfo entries the
+        reference skips at SSTable.cpp:76-84) containing WIDE
+        partitions: each promoted BLOCK of a
         wide partition becomes its own InputPartition — one 10 GB
         partition fans out across tasks instead of pinning one — and the
         ordinary partitions between them become contiguous [lo, hi)
@@ -374,9 +379,19 @@ class SSTableRunReader(DataSourceReader):
 
             parsed = parse_data_filename(part.data_name or "")
             if parsed is not None and parsed[0] < V_MA:
-                source = OldReader(
+                ord_ = OldReader(
                     part.directory, part.data_name, verify_checksums=part.verify
-                ).partitions(part.start_token, part.end_token)
+                )
+                if part.block is not None:
+                    # one promoted block of an old-era wide partition
+                    bkey, brow_tomb, b_lo, b_hi = part.block
+                    source = iter(
+                        [ord_.partition_window(bytes(bkey), brow_tomb, b_lo, b_hi)]
+                    )
+                elif part.data_lo is not None:
+                    source = ord_.partitions_between(part.data_lo, part.data_hi)
+                else:
+                    source = ord_.partitions(part.start_token, part.end_token)
             else:
                 from .ma_format import MaReader, make_ck_key_fn
 

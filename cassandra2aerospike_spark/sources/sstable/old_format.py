@@ -230,6 +230,7 @@ class OldWriter:
         table: str = "events",
         composite_path: tuple[str, ...] = (),
         counter_cols: frozenset[str] = frozenset(),
+        promoted_threshold: int = 64 * 1024,
     ):
         self.vcode = version_code(version)
         if not V_JA <= self.vcode < V_MA:
@@ -245,6 +246,13 @@ class OldWriter:
         self.table = table
         self.composite_path = composite_path
         self.counter_cols = counter_cols
+        # WIDE-partition promoted index (round 9, the old-era twin of
+        # MaWriter's): partitions whose cell area exceeds this write
+        # real 2.x IndexInfo entries (firstName/lastName/offset/width
+        # after the entry DeletionTime) into their Index.db entry —
+        # the bytes the reference reads the be32 size of and skips
+        # (SSTable.cpp:76-84).  0/None disables.
+        self.promoted_threshold = promoted_threshold
         self._parts: list[tuple[int, Partition]] = []
 
     def path(self, component: str) -> str:
@@ -302,7 +310,10 @@ class OldWriter:
         out += struct.pack(">i", len(value)) + value
         return bytes(out)
 
-    def _encode_partition(self, p: Partition) -> bytes:
+    def _encode_partition(self, p: Partition) -> tuple[bytes, list[tuple[int, bytes]]]:
+        """Partition body + cell marks [(offset_rel_to_partition_start,
+        on-disk cell name)] — the marks feed the promoted-index block
+        sweep (block boundaries must fall on cell starts)."""
         out = bytearray()
         out += _enc_str16(p.key)
         if p.row_tomb_ts is not None:
@@ -311,9 +322,49 @@ class OldWriter:
         else:
             out += struct.pack(">i", LIVE_LOCAL_DELETION)
             out += struct.pack(">q", LIVE_MARKED_FOR_DELETE)
+        marks: list[tuple[int, bytes]] = []
         for c in p.cells:
+            marks.append((len(out), self._name_bytes(c.col_name)))
             out += self._encode_cell(c)
         out += struct.pack(">H", 0)  # empty name terminates (>= ja)
+        return bytes(out), marks
+
+    def _promoted_index(self, p: Partition, body: bytes,
+                        marks: list[tuple[int, bytes]]) -> bytes | None:
+        """Real 2.x-era promoted index for a WIDE partition: the entry
+        DeletionTime (localDeletionTime be32 + markedForDeleteAt be64 —
+        RowIndexEntry carries it so a block reader never re-reads the
+        partition header), a be32 IndexInfo count, then per block
+        firstName (str16), lastName (str16), offset (be64, relative to
+        the partition start), width (be64).  The reference reads the
+        be32 size of these bytes and skips them (SSTable.cpp:76-84);
+        this engine fans the blocks out as InputPartitions instead."""
+        thr = self.promoted_threshold
+        if not thr or len(body) <= thr or len(marks) < 2:
+            return None
+        # block sweep: boundaries on cell starts, >= thr bytes apart
+        blocks: list[int] = [0]  # indexes into marks
+        for i in range(1, len(marks)):
+            if marks[i][0] - marks[blocks[-1]][0] >= thr:
+                blocks.append(i)
+        if len(blocks) < 2:
+            return None
+        end_of_cells = len(body) - 2  # the 2-byte terminator
+        if p.row_tomb_ts is not None:
+            ldt, marked = p.row_tomb_ts // 1_000_000, p.row_tomb_ts
+        else:
+            ldt, marked = LIVE_LOCAL_DELETION, LIVE_MARKED_FOR_DELETE
+        out = bytearray()
+        out += struct.pack(">i", ldt) + struct.pack(">q", marked)
+        out += struct.pack(">i", len(blocks))
+        for j, bi in enumerate(blocks):
+            lo = marks[bi][0]
+            hi = marks[blocks[j + 1]][0] if j + 1 < len(blocks) else end_of_cells
+            last = marks[blocks[j + 1] - 1][1] if j + 1 < len(blocks) else marks[-1][1]
+            out += _enc_str16(marks[bi][1])  # firstName
+            out += _enc_str16(last)  # lastName
+            out += struct.pack(">q", lo)
+            out += struct.pack(">q", hi - lo)
         return bytes(out)
 
     def finish(self) -> None:
@@ -325,8 +376,13 @@ class OldWriter:
             offsets_of_keys.append((p.key, len(index)))
             index += _enc_str16(p.key)
             index += struct.pack(">q", len(data))  # old: be64 position
-            index += struct.pack(">i", 0)  # promoted-index size to skip
-            data += self._encode_partition(p)
+            body, marks = self._encode_partition(p)
+            promoted = self._promoted_index(p, body, marks)
+            if promoted is None:
+                index += struct.pack(">i", 0)  # promoted-index size to skip
+            else:
+                index += struct.pack(">i", len(promoted)) + promoted
+            data += body
 
         alg, before = checksum_spec(self.vcode)
         chunk_offsets: list[int] = []
@@ -444,6 +500,56 @@ class OldReader:
             off = _need(buf, off + 12, skip) + skip
             yield key, pos
 
+    def index_entries_full(self):
+        """(key, data_offset, promoted) triples, where `promoted` is
+        None for ordinary partitions and (row_tomb_ts | None,
+        [block_offsets]) for WIDE partitions — the 2.x-era promoted
+        index the reference only skips (SSTable.cpp:76-84): entry
+        DeletionTime, be32 IndexInfo count, then per block firstName /
+        lastName (str16), offset (be64, partition-start-relative),
+        width (be64).  Same return shape as MaReader.index_entries_full
+        so the planner fans both eras out identically."""
+        buf = open(self.path("Index"), "rb").read()
+        off = 0
+        while off < len(buf):
+            key, off = _dec_str16(buf, off)
+            (pos,) = struct.unpack_from(">q", buf, _need(buf, off, 12))
+            (psize,) = struct.unpack_from(">i", buf, off + 8)
+            off = _need(buf, off + 12, psize)
+            promoted = None
+            if psize > 0:
+                end = off + psize
+                o2 = _need(buf, off, 12)
+                (marked,) = struct.unpack_from(">q", buf, o2 + 4)
+                o2 += 12
+                (nblocks,) = struct.unpack_from(">i", buf, _need(buf, o2, 4))
+                o2 += 4
+                blocks = []
+                for _ in range(nblocks):
+                    _first, o2 = _dec_str16(buf, o2)
+                    _last, o2 = _dec_str16(buf, o2)
+                    o2 = _need(buf, o2, 16)
+                    (boff,) = struct.unpack_from(">q", buf, o2)
+                    o2 += 16  # offset + width
+                    blocks.append(boff)
+                if o2 != end:
+                    raise ValueError("old: promoted index size mismatch")
+                promoted = (
+                    None if marked == LIVE_MARKED_FOR_DELETE else marked,
+                    blocks,
+                )
+                off = end
+            yield key, pos, promoted
+
+    def logical_length(self) -> int:
+        """Total uncompressed Data.db length (CompressionInfo header)."""
+        from .ma_format import read_compression_info
+
+        _codec, _chunk, total, _offs = read_compression_info(
+            self.path("CompressionInfo"), "old"
+        )
+        return total
+
     def _slice_offsets(
         self, start_token: int | None, end_token: int | None
     ) -> tuple[int, int | None] | None:
@@ -477,7 +583,9 @@ class OldReader:
             n = None if end_off is None else end_off - start_off
         if n is None:
             n = len(buf)
-        off = 0
+        yield from self._partitions_in(buf, 0, n)
+
+    def _partitions_in(self, buf: bytes, off: int, n: int):
         while off < n:
             key, off = _dec_str16(buf, off)
             off = _need(buf, off, 12)
@@ -485,57 +593,90 @@ class OldReader:
             (marked,) = struct.unpack_from(">q", buf, off + 4)
             off += 12
             row_tomb = None if marked == LIVE_MARKED_FOR_DELETE else marked
-            cells: list[Cell] = []
-            while True:
-                name, off = _dec_str16(buf, off)
-                if not name:
-                    break  # >= ja: empty column name terminates the row
-                name = unwrap_composite(name)
-                flags = buf[_need(buf, off, 1)]
-                off += 1
-                if flags & RANGE_TOMBSTONE_MASK:
-                    end_name, off = _dec_str16(buf, off)
-                    off = _need(buf, off, 12)
-                    (ts,) = struct.unpack_from(">q", buf, off + 4)
-                    off += 12
-                    cells.append(
-                        Cell(
-                            col_name=unwrap_composite(end_name).decode(),
-                            ts=ts,
-                            range_tomb=True,
-                        )
-                    )
-                    continue
-                ttl = expiration = None
-                if flags & COUNTER_MASK:
-                    off = _need(buf, off, 8) + 8  # counterTs: parse + drop
-                elif flags & EXPIRATION_MASK:
-                    off = _need(buf, off, 8)
-                    ttl, expiration = struct.unpack_from(">ii", buf, off)
-                    off += 8
-                (ts,) = struct.unpack_from(">q", buf, _need(buf, off, 8))
-                off += 8
-                (vlen,) = struct.unpack_from(">i", buf, _need(buf, off, 4))
-                off += 4
-                if vlen < 0:
-                    raise ValueError("old: negative value length")
-                off = _need(buf, off, vlen)
-                value = buf[off : off + vlen]
-                off += vlen
-                deleted = bool(flags & DELETION_MASK)
-                cells.append(
-                    Cell(
-                        col_name=name.decode(),
-                        value=b"" if deleted else value,
-                        ts=ts,
-                        ttl=ttl,
-                        expiration=expiration,
-                        deleted=deleted,
-                    )
-                )
+            cells, off = self._scan_cells(buf, off, n)
             yield murmur3_token(key), Partition(
                 key=key, row_tomb_ts=row_tomb, cells=cells
             )
+
+    def _scan_cells(self, buf: bytes, off: int, n: int) -> tuple[list[Cell], int]:
+        """Cells from `off` up to the empty-name row terminator or `n`
+        (a promoted BLOCK window ends on a cell boundary, not the
+        terminator — both stops are legal)."""
+        cells: list[Cell] = []
+        while off < n:
+            name, off = _dec_str16(buf, off)
+            if not name:
+                break  # >= ja: empty column name terminates the row
+            name = unwrap_composite(name)
+            flags = buf[_need(buf, off, 1)]
+            off += 1
+            if flags & RANGE_TOMBSTONE_MASK:
+                end_name, off = _dec_str16(buf, off)
+                off = _need(buf, off, 12)
+                (ts,) = struct.unpack_from(">q", buf, off + 4)
+                off += 12
+                cells.append(
+                    Cell(
+                        col_name=unwrap_composite(end_name).decode(),
+                        ts=ts,
+                        range_tomb=True,
+                    )
+                )
+                continue
+            ttl = expiration = None
+            if flags & COUNTER_MASK:
+                off = _need(buf, off, 8) + 8  # counterTs: parse + drop
+            elif flags & EXPIRATION_MASK:
+                off = _need(buf, off, 8)
+                ttl, expiration = struct.unpack_from(">ii", buf, off)
+                off += 8
+            (ts,) = struct.unpack_from(">q", buf, _need(buf, off, 8))
+            off += 8
+            (vlen,) = struct.unpack_from(">i", buf, _need(buf, off, 4))
+            off += 4
+            if vlen < 0:
+                raise ValueError("old: negative value length")
+            off = _need(buf, off, vlen)
+            value = buf[off : off + vlen]
+            off += vlen
+            deleted = bool(flags & DELETION_MASK)
+            cells.append(
+                Cell(
+                    col_name=name.decode(),
+                    value=b"" if deleted else value,
+                    ts=ts,
+                    ttl=ttl,
+                    expiration=expiration,
+                    deleted=deleted,
+                )
+            )
+        return cells, off
+
+    def partitions_between(self, lo: int, hi: int | None):
+        """(token, Partition) pairs from the explicit LOGICAL offset
+        range [lo, hi) — the planner's offset-granular slicing around
+        wide partitions, the old-era twin of MaReader.partitions_between
+        (`lo`/`hi` always fall on partition starts: they come from
+        Index.db positions)."""
+        buf, base = self._logical_window(lo, hi)
+        off = lo - base
+        n = len(buf) if hi is None else hi - base
+        yield from self._partitions_in(buf, off, n)
+
+    def partition_window(self, key: bytes, row_tomb: int | None,
+                         lo: int, hi: int | None):
+        """ONE BLOCK of a wide partition: cells in logical [lo, hi) —
+        promoted IndexInfo offsets always fall on cell starts — scanned
+        WITHOUT the partition header (key and the header deletion come
+        from the Index.db promoted entry, the RowIndexEntry design).
+        Returns (token, Partition) holding just this block's cells."""
+        buf, base = self._logical_window(lo, hi)
+        off = lo - base
+        n = len(buf) if hi is None else hi - base
+        cells, _off = self._scan_cells(buf, off, n)
+        return murmur3_token(key), Partition(
+            key=key, row_tomb_ts=row_tomb, cells=cells
+        )
 
 
 def discover_cassandra_sstables(table_dir: str) -> list[tuple[int, int, str]]:
