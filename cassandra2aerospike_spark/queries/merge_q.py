@@ -26,6 +26,30 @@ def _derived_shards(n_cells: int, cells_per_shard: int = 250_000) -> int:
     return max(2, -(-n_cells // cells_per_shard))
 
 
+def _write_path_rev() -> str:
+    """8-hex digest of the ma WRITE-PATH source files (ma_format +
+    datasource): folded into every compacted-rewrite cache key so a
+    writer change invalidates cached compaction outputs automatically
+    (computed once per process; source bytes, so a comment edit also
+    rotates the key — correctness over cache hits)."""
+    global _WRITE_PATH_REV
+    if _WRITE_PATH_REV is None:
+        import hashlib
+
+        from ..sources.sstable import datasource as _ds
+        from ..sources.sstable import ma_format as _mf
+
+        h = hashlib.md5()
+        for mod in (_mf, _ds):
+            with open(mod.__file__, "rb") as fh:
+                h.update(fh.read())
+        _WRITE_PATH_REV = h.hexdigest()[:8]
+    return _WRITE_PATH_REV
+
+
+_WRITE_PATH_REV: str | None = None
+
+
 def _staged_ma_rewrite(
     table_dir: str, eav_fn, tag: str, clustering: str | None = None
 ) -> str:
@@ -33,10 +57,13 @@ def _staged_ma_rewrite(
     ATOMIC publish discipline (fixtures.staged_dir: build into a unique
     tmp dir, stamp _DONE, one rename — losers await the winner's marker)
     the r07 verdict asked every `_DONE` cache site to share.  Cache key =
-    tag + encoder rev + fixture identity, so steady state measures the
-    merge branches while the pure-Python writer still runs cold on every
-    fresh driver run; `eav_fn` is only invoked on a cache miss.  Output
-    shard count derives from input size (_derived_shards)."""
+    tag + encoder rev + a HASH OF THE WRITE-PATH SOURCE (ma_format +
+    datasource, so a writer change can never serve stale compacted
+    bytes even if FIXTURE_ENCODER_REV isn't bumped — ADVICE r08) +
+    fixture identity; steady state measures the merge branches while
+    the pure-Python writer still runs cold on every fresh driver run;
+    `eav_fn` is only invoked on a cache miss.  Output shard count
+    derives from input size (_derived_shards)."""
     import hashlib
     import os
     import tempfile
@@ -50,11 +77,15 @@ def _staged_ma_rewrite(
         f"spark_graft_{tag}_"
         + FIXTURE_ENCODER_REV
         + "_"
+        + _write_path_rev()
+        + "_"
         + hashlib.md5(os.path.abspath(table_dir).encode()).hexdigest()[:12],
     )
 
     def build(tmp: str) -> None:
-        eav = eav_fn()
+        # persist across the two actions (shard-count probe + write) so
+        # the cold build reads the fixture ONCE, not twice (ADVICE r08)
+        eav = eav_fn().persist()
         shards = _derived_shards(eav.count())
         shaped = (
             # ring-sliced output: each task owns a contiguous Murmur3
@@ -68,6 +99,7 @@ def _staged_ma_rewrite(
         if clustering is not None:
             wr = wr.option("clustering", clustering)
         wr.mode("append").save(tmp)
+        eav.unpersist()
 
     return staged_dir(out, build)
 
