@@ -2,17 +2,20 @@
 (callable, oracle-SQL) pair consumed by __spark_entry__.py.
 
 Each submodule contributes a QUERIES dict (name -> f(spark, sf_dir) ->
-DataFrame) and an ORACLES dict (name -> DuckDB SQL).  Queries without an
-oracle entry get the driver's weaker rows-only check (streaming, LSH, ...).
+DataFrame) and an ORACLES dict (name -> DuckDB SQL).  Every registered
+query currently carries an exact oracle; tests/test_registry.py
+enforces ORACLES keys == QUERIES keys (rows-only exceptions must be
+declared there explicitly) and that every module-level q_* function is
+registered — the round-8 slip (two written-but-unregistered queries
+shipping driver-unverified) is now a test failure.
 
-REGISTRY ORDER IS DELIBERATE: the driver's correctness gate checks a
-prefix of the registry (round 1 recorded rows for exactly the first 50
-entries), so entries that do not yet have a driver-green CORRECTNESS row
-— plus queries whose semantics changed this round — are ordered FIRST,
-covering every §2/X family inside the checked prefix.  Queries that
-already hash-passed in CORRECTNESS_r01.json sit after the cut; their
-round-1 rows stand as evidence, and they rotate back into the prefix
-once the newer families are green.
+REGISTRY ORDER IS DELIBERATE: the driver's correctness gate checks the
+FIRST 50 registry rows each round, so _PRIORITY spends those slots on
+(a) queries with no driver row yet, (b) queries whose fixtures or
+semantics changed this round, (c) the stalest cohort — see the comment
+at _PRIORITY for the current (round-9) allocation.  Everything after
+the cut keeps module order and rotates back in as its driver green
+ages.
 """
 
 from __future__ import annotations
