@@ -67,7 +67,10 @@ HEADLINE = [
 # CALIBRATION_REF_SEC pins the round-9 host measurement; future rounds
 # read speed_factor = calibration_sec / CALIBRATION_REF_SEC and compare
 # value_warm_normalized (= value_warm / speed_factor) across rounds.
-CALIBRATION_REF_SEC = 0.49
+CALIBRATION_REF_SEC = 0.70  # median of the r09 bench-context samples
+# (0.736, 0.704; a standalone quiet-window sample read 0.49 — the
+# anchor is pinned to the bench's own calling context so factor ~1.0
+# means "a typical r09 host", not "the quietest moment observed")
 
 
 def calibration_probe(spark, k: int = 5) -> float:
@@ -125,6 +128,14 @@ def main() -> None:
     )
 
     build_ma_docs_table(spark, sf_dir)
+    # same treatment for s22's typed-write compaction fixture: the
+    # cache key folds the write-path source hash (merge_q._write_path_rev),
+    # so ANY ma_format/datasource edit rebuilds it — untimed here, or
+    # the round's first cold pass times MaWriter (~20 s) instead of the
+    # READ+merge the series tracks (observed r09: s22 cold 23.0 s on a
+    # stale cache vs 2.4 s staged)
+    if "s22_multi_ck_range_merge" in qs:
+        qs["s22_multi_ck_range_merge"](spark, sf_dir)  # builds eagerly
 
     # Per-query protocol: one COLD pass (codegen + planning + first data
     # touch — the cross-round-comparable series, `queries`/`value`), then

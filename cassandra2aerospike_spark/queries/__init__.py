@@ -103,6 +103,11 @@ _PRIORITY = [
     "agg_percentiles",
     "agg_approx_distinct",
     "agg_approx_percentiles",
+    # -- position 51+: NEW in r09 beyond the full 50-slot prefix —
+    #    first in line for the r10 rotation (oracle-verified locally
+    #    by tests/test_oracle_parity.py and tools/check_oracle.py
+    #    every run until the driver signs it)
+    "s27_old_wide_merge",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -953,6 +953,56 @@ def q_s26_reversed_ck_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s27_old_wide_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLD-era (2.x) WIDE partitions end-to-end (round 9): events
+    funnel onto 7 GIANT partition keys (user_id % 7, mirrored by the
+    oracle) in a two-generation la table whose promoted_threshold sits
+    far below each partition's body, so every Index.db entry carries
+    the real 2.x promoted-index bytes (entry DeletionTime + IndexInfo
+    firstName/lastName/offset/width — what the reference reads the
+    be32 size of and skips, SSTable.cpp:76-84).  Read with a
+    fixture-scale `wide_slice_bytes`, the planner splits each giant
+    partition into block-group InputPartitions
+    (`OldReader.partition_window` decodes windows without the
+    partition header; the row-tombstone ts rides the promoted entry —
+    at the production 64 MB default these fixture-sized partitions
+    would simply ride range slices, which is the point of the target).
+    The merged records must be IDENTICAL to a flat read: LWW versions,
+    point tombstones, row tombstones and name-bounded range-tombstone
+    cells reconciling across BLOCK boundaries and across the two
+    generations — the oracle is s8/s9's with the key fold (the on-disk
+    fan-out must be invisible)."""
+    from ..sources.sstable.fixtures import (
+        build_old_wide_table_from_events,
+        classified_from_ma,
+        default_runs_dir,
+    )
+
+    table_dir = build_old_wide_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_old_wide"
+    )
+    classified = classified_from_ma(spark, table_dir, wide_slice_bytes=4096)
+    latest = merge.lww_latest(merge.live_cells_from_classified(classified))
+    records = latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(merge.ETERNAL)
+        )
+        .otherwise(F.max("expiration"))
+        .cast("long")
+        .alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+    return merge.filter_expired(records)
+
+
 def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNTER cells, decoded past the reference's stopping point: the
     reference reads COUNTER_MASK + counterTs (SSTable.cpp:433-437) and
@@ -1165,6 +1215,7 @@ assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 QUERIES = {
     "s25_udt_merge": q_s25_udt_merge,
     "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
+    "s27_old_wide_merge": q_s27_old_wide_merge,
     "s18_ma_range_tombstone_merge": q_s18_ma_range_tombstone_merge,
     "s20_ma_rt_compaction_roundtrip": q_s20_ma_rt_compaction_roundtrip,
     "s22_multi_ck_range_merge": q_s22_multi_ck_range_merge,
@@ -1416,6 +1467,11 @@ _S26_ORACLE = _S22_ORACLE.replace(
 assert _S26_ORACLE != _S22_ORACLE and _S26_ORACLE.replace(
     "c.cat < r.sc", ""
 ) != _S26_ORACLE, "s26 oracle rewrite missed the cat comparisons"
+
+# s27: the base CTE under the fixture's key fold (user_id % 7 — few,
+# GIANT partitions so the 2.x promoted index engages)
+_S27_CTE = _CTE.replace("SELECT user_id AS key,", "SELECT user_id % 7 AS key,")
+assert _S27_CTE != _CTE, "s27 oracle key-fold rewrite missed the SELECT"
 
 ORACLES = {
     "s24_collection_merge": _S24_ORACLE,
@@ -1774,6 +1830,21 @@ ORACLES = {
     # identical oracle to s9: the on-disk format generation must be
     # invisible to the merged result
     "s8_oldformat_merge": _CTE
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    # identical oracle again, under the user_id % 7 key fold: the
+    # promoted-index BLOCK fan-out (s27) must be invisible to the
+    # merged result (fold checked unambiguous: no (key%7, col, ts)
+    # group carries two values at any driver SF)
+    "s27_old_wide_merge": _S27_CTE
     + f"""
         SELECT r.key, a.cols_str, r.expiry, r.n_cols
         FROM records r

@@ -140,6 +140,21 @@ class SSTableRunReader(DataSourceReader):
         # cores / n_runs via the reader option.
         self.splits = int(options.get("splits_per_run", "8"))
         self.verify = options.get("verify_checksums", "true").lower() == "true"
+        # Wide-partition slice TARGET (bytes of logical Data.db per
+        # task).  Promoted-index blocks are ~64 KB (Cassandra's
+        # column_index_size serves point reads, not scan parallelism):
+        # one task per BLOCK would turn a 10 GB all-wide sstable into
+        # ~160k forty-millisecond Python tasks (measured r09: a fixture
+        # with 550 small promoted partitions planned 1112 slices,
+        # 47 s of pure task overhead).  Instead (a) a wide partition no
+        # larger than the target rides the surrounding RANGE slice
+        # untouched, and (b) a bigger one splits into groups of
+        # CONSECUTIVE blocks totalling ~target bytes.  64 MB default:
+        # half of spark.sql.files.maxPartitionBytes' 128 MB because the
+        # pure-Python decode is the bottleneck, not IO.
+        self.wide_slice_bytes = int(
+            options.get("wide_slice_bytes", str(64 * 1024 * 1024))
+        )
         # layout "ma": the directory is a real Cassandra 3.x table dir
         # (<keyspace>/<table>/ma-<gen>-big-*.db) read via ma_format.MaReader
         self.layout = options.get("layout", "sgr")
@@ -302,11 +317,26 @@ class SSTableRunReader(DataSourceReader):
         if not any(promoted for _k, _p, promoted in entries):
             return None
         total = rd.logical_length()
+        target = max(1, self.wide_slice_bytes)
+        sizes = [
+            (entries[i + 1][1] if i + 1 < len(entries) else total) - pos
+            for i, (_k, pos, pr) in enumerate(entries)
+            if pr is not None
+        ]
+        if max(sizes) <= target:
+            # promoted entries exist but no partition exceeds one
+            # task's worth: the Summary token-split path parallelizes
+            # this file BETTER than offset slicing would (it keeps the
+            # ~splits_per_run fan-out and the token pushdown shortcut)
+            return None
         slices: list[RunSlice] = []
         rng_lo: int | None = None
         for i, (key, pos, promoted) in enumerate(entries):
             end = entries[i + 1][1] if i + 1 < len(entries) else total
-            if promoted is None:
+            # a wide partition NO BIGGER than the slice target rides the
+            # surrounding range slice — block granularity (~64 KB, sized
+            # for point reads) must never dictate task granularity
+            if promoted is None or end - pos <= target:
                 if rng_lo is None:
                     rng_lo = pos
                 continue
@@ -316,14 +346,20 @@ class SSTableRunReader(DataSourceReader):
                              "ma", name, data_lo=rng_lo, data_hi=pos)
                 )
                 rng_lo = None
+            # bigger than one task's worth: split into groups of
+            # CONSECUTIVE blocks totalling ~target bytes (blocks are
+            # contiguous, so a group is one [lo, hi) window and
+            # partition_window() reads it unchanged)
             row_tomb, blocks = promoted
-            for j, b in enumerate(blocks):
-                b_lo = pos + b
-                b_hi = pos + blocks[j + 1] if j + 1 < len(blocks) else end
-                slices.append(
-                    RunSlice(self.directory, gen, None, None, self.verify,
-                             "ma", name, block=(key, row_tomb, b_lo, b_hi))
-                )
+            grp_lo = pos + blocks[0]
+            for j in range(1, len(blocks) + 1):
+                b_hi = pos + blocks[j] if j < len(blocks) else end
+                if b_hi - grp_lo >= target or j == len(blocks):
+                    slices.append(
+                        RunSlice(self.directory, gen, None, None, self.verify,
+                                 "ma", name, block=(key, row_tomb, grp_lo, b_hi))
+                    )
+                    grp_lo = b_hi
         if rng_lo is not None:
             slices.append(
                 RunSlice(self.directory, gen, None, None, self.verify,

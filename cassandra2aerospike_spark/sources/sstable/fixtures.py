@@ -493,6 +493,91 @@ def build_mixed_era_table_from_events(
     return table_dir
 
 
+def build_old_wide_table_from_events(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_sstables: int = 2,
+    n_keys: int = 7,
+    promoted_threshold: int = 512,
+) -> str:
+    """REAL 2.x (la) table with FEW, GIANT partitions — the shape the
+    old-era promoted index exists for: events funnel onto `n_keys`
+    partition keys (key = user_id % n_keys, mirrored by the oracle), so
+    each partition's cell area far exceeds `promoted_threshold` and
+    every Index.db entry carries the real promoted-index bytes (entry
+    DeletionTime + IndexInfo firstName/lastName/offset/width per block
+    — the grammar the reference reads the be32 size of and skips,
+    SSTable.cpp:76-84).  Read with a small `wide_slice_bytes`, the
+    planner fans each giant partition out as block-group
+    InputPartitions, and the merged result must be IDENTICAL to the
+    flat read — LWW versions, point tombstones, row tombstones (carried
+    by the promoted entry's DeletionTime, never re-read from the
+    partition header) and name-bounded range-tombstone cells all
+    reconcile across block boundaries AND across the two generations
+    (events route by ts % n_sstables, so (key, col) versions span
+    files).  Derivation = classify_cells with the key fold (the s8/s9
+    oracle kinds: row %97, range %13, point %10, expiring cell %7)."""
+    from .ma_format import FIXTURE_ENCODER_REV
+    from .old_format import OldWriter
+
+    table_dir = os.path.join(
+        out_dir,
+        "oldwide" + FIXTURE_ENCODER_REV
+        + f"_{n_sstables}_{n_keys}_{promoted_threshold}",
+        "tmx",
+        "events",
+    )
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        classify_cells(events)
+        .withColumn("run", (F.col("ts") % n_sstables).cast("int"))
+        .withColumn("key", F.col("key") % n_keys)
+        .select("run", "key", "col_name", "value", "ts", "ttl", "expiration", "kind")
+        .collect()
+    )
+    by_run: dict[int, dict[bytes, Partition]] = {g: {} for g in range(n_sstables)}
+    for r in rows:
+        key = str(r.key).encode("utf-8")
+        p = by_run[r.run].setdefault(key, Partition(key=key))
+        if r.kind == "row":
+            p.row_tomb_ts = max(p.row_tomb_ts or r.ts, r.ts)
+        elif r.kind == "range":
+            p.cells.append(Cell(col_name=r.col_name, ts=r.ts, range_tomb=True))
+        elif r.kind == "point":
+            p.cells.append(Cell(col_name=r.col_name, ts=r.ts, deleted=True))
+        else:
+            p.cells.append(
+                Cell(
+                    col_name=r.col_name,
+                    value=repr(float(r.value)).encode("utf-8"),
+                    ts=r.ts,
+                    ttl=r.ttl,
+                    expiration=r.expiration,
+                )
+            )
+
+    def _build(tmp: str) -> None:
+        for gen, parts in by_run.items():
+            w = OldWriter(
+                tmp,
+                gen + 1,
+                version="la",
+                codec_class="LZ4Compressor" if gen % 2 == 0 else "DeflateCompressor",
+                promoted_threshold=promoted_threshold,
+            )  # giant partitions: every entry promotes at this threshold
+            for key in sorted(parts):
+                p = parts[key]
+                p.cells.sort(key=lambda c: (c.col_name, c.ts))
+                w.add(p)
+            w.finish()
+
+    return staged_dir(table_dir, _build)
+
+
 def build_counter_table_from_events(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> str:
@@ -1264,7 +1349,8 @@ def build_ma_reversed_ck_table_from_events(
 
 
 def classified_from_ma(
-    spark: SparkSession, table_dir: str, value_as: str = "double"
+    spark: SparkSession, table_dir: str, value_as: str = "double",
+    wide_slice_bytes: int | None = None,
 ) -> DataFrame:
     """classified_from_runs for a real-format Cassandra table directory,
     any era.  ma sstables emit no range-tombstone cells (markers fold
@@ -1272,12 +1358,15 @@ def classified_from_ma(
     cells (RANGE_TOMBSTONE_MASK, SSTable.cpp:416-423), so the mapping
     must classify both.  `value_as` picks the cell-value decode: the
     event fixtures store stringified doubles ('double'); text corpora
-    keep the raw string ('string')."""
+    keep the raw string ('string').  `wide_slice_bytes` overrides the
+    reader's wide-partition slice target (fixture-scale tests force the
+    block path with a small value)."""
     register(spark)
+    rd = spark.read.format("sstable_run").option("layout", "ma")
+    if wide_slice_bytes is not None:
+        rd = rd.option("wide_slice_bytes", str(wide_slice_bytes))
     raw = (
-        spark.read.format("sstable_run")
-        .option("layout", "ma")
-        .load(table_dir)
+        rd.load(table_dir)
         # ck-BOUNDED range tombstones (range_tomb + NULL col_name) are
         # clustering-scoped: the flat (key, col) classification cannot
         # express them — they are handled by the ck-aware merge path

@@ -970,13 +970,22 @@ def test_wide_partition_datasource_split(spark, tmp_path):
 
     d_wide = build("wide", 512)
     d_flat = build("flat", 0)
-    rdr = SSTableRunReader({"path": d_wide, "layout": "ma"})
+    # fixture-scale slice target (production default 64 MB would ride
+    # this small partition in a range slice — see wide_slice_bytes)
+    rdr = SSTableRunReader(
+        {"path": d_wide, "layout": "ma", "wide_slice_bytes": "1024"}
+    )
     slices = rdr.partitions()
     assert sum(1 for s in slices if s.block is not None) > 2  # real fan-out
     register(spark)
 
     def merged(path):
-        raw = spark.read.format("sstable_run").option("layout", "ma").load(path)
+        raw = (
+            spark.read.format("sstable_run")
+            .option("layout", "ma")
+            .option("wide_slice_bytes", "1024")
+            .load(path)
+        )
         return {
             (r.key, r.ck, r.value, r.ts)
             for r in merge.clustered_live_cells(raw).collect()

@@ -911,7 +911,11 @@ def test_old_wide_partition_datasource_split(spark, tmp_path):
 
     d_wide = build("wide", 512)
     d_flat = build("flat", 0)
-    rdr = SSTableRunReader({"path": d_wide, "layout": "ma"})
+    # fixture-scale slice target: at the 64 MB production default this
+    # small partition would (correctly) ride a range slice
+    rdr = SSTableRunReader(
+        {"path": d_wide, "layout": "ma", "wide_slice_bytes": "1024"}
+    )
     slices = rdr.partitions()
     n_blocks = sum(1 for s in slices if s.block is not None)
     assert n_blocks > 2  # ONE partition fans out across >1 task
@@ -919,7 +923,10 @@ def test_old_wide_partition_datasource_split(spark, tmp_path):
 
     def raw(path):
         df = (
-            spark.read.format("sstable_run").option("layout", "ma").load(path)
+            spark.read.format("sstable_run")
+            .option("layout", "ma")
+            .option("wide_slice_bytes", "1024")
+            .load(path)
         )
         return {
             (r.key, r.col_name, r.value, r.ts, r.deleted)
@@ -929,3 +936,79 @@ def test_old_wide_partition_datasource_split(spark, tmp_path):
     got, want = raw(d_wide), raw(d_flat)
     assert got == want
     assert len(want) == 400 + 1 + 5
+
+
+def test_s27_fixture_actually_fans_out_blocks(spark, sf_dir):
+    """The s27 driver row is only evidence if its fixture really takes
+    the promoted-index path: at the query's wide_slice_bytes the
+    planner yields BLOCK-group slices for the staged old-wide table,
+    both la generations carry promoted entries, and — the slice-target
+    contract — at the production 64 MB default the same fixture plans
+    NO block slices (these partitions ride range slices; block
+    granularity must never dictate task granularity)."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+    )
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_old_wide_table_from_events,
+        default_runs_dir,
+    )
+
+    d = build_old_wide_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_old_wide"
+    )
+    # 1 KB target here (the sf0.001 partitions are ~2 KB); the s27
+    # query itself uses 4096, which engages from the driver's sf0.01 up
+    slices = SSTableRunReader(
+        {"path": d, "layout": "ma", "wide_slice_bytes": "1024"}
+    ).partitions()
+    n_blocks = sum(1 for s in slices if s.block is not None)
+    assert n_blocks > 2
+    for gen in (1, 2):
+        r = OLD.OldReader(d, f"la-{gen}-big-Data.db")
+        assert any(pr is not None for _k, _p, pr in r.index_entries_full())
+    default_slices = SSTableRunReader({"path": d, "layout": "ma"}).partitions()
+    assert sum(1 for s in default_slices if s.block is not None) == 0
+    assert len(default_slices) < len(slices)
+
+
+def test_wide_slice_target_groups_blocks(tmp_path):
+    """The wide-partition planner slices by TARGET BYTES, not by block:
+    with a small target every block is its own slice; with a larger one
+    consecutive blocks group into ~target windows (contiguous, ordered,
+    covering exactly the same byte span); and when no partition exceeds
+    the target the planner falls through to the Summary token-split
+    path (returns no offset plan at all)."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+    )
+
+    d = str(tmp_path / "tmx" / "events")
+    w = OLD.OldWriter(d, 1, version="la", promoted_threshold=256)
+    w.add(Partition(key=b"giant", cells=[
+        Cell("c%05d" % i, b"x%04d" % i, ts=100 + i) for i in range(600)
+    ]))
+    w.add(Partition(key=b"tiny", cells=[Cell("c", b"y", ts=1)]))
+    w.finish()
+
+    def plan(target):
+        return SSTableRunReader(
+            {"path": d, "layout": "ma", "wide_slice_bytes": str(target)}
+        ).partitions()
+
+    per_block = [s for s in plan(1) if s.block is not None]
+    grouped = [s for s in plan(2048) if s.block is not None]
+    assert len(grouped) >= 2  # still fans out
+    assert len(grouped) < len(per_block)  # but coalesced
+    # groups tile the identical byte span, in order, each full group
+    # >= target except the last
+    pb = sorted((s.block[2], s.block[3]) for s in per_block)
+    gp = sorted((s.block[2], s.block[3]) for s in grouped)
+    assert gp[0][0] == pb[0][0] and gp[-1][1] == pb[-1][1]
+    for (lo, hi), (nlo, _nhi) in zip(gp, gp[1:]):
+        assert hi == nlo  # contiguous
+    assert all(hi - lo >= 2048 for lo, hi in gp[:-1])
+    # production-default target: nothing here exceeds 64 MB -> no
+    # offset plan; the Summary token-split path owns the file
+    default_plan = SSTableRunReader({"path": d, "layout": "ma"}).partitions()
+    assert all(s.block is None and s.data_lo is None for s in default_plan)

@@ -65,7 +65,12 @@ def main() -> int:
     try:
         for tag, thr in (("flat", 0), ("wide", 64 * 1024)):
             d = build(tag, thr)
-            slices = SSTableRunReader({"path": d, "layout": "ma"}).partitions()
+            # 64 KB slice target so the single planted partition fans
+            # out (at the 64 MB production default a 300k-cell ~9 MB
+            # partition would correctly stay one range slice)
+            slices = SSTableRunReader(
+                {"path": d, "layout": "ma", "wide_slice_bytes": "65536"}
+            ).partitions()
             n_blocks = sum(1 for s in slices if s.block is not None)
 
             def run() -> float:
@@ -73,6 +78,7 @@ def main() -> int:
                 raw = (
                     spark.read.format("sstable_run")
                     .option("layout", "ma")
+                    .option("wide_slice_bytes", "65536")
                     .load(d)
                 )
                 merge.lww_latest(
