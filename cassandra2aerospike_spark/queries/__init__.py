@@ -106,8 +106,9 @@ _PRIORITY = [
     # -- position 51+: NEW in r09 beyond the full 50-slot prefix —
     #    first in line for the r10 rotation (oracle-verified locally
     #    by tests/test_oracle_parity.py and tools/check_oracle.py
-    #    every run until the driver signs it)
+    #    every run until the driver signs them)
     "s27_old_wide_merge",
+    "text_bm25_topk",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -315,6 +315,91 @@ def q_text_salient_terms(spark, sf_dir):
     )
 
 
+# BM25 query set: fixed (q_id, term) pairs over the corpus vocabulary —
+# identical literal list on the Spark and DuckDB sides.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark"), (0, "merge"), (0, "join"),
+    (1, "fast"), (1, "table"), (1, "scan"),
+    (2, "slow"), (2, "query"), (2, "filter"),
+    (3, "window"), (3, "agg"), (3, "stream"),
+    (4, "customer"), (4, "data"), (4, "line"),
+]
+BM25_K = 5
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-k document retrieval (X3/X4 — the inverted-index move a
+    training pipeline needs for targeted corpus slicing and
+    decontamination-by-retrieval): whitespace tokens -> (doc, term) tf
+    + per-term df + doc lengths, a FIXED 5-query term set broadcast
+    against the tf index, per-(query, doc) BM25 scoring, distributed
+    top-5 per query.
+
+    Scoring uses the LOG-FREE odds idf — idf(t) = (N - df + 0.5) /
+    (df + 0.5), the raw odds whose log is the classic BM25 idf —
+    because ln() is libm-dependent and can never hash-match
+    cross-engine, while +,-,*,/ are IEEE-deterministic: both engines
+    evaluate the LITERALLY IDENTICAL formula text (the _MOMENT_EXPRS
+    discipline) and fold per-term contributions in token-sorted order
+    (explicit left fold on both sides), so raw double scores
+    hash-match bit-for-bit.  tf normalization is standard BM25:
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2, b=0.75.
+
+    Scale shape: tf/df/dl are one tokenize pass + two groupBys; the
+    query set and the query-term df slice are broadcast; scoring
+    touches only docs containing a query term; top-k is one window
+    over (q_id) — 5 tiny partitions, rank ties broken by doc_id."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dl").alias("total"),
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    q = spark.createDataFrame(BM25_QUERIES, "q_id int, tok string")
+    c = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(df_.join(F.broadcast(q.select("tok").distinct()), "tok")), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            * (
+                (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(0.75)
+                        + F.lit(0.75) * F.col("dl") / (F.col("total") / F.col("n"))
+                    )
+                )
+            ),
+        )
+    )
+    scored = c.groupBy("q_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("q_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.STOPWORDS.items()}
@@ -1092,4 +1177,50 @@ QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_chunk_windows": q_text_chunk_windows,
     "text_dup_span_removal": q_text_dup_span_removal,
+    "text_bm25_topk": q_text_bm25_topk,
 }
+
+# BM25 oracle: same formula TEXT, same token-sorted left fold (DuckDB
+# list(c ORDER BY tok) + list_reduce), same (score DESC, doc_id)
+# tie-break — raw double scores hash-match (see q_text_bm25_topk).
+_BM25_VALUES = ", ".join(f"({qid}, '{tok}')" for qid, tok in BM25_QUERIES)
+ORACLES["text_bm25_topk"] = (
+    _TOKS
+    + f"""
+    , tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(t)) AS DOUBLE) AS total
+      FROM toks
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), q(q_id, tok) AS (VALUES {_BM25_VALUES}
+    ), contrib AS (
+      SELECT q.q_id, tf.doc_id, tf.tok,
+             ((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.total / s.n)))) AS c
+      FROM q
+      JOIN tf ON tf.tok = q.tok
+      JOIN dfreq ON dfreq.tok = q.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT q_id, doc_id,
+             list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+                 (acc, x) -> acc + x
+             ) AS score
+      FROM contrib GROUP BY 1, 2
+    ), ranked AS (
+      SELECT q_id, doc_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, doc_id, CAST(rnk AS INT) AS rank, score
+    FROM ranked WHERE rnk <= {BM25_K}
+"""
+)
