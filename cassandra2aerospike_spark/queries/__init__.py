@@ -109,6 +109,7 @@ _PRIORITY = [
     #    every run until the driver signs them)
     "s27_old_wide_merge",
     "text_bm25_topk",
+    "s28_aerospike_wire_sink",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

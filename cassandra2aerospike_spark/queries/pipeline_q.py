@@ -160,6 +160,106 @@ def q_s12_retry_backpressure(spark, sf_dir):
     )
 
 
+def q_s28_aerospike_wire_sink(spark, sf_dir):
+    """S11+S12 over the REAL Aerospike wire protocol (round 9 — closes
+    the 'sink is simulated' caveat): merged records flow through the
+    pipelined pure-Python WireClient (AS_MSG v2 frames, RIPEMD-160 key
+    digests, CREATE-only via info2 0x20) over real TCP sockets into an
+    in-process protocol server that parses the grammar independently
+    and enforces create-only against its store.  TWO passes: the first
+    stores every record (with the server deterministically answering
+    TIMEOUT to every 13th put — the transient-retry path of
+    AerospikeWriter.cpp:150-161 exercised over the wire); the second
+    pass must draw KEY_EXISTS for every record
+    (AerospikeWriter.cpp:142-148's not-an-error mapping).  TTLs follow
+    the reference's rec.ttl rule (AerospikeWriter.cpp:233-242):
+    ETERNAL -> never-expire (0xFFFFFFFF), else expiry - now (the
+    engine's fixed NOW_EPOCH_S).  Output: per surviving key the
+    server-STORED bins (sorted name=value entries decoded back from
+    raw bin bytes) + stored ttl + both passes' accounting as constant
+    columns — all against the merge oracle, so a client framing bug, a
+    server parse bug, digest collision, lost/duplicated put, or wrong
+    ttl mapping each diverges.  The server and its store are driver-
+    side by construction (it IS the test harness's database); executor
+    tasks connect to it over TCP like any real cluster sink."""
+    from ..sinks.aerospike_wire import WireClient, WireServer, key_digest
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    srv = WireServer(fail_every=13)
+    host, port = srv.host, srv.port
+    ns, set_name = "tmx", "records"
+    sc = spark.sparkContext
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events"))
+
+    def run_pass(acc_ok, acc_exists, acc_retry):
+        # one pipelined connection per task (`state` pickles empty per
+        # task, like s12's pattern — a SELF-REFERENTIAL closure here,
+        # e.g. caching on put.__dict__, defeats cloudpickle's function
+        # caching and cost ~140 ms per task, measured 20 s/pass)
+        state: dict = {}
+
+        def put(rd):
+            c = state.get("client")
+            if c is None:
+                c = state["client"] = WireClient(host, port, ns, set_name)
+            bins = {
+                k: ("%.2f" % v).encode() for k, v in rd["columns"].items()
+            }
+            ttl = (
+                0xFFFFFFFF
+                if rd["expiry"] == eternal
+                else int(rd["expiry"]) - now_s
+            )
+            return c.put(str(rd["key"]).encode(), bins, ttl), c
+
+        def wait(h):
+            handle, c = h
+            disposition = c.wait(handle)
+            if disposition == "ok":
+                acc_ok.add(1)
+                return True
+            if disposition == "exists":
+                acc_exists.add(1)
+                return True
+            acc_retry.add(1)
+            return False  # transient: bounded writer requeues the row
+
+        bounded_async_foreach_writer(records, put, wait, max_in_flight=32)
+
+    ok1, ex1, rt1 = (sc.accumulator(0) for _ in range(3))
+    ok2, ex2, rt2 = (sc.accumulator(0) for _ in range(3))
+    run_pass(ok1, ex1, rt1)
+    run_pass(ok2, ex2, rt2)
+    store = srv.records()
+    srv.close()
+    # digest -> key, recomputed with the same public recipe the client
+    # used (the wire carries only the digest, like the reference with
+    # sendKey off); the key list is the sink's own record set — bounded
+    # by the store this in-process server already holds driver-side
+    keys = [r.key for r in records.select("key").collect()]
+    by_digest = {key_digest(set_name, str(k).encode()): k for k in keys}
+    rows = []
+    for (s_ns, s_set, digest), (bins, ttl) in store.items():
+        if s_ns != ns or s_set != set_name or digest not in by_digest:
+            raise RuntimeError("aerospike wire sink: foreign record stored")
+        entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
+        rows.append((by_digest[digest], ",".join(entries), ttl))
+    if ok1.value != len(store) or ex2.value != len(store) or ok2.value != 0:
+        raise RuntimeError(
+            f"aerospike wire sink accounting: first ok={ok1.value} "
+            f"second exists={ex2.value}/ok={ok2.value} store={len(store)}"
+        )
+    return spark.createDataFrame(
+        [
+            (k, s, t, len(store), ex2.value, rt1.value > 0)
+            for k, s, t in rows
+        ],
+        "key long, cols_str string, ttl long, n_records long, "
+        "n_second_exists long, retries_exercised boolean",
+    )
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -301,6 +401,7 @@ QUERIES = {
     "s2_run_identity": q_s2_run_identity,
     "s11_create_only_sink": q_s11_create_only_sink,
     "s12_retry_backpressure": q_s12_retry_backpressure,
+    "s28_aerospike_wire_sink": q_s28_aerospike_wire_sink,
 }
 
 def _sstable_corpus_oracle() -> str:
@@ -359,6 +460,27 @@ ORACLES = {
                count(*) AS n_completed,
                CAST(0 AS BIGINT) AS n_window_violations
         FROM live_records
+    """,
+    # s28: the stored state of the wire sink equals the merged records —
+    # bins stringified %.2f, ttl = expiry - NOW (ETERNAL -> 0xFFFFFFFF),
+    # accounting constants from the live-record count; retries fire
+    # whenever the server saw >= 13 puts (fail_every=13, first pass)
+    "s28_aerospike_wire_sink": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl,
+               (SELECT count(*) FROM live_records) AS n_records,
+               (SELECT count(*) FROM live_records) AS n_second_exists,
+               (SELECT count(*) FROM live_records) >= 13 AS retries_exercised
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
     """,
     "j1_kway_merge": """
         SELECT user_id AS key, event_type AS col_name,

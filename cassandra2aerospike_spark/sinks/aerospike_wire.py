@@ -1,0 +1,375 @@
+"""REAL Aerospike wire protocol (v2 AS_MSG), pure Python — client + an
+in-process protocol server, so the S11/S12 sink semantics run over an
+actual TCP socket instead of a simulated `put` callable.
+
+The reference writes through the C client (`aerospike_key_put_async`,
+AerospikeWriter.cpp:216-253) with `policies.write.exists =
+AS_POLICY_EXISTS_CREATE` (Cassandra2Aerospike.cpp:245); this module
+speaks the same PUBLIC on-wire message format the client library emits:
+
+  proto header   8B:  version=2, type=3 (AS_MSG), 48-bit BE body size
+  msg header    22B:  header_sz, info1..3, unused, result_code,
+                      generation u32, record_ttl u32, transaction_ttl
+                      u32, n_fields u16, n_ops u16  (all BE)
+  field:  u32 size (covers type byte + data), u8 type, data
+          types used: 0 namespace, 1 set, 4 digest (20B RIPEMD-160)
+  op:     u32 size (covers bytes after it), u8 op (2=WRITE),
+          u8 particle type (4=BLOB), u8 version, u8 name_len,
+          name, value
+
+Key digest = RIPEMD160(set_bytes + particle_type_byte + key_bytes)
+with particle type 4 (blob) for raw keys — the C client's
+`as_key_init_rawp` digest recipe.  CREATE-only rides info2 bit 0x20;
+the server answers result code 5 (KEY_EXISTS) for a second create of
+the same digest, which the client maps to `exists` exactly as the
+reference maps AEROSPIKE_ERR_RECORD_EXISTS / _RECORD_BUSY
+(AerospikeWriter.cpp:142-148); codes 9/11/14-style transient errors
+map to `retry` (AerospikeWriter.cpp:150-161's transient set).
+
+The in-process server (`WireServer`) parses the request grammar
+INDEPENDENTLY of the client builder (shared constants only) and
+enforces create-only against its store — tests drive the full
+Spark `foreachPartition` -> socket -> server -> store loop, including
+deterministic transient-failure injection.  Pipelining: requests are
+answered in arrival order on one connection, so the bounded-async
+writer's handle is simply the send ordinal (S12's in-flight window
+becomes genuine socket pipelining, like the C client's
+`pipeline_listener`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import socketserver
+import struct
+import threading
+
+PROTO_VERSION = 2
+MSG_TYPE = 3
+
+FIELD_NAMESPACE = 0
+FIELD_SET = 1
+FIELD_DIGEST = 4
+
+OP_WRITE = 2
+PARTICLE_BLOB = 4
+
+INFO2_WRITE = 0x01
+INFO2_CREATE_ONLY = 0x20
+
+RC_OK = 0
+RC_KEY_EXISTS = 5
+RC_TIMEOUT = 9
+RC_KEY_BUSY = 14
+RC_SERVER_ERROR = 1
+# the reference's "already exists" pair (AerospikeWriter.cpp:142-148)
+EXISTS_CODES = {RC_KEY_EXISTS, RC_KEY_BUSY}
+# the reference's transient set (AerospikeWriter.cpp:150-161)
+TRANSIENT_CODES = {RC_TIMEOUT, 11}
+
+DIGEST_SIZE = 20
+
+
+# ------------------------------------------------------------- RIPEMD-160
+# hashlib's OpenSSL backend usually provides ripemd160, but OpenSSL 3
+# builds may ship without legacy digests — a pure-Python implementation
+# of the public RIPEMD-160 algorithm (Dobbertin/Bosselaers/Preneel 1996)
+# keeps the digest available everywhere.
+
+_R1 = [11,14,15,12,5,8,7,9,11,13,14,15,6,7,9,8,7,6,8,13,11,9,7,15,7,12,15,9,11,7,13,12,
+       11,13,6,7,14,9,13,15,14,8,13,6,5,12,7,5,11,12,14,15,14,15,9,8,9,14,5,6,8,6,5,12,
+       9,15,5,11,6,8,13,12,5,12,13,14,11,8,5,6]
+_R2 = [8,9,9,11,13,15,15,5,7,7,8,11,14,14,12,6,9,13,15,7,12,8,9,11,7,7,12,7,6,15,13,11,
+       9,7,15,11,8,6,6,14,12,13,5,14,13,13,7,5,15,5,8,11,14,14,6,14,6,9,12,9,12,5,15,8,
+       8,5,12,9,12,5,14,6,8,13,6,5,15,13,11,11]
+_Z1 = [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,7,4,13,1,10,6,15,3,12,0,9,5,2,14,11,8,
+       3,10,14,4,9,15,8,1,2,7,0,6,13,11,5,12,1,9,11,10,0,8,12,4,13,3,7,15,14,5,6,2,
+       4,0,5,9,7,12,2,10,14,1,3,8,11,6,15,13]
+_Z2 = [5,14,7,0,9,2,11,4,13,6,15,8,1,10,3,12,6,11,3,7,0,13,5,10,14,15,8,12,4,9,1,2,
+       15,5,1,3,7,14,6,9,11,8,12,2,10,0,4,13,8,6,4,1,3,11,15,0,5,12,2,13,9,7,10,14,
+       12,15,10,4,1,5,8,7,6,2,13,14,0,3,9,11]
+
+
+def _rol(x: int, n: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
+
+
+def _ripemd160_py(data: bytes) -> bytes:
+    h = [0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476, 0xC3D2E1F0]
+    msg = data + b"\x80" + b"\x00" * ((55 - len(data)) % 64)
+    msg += struct.pack("<Q", 8 * len(data))
+    K1 = [0x00000000, 0x5A827999, 0x6ED9EBA1, 0x8F1BBCDC, 0xA953FD4E]
+    K2 = [0x50A28BE6, 0x5C4DD124, 0x6D703EF3, 0x7A6D76E9, 0x00000000]
+
+    def f(j: int, x: int, y: int, z: int) -> int:
+        if j < 16:
+            return x ^ y ^ z
+        if j < 32:
+            return (x & y) | (~x & z)
+        if j < 48:
+            return (x | ~y) ^ z
+        if j < 64:
+            return (x & z) | (y & ~z)
+        return x ^ (y | ~z)
+
+    for off in range(0, len(msg), 64):
+        x = struct.unpack("<16I", msg[off : off + 64])
+        a1, b1, c1, d1, e1 = h
+        a2, b2, c2, d2, e2 = h
+        for j in range(80):
+            t = (a1 + f(j, b1, c1, d1) + x[_Z1[j]] + K1[j // 16]) & 0xFFFFFFFF
+            t = (_rol(t, _R1[j]) + e1) & 0xFFFFFFFF
+            a1, e1, d1, c1, b1 = e1, d1, _rol(c1, 10), b1, t
+            t = (a2 + f(79 - j, b2, c2, d2) + x[_Z2[j]] + K2[j // 16]) & 0xFFFFFFFF
+            t = (_rol(t, _R2[j]) + e2) & 0xFFFFFFFF
+            a2, e2, d2, c2, b2 = e2, d2, _rol(c2, 10), b2, t
+        t = (h[1] + c1 + d2) & 0xFFFFFFFF
+        h = [
+            t,
+            (h[2] + d1 + e2) & 0xFFFFFFFF,
+            (h[3] + e1 + a2) & 0xFFFFFFFF,
+            (h[4] + a1 + b2) & 0xFFFFFFFF,
+            (h[0] + b1 + c2) & 0xFFFFFFFF,
+        ]
+    return struct.pack("<5I", *h)
+
+
+def ripemd160(data: bytes) -> bytes:
+    try:
+        return hashlib.new("ripemd160", data).digest()
+    except ValueError:  # OpenSSL without legacy digests
+        return _ripemd160_py(data)
+
+
+def key_digest(set_name: str, key: bytes) -> bytes:
+    """The C client's as_key digest: RIPEMD160(set + particle + key)."""
+    return ripemd160(set_name.encode() + bytes([PARTICLE_BLOB]) + key)
+
+
+# ---------------------------------------------------------------- codec
+
+
+def _proto_frame(body: bytes) -> bytes:
+    return struct.pack(">Q", (PROTO_VERSION << 56) | (MSG_TYPE << 48) | len(body)) + body
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("aerospike wire: peer closed mid-message")
+        buf += chunk
+    return bytes(buf)
+
+
+def read_frame(sock: socket.socket) -> bytes:
+    (hdr,) = struct.unpack(">Q", _read_exact(sock, 8))
+    version, typ = hdr >> 56, (hdr >> 48) & 0xFF
+    if version != PROTO_VERSION or typ != MSG_TYPE:
+        raise ValueError(f"aerospike wire: bad proto header {version}/{typ}")
+    return _read_exact(sock, hdr & 0xFFFFFFFFFFFF)
+
+
+def build_put(
+    namespace: str,
+    set_name: str,
+    key: bytes,
+    bins: dict[str, bytes],
+    ttl: int,
+    create_only: bool = True,
+) -> bytes:
+    """One AS_MSG write request.  `ttl` uses the server convention:
+    0 = namespace default, 0xFFFFFFFF = never expire, else seconds —
+    exactly the reference's rec.ttl mapping (AerospikeWriter.cpp:233-242).
+    """
+    info2 = INFO2_WRITE | (INFO2_CREATE_ONLY if create_only else 0)
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+        (FIELD_DIGEST, key_digest(set_name, key)),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    ops = []
+    for name, value in bins.items():
+        nb = name.encode()
+        if len(nb) > 15:
+            raise ValueError(f"bin name over 15 bytes: {name!r}")  # server limit
+        body = struct.pack("BBBB", OP_WRITE, PARTICLE_BLOB, 0, len(nb)) + nb + value
+        ops.append(struct.pack(">I", len(body)) + body)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, 0, info2, 0, 0, 0, 0, ttl & 0xFFFFFFFF, 1000, len(fields), len(ops),
+    )
+    return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
+def parse_result_code(frame: bytes) -> int:
+    if len(frame) < 22:
+        raise ValueError("aerospike wire: short response")
+    return frame[5]
+
+
+def parse_put(frame: bytes):
+    """Server-side request parse (independent walk of the same grammar):
+    returns (namespace, set, digest, bins, ttl, create_only)."""
+    if len(frame) < 22:
+        raise ValueError("aerospike wire: short request")
+    (hsz, _i1, info2, _i3, _u, _rc, _gen, ttl, _txn, n_fields, n_ops) = struct.unpack(
+        ">BBBBBBIIIHH", frame[:22]
+    )
+    if hsz != 22:
+        raise ValueError(f"aerospike wire: header size {hsz}")
+    off = 22
+    ns = st = ""
+    digest = b""
+    for _ in range(n_fields):
+        (sz,) = struct.unpack_from(">I", frame, off)
+        ftype = frame[off + 4]
+        data = frame[off + 5 : off + 4 + sz]
+        off += 4 + sz
+        if ftype == FIELD_NAMESPACE:
+            ns = data.decode()
+        elif ftype == FIELD_SET:
+            st = data.decode()
+        elif ftype == FIELD_DIGEST:
+            digest = data
+    if len(digest) != DIGEST_SIZE:
+        raise ValueError("aerospike wire: missing/short digest field")
+    bins: dict[str, bytes] = {}
+    for _ in range(n_ops):
+        (sz,) = struct.unpack_from(">I", frame, off)
+        op, _ptype, _ver, nlen = struct.unpack_from("BBBB", frame, off + 4)
+        name = frame[off + 8 : off + 8 + nlen].decode()
+        value = frame[off + 8 + nlen : off + 4 + sz]
+        off += 4 + sz
+        if op == OP_WRITE:
+            bins[name] = value
+    return ns, st, digest, bins, ttl, bool(info2 & INFO2_CREATE_ONLY)
+
+
+def build_response(result_code: int) -> bytes:
+    msg = struct.pack(">BBBBBBIIIHH", 22, 0, 0, 0, 0, result_code, 0, 0, 0, 0, 0)
+    return _proto_frame(msg)
+
+
+# ---------------------------------------------------------------- client
+
+
+class WireClient:
+    """Pipelined put client over one socket: `put()` sends and returns
+    the send ordinal; `wait(handle)` reads responses (in order — the
+    protocol answers a connection's requests in arrival order) until
+    that ordinal's response arrived, and returns its disposition:
+    'ok' | 'exists' | 'retry' (transient) — the classification of
+    AerospikeWriter.cpp:137-161.  Plugs straight into
+    kv_sink.bounded_async_foreach_writer as (put, wait)."""
+
+    def __init__(self, host: str, port: int, namespace: str, set_name: str):
+        self.sock = socket.create_connection((host, port))
+        # pipelined small frames: Nagle + delayed-ACK turns each put
+        # into a ~40 ms stall (measured: 141 records -> 20 s/pass)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.namespace = namespace
+        self.set_name = set_name
+        self._sent = 0
+        self._received = 0
+        self._results: dict[int, int] = {}
+
+    def put(self, key: bytes, bins: dict[str, bytes], ttl: int) -> int:
+        self.sock.sendall(
+            build_put(self.namespace, self.set_name, key, bins, ttl)
+        )
+        h = self._sent
+        self._sent += 1
+        return h
+
+    def wait(self, handle: int) -> str:
+        while handle not in self._results:
+            rc = parse_result_code(read_frame(self.sock))
+            self._results[self._received] = rc
+            self._received += 1
+        rc = self._results.pop(handle)
+        if rc == RC_OK:
+            return "ok"
+        if rc in EXISTS_CODES:
+            return "exists"
+        if rc in TRANSIENT_CODES:
+            return "retry"
+        raise RuntimeError(f"aerospike wire: put failed, result code {rc}")
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+# ---------------------------------------------------------------- server
+
+
+class WireServer:
+    """In-process Aerospike-protocol server: parses requests with
+    parse_put (an independent walk of the wire grammar), enforces
+    CREATE-only against its store, answers in arrival order.
+
+    `fail_every`: deterministic transient-failure injection — every
+    N-th put (1-based, across the server's lifetime) is answered with
+    RC_TIMEOUT and NOT applied, exercising the client/writer retry
+    path end-to-end.  Store: {(namespace, set, digest): (bins, ttl)};
+    `records()` snapshots it."""
+
+    def __init__(self, fail_every: int = 0):
+        self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
+        self._lock = threading.Lock()
+        self._puts = 0
+        self._fail_every = fail_every
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                self.request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+                )
+                try:
+                    while True:
+                        frame = read_frame(self.request)
+                        self.request.sendall(
+                            build_response(outer._apply(frame))
+                        )
+                except (ConnectionError, OSError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server(("127.0.0.1", 0), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def _apply(self, frame: bytes) -> int:
+        try:
+            ns, st, digest, bins, ttl, create_only = parse_put(frame)
+        except ValueError:
+            return RC_SERVER_ERROR
+        with self._lock:
+            self._puts += 1
+            if self._fail_every and self._puts % self._fail_every == 0:
+                return RC_TIMEOUT
+            k = (ns, st, digest)
+            if create_only and k in self._store:
+                return RC_KEY_EXISTS
+            self._store[k] = (bins, ttl)
+            return RC_OK
+
+    def records(self) -> dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]]:
+        with self._lock:
+            return dict(self._store)
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

@@ -89,3 +89,94 @@ def test_foreachbatch_checkpoint_resume(spark):
     run_once()  # restart with same checkpoint: no new data -> no duplicates
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == 1000 and n2 == 1000
+
+
+def test_aerospike_wire_protocol_roundtrip():
+    """AS_MSG framing: build_put's bytes parse back (independent walk)
+    to the same namespace/set/digest/bins/ttl/create-only; the digest
+    is RIPEMD160(set + particle-type + key) — the C client's as_key
+    recipe — and the pure-Python RIPEMD-160 fallback matches OpenSSL
+    when OpenSSL has it."""
+    import hashlib
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    frame = aw.build_put(
+        "tmx", "records", b"user-42",
+        {"city": b"ams", "score": b"9.50"}, ttl=300,
+    )
+    body = frame[8:]
+    ns, st, digest, bins, ttl, create_only = aw.parse_put(body)
+    assert (ns, st, ttl, create_only) == ("tmx", "records", 300, True)
+    assert bins == {"city": b"ams", "score": b"9.50"}
+    assert digest == aw.key_digest("records", b"user-42")
+    assert len(digest) == 20
+    try:
+        ref = hashlib.new("ripemd160", b"abc").digest()
+    except ValueError:
+        ref = None
+    if ref is not None:
+        assert aw._ripemd160_py(b"abc") == ref
+        assert aw._ripemd160_py(b"x" * 200) == hashlib.new(
+            "ripemd160", b"x" * 200
+        ).digest()
+    # the RIPEMD-160 published test vector for 'abc'
+    assert aw._ripemd160_py(b"abc").hex() == (
+        "8eb208f7e05d987a9b044a8e98c6b087f15a0bfc"
+    )
+
+
+def test_aerospike_wire_server_create_only_and_transients():
+    """Over a real TCP socket: first create stores, second draws
+    KEY_EXISTS (mapped to 'exists', the reference's not-an-error path),
+    never-expire ttl survives, and a fail_every server answers
+    deterministic TIMEOUTs mapped to 'retry' without applying the
+    write."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    c = aw.WireClient(srv.host, srv.port, "ns1", "users")
+    try:
+        assert c.wait(c.put(b"k1", {"v": b"a"}, 120)) == "ok"
+        assert c.wait(c.put(b"k1", {"v": b"b"}, 120)) == "exists"
+        assert c.wait(c.put(b"k2", {"v": b"c"}, 0xFFFFFFFF)) == "ok"
+        store = srv.records()
+        d1 = aw.key_digest("users", b"k1")
+        d2 = aw.key_digest("users", b"k2")
+        assert store[("ns1", "users", d1)] == ({"v": b"a"}, 120)
+        assert store[("ns1", "users", d2)] == ({"v": b"c"}, 0xFFFFFFFF)
+    finally:
+        c.close()
+        srv.close()
+
+    srv = aw.WireServer(fail_every=2)
+    c = aw.WireClient(srv.host, srv.port, "ns1", "s")
+    try:
+        out = [c.wait(c.put(b"k%d" % i, {"v": b"x"}, 0)) for i in range(4)]
+        assert out == ["ok", "retry", "ok", "retry"]
+        assert len(srv.records()) == 2  # failed puts were NOT applied
+    finally:
+        c.close()
+        srv.close()
+
+
+def test_aerospike_wire_pipelining_order():
+    """The bounded-async contract over one socket: N puts issued before
+    any wait, responses consumed oldest-first — the send ordinal IS the
+    handle, like the C client's pipeline (AerospikeWriter.cpp's
+    pipeline_listener)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    c = aw.WireClient(srv.host, srv.port, "n", "s")
+    try:
+        handles = [c.put(b"p%03d" % i, {"v": b"%d" % i}, 0) for i in range(64)]
+        assert handles == list(range(64))
+        assert all(c.wait(h) == "ok" for h in handles)
+        # duplicate creates, waited out of order, all map to exists
+        h2 = [c.put(b"p%03d" % i, {"v": b"y"}, 0) for i in range(8)]
+        assert [c.wait(h) for h in reversed(h2)] == ["exists"] * 8
+        assert len(srv.records()) == 64
+    finally:
+        c.close()
+        srv.close()

@@ -21,6 +21,7 @@ EXCLUDED_PREFIXES = ("stream_",)
 EXCLUDED = {
     "p5_partitioner_abort",
     "s12_retry_backpressure",
+    "s28_aerospike_wire_sink",
     "s8_oldformat_merge",
     "s9_sstable_merge",
     "compaction_roundtrip",
