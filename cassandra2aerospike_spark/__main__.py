@@ -21,15 +21,23 @@ job shapes against SSTable-style run directories:
         [-C]                           # disable chunk checksums (S5 -C)
         [-e N]                         # parallelism (event loops -> shuffle
                                        #   partitions)
-        [-n NS] [-t SET]               # namespace/set -> sink subdirectory
-                                       #   (parquet analog of -n/-t)
-        [-h HOST[:PORT] ...]           # accepted with a warning (no client)
-        [-a N]                         # async in-flight window (recorded;
-                                       #   applied by the programmatic
-                                       #   bounded-async writer, S12)
-        [-u USER] [-p PASSWORD]        # accepted with a warning (the
-                                       #   reference's -p is the password;
-                                       #   a port rides on -h host:port)
+        [-n NS] [-t SET]               # namespace/set: with -h, the wire
+                                       #   client's namespace/set; with -o,
+                                       #   the sink subdirectory
+        [-h HOST[:PORT] ...]           # ROUND 9: without -o, records write
+                                       #   through the REAL Aerospike wire
+                                       #   protocol (sinks/aerospike_wire:
+                                       #   AS_MSG v2, RIPEMD-160 digests,
+                                       #   CREATE-only, pipelined TCP) to
+                                       #   the first host; with -o, the
+                                       #   parquet sink wins (warned)
+        [-a N]                         # async in-flight window per task
+                                       #   (applied: the bounded-async
+                                       #   writer's pipeline depth, S12)
+        [-u USER] [-p PASSWORD]        # accepted with a warning (auth is
+                                       #   not spoken; the reference's -p
+                                       #   is the password; a port rides
+                                       #   on -h host:port)
         [-V]                           # print version and exit (reference
                                        #   optstring uses capital V)
         [--now EPOCH_S]                # pin 'now' for expiry (tests)
@@ -195,10 +203,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.inputs:
         p.error("at least one -i <run directory> is required")
-    if args.hosts or args.username or args.password:
+    if args.username or args.password:
         print(
-            "# note: -h/-u/-p describe an aerospike client this engine does "
-            "not ship; records go to the parquet KV sink (-o)",
+            "# note: -u/-p (cluster auth) are accepted but unused — the "
+            "wire client speaks the unauthenticated protocol",
+            file=sys.stderr,
+        )
+    if args.hosts and args.out_dir:
+        print(
+            "# note: both -h and -o given; -o wins — records go to the "
+            "parquet KV sink, not the aerospike wire client",
             file=sys.stderr,
         )
     if (args.namespace or args.set_name) and args.out_dir:
@@ -279,7 +293,7 @@ def main(argv: list[str] | None = None) -> int:
         records, now_s=now_s, prohibit_eternal=args.prohibit_eternal
     )
 
-    if args.dry_run or not args.out_dir:
+    if args.dry_run or (not args.out_dir and not args.hosts):
         # S13: deterministic textual dump, reference DryRun.cpp format
         rows = records.orderBy("token", "key").limit(args.limit).collect()
         for r in rows:
@@ -291,6 +305,74 @@ def main(argv: list[str] | None = None) -> int:
             for c in r.cells:
                 print(f"  {c.col_name}={_display_value(c.value)}")
         print(f"# dry run: showed {len(rows)} records (limit {args.limit})")
+        return 0
+
+    if args.hosts and not args.out_dir:
+        # -h host[:port]: write through the REAL wire protocol (round 9)
+        # with the reference's own flag semantics — -n namespace,
+        # -t set, -a in-flight window (Cassandra2Aerospike.cpp:83-117).
+        # CREATE-only + EXISTS-is-not-an-error + transient retry mirror
+        # AerospikeWriter.cpp:137-161; write_ttl is already the
+        # reference's rec.ttl (apply_ttl_policy).
+        from .sinks.aerospike_wire import WireClient
+        from .sinks.kv_sink import bounded_async_foreach_writer
+
+        host, _, port_s = args.hosts[0].partition(":")
+        port = int(port_s) if port_s else 3000
+        ns = args.namespace or "test"
+        set_name = args.set_name or "records"
+        sc = spark.sparkContext
+        acc_ok, acc_exists, acc_retry = (sc.accumulator(0) for _ in range(3))
+        # accounting via ONE explicit agg pass, NOT observe():
+        # foreachPartition executes through the RDD path, which never
+        # fires the observation listener — obs.get would block forever
+        live_cond = (F.col("expiry") == ETERNAL) | (
+            F.col("expiry") >= F.lit(now_s + args.min_ttl)
+        )
+        stats = merged.agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.count(F.when(live_cond, 1)).alias("n_read"),
+            F.max(F.when(live_cond, F.col("token"))).alias("t"),
+        ).first()
+        sink_input = records.select("key", "token", "cells", "write_ttl")
+        state: dict = {}
+
+        def put(rd):
+            c = state.get("client")
+            if c is None:
+                c = state["client"] = WireClient(host, port, ns, set_name)
+            bins = {c_["col_name"]: c_["value"] or b"" for c_ in rd["cells"]}
+            k = rd["key"]  # SGR runs decode keys as strings, ma as bytes
+            if not isinstance(k, (bytes, bytearray)):
+                k = str(k).encode("utf-8")
+            return c.put(bytes(k), bins, int(rd["write_ttl"])), c
+
+        def wait(h):
+            handle, c = h
+            d = c.wait(handle)
+            if d == "ok":
+                acc_ok.add(1)
+                return True
+            if d == "exists":
+                acc_exists.add(1)
+                return True
+            acc_retry.add(1)
+            return False  # transient: requeued by the bounded window
+
+        bounded_async_foreach_writer(
+            sink_input, put, wait, max_in_flight=args.max_async
+        )
+        n_read = stats["n_read"]
+        last = stats["t"]
+        n_expired = stats["n_merged"] - n_read
+        print(
+            f"# records read: {n_read}  written: {acc_ok.value}"
+            f"  already existing: {acc_exists.value}"
+            f"  expired: {n_expired}  transient retries: {acc_retry.value}"
+            f"  async window: {args.max_async}"
+        )
+        if last is not None:
+            print(f"# resume hint: --token {last + 1}")
         return 0
 
     # S11/S14: create-only sink + accounting + resume hint — every

@@ -220,9 +220,10 @@ def test_cli_mixed_era_dir_equals_modern(runs_dir, spark, sf_dir, capsys):
 
 def test_cli_reference_flag_surface(runs_dir, tmp_path, capsys):
     """A migrating reference invocation — hosts, namespace, set, async
-    window, credentials — must run, not crash: -n/-t namespace the sink
-    path (the parquet analog of aerospike namespace/set), -h/-u/-p warn,
-    -v prints a version."""
+    window, credentials — must run, not crash: with BOTH -h and -o, the
+    explicit parquet sink (-o) wins and -n/-t namespace its path; -u/-p
+    warn (auth unused); -v prints a version.  (-h WITHOUT -o drives the
+    real wire client — test_cli_aerospike_wire_host_flag.)"""
     import os
 
     assert main(["-v"]) == 0
@@ -236,7 +237,7 @@ def test_cli_reference_flag_surface(runs_dir, tmp_path, capsys):
     assert rc == 0
     err_plus_out = capsys.readouterr()
     assert os.path.isdir(os.path.join(out_dir, "prod", "events"))
-    assert "parquet KV sink" in err_plus_out.err
+    assert "-o wins" in err_plus_out.err and "auth" in err_plus_out.err
 
 
 def test_cli_resume_raw_key_matches_hex(runs_dir, capsys):
@@ -256,3 +257,39 @@ def test_cli_resume_raw_key_matches_hex(runs_dir, capsys):
     ) == 0
     assert capsys.readouterr().out.rstrip("\n") == via_raw.rstrip("\n")
     assert "key=" in via_raw
+
+
+def test_cli_aerospike_wire_host_flag(runs_dir, capsys):
+    """Reference-flag parity over the REAL protocol (round 9): `-h
+    host:port -n ns -t set -a window` drives merged records from
+    executor tasks through the pipelined wire client into an
+    in-process protocol server; a replay draws KEY_EXISTS for every
+    record (not-an-error accounting, AerospikeWriter.cpp:142-148); the
+    stored ttls follow write_ttl (never-expire for eternal records)."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import WireServer
+
+    srv = WireServer()
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{srv.port}",
+            "-n", "tmx", "-t", "recs", "-a", "16",
+        ] + NOW
+        assert main(argv) == 0
+        first = capsys.readouterr().out
+        assert "already existing: 0" in first
+        assert "# resume hint: --token " in first
+        store = srv.records()
+        n_written = int(first.split("written: ")[1].split()[0])
+        assert n_written == len(store) > 0
+        assert all(k[0] == "tmx" and k[1] == "recs" for k in store)
+        ttls = {ttl for _bins, ttl in store.values()}
+        assert 0xFFFFFFFF in ttls  # eternal records -> never-expire
+        # replay: create-only, everything already exists
+        assert main(argv) == 0
+        second = capsys.readouterr().out
+        assert "written: 0" in second
+        assert f"already existing: {len(store)}" in second
+        assert srv.records() == store
+    finally:
+        srv.close()
