@@ -110,6 +110,7 @@ _PRIORITY = [
     "s27_old_wide_merge",
     "text_bm25_topk",
     "s28_aerospike_wire_sink",
+    "text_bpe_train",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

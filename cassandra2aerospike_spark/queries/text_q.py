@@ -400,6 +400,123 @@ def q_text_bm25_topk(spark, sf_dir):
     )
 
 
+BPE_MERGES = 6  # learned merge rounds (oracle unrolls the same count)
+_BPE_SEP = "\x1f"  # symbol delimiter (absent from the corpus by filter)
+
+
+def q_text_bpe_train(spark, sf_dir):
+    """DISTRIBUTED BPE TOKENIZER TRAINING (X4 — the iterative algorithm
+    a training pipeline runs before anything else): learn the top-K
+    byte-pair merges over the corpus, Sennrich-style, on the
+    WORD-FREQUENCY table — the representation that scales (pair
+    counting and merging touch the vocabulary, not the corpus; the one
+    corpus-sized pass is the word count).  Variant: no end-of-word
+    marker (documented).
+
+    Each round: count adjacent symbol pairs weighted by word frequency
+    (groupBy + sum — map-side combinable), take the argmax with the
+    deterministic (count DESC, left, right) tie-break (ONE driver row
+    per round — the scalar the algorithm's control flow needs), then
+    merge that pair everywhere via a single delimiter-string replace()
+    (greedy left-to-right, the BPE application order) — symbols live
+    in a \\x1f-delimited string so the merge is one JVM string op, no
+    UDFs.  localCheckpoint per round keeps the plan from growing with
+    the iteration count.
+
+    The oracle unrolls the SAME K rounds as chained CTEs with the
+    identical replace()/tie-break semantics — a genuinely iterative
+    algorithm with an exact cross-engine oracle.  Output: one row per
+    learned merge (rank, left, right, pair_count)."""
+    d = _docs(spark, sf_dir)
+    sep = _BPE_SEP
+    words = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("w"))
+        .filter(~F.col("w").contains(sep))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.regexp_replace("w", "(.)", sep + "$1"), F.lit(sep)
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        syms = F.filter(F.split("sym", sep), lambda x: x != F.lit(""))
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            words.select("freq", F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((rank, best.l, best.r, int(best.n)))
+        words = words.select(
+            F.replace(
+                F.col("sym"),
+                F.lit(sep + best.l + sep + best.r + sep),
+                F.lit(sep + best.l + best.r + sep),
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def _bpe_oracle(k: int) -> str:
+    """The same K rounds unrolled as chained CTEs: w{i} holds the
+    delimited vocab after i merges, p{i} the weighted pair counts over
+    w{i-1}, b{i} the argmax (same tie-break).  replace() has identical
+    greedy left-to-right semantics in both engines (verified on the
+    overlapping-pair case)."""
+    parts = [
+        """
+    , w0 AS (
+      SELECT regexp_replace(w, '(.)', chr(31) || '\\1', 'g') || chr(31) AS sym,
+             freq
+      FROM (
+        SELECT tok AS w, count(*) AS freq
+        FROM (SELECT unnest(t) AS tok FROM toks)
+        WHERE NOT contains(tok, chr(31))
+        GROUP BY 1
+      )
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    , p{i} AS (
+      SELECT s[i] AS l, s[i+1] AS r, sum(freq) AS n
+      FROM (
+        SELECT list_filter(string_split(sym, chr(31)), x -> x != '') AS s,
+               freq
+        FROM w{i - 1}
+      ), LATERAL (SELECT unnest(range(1, len(s))) AS i)
+      GROUP BY 1, 2
+    ), b{i} AS (
+      SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1
+    ), w{i} AS (
+      SELECT replace(sym, chr(31) || b.l || chr(31) || b.r || chr(31),
+                     chr(31) || b.l || b.r || chr(31)) AS sym, freq
+      FROM w{i - 1} CROSS JOIN b{i} b
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, l AS left, r AS right, "
+        f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
 # ---------------------------------------------------------------- oracles
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in X.STOPWORDS.items()}
@@ -1178,7 +1295,10 @@ QUERIES = {
     "text_chunk_windows": q_text_chunk_windows,
     "text_dup_span_removal": q_text_dup_span_removal,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_bpe_train": q_text_bpe_train,
 }
+
+ORACLES["text_bpe_train"] = _TOKS + _bpe_oracle(BPE_MERGES)
 
 # BM25 oracle: same formula TEXT, same token-sorted left fold (DuckDB
 # list(c ORDER BY tok) + list_reduce), same (score DESC, doc_id)
