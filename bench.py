@@ -54,6 +54,10 @@ HEADLINE = [
     "text_dup_span_removal",
     # round-7: typed multi-clustering-column cover on real ma bytes
     "s22_multi_ck_range_merge",
+    # round-9: non-frozen UDT complex decode and ReversedType (DESC)
+    # clustering — the r08/r09 format families get their own series
+    "s25_udt_merge",
+    "s26_reversed_ck_merge",
 ]
 
 
@@ -136,6 +140,10 @@ def main() -> None:
     # stale cache vs 2.4 s staged)
     if "s22_multi_ck_range_merge" in qs:
         qs["s22_multi_ck_range_merge"](spark, sf_dir)  # builds eagerly
+    if "s26_reversed_ck_merge" in qs:
+        qs["s26_reversed_ck_merge"](spark, sf_dir)  # same rewrite cache
+    if "s25_udt_merge" in qs:
+        qs["s25_udt_merge"](spark, sf_dir)  # stages the UDT fixture
 
     # Per-query protocol: one COLD pass (codegen + planning + first data
     # touch — the cross-round-comparable series, `queries`/`value`), then

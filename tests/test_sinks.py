@@ -180,3 +180,35 @@ def test_aerospike_wire_pipelining_order():
     finally:
         c.close()
         srv.close()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_bin_name = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ns=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    set_name=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    key=st.binary(min_size=1, max_size=64),
+    bins=st.dictionaries(_bin_name, st.binary(max_size=128), min_size=1, max_size=8),
+    ttl=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    create_only=st.booleans(),
+)
+def test_aerospike_wire_codec_property(ns, set_name, key, bins, ttl, create_only):
+    """Property: build_put -> parse_put is the identity on (namespace,
+    set, digest, bins, ttl, create_only) for arbitrary keys/bins —
+    the builder and the independent parser agree on the whole message
+    grammar, not just on the fixture shapes."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    frame = aw.build_put(ns, set_name, key, bins, ttl, create_only)
+    got_ns, got_set, digest, got_bins, got_ttl, got_co = aw.parse_put(frame[8:])
+    assert (got_ns, got_set, got_ttl, got_co) == (ns, set_name, ttl, create_only)
+    assert got_bins == bins
+    assert digest == aw.key_digest(set_name, key)
