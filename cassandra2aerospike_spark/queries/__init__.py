@@ -111,6 +111,7 @@ _PRIORITY = [
     "text_bm25_topk",
     "s28_aerospike_wire_sink",
     "text_bpe_train",
+    "stream_aerospike_wire_sink",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

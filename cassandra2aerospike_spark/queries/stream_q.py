@@ -5,6 +5,7 @@ checked against batch SQL (streaming/stream_queries.py for semantics)."""
 from __future__ import annotations
 
 from ..streaming import (
+    stream_aerospike_wire_sink,
     stream_corpus_dedup,
     stream_late_data,
     stream_lww_tws,
@@ -17,6 +18,7 @@ from ..streaming import (
 )
 
 QUERIES = {
+    "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
     "stream_window_counts": stream_window_counts,
     "stream_late_data": stream_late_data,
     "stream_session_windows": stream_session_windows,
@@ -186,3 +188,54 @@ if _HAS_TWS:
                max(epoch_us(ts)) AS latest_ts_us
         FROM events GROUP BY user_id, event_type
     """
+
+
+# stream_aerospike_wire_sink oracle: three per-generation merges (the
+# _CTE_MA semantics restricted to epoch_us(ts) % 3 = g — generation
+# g+1's content), each reduced to (key, cols_str, ttl) live records,
+# then a GENERATION-PRIORITY coalesce: create-only means the first
+# generation that produced a live record for a key wins and later
+# generations draw KEY_EXISTS.
+import re as _re
+
+from .merge_q import _CTE_MA as _S_CTE_MA
+
+
+def _gen_merge_cte(g: int) -> str:
+    sql = _S_CTE_MA
+    sql = sql.replace("FROM events", f"FROM events WHERE epoch_us(ts) % 3 = {g}")
+    for name in ("cls", "cells", "colsd", "cover", "live", "latest_f",
+                 "latest", "records"):
+        sql = _re.sub(rf"\b{name}\b", f"{name}_{g}", sql)
+    body = sql.strip()
+    assert body.startswith("WITH "), body[:30]
+    body = body[len("WITH "):]
+    return body + f"""
+    , rec_{g} AS (
+      SELECT r.key, a.cols_str,
+             CASE WHEN r.expiry = 4294967295 THEN 4294967295
+                  ELSE r.expiry - 1719792000 END AS ttl
+      FROM records_{g} r
+      JOIN (SELECT key,
+                   string_agg(col_name || '=' || printf('%.2f', value), ','
+                              ORDER BY col_name || '=' || printf('%.2f', value)
+                              ) AS cols_str
+            FROM latest_f_{g} GROUP BY key) a ON a.key = r.key
+      WHERE r.expiry = 4294967295 OR r.expiry >= 1719792001
+    )"""
+
+
+ORACLES["stream_aerospike_wire_sink"] = (
+    "WITH "
+    + ", ".join(_gen_merge_cte(g) for g in (0, 1, 2))
+    + """
+    SELECT k.key,
+           coalesce(r0.cols_str, r1.cols_str, r2.cols_str) AS cols_str,
+           coalesce(r0.ttl, r1.ttl, r2.ttl) AS ttl
+    FROM (SELECT key FROM rec_0 UNION SELECT key FROM rec_1
+          UNION SELECT key FROM rec_2) k
+    LEFT JOIN rec_0 r0 ON r0.key = k.key
+    LEFT JOIN rec_1 r1 ON r1.key = k.key
+    LEFT JOIN rec_2 r2 ON r2.key = k.key
+"""
+)

@@ -1365,8 +1365,15 @@ def classified_from_ma(
     rd = spark.read.format("sstable_run").option("layout", "ma")
     if wide_slice_bytes is not None:
         rd = rd.option("wide_slice_bytes", str(wide_slice_bytes))
+    return classify_raw_real(rd.load(table_dir), value_as)
+
+
+def classify_raw_real(raw: DataFrame, value_as: str = "double") -> DataFrame:
+    '''The pure classification transform behind classified_from_ma,
+    shared with the STREAMING real-format path (each microbatch slice
+    of the raw EAV stream classifies identically, round 9).'''
     raw = (
-        rd.load(table_dir)
+        raw
         # ck-BOUNDED range tombstones (range_tomb + NULL col_name) are
         # clustering-scoped: the flat (key, col) classification cannot
         # express them — they are handled by the ck-aware merge path

@@ -514,3 +514,109 @@ def stream_real_sstable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = cells.groupBy("run").agg(F.count("*").alias("n_cells"))
     return _run_to_memory(agg, "complete")
+
+
+def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TRUE production shape, modernized (round 9): a
+    live Cassandra data directory streamed CONTINUOUSLY into Aerospike
+    over the real wire protocol.  The real-format streaming source
+    admits ONE sstable generation per microbatch (ascending, the
+    admission-controlled `max_gens_per_batch=1`); foreachBatch merges
+    each generation's cells (liveness -> LWW -> record assembly ->
+    expiry fold -> write-TTL policy, the batch operators verbatim) and
+    pushes the records from executor tasks through the pipelined
+    WireClient into an in-process protocol server with CREATE-only
+    semantics — so per key, the FIRST generation that yields a live
+    record wins, and every later generation's write draws KEY_EXISTS
+    (the reference's not-an-error accounting).  Returns the server's
+    final stored state per key (sorted name=value bins + stored ttl) —
+    the oracle derives the same first-live-generation records from the
+    parquet events (three unrolled per-generation merges + a priority
+    coalesce)."""
+    from ..operators.merge import (
+        apply_ttl_policy,
+        assemble_records,
+        filter_expired,
+        live_cells_from_classified,
+        lww_latest,
+    )
+    from ..sinks.aerospike_wire import WireClient, WireServer, key_digest
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+    from ..sources.sstable import register
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        classify_raw_real,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    register(spark)
+    srv = WireServer()
+    host, port = srv.host, srv.port
+    ns, set_name = "tmx", "stream"
+
+    stream = (
+        spark.readStream.format("sstable_run")
+        .option("layout", "ma")
+        .option("max_gens_per_batch", "1")
+        .load(table_dir)
+    )
+
+    def write_batch(batch_df, _batch_id: int) -> None:
+        latest = lww_latest(
+            live_cells_from_classified(classify_raw_real(batch_df))
+        )
+        records = apply_ttl_policy(filter_expired(assemble_records(latest)))
+        state: dict = {}
+
+        def put(rd):
+            c = state.get("client")
+            if c is None:
+                c = state["client"] = WireClient(host, port, ns, set_name)
+            bins = {
+                k: ("%.2f" % v).encode() for k, v in rd["columns"].items()
+            }
+            return c.put(str(rd["key"]).encode(), bins, int(rd["write_ttl"])), c
+
+        def wait(h):
+            handle, c = h
+            return c.wait(handle) != "retry"
+
+        bounded_async_foreach_writer(
+            records.select("key", "columns", "write_ttl"), put, wait, 32
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_aw_")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = srv.records()
+    srv.close()
+    from ..sources import load_table
+
+    keys = [
+        r.user_id
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    by_digest = {key_digest(set_name, str(k).encode()): k for k in keys}
+    rows = []
+    for (s_ns, s_set, digest), (bins, ttl) in store.items():
+        if s_ns != ns or s_set != set_name or digest not in by_digest:
+            raise RuntimeError("stream wire sink: foreign record stored")
+        entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
+        rows.append((by_digest[digest], ",".join(entries), ttl))
+    return spark.createDataFrame(
+        rows, "key long, cols_str string, ttl long"
+    )
