@@ -356,7 +356,9 @@ def q_text_bm25_topk(spark, sf_dir):
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").cast("double").alias("tf")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    # doc length and corpus stats DERIVE from tf (dl = Σ tf per doc) —
+    # one tokenize pass feeds the whole index, not one per statistic
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("dl").alias("total"),
