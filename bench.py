@@ -469,6 +469,59 @@ def main() -> None:
         emb_amp.unpersist()
         return rate, n_vecs
 
+    # round-9 text-op slope probes (opt-in with the rest): the BM25
+    # inverted-index build and the BPE trainer over an amplified corpus
+    # with DISTINCT replica suffixes — vocabulary and df distributions
+    # grow with the corpus, so the probes measure index-build/pair-count
+    # scaling, not degenerate duplicate collapse.
+    if os.environ.get("SPARK_GRAFT_SLOPE"):
+        from cassandra2aerospike_spark.queries.text_q import bm25_topk, bpe_train
+
+        def text_amp(factor: int):
+            amp = (
+                docs.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+                .withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")),
+                )
+                .drop("rep")
+                .persist()
+            )
+            return amp, amp.count()
+
+        def text_op_probe(core, factor: int) -> tuple[float, int]:
+            amp, n = text_amp(factor)
+            core(spark, amp).count()  # warm
+            t0 = time.time()
+            core(spark, amp).count()
+            rate = n / (time.time() - t0)
+            amp.unpersist()
+            return rate, n
+
+        bm10, _ = text_op_probe(bm25_topk, 10)
+        bm30, nb30 = text_op_probe(bm25_topk, 30)
+        bp10, _ = text_op_probe(bpe_train, 10)
+        bp30, np30 = text_op_probe(bpe_train, 30)
+        slope.update(
+            {
+                "bm25_docs_per_sec_x10": round(bm10),
+                "bm25_docs_per_sec_x30": round(bm30),
+                "bm25_slope_ratio": round(bm30 / bm10, 3),
+                "bpe_docs_per_sec_x10": round(bp10),
+                "bpe_docs_per_sec_x30": round(bp30),
+                "bpe_slope_ratio": round(bp30 / bp10, 3),
+            }
+        )
+        print(
+            f"# bm25 slope: x10 {bm10:,.0f} -> x30 {bm30:,.0f} docs/s "
+            f"(ratio {bm30 / bm10:.2f}, {nb30} docs); bpe slope: x10 "
+            f"{bp10:,.0f} -> x30 {bp30:,.0f} docs/s (ratio {bp30 / bp10:.2f})",
+            file=sys.stderr,
+        )
+
     sim_thru, n_vecs = gemm_probe(10)
     print(f"# similarity GEMM throughput: {sim_thru:,.0f} vecs/s over {n_vecs} vecs x 10 queries", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_SLOPE"):

@@ -349,7 +349,12 @@ def q_text_bm25_topk(spark, sf_dir):
     query set and the query-term df slice are broadcast; scoring
     touches only docs containing a query term; top-k is one window
     over (q_id) — 5 tiny partitions, rank ties broken by doc_id."""
-    d = _docs(spark, sf_dir)
+    return bm25_topk(spark, _docs(spark, sf_dir))
+
+
+def bm25_topk(spark, d):
+    """The BM25 pipeline over an arbitrary (doc_id, text) frame — the
+    core q_text_bm25_topk and the bench scale probe share."""
     toks = d.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
     )
@@ -429,7 +434,12 @@ def q_text_bpe_train(spark, sf_dir):
     identical replace()/tie-break semantics — a genuinely iterative
     algorithm with an exact cross-engine oracle.  Output: one row per
     learned merge (rank, left, right, pair_count)."""
-    d = _docs(spark, sf_dir)
+    return bpe_train(spark, _docs(spark, sf_dir))
+
+
+def bpe_train(spark, d, k: int = BPE_MERGES):
+    """The BPE trainer over an arbitrary (doc_id, text) frame — the
+    core q_text_bpe_train and the bench scale probe share."""
     sep = _BPE_SEP
     words = (
         d.select(F.explode(X.tokens(F.col("text"))).alias("w"))
@@ -445,7 +455,7 @@ def q_text_bpe_train(spark, sf_dir):
         .localCheckpoint()
     )
     merges = []
-    for rank in range(1, BPE_MERGES + 1):
+    for rank in range(1, k + 1):
         syms = F.filter(F.split("sym", sep), lambda x: x != F.lit(""))
         pairs = F.zip_with(
             F.slice(syms, 1, F.size(syms) - 1),
