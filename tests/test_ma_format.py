@@ -1374,3 +1374,35 @@ def test_nb_era_four_section_statistics_and_digest(tmp_path):
         assert dict(r.stats.schema.regular_columns)["v"] == "UTF8Type"
         (_t, p), = r.partitions()
         assert [(c.col_name, c.value, c.ts) for c in p.cells] == [("v", b"x", 100)]
+
+
+def test_frozen_udt_inside_nonfrozen_map(tmp_path):
+    """Nesting: a NON-frozen map whose VALUES are frozen UDTs —
+    `map<text, frozen<addr>>`, a common real 3.x shape.  The map's
+    complex block carries key-bytes cell paths; each value decodes as
+    one frozen-UDT blob (FrozenType(...) is variable-width simple —
+    the COLUMN_UNKNOWN vint-length treatment), and complex_value_fmt
+    resolves the VALUE type of the map, not the UDT's fields."""
+    udt = "UserType(ks,61646472,63697479:UTF8Type,7a6970:Int32Type)"
+    fmt = f"MapType(UTF8Type,FrozenType({udt}))"
+    assert MA.is_complex_fmt(fmt)
+    assert MA.complex_value_fmt(fmt, b"home") == f"FrozenType({udt})"
+    d = str(tmp_path / "ks" / "nest")
+    w = MA.MaWriter(d, 1, [("addrs", fmt)])
+    blob1, blob2 = b"\x00\x04city\x00\x00\x00\x07\x00\x04zip1", b"frozen-two"
+    p = Partition(key=b"k1", cells=[
+        Cell("addrs", blob1, ts=100, path=b"home"),
+        Cell("addrs", blob2, ts=110, path=b"work"),
+        Cell("addrs", b"", ts=120, path=b"old", deleted=True),
+    ])
+    p.complex_tombs.append((None, "addrs", 90))
+    w.add(p)
+    w.finish()
+    r = MA.MaReader(d, 1)
+    assert dict(r.stats.schema.regular_columns)["addrs"] == fmt
+    (_t, got), = r.partitions()
+    assert got.complex_tombs == [(None, "addrs", 90)]
+    cells = {(c.path, c.ts): (c.value, c.deleted) for c in got.cells}
+    assert cells[(b"home", 100)] == (blob1, False)  # blob byte-preserved
+    assert cells[(b"work", 110)] == (blob2, False)
+    assert cells[(b"old", 120)] == (b"", True)
