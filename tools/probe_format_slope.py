@@ -67,6 +67,8 @@ def main() -> int:
     from cassandra2aerospike_spark.sources.sstable.fixtures import (
         build_ma_collection_table_from_events,
         build_ma_multick_table_from_events,
+        build_ma_reversed_ck_table_from_events,
+        build_ma_udt_table_from_events,
         default_runs_dir,
     )
 
@@ -75,6 +77,8 @@ def main() -> int:
     base = default_runs_dir(sf_dir)
     mck = build_ma_multick_table_from_events(spark, sf_dir, base + "_ma_mck")
     coll = build_ma_collection_table_from_events(spark, sf_dir, base + "_ma_coll")
+    udt = build_ma_udt_table_from_events(spark, sf_dir, base + "_ma_udt")
+    rck = build_ma_reversed_ck_table_from_events(spark, sf_dir, base + "_ma_rck")
 
     def probe(table_dir: str, tag: str, live_fn, factor: int) -> tuple[float, int]:
         amp = _amplify(table_dir, f"{table_dir}_x{factor}", factor)
@@ -91,6 +95,10 @@ def main() -> int:
     for tag, table, fn in (
         ("multick", mck, merge.clustered_live_cells),
         ("collection", coll, merge.collection_live_cells),
+        # round 8/9 format families: non-frozen UDT complex blocks and
+        # ReversedType (DESC) clustering cover
+        ("udt", udt, merge.collection_live_cells),
+        ("reversed_ck", rck, merge.clustered_live_cells),
     ):
         r3, _ = probe(table, tag, fn, 3)
         r9, n9 = probe(table, tag, fn, 9)
