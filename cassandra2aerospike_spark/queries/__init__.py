@@ -112,6 +112,7 @@ _PRIORITY = [
     "s28_aerospike_wire_sink",
     "text_bpe_train",
     "stream_aerospike_wire_sink",
+    "text_bpe_encode",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -485,6 +485,71 @@ def bpe_train(spark, d, k: int = BPE_MERGES):
     )
 
 
+def q_text_bpe_encode(spark, sf_dir):
+    '''BPE ENCODING — the learned merges applied back to the corpus
+    (train -> encode, the full tokenizer loop): q_text_bpe_train's K
+    merges, applied in rank order to every word via the same
+    delimiter-string replace() (greedy left-to-right, each merge one
+    JVM string op over the exploded corpus — a map-side pass, no
+    shuffle beyond the per-doc count), then per-document token
+    accounting: symbols before (= characters) vs after.  The oracle
+    re-learns the identical merges (the unrolled b{i} CTEs) and
+    applies them with nested replace()s.  Output: per doc the
+    symbol counts and how many merges fired (before - after).'''
+    d = _docs(spark, sf_dir)
+    sep = _BPE_SEP
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(spark, d).orderBy("rank").collect()
+    ]
+    words = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
+    ).filter(~F.col("w").contains(sep))
+    sym = F.concat(F.regexp_replace("w", "(.)", sep + "$1"), F.lit(sep))
+    for left, right in merges:  # rank order — application order matters
+        sym = F.replace(
+            sym,
+            F.lit(sep + left + sep + right + sep),
+            F.lit(sep + left + right + sep),
+        )
+    n_after = F.size(F.filter(F.split(sym, sep), lambda x: x != F.lit("")))
+    return (
+        words.select("doc_id", F.length("w").alias("nb"), n_after.alias("na"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nb").cast("long").alias("n_sym_before"),
+            F.sum("na").cast("long").alias("n_sym_after"),
+            (F.sum("nb") - F.sum("na")).cast("long").alias("n_merges_applied"),
+        )
+    )
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    '''Training CTEs (b1..bK, shared shape with _bpe_oracle) + nested
+    rank-order replace()s over the exploded corpus words.'''
+    expr = "regexp_replace(w, '(.)', chr(31) || '\\1', 'g') || chr(31)"
+    for i in range(1, k + 1):
+        expr = (
+            f"replace({expr}, "
+            f"(SELECT chr(31) || l || chr(31) || r || chr(31) FROM b{i}), "
+            f"(SELECT chr(31) || l || r || chr(31) FROM b{i}))"
+        )
+    return f"""
+    , enc AS (
+      SELECT doc_id, length(w) AS nb,
+             len(list_filter(string_split({expr}, chr(31)), x -> x != '')) AS na
+      FROM (
+        SELECT doc_id, tok AS w FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        WHERE NOT contains(tok, chr(31))
+      )
+    )
+    SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_sym_before,
+           CAST(sum(na) AS BIGINT) AS n_sym_after,
+           CAST(sum(nb) - sum(na) AS BIGINT) AS n_merges_applied
+    FROM enc GROUP BY doc_id
+"""
+
+
 def _bpe_oracle(k: int) -> str:
     """The same K rounds unrolled as chained CTEs: w{i} holds the
     delimited vocab after i merges, p{i} the weighted pair counts over
@@ -1308,9 +1373,17 @@ QUERIES = {
     "text_dup_span_removal": q_text_dup_span_removal,
     "text_bm25_topk": q_text_bm25_topk,
     "text_bpe_train": q_text_bpe_train,
+    "text_bpe_encode": q_text_bpe_encode,
 }
 
 ORACLES["text_bpe_train"] = _TOKS + _bpe_oracle(BPE_MERGES)
+# encode oracle: the SAME training CTE chain minus the final merge
+# selects, plus the nested-replace application over the corpus
+ORACLES["text_bpe_encode"] = (
+    _TOKS
+    + _bpe_oracle(BPE_MERGES).rsplit("SELECT CAST(1", 1)[0].rstrip().rstrip(",")
+    + _bpe_encode_oracle(BPE_MERGES)
+)
 
 # BM25 oracle: same formula TEXT, same token-sorted left fold (DuckDB
 # list(c ORDER BY tok) + list_reduce), same (score DESC, doc_id)
