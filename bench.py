@@ -58,6 +58,8 @@ HEADLINE = [
     # clustering — the r08/r09 format families get their own series
     "s25_udt_merge",
     "s26_reversed_ck_merge",
+    # round-9 retrieval: the BM25 inverted-index pipeline
+    "text_bm25_topk",
 ]
 
 
