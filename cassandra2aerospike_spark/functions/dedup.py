@@ -184,6 +184,79 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """X2 exact n-gram Jaccard with PREFIX-FILTER candidate generation —
+    the AllPairs/PPJoin shape (Bayardo et al., WWW'07): ZERO recall loss
+    at the threshold, unlike `jaccard_pairs`' df_cap stop-shingle guard
+    (which documents a recall caveat).
+
+    Under a global shingle order by ASCENDING document frequency (ties
+    by shingle value), a pair with J(A,B) >= t must share its SMALLEST
+    common shingle inside both docs' prefixes of length
+    |X| - ceil(t*|X|) + 1: the overlap is >= ceil(t*|X|) and every
+    shared element sits at or after the smallest one, which therefore
+    cannot be pushed past position |X| - overlap + 1.  So joining only
+    PREFIX tokens finds every qualifying pair, while the join touches
+    the corpus-RAREST shingles — the exact opposite of the hot-key
+    blowup the df_cap guard exists to dodge.  A length filter
+    (t_den*min >= t_num*max, integer-exact) prunes size-incompatible
+    pairs in the join condition.
+
+    The threshold rides as a RATIONAL t_num/t_den: prefix lengths use
+    ceil(t_num*n / t_den) in integer arithmetic — a float ceil(0.6*5)
+    is 4, not 3, and a too-short prefix silently loses recall, which is
+    the one property this operator exists to guarantee.
+
+    Scale shape: one groupBy(shingle) for df, one per-doc window rank
+    (bounded by doc length), a self-join on PREFIX shingles only, then
+    the in-row array_intersect verification on the (tiny) candidates.
+    """
+    from pyspark.sql import Window
+
+    threshold = t_num / t_den
+    sets = _materialize_sets(shingle_sets(docs, k, text_col), checkpoint_dir)
+    sh = sets.select(
+        "doc_id", F.size("sh_set").alias("n"), F.explode("sh_set").alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    # p = n - ceil(t_num*n/t_den) + 1, all-integer (see docstring)
+    req = F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den))
+    pfx = ranked.filter(F.col("rnk") <= F.col("n") - req + 1).select(
+        "doc_id", "n", "shingle"
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t  =>  t_den*min(n) >= t_num*max(n)
+            & (
+                F.lit(t_den) * F.least("a.n", "b.n")
+                >= F.lit(t_num) * F.greatest("a.n", "b.n")
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_on_candidates(cand, sets, threshold).select(
+        "doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 16, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -48,8 +48,14 @@ def _signed_byte(b: int) -> int:
     return b - 256 if b >= 128 else b
 
 
-def murmur3_128_h1(data: bytes, seed: int = 0) -> int:
-    """Cassandra-flavored Murmur3 x64-128, returning h1 (the token)."""
+def murmur3_128_pair(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Cassandra-flavored Murmur3 x64-128: BOTH output words as signed
+    int64s, exactly as Java's `MurmurHash.hash3_x64_128` returns them.
+    The partitioner token is h1 with the MIN_LONG clamp
+    (`murmur3_128_h1`); the Filter.db bloom filter consumes the raw
+    (h1, h2) pair WITHOUT the clamp (BloomFilter hashes through the
+    same sign-bugged routine the reference documents at
+    Partitioners.cpp:77-79 but never applies the partitioner clamp)."""
     h1 = h2 = seed & _MASK
     n = len(data)
     nblocks = n // 16
@@ -98,8 +104,16 @@ def murmur3_128_h1(data: bytes, seed: int = 0) -> int:
     h1 = _fmix(h1)
     h2 = _fmix(h2)
     h1 = (h1 + h2) & _MASK
-    # to signed int64
+    h2 = (h2 + h1) & _MASK
+    # to signed int64 (Java long semantics)
     h1 = h1 - (1 << 64) if h1 >= (1 << 63) else h1
+    h2 = h2 - (1 << 64) if h2 >= (1 << 63) else h2
+    return h1, h2
+
+
+def murmur3_128_h1(data: bytes, seed: int = 0) -> int:
+    """Cassandra-flavored Murmur3 x64-128, returning h1 (the token)."""
+    h1, _h2 = murmur3_128_pair(data, seed)
     # Cassandra clamp: MIN_LONG is reserved for the minimum token
     if h1 == -(1 << 63):
         h1 = (1 << 63) - 1

@@ -105,6 +105,20 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_prefix_filter(spark, sf_dir):
+    """X2 exact n-gram Jaccard via PREFIX-FILTER candidates (AllPairs/
+    PPJoin): provably zero recall loss at threshold 0.6, so the oracle
+    is the NAIVE ground truth — every pair sharing any shingle, exact
+    Jaccard >= 0.6, no candidate cap.  Passing this row cross-engine is
+    the proof that the prefix filter misses nothing (contrast
+    dedup_jaccard_pairs, whose df_cap guard documents a recall caveat
+    and whose oracle mirrors the cap)."""
+    return D.prefix_filter_jaccard_pairs(
+        _docs(spark, sf_dir), k=3, t_num=3, t_den=5,
+        checkpoint_dir=_ckpt_dir(sf_dir, "sets_k3"),
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """X2 MinHash+LSH: 16 md5-derived min-hashes, 4 bands × 4 rows,
     bucket-join candidates, verified with exact Jaccard >= 0.5."""
@@ -408,6 +422,13 @@ ORACLES = {
         FROM jac j JOIN capped_cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
         WHERE j.jaccard >= 0.6
     """,
+    # the prefix-filter join is exact at the threshold, so the oracle is
+    # the UNCAPPED ground truth — any miss fails the row
+    "dedup_jaccard_prefix_filter": _JACCARD
+    + """
+        SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard
+        FROM jac WHERE jaccard >= 0.6
+    """,
     "dedup_minhash_lsh": _JACCARD
     + _LSH_BODY
     + """
@@ -639,6 +660,7 @@ QUERIES = {
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_jaccard_prefix_filter": q_dedup_jaccard_prefix_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,

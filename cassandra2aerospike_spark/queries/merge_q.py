@@ -363,10 +363,12 @@ def q_s21_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ma_merge_records(spark, table_dir)
 
 
-def _ma_merge_records(spark: SparkSession, table_dir: str) -> DataFrame:
+def _ma_merge_records(
+    spark: SparkSession, table_dir: str, lookup_keys: str | None = None
+) -> DataFrame:
     from ..sources.sstable.fixtures import classified_from_ma
 
-    classified = classified_from_ma(spark, table_dir)
+    classified = classified_from_ma(spark, table_dir, lookup_keys=lookup_keys)
     latest = merge.lww_latest(merge.live_cells_from_classified(classified))
     records = latest.groupBy("key").agg(
         F.array_join(
@@ -445,20 +447,22 @@ def _mixed_era_merge(
 def q_s19_mc_era_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-3.11 AND post-4.0 version auto-detect (the most common real
     deployment): the SAME mixed-era cell routing as s16, but the >= ma
-    era is staged as `mc-3-big-*` + `md-4-big-*` + `nb-5-big-*`
-    sstables (partitions split by key hash — disjoint thirds), in one
-    directory with the ka and la files — FIVE eras, ka through
-    Cassandra 4.x.  The nb file is a real 4.x shape: 4-section
-    Statistics.db TOC (VALIDATION + COMPACTION + STATS incl. the
-    pendingRepair/isTransient/originatingHostId fields + HEADER) and a
-    Digest.crc32 sidecar — readers that walk Statistics sequentially
-    instead of by TOC offset break on it (r09; VERDICT r08 task 4).
-    The reference reads every version >= "ma" through one uniform
-    grammar (SSTable.cpp:45-55); this row proves the engine's
-    directory auto-detect + per-file dispatch does too, on actual
-    files, not by argument.  The merged result is invariant to the
-    split, so the oracle is s16's (_CTE_MIXED)."""
-    return _mixed_era_merge(spark, sf_dir, "_mc_era", ("mc", "md", "nb"))
+    era is staged as `mc-3-big-*` + `md-4-big-*` + `nb-5-big-*` +
+    `oa-6-big-*` sstables (partitions split by key hash — disjoint
+    quarters), in one directory with the ka and la files — SIX eras,
+    ka through Cassandra 5.0.  The nb file is a real 4.x shape:
+    4-section Statistics.db TOC (VALIDATION + COMPACTION + STATS incl.
+    the pendingRepair/isTransient/originatingHostId fields + HEADER)
+    and a Digest.crc32 sidecar; the oa file (r10) additionally carries
+    the 5.0 STATS tail (partition-level-deletions marker, first/last
+    keys, token-space coverage) — readers that walk Statistics
+    sequentially instead of by TOC offset break on either (r09/r10;
+    VERDICT r08 task 4).  The reference reads every version >= "ma"
+    through one uniform grammar (SSTable.cpp:45-55); this row proves
+    the engine's directory auto-detect + per-file dispatch does too,
+    on actual files, not by argument.  The merged result is invariant
+    to the split, so the oracle is s16's (_CTE_MIXED)."""
+    return _mixed_era_merge(spark, sf_dir, "_mc_era", ("mc", "md", "nb", "oa"))
 
 
 def q_ma_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,6 +1007,47 @@ def q_s27_old_wide_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.filter_expired(records)
 
 
+def q_s29_bloom_lookup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-LOOKUP scan through Filter.db bloom pruning (round 10).
+    The reference's find() probes every sstable's Summary+Index for the
+    sought key (CassandraParser.cpp:196-216, SSTable.cpp:58-87) and
+    never opens the Filter.db sidecar every real sstable ships
+    (SSTable.cpp:40-42 lists Index/Summary/CompressionInfo only).  This
+    engine writes the bloom filter (>= ma, sized for the 0.01 fp chance
+    recorded in VALIDATION) and consults it at PLANNING: the s15 table's
+    three ma generations are probed for a fixed key set (every user_id
+    with user_id % 11 = 5, plus two keys absent everywhere), sstables
+    whose filter proves every requested key absent are pruned before any
+    Index work, and survivors plan exact per-key [lo, hi) Data.db
+    windows.  The merged records for the key set must equal the full
+    merge restricted to those keys (the oracle, s15's with the key
+    predicate): bloom pruning has zero false negatives by construction,
+    so the lookup path is byte-equivalent to the full scan — fp
+    admissions cost a wasted window, never a wrong row.  The key list
+    rides the reader option the way the reference's -S hex key rides
+    its CLI (O4, Cassandra2Aerospike.cpp:126-150); the driver-side
+    collect is the lookup ARGUMENT (small by contract), not data."""
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    events = _events(spark, sf_dir)
+    uids = sorted(
+        r[0]
+        for r in events.select("user_id")
+        .where(F.col("user_id") % 11 == 5)
+        .distinct()
+        .collect()
+    )
+    keys = [str(u).encode("utf-8").hex() for u in uids]
+    keys += [b"absent-key-1".hex(), b"absent-key-2".hex()]
+    return _ma_merge_records(spark, table_dir, lookup_keys=",".join(keys))
+
+
 def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNTER cells, decoded past the reference's stopping point: the
     reference reads COUNTER_MASK + counterTs (SSTable.cpp:433-437) and
@@ -1213,6 +1258,7 @@ _CTE_MIXED = _CTE.replace(
 assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
 QUERIES = {
+    "s29_bloom_lookup_merge": q_s29_bloom_lookup_merge,
     "s25_udt_merge": q_s25_udt_merge,
     "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
     "s27_old_wide_merge": q_s27_old_wide_merge,
@@ -1611,6 +1657,20 @@ ORACLES = {
               FROM latest_f GROUP BY key) a ON a.key = r.key
         WHERE r.expiry = {merge.ETERNAL}
            OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    # s29: bloom-pruned point lookup — the full-scan merge restricted to
+    # the looked-up key set (pruning must be invisible to the result)
+    "s29_bloom_lookup_merge": _CTE_MA
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE (r.expiry = {merge.ETERNAL}
+               OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S})
+          AND r.key % 11 = 5
     """,
     # s21: pure re-split of the same cell multiset across evolved
     # headers -> same merged result as s15

@@ -158,6 +158,17 @@ class SSTableRunReader(DataSourceReader):
         # layout "ma": the directory is a real Cassandra 3.x table dir
         # (<keyspace>/<table>/ma-<gen>-big-*.db) read via ma_format.MaReader
         self.layout = options.get("layout", "sgr")
+        # point-lookup scan (O2, the reference's find()/-S hex-key path,
+        # CassandraParser.cpp:196-216 + Cassandra2Aerospike.cpp:126-150):
+        # comma-separated hex partition keys.  Planning consults each
+        # sstable's Filter.db bloom sidecar (the one the reference never
+        # opens) to prune files that provably lack every requested key,
+        # then seeks survivors via Index.db to per-key [lo, hi) windows.
+        # layout=ma only — SGR runs keep the token-range path.
+        lk = options.get("lookup_keys")
+        self.lookup_keys: list[bytes] | None = (
+            [bytes.fromhex(h) for h in lk.split(",") if h] if lk else None
+        )
         self.min_token: int | None = None
         self.min_inclusive = True
 
@@ -253,6 +264,9 @@ class SSTableRunReader(DataSourceReader):
                     f"inconsistent partitioners in {self.directory}: sstable "
                     f"{seen[0]} uses {seen[1]!r} but {name} uses {pner!r}"
                 )
+            if self.lookup_keys is not None:
+                parts += self._lookup_slices(rd, gen, name, vcode >= V_MA)
+                continue
             # both eras expose index_entries_full()/logical_length():
             # ma promoted entries since round 7, the old (ka/la) 2.x
             # IndexInfo promoted entries since round 9 — one planner
@@ -297,6 +311,47 @@ class SSTableRunReader(DataSourceReader):
                     RunSlice(self.directory, gen, s, e, self.verify, "ma", name)
                 )
         return parts
+
+    def _lookup_slices(self, rd, gen: int, name: str, is_ma: bool) -> list[RunSlice]:
+        """Point-lookup plan for one sstable: bloom-prune, then Index
+        seek.  Mirrors the reference's find() (CassandraParser.cpp:
+        196-216 keeps only tables whose cursor lands on a row >= key;
+        SSTable.cpp:58-87 seeks each via Summary+Index) with two
+        upgrades: (a) the Filter.db bloom sidecar — which the reference
+        never opens — answers "key certainly absent" BEFORE any Index
+        work, pruning whole sstables at planning; (b) the plan emits
+        exact per-partition [lo, hi) Data.db windows (merged when
+        adjacent), so a task decodes only the looked-up partitions, not
+        the tail of the file.  Old-era (ka/la) sstables ship no engine
+        filter and skip straight to the Index seek — an absent sidecar
+        must never prune.  False positives cost one empty window at
+        most; false negatives cannot happen by bloom construction, so
+        the merged result is byte-identical with pruning on or off."""
+        keys = self.lookup_keys
+        if is_ma:
+            keys = [k for k in keys if rd.might_contain_key(k)]
+            if not keys:
+                return []  # bloom proves every requested key absent
+        wanted = set(keys)
+        entries = list(rd.index_entries_full())
+        total = rd.logical_length()
+        windows: list[list[int]] = []
+        for i, (k, pos, _promoted) in enumerate(entries):
+            if bytes(k) in wanted:
+                end = entries[i + 1][1] if i + 1 < len(entries) else total
+                windows.append([pos, end])
+        windows.sort()
+        merged: list[list[int]] = []
+        for lo, hi in windows:
+            if merged and merged[-1][1] == lo:
+                merged[-1][1] = hi
+            else:
+                merged.append([lo, hi])
+        return [
+            RunSlice(self.directory, gen, None, None, self.verify, "ma",
+                     name, data_lo=lo, data_hi=hi)
+            for lo, hi in merged
+        ]
 
     def _wide_partition_slices(self, rd, gen: int, name: str):
         """Offset-granular plan for a real-format sstable (EITHER era:

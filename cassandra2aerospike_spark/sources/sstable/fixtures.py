@@ -1351,6 +1351,7 @@ def build_ma_reversed_ck_table_from_events(
 def classified_from_ma(
     spark: SparkSession, table_dir: str, value_as: str = "double",
     wide_slice_bytes: int | None = None,
+    lookup_keys: str | None = None,
 ) -> DataFrame:
     """classified_from_runs for a real-format Cassandra table directory,
     any era.  ma sstables emit no range-tombstone cells (markers fold
@@ -1365,6 +1366,10 @@ def classified_from_ma(
     rd = spark.read.format("sstable_run").option("layout", "ma")
     if wide_slice_bytes is not None:
         rd = rd.option("wide_slice_bytes", str(wide_slice_bytes))
+    if lookup_keys is not None:
+        # point-lookup plan (O2 find(): comma-separated hex keys) —
+        # Filter.db bloom pruning + per-key Index windows at planning
+        rd = rd.option("lookup_keys", lookup_keys)
     return classify_raw_real(rd.load(table_dir), value_as)
 
 

@@ -334,7 +334,8 @@ DEFAULT_CHUNK = 64 * 1024
 # instead of being fed to the reader under a still-matching _DONE marker
 # (the SGR sources solve the same problem by embedding MAGIC in leaf
 # names).
-FIXTURE_ENCODER_REV = "e4"  # e4: 4-section 4.x Statistics + fp-chance in
+FIXTURE_ENCODER_REV = "e5"  # e5: Filter.db bloom sidecar + oa-era STATS
+# trailer (r10); e4: 4-section 4.x Statistics + fp-chance in
 # VALIDATION (r09).  BUMP THIS whenever MaWriter/OldWriter byte output
 # changes — cached fixture trees AND _staged_ma_rewrite compaction
 # outputs key on it, so a stale rev silently serves pre-change bytes.
@@ -1312,6 +1313,24 @@ class MaWriter:
         out += struct.pack(">b", 0)  # originatingHostId: absent (nb)
         out += struct.pack(">b", 0)  # pendingRepair: absent (na+)
         out += struct.pack(">b", 0)  # isTransient: false (na+)
+        from .old_format import version_code
+
+        if version_code(self.version) >= version_code("oa"):
+            # Cassandra 5.0 (oa) grew the STATS tail again: a
+            # partition-level-deletions presence marker, the sstable's
+            # first/last partition keys, and a token-space-coverage
+            # estimate.  Same inertness argument as the nb fields: the
+            # section is resolved by TOC offset and skipped wholesale
+            # (the reference reads VALIDATION + HEADER only), so a
+            # sequential reader breaks on an oa file while a TOC-offset
+            # reader spans ma..oa with one grammar — which is exactly
+            # what this fixture shape exists to prove.
+            out += struct.pack(">b", 0)  # hasPartitionLevelDeletions: false
+            first = self._parts[0][1].key if self._parts else b""
+            last = self._parts[-1][1].key if self._parts else b""
+            out += enc_uvint(len(first)) + first  # firstKey
+            out += enc_uvint(len(last)) + last  # lastKey
+            out += struct.pack(">b", 1) + struct.pack(">d", 1.0)  # tokenSpaceCoverage
         return bytes(out)
 
     def finish(self) -> None:
@@ -1472,6 +1491,19 @@ class MaWriter:
         sm += toc
         with open(self.path("Summary"), "wb") as f:
             f.write(sm)
+
+        # -- Filter.db: bloom filter over the partition keys, sized for
+        # the 0.01 fp chance recorded in VALIDATION above.  The sidecar
+        # every real sstable carries and the reference never opens
+        # (SSTable.cpp:40-42 lists Index/Summary/CompressionInfo only);
+        # the planner's lookup_keys path prunes whole sstables with it.
+        from .bloom import BloomFilter
+
+        bf = BloomFilter.sized_for(len(offsets_of_keys), 0.01)
+        for k, _off in offsets_of_keys:
+            bf.add(k)
+        with open(self.path("Filter"), "wb") as f:
+            f.write(bf.serialize())
 
 
 # --------------------------------------------------------------- reader
@@ -1672,9 +1704,29 @@ class MaReader:
         self.verify = verify_checksums
         self._prefix = prefix or f"ma-{gen}-big"
         self.stats = self._read_statistics()
+        self._bloom = None  # lazy: loaded on first might_contain_key
 
     def path(self, component: str) -> str:
         return os.path.join(self.table_dir, f"{self._prefix}-{component}.db")
+
+    def might_contain_key(self, key: bytes) -> bool:
+        """Filter.db membership probe (O2 lookup pruning).  True when the
+        bloom filter admits the key OR the sstable ships no filter (an
+        absent sidecar must never hide data — only a negative answer
+        from a real filter may prune).  A PRESENT-but-malformed filter
+        raises, per the corruption-matrix discipline: sidecar corruption
+        is a hard error everywhere else in this stack too."""
+        if self._bloom is None:
+            from .bloom import BloomFilter
+
+            p = self.path("Filter")
+            if not os.path.exists(p):
+                self._bloom = False  # sentinel: no filter shipped
+            else:
+                self._bloom = BloomFilter.load(p)
+        if self._bloom is False:
+            return True
+        return self._bloom.might_contain(key)
 
     def _read_statistics(self) -> MaStats:
         buf = open(self.path("Statistics"), "rb").read()

@@ -1406,3 +1406,166 @@ def test_frozen_udt_inside_nonfrozen_map(tmp_path):
     assert cells[(b"home", 100)] == (blob1, False)  # blob byte-preserved
     assert cells[(b"work", 110)] == (blob2, False)
     assert cells[(b"old", 120)] == (b"", True)
+
+
+# ------------------------------------------------ round 10: Filter.db bloom
+
+def _bloom_table(tmp_path, dirname, keys, gen=1):
+    d = str(tmp_path / dirname / "tmx" / "bloomt")
+    w = MA.MaWriter(d, gen, [("v", "UTF8Type")])
+    for i, k in enumerate(keys):
+        w.add(Partition(key=k, cells=[Cell("v", b"x", ts=100 + i)]))
+    w.finish()
+    return d
+
+
+def test_bloom_filter_roundtrip_and_fp_rate(tmp_path):
+    """Filter.db shape: serialize/deserialize is byte-stable, every
+    added key is admitted (zero false negatives), and the measured fp
+    rate of a 0.01-sized filter sits near its design point."""
+    from cassandra2aerospike_spark.sources.sstable.bloom import BloomFilter
+
+    bf = BloomFilter.sized_for(1000, 0.01)
+    keys = [b"key-%d" % i for i in range(1000)]
+    for k in keys:
+        bf.add(k)
+    assert all(bf.might_contain(k) for k in keys)
+    blob = bf.serialize()
+    bf2 = BloomFilter.deserialize(blob)
+    assert bf2.serialize() == blob
+    assert all(bf2.might_contain(k) for k in keys)
+    fp = sum(bf2.might_contain(b"other-%d" % i) for i in range(10_000))
+    assert fp / 10_000 < 0.03  # designed 0.01, generous margin
+
+
+def test_bloom_filter_malformed_fails_loudly(tmp_path):
+    """Sidecar corruption discipline: a PRESENT-but-malformed Filter.db
+    raises instead of silently pruning or admitting."""
+    from cassandra2aerospike_spark.sources.sstable.bloom import BloomFilter
+
+    bf = BloomFilter.sized_for(10, 0.01)
+    bf.add(b"k")
+    blob = bf.serialize()
+    for bad in (blob[:4], blob[:-1], blob + b"\x00", b"\x00" * 8):
+        with pytest.raises(ValueError):
+            BloomFilter.deserialize(bad)
+    d = _bloom_table(tmp_path, "mal", [b"a", b"b"])
+    r = MA.MaReader(d, 1)
+    with open(r.path("Filter"), "wb") as f:
+        f.write(blob[:-1])
+    with pytest.raises(ValueError):
+        r.might_contain_key(b"a")
+
+
+def test_writer_emits_filter_and_reader_consults_it(tmp_path):
+    """MaWriter writes Filter.db beside every sstable; might_contain_key
+    admits every real key, rejects (almost all) absent ones, and an
+    ABSENT sidecar admits everything — a missing filter must never
+    hide data (old-era files ship no engine filter)."""
+    import os
+
+    keys = [b"pk-%02d" % i for i in range(40)]
+    d = _bloom_table(tmp_path, "wr", keys)
+    r = MA.MaReader(d, 1)
+    assert os.path.exists(r.path("Filter"))
+    assert all(r.might_contain_key(k) for k in keys)
+    rejected = sum(not r.might_contain_key(b"nope-%03d" % i) for i in range(200))
+    assert rejected > 150  # bloom actually discriminates
+    os.remove(r.path("Filter"))
+    r2 = MA.MaReader(d, 1)
+    assert r2.might_contain_key(b"whatever")  # absent sidecar: no pruning
+
+
+def test_lookup_plan_bloom_prunes_sstables(tmp_path):
+    """Planner O2 lookup: a directory of two disjoint-key sstables plans
+    Index windows ONLY for files the bloom admits; a key absent from
+    both generations plans zero slices; windows for adjacent matched
+    partitions merge."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+    )
+
+    d = _bloom_table(tmp_path, "lk", [b"a-%d" % i for i in range(30)], gen=1)
+    w2 = MA.MaWriter(d, 2, [("v", "UTF8Type")])
+    for i in range(30):
+        w2.add(Partition(key=b"b-%d" % i, cells=[Cell("v", b"y", ts=500 + i)]))
+    w2.finish()
+
+    def plan(hexkeys):
+        rdr = SSTableRunReader(
+            {"path": d, "layout": "ma", "lookup_keys": ",".join(hexkeys)}
+        )
+        return rdr.partitions()
+
+    # keys only in gen 1 -> gen 2 pruned entirely by its bloom
+    slices = plan([b"a-3".hex(), b"a-7".hex()])
+    assert slices and all(s.gen == 1 for s in slices)
+    assert all(s.data_lo is not None for s in slices)
+    # a key absent everywhere -> zero slices (both blooms prune);
+    # bloom fp could in principle admit one, but 2x30-key filters at
+    # 0.01 make this deterministic in practice for this fixed key
+    assert plan([b"zz-not-here".hex()]) == []
+    # one key per generation -> one window in each
+    slices = plan([b"a-3".hex(), b"b-9".hex()])
+    assert {s.gen for s in slices} == {1, 2}
+
+
+def test_lookup_merge_equals_full_scan_restricted(spark, tmp_path):
+    """End-to-end: the lookup-planned read merges to EXACTLY the full
+    scan restricted to the looked-up keys — pruning and per-key windows
+    are invisible to the result (LWW across generations included)."""
+    from cassandra2aerospike_spark.sources.sstable.datasource import register
+
+    d = _bloom_table(tmp_path, "e2e", [b"k-%d" % i for i in range(20)], gen=1)
+    w2 = MA.MaWriter(d, 2, [("v", "UTF8Type")])
+    # overlap: newer versions of half the keys
+    for i in range(10):
+        w2.add(Partition(key=b"k-%d" % i, cells=[Cell("v", b"new", ts=9000 + i)]))
+    w2.finish()
+    register(spark)
+    want_keys = [b"k-3", b"k-5", b"k-17"]
+    raw = (
+        spark.read.format("sstable_run")
+        .option("layout", "ma")
+        .option("lookup_keys", ",".join(k.hex() for k in want_keys + [b"ghost"]))
+        .load(d)
+    )
+    got = {(bytes(r.key), bytes(r.value), r.ts) for r in raw.collect()}
+    full = (
+        spark.read.format("sstable_run").option("layout", "ma").load(d).collect()
+    )
+    want = {
+        (bytes(r.key), bytes(r.value), r.ts)
+        for r in full
+        if bytes(r.key) in set(want_keys)
+    }
+    assert got == want
+    assert {k for k, _v, _t in got} == set(want_keys)
+
+
+def test_oa_era_statistics_tail(tmp_path):
+    """A 5.0 (oa) sstable: Statistics carries the oa STATS tail
+    (partition-level-deletions marker, first/last keys, token-space
+    coverage) after the nb fields, plus Digest.crc32 — and decodes
+    through the same TOC-offset grammar as ma..nb (a sequential STATS
+    reader would break; a TOC reader must not notice)."""
+    import os
+
+    d = str(tmp_path / "oa" / "tmx" / "t5")
+    w = MA.MaWriter(d, 7, [("v", "UTF8Type")], version="oa")
+    w.add(Partition(key=b"alpha", cells=[Cell("v", b"1", ts=10)]))
+    w.add(Partition(key=b"beta", cells=[Cell("v", b"2", ts=20)]))
+    w.finish()
+    assert os.path.exists(os.path.join(d, "oa-7-big-Digest.crc32"))
+    r = MA.MaReader(d, 7, prefix="oa-7-big")
+    got = {p.key: p.cells[0].value for _t, p in r.partitions()}
+    assert got == {b"alpha": b"1", b"beta": b"2"}
+    # the STATS section really does carry the oa tail: locate it via the
+    # TOC and check the firstKey/lastKey bytes are in there
+    buf = open(r.path("Statistics"), "rb").read()
+    (n,) = struct.unpack_from(">i", buf, 0)
+    offs = dict(
+        struct.unpack_from(">ii", buf, 4 + 8 * i) for i in range(n)
+    )
+    stats = buf[offs[MA.META_DATA_STATS]:]
+    assert b"alpha" in stats and b"beta" in stats
