@@ -149,6 +149,116 @@ def gopher_rules(text: Column) -> dict[str, Column]:
     }
 
 
+CLF_FP = 256  # fixed-point unit (POWER OF TWO: /FP is exact in doubles)
+CLF_CLIP = 1 << 20  # error clip bounding every gradient term
+CLF_ROUNDS = 24  # full-batch GD rounds
+CLF_LR_SHIFT = 1  # learning rate 1 / 2^shift
+CLF_THRESHOLD = 136  # keep iff score_fp >= threshold (FP-scaled, 136/256)
+
+
+def classifier_features(text: Column) -> dict[str, Column]:
+    """INTEGER feature vector + weak label for the trained quality
+    classifier (model-assisted filtering, the FineWeb/CCNet move:
+    distill a heuristic gate into a smooth scorer).  Everything is
+    fixed-point int64 so the whole training loop is exact in any
+    engine: x0 bias, x1 capped token count, x2 stopword ratio, x3
+    alphabetic-word ratio, x4 mean word length (/16), x5 bullet-line
+    ratio, x6 symbol ratio — each ratio as floor(FP*num/den) on
+    non-negative ints — and the label y = FP * gopher_keep (the same
+    seven integer-exact Gopher rules as `gopher_rules`)."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast("long")
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    ).cast("long")
+    stops = stopword_hits(toks, "en").cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("long")
+    safe_tok = F.greatest(n_tok, F.lit(1).cast("long"))
+    safe_lines = F.greatest(n_lines, F.lit(1).cast("long"))
+    fp = F.lit(CLF_FP).cast("long")
+
+    def ratio(num, den):
+        # floor(FP*num/den), non-negative ints: double division of
+        # exact int64s then floor is the mathematical floor here
+        return F.floor(fp * num / den).cast("long")
+
+    keep = (
+        (n_tok >= 50) & (n_tok <= 100_000)
+        & (3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)
+        & (10 * (n_hash + n_ell) <= n_tok)
+        & (5 * n_alpha >= 4 * n_tok)
+        & (stops >= 2)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ell_lines <= 3 * n_lines)
+    )
+    return {
+        "x0": fp,
+        "x1": F.least(n_tok, F.lit(256).cast("long")),
+        "x2": ratio(stops, safe_tok),
+        "x3": ratio(n_alpha, safe_tok),
+        "x4": F.least(ratio(sum_len, safe_tok * 16), fp),
+        "x5": ratio(n_bullet, safe_lines),
+        "x6": F.least(ratio(n_hash + n_ell, safe_tok), fp),
+        "y": keep.cast("long") * fp,
+    }
+
+
+CLF_FEATS = ["x0", "x1", "x2", "x3", "x4", "x5", "x6"]
+
+
+def train_quality_classifier(
+    feats: "DataFrame",
+    rounds: int = CLF_ROUNDS,
+    lr_shift: int = CLF_LR_SHIFT,
+) -> list[int]:
+    """Distributed full-batch gradient descent on the integer feature
+    frame — linear model, squared loss, EVERY quantity integer-exact:
+
+        pred_i = floor(sum_j w_j*x_ij / FP)          (FP = 2^8, exact)
+        err_i  = clip(pred_i - y_i, ±CLF_CLIP)
+        grad_j = sum_i err_i * x_ij                  (DECIMAL(38,0) sum)
+        w_j   -= floor(grad_j / (n * FP * 2^lr_shift))
+
+    Integer sums are ASSOCIATIVE, so the per-round aggregation is
+    order-free — any partitioning, any map-side combine, bit-identical
+    results on one core or a thousand executors (the property float
+    GD fundamentally lacks).  The only driver-side state is the weight
+    vector (7 ints) — the model, not data — exactly the k-means
+    codebook contract.  Each round is one narrow projection + one
+    hash-agg over a persisted frame: at 100 TB that's `rounds` cheap
+    scans of an 8-column int frame, the textbook distributed-GD shape.
+    """
+    n = feats.count()
+    b = (n * CLF_FP) << lr_shift
+    w = [0] * len(CLF_FEATS)
+    for _ in range(rounds):
+        dot = sum(F.lit(int(wj)) * F.col(x) for wj, x in zip(w, CLF_FEATS))
+        pred = F.floor(dot / F.lit(CLF_FP)).cast("long")
+        err = F.greatest(
+            F.least(pred - F.col("y"), F.lit(CLF_CLIP)), F.lit(-CLF_CLIP)
+        )
+        sums = feats.select(
+            *[
+                F.sum((err * F.col(x)).cast("decimal(38,0)")).alias(x)
+                for x in CLF_FEATS
+            ]
+        ).first()
+        w = [wj - int(sums[j]) // b for j, wj in enumerate(w)]
+    return w
+
+
 def _mode_run(sorted_arr: Column) -> Column:
     """(count, value) of the most frequent element of a SORTED array,
     ties broken to the smallest value — computed as the longest run, via

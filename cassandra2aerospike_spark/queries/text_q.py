@@ -62,6 +62,41 @@ def q_text_gopher_rules(spark, sf_dir):
     )
 
 
+def q_text_quality_classifier(spark, sf_dir):
+    """MODEL-ASSISTED quality filtering (round 10) — the modern corpus
+    move (CCNet's fastText gate, FineWeb-Edu's trained scorer): distill
+    the integer-exact Gopher gate into a TRAINED linear scorer, entirely
+    distributed, entirely integer arithmetic.  Features + weak labels
+    (functions/text.classifier_features) feed CLF_ROUNDS rounds of
+    full-batch gradient descent whose per-round aggregation is an
+    associative integer sum — order-free, so bit-identical under any
+    partitioning (functions/text.train_quality_classifier) — and the
+    learned weights score every document.  The oracle RE-RUNS THE WHOLE
+    TRAINING as unrolled chained CTEs (the BPE-train pattern): same
+    features, same 24 rounds, same floor-div updates, HUGEINT sums —
+    cross-engine equality proves the distributed training loop exact,
+    not just the final scoring pass.  Output: per-doc weak label,
+    FP-scaled model score, and the keep/drop decision at
+    CLF_THRESHOLD."""
+    d = _docs(spark, sf_dir)
+    fs = X.classifier_features(F.col("text"))
+    feats = d.select(
+        "doc_id", *[fs[x].alias(x) for x in X.CLF_FEATS], fs["y"].alias("y")
+    ).persist()
+    w = X.train_quality_classifier(feats)
+    dot = None
+    for wj, x in zip(w, X.CLF_FEATS):
+        term = F.lit(int(wj)) * F.col(x)
+        dot = term if dot is None else dot + term
+    score = F.floor(dot / F.lit(X.CLF_FP)).cast("long")
+    return feats.select(
+        "doc_id",
+        (F.col("y") / F.lit(X.CLF_FP)).cast("int").alias("label_keep"),
+        score.alias("score_fp"),
+        (score >= F.lit(X.CLF_THRESHOLD)).cast("int").alias("keep_pred"),
+    )
+
+
 def q_text_repetition_rules(spark, sf_dir):
     """Gopher repetition filters (dup-line / top-2-gram / dup-5-gram
     character fractions) — computed entirely in-row via sorted-array run
@@ -606,7 +641,90 @@ WITH toks AS (
 )
 """
 
+def _classifier_oracle() -> str:
+    """DuckDB replica of the ENTIRE classifier training loop — the
+    feature CTE (same integer counts as the gopher oracle), then
+    CLF_ROUNDS unrolled rounds of {err, HUGEINT gradient sums, floor-div
+    weight update} as chained CTEs, then the scoring pass.  Floor
+    division with possibly-negative numerators is spelled
+    (a - pmod(a, b)) // b in both engines; FP is a power of two so
+    floor(dot / 256.0) over exact int64s is the mathematical floor."""
+    from ..functions.text import (
+        CLF_CLIP,
+        CLF_FEATS,
+        CLF_FP,
+        CLF_LR_SHIFT,
+        CLF_ROUNDS,
+        CLF_THRESHOLD,
+    )
+
+    nf = len(CLF_FEATS)
+    feats = _TOKS + f"""
+, g AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+         CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS BIGINT) AS stops,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                  l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                  l -> suffix(rtrim(l), '...'))) AS BIGINT) AS n_ell_lines
+  FROM toks
+), feats AS MATERIALIZED (
+  SELECT doc_id,
+         CAST({CLF_FP} AS BIGINT) AS x0,
+         least(n_tok, 256) AS x1,
+         ({CLF_FP}*stops) // greatest(n_tok, 1) AS x2,
+         ({CLF_FP}*n_alpha) // greatest(n_tok, 1) AS x3,
+         least(({CLF_FP}*sum_len) // (greatest(n_tok, 1)*16), {CLF_FP}) AS x4,
+         ({CLF_FP}*n_bullet) // greatest(n_lines, 1) AS x5,
+         least(({CLF_FP}*(n_hash + n_ell)) // greatest(n_tok, 1), {CLF_FP}) AS x6,
+         {CLF_FP} * CAST((n_tok >= 50 AND n_tok <= 100000)
+          AND (3*n_tok <= sum_len AND sum_len <= 10*n_tok)
+          AND (10*(n_hash + n_ell) <= n_tok)
+          AND (5*n_alpha >= 4*n_tok)
+          AND (stops >= 2)
+          AND (10*n_bullet <= 9*n_lines)
+          AND (10*n_ell_lines <= 3*n_lines) AS BIGINT) AS y
+  FROM g
+), w0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(nf))})
+"""
+    dot = " + ".join(f"w.w{j}*f.x{j}" for j in range(nf))
+    b = f"(s.n * {CLF_FP << CLF_LR_SHIFT})"
+    rounds = []
+    for k in range(CLF_ROUNDS):
+        sums = ", ".join(
+            f"sum(CAST(err * x{j} AS HUGEINT)) AS s{j}" for j in range(nf)
+        )
+        upd = ", ".join(
+            f"CAST(w.w{j} - (s.s{j} - (((s.s{j} % {b}) + {b}) % {b})) // {b} "
+            f"AS BIGINT) AS w{j}"
+            for j in range(nf)
+        )
+        rounds.append(f"""
+, e{k} AS (
+  SELECT f.*, greatest(CAST(-{CLF_CLIP} AS BIGINT), least(CAST({CLF_CLIP} AS BIGINT),
+           CAST(floor(({dot}) / {CLF_FP}.0) AS BIGINT) - f.y)) AS err
+  FROM feats f, w{k} w
+), g{k} AS (SELECT count(*) AS n, {sums} FROM e{k})
+, w{k + 1} AS MATERIALIZED (SELECT {upd} FROM w{k} w, g{k} s)""")
+    final = f"""
+SELECT f.doc_id,
+       CAST(f.y // {CLF_FP} AS INT) AS label_keep,
+       CAST(floor(({dot}) / {CLF_FP}.0) AS BIGINT) AS score_fp,
+       CAST(CAST(floor(({dot}) / {CLF_FP}.0) AS BIGINT) >= {CLF_THRESHOLD}
+            AS INT) AS keep_pred
+FROM feats f, w{CLF_ROUNDS} w
+"""
+    return feats + "".join(rounds) + final
+
+
 ORACLES = {
+    "text_quality_classifier": _classifier_oracle(),
     # duplicated-substring spans: same 12-gram hash, global frequency,
     # same gaps-and-islands merge (adjacency merges: start <= prev_end+1)
     "text_dup_span_removal": _TOKS + """
@@ -1357,6 +1475,7 @@ QUERIES = {
     "text_line_dedup": q_text_line_dedup,
     "text_quality": q_text_quality,
     "text_gopher_rules": q_text_gopher_rules,
+    "text_quality_classifier": q_text_quality_classifier,
     "text_repetition_rules": q_text_repetition_rules,
     "text_pack_sequences": q_text_pack_sequences,
     "text_lang_id": q_text_lang_id,

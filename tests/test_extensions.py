@@ -1143,3 +1143,35 @@ def test_kmeans_np_matches_declarative(spark, sf_dir):
         for r in S.assign_cells_quantized_np(q, cids, mat).collect()
     }
     assert decl == fast
+
+
+def test_quality_classifier_trains_and_separates(spark, sf_dir):
+    """The trained quality scorer is (a) deterministic — two training
+    runs over different partitionings give identical weights (the
+    integer-GD associativity claim, machine-checked) — and (b) actually
+    predictive: agreement with the weak gopher label well above the
+    base rate, with a non-trivial keep/drop split."""
+    from cassandra2aerospike_spark.functions import text as X
+    from cassandra2aerospike_spark.queries.text_q import (
+        q_text_quality_classifier,
+    )
+    from cassandra2aerospike_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fs = X.classifier_features(F.col("text"))
+    feats = d.select(
+        "doc_id", *[fs[x].alias(x) for x in X.CLF_FEATS], fs["y"].alias("y")
+    )
+    w1 = X.train_quality_classifier(feats.repartition(1))
+    w17 = X.train_quality_classifier(feats.repartition(17, "doc_id"))
+    assert w1 == w17  # order-free integer gradient sums
+
+    rows = q_text_quality_classifier(spark, str(sf_dir)).collect()
+    n = len(rows)
+    assert n > 0
+    agree = sum(int(r.keep_pred == r.label_keep) for r in rows) / n
+    base = max(
+        sum(r.label_keep for r in rows), n - sum(r.label_keep for r in rows)
+    ) / n
+    assert agree >= base  # at least as good as always-majority
+    assert agree > 0.75  # and genuinely predictive
