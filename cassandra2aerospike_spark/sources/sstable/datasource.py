@@ -265,7 +265,7 @@ class SSTableRunReader(DataSourceReader):
                     f"{seen[0]} uses {seen[1]!r} but {name} uses {pner!r}"
                 )
             if self.lookup_keys is not None:
-                parts += self._lookup_slices(rd, gen, name, vcode >= V_MA)
+                parts += self._lookup_slices(rd, gen, name)
                 continue
             # both eras expose index_entries_full()/logical_length():
             # ma promoted entries since round 7, the old (ka/la) 2.x
@@ -312,7 +312,7 @@ class SSTableRunReader(DataSourceReader):
                 )
         return parts
 
-    def _lookup_slices(self, rd, gen: int, name: str, is_ma: bool) -> list[RunSlice]:
+    def _lookup_slices(self, rd, gen: int, name: str) -> list[RunSlice]:
         """Point-lookup plan for one sstable: bloom-prune, then Index
         seek.  Mirrors the reference's find() (CassandraParser.cpp:
         196-216 keeps only tables whose cursor lands on a row >= key;
@@ -322,16 +322,16 @@ class SSTableRunReader(DataSourceReader):
         work, pruning whole sstables at planning; (b) the plan emits
         exact per-partition [lo, hi) Data.db windows (merged when
         adjacent), so a task decodes only the looked-up partitions, not
-        the tail of the file.  Old-era (ka/la) sstables ship no engine
-        filter and skip straight to the Index seek — an absent sidecar
-        must never prune.  False positives cost one empty window at
-        most; false negatives cannot happen by bloom construction, so
-        the merged result is byte-identical with pruning on or off."""
-        keys = self.lookup_keys
-        if is_ma:
-            keys = [k for k in keys if rd.might_contain_key(k)]
-            if not keys:
-                return []  # bloom proves every requested key absent
+        the tail of the file.  Both eras consult the filter; the old
+        era admits on absent-or-foreign sidecars (several real pre-3.0
+        bloom layouts exist — OldReader.might_contain_key) while the ma
+        era fails loudly on malformed ones.  False positives cost one
+        empty window at most; false negatives cannot happen by bloom
+        construction, so the merged result is byte-identical with
+        pruning on or off."""
+        keys = [k for k in self.lookup_keys if rd.might_contain_key(k)]
+        if not keys:
+            return []  # bloom proves every requested key absent
         wanted = set(keys)
         entries = list(rd.index_entries_full())
         total = rd.logical_length()

@@ -434,6 +434,17 @@ class OldWriter:
         with open(self.path("Summary"), "wb") as f:
             f.write(sm)
 
+        # Filter.db: bloom over the partition keys (same engine
+        # serializer as the ma era — see OldReader.might_contain_key
+        # for why the OLD-era read side is tolerant, not fail-loud)
+        from .bloom import BloomFilter
+
+        bf = BloomFilter.sized_for(len(offsets_of_keys), 0.01)
+        for k, _off in offsets_of_keys:
+            bf.add(k)
+        with open(self.path("Filter"), "wb") as f:
+            f.write(bf.serialize())
+
 
 # --------------------------------------------------------------- reader
 
@@ -462,9 +473,31 @@ class OldReader:
         self.table_dir = table_dir
         self.verify = verify_checksums
         self.partitioner = read_partitioner(self.path("Statistics"), self.vcode)
+        self._bloom = None  # lazy: loaded on first might_contain_key
 
     def path(self, component: str) -> str:
         return os.path.join(self.table_dir, f"{self._prefix}-{component}.db")
+
+    def might_contain_key(self, key: bytes) -> bool:
+        """Filter.db membership probe, OLD-era semantics: True when the
+        filter admits the key, the sidecar is absent, OR it does not
+        parse as the engine serialization.  Unlike the ma side (which
+        raises on a malformed filter), the old era is TOLERANT by
+        design: real pre-3.0 deployments shipped several bloom
+        serializations across ja..la, so an unparseable Filter.db here
+        most likely means a REAL old-era filter, not corruption — and
+        admitting is always safe (pruning is an optimization; a misread
+        filter must never hide data)."""
+        if self._bloom is None:
+            from .bloom import BloomFilter
+
+            try:
+                self._bloom = BloomFilter.load(self.path("Filter"))
+            except (OSError, ValueError):
+                self._bloom = False  # absent or foreign-format: no pruning
+        if self._bloom is False:
+            return True
+        return self._bloom.might_contain(key)
 
     def _logical_window(
         self, start_off: int, end_off: int | None

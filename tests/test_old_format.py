@@ -1012,3 +1012,49 @@ def test_wide_slice_target_groups_blocks(tmp_path):
     # offset plan; the Summary token-split path owns the file
     default_plan = SSTableRunReader({"path": d, "layout": "ma"}).partitions()
     assert all(s.block is None and s.data_lo is None for s in default_plan)
+
+
+# ------------------------------------------------ round 10: Filter.db bloom
+
+def test_old_era_filter_written_and_lookup_plans_both_eras(tmp_path):
+    """OldWriter ships a Filter.db; the lookup planner consults it for
+    old-era files too, and a FOREIGN (unparseable) old-era filter is
+    tolerated — admit, never prune (real pre-3.0 filter layouts vary),
+    in contrast to the ma era's fail-loud contract."""
+    from cassandra2aerospike_spark.sources.sstable import ma_format as MA
+    from cassandra2aerospike_spark.sources.sstable.datasource import (
+        SSTableRunReader,
+    )
+    from cassandra2aerospike_spark.sources.sstable.format import Cell, Partition
+
+    d = str(tmp_path / "mix")
+    ow = OLD.OldWriter(d, 1, version="ka")
+    for i in range(20):
+        ow.add(Partition(key=b"old-%d" % i, cells=[Cell("v", b"x", ts=10 + i)]))
+    ow.finish()
+    mw = MA.MaWriter(d, 2, [("v", "UTF8Type")])
+    for i in range(20):
+        mw.add(Partition(key=b"new-%d" % i, cells=[Cell("v", b"y", ts=50 + i)]))
+    mw.finish()
+    assert os.path.exists(os.path.join(d, ow.data_filename()[: -len("Data.db")] + "Filter.db"))
+
+    def plan(keys):
+        return SSTableRunReader(
+            {"path": d, "layout": "ma",
+             "lookup_keys": ",".join(k.hex() for k in keys)}
+        ).partitions()
+
+    # an old-era key: the ma sstable's bloom prunes gen 2 entirely
+    slices = plan([b"old-7"])
+    assert slices and all(s.gen == 1 for s in slices)
+    # an ma-era key: the old bloom prunes gen 1
+    slices = plan([b"new-3"])
+    assert slices and all(s.gen == 2 for s in slices)
+    # foreign/unparseable OLD filter -> admit (plan the Index window);
+    # the same bytes under the ma contract raise instead
+    with open(os.path.join(d, ow.data_filename()[: -len("Data.db")] + "Filter.db"), "wb") as f:
+        f.write(b"\x00\x01\x02")
+    slices = plan([b"old-7"])
+    assert slices and all(s.gen == 1 for s in slices)
+    rd = OLD.OldReader(d, ow.data_filename())
+    assert rd.might_contain_key(b"anything")
