@@ -60,6 +60,11 @@ HEADLINE = [
     "s26_reversed_ck_merge",
     # round-9 retrieval: the BM25 inverted-index pipeline
     "text_bm25_topk",
+    # round-10: bloom-pruned point lookup, exact prefix-filter Jaccard,
+    # and the distributed integer-GD quality classifier
+    "s29_bloom_lookup_merge",
+    "dedup_jaccard_prefix_filter",
+    "text_quality_classifier",
 ]
 
 

@@ -33,25 +33,42 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring) — ROUND-9 prefix.
+# Checked-prefix priority (see module docstring) — ROUND-10 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
 # (a) queries with no driver row yet, (b) queries whose fixtures or
-# semantics change this round, (c) the stalest cohort (latest driver
-# green <= r05 — exactly 45 rows entering r09, so the whole cohort
-# fits: 2 + 3 + 45 = 50, no deferrals).
+# semantics change this round, (c) the stalest cohort.  NOTE: no
+# CORRECTNESS_r09.json was produced, so the round-9 prefix below was
+# never driver-signed — it stays in place behind the 9 queries that
+# are new since it was built (6 late-r09 + 3 r10).
 _PRIORITY = [
-    # -- (a) never driver-checked: round-8's non-frozen UDT merge
-    #    (field-index cell paths; r09 adds per-generation UDT schema
-    #    evolution to the fixture) and ReversedType DESC clustering
-    #    (complement-after-framing sort keys, both merge branches)
+    # -- (a) NEW this round (r10): bloom-pruned point lookup over
+    #    Filter.db (both eras), exact prefix-filter n-gram Jaccard
+    #    near-dup, distributed integer-GD quality classifier
+    "s29_bloom_lookup_merge",
+    "dedup_jaccard_prefix_filter",
+    "text_quality_classifier",
+    # -- (a) new in r09 past the 50-slot cut, never driver-checked:
+    #    old-era wide-partition fan-out, the real Aerospike wire sink
+    #    (batch + streaming), BM25 retrieval, BPE train/encode
+    "s27_old_wide_merge",
+    "s28_aerospike_wire_sink",
+    "stream_aerospike_wire_sink",
+    "text_bm25_topk",
+    "text_bpe_train",
+    "text_bpe_encode",
+    # -- (a) carried from the unsigned r09 prefix: round-8's
+    #    non-frozen UDT merge (field-index cell paths; r09 added
+    #    per-generation UDT schema evolution) and ReversedType DESC
+    #    clustering (complement-after-framing sort keys, both merge
+    #    branches) — judge-verified in r08, still no driver row
     "s25_udt_merge",
     "s26_reversed_ck_merge",
-    # -- (b) changed this round / changed in r08 without re-verify:
-    #    s19's mixed directory gains a REAL nb-era (Cassandra 4.x)
-    #    generation (ka+la+mc+md+nb per-file auto-detect); s20
-    #    exercises the single-variable-width-ck framed keys that r08's
-    #    make_ck_key_fn change altered (ADVICE r08, medium); s24 rides
-    #    the r09 complex_value_fmt malformed-path strictening
+    # -- (b) fixtures/semantics changed in r09/r10 without a driver
+    #    re-verify: s19's mixed directory gained nb (r09) then oa
+    #    (r10, Cassandra 5.0) generations; the r10 writers now emit
+    #    Filter.db bloom sidecars in BOTH eras (s8/s16 read those
+    #    directories); s20 exercises the r08 framed-key change; s24
+    #    rides the r09 complex_value_fmt malformed-path strictening
     "s19_mc_era_merge",
     "s20_ma_rt_compaction_roundtrip",
     "s24_collection_merge",
@@ -100,19 +117,14 @@ _PRIORITY = [
     "topk_global",
     "unpivot_melt",
     "win_range_frame",
+    # -- position 51+: the 9 rows the r10 head additions displace
+    #    past the 50-slot cut (pure-relational, untouched by any
+    #    sstable-path change; oracle-verified locally every run by
+    #    tests/test_oracle_parity.py + tools/check_oracle.py) —
+    #    first in line for the r11 rotation
     "agg_percentiles",
     "agg_approx_distinct",
     "agg_approx_percentiles",
-    # -- position 51+: NEW in r09 beyond the full 50-slot prefix —
-    #    first in line for the r10 rotation (oracle-verified locally
-    #    by tests/test_oracle_parity.py and tools/check_oracle.py
-    #    every run until the driver signs them)
-    "s27_old_wide_merge",
-    "text_bm25_topk",
-    "s28_aerospike_wire_sink",
-    "text_bpe_train",
-    "stream_aerospike_wire_sink",
-    "text_bpe_encode",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
