@@ -45,6 +45,7 @@ _PRIORITY = [
     #    Filter.db (both eras), exact prefix-filter n-gram Jaccard
     #    near-dup, distributed integer-GD quality classifier
     "s29_bloom_lookup_merge",
+    "s30_asof_merge",
     "dedup_jaccard_prefix_filter",
     "text_quality_classifier",
     # -- (a) new in r09 past the 50-slot cut, never driver-checked:

@@ -1048,6 +1048,84 @@ def q_s29_bloom_lookup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ma_merge_records(spark, table_dir, lookup_keys=",".join(keys))
 
 
+def q_s30_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (time-travel) merge (round 10): reconstruct the table state
+    at a snapshot timestamp T from the same multi-generation binary
+    sstable runs s9 reads (shared staged fixture).  Cassandra snapshot
+    semantics: a read at T sees exactly the cells AND tombstones whose
+    write timestamp is <= T — later writes and later deletions do not
+    exist yet — and a TTL'd record is alive iff its folded expiry is
+    still in the future AT T.  So the full merge pipeline (tombstone
+    cover -> LWW argmax -> record fold) runs over the ts<=T prefix of
+    the classified stream with `now` = T instead of NOW_EPOCH_S.
+
+    T is derived from the data — (min+max)//2 of the raw cell
+    timestamps in integer µs — so the query is scale-free, and it rides
+    a broadcast one-row aggregate (BroadcastNestedLoopJoin of a scalar):
+    the cutoff never leaves the cluster, no driver-side collect.  The
+    reference has no as-of mode (its scan always merges every
+    generation to the latest state, CassandraParser.cpp:139-170); this
+    extends the same LWW machinery into a point-in-time query.  At
+    100 TB the prefix filter lands on the classified scan before any
+    shuffle, so the snapshot costs LESS than the full merge, never
+    more."""
+    from ..sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+        default_runs_dir,
+    )
+
+    runs_dir = build_runs_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir),
+        codecs=("deflate", "snappy", "lz4"),
+    )
+    classified = classified_from_runs(spark, runs_dir)
+    # T from the RAW event stream ((min+max)//2, integer µs) — the same
+    # expression the oracle's bounds CTE computes over `events`; the
+    # sstable fixture is free to rewrite tombstone timestamps, so the
+    # cutoff must come from the source of truth, not the decoded runs
+    bounds = _events(spark, sf_dir).agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("asof_us")
+    )
+    snap = (
+        classified.crossJoin(F.broadcast(bounds))
+        .filter(F.col("ts") <= F.col("asof_us"))
+        .drop("asof_us")
+    )
+    latest = merge.lww_latest(merge.live_cells_from_classified(snap))
+    records = latest.groupBy("key").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("col_name"), F.lit("="), F.format_string("%.2f", "value"))
+                )
+            ),
+            ",",
+        ).alias("cols_str"),
+        F.when(
+            F.max(F.col("expiration").isNull().cast("int")) == 1, F.lit(merge.ETERNAL)
+        )
+        .otherwise(F.max("expiration"))
+        .cast("long")
+        .alias("expiry"),
+        F.count("*").alias("n_cols"),
+    )
+    return (
+        records.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("expiry") == merge.ETERNAL)
+            | (F.col("expiry") > F.expr("asof_us div 1000000"))
+        )
+        .select(
+            "key",
+            "cols_str",
+            "expiry",
+            "n_cols",
+            F.expr("asof_us div 1000000").alias("asof_s"),
+        )
+    )
+
+
 def q_a7_counter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNTER cells, decoded past the reference's stopping point: the
     reference reads COUNTER_MASK + counterTs (SSTable.cpp:433-437) and
@@ -1257,8 +1335,43 @@ _CTE_MIXED = _CTE.replace(
 )
 assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 
+# as-of variant (s30): the same merge over the ts <= T prefix of the
+# PHYSICAL cell stream, T = (min+max)//2 of the raw timestamps in
+# integer µs.  The cutoff applies to cells and all three tombstone
+# kinds alike — but against what the sstables actually STORE: the run
+# writer keeps exactly one partition deletion per (generation, key) at
+# the max ts (generation = ts % 3, fixtures.build_runs_from_events), so
+# an earlier same-run row tombstone does not exist on disk and cannot
+# be resurrected by a snapshot read between the two deletion times.
+_CTE_ASOF = (
+    """
+WITH bounds AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS asof_us FROM events
+), cls0 AS (
+  SELECT user_id AS key, event_type AS col_name, value,
+         epoch_us(ts) AS ts, event_id,
+         CASE WHEN event_id % 97 = 0 THEN 'row'
+              WHEN event_id % 13 = 0 THEN 'range'
+              WHEN event_id % 10 = 0 THEN 'point'
+              ELSE 'cell' END AS kind
+  FROM events
+), cls AS (
+  SELECT key, col_name, value, ts, event_id, kind
+  FROM cls0, bounds WHERE kind <> 'row' AND ts <= bounds.asof_us
+  UNION ALL
+  SELECT r.key, CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS DOUBLE) AS value,
+         r.ts, CAST(NULL AS BIGINT) AS event_id, 'row' AS kind
+  FROM (SELECT key, max(ts) AS ts FROM cls0 WHERE kind = 'row'
+        GROUP BY key, ts % 3) r, bounds
+  WHERE r.ts <= bounds.asof_us
+), cells AS ("""
+    + _CTE.split("), cells AS (", 1)[1]
+)
+assert "), records AS (" in _CTE_ASOF, "as-of oracle lost the _CTE tail"
+
 QUERIES = {
     "s29_bloom_lookup_merge": q_s29_bloom_lookup_merge,
+    "s30_asof_merge": q_s30_asof_merge,
     "s25_udt_merge": q_s25_udt_merge,
     "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
     "s27_old_wide_merge": q_s27_old_wide_merge,
@@ -1886,6 +1999,20 @@ ORACLES = {
               FROM latest_f GROUP BY key) a ON a.key = r.key
         WHERE r.expiry = {merge.ETERNAL}
            OR r.expiry >= {merge.NOW_EPOCH_S + merge.MIN_TTL_S}
+    """,
+    # s30: the s9 merge over the ts <= T prefix, alive-at-T expiry test
+    "s30_asof_merge": _CTE_ASOF
+    + f"""
+        SELECT r.key, a.cols_str, r.expiry, r.n_cols,
+               b.asof_us // 1000000 AS asof_s
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        CROSS JOIN bounds b
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry > b.asof_us // 1000000
     """,
     # identical oracle to s9: the on-disk format generation must be
     # invisible to the merged result
