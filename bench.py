@@ -61,10 +61,13 @@ HEADLINE = [
     # round-9 retrieval: the BM25 inverted-index pipeline
     "text_bm25_topk",
     # round-10: bloom-pruned point lookup, exact prefix-filter Jaccard,
-    # and the distributed integer-GD quality classifier
+    # the distributed integer-GD quality classifier, the snapshot-diff
+    # (CDC) merge, and SQ8 integer-quantized ANN
     "s29_bloom_lookup_merge",
     "dedup_jaccard_prefix_filter",
     "text_quality_classifier",
+    "s31_snapshot_diff",
+    "sim_sq8_topk",
 ]
 
 

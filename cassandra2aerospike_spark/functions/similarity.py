@@ -738,6 +738,82 @@ def ivfpq_topk(
     return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("adc"))
 
 
+def sq8_stats(corpus: DataFrame) -> DataFrame:
+    """SQ8 training: per-dimension [min, max] over the scale-1000
+    integer-quantized corpus, folded into ONE row of two pos-ordered
+    arrays (mn_arr, mx_arr).  Plan shape: posexplode -> 64-row partial
+    agg -> 1-row array fold; the result is broadcast, so SQ8 'training'
+    costs one corpus scan and moves 64 rows."""
+    q = corpus.select(quantize_vec(F.col("embedding")).alias("xq"))
+    dims = (
+        q.select(F.posexplode("xq").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    return dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mx_arr"),
+    )
+
+
+_SQ8_RECON = """
+    zip_with(xq, arrays_zip(mn_arr, mx_arr), (v, s) ->
+      CASE WHEN s.mx_arr > s.mn_arr
+           THEN s.mn_arr
+                + (((v - s.mn_arr) * 255 div (s.mx_arr - s.mn_arr))
+                   * (s.mx_arr - s.mn_arr)) div 255
+           ELSE s.mn_arr END)
+"""
+
+
+def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """X3 scale path: SCALAR (int8) quantization ANN — the 4x-memory
+    compression every billion-vector deployment reaches for before PQ
+    (FAISS SQ8 / Milvus IVF_SQ8; public method).  Each dimension is
+    affine-coded to an 8-bit level against the corpus per-dim [min,max],
+    queries score by asymmetric squared-L2 against the RECONSTRUCTIONS
+    (exact query vs quantized corpus).  All arithmetic is INTEGER on the
+    scale-1000 quantized domain — code = (v-mn)*255 div (mx-mn), recon =
+    mn + (code*(mx-mn)) div 255, d2 = Σ (q-recon)² — so Spark and DuckDB
+    agree bit-for-bit and the ANN path carries an exact oracle (the same
+    discipline as kmeans_fit_quantized).  Recall < 1 by construction;
+    brute_force_topk is the exactness baseline.
+
+    Plan shape: one corpus scan trains the 1-row stats frame; encode is
+    an IN-ROW zip_with under a broadcast of that row (no corpus explode,
+    no shuffle); scoring broadcasts the query set; the only exchange is
+    the bounded per-q_id rank (≤ k x n_partitions rows via _local_topk)."""
+    stats = sq8_stats(corpus)
+    enc = (
+        spread(corpus)
+        .select("vec_id", quantize_vec(F.col("embedding")).alias("xq"))
+        .crossJoin(F.broadcast(stats))
+        .select("vec_id", F.expr(_SQ8_RECON).alias("recon"))
+    )
+    qe = queries.select("q_id", quantize_vec(F.col("q_vec")).alias("q_xq"))
+    scored = enc.join(F.broadcast(qe), F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        "vec_id",
+        # negate: d2 ranks ASCENDING, the shared helpers order sim
+        # DESCENDING; exact on integers
+        (
+            -F.aggregate(
+                F.zip_with(
+                    F.col("q_xq"), F.col("recon"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("sim"),
+    )
+    ranked = _global_rank(_local_topk(scored, k), k)
+    return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("d2"))
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8
 ) -> DataFrame:

@@ -46,6 +46,8 @@ _PRIORITY = [
     #    near-dup, distributed integer-GD quality classifier
     "s29_bloom_lookup_merge",
     "s30_asof_merge",
+    "s31_snapshot_diff",
+    "sim_sq8_topk",
     "dedup_jaccard_prefix_filter",
     "text_quality_classifier",
     # -- (a) new in r09 past the 50-slot cut, never driver-checked:
@@ -118,10 +120,10 @@ _PRIORITY = [
     "topk_global",
     "unpivot_melt",
     "win_range_frame",
-    # -- position 51+: the 9 rows the r10 head additions displace
-    #    past the 50-slot cut (pure-relational, untouched by any
-    #    sstable-path change; oracle-verified locally every run by
-    #    tests/test_oracle_parity.py + tools/check_oracle.py) —
+    # -- position 51+: the 12 rows the r10 head additions displace
+    #    past the 50-slot cut (pure-relational / pure-text, untouched
+    #    by any sstable-path change; oracle-verified locally every run
+    #    by tests/test_oracle_parity.py + tools/check_oracle.py) —
     #    first in line for the r11 rotation
     "agg_percentiles",
     "agg_approx_distinct",

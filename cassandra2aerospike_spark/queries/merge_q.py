@@ -1087,6 +1087,14 @@ def q_s30_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = _events(spark, sf_dir).agg(
         F.expr("(min(ts_us) + max(ts_us)) div 2").alias("asof_us")
     )
+    return _snapshot_at(classified, bounds)
+
+
+def _snapshot_at(classified: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Point-in-time merged records: the full merge pipeline over the
+    ts<=T prefix of a classified cell stream, alive-at-T expiry, T
+    riding a broadcast one-row aggregate.  Shared by q_s30_asof_merge
+    (one snapshot) and q_s31_snapshot_diff (two snapshots diffed)."""
     snap = (
         classified.crossJoin(F.broadcast(bounds))
         .filter(F.col("ts") <= F.col("asof_us"))
@@ -1122,6 +1130,80 @@ def q_s30_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expiry",
             "n_cols",
             F.expr("asof_us div 1000000").alias("asof_s"),
+        )
+    )
+
+
+def q_s31_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF / CDC (round 10): the change set between two
+    point-in-time states of the table — reconstruct the merged records
+    at T1 = min + (max-min)/3 and T2 = min + 2*(max-min)/3 of the raw
+    cell-timestamp range (integer µs on both engines), then emit one
+    row per record that was CREATED (absent at T1, present at T2),
+    DELETED (present at T1, gone at T2 — a row/range/point tombstone
+    or expiry landed between the snapshots), or UPDATED (present in
+    both with different column payloads or expiry).  Unchanged records
+    are filtered out — at 100 TB the diff output is proportional to
+    the churn between snapshots, not the table size.
+
+    The reference has no incremental mode (every run re-merges and
+    re-writes the full table, Cassandra2Aerospike.cpp:167-199); this
+    query is what an incremental Cassandra->Aerospike sync would ship
+    to the sink instead.  Scale shape: both snapshots share ONE scan
+    lineage of the classified stream (the ts<=T prefixes are two
+    filters of the same source — Spark schedules two passes over the
+    staged runs, each pruned by its own cutoff before any shuffle);
+    the diff itself is a single full-outer shuffle join on the record
+    key with changed-row predicates pushed after coalescing, and the
+    two cutoffs ride broadcast one-row aggregates, never the driver."""
+    from ..sources.sstable.fixtures import (
+        build_runs_from_events,
+        classified_from_runs,
+        default_runs_dir,
+    )
+
+    runs_dir = build_runs_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir),
+        codecs=("deflate", "snappy", "lz4"),
+    )
+    classified = classified_from_runs(spark, runs_dir)
+    ev = _events(spark, sf_dir)
+
+    def bounds_at(num: int, den: int) -> DataFrame:
+        return ev.agg(
+            F.expr(
+                f"min(ts_us) + (max(ts_us) - min(ts_us)) * {num} div {den}"
+            ).alias("asof_us")
+        )
+
+    before = _snapshot_at(classified, bounds_at(1, 3)).select(
+        "key",
+        F.col("cols_str").alias("cols_before"),
+        F.col("expiry").alias("expiry_before"),
+    )
+    after = _snapshot_at(classified, bounds_at(2, 3)).select(
+        "key",
+        F.col("cols_str").alias("cols_after"),
+        F.col("expiry").alias("expiry_after"),
+    )
+    return (
+        before.join(after, "key", "full_outer")
+        .filter(
+            F.col("cols_before").isNull()
+            | F.col("cols_after").isNull()
+            | (F.col("cols_before") != F.col("cols_after"))
+            | (F.col("expiry_before") != F.col("expiry_after"))
+        )
+        .select(
+            "key",
+            F.when(F.col("cols_before").isNull(), F.lit("created"))
+            .when(F.col("cols_after").isNull(), F.lit("deleted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+            "cols_before",
+            "cols_after",
+            "expiry_before",
+            "expiry_after",
         )
     )
 
@@ -1343,10 +1425,14 @@ assert _CTE_MIXED != _CTE, "mixed-era oracle CTE rewrite missed the kind CASE"
 # the max ts (generation = ts % 3, fixtures.build_runs_from_events), so
 # an earlier same-run row tombstone does not exist on disk and cannot
 # be resurrected by a snapshot read between the two deletion times.
-_CTE_ASOF = (
-    """
+def _asof_cte(bounds_expr: str) -> str:
+    """The as-of classification CTE chain, parameterized on the cutoff
+    expression (integer-µs SQL over `events`) — shared by the s30
+    single-snapshot oracle and both sides of the s31 diff oracle."""
+    return (
+        f"""
 WITH bounds AS (
-  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS asof_us FROM events
+  SELECT {bounds_expr} AS asof_us FROM events
 ), cls0 AS (
   SELECT user_id AS key, event_type AS col_name, value,
          epoch_us(ts) AS ts, event_id,
@@ -1365,13 +1451,40 @@ WITH bounds AS (
         GROUP BY key, ts % 3) r, bounds
   WHERE r.ts <= bounds.asof_us
 ), cells AS ("""
-    + _CTE.split("), cells AS (", 1)[1]
-)
+        + _CTE.split("), cells AS (", 1)[1]
+    )
+
+
+_CTE_ASOF = _asof_cte("(min(epoch_us(ts)) + max(epoch_us(ts))) // 2")
 assert "), records AS (" in _CTE_ASOF, "as-of oracle lost the _CTE tail"
+
+
+def _asof_snapshot_sql(num: int, den: int) -> str:
+    """A complete self-contained SELECT (nested-WITH) producing the
+    alive-at-T merged records (key, cols_str, expiry) at
+    T = min + (max-min)*num//den of the raw event-timestamp range."""
+    return (
+        _asof_cte(
+            f"min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts)))"
+            f" * {num} // {den}"
+        )
+        + f"""
+        SELECT r.key, a.cols_str, r.expiry
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        CROSS JOIN bounds b
+        WHERE r.expiry = {merge.ETERNAL}
+           OR r.expiry > b.asof_us // 1000000
+    """
+    )
 
 QUERIES = {
     "s29_bloom_lookup_merge": q_s29_bloom_lookup_merge,
     "s30_asof_merge": q_s30_asof_merge,
+    "s31_snapshot_diff": q_s31_snapshot_diff,
     "s25_udt_merge": q_s25_udt_merge,
     "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
     "s27_old_wide_merge": q_s27_old_wide_merge,
@@ -2013,6 +2126,21 @@ ORACLES = {
         CROSS JOIN bounds b
         WHERE r.expiry = {merge.ETERNAL}
            OR r.expiry > b.asof_us // 1000000
+    """,
+    # two nested as-of snapshots (T1 = 1/3, T2 = 2/3 of the ts range)
+    # full-outer-joined on key; unchanged records filtered out
+    "s31_snapshot_diff": f"""
+        WITH snap_a AS ({_asof_snapshot_sql(1, 3)}),
+             snap_b AS ({_asof_snapshot_sql(2, 3)})
+        SELECT coalesce(a.key, b.key) AS key,
+               CASE WHEN a.key IS NULL THEN 'created'
+                    WHEN b.key IS NULL THEN 'deleted'
+                    ELSE 'updated' END AS status,
+               a.cols_str AS cols_before, b.cols_str AS cols_after,
+               a.expiry AS expiry_before, b.expiry AS expiry_after
+        FROM snap_a a FULL JOIN snap_b b ON a.key = b.key
+        WHERE a.key IS NULL OR b.key IS NULL
+           OR a.cols_str <> b.cols_str OR a.expiry <> b.expiry
     """,
     # identical oracle to s9: the on-disk format generation must be
     # invisible to the merged result

@@ -80,6 +80,16 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_sim_sq8_topk(spark, sf_dir):
+    """X3 scale path #4 (round 10): scalar int8 quantization ANN — per-dim
+    affine 8-bit codes against the corpus [min,max], asymmetric integer
+    squared-L2 against reconstructions, top-5 per query.  The 4x memory
+    compression tier below PQ; integer arithmetic end-to-end makes the
+    whole train->encode->score path carry an exact DuckDB oracle."""
+    emb = _emb(spark, sf_dir)
+    return S.sq8_topk(_queries_frame(emb), emb, k=5)
+
+
 def q_sim_kmeans_cells(spark, sf_dir):
     """X3 codebook TRAINING: real distributed k-means (Lloyd, k=8, two
     full iterations) over integer-quantized embeddings, then the final
@@ -645,6 +655,46 @@ ORACLES = {
                dup_of
         FROM d
     """,
+    "sim_sq8_topk": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        dims AS (
+          SELECT pos, min(v) AS mn, max(v) AS mx
+          FROM (SELECT unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM q)
+          GROUP BY pos
+        ),
+        stats AS (
+          SELECT list(mn ORDER BY pos) AS mn_arr,
+                 list(mx ORDER BY pos) AS mx_arr
+          FROM dims
+        ),
+        enc AS (
+          SELECT vec_id,
+                 list_transform(list_zip(xq, mn_arr, mx_arr), p ->
+                   CASE WHEN p[3] > p[2]
+                        THEN p[2] + (((p[1] - p[2]) * 255 // (p[3] - p[2]))
+                                     * (p[3] - p[2])) // 255
+                        ELSE p[2] END) AS recon
+          FROM q, stats
+        ),
+        qs AS (SELECT vec_id AS q_id, xq AS q_xq FROM q WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q_id, e.vec_id,
+                 list_sum(list_transform(list_zip(q_xq, recon),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM qs CROSS JOIN enc e WHERE q_id <> e.vec_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, CAST(d2 AS BIGINT) AS d2
+        FROM (SELECT q_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """,
     "sim_kmeans_cells": """
         WITH q AS (
           SELECT vec_id,
@@ -787,6 +837,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_pq_topk": q_sim_pq_topk,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
+    "sim_sq8_topk": q_sim_sq8_topk,
     "sim_kmeans_cells": q_sim_kmeans_cells,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,

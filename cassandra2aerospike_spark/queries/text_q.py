@@ -362,6 +362,75 @@ BM25_QUERIES: list[tuple[int, str]] = [
 BM25_K = 5
 
 
+def q_text_ngram_lm(spark, sf_dir):
+    """N-GRAM LANGUAGE-MODEL quality scoring (round 10, X4 — the CCNet /
+    Gopher move: score each document under a corpus language model and
+    flag the low-probability tail for removal).  A bigram LM with
+    stupid-backoff (public method, Brants et al. 2007) is trained on the
+    corpus itself and every document is scored by its mean per-bigram
+    transition probability:
+
+      seen bigram (count >= 2):  s = c2(w1,w2) * 1e6 div c1(w1)
+      rare/novel (count < 2):    s = 0.4 * c1(w2) * 1e6 div total   (backoff)
+
+    All arithmetic is INTEGER on a 1e6 probability scale, so the whole
+    train->score loop carries an exact DuckDB oracle (the BPE/classifier
+    discipline).  A doc is low_quality iff its mean transition score is
+    below a quarter of the corpus mean — a broadcast scalar compare
+    (avg * n_docs * 4 < sum_of_avgs), never a global rank.
+
+    Scale shape: bigrams come from an IN-ROW zip of the token array with
+    its own tail (no per-doc window, no position shuffle); counts are
+    two map-side-combining groupBys; scoring joins the bigram stream to
+    the count tables on (w1,w2)/w1/w2 (AQE-skew-splittable probe side,
+    one-row-per-key build sides); docs with < 2 tokens carry no bigrams
+    and are absent by construction on both engines."""
+    d = _docs(spark, sf_dir)
+    toks0 = d.select("doc_id", X.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    tk = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    bg = toks0.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (a, b) -> struct(a AS tok, b AS nxt))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.tok").alias("tok"), F.col("p.nxt").alias("nxt"))
+    uni = tk.groupBy("tok").agg(F.count("*").alias("c1"))
+    tot = tk.agg(F.count("*").alias("tn"))
+    big = bg.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
+    scored = (
+        bg.join(big, ["tok", "nxt"])
+        .join(uni, "tok")
+        .join(uni.select(F.col("tok").alias("nxt"), F.col("c1").alias("c1n")), "nxt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("c2") >= 2, F.expr("(c2 * 1000000) div c1"))
+            .otherwise(F.expr("(4 * c1n * 1000000) div (10 * tn)"))
+            .alias("s"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("s").alias("lm_score"))
+        .withColumn("avg_score", F.expr("lm_score div n_bigrams"))
+    )
+    g = per_doc.agg(F.count("*").alias("nd"), F.sum("avg_score").alias("sa"))
+    return per_doc.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "n_bigrams",
+        "lm_score",
+        "avg_score",
+        (F.col("avg_score") * F.col("nd") * 4 < F.col("sa"))
+        .cast("int")
+        .alias("low_quality"),
+    )
+
+
 def q_text_bm25_topk(spark, sf_dir):
     """BM25 top-k document retrieval (X3/X4 — the inverted-index move a
     training pipeline needs for targeted corpus slicing and
@@ -1491,9 +1560,55 @@ QUERIES = {
     "text_chunk_windows": q_text_chunk_windows,
     "text_dup_span_removal": q_text_dup_span_removal,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_ngram_lm": q_text_ngram_lm,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
 }
+
+# bigram stupid-backoff LM — integer 1e6-scale transition scores, the
+# same in-row tail-zip bigram derivation, inner joins drop <2-token docs
+# on both engines identically
+ORACLES["text_ngram_lm"] = """
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks0
+    ), bg AS (
+      SELECT doc_id, p[1] AS tok, p[2] AS nxt
+      FROM (SELECT doc_id,
+                   unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+            FROM toks0)
+    ), uni AS (
+      SELECT tok, count(*) AS c1 FROM tk GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS tn FROM tk
+    ), big AS (
+      SELECT tok, nxt, count(*) AS c2 FROM bg GROUP BY tok, nxt
+    ), scored AS (
+      SELECT bg.doc_id,
+             CASE WHEN big.c2 >= 2 THEN (big.c2 * 1000000) // u1.c1
+                  ELSE (4 * u2.c1 * 1000000) // (10 * tot.tn) END AS s
+      FROM bg
+      JOIN big ON bg.tok = big.tok AND bg.nxt = big.nxt
+      JOIN uni u1 ON u1.tok = bg.tok
+      JOIN uni u2 ON u2.tok = bg.nxt
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(s) AS BIGINT) AS lm_score,
+             CAST(sum(s) // count(*) AS BIGINT) AS avg_score
+      FROM scored GROUP BY doc_id
+    ), g AS (
+      SELECT count(*) AS nd, CAST(sum(avg_score) AS BIGINT) AS sa FROM per_doc
+    )
+    SELECT doc_id, n_bigrams, lm_score, avg_score,
+           CAST(avg_score * nd * 4 < sa AS INT) AS low_quality
+    FROM per_doc, g
+"""
 
 ORACLES["text_bpe_train"] = _TOKS + _bpe_oracle(BPE_MERGES)
 # encode oracle: the SAME training CTE chain minus the final merge

@@ -288,6 +288,62 @@ def test_pq_and_ivfpq_recall_better_than_random(spark, sf_dir):
     assert len(ivfpq & exact_l2) / len(exact_l2) >= 0.05
 
 
+def test_sq8_recall_tracks_exact_l2(spark, sf_dir):
+    """SQ8 vs the matching exact metric (squared L2): an 8-bit affine
+    code per dimension loses far less than PQ's 4-codes-per-vector, so
+    recall@5 must be NEAR-exact (≥0.9 measured ~1.0 on the fixture),
+    and every reconstruction must stay inside its dimension's [min,max]
+    with quantization error ≤ ceil(span/255) per component."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.functions import similarity as S
+    from cassandra2aerospike_spark.sources import load_table, spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        spread(emb)
+        .join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (-S.l2sq(S.as_double_vec(F.col("q_vec")),
+                     S.as_double_vec(F.col("embedding")))).alias("sim"),
+        )
+    )
+
+    def pairs(df):
+        return {(r.q_id, r.vec_id) for r in df.select("q_id", "vec_id").collect()}
+
+    exact_l2 = pairs(S._global_rank(scored, 5))
+    sq8 = pairs(S.sq8_topk(q, emb, k=5))
+    assert len(exact_l2) > 0
+    assert len(sq8 & exact_l2) / len(exact_l2) >= 0.9
+
+    # reconstruction bound: recon within [mn, mx] and |recon - xq| less
+    # than one quantization step (span div 255 + 1) in the scale-1000 domain
+    stats = S.sq8_stats(emb)
+    enc = (
+        emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+        .crossJoin(F.broadcast(stats))
+        .select("xq", "mn_arr", "mx_arr", F.expr(S._SQ8_RECON).alias("recon"))
+    )
+    bad = enc.filter(
+        F.exists(
+            F.arrays_zip("xq", "recon", "mn_arr", "mx_arr"),
+            lambda s: (s["recon"] < s["mn_arr"])
+            | (s["recon"] > s["mx_arr"])
+            | (
+                F.abs(s["recon"] - s["xq"])
+                > (s["mx_arr"] - s["mn_arr"]) / F.lit(255.0) + F.lit(1.0)
+            ),
+        )
+    ).count()
+    assert bad == 0
+
+
 def test_probe_media_header_real_parsing():
     """The X5 header probe does REAL container parsing: hand-built PNG /
     GIF / JPEG(SOFn walk) / WAV headers parse to their true metadata;
