@@ -68,6 +68,9 @@ HEADLINE = [
     "text_quality_classifier",
     "s31_snapshot_diff",
     "sim_sq8_topk",
+    # round-10: asb backup-format roundtrip + bigram-LM quality filter
+    "s32_asb_backup_roundtrip",
+    "text_ngram_lm",
 ]
 
 

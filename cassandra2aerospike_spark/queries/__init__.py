@@ -48,6 +48,8 @@ _PRIORITY = [
     "s30_asof_merge",
     "s31_snapshot_diff",
     "sim_sq8_topk",
+    "s32_asb_backup_roundtrip",
+    "text_ngram_lm",
     "dedup_jaccard_prefix_filter",
     "text_quality_classifier",
     # -- (a) new in r09 past the 50-slot cut, never driver-checked:

@@ -160,6 +160,47 @@ def q_s12_retry_backpressure(spark, sf_dir):
     )
 
 
+def q_s32_asb_backup_roundtrip(spark, sf_dir):
+    """ASB BACKUP-FILE sink + source roundtrip (round 10): the merged
+    records are written as a REAL asbackup-format file series (the
+    public `Version 3.1` text format of aerospike-tools-backup /
+    BACKUP_FILE_FORMAT.md — per-record RIPEMD-160 digest lines,
+    citrusleaf-epoch expirations, `# first-file` exactly once) and read
+    back through the binaryFile source with full grammar + digest
+    verification per record.  The reference can only ship records to a
+    live cluster (AerospikeWriter.cpp:216-256); .asb is the ecosystem's
+    at-rest interchange for the same records, so the engine supports it
+    as a first-class sink AND source.  The read-back must equal the
+    merge oracle: a framing bug, wrong digest recipe, bad expiration
+    epoch shift, or lost/duplicated record each diverges.
+
+    Scale shape: the write is mapInPandas -> df.write.text (one .asb
+    file per partition, record blocks ride single multi-line text rows
+    — no driver iteration); the `# first-file` exactly-once audit is a
+    text scan that filters to header lines before any transfer; the
+    read is one task per file, the layout asbackup itself produces."""
+    from ..sinks.asb_backup import read_asb, write_asb
+    from ..sources.sstable.fixtures import default_runs_dir
+
+    ns, set_name = "tmx", "records"
+    out_dir = default_runs_dir(sf_dir) + "_asb"
+    records = merge.merge_records(load_table(spark, sf_dir, "events"))
+    write_asb(records, out_dir, ns, set_name, merge.ETERNAL, n_files=4)
+    firsts = (
+        spark.read.text(out_dir).filter(F.col("value") == "# first-file").count()
+    )
+    if firsts != 1:
+        raise RuntimeError(f"asb backup: first-file marker count {firsts} != 1")
+    parsed = read_asb(spark, out_dir, ns, set_name, merge.ETERNAL)
+    return parsed.select(
+        "key",
+        "cols_str",
+        "expiry",
+        "gen",
+        F.lit(firsts).cast("long").alias("n_first_files"),
+    )
+
+
 def q_s28_aerospike_wire_sink(spark, sf_dir):
     """S11+S12 over the REAL Aerospike wire protocol (round 9 — closes
     the 'sink is simulated' caveat): merged records flow through the
@@ -402,6 +443,7 @@ QUERIES = {
     "s11_create_only_sink": q_s11_create_only_sink,
     "s12_retry_backpressure": q_s12_retry_backpressure,
     "s28_aerospike_wire_sink": q_s28_aerospike_wire_sink,
+    "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
 def _sstable_corpus_oracle() -> str:
@@ -465,6 +507,24 @@ ORACLES = {
     # bins stringified %.2f, ttl = expiry - NOW (ETERNAL -> 0xFFFFFFFF),
     # accounting constants from the live-record count; retries fire
     # whenever the server saw >= 13 puts (fail_every=13, first pass)
+    # the asb roundtrip must reproduce the merged live records exactly;
+    # gen is constant 1 (create-only first-generation-wins) and the
+    # first-file marker appears exactly once across the file series
+    "s32_asb_backup_roundtrip": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               lr.expiry,
+               CAST(1 AS INT) AS gen,
+               CAST(1 AS BIGINT) AS n_first_files
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
     "s28_aerospike_wire_sink": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records

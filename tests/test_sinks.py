@@ -212,3 +212,74 @@ def test_aerospike_wire_codec_property(ns, set_name, key, bins, ttl, create_only
     assert (got_ns, got_set, got_ttl, got_co) == (ns, set_name, ttl, create_only)
     assert got_bins == bins
     assert digest == aw.key_digest(set_name, key)
+
+
+def test_asb_record_block_grammar_and_parse_roundtrip():
+    """record_block -> _parse_asb_file is the identity on (key, gen,
+    expiration, bins), the digest line carries the b64 RIPEMD-160 of
+    (set + particle + key), and any tampering — digest, bin length,
+    foreign namespace/set — raises instead of mis-parsing."""
+    import base64
+
+    from cassandra2aerospike_spark.sinks import asb_backup as ab
+    from cassandra2aerospike_spark.sinks.aerospike_wire import key_digest
+
+    blk = ab.record_block("tmx", "records", "42", [("click", "1.25"), ("view", "7.00")], 1, 0)
+    content = "\n".join(["Version 3.1", "# namespace tmx", "# first-file", blk])
+    first, rows = ab._parse_asb_file(content, "tmx", "records")
+    assert first is True
+    assert rows == [("42", 1, 0, [("click", "1.25"), ("view", "7.00")])]
+    assert f"+ d {base64.b64encode(key_digest('records', b'42')).decode()}" in blk
+
+    import pytest
+
+    # tampered digest
+    bad = content.replace("+ d ", "+ d X", 1)
+    with pytest.raises(ValueError, match="digest"):
+        ab._parse_asb_file(bad, "tmx", "records")
+    # tampered bin length
+    bad = content.replace("- S click 4 1.25", "- S click 9 1.25", 1)
+    with pytest.raises(ValueError, match="length"):
+        ab._parse_asb_file(bad, "tmx", "records")
+    # foreign namespace at the meta line
+    with pytest.raises(ValueError, match="namespace"):
+        ab._parse_asb_file(content, "other", "records")
+    # foreign set
+    with pytest.raises(ValueError, match="digest|set"):
+        ab._parse_asb_file(content, "tmx", "other")
+    # missing version line
+    with pytest.raises(ValueError, match="version"):
+        ab._parse_asb_file(content.split("\n", 1)[1], "tmx", "records")
+
+
+def test_asb_write_read_roundtrip_distributed(spark, tmp_path):
+    """write_asb -> read_asb over a real multi-partition frame: every
+    record survives byte-exactly, expirations shift through the
+    citrusleaf epoch both ways (0 <-> ETERNAL), and the first-file
+    marker lands exactly once across the file series."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.sinks import asb_backup as ab
+
+    rows = [
+        (1, {"a": 1.5, "b": 2.25}, merge.ETERNAL),
+        (2, {"c": -3.0}, merge.NOW_EPOCH_S + 500),
+        (3, {"d": 0.125, "e": 9.0, "f": 1.0}, merge.ETERNAL),
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, columns map<string,double>, expiry long"
+    )
+    out = str(tmp_path / "asb")
+    ab.write_asb(df, out, "tmx", "records", merge.ETERNAL, n_files=3)
+    firsts = spark.read.text(out).filter(F.col("value") == "# first-file").count()
+    assert firsts == 1
+    got = {
+        r.key: (r.cols_str, r.expiry, r.gen)
+        for r in ab.read_asb(spark, out, "tmx", "records", merge.ETERNAL).collect()
+    }
+    assert got == {
+        1: ("a=1.50,b=2.25", merge.ETERNAL, 1),
+        2: ("c=-3.00", merge.NOW_EPOCH_S + 500, 1),
+        3: ("d=0.12,e=9.00,f=1.00", merge.ETERNAL, 1),
+    }
