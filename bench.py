@@ -71,6 +71,9 @@ HEADLINE = [
     # round-10: asb backup-format roundtrip + bigram-LM quality filter
     "s32_asb_backup_roundtrip",
     "text_ngram_lm",
+    # round-10: tombstone GC census + Matryoshka two-stage ANN
+    "s33_gc_grace_report",
+    "sim_mrl_topk",
 ]
 
 

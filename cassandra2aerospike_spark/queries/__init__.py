@@ -50,6 +50,8 @@ _PRIORITY = [
     "sim_sq8_topk",
     "s32_asb_backup_roundtrip",
     "text_ngram_lm",
+    "s33_gc_grace_report",
+    "sim_mrl_topk",
     "dedup_jaccard_prefix_filter",
     "text_quality_classifier",
     # -- (a) new in r09 past the 50-slot cut, never driver-checked:

@@ -90,6 +90,15 @@ def q_sim_sq8_topk(spark, sf_dir):
     return S.sq8_topk(_queries_frame(emb), emb, k=5)
 
 
+def q_sim_mrl_topk(spark, sf_dir):
+    """X3 scale path #5 (round 10): Matryoshka two-stage retrieval —
+    dim-16 integer-L2 prefix filter keeps 32 candidates per query,
+    exact full-dim integer rescore emits top-5.  The prefix-funnel
+    every MRL deployment runs; integer end-to-end -> exact oracle."""
+    emb = _emb(spark, sf_dir)
+    return S.mrl_topk(_queries_frame(emb), emb, k=5, prefix_dim=16, rerank=32)
+
+
 def q_sim_kmeans_cells(spark, sf_dir):
     """X3 codebook TRAINING: real distributed k-means (Lloyd, k=8, two
     full iterations) over integer-quantized embeddings, then the final
@@ -695,6 +704,38 @@ ORACLES = {
               FROM scored)
         WHERE rank <= 5
     """,
+    "sim_mrl_topk": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        qs AS (SELECT vec_id AS q_id, xq AS q_xq FROM q WHERE vec_id % 50 = 0),
+        s1 AS (
+          SELECT q_id, q.vec_id,
+                 list_sum(list_transform(list_zip(q_xq[1:16], xq[1:16]),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2p
+          FROM qs CROSS JOIN q WHERE q_id <> q.vec_id
+        ),
+        cand AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY d2p, vec_id) AS rn
+            FROM s1) WHERE rn <= 32
+        ),
+        s2 AS (
+          SELECT c.q_id, c.vec_id,
+                 list_sum(list_transform(list_zip(qs.q_xq, q.xq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM cand c JOIN q ON q.vec_id = c.vec_id JOIN qs ON qs.q_id = c.q_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, CAST(d2 AS BIGINT) AS d2
+        FROM (SELECT q_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+              FROM s2)
+        WHERE rank <= 5
+    """,
     "sim_kmeans_cells": """
         WITH q AS (
           SELECT vec_id,
@@ -838,6 +879,7 @@ QUERIES = {
     "sim_pq_topk": q_sim_pq_topk,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_sq8_topk": q_sim_sq8_topk,
+    "sim_mrl_topk": q_sim_mrl_topk,
     "sim_kmeans_cells": q_sim_kmeans_cells,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,

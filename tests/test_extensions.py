@@ -321,6 +321,15 @@ def test_sq8_recall_tracks_exact_l2(spark, sf_dir):
     sq8 = pairs(S.sq8_topk(q, emb, k=5))
     assert len(exact_l2) > 0
     assert len(sq8 & exact_l2) / len(exact_l2) >= 0.9
+    # MRL two-stage funnel against the same exact-L2 baseline.  The
+    # synthetic embeddings are isotropic (no Matryoshka front-loading),
+    # so a 16/64-dim prefix is a structurally weak filter — recall is
+    # bounded by how often a true neighbor's prefix distance lands in
+    # the 32-candidate cut.  It must still beat random top-5 (~1%) by
+    # a wide margin: measured 0.30 on the fixture, asserted >= 0.15.
+    # On real MRL embeddings the prefix preserves ranking by training.
+    mrl = pairs(S.mrl_topk(q, emb, k=5, prefix_dim=16, rerank=32))
+    assert len(mrl & exact_l2) / len(exact_l2) >= 0.15
 
     # reconstruction bound: recon within [mn, mx] and |recon - xq| less
     # than one quantization step (span div 255 + 1) in the scale-1000 domain
