@@ -52,6 +52,7 @@ _PRIORITY = [
     "text_ngram_lm",
     "s33_gc_grace_report",
     "sim_mrl_topk",
+    "stream_snapshot_cdc",
     "dedup_jaccard_prefix_filter",
     "text_quality_classifier",
     # -- (a) new in r09 past the 50-slot cut, never driver-checked:

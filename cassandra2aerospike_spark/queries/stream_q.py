@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from ..streaming import (
     stream_aerospike_wire_sink,
+    stream_snapshot_cdc,
     stream_corpus_dedup,
     stream_late_data,
     stream_lww_tws,
@@ -19,6 +20,7 @@ from ..streaming import (
 
 QUERIES = {
     "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
+    "stream_snapshot_cdc": stream_snapshot_cdc,
     "stream_window_counts": stream_window_counts,
     "stream_late_data": stream_late_data,
     "stream_session_windows": stream_session_windows,
@@ -223,6 +225,62 @@ def _gen_merge_cte(g: int) -> str:
             FROM latest_f_{g} GROUP BY key) a ON a.key = r.key
       WHERE r.expiry = 4294967295 OR r.expiry >= 1719792001
     )"""
+
+
+# stream_snapshot_cdc oracle: three CUMULATIVE merges (generations
+# 0..b, i.e. epoch_us(ts) % 3 <= b — the state the streaming fold holds
+# after batch b), reduced to live (key, cols_str, expiry) records, then
+# batch 0 emits everything as 'created' and batches 1/2 emit the
+# full-outer diff of consecutive states — exactly what foreachBatch
+# appends to the changes dir.
+def _cum_merge_cte(b: int) -> str:
+    sql = _S_CTE_MA
+    sql = sql.replace("FROM events", f"FROM events WHERE epoch_us(ts) % 3 <= {b}")
+    for name in ("cls", "cells", "colsd", "cover", "live", "latest_f",
+                 "latest", "records"):
+        sql = _re.sub(rf"\b{name}\b", f"{name}_c{b}", sql)
+    body = sql.strip()
+    assert body.startswith("WITH "), body[:30]
+    body = body[len("WITH "):]
+    return body + f"""
+    , rec_c{b} AS (
+      SELECT r.key, a.cols_str, r.expiry
+      FROM records_c{b} r
+      JOIN (SELECT key,
+                   string_agg(col_name || '=' || printf('%.2f', value), ','
+                              ORDER BY col_name || '=' || printf('%.2f', value)
+                              ) AS cols_str
+            FROM latest_f_c{b} GROUP BY key) a ON a.key = r.key
+      WHERE r.expiry = 4294967295 OR r.expiry >= 1719792001
+    )"""
+
+
+def _cdc_diff_sql(batch: int, prev: int, cur: int) -> str:
+    return f"""
+    SELECT {batch} AS batch_id, coalesce(a.key, d.key) AS key,
+           CASE WHEN a.key IS NULL THEN 'created'
+                WHEN d.key IS NULL THEN 'deleted'
+                ELSE 'updated' END AS status,
+           a.cols_str AS cols_before, d.cols_str AS cols_after,
+           a.expiry AS expiry_before, d.expiry AS expiry_after
+    FROM rec_c{prev} a FULL JOIN rec_c{cur} d ON a.key = d.key
+    WHERE a.key IS NULL OR d.key IS NULL
+       OR a.cols_str <> d.cols_str OR a.expiry <> d.expiry"""
+
+
+ORACLES["stream_snapshot_cdc"] = (
+    "WITH "
+    + ", ".join(_cum_merge_cte(b) for b in (0, 1, 2))
+    + """
+    SELECT 0 AS batch_id, key, 'created' AS status,
+           CAST(NULL AS VARCHAR) AS cols_before, cols_str AS cols_after,
+           CAST(NULL AS BIGINT) AS expiry_before, expiry AS expiry_after
+    FROM rec_c0
+    UNION ALL"""
+    + _cdc_diff_sql(1, 0, 1)
+    + "\n    UNION ALL"
+    + _cdc_diff_sql(2, 1, 2)
+)
 
 
 ORACLES["stream_aerospike_wire_sink"] = (

@@ -516,6 +516,143 @@ def stream_real_sstable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS CDC over a live Cassandra directory (round 10 — the
+    streaming face of q_s31_snapshot_diff): each microbatch admits one
+    sstable generation (ascending), folds it into the cumulative merged
+    state, and emits ONLY the change set vs the previous state — one
+    row per record CREATED / UPDATED / DELETED by that generation,
+    tagged with its batch id.  Batch 0 emits every initial record as
+    'created'; a later generation's tombstones surface as 'deleted',
+    its LWW-superseding cells as 'updated'.  This is the incremental
+    Cassandra->Aerospike sync the reference cannot express (its every
+    run re-merges and re-ships the full table,
+    Cassandra2Aerospike.cpp:167-199).
+
+    State lives in PARQUET, not the driver: foreachBatch appends the
+    batch's classified cells to a cells dir, re-merges the cumulative
+    state distributed, full-outer-joins it against the previous state
+    snapshot (also parquet), and appends the churn-sized change rows to
+    a changes dir; the driver holds only a path pointer.  At 100 TB the
+    per-batch remerge would ride the same incremental-state machinery
+    as stream_stateful_lww — here the cumulative remerge keeps the
+    semantics byte-auditable against three unrolled cumulative merge
+    oracles."""
+    from ..operators.merge import (
+        assemble_records,
+        filter_expired,
+        live_cells_from_classified,
+        lww_latest,
+    )
+    from ..sources.sstable import register
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        classify_raw_real,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    register(spark)
+    work = tempfile.mkdtemp(prefix="cdc_")
+    cells_dir = os.path.join(work, "cells")
+    changes_dir = os.path.join(work, "changes")
+    state: dict = {"prev": None}
+
+    def render(records: DataFrame) -> DataFrame:
+        return records.select(
+            "key",
+            F.array_join(
+                F.sort_array(
+                    F.transform(
+                        F.map_entries("columns"),
+                        lambda e: F.concat(
+                            e["key"], F.lit("="), F.format_string("%.2f", e["value"])
+                        ),
+                    )
+                ),
+                ",",
+            ).alias("cols_str"),
+            F.col("expiry").cast("long").alias("expiry"),
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        classify_raw_real(batch_df).write.mode("append").parquet(cells_dir)
+        cum = spark.read.parquet(cells_dir)
+        new_recs = render(
+            filter_expired(
+                assemble_records(lww_latest(live_cells_from_classified(cum)))
+            )
+        )
+        new_dir = os.path.join(work, f"state_{batch_id}")
+        new_recs.write.parquet(new_dir)
+        new = spark.read.parquet(new_dir)
+        if state["prev"] is None:
+            changes = new.select(
+                F.lit(batch_id).cast("int").alias("batch_id"),
+                "key",
+                F.lit("created").alias("status"),
+                F.lit(None).cast("string").alias("cols_before"),
+                F.col("cols_str").alias("cols_after"),
+                F.lit(None).cast("long").alias("expiry_before"),
+                F.col("expiry").alias("expiry_after"),
+            )
+        else:
+            prev = spark.read.parquet(state["prev"])
+            before = prev.select(
+                "key",
+                F.col("cols_str").alias("cols_before"),
+                F.col("expiry").alias("expiry_before"),
+            )
+            after = new.select(
+                "key",
+                F.col("cols_str").alias("cols_after"),
+                F.col("expiry").alias("expiry_after"),
+            )
+            changes = (
+                before.join(after, "key", "full_outer")
+                .filter(
+                    F.col("cols_before").isNull()
+                    | F.col("cols_after").isNull()
+                    | (F.col("cols_before") != F.col("cols_after"))
+                    | (F.col("expiry_before") != F.col("expiry_after"))
+                )
+                .select(
+                    F.lit(batch_id).cast("int").alias("batch_id"),
+                    "key",
+                    F.when(F.col("cols_before").isNull(), F.lit("created"))
+                    .when(F.col("cols_after").isNull(), F.lit("deleted"))
+                    .otherwise(F.lit("updated"))
+                    .alias("status"),
+                    "cols_before",
+                    "cols_after",
+                    "expiry_before",
+                    "expiry_after",
+                )
+            )
+        changes.write.mode("append").parquet(changes_dir)
+        state["prev"] = new_dir
+
+    stream = (
+        spark.readStream.format("sstable_run")
+        .option("layout", "ma")
+        .option("max_gens_per_batch", "1")
+        .load(table_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(changes_dir)
+
+
 def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's TRUE production shape, modernized (round 9): a
     live Cassandra data directory streamed CONTINUOUSLY into Aerospike
