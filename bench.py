@@ -71,8 +71,10 @@ HEADLINE = [
     # round-10: asb backup-format roundtrip + bigram-LM quality filter
     "s32_asb_backup_roundtrip",
     "text_ngram_lm",
-    # round-10: tombstone GC census + Matryoshka two-stage ANN
+    # round-10: tombstone GC census + Matryoshka two-stage ANN +
+    # repair-style per-range digest comparison
     "s33_gc_grace_report",
+    "s34_repair_merkle_ranges",
     "sim_mrl_topk",
 ]
 
@@ -160,6 +162,19 @@ def main() -> None:
         qs["s26_reversed_ck_merge"](spark, sf_dir)  # same rewrite cache
     if "s25_udt_merge" in qs:
         qs["s25_udt_merge"](spark, sf_dir)  # stages the UDT fixture
+    # round-10 snapshot family: stage the multi-generation runs, the
+    # classified parquet checkpoint (content + read-path-code keyed) and
+    # the real-ma lookup table untimed — the timed series tracks the
+    # snapshot / diff / census / digest / bloom-lookup OPERATORS, not
+    # the one-time pure-Python decode or MaWriter build they cache from
+    from cassandra2aerospike_spark.queries.merge_q import _classified_staged
+    from cassandra2aerospike_spark.sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    _classified_staged(spark, sf_dir)
+    build_ma_table_from_events(spark, sf_dir, default_runs_dir(sf_dir) + "_ma")
 
     # Per-query protocol: one COLD pass (codegen + planning + first data
     # touch — the cross-round-comparable series, `queries`/`value`), then

@@ -38,12 +38,15 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # (a) queries with no driver row yet, (b) queries whose fixtures or
 # semantics change this round, (c) the stalest cohort.  NOTE: no
 # CORRECTNESS_r09.json was produced, so the round-9 prefix below was
-# never driver-signed — it stays in place behind the 9 queries that
-# are new since it was built (6 late-r09 + 3 r10).
+# never driver-signed — it stays in place behind the 13 queries that
+# are new since it was built (6 late-r09 + 7 r10).
 _PRIORITY = [
     # -- (a) NEW this round (r10): bloom-pruned point lookup over
-    #    Filter.db (both eras), exact prefix-filter n-gram Jaccard
-    #    near-dup, distributed integer-GD quality classifier
+    #    Filter.db (both eras), as-of snapshot + snapshot-diff CDC +
+    #    GC-grace census over the classified runs, SQ8/MRL integer
+    #    ANN, asbackup-format roundtrip, bigram-LM quality filter,
+    #    streaming CDC, exact prefix-filter n-gram Jaccard near-dup,
+    #    distributed integer-GD quality classifier
     "s29_bloom_lookup_merge",
     "s30_asof_merge",
     "s31_snapshot_diff",
@@ -51,6 +54,7 @@ _PRIORITY = [
     "s32_asb_backup_roundtrip",
     "text_ngram_lm",
     "s33_gc_grace_report",
+    "s34_repair_merkle_ranges",
     "sim_mrl_topk",
     "stream_snapshot_cdc",
     "dedup_jaccard_prefix_filter",

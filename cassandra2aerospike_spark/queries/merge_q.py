@@ -1240,6 +1240,85 @@ def q_s31_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s34_repair_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPAIR-STYLE RANGE DIGESTS (round 10): the validation-compaction
+    move behind `nodetool repair` — hash every merged record, fold the
+    hashes into one digest per key range, and compare the per-range
+    digests of two table states; only ranges whose (count, digest)
+    disagree need data movement.  Here the two states are the T1/T2
+    snapshots s31 diffs (same staged classified stream), the range is a
+    32-way hash ring over the key (md5-derived 60-bit int64 % 32), and
+    the fold is bit_xor — order-insensitive, so the digest is
+    partition-layout-independent by construction.  Output: one row per
+    ring range with both sides' counts + digests and an in_sync flag —
+    32 rows regardless of table size, the whole point: at 100 TB a
+    coordinator exchanges O(ranges) digests, not O(rows) records, and
+    only out-of-sync ranges re-stream.  The reference has no repair
+    surface at all (it re-ships every record every run).
+
+    Scale shape: each side is one map-side-combining groupBy on a
+    32-value key over the already-staged snapshot records; the
+    comparison is a 32-row full-outer join.  All hashes are md5-prefix
+    int64s (the LSH shingle discipline) — exact in DuckDB."""
+    classified = _classified_staged(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+
+    def bounds_at(num: int, den: int) -> DataFrame:
+        return ev.agg(
+            F.expr(
+                f"min(ts_us) + (max(ts_us) - min(ts_us)) * {num} div {den}"
+            ).alias("asof_us")
+        )
+
+    def digests(records: DataFrame, side: str) -> DataFrame:
+        rec = records.select(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("key").cast("string")), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(32),
+            ).alias("bucket"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("key").cast("string"),
+                            F.col("cols_str"),
+                            F.col("expiry").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        return rec.groupBy("bucket").agg(
+            F.count("*").alias(f"n_{side}"),
+            F.expr("bit_xor(h)").alias(f"digest_{side}"),
+        )
+
+    a = digests(_snapshot_at(classified, bounds_at(1, 3)), "a")
+    b = digests(_snapshot_at(classified, bounds_at(2, 3)), "b")
+    return a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "digest_a",
+        "digest_b",
+        (
+            F.col("n_a").eqNullSafe(F.col("n_b"))
+            & F.col("digest_a").eqNullSafe(F.col("digest_b"))
+        )
+        .cast("int")
+        .alias("in_sync"),
+    )
+
+
 def q_s33_gc_grace_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOMBSTONE GC-GRACE REPORT (round 10): the compaction-planning
     diagnostic Cassandra operators run before a major compaction — per
@@ -1575,6 +1654,7 @@ QUERIES = {
     "s30_asof_merge": q_s30_asof_merge,
     "s31_snapshot_diff": q_s31_snapshot_diff,
     "s33_gc_grace_report": q_s33_gc_grace_report,
+    "s34_repair_merkle_ranges": q_s34_repair_merkle_ranges,
     "s25_udt_merge": q_s25_udt_merge,
     "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
     "s27_old_wide_merge": q_s27_old_wide_merge,
@@ -2249,6 +2329,38 @@ ORACLES = {
                CAST(sum(CASE WHEN tomb_ts <= b.cutoff_us THEN 1 ELSE 0 END) AS BIGINT),
                min(ts), max(ts)
         FROM shadowed, gbounds b
+    """,
+    # the same two nested snapshots reduced to 32 (bucket, count,
+    # bit_xor-of-record-hash) digests per side and compared — the
+    # repair/validation-compaction shape
+    "s34_repair_merkle_ranges": f"""
+        WITH snap_a AS ({_asof_snapshot_sql(1, 3)}),
+             snap_b AS ({_asof_snapshot_sql(2, 3)}),
+             da AS (
+               SELECT CAST('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 32 AS bucket,
+                      count(*) AS n_a,
+                      bit_xor(CAST('0x' || substring(
+                          md5(CAST(key AS VARCHAR) || '|' || cols_str || '|'
+                              || CAST(expiry AS VARCHAR)), 1, 15) AS BIGINT))
+                          AS digest_a
+               FROM snap_a GROUP BY 1
+             ),
+             db AS (
+               SELECT CAST('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 32 AS bucket,
+                      count(*) AS n_b,
+                      bit_xor(CAST('0x' || substring(
+                          md5(CAST(key AS VARCHAR) || '|' || cols_str || '|'
+                              || CAST(expiry AS VARCHAR)), 1, 15) AS BIGINT))
+                          AS digest_b
+               FROM snap_b GROUP BY 1
+             )
+        SELECT coalesce(da.bucket, db.bucket) AS bucket,
+               n_a, n_b, digest_a, digest_b,
+               CAST(n_a IS NOT DISTINCT FROM n_b
+                    AND digest_a IS NOT DISTINCT FROM digest_b AS INT) AS in_sync
+        FROM da FULL JOIN db ON da.bucket = db.bucket
     """,
     # two nested as-of snapshots (T1 = 1/3, T2 = 2/3 of the ts range)
     # full-outer-joined on key; unchanged records filtered out

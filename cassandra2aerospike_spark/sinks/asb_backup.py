@@ -136,7 +136,12 @@ def _parse_asb_file(content: str, namespace: str, set_name: str):
     """Parse one .asb file -> (first_file: bool, rows).  Raises on any
     grammar violation, foreign namespace/set, digest mismatch, or bin
     miscount — the reader is the format's verifier."""
-    lines = content.splitlines()
+    # split strictly on \n — str.splitlines() also breaks on the
+    # \x1c-\x1e and U+2028/U+2029 Unicode separators, which are legal
+    # INSIDE a length-prefixed bin value
+    lines = content.split("\n")
+    while lines and lines[-1] == "":
+        lines.pop()
     if not lines or lines[0] != ASB_VERSION_LINE:
         raise ValueError(f"asb: bad version line {lines[:1]!r}")
     if len(lines) < 2 or lines[1] != f"# namespace {namespace}":

@@ -283,3 +283,37 @@ def test_asb_write_read_roundtrip_distributed(spark, tmp_path):
         2: ("c=-3.00", merge.NOW_EPOCH_S + 500, 1),
         3: ("d=0.12,e=9.00,f=1.00", merge.ETERNAL, 1),
     }
+
+
+@given(
+    key=st.integers(min_value=0, max_value=10**12),
+    bins=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghijklmnop_", min_size=1, max_size=12),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\n\r"
+                ),
+                max_size=40,
+            ),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda p: p[0],
+    ),
+    gen=st.integers(min_value=1, max_value=100),
+    exp=st.integers(min_value=0, max_value=2**31),
+)
+def test_asb_record_block_property(key, bins, gen, exp):
+    """Property: record_block -> _parse_asb_file is the identity on
+    (key, gen, expiration, bins) for arbitrary bin names/values (any
+    printable value incl. spaces — the length-prefixed framing carries
+    them), so the writer and the independent parser agree on the whole
+    record grammar, not just the fixture shapes."""
+    from cassandra2aerospike_spark.sinks import asb_backup as ab
+
+    blk = ab.record_block("tmx", "records", str(key), bins, gen, exp)
+    content = "\n".join(["Version 3.1", "# namespace tmx", blk])
+    first, rows = ab._parse_asb_file(content, "tmx", "records")
+    assert first is False
+    assert rows == [(str(key), gen, exp, bins)]
