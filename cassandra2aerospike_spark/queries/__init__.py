@@ -57,6 +57,7 @@ _PRIORITY = [
     "s34_repair_merkle_ranges",
     "sim_mrl_topk",
     "stream_snapshot_cdc",
+    "stream_cdc_incremental",
     "dedup_jaccard_prefix_filter",
     "text_quality_classifier",
     # -- (a) new in r09 past the 50-slot cut, never driver-checked:

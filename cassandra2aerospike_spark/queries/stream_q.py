@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from ..streaming import (
     stream_aerospike_wire_sink,
+    stream_cdc_incremental,
     stream_snapshot_cdc,
     stream_corpus_dedup,
     stream_late_data,
@@ -21,6 +22,7 @@ from ..streaming import (
 QUERIES = {
     "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
     "stream_snapshot_cdc": stream_snapshot_cdc,
+    "stream_cdc_incremental": stream_cdc_incremental,
     "stream_window_counts": stream_window_counts,
     "stream_late_data": stream_late_data,
     "stream_session_windows": stream_session_windows,
@@ -280,6 +282,35 @@ ORACLES["stream_snapshot_cdc"] = (
     + _cdc_diff_sql(1, 0, 1)
     + "\n    UNION ALL"
     + _cdc_diff_sql(2, 1, 2)
+)
+
+
+# stream_cdc_incremental oracle: the emission log of the stateful
+# operator — per key, the generations that CONTAIN it (any row kind),
+# ordered -> version; each emission's record is the cumulative merge
+# after that generation (NULL columns when the record is dead there)
+ORACLES["stream_cdc_incremental"] = (
+    "WITH "
+    + ", ".join(_cum_merge_cte(b) for b in (0, 1, 2))
+    + """
+    , pres AS (
+      SELECT DISTINCT user_id AS key, CAST(epoch_us(ts) % 3 AS INT) AS g
+      FROM events
+    ), vers AS (
+      SELECT key, g,
+             CAST(row_number() OVER (PARTITION BY key ORDER BY g) AS INT)
+                 AS version
+      FROM pres
+    )
+    SELECT v.key, v.version, r.cols_str, r.expiry
+    FROM vers v LEFT JOIN rec_c0 r ON r.key = v.key WHERE v.g = 0
+    UNION ALL
+    SELECT v.key, v.version, r.cols_str, r.expiry
+    FROM vers v LEFT JOIN rec_c1 r ON r.key = v.key WHERE v.g = 1
+    UNION ALL
+    SELECT v.key, v.version, r.cols_str, r.expiry
+    FROM vers v LEFT JOIN rec_c2 r ON r.key = v.key WHERE v.g = 2
+"""
 )
 
 
