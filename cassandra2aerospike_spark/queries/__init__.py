@@ -55,6 +55,7 @@ _PRIORITY = [
     "text_ngram_lm",
     "s33_gc_grace_report",
     "s34_repair_merkle_ranges",
+    "s35_partition_size_histogram",
     "sim_mrl_topk",
     "stream_snapshot_cdc",
     "stream_cdc_incremental",

@@ -1240,6 +1240,37 @@ def q_s31_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s35_partition_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SIZE HISTOGRAM (round 10): the `nodetool
+    tablehistograms` / wide-partition-detector diagnostic — per
+    partition key, the raw cell count across all generations, bucketed
+    by power of two (bucket = floor(log2(n)) via the engine-portable
+    `length(bin(n)) - 1`, no floating log), with per-bucket partition
+    counts and min/max/total cells.  The skew report every Cassandra
+    operator reads before choosing compaction strategy; the planner's
+    own wide-partition slicing (wide_slice_bytes) is driven by exactly
+    this distribution.  One map-side-combining groupBy on key + one on
+    the ~dozen bucket ids — nothing here grows faster than key count."""
+    classified = _classified_staged(spark, sf_dir)
+    per_key = (
+        classified.filter(F.col("kind") == "cell")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_cells"))
+    )
+    return (
+        per_key.withColumn(
+            "bucket_log2", F.expr("CAST(length(bin(n_cells)) - 1 AS INT)")
+        )
+        .groupBy("bucket_log2")
+        .agg(
+            F.count("*").alias("n_partitions"),
+            F.min("n_cells").alias("min_cells"),
+            F.max("n_cells").alias("max_cells"),
+            F.sum("n_cells").alias("total_cells"),
+        )
+    )
+
+
 def q_s34_repair_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPAIR-STYLE RANGE DIGESTS (round 10): the validation-compaction
     move behind `nodetool repair` — hash every merged record, fold the
@@ -1655,6 +1686,7 @@ QUERIES = {
     "s31_snapshot_diff": q_s31_snapshot_diff,
     "s33_gc_grace_report": q_s33_gc_grace_report,
     "s34_repair_merkle_ranges": q_s34_repair_merkle_ranges,
+    "s35_partition_size_histogram": q_s35_partition_size_histogram,
     "s25_udt_merge": q_s25_udt_merge,
     "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
     "s27_old_wide_merge": q_s27_old_wide_merge,
@@ -2329,6 +2361,20 @@ ORACLES = {
                CAST(sum(CASE WHEN tomb_ts <= b.cutoff_us THEN 1 ELSE 0 END) AS BIGINT),
                min(ts), max(ts)
         FROM shadowed, gbounds b
+    """,
+    # raw per-key cell counts over the same cls stream, power-of-two
+    # bucketed via length(bin(n))-1 — integer-exact on both engines
+    "s35_partition_size_histogram": _CTE + """
+        , per_key AS (
+          SELECT key, count(*) AS n_cells FROM cls
+          WHERE kind = 'cell' GROUP BY key
+        )
+        SELECT CAST(length(bin(n_cells)) - 1 AS INT) AS bucket_log2,
+               count(*) AS n_partitions,
+               min(n_cells) AS min_cells,
+               max(n_cells) AS max_cells,
+               CAST(sum(n_cells) AS BIGINT) AS total_cells
+        FROM per_key GROUP BY 1
     """,
     # the same two nested snapshots reduced to 32 (bucket, count,
     # bit_xor-of-record-hash) digests per side and compared — the
