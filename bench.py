@@ -72,10 +72,13 @@ HEADLINE = [
     "s32_asb_backup_roundtrip",
     "text_ngram_lm",
     # round-10: tombstone GC census + Matryoshka two-stage ANN +
-    # repair-style per-range digest comparison
+    # repair-style per-range digest comparison + the as-of snapshot
+    # and partition-size histogram over the same staged stream
     "s33_gc_grace_report",
     "s34_repair_merkle_ranges",
     "sim_mrl_topk",
+    "s30_asof_merge",
+    "s35_partition_size_histogram",
 ]
 
 
