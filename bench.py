@@ -79,6 +79,8 @@ HEADLINE = [
     "sim_mrl_topk",
     "s30_asof_merge",
     "s35_partition_size_histogram",
+    # round-10: binary-quantization ANN (Hamming prescreen + rescore)
+    "sim_bq_topk",
 ]
 
 

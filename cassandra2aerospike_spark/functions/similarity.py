@@ -823,6 +823,114 @@ def _int_l2(a: Column, b: Column) -> Column:
     )
 
 
+_BQ_LO = """
+    aggregate(sequence(0, 31), 0L, (acc, i) ->
+      acc + IF(xq[i] > mean_arr[i], shiftleft(1L, i), 0L))
+"""
+_BQ_HI = """
+    aggregate(sequence(32, 63), 0L, (acc, i) ->
+      acc + IF(xq[i] > mean_arr[i], shiftleft(1L, i - 32), 0L))
+"""
+
+
+def bq_mean_stats(corpus: DataFrame) -> DataFrame:
+    """BQ training: per-dimension FLOOR-MEAN of the scale-1000 quantized
+    corpus, folded into one pos-ordered array row.  The floor division
+    uses the exact-divisibility trick ((s - pmod(s, n)) div n) so Spark's
+    truncating `div` and DuckDB's flooring `//` agree on negatives — the
+    kmeans_fit_quantized centroid discipline."""
+    q = corpus.select(quantize_vec(F.col("embedding")).alias("xq"))
+    dims = (
+        q.select(F.posexplode("xq").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .select(
+            "pos",
+            F.expr("(s - (((s % n) + n) % n)) div n").alias("mean"),
+        )
+    )
+    return dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda r: r["mean"],
+        ).alias("mean_arr")
+    )
+
+
+def bq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, rerank: int = 64
+) -> DataFrame:
+    """X3 scale path: BINARY (1-bit) quantization ANN — the most
+    aggressive tier of the quantization ladder (BQ below SQ8 below PQ;
+    public method: sign-of-centered-component codes + Hamming-distance
+    prescreen + exact rescore, the shape Milvus BINARY / pgvector bit()
+    / every 32x-compression deployment runs).  Each of the 64 dims
+    contributes sign(x_d > mean_d) to a 64-bit signature packed into
+    TWO longs (bits 0-31 / 32-63 — bit 63 of one long would collide
+    with the sign bit under summed packing); stage 1 ranks by
+    bit_count(xor) Hamming distance and keeps `rerank` candidates per
+    query, stage 2 rescores them with the exact full-precision integer
+    squared-L2.  At 100 TB the stage-1 scan reads 16 signature bytes
+    per vector instead of 256 float bytes — a 16x scan-byte cut before
+    any exact work.  All arithmetic integer -> exact DuckDB oracle.
+
+    Plan shape: one corpus scan trains the 1-row mean frame (64-row
+    partial agg -> array fold, broadcast); signatures are IN-ROW folds;
+    stage 1 is the broadcast-queries scan with the bounded _local_topk
+    rank exchange; stage 2 broadcasts the candidate list back — no new
+    shuffle shape."""
+    stats = bq_mean_stats(corpus)
+    enc = (
+        spread(corpus)
+        .select("vec_id", quantize_vec(F.col("embedding")).alias("xq"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "xq",
+            F.expr(_BQ_LO).alias("lo"),
+            F.expr(_BQ_HI).alias("hi"),
+        )
+    )
+    qe = (
+        queries.select("q_id", quantize_vec(F.col("q_vec")).alias("xq"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("q_id"),
+            F.col("xq").alias("q_xq"),
+            F.expr(_BQ_LO).alias("qlo"),
+            F.expr(_BQ_HI).alias("qhi"),
+        )
+    )
+    scored1 = enc.join(
+        F.broadcast(qe.select("q_id", "qlo", "qhi")),
+        F.col("q_id") != F.col("vec_id"),
+    ).select(
+        "q_id",
+        "vec_id",
+        (
+            -(
+                F.bit_count(F.expr("lo ^ qlo"))
+                + F.bit_count(F.expr("hi ^ qhi"))
+            ).cast("long")
+        ).alias("sim"),
+    )
+    cand = _global_rank(_local_topk(scored1, rerank), rerank).select(
+        "q_id", "vec_id"
+    )
+    rescored = (
+        enc.select("vec_id", "xq")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qe.select("q_id", "q_xq")), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (-_int_l2(F.col("q_xq"), F.col("xq"))).alias("sim"),
+        )
+    )
+    ranked = _global_rank(rescored, k)
+    return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("d2"))
+
+
 def mrl_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5,
     prefix_dim: int = 16, rerank: int = 32,

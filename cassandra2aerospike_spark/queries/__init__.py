@@ -57,6 +57,7 @@ _PRIORITY = [
     "s34_repair_merkle_ranges",
     "s35_partition_size_histogram",
     "sim_mrl_topk",
+    "sim_bq_topk",
     "stream_snapshot_cdc",
     "stream_cdc_incremental",
     "dedup_jaccard_prefix_filter",

@@ -99,6 +99,16 @@ def q_sim_mrl_topk(spark, sf_dir):
     return S.mrl_topk(_queries_frame(emb), emb, k=5, prefix_dim=16, rerank=32)
 
 
+def q_sim_bq_topk(spark, sf_dir):
+    """X3 scale path #6 (round 10): binary (1-bit) quantization ANN —
+    sign-of-centered-component 64-bit signatures (two packed longs),
+    Hamming-distance prescreen keeps 64 candidates per query, exact
+    integer squared-L2 rescore emits top-5.  The 32x-compression tier
+    below SQ8; integer end-to-end -> exact oracle."""
+    emb = _emb(spark, sf_dir)
+    return S.bq_topk(_queries_frame(emb), emb, k=5, rerank=64)
+
+
 def q_sim_kmeans_cells(spark, sf_dir):
     """X3 codebook TRAINING: real distributed k-means (Lloyd, k=8, two
     full iterations) over integer-quantized embeddings, then the final
@@ -704,6 +714,61 @@ ORACLES = {
               FROM scored)
         WHERE rank <= 5
     """,
+    "sim_bq_topk": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        dims AS (
+          SELECT pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM q)
+          GROUP BY pos
+        ),
+        stats AS (
+          SELECT list((s - (((s % n) + n) % n)) // n ORDER BY pos) AS mean_arr
+          FROM dims
+        ),
+        enc AS (
+          SELECT vec_id, xq,
+                 list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN xq[i + 1] > mean_arr[i + 1]
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS lo,
+                 list_sum(list_transform(range(32, 64), i ->
+                   CASE WHEN xq[i + 1] > mean_arr[i + 1]
+                        THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)) AS hi
+          FROM q, stats
+        ),
+        qs AS (
+          SELECT vec_id AS q_id, xq AS q_xq, lo AS qlo, hi AS qhi
+          FROM enc WHERE vec_id % 50 = 0
+        ),
+        s1 AS (
+          SELECT q_id, e.vec_id,
+                 bit_count(xor(e.lo, qlo)) + bit_count(xor(e.hi, qhi)) AS hd
+          FROM qs CROSS JOIN enc e WHERE q_id <> e.vec_id
+        ),
+        cand AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS rn
+            FROM s1) WHERE rn <= 64
+        ),
+        s2 AS (
+          SELECT c.q_id, c.vec_id,
+                 list_sum(list_transform(list_zip(qs.q_xq, e.xq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+                      JOIN qs ON qs.q_id = c.q_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, CAST(d2 AS BIGINT) AS d2
+        FROM (SELECT q_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+              FROM s2)
+        WHERE rank <= 5
+    """,
     "sim_mrl_topk": """
         WITH q AS (
           SELECT vec_id,
@@ -880,6 +945,7 @@ QUERIES = {
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_sq8_topk": q_sim_sq8_topk,
     "sim_mrl_topk": q_sim_mrl_topk,
+    "sim_bq_topk": q_sim_bq_topk,
     "sim_kmeans_cells": q_sim_kmeans_cells,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,

@@ -330,6 +330,12 @@ def test_sq8_recall_tracks_exact_l2(spark, sf_dir):
     # On real MRL embeddings the prefix preserves ranking by training.
     mrl = pairs(S.mrl_topk(q, emb, k=5, prefix_dim=16, rerank=32))
     assert len(mrl & exact_l2) / len(exact_l2) >= 0.15
+    # BQ 64-bit-signature funnel: 1 bit/dim keeps more rank information
+    # than the 16-dim prefix on isotropic vectors (every dim votes), so
+    # its 64-candidate Hamming cut + exact rescore must land between
+    # MRL and SQ8.  Asserted >= 0.3; measured ~0.5+ on the fixture.
+    bq = pairs(S.bq_topk(q, emb, k=5, rerank=64))
+    assert len(bq & exact_l2) / len(exact_l2) >= 0.3
 
     # reconstruction bound: recon within [mn, mx] and |recon - xq| less
     # than one quantization step (span div 255 + 1) in the scale-1000 domain
