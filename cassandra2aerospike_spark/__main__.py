@@ -42,6 +42,12 @@ job shapes against SSTable-style run directories:
                                        #   optstring uses capital V)
         [--now EPOCH_S]                # pin 'now' for expiry (tests)
         [--limit N]                    # dry-run record cap, default 20
+        [--asof EPOCH_US]              # ROUND 10: point-in-time run —
+                                       #   merge only writes at ts <= T,
+                                       #   expiry evaluated AT T (the
+                                       #   s30_asof_merge semantics; the
+                                       #   reference always merges to
+                                       #   latest)
 
 Every reference flag is accepted, so a migrating invocation runs
 unmodified; help moved to --help because the reference uses -h for
@@ -196,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-e", dest="parallelism", type=int)
     p.add_argument("--now", dest="now_s", type=int, default=None)
     p.add_argument("--limit", dest="limit", type=int, default=20)
+    p.add_argument("--asof", dest="asof_us", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.version:
@@ -276,6 +283,18 @@ def main(argv: list[str] | None = None) -> int:
         layouts=layouts,
     )
     now_s = args.now_s if args.now_s is not None else int(time.time())
+    if args.asof_us is not None:
+        # --asof T (epoch µs): point-in-time run — merge only cells and
+        # tombstones written at or before T, evaluate expiry AT T (the
+        # s30_asof_merge semantics; q_s30's docstring documents why the
+        # prefix filter lands before any shuffle).  --asof implies
+        # now = T; an explicit --now later than T would resurrect
+        # records that were alive at T but expired since — refuse the
+        # ambiguity instead of guessing.
+        if args.now_s is not None and args.now_s != args.asof_us // 1_000_000:
+            p.error("--asof already pins 'now' to T; drop --now")
+        classified = classified.filter(F.col("ts") <= F.lit(args.asof_us))
+        now_s = args.asof_us // 1_000_000
     from pyspark.sql import Observation
 
     # S14: the expired counter rides the same execution as the sink write

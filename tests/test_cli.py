@@ -293,3 +293,44 @@ def test_cli_aerospike_wire_host_flag(runs_dir, capsys):
         assert srv.records() == store
     finally:
         srv.close()
+
+
+def test_cli_asof_time_travel(runs_dir, spark, sf_dir, capsys):
+    """--asof T: the CLI's point-in-time run must equal q_s30_asof_merge
+    on the same directory — same T expression, same alive-at-T expiry —
+    and an explicit --now alongside --asof is refused (asof pins now)."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.queries.merge_q import (
+        _classified_staged,
+        _events,
+        _snapshot_at,
+    )
+
+    bounds = _events(spark, sf_dir).agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("asof_us")
+    )
+    asof_us = bounds.collect()[0][0]
+    expected = {
+        r.key
+        for r in _snapshot_at(_classified_staged(spark, sf_dir), bounds)
+        .select("key")
+        .collect()
+    }
+
+    assert (
+        main(["-i", runs_dir, "-D", "--limit", "1000", "--asof", str(asof_us)])
+        == 0
+    )
+    out = capsys.readouterr().out
+    got = {
+        int(bytes.fromhex(line.split("=", 1)[1].split(" ", 1)[0]).decode())
+        for line in out.splitlines()
+        if line.startswith("key=")
+    }
+    assert got == expected
+
+    with pytest.raises(SystemExit):
+        main(
+            ["-i", runs_dir, "-D", "--asof", str(asof_us), "--now", "1719792000"]
+        )
