@@ -42,6 +42,10 @@ job shapes against SSTable-style run directories:
                                        #   optstring uses capital V)
         [--now EPOCH_S]                # pin 'now' for expiry (tests)
         [--limit N]                    # dry-run record cap, default 20
+        [--since EPOCH_US]             # ROUND 10: incremental sync — ship
+                                       #   only records whose newest
+                                       #   surviving write is > T (the
+                                       #   s31 created/updated set)
         [--asof EPOCH_US]              # ROUND 10: point-in-time run —
                                        #   merge only writes at ts <= T,
                                        #   expiry evaluated AT T (the
@@ -146,6 +150,10 @@ def _merge(classified: DataFrame, first_expiring: bool) -> DataFrame:
         F.sort_array(F.collect_list(F.struct("col_name", "value"))).alias("cells"),
         _record_expiry(first_expiring).cast("long").alias("expiry"),
         F.count("*").alias("n_cols"),
+        # newest surviving write per record — the --since incremental
+        # cursor (dropped again in main() before any sink/print, so the
+        # record shape every sink sees is unchanged)
+        F.max("ts").alias("last_write_us"),
     )
     return recs.join(toks, "key")
 
@@ -203,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--now", dest="now_s", type=int, default=None)
     p.add_argument("--limit", dest="limit", type=int, default=20)
     p.add_argument("--asof", dest="asof_us", type=int, default=None)
+    p.add_argument("--since", dest="since_us", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.version:
@@ -300,7 +309,16 @@ def main(argv: list[str] | None = None) -> int:
     # S14: the expired counter rides the same execution as the sink write
     # (reference end-of-run report, Cassandra2Aerospike.cpp:376-401)
     obs_merged = Observation()
-    merged = _merge(classified, args.first_expiring).observe(
+    merged = _merge(classified, args.first_expiring)
+    if args.since_us is not None:
+        # --since T (epoch µs): INCREMENTAL sync — ship only records
+        # whose newest surviving write is later than T (the s31
+        # created/updated set; deletes need no shipping to a CREATE-only
+        # sink).  Records merge over ALL generations first (an old cell
+        # can still win LWW), only the ship set is cut — so the output
+        # is identical to a full run minus the unchanged records.
+        merged = merged.filter(F.col("last_write_us") > F.lit(args.since_us))
+    merged = merged.drop("last_write_us").observe(
         obs_merged, F.count(F.lit(1)).alias("n_merged")
     )
     records = filter_expired(merged, now_s=now_s, min_ttl_s=args.min_ttl)

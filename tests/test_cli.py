@@ -334,3 +334,39 @@ def test_cli_asof_time_travel(runs_dir, spark, sf_dir, capsys):
         main(
             ["-i", runs_dir, "-D", "--asof", str(asof_us), "--now", "1719792000"]
         )
+
+
+def test_cli_since_incremental_ship_set(runs_dir, spark, sf_dir, capsys):
+    """--since T: the shipped set is exactly the records whose newest
+    surviving write is after T — --since 0 ships everything, --since
+    max_ts ships nothing, and the mid-point ship set matches the
+    events-derived expectation."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.queries.merge_q import _events
+
+    lo, hi = (
+        _events(spark, sf_dir)
+        .agg(F.min("ts_us"), F.max("ts_us"))
+        .collect()[0]
+    )
+    mid = (lo + hi) // 2
+
+    def keys_for(since):
+        assert (
+            main(["-i", runs_dir, "-D", "--limit", "100000",
+                  "--since", str(since)] + NOW)
+            == 0
+        )
+        out = capsys.readouterr().out
+        return {
+            int(bytes.fromhex(line.split("=", 1)[1].split(" ", 1)[0]).decode())
+            for line in out.splitlines()
+            if line.startswith("key=")
+        }
+
+    all_keys = keys_for(0)
+    assert len(all_keys) > 0
+    assert keys_for(hi) == set()
+    mid_keys = keys_for(mid)
+    assert set() < mid_keys <= all_keys
