@@ -653,7 +653,12 @@ def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(changes_dir)
 
 
-def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_cdc_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str | None = None,
+    ckpt: str | None = None,
+) -> DataFrame:
     """INCREMENTAL stateful CDC (round 10 — the production path
     stream_snapshot_cdc's docstring promises): per-KEY GroupState holds
     the full merge state — per-column LWW winner (ts, value,
@@ -673,7 +678,13 @@ def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with different columns = updated, NULL columns = deleted.  The
     oracle rebuilds the same log from the parquet events: per key, the
     generations that contain it (ordered -> version) joined to the
-    cumulative-merge state after each such generation."""
+    cumulative-merge state after each such generation.
+
+    `table_dir`/`ckpt` override the fixture table and checkpoint
+    location — the resume test drives a partially-populated directory
+    through one run, lands more generations, and RESTARTS from the same
+    checkpoint: the recovered GroupState must continue the fold exactly
+    (the streaming answer to the reference's seek-to-key resume)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -685,9 +696,10 @@ def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_runs_dir,
     )
 
-    table_dir = build_ma_table_from_events(
-        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
-    )
+    if table_dir is None:
+        table_dir = build_ma_table_from_events(
+            spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+        )
     register(spark)
     stream = (
         spark.readStream.format("sstable_run")
@@ -790,7 +802,31 @@ def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
-    return _run_to_memory(res, "update")
+    if ckpt is None:
+        return _run_to_memory(res, "update")
+    # explicit checkpoint: the resume path — a restart against the same
+    # ckpt recovers the GroupState store and continues the fold from the
+    # last committed generation offset.  The memory sink cannot recover
+    # from a checkpoint (not fault-tolerant), so this path appends each
+    # batch's emissions to a parquet dir via foreachBatch — the same
+    # recoverable-sink shape a production run would use; the returned
+    # frame is the ACCUMULATED emission log across all runs of this ckpt.
+    out_dir = ckpt + "_emissions"
+
+    def append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        res.writeStream.outputMode("update")
+        .foreachBatch(append)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
 
 
 def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
