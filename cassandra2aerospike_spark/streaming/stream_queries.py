@@ -653,6 +653,60 @@ def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(changes_dir)
 
 
+def cdc_fold_rows(cells, points, ranges, row_ts, rows):
+    """Fold classified (col, value, ts, expiration, kind) rows into the
+    per-key CDC merge state — module-level so the stateful operator and
+    the hypothesis property test share ONE implementation (and so the
+    worker pickles a plain function, not a self-referential closure).
+    `cells` maps col -> (ts, value, exp_or_-1); `points`/`ranges` map
+    col / col_end -> max tombstone ts.  Returns the new row_ts."""
+    import pandas as pd
+
+    for col, val, ts, exp, kind in rows:
+        ts = int(ts)
+        if kind == "row":
+            row_ts = max(row_ts, ts)
+        elif kind == "point":
+            if ts > points.get(col, -(1 << 62)):
+                points[col] = ts
+        elif kind == "range":
+            if ts > ranges.get(col, -(1 << 62)):
+                ranges[col] = ts
+        else:  # cell — strict >: first-seen wins ties (reference)
+            prev = cells.get(col)
+            if prev is None or ts > prev[0]:
+                e = -1 if pd.isna(exp) else int(exp)
+                cells[col] = (ts, float(val), e)
+    return row_ts
+
+
+def cdc_live_record(cells, points, ranges, row_ts, eternal, now_floor):
+    """The key's record under the current state: (cols_str, expiry),
+    both None when dead — a cell survives iff ts > the max covering
+    tombstone for its column (row / point / range cover where
+    col_end >= col), the record survives iff some cell is live AND the
+    folded expiry is eternal or still in the future."""
+    live = {}
+    for col, (ts, val, exp) in cells.items():
+        cover = row_ts
+        cover = max(cover, points.get(col, cover))
+        for ce, rt in ranges.items():
+            if ce >= col and rt > cover:
+                cover = rt
+        if ts > cover:
+            live[col] = (val, exp)
+    if not live:
+        return None, None
+    expiry = (
+        eternal
+        if any(e == -1 for _, e in live.values())
+        else max(e for _, e in live.values())
+    )
+    if expiry != eternal and expiry < now_floor:
+        return None, None  # expired record: dead, like filter_expired
+    return ",".join(sorted(f"{c}={v:.2f}" for c, (v, _) in live.items())), expiry
+
+
 def stream_cdc_incremental(
     spark: SparkSession,
     sf_dir: str,
@@ -725,24 +779,11 @@ def stream_cdc_incremental(
             cells, points, ranges = {}, {}, {}
             row_ts, version = -(1 << 62), 0
         for pdf in pdfs:
-            for col, val, ts, exp, kind in zip(
-                pdf["col_name"], pdf["value"], pdf["ts"],
-                pdf["expiration"], pdf["kind"],
-            ):
-                ts = int(ts)
-                if kind == "row":
-                    row_ts = max(row_ts, ts)
-                elif kind == "point":
-                    if ts > points.get(col, -(1 << 62)):
-                        points[col] = ts
-                elif kind == "range":
-                    if ts > ranges.get(col, -(1 << 62)):
-                        ranges[col] = ts
-                else:  # cell — strict >: first-seen wins ties (reference)
-                    prev = cells.get(col)
-                    if prev is None or ts > prev[0]:
-                        e = -1 if pd.isna(exp) else int(exp)
-                        cells[col] = (ts, float(val), e)
+            row_ts = cdc_fold_rows(
+                cells, points, ranges, row_ts,
+                zip(pdf["col_name"], pdf["value"], pdf["ts"],
+                    pdf["expiration"], pdf["kind"]),
+            )
         version += 1
         state.update((
             sorted(cells),
@@ -756,30 +797,9 @@ def stream_cdc_incremental(
             [ranges[c] for c in sorted(ranges)],
             version,
         ))
-        # live record after this batch: cell survives iff ts > the max
-        # covering tombstone for its column (row / point / range>=col)
-        live = {}
-        for col, (ts, val, exp) in cells.items():
-            cover = row_ts
-            cover = max(cover, points.get(col, cover))
-            for ce, rt in ranges.items():
-                if ce >= col and rt > cover:
-                    cover = rt
-            if ts > cover:
-                live[col] = (val, exp)
-        cols_str, expiry = None, None
-        if live:
-            expiry = (
-                eternal
-                if any(e == -1 for _, e in live.values())
-                else max(e for _, e in live.values())
-            )
-            if expiry == eternal or expiry >= now_floor:
-                cols_str = ",".join(
-                    sorted(f"{c}={v:.2f}" for c, (v, _) in live.items())
-                )
-            else:
-                expiry = None  # expired record: dead, like filter_expired
+        cols_str, expiry = cdc_live_record(
+            cells, points, ranges, row_ts, eternal, now_floor
+        )
         yield pd.DataFrame(
             {
                 "key": [int(key[0])],

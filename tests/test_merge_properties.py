@@ -140,3 +140,109 @@ def test_merge_idempotent_under_duplication(spark):
     once = _spark_merge(spark, events)
     twice = _spark_merge(spark, events + events)
     assert once == twice and len(once) > 0
+
+
+# --------------------------------------------- incremental CDC fold
+
+
+_CDC_ORACLE_SQL = """
+WITH cls AS (SELECT * FROM rows_tbl),
+cells AS (
+  SELECT col, value, ts, exp FROM cls WHERE kind = 'cell'
+),
+cover AS (
+  SELECT c.col, max(t.ts) AS tomb_ts
+  FROM (SELECT DISTINCT col FROM cells) c
+  JOIN cls t ON (t.kind = 'point' AND t.col = c.col)
+             OR (t.kind = 'row')
+             OR (t.kind = 'range' AND t.col >= c.col)
+  GROUP BY c.col
+),
+latest AS (
+  SELECT col, arg_max(value, ts) AS value,
+         arg_max(coalesce(exp, -1), ts) AS exp  -- arg_max skips NULLs
+  FROM cells c
+  WHERE NOT EXISTS (SELECT 1 FROM cover v
+                    WHERE v.col = c.col AND c.ts <= v.tomb_ts)
+  GROUP BY col
+)
+SELECT col, value, exp FROM latest
+"""
+
+
+@settings(
+    max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(st.data())
+def test_cdc_fold_matches_duckdb_mini_merge(data):
+    """The incremental CDC state fold (streaming/stream_queries.py:
+    cdc_fold_rows + cdc_live_record) agrees with an INDEPENDENT DuckDB
+    merge over the same classified rows — per-column LWW under
+    row/point/range tombstone cover with strict-ts liveness — for
+    arbitrary row sets, and is invariant under any batch split (the
+    state round-trip can't change the answer).  Timestamps are drawn
+    distinct so cross-engine tie order never enters."""
+    import duckdb
+
+    from cassandra2aerospike_spark.streaming.stream_queries import (
+        cdc_fold_rows,
+        cdc_live_record,
+    )
+
+    cols = ["a", "ab", "b", "zz"]
+    kinds = ["cell", "cell", "cell", "point", "row", "range"]
+    n = data.draw(st.integers(min_value=1, max_value=24))
+    ts_pool = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=10**9),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    rows = []
+    for i in range(n):
+        kind = data.draw(st.sampled_from(kinds))
+        col = data.draw(st.sampled_from(cols))
+        val = float(data.draw(st.integers(min_value=-999, max_value=999))) / 4
+        exp = data.draw(st.sampled_from([None, 10**9, 2 * 10**9]))
+        rows.append((col, val, ts_pool[i], exp, kind))
+
+    # fold over a random batch split
+    n_splits = data.draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n),
+                min_size=n_splits - 1, max_size=n_splits - 1,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        batches.append(rows[prev:c])
+        prev = c
+    cells, points, ranges, row_ts = {}, {}, {}, -(1 << 62)
+    for b in batches:
+        row_ts = cdc_fold_rows(cells, points, ranges, row_ts, b)
+    eternal, now_floor = 4294967295, 0  # no expiry filtering in this model
+    cols_str, expiry = cdc_live_record(
+        cells, points, ranges, row_ts, eternal, now_floor
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE rows_tbl (col VARCHAR, value DOUBLE, ts BIGINT, "
+        "exp BIGINT, kind VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO rows_tbl VALUES (?, ?, ?, ?, ?)",
+        [(c, v, t, e, k) for (c, v, t, e, k) in rows],
+    )
+    live = con.execute(_CDC_ORACLE_SQL).fetchall()
+    if not live:
+        assert cols_str is None and expiry is None
+        return
+    want_cols = ",".join(sorted(f"{c}={v:.2f}" for c, v, _ in live))
+    exps = [e for _, _, e in live]
+    want_exp = eternal if any(e == -1 for e in exps) else max(exps)
+    assert cols_str == want_cols
+    assert expiry == want_exp
