@@ -81,6 +81,8 @@ HEADLINE = [
     "s35_partition_size_histogram",
     # round-10: binary-quantization ANN (Hamming prescreen + rescore)
     "sim_bq_topk",
+    # round-10: pooled-chunk long-document retrieval
+    "sim_chunk_pool_topk",
 ]
 
 

@@ -981,6 +981,76 @@ def mrl_topk(
     return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("d2"))
 
 
+def chunk_pool_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    chunks_per_doc: int = 8, doc_k: int = 4,
+) -> DataFrame:
+    """X3 scale path: LONG-DOCUMENT retrieval via POOLED chunk
+    embeddings (public method — passage pooling: long docs are embedded
+    as many chunks; a per-doc mean-pooled vector gives a cheap coarse
+    index, and only the top docs' chunks are scored exactly).  Docs are
+    vec_id div chunks_per_doc; the doc vector is the per-dimension
+    FLOOR-MEAN of its chunks' scale-1000 integer embeddings (the
+    kmeans_fit_quantized centroid idiom, exact in both engines); stage 1
+    ranks docs per query by integer squared-L2 against the pooled
+    vectors (1/chunks_per_doc of the vectors scanned), stage 2 rescores
+    ONLY the top-doc_k docs' chunks exactly and emits the top-k chunks.
+    All integer -> exact DuckDB oracle.
+
+    Plan shape: pooling is one (doc) groupBy with an in-row zip_with
+    fold over the collected chunk list (bounded by chunks_per_doc);
+    stage 1 is the broadcast-queries scan over the doc table; stage 2
+    equi-joins the corpus on doc_id against the broadcast (query,
+    doc) winner list — candidate work is (queries x doc_k x
+    chunks_per_doc), never the corpus."""
+    qe = queries.select("q_id", quantize_vec(F.col("q_vec")).alias("q_xq"))
+    ce = spread(corpus).select(
+        "vec_id",
+        (F.col("vec_id") - F.pmod("vec_id", F.lit(chunks_per_doc)))
+        .cast("long")
+        .alias("doc_id"),
+        quantize_vec(F.col("embedding")).alias("xq"),
+    )
+    docs = (
+        ce.groupBy("doc_id")
+        .agg(F.collect_list("xq").alias("chunks"), F.count("*").alias("n"))
+        .select(
+            "doc_id",
+            # element-wise sum of the doc's chunk vectors, then the
+            # exact floor-mean per dimension (sum - pmod is divisible,
+            # so Spark's truncating div == DuckDB's flooring //)
+            F.expr(
+                """
+                transform(
+                  aggregate(chunks, transform(sequence(1, 64), i -> 0L),
+                            (acc, v) -> zip_with(acc, v, (a, b) -> a + b)),
+                  s -> (s - (((s % n) + n) % n)) div n)
+                """
+            ).alias("doc_vec"),
+        )
+    )
+    scored_docs = docs.crossJoin(F.broadcast(qe)).select(
+        "q_id",
+        F.col("doc_id").alias("vec_id"),  # rank helpers key on vec_id
+        (-_int_l2(F.col("q_xq"), F.col("doc_vec"))).alias("sim"),
+    )
+    top_docs = _global_rank(_local_topk(scored_docs, doc_k), doc_k).select(
+        "q_id", F.col("vec_id").alias("doc_id")
+    )
+    rescored = (
+        ce.join(F.broadcast(top_docs), "doc_id")
+        .join(F.broadcast(qe), "q_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (-_int_l2(F.col("q_xq"), F.col("xq"))).alias("sim"),
+        )
+    )
+    ranked = _global_rank(rescored, k)
+    return ranked.select("q_id", "vec_id", "rank", (-F.col("sim")).alias("d2"))
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8
 ) -> DataFrame:

@@ -13,7 +13,7 @@ REGISTRY ORDER IS DELIBERATE: the driver's correctness gate checks the
 FIRST 50 registry rows each round, so _PRIORITY spends those slots on
 (a) queries with no driver row yet, (b) queries whose fixtures or
 semantics changed this round, (c) the stalest cohort — see the comment
-at _PRIORITY for the current (round-9) allocation.  Everything after
+at _PRIORITY for the current (round-10) allocation.  Everything after
 the cut keeps module order and rotates back in as its driver green
 ages.
 """
@@ -38,8 +38,8 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # (a) queries with no driver row yet, (b) queries whose fixtures or
 # semantics change this round, (c) the stalest cohort.  NOTE: no
 # CORRECTNESS_r09.json was produced, so the round-9 prefix below was
-# never driver-signed — it stays in place behind the 13 queries that
-# are new since it was built (6 late-r09 + 7 r10).
+# never driver-signed — it stays in place behind the 22 queries that
+# are new since it was built (6 late-r09 + 16 r10).
 _PRIORITY = [
     # -- (a) NEW this round (r10): bloom-pruned point lookup over
     #    Filter.db (both eras), as-of snapshot + snapshot-diff CDC +
@@ -58,6 +58,7 @@ _PRIORITY = [
     "s35_partition_size_histogram",
     "sim_mrl_topk",
     "sim_bq_topk",
+    "sim_chunk_pool_topk",
     "stream_snapshot_cdc",
     "stream_cdc_incremental",
     "dedup_jaccard_prefix_filter",
@@ -137,7 +138,7 @@ _PRIORITY = [
     #    scalar rows untouched by any sstable-path change, and all
     #    oracle-verified locally every run by tests/test_oracle_parity.py
     #    + tools/check_oracle.py (this round's local full-gate run:
-    #    0 failures / 166).  First in line for the r11 rotation.
+    #    0 failures / 167).  First in line for the r11 rotation.
     "agg_percentiles",
     "agg_approx_distinct",
     "agg_approx_percentiles",

@@ -109,6 +109,19 @@ def q_sim_bq_topk(spark, sf_dir):
     return S.bq_topk(_queries_frame(emb), emb, k=5, rerank=64)
 
 
+def q_sim_chunk_pool_topk(spark, sf_dir):
+    """X3 scale path #7 (round 10): LONG-DOCUMENT retrieval via pooled
+    chunk embeddings — vec_id div 8 defines docs, per-dim integer
+    floor-mean pools each doc's chunks, stage 1 ranks docs (1/8 of the
+    vectors scanned), stage 2 exactly rescores only the top-4 docs'
+    chunks and emits the top-5 chunks.  Integer end-to-end -> exact
+    oracle."""
+    emb = _emb(spark, sf_dir)
+    return S.chunk_pool_topk(
+        _queries_frame(emb), emb, k=5, chunks_per_doc=8, doc_k=4
+    )
+
+
 def q_sim_kmeans_cells(spark, sf_dir):
     """X3 codebook TRAINING: real distributed k-means (Lloyd, k=8, two
     full iterations) over integer-quantized embeddings, then the final
@@ -714,6 +727,54 @@ ORACLES = {
               FROM scored)
         WHERE rank <= 5
     """,
+    "sim_chunk_pool_topk": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        ce AS (
+          SELECT vec_id, vec_id - (vec_id % 8) AS doc_id, xq FROM q
+        ),
+        sums AS (
+          SELECT doc_id, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT doc_id, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM ce)
+          GROUP BY doc_id, pos
+        ),
+        docs AS (
+          SELECT doc_id,
+                 list((s - (((s % n) + n) % n)) // n ORDER BY pos) AS doc_vec
+          FROM sums GROUP BY doc_id
+        ),
+        qs AS (SELECT vec_id AS q_id, xq AS q_xq FROM q WHERE vec_id % 50 = 0),
+        s1 AS (
+          SELECT q_id, d.doc_id,
+                 list_sum(list_transform(list_zip(q_xq, doc_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2d
+          FROM qs CROSS JOIN docs d
+        ),
+        topd AS (
+          SELECT q_id, doc_id FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY d2d, doc_id) AS rn
+            FROM s1) WHERE rn <= 4
+        ),
+        s2 AS (
+          SELECT t.q_id, c.vec_id,
+                 list_sum(list_transform(list_zip(qs.q_xq, c.xq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM topd t JOIN ce c ON c.doc_id = t.doc_id
+                      JOIN qs ON qs.q_id = t.q_id
+          WHERE t.q_id <> c.vec_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, CAST(d2 AS BIGINT) AS d2
+        FROM (SELECT q_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+              FROM s2)
+        WHERE rank <= 5
+    """,
     "sim_bq_topk": """
         WITH q AS (
           SELECT vec_id,
@@ -946,6 +1007,7 @@ QUERIES = {
     "sim_sq8_topk": q_sim_sq8_topk,
     "sim_mrl_topk": q_sim_mrl_topk,
     "sim_bq_topk": q_sim_bq_topk,
+    "sim_chunk_pool_topk": q_sim_chunk_pool_topk,
     "sim_kmeans_cells": q_sim_kmeans_cells,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,
