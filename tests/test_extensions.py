@@ -336,6 +336,12 @@ def test_sq8_recall_tracks_exact_l2(spark, sf_dir):
     # MRL and SQ8.  Asserted >= 0.3; measured ~0.5+ on the fixture.
     bq = pairs(S.bq_topk(q, emb, k=5, rerank=64))
     assert len(bq & exact_l2) / len(exact_l2) >= 0.3
+    # pooled-chunk funnel: with RANDOM chunk grouping (vec_id div 8) a
+    # doc's mean pool carries little signal about its best chunk, so
+    # this is the structural recall floor — it must still clear random
+    # (4 docs x 8 chunks / 10k corpus ~ 0.3% random; measured ~5-10%)
+    cp = pairs(S.chunk_pool_topk(q, emb, k=5, chunks_per_doc=8, doc_k=4))
+    assert len(cp & exact_l2) / len(exact_l2) >= 0.02
 
     # reconstruction bound: recon within [mn, mx] and |recon - xq| less
     # than one quantization step (span div 255 + 1) in the scale-1000 domain
