@@ -44,8 +44,10 @@ job shapes against SSTable-style run directories:
         [--limit N]                    # dry-run record cap, default 20
         [--since EPOCH_US]             # ROUND 10: incremental sync — ship
                                        #   only records whose newest
-                                       #   surviving write is > T (the
-                                       #   s31 created/updated set)
+                                       #   event (cell OR tombstone) is
+                                       #   > T (the s31 created/updated
+                                       #   set: tombstone-only updates
+                                       #   re-ship the surviving record)
         [--asof EPOCH_US]              # ROUND 10: point-in-time run —
                                        #   merge only writes at ts <= T,
                                        #   expiry evaluated AT T (the
@@ -145,15 +147,22 @@ def _merge(classified: DataFrame, first_expiring: bool) -> DataFrame:
 
     live = live_cells_from_classified(classified.drop("token"))
     latest = lww_latest(live)
-    toks = classified.select("key", "token").distinct()
+    # per-key token + newest CLASSIFIED event (cells AND tombstones) —
+    # the --since incremental cursor (dropped again in main() before any
+    # sink/print, so the record shape every sink sees is unchanged).
+    # Tombstone timestamps count: a record whose only post-T event is a
+    # column deletion (surviving cells all older than T) has CHANGED
+    # since T and must re-ship, or the incremental run diverges from
+    # full-minus-unchanged (round-11 advice fix; max over surviving
+    # cells only silently skipped those)
+    toks = classified.groupBy("key").agg(
+        F.max("token").alias("token"),
+        F.max("ts").alias("last_write_us"),
+    )
     recs = latest.groupBy("key").agg(
         F.sort_array(F.collect_list(F.struct("col_name", "value"))).alias("cells"),
         _record_expiry(first_expiring).cast("long").alias("expiry"),
         F.count("*").alias("n_cols"),
-        # newest surviving write per record — the --since incremental
-        # cursor (dropped again in main() before any sink/print, so the
-        # record shape every sink sees is unchanged)
-        F.max("ts").alias("last_write_us"),
     )
     return recs.join(toks, "key")
 
@@ -312,11 +321,13 @@ def main(argv: list[str] | None = None) -> int:
     merged = _merge(classified, args.first_expiring)
     if args.since_us is not None:
         # --since T (epoch µs): INCREMENTAL sync — ship only records
-        # whose newest surviving write is later than T (the s31
-        # created/updated set; deletes need no shipping to a CREATE-only
-        # sink).  Records merge over ALL generations first (an old cell
-        # can still win LWW), only the ship set is cut — so the output
-        # is identical to a full run minus the unchanged records.
+        # whose newest event (cell or tombstone write) is later than T
+        # (the s31 created/updated set; full deletes need no shipping to
+        # a CREATE-only sink, but a partial delete that leaves the record
+        # alive with a SMALLER column set is an update and ships).
+        # Records merge over ALL generations first (an old cell can
+        # still win LWW), only the ship set is cut — so the output is
+        # identical to a full run minus the unchanged records.
         merged = merged.filter(F.col("last_write_us") > F.lit(args.since_us))
     merged = merged.drop("last_write_us").observe(
         obs_merged, F.count(F.lit(1)).alias("n_merged")

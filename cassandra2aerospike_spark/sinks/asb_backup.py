@@ -113,9 +113,22 @@ def write_asb(
                     ((n, "%.2f" % v) for n, v in items),
                     key=lambda p: f"{p[0]}={p[1]}",
                 )
-                exp_citrus = (
-                    0 if int(expiry) == eternal else int(expiry) - CITRUS_EPOCH_S
-                )
+                if int(expiry) == eternal:
+                    exp_citrus = 0
+                else:
+                    exp_citrus = int(expiry) - CITRUS_EPOCH_S
+                    # '+ t 0' is the format's ETERNAL sentinel and
+                    # negative values are unrepresentable pre-epoch
+                    # times: a real expiry at/before 2010-01-01 would
+                    # round-trip back as never-expire (or corrupt), so
+                    # fail loudly instead of silently colliding
+                    if exp_citrus <= 0:
+                        raise ValueError(
+                            f"non-eternal expiry {int(expiry)} is <= the "
+                            f"citrusleaf epoch {CITRUS_EPOCH_S}; '+ t "
+                            f"{exp_citrus}' would collide with the "
+                            "eternal sentinel / encode a pre-2010 time"
+                        )
                 blocks.append(
                     record_block(namespace, set_name, str(key), bins, 1, exp_citrus)
                 )

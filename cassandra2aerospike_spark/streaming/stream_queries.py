@@ -578,15 +578,23 @@ def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        classify_raw_real(batch_df).write.mode("append").parquet(cells_dir)
-        cum = spark.read.parquet(cells_dir)
+        # IDEMPOTENT per-batch writes (round-11 advice fix): foreachBatch
+        # is at-least-once — a crash between a sink write and the offset
+        # commit replays the batch on restart.  Keying every write by
+        # batch_id and OVERWRITING that subdirectory makes the replay a
+        # no-op instead of a row duplication; appends would double both
+        # the cumulative cell log and the change log.
+        classify_raw_real(batch_df).write.mode("overwrite").parquet(
+            os.path.join(cells_dir, f"b{batch_id}")
+        )
+        cum = spark.read.parquet(os.path.join(cells_dir, "b*"))
         new_recs = render(
             filter_expired(
                 assemble_records(lww_latest(live_cells_from_classified(cum)))
             )
         )
         new_dir = os.path.join(work, f"state_{batch_id}")
-        new_recs.write.parquet(new_dir)
+        new_recs.write.mode("overwrite").parquet(new_dir)
         new = spark.read.parquet(new_dir)
         if state["prev"] is None:
             changes = new.select(
@@ -631,7 +639,9 @@ def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "expiry_after",
                 )
             )
-        changes.write.mode("append").parquet(changes_dir)
+        changes.write.mode("overwrite").parquet(
+            os.path.join(changes_dir, f"b{batch_id}")
+        )
         state["prev"] = new_dir
 
     stream = (
@@ -650,7 +660,7 @@ def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(changes_dir)
+    return spark.read.parquet(os.path.join(changes_dir, "b*"))
 
 
 def cdc_fold_rows(cells, points, ranges, row_ts, rows):
@@ -827,18 +837,24 @@ def stream_cdc_incremental(
     # explicit checkpoint: the resume path — a restart against the same
     # ckpt recovers the GroupState store and continues the fold from the
     # last committed generation offset.  The memory sink cannot recover
-    # from a checkpoint (not fault-tolerant), so this path appends each
-    # batch's emissions to a parquet dir via foreachBatch — the same
+    # from a checkpoint (not fault-tolerant), so this path lands each
+    # batch's emissions in a parquet dir via foreachBatch — the same
     # recoverable-sink shape a production run would use; the returned
     # frame is the ACCUMULATED emission log across all runs of this ckpt.
+    # Each batch OVERWRITES its own batch_id-keyed subdirectory (round-11
+    # advice fix): foreachBatch is at-least-once, so a crash between the
+    # write and the offset commit replays the batch — keyed overwrite
+    # makes the replay idempotent where an append would duplicate rows.
     out_dir = ckpt + "_emissions"
 
-    def append(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
 
     q = (
         res.writeStream.outputMode("update")
-        .foreachBatch(append)
+        .foreachBatch(land)
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -846,7 +862,7 @@ def stream_cdc_incremental(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(os.path.join(out_dir, "b*"))
 
 
 def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:

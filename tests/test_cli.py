@@ -370,3 +370,40 @@ def test_cli_since_incremental_ship_set(runs_dir, spark, sf_dir, capsys):
     assert keys_for(hi) == set()
     mid_keys = keys_for(mid)
     assert set() < mid_keys <= all_keys
+
+
+def test_cli_since_ships_tombstone_only_update(tmp_path, spark, capsys):
+    """Round-11 advice fix: a record whose ONLY post-T event is a point
+    tombstone (every surviving cell older than T) has still CHANGED
+    since T — its column set shrank — so --since T must ship it.  The
+    incremental cursor is max(ts) over ALL classified events, not over
+    surviving cells only (the old cursor silently skipped these)."""
+    from cassandra2aerospike_spark.sources.sstable.format import (
+        Cell,
+        Partition,
+        RunWriter,
+    )
+
+    d = str(tmp_path / "runs")
+    w = RunWriter(d, 1)
+    w.add(
+        Partition(
+            key=b"42",
+            cells=[
+                Cell("colA", b"1.00", ts=100),
+                Cell("colB", b"2.00", ts=100),
+                # colB deleted AFTER the --since cursor; colA (the only
+                # survivor) predates it
+                Cell("colB", ts=500, deleted=True),
+            ],
+        )
+    )
+    w.finish()
+    assert main(["-i", d, "-D", "--limit", "10", "--since", "300"] + NOW) == 0
+    out = capsys.readouterr().out
+    assert ("key=" + b"42".hex()) in out  # ships: newest event ts=500 > 300
+    cells = [l.strip() for l in out.splitlines() if l.startswith("  ")]
+    assert cells == ["colA=1.00"]  # ...without the deleted column
+    # and a cursor PAST the tombstone still ships nothing
+    assert main(["-i", d, "-D", "--limit", "10", "--since", "500"] + NOW) == 0
+    assert "key=" not in capsys.readouterr().out

@@ -317,3 +317,25 @@ def test_asb_record_block_property(key, bins, gen, exp):
     first, rows = ab._parse_asb_file(content, "tmx", "records")
     assert first is False
     assert rows == [(str(key), gen, exp, bins)]
+
+
+def test_asb_write_rejects_pre_epoch_expiry(spark, tmp_path):
+    """Round-11 advice fix: a NON-eternal expiry at/before the
+    citrusleaf epoch would encode as '+ t 0' (the eternal sentinel) or a
+    negative t — silent corruption on round-trip.  write_asb must fail
+    loudly instead."""
+    import pytest
+
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.sinks import asb_backup as ab
+
+    for bad in (ab.CITRUS_EPOCH_S, ab.CITRUS_EPOCH_S - 3600):
+        df = spark.createDataFrame(
+            [(1, {"a": 1.0}, bad)],
+            "key long, columns map<string,double>, expiry long",
+        )
+        with pytest.raises(Exception) as ei:
+            ab.write_asb(
+                df, str(tmp_path / f"asb{bad}"), "tmx", "records", merge.ETERNAL
+            )
+        assert "citrusleaf epoch" in str(ei.value)

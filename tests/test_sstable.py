@@ -1157,9 +1157,12 @@ def test_stream_cdc_incremental_resumes_from_checkpoint(spark, sf_dir, tmp_path)
                 shutil.copy(os.path.join(full_dir, f), os.path.join(part_dir, f))
 
     def rows(df):
-        return {
-            (r.key, r.version, r.cols_str, r.expiry) for r in df.collect()
-        }
+        # collect as a LIST first: the emission log must be duplicate-
+        # free on its own (per-batch idempotent overwrite subdirs, the
+        # round-11 advice fix) — a set here would mask replay dupes
+        got = [(r.key, r.version, r.cols_str, r.expiry) for r in df.collect()]
+        assert len(got) == len(set(got)), "duplicate emissions in the log"
+        return set(got)
 
     land(1)
     first = rows(stream_cdc_incremental(spark, sf_dir, part_dir, ckpt))
