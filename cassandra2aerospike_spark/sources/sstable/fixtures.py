@@ -473,11 +473,18 @@ def build_mixed_era_table_from_events(
         w.finish()
     # run 2 (>= ma era): one sstable per version token, partitions routed
     # by key hash — disjoint halves, so the k-way merge result is
-    # invariant to how many files the era is split across
+    # invariant to how many files the era is split across.  The 4.x/5.0
+    # generations (nb, oa) compress with ZstdCompressor — available in
+    # real Cassandra from 4.0, and the codec the reference cannot read
+    # at all (Buffer.cpp:243-272 stops at LZ4/Snappy/Deflate); s19 now
+    # proves the auto-detect handles a zstd-chunked file in the mix
     new_writers = [
         MaWriter(
             table_dir, 3 + i, [(n, "UTF8Type") for n in col_names],
-            codec_class="LZ4Compressor", version=v,
+            codec_class=(
+                "ZstdCompressor" if v >= "nb" else "LZ4Compressor"
+            ),
+            version=v,
         )
         for i, v in enumerate(new_era_versions)
     ]

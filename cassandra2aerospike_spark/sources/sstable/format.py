@@ -89,6 +89,7 @@ except ImportError:
 
 from . import lz4_py as _lz4py
 from . import snappy_py as _snappy
+from . import zstd_py as _zstd
 
 
 def compress_chunk(codec: str, raw: bytes) -> bytes:
@@ -100,6 +101,12 @@ def compress_chunk(codec: str, raw: bytes) -> bytes:
         if _lz4block is not None:
             return _lz4block.compress(raw, store_size=True)
         return _lz4py.compress(raw)
+    if codec == "zstd":
+        # round 11: Cassandra 4.x/5.0 ZstdCompressor chunks are raw zstd
+        # frames (no extra framing — the frame header carries the size);
+        # zstd_py implements the public RFC 8878 format, cross-validated
+        # both ways against zstd-jni in tests/test_zstd.py
+        return _zstd.compress(raw)
     if codec == "none":
         return raw
     raise ValueError(f"unknown codec {codec!r}")
@@ -114,6 +121,8 @@ def decompress_chunk(codec: str, comp: bytes) -> bytes:
         if _lz4block is not None:
             return _lz4block.decompress(comp)
         return _lz4py.decompress(comp)
+    if codec == "zstd":
+        return _zstd.decompress(comp)
     if codec == "none":
         return comp
     raise ValueError(f"unknown codec {codec!r}")

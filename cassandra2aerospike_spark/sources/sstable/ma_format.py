@@ -78,6 +78,7 @@ from dataclasses import dataclass, field
 
 from . import lz4_py as _lz4
 from . import snappy_py as _snappy
+from . import zstd_py as _zstd
 from .format import Cell, Partition, RangeTomb
 
 # ---------------------------------------------------------------- vints
@@ -334,7 +335,7 @@ DEFAULT_CHUNK = 64 * 1024
 # instead of being fed to the reader under a still-matching _DONE marker
 # (the SGR sources solve the same problem by embedding MAGIC in leaf
 # names).
-FIXTURE_ENCODER_REV = "e5"  # e5: Filter.db bloom sidecar + oa-era STATS
+FIXTURE_ENCODER_REV = "e6"  # e6: zstd chunks on nb/oa generations (r11)
 # trailer (r10); e4: 4-section 4.x Statistics + fp-chance in
 # VALIDATION (r09).  BUMP THIS whenever MaWriter/OldWriter byte output
 # changes — cached fixture trees AND _staged_ma_rewrite compaction
@@ -675,16 +676,26 @@ def _compress_chunk(codec_class: str, raw: bytes) -> bytes:
         return _snappy.compress(raw)
     if codec_class == "DeflateCompressor":
         return zlib.compress(raw, 6)
+    if codec_class == "ZstdCompressor":
+        # Cassandra 4.0+ ZstdCompressor: the chunk IS one zstd frame
+        # (Zstd.compress output verbatim, no extra length framing)
+        return _zstd.compress(raw)
     raise ValueError(f"unknown compressor {codec_class!r}")
 
 
 def _decompress_chunk(codec_class: str, comp: bytes) -> bytes:
+    # real Cassandra CompressionInfo may carry the fully-qualified class
+    # (org.apache.cassandra.io.compress.LZ4Compressor); fixtures write
+    # the short name — accept both
+    codec_class = codec_class.rsplit(".", 1)[-1]
     if codec_class == "LZ4Compressor":
         return _lz4.decompress(comp)
     if codec_class == "SnappyCompressor":
         return _snappy.decompress(comp)
     if codec_class == "DeflateCompressor":
         return zlib.decompress(comp)
+    if codec_class == "ZstdCompressor":
+        return _zstd.decompress(comp)
     raise ValueError(f"unknown compressor {codec_class!r}")
 
 

@@ -1,0 +1,881 @@
+"""Pure-Python Zstandard frame codec (S5, round 11).
+
+Real Cassandra 4.x/5.0 tables commonly ship ``ZstdCompressor`` chunks —
+a codec the reference stops short of (Buffer.cpp:243-272 dispatches
+LZ4/Snappy/Deflate only, so a 4.x table compressed with zstd fails
+there).  Neither the ``zstandard`` package nor a zstd-capable stdlib
+module exists in this environment, so — as with LZ4 (lz4_py) and Snappy
+(snappy_py) — the PUBLIC format itself is implemented: RFC 8878 /
+facebook/zstd `doc/zstd_compression_format.md`.
+
+Decoder coverage (the read path a real 4.x data directory needs):
+  * frames: magic, frame-header descriptor (single-segment, window
+    descriptor, 1/2/4/8-byte frame content size), skippable frames,
+    frame concatenation, XXH64 content-checksum verification;
+  * blocks: Raw, RLE, Compressed;
+  * literals: Raw, RLE, Huffman-compressed (1-stream and 4-stream,
+    direct-represented and FSE-compressed weight tables), Treeless
+    (previous table reuse);
+  * sequences: Predefined_Mode, RLE_Mode, FSE_Compressed_Mode (full
+    normalized-count table descriptions), Repeat_Mode, the three-entry
+    repeated-offset history including the ``literals_length == 0``
+    alternate indexing and the ``rep[0] - 1`` special case.
+
+Encoder: a greedy 4-byte hash matcher (same shape as lz4_py/snappy_py)
+emitting spec-compliant frames — single-segment, blocks of <= 128 KiB
+picked per block from {RLE, Compressed, Raw} by size; compressed blocks
+use Raw literals + Predefined-mode FSE sequence coding (offsets always
+absolute, ``offset + 3``), with the backward-written interleaved
+LL/OF/ML bitstream.  Every frame carries the XXH64 content checksum, so
+round-trip tests exercise the hash in both directions.
+
+Throughput is not a goal (sstable chunks are <= 64 KiB); correctness
+is property-tested and every multi-byte read bounds-checked so corrupt
+input fails uniformly with ``ValueError``.
+"""
+
+from __future__ import annotations
+
+_MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+_BLOCK_MAX = 128 * 1024
+
+_M64 = (1 << 64) - 1
+
+# ------------------------------------------------------------- XXH64
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxr(acc: int, inp: int) -> int:
+    return (_rotl((acc + inp * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (the zstd content checksum; Cyan4973/xxHash spec)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _xxr(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxr(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxr(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxr(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxr(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxr(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _FwdBits:
+    """Little-endian FORWARD bit reader (FSE table descriptions are the
+    one forward bitstream in the format).  Reads past the end return
+    zero bits and set ``overrun`` — the caller validates."""
+
+    __slots__ = ("buf", "pos", "overrun")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.overrun = False
+
+    def peek(self, n: int) -> int:
+        lo = self.pos // 8
+        hi = min((self.pos + n + 7) // 8, len(self.buf))
+        v = int.from_bytes(self.buf[lo:hi], "little") >> (self.pos % 8)
+        return v & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+        if self.pos > len(self.buf) * 8:
+            self.overrun = True
+
+    def read(self, n: int) -> int:
+        v = self.peek(n)
+        self.skip(n)
+        return v
+
+    def byte_pos(self) -> int:
+        return (self.pos + 7) // 8
+
+
+class _BackBits:
+    """BACKWARD bit reader: zstd FSE/Huffman streams are written low-bit
+    first and read from the top, below the 1-valued padding bit in the
+    last byte.  ``bits`` counts what remains; reads past the start
+    zero-pad at the bottom and drive ``bits`` negative (the documented
+    end-of-stream condition for Huffman-weight FSE decoding)."""
+
+    __slots__ = ("val", "bits")
+
+    def __init__(self, buf: bytes):
+        if not buf or buf[-1] == 0:
+            raise ValueError("zstd: missing bitstream padding byte")
+        self.val = int.from_bytes(buf, "little")
+        self.bits = (len(buf) - 1) * 8 + buf[-1].bit_length() - 1
+
+    def peek(self, n: int) -> int:
+        if self.bits >= n:
+            return (self.val >> (self.bits - n)) & ((1 << n) - 1)
+        avail = max(self.bits, 0)
+        return (self.val & ((1 << avail) - 1)) << (n - avail)
+
+    def read(self, n: int) -> int:
+        v = self.peek(n)
+        self.bits -= n
+        return v
+
+
+# ----------------------------------------------------------------- FSE
+
+
+class _FseTable:
+    """FSE decode table (+ lazily-built dual encode view): per state a
+    (symbol, nb_bits, baseline) triple, built from normalized counts by
+    the spec's spread-step algorithm (RFC 8878 section 4.1.1)."""
+
+    __slots__ = ("al", "sym", "nb", "base", "_enc")
+
+    def __init__(self, counts: list[int], al: int):
+        size = 1 << al
+        used = sum(1 if c == -1 else c for c in counts if c != 0)
+        if used != size:
+            raise ValueError("zstd: FSE counts do not fill the table")
+        spread = [0] * size
+        high = size - 1
+        for s, c in enumerate(counts):
+            if c == -1:
+                spread[high] = s
+                high -= 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, c in enumerate(counts):
+            for _ in range(max(c, 0)):
+                spread[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("zstd: corrupt FSE spread")
+        nxt = [1 if c == -1 else c for c in counts]
+        self.al = al
+        self.sym = [0] * size
+        self.nb = [0] * size
+        self.base = [0] * size
+        for state in range(size):
+            s = spread[state]
+            x = nxt[s]
+            nxt[s] += 1
+            nb = al - (x.bit_length() - 1)
+            self.sym[state] = s
+            self.nb[state] = nb
+            self.base[state] = (x << nb) - size
+        self._enc = None
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FseTable":
+        t = cls.__new__(cls)
+        t.al, t.sym, t.nb, t.base, t._enc = 0, [symbol], [0], [0], None
+        return t
+
+    def enc(self) -> dict[int, list[tuple[int, int, int]]]:
+        """symbol -> [(baseline, nb, state_index)] sorted by baseline;
+        per symbol the ranges tile [0, table_size) exactly once, so an
+        encoder transition target resolves to one unique state."""
+        if self._enc is None:
+            e: dict[int, list[tuple[int, int, int]]] = {}
+            for i, s in enumerate(self.sym):
+                e.setdefault(s, []).append((self.base[i], self.nb[i], i))
+            for v in e.values():
+                v.sort()
+            self._enc = e
+        return self._enc
+
+
+def _fse_read_distribution(fwd: _FwdBits, max_al: int) -> tuple[list[int], int]:
+    """Normalized-count table description (forward bitstream, RFC 8878
+    section 4.1.1): variable-width counts against the remaining total,
+    -1 = less-than-one probability, 0 followed by 2-bit zero-run
+    repeats."""
+    al = 5 + fwd.read(4)
+    if al > max_al:
+        raise ValueError(f"zstd: FSE accuracy log {al} > max {max_al}")
+    remaining = (1 << al) + 1
+    counts: list[int] = []
+    while remaining > 1 and len(counts) < 256:
+        bits = remaining.bit_length()
+        val = fwd.peek(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            fwd.skip(bits - 1)
+            val &= lower_mask
+        else:
+            fwd.skip(bits)
+            if val > lower_mask:
+                val -= threshold
+        proba = val - 1
+        counts.append(proba)
+        remaining -= -proba if proba < 0 else proba
+        if proba == 0:
+            rep = 3
+            while rep == 3:
+                rep = fwd.read(2)
+                counts.extend([0] * rep)
+    if remaining != 1 or fwd.overrun:
+        raise ValueError("zstd: corrupt FSE distribution")
+    return counts, al
+
+
+# ---------------------------------------------- predefined code tables
+
+# Literals-length codes (RFC 8878 section 3.1.1.3.2.1.1)
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_LL_EXTRA = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+# Match-length codes
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_EXTRA = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+# Predefined distributions (section 3.1.1.3.2.2)
+_LL_DEF_COUNTS = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+_ML_DEF_COUNTS = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1,
+]
+_OF_DEF_COUNTS = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1,
+]
+
+_LL_DEFAULT = _FseTable(_LL_DEF_COUNTS, 6)
+_ML_DEFAULT = _FseTable(_ML_DEF_COUNTS, 6)
+_OF_DEFAULT = _FseTable(_OF_DEF_COUNTS, 5)
+
+
+def _ll_code(v: int) -> int:
+    if v < 16:
+        return v
+    import bisect
+
+    return bisect.bisect_right(_LL_BASE, v) - 1
+
+
+def _ml_code(v: int) -> int:
+    if v < 35:
+        return v - 3
+    import bisect
+
+    return bisect.bisect_right(_ML_BASE, v) - 1
+
+
+# -------------------------------------------------------- Huffman read
+
+
+def _huf_read_tree(buf: bytes, off: int) -> tuple[tuple[list[int], list[int], int], int]:
+    """Huffman tree description -> (symbol_table, nbits_table, max_bits).
+    headerByte >= 128: direct 4-bit weights; < 128: FSE-compressed
+    weights via two interleaved states (RFC 8878 section 4.2.1)."""
+    if off >= len(buf):
+        raise ValueError("zstd: truncated huffman tree")
+    h = buf[off]
+    off += 1
+    weights: list[int] = []
+    if h >= 128:
+        n = h - 127
+        if off + (n + 1) // 2 > len(buf):
+            raise ValueError("zstd: truncated huffman weights")
+        for i in range(n):
+            b = buf[off + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 15))
+        off += (n + 1) // 2
+    else:
+        if off + h > len(buf):
+            raise ValueError("zstd: truncated huffman weight stream")
+        sub = buf[off : off + h]
+        off += h
+        fwd = _FwdBits(sub)
+        counts, al = _fse_read_distribution(fwd, max_al=6)
+        tab = _FseTable(counts, al)
+        br = _BackBits(sub[fwd.byte_pos() :])
+        s1 = br.read(al)
+        s2 = br.read(al)
+        while True:
+            weights.append(tab.sym[s1])
+            s1 = tab.base[s1] + br.read(tab.nb[s1])
+            if br.bits < 0:
+                weights.append(tab.sym[s2])
+                break
+            weights.append(tab.sym[s2])
+            s2 = tab.base[s2] + br.read(tab.nb[s2])
+            if br.bits < 0:
+                weights.append(tab.sym[s1])
+                break
+            if len(weights) > 254:
+                raise ValueError("zstd: huffman weight stream runs long")
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: empty huffman tree")
+    max_bits = total.bit_length()  # smallest p with 2**p > total
+    left = (1 << max_bits) - total
+    if left & (left - 1):
+        raise ValueError("zstd: huffman weights do not sum to a power of 2")
+    weights.append(left.bit_length())  # the implied last weight
+    if len(weights) > 256 or max_bits > 11:
+        raise ValueError("zstd: huffman tree out of spec")
+    bits = [max_bits + 1 - w if w > 0 else 0 for w in weights]
+    size = 1 << max_bits
+    sym_t = [0] * size
+    nb_t = [0] * size
+    rank_count: dict[int, int] = {}
+    for b in bits:
+        if b:
+            rank_count[b] = rank_count.get(b, 0) + 1
+    rank_idx: dict[int, int] = {}
+    acc = 0
+    for b in range(max_bits, 0, -1):
+        rank_idx[b] = acc
+        acc += rank_count.get(b, 0) * (1 << (max_bits - b))
+    if acc != size:
+        raise ValueError("zstd: huffman codes do not fill the table")
+    for s, b in enumerate(bits):
+        if b == 0:
+            continue
+        code = rank_idx[b]
+        ln = 1 << (max_bits - b)
+        for j in range(code, code + ln):
+            sym_t[j] = s
+            nb_t[j] = b
+        rank_idx[b] = code + ln
+    return (sym_t, nb_t, max_bits), off
+
+
+def _huf_decode_stream(
+    table: tuple[list[int], list[int], int], stream: bytes, n_out: int
+) -> bytearray:
+    sym_t, nb_t, mb = table
+    br = _BackBits(stream)
+    out = bytearray()
+    while len(out) < n_out:
+        idx = br.peek(mb)
+        out.append(sym_t[idx])
+        br.bits -= nb_t[idx]
+        if br.bits < 0 and len(out) < n_out:
+            raise ValueError("zstd: huffman stream exhausted early")
+    return out
+
+
+def _decode_literals(buf: bytes, off: int, ctx: dict):
+    """Literals section -> (literal bytes, new offset)."""
+    if off >= len(buf):
+        raise ValueError("zstd: truncated literals header")
+    b0 = buf[off]
+    lit_type = b0 & 3
+    if lit_type in (0, 1):  # Raw / RLE
+        sf = (b0 >> 2) & 3
+        if sf & 1 == 0:
+            regen, off = b0 >> 3, off + 1
+        elif sf == 1:
+            if off + 2 > len(buf):
+                raise ValueError("zstd: truncated literals header")
+            regen, off = (b0 >> 4) | (buf[off + 1] << 4), off + 2
+        else:
+            if off + 3 > len(buf):
+                raise ValueError("zstd: truncated literals header")
+            regen = (b0 >> 4) | (buf[off + 1] << 4) | (buf[off + 2] << 12)
+            off += 3
+        if lit_type == 0:
+            if off + regen > len(buf):
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(buf[off : off + regen]), off + regen
+        if off >= len(buf):
+            raise ValueError("zstd: truncated RLE literal")
+        return bytes([buf[off]]) * regen, off + 1
+    # Compressed (2) / Treeless (3)
+    sf = (b0 >> 2) & 3
+    if sf == 0 or sf == 1:
+        if off + 3 > len(buf):
+            raise ValueError("zstd: truncated literals header")
+        v = b0 | (buf[off + 1] << 8) | (buf[off + 2] << 16)
+        regen = (v >> 4) & 0x3FF
+        csize = v >> 14
+        off += 3
+        streams = 1 if sf == 0 else 4
+    elif sf == 2:
+        if off + 4 > len(buf):
+            raise ValueError("zstd: truncated literals header")
+        v = int.from_bytes(buf[off : off + 4], "little")
+        regen = (v >> 4) & 0x3FFF
+        csize = v >> 18
+        off += 4
+        streams = 4
+    else:
+        if off + 5 > len(buf):
+            raise ValueError("zstd: truncated literals header")
+        v = int.from_bytes(buf[off : off + 5], "little")
+        regen = (v >> 4) & 0x3FFFF
+        csize = v >> 22
+        off += 5
+        streams = 4
+    end = off + csize
+    if end > len(buf):
+        raise ValueError("zstd: truncated compressed literals")
+    if lit_type == 2:
+        table, off = _huf_read_tree(buf, off)
+        ctx["huf"] = table
+    else:
+        table = ctx.get("huf")
+        if table is None:
+            raise ValueError("zstd: treeless literals with no previous tree")
+    if streams == 1:
+        lits = _huf_decode_stream(table, buf[off:end], regen)
+    else:
+        if off + 6 > end:
+            raise ValueError("zstd: truncated huffman jump table")
+        s1 = int.from_bytes(buf[off : off + 2], "little")
+        s2 = int.from_bytes(buf[off + 2 : off + 4], "little")
+        s3 = int.from_bytes(buf[off + 4 : off + 6], "little")
+        off += 6
+        bounds = [off, off + s1, off + s1 + s2, off + s1 + s2 + s3, end]
+        if bounds[3] > end:
+            raise ValueError("zstd: huffman jump table overruns section")
+        per = (regen + 3) // 4
+        lens = [per, per, per, regen - 3 * per]
+        if lens[3] < 0:
+            raise ValueError("zstd: bad 4-stream literal split")
+        lits = bytearray()
+        for k in range(4):
+            lits += _huf_decode_stream(
+                table, buf[bounds[k] : bounds[k + 1]], lens[k]
+            )
+    if len(lits) != regen:
+        raise ValueError("zstd: literal count mismatch")
+    return bytes(lits), end
+
+
+# ----------------------------------------------------------- sequences
+
+
+def _seq_table(
+    buf: bytes, off: int, mode: int, default: _FseTable, max_al: int,
+    ctx: dict, name: str,
+) -> tuple[_FseTable, int]:
+    if mode == 0:
+        return default, off
+    if mode == 1:  # RLE: one byte = the only symbol, 0-bit states
+        if off >= len(buf):
+            raise ValueError("zstd: truncated RLE sequence table")
+        return _FseTable.rle(buf[off]), off + 1
+    if mode == 2:  # FSE_Compressed: byte-aligned forward description
+        fwd = _FwdBits(buf[off:])
+        counts, al = _fse_read_distribution(fwd, max_al)
+        tab = _FseTable(counts, al)
+        ctx[name] = tab
+        return tab, off + fwd.byte_pos()
+    prev = ctx.get(name)  # mode 3: Repeat
+    if prev is None:
+        raise ValueError("zstd: repeat sequence mode with no previous table")
+    return prev, off
+
+
+def _resolve_offset(value: int, ll: int, reps: list[int]) -> int:
+    """Offset_Value -> actual offset, updating the 3-slot repeated-offset
+    history (RFC 8878 section 3.1.1.5)."""
+    if value > 3:
+        off = value - 3
+        reps[2] = reps[1]
+        reps[1] = reps[0]
+        reps[0] = off
+        return off
+    idx = value - 1 if ll != 0 else value
+    if idx == 0:
+        return reps[0]
+    if idx < 3:
+        off = reps[idx]
+        if idx == 2:
+            reps[2] = reps[1]
+        reps[1] = reps[0]
+        reps[0] = off
+        return off
+    off = reps[0] - 1  # ll == 0 and value == 3
+    if off <= 0:
+        raise ValueError("zstd: corrupt repcode rep1-1")
+    reps[2] = reps[1]
+    reps[1] = reps[0]
+    reps[0] = off
+    return off
+
+
+def _decode_block(buf: bytes, out: bytearray, ctx: dict) -> None:
+    """One Compressed block's content -> appended to `out` (the frame
+    window: matches may reach any earlier frame byte)."""
+    lits, off = _decode_literals(buf, off=0, ctx=ctx)
+    if off >= len(buf):
+        raise ValueError("zstd: missing sequences header")
+    b0 = buf[off]
+    if b0 < 128:
+        nbseq, off = b0, off + 1
+    elif b0 < 255:
+        if off + 2 > len(buf):
+            raise ValueError("zstd: truncated sequence count")
+        nbseq, off = ((b0 - 128) << 8) | buf[off + 1], off + 2
+    else:
+        if off + 3 > len(buf):
+            raise ValueError("zstd: truncated sequence count")
+        nbseq = int.from_bytes(buf[off + 1 : off + 3], "little") + 0x7F00
+        off += 3
+    if nbseq == 0:
+        out += lits
+        return
+    modes = buf[off]
+    off += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    ll_tab, off = _seq_table(buf, off, (modes >> 6) & 3, _LL_DEFAULT, 9, ctx, "ll")
+    of_tab, off = _seq_table(buf, off, (modes >> 4) & 3, _OF_DEFAULT, 8, ctx, "of")
+    ml_tab, off = _seq_table(buf, off, (modes >> 2) & 3, _ML_DEFAULT, 9, ctx, "ml")
+    br = _BackBits(buf[off:])
+    ll_state = br.read(ll_tab.al)
+    of_state = br.read(of_tab.al)
+    ml_state = br.read(ml_tab.al)
+    reps = ctx["reps"]
+    lpos = 0
+    for i in range(nbseq):
+        of_code = of_tab.sym[of_state]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_value = (1 << of_code) + br.read(of_code)
+        ml_code = ml_tab.sym[ml_state]
+        ml = _ML_BASE[ml_code] + br.read(_ML_EXTRA[ml_code])
+        ll_code = ll_tab.sym[ll_state]
+        ll = _LL_BASE[ll_code] + br.read(_LL_EXTRA[ll_code])
+        if i < nbseq - 1:
+            ll_state = ll_tab.base[ll_state] + br.read(ll_tab.nb[ll_state])
+            ml_state = ml_tab.base[ml_state] + br.read(ml_tab.nb[ml_state])
+            of_state = of_tab.base[of_state] + br.read(of_tab.nb[of_state])
+        if br.bits < 0:
+            raise ValueError("zstd: sequence bitstream overrun")
+        if lpos + ll > len(lits):
+            raise ValueError("zstd: sequence literals overrun")
+        out += lits[lpos : lpos + ll]
+        lpos += ll
+        offset = _resolve_offset(of_value, ll, reps)
+        if offset > len(out):
+            raise ValueError("zstd: match offset reaches before frame start")
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:  # overlap: tile the offset-length pattern (the RLE trick)
+            pat = bytes(out[start:])
+            out += (pat * (ml // offset + 1))[:ml]
+    out += lits[lpos:]
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode a sequence of zstd frames (skippable frames skipped),
+    verifying content checksums and frame content sizes when present."""
+    out_all = bytearray()
+    pos = 0
+    n = len(data)
+    if n < 4:
+        raise ValueError("zstd: input shorter than a frame magic")
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("zstd: trailing garbage after last frame")
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated skippable frame")
+            sk = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4 + sk
+            if pos > n:
+                raise ValueError("zstd: truncated skippable frame")
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad magic 0x{magic:08X}")
+        if pos >= n:
+            raise ValueError("zstd: truncated frame header")
+        fhd = data[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved frame-header bit set")
+        single_seg = (fhd >> 5) & 1
+        has_checksum = (fhd >> 2) & 1
+        dict_flag = fhd & 3
+        fcs_flag = fhd >> 6
+        if not single_seg:
+            if pos >= n:
+                raise ValueError("zstd: truncated window descriptor")
+            pos += 1  # window bound: we keep the whole frame in memory
+        dict_len = (0, 1, 2, 4)[dict_flag]
+        if dict_len:
+            did = int.from_bytes(data[pos : pos + dict_len], "little")
+            pos += dict_len
+            if did:
+                raise ValueError("zstd: external dictionaries unsupported")
+        fcs_len = (1 if single_seg else 0, 2, 4, 8)[fcs_flag]
+        fcs = None
+        if fcs_len:
+            if pos + fcs_len > n:
+                raise ValueError("zstd: truncated frame content size")
+            fcs = int.from_bytes(data[pos : pos + fcs_len], "little")
+            if fcs_len == 2:
+                fcs += 256
+            pos += fcs_len
+        out = bytearray()
+        ctx: dict = {"reps": [1, 4, 8]}
+        while True:
+            if pos + 3 > n:
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 0:  # Raw
+                if pos + bsize > n:
+                    raise ValueError("zstd: truncated raw block")
+                out += data[pos : pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                if pos >= n:
+                    raise ValueError("zstd: truncated RLE block")
+                out += bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == 2:  # Compressed
+                if pos + bsize > n:
+                    raise ValueError("zstd: truncated compressed block")
+                _decode_block(data[pos : pos + bsize], out, ctx)
+                pos += bsize
+            else:
+                raise ValueError("zstd: reserved block type")
+            if last:
+                break
+        if fcs is not None and len(out) != fcs:
+            raise ValueError(
+                f"zstd: frame content size {fcs} != decoded {len(out)}"
+            )
+        if has_checksum:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated content checksum")
+            want = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            got = xxh64(bytes(out)) & 0xFFFFFFFF
+            if want != got:
+                raise ValueError(
+                    f"zstd: content checksum mismatch "
+                    f"(stored {want:08x}, computed {got:08x})"
+                )
+        out_all += out
+    return bytes(out_all)
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _pack_backward(fields: list[tuple[int, int]]) -> bytes:
+    """Assemble a backward bitstream: `fields` in READER order; the
+    writer lays them down in reverse with the 1-valued padding bit on
+    top (BIT_addBits/BIT_closeCStream semantics)."""
+    v = 0
+    pos = 0
+    for val, nb in reversed(fields):
+        if nb:
+            v |= (val & ((1 << nb) - 1)) << pos
+            pos += nb
+    v |= 1 << pos
+    pos += 1
+    return v.to_bytes((pos + 7) // 8, "little")
+
+
+def _fse_encode_states(
+    codes: list[int], tab: _FseTable
+) -> tuple[int, list[tuple[int, int]]]:
+    """(initial_state, transitions): walk the code sequence backward
+    choosing for each step the unique state of symbol code[k] whose
+    successor range covers state[k+1]; transitions[k] = (bits, nb) the
+    DECODER reads to move state k -> k+1."""
+    import bisect
+
+    enc = tab.enc()
+    state = enc[codes[-1]][0][2]
+    trans: list[tuple[int, int]] = [(0, 0)] * (len(codes) - 1)
+    for k in range(len(codes) - 2, -1, -1):
+        ranges = enc[codes[k]]
+        j = bisect.bisect_right(ranges, (state, 1 << 30, 1 << 30)) - 1
+        base, nb, idx = ranges[j]
+        trans[k] = (state - base, nb)
+        state = idx
+    return state, trans
+
+
+def _lit_raw_header(n: int) -> bytes:
+    if n < 32:
+        return bytes([n << 3])
+    if n < 4096:
+        return ((n << 4) | 0b0100).to_bytes(2, "little")
+    return ((n << 4) | 0b1100).to_bytes(3, "little")
+
+
+def _lz_parse(data: bytes, start: int, end: int, ht: dict):
+    """Greedy 4-byte hash matcher over [start, end), candidates allowed
+    anywhere earlier in `data` (single-segment window).  Returns
+    (sequences [(ll, offset, ml)], literals bytes)."""
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    anchor = i = start
+    while i + 4 <= end:
+        key = data[i : i + 4]
+        cand = ht.get(key)
+        ht[key] = i
+        if cand is not None and data[cand : cand + 4] == key:
+            ml = 4
+            limit = end - i
+            while ml < limit and data[cand + ml] == data[i + ml]:
+                ml += 1
+            offset = i - cand
+            if offset + 3 >= (1 << 29):  # predefined OF table ceiling
+                i += 1
+                continue
+            seqs.append((i - anchor, offset, ml))
+            lits += data[anchor:i]
+            if i + 2 < end:
+                ht[data[i + 1 : i + 5]] = i + 1  # light insertion in match
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    lits += data[anchor:end]
+    return seqs, lits
+
+
+def _encode_block(data: bytes, start: int, end: int, ht: dict) -> bytes | None:
+    """Compressed-block payload for data[start:end], or None when raw is
+    smaller.  Raw literals + Predefined-mode FSE sequences (offsets
+    always absolute: offset_value = offset + 3, no repcodes)."""
+    seqs, lits = _lz_parse(data, start, end, ht)
+    if not seqs:
+        return None
+    payload = bytearray()
+    payload += _lit_raw_header(len(lits))
+    payload += lits
+    n = len(seqs)
+    if n < 128:
+        payload.append(n)
+    elif n < 0x7F00:
+        payload += bytes([(n >> 8) + 128, n & 0xFF])
+    else:
+        payload += bytes([255]) + (n - 0x7F00).to_bytes(2, "little")
+    payload.append(0)  # modes: Predefined for LL / OF / ML
+    ll_codes, of_codes, ml_codes = [], [], []
+    of_extra, ml_extra, ll_extra = [], [], []
+    for ll, offset, ml in seqs:
+        value = offset + 3
+        oc = value.bit_length() - 1
+        of_codes.append(oc)
+        of_extra.append((value - (1 << oc), oc))
+        mc = _ml_code(ml)
+        ml_codes.append(mc)
+        ml_extra.append((ml - _ML_BASE[mc], _ML_EXTRA[mc]))
+        lc = _ll_code(ll)
+        ll_codes.append(lc)
+        ll_extra.append((ll - _LL_BASE[lc], _LL_EXTRA[lc]))
+    ll_init, ll_tr = _fse_encode_states(ll_codes, _LL_DEFAULT)
+    of_init, of_tr = _fse_encode_states(of_codes, _OF_DEFAULT)
+    ml_init, ml_tr = _fse_encode_states(ml_codes, _ML_DEFAULT)
+    fields = [(ll_init, 6), (of_init, 5), (ml_init, 6)]
+    for i in range(n):
+        fields.append(of_extra[i])
+        fields.append(ml_extra[i])
+        fields.append(ll_extra[i])
+        if i < n - 1:
+            fields.append(ll_tr[i])
+            fields.append(ml_tr[i])
+            fields.append(of_tr[i])
+    payload += _pack_backward(fields)
+    if len(payload) >= end - start:
+        return None
+    return bytes(payload)
+
+
+def compress(data: bytes) -> bytes:
+    """One single-segment zstd frame with frame-content-size and XXH64
+    content checksum; per <=128 KiB block the smallest of
+    RLE / Compressed / Raw."""
+    n = len(data)
+    out = bytearray()
+    out += _MAGIC.to_bytes(4, "little")
+    if n < 256:
+        fcs_flag, fcs_len = 0, 1
+    elif n < 65536 + 256:
+        fcs_flag, fcs_len = 1, 2
+    elif n < 1 << 32:
+        fcs_flag, fcs_len = 2, 4
+    else:
+        fcs_flag, fcs_len = 3, 8
+    out.append((fcs_flag << 6) | (1 << 5) | (1 << 2))  # single-seg + checksum
+    out += (n - 256 if fcs_flag == 1 else n).to_bytes(fcs_len, "little")
+    ht: dict = {}
+    starts = list(range(0, n, _BLOCK_MAX)) or [0]
+    for start in starts:
+        end = min(start + _BLOCK_MAX, n)
+        last = 1 if end == n else 0
+        seg = data[start:end]
+        if seg and seg.count(seg[0:1]) == len(seg):
+            out += ((len(seg) << 3) | (1 << 1) | last).to_bytes(3, "little")
+            out += seg[0:1]
+            continue
+        payload = _encode_block(data, start, end, ht) if seg else None
+        if payload is None:
+            out += ((len(seg) << 3) | last).to_bytes(3, "little")
+            out += seg
+        else:
+            out += ((len(payload) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += payload
+    out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -220,7 +220,10 @@ def _mk_parts(n: int, seed: int) -> list[Partition]:
     return parts
 
 
-@pytest.mark.parametrize("codec", ["LZ4Compressor", "SnappyCompressor", "DeflateCompressor"])
+@pytest.mark.parametrize(
+    "codec",
+    ["LZ4Compressor", "SnappyCompressor", "DeflateCompressor", "ZstdCompressor"],
+)
 @pytest.mark.parametrize("style", ["partition", "row", "marker"])
 def test_ma_roundtrip_matrix(tmp_path, codec, style):
     d = str(tmp_path / "ks" / f"t_{codec}_{style}")
