@@ -83,6 +83,9 @@ HEADLINE = [
     "sim_bq_topk",
     # round-10: pooled-chunk long-document retrieval
     "sim_chunk_pool_topk",
+    # round-11: widened marshal types (7 classes beyond the reference's
+    # enum) decoded from a real nb-era zstd-chunked table
+    "s37_marshal_types_merge",
 ]
 
 
@@ -169,6 +172,8 @@ def main() -> None:
         qs["s26_reversed_ck_merge"](spark, sf_dir)  # same rewrite cache
     if "s25_udt_merge" in qs:
         qs["s25_udt_merge"](spark, sf_dir)  # stages the UDT fixture
+    if "s37_marshal_types_merge" in qs:
+        qs["s37_marshal_types_merge"](spark, sf_dir)  # stages the typed table
     # round-10 snapshot family: stage the multi-generation runs, the
     # classified parquet checkpoint (content + read-path-code keyed) and
     # the real-ma lookup table untimed — the timed series tracks the

@@ -1240,6 +1240,64 @@ def q_s31_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s37_marshal_types_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDENED TYPED MARSHAL DISPATCH on real bytes (round 11, VERDICT
+    r10 task 5): a two-generation nb-era (4.x) table whose columns carry
+    the seven marshal classes real clusters ship beyond the reference's
+    enum — DecimalType, IntegerType (varint), InetAddressType,
+    SimpleDateType, TimeType, ShortType, ByteType — all reduced to
+    COLUMN_UNKNOWN blobs by the reference (SSTableSchema.cpp:23-77).
+    Fixed-width types ride the fixed value path (2/1/4/8 bytes), the
+    variable-width three the vint-length path; the chunks are
+    ZstdCompressor (so this row also proves the r11 codec on a second
+    real table).  Cells LWW-merge per (key, column) ACROSS the two
+    generations (routing ts%%2 puts the winner in either file), then
+    every value DECODES through the Catalyst-expression marshal layer
+    (functions/marshal.py — hex/conv/substring built-ins, no UDFs):
+    short/byte sign-corrected, simple-date rebased off the 2^31 epoch,
+    time nanos, varint two's-complement, decimal rendered as an exact
+    integer-math plain string, inet as dotted quad / full IPv6 groups.
+    The oracle recomputes all seven canonical forms from the events
+    timestamps with pure integer SQL — a hash match proves the
+    encode -> real-sstable-bytes -> decode pipeline end to end."""
+    from ..functions import marshal as MS
+    from ..sources.sstable.datasource import register
+    from ..sources.sstable.fixtures import (
+        build_ma_marshal_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_marshal_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma_marshal"
+    )
+    register(spark)
+    raw = spark.read.format("sstable_run").option("layout", "ma").load(table_dir)
+    latest = (
+        raw.select(
+            F.col("key").cast("string").cast("long").alias("key"),
+            "col_name",
+            "value",
+            "ts",
+        )
+        .groupBy("key", "col_name")
+        .agg(F.max_by("value", "ts").alias("value"))
+    )
+    v = F.col("value")
+
+    def col_as(name: str, dec):
+        return F.max(F.when(F.col("col_name") == name, dec(v))).alias(name)
+
+    return latest.groupBy("key").agg(
+        col_as("d_byte", MS.decode_byte),
+        col_as("d_date", MS.decode_simple_date),
+        col_as("d_dec", MS.decode_decimal_str),
+        col_as("d_inet", MS.decode_inet_str),
+        col_as("d_short", MS.decode_short),
+        col_as("d_time", MS.decode_time),
+        col_as("d_varint", MS.decode_varint),
+    )
+
+
 def q_s35_partition_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION-SIZE HISTOGRAM (round 10): the `nodetool
     tablehistograms` / wide-partition-detector diagnostic — per
@@ -1687,6 +1745,7 @@ QUERIES = {
     "s33_gc_grace_report": q_s33_gc_grace_report,
     "s34_repair_merkle_ranges": q_s34_repair_merkle_ranges,
     "s35_partition_size_histogram": q_s35_partition_size_histogram,
+    "s37_marshal_types_merge": q_s37_marshal_types_merge,
     "s25_udt_merge": q_s25_udt_merge,
     "s26_reversed_ck_merge": q_s26_reversed_ck_merge,
     "s27_old_wide_merge": q_s27_old_wide_merge,
@@ -1965,6 +2024,45 @@ ORACLES = {
         "SELECT 'direct' AS src, * FROM o "
         "UNION ALL SELECT 'compacted' AS src, * FROM o"
     ),
+    # s37: the seven widened marshal types recomputed from the event
+    # timestamps with pure integer SQL — every canonical form (signed
+    # short/byte, 2^31-rebased date, time nanos, varint, exact decimal
+    # string, dotted-quad / full-groups inet) must hash-match the
+    # decode of the real nb-era zstd-chunked bytes
+    "s37_marshal_types_merge": """
+        WITH w AS (
+          SELECT user_id AS key, max(epoch_us(ts)) AS t
+          FROM events WHERE event_id % 23 = 0 GROUP BY user_id
+        ), d AS (
+          SELECT key, t,
+                 t % 2000001 - 1000000 AS u,
+                 abs(t % 2000001 - 1000000) AS a,
+                 t % 4294967296 AS u32,
+                 lpad(printf('%x', t), 16, '0') || lpad(printf('%x', t), 16, '0') AS g2
+          FROM w
+        )
+        SELECT key,
+               t % 256 - 128 AS d_byte,
+               t % 40000 - 20000 AS d_date,
+               (CASE WHEN u < 0 THEN '-' ELSE '' END)
+                 || CAST(a // 1000 AS VARCHAR) || '.'
+                 || lpad(CAST(a % 1000 AS VARCHAR), 3, '0') AS d_dec,
+               CASE WHEN key % 2 = 0 THEN
+                 CAST(u32 // 16777216 AS VARCHAR) || '.'
+                   || CAST((u32 // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((u32 // 256) % 256 AS VARCHAR) || '.'
+                   || CAST(u32 % 256 AS VARCHAR)
+               ELSE
+                 substr(g2,1,4) || ':' || substr(g2,5,4) || ':'
+                   || substr(g2,9,4) || ':' || substr(g2,13,4) || ':'
+                   || substr(g2,17,4) || ':' || substr(g2,21,4) || ':'
+                   || substr(g2,25,4) || ':' || substr(g2,29,4)
+               END AS d_inet,
+               t % 65536 - 32768 AS d_short,
+               t % 86400000000000 AS d_time,
+               (t % 2000001 - 1000000) * 48271 AS d_varint
+        FROM d
+    """,
     "counter_merge": """
         SELECT user_id AS key, event_type AS col_name,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS counter_value,
