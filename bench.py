@@ -86,6 +86,9 @@ HEADLINE = [
     # round-11: widened marshal types (7 classes beyond the reference's
     # enum) decoded from a real nb-era zstd-chunked table
     "s37_marshal_types_merge",
+    # round-11: 3-node secured wire cluster (LOGIN handshake + digest
+    # partition-map routing + distributed digest join)
+    "s36_wire_cluster_sink",
 ]
 
 

@@ -34,10 +34,12 @@ job shapes against SSTable-style run directories:
         [-a N]                         # async in-flight window per task
                                        #   (applied: the bounded-async
                                        #   writer's pipeline depth, S12)
-        [-u USER] [-p PASSWORD]        # accepted with a warning (auth is
-                                       #   not spoken; the reference's -p
-                                       #   is the password; a port rides
-                                       #   on -h host:port)
+        [-u USER] [-p PASSWORD]        # ROUND 11: cluster security — the
+                                       #   wire client LOGINs with user +
+                                       #   bcrypt credential before any
+                                       #   put (a port rides on -h
+                                       #   host:port); ignored with a
+                                       #   note on the parquet sink
         [-V]                           # print version and exit (reference
                                        #   optstring uses capital V)
         [--now EPOCH_S]                # pin 'now' for expiry (tests)
@@ -228,10 +230,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.inputs:
         p.error("at least one -i <run directory> is required")
-    if args.username or args.password:
+    if (args.username or args.password) and (not args.hosts or args.out_dir):
+        # the wire path is not taken (no -h, or -o wins): the parquet /
+        # dry-run sinks have no auth, so -u/-p are ignored with a note;
+        # WITH a live wire sink the credentials drive the real LOGIN
+        # handshake below
         print(
-            "# note: -u/-p (cluster auth) are accepted but unused — the "
-            "wire client speaks the unauthenticated protocol",
+            "# note: -u/-p (cluster auth) ignored — no wire sink in this "
+            "invocation",
             file=sys.stderr,
         )
     if args.hosts and args.out_dir:
@@ -369,6 +375,16 @@ def main(argv: list[str] | None = None) -> int:
         port = int(port_s) if port_s else 3000
         ns = args.namespace or "test"
         set_name = args.set_name or "records"
+        # -u/-p (round 11): precompute the bcrypt credential ONCE on the
+        # driver (the C client's one-time as_password_gen_hash) and ship
+        # the hash — every task connection then LOGINs over the admin
+        # channel before its first put
+        credential = None
+        if args.username:
+            from .sinks.bcrypt_py import hashpw
+
+            credential = hashpw(args.password or "")
+        user = args.username
         sc = spark.sparkContext
         acc_ok, acc_exists, acc_retry = (sc.accumulator(0) for _ in range(3))
         # accounting via ONE explicit agg pass, NOT observe():
@@ -388,7 +404,9 @@ def main(argv: list[str] | None = None) -> int:
         def put(rd):
             c = state.get("client")
             if c is None:
-                c = state["client"] = WireClient(host, port, ns, set_name)
+                c = state["client"] = WireClient(
+                    host, port, ns, set_name, user=user, credential=credential
+                )
             bins = {c_["col_name"]: c_["value"] or b"" for c_ in rd["cells"]}
             k = rd["key"]  # SGR runs decode keys as strings, ma as bytes
             if not isinstance(k, (bytes, bytearray)):

@@ -47,6 +47,34 @@ import threading
 
 PROTO_VERSION = 2
 MSG_TYPE = 3
+ADMIN_MSG_TYPE = 2  # the security/admin channel (AS_ADMIN_MESSAGE_TYPE)
+
+# admin commands (public security protocol, AdminCommand.java /
+# as_admin.c)
+ADMIN_AUTHENTICATE = 0
+ADMIN_LOGIN = 20
+# admin field ids
+ADMIN_FIELD_USER = 0
+ADMIN_FIELD_CREDENTIAL = 3
+ADMIN_FIELD_CLEAR_PASSWORD = 4
+ADMIN_FIELD_SESSION_TOKEN = 5
+ADMIN_FIELD_SESSION_TTL = 6
+# security result codes (shared server enum)
+RC_INVALID_USER = 60
+RC_INVALID_CREDENTIAL = 65
+RC_EXPIRED_SESSION = 66
+RC_NOT_AUTHENTICATED = 80
+
+N_PARTITIONS = 4096  # the cluster's fixed partition count
+
+
+def partition_id(digest: bytes, n_partitions: int = N_PARTITIONS) -> int:
+    """Aerospike partition of a key digest: the little-endian u32 of
+    the first four digest bytes masked to the 4096-partition ring
+    (as_partition_getid) — what the reference's C client consults its
+    partition map with under aerospike_key_put_async
+    (AerospikeWriter.cpp:216-256)."""
+    return int.from_bytes(digest[:4], "little") & (n_partitions - 1)
 
 FIELD_NAMESPACE = 0
 FIELD_SET = 1
@@ -151,8 +179,8 @@ def key_digest(set_name: str, key: bytes) -> bytes:
 # ---------------------------------------------------------------- codec
 
 
-def _proto_frame(body: bytes) -> bytes:
-    return struct.pack(">Q", (PROTO_VERSION << 56) | (MSG_TYPE << 48) | len(body)) + body
+def _proto_frame(body: bytes, msg_type: int = MSG_TYPE) -> bytes:
+    return struct.pack(">Q", (PROTO_VERSION << 56) | (msg_type << 48) | len(body)) + body
 
 
 def _read_exact(sock: socket.socket, n: int) -> bytes:
@@ -165,12 +193,13 @@ def _read_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
-def read_frame(sock: socket.socket) -> bytes:
+def read_frame(sock: socket.socket) -> tuple[int, bytes]:
+    """(message type, body) — type 3 = AS_MSG data, 2 = admin/security."""
     (hdr,) = struct.unpack(">Q", _read_exact(sock, 8))
     version, typ = hdr >> 56, (hdr >> 48) & 0xFF
-    if version != PROTO_VERSION or typ != MSG_TYPE:
+    if version != PROTO_VERSION or typ not in (MSG_TYPE, ADMIN_MSG_TYPE):
         raise ValueError(f"aerospike wire: bad proto header {version}/{typ}")
-    return _read_exact(sock, hdr & 0xFFFFFFFFFFFF)
+    return typ, _read_exact(sock, hdr & 0xFFFFFFFFFFFF)
 
 
 def build_put(
@@ -256,6 +285,54 @@ def build_response(result_code: int) -> bytes:
     return _proto_frame(msg)
 
 
+# ------------------------------------------------- admin (security) codec
+# The PUBLIC security handshake (AdminCommand.java / as_admin.c): admin
+# messages ride proto type 2 with a 16-byte header — byte 2 the command,
+# byte 3 the field count (responses carry the result code in byte 1) —
+# followed by fields in the same (u32 size, u8 type, data) framing as
+# AS_MSG.  LOGIN sends USER + CREDENTIAL (the bcrypt password hash: the
+# cleartext never crosses the wire) and receives SESSION_TOKEN +
+# SESSION_TTL; subsequent connections AUTHENTICATE with USER +
+# SESSION_TOKEN.
+
+
+def _admin_fields(fields: list[tuple[int, bytes]]) -> bytes:
+    return b"".join(
+        struct.pack(">IB", len(data) + 1, ftype) + data for ftype, data in fields
+    )
+
+
+def build_admin(command: int, fields: list[tuple[int, bytes]]) -> bytes:
+    hdr = bytes([0, 0, command, len(fields)]) + bytes(12)
+    return _proto_frame(hdr + _admin_fields(fields), ADMIN_MSG_TYPE)
+
+
+def build_admin_response(
+    result_code: int, fields: list[tuple[int, bytes]] | None = None
+) -> bytes:
+    fields = fields or []
+    hdr = bytes([0, result_code, 0, len(fields)]) + bytes(12)
+    return _proto_frame(hdr + _admin_fields(fields), ADMIN_MSG_TYPE)
+
+
+def parse_admin(body: bytes) -> tuple[int, int, dict[int, bytes]]:
+    """(command, result_code, {field_type: data}) — one walk parses both
+    requests (command set) and responses (result code set)."""
+    if len(body) < 16:
+        raise ValueError("aerospike wire: short admin message")
+    command, n_fields = body[2], body[3]
+    result_code = body[1]
+    off = 16
+    fields: dict[int, bytes] = {}
+    for _ in range(n_fields):
+        if off + 5 > len(body):
+            raise ValueError("aerospike wire: truncated admin field")
+        (sz,) = struct.unpack_from(">I", body, off)
+        fields[body[off + 4]] = body[off + 5 : off + 4 + sz]
+        off += 4 + sz
+    return command, result_code, fields
+
+
 # ---------------------------------------------------------------- client
 
 
@@ -268,7 +345,17 @@ class WireClient:
     AerospikeWriter.cpp:137-161.  Plugs straight into
     kv_sink.bounded_async_foreach_writer as (put, wait)."""
 
-    def __init__(self, host: str, port: int, namespace: str, set_name: str):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        namespace: str,
+        set_name: str,
+        user: str | None = None,
+        password: str | None = None,
+        credential: str | None = None,
+        session_token: bytes | None = None,
+    ):
         self.sock = socket.create_connection((host, port))
         # pipelined small frames: Nagle + delayed-ACK turns each put
         # into a ~40 ms stall (measured: 141 records -> 20 s/pass)
@@ -278,6 +365,47 @@ class WireClient:
         self._sent = 0
         self._received = 0
         self._results: dict[int, int] = {}
+        self.session_token: bytes | None = None
+        # security handshake before any data message (the real client
+        # order): a session token AUTHENTICATEs outright; credentials
+        # LOGIN (user + bcrypt hash — precompute `credential` once per
+        # process to skip the per-connection hash, like the C client's
+        # one-time hash_password)
+        if session_token is not None and user is not None:
+            self._admin(
+                ADMIN_AUTHENTICATE,
+                [
+                    (ADMIN_FIELD_USER, user.encode()),
+                    (ADMIN_FIELD_SESSION_TOKEN, session_token),
+                ],
+            )
+            self.session_token = session_token
+        elif user is not None:
+            if credential is None:
+                from .bcrypt_py import hashpw
+
+                credential = hashpw(password or "")
+            _, fields = self._admin(
+                ADMIN_LOGIN,
+                [
+                    (ADMIN_FIELD_USER, user.encode()),
+                    (ADMIN_FIELD_CREDENTIAL, credential.encode()),
+                ],
+            )
+            self.session_token = fields.get(ADMIN_FIELD_SESSION_TOKEN)
+
+    def _admin(self, command: int, fields: list[tuple[int, bytes]]):
+        """One admin round-trip (handshakes are not pipelined)."""
+        self.sock.sendall(build_admin(command, fields))
+        typ, body = read_frame(self.sock)
+        if typ != ADMIN_MSG_TYPE:
+            raise ValueError("aerospike wire: non-admin reply to handshake")
+        _, rc, rfields = parse_admin(body)
+        if rc != RC_OK:
+            raise PermissionError(
+                f"aerospike wire: security handshake refused, code {rc}"
+            )
+        return rc, rfields
 
     def put(self, key: bytes, bins: dict[str, bytes], ttl: int) -> int:
         self.sock.sendall(
@@ -289,7 +417,10 @@ class WireClient:
 
     def wait(self, handle: int) -> str:
         while handle not in self._results:
-            rc = parse_result_code(read_frame(self.sock))
+            typ, body = read_frame(self.sock)
+            if typ != MSG_TYPE:
+                raise ValueError("aerospike wire: admin frame amid data")
+            rc = parse_result_code(body)
             self._results[self._received] = rc
             self._received += 1
         rc = self._results.pop(handle)
@@ -317,13 +448,46 @@ class WireServer:
     N-th put (1-based, across the server's lifetime) is answered with
     RC_TIMEOUT and NOT applied, exercising the client/writer retry
     path end-to-end.  Store: {(namespace, set, digest): (bins, ttl)};
-    `records()` snapshots it."""
+    `records()` snapshots it.
 
-    def __init__(self, fail_every: int = 0):
+    `credentials=(user, password)` (round 11): security is enabled —
+    the server stores bcrypt(password) exactly like a real cluster
+    holds the client-hashed credential, answers LOGIN by string-compare
+    (RC_INVALID_USER / RC_INVALID_CREDENTIAL on mismatch) with a fresh
+    SESSION_TOKEN + TTL, accepts AUTHENTICATE with a live token
+    (RC_EXPIRED_SESSION otherwise), and refuses data messages on
+    unauthenticated connections with RC_NOT_AUTHENTICATED.
+
+    `owned_partitions` (round 11): the node's slice of the 4096-entry
+    partition map — a put whose digest partition is NOT owned answers
+    RC_SERVER_ERROR (deliberately NON-transient: a misrouted put is a
+    client partition-map bug and must fail the job loudly, not retry;
+    a real cluster would proxy or re-map)."""
+
+    def __init__(
+        self,
+        fail_every: int = 0,
+        credentials: tuple[str, str] | None = None,
+        owned_partitions: set[int] | None = None,
+        credential_salt: str | None = None,
+    ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
         self._lock = threading.Lock()
         self._puts = 0
         self._fail_every = fail_every
+        self._owned = owned_partitions
+        self._cred: tuple[str, str] | None = None
+        if credentials is not None:
+            from .bcrypt_py import DEFAULT_CLIENT_SALT, hashpw
+
+            # credential_salt: the client constant is cost 10; callers
+            # on the pure-Python budget may pin a lower-cost twin (the
+            # algorithm and handshake are identical)
+            self._cred = (
+                credentials[0],
+                hashpw(credentials[1], credential_salt or DEFAULT_CLIENT_SALT),
+            )
+        self._tokens: set[bytes] = set()
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -331,12 +495,24 @@ class WireServer:
                 self.request.setsockopt(
                     socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
                 )
+                authed = outer._cred is None
                 try:
                     while True:
-                        frame = read_frame(self.request)
-                        self.request.sendall(
-                            build_response(outer._apply(frame))
-                        )
+                        typ, body = read_frame(self.request)
+                        if typ == ADMIN_MSG_TYPE:
+                            rc, fields, ok = outer._admin(body)
+                            authed = authed or ok
+                            self.request.sendall(
+                                build_admin_response(rc, fields)
+                            )
+                        elif not authed:
+                            self.request.sendall(
+                                build_response(RC_NOT_AUTHENTICATED)
+                            )
+                        else:
+                            self.request.sendall(
+                                build_response(outer._apply(body))
+                            )
                 except (ConnectionError, OSError):
                     return
 
@@ -351,11 +527,49 @@ class WireServer:
         )
         self._thread.start()
 
+    def _admin(self, body: bytes):
+        """-> (result_code, response fields, connection_now_authed)."""
+        import os as _os
+
+        try:
+            command, _rc, fields = parse_admin(body)
+        except ValueError:
+            return RC_SERVER_ERROR, [], False
+        if self._cred is None:
+            # security not enabled: the real server answers code 52
+            return 52, [], False
+        user = fields.get(ADMIN_FIELD_USER, b"").decode()
+        if user != self._cred[0]:
+            return RC_INVALID_USER, [], False
+        if command == ADMIN_LOGIN:
+            cred = fields.get(ADMIN_FIELD_CREDENTIAL, b"").decode()
+            if cred != self._cred[1]:
+                return RC_INVALID_CREDENTIAL, [], False
+            token = _os.urandom(16)
+            with self._lock:
+                self._tokens.add(token)
+            return (
+                RC_OK,
+                [
+                    (ADMIN_FIELD_SESSION_TOKEN, token),
+                    (ADMIN_FIELD_SESSION_TTL, struct.pack(">I", 86400)),
+                ],
+                True,
+            )
+        if command == ADMIN_AUTHENTICATE:
+            token = fields.get(ADMIN_FIELD_SESSION_TOKEN, b"")
+            with self._lock:
+                live = token in self._tokens
+            return (RC_OK, [], True) if live else (RC_EXPIRED_SESSION, [], False)
+        return 54, [], False  # INVALID_COMMAND
+
     def _apply(self, frame: bytes) -> int:
         try:
             ns, st, digest, bins, ttl, create_only = parse_put(frame)
         except ValueError:
             return RC_SERVER_ERROR
+        if self._owned is not None and partition_id(digest) not in self._owned:
+            return RC_SERVER_ERROR  # misrouted put: loud, non-transient
         with self._lock:
             self._puts += 1
             if self._fail_every and self._puts % self._fail_every == 0:

@@ -950,22 +950,34 @@ def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = srv.records()
     srv.close()
+    from ..queries.pipeline_q import _digest_hex_records
     from ..sources import load_table
 
-    keys = [
-        r.user_id
-        for r in load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .distinct()
-        .collect()
-    ]
-    by_digest = {key_digest(set_name, str(k).encode()): k for k in keys}
-    rows = []
+    # digest -> key via the distributed digest join (round 11): the
+    # store rows broadcast, executors recompute key digests in Arrow
+    # batches — no driver-side key collection.  A foreign stored record
+    # or recipe drift drops rows from the inner join and fails the
+    # oracle's row count.
+    store_rows = []
     for (s_ns, s_set, digest), (bins, ttl) in store.items():
-        if s_ns != ns or s_set != set_name or digest not in by_digest:
+        if s_ns != ns or s_set != set_name:
             raise RuntimeError("stream wire sink: foreign record stored")
         entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
-        rows.append((by_digest[digest], ",".join(entries), ttl))
-    return spark.createDataFrame(
-        rows, "key long, cols_str string, ttl long"
+        store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
+    store_df = spark.createDataFrame(
+        store_rows, "digest_hex string, cols_str string, ttl long"
+    )
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+        .select(
+            "key",
+            _digest_hex_records(F.lit(set_name), F.col("key")).alias(
+                "digest_hex"
+            ),
+        )
+    )
+    return keyed.join(F.broadcast(store_df), "digest_hex", "inner").select(
+        "key", "cols_str", "ttl"
     )

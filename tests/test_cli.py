@@ -407,3 +407,38 @@ def test_cli_since_ships_tombstone_only_update(tmp_path, spark, capsys):
     # and a cursor PAST the tombstone still ships nothing
     assert main(["-i", d, "-D", "--limit", "10", "--since", "500"] + NOW) == 0
     assert "key=" not in capsys.readouterr().out
+
+
+def test_cli_wire_auth_flags(runs_dir, capsys):
+    """-u/-p (round 11): against a security-enabled server the CLI's
+    wire path LOGINs (bcrypt credential over the admin channel) before
+    any put; with the wrong password the job fails the handshake."""
+    import pytest
+
+    from cassandra2aerospike_spark.sinks.aerospike_wire import WireServer
+
+    # the CLI hashes with the client-constant salt (cost 10); the
+    # server must hold the same constant's hash for the compare
+    srv_real = WireServer(credentials=("svc", "hunter2"))
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{srv_real.port}",
+            "-n", "tmx", "-t", "recs",
+            "-u", "svc", "-p", "hunter2",
+        ] + NOW
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert "written: " in out
+        assert len(srv_real.records()) > 0
+        # wrong password: the handshake refuses and the job errors
+        bad = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{srv_real.port}",
+            "-n", "tmx", "-t", "recs",
+            "-u", "svc", "-p", "nope",
+        ] + NOW
+        with pytest.raises(Exception, match="security handshake refused"):
+            main(bad)
+    finally:
+        srv_real.close()

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cassandra2aerospike_spark.operators import merge
@@ -339,3 +341,153 @@ def test_asb_write_rejects_pre_epoch_expiry(spark, tmp_path):
                 df, str(tmp_path / f"asb{bad}"), "tmx", "records", merge.ETERNAL
             )
         assert "citrusleaf epoch" in str(ei.value)
+
+
+# ------------------------------------------- round 11: security + cluster
+
+
+SALT6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"  # cost-6 twin of the client constant
+
+
+def test_bcrypt_jbcrypt_vectors():
+    """The published jBCrypt test vectors (TestBCrypt.java) — external
+    ground truth for the pure-Python bcrypt (pi-seeded Blowfish boxes,
+    eksblowfish schedule, $2a$ NUL-terminated key, bcrypt base64)."""
+    from cassandra2aerospike_spark.sinks.bcrypt_py import checkpw, hashpw
+
+    assert (
+        hashpw("", "$2a$06$DCq7YPn5Rq63x1Lad4cll.")
+        == "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s."
+    )
+    assert (
+        hashpw("a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO")
+        == "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe"
+    )
+    assert checkpw("a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe")
+    assert not checkpw("b", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe")
+
+
+def test_admin_codec_roundtrip():
+    """build_admin/build_admin_response parse back through parse_admin
+    (command, result code, every field verbatim)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    req = aw.build_admin(
+        aw.ADMIN_LOGIN,
+        [(aw.ADMIN_FIELD_USER, b"alice"), (aw.ADMIN_FIELD_CREDENTIAL, b"$2a$x")],
+    )
+    assert req[:8][6:8] != b""  # framed
+    cmd, _rc, fields = aw.parse_admin(req[8:])
+    assert cmd == aw.ADMIN_LOGIN
+    assert fields == {
+        aw.ADMIN_FIELD_USER: b"alice",
+        aw.ADMIN_FIELD_CREDENTIAL: b"$2a$x",
+    }
+    resp = aw.build_admin_response(
+        aw.RC_OK, [(aw.ADMIN_FIELD_SESSION_TOKEN, b"tok16tok16tok16!")]
+    )
+    _cmd, rc, rfields = aw.parse_admin(resp[8:])
+    assert rc == aw.RC_OK
+    assert rfields[aw.ADMIN_FIELD_SESSION_TOKEN] == b"tok16tok16tok16!"
+
+
+def test_wire_security_handshake_and_rejections():
+    """Security-enabled server: LOGIN with the right credential gets a
+    session token; the token AUTHENTICATEs a fresh connection; a wrong
+    password draws INVALID_CREDENTIAL; an unknown user INVALID_USER; a
+    stale token EXPIRED_SESSION; and an unauthenticated put
+    NOT_AUTHENTICATED."""
+    import socket
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer(credentials=("alice", "pw1"), credential_salt=SALT6)
+    try:
+        c = aw.WireClient(
+            srv.host, srv.port, "tmx", "records", user="alice",
+            credential=__import__(
+                "cassandra2aerospike_spark.sinks.bcrypt_py", fromlist=["hashpw"]
+            ).hashpw("pw1", SALT6),
+        )
+        assert c.session_token and len(c.session_token) == 16
+        h = c.put(b"k1", {"a": b"1"}, 0)
+        assert c.wait(h) == "ok"
+        # session token authenticates a brand-new connection
+        c2 = aw.WireClient(
+            srv.host, srv.port, "tmx", "records", user="alice",
+            session_token=c.session_token,
+        )
+        h2 = c2.put(b"k1", {"a": b"1"}, 0)
+        assert c2.wait(h2) == "exists"
+        c.close()
+        c2.close()
+        with pytest.raises(PermissionError, match="65"):
+            aw.WireClient(
+                srv.host, srv.port, "tmx", "records", user="alice",
+                credential=__import__(
+                    "cassandra2aerospike_spark.sinks.bcrypt_py",
+                    fromlist=["hashpw"],
+                ).hashpw("WRONG", SALT6),
+            )
+        with pytest.raises(PermissionError, match="60"):
+            aw.WireClient(
+                srv.host, srv.port, "tmx", "records", user="mallory",
+                credential="$2a$nope",
+            )
+        with pytest.raises(PermissionError, match="66"):
+            aw.WireClient(
+                srv.host, srv.port, "tmx", "records", user="alice",
+                session_token=b"\x00" * 16,
+            )
+        # raw unauthenticated put on a bare socket -> NOT_AUTHENTICATED
+        sock = socket.create_connection((srv.host, srv.port))
+        sock.sendall(aw.build_put("tmx", "records", b"k9", {"a": b"1"}, 0))
+        typ, body = aw.read_frame(sock)
+        assert typ == aw.MSG_TYPE
+        assert aw.parse_result_code(body) == aw.RC_NOT_AUTHENTICATED
+        sock.close()
+    finally:
+        srv.close()
+
+
+def test_wire_partition_ownership_rejects_misroute():
+    """A node owning only its third of the 4096-partition map refuses a
+    put whose digest lands elsewhere (loud RC_SERVER_ERROR — a client
+    partition-map bug must fail the job, not retry)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer(
+        owned_partitions={
+            p for p in range(aw.N_PARTITIONS) if p % 3 == 0
+        }
+    )
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "records")
+        owned = rejected = 0
+        for i in range(30):
+            key = f"key{i}".encode()
+            pid = aw.partition_id(aw.key_digest("records", key))
+            h = c.put(key, {"a": b"1"}, 0)
+            if pid % 3 == 0:
+                assert c.wait(h) == "ok"
+                owned += 1
+            else:
+                with pytest.raises(RuntimeError, match="result code 1"):
+                    c.wait(h)
+                rejected += 1
+                c.close()  # the failed wait leaves the stream undefined
+                c = aw.WireClient(srv.host, srv.port, "tmx", "records")
+        assert owned and rejected
+        assert len(srv.records()) == owned
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_partition_id_recipe():
+    """as_partition_getid: little-endian u32 of digest[0:4] & 4095."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    d = bytes([0x34, 0x12, 0xFF, 0xFF]) + bytes(16)
+    assert aw.partition_id(d) == 0x1234 & 0xFFF
+    assert aw.partition_id(bytes(20)) == 0
