@@ -717,11 +717,62 @@ def cdc_live_record(cells, points, ranges, row_ts, eternal, now_floor):
     return ",".join(sorted(f"{c}={v:.2f}" for c, (v, _) in live.items())), expiry
 
 
+def cdc_prune_state(cells, points, ranges, row_ts):
+    """Bound the per-key CDC GroupState (round 11, VERDICT r10 task 6):
+    drop everything FUTURE folds can never observe.  Coverage (row_ts,
+    per-column point max, range entries at col <= end) only ever GROWS,
+    so:
+
+      * a range entry (end1, ts1) DOMINATED by another (end2 >= end1,
+        ts2 >= ts1) — or by row_ts — contributes nothing to any
+        column's coverage, ever: prune.  What survives is the strict
+        STAIRCASE (ends descending, timestamps strictly increasing as
+        ends shrink) — state size = the number of live (non-covered)
+        range steps, not the number of markers ever folded;
+      * a point tombstone at/below its column's residual coverage is
+        redundant: prune;
+      * a DEAD cell (ts <= coverage) can never win again — a future
+        cell only replaces it via a strictly larger ts, and any ts
+        above coverage wins with or without the corpse: prune.
+
+    Mutates in place and returns (cells, points, ranges) for chaining.
+    cdc_live_record over the pruned state equals the unpruned fold
+    exactly (hypothesis-pinned in tests/test_sstable.py)."""
+    # ranges: keep the non-dominated staircase above row_ts
+    if ranges:
+        kept = {}
+        running = row_ts
+        for ce in sorted(ranges, reverse=True):
+            if ranges[ce] > running:
+                kept[ce] = ranges[ce]
+                running = ranges[ce]
+        ranges.clear()
+        ranges.update(kept)
+
+    def cover(col):
+        c = row_ts
+        for ce, rt in ranges.items():
+            if ce >= col and rt > c:
+                c = rt
+        return c
+
+    for col in [c for c, ts in points.items() if ts <= cover(c)]:
+        del points[col]
+    for col in [
+        c
+        for c, (ts, _v, _e) in cells.items()
+        if ts <= max(cover(c), points.get(c, -(1 << 62)))
+    ]:
+        del cells[col]
+    return cells, points, ranges
+
+
 def stream_cdc_incremental(
     spark: SparkSession,
     sf_dir: str,
     table_dir: str | None = None,
     ckpt: str | None = None,
+    gc_grace_ms: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL stateful CDC (round 10 — the production path
     stream_snapshot_cdc's docstring promises): per-KEY GroupState holds
@@ -748,7 +799,21 @@ def stream_cdc_incremental(
     location — the resume test drives a partially-populated directory
     through one run, lands more generations, and RESTARTS from the same
     checkpoint: the recovered GroupState must continue the fold exactly
-    (the streaming answer to the reference's seek-to-key resume)."""
+    (the streaming answer to the reference's seek-to-key resume).
+
+    STATE IS BOUNDED (round 11): every fold prunes dominated range
+    steps, covered point tombstones and dead cells (cdc_prune_state —
+    coverage only grows, so none can matter again).  With `gc_grace_ms`
+    set, a key whose record is fully DEAD additionally arms a
+    processing-time timeout: when it fires the key's GroupState is
+    EVICTED (Cassandra's gc_grace_seconds contract — an older-than-
+    tombstone write arriving after eviction resurrects, exactly like a
+    compacted-away tombstone; the eviction test pins that
+    resurrection).  Timer-armed runs use the availableNow trigger
+    (engine timers keep processAllAvailable from settling); the default
+    no-eviction mode keeps NoTimeout + processAllAvailable, preserving
+    the one-generation-per-batch version numbering the resume contract
+    pins."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -775,6 +840,12 @@ def stream_cdc_incremental(
     eternal, now_floor = M.ETERNAL, M.NOW_EPOCH_S + M.MIN_TTL_S
 
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # gc-grace fired for a fully-dead key: evict its state and
+            # emit nothing (the deletion was already emitted when the
+            # record died)
+            state.remove()
+            return
         if state.exists:
             (ccols, cts, cval, cexp, row_ts, pcols, pts, rends, rts, version) = (
                 state.get
@@ -794,6 +865,7 @@ def stream_cdc_incremental(
                 zip(pdf["col_name"], pdf["value"], pdf["ts"],
                     pdf["expiration"], pdf["kind"]),
             )
+        cdc_prune_state(cells, points, ranges, row_ts)
         version += 1
         state.update((
             sorted(cells),
@@ -810,6 +882,11 @@ def stream_cdc_incremental(
         cols_str, expiry = cdc_live_record(
             cells, points, ranges, row_ts, eternal, now_floor
         )
+        if cols_str is None and gc_grace_ms is not None:
+            # fully dead: arm the gc-grace eviction clock; any earlier
+            # pending timeout is replaced (a key that dies again after
+            # resurrection re-arms)
+            state.setTimeoutDuration(gc_grace_ms)
         yield pd.DataFrame(
             {
                 "key": [int(key[0])],
@@ -829,11 +906,33 @@ def stream_cdc_incremental(
         classified.select("key", "col_name", "value", "ts", "expiration", "kind")
         .groupBy("key")
         .applyInPandasWithState(
-            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if gc_grace_ms is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )
     if ckpt is None:
-        return _run_to_memory(res, "update")
+        if gc_grace_ms is None:
+            return _run_to_memory(res, "update")
+        # timers armed: availableNow, NOT processAllAvailable — with
+        # processing-time timers the engine keeps scheduling timer-check
+        # batches and processAllAvailable never settles; availableNow
+        # drains the source, fires any EXPIRED timers, and terminates
+        name = "stream_out_" + uuid.uuid4().hex[:12]
+        q = (
+            res.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
     # explicit checkpoint: the resume path — a restart against the same
     # ckpt recovers the GroupState store and continues the fold from the
     # last committed generation offset.  The memory sink cannot recover
@@ -852,16 +951,18 @@ def stream_cdc_incremental(
             os.path.join(out_dir, f"b{batch_id}")
         )
 
-    q = (
-        res.writeStream.outputMode("update")
-        .foreachBatch(land)
-        .option("checkpointLocation", ckpt)
-        .start()
+    w = res.writeStream.outputMode("update").foreachBatch(land).option(
+        "checkpointLocation", ckpt
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    if gc_grace_ms is not None:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(os.path.join(out_dir, "b*"))
 
 

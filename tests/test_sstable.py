@@ -1179,3 +1179,126 @@ def test_stream_cdc_incremental_resumes_from_checkpoint(spark, sf_dir, tmp_path)
 
     uninterrupted = rows(stream_cdc_incremental(spark, sf_dir))
     assert accumulated == uninterrupted
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),       # column
+            st.sampled_from(["cell", "point", "range", "row"]),
+            st.integers(min_value=0, max_value=50),       # ts
+            st.integers(min_value=0, max_value=99),       # value
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),                # batch count
+)
+@settings(max_examples=120, deadline=None)
+def test_cdc_prune_state_equivalence_and_bound(events, n_batches):
+    """Round 11 (VERDICT r10 task 6): folding WITH per-batch pruning
+    yields the same live record as the unpruned fold after every batch,
+    and the pruned state is MINIMAL — ranges form the strict staircase
+    (ends ascending => tombstone ts strictly descending, all above
+    row_ts), every point sits above its residual coverage, every
+    retained cell is live against coverage."""
+    from cassandra2aerospike_spark.streaming.stream_queries import (
+        cdc_fold_rows,
+        cdc_live_record,
+        cdc_prune_state,
+    )
+
+    eternal, now_floor = 4294967295, 0  # no expiry pressure in this model
+    full = {"cells": {}, "points": {}, "ranges": {}, "row_ts": -(1 << 62)}
+    pruned = {"cells": {}, "points": {}, "ranges": {}, "row_ts": -(1 << 62)}
+    per_batch = [events[i::n_batches] for i in range(n_batches)]
+    for batch in per_batch:
+        rows = [(c, float(v), ts, None, k) for c, k, ts, v in batch]
+        for st_ in (full, pruned):
+            st_["row_ts"] = cdc_fold_rows(
+                st_["cells"], st_["points"], st_["ranges"], st_["row_ts"], rows
+            )
+        cdc_prune_state(
+            pruned["cells"], pruned["points"], pruned["ranges"], pruned["row_ts"]
+        )
+        want = cdc_live_record(
+            full["cells"], full["points"], full["ranges"], full["row_ts"],
+            eternal, now_floor,
+        )
+        got = cdc_live_record(
+            pruned["cells"], pruned["points"], pruned["ranges"],
+            pruned["row_ts"], eternal, now_floor,
+        )
+        assert got == want
+        # staircase bound: ends ascending -> ts strictly descending,
+        # all above row_ts
+        ends = sorted(pruned["ranges"])
+        rts = [pruned["ranges"][e] for e in ends]
+        assert all(t > pruned["row_ts"] for t in rts)
+        assert all(rts[i] > rts[i + 1] for i in range(len(rts) - 1))
+
+        def cover(col):
+            c = pruned["row_ts"]
+            for ce, rt in pruned["ranges"].items():
+                if ce >= col and rt > c:
+                    c = rt
+            return c
+
+        assert all(ts > cover(c) for c, ts in pruned["points"].items())
+        assert all(
+            ts > max(cover(c), pruned["points"].get(c, -(1 << 62)))
+            for c, (ts, _v, _e) in pruned["cells"].items()
+        )
+        # size bound: pruned holds no more than the distinct live steps
+        assert len(pruned["ranges"]) <= len(set(full["ranges"].values()))
+
+
+def test_stream_cdc_gc_grace_evicts_dead_state(spark, tmp_path):
+    """gc-grace eviction end-to-end: a fully-dead key arms the
+    processing-time timeout; after it fires (next run past the grace),
+    the key's GroupState is GONE — proven by Cassandra's own observable
+    for the contract: a write OLDER than the original tombstone landing
+    after eviction RESURRECTS the record (with live state it would stay
+    dead)."""
+    import os
+    import time
+
+    from cassandra2aerospike_spark.sources.sstable.ma_format import MaWriter
+    from cassandra2aerospike_spark.sources.sstable.format import Cell, Partition
+    from cassandra2aerospike_spark.streaming import stream_cdc_incremental
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [("colA", "UTF8Type")]
+
+    def write_gen(gen, parts):
+        w = MaWriter(table, gen, cols, codec_class="LZ4Compressor")
+        for p in parts:
+            w.add(p)
+        w.finish()
+
+    def rows(df):
+        return {(r.key, r.version, r.cols_str) for r in df.collect()}
+
+    # gen 1: key 77 written then row-tombstoned at ts 500 (dead);
+    # key 88 alive
+    write_gen(1, [
+        Partition(key=b"77", row_tomb_ts=500,
+                  cells=[Cell("colA", b"1.0", ts=100)]),
+        Partition(key=b"88", cells=[Cell("colA", b"8.0", ts=100)]),
+    ])
+    r1 = rows(stream_cdc_incremental(spark, "unused", table, ckpt, gc_grace_ms=1))
+    assert (77, 1, None) in r1 and (88, 1, "colA=8.00") in r1
+
+    time.sleep(0.2)  # let the 1 ms grace elapse in wall-clock time
+    # gen 2: unrelated write; its batch fires 77's expired timer -> evict
+    write_gen(2, [Partition(key=b"88", cells=[Cell("colA", b"9.0", ts=200)])])
+    r2 = rows(stream_cdc_incremental(spark, "unused", table, ckpt, gc_grace_ms=1))
+    new2 = r2 - r1
+    assert new2 == {(88, 2, "colA=9.00")}  # no emission for evicted 77
+
+    # gen 3: a write OLDER than the original tombstone (ts 300 < 500):
+    # with the tombstone evicted it must RESURRECT
+    write_gen(3, [Partition(key=b"77", cells=[Cell("colA", b"3.0", ts=300)])])
+    r3 = rows(stream_cdc_incremental(spark, "unused", table, ckpt, gc_grace_ms=1))
+    assert (77, 1, "colA=3.00") in r3 - r2
