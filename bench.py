@@ -132,6 +132,46 @@ def calibration_probe(spark, k: int = 5) -> float:
     return round(statistics.median(run() for _ in range(k)), 3)
 
 
+def _prev_normalized(repo_dir: str):
+    """Previous round's per-query NORMALIZED warm medians — the tripwire
+    baseline (VERDICT r10 task 2).  Prefer the newest BENCH_r*.json whose
+    parsed stdout carries normalized (or warm + factor) per-query maps;
+    fall back to the committed BENCH_DETAIL.json sidecar (rounds whose
+    stdout line dropped the warm map to fit the driver's tail window).
+    Returns (tag, {query: normalized_sec}) or (None, {})."""
+    import glob
+    import re as _re
+
+    best = (None, -1, {})
+    for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = _re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            parsed = (json.load(open(f)) or {}).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        qn = parsed.get("queries_warm_normalized")
+        if qn is None and parsed.get("queries_warm") and parsed.get("host_speed_factor"):
+            hs = parsed["host_speed_factor"]
+            qn = {k: v / hs for k, v in parsed["queries_warm"].items()}
+        if qn and n > best[1]:
+            best = (f"BENCH_r{n:02d}", n, qn)
+    if best[0]:
+        return best[0], best[2]
+    try:
+        d = json.load(open(os.path.join(repo_dir, "BENCH_DETAIL.json")))
+        if d.get("queries_warm") and d.get("host_speed_factor"):
+            hs = d["host_speed_factor"]
+            return "BENCH_DETAIL", {
+                k: v / hs for k, v in d["queries_warm"].items()
+            }
+    except (OSError, ValueError):
+        pass
+    return None, {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -568,6 +608,72 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # round-11 slope probes (VERDICT r10 task 7): the two widest-
+        # shuffle round-10 queries — the bigram stupid-backoff LM (17
+        # shuffles) and the exact prefix-filter Jaccard (9 shuffles).
+        # The LM rides text_amp's distinct suffixes (vocabulary grows
+        # naturally).  The Jaccard probe interleaves the replica tag
+        # into EVERY shingle (regexp_replace of spaces): a mere suffix
+        # leaves long replicas above the 0.6 threshold and the pair
+        # output goes quadratic in the factor — measured 25,300 pairs at
+        # x10-suffix vs the exactly-linear 280 with interleaving — so
+        # interleaving is what makes the probe measure scan/shuffle
+        # cost, not output growth.  Fresh checkpoint dirs per run (the
+        # LSH probe's full-cost discipline).
+        from cassandra2aerospike_spark.queries.text_q import ngram_lm
+
+        def jaccard_probe(factor: int) -> tuple[float, int]:
+            import tempfile as _tf
+
+            amp = (
+                docs.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+                .withColumn(
+                    "text",
+                    F.expr("regexp_replace(text, ' ', concat(' r', rep, ' '))"),
+                )
+                .drop("rep")
+                .persist()
+            )
+            n = amp.count()
+
+            def run() -> None:
+                dedup_fns.prefix_filter_jaccard_pairs(
+                    amp, 3, 3, 5,
+                    checkpoint_dir=_tf.mkdtemp(prefix="graft_jacc_probe_"),
+                ).count()
+
+            run()  # warm
+            t0 = time.time()
+            run()
+            rate = n / (time.time() - t0)
+            amp.unpersist()
+            return rate, n
+
+        lm10, _ = text_op_probe(ngram_lm, 10)
+        lm30, nl30 = text_op_probe(ngram_lm, 30)
+        jc10, _ = jaccard_probe(10)
+        jc30, nj30 = jaccard_probe(30)
+        slope.update(
+            {
+                "ngram_lm_docs_per_sec_x10": round(lm10),
+                "ngram_lm_docs_per_sec_x30": round(lm30),
+                "ngram_lm_slope_ratio": round(lm30 / lm10, 3),
+                "jaccard_prefix_docs_per_sec_x10": round(jc10),
+                "jaccard_prefix_docs_per_sec_x30": round(jc30),
+                "jaccard_prefix_slope_ratio": round(jc30 / jc10, 3),
+            }
+        )
+        print(
+            f"# ngram-lm slope: x10 {lm10:,.0f} -> x30 {lm30:,.0f} docs/s "
+            f"(ratio {lm30 / lm10:.2f}, {nl30} docs); jaccard-prefix "
+            f"slope: x10 {jc10:,.0f} -> x30 {jc30:,.0f} docs/s "
+            f"(ratio {jc30 / jc10:.2f}, {nj30} docs)",
+            file=sys.stderr,
+        )
+
     sim_thru, n_vecs = gemm_probe(10)
     print(f"# similarity GEMM throughput: {sim_thru:,.0f} vecs/s over {n_vecs} vecs x 10 queries", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_SLOPE"):
@@ -585,12 +691,42 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Regression tripwire (VERDICT r10 task 2): the NORMALIZED warm
+    # median (warm / host_speed_factor) is the tracked per-query number;
+    # any query whose normalized median exceeds 1.5x its previous-round
+    # value (baseline >= 0.5 s — smaller queries sit inside the measured
+    # +-30% host noise band) lands in `regressions` with both values.
+    # The list is part of the stdout JSON, so a regression is visible in
+    # BENCH_rN itself; an empty list is the green state.
+    warm_norm = {n: round(w / max(speed, 1e-9), 3) for n, w in warm.items()}
+    prev_tag, prev_norm = _prev_normalized(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    regressions = [
+        {
+            "query": n,
+            "prev_normalized": round(prev_norm[n], 3),
+            "now_normalized": warm_norm[n],
+            "baseline": prev_tag,
+        }
+        for n in warm_norm
+        if n in prev_norm
+        and prev_norm[n] >= 0.5
+        and warm_norm[n] > 1.5 * prev_norm[n]
+    ]
+    for r in regressions:
+        print(
+            f"# REGRESSION {r['query']}: normalized warm "
+            f"{r['prev_normalized']}s ({prev_tag}) -> {r['now_normalized']}s",
+            file=sys.stderr,
+        )
     out = {
         "metric": "headline_query_suite",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_warm": warm,
+        "queries_warm_normalized": warm_norm,
+        "regressions": regressions,
         "value_warm": round(sum(warm.values()), 3),
         "warm_k": k_warm,
         "calibration_sec": calib,
@@ -601,6 +737,12 @@ def main() -> None:
         "merge_throughput_rows_per_sec": round(thru),
         "sstable_merge_throughput_rows_per_sec": round(sst_thru),
         "real_ma_merge_throughput_rows_per_sec": round(ma_thru),
+        # host-normalized twins (rate * speed_factor): the 491k<->648k
+        # binary-path swings of r08-r10 are host noise when these hold
+        # steady — the explanation now rides in the JSON itself
+        "sstable_merge_rows_per_sec_normalized": round(sst_thru * speed),
+        "real_ma_merge_rows_per_sec_normalized": round(ma_thru * speed),
+        "merge_rows_per_sec_normalized": round(thru * speed),
         "baseline_reference_rows_per_sec": 100000,
         "dedup_throughput_docs_per_sec": round(dedup_thru),
         "similarity_gemm_vecs_per_sec": round(sim_thru),
@@ -614,6 +756,7 @@ def main() -> None:
     # the cross-round-comparable one; warm medians stay in the sidecar
     # and as the value_warm scalar).
     detail = dict(out)
+    detail["queries_warm"] = warm
     detail["queries_spread"] = spread
     if slope:
         detail["scale_slope"] = slope
@@ -624,7 +767,13 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1750:
-        del out["queries_warm"]
+        # the NORMALIZED warm map is the tracked series now — drop the
+        # cold per-query map first (its total survives as `value`; the
+        # full cold map stays in the sidecar)
+        del out["queries"]
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1750:
+        del out["queries_warm_normalized"]
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 

@@ -385,7 +385,13 @@ def q_text_ngram_lm(spark, sf_dir):
     the count tables on (w1,w2)/w1/w2 (AQE-skew-splittable probe side,
     one-row-per-key build sides); docs with < 2 tokens carry no bigrams
     and are absent by construction on both engines."""
-    d = _docs(spark, sf_dir)
+    return ngram_lm(spark, _docs(spark, sf_dir))
+
+
+def ngram_lm(spark, d):
+    """Core of q_text_ngram_lm over an arbitrary (doc_id, text) frame —
+    split out so the bench scale-slope probe can drive it over an
+    amplified corpus (round 11, VERDICT r10 task 7)."""
     toks0 = d.select("doc_id", X.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )

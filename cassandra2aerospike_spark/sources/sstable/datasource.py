@@ -114,6 +114,13 @@ class RunSlice(InputPartition):
     data_lo: int | None = None
     data_hi: int | None = None
     block: tuple | None = None
+    # point-lookup batching (round 11): a tuple of (lo, hi) Data.db
+    # windows decoded by ONE task.  Without it every looked-up partition
+    # became its own InputPartition — ~140 keys x 3 generations = ~400
+    # tasks of pure Python-worker + file-open overhead for a 12-row
+    # answer (s29 warm 3.9 s); batching caps tasks per sstable while
+    # keeping the decode exact (no gap bytes read)
+    windows: tuple | None = None
 
 
 def _summary_tokens(directory: str, gen: int) -> list[int]:
@@ -165,6 +172,7 @@ class SSTableRunReader(DataSourceReader):
         # opens) to prune files that provably lack every requested key,
         # then seeks survivors via Index.db to per-key [lo, hi) windows.
         # layout=ma only — SGR runs keep the token-range path.
+        self.lookup_slices = int(options.get("lookup_slices", "4"))
         lk = options.get("lookup_keys")
         self.lookup_keys: list[bytes] | None = (
             [bytes.fromhex(h) for h in lk.split(",") if h] if lk else None
@@ -347,10 +355,16 @@ class SSTableRunReader(DataSourceReader):
                 merged[-1][1] = hi
             else:
                 merged.append([lo, hi])
+        # batch the windows into at most LOOKUP_SLICES tasks per sstable:
+        # a point lookup's cost should be the windows DECODED, not one
+        # Spark task per looked-up partition
+        n_slices = max(1, min(len(merged), self.lookup_slices))
+        per = (len(merged) + n_slices - 1) // n_slices
         return [
             RunSlice(self.directory, gen, None, None, self.verify, "ma",
-                     name, data_lo=lo, data_hi=hi)
-            for lo, hi in merged
+                     name,
+                     windows=tuple(tuple(w) for w in merged[i : i + per]))
+            for i in range(0, len(merged), per)
         ]
 
     def _wide_partition_slices(self, rd, gen: int, name: str):
@@ -479,6 +493,13 @@ class SSTableRunReader(DataSourceReader):
                     source = iter(
                         [ord_.partition_window(bytes(bkey), brow_tomb, b_lo, b_hi)]
                     )
+                elif part.windows is not None:
+                    import itertools
+
+                    source = itertools.chain.from_iterable(
+                        ord_.partitions_between(lo, hi)
+                        for lo, hi in part.windows
+                    )
                 elif part.data_lo is not None:
                     source = ord_.partitions_between(part.data_lo, part.data_hi)
                 else:
@@ -498,6 +519,13 @@ class SSTableRunReader(DataSourceReader):
                     bkey, brow_tomb, b_lo, b_hi = part.block
                     source = iter(
                         [rd.partition_window(bytes(bkey), brow_tomb, b_lo, b_hi)]
+                    )
+                elif part.windows is not None:
+                    import itertools
+
+                    source = itertools.chain.from_iterable(
+                        rd.partitions_between(lo, hi)
+                        for lo, hi in part.windows
                     )
                 elif part.data_lo is not None:
                     source = rd.partitions_between(part.data_lo, part.data_hi)

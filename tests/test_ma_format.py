@@ -1503,7 +1503,10 @@ def test_lookup_plan_bloom_prunes_sstables(tmp_path):
     # keys only in gen 1 -> gen 2 pruned entirely by its bloom
     slices = plan([b"a-3".hex(), b"a-7".hex()])
     assert slices and all(s.gen == 1 for s in slices)
-    assert all(s.data_lo is not None for s in slices)
+    # round 11: lookup windows ride batched per-task window lists (at
+    # most `lookup_slices` tasks per sstable), not one slice per window
+    assert all(s.windows for s in slices)
+    assert sum(len(s.windows) for s in slices) == 2  # non-adjacent keys
     # a key absent everywhere -> zero slices (both blooms prune);
     # bloom fp could in principle admit one, but 2x30-key filters at
     # 0.01 make this deterministic in practice for this fixed key
