@@ -33,87 +33,43 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring) — ROUND-10 prefix.
+# Checked-prefix priority (see module docstring) — ROUND-11 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) queries with no driver row yet, (b) queries whose fixtures or
-# semantics change this round, (c) the stalest cohort.  NOTE: no
-# CORRECTNESS_r09.json was produced, so the round-9 prefix below was
-# never driver-signed — it stays in place behind the 22 queries that
-# are new since it was built (6 late-r09 + 16 r10).
+# (a) queries NEW this round, (b) queries whose fixtures, plans or
+# semantics changed this round, (c) the stalest driver-signature
+# cohort.  Signature histogram entering r11 (latest green driver round
+# per row): r05 x22 live (+3 retired names), r06 x46, r08 x49, r10
+# x50 — this prefix spends 8 slots on (a)+(b) and all 42 remaining on
+# the complete live r05 cohort (22 rows) plus the first 20 of the r06
+# cohort; the remaining 26 r06 rows sit at positions 51+ and head the
+# r12 rotation.
 _PRIORITY = [
-    # -- (a) NEW this round (r10): bloom-pruned point lookup over
-    #    Filter.db (both eras), as-of snapshot + snapshot-diff CDC +
-    #    GC-grace census over the classified runs, SQ8/MRL integer
-    #    ANN, asbackup-format roundtrip, bigram-LM quality filter,
-    #    streaming CDC, exact prefix-filter n-gram Jaccard near-dup,
-    #    distributed integer-GD quality classifier
+    # -- (a) NEW in r11: the secured 3-node wire cluster (LOGIN
+    #    handshake, digest partition-map routing, distributed digest
+    #    join) and the widened typed-marshal merge (7 classes beyond
+    #    the reference's enum on a real nb-era zstd-chunked table)
+    "s36_wire_cluster_sink",
+    "s37_marshal_types_merge",
+    # -- (b) changed in r11 without a driver re-verify yet: s19's
+    #    nb/oa generations switched to ZstdCompressor chunks (the new
+    #    codec); s29's lookup plan now batches windows into bounded
+    #    per-sstable tasks; s28/stream wire sinks replaced the
+    #    collected-keys digest inversion with the distributed join;
+    #    the CDC pair gained idempotent batch-keyed sinks, and the
+    #    incremental one per-fold state pruning
+    "s19_mc_era_merge",
     "s29_bloom_lookup_merge",
-    "s30_asof_merge",
-    "s31_snapshot_diff",
-    "sim_sq8_topk",
-    "s32_asb_backup_roundtrip",
-    "text_ngram_lm",
-    "s33_gc_grace_report",
-    "s34_repair_merkle_ranges",
-    "s35_partition_size_histogram",
-    "sim_mrl_topk",
-    "sim_bq_topk",
-    "sim_chunk_pool_topk",
-    "stream_snapshot_cdc",
-    "stream_cdc_incremental",
-    "dedup_jaccard_prefix_filter",
-    "text_quality_classifier",
-    # -- (a) new in r09 past the 50-slot cut, never driver-checked:
-    #    old-era wide-partition fan-out, the real Aerospike wire sink
-    #    (batch + streaming), BM25 retrieval, BPE train/encode
-    "s27_old_wide_merge",
     "s28_aerospike_wire_sink",
     "stream_aerospike_wire_sink",
-    "text_bm25_topk",
-    "text_bpe_train",
-    "text_bpe_encode",
-    # -- (a) carried from the unsigned r09 prefix: round-8's
-    #    non-frozen UDT merge (field-index cell paths; r09 added
-    #    per-generation UDT schema evolution) and ReversedType DESC
-    #    clustering (complement-after-framing sort keys, both merge
-    #    branches) — judge-verified in r08, still no driver row
-    "s25_udt_merge",
-    "s26_reversed_ck_merge",
-    # -- (b) fixtures/semantics changed in r09/r10 without a driver
-    #    re-verify: s19's mixed directory gained nb (r09) then oa
-    #    (r10, Cassandra 5.0) generations; the r10 writers now emit
-    #    Filter.db bloom sidecars in BOTH eras (s8/s16 read those
-    #    directories); s20 exercises the r08 framed-key change; s24
-    #    rides the r09 complex_value_fmt malformed-path strictening
-    "s19_mc_era_merge",
-    "s20_ma_rt_compaction_roundtrip",
-    "s24_collection_merge",
-    # -- (c) the full r05-stale cohort (45 rows), semantics-adjacent
-    #    rows first: the sstable read path (old-format promoted-index
-    #    split + the r08 comparator change touch these), then the rest.
-    "s15_ma_format_merge",
-    "s17_ma_clustering_merge",
-    "s18_ma_range_tombstone_merge",
-    "s8_oldformat_merge",
-    "s16_mixed_era_merge",
-    "s9_sstable_merge",
-    "ma_compaction_roundtrip",
-    "merge_full",
-    "pipeline_sstable_corpus",
-    "stream_real_sstable_ingest",
-    "o2_real_resume",
-    "s11_create_only_sink",
-    "mm_binary_meta",
-    "mm_media_probe",
-    "mm_real_decode",
-    "mm_real_frame_sample",
-    "mm_real_resize",
-    "mm_video_probe",
-    "dedup_exact_prefix",
-    "layout_zorder",
-    "sample_domain_mix",
-    "sample_stratified",
-    "scalar_arrays",
+    "stream_snapshot_cdc",
+    "stream_cdc_incremental",
+    # -- (c) the FULL live r03+r05 cohort (22 rows; the three other
+    #    stale signatures — mm_decode_features r03, mm_frame_sample and
+    #    mm_resize r05 — name RETIRED queries superseded by the
+    #    real-decode mm_real_* family, which is r10-signed)
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "agg_percentiles",
     "scalar_conditional",
     "scalar_maps",
     "scalar_math_safe",
@@ -133,15 +89,57 @@ _PRIORITY = [
     "topk_global",
     "unpivot_melt",
     "win_range_frame",
-    # -- position 51+: the 21 rows the (eventually 13-deep) r10 head
-    #    displaces past the 50-slot cut — pure-relational / pure-text /
-    #    scalar rows untouched by any sstable-path change, and all
-    #    oracle-verified locally every run by tests/test_oracle_parity.py
-    #    + tools/check_oracle.py (this round's local full-gate run:
-    #    0 failures / 167).  First in line for the r11 rotation.
-    "agg_percentiles",
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
+    # -- (c) the first 20 of the r06 cohort: stream_stateful_lww first
+    #    (its module carried this round's CDC edits), then
+    #    alphabetically
+    "stream_stateful_lww",
+    "a1_lww_latest",
+    "a4_expiry_fold_last",
+    "a5_record_assembly",
+    "agg_bitwise",
+    "agg_session_windows_batch",
+    "agg_stats_moments",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "f1_live_cells",
+    "gm_sessionize",
+    "j1_kway_merge",
+    "j3_range_tombstone_cover",
+    "join_asof",
+    "join_bucketed_colocated",
+    "o2_layout_resume",
+    "pipeline_corpus_prep",
+    "s10_clustering_merge",
+    "s13_dry_run",
+    # -- position 51+: the remaining 26 r06-latest rows, first in line
+    #    for the r12 rotation
+    "s14_run_accounting",
+    "s21_schema_evolution_merge",
+    "s2_run_identity",
+    "sample_hash_split",
+    "scalar_dates",
+    "scalar_json",
+    "sim_cosine_topk_fast",
+    "sim_kmeans_cells",
+    "sim_semantic_dedup",
+    "stream_corpus_dedup",
+    "stream_dedup_keys",
+    "stream_late_data",
+    "stream_session_windows",
+    "stream_sstable_ingest",
+    "stream_stream_join",
+    "stream_window_counts",
+    "text_chunk_windows",
+    "text_pack_sequences",
+    "text_term_freq",
+    "token_md5",
+    "token_resume",
+    "token_ring_buckets",
+    "udaf_expiry_fold",
+    "udtf_tokenize",
+    "win_frame_analytics",
+    "win_lag_lead",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
