@@ -87,8 +87,10 @@ HEADLINE = [
     # enum) decoded from a real nb-era zstd-chunked table
     "s37_marshal_types_merge",
     # round-11: 3-node secured wire cluster (LOGIN handshake + digest
-    # partition-map routing + distributed digest join)
+    # partition-map routing + distributed digest join) and the wire
+    # read-back verification pass
     "s36_wire_cluster_sink",
+    "s38_wire_readback_verify",
 ]
 
 

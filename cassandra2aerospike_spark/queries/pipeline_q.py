@@ -446,6 +446,112 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
     )
 
 
+def q_s38_wire_readback_verify(spark, sf_dir):
+    """READ-BACK VERIFICATION over the wire (round 11) — the migration
+    phase the reference simply does not have: after the create-only
+    write pass, every record is READ BACK from the server over the same
+    AS_MSG protocol (info1 READ|GET_ALL, digest-addressed, pipelined)
+    and compared bin-for-bin and ttl-for-ttl against the expected merge
+    output, DISTRIBUTED: each task redeems its own partition's gets via
+    mapInPandas, so verification scales with the cluster like the write
+    did.  A migration you can prove landed, not just one that returned
+    zero errors.  Output: per key the server-STORED state + verified
+    flag; the oracle recomputes the expected records and pins
+    verified=1, so a lost put, a bin-encoding drift, a ttl mapping bug
+    or a digest mismatch all surface as value differences.  A ghost key
+    must answer KEY_NOT_FOUND (asserted in-query)."""
+    from ..sinks.aerospike_wire import WireClient, WireServer
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    srv = WireServer()
+    host, port = srv.host, srv.port
+    ns, set_name = "tmx", "records"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events"))
+
+    state: dict = {}
+
+    def put(rd):
+        c = state.get("client")
+        if c is None:
+            c = state["client"] = WireClient(host, port, ns, set_name)
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        return c.put(str(rd["key"]).encode(), bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        c.wait(handle)
+        return True
+
+    bounded_async_foreach_writer(records, put, wait, max_in_flight=32)
+
+    # ghost probe: an absent digest must answer KEY_NOT_FOUND
+    probe = WireClient(host, port, ns, set_name)
+    assert probe.wait_record(probe.get(b"ghost-key-not-there")) is None
+    probe.close()
+
+    expected = records.select(
+        "key",
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("columns"),
+                    lambda e: F.concat(
+                        e["key"], F.lit("="), F.format_string("%.2f", e["value"])
+                    ),
+                )
+            ),
+            ",",
+        ).alias("exp_cols"),
+        F.when(F.col("expiry") == eternal, F.lit(0xFFFFFFFF))
+        .otherwise(F.col("expiry") - now_s)
+        .cast("long")
+        .alias("exp_ttl"),
+    )
+
+    def verify(batches):
+        client = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if client is None:
+                client = WireClient(host, port, ns, set_name)
+            handles = [client.get(str(k).encode()) for k in pdf["key"]]
+            cols, ttls, ok = [], [], []
+            for h, exp_c, exp_t in zip(handles, pdf["exp_cols"], pdf["exp_ttl"]):
+                rec = client.wait_record(h)
+                if rec is None:
+                    cols.append(None)
+                    ttls.append(-1)
+                    ok.append(0)
+                    continue
+                ttl, bins = rec
+                sstr = ",".join(
+                    sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                )
+                cols.append(sstr)
+                ttls.append(int(ttl))
+                ok.append(int(sstr == exp_c and int(ttl) == int(exp_t)))
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "cols_str": cols,
+                    "ttl": ttls,
+                    "verified": ok,
+                }
+            )
+
+    out = expected.mapInPandas(
+        verify, "key long, cols_str string, ttl long, verified int"
+    ).cache()
+    out.count()  # materialize while the server lives
+    srv.close()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -589,6 +695,7 @@ QUERIES = {
     "s12_retry_backpressure": q_s12_retry_backpressure,
     "s28_aerospike_wire_sink": q_s28_aerospike_wire_sink,
     "s36_wire_cluster_sink": q_s36_wire_cluster_sink,
+    "s38_wire_readback_verify": q_s38_wire_readback_verify,
     "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
@@ -689,6 +796,23 @@ ORACLES = {
                (SELECT count(*) FROM live_records) AS n_records,
                (SELECT count(*) FROM live_records) AS n_second_exists,
                CAST(3 AS BIGINT) AS n_nodes
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # s38: the read-back must equal the expected merge output exactly,
+    # every row verified=1 (stored bins/ttl == expected)
+    "s38_wire_readback_verify": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl,
+               CAST(1 AS INT) AS verified
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         GROUP BY lr.key, lr.expiry
     """,

@@ -83,10 +83,13 @@ FIELD_DIGEST = 4
 OP_WRITE = 2
 PARTICLE_BLOB = 4
 
+INFO1_READ = 0x01
+INFO1_GET_ALL = 0x02
 INFO2_WRITE = 0x01
 INFO2_CREATE_ONLY = 0x20
 
 RC_OK = 0
+RC_KEY_NOT_FOUND = 2
 RC_KEY_EXISTS = 5
 RC_TIMEOUT = 9
 RC_KEY_BUSY = 14
@@ -285,6 +288,61 @@ def build_response(result_code: int) -> bytes:
     return _proto_frame(msg)
 
 
+def build_get(namespace: str, set_name: str, key: bytes) -> bytes:
+    """One AS_MSG read request (round 11 — the verify phase the
+    reference lacks): info1 = READ | GET_ALL, namespace/set/digest
+    fields, zero ops (as_command.c's read-all-bins shape)."""
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+        (FIELD_DIGEST, key_digest(set_name, key)),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, INFO1_READ | INFO1_GET_ALL, 0, 0, 0, 0, 0, 0, 1000,
+        len(fields), 0,
+    )
+    return _proto_frame(msg + b"".join(fields))
+
+
+def build_record_response(result_code: int, ttl: int, bins: dict[str, bytes]) -> bytes:
+    """Server -> client record response: result code + stored TTL in the
+    header's record_ttl slot, one READ op per bin."""
+    ops = []
+    for name, value in bins.items():
+        nb = name.encode()
+        body = struct.pack("BBBB", 1, PARTICLE_BLOB, 0, len(nb)) + nb + value
+        ops.append(struct.pack(">I", len(body)) + body)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, 0, 0, 0, 0, result_code, 1, ttl & 0xFFFFFFFF, 0, 0, len(ops),
+    )
+    return _proto_frame(msg + b"".join(ops))
+
+
+def parse_record_response(body: bytes) -> tuple[int, int, dict[str, bytes]]:
+    """(result_code, record_ttl, bins) from a record response body."""
+    if len(body) < 22:
+        raise ValueError("aerospike wire: short record response")
+    (_hsz, _i1, _i2, _i3, _u, rc, _gen, ttl, _txn, n_fields, n_ops) = struct.unpack(
+        ">BBBBBBIIIHH", body[:22]
+    )
+    off = 22
+    for _ in range(n_fields):
+        (sz,) = struct.unpack_from(">I", body, off)
+        off += 4 + sz
+    bins: dict[str, bytes] = {}
+    for _ in range(n_ops):
+        (sz,) = struct.unpack_from(">I", body, off)
+        _op, _ptype, _ver, nlen = struct.unpack_from("BBBB", body, off + 4)
+        name = body[off + 8 : off + 8 + nlen].decode()
+        bins[name] = body[off + 8 + nlen : off + 4 + sz]
+        off += 4 + sz
+    return rc, ttl, bins
+
+
 # ------------------------------------------------- admin (security) codec
 # The PUBLIC security handshake (AdminCommand.java / as_admin.c): admin
 # messages ride proto type 2 with a 16-byte header — byte 2 the command,
@@ -415,15 +473,20 @@ class WireClient:
         self._sent += 1
         return h
 
-    def wait(self, handle: int) -> str:
+    def _drain_to(self, handle: int) -> bytes:
+        """In-order response stream: buffer raw bodies until `handle`'s
+        arrives (puts and gets share one ordinal space, so mixed
+        pipelines redeem uniformly)."""
         while handle not in self._results:
             typ, body = read_frame(self.sock)
             if typ != MSG_TYPE:
                 raise ValueError("aerospike wire: admin frame amid data")
-            rc = parse_result_code(body)
-            self._results[self._received] = rc
+            self._results[self._received] = body
             self._received += 1
-        rc = self._results.pop(handle)
+        return self._results.pop(handle)
+
+    def wait(self, handle: int) -> str:
+        rc = parse_result_code(self._drain_to(handle))
         if rc == RC_OK:
             return "ok"
         if rc in EXISTS_CODES:
@@ -431,6 +494,25 @@ class WireClient:
         if rc in TRANSIENT_CODES:
             return "retry"
         raise RuntimeError(f"aerospike wire: put failed, result code {rc}")
+
+    def get(self, key: bytes) -> int:
+        """Pipelined read: send the request, return the send ordinal;
+        redeem with wait_record()."""
+        self.sock.sendall(build_get(self.namespace, self.set_name, key))
+        h = self._sent
+        self._sent += 1
+        return h
+
+    def wait_record(self, handle: int):
+        """(ttl, bins) for a pipelined get, or None when the key does
+        not exist.  Shares the in-order raw response stream with
+        wait()."""
+        rc, ttl, bins = parse_record_response(self._drain_to(handle))
+        if rc == RC_KEY_NOT_FOUND:
+            return None
+        if rc != RC_OK:
+            raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
+        return ttl, bins
 
     def close(self) -> None:
         self.sock.close()
@@ -510,9 +592,7 @@ class WireServer:
                                 build_response(RC_NOT_AUTHENTICATED)
                             )
                         else:
-                            self.request.sendall(
-                                build_response(outer._apply(body))
-                            )
+                            self.request.sendall(outer._apply(body))
                 except (ConnectionError, OSError):
                     return
 
@@ -563,22 +643,38 @@ class WireServer:
             return (RC_OK, [], True) if live else (RC_EXPIRED_SESSION, [], False)
         return 54, [], False  # INVALID_COMMAND
 
-    def _apply(self, frame: bytes) -> int:
+    def _apply(self, frame: bytes) -> bytes:
+        """One data message -> the full response frame.  info1 READ
+        (round 11): look the digest up and answer a record response
+        with the stored bins + ttl (NOT_FOUND for absent keys) — the
+        read-back verify phase; else the create-only write path."""
         try:
+            if len(frame) >= 22 and frame[1] & INFO1_READ:
+                ns, st, digest, _b, _t, _co = parse_put(frame)
+                if (
+                    self._owned is not None
+                    and partition_id(digest) not in self._owned
+                ):
+                    return build_response(RC_SERVER_ERROR)
+                with self._lock:
+                    rec = self._store.get((ns, st, digest))
+                if rec is None:
+                    return build_record_response(RC_KEY_NOT_FOUND, 0, {})
+                return build_record_response(RC_OK, rec[1], rec[0])
             ns, st, digest, bins, ttl, create_only = parse_put(frame)
         except ValueError:
-            return RC_SERVER_ERROR
+            return build_response(RC_SERVER_ERROR)
         if self._owned is not None and partition_id(digest) not in self._owned:
-            return RC_SERVER_ERROR  # misrouted put: loud, non-transient
+            return build_response(RC_SERVER_ERROR)  # misroute: loud
         with self._lock:
             self._puts += 1
             if self._fail_every and self._puts % self._fail_every == 0:
-                return RC_TIMEOUT
+                return build_response(RC_TIMEOUT)
             k = (ns, st, digest)
             if create_only and k in self._store:
-                return RC_KEY_EXISTS
+                return build_response(RC_KEY_EXISTS)
             self._store[k] = (bins, ttl)
-            return RC_OK
+            return build_response(RC_OK)
 
     def records(self) -> dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]]:
         with self._lock:

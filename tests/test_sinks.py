@@ -491,3 +491,35 @@ def test_partition_id_recipe():
     d = bytes([0x34, 0x12, 0xFF, 0xFF]) + bytes(16)
     assert aw.partition_id(d) == 0x1234 & 0xFFF
     assert aw.partition_id(bytes(20)) == 0
+
+
+def test_wire_read_back_and_mixed_pipeline():
+    """Round 11 read op: GET returns the stored bins + ttl verbatim,
+    absent digests answer KEY_NOT_FOUND (None), and puts and gets
+    pipeline on ONE connection redeeming through the shared in-order
+    response stream."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    c = aw.WireClient(srv.host, srv.port, "ns1", "users")
+    try:
+        assert c.wait(c.put(b"k1", {"a": b"1.00", "b": b"2.50"}, 300)) == "ok"
+        ttl, bins = c.wait_record(c.get(b"k1"))
+        assert ttl == 300 and bins == {"a": b"1.00", "b": b"2.50"}
+        assert c.wait_record(c.get(b"nope")) is None
+        # mixed pipeline: put, get, put, get issued before any redeem
+        h1 = c.put(b"k2", {"v": b"x"}, 0xFFFFFFFF)
+        h2 = c.get(b"k2")
+        h3 = c.put(b"k2", {"v": b"y"}, 5)  # create-only: draws exists
+        h4 = c.get(b"k1")
+        assert c.wait(h1) == "ok"
+        assert c.wait_record(h2) == (0xFFFFFFFF, {"v": b"x"})
+        assert c.wait(h3) == "exists"
+        assert c.wait_record(h4)[1]["a"] == b"1.00"
+        # grammar roundtrip of the codec pair used by the server
+        frame = aw.build_record_response(0, 42, {"z": b"q"})
+        rc, ttl2, bins2 = aw.parse_record_response(frame[8:])
+        assert (rc, ttl2, bins2) == (0, 42, {"z": b"q"})
+    finally:
+        c.close()
+        srv.close()
