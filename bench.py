@@ -700,7 +700,7 @@ def main() -> None:
     # +-30% host noise band) lands in `regressions` with both values.
     # The list is part of the stdout JSON, so a regression is visible in
     # BENCH_rN itself; an empty list is the green state.
-    warm_norm = {n: round(w / max(speed, 1e-9), 3) for n, w in warm.items()}
+    warm_norm = {n: round(w / max(speed, 1e-9), 2) for n, w in warm.items()}
     prev_tag, prev_norm = _prev_normalized(
         os.path.dirname(os.path.abspath(__file__))
     )
@@ -767,14 +767,15 @@ def main() -> None:
         "w",
     ) as fh:
         json.dump(detail, fh, indent=1)
+    # stdout budget: the driver tail-captures ~2000 chars; keep the line
+    # under 1900 (50+ headroom).  Fallback order: the cold per-query map
+    # goes first (its total survives as `value`), the normalized warm
+    # map — the tracked series — last; the sidecar always keeps both.
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1750:
-        # the NORMALIZED warm map is the tracked series now — drop the
-        # cold per-query map first (its total survives as `value`; the
-        # full cold map stays in the sidecar)
+    if len(line) > 1900:
         del out["queries"]
         line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1750:
+    if len(line) > 1900:
         del out["queries_warm_normalized"]
         line = json.dumps(out, separators=(",", ":"))
     print(line)

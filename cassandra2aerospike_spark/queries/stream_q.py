@@ -7,6 +7,7 @@ from __future__ import annotations
 from ..streaming import (
     stream_aerospike_wire_sink,
     stream_cdc_incremental,
+    stream_cdc_wire_apply,
     stream_snapshot_cdc,
     stream_corpus_dedup,
     stream_late_data,
@@ -21,6 +22,7 @@ from ..streaming import (
 
 QUERIES = {
     "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
+    "stream_cdc_wire_apply": stream_cdc_wire_apply,
     "stream_snapshot_cdc": stream_snapshot_cdc,
     "stream_cdc_incremental": stream_cdc_incremental,
     "stream_window_counts": stream_window_counts,
@@ -310,6 +312,22 @@ ORACLES["stream_cdc_incremental"] = (
     UNION ALL
     SELECT v.key, v.version, r.cols_str, r.expiry
     FROM vers v LEFT JOIN rec_c2 r ON r.key = v.key WHERE v.g = 2
+"""
+)
+
+
+# stream_cdc_wire_apply: after the last generation drains, the server's
+# store (REPLACE puts + real wire deletes applied batch-by-batch) must
+# equal the FULL cumulative merge's live records with the engine's
+# expiry -> write-ttl mapping — the continuous-sync quiesce contract
+ORACLES["stream_cdc_wire_apply"] = (
+    "WITH "
+    + _cum_merge_cte(2)
+    + """
+    SELECT key, cols_str,
+           CASE WHEN expiry = 4294967295 THEN 4294967295
+                ELSE expiry - 1719792000 END AS ttl
+    FROM rec_c2
 """
 )
 

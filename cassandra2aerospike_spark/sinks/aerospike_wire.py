@@ -86,6 +86,7 @@ PARTICLE_BLOB = 4
 INFO1_READ = 0x01
 INFO1_GET_ALL = 0x02
 INFO2_WRITE = 0x01
+INFO2_DELETE = 0x02
 INFO2_CREATE_ONLY = 0x20
 
 RC_OK = 0
@@ -288,6 +289,25 @@ def build_response(result_code: int) -> bytes:
     return _proto_frame(msg)
 
 
+def build_delete(namespace: str, set_name: str, key: bytes) -> bytes:
+    """One AS_MSG delete (info2 WRITE|DELETE, zero ops) — the op a
+    CONTINUOUS sync needs that the reference's create-only one-shot
+    never sends (round 11)."""
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+        (FIELD_DIGEST, key_digest(set_name, key)),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, 0, INFO2_WRITE | INFO2_DELETE, 0, 0, 0, 0, 0, 1000,
+        len(fields), 0,
+    )
+    return _proto_frame(msg + b"".join(fields))
+
+
 def build_get(namespace: str, set_name: str, key: bytes) -> bytes:
     """One AS_MSG read request (round 11 — the verify phase the
     reference lacks): info1 = READ | GET_ALL, namespace/set/digest
@@ -465,9 +485,15 @@ class WireClient:
             )
         return rc, rfields
 
-    def put(self, key: bytes, bins: dict[str, bytes], ttl: int) -> int:
+    def put(
+        self, key: bytes, bins: dict[str, bytes], ttl: int,
+        create_only: bool = True,
+    ) -> int:
         self.sock.sendall(
-            build_put(self.namespace, self.set_name, key, bins, ttl)
+            build_put(
+                self.namespace, self.set_name, key, bins, ttl,
+                create_only=create_only,
+            )
         )
         h = self._sent
         self._sent += 1
@@ -489,11 +515,21 @@ class WireClient:
         rc = parse_result_code(self._drain_to(handle))
         if rc == RC_OK:
             return "ok"
+        if rc == RC_KEY_NOT_FOUND:
+            return "not_found"  # idempotent delete of an absent key
         if rc in EXISTS_CODES:
             return "exists"
         if rc in TRANSIENT_CODES:
             return "retry"
         raise RuntimeError(f"aerospike wire: put failed, result code {rc}")
+
+    def delete(self, key: bytes) -> int:
+        """Pipelined delete; redeem with wait() ('ok' | 'not_found' —
+        deleting an absent key is idempotent, not an error)."""
+        self.sock.sendall(build_delete(self.namespace, self.set_name, key))
+        h = self._sent
+        self._sent += 1
+        return h
 
     def get(self, key: bytes) -> int:
         """Pipelined read: send the request, return the send ordinal;
@@ -666,6 +702,10 @@ class WireServer:
             return build_response(RC_SERVER_ERROR)
         if self._owned is not None and partition_id(digest) not in self._owned:
             return build_response(RC_SERVER_ERROR)  # misroute: loud
+        if frame[2] & INFO2_DELETE:
+            with self._lock:
+                gone = self._store.pop((ns, st, digest), None)
+            return build_response(RC_OK if gone is not None else RC_KEY_NOT_FOUND)
         with self._lock:
             self._puts += 1
             if self._fail_every and self._puts % self._fail_every == 0:

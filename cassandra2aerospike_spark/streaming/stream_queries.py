@@ -767,68 +767,19 @@ def cdc_prune_state(cells, points, ranges, row_ts):
     return cells, points, ranges
 
 
-def stream_cdc_incremental(
-    spark: SparkSession,
-    sf_dir: str,
-    table_dir: str | None = None,
-    ckpt: str | None = None,
-    gc_grace_ms: int | None = None,
-) -> DataFrame:
-    """INCREMENTAL stateful CDC (round 10 — the production path
-    stream_snapshot_cdc's docstring promises): per-KEY GroupState holds
-    the full merge state — per-column LWW winner (ts, value,
-    expiration), the row-tombstone max, per-column point-tombstone
-    maxes and the range staircase — and each microbatch folds ONLY its
-    own rows into that state (applyInPandasWithState), then emits the
-    key's post-batch record: (key, version, cols_str, expiry), with
-    NULL cols_str when the record is dead (tombstoned out or expired).
-    No cumulative remerge, no re-scan of earlier generations: per batch
-    the work is proportional to the BATCH, the state store carries the
-    past — exactly how a 100 TB continuous sync would run, with
-    checkpointed state standing in for the reference's resume contract.
-
-    version = how many batches have touched the key (update is invoked
-    only for keys present in the batch), so the emission log IS the
-    CDC stream: first emission with columns = created, a later one
-    with different columns = updated, NULL columns = deleted.  The
-    oracle rebuilds the same log from the parquet events: per key, the
-    generations that contain it (ordered -> version) joined to the
-    cumulative-merge state after each such generation.
-
-    `table_dir`/`ckpt` override the fixture table and checkpoint
-    location — the resume test drives a partially-populated directory
-    through one run, lands more generations, and RESTARTS from the same
-    checkpoint: the recovered GroupState must continue the fold exactly
-    (the streaming answer to the reference's seek-to-key resume).
-
-    STATE IS BOUNDED (round 11): every fold prunes dominated range
-    steps, covered point tombstones and dead cells (cdc_prune_state —
-    coverage only grows, so none can matter again).  With `gc_grace_ms`
-    set, a key whose record is fully DEAD additionally arms a
-    processing-time timeout: when it fires the key's GroupState is
-    EVICTED (Cassandra's gc_grace_seconds contract — an older-than-
-    tombstone write arriving after eviction resurrects, exactly like a
-    compacted-away tombstone; the eviction test pins that
-    resurrection).  Timer-armed runs use the availableNow trigger
-    (engine timers keep processAllAvailable from settling); the default
-    no-eviction mode keeps NoTimeout + processAllAvailable, preserving
-    the one-generation-per-batch version numbering the resume contract
-    pins."""
+def _cdc_incremental_result(spark, table_dir, gc_grace_ms=None):
+    """The incremental stateful-CDC PLAN over a real ma table directory
+    (one generation admitted per microbatch, per-key GroupState fold
+    with pruning, optional gc-grace eviction timers) — shared by
+    stream_cdc_incremental (emission-log consumers) and
+    stream_cdc_wire_apply (the continuous wire sync)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators import merge as M
     from ..sources.sstable import register
-    from ..sources.sstable.fixtures import (
-        build_ma_table_from_events,
-        classify_raw_real,
-        default_runs_dir,
-    )
+    from ..sources.sstable.fixtures import classify_raw_real
 
-    if table_dir is None:
-        table_dir = build_ma_table_from_events(
-            spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
-        )
     register(spark)
     stream = (
         spark.readStream.format("sstable_run")
@@ -915,6 +866,66 @@ def stream_cdc_incremental(
             else GroupStateTimeout.NoTimeout,
         )
     )
+    return res
+
+
+def stream_cdc_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str | None = None,
+    ckpt: str | None = None,
+    gc_grace_ms: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL stateful CDC (round 10 — the production path
+    stream_snapshot_cdc's docstring promises): per-KEY GroupState holds
+    the full merge state — per-column LWW winner (ts, value,
+    expiration), the row-tombstone max, per-column point-tombstone
+    maxes and the range staircase — and each microbatch folds ONLY its
+    own rows into that state (applyInPandasWithState), then emits the
+    key's post-batch record: (key, version, cols_str, expiry), with
+    NULL cols_str when the record is dead (tombstoned out or expired).
+    No cumulative remerge, no re-scan of earlier generations: per batch
+    the work is proportional to the BATCH, the state store carries the
+    past — exactly how a 100 TB continuous sync would run, with
+    checkpointed state standing in for the reference's resume contract.
+
+    version = how many batches have touched the key (update is invoked
+    only for keys present in the batch), so the emission log IS the
+    CDC stream: first emission with columns = created, a later one
+    with different columns = updated, NULL columns = deleted.  The
+    oracle rebuilds the same log from the parquet events: per key, the
+    generations that contain it (ordered -> version) joined to the
+    cumulative-merge state after each such generation.
+
+    `table_dir`/`ckpt` override the fixture table and checkpoint
+    location — the resume test drives a partially-populated directory
+    through one run, lands more generations, and RESTARTS from the same
+    checkpoint: the recovered GroupState must continue the fold exactly
+    (the streaming answer to the reference's seek-to-key resume).
+
+    STATE IS BOUNDED (round 11): every fold prunes dominated range
+    steps, covered point tombstones and dead cells (cdc_prune_state —
+    coverage only grows, so none can matter again).  With `gc_grace_ms`
+    set, a key whose record is fully DEAD additionally arms a
+    processing-time timeout: when it fires the key's GroupState is
+    EVICTED (Cassandra's gc_grace_seconds contract — an older-than-
+    tombstone write arriving after eviction resurrects, exactly like a
+    compacted-away tombstone; the eviction test pins that
+    resurrection).  Timer-armed runs use the availableNow trigger
+    (engine timers keep processAllAvailable from settling); the default
+    no-eviction mode keeps NoTimeout + processAllAvailable, preserving
+    the one-generation-per-batch version numbering the resume contract
+    pins."""
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    if table_dir is None:
+        table_dir = build_ma_table_from_events(
+            spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+        )
+    res = _cdc_incremental_result(spark, table_dir, gc_grace_ms)
     if ckpt is None:
         if gc_grace_ms is None:
             return _run_to_memory(res, "update")
@@ -964,6 +975,108 @@ def stream_cdc_incremental(
         finally:
             q.stop()
     return spark.read.parquet(os.path.join(out_dir, "b*"))
+
+
+def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS CDC -> AEROSPIKE sync over the wire, WITH DELETES
+    (round 11): the incremental stateful-CDC plan's per-batch emissions
+    apply to an in-process protocol server as they happen — a live
+    emission is a REPLACE put (create_only off: updates must land, the
+    one place the reference's AS_POLICY_EXISTS_CREATE posture cannot
+    go), a dead emission (NULL columns) is a real wire DELETE (info2
+    WRITE|DELETE, idempotent on absent keys).  After the last
+    generation drains, the server's store must equal the FULL batch
+    merge's live records exactly — interim states were overwritten,
+    deleted records removed — which is the continuous-sync contract:
+    at every quiesce point the sink is byte-equal to a from-scratch
+    migration.  The store maps back to keys through the distributed
+    digest join (no driver-side key collection); the oracle is the
+    merge-records derivation with the engine's expiry -> write-ttl
+    rule."""
+    from ..operators import merge as M
+    from ..queries.pipeline_q import _digest_hex_records
+    from ..sinks.aerospike_wire import WireClient, WireServer
+    from ..sources import load_table
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    res = _cdc_incremental_result(spark, table_dir)
+    srv = WireServer()
+    host, port = srv.host, srv.port
+    ns, set_name = "tmx", "cdc"
+    eternal, now_s = M.ETERNAL, M.NOW_EPOCH_S
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        def part(rows):
+            client = None
+            handles = []
+            for r in rows:
+                if client is None:
+                    client = WireClient(host, port, ns, set_name)
+                key = str(r["key"]).encode()
+                if r["cols_str"] is None:
+                    handles.append(client.delete(key))
+                else:
+                    bins = {
+                        kv.split("=", 1)[0]: kv.split("=", 1)[1].encode()
+                        for kv in r["cols_str"].split(",")
+                    }
+                    ttl = (
+                        0xFFFFFFFF
+                        if r["expiry"] == eternal
+                        else int(r["expiry"]) - now_s
+                    )
+                    handles.append(
+                        client.put(key, bins, ttl, create_only=False)
+                    )
+            if client is not None:
+                for h in handles:
+                    client.wait(h)  # 'ok' / idempotent 'not_found'
+                client.close()
+
+        batch_df.foreachPartition(part)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcwire_")
+    q = (
+        res.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    store = srv.records()
+    srv.close()
+    store_rows = []
+    for (s_ns, s_set, digest), (bins, ttl) in store.items():
+        if s_ns != ns or s_set != set_name:
+            raise RuntimeError("cdc wire apply: foreign record stored")
+        entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
+        store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
+    store_df = spark.createDataFrame(
+        store_rows, "digest_hex string, cols_str string, ttl long"
+    )
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+        .select(
+            "key",
+            _digest_hex_records(F.lit(set_name), F.col("key")).alias(
+                "digest_hex"
+            ),
+        )
+    )
+    return keyed.join(F.broadcast(store_df), "digest_hex", "inner").select(
+        "key", "cols_str", "ttl"
+    )
 
 
 def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1302,3 +1302,78 @@ def test_stream_cdc_gc_grace_evicts_dead_state(spark, tmp_path):
     write_gen(3, [Partition(key=b"77", cells=[Cell("colA", b"3.0", ts=300)])])
     r3 = rows(stream_cdc_incremental(spark, "unused", table, ckpt, gc_grace_ms=1))
     assert (77, 1, "colA=3.00") in r3 - r2
+
+
+def test_stream_cdc_wire_apply_updates_and_deletes(spark, tmp_path):
+    """Continuous CDC -> wire sync (round 11): REPLACE puts land
+    updates, a record tombstoned in a later generation is DELETED from
+    the server over the wire — the final store equals the full merge's
+    live records (here: key 77 gone, key 88 at its newest value)."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import WireClient, WireServer
+    from cassandra2aerospike_spark.sources.sstable import register
+    from cassandra2aerospike_spark.sources.sstable.format import Cell, Partition
+    from cassandra2aerospike_spark.sources.sstable.ma_format import MaWriter
+    from cassandra2aerospike_spark.streaming.stream_queries import (
+        _cdc_incremental_result,
+    )
+    import tempfile
+
+    table = str(tmp_path / "tbl")
+    cols = [("colA", "UTF8Type")]
+    w = MaWriter(table, 1, cols)
+    w.add(Partition(key=b"77", cells=[Cell("colA", b"1.0", ts=100)]))
+    w.add(Partition(key=b"88", cells=[Cell("colA", b"8.0", ts=100)]))
+    w.finish()
+    w = MaWriter(table, 2, cols)
+    w.add(Partition(key=b"77", row_tomb_ts=500))
+    w.add(Partition(key=b"88", cells=[Cell("colA", b"9.5", ts=200)]))
+    w.finish()
+
+    register(spark)
+    res = _cdc_incremental_result(spark, table)
+    srv = WireServer()
+    host, port = srv.host, srv.port
+
+    def apply_batch(batch_df, _bid):
+        def part(rows):
+            c = None
+            hs = []
+            for r in rows:
+                if c is None:
+                    c = WireClient(host, port, "t", "cdc")
+                key = str(r["key"]).encode()
+                if r["cols_str"] is None:
+                    hs.append(c.delete(key))
+                else:
+                    bins = {
+                        kv.split("=", 1)[0]: kv.split("=", 1)[1].encode()
+                        for kv in r["cols_str"].split(",")
+                    }
+                    hs.append(c.put(key, bins, 0xFFFFFFFF, create_only=False))
+            if c is not None:
+                for h in hs:
+                    assert c.wait(h) in ("ok", "not_found")
+                c.close()
+
+        batch_df.foreachPartition(part)
+
+    q = (
+        res.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cwa_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    store = srv.records()
+    srv.close()
+    got = {
+        digest.hex(): {n: v for n, v in bins.items()}
+        for (_ns, _st, digest), (bins, _ttl) in store.items()
+    }
+    from cassandra2aerospike_spark.sinks.aerospike_wire import key_digest
+
+    assert key_digest("cdc", b"77").hex() not in got  # deleted over the wire
+    assert got == {key_digest("cdc", b"88").hex(): {"colA": b"9.50"}}
