@@ -235,3 +235,43 @@ def test_ma_zstd_chunk_corruption_detected(tmp_path):
         list(MA.MaReader(d, 1).partitions())
     with pytest.raises(ValueError, match="zstd"):
         list(MA.MaReader(d, 1, verify_checksums=False).partitions())
+
+
+# --------------------------------------- round-11 Huffman-literal paths
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        bytes(random.Random(11).choices(b"abcdefgh \n", k=120_000)),
+        bytes(random.Random(12).choices(bytes(range(200)), k=90_000)),  # FSE weights
+        bytes(random.Random(13).choices(b"aab", k=6_000)),  # majority symbol
+        bytes(random.Random(14).choices(b"xy", k=40)),  # tiny 1-stream
+        b"".join(b"log line %d severity=%d\n" % (i, i % 7) for i in range(9_000)),
+    ],
+)
+def test_huffman_literal_roundtrip_and_ratio(payload):
+    """The encoder's Huffman-literal paths (direct and FSE-compressed
+    weights, 1- and 4-stream) round-trip and actually compress skewed
+    byte distributions."""
+    frame = z.compress(payload)
+    assert z.decompress(frame) == payload
+    if len(payload) >= 6_000:
+        assert len(frame) < len(payload)  # Huffman engaged
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=2, max_value=250),
+    st.integers(min_value=64, max_value=20_000),
+    st.integers(min_value=0, max_value=2**32),
+)
+def test_huffman_roundtrip_property_skewed(n_syms, n, seed):
+    """Property over skewed alphabets of every width (narrow alphabets
+    ride direct weights, wide ones the FSE-compressed weight stream;
+    zipf-ish skew makes Huffman engage)."""
+    rng = random.Random(seed)
+    alphabet = bytes(range(n_syms))
+    weights = [1.0 / (i + 1) for i in range(n_syms)]
+    data = bytes(rng.choices(alphabet, weights=weights, k=n))
+    assert z.decompress(z.compress(data)) == data
