@@ -37,10 +37,15 @@ def _write_path_rev() -> str:
         import hashlib
 
         from ..sources.sstable import datasource as _ds
+        from ..sources.sstable import lz4_py as _l4
         from ..sources.sstable import ma_format as _mf
+        from ..sources.sstable import snappy_py as _sn
+        from ..sources.sstable import zstd_py as _zs
 
         h = hashlib.md5()
-        for mod in (_mf, _ds):
+        # the chunk codecs are part of the write path: an encoder change
+        # (e.g. the round-11 zstd Huffman literals) changes Data.db bytes
+        for mod in (_mf, _ds, _zs, _l4, _sn):
             with open(mod.__file__, "rb") as fh:
                 h.update(fh.read())
         _WRITE_PATH_REV = h.hexdigest()[:8]
