@@ -334,12 +334,15 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
     does not own — so client-side digest routing is enforced by the
     servers, not assumed.  Executor tasks run the real client flow the
     reference's C client hides under aerospike_key_put_async
-    (AerospikeWriter.cpp:216-256): LOGIN handshake on each connection
-    (USER + bcrypt CREDENTIAL over the admin channel — hashed ONCE
-    driver-side like the C client's one-time hash_password, cost-6
-    salt on the pure-Python budget), then pipelined CREATE-only puts
-    routed by `partition_id(digest) % 3`.  TWO passes: the first
-    stores every record, the second draws KEY_EXISTS cluster-wide.
+    (AerospikeWriter.cpp:216-256): the partition map is DISCOVERED from
+    the nodes over the public text info channel ("partition-generation"
+    + "replicas-master" base64 bitmaps — the C client's cluster tend),
+    then LOGIN handshake on each connection (USER + bcrypt CREDENTIAL
+    over the admin channel — hashed ONCE driver-side like the C
+    client's one-time hash_password, cost-6 salt on the pure-Python
+    budget), then pipelined CREATE-only puts routed by the discovered
+    `partition_id(digest) -> node` table.  TWO passes: the first stores
+    every record, the second draws KEY_EXISTS cluster-wide.
 
     The stored state maps back to keys via a DISTRIBUTED digest join
     (round 11 — replacing the collected-keys inversion): executors
@@ -353,6 +356,7 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
         N_PARTITIONS,
         WireClient,
         WireServer,
+        fetch_partition_map,
         key_digest,
         partition_id,
     )
@@ -373,6 +377,19 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
         for i in range(n_nodes)
     ]
     nodes = [(srv.host, srv.port) for srv in servers]
+    # cluster tend: ask every node for its mastered slice over the info
+    # channel and assemble the 4096-entry routing table — the map is
+    # DISCOVERED, not assumed; a node advertising a partition it then
+    # refuses (or vice versa) fails the write pass loudly
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h, p_, ns)
+        for p in owned:
+            if pmap[p] != -1:
+                raise RuntimeError(f"partition {p} advertised by two nodes")
+            pmap[p] = idx
+    if any(x == -1 for x in pmap):
+        raise RuntimeError("partition map has unowned partitions")
     sc = spark.sparkContext
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
     records = merge.merge_records(load_table(spark, sf_dir, "events"))
@@ -390,7 +407,7 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
                     for h, p in nodes
                 ]
             key = str(rd["key"]).encode()
-            c = cl[partition_id(key_digest(set_name, key)) % n_nodes]
+            c = cl[pmap[partition_id(key_digest(set_name, key))]]
             bins = {
                 k: ("%.2f" % v).encode() for k, v in rd["columns"].items()
             }

@@ -48,6 +48,7 @@ import threading
 PROTO_VERSION = 2
 MSG_TYPE = 3
 ADMIN_MSG_TYPE = 2  # the security/admin channel (AS_ADMIN_MESSAGE_TYPE)
+INFO_MSG_TYPE = 1  # the text info channel (AS_INFO_MESSAGE_TYPE)
 
 # admin commands (public security protocol, AdminCommand.java /
 # as_admin.c)
@@ -198,10 +199,13 @@ def _read_exact(sock: socket.socket, n: int) -> bytes:
 
 
 def read_frame(sock: socket.socket) -> tuple[int, bytes]:
-    """(message type, body) — type 3 = AS_MSG data, 2 = admin/security."""
+    """(message type, body) — 3 = AS_MSG data, 2 = admin/security,
+    1 = text info."""
     (hdr,) = struct.unpack(">Q", _read_exact(sock, 8))
     version, typ = hdr >> 56, (hdr >> 48) & 0xFF
-    if version != PROTO_VERSION or typ not in (MSG_TYPE, ADMIN_MSG_TYPE):
+    if version != PROTO_VERSION or typ not in (
+        MSG_TYPE, ADMIN_MSG_TYPE, INFO_MSG_TYPE,
+    ):
         raise ValueError(f"aerospike wire: bad proto header {version}/{typ}")
     return typ, _read_exact(sock, hdr & 0xFFFFFFFFFFFF)
 
@@ -361,6 +365,85 @@ def parse_record_response(body: bytes) -> tuple[int, int, dict[str, bytes]]:
         bins[name] = body[off + 8 + nlen : off + 4 + sz]
         off += 4 + sz
     return rc, ttl, bins
+
+
+# --------------------------------------------------------- info channel
+# The PUBLIC text info protocol (proto type 1; Info.java / as_info.c):
+# request body = command names separated by newlines; response body =
+# "name\tvalue\n" per name.  The C client bootstraps its partition map
+# through exactly this channel — "partition-generation" +
+# "replicas-master" (per namespace, a base64 4096-bit bitmap; bit i of
+# the decoded bytes, 0x80 >> (i & 7) of byte i >> 3, marks the node as
+# master for partition i) — before any aerospike_key_put_async routes.
+
+
+def build_info_request(names: list[str]) -> bytes:
+    return _proto_frame(("\n".join(names) + "\n").encode(), INFO_MSG_TYPE)
+
+
+def parse_info_request(body: bytes) -> list[str]:
+    return [n for n in body.decode().split("\n") if n]
+
+
+def build_info_response(values: dict[str, str]) -> bytes:
+    text = "".join(f"{k}\t{v}\n" for k, v in values.items())
+    return _proto_frame(text.encode(), INFO_MSG_TYPE)
+
+
+def parse_info_response(body: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in body.decode().split("\n"):
+        if "\t" in line:
+            k, v = line.split("\t", 1)
+            out[k] = v
+    return out
+
+
+def partitions_to_b64(partitions: set[int], n: int = N_PARTITIONS) -> str:
+    """The replicas-master bitmap: bit i (0x80 >> (i & 7) of byte
+    i >> 3) set iff this node masters partition i."""
+    import base64
+
+    buf = bytearray(n // 8)
+    for p in partitions:
+        buf[p >> 3] |= 0x80 >> (p & 7)
+    return base64.b64encode(bytes(buf)).decode()
+
+
+def b64_to_partitions(b64: str) -> set[int]:
+    import base64
+
+    raw = base64.b64decode(b64)
+    return {
+        (i << 3) | j
+        for i, byte in enumerate(raw)
+        for j in range(8)
+        if byte & (0x80 >> j)
+    }
+
+
+def fetch_partition_map(
+    host: str, port: int, namespace: str
+) -> tuple[int, set[int]]:
+    """One info round-trip: (partition-generation, the node's mastered
+    partition set for `namespace`) — the client-side half of the C
+    client's cluster tend."""
+    sock = socket.create_connection((host, port))
+    try:
+        sock.sendall(
+            build_info_request(["partition-generation", "replicas-master"])
+        )
+        typ, body = read_frame(sock)
+        if typ != INFO_MSG_TYPE:
+            raise ValueError("aerospike wire: non-info reply on info channel")
+        vals = parse_info_response(body)
+        gen = int(vals.get("partition-generation", "0"))
+        for entry in vals.get("replicas-master", "").split(";"):
+            if entry.startswith(namespace + ":"):
+                return gen, b64_to_partitions(entry.split(":", 1)[1])
+        return gen, set()
+    finally:
+        sock.close()
 
 
 # ------------------------------------------------- admin (security) codec
@@ -588,12 +671,15 @@ class WireServer:
         credentials: tuple[str, str] | None = None,
         owned_partitions: set[int] | None = None,
         credential_salt: str | None = None,
+        info_namespace: str = "tmx",
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
         self._lock = threading.Lock()
         self._puts = 0
         self._fail_every = fail_every
         self._owned = owned_partitions
+        self._info_namespace = info_namespace
+        self._partition_generation = 1
         self._cred: tuple[str, str] | None = None
         if credentials is not None:
             from .bcrypt_py import DEFAULT_CLIENT_SALT, hashpw
@@ -617,7 +703,9 @@ class WireServer:
                 try:
                     while True:
                         typ, body = read_frame(self.request)
-                        if typ == ADMIN_MSG_TYPE:
+                        if typ == INFO_MSG_TYPE:
+                            self.request.sendall(outer._info(body))
+                        elif typ == ADMIN_MSG_TYPE:
                             rc, fields, ok = outer._admin(body)
                             authed = authed or ok
                             self.request.sendall(
@@ -642,6 +730,26 @@ class WireServer:
             target=self._server.serve_forever, daemon=True
         )
         self._thread.start()
+
+    def _info(self, body: bytes) -> bytes:
+        """Text info channel: the names the C client's cluster tend
+        consults.  The partition map advertises this node's OWNED slice
+        (all 4096 when unrestricted) for the configured namespace."""
+        owned = (
+            self._owned
+            if self._owned is not None
+            else set(range(N_PARTITIONS))
+        )
+        values = {
+            "node": f"BB9{self.port:05X}0000000",
+            "partition-generation": str(self._partition_generation),
+            "replicas-master": f"{self._info_namespace}:"
+            + partitions_to_b64(owned),
+        }
+        names = parse_info_request(body)
+        return build_info_response(
+            {k: v for k, v in values.items() if k in names}
+        )
 
     def _admin(self, body: bytes):
         """-> (result_code, response fields, connection_now_authed)."""

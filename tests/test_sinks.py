@@ -523,3 +523,36 @@ def test_wire_read_back_and_mixed_pipeline():
     finally:
         c.close()
         srv.close()
+
+
+def test_info_channel_partition_discovery():
+    """The public text info channel (proto type 1): node id,
+    partition-generation and the replicas-master base64 bitmap answer;
+    fetch_partition_map recovers EXACTLY the node's owned slice; bitmap
+    encode/decode are inverses on arbitrary sets."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    owned = {p for p in range(aw.N_PARTITIONS) if p % 3 == 1}
+    srv = aw.WireServer(owned_partitions=owned, info_namespace="tmx")
+    try:
+        gen, got = aw.fetch_partition_map(srv.host, srv.port, "tmx")
+        assert gen == 1 and got == owned
+        # unknown namespace -> empty slice
+        _g, none = aw.fetch_partition_map(srv.host, srv.port, "nope")
+        assert none == set()
+    finally:
+        srv.close()
+    # bitmap codec property
+    import random
+
+    rnd = random.Random(5)
+    for _ in range(5):
+        ps = {rnd.randrange(aw.N_PARTITIONS) for _ in range(rnd.randrange(200))}
+        assert aw.b64_to_partitions(aw.partitions_to_b64(ps)) == ps
+    # an unrestricted node advertises the whole ring
+    srv2 = aw.WireServer()
+    try:
+        _g, all_ps = aw.fetch_partition_map(srv2.host, srv2.port, "tmx")
+        assert all_ps == set(range(aw.N_PARTITIONS))
+    finally:
+        srv2.close()
