@@ -335,7 +335,7 @@ DEFAULT_CHUNK = 64 * 1024
 # instead of being fed to the reader under a still-matching _DONE marker
 # (the SGR sources solve the same problem by embedding MAGIC in leaf
 # names).
-FIXTURE_ENCODER_REV = "e7"  # e7: zstd Huffman-literal encoder (r11)
+FIXTURE_ENCODER_REV = "e8"  # e8: zstd repcode-aware encoder (r11)
 # trailer (r10); e4: 4-section 4.x Statistics + fp-chance in
 # VALIDATION (r09).  BUMP THIS whenever MaWriter/OldWriter byte output
 # changes — cached fixture trees AND _staged_ma_rewrite compaction

@@ -822,10 +822,17 @@ def _lz_parse(data: bytes, start: int, end: int, ht: dict):
     return seqs, lits
 
 
-def _encode_block(data: bytes, start: int, end: int, ht: dict) -> bytes | None:
+def _encode_block(
+    data: bytes, start: int, end: int, ht: dict, reps: list[int]
+) -> bytes | None:
     """Compressed-block payload for data[start:end], or None when raw is
-    smaller.  Raw literals + Predefined-mode FSE sequences (offsets
-    always absolute: offset_value = offset + 3, no repcodes)."""
+    smaller.  Huffman-or-raw literals + Predefined-mode FSE sequences;
+    offsets ride the REPCODE history when they match it (offset_value
+    1-3: zero/one extra bits instead of ~log2(offset) — repetitive
+    structured data hits the same offsets constantly), absolute
+    offset + 3 otherwise.  `reps` mutates only on success (the caller
+    keeps frame-level history; a raw fallback must not desync it from
+    what the decoder will track)."""
     seqs, lits = _lz_parse(data, start, end, ht)
     if not seqs:
         # no matches: a Huffman-only block can still beat raw when the
@@ -853,8 +860,30 @@ def _encode_block(data: bytes, start: int, end: int, ht: dict) -> bytes | None:
     payload.append(0)  # modes: Predefined for LL / OF / ML
     ll_codes, of_codes, ml_codes = [], [], []
     of_extra, ml_extra, ll_extra = [], [], []
+    trial_reps = list(reps)
     for ll, offset, ml in seqs:
-        value = offset + 3
+        if ll != 0:
+            if offset == trial_reps[0]:
+                value = 1
+            elif offset == trial_reps[1]:
+                value = 2
+            elif offset == trial_reps[2]:
+                value = 3
+            else:
+                value = offset + 3
+        else:
+            if offset == trial_reps[1]:
+                value = 1
+            elif offset == trial_reps[2]:
+                value = 2
+            elif offset == trial_reps[0] - 1:
+                value = 3
+            else:
+                value = offset + 3
+        # keep the history exactly as the decoder will (shared logic)
+        got = _resolve_offset(value, ll, trial_reps)
+        if got != offset:  # pragma: no cover - defensive
+            raise AssertionError("zstd: encoder repcode desync")
         oc = value.bit_length() - 1
         of_codes.append(oc)
         of_extra.append((value - (1 << oc), oc))
@@ -879,6 +908,7 @@ def _encode_block(data: bytes, start: int, end: int, ht: dict) -> bytes | None:
     payload += _pack_backward(fields)
     if len(payload) >= end - start:
         return None
+    reps[:] = trial_reps  # commit the history only on block success
     return bytes(payload)
 
 
@@ -1193,6 +1223,7 @@ def compress(data: bytes) -> bytes:
     out.append((fcs_flag << 6) | (1 << 5) | (1 << 2))  # single-seg + checksum
     out += (n - 256 if fcs_flag == 1 else n).to_bytes(fcs_len, "little")
     ht: dict = {}
+    reps = [1, 4, 8]  # frame-level repcode history (decoder ctx twin)
     starts = list(range(0, n, _BLOCK_MAX)) or [0]
     for start in starts:
         end = min(start + _BLOCK_MAX, n)
@@ -1202,7 +1233,7 @@ def compress(data: bytes) -> bytes:
             out += ((len(seg) << 3) | (1 << 1) | last).to_bytes(3, "little")
             out += seg[0:1]
             continue
-        payload = _encode_block(data, start, end, ht) if seg else None
+        payload = _encode_block(data, start, end, ht, reps) if seg else None
         if payload is None:
             out += ((len(seg) << 3) | last).to_bytes(3, "little")
             out += seg
