@@ -91,6 +91,9 @@ HEADLINE = [
     # read-back verification pass
     "s36_wire_cluster_sink",
     "s38_wire_readback_verify",
+    # round-11 capstone: real mixed-era dir -> secured discovered
+    # cluster -> distributed read-back proof
+    "s39_e2e_migration_verified",
 ]
 
 

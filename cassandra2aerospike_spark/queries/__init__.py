@@ -39,9 +39,9 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # semantics changed this round, (c) the stalest driver-signature
 # cohort.  Signature histogram entering r11 (latest green driver round
 # per row): r05 x22 live (+3 retired names), r06 x46, r08 x49, r10
-# x50 — this prefix spends 10 slots on (a)+(b) and all 40 remaining on
-# the complete live r05 cohort (22 rows) plus the first 18 of the r06
-# cohort; the remaining 28 r06 rows sit at positions 51+ and head the
+# x50 — this prefix spends 11 slots on (a)+(b) and all 39 remaining on
+# the complete live r05 cohort (22 rows) plus the first 17 of the r06
+# cohort; the remaining 29 r06 rows sit at positions 51+ and head the
 # r12 rotation.
 _PRIORITY = [
     # -- (a) NEW in r11: the secured 3-node wire cluster (LOGIN
@@ -53,6 +53,7 @@ _PRIORITY = [
     "s37_marshal_types_merge",
     "s38_wire_readback_verify",
     "stream_cdc_wire_apply",
+    "s39_e2e_migration_verified",
     # -- (b) changed in r11 without a driver re-verify yet: s19's
     #    nb/oa generations switched to ZstdCompressor chunks (the new
     #    codec); s29's lookup plan now batches windows into bounded
@@ -112,9 +113,9 @@ _PRIORITY = [
     "join_asof",
     "join_bucketed_colocated",
     "o2_layout_resume",
-    "pipeline_corpus_prep",
-    # -- position 51+: the remaining 28 r06-latest rows, first in line
+    # -- position 51+: the remaining 29 r06-latest rows, first in line
     #    for the r12 rotation
+    "pipeline_corpus_prep",
     "s10_clustering_merge",
     "s13_dry_run",
     "s14_run_accounting",

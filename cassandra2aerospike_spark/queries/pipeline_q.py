@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 
 from ..operators import merge
 from ..sources import load_table
-from .merge_q import _CTE
+from .merge_q import _CTE, _CTE_MIXED
 
 
 def q_j1_kway_merge(spark, sf_dir):
@@ -569,6 +569,140 @@ def q_s38_wire_readback_verify(spark, sf_dir):
     return out
 
 
+def q_s39_e2e_migration_verified(spark, sf_dir):
+    """THE REFERENCE'S WHOLE JOB, end to end and then past it (round 11
+    capstone): a REAL mixed-era Cassandra data directory (the s16
+    fixture — 2.1 ka + 2.2 la + 3.x ma sstables, three chunk codecs,
+    composite old-era names) reads through the per-file era dispatch,
+    merges (tombstone cover -> LWW -> record assembly -> expiry fold),
+    and ships over the REAL wire protocol into a SECURED 3-node cluster
+    whose partition map is DISCOVERED over the info channel — LOGIN
+    handshake per connection, digest-routed CREATE-only puts, nodes
+    refusing misroutes — and is then PROVEN to have landed: every
+    record reads back (info1 READ|GET_ALL, routed by the same
+    discovered map) inside mapInPandas and compares bin-for-bin and
+    ttl-for-ttl against the expected merge.  The reference does the
+    read+merge+put half with no auth, no routing awareness and no
+    verify (AerospikeWriter.cpp trusts its zero-error count); this row
+    is the full production migration with a proof at the end.  Output:
+    per key the server-stored state + verified flag, hash-checked
+    against the s16 relational derivation."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.bcrypt_py import hashpw
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+    from .merge_q import _mixed_era_merge
+
+    n_nodes = 3
+    ns, set_name = "tmx", "migrated"
+    user, password = "tmx_migrator", "s3cr3t"
+    salt6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"
+    credential = hashpw(password, salt6)
+    servers = [
+        WireServer(
+            credentials=(user, password),
+            owned_partitions={p for p in range(N_PARTITIONS) if p % n_nodes == i},
+            credential_salt=salt6,
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h, p_, ns)
+        for p in owned:
+            pmap[p] = idx
+    if any(x == -1 for x in pmap):
+        raise RuntimeError("migration: partition map has unowned slots")
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = _mixed_era_merge(spark, sf_dir, "_mixed_era", ("ma",)).select(
+        "key",
+        "cols_str",
+        F.when(F.col("expiry") == eternal, F.lit(0xFFFFFFFF))
+        .otherwise(F.col("expiry") - now_s)
+        .cast("long")
+        .alias("ttl"),
+    )
+
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name, user=user, credential=credential)
+                for h, p in nodes
+            ]
+        key = str(rd["key"]).encode()
+        c = cl[pmap[partition_id(key_digest(set_name, key))]]
+        bins = {
+            kv.split("=", 1)[0]: kv.split("=", 1)[1].encode()
+            for kv in rd["cols_str"].split(",")
+        }
+        return c.put(key, bins, int(rd["ttl"])), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("migration: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(records, put, wait, max_in_flight=32)
+
+    def verify(batches):
+        clients = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if clients is None:
+                clients = [
+                    WireClient(
+                        h, p, ns, set_name, user=user, credential=credential
+                    )
+                    for h, p in nodes
+                ]
+            routed = []
+            for k in pdf["key"]:
+                key = str(k).encode()
+                c = clients[pmap[partition_id(key_digest(set_name, key))]]
+                routed.append((c, c.get(key)))
+            cols, ttls, ok = [], [], []
+            for (c, h), exp_c, exp_t in zip(
+                routed, pdf["cols_str"], pdf["ttl"]
+            ):
+                rec = c.wait_record(h)
+                if rec is None:
+                    cols.append(None)
+                    ttls.append(-1)
+                    ok.append(0)
+                    continue
+                ttl, bins = rec
+                sstr = ",".join(
+                    sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                )
+                cols.append(sstr)
+                ttls.append(int(ttl))
+                ok.append(int(sstr == exp_c and int(ttl) == int(exp_t)))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "cols_str": cols, "ttl": ttls, "verified": ok}
+            )
+
+    out = records.mapInPandas(
+        verify, "key long, cols_str string, ttl long, verified int"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers:
+        srv.close()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -713,6 +847,7 @@ QUERIES = {
     "s28_aerospike_wire_sink": q_s28_aerospike_wire_sink,
     "s36_wire_cluster_sink": q_s36_wire_cluster_sink,
     "s38_wire_readback_verify": q_s38_wire_readback_verify,
+    "s39_e2e_migration_verified": q_s39_e2e_migration_verified,
     "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
@@ -815,6 +950,23 @@ ORACLES = {
                CAST(3 AS BIGINT) AS n_nodes
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         GROUP BY lr.key, lr.expiry
+    """,
+    # s39: the verified end-to-end migration — the s16 mixed-era
+    # relational derivation with the engine's expiry -> write-ttl rule,
+    # every row verified=1 (server state == expected merge)
+    "s39_e2e_migration_verified": _CTE_MIXED + """
+        SELECT r.key,
+               a.cols_str,
+               CASE WHEN r.expiry = 4294967295 THEN 4294967295
+                    ELSE r.expiry - 1719792000 END AS ttl,
+               CAST(1 AS INT) AS verified
+        FROM records r
+        JOIN (SELECT key,
+                     string_agg(col_name || '=' || printf('%.2f', value), ','
+                                ORDER BY col_name || '=' || printf('%.2f', value)
+                                ) AS cols_str
+              FROM latest_f GROUP BY key) a ON a.key = r.key
+        WHERE r.expiry = 4294967295 OR r.expiry >= 1719792001
     """,
     # s38: the read-back must equal the expected merge output exactly,
     # every row verified=1 (stored bins/ttl == expected)
