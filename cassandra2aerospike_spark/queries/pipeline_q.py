@@ -114,6 +114,15 @@ def q_s11_create_only_sink(spark, sf_dir):
     )
 
 
+def _sink_parallelism(n_rows: int, cap: int = 32) -> int:
+    """Task count for a wire-sink pass: each task pays connection +
+    LOGIN setup, so size tasks to carry >= ~250 records (measured at
+    sf0.1: the same pass over 32 tasks 3.2 s vs 0.5 s over 4).  At
+    production scale the row count saturates the cap and this is a
+    no-op; at fixture scale it stops per-task setup from dominating."""
+    return max(2, min(cap, n_rows // 250 + 1))
+
+
 def q_s12_retry_backpressure(spark, sf_dir):
     """S12 driver-visible: merged records pushed through the bounded-async
     pipelined writer against a fake async client whose FIRST attempt fails
@@ -392,7 +401,10 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
         raise RuntimeError("partition map has unowned partitions")
     sc = spark.sparkContext
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
-    records = merge.merge_records(load_table(spark, sf_dir, "events"))
+    # cache: the record frame feeds BOTH wire passes and the digest
+    # join — without it each action re-runs the full merge
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    sink_records = records.coalesce(_sink_parallelism(records.count()))
 
     def run_pass(acc_ok, acc_exists):
         state: dict = {}
@@ -424,7 +436,7 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
             (acc_ok if d == "ok" else acc_exists).add(1)
             return True  # no transient injection here (s28 covers it)
 
-        bounded_async_foreach_writer(records, put, wait, max_in_flight=32)
+        bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
 
     ok1, ex1 = sc.accumulator(0), sc.accumulator(0)
     ok2, ex2 = sc.accumulator(0), sc.accumulator(0)
@@ -453,14 +465,17 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
         _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
     )
     joined = keyed.join(F.broadcast(store_df), "digest_hex", "inner")
-    return joined.select(
+    out = joined.select(
         "key",
         "cols_str",
         "ttl",
         F.lit(n_store).cast("long").alias("n_records"),
         F.lit(ex2.value).cast("long").alias("n_second_exists"),
         F.lit(n_nodes).cast("long").alias("n_nodes"),
-    )
+    ).cache()
+    out.count()
+    records.unpersist()
+    return out
 
 
 def q_s38_wire_readback_verify(spark, sf_dir):
@@ -484,7 +499,9 @@ def q_s38_wire_readback_verify(spark, sf_dir):
     host, port = srv.host, srv.port
     ns, set_name = "tmx", "records"
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
-    records = merge.merge_records(load_table(spark, sf_dir, "events"))
+    # cache: feeds the write pass AND the expected-side of the verify
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_parts = _sink_parallelism(records.count())
 
     state: dict = {}
 
@@ -503,14 +520,16 @@ def q_s38_wire_readback_verify(spark, sf_dir):
         c.wait(handle)
         return True
 
-    bounded_async_foreach_writer(records, put, wait, max_in_flight=32)
+    bounded_async_foreach_writer(
+        records.coalesce(n_parts), put, wait, max_in_flight=32
+    )
 
     # ghost probe: an absent digest must answer KEY_NOT_FOUND
     probe = WireClient(host, port, ns, set_name)
     assert probe.wait_record(probe.get(b"ghost-key-not-there")) is None
     probe.close()
 
-    expected = records.select(
+    expected = records.coalesce(n_parts).select(
         "key",
         F.array_join(
             F.sort_array(
@@ -566,6 +585,7 @@ def q_s38_wire_readback_verify(spark, sf_dir):
     ).cache()
     out.count()  # materialize while the server lives
     srv.close()
+    records.unpersist()
     return out
 
 
@@ -622,14 +642,22 @@ def q_s39_e2e_migration_verified(spark, sf_dir):
     if any(x == -1 for x in pmap):
         raise RuntimeError("migration: partition map has unowned slots")
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
-    records = _mixed_era_merge(spark, sf_dir, "_mixed_era", ("ma",)).select(
-        "key",
-        "cols_str",
-        F.when(F.col("expiry") == eternal, F.lit(0xFFFFFFFF))
-        .otherwise(F.col("expiry") - now_s)
-        .cast("long")
-        .alias("ttl"),
+    # cache: the binary mixed-era read + merge feeds the write pass AND
+    # the verify pass; without it each action re-decodes three real
+    # sstable generations through the pure-Python DataSource
+    records = (
+        _mixed_era_merge(spark, sf_dir, "_mixed_era", ("ma",))
+        .select(
+            "key",
+            "cols_str",
+            F.when(F.col("expiry") == eternal, F.lit(0xFFFFFFFF))
+            .otherwise(F.col("expiry") - now_s)
+            .cast("long")
+            .alias("ttl"),
+        )
+        .cache()
     )
+    sink_records = records.coalesce(_sink_parallelism(records.count()))
 
     state: dict = {}
 
@@ -654,7 +682,7 @@ def q_s39_e2e_migration_verified(spark, sf_dir):
             raise RuntimeError("migration: unexpected non-ok put")
         return True
 
-    bounded_async_foreach_writer(records, put, wait, max_in_flight=32)
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
 
     def verify(batches):
         clients = None
@@ -694,12 +722,13 @@ def q_s39_e2e_migration_verified(spark, sf_dir):
                 {"key": pdf["key"], "cols_str": cols, "ttl": ttls, "verified": ok}
             )
 
-    out = records.mapInPandas(
+    out = sink_records.mapInPandas(
         verify, "key long, cols_str string, ttl long, verified int"
     ).cache()
     out.count()  # materialize while the cluster lives
     for srv in servers:
         srv.close()
+    records.unpersist()
     return out
 
 
