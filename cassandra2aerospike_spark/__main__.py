@@ -50,6 +50,10 @@ job shapes against SSTable-style run directories:
                                        #   > T (the s31 created/updated
                                        #   set: tombstone-only updates
                                        #   re-ship the surviving record)
+        [--verify]                     # ROUND 11: after the wire sink
+                                       #   pass, read every record back
+                                       #   (info1 READ) and compare bins
+                                       #   + ttl — exit 1 on mismatch
         [--asof EPOCH_US]              # ROUND 10: point-in-time run —
                                        #   merge only writes at ts <= T,
                                        #   expiry evaluated AT T (the
@@ -222,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--now", dest="now_s", type=int, default=None)
     p.add_argument("--limit", dest="limit", type=int, default=20)
     p.add_argument("--asof", dest="asof_us", type=int, default=None)
+    p.add_argument("--verify", dest="verify_sink", action="store_true")
     p.add_argument("--since", dest="since_us", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -428,6 +433,51 @@ def main(argv: list[str] | None = None) -> int:
         bounded_async_foreach_writer(
             sink_input, put, wait, max_in_flight=args.max_async
         )
+        if args.verify_sink:
+            # --verify (round 11): read every shipped record back over
+            # the wire (info1 READ|GET_ALL) from executor tasks and
+            # compare the stored bins against what the merge produced —
+            # the migration-proof phase the reference's zero-error
+            # count is not.  Mismatches fail the run (exit 1) after the
+            # count is reported.
+            acc_verified, acc_mismatch = (sc.accumulator(0) for _ in range(2))
+
+            def verify_part(rows):
+                c = None
+                pend = []
+                for rd in rows:
+                    if c is None:
+                        c = WireClient(
+                            host, port, ns, set_name,
+                            user=user, credential=credential,
+                        )
+                    k = rd["key"]
+                    if not isinstance(k, (bytes, bytearray)):
+                        k = str(k).encode("utf-8")
+                    want = {
+                        c_["col_name"]: c_["value"] or b""
+                        for c_ in rd["cells"]
+                    }
+                    pend.append((c.get(bytes(k)), want, int(rd["write_ttl"])))
+                for h, want, want_ttl in pend:
+                    rec = c.wait_record(h)
+                    ok = (
+                        rec is not None
+                        and rec[1] == want
+                        and int(rec[0]) == want_ttl & 0xFFFFFFFF
+                    )
+                    (acc_verified if ok else acc_mismatch).add(1)
+                if c is not None:
+                    c.close()
+
+            sink_input.foreachPartition(verify_part)
+            print(
+                f"# verify: {acc_verified.value} records match the sink, "
+                f"{acc_mismatch.value} mismatches"
+            )
+            if acc_mismatch.value:
+                print("# VERIFY FAILED", file=sys.stderr)
+                return 1
         n_read = stats["n_read"]
         last = stats["t"]
         n_expired = stats["n_merged"] - n_read

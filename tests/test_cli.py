@@ -442,3 +442,34 @@ def test_cli_wire_auth_flags(runs_dir, capsys):
             main(bad)
     finally:
         srv_real.close()
+
+
+def test_cli_wire_verify_flag(runs_dir, capsys):
+    """--verify (round 11): after the wire sink pass the CLI reads every
+    record back over the wire and compares bins + ttl; a clean run
+    reports zero mismatches and exits 0, a server whose stored state
+    was tampered with exits 1."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import WireServer
+
+    srv = WireServer()
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{srv.port}",
+            "-n", "tmx", "-t", "recs", "--verify",
+        ] + NOW
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert "mismatches" in out and " 0 mismatches" in out
+        n = len(srv.records())
+        assert f"# verify: {n} records match" in out
+        # tamper with one stored record server-side: verify must fail
+        with srv._lock:
+            k = next(iter(srv._store))
+            bins, ttl = srv._store[k]
+            srv._store[k] = ({**bins, "tampered": b"x"}, ttl)
+        assert main(argv) == 1
+        out2 = capsys.readouterr().out
+        assert " 1 mismatches" in out2 or "1 mismatches" in out2
+    finally:
+        srv.close()
