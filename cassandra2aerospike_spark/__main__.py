@@ -28,9 +28,13 @@ job shapes against SSTable-style run directories:
                                        #   through the REAL Aerospike wire
                                        #   protocol (sinks/aerospike_wire:
                                        #   AS_MSG v2, RIPEMD-160 digests,
-                                       #   CREATE-only, pipelined TCP) to
-                                       #   the first host; with -o, the
-                                       #   parquet sink wins (warned)
+                                       #   CREATE-only, pipelined TCP).
+                                       #   ROUND 11: several -h hosts =
+                                       #   a CLUSTER — the partition map
+                                       #   is discovered over the info
+                                       #   channel and puts route by
+                                       #   digest partition; with -o,
+                                       #   the parquet sink wins (warned)
         [-a N]                         # async in-flight window per task
                                        #   (applied: the bounded-async
                                        #   writer's pipeline depth, S12)
@@ -373,13 +377,35 @@ def main(argv: list[str] | None = None) -> int:
         # CREATE-only + EXISTS-is-not-an-error + transient retry mirror
         # AerospikeWriter.cpp:137-161; write_ttl is already the
         # reference's rec.ttl (apply_ttl_policy).
-        from .sinks.aerospike_wire import WireClient
+        from .sinks.aerospike_wire import (
+            N_PARTITIONS,
+            WireClient,
+            fetch_partition_map,
+            key_digest,
+            partition_id,
+        )
         from .sinks.kv_sink import bounded_async_foreach_writer
 
-        host, _, port_s = args.hosts[0].partition(":")
-        port = int(port_s) if port_s else 3000
+        nodes = []
+        for hp in args.hosts:
+            h_, _, port_s = hp.partition(":")
+            nodes.append((h_, int(port_s) if port_s else 3000))
+        host, port = nodes[0]
         ns = args.namespace or "test"
         set_name = args.set_name or "records"
+        # round 11: several -h hosts form a CLUSTER — discover each
+        # node's mastered slice over the info channel (the C client's
+        # cluster tend) and route puts by digest partition; one host
+        # keeps the single-connection path (everything -> node 0)
+        pmap = None
+        if len(nodes) > 1:
+            pmap = [-1] * N_PARTITIONS
+            for idx, (h_, p_) in enumerate(nodes):
+                _gen, owned = fetch_partition_map(h_, p_, ns)
+                for pt in owned:
+                    pmap[pt] = idx
+            if any(x == -1 for x in pmap):
+                p.error("cluster partition map has unowned partitions")
         # -u/-p (round 11): precompute the bcrypt credential ONCE on the
         # driver (the C client's one-time as_password_gen_hash) and ship
         # the hash — every task connection then LOGINs over the admin
@@ -407,16 +433,26 @@ def main(argv: list[str] | None = None) -> int:
         state: dict = {}
 
         def put(rd):
-            c = state.get("client")
-            if c is None:
-                c = state["client"] = WireClient(
-                    host, port, ns, set_name, user=user, credential=credential
-                )
+            cl = state.get("clients")
+            if cl is None:
+                targets = nodes if pmap is not None else [(host, port)]
+                cl = state["clients"] = [
+                    WireClient(
+                        h_, p_, ns, set_name, user=user, credential=credential
+                    )
+                    for h_, p_ in targets
+                ]
             bins = {c_["col_name"]: c_["value"] or b"" for c_ in rd["cells"]}
             k = rd["key"]  # SGR runs decode keys as strings, ma as bytes
             if not isinstance(k, (bytes, bytearray)):
                 k = str(k).encode("utf-8")
-            return c.put(bytes(k), bins, int(rd["write_ttl"])), c
+            k = bytes(k)
+            c = cl[
+                pmap[partition_id(key_digest(set_name, k))]
+                if pmap is not None
+                else 0
+            ]
+            return c.put(k, bins, int(rd["write_ttl"])), c
 
         def wait(h):
             handle, c = h
@@ -443,23 +479,33 @@ def main(argv: list[str] | None = None) -> int:
             acc_verified, acc_mismatch = (sc.accumulator(0) for _ in range(2))
 
             def verify_part(rows):
-                c = None
+                cl = None
                 pend = []
                 for rd in rows:
-                    if c is None:
-                        c = WireClient(
-                            host, port, ns, set_name,
-                            user=user, credential=credential,
-                        )
+                    if cl is None:
+                        targets = nodes if pmap is not None else [(host, port)]
+                        cl = [
+                            WireClient(
+                                h_, p_, ns, set_name,
+                                user=user, credential=credential,
+                            )
+                            for h_, p_ in targets
+                        ]
                     k = rd["key"]
                     if not isinstance(k, (bytes, bytearray)):
                         k = str(k).encode("utf-8")
+                    k = bytes(k)
+                    c = cl[
+                        pmap[partition_id(key_digest(set_name, k))]
+                        if pmap is not None
+                        else 0
+                    ]
                     want = {
                         c_["col_name"]: c_["value"] or b""
                         for c_ in rd["cells"]
                     }
-                    pend.append((c.get(bytes(k)), want, int(rd["write_ttl"])))
-                for h, want, want_ttl in pend:
+                    pend.append((c, c.get(k), want, int(rd["write_ttl"])))
+                for c, h, want, want_ttl in pend:
                     rec = c.wait_record(h)
                     ok = (
                         rec is not None
@@ -467,8 +513,9 @@ def main(argv: list[str] | None = None) -> int:
                         and int(rec[0]) == want_ttl & 0xFFFFFFFF
                     )
                     (acc_verified if ok else acc_mismatch).add(1)
-                if c is not None:
-                    c.close()
+                if cl is not None:
+                    for c in cl:
+                        c.close()
 
             sink_input.foreachPartition(verify_part)
             print(

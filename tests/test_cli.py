@@ -473,3 +473,45 @@ def test_cli_wire_verify_flag(runs_dir, capsys):
         assert " 1 mismatches" in out2 or "1 mismatches" in out2
     finally:
         srv.close()
+
+
+def test_cli_wire_cluster_hosts(runs_dir, capsys):
+    """Several -h hosts (round 11): the CLI discovers each node's
+    mastered slice over the info channel and routes puts by digest
+    partition — every record lands on exactly the node that owns its
+    partition (nodes refuse misroutes, so a routing bug fails the run);
+    --verify then proves the cluster state record-for-record."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireServer,
+        partition_id,
+    )
+
+    servers = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 2 == i},
+            info_namespace="tmx",
+        )
+        for i in range(2)
+    ]
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{servers[0].port}",
+            "-h", f"127.0.0.1:{servers[1].port}",
+            "-n", "tmx", "-t", "recs", "--verify",
+        ] + NOW
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert " 0 mismatches" in out
+        per_node = [srv.records() for srv in servers]
+        assert all(per_node), "both nodes must hold records"
+        for i, store in enumerate(per_node):
+            for (_ns, _st, digest) in store:
+                assert partition_id(digest) % 2 == i  # landed on its owner
+        # replay: create-only across the cluster
+        assert main(argv) == 0
+        assert "written: 0" in capsys.readouterr().out
+    finally:
+        for srv in servers:
+            srv.close()
