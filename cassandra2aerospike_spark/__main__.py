@@ -403,6 +403,11 @@ def main(argv: list[str] | None = None) -> int:
             for idx, (h_, p_) in enumerate(nodes):
                 _gen, owned = fetch_partition_map(h_, p_, ns)
                 for pt in owned:
+                    if pmap[pt] != -1:
+                        p.error(
+                            f"partition {pt} advertised by two nodes "
+                            f"({nodes[pmap[pt]][0]} and {h_})"
+                        )
                     pmap[pt] = idx
             if any(x == -1 for x in pmap):
                 p.error("cluster partition map has unowned partitions")
@@ -478,9 +483,29 @@ def main(argv: list[str] | None = None) -> int:
             # count is reported.
             acc_verified, acc_mismatch = (sc.accumulator(0) for _ in range(2))
 
+            # ADVICE r11: the gets ride the put path's bounded-async
+            # discipline — redeem the oldest pending response once
+            # max_async gets are in flight, or a partition larger than
+            # the socket buffers deadlocks (client blocked in sendall,
+            # server blocked writing responses nobody is reading)
+            window = max(1, args.max_async)
+
             def verify_part(rows):
+                from collections import deque
+
                 cl = None
-                pend = []
+                pend = deque()
+
+                def redeem():
+                    c, h, want, want_ttl = pend.popleft()
+                    rec = c.wait_record(h)
+                    ok = (
+                        rec is not None
+                        and rec[1] == want
+                        and int(rec[0]) == want_ttl & 0xFFFFFFFF
+                    )
+                    (acc_verified if ok else acc_mismatch).add(1)
+
                 for rd in rows:
                     if cl is None:
                         targets = nodes if pmap is not None else [(host, port)]
@@ -504,15 +529,11 @@ def main(argv: list[str] | None = None) -> int:
                         c_["col_name"]: c_["value"] or b""
                         for c_ in rd["cells"]
                     }
+                    if len(pend) >= window:
+                        redeem()
                     pend.append((c, c.get(k), want, int(rd["write_ttl"])))
-                for c, h, want, want_ttl in pend:
-                    rec = c.wait_record(h)
-                    ok = (
-                        rec is not None
-                        and rec[1] == want
-                        and int(rec[0]) == want_ttl & 0xFFFFFFFF
-                    )
-                    (acc_verified if ok else acc_mismatch).add(1)
+                while pend:
+                    redeem()
                 if cl is not None:
                     for c in cl:
                         c.close()

@@ -365,6 +365,7 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
         N_PARTITIONS,
         WireClient,
         WireServer,
+        cols_str_to_bins,
         fetch_partition_map,
         key_digest,
         partition_id,
@@ -611,6 +612,7 @@ def q_s39_e2e_migration_verified(spark, sf_dir):
         N_PARTITIONS,
         WireClient,
         WireServer,
+        cols_str_to_bins,
         fetch_partition_map,
         key_digest,
         partition_id,
@@ -670,10 +672,7 @@ def q_s39_e2e_migration_verified(spark, sf_dir):
             ]
         key = str(rd["key"]).encode()
         c = cl[pmap[partition_id(key_digest(set_name, key))]]
-        bins = {
-            kv.split("=", 1)[0]: kv.split("=", 1)[1].encode()
-            for kv in rd["cols_str"].split(",")
-        }
+        bins = cols_str_to_bins(rd["cols_str"])
         return c.put(key, bins, int(rd["ttl"])), c
 
     def wait(h):

@@ -346,6 +346,23 @@ def build_record_response(result_code: int, ttl: int, bins: dict[str, bytes]) ->
     return _proto_frame(msg + b"".join(ops))
 
 
+def cols_str_to_bins(cols_str: str) -> dict[str, bytes]:
+    """Reconstruct a bins dict from a 'name=value,name=value' record
+    string (the wire rows' serialized cell list).  Guarded (ADVICE r11):
+    an empty string is an empty record, a token without '=' is a
+    malformed row and raises ValueError instead of IndexError; values
+    may contain '=' (split once on the first)."""
+    if not cols_str:
+        return {}
+    bins: dict[str, bytes] = {}
+    for kv in cols_str.split(","):
+        name, eq, value = kv.partition("=")
+        if not eq:
+            raise ValueError(f"malformed cols_str token (no '='): {kv!r}")
+        bins[name] = value.encode()
+    return bins
+
+
 def parse_record_response(body: bytes) -> tuple[int, int, dict[str, bytes]]:
     """(result_code, record_ttl, bins) from a record response body."""
     if len(body) < 22:
@@ -355,12 +372,22 @@ def parse_record_response(body: bytes) -> tuple[int, int, dict[str, bytes]]:
     )
     off = 22
     for _ in range(n_fields):
+        if off + 4 > len(body):
+            raise ValueError("aerospike wire: truncated record field")
         (sz,) = struct.unpack_from(">I", body, off)
+        if off + 4 + sz > len(body):
+            raise ValueError("aerospike wire: truncated record field")
         off += 4 + sz
     bins: dict[str, bytes] = {}
     for _ in range(n_ops):
+        if off + 8 > len(body):
+            raise ValueError("aerospike wire: truncated record op")
         (sz,) = struct.unpack_from(">I", body, off)
+        if sz < 4 or off + 4 + sz > len(body):
+            raise ValueError("aerospike wire: truncated record op")
         _op, _ptype, _ver, nlen = struct.unpack_from("BBBB", body, off + 4)
+        if 4 + nlen > sz:
+            raise ValueError("aerospike wire: record op name overruns op")
         name = body[off + 8 : off + 8 + nlen].decode()
         bins[name] = body[off + 8 + nlen : off + 4 + sz]
         off += 4 + sz

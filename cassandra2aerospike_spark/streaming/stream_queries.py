@@ -995,7 +995,7 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule."""
     from ..operators import merge as M
     from ..queries.pipeline_q import _digest_hex_records
-    from ..sinks.aerospike_wire import WireClient, WireServer
+    from ..sinks.aerospike_wire import WireClient, WireServer, cols_str_to_bins
     from ..sources import load_table
     from ..sources.sstable.fixtures import (
         build_ma_table_from_events,
@@ -1022,10 +1022,7 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if r["cols_str"] is None:
                     handles.append(client.delete(key))
                 else:
-                    bins = {
-                        kv.split("=", 1)[0]: kv.split("=", 1)[1].encode()
-                        for kv in r["cols_str"].split(",")
-                    }
+                    bins = cols_str_to_bins(r["cols_str"])
                     ttl = (
                         0xFFFFFFFF
                         if r["expiry"] == eternal
