@@ -97,52 +97,169 @@ HEADLINE = [
 ]
 
 
-# Host-speed calibration (VERDICT r07 task 3 / r08 task 3): rounds 7 and
-# 8 showed the whole suite drifting ~1.35x in BOTH directions on
-# byte-identical plans — pure host noise, indistinguishable from a real
-# regression without an anchor.  The probe is a fixed PURE-JVM workload
-# (range -> hash -> shuffle agg; no parquet, no Python, no repo code),
-# so its runtime tracks only the host: same JVM codegen, same shuffle
-# machinery, zero dependence on anything this repo changes.
-# CALIBRATION_REF_SEC pins the round-9 host measurement; future rounds
-# read speed_factor = calibration_sec / CALIBRATION_REF_SEC and compare
-# value_warm_normalized (= value_warm / speed_factor) across rounds.
-CALIBRATION_REF_SEC = 0.70  # median of the r09 bench-context samples
-# (0.736, 0.704; a standalone quiet-window sample read 0.49 — the
-# anchor is pinned to the bench's own calling context so factor ~1.0
+# Host-speed calibration (VERDICT r07 task 3 / r08 task 3 / r11 tasks
+# 1-2): rounds 7-11 showed the whole suite drifting 1.3-1.5x in BOTH
+# directions on byte-identical plans — pure host noise, indistinguishable
+# from a real regression without an anchor.  TWO fixed probes:
+#
+#   * JVM probe: range -> hash -> 32-partition shuffle agg (no parquet,
+#     no Python, no repo code) — tracks JVM codegen + shuffle speed.
+#   * Python probe (r12): a fixed Arrow-batched pandas_udf numpy fold
+#     over 32 partitions — tracks Python-worker fork, Arrow transfer and
+#     memory bandwidth, the half the r11 driver run proved the JVM probe
+#     cannot see (its factor said "host 1.56x FASTER" while every
+#     Python-heavy warm median ran ~1.4x slower under 32-way contention).
+#
+# Both probes are sampled at the START and then INTERLEAVED through the
+# suite (every 12 queries + once at the end), so time-varying load lands
+# in the medians the same way it lands in the query timings.
+# host_speed_factor = max(jvm_median/JVM_REF, py_median/PY_REF) — the
+# conservative reading: if EITHER execution regime is degraded, the
+# normalization discounts the suite accordingly.
+CALIBRATION_REF_SEC = 0.70  # JVM probe, median of the r09 bench-context
+# samples (0.736, 0.704; a standalone quiet-window sample read 0.49 —
+# the anchor is pinned to the bench's own calling context so factor ~1.0
 # means "a typical r09 host", not "the quietest moment observed")
+PY_CALIBRATION_REF_SEC = 1.04  # Python probe, pinned r12 so that on the
+# r12 builder host (idle) both probes report the SAME factor (jvm 0.396s
+# -> 0.566; py 0.589s / 1.04 -> 0.566): the normalized series stays
+# continuous with r09-r11, and the py probe only moves the max() when
+# Python-side contention diverges from JVM-side
 
 
-def calibration_probe(spark, k: int = 5) -> float:
-    """Median wall-time of the fixed JVM-only calibration query."""
-    import statistics
+def _jvm_calib_run(spark) -> float:
+    """One timed run of the fixed JVM-only calibration query."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 80_000_000, 1, 32)
+        .select(F.xxhash64("id").alias("h"))
+        .groupBy(F.pmod("h", F.lit(1024)).alias("b"))
+        # pmod bounds the summand so ANSI mode can't overflow long
+        .agg(F.count("*").alias("n"), F.sum(F.pmod("h", F.lit(1000003))).alias("s"))
+        .agg(F.sum("n"), F.max("s"))
+        .collect()
+    )
+    return time.time() - t0
+
+
+def _py_calib_runner(spark):
+    """Build the one-timed-run callable for the fixed Python-path probe
+    (module-scope pandas_udf objects need an active session, so the udf
+    is built lazily and reused across samples)."""
+    import numpy as np
+    import pandas as pd
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _work(s):
+        x = s.to_numpy(dtype="float64")
+        acc = np.sqrt(x + 1.0)
+        for _ in range(8):
+            acc = np.sqrt(acc * x + 1.0)
+        return pd.Series(acc)
+
+    # real type objects, not strings: `from __future__ import annotations`
+    # would stringify inline hints and the UDF infer step can't resolve
+    # 'pd.Series' against this module's globals
+    _work.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _work = pandas_udf(T.DoubleType())(_work)
 
     def run() -> float:
         t0 = time.time()
         (
-            spark.range(0, 80_000_000, 1, 32)
-            .select(F.xxhash64("id").alias("h"))
-            .groupBy(F.pmod("h", F.lit(1024)).alias("b"))
-            # pmod bounds the summand so ANSI mode can't overflow long
-            .agg(F.count("*").alias("n"), F.sum(F.pmod("h", F.lit(1000003))).alias("s"))
-            .agg(F.sum("n"), F.max("s"))
+            spark.range(0, 8_000_000, 1, 32)
+            .select(_work(F.col("id")).alias("v"))
+            .agg(F.sum("v"))
             .collect()
         )
         return time.time() - t0
 
+    return run
+
+
+def calibration_probe(spark, k: int = 5) -> float:
+    """Median wall-time of the fixed JVM-only calibration query (kept as
+    the standalone API; main() samples the same runner interleaved)."""
+    import statistics
+
     for _ in range(3):  # JIT warm-up: first runs are C1-compiled and slower
-        run()
-    return round(statistics.median(run() for _ in range(k)), 3)
+        _jvm_calib_run(spark)
+    return round(statistics.median(_jvm_calib_run(spark) for _ in range(k)), 3)
 
 
-def _prev_normalized(repo_dir: str):
+def host_tag() -> str:
+    """Stable 8-hex tag of the host HARDWARE (cpu model + core count +
+    RAM size).  Normalized medians are only comparable when the factor
+    chain shares an anchor lineage; a different machine breaks that, so
+    the tripwire refuses baselines whose host_tag differs (VERDICT r11
+    task 1).  Same-machine load differences are the calibration
+    factor's job, not the tag's."""
+    import hashlib
+
+    model, mem = "", ""
+    try:
+        for line in open("/proc/cpuinfo"):
+            if line.startswith("model name"):
+                model = line.split(":", 1)[1].strip()
+                break
+        for line in open("/proc/meminfo"):
+            if line.startswith("MemTotal"):
+                mem = line.split(":", 1)[1].strip()
+                break
+    except OSError:
+        pass
+    raw = f"{model}|{os.cpu_count()}|{mem}"
+    return hashlib.md5(raw.encode()).hexdigest()[:8]
+
+
+def short_name(name: str) -> str:
+    """Compact stable query alias for the stdout normalized map: first 4
+    chars of each underscore token ('s29_bloom_lookup_merge' ->
+    's29bloolookmerg').  Collisions (none across the current registry,
+    test-pinned) are resolved by the caller falling back to full names
+    for the colliding pair."""
+    return "".join(t[:4] for t in name.split("_"))
+
+
+def short_map(values: dict[str, float]) -> dict[str, float]:
+    """{short_name: value} with collision fallback to full names."""
+    from collections import Counter
+
+    counts = Counter(short_name(n) for n in values)
+    return {
+        (short_name(n) if counts[short_name(n)] == 1 else n): v
+        for n, v in values.items()
+    }
+
+
+def _extract_normalized(parsed: dict, names: list[str]) -> dict[str, float]:
+    """Per-query normalized map out of one bench artifact dict, keyed by
+    FULL query name.  Accepts the r12+ compact `qn` map (short_name
+    keys), the older full-name `queries_warm_normalized`, or derives
+    from `queries_warm` + `host_speed_factor`."""
+    qn = parsed.get("qn") or parsed.get("queries_warm_normalized")
+    if qn is None and parsed.get("queries_warm") and parsed.get("host_speed_factor"):
+        hs = parsed["host_speed_factor"]
+        qn = {k: v / hs for k, v in parsed["queries_warm"].items()}
+    if not qn:
+        return {}
+    unshorten = {short_name(n): n for n in names}
+    return {unshorten.get(k, k): v for k, v in qn.items()}
+
+
+def _prev_normalized(repo_dir: str, names: list[str], tag: str, sf=None):
     """Previous round's per-query NORMALIZED warm medians — the tripwire
-    baseline (VERDICT r10 task 2).  Prefer the newest BENCH_r*.json whose
-    parsed stdout carries normalized (or warm + factor) per-query maps;
-    fall back to the committed BENCH_DETAIL.json sidecar (rounds whose
-    stdout line dropped the warm map to fit the driver's tail window).
+    baseline (VERDICT r10 task 2, r11 task 1).  Prefer the newest
+    BENCH_r*.json whose parsed stdout carries a normalized per-query map
+    AND whose host_tag matches ours; fall back to the COMMITTED
+    BENCH_DETAIL.json sidecar under the same host_tag rule.  A baseline
+    from a different machine (or one too old to carry a tag) is refused
+    outright: its factor chain shares no anchor lineage with ours, and
+    r11 proved such comparisons manufacture phantom regressions.
     Returns (tag, {query: normalized_sec}) or (None, {})."""
     import glob
     import re as _re
@@ -157,21 +274,21 @@ def _prev_normalized(repo_dir: str):
             parsed = (json.load(open(f)) or {}).get("parsed") or {}
         except (OSError, ValueError):
             continue
-        qn = parsed.get("queries_warm_normalized")
-        if qn is None and parsed.get("queries_warm") and parsed.get("host_speed_factor"):
-            hs = parsed["host_speed_factor"]
-            qn = {k: v / hs for k, v in parsed["queries_warm"].items()}
+        if parsed.get("host_tag") != tag:
+            continue
+        if sf is not None and parsed.get("sf") != sf:
+            continue  # cross-scale comparison is meaningless
+        qn = _extract_normalized(parsed, names)
         if qn and n > best[1]:
             best = (f"BENCH_r{n:02d}", n, qn)
     if best[0]:
         return best[0], best[2]
     try:
         d = json.load(open(os.path.join(repo_dir, "BENCH_DETAIL.json")))
-        if d.get("queries_warm") and d.get("host_speed_factor"):
-            hs = d["host_speed_factor"]
-            return "BENCH_DETAIL", {
-                k: v / hs for k, v in d["queries_warm"].items()
-            }
+        if d.get("host_tag") == tag and (sf is None or d.get("sf") == sf):
+            qn = _extract_normalized(d, names)
+            if qn:
+                return "BENCH_DETAIL", qn
     except (OSError, ValueError):
         pass
     return None, {}
@@ -189,12 +306,38 @@ def main() -> None:
     # latency at these SFs (~3-4 s of fixed JVM cost on a ~1 s query), so
     # run the heaviest pipeline once untimed before measuring steady state.
     spark.range(1).count()
-    calib = calibration_probe(spark)
-    speed = round(calib / CALIBRATION_REF_SEC, 3)
+    import statistics
+
+    py_run = _py_calib_runner(spark)
+    for _ in range(3):  # JIT / worker-pool warm-up for both probes
+        _jvm_calib_run(spark)
+    py_run()
+    jvm_samples = [_jvm_calib_run(spark) for _ in range(3)]
+    py_samples = [py_run() for _ in range(2)]
+
+    def speed_now() -> tuple[float, float, float]:
+        calib_ = round(statistics.median(jvm_samples), 3)
+        calib_py_ = round(statistics.median(py_samples), 3)
+        return (
+            calib_,
+            calib_py_,
+            round(
+                max(
+                    calib_ / CALIBRATION_REF_SEC,
+                    calib_py_ / PY_CALIBRATION_REF_SEC,
+                ),
+                3,
+            ),
+        )
+
+    calib, calib_py, speed = speed_now()
     print(
-        f"# calibration: {calib}s (ref {CALIBRATION_REF_SEC}s, host speed "
+        f"# calibration: jvm {calib}s (ref {CALIBRATION_REF_SEC}s), py "
+        f"{calib_py}s (ref {PY_CALIBRATION_REF_SEC}s) -> host speed "
         f"factor {speed} — >1 means THIS host run is slower than the "
-        f"round-9 anchor; divide suite times by it to compare rounds)",
+        f"anchor; divide suite times by it to compare rounds; both probes "
+        f"re-sample every 12 queries so time-varying load lands in the "
+        f"medians",
         file=sys.stderr,
     )
     if "merge_full" in qs:
@@ -248,9 +391,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     spread: dict[str, float] = {}
-    import statistics
 
-    for name in names:
+    for qi, name in enumerate(names):
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()  # materialize fully, leave results distributed
@@ -267,6 +409,20 @@ def main() -> None:
             f"(warm median {warm[name]}s, spread {spread[name]}s over {k_warm})",
             file=sys.stderr,
         )
+        # interleaved calibration (VERDICT r11 task 2): one sample of
+        # each probe every 12 queries, so contention that arrives (or
+        # leaves) mid-suite moves the factor the way it moves the suite
+        if (qi + 1) % 12 == 0:
+            jvm_samples.append(_jvm_calib_run(spark))
+            py_samples.append(py_run())
+    jvm_samples.append(_jvm_calib_run(spark))
+    py_samples.append(py_run())
+    calib, calib_py, speed = speed_now()
+    print(
+        f"# calibration final (n={len(jvm_samples)} jvm / {len(py_samples)} py "
+        f"samples): jvm {calib}s, py {calib_py}s -> host speed factor {speed}",
+        file=sys.stderr,
+    )
 
     # Throughput probe against the reference's one published number
     # (~100k rows/s end-to-end, BASELINE.md): the full merge over a
@@ -704,8 +860,9 @@ def main() -> None:
     # The list is part of the stdout JSON, so a regression is visible in
     # BENCH_rN itself; an empty list is the green state.
     warm_norm = {n: round(w / max(speed, 1e-9), 2) for n, w in warm.items()}
+    tag = host_tag()
     prev_tag, prev_norm = _prev_normalized(
-        os.path.dirname(os.path.abspath(__file__))
+        os.path.dirname(os.path.abspath(__file__)), names, tag, sf
     )
     regressions = [
         {
@@ -730,12 +887,19 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_warm_normalized": warm_norm,
+        # `qn` — the per-query NORMALIZED warm-median map, compact
+        # (short_name keys) so it survives the driver's ~2000-char
+        # stdout tail window EVERY round: next round's tripwire reads
+        # it back as a same-host driver-to-driver baseline
+        "qn": short_map(warm_norm),
+        "host_tag": tag,
         "regressions": regressions,
         "value_warm": round(sum(warm.values()), 3),
         "warm_k": k_warm,
         "calibration_sec": calib,
         "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "calibration_py_sec": calib_py,
+        "calibration_py_ref_sec": PY_CALIBRATION_REF_SEC,
         "host_speed_factor": speed,
         "value_warm_normalized": round(sum(warm.values()) / max(speed, 1e-9), 3),
         "sf": sf,
@@ -762,9 +926,13 @@ def main() -> None:
     # and as the value_warm scalar).
     detail = dict(out)
     detail["queries_warm"] = warm
+    detail["queries_warm_normalized"] = warm_norm  # full-name twin of qn
     detail["queries_spread"] = spread
     if slope:
         detail["scale_slope"] = slope
+    # BENCH_DETAIL.json is COMMITTED (VERDICT r11 task 1): it carries the
+    # host_tag, so the tripwire can use it as a same-machine baseline
+    # when no tagged BENCH_r*.json exists yet, and refuses it otherwise
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
@@ -772,14 +940,15 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     # stdout budget: the driver tail-captures ~2000 chars; keep the line
     # under 1900 (50+ headroom).  Fallback order: the cold per-query map
-    # goes first (its total survives as `value`), the normalized warm
-    # map — the tracked series — last; the sidecar always keeps both.
+    # goes first (its total survives as `value`), the compact normalized
+    # map — the tracked tripwire series — last (short names keep it
+    # ~1k chars, so it should never be reached); the sidecar keeps all.
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
         del out["queries"]
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
-        del out["queries_warm_normalized"]
+        del out["qn"]
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 

@@ -1,6 +1,7 @@
-"""bench.py regression-tripwire unit tests (round 11): baseline
-resolution order (newest BENCH_r*.json parsed stdout, BENCH_DETAIL
-fallback) and the normalized-median comparison rule — no Spark."""
+"""bench.py regression-tripwire unit tests (rounds 11-12): baseline
+resolution order (newest same-host-tag BENCH_r*.json parsed stdout,
+committed BENCH_DETAIL fallback), the host-tag refusal rule, and the
+compact short-name normalized map — no Spark."""
 
 from __future__ import annotations
 
@@ -20,37 +21,115 @@ def _load_bench():
     return mod
 
 
-def test_prev_normalized_prefers_newest_round(tmp_path):
+def test_prev_normalized_prefers_newest_same_tag_round(tmp_path):
     bench = _load_bench()
     d = str(tmp_path)
+    tag = bench.host_tag()
     json.dump(
-        {"parsed": {"queries_warm_normalized": {"q": 1.0}}},
+        {"parsed": {"queries_warm_normalized": {"q": 1.0}, "host_tag": tag}},
         open(os.path.join(d, "BENCH_r09.json"), "w"),
     )
     json.dump(
-        {"parsed": {"queries_warm": {"q": 2.0}, "host_speed_factor": 0.5}},
+        {
+            "parsed": {
+                "queries_warm": {"q": 2.0},
+                "host_speed_factor": 0.5,
+                "host_tag": tag,
+            }
+        },
         open(os.path.join(d, "BENCH_r10.json"), "w"),
     )
-    tag, prev = bench._prev_normalized(d)
-    assert tag == "BENCH_r10"
+    btag, prev = bench._prev_normalized(d, ["q"], tag)
+    assert btag == "BENCH_r10"
     assert prev == {"q": 4.0}  # warm / factor
 
 
-def test_prev_normalized_detail_fallback(tmp_path):
+def test_prev_normalized_refuses_foreign_or_missing_tag(tmp_path):
     bench = _load_bench()
     d = str(tmp_path)
-    # a round file with NO per-query maps must be skipped
-    json.dump({"parsed": {"value": 1}}, open(os.path.join(d, "BENCH_r10.json"), "w"))
+    tag = bench.host_tag()
+    # r11-era artifact: per-query map but NO host_tag -> refused (this
+    # is exactly the builder-idle vs driver-contended r11 mismatch)
+    json.dump(
+        {"parsed": {"queries_warm_normalized": {"q": 1.0}}},
+        open(os.path.join(d, "BENCH_r11.json"), "w"),
+    )
+    # different machine -> refused
+    json.dump(
+        {
+            "parsed": {
+                "queries_warm_normalized": {"q": 1.0},
+                "host_tag": "deadbeef",
+            }
+        },
+        open(os.path.join(d, "BENCH_r12.json"), "w"),
+    )
     json.dump(
         {"queries_warm": {"a": 1.5}, "host_speed_factor": 0.75},
         open(os.path.join(d, "BENCH_DETAIL.json"), "w"),
     )
-    tag, prev = bench._prev_normalized(d)
-    assert tag == "BENCH_DETAIL"
+    btag, prev = bench._prev_normalized(d, ["q", "a"], tag)
+    assert btag is None and prev == {}
+
+
+def test_prev_normalized_detail_fallback_same_tag(tmp_path):
+    bench = _load_bench()
+    d = str(tmp_path)
+    tag = bench.host_tag()
+    json.dump({"parsed": {"value": 1}}, open(os.path.join(d, "BENCH_r10.json"), "w"))
+    json.dump(
+        {"queries_warm": {"a": 1.5}, "host_speed_factor": 0.75, "host_tag": tag},
+        open(os.path.join(d, "BENCH_DETAIL.json"), "w"),
+    )
+    btag, prev = bench._prev_normalized(d, ["a"], tag)
+    assert btag == "BENCH_DETAIL"
     assert prev == {"a": 2.0}
+
+
+def test_prev_normalized_unshortens_qn_map(tmp_path):
+    bench = _load_bench()
+    d = str(tmp_path)
+    tag = bench.host_tag()
+    names = ["s29_bloom_lookup_merge", "text_quality"]
+    qn = {bench.short_name(n): 1.25 for n in names}
+    json.dump(
+        {"parsed": {"qn": qn, "host_tag": tag}},
+        open(os.path.join(d, "BENCH_r12.json"), "w"),
+    )
+    btag, prev = bench._prev_normalized(d, names, tag)
+    assert btag == "BENCH_r12"
+    assert prev == {n: 1.25 for n in names}
 
 
 def test_prev_normalized_empty_dir(tmp_path):
     bench = _load_bench()
-    tag, prev = bench._prev_normalized(str(tmp_path))
+    tag, prev = bench._prev_normalized(str(tmp_path), [], bench.host_tag())
     assert tag is None and prev == {}
+
+
+def test_short_map_collision_falls_back_to_full_names():
+    bench = _load_bench()
+    # 'abcd_efgh' and 'abcdq_efghq' share short form 'abcdefgh'
+    m = bench.short_map({"abcd_efgh": 1.0, "abcdq_efghq": 2.0, "other_q": 3.0})
+    assert m == {
+        "abcd_efgh": 1.0,
+        "abcdq_efghq": 2.0,
+        bench.short_name("other_q"): 3.0,
+    }
+
+
+def test_headline_short_names_are_collision_free():
+    bench = _load_bench()
+    shorts = [bench.short_name(n) for n in bench.HEADLINE]
+    assert len(set(shorts)) == len(shorts)
+
+
+def test_registry_short_names_are_collision_free():
+    """All 170+ registry names stay distinct under the shortener, so the
+    qn map round-trips losslessly even if HEADLINE grows to cover them."""
+    bench = _load_bench()
+    sys.path.insert(0, "/root/repo")
+    from cassandra2aerospike_spark.queries import QUERIES
+
+    shorts = [bench.short_name(n) for n in QUERIES]
+    assert len(set(shorts)) == len(shorts)
