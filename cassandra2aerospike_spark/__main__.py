@@ -377,13 +377,7 @@ def main(argv: list[str] | None = None) -> int:
         # CREATE-only + EXISTS-is-not-an-error + transient retry mirror
         # AerospikeWriter.cpp:137-161; write_ttl is already the
         # reference's rec.ttl (apply_ttl_policy).
-        from .sinks.aerospike_wire import (
-            N_PARTITIONS,
-            WireClient,
-            fetch_partition_map,
-            key_digest,
-            partition_id,
-        )
+        from .sinks.aerospike_wire import ClusterRouter, WireClient
         from .sinks.kv_sink import bounded_async_foreach_writer
 
         nodes = []
@@ -393,24 +387,20 @@ def main(argv: list[str] | None = None) -> int:
         host, port = nodes[0]
         ns = args.namespace or "test"
         set_name = args.set_name or "records"
-        # round 11: several -h hosts form a CLUSTER — discover each
-        # node's mastered slice over the info channel (the C client's
-        # cluster tend) and route puts by digest partition; one host
-        # keeps the single-connection path (everything -> node 0)
-        pmap = None
-        if len(nodes) > 1:
-            pmap = [-1] * N_PARTITIONS
-            for idx, (h_, p_) in enumerate(nodes):
-                _gen, owned = fetch_partition_map(h_, p_, ns)
-                for pt in owned:
-                    if pmap[pt] != -1:
-                        p.error(
-                            f"partition {pt} advertised by two nodes "
-                            f"({nodes[pmap[pt]][0]} and {h_})"
-                        )
-                    pmap[pt] = idx
-            if any(x == -1 for x in pmap):
-                p.error("cluster partition map has unowned partitions")
+        # round 11/12: several -h hosts form a CLUSTER — each task
+        # DISCOVERS the partition map over the info channel (the C
+        # client's cluster tend, ClusterRouter) and routes puts by
+        # digest partition, RE-TENDING + re-routing when a node answers
+        # PARTITION_UNAVAILABLE (ownership moved mid-run); one host
+        # keeps the single-connection path (everything -> node 0).
+        # Validate the map driver-side first so a misconfigured cluster
+        # (overlap / holes) fails before any executor work.
+        clustered = len(nodes) > 1
+        if clustered:
+            try:
+                ClusterRouter(nodes, ns, set_name).close()
+            except (ValueError, RuntimeError, OSError) as e:
+                p.error(f"cluster partition map: {e}")
         # -u/-p (round 11): precompute the bcrypt credential ONCE on the
         # driver (the C client's one-time as_password_gen_hash) and ship
         # the hash — every task connection then LOGINs over the admin
@@ -437,26 +427,29 @@ def main(argv: list[str] | None = None) -> int:
         sink_input = records.select("key", "token", "cells", "write_ttl")
         state: dict = {}
 
+        def task_router():
+            r = state.get("router")
+            if r is None:
+                r = state["router"] = ClusterRouter(
+                    nodes, ns, set_name, user=user, credential=credential
+                )
+            return r
+
         def put(rd):
-            cl = state.get("clients")
-            if cl is None:
-                targets = nodes if pmap is not None else [(host, port)]
-                cl = state["clients"] = [
-                    WireClient(
-                        h_, p_, ns, set_name, user=user, credential=credential
-                    )
-                    for h_, p_ in targets
-                ]
             bins = {c_["col_name"]: c_["value"] or b"" for c_ in rd["cells"]}
             k = rd["key"]  # SGR runs decode keys as strings, ma as bytes
             if not isinstance(k, (bytes, bytearray)):
                 k = str(k).encode("utf-8")
             k = bytes(k)
-            c = cl[
-                pmap[partition_id(key_digest(set_name, k))]
-                if pmap is not None
-                else 0
-            ]
+            if clustered:
+                c = task_router().client_for(k)
+            else:
+                c = state.get("client")
+                if c is None:
+                    c = state["client"] = WireClient(
+                        host, port, ns, set_name,
+                        user=user, credential=credential,
+                    )
             return c.put(k, bins, int(rd["write_ttl"])), c
 
         def wait(h):
@@ -468,6 +461,15 @@ def main(argv: list[str] | None = None) -> int:
             if d == "exists":
                 acc_exists.add(1)
                 return True
+            if d == "unavailable":
+                if not clustered:
+                    raise RuntimeError(
+                        "node answered PARTITION_UNAVAILABLE on a "
+                        "single-host run — nothing to re-route to"
+                    )
+                # cluster changed under us: refresh the map (the C
+                # client's tend) so the requeued put re-routes
+                task_router().retend()
             acc_retry.add(1)
             return False  # transient: requeued by the bounded window
 
@@ -493,7 +495,8 @@ def main(argv: list[str] | None = None) -> int:
             def verify_part(rows):
                 from collections import deque
 
-                cl = None
+                router = None
+                single = None
                 pend = deque()
 
                 def redeem():
@@ -507,24 +510,24 @@ def main(argv: list[str] | None = None) -> int:
                     (acc_verified if ok else acc_mismatch).add(1)
 
                 for rd in rows:
-                    if cl is None:
-                        targets = nodes if pmap is not None else [(host, port)]
-                        cl = [
-                            WireClient(
-                                h_, p_, ns, set_name,
-                                user=user, credential=credential,
-                            )
-                            for h_, p_ in targets
-                        ]
                     k = rd["key"]
                     if not isinstance(k, (bytes, bytearray)):
                         k = str(k).encode("utf-8")
                     k = bytes(k)
-                    c = cl[
-                        pmap[partition_id(key_digest(set_name, k))]
-                        if pmap is not None
-                        else 0
-                    ]
+                    if clustered:
+                        if router is None:
+                            router = ClusterRouter(
+                                nodes, ns, set_name,
+                                user=user, credential=credential,
+                            )
+                        c = router.client_for(k)
+                    else:
+                        if single is None:
+                            single = WireClient(
+                                host, port, ns, set_name,
+                                user=user, credential=credential,
+                            )
+                        c = single
                     want = {
                         c_["col_name"]: c_["value"] or b""
                         for c_ in rd["cells"]
@@ -534,9 +537,10 @@ def main(argv: list[str] | None = None) -> int:
                     pend.append((c, c.get(k), want, int(rd["write_ttl"])))
                 while pend:
                     redeem()
-                if cl is not None:
-                    for c in cl:
-                        c.close()
+                if router is not None:
+                    router.close()
+                if single is not None:
+                    single.close()
 
             sink_input.foreachPartition(verify_part)
             print(

@@ -731,6 +731,353 @@ def q_s39_e2e_migration_verified(spark, sf_dir):
     return out
 
 
+def q_s40_wire_cluster_handoff(spark, sf_dir):
+    """CLUSTER RE-TEND UNDER A LIVE HANDOFF (round 12, VERDICT r11 task
+    4): mid-write, node 0 MIGRATES its whole mastered slice — ownership
+    AND stored records — to node 1 (both bump partition-generation; the
+    trigger is node 0's on_put hook at half its expected record count,
+    so the cutover always lands inside the write pass).  Executor tasks
+    route through ClusterRouter: a put answered PARTITION_UNAVAILABLE
+    (stale map) re-tends over the info channel — the C client's cluster
+    tend loop, which the reference rides implicitly under
+    aerospike_key_put_async (AerospikeWriter.cpp:138-180 classifies and
+    requeues; the background tend refreshes the map) — and the requeued
+    put re-routes to the new owner.  ZERO LOST PUTS is then proven two
+    ways: in-query asserts (node 0's store empty post-handoff, total
+    stored == record count, >=1 re-tend actually exercised) and a
+    distributed read-back routed by a FRESH post-handoff discovery,
+    verified bin-for-bin/ttl-for-ttl against the expected merge (exact
+    oracle: every row verified=1)."""
+    from ..sinks.aerospike_wire import ClusterRouter, N_PARTITIONS, WireServer
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "records"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    # how many records node 0 masters (deterministic: digest routing) —
+    # the handoff triggers at HALF that, so stale-routed puts remain
+    keyed = records.select(
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex")
+    )
+    # partition_id = LE u32 of the first 4 digest bytes masked to 4096:
+    # only the low 12 bits matter, i.e. byte0 + 256*byte1 mod 4096 —
+    # pure Catalyst, no per-row Python beyond the digest UDF itself
+    pid_expr = (
+        F.conv(F.substring("digest_hex", 1, 2), 16, 10).cast("long")
+        + F.conv(F.substring("digest_hex", 3, 2), 16, 10).cast("long") * 256
+    ) % 4096
+    n_node0 = keyed.where(pid_expr % 3 == 0).count()
+    trigger_at = max(1, int(n_node0) // 2)
+
+    servers = []
+    did_handoff = {"n": 0}
+
+    def on_node0_put(n_puts: int) -> None:
+        if n_puts == trigger_at:
+            did_handoff["n"] = servers[0].handoff(
+                servers[1],
+                {p for p in range(N_PARTITIONS) if p % n_nodes == 0},
+            )
+
+    servers.append(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == 0
+            },
+            on_put=on_node0_put,
+            info_namespace=ns,
+        )
+    )
+    servers.extend(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in (1, 2)
+    )
+    nodes = [(srv.host, srv.port) for srv in servers]
+    # discover ONCE on the driver, pre-handoff (the C client's process-
+    # level tend); tasks inherit the plain-list map and re-tend
+    # themselves on refusal — otherwise a late-scheduled task would
+    # discover the post-handoff map and never exercise the stale path
+    seed = ClusterRouter(nodes, ns, set_name)
+    pmap0 = list(seed.pmap)
+    seed.close()
+    sc = spark.sparkContext
+    acc_ok, acc_unavail = sc.accumulator(0), sc.accumulator(0)
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(
+                nodes, ns, set_name, initial_pmap=pmap0
+            )
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c, r
+
+    def wait(h):
+        handle, c, r = h
+        d = c.wait(handle)
+        if d == "ok":
+            acc_ok.add(1)
+            return True
+        if d == "unavailable":
+            # the cluster changed under us: re-tend, requeue — the
+            # refreshed map routes the retry to the new owner
+            acc_unavail.add(1)
+            r.retend()
+            return False
+        raise RuntimeError(f"handoff sink: unexpected disposition {d}")
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # zero-lost proof, server side: the handoff really ran mid-write,
+    # node 0 ended empty (slice + data migrated), nothing vanished
+    if did_handoff["n"] == 0:
+        raise RuntimeError("handoff never migrated any records")
+    if acc_unavail.value < 1:
+        raise RuntimeError("handoff: no put ever saw the stale map")
+    if len(servers[0].records()) != 0:
+        raise RuntimeError("handoff: node 0 still holds records")
+    n_stored = sum(len(s.records()) for s in servers)
+    if n_stored != n_records:
+        raise RuntimeError(
+            f"handoff lost puts: stored {n_stored} != merged {n_records}"
+        )
+
+    # distributed read-back through a FRESH discovery (post-handoff map)
+    expected = sink_records.select(
+        "key",
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("columns"),
+                    lambda e: F.concat(
+                        e["key"], F.lit("="), F.format_string("%.2f", e["value"])
+                    ),
+                )
+            ),
+            ",",
+        ).alias("exp_cols"),
+        F.when(F.col("expiry") == eternal, F.lit(0xFFFFFFFF))
+        .otherwise(F.col("expiry") - now_s)
+        .cast("long")
+        .alias("exp_ttl"),
+    )
+
+    def verify(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(nodes, ns, set_name)
+            routed = [
+                (c := router.client_for(str(k).encode()), c.get(str(k).encode()))
+                for k in pdf["key"]
+            ]
+            cols, ttls, ok = [], [], []
+            for (c, h), exp_c, exp_t in zip(routed, pdf["exp_cols"], pdf["exp_ttl"]):
+                rec = c.wait_record(h)
+                if rec is None:
+                    cols.append(None)
+                    ttls.append(-1)
+                    ok.append(0)
+                    continue
+                ttl, bins = rec
+                sstr = ",".join(
+                    sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                )
+                cols.append(sstr)
+                ttls.append(int(ttl))
+                ok.append(int(sstr == exp_c and int(ttl) == int(exp_t)))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "cols_str": cols, "ttl": ttls, "verified": ok}
+            )
+
+    out = expected.mapInPandas(
+        verify, "key long, cols_str string, ttl long, verified int"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
+def q_s41_wire_rf2_failover(spark, sf_dir):
+    """RF=2 REPLICATION + NODE-DEATH FAILOVER (round 12, VERDICT r11
+    task 5): each of the 4096 partitions has a MASTER (node p%3) and a
+    REPLICA (node (p%3)+1 mod 3); the multi-bitmap `replicas` info
+    command advertises both sets and ClusterRouter(rf2=True) parses
+    them.  Puts route to the master only; the server replicates each
+    applied write in-process to the partition's replica node — the
+    cluster-side half clients never see.  Then node 0 DIES (socket
+    closed: new connections refused) and its replica (node 1) is
+    promoted to master for node 0's slice — the surviving nodes
+    advertise the promoted map, the dead one is skipped by the re-tend.
+    The distributed read-back discovers the post-death map fresh and
+    must find EVERY record bin-for-bin — records mastered by the dead
+    node are served from the promoted replica's store, which holds them
+    only because replication actually ran.  Exact oracle: every row
+    verified=1.  In-query asserts pin the replica invariant (each
+    record stored exactly twice pre-death) and that >=1 record was
+    actually served by the promoted node."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "records"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            replica_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == (i - 1) % n_nodes
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    for i in range(n_nodes):
+        servers[i].replicate_to = [
+            (
+                servers[(i + 1) % n_nodes],
+                {p for p in range(N_PARTITIONS) if p % n_nodes == i},
+            )
+        ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name, rf2=True)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("rf2 sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # replica invariant: every record stored exactly TWICE cluster-wide
+    # (master + replica), and each node's store splits master/replica
+    # slices consistently with the digest routing
+    n_copies = sum(len(s.records()) for s in servers)
+    if n_copies != 2 * n_records:
+        raise RuntimeError(
+            f"rf2: {n_copies} stored copies != 2 x {n_records} records"
+        )
+    # node 0 DIES; its replica (node 1) is promoted to master for the
+    # dead slice (the cluster's failover — survivors advertise it)
+    node0_slice = {p for p in range(N_PARTITIONS) if p % n_nodes == 0}
+    n_dead_mastered = sum(
+        1
+        for (s_ns, s_set, d) in servers[0].records()
+        if partition_id(d) in node0_slice
+    )
+    servers[0].close()
+    servers[1].set_owned(
+        {p for p in range(N_PARTITIONS) if p % n_nodes == 1} | node0_slice
+    )
+    if n_dead_mastered < 1:
+        raise RuntimeError("rf2: the dead node mastered no records")
+
+    expected = sink_records.select(
+        "key",
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("columns"),
+                    lambda e: F.concat(
+                        e["key"], F.lit("="), F.format_string("%.2f", e["value"])
+                    ),
+                )
+            ),
+            ",",
+        ).alias("exp_cols"),
+        F.when(F.col("expiry") == eternal, F.lit(0xFFFFFFFF))
+        .otherwise(F.col("expiry") - now_s)
+        .cast("long")
+        .alias("exp_ttl"),
+    )
+
+    def verify(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                # fresh discovery AFTER the death: the dead node is
+                # skipped, the promoted map has no holes
+                router = ClusterRouter(nodes, ns, set_name, rf2=True)
+            routed = [
+                (c := router.client_for(str(k).encode()), c.get(str(k).encode()))
+                for k in pdf["key"]
+            ]
+            cols, ttls, ok = [], [], []
+            for (c, h), exp_c, exp_t in zip(routed, pdf["exp_cols"], pdf["exp_ttl"]):
+                rec = c.wait_record(h)
+                if rec is None:
+                    cols.append(None)
+                    ttls.append(-1)
+                    ok.append(0)
+                    continue
+                ttl, bins = rec
+                sstr = ",".join(
+                    sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                )
+                cols.append(sstr)
+                ttls.append(int(ttl))
+                ok.append(int(sstr == exp_c and int(ttl) == int(exp_t)))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "cols_str": cols, "ttl": ttls, "verified": ok}
+            )
+
+    out = expected.mapInPandas(
+        verify, "key long, cols_str string, ttl long, verified int"
+    ).cache()
+    out.count()  # materialize while the surviving cluster lives
+    # >=1 record served by the PROMOTED node purely via replication
+    if n_dead_mastered and len(servers[1].records()) <= n_records // n_nodes:
+        raise RuntimeError("rf2: promoted node serves nothing extra")
+    for srv in servers[1:]:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -876,6 +1223,8 @@ QUERIES = {
     "s36_wire_cluster_sink": q_s36_wire_cluster_sink,
     "s38_wire_readback_verify": q_s38_wire_readback_verify,
     "s39_e2e_migration_verified": q_s39_e2e_migration_verified,
+    "s40_wire_cluster_handoff": q_s40_wire_cluster_handoff,
+    "s41_wire_rf2_failover": q_s41_wire_rf2_failover,
     "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
@@ -995,6 +1344,41 @@ ORACLES = {
                                 ) AS cols_str
               FROM latest_f GROUP BY key) a ON a.key = r.key
         WHERE r.expiry = 4294967295 OR r.expiry >= 1719792001
+    """,
+    # s40/s41 (round 12): same contract as s38 — the distributed
+    # read-back (through a handoff-refreshed map / a post-death
+    # promoted RF=2 map) must equal the expected merge exactly, every
+    # row verified=1; the handoff, re-tend, replication and failover
+    # invariants are in-query asserts (any breach errors the row)
+    "s40_wire_cluster_handoff": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl,
+               CAST(1 AS INT) AS verified
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    "s41_wire_rf2_failover": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl,
+               CAST(1 AS INT) AS verified
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
     """,
     # s38: the read-back must equal the expected merge output exactly,
     # every row verified=1 (stored bins/ttl == expected)

@@ -96,10 +96,19 @@ RC_KEY_EXISTS = 5
 RC_TIMEOUT = 9
 RC_KEY_BUSY = 14
 RC_SERVER_ERROR = 1
+# AS_ERR_UNAVAILABLE: the partition is not readable/writable at THIS
+# node right now (ownership moved / migration in flight).  The C client
+# classifies it retryable and lets its background cluster tend refresh
+# the partition map before the retry lands (AerospikeWriter.cpp:150-161
+# retries it; the tend loop is the map-refresh half) — so the r12
+# client surfaces it as its own 'unavailable' disposition: requeue,
+# but re-tend FIRST.
+RC_PARTITION_UNAVAILABLE = 11
 # the reference's "already exists" pair (AerospikeWriter.cpp:142-148)
 EXISTS_CODES = {RC_KEY_EXISTS, RC_KEY_BUSY}
-# the reference's transient set (AerospikeWriter.cpp:150-161)
-TRANSIENT_CODES = {RC_TIMEOUT, 11}
+# the reference's transient set (AerospikeWriter.cpp:150-161), minus
+# UNAVAILABLE which now classifies separately (see above)
+TRANSIENT_CODES = {RC_TIMEOUT}
 
 DIGEST_SIZE = 20
 
@@ -473,6 +482,172 @@ def fetch_partition_map(
         sock.close()
 
 
+def fetch_replicas(
+    host: str, port: int, namespace: str
+) -> tuple[int, set[int], set[int]]:
+    """One info round-trip on the RF-aware `replicas` command (the C
+    client's modern tend path): (generation, mastered set, replica set)
+    for `namespace`.  Wire shape per namespace:
+    `ns:<generation>,<repl-factor>,<b64 master>[,<b64 replica>]`."""
+    sock = socket.create_connection((host, port))
+    try:
+        sock.sendall(build_info_request(["replicas"]))
+        typ, body = read_frame(sock)
+        if typ != INFO_MSG_TYPE:
+            raise ValueError("aerospike wire: non-info reply on info channel")
+        vals = parse_info_response(body)
+        for entry in vals.get("replicas", "").split(";"):
+            if entry.startswith(namespace + ":"):
+                parts = entry.split(":", 1)[1].split(",")
+                gen, rf = int(parts[0]), int(parts[1])
+                master = b64_to_partitions(parts[2])
+                replica = (
+                    b64_to_partitions(parts[3])
+                    if rf >= 2 and len(parts) > 3
+                    else set()
+                )
+                return gen, master, replica
+        return 0, set(), set()
+    finally:
+        sock.close()
+
+
+class ClusterRouter:
+    """Client-side cluster state (round 12): the DISCOVERED partition
+    map plus one pipelined WireClient per node, with RE-TEND on cluster
+    change and RF=2 replica lookup for read fallback.
+
+    The reference's C client hides all of this under
+    aerospike_key_put_async: a background tend thread refreshes the
+    partition map and re-routes the retries its error classification
+    requeues (AerospikeWriter.cpp:138-180 is the classification half;
+    the tend loop is the refresh half), and reads fall back to a
+    replica when the master is unreachable.  Here the same machinery is
+    explicit and synchronous: wait() == 'unavailable' -> retend() ->
+    requeue the row through the refreshed map; a dead master at read
+    time -> replica_idx_for's node.
+
+    Not picklable (holds sockets): construct per task, inside the
+    foreachPartition/mapInPandas closure."""
+
+    def __init__(
+        self,
+        nodes: list[tuple[str, int]],
+        namespace: str,
+        set_name: str,
+        user: str | None = None,
+        credential: str | None = None,
+        rf2: bool = False,
+        max_retends: int = 64,
+        initial_pmap: list[int] | None = None,
+    ):
+        self.nodes = list(nodes)
+        self.namespace = namespace
+        self.set_name = set_name
+        self._user = user
+        self._credential = credential
+        self._rf2 = rf2
+        self._max_retends = max_retends
+        self._clients: dict[int, WireClient] = {}
+        self.pmap: list[int] = []
+        self.rmap: list[int] = []
+        self.generation: tuple[int, ...] = ()
+        self.dead: set[int] = set()
+        self.n_retends = -1  # first retend() is the initial discovery
+        if initial_pmap is not None:
+            # the C-client shape: the PROCESS discovers once and workers
+            # inherit the (plain-list, picklable) map; each worker then
+            # re-tends itself when a node answers UNAVAILABLE
+            self.pmap = list(initial_pmap)
+            self.n_retends = 0
+        else:
+            self.retend()
+
+    def retend(self) -> None:
+        """(Re)discover the full partition map over the info channel —
+        the C client's cluster tend.  Raises on a partition advertised
+        by two masters, on unowned holes, and past `max_retends` (a
+        routing bug no map refresh can fix must fail, not livelock)."""
+        self.n_retends += 1
+        if self.n_retends > self._max_retends:
+            raise RuntimeError(
+                f"cluster router: {self.n_retends} re-tends — the map is "
+                "not converging"
+            )
+        pmap = [-1] * N_PARTITIONS
+        rmap = [-1] * N_PARTITIONS
+        gens = []
+        self.dead: set[int] = set()
+        for idx, (h, p) in enumerate(self.nodes):
+            try:
+                if self._rf2:
+                    gen, owned, repl = fetch_replicas(h, p, self.namespace)
+                else:
+                    gen, owned = fetch_partition_map(h, p, self.namespace)
+                    repl = set()
+            except OSError:
+                # dead node: skip it — the SURVIVORS advertise the
+                # promoted ownership; holes still fail below, so a
+                # death nobody absorbed is loud, not silent
+                gens.append(-1)
+                self.dead.add(idx)
+                self.drop_client(idx)
+                continue
+            gens.append(gen)
+            for pt in owned:
+                if pmap[pt] != -1:
+                    raise ValueError(
+                        f"partition {pt} advertised by two masters"
+                    )
+                pmap[pt] = idx
+            for pt in repl:
+                rmap[pt] = idx
+        if any(x == -1 for x in pmap):
+            raise ValueError("partition map has unowned partitions")
+        self.pmap, self.rmap, self.generation = pmap, rmap, tuple(gens)
+
+    def pid_for(self, key: bytes) -> int:
+        return partition_id(key_digest(self.set_name, key))
+
+    def client(self, idx: int) -> WireClient:
+        c = self._clients.get(idx)
+        if c is None:
+            h, p = self.nodes[idx]
+            c = self._clients[idx] = WireClient(
+                h, p, self.namespace, self.set_name,
+                user=self._user, credential=self._credential,
+            )
+        return c
+
+    def client_for(self, key: bytes) -> WireClient:
+        """The master-routed client for `key` under the current map."""
+        return self.client(self.pmap[self.pid_for(key)])
+
+    def master_idx_for(self, key: bytes) -> int:
+        return self.pmap[self.pid_for(key)]
+
+    def replica_idx_for(self, key: bytes) -> int:
+        """Replica node index for `key` (RF=2 maps), -1 when none."""
+        return self.rmap[self.pid_for(key)]
+
+    def drop_client(self, idx: int) -> None:
+        """Forget a (dead) node's connection so the next use re-dials."""
+        c = self._clients.pop(idx, None)
+        if c is not None:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        for c in self._clients.values():
+            try:
+                c.close()
+            except OSError:
+                pass
+        self._clients.clear()
+
+
 # ------------------------------------------------- admin (security) codec
 # The PUBLIC security handshake (AdminCommand.java / as_admin.c): admin
 # messages ride proto type 2 with a 16-byte header — byte 2 the command,
@@ -631,6 +806,8 @@ class WireClient:
             return "exists"
         if rc in TRANSIENT_CODES:
             return "retry"
+        if rc == RC_PARTITION_UNAVAILABLE:
+            return "unavailable"  # cluster changed: re-tend, then retry
         raise RuntimeError(f"aerospike wire: put failed, result code {rc}")
 
     def delete(self, key: bytes) -> int:
@@ -688,9 +865,27 @@ class WireServer:
 
     `owned_partitions` (round 11): the node's slice of the 4096-entry
     partition map — a put whose digest partition is NOT owned answers
-    RC_SERVER_ERROR (deliberately NON-transient: a misrouted put is a
-    client partition-map bug and must fail the job loudly, not retry;
-    a real cluster would proxy or re-map)."""
+    RC_PARTITION_UNAVAILABLE (the real cluster-change signal: callers
+    that expect stable routing treat the disposition as fatal; a
+    re-tending router refreshes its map and re-routes, round 12).
+
+    Round 12 cluster dynamics:
+      * `set_owned(partitions)` swaps the owned slice and bumps
+        `partition-generation` — the server half of a partition
+        HANDOFF; in-flight puts routed by the stale map then draw
+        RC_PARTITION_UNAVAILABLE until the client re-tends.
+      * `on_put(n)` fires after every applied (successful, non-replica)
+        write, INSIDE the store critical section (RLock) — a hook that
+        hands off at put ordinal K is then atomic with put K: every
+        put serialized later sees the new ownership deterministically.
+      * `replica_partitions` is the slice this node holds as a
+        non-master REPLICA (RF=2): advertised in the public `replicas`
+        info command (master bitmap + replica bitmap per namespace),
+        readable locally, NOT writable by clients.
+      * `replicate_to` = [(server, partition_set)] — after applying a
+        master write/delete the server forwards it in-process to each
+        target holding that partition as replica (the cluster's
+        server-side replication, invisible to clients)."""
 
     def __init__(
         self,
@@ -699,12 +894,21 @@ class WireServer:
         owned_partitions: set[int] | None = None,
         credential_salt: str | None = None,
         info_namespace: str = "tmx",
+        replica_partitions: set[int] | None = None,
+        on_put=None,
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
-        self._lock = threading.Lock()
+        # RLock: the on_put hook fires INSIDE the store critical section
+        # (so a hook-triggered handoff is atomic with its trigger put —
+        # no later put can slip in under the old ownership) and may call
+        # methods that re-take this lock (set_owned / handoff)
+        self._lock = threading.RLock()
         self._puts = 0
         self._fail_every = fail_every
         self._owned = owned_partitions
+        self._replicas = replica_partitions or set()
+        self.replicate_to: list[tuple["WireServer", set[int]]] = []
+        self._on_put = on_put
         self._info_namespace = info_namespace
         self._partition_generation = 1
         self._cred: tuple[str, str] | None = None
@@ -758,20 +962,93 @@ class WireServer:
         )
         self._thread.start()
 
+    def set_owned(self, partitions: set[int]) -> None:
+        """Swap this node's mastered slice and bump the partition
+        generation — the server side of a partition handoff.  Clients
+        routing by the old map draw RC_PARTITION_UNAVAILABLE until they
+        re-tend."""
+        with self._lock:
+            self._owned = set(partitions)
+            self._partition_generation += 1
+
+    def handoff(self, target: "WireServer", partitions: set[int]) -> int:
+        """MIGRATE `partitions` — ownership AND data — to `target`
+        (the cluster's partition migration): this node stops owning
+        them (in-flight stale-routed puts then draw UNAVAILABLE), the
+        stored records move to the target's store, both nodes bump
+        their partition generation.  Returns the number of records
+        migrated.  Locks are taken strictly self-then-target (one
+        direction only), so concurrent _apply calls on either node
+        serialize cleanly before/after the cutover."""
+        with self._lock:
+            moving = {
+                k: v
+                for k, v in self._store.items()
+                if partition_id(k[2]) in partitions
+            }
+            for k in moving:
+                del self._store[k]
+            owned = (
+                self._owned if self._owned is not None
+                else set(range(N_PARTITIONS))
+            )
+            self._owned = owned - partitions
+            self._partition_generation += 1
+        with target._lock:
+            target._store.update(moving)
+            t_owned = (
+                target._owned if target._owned is not None
+                else set(range(N_PARTITIONS))
+            )
+            target._owned = t_owned | partitions
+            target._partition_generation += 1
+        return len(moving)
+
+    def _store_replica(
+        self, ns: str, st: str, digest: bytes,
+        bins: dict[str, bytes] | None, ttl: int,
+    ) -> None:
+        """Server-side replication target: apply a master's write (or
+        delete, bins=None) to this node's store without ownership
+        checks or create-only policy — replication replays the master's
+        already-accepted outcome."""
+        with self._lock:
+            if bins is None:
+                self._store.pop((ns, st, digest), None)
+            else:
+                self._store[(ns, st, digest)] = (bins, ttl)
+
+    def _replicate(
+        self, pid: int, ns: str, st: str, digest: bytes,
+        bins: dict[str, bytes] | None, ttl: int,
+    ) -> None:
+        for target, parts in self.replicate_to:
+            if pid in parts:
+                target._store_replica(ns, st, digest, bins, ttl)
+
     def _info(self, body: bytes) -> bytes:
         """Text info channel: the names the C client's cluster tend
         consults.  The partition map advertises this node's OWNED slice
-        (all 4096 when unrestricted) for the configured namespace."""
-        owned = (
-            self._owned
-            if self._owned is not None
-            else set(range(N_PARTITIONS))
-        )
+        (all 4096 when unrestricted) for the configured namespace;
+        `replicas` (round 12, RF>=2) answers the public per-namespace
+        shape `ns:regime,repl-factor,<b64 master>,<b64 replica>`."""
+        with self._lock:
+            owned = (
+                set(self._owned)
+                if self._owned is not None
+                else set(range(N_PARTITIONS))
+            )
+            gen = self._partition_generation
+            replicas = set(self._replicas)
+        rf = 2 if replicas else 1
         values = {
             "node": f"BB9{self.port:05X}0000000",
-            "partition-generation": str(self._partition_generation),
+            "partition-generation": str(gen),
             "replicas-master": f"{self._info_namespace}:"
             + partitions_to_b64(owned),
+            "replicas": f"{self._info_namespace}:{gen},{rf},"
+            + partitions_to_b64(owned)
+            + ("," + partitions_to_b64(replicas) if replicas else ""),
         }
         names = parse_info_request(body)
         return build_info_response(
@@ -822,34 +1099,55 @@ class WireServer:
         try:
             if len(frame) >= 22 and frame[1] & INFO1_READ:
                 ns, st, digest, _b, _t, _co = parse_put(frame)
-                if (
-                    self._owned is not None
-                    and partition_id(digest) not in self._owned
-                ):
-                    return build_response(RC_SERVER_ERROR)
+                pid = partition_id(digest)
                 with self._lock:
-                    rec = self._store.get((ns, st, digest))
+                    readable = (
+                        self._owned is None
+                        or pid in self._owned
+                        or pid in self._replicas
+                    )
+                    rec = self._store.get((ns, st, digest)) if readable else None
+                if not readable:
+                    return build_response(RC_PARTITION_UNAVAILABLE)
                 if rec is None:
                     return build_record_response(RC_KEY_NOT_FOUND, 0, {})
                 return build_record_response(RC_OK, rec[1], rec[0])
             ns, st, digest, bins, ttl, create_only = parse_put(frame)
         except ValueError:
             return build_response(RC_SERVER_ERROR)
-        if self._owned is not None and partition_id(digest) not in self._owned:
-            return build_response(RC_SERVER_ERROR)  # misroute: loud
+        pid = partition_id(digest)
         if frame[2] & INFO2_DELETE:
             with self._lock:
+                if self._owned is not None and pid not in self._owned:
+                    return build_response(RC_PARTITION_UNAVAILABLE)
                 gone = self._store.pop((ns, st, digest), None)
+            if gone is not None:
+                self._replicate(pid, ns, st, digest, None, 0)
             return build_response(RC_OK if gone is not None else RC_KEY_NOT_FOUND)
         with self._lock:
+            if self._owned is not None and pid not in self._owned:
+                # ownership moved (or the client's map is wrong): the
+                # cluster-change signal; a re-tending client refreshes
+                # its map and re-routes, anything else fails loudly
+                return build_response(RC_PARTITION_UNAVAILABLE)
             self._puts += 1
+            n_puts = self._puts
             if self._fail_every and self._puts % self._fail_every == 0:
                 return build_response(RC_TIMEOUT)
             k = (ns, st, digest)
             if create_only and k in self._store:
                 return build_response(RC_KEY_EXISTS)
             self._store[k] = (bins, ttl)
-            return build_response(RC_OK)
+            # INSIDE the critical section (RLock): a hook-triggered
+            # handoff/set_owned is then atomic with this put — every
+            # put serialized after the trigger sees the new ownership.
+            # Hooks that hand off must only ever move locks one
+            # direction (self -> target) to stay cycle-free.
+            if self._on_put is not None:
+                self._on_put(n_puts)
+        # replication outside: targets take their own locks
+        self._replicate(pid, ns, st, digest, bins, ttl)
+        return build_response(RC_OK)
 
     def records(self) -> dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]]:
         with self._lock:
@@ -857,4 +1155,8 @@ class WireServer:
 
     def close(self) -> None:
         self._server.shutdown()
+        # release the listening socket too: a "dead" node must REFUSE
+        # new connections (ECONNREFUSED), not park them in the accept
+        # backlog — the read-fallback path keys off that refusal
+        self._server.server_close()
         self._server.server_close()

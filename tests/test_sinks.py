@@ -452,8 +452,10 @@ def test_wire_security_handshake_and_rejections():
 
 def test_wire_partition_ownership_rejects_misroute():
     """A node owning only its third of the 4096-partition map refuses a
-    put whose digest lands elsewhere (loud RC_SERVER_ERROR — a client
-    partition-map bug must fail the job, not retry)."""
+    put whose digest lands elsewhere with RC_PARTITION_UNAVAILABLE —
+    the cluster-change signal a re-tending router refreshes on; callers
+    expecting stable routing treat the 'unavailable' disposition as
+    fatal."""
     from cassandra2aerospike_spark.sinks import aerospike_wire as aw
 
     srv = aw.WireServer(
@@ -472,11 +474,8 @@ def test_wire_partition_ownership_rejects_misroute():
                 assert c.wait(h) == "ok"
                 owned += 1
             else:
-                with pytest.raises(RuntimeError, match="result code 1"):
-                    c.wait(h)
+                assert c.wait(h) == "unavailable"
                 rejected += 1
-                c.close()  # the failed wait leaves the stream undefined
-                c = aw.WireClient(srv.host, srv.port, "tmx", "records")
         assert owned and rejected
         assert len(srv.records()) == owned
         c.close()
@@ -556,3 +555,172 @@ def test_info_channel_partition_discovery():
         assert all_ps == set(range(aw.N_PARTITIONS))
     finally:
         srv2.close()
+
+
+def test_wire_cluster_handoff_retend():
+    """Round-12 handoff: node A moves its whole slice to node B mid-use
+    (generation bump); a client routing by the stale map draws
+    'unavailable', ClusterRouter.retend() rediscovers the map, and the
+    re-routed put lands — zero lost records."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    servers = [
+        aw.WireServer(
+            owned_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 3 == i
+            }
+        )
+        for i in range(3)
+    ]
+    nodes = [(s.host, s.port) for s in servers]
+    try:
+        router = aw.ClusterRouter(nodes, "tmx", "records")
+        assert router.n_retends == 0
+        gen0 = router.generation
+
+        def put_all(keys):
+            lost = 0
+            for key in keys:
+                c = router.client_for(key)
+                d = c.wait(c.put(key, {"a": b"1"}, 0))
+                if d == "unavailable":
+                    router.retend()
+                    c = router.client_for(key)
+                    d = c.wait(c.put(key, {"a": b"1"}, 0))
+                if d != "ok":
+                    lost += 1
+            return lost
+
+        keys1 = [f"k{i}".encode() for i in range(10)]
+        assert put_all(keys1) == 0
+
+        # HANDOFF: node 0's whole slice moves to node 1
+        servers[0].set_owned(set())
+        servers[1].set_owned(
+            {p for p in range(aw.N_PARTITIONS) if p % 3 in (0, 1)}
+        )
+        keys2 = [f"h{i}".encode() for i in range(20)]
+        assert put_all(keys2) == 0
+        assert router.n_retends >= 1
+        assert router.generation != gen0
+
+        stored = set()
+        for s in servers:
+            stored |= {d for (_, _, d) in s.records()}
+        want = {aw.key_digest("records", k) for k in keys1 + keys2}
+        assert stored == want
+        # relocated: node 1's store now holds ex-node-0 partitions
+        n1_pids = {
+            aw.partition_id(d) for (_, _, d) in servers[1].records()
+        }
+        assert any(p % 3 == 0 for p in n1_pids)
+        router.close()
+    finally:
+        for s in servers:
+            s.close()
+
+
+def test_wire_rf2_replication_and_read_fallback():
+    """RF=2: puts route to the master, the server replicates to the
+    replica node in-process; after the master node DIES the reads fall
+    back to the replica and find every record bin-for-bin."""
+    import pytest
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    servers = [
+        aw.WireServer(
+            owned_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 3 == i
+            },
+            replica_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 3 == (i - 1) % 3
+            },
+        )
+        for i in range(3)
+    ]
+    for i in range(3):
+        servers[i].replicate_to = [
+            (
+                servers[(i + 1) % 3],
+                {p for p in range(aw.N_PARTITIONS) if p % 3 == i},
+            )
+        ]
+    nodes = [(s.host, s.port) for s in servers]
+    try:
+        router = aw.ClusterRouter(nodes, "tmx", "records", rf2=True)
+        keys = [f"r{i}".encode() for i in range(15)]
+        for key in keys:
+            c = router.client_for(key)
+            assert c.wait(c.put(key, {"v": key}, 0)) == "ok"
+        # replica map: replica node = (master + 1) % 3, discovered
+        for key in keys:
+            m = router.master_idx_for(key)
+            assert router.replica_idx_for(key) == (m + 1) % 3
+        # every record exists on master AND replica stores
+        for key in keys:
+            dg = aw.key_digest("records", key)
+            m = router.master_idx_for(key)
+            r = router.replica_idx_for(key)
+            assert ("tmx", "records", dg) in servers[m].records()
+            assert ("tmx", "records", dg) in servers[r].records()
+
+        # node 0 dies; reads for its partitions fall back to the replica
+        servers[0].close()
+        router.drop_client(0)
+        fell_back = 0
+        for key in keys:
+            m = router.master_idx_for(key)
+            if m == 0:
+                with pytest.raises(OSError):
+                    router.client(0)
+                c = router.client(router.replica_idx_for(key))
+                fell_back += 1
+            else:
+                c = router.client(m)
+            rec = c.wait_record(c.get(key))
+            assert rec is not None and rec[1] == {"v": key}
+        assert fell_back > 0
+        router.close()
+    finally:
+        for s in servers[1:]:
+            s.close()
+
+
+def test_wire_on_put_hook_and_replica_read_rules():
+    """on_put fires with the running put ordinal after each applied
+    write; a pure replica partition is READABLE at the replica but not
+    writable there."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    seen = []
+    srv = aw.WireServer(
+        owned_partitions={p for p in range(aw.N_PARTITIONS) if p % 2 == 0},
+        replica_partitions={p for p in range(aw.N_PARTITIONS) if p % 2 == 1},
+        on_put=seen.append,
+    )
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "records")
+        wrote = refused = 0
+        for i in range(12):
+            key = f"p{i}".encode()
+            pid = aw.partition_id(aw.key_digest("records", key))
+            d = c.wait(c.put(key, {"a": b"1"}, 0))
+            if pid % 2 == 0:
+                assert d == "ok"
+                wrote += 1
+            else:
+                # replica-held partition: not writable at this node
+                assert d == "unavailable"
+                refused += 1
+                # ... but READS are served from the replica store
+                srv._store_replica("tmx", "records",
+                                   aw.key_digest("records", key),
+                                   {"a": b"1"}, 0)
+                rec = c.wait_record(c.get(key))
+                assert rec is not None
+        assert wrote and refused
+        assert seen == list(range(1, wrote + 1))
+        c.close()
+    finally:
+        srv.close()
