@@ -1252,3 +1252,27 @@ def test_quality_classifier_trains_and_separates(spark, sf_dir):
     ) / n
     assert agree >= base  # at least as good as always-majority
     assert agree > 0.75  # and genuinely predictive
+
+
+def test_sim_index_persist_serves_from_storage(spark):
+    """The persisted-ANN-index contract (round 12): the SERVING plan's
+    leaves are the stored index parquet files (plus the query vectors),
+    with zero training lineage (the trainer's posexplode never appears);
+    appended arrivals (vec_id >= 2e6, added WITHOUT retraining) are
+    served."""
+    from cassandra2aerospike_spark.queries.sim_q import (
+        q_sim_index_persist_topk,
+    )
+
+    df = q_sim_index_persist_topk(spark, "/root/testdata/sf0.001")
+    files = df.inputFiles()
+    assert any("spark_graft_simidx_" in f for f in files), files[:3]
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "posexplode" not in analyzed  # no k-means training lineage
+    out = df.collect()
+    assert any(r.vec_id >= 2_000_000 for r in out)  # append is live
+    # every query returns exactly 5 ranked neighbors
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in out)
+    assert all(v == 5 for v in per_q.values())
