@@ -94,6 +94,12 @@ HEADLINE = [
     # round-11 capstone: real mixed-era dir -> secured discovered
     # cluster -> distributed read-back proof
     "s39_e2e_migration_verified",
+    # round-12: live partition handoff with client re-tend, RF=2
+    # replication + node-death failover, and the persisted ANN index
+    # (train once / append / serve from storage)
+    "s40_wire_cluster_handoff",
+    "s41_wire_rf2_failover",
+    "sim_index_persist_topk",
 ]
 
 
@@ -832,6 +838,121 @@ def main() -> None:
             f"(ratio {lm30 / lm10:.2f}, {nl30} docs); jaccard-prefix "
             f"slope: x10 {jc10:,.0f} -> x30 {jc30:,.0f} docs/s "
             f"(ratio {jc30 / jc10:.2f}, {nj30} docs)",
+            file=sys.stderr,
+        )
+
+        # round-12 wire-family slope probe (VERDICT r11 task 7): the
+        # s36-shape SECURED cluster write — per-connection LOGIN
+        # (bcrypt credential), digest routing across 3 misroute-refusing
+        # nodes, bounded-async pipelining — over xN-replicated merged
+        # records (distinct keys -> distinct digests).  Records/s
+        # holding steady across the 3x step shows per-record cost is
+        # flat once past the connect+LOGIN floor; _sink_parallelism
+        # grows the task count with N so the floor amortizes.
+        def wire_probe(factor: int) -> tuple[float, int]:
+            from cassandra2aerospike_spark.queries.pipeline_q import (
+                _sink_parallelism,
+            )
+            from cassandra2aerospike_spark.sinks.aerospike_wire import (
+                N_PARTITIONS,
+                WireClient,
+                WireServer,
+                fetch_partition_map,
+                key_digest,
+                partition_id,
+            )
+            from cassandra2aerospike_spark.sinks.bcrypt_py import hashpw
+            from cassandra2aerospike_spark.sinks.kv_sink import (
+                bounded_async_foreach_writer,
+            )
+
+            recs = (
+                merge.merge_records(ev)
+                .withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn(
+                    "key", F.col("key") + F.col("rep").cast("long") * 10_000_000
+                )
+                .drop("rep")
+                .select("key", "columns", "expiry")
+                .persist()
+            )
+            n = recs.count()
+            sink = recs.coalesce(_sink_parallelism(n))
+            user, password = "probe", "pw"
+            salt6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"
+            credential = hashpw(password, salt6)
+            servers = [
+                WireServer(
+                    credentials=(user, password),
+                    owned_partitions={
+                        p for p in range(N_PARTITIONS) if p % 3 == i
+                    },
+                    credential_salt=salt6,
+                )
+                for i in range(3)
+            ]
+            nodes = [(s_.host, s_.port) for s_ in servers]
+            pmap = [-1] * N_PARTITIONS
+            for idx, (h_, p_) in enumerate(nodes):
+                _g, owned = fetch_partition_map(h_, p_, "tmx")
+                for pt in owned:
+                    pmap[pt] = idx
+            state: dict = {}
+            eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+
+            def put(rd):
+                cl = state.get("clients")
+                if cl is None:
+                    cl = state["clients"] = [
+                        WireClient(
+                            h_, p_, "tmx", "records",
+                            user=user, credential=credential,
+                        )
+                        for h_, p_ in nodes
+                    ]
+                key = str(rd["key"]).encode()
+                bins = {
+                    k2: ("%.2f" % v).encode() for k2, v in rd["columns"].items()
+                }
+                ttl = (
+                    0xFFFFFFFF
+                    if rd["expiry"] == eternal
+                    else int(rd["expiry"]) - now_s
+                )
+                c = cl[pmap[partition_id(key_digest("records", key))]]
+                return c.put(key, bins, ttl), c
+
+            def wait(h):
+                handle, c = h
+                if c.wait(handle) != "ok":
+                    raise RuntimeError("wire probe: unexpected non-ok put")
+                return True
+
+            t0 = time.time()
+            bounded_async_foreach_writer(sink, put, wait, max_in_flight=32)
+            dt = time.time() - t0
+            n_stored = sum(len(s_.records()) for s_ in servers)
+            for s_ in servers:
+                s_.close()
+            recs.unpersist()
+            if n_stored != n:
+                raise RuntimeError(f"wire probe lost puts: {n_stored}/{n}")
+            return n / dt, n
+
+        w5, _ = wire_probe(5)
+        w15, nw15 = wire_probe(15)
+        slope.update(
+            {
+                "wire_recs_per_sec_x5": round(w5),
+                "wire_recs_per_sec_x15": round(w15),
+                "wire_slope_ratio": round(w15 / w5, 3),
+            }
+        )
+        print(
+            f"# wire-cluster slope: x5 {w5:,.0f} -> x15 {w15:,.0f} recs/s "
+            f"(ratio {w15 / w5:.2f}, {nw15} records)",
             file=sys.stderr,
         )
 
