@@ -13,7 +13,7 @@ REGISTRY ORDER IS DELIBERATE: the driver's correctness gate checks the
 FIRST 50 registry rows each round, so _PRIORITY spends those slots on
 (a) queries with no driver row yet, (b) queries whose fixtures or
 semantics changed this round, (c) the stalest cohort — see the comment
-at _PRIORITY for the current (round-10) allocation.  Everything after
+at _PRIORITY for the current (round-12) allocation.  Everything after
 the cut keeps module order and rotates back in as its driver green
 ages.
 """
@@ -33,88 +33,35 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring) — ROUND-11 prefix.
+# Checked-prefix priority (see module docstring) — ROUND-12 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) queries NEW this round, (b) queries whose fixtures, plans or
-# semantics changed this round, (c) the stalest driver-signature
-# cohort.  Signature histogram entering r11 (latest green driver round
-# per row): r05 x22 live (+3 retired names), r06 x46, r08 x49, r10
-# x50 — this prefix spends 11 slots on (a)+(b) and all 39 remaining on
-# the complete live r05 cohort (22 rows) plus the first 17 of the r06
-# cohort; the remaining 29 r06 rows sit at positions 51+ and head the
-# r12 rotation.
+# (a) queries NEW this round, (b) queries whose code changed this
+# round without a driver re-verify, (c) the stalest driver-signature
+# cohort.  Signature histogram entering r12 (latest green driver round
+# per row): new x3, r06 x29, r08 x49, r10 x44, r11 x50 — this prefix
+# spends 3 slots on (a), 6 on (b) (the whole wire family: the
+# aerospike_wire codec changed RC-11 classification + gained
+# cols_str_to_bins/bounds checks this round), all 29 on the complete
+# r06 cohort, and the last 12 on the head of the r08 cohort
+# (alphabetical); the remaining 37 r08 rows head the r13 rotation.
 _PRIORITY = [
-    # -- (a) NEW in r11: the secured 3-node wire cluster (LOGIN
-    #    handshake, digest partition-map routing, distributed digest
-    #    join), the widened typed-marshal merge (7 classes beyond
-    #    the reference's enum on a real nb-era zstd-chunked table)
-    #    and the wire READ-BACK verification pass
+    # -- (a) NEW in r12: live partition handoff with client re-tend,
+    #    RF=2 replication + node-death failover, and the persisted
+    #    ANN index (train once / append incrementally / serve from
+    #    storage)
+    "s40_wire_cluster_handoff",
+    "s41_wire_rf2_failover",
+    "sim_index_persist_topk",
+    # -- (b) wire family: r12 changed the shared codec (partition-
+    #    unavailable classification, record-response bounds checks,
+    #    cols_str_to_bins) under all of these
     "s36_wire_cluster_sink",
-    "s37_marshal_types_merge",
     "s38_wire_readback_verify",
-    "stream_cdc_wire_apply",
     "s39_e2e_migration_verified",
-    # -- (b) changed in r11 without a driver re-verify yet: s19's
-    #    nb/oa generations switched to ZstdCompressor chunks (the new
-    #    codec); s29's lookup plan now batches windows into bounded
-    #    per-sstable tasks; s28/stream wire sinks replaced the
-    #    collected-keys digest inversion with the distributed join;
-    #    the CDC pair gained idempotent batch-keyed sinks, and the
-    #    incremental one per-fold state pruning
-    "s19_mc_era_merge",
-    "s29_bloom_lookup_merge",
     "s28_aerospike_wire_sink",
     "stream_aerospike_wire_sink",
-    "stream_snapshot_cdc",
-    "stream_cdc_incremental",
-    # -- (c) the FULL live r03+r05 cohort (22 rows; the three other
-    #    stale signatures — mm_decode_features r03, mm_frame_sample and
-    #    mm_resize r05 — name RETIRED queries superseded by the
-    #    real-decode mm_real_* family, which is r10-signed)
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "agg_percentiles",
-    "scalar_conditional",
-    "scalar_maps",
-    "scalar_math_safe",
-    "scalar_strings_hex",
-    "series_gap_fill",
-    "set_ops_all",
-    "set_ops_distinct",
-    "sort_multi_limit",
-    "src_formats_roundtrip",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_rare_token_filter",
-    "text_salient_terms",
-    "text_token_stats",
-    "topk_global",
-    "unpivot_melt",
-    "win_range_frame",
-    # -- (c) the first 20 of the r06 cohort: stream_stateful_lww first
-    #    (its module carried this round's CDC edits), then
-    #    alphabetically
-    "stream_stateful_lww",
-    "a1_lww_latest",
-    "a4_expiry_fold_last",
-    "a5_record_assembly",
-    "agg_bitwise",
-    "agg_session_windows_batch",
-    "agg_stats_moments",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "f1_live_cells",
-    "gm_sessionize",
-    "j1_kway_merge",
-    "j3_range_tombstone_cover",
-    "join_asof",
-    "join_bucketed_colocated",
-    "o2_layout_resume",
-    # -- position 51+: the remaining 29 r06-latest rows, first in line
-    #    for the r12 rotation
+    "stream_cdc_wire_apply",
+    # -- (c) the FULL r06 cohort (29 rows)
     "pipeline_corpus_prep",
     "s10_clustering_merge",
     "s13_dry_run",
@@ -144,6 +91,58 @@ _PRIORITY = [
     "udtf_tokenize",
     "win_frame_analytics",
     "win_lag_lead",
+    # -- (c) the first 12 of the r08 cohort (alphabetical); the other
+    #    37 r08 rows sit at positions 51+ and head the r13 rotation
+    "a2_row_tombstone_max",
+    "a4_expiry_fold_first",
+    "a5_pivot_wide",
+    "a7_counter_reconcile",
+    "agg_collect",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_minmax_stats",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_salted_skew",
+    # -- position 51+: the remaining r08 cohort, first in line for r13
+    "compaction_roundtrip",
+    "counter_merge",
+    "dedup_edit_distance",
+    "dedup_jaccard_pairs",
+    "dedup_keep_list",
+    "dedup_simhash_pairs",
+    "f2_live_row_counts",
+    "f3_expired_filter",
+    "f4_ttl_policy",
+    "join_anti",
+    "join_broadcast_star",
+    "join_full_outer",
+    "join_inner",
+    "join_left",
+    "join_range_theta",
+    "join_right",
+    "join_semi",
+    "p4_partitioner_registry",
+    "p5_partitioner_abort",
+    "s12_retry_backpressure",
+    "s22_multi_ck_range_merge",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_lsh_topk",
+    "sim_pq_topk",
+    "text_dup_span_removal",
+    "text_gopher_rules",
+    "text_line_dedup",
+    "text_pii_scrub",
+    "text_repetition_rules",
+    "token_murmur3",
+    "win_distribution",
+    "win_rank",
+    "win_running_sum",
+    "win_topk_per_group",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
