@@ -492,6 +492,8 @@ def main(argv: list[str] | None = None) -> int:
             # server blocked writing responses nobody is reading)
             window = max(1, args.max_async)
 
+            from .sinks.aerospike_wire import WireUnavailable
+
             def verify_part(rows):
                 from collections import deque
 
@@ -499,9 +501,35 @@ def main(argv: list[str] | None = None) -> int:
                 single = None
                 pend = deque()
 
+                def fetch_one(k):
+                    """Synchronous single-get failover: re-tend, try
+                    the (possibly new) master, then the RF=2 replica —
+                    the read-fallback the C client's replica policy
+                    performs."""
+                    try:
+                        router.retend()
+                    except (OSError, ValueError, RuntimeError):
+                        pass  # stale map is still a usable fallback
+                    pid = router.pid_for(k)
+                    candidates = [router.pmap[pid]]
+                    if router.rmap and router.rmap[pid] not in (-1, candidates[0]):
+                        candidates.append(router.rmap[pid])
+                    for idx in candidates:
+                        try:
+                            c2 = router.client(idx)
+                            return c2.wait_record(c2.get(k))
+                        except (WireUnavailable, OSError):
+                            router.drop_client(idx)
+                    return None
+
                 def redeem():
-                    c, h, want, want_ttl = pend.popleft()
-                    rec = c.wait_record(h)
+                    c, h, k, want, want_ttl = pend.popleft()
+                    try:
+                        rec = c.wait_record(h)
+                    except (WireUnavailable, OSError):
+                        # master refused (handoff) or died mid-stream:
+                        # fall back — only possible on the cluster path
+                        rec = fetch_one(k) if router is not None else None
                     ok = (
                         rec is not None
                         and rec[1] == want
@@ -514,27 +542,44 @@ def main(argv: list[str] | None = None) -> int:
                     if not isinstance(k, (bytes, bytearray)):
                         k = str(k).encode("utf-8")
                     k = bytes(k)
+                    want = {
+                        c_["col_name"]: c_["value"] or b""
+                        for c_ in rd["cells"]
+                    }
+                    want_ttl = int(rd["write_ttl"])
                     if clustered:
                         if router is None:
                             router = ClusterRouter(
                                 nodes, ns, set_name,
                                 user=user, credential=credential,
+                                rf2=True,
                             )
-                        c = router.client_for(k)
+                        if len(pend) >= window:
+                            redeem()
+                        try:
+                            c = router.client_for(k)
+                            pend.append((c, c.get(k), k, want, want_ttl))
+                        except OSError:
+                            # master unreachable at send time: resolve
+                            # synchronously via the fallback chain
+                            rec = fetch_one(k)
+                            ok = (
+                                rec is not None
+                                and rec[1] == want
+                                and int(rec[0]) == want_ttl & 0xFFFFFFFF
+                            )
+                            (acc_verified if ok else acc_mismatch).add(1)
                     else:
                         if single is None:
                             single = WireClient(
                                 host, port, ns, set_name,
                                 user=user, credential=credential,
                             )
-                        c = single
-                    want = {
-                        c_["col_name"]: c_["value"] or b""
-                        for c_ in rd["cells"]
-                    }
-                    if len(pend) >= window:
-                        redeem()
-                    pend.append((c, c.get(k), want, int(rd["write_ttl"])))
+                        if len(pend) >= window:
+                            redeem()
+                        pend.append(
+                            (single, single.get(k), k, want, want_ttl)
+                        )
                 while pend:
                     redeem()
                 if router is not None:

@@ -113,6 +113,12 @@ TRANSIENT_CODES = {RC_TIMEOUT}
 DIGEST_SIZE = 20
 
 
+class WireUnavailable(RuntimeError):
+    """The node answered AS_ERR_UNAVAILABLE: the partition is not
+    served there right now (ownership moved / node degraded).  Read
+    paths catch this to fall back — re-tend, or an RF>=2 replica."""
+
+
 # ------------------------------------------------------------- RIPEMD-160
 # hashlib's OpenSSL backend usually provides ripemd160, but OpenSSL 3
 # builds may ship without legacy digests — a pure-Python implementation
@@ -582,6 +588,11 @@ class ClusterRouter:
             try:
                 if self._rf2:
                     gen, owned, repl = fetch_replicas(h, p, self.namespace)
+                    if not owned and not repl:
+                        # node doesn't speak the multi-bitmap command
+                        # (or genuinely owns nothing): the RF=1 map is
+                        # the correct degradation either way
+                        gen, owned = fetch_partition_map(h, p, self.namespace)
                 else:
                     gen, owned = fetch_partition_map(h, p, self.namespace)
                     repl = set()
@@ -829,10 +840,16 @@ class WireClient:
     def wait_record(self, handle: int):
         """(ttl, bins) for a pipelined get, or None when the key does
         not exist.  Shares the in-order raw response stream with
-        wait()."""
+        wait().  Raises WireUnavailable on the cluster-change code so
+        read paths can fall back (re-tend or replica) distinctly from
+        hard failures."""
         rc, ttl, bins = parse_record_response(self._drain_to(handle))
         if rc == RC_KEY_NOT_FOUND:
             return None
+        if rc == RC_PARTITION_UNAVAILABLE:
+            raise WireUnavailable(
+                "aerospike wire: partition unavailable at this node"
+            )
         if rc != RC_OK:
             raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
         return ttl, bins
@@ -896,6 +913,7 @@ class WireServer:
         info_namespace: str = "tmx",
         replica_partitions: set[int] | None = None,
         on_put=None,
+        on_get=None,
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
         # RLock: the on_put hook fires INSIDE the store critical section
@@ -909,6 +927,8 @@ class WireServer:
         self._replicas = replica_partitions or set()
         self.replicate_to: list[tuple["WireServer", set[int]]] = []
         self._on_put = on_put
+        self._on_get = on_get  # same contract as on_put, for reads
+        self._gets = 0
         self._info_namespace = info_namespace
         self._partition_generation = 1
         self._cred: tuple[str, str] | None = None
@@ -1107,6 +1127,10 @@ class WireServer:
                         or pid in self._replicas
                     )
                     rec = self._store.get((ns, st, digest)) if readable else None
+                    if readable:
+                        self._gets += 1
+                        if self._on_get is not None:
+                            self._on_get(self._gets)
                 if not readable:
                     return build_response(RC_PARTITION_UNAVAILABLE)
                 if rec is None:

@@ -515,3 +515,73 @@ def test_cli_wire_cluster_hosts(runs_dir, capsys):
     finally:
         for srv in servers:
             srv.close()
+
+
+def test_cli_cluster_retend_and_verify_failover(runs_dir, capsys):
+    """Round 12: the CLI cluster survives LIVE handoffs on BOTH paths.
+    Mid-WRITE, node 0's whole slice (ownership + data) migrates to
+    node 1 — stale-routed puts draw UNAVAILABLE, the per-task router
+    re-tends and the requeued puts land on the new owner.  Mid-VERIFY,
+    node 1 hands the same slice on to node 2 — pipelined gets on the
+    stale connection raise WireUnavailable and the redeem falls back
+    (re-tend -> new master).  Exit 0, zero mismatches, and the slice's
+    records end up exactly on node 2."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireServer,
+        partition_id,
+    )
+
+    slice0 = {p for p in range(N_PARTITIONS) if p % 3 == 0}
+    servers = []
+
+    def on_put(n):
+        if n == 2:  # node 0's 2nd applied put: hand everything to node 1
+            servers[0].handoff(servers[1], slice0)
+
+    def on_get(n):
+        if n == 3:  # node 1's 3rd served get: hand the slice on to node 2
+            servers[1].handoff(servers[2], slice0)
+
+    servers.append(
+        WireServer(
+            owned_partitions=slice0, on_put=on_put, info_namespace="tmx"
+        )
+    )
+    servers.append(
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 3 == 1},
+            on_get=on_get,
+            info_namespace="tmx",
+        )
+    )
+    servers.append(
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 3 == 2},
+            info_namespace="tmx",
+        )
+    )
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{servers[0].port}",
+            "-h", f"127.0.0.1:{servers[1].port}",
+            "-h", f"127.0.0.1:{servers[2].port}",
+            "-n", "tmx", "-t", "recs", "--verify",
+        ] + NOW
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert " 0 mismatches" in out
+        # the handed-off slice lives exactly on node 2 now
+        assert not servers[0].records(), "node 0 must be empty post-handoff"
+        for (_ns, _st, digest) in servers[1].records():
+            assert partition_id(digest) % 3 == 1
+        n2_pids = {
+            partition_id(d) % 3 for (_, _, d) in servers[2].records()
+        }
+        assert n2_pids == {0, 2}, n2_pids
+        total = sum(len(s.records()) for s in servers)
+        assert f"# verify: {total} records match" in out
+    finally:
+        for srv in servers:
+            srv.close()
