@@ -100,6 +100,8 @@ HEADLINE = [
     "s40_wire_cluster_handoff",
     "s41_wire_rf2_failover",
     "sim_index_persist_topk",
+    # round-12: DSIR-style importance-weighted corpus selection
+    "text_dsir_select",
 ]
 
 

@@ -52,6 +52,7 @@ _PRIORITY = [
     "s40_wire_cluster_handoff",
     "s41_wire_rf2_failover",
     "sim_index_persist_topk",
+    "text_dsir_select",
     # -- (b) wire family: r12 changed the shared codec (partition-
     #    unavailable classification, record-response bounds checks,
     #    cols_str_to_bins) under all of these

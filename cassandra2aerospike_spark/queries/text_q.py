@@ -362,6 +362,77 @@ BM25_QUERIES: list[tuple[int, str]] = [
 BM25_K = 5
 
 
+def q_text_dsir_select(spark, sf_dir):
+    """DATA SELECTION VIA IMPORTANCE RESAMPLING (X4, round 12 — the
+    public DSIR method, Xie et al. 2023: keep raw-corpus documents
+    whose hashed-n-gram features look like a TARGET domain sample,
+    ranked by importance weight under bag-of-hashed-ngrams models of
+    target vs raw).  Target here = the deterministic seed slice
+    doc_id % 10 < 2 (in production: the curated domain corpus).
+    Features are hashed BIGRAMS: 12 bits of md5(tok<US>nxt) -> 4096
+    buckets, the DSIR feature space.  Per-bucket importance score is
+    the smoothed integer count ratio
+
+        s(b) = ((ct[b] + 1) * 1e6) div (cr[b] + 1)
+
+    — the repo's log-free monotone surrogate (logs are libm-dependent
+    and can never hash-match cross-engine; the salient-terms rule).  A
+    document's weight is its MEAN per-feature score (integer div), and
+    it is SELECTED iff that clears 1.2x the corpus mean — a broadcast-
+    scalar compare (w_avg * n_docs * 10 >= 12 * sum_w_avg), never a
+    global sort.  Docs with < 2 tokens carry no features and are
+    absent by construction on both engines.
+
+    Scale shape: bigrams from an in-row zip (no position shuffle);
+    ct/cr are map-side-combining groupBys onto <= 4096 keys; scoring
+    joins the corpus feature stream to the BROADCAST 4096-row score
+    table; the selection threshold is one broadcast scalar.  At 100 TB
+    this is one corpus scan, one tiny dimension build, one broadcast
+    join — the cheapest possible shape for corpus-wide curation."""
+    d = _docs(spark, sf_dir)
+    toks0 = d.select("doc_id", X.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks0.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (a, b) -> concat(a, chr(31), b))"
+            )
+        ).alias("g"),
+    )
+    feat = bg.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 13, 3), 16, 10).cast("long").alias("b"),
+    )
+    raw_counts = feat.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_counts = (
+        feat.filter(F.col("doc_id") % 10 < 2).groupBy("b").agg(
+            F.count("*").alias("ct")
+        )
+    )
+    scores = raw_counts.join(tgt_counts, "b", "left").select(
+        "b", F.expr("((coalesce(ct, 0) + 1) * 1000000) div (cr + 1)").alias("s")
+    )
+    doc_w = (
+        feat.join(F.broadcast(scores), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("s").alias("w_sum"))
+        .withColumn("w_avg", F.expr("w_sum div n_feats"))
+    )
+    stats = doc_w.agg(F.count("*").alias("nd"), F.sum("w_avg").alias("sw"))
+    return doc_w.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.col("w_sum").cast("long").alias("w_sum"),
+        F.col("w_avg").cast("long").alias("w_avg"),
+        (F.col("w_avg") * F.col("nd") * 10 >= F.lit(12) * F.col("sw"))
+        .cast("int")
+        .alias("selected"),
+    )
+
+
 def q_text_ngram_lm(spark, sf_dir):
     """N-GRAM LANGUAGE-MODEL quality scoring (round 10, X4 — the CCNet /
     Gopher move: score each document under a corpus language model and
@@ -1168,6 +1239,42 @@ ORACLES = {
                    AS rt_keep
         FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
     """,
+    "text_dsir_select": _TOKS
+    + """
+        , tw AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || chr(31) || t[i+1])) AS g
+          FROM tw
+        ),
+        feat AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(range(13, 16),
+                     j -> strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1),
+                     (a, b) -> a * 16 + b) AS b
+          FROM bg
+        ),
+        cr AS (SELECT b, count(*) AS cr FROM feat GROUP BY b),
+        ct AS (SELECT b, count(*) AS ct FROM feat
+               WHERE doc_id % 10 < 2 GROUP BY b),
+        sc AS (
+          SELECT cr.b, ((coalesce(ct.ct, 0) + 1) * 1000000) // (cr.cr + 1) AS s
+          FROM cr LEFT JOIN ct ON ct.b = cr.b
+        ),
+        dw AS (
+          SELECT doc_id, count(*) AS n_feats, sum(s) AS w_sum,
+                 sum(s) // count(*) AS w_avg
+          FROM feat JOIN sc ON sc.b = feat.b
+          GROUP BY doc_id
+        ),
+        st AS (SELECT count(*) AS nd, sum(w_avg) AS sw FROM dw)
+        SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+               CAST(w_sum AS BIGINT) AS w_sum,
+               CAST(w_avg AS BIGINT) AS w_avg,
+               CAST(w_avg * nd * 10 >= 12 * sw AS INT) AS selected
+        FROM dw, st
+    """,
     "text_salient_terms": _TOKS
     + """
         , tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
@@ -1562,6 +1669,7 @@ QUERIES = {
     "sample_domain_mix": q_sample_domain_mix,
     "text_rare_token_filter": q_text_rare_token_filter,
     "text_salient_terms": q_text_salient_terms,
+    "text_dsir_select": q_text_dsir_select,
     "text_pii_scrub": q_text_pii_scrub,
     "text_chunk_windows": q_text_chunk_windows,
     "text_dup_span_removal": q_text_dup_span_removal,
