@@ -39,11 +39,12 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round without a driver re-verify, (c) the stalest driver-signature
 # cohort.  Signature histogram entering r12 (latest green driver round
 # per row): new x3, r06 x29, r08 x49, r10 x44, r11 x50 — this prefix
-# spends 3 slots on (a), 6 on (b) (the whole wire family: the
+# spends 5 slots on (a), 6 on (b) (the whole wire family: the
 # aerospike_wire codec changed RC-11 classification + gained
 # cols_str_to_bins/bounds checks this round), all 29 on the complete
-# r06 cohort, and the last 12 on the head of the r08 cohort
-# (alphabetical); the remaining 37 r08 rows head the r13 rotation.
+# r06 cohort, and the rest on the head of the r08 cohort
+# (alphabetical; the checked window covers the first ~10 of them); the
+# remaining r08 rows head the r13 rotation.
 _PRIORITY = [
     # -- (a) NEW in r12: live partition handoff with client re-tend,
     #    RF=2 replication + node-death failover, and the persisted
@@ -53,6 +54,7 @@ _PRIORITY = [
     "s41_wire_rf2_failover",
     "sim_index_persist_topk",
     "text_dsir_select",
+    "stream_cdc_cluster_apply",
     # -- (b) wire family: r12 changed the shared codec (partition-
     #    unavailable classification, record-response bounds checks,
     #    cols_str_to_bins) under all of these

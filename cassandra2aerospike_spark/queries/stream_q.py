@@ -7,6 +7,7 @@ from __future__ import annotations
 from ..streaming import (
     stream_aerospike_wire_sink,
     stream_cdc_incremental,
+    stream_cdc_cluster_apply,
     stream_cdc_wire_apply,
     stream_snapshot_cdc,
     stream_corpus_dedup,
@@ -23,6 +24,7 @@ from ..streaming import (
 QUERIES = {
     "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
     "stream_cdc_wire_apply": stream_cdc_wire_apply,
+    "stream_cdc_cluster_apply": stream_cdc_cluster_apply,
     "stream_snapshot_cdc": stream_snapshot_cdc,
     "stream_cdc_incremental": stream_cdc_incremental,
     "stream_window_counts": stream_window_counts,
@@ -330,6 +332,11 @@ ORACLES["stream_cdc_wire_apply"] = (
     FROM rec_c2
 """
 )
+
+
+# stream_cdc_cluster_apply: identical quiesce contract — the cluster,
+# the mid-stream handoff and the re-tends are invisible at quiesce
+ORACLES["stream_cdc_cluster_apply"] = ORACLES["stream_cdc_wire_apply"]
 
 
 ORACLES["stream_aerospike_wire_sink"] = (

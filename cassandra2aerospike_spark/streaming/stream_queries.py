@@ -1076,6 +1076,180 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS CDC -> SECURED CLUSTER sync surviving a LIVE HANDOFF
+    (round 12): stream_cdc_wire_apply's contract — REPLACE puts + real
+    wire DELETEs, store == from-scratch migration at quiesce — but the
+    sink is the s36-shape cluster (three LOGIN-authenticated nodes,
+    each owning a third of the partition map) and node 0 MIGRATES its
+    whole slice (ownership + data) to node 1 after its 3rd applied put,
+    MID-STREAM.  Batch tasks route through per-task ClusterRouters
+    seeded with the PRE-handoff map (the process-level tend shape), so
+    post-handoff emissions to moved partitions draw UNAVAILABLE, re-
+    tend, and re-issue — puts AND deletes.  Final-state determinism
+    under any cutover timing is the point: microbatches are sequential,
+    within-batch emissions are one-per-key, and the handoff migrates
+    data, so the per-key last-write order is preserved wherever the
+    partition lives.  The quiesce check then proves zero lost or
+    misplaced operations across the cutover.  Same exact oracle as the
+    single-node row (the cluster is invisible at quiesce — that IS the
+    contract)."""
+    from ..operators import merge as M
+    from ..queries.pipeline_q import _digest_hex_records
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        cols_str_to_bins,
+    )
+    from ..sinks.bcrypt_py import hashpw
+    from ..sources import load_table
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    res = _cdc_incremental_result(spark, table_dir)
+    n_nodes = 3
+    ns, set_name = "tmx", "cdc"
+    user, password = "tmx_cdc", "s3cr3t"
+    salt6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"
+    credential = hashpw(password, salt6)
+    slice0 = {p for p in range(N_PARTITIONS) if p % n_nodes == 0}
+    servers: list = []
+    moved = {"n": -1}
+
+    def on_node0_put(n_puts: int) -> None:
+        if n_puts == 3:
+            moved["n"] = servers[0].handoff(servers[1], slice0)
+
+    servers.append(
+        WireServer(
+            credentials=(user, password),
+            owned_partitions=slice0,
+            credential_salt=salt6,
+            info_namespace=ns,
+            on_put=on_node0_put,
+        )
+    )
+    servers.extend(
+        WireServer(
+            credentials=(user, password),
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            credential_salt=salt6,
+            info_namespace=ns,
+        )
+        for i in (1, 2)
+    )
+    nodes = [(srv.host, srv.port) for srv in servers]
+    seed = ClusterRouter(nodes, ns, set_name, user=user, credential=credential)
+    pmap0 = list(seed.pmap)
+    seed.close()
+    eternal, now_s = M.ETERNAL, M.NOW_EPOCH_S
+    sc = spark.sparkContext
+    acc_unavail = sc.accumulator(0)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        def part(rows):
+            router = None
+            pend = []
+            for r in rows:
+                if router is None:
+                    router = ClusterRouter(
+                        nodes, ns, set_name,
+                        user=user, credential=credential,
+                        initial_pmap=pmap0,
+                    )
+                key = str(r["key"]).encode()
+                c = router.client_for(key)
+                if r["cols_str"] is None:
+                    pend.append((c.delete(key), c, r))
+                else:
+                    bins = cols_str_to_bins(r["cols_str"])
+                    ttl = (
+                        0xFFFFFFFF
+                        if r["expiry"] == eternal
+                        else int(r["expiry"]) - now_s
+                    )
+                    pend.append(
+                        (c.put(key, bins, ttl, create_only=False), c, r)
+                    )
+            for h, c, r in pend:
+                d = c.wait(h)
+                while d == "unavailable":
+                    # the cluster moved under the stream: re-tend and
+                    # re-issue this operation through the fresh map
+                    # (retend's livelock cap bounds the loop)
+                    acc_unavail.add(1)
+                    router.retend()
+                    key = str(r["key"]).encode()
+                    c2 = router.client_for(key)
+                    if r["cols_str"] is None:
+                        d = c2.wait(c2.delete(key))
+                    else:
+                        bins = cols_str_to_bins(r["cols_str"])
+                        ttl = (
+                            0xFFFFFFFF
+                            if r["expiry"] == eternal
+                            else int(r["expiry"]) - now_s
+                        )
+                        d = c2.wait(c2.put(key, bins, ttl, create_only=False))
+            if router is not None:
+                router.close()
+
+        batch_df.foreachPartition(part)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdccluster_")
+    q = (
+        res.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if moved["n"] < 0:
+        raise RuntimeError("cdc cluster apply: handoff never fired")
+    if acc_unavail.value < 1:
+        raise RuntimeError("cdc cluster apply: no op ever saw the stale map")
+    if servers[0].records():
+        raise RuntimeError("cdc cluster apply: node 0 still holds records")
+    store: dict = {}
+    for srv in servers:
+        store.update(srv.records())
+        srv.close()
+    store_rows = []
+    for (s_ns, s_set, digest), (bins, ttl) in store.items():
+        if s_ns != ns or s_set != set_name:
+            raise RuntimeError("cdc cluster apply: foreign record stored")
+        entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
+        store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
+    store_df = spark.createDataFrame(
+        store_rows, "digest_hex string, cols_str string, ttl long"
+    )
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+        .select(
+            "key",
+            _digest_hex_records(F.lit(set_name), F.col("key")).alias(
+                "digest_hex"
+            ),
+        )
+    )
+    return keyed.join(F.broadcast(store_df), "digest_hex", "inner").select(
+        "key", "cols_str", "ttl"
+    )
+
+
 def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's TRUE production shape, modernized (round 9): a
     live Cassandra data directory streamed CONTINUOUSLY into Aerospike
