@@ -100,8 +100,10 @@ HEADLINE = [
     "s40_wire_cluster_handoff",
     "s41_wire_rf2_failover",
     "sim_index_persist_topk",
-    # round-12: DSIR-style importance-weighted corpus selection
+    # round-12: DSIR-style importance-weighted corpus selection, and the
+    # cluster-as-a-source scan sweep (one LOGIN+scan task per node)
     "text_dsir_select",
+    "s42_wire_cluster_scan_source",
 ]
 
 

@@ -1078,6 +1078,145 @@ def q_s41_wire_rf2_failover(spark, sf_dir):
     return out
 
 
+def q_s42_wire_cluster_scan_source(spark, sf_dir):
+    """THE CLUSTER AS A SOURCE (round 12): after the secured cluster
+    sink pass, the stored state is read back WITHOUT A KEY LIST through
+    the wire SCAN op — one set-addressed request per node, each node
+    streaming every record it MASTERS as digest-tagged record responses
+    terminated by INFO3_LAST (the shape the ecosystem's asbackup uses
+    against a live cluster; the reference is strictly one-way and has
+    no read path at all).  One executor task per node performs
+    LOGIN + scan inside mapInPandas, so the read scales with the
+    cluster exactly like the write did; masters-only scan semantics
+    mean a whole-cluster sweep sees each record exactly once (asserted:
+    scanned == merged, distinct digests, and zero misroutes — every
+    scanned record's partition maps to the node that returned it,
+    checked via the pure-Catalyst partition expression).  Digests map
+    back to keys through the distributed digest join.  Exact oracle:
+    the scanned state equals the merge's live records with the
+    expiry -> write-ttl rule."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.bcrypt_py import hashpw
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "scanned"
+    user, password = "tmx_scanner", "s3cr3t"
+    salt6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"
+    credential = hashpw(password, salt6)
+    servers = [
+        WireServer(
+            credentials=(user, password),
+            owned_partitions={p for p in range(N_PARTITIONS) if p % n_nodes == i},
+            credential_salt=salt6,
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h, p_, ns)
+        for p in owned:
+            pmap[p] = idx
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name, user=user, credential=credential)
+                for h, p in nodes
+            ]
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = cl[pmap[partition_id(key_digest(set_name, key))]]
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("scan source: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # ---- the SOURCE phase: one scan task per node ----
+    nodes_df = spark.createDataFrame(
+        [(i, h, p) for i, (h, p) in enumerate(nodes)],
+        "node int, host string, port int",
+    ).repartition(n_nodes, "node")
+
+    def scan_node(batches):
+        for pdf in batches:
+            for node, h, p_ in zip(pdf["node"], pdf["host"], pdf["port"]):
+                c = WireClient(
+                    h, int(p_), ns, set_name, user=user, credential=credential
+                )
+                dh, cols, ttls = [], [], []
+                for digest, ttl, bins in c.scan():
+                    dh.append(digest.hex())
+                    cols.append(
+                        ",".join(
+                            sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                        )
+                    )
+                    ttls.append(int(ttl))
+                c.close()
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": dh,
+                        "cols_str": cols,
+                        "ttl": ttls,
+                        "node": [int(node)] * len(dh),
+                    }
+                )
+
+    scanned = nodes_df.mapInPandas(
+        scan_node, "digest_hex string, cols_str string, ttl long, node int"
+    ).cache()
+    # sweep invariants: every merged record exactly once, zero misroutes
+    pid_expr = (
+        F.conv(F.substring("digest_hex", 1, 2), 16, 10).cast("long")
+        + F.conv(F.substring("digest_hex", 3, 2), 16, 10).cast("long") * 256
+    ) % 4096
+    agg = scanned.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("digest_hex").alias("nd"),
+        F.sum((pid_expr % n_nodes != F.col("node")).cast("long")).alias("mis"),
+    ).first()
+    if not (agg["n"] == agg["nd"] == n_records) or agg["mis"] != 0:
+        raise RuntimeError(
+            f"cluster scan sweep broken: n={agg['n']} distinct={agg['nd']} "
+            f"merged={n_records} misroutes={agg['mis']}"
+        )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = keyed.join(scanned, "digest_hex").select("key", "cols_str", "ttl").cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers:
+        srv.close()
+    scanned.unpersist()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -1225,6 +1364,7 @@ QUERIES = {
     "s39_e2e_migration_verified": q_s39_e2e_migration_verified,
     "s40_wire_cluster_handoff": q_s40_wire_cluster_handoff,
     "s41_wire_rf2_failover": q_s41_wire_rf2_failover,
+    "s42_wire_cluster_scan_source": q_s42_wire_cluster_scan_source,
     "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
@@ -1350,6 +1490,20 @@ ORACLES = {
     # promoted RF=2 map) must equal the expected merge exactly, every
     # row verified=1; the handoff, re-tend, replication and failover
     # invariants are in-query asserts (any breach errors the row)
+    "s42_wire_cluster_scan_source": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
     "s40_wire_cluster_handoff": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records

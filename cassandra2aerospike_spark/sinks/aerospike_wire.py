@@ -89,6 +89,7 @@ INFO1_GET_ALL = 0x02
 INFO2_WRITE = 0x01
 INFO2_DELETE = 0x02
 INFO2_CREATE_ONLY = 0x20
+INFO3_LAST = 0x01  # final message of a multi-record (scan) response
 
 RC_OK = 0
 RC_KEY_NOT_FOUND = 2
@@ -265,9 +266,12 @@ def parse_result_code(frame: bytes) -> int:
     return frame[5]
 
 
-def parse_put(frame: bytes):
+def parse_put(frame: bytes, require_digest: bool = True):
     """Server-side request parse (independent walk of the same grammar):
-    returns (namespace, set, digest, bins, ttl, create_only)."""
+    returns (namespace, set, digest, bins, ttl, create_only).  A SCAN
+    request carries no digest field (it addresses the whole set), so
+    its dispatch parses with require_digest=False and branches on the
+    empty digest."""
     if len(frame) < 22:
         raise ValueError("aerospike wire: short request")
     (hsz, _i1, info2, _i3, _u, _rc, _gen, ttl, _txn, n_fields, n_ops) = struct.unpack(
@@ -289,8 +293,10 @@ def parse_put(frame: bytes):
             st = data.decode()
         elif ftype == FIELD_DIGEST:
             digest = data
-    if len(digest) != DIGEST_SIZE:
-        raise ValueError("aerospike wire: missing/short digest field")
+    if digest and len(digest) != DIGEST_SIZE:
+        raise ValueError("aerospike wire: short digest field")
+    if require_digest and not digest:
+        raise ValueError("aerospike wire: missing digest field")
     bins: dict[str, bytes] = {}
     for _ in range(n_ops):
         (sz,) = struct.unpack_from(">I", frame, off)
@@ -359,6 +365,90 @@ def build_record_response(result_code: int, ttl: int, bins: dict[str, bytes]) ->
         22, 0, 0, 0, 0, result_code, 1, ttl & 0xFFFFFFFF, 0, 0, len(ops),
     )
     return _proto_frame(msg + b"".join(ops))
+
+
+def build_scan(namespace: str, set_name: str) -> bytes:
+    """One SCAN request (round 12 — the live-cluster read the ecosystem's
+    asbackup performs): info1 = READ | GET_ALL with namespace + set
+    fields and NO digest — it addresses the whole set at this node.  The
+    node answers a stream of digest-tagged record responses terminated
+    by an INFO3_LAST message (the public multi-record response shape)."""
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, INFO1_READ | INFO1_GET_ALL, 0, 0, 0, 0, 0, 0, 1000,
+        len(fields), 0,
+    )
+    return _proto_frame(msg + b"".join(fields))
+
+
+def build_scan_record(digest: bytes, ttl: int, bins: dict[str, bytes]) -> bytes:
+    """One record of a scan response: a record response carrying the
+    record's DIGEST as a field (scans are set-addressed, so the digest
+    is the only identity the client gets back)."""
+    fields = [struct.pack(">IB", DIGEST_SIZE + 1, FIELD_DIGEST) + digest]
+    ops = []
+    for name, value in bins.items():
+        nb = name.encode()
+        body = struct.pack("BBBB", 1, PARTICLE_BLOB, 0, len(nb)) + nb + value
+        ops.append(struct.pack(">I", len(body)) + body)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, 0, 0, 0, 0, RC_OK, 1, ttl & 0xFFFFFFFF, 0, len(fields), len(ops),
+    )
+    return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
+def build_scan_last(result_code: int = RC_OK) -> bytes:
+    """The scan terminator: an empty message with INFO3_LAST set."""
+    msg = struct.pack(
+        ">BBBBBBIIIHH", 22, 0, 0, INFO3_LAST, 0, result_code, 0, 0, 0, 0, 0
+    )
+    return _proto_frame(msg)
+
+
+def parse_scan_record(body: bytes) -> tuple[bytes, int, dict[str, bytes]]:
+    """(digest, record_ttl, bins) from one scan-stream record (bounds-
+    checked like parse_record_response)."""
+    if len(body) < 22:
+        raise ValueError("aerospike wire: short scan record")
+    (_hsz, _i1, _i2, _i3, _u, rc, _gen, ttl, _txn, n_fields, n_ops) = struct.unpack(
+        ">BBBBBBIIIHH", body[:22]
+    )
+    if rc != RC_OK:
+        raise RuntimeError(f"aerospike wire: scan record rc {rc}")
+    off = 22
+    digest = b""
+    for _ in range(n_fields):
+        if off + 5 > len(body):
+            raise ValueError("aerospike wire: truncated scan field")
+        (sz,) = struct.unpack_from(">I", body, off)
+        if off + 4 + sz > len(body):
+            raise ValueError("aerospike wire: truncated scan field")
+        if body[off + 4] == FIELD_DIGEST:
+            digest = body[off + 5 : off + 4 + sz]
+        off += 4 + sz
+    if len(digest) != DIGEST_SIZE:
+        raise ValueError("aerospike wire: scan record missing digest")
+    bins: dict[str, bytes] = {}
+    for _ in range(n_ops):
+        if off + 8 > len(body):
+            raise ValueError("aerospike wire: truncated scan op")
+        (sz,) = struct.unpack_from(">I", body, off)
+        if sz < 4 or off + 4 + sz > len(body):
+            raise ValueError("aerospike wire: truncated scan op")
+        _op, _ptype, _ver, nlen = struct.unpack_from("BBBB", body, off + 4)
+        if 4 + nlen > sz:
+            raise ValueError("aerospike wire: scan op name overruns op")
+        name = body[off + 8 : off + 8 + nlen].decode()
+        bins[name] = body[off + 8 + nlen : off + 4 + sz]
+        off += 4 + sz
+    return digest, ttl, bins
 
 
 def cols_str_to_bins(cols_str: str) -> dict[str, bytes]:
@@ -854,6 +944,28 @@ class WireClient:
             raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
         return ttl, bins
 
+    def scan(self):
+        """Stream every record this node serves for (namespace, set):
+        one scan request, yield (digest, ttl, bins) until the
+        INFO3_LAST terminator.  A scan owns the connection's response
+        stream, so it refuses to start with requests in flight (send
+        scans on their own connection, like the real client does)."""
+        if self._sent != self._received or self._results:
+            raise RuntimeError(
+                "aerospike wire: scan on a connection with in-flight requests"
+            )
+        self.sock.sendall(build_scan(self.namespace, self.set_name))
+        while True:
+            typ, body = read_frame(self.sock)
+            if typ != MSG_TYPE:
+                raise ValueError("aerospike wire: non-data frame in scan")
+            if len(body) >= 22 and body[3] & INFO3_LAST:
+                rc = body[5]
+                if rc != RC_OK:
+                    raise RuntimeError(f"aerospike wire: scan failed, rc {rc}")
+                return
+            yield parse_scan_record(body)
+
     def close(self) -> None:
         self.sock.close()
 
@@ -1118,7 +1230,11 @@ class WireServer:
         read-back verify phase; else the create-only write path."""
         try:
             if len(frame) >= 22 and frame[1] & INFO1_READ:
-                ns, st, digest, _b, _t, _co = parse_put(frame)
+                ns, st, digest, _b, _t, _co = parse_put(
+                    frame, require_digest=False
+                )
+                if not digest:
+                    return self._scan(ns, st)
                 pid = partition_id(digest)
                 with self._lock:
                     readable = (
@@ -1172,6 +1288,27 @@ class WireServer:
         # replication outside: targets take their own locks
         self._replicate(pid, ns, st, digest, bins, ttl)
         return build_response(RC_OK)
+
+    def _scan(self, ns: str, st: str) -> bytes:
+        """SCAN response: every (ns, set) record this node MASTERS as a
+        digest-tagged record stream + the INFO3_LAST terminator.
+        Masters only (not replicas): each record then appears exactly
+        once across a whole-cluster scan — the dedup-free contract
+        cluster backup scans rely on.  The snapshot is taken under the
+        lock; frames are built outside it.  At fixture scale the whole
+        stream returns as one sendall; a production server chunks —
+        the client's framing loop is already incremental either way."""
+        with self._lock:
+            snap = [
+                (k[2], v[1], v[0])
+                for k, v in self._store.items()
+                if k[0] == ns
+                and k[1] == st
+                and (self._owned is None or partition_id(k[2]) in self._owned)
+            ]
+        out = [build_scan_record(d, ttl, bins) for d, ttl, bins in snap]
+        out.append(build_scan_last())
+        return b"".join(out)
 
     def records(self) -> dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]]:
         with self._lock:

@@ -724,3 +724,61 @@ def test_wire_on_put_hook_and_replica_read_rules():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_scan_streams_mastered_records():
+    """SCAN (round 12): a set-addressed read streams every record the
+    node MASTERS (never its replica copies) as digest-tagged records
+    terminated by INFO3_LAST; a cluster-wide scan therefore sees each
+    record exactly once."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    servers = [
+        aw.WireServer(
+            owned_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 2 == i
+            },
+            replica_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 2 != i
+            },
+        )
+        for i in range(2)
+    ]
+    for i in range(2):
+        servers[i].replicate_to = [
+            (
+                servers[1 - i],
+                {p for p in range(aw.N_PARTITIONS) if p % 2 == i},
+            )
+        ]
+    try:
+        router = aw.ClusterRouter(
+            [(s.host, s.port) for s in servers], "tmx", "recs", rf2=True
+        )
+        keys = [f"s{i}".encode() for i in range(20)]
+        for k in keys:
+            c = router.client_for(k)
+            assert c.wait(c.put(k, {"v": k}, 7)) == "ok"
+        # every record is stored TWICE (master + replica) ...
+        assert sum(len(s.records()) for s in servers) == 2 * len(keys)
+        # ... but a cluster scan sees each digest EXACTLY once
+        seen: dict = {}
+        for s in servers:
+            c = aw.WireClient(s.host, s.port, "tmx", "recs")
+            for digest, ttl, bins in c.scan():
+                assert digest not in seen
+                seen[digest] = (ttl, bins)
+            c.close()
+        want = {aw.key_digest("recs", k): (7, {"v": k}) for k in keys}
+        assert seen == want
+        # scan refuses to interleave with pipelined requests
+        c = aw.WireClient(servers[0].host, servers[0].port, "tmx", "recs")
+        c.put(b"s0", {"v": b"x"}, 0)  # in flight, not redeemed
+        import pytest
+
+        with pytest.raises(RuntimeError, match="in-flight"):
+            next(c.scan())
+        router.close()
+    finally:
+        for s in servers:
+            s.close()
