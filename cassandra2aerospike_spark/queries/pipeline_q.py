@@ -1217,6 +1217,152 @@ def q_s42_wire_cluster_scan_source(spark, sf_dir):
     return out
 
 
+def q_s43_wire_partition_scan_source(spark, sf_dir):
+    """PARTITION-SLICED cluster scan (round 12): the s42 source path's
+    scale ceiling is one task per node; real backup scans slice by the
+    4096-partition ring instead (the public as_partition_filter
+    concept), so task parallelism scales with the RING, not the node
+    count — at 1000 executors you run 1000 disjoint partition ranges,
+    whatever the cluster size.  Here: 8 disjoint 512-partition ranges,
+    one executor task each; every task sends a pid-filtered scan to
+    EVERY node (masters-only scan semantics make the sweep dup-free
+    without the task knowing the ownership map) and yields the range's
+    records.  Sweep invariants asserted in-query: scanned == merged,
+    distinct digests, and every record's partition inside its task's
+    claimed range (the pure-Catalyst partition expression).  Digest
+    join maps back to keys; exact merge oracle (same contract as s42 —
+    the slicing must be invisible in the result)."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.bcrypt_py import hashpw
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes, n_ranges = 3, 8
+    span = N_PARTITIONS // n_ranges
+    ns, set_name = "tmx", "sliced"
+    user, password = "tmx_scanner", "s3cr3t"
+    salt6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"
+    credential = hashpw(password, salt6)
+    servers = [
+        WireServer(
+            credentials=(user, password),
+            owned_partitions={p for p in range(N_PARTITIONS) if p % n_nodes == i},
+            credential_salt=salt6,
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h, p_, ns)
+        for p in owned:
+            pmap[p] = idx
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name, user=user, credential=credential)
+                for h, p in nodes
+            ]
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = cl[pmap[partition_id(key_digest(set_name, key))]]
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("partition scan source: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    ranges_df = spark.createDataFrame(
+        [(r, r * span, span) for r in range(n_ranges)],
+        "rng int, begin int, count int",
+    ).repartition(n_ranges, "rng")
+
+    def scan_range(batches):
+        for pdf in batches:
+            for begin, count in zip(pdf["begin"], pdf["count"]):
+                dh, cols, ttls = [], [], []
+                for h, p_ in nodes:
+                    c = WireClient(
+                        h, p_, ns, set_name, user=user, credential=credential
+                    )
+                    for digest, ttl, bins in c.scan(int(begin), int(count)):
+                        dh.append(digest.hex())
+                        cols.append(
+                            ",".join(
+                                sorted(
+                                    f"{n}={v.decode()}" for n, v in bins.items()
+                                )
+                            )
+                        )
+                        ttls.append(int(ttl))
+                    c.close()
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": dh,
+                        "cols_str": cols,
+                        "ttl": ttls,
+                        "begin": [int(begin)] * len(dh),
+                        "count": [int(count)] * len(dh),
+                    }
+                )
+
+    scanned = ranges_df.mapInPandas(
+        scan_range,
+        "digest_hex string, cols_str string, ttl long, begin int, count int",
+    ).cache()
+    pid_expr = (
+        F.conv(F.substring("digest_hex", 1, 2), 16, 10).cast("long")
+        + F.conv(F.substring("digest_hex", 3, 2), 16, 10).cast("long") * 256
+    ) % 4096
+    agg = scanned.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("digest_hex").alias("nd"),
+        F.sum(
+            (
+                (pid_expr < F.col("begin"))
+                | (pid_expr >= F.col("begin") + F.col("count"))
+            ).cast("long")
+        ).alias("oob"),
+    ).first()
+    if not (agg["n"] == agg["nd"] == n_records) or agg["oob"] != 0:
+        raise RuntimeError(
+            f"partition scan sweep broken: n={agg['n']} distinct={agg['nd']} "
+            f"merged={n_records} out_of_range={agg['oob']}"
+        )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = keyed.join(scanned, "digest_hex").select("key", "cols_str", "ttl").cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers:
+        srv.close()
+    scanned.unpersist()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -1365,6 +1511,7 @@ QUERIES = {
     "s40_wire_cluster_handoff": q_s40_wire_cluster_handoff,
     "s41_wire_rf2_failover": q_s41_wire_rf2_failover,
     "s42_wire_cluster_scan_source": q_s42_wire_cluster_scan_source,
+    "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
@@ -1490,6 +1637,20 @@ ORACLES = {
     # promoted RF=2 map) must equal the expected merge exactly, every
     # row verified=1; the handoff, re-tend, replication and failover
     # invariants are in-query asserts (any breach errors the row)
+    "s43_wire_partition_scan_source": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
     "s42_wire_cluster_scan_source": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records

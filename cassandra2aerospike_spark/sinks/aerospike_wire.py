@@ -80,6 +80,11 @@ def partition_id(digest: bytes, n_partitions: int = N_PARTITIONS) -> int:
 FIELD_NAMESPACE = 0
 FIELD_SET = 1
 FIELD_DIGEST = 4
+# the partition-filter field of modern scans (the public
+# as_partition_filter concept: scans address partition ranges so task
+# parallelism scales with the 4096-partition ring, not the node count);
+# payload = two BE u16s (begin_pid, count)
+FIELD_PID_RANGE = 24
 
 OP_WRITE = 2
 PARTICLE_BLOB = 4
@@ -367,24 +372,56 @@ def build_record_response(result_code: int, ttl: int, bins: dict[str, bytes]) ->
     return _proto_frame(msg + b"".join(ops))
 
 
-def build_scan(namespace: str, set_name: str) -> bytes:
+def build_scan(
+    namespace: str,
+    set_name: str,
+    pid_begin: int | None = None,
+    pid_count: int | None = None,
+) -> bytes:
     """One SCAN request (round 12 — the live-cluster read the ecosystem's
     asbackup performs): info1 = READ | GET_ALL with namespace + set
     fields and NO digest — it addresses the whole set at this node.  The
     node answers a stream of digest-tagged record responses terminated
-    by an INFO3_LAST message (the public multi-record response shape)."""
+    by an INFO3_LAST message (the public multi-record response shape).
+    With a PID range (the public partition-filter concept) the node
+    returns only records in partitions [pid_begin, pid_begin+pid_count)
+    — the knob that lets scan-task parallelism scale with the
+    4096-partition ring instead of the node count."""
     fields = []
     for ftype, data in (
         (FIELD_NAMESPACE, namespace.encode()),
         (FIELD_SET, set_name.encode()),
     ):
         fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    if pid_begin is not None:
+        data = struct.pack(">HH", pid_begin, pid_count or 1)
+        fields.append(
+            struct.pack(">IB", len(data) + 1, FIELD_PID_RANGE) + data
+        )
     msg = struct.pack(
         ">BBBBBBIIIHH",
         22, INFO1_READ | INFO1_GET_ALL, 0, 0, 0, 0, 0, 0, 1000,
         len(fields), 0,
     )
     return _proto_frame(msg + b"".join(fields))
+
+
+def parse_pid_range(frame: bytes) -> tuple[int, int] | None:
+    """The scan request's partition filter, if present: (begin, count)."""
+    if len(frame) < 22:
+        return None
+    (_hsz, _i1, _i2, _i3, _u, _rc, _gen, _ttl, _txn, n_fields, _n_ops) = (
+        struct.unpack(">BBBBBBIIIHH", frame[:22])
+    )
+    off = 22
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return None
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if frame[off + 4] == FIELD_PID_RANGE and sz == 5:
+            return struct.unpack_from(">HH", frame, off + 5)
+        off += 4 + sz
+    return None
 
 
 def build_scan_record(digest: bytes, ttl: int, bins: dict[str, bytes]) -> bytes:
@@ -944,17 +981,21 @@ class WireClient:
             raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
         return ttl, bins
 
-    def scan(self):
-        """Stream every record this node serves for (namespace, set):
-        one scan request, yield (digest, ttl, bins) until the
-        INFO3_LAST terminator.  A scan owns the connection's response
-        stream, so it refuses to start with requests in flight (send
-        scans on their own connection, like the real client does)."""
+    def scan(self, pid_begin: int | None = None, pid_count: int | None = None):
+        """Stream every record this node serves for (namespace, set) —
+        optionally restricted to the partition range [pid_begin,
+        pid_begin+pid_count): one scan request, yield (digest, ttl,
+        bins) until the INFO3_LAST terminator.  A scan owns the
+        connection's response stream, so it refuses to start with
+        requests in flight (send scans on their own connection, like
+        the real client does)."""
         if self._sent != self._received or self._results:
             raise RuntimeError(
                 "aerospike wire: scan on a connection with in-flight requests"
             )
-        self.sock.sendall(build_scan(self.namespace, self.set_name))
+        self.sock.sendall(
+            build_scan(self.namespace, self.set_name, pid_begin, pid_count)
+        )
         while True:
             typ, body = read_frame(self.sock)
             if typ != MSG_TYPE:
@@ -1234,7 +1275,7 @@ class WireServer:
                     frame, require_digest=False
                 )
                 if not digest:
-                    return self._scan(ns, st)
+                    return self._scan(ns, st, parse_pid_range(frame))
                 pid = partition_id(digest)
                 with self._lock:
                     readable = (
@@ -1289,15 +1330,24 @@ class WireServer:
         self._replicate(pid, ns, st, digest, bins, ttl)
         return build_response(RC_OK)
 
-    def _scan(self, ns: str, st: str) -> bytes:
+    def _scan(
+        self, ns: str, st: str, pid_range: tuple[int, int] | None = None
+    ) -> bytes:
         """SCAN response: every (ns, set) record this node MASTERS as a
         digest-tagged record stream + the INFO3_LAST terminator.
         Masters only (not replicas): each record then appears exactly
         once across a whole-cluster scan — the dedup-free contract
-        cluster backup scans rely on.  The snapshot is taken under the
+        cluster backup scans rely on.  A partition filter restricts the
+        sweep to [begin, begin+count).  The snapshot is taken under the
         lock; frames are built outside it.  At fixture scale the whole
         stream returns as one sendall; a production server chunks —
         the client's framing loop is already incremental either way."""
+
+        def in_range(pid: int) -> bool:
+            return pid_range is None or (
+                pid_range[0] <= pid < pid_range[0] + pid_range[1]
+            )
+
         with self._lock:
             snap = [
                 (k[2], v[1], v[0])
@@ -1305,6 +1355,7 @@ class WireServer:
                 if k[0] == ns
                 and k[1] == st
                 and (self._owned is None or partition_id(k[2]) in self._owned)
+                and in_range(partition_id(k[2]))
             ]
         out = [build_scan_record(d, ttl, bins) for d, ttl, bins in snap]
         out.append(build_scan_last())

@@ -782,3 +782,32 @@ def test_wire_scan_streams_mastered_records():
     finally:
         for s in servers:
             s.close()
+
+
+def test_wire_scan_partition_filter():
+    """A pid-filtered scan returns exactly the node's mastered records
+    inside [begin, begin+count), and disjoint ranges tile the store."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "recs")
+        keys = [f"pf{i}".encode() for i in range(40)]
+        for k in keys:
+            assert c.wait(c.put(k, {"v": k}, 0)) == "ok"
+        got: dict = {}
+        span = aw.N_PARTITIONS // 4
+        for r in range(4):
+            for digest, _ttl, bins in c.scan(r * span, span):
+                pid = aw.partition_id(digest)
+                assert r * span <= pid < (r + 1) * span
+                assert digest not in got
+                got[digest] = bins
+        assert got == {
+            aw.key_digest("recs", k): {"v": k} for k in keys
+        }
+        # an empty range answers just the terminator
+        assert list(c.scan(0, 0)) == []
+        c.close()
+    finally:
+        srv.close()
