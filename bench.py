@@ -104,6 +104,8 @@ HEADLINE = [
     # cluster-as-a-source scan sweep (one LOGIN+scan task per node)
     "text_dsir_select",
     "s42_wire_cluster_scan_source",
+    # round-12: hybrid BM25+vector retrieval fused by RRF
+    "sim_hybrid_rrf_topk",
 ]
 
 

@@ -39,7 +39,7 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round without a driver re-verify, (c) the stalest driver-signature
 # cohort.  Signature histogram entering r12 (latest green driver round
 # per row): new x3, r06 x29, r08 x49, r10 x44, r11 x50 — this prefix
-# spends 7 slots on (a), 6 on (b) (the whole wire family: the
+# spends 8 slots on (a), 6 on (b) (the whole wire family: the
 # aerospike_wire codec changed RC-11 classification + gained
 # cols_str_to_bins/bounds checks this round), all 29 on the complete
 # r06 cohort, and the rest on the head of the r08 cohort
@@ -57,6 +57,7 @@ _PRIORITY = [
     "stream_cdc_cluster_apply",
     "s42_wire_cluster_scan_source",
     "s43_wire_partition_scan_source",
+    "sim_hybrid_rrf_topk",
     # -- (b) wire family: r12 changed the shared codec (partition-
     #    unavailable classification, record-response bounds checks,
     #    cols_str_to_bins) under all of these

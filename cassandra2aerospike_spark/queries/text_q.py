@@ -588,6 +588,78 @@ def bm25_topk(spark, d):
     )
 
 
+def q_sim_hybrid_rrf_topk(spark, sf_dir):
+    """HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (round 12 — the
+    production retrieval shape: a lexical ranker and a vector ranker
+    fused per query by RRF, Cormack et al.'s public method every
+    BM25+embeddings stack deploys).  Lexical side: the existing BM25
+    top-5 per query (`bm25_topk`, identical-formula doubles).  Vector
+    side: each query's deterministic query vector (embedding vec_id =
+    1000 + 37*q_id) ranked by exact INTEGER squared-L2 against the 500
+    document vectors (embedding vec_id == doc_id, quantized), top-5.
+    Fusion: rrf = sum over the two lists of 1e6 div (60 + rank)
+    (k=60, the published constant; integer-scaled reciprocal — the
+    repo's float-free discipline), missing-from-a-list contributes 0;
+    fused top-5 per query by (rrf desc, doc_id).
+
+    Scale shape: BM25 is the existing one-index-build plan; the vector
+    leg is one broadcast of 5 query vectors against a corpus scan; the
+    fusion is a tiny (q_id, doc_id) full-outer join of two top-k lists
+    — at 100 TB both legs stay exactly as scalable as their standalone
+    rows, and the fusion never touches the corpus."""
+    from ..functions import similarity as S
+
+    d = _docs(spark, sf_dir)
+    text_ranks = bm25_topk(spark, d).select(
+        "q_id", "doc_id", F.col("rank").alias("rt")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.quantize_vec(F.col("embedding")).alias("xq")
+    )
+    doc_vecs = emb.join(
+        d.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias("doc_id"), "xq")
+    q_ids = sorted({q for q, _ in BM25_QUERIES})
+    qframe = spark.createDataFrame(
+        [(q, 1000 + 37 * q) for q in q_ids], "q_id int, qvec_id int"
+    )
+    qvecs = qframe.join(emb, qframe.qvec_id == emb.vec_id).select(
+        "q_id", F.col("xq").alias("q_xq")
+    )
+    scored = doc_vecs.crossJoin(F.broadcast(qvecs)).select(
+        "q_id",
+        "doc_id",
+        S._dist2_q(F.col("q_xq"), F.col("xq")).cast("long").alias("d2"),
+    )
+    wv = Window.partitionBy("q_id").orderBy("d2", "doc_id")
+    vec_ranks = (
+        scored.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= 5)
+        .select("q_id", "doc_id", "rv")
+    )
+    fused = (
+        text_ranks.join(vec_ranks, ["q_id", "doc_id"], "full")
+        .withColumn(
+            "rrf",
+            F.expr(
+                "coalesce(1000000 div (60 + rt), 0)"
+                " + coalesce(1000000 div (60 + rv), 0)"
+            ).cast("long"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "q_id",
+            "doc_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "rrf",
+        )
+    )
+
+
 BPE_MERGES = 6  # learned merge rounds (oracle unrolls the same count)
 _BPE_SEP = "\x1f"  # symbol delimiter (absent from the corpus by filter)
 
@@ -1674,6 +1746,7 @@ QUERIES = {
     "text_chunk_windows": q_text_chunk_windows,
     "text_dup_span_removal": q_text_dup_span_removal,
     "text_bm25_topk": q_text_bm25_topk,
+    "sim_hybrid_rrf_topk": q_sim_hybrid_rrf_topk,
     "text_ngram_lm": q_text_ngram_lm,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
@@ -1737,6 +1810,82 @@ ORACLES["text_bpe_encode"] = (
 # list(c ORDER BY tok) + list_reduce), same (score DESC, doc_id)
 # tie-break — raw double scores hash-match (see q_text_bm25_topk).
 _BM25_VALUES = ", ".join(f"({qid}, '{tok}')" for qid, tok in BM25_QUERIES)
+# hybrid RRF fusion: the full BM25 chain (top-5) + the integer-L2
+# vector chain (top-5 over doc vectors = embeddings with vec_id ==
+# doc_id; query vectors at vec_id = 1000 + 37*q_id) fused by
+# 1e6 div (60 + rank) — all ranks and the fusion integer-exact
+ORACLES["sim_hybrid_rrf_topk"] = (
+    _TOKS
+    + f"""
+    , tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(t)) AS DOUBLE) AS total
+      FROM toks
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), q(q_id, tok) AS (VALUES {_BM25_VALUES}
+    ), contrib AS (
+      SELECT q.q_id, tf.doc_id, tf.tok,
+             ((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.total / s.n)))) AS c
+      FROM q
+      JOIN tf ON tf.tok = q.tok
+      JOIN dfreq ON dfreq.tok = q.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ), scored_t AS (
+      SELECT q_id, doc_id,
+             list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+                 (acc, x) -> acc + x
+             ) AS score
+      FROM contrib GROUP BY 1, 2
+    ), ranked_t AS (
+      SELECT q_id, doc_id, rt FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, doc_id) AS rt
+        FROM scored_t) WHERE rt <= 5
+    ), dv AS (
+      SELECT e.vec_id AS doc_id,
+             list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ), qv AS (
+      SELECT qq.q_id,
+             list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q_xq
+      FROM (SELECT DISTINCT q_id FROM q) qq
+      JOIN embeddings e ON e.vec_id = 1000 + 37 * qq.q_id
+    ), ranked_v AS (
+      SELECT q_id, doc_id, rv FROM (
+        SELECT qv.q_id, dv.doc_id,
+               row_number() OVER (PARTITION BY qv.q_id ORDER BY
+                 list_sum(list_transform(list_zip(qv.q_xq, dv.xq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), dv.doc_id) AS rv
+        FROM qv CROSS JOIN dv) WHERE rv <= 5
+    ), fused AS (
+      SELECT coalesce(t.q_id, v.q_id) AS q_id,
+             coalesce(t.doc_id, v.doc_id) AS doc_id,
+             CAST(coalesce(1000000 // (60 + t.rt), 0)
+                  + coalesce(1000000 // (60 + v.rv), 0) AS BIGINT) AS rrf
+      FROM ranked_t t FULL JOIN ranked_v v
+        ON t.q_id = v.q_id AND t.doc_id = v.doc_id
+    )
+    SELECT q_id, doc_id, CAST(fused_rank AS INT) AS fused_rank, rrf
+    FROM (SELECT q_id, doc_id, rrf,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY rrf DESC, doc_id) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= 5
+"""
+)
+
 ORACLES["text_bm25_topk"] = (
     _TOKS
     + f"""
