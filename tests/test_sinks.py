@@ -852,3 +852,24 @@ def test_wire_scan_codec_roundtrip_property(
         # a prefix that still parses must yield the full record only
         # when nothing was actually cut off
         assert cut == len(body)
+
+
+def test_cluster_router_retend_cap_is_loud():
+    """A routing bug no map refresh can fix must fail loudly, not
+    livelock: retend() raises past max_retends."""
+    import pytest
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        router = aw.ClusterRouter(
+            [(srv.host, srv.port)], "tmx", "recs", max_retends=3
+        )
+        for _ in range(3):
+            router.retend()
+        with pytest.raises(RuntimeError, match="not converging"):
+            router.retend()
+        router.close()
+    finally:
+        srv.close()
