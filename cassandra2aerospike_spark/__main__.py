@@ -441,8 +441,11 @@ def main(argv: list[str] | None = None) -> int:
             if not isinstance(k, (bytes, bytearray)):
                 k = str(k).encode("utf-8")
             k = bytes(k)
+            idx = -1
             if clustered:
-                c = task_router().client_for(k)
+                r = task_router()
+                idx = r.master_idx_for(k)
+                c = r.client(idx)
             else:
                 c = state.get("client")
                 if c is None:
@@ -450,10 +453,10 @@ def main(argv: list[str] | None = None) -> int:
                         host, port, ns, set_name,
                         user=user, credential=credential,
                     )
-            return c.put(k, bins, int(rd["write_ttl"])), c
+            return c.put(k, bins, int(rd["write_ttl"])), c, k, idx
 
         def wait(h):
-            handle, c = h
+            handle, c, k, idx = h
             d = c.wait(handle)
             if d == "ok":
                 acc_ok.add(1)
@@ -468,8 +471,11 @@ def main(argv: list[str] | None = None) -> int:
                         "single-host run — nothing to re-route to"
                     )
                 # cluster changed under us: refresh the map (the C
-                # client's tend) so the requeued put re-routes
-                task_router().retend()
+                # client's tend) so the requeued put re-routes — but
+                # only if the map still routes this key at the refusing
+                # node (ADVICE r12): a window of in-flight stale puts
+                # re-tends once, not once per put
+                task_router().retend_if_stale(k, idx)
             acc_retry.add(1)
             return False  # transient: requeued by the bounded window
 

@@ -823,20 +823,23 @@ def q_s40_wire_cluster_handoff(spark, sf_dir):
         ttl = (
             0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
         )
-        c = r.client_for(key)
-        return c.put(key, bins, ttl), c, r
+        idx = r.master_idx_for(key)
+        c = r.client(idx)
+        return c.put(key, bins, ttl), c, r, key, idx
 
     def wait(h):
-        handle, c, r = h
+        handle, c, r, key, idx = h
         d = c.wait(handle)
         if d == "ok":
             acc_ok.add(1)
             return True
         if d == "unavailable":
-            # the cluster changed under us: re-tend, requeue — the
-            # refreshed map routes the retry to the new owner
+            # the cluster changed under us: re-tend (once per actual
+            # map change, not once per pipelined stale put — ADVICE
+            # r12), requeue — the refreshed map routes the retry to
+            # the new owner
             acc_unavail.add(1)
-            r.retend()
+            r.retend_if_stale(key, idx)
             return False
         raise RuntimeError(f"handoff sink: unexpected disposition {d}")
 

@@ -140,10 +140,56 @@ def q_sim_kmeans_cells(spark, sf_dir):
     )
 
 
+def _index_cache_dir(sf_dir: str, recipe: str) -> str:
+    """Cache path for a persisted index artifact, keyed on the CORPUS
+    CONTENT (every embeddings parquet file's relpath+size+mtime) plus
+    the index recipe string (ADVICE r12: a path-only key served a stale
+    index when fixture data was regenerated in place)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb_dir = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [os.path.abspath(sf_dir), recipe]
+    if os.path.isdir(emb_dir):
+        for root, _dirs, files in os.walk(emb_dir):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), emb_dir)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_simidx_{key}")
+
+
+def _atomic_build(index_dir: str, build) -> None:
+    """Build an index artifact atomically (ADVICE r12): `build(tmp)`
+    writes into a fresh temp dir next to the target, which is then
+    renamed into place — concurrent builders race on the rename, the
+    loser discards its copy, and a reader never sees a half-built (or
+    double-appended) index under the final path."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(
+        prefix=os.path.basename(index_dir) + ".build.",
+        dir=os.path.dirname(index_dir),
+    )
+    try:
+        build(tmp)
+        os.rename(tmp, index_dir)
+    except OSError:
+        # lost the race (target exists) — the winner's artifact serves
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(index_dir):
+            raise
+
+
 def q_sim_index_persist_topk(spark, sf_dir):
     """X3 PRODUCTION SHAPE (round 12, VERDICT r11 task 6): the ANN index
     as a PERSISTED ARTIFACT instead of per-query retraining.  Build
-    once (marker-guarded, content+rev-keyed path): integer k-means
+    once (atomic rename-into-place, corpus-content+rev-keyed path —
+    ADVICE r12): integer k-means
     (k=8, 2 Lloyd iterations — the exact-arithmetic trainer of
     sim_kmeans_cells) over the BASE corpus -> `centroids/` parquet;
     every base vector assigned against the STORED centroids ->
@@ -161,38 +207,37 @@ def q_sim_index_persist_topk(spark, sf_dir):
     the results prove the append is live.  Integer end-to-end -> exact
     oracle (the oracle retrains the same deterministic k-means and
     replays the append arithmetic)."""
-    import hashlib
     import os
-    import tempfile
 
     emb = _emb(spark, sf_dir)
     base = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ivf-int|k=8|iters=2|rev=1".encode()
-    ).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_simidx_{key}")
+    index_dir = _index_cache_dir(sf_dir, "ivf-int|k=8|iters=2|rev=2")
     cent_dir = os.path.join(index_dir, "centroids")
     post_dir = os.path.join(index_dir, "postings")
-    marker = os.path.join(index_dir, "_INDEX_READY")
-    if not os.path.exists(marker):
-        # ---- build phase (once per corpus content + index rev) ----
-        S.kmeans_fit_quantized(emb, k=8, iters=2).write.mode(
-            "overwrite"
-        ).parquet(cent_dir)
-        cb_stored = spark.read.parquet(cent_dir)
-        S.assign_cells_quantized(base, cb_stored).select(
-            "vec_id", "xq", "cell"
-        ).write.mode("overwrite").parquet(post_dir)
-        # ---- incremental append (later arrivals; stored centroids,
-        # no retrain) ----
-        arrivals = base.filter(F.col("vec_id") % 9 == 0).select(
-            (F.col("vec_id") + 2_000_000).alias("vec_id"),
-            F.transform("xq", lambda x: x + F.lit(3)).alias("xq"),
-        )
-        S.assign_cells_quantized(arrivals, cb_stored).select(
-            "vec_id", "xq", "cell"
-        ).write.mode("append").parquet(post_dir)
-        open(marker, "w").close()
+    if not os.path.exists(index_dir):
+
+        def build(tmp: str) -> None:
+            # ---- build phase (once per corpus content + index rev) ----
+            tmp_cent = os.path.join(tmp, "centroids")
+            tmp_post = os.path.join(tmp, "postings")
+            S.kmeans_fit_quantized(emb, k=8, iters=2).write.mode(
+                "overwrite"
+            ).parquet(tmp_cent)
+            cb_stored = spark.read.parquet(tmp_cent)
+            S.assign_cells_quantized(base, cb_stored).select(
+                "vec_id", "xq", "cell"
+            ).write.mode("overwrite").parquet(tmp_post)
+            # ---- incremental append (later arrivals; stored centroids,
+            # no retrain) ----
+            arrivals = base.filter(F.col("vec_id") % 9 == 0).select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"),
+                F.transform("xq", lambda x: x + F.lit(3)).alias("xq"),
+            )
+            S.assign_cells_quantized(arrivals, cb_stored).select(
+                "vec_id", "xq", "cell"
+            ).write.mode("append").parquet(tmp_post)
+
+        _atomic_build(index_dir, build)
     # ---- serving: parquet in, no training lineage ----
     cb = spark.read.parquet(cent_dir)
     postings = spark.read.parquet(post_dir)

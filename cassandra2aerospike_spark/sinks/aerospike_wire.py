@@ -118,6 +118,16 @@ TRANSIENT_CODES = {RC_TIMEOUT}
 
 DIGEST_SIZE = 20
 
+# Replication-op ordering (ADVICE r12): a PROCESS-global monotonic
+# sequence — every in-process node draws from the same counter, so the
+# order is total even across a partition handoff (the new master's ops
+# always outrank the old master's).  itertools.count.__next__ is atomic
+# in CPython; masters draw it inside their store critical section, so
+# same-key seq order == same-key commit order.
+import itertools as _itertools
+
+_REPL_SEQ = _itertools.count(1)
+
 
 class WireUnavailable(RuntimeError):
     """The node answered AS_ERR_UNAVAILABLE: the partition is not
@@ -287,8 +297,16 @@ def parse_put(frame: bytes, require_digest: bool = True):
     off = 22
     ns = st = ""
     digest = b""
+    # bounds-checked walk (ADVICE r12, mirroring parse_record_response):
+    # a field/op whose declared size overruns the frame raises ValueError
+    # — which _apply maps to RC_SERVER_ERROR — instead of struct.error
+    # killing the handler thread
     for _ in range(n_fields):
+        if off + 5 > len(frame):
+            raise ValueError("aerospike wire: truncated request field")
         (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            raise ValueError("aerospike wire: truncated request field")
         ftype = frame[off + 4]
         data = frame[off + 5 : off + 4 + sz]
         off += 4 + sz
@@ -304,8 +322,14 @@ def parse_put(frame: bytes, require_digest: bool = True):
         raise ValueError("aerospike wire: missing digest field")
     bins: dict[str, bytes] = {}
     for _ in range(n_ops):
+        if off + 8 > len(frame):
+            raise ValueError("aerospike wire: truncated request op")
         (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 4 or off + 4 + sz > len(frame):
+            raise ValueError("aerospike wire: truncated request op")
         op, _ptype, _ver, nlen = struct.unpack_from("BBBB", frame, off + 4)
+        if 4 + nlen > sz:
+            raise ValueError("aerospike wire: request op name overruns op")
         name = frame[off + 8 : off + 8 + nlen].decode()
         value = frame[off + 8 + nlen : off + 4 + sz]
         off += 4 + sz
@@ -409,7 +433,10 @@ def build_scan(
 
 
 def parse_pid_range(frame: bytes) -> tuple[int, int] | None:
-    """The scan request's partition filter, if present: (begin, count)."""
+    """The scan request's partition filter, if present: (begin, count).
+    Bounds-checked (ADVICE r12): a field whose size claims more bytes
+    than the frame holds is a truncated request, not a struct.error
+    escaping the handler's ValueError net."""
     if len(frame) < 22:
         return None
     (_hsz, _i1, _i2, _i3, _u, _rc, _gen, _ttl, _txn, n_fields, _n_ops) = (
@@ -420,6 +447,8 @@ def parse_pid_range(frame: bytes) -> tuple[int, int] | None:
         if off + 5 > len(frame):
             return None
         (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return None
         if frame[off + 4] == FIELD_PID_RANGE and sz == 5:
             return struct.unpack_from(">HH", frame, off + 5)
         off += 4 + sz
@@ -748,6 +777,19 @@ class ClusterRouter:
 
     def pid_for(self, key: bytes) -> int:
         return partition_id(key_digest(self.set_name, key))
+
+    def retend_if_stale(self, key: bytes, refused_idx: int) -> None:
+        """Re-tend only when the CURRENT map still routes `key`'s
+        partition at the node that just refused it (ADVICE r12).  A
+        bounded-async window can hold ~100 puts pipelined through the
+        stale map when a handoff lands; each drains 'unavailable', but
+        only the FIRST needs an info sweep — after it refreshes the
+        map, the rest see pmap already pointing elsewhere and skip.
+        Unconditional re-tends burned up to window×nodes info round
+        trips and could spuriously trip the max_retends livelock cap
+        on one legitimate cluster change."""
+        if self.pmap[self.pid_for(key)] == refused_idx:
+            self.retend()
 
     def client(self, idx: int) -> WireClient:
         c = self._clients.get(idx)
@@ -1081,6 +1123,8 @@ class WireServer:
         self._owned = owned_partitions
         self._replicas = replica_partitions or set()
         self.replicate_to: list[tuple["WireServer", set[int]]] = []
+        # per-key last-applied replication sequence (replica side)
+        self._repl_last: dict[tuple[str, str, bytes], int] = {}
         self._on_put = on_put
         self._on_get = on_get  # same contract as on_put, for reads
         self._gets = 0
@@ -1181,25 +1225,37 @@ class WireServer:
 
     def _store_replica(
         self, ns: str, st: str, digest: bytes,
-        bins: dict[str, bytes] | None, ttl: int,
+        bins: dict[str, bytes] | None, ttl: int, seq: int,
     ) -> None:
         """Server-side replication target: apply a master's write (or
         delete, bins=None) to this node's store without ownership
         checks or create-only policy — replication replays the master's
-        already-accepted outcome."""
+        already-accepted outcome.  `seq` (ADVICE r12): the master tags
+        each replicated op with a monotonic sequence drawn INSIDE its
+        store critical section; the replica applies only ops NEWER than
+        the last it saw for that key, so two same-key ops that race to
+        the replica in the opposite order they committed on the master
+        converge to the master's order instead of diverging.  (The
+        alternative — forwarding while still holding the master's lock
+        — deadlocks on the ring replication topology the RF=2 rows use:
+        three concurrent writers give the circular wait L0→L1→L2→L0.)"""
+        k = (ns, st, digest)
         with self._lock:
+            if seq <= self._repl_last.get(k, 0):
+                return  # an older op arriving late: the newer one won
+            self._repl_last[k] = seq
             if bins is None:
-                self._store.pop((ns, st, digest), None)
+                self._store.pop(k, None)
             else:
-                self._store[(ns, st, digest)] = (bins, ttl)
+                self._store[k] = (bins, ttl)
 
     def _replicate(
         self, pid: int, ns: str, st: str, digest: bytes,
-        bins: dict[str, bytes] | None, ttl: int,
+        bins: dict[str, bytes] | None, ttl: int, seq: int,
     ) -> None:
         for target, parts in self.replicate_to:
             if pid in parts:
-                target._store_replica(ns, st, digest, bins, ttl)
+                target._store_replica(ns, st, digest, bins, ttl, seq)
 
     def _info(self, body: bytes) -> bytes:
         """Text info channel: the names the C client's cluster tend
@@ -1304,8 +1360,9 @@ class WireServer:
                 if self._owned is not None and pid not in self._owned:
                     return build_response(RC_PARTITION_UNAVAILABLE)
                 gone = self._store.pop((ns, st, digest), None)
+                seq = next(_REPL_SEQ) if gone is not None else 0
             if gone is not None:
-                self._replicate(pid, ns, st, digest, None, 0)
+                self._replicate(pid, ns, st, digest, None, 0, seq)
             return build_response(RC_OK if gone is not None else RC_KEY_NOT_FOUND)
         with self._lock:
             if self._owned is not None and pid not in self._owned:
@@ -1321,6 +1378,11 @@ class WireServer:
             if create_only and k in self._store:
                 return build_response(RC_KEY_EXISTS)
             self._store[k] = (bins, ttl)
+            # the replication sequence is drawn INSIDE the critical
+            # section: same-key ops get seq numbers in their commit
+            # order, so the replica's newest-seq-wins rule reproduces
+            # the master's order even when forwards race (ADVICE r12)
+            seq = next(_REPL_SEQ)
             # INSIDE the critical section (RLock): a hook-triggered
             # handoff/set_owned is then atomic with this put — every
             # put serialized after the trigger sees the new ownership.
@@ -1328,8 +1390,9 @@ class WireServer:
             # direction (self -> target) to stay cycle-free.
             if self._on_put is not None:
                 self._on_put(n_puts)
-        # replication outside: targets take their own locks
-        self._replicate(pid, ns, st, digest, bins, ttl)
+        # forward outside this node's lock (targets take their own):
+        # holding it would deadlock the ring topology, see _store_replica
+        self._replicate(pid, ns, st, digest, bins, ttl, seq)
         return build_response(RC_OK)
 
     def _scan(
@@ -1372,5 +1435,4 @@ class WireServer:
         # release the listening socket too: a "dead" node must REFUSE
         # new connections (ECONNREFUSED), not park them in the accept
         # backlog — the read-fallback path keys off that refusal
-        self._server.server_close()
         self._server.server_close()

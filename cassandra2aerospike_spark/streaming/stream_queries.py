@@ -1166,9 +1166,10 @@ def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         initial_pmap=pmap0,
                     )
                 key = str(r["key"]).encode()
-                c = router.client_for(key)
+                idx = router.master_idx_for(key)
+                c = router.client(idx)
                 if r["cols_str"] is None:
-                    pend.append((c.delete(key), c, r))
+                    pend.append((c.delete(key), c, r, idx))
                 else:
                     bins = cols_str_to_bins(r["cols_str"])
                     ttl = (
@@ -1177,18 +1178,21 @@ def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         else int(r["expiry"]) - now_s
                     )
                     pend.append(
-                        (c.put(key, bins, ttl, create_only=False), c, r)
+                        (c.put(key, bins, ttl, create_only=False), c, r, idx)
                     )
-            for h, c, r in pend:
+            for h, c, r, idx in pend:
                 d = c.wait(h)
                 while d == "unavailable":
-                    # the cluster moved under the stream: re-tend and
-                    # re-issue this operation through the fresh map
+                    # the cluster moved under the stream: re-tend (only
+                    # if the map still routes this key at the refusing
+                    # node — ADVICE r12: one sweep per map change, not
+                    # per stale op) and re-issue through the fresh map
                     # (retend's livelock cap bounds the loop)
                     acc_unavail.add(1)
-                    router.retend()
                     key = str(r["key"]).encode()
-                    c2 = router.client_for(key)
+                    router.retend_if_stale(key, idx)
+                    idx = router.master_idx_for(key)
+                    c2 = router.client(idx)
                     if r["cols_str"] is None:
                         d = c2.wait(c2.delete(key))
                     else:

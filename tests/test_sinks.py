@@ -716,7 +716,7 @@ def test_wire_on_put_hook_and_replica_read_rules():
                 # ... but READS are served from the replica store
                 srv._store_replica("tmx", "records",
                                    aw.key_digest("records", key),
-                                   {"a": b"1"}, 0)
+                                   {"a": b"1"}, 0, next(aw._REPL_SEQ))
                 rec = c.wait_record(c.get(key))
                 assert rec is not None
         assert wrote and refused
@@ -873,3 +873,59 @@ def test_cluster_router_retend_cap_is_loud():
         router.close()
     finally:
         srv.close()
+
+
+def test_replica_seq_converges_out_of_order_replays():
+    """ADVICE r12: two same-key ops that committed on the master in one
+    order but reach the replica in the OPPOSITE order must converge to
+    the master's order — the newest-seq-wins rule, without holding the
+    master's lock across the forward (which would deadlock the ring
+    replication topology the RF=2 rows use)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    replica = aw.WireServer()
+    try:
+        k = ("tmx", "records", aw.key_digest("records", b"k"))
+        s1, s2 = next(aw._REPL_SEQ), next(aw._REPL_SEQ)
+        # newest (a delete, seq s2) lands FIRST; the stale write (s1)
+        # replays late and must be ignored
+        replica._store_replica(*k, None, 0, s2)
+        replica._store_replica(*k, {"v": b"old"}, 60, s1)
+        assert k not in replica.records()
+        # and the write-then-write flavor: late old value is dropped
+        k2 = ("tmx", "records", aw.key_digest("records", b"k2"))
+        s3, s4 = next(aw._REPL_SEQ), next(aw._REPL_SEQ)
+        replica._store_replica(*k2, {"v": b"new"}, 30, s4)
+        replica._store_replica(*k2, {"v": b"old"}, 60, s3)
+        assert replica.records()[k2] == ({"v": b"new"}, 30)
+    finally:
+        replica.close()
+
+
+def test_retend_if_stale_sweeps_once_per_map_change():
+    """ADVICE r12: a window of pipelined puts that all drained
+    'unavailable' after one handoff triggers ONE re-tend — the
+    followers see the refreshed map no longer routing their key at the
+    refusing node and skip (unconditional re-tends could trip the
+    max_retends livelock cap on a single legitimate cluster change)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    a = aw.WireServer(owned_partitions=set(range(aw.N_PARTITIONS)))
+    b = aw.WireServer(owned_partitions=set())
+    try:
+        nodes = [(a.host, a.port), (b.host, b.port)]
+        router = aw.ClusterRouter(nodes, "tmx", "records", max_retends=4)
+        keys = [f"k{i}".encode() for i in range(64)]
+        assert all(router.master_idx_for(k) == 0 for k in keys)
+        a.handoff(b, set(range(aw.N_PARTITIONS)))  # everything moves
+        n0 = router.n_retends
+        # 64 stale puts' worth of refusals, all against node 0: far
+        # more than max_retends, yet only the first sweeps
+        for k in keys:
+            router.retend_if_stale(k, 0)
+        assert router.n_retends == n0 + 1
+        assert all(router.master_idx_for(k) == 1 for k in keys)
+        router.close()
+    finally:
+        a.close()
+        b.close()
