@@ -1,7 +1,7 @@
-"""bench.py regression-tripwire unit tests (rounds 11-12): baseline
-resolution order (newest same-host-tag BENCH_r*.json parsed stdout,
-committed BENCH_DETAIL fallback), the host-tag refusal rule, and the
-compact short-name normalized map — no Spark."""
+"""bench.py regression-tripwire unit tests (rounds 11-13): baseline
+resolution (per-query MIN across all same-host-tag artifacts —
+BENCH_r*.json parsed stdout + committed BENCH_DETAIL), the host-tag
+refusal rule, and the compact short-name normalized map — no Spark."""
 
 from __future__ import annotations
 
@@ -21,27 +21,37 @@ def _load_bench():
     return mod
 
 
-def test_prev_normalized_prefers_newest_same_tag_round(tmp_path):
+def test_prev_normalized_takes_per_query_min_across_artifacts(tmp_path):
+    """VERDICT r12 task 2: a newer CONTENDED artifact (inflated values)
+    must not mask the older clean figure — the baseline is the
+    per-query MIN across all same-tag artifacts, so each query's
+    baseline comes from whichever artifact measured it best."""
     bench = _load_bench()
     d = str(tmp_path)
     tag = bench.host_tag()
     json.dump(
-        {"parsed": {"queries_warm_normalized": {"q": 1.0}, "host_tag": tag}},
+        {
+            "parsed": {
+                "queries_warm_normalized": {"q": 1.0, "r": 5.0},
+                "host_tag": tag,
+            }
+        },
         open(os.path.join(d, "BENCH_r09.json"), "w"),
     )
+    # newer round, contended: q inflated 4x, but r measured cleaner
     json.dump(
         {
             "parsed": {
-                "queries_warm": {"q": 2.0},
+                "queries_warm": {"q": 2.0, "r": 1.5},
                 "host_speed_factor": 0.5,
                 "host_tag": tag,
             }
         },
         open(os.path.join(d, "BENCH_r10.json"), "w"),
     )
-    btag, prev = bench._prev_normalized(d, ["q"], tag)
-    assert btag == "BENCH_r10"
-    assert prev == {"q": 4.0}  # warm / factor
+    btag, prev = bench._prev_normalized(d, ["q", "r"], tag)
+    assert prev == {"q": 1.0, "r": 3.0}  # q from r09, r from r10 (1.5/0.5)
+    assert btag == "min(BENCH_r09,BENCH_r10)"
 
 
 def test_prev_normalized_refuses_foreign_or_missing_tag(tmp_path):
@@ -72,7 +82,7 @@ def test_prev_normalized_refuses_foreign_or_missing_tag(tmp_path):
     assert btag is None and prev == {}
 
 
-def test_prev_normalized_detail_fallback_same_tag(tmp_path):
+def test_prev_normalized_detail_participates_same_tag(tmp_path):
     bench = _load_bench()
     d = str(tmp_path)
     tag = bench.host_tag()
@@ -82,8 +92,38 @@ def test_prev_normalized_detail_fallback_same_tag(tmp_path):
         open(os.path.join(d, "BENCH_DETAIL.json"), "w"),
     )
     btag, prev = bench._prev_normalized(d, ["a"], tag)
-    assert btag == "BENCH_DETAIL"
+    assert btag == "min(BENCH_DETAIL)"
     assert prev == {"a": 2.0}
+
+
+def test_prev_normalized_detail_min_beats_contended_round(tmp_path):
+    """The exact r12->r13 shape: the committed idle BENCH_DETAIL carries
+    the clean wire-family figures; the newest BENCH_r*.json is the
+    contended driver run.  The baseline must use the idle numbers."""
+    bench = _load_bench()
+    d = str(tmp_path)
+    tag = bench.host_tag()
+    json.dump(
+        {
+            "parsed": {
+                "queries_warm_normalized": {"s40": 8.78, "s41": 6.92},
+                "host_tag": tag,
+                "sf": 0.1,
+            }
+        },
+        open(os.path.join(d, "BENCH_r12.json"), "w"),
+    )
+    json.dump(
+        {
+            "queries_warm_normalized": {"s40": 2.49, "s41": 2.08},
+            "host_tag": tag,
+            "sf": 0.1,
+        },
+        open(os.path.join(d, "BENCH_DETAIL.json"), "w"),
+    )
+    btag, prev = bench._prev_normalized(d, ["s40", "s41"], tag, sf=0.1)
+    assert prev == {"s40": 2.49, "s41": 2.08}
+    assert btag == "min(BENCH_DETAIL)"
 
 
 def test_prev_normalized_unshortens_qn_map(tmp_path):
@@ -97,7 +137,7 @@ def test_prev_normalized_unshortens_qn_map(tmp_path):
         open(os.path.join(d, "BENCH_r12.json"), "w"),
     )
     btag, prev = bench._prev_normalized(d, names, tag)
-    assert btag == "BENCH_r12"
+    assert btag == "min(BENCH_r12)"
     assert prev == {n: 1.25 for n in names}
 
 
@@ -133,3 +173,30 @@ def test_registry_short_names_are_collision_free():
 
     shorts = [bench.short_name(n) for n in QUERIES]
     assert len(set(shorts)) == len(shorts)
+
+
+def test_prev_raw_warm_min_across_artifacts(tmp_path):
+    """The raw-series second gate (r13, s37 adjudication): raw warm
+    baselines come from any same-tag artifact carrying queries_warm —
+    in practice the committed BENCH_DETAIL — taking the per-query min,
+    with foreign tags and other scale factors refused."""
+    bench = _load_bench()
+    d = str(tmp_path)
+    tag = bench.host_tag()
+    json.dump(
+        {"parsed": {"queries_warm": {"s37": 1.3}, "host_tag": tag, "sf": 0.1}},
+        open(os.path.join(d, "BENCH_r12.json"), "w"),
+    )
+    json.dump(
+        {"queries_warm": {"s37": 0.91, "q2": 2.0}, "host_tag": tag, "sf": 0.1},
+        open(os.path.join(d, "BENCH_DETAIL.json"), "w"),
+    )
+    # foreign tag: ignored entirely
+    json.dump(
+        {"parsed": {"queries_warm": {"s37": 0.1}, "host_tag": "ffff", "sf": 0.1}},
+        open(os.path.join(d, "BENCH_r11.json"), "w"),
+    )
+    raw = bench._prev_raw_warm(d, ["s37", "q2"], tag, sf=0.1)
+    assert raw == {"s37": 0.91, "q2": 2.0}
+    # wrong sf: refused
+    assert bench._prev_raw_warm(d, ["s37"], tag, sf=0.01) == {}
