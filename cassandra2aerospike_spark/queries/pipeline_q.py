@@ -1366,6 +1366,408 @@ def q_s43_wire_partition_scan_source(spark, sf_dir):
     return out
 
 
+def q_s44_wire_scan_during_handoff(spark, sf_dir):
+    """SCAN-PATH RESILIENCE (round 13, VERDICT r12 task 4): a
+    partition-sliced cluster sweep that survives a LIVE partition
+    migration — the situation s40 proves for writes, now on the read
+    side (a real backup running during a migration; the reference has
+    no read path at all, its C client handles this under the covers).
+
+    Shape: merged records land on a 3-node cluster (p % 3 ownership);
+    then 8 range-tasks sweep disjoint 512-partition slices (the s43
+    source shape).  Node 0's SECOND scan request fires a server hook
+    that migrates its ENTIRE mastered slice — ownership AND data — to
+    node 1, inside the scan critical section: a genuine mid-sweep
+    cutover.  Dup-free-across-the-cutover protocol (the 'range
+    restarts idempotently' option): each range attempt (a) tends every
+    node for its partition-generation, (b) sweeps all nodes with the
+    pid-filtered scan, (c) re-tends — if ANY generation moved, the
+    attempt's records are DISCARDED and the range restarts against the
+    refreshed map.  Generations are monotonic, so an unchanged
+    before/after pair proves no cutover overlapped the sweep, and
+    masters-only scan semantics then guarantee exactly-once per record.
+    A task that scanned node 0 pre-cutover and node 1 post-cutover
+    WOULD double-collect the moved slice — the generation check is
+    what catches exactly that interleaving (asserted: >=1 restart
+    actually happened, plus scanned == merged, all digests distinct,
+    every record inside its task's claimed range).  Scales like s43:
+    parallelism rides the 4096-ring, restart cost is one range, not
+    the sweep.  Exact merge oracle — the cutover must be invisible."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes, n_ranges = 3, 8
+    span = N_PARTITIONS // n_ranges
+    ns, set_name = "tmx", "moving"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    did_handoff = {"n": -1}
+    servers: list[WireServer] = []
+
+    def on_node0_scan(n_scans: int) -> None:
+        # the SECOND scan request node 0 answers migrates its whole
+        # remaining slice to node 1, inside node 0's scan critical
+        # section (locks move self -> target only): by then at least
+        # one other range-task has tended the PRE-cutover map, so some
+        # sweep is guaranteed to straddle the migration
+        if n_scans == 2 and did_handoff["n"] < 0:
+            did_handoff["n"] = servers[0].handoff(
+                servers[1], set(servers[0]._owned)
+            )
+
+    servers.append(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == 0
+            },
+            on_scan=on_node0_scan,
+            info_namespace=ns,
+        )
+    )
+    servers.extend(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in (1, 2)
+    )
+    nodes = [(srv.host, srv.port) for srv in servers]
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h, p_, ns)
+        for p in owned:
+            pmap[p] = idx
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name) for h, p in nodes
+            ]
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = cl[pmap[partition_id(key_digest(set_name, key))]]
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("scan-handoff sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    sc = spark.sparkContext
+    acc_restart = sc.accumulator(0)
+    ranges_df = spark.createDataFrame(
+        [(r, r * span, span) for r in range(n_ranges)],
+        "rng int, begin int, count int",
+    ).repartition(n_ranges, "rng")
+
+    def scan_range(batches):
+        def tend_gens() -> list[int]:
+            return [fetch_partition_map(h, p_, ns)[0] for h, p_ in nodes]
+
+        for pdf in batches:
+            for begin, count in zip(pdf["begin"], pdf["count"]):
+                for _attempt in range(8):
+                    gens = tend_gens()
+                    rows: list[tuple[str, str, int]] = []
+                    for h, p_ in nodes:
+                        c = WireClient(h, p_, ns, set_name)
+                        for digest, ttl, bins in c.scan(int(begin), int(count)):
+                            rows.append(
+                                (
+                                    digest.hex(),
+                                    ",".join(
+                                        sorted(
+                                            f"{n}={v.decode()}"
+                                            for n, v in bins.items()
+                                        )
+                                    ),
+                                    int(ttl),
+                                )
+                            )
+                        c.close()
+                    if tend_gens() == gens:
+                        break  # no cutover overlapped: rows are exact
+                    acc_restart.add(1)  # discard, re-sweep on fresh map
+                else:
+                    raise RuntimeError(
+                        "scan range never stabilized across 8 attempts"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": [r[0] for r in rows],
+                        "cols_str": [r[1] for r in rows],
+                        "ttl": [r[2] for r in rows],
+                        "begin": [int(begin)] * len(rows),
+                        "count": [int(count)] * len(rows),
+                    }
+                )
+
+    scanned = ranges_df.mapInPandas(
+        scan_range,
+        "digest_hex string, cols_str string, ttl long, begin int, count int",
+    ).cache()
+    pid_expr = (
+        F.conv(F.substring("digest_hex", 1, 2), 16, 10).cast("long")
+        + F.conv(F.substring("digest_hex", 3, 2), 16, 10).cast("long") * 256
+    ) % 4096
+    agg = scanned.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("digest_hex").alias("nd"),
+        F.sum(
+            (
+                (pid_expr < F.col("begin"))
+                | (pid_expr >= F.col("begin") + F.col("count"))
+            ).cast("long")
+        ).alias("oob"),
+    ).first()
+    if not (agg["n"] == agg["nd"] == n_records) or agg["oob"] != 0:
+        raise RuntimeError(
+            f"scan-during-handoff sweep broken: n={agg['n']} "
+            f"distinct={agg['nd']} merged={n_records} oob={agg['oob']}"
+        )
+    if did_handoff["n"] <= 0:
+        raise RuntimeError("the mid-sweep handoff never migrated records")
+    if acc_restart.value < 1:
+        raise RuntimeError("no sweep ever straddled the cutover")
+    if len(servers[0].records()) != 0:
+        raise RuntimeError("node 0 still holds records post-migration")
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = keyed.join(scanned, "digest_hex").select("key", "cols_str", "ttl").cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers:
+        srv.close()
+    scanned.unpersist()
+    records.unpersist()
+    return out
+
+
+def q_s45_backup_restore_verified(spark, sf_dir):
+    """BACKUP/RESTORE CAPSTONE (round 13, VERDICT r12 task 7) — the
+    ecosystem's full asbackup/asrestore operational loop, which the
+    reference (one-way, no read path: AerospikeWriter.cpp ships records
+    out and can never get them back) cannot do:
+
+      live 3-node cluster A  --partition-sliced scan-->  .asb files
+        --restore-->  a SECOND 2-node cluster B  --scan-->
+        distributed bin-for-bin verify.
+
+    The .asb records are KEYLESS (scans return digests, not user keys —
+    the real backup shape; the format's `+ k` line is optional) and the
+    restore writes them back with DIGEST-addressed puts routed by
+    cluster B's OWN discovered partition map — B has a different node
+    count and layout than A, proving the backup is cluster-shape-
+    independent, exactly why the format carries digests.  Expirations
+    round-trip through the format's absolute citrusleaf-epoch domain
+    and come back as TTLs relative to the engine's fixed now (the
+    asrestore TTL rule).  Verification is distributed and total: scan B
+    (masters-only, dup-free), join A's sweep on digest, and require
+    bins AND ttl equal for every record — then map digests back to
+    keys against the exact merge oracle.  Scale shape: every stage is
+    an executor fan-out (pid-range scans ride the 4096-ring, the .asb
+    write/read is one task per file, the restore is bounded-async per
+    partition); nothing touches the driver but the tends."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        cols_str_to_bins,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.asb_backup import read_asb_scan, write_asb_scan
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+    from ..sources.sstable.fixtures import default_runs_dir
+
+    ns, set_name = "tmx", "records"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    n_ranges = 8
+    span = N_PARTITIONS // n_ranges
+
+    def make_cluster(n_nodes: int) -> tuple[list[WireServer], list, list[int]]:
+        servers = [
+            WireServer(
+                owned_partitions={
+                    p for p in range(N_PARTITIONS) if p % n_nodes == i
+                },
+                info_namespace=ns,
+            )
+            for i in range(n_nodes)
+        ]
+        nodes = [(srv.host, srv.port) for srv in servers]
+        pmap = [-1] * N_PARTITIONS
+        for idx, (h, p_) in enumerate(nodes):
+            _gen, owned = fetch_partition_map(h, p_, ns)
+            for p in owned:
+                pmap[p] = idx
+        return servers, nodes, pmap
+
+    servers_a, nodes_a, pmap_a = make_cluster(3)
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name) for h, p in nodes_a
+            ]
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = cl[pmap_a[partition_id(key_digest(set_name, key))]]
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("backup capstone: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(
+        records.coalesce(_sink_parallelism(n_records)), put, wait,
+        max_in_flight=32,
+    )
+
+    def sweep(nodes) -> DataFrame:
+        """Partition-sliced masters-only scan of a cluster (s43 shape):
+        n_ranges executor tasks, each sweeping every node for its
+        disjoint pid range."""
+        ranges_df = spark.createDataFrame(
+            [(r, r * span, span) for r in range(n_ranges)],
+            "rng int, begin int, count int",
+        ).repartition(n_ranges, "rng")
+
+        def scan_range(batches):
+            for pdf in batches:
+                for begin, count in zip(pdf["begin"], pdf["count"]):
+                    dh, cols, ttls = [], [], []
+                    for h, p_ in nodes:
+                        c = WireClient(h, p_, ns, set_name)
+                        for digest, ttl, bins in c.scan(int(begin), int(count)):
+                            dh.append(digest.hex())
+                            cols.append(
+                                ",".join(
+                                    sorted(
+                                        f"{n}={v.decode()}"
+                                        for n, v in bins.items()
+                                    )
+                                )
+                            )
+                            ttls.append(int(ttl))
+                        c.close()
+                    yield pd.DataFrame(
+                        {"digest_hex": dh, "cols_str": cols, "ttl": ttls}
+                    )
+
+        return ranges_df.mapInPandas(
+            scan_range, "digest_hex string, cols_str string, ttl long"
+        )
+
+    scanned_a = sweep(nodes_a).cache()
+    n_a = scanned_a.count()
+    if n_a != n_records:
+        raise RuntimeError(f"backup sweep lost records: {n_a}/{n_records}")
+
+    # ---- asbackup: the sweep lands as keyless digest-addressed .asb ----
+    backup_dir = default_runs_dir(sf_dir) + "_asb45"
+    write_asb_scan(scanned_a, backup_dir, ns, set_name, now_s, n_files=4)
+    restore_stream = read_asb_scan(spark, backup_dir, ns, set_name, now_s)
+    firsts = (
+        spark.read.text(backup_dir)
+        .filter(F.col("value") == "# first-file")
+        .count()
+    )
+    if firsts != 1:
+        raise RuntimeError(f"backup: first-file marker count {firsts} != 1")
+
+    # ---- asrestore: digest-addressed puts routed by cluster B's map ----
+    servers_b, nodes_b, pmap_b = make_cluster(2)
+    state_b: dict = {}
+
+    def put_restore(rd):
+        cl = state_b.get("clients")
+        if cl is None:
+            cl = state_b["clients"] = [
+                WireClient(h, p, ns, set_name) for h, p in nodes_b
+            ]
+        digest = bytes.fromhex(rd["digest_hex"])
+        c = cl[pmap_b[partition_id(digest)]]
+        return (
+            c.put_digest(digest, cols_str_to_bins(rd["cols_str"]), int(rd["ttl"])),
+            c,
+        )
+
+    bounded_async_foreach_writer(
+        restore_stream.repartition(4), put_restore, wait, max_in_flight=32
+    )
+
+    # ---- distributed bin-for-bin verify: scan B, join A's sweep ----
+    scanned_b = sweep(nodes_b).cache()
+    vstats = (
+        scanned_a.alias("a")
+        .join(scanned_b.alias("b"), "digest_hex", "full_outer")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    F.col("a.cols_str").eqNullSafe(F.col("b.cols_str"))
+                    & F.col("a.ttl").eqNullSafe(F.col("b.ttl"))
+                ).cast("long")
+            ).alias("n_equal"),
+        )
+        .first()
+    )
+    if not (vstats["n"] == vstats["n_equal"] == n_records):
+        raise RuntimeError(
+            f"restore verify failed: {vstats['n_equal']}/{vstats['n']} "
+            f"records bin-for-bin equal (expected {n_records})"
+        )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = (
+        keyed.join(scanned_b, "digest_hex")
+        .select(
+            "key", "cols_str", "ttl", F.lit(1).cast("int").alias("verified")
+        )
+        .cache()
+    )
+    out.count()  # materialize while both clusters live
+    for srv in servers_a + servers_b:
+        srv.close()
+    scanned_a.unpersist()
+    scanned_b.unpersist()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -1515,6 +1917,8 @@ QUERIES = {
     "s41_wire_rf2_failover": q_s41_wire_rf2_failover,
     "s42_wire_cluster_scan_source": q_s42_wire_cluster_scan_source,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
+    "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
+    "s45_backup_restore_verified": q_s45_backup_restore_verified,
     "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
@@ -1668,6 +2072,21 @@ ORACLES = {
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         GROUP BY lr.key, lr.expiry
     """,
+    # the cutover must be invisible: same merge contract as s42/s43
+    "s44_wire_scan_during_handoff": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
     "s40_wire_cluster_handoff": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records
@@ -1684,6 +2103,22 @@ ORACLES = {
         GROUP BY lr.key, lr.expiry
     """,
     "s41_wire_rf2_failover": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl,
+               CAST(1 AS INT) AS verified
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # backup -> .asb -> restore -> verify must be invisible end to end
+    "s45_backup_restore_verified": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records
           WHERE expiry = 4294967295 OR expiry >= 1719792001

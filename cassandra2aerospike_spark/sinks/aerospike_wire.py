@@ -275,6 +275,43 @@ def build_put(
     return _proto_frame(msg + b"".join(fields) + b"".join(ops))
 
 
+def build_put_digest(
+    namespace: str,
+    set_name: str,
+    digest: bytes,
+    bins: dict[str, bytes],
+    ttl: int,
+    create_only: bool = True,
+) -> bytes:
+    """One AS_MSG write request addressed by DIGEST instead of user key
+    (round 13): the wire grammar's digest field is the record's real
+    identity — the key is never required — and this is how asrestore
+    puts back a backup whose records were scanned digest-only (scans
+    return digests, not keys)."""
+    if len(digest) != DIGEST_SIZE:
+        raise ValueError(f"digest must be {DIGEST_SIZE} bytes")
+    info2 = INFO2_WRITE | (INFO2_CREATE_ONLY if create_only else 0)
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+        (FIELD_DIGEST, digest),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    ops = []
+    for name, value in bins.items():
+        nb = name.encode()
+        if len(nb) > 15:
+            raise ValueError(f"bin name over 15 bytes: {name!r}")  # server limit
+        body = struct.pack("BBBB", OP_WRITE, PARTICLE_BLOB, 0, len(nb)) + nb + value
+        ops.append(struct.pack(">I", len(body)) + body)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, 0, info2, 0, 0, 0, 0, ttl & 0xFFFFFFFF, 1000, len(fields), len(ops),
+    )
+    return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
 def parse_result_code(frame: bytes) -> int:
     if len(frame) < 22:
         raise ValueError("aerospike wire: short response")
@@ -992,6 +1029,22 @@ class WireClient:
             return "unavailable"  # cluster changed: re-tend, then retry
         raise RuntimeError(f"aerospike wire: put failed, result code {rc}")
 
+    def put_digest(
+        self, digest: bytes, bins: dict[str, bytes], ttl: int,
+        create_only: bool = True,
+    ) -> int:
+        """Pipelined digest-addressed put (the asrestore write shape);
+        redeem with wait()."""
+        self.sock.sendall(
+            build_put_digest(
+                self.namespace, self.set_name, digest, bins, ttl,
+                create_only=create_only,
+            )
+        )
+        h = self._sent
+        self._sent += 1
+        return h
+
     def delete(self, key: bytes) -> int:
         """Pipelined delete; redeem with wait() ('ok' | 'not_found' —
         deleting an absent key is idempotent, not an error)."""
@@ -1111,6 +1164,7 @@ class WireServer:
         replica_partitions: set[int] | None = None,
         on_put=None,
         on_get=None,
+        on_scan=None,
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
         # RLock: the on_put hook fires INSIDE the store critical section
@@ -1128,6 +1182,13 @@ class WireServer:
         self._on_put = on_put
         self._on_get = on_get  # same contract as on_put, for reads
         self._gets = 0
+        # on_scan(n): fires with the running scan-request ordinal INSIDE
+        # the store critical section, BEFORE the snapshot — a hook that
+        # hands off at scan K makes scan K (and everything later) see
+        # the post-cutover ownership deterministically (round 13: the
+        # mid-sweep-migration trigger for the scan re-tend row)
+        self._on_scan = on_scan
+        self._scans = 0
         self._info_namespace = info_namespace
         self._partition_generation = 1
         self._cred: tuple[str, str] | None = None
@@ -1414,6 +1475,9 @@ class WireServer:
             )
 
         with self._lock:
+            self._scans += 1
+            if self._on_scan is not None:
+                self._on_scan(self._scans)
             snap = [
                 (k[2], v[1], v[0])
                 for k, v in self._store.items()

@@ -145,10 +145,37 @@ def write_asb(
     )
 
 
+def digest_record_block(
+    namespace: str,
+    set_name: str,
+    digest_b64: str,
+    bins: list[tuple[str, str]],
+    gen: int,
+    exp_citrus: int,
+) -> str:
+    """One KEYLESS .asb record block: the format's ``+ k`` line is
+    optional (a record whose user key was never stored backs up as
+    digest-only, and asrestore routes it purely by digest) — the shape
+    a cluster SCAN produces, since scans return digests, not keys."""
+    lines = [
+        f"+ n {namespace}",
+        f"+ d {digest_b64}",
+        f"+ s {set_name}",
+        f"+ g {gen}",
+        f"+ t {exp_citrus}",
+        f"+ b {len(bins)}",
+    ]
+    for name, value in bins:
+        lines.append(f"- S {name} {len(value)} {value}")
+    return "\n".join(lines)
+
+
 def _parse_asb_file(content: str, namespace: str, set_name: str):
-    """Parse one .asb file -> (first_file: bool, rows).  Raises on any
-    grammar violation, foreign namespace/set, digest mismatch, or bin
-    miscount — the reader is the format's verifier."""
+    """Parse one .asb file -> (first_file: bool, rows) with rows =
+    (key_str | None, digest_b64, gen, exp_citrus, bins).  Raises on any
+    grammar violation, foreign namespace/set, digest mismatch (keyed
+    records only — keyless records ARE their digest), or bin miscount —
+    the reader is the format's verifier."""
     # split strictly on \n — str.splitlines() also breaks on the
     # \x1c-\x1e and U+2028/U+2029 Unicode separators, which are legal
     # INSIDE a length-prefixed bin value
@@ -165,24 +192,32 @@ def _parse_asb_file(content: str, namespace: str, set_name: str):
         i += 1
     rows = []
     while i < len(lines):
-        parts = lines[i].split(" ", 4)
-        if parts[:3] != ["+", "k", "S"]:
-            raise ValueError(f"asb: expected key line, got {lines[i]!r}")
-        key_str = parts[4] if len(parts) > 4 else ""
-        if int(parts[3]) != len(key_str):
-            raise ValueError(f"asb: key length mismatch in {lines[i]!r}")
-        if lines[i + 1] != f"+ n {namespace}":
-            raise ValueError(f"asb: foreign namespace {lines[i + 1]!r}")
-        digest_b64 = lines[i + 2].removeprefix("+ d ")
-        want = base64.b64encode(key_digest(set_name, key_str.encode())).decode()
-        if digest_b64 != want:
-            raise ValueError(f"asb: digest mismatch for key {key_str!r}")
-        if lines[i + 3] != f"+ s {set_name}":
-            raise ValueError(f"asb: foreign set {lines[i + 3]!r}")
-        gen = int(lines[i + 4].removeprefix("+ g "))
-        exp_citrus = int(lines[i + 5].removeprefix("+ t "))
-        n_bins = int(lines[i + 6].removeprefix("+ b "))
-        i += 7
+        key_str = None
+        if lines[i].startswith("+ k "):  # the optional user-key line
+            parts = lines[i].split(" ", 4)
+            if parts[:3] != ["+", "k", "S"]:
+                raise ValueError(f"asb: expected key line, got {lines[i]!r}")
+            key_str = parts[4] if len(parts) > 4 else ""
+            if int(parts[3]) != len(key_str):
+                raise ValueError(f"asb: key length mismatch in {lines[i]!r}")
+            i += 1
+        if lines[i] != f"+ n {namespace}":
+            raise ValueError(f"asb: foreign namespace {lines[i]!r}")
+        digest_b64 = lines[i + 1].removeprefix("+ d ")
+        if key_str is not None:
+            want = base64.b64encode(
+                key_digest(set_name, key_str.encode())
+            ).decode()
+            if digest_b64 != want:
+                raise ValueError(f"asb: digest mismatch for key {key_str!r}")
+        elif len(base64.b64decode(digest_b64)) != 20:
+            raise ValueError(f"asb: malformed digest {digest_b64!r}")
+        if lines[i + 2] != f"+ s {set_name}":
+            raise ValueError(f"asb: foreign set {lines[i + 2]!r}")
+        gen = int(lines[i + 3].removeprefix("+ g "))
+        exp_citrus = int(lines[i + 4].removeprefix("+ t "))
+        n_bins = int(lines[i + 5].removeprefix("+ b "))
+        i += 6
         bins = []
         for _ in range(n_bins):
             bparts = lines[i].split(" ", 4)
@@ -195,7 +230,7 @@ def _parse_asb_file(content: str, namespace: str, set_name: str):
                 raise ValueError(f"asb: bin length mismatch in {lines[i]!r}")
             bins.append((name, value))
             i += 1
-        rows.append((key_str, gen, exp_citrus, bins))
+        rows.append((key_str, digest_b64, gen, exp_citrus, bins))
     return first_file, rows
 
 
@@ -226,7 +261,11 @@ def read_asb(
                 first, rows = _parse_asb_file(
                     bytes(content).decode(), namespace, set_name
                 )
-                for key_str, gen, exp_citrus, bins in rows:
+                for key_str, _digest, gen, exp_citrus, bins in rows:
+                    if key_str is None:
+                        raise ValueError(
+                            "asb: keyless record in a keyed backup read"
+                        )
                     out["key"].append(int(key_str))
                     out["cols_str"].append(
                         ",".join(
@@ -242,4 +281,123 @@ def read_asb(
 
     return files.mapInPandas(
         parse, "key long, cols_str string, expiry long, gen int, first_file boolean"
+    )
+
+
+def write_asb_scan(
+    scanned: DataFrame,
+    out_dir: str,
+    namespace: str,
+    set_name: str,
+    now_epoch_s: int,
+    n_files: int = 4,
+) -> None:
+    """Distributed .asb write of a cluster-SCAN stream — the real
+    asbackup job shape: the input is (digest_hex, cols_str, ttl)
+    straight off the wire (scans return digests, never user keys), so
+    the records are emitted as KEYLESS digest-addressed blocks.  The
+    stored ttl (0xFFFFFFFF = never, else seconds remaining relative to
+    the engine's fixed now) converts to the format's absolute
+    citrusleaf-epoch expiration (0 = never)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def emit(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        header = [ASB_VERSION_LINE, f"# namespace {namespace}"]
+        if pid == 0:
+            header.append("# first-file")
+        pending_header = "\n".join(header)
+        for pdf in batches:
+            blocks = []
+            if pending_header is not None:
+                blocks.append(pending_header)
+                pending_header = None
+            for digest_hex, cols_str, ttl in zip(
+                pdf["digest_hex"], pdf["cols_str"], pdf["ttl"]
+            ):
+                digest_b64 = base64.b64encode(bytes.fromhex(digest_hex)).decode()
+                bins = []
+                if cols_str:
+                    for kv in cols_str.split(","):
+                        name, _, value = kv.partition("=")
+                        bins.append((name, value))
+                if int(ttl) == 0xFFFFFFFF:
+                    exp_citrus = 0
+                else:
+                    exp_citrus = now_epoch_s + int(ttl) - CITRUS_EPOCH_S
+                    if exp_citrus <= 0:
+                        raise ValueError(
+                            f"asb scan write: expiration {exp_citrus} at/"
+                            "before the citrusleaf epoch collides with the "
+                            "eternal sentinel"
+                        )
+                blocks.append(
+                    digest_record_block(
+                        namespace, set_name, digest_b64, bins, 1, exp_citrus
+                    )
+                )
+            if blocks:
+                yield pd.DataFrame({"value": blocks})
+        if pending_header is not None:
+            yield pd.DataFrame({"value": [pending_header]})
+
+    (
+        scanned.repartition(n_files)
+        .mapInPandas(emit, "value string")
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+
+
+def read_asb_scan(
+    spark: SparkSession,
+    asb_dir: str,
+    namespace: str,
+    set_name: str,
+    now_epoch_s: int,
+) -> DataFrame:
+    """Distributed source for a digest-addressed .asb backup: one task
+    per file, grammar-verified, yielding (digest_hex, cols_str, ttl,
+    first_file) — the shape asrestore needs to put records back by
+    digest (ttl reconstructed relative to the engine's fixed now, the
+    way asrestore computes TTLs relative to restore time)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(asb_dir)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            out = {"digest_hex": [], "cols_str": [], "ttl": [], "first_file": []}
+            for content in pdf["content"]:
+                first, rows = _parse_asb_file(
+                    bytes(content).decode(), namespace, set_name
+                )
+                for key_str, digest_b64, _gen, exp_citrus, bins in rows:
+                    if key_str is not None:
+                        raise ValueError(
+                            "asb: keyed record in a digest-addressed read"
+                        )
+                    out["digest_hex"].append(
+                        base64.b64decode(digest_b64).hex()
+                    )
+                    out["cols_str"].append(
+                        ",".join(sorted(f"{n}={v}" for n, v in bins))
+                    )
+                    out["ttl"].append(
+                        0xFFFFFFFF
+                        if exp_citrus == 0
+                        else exp_citrus + CITRUS_EPOCH_S - now_epoch_s
+                    )
+                    out["first_file"].append(first)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        parse, "digest_hex string, cols_str string, ttl long, first_file boolean"
     )

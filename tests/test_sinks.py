@@ -929,3 +929,57 @@ def test_retend_if_stale_sweeps_once_per_map_change():
     finally:
         a.close()
         b.close()
+
+
+def test_asb_keyless_digest_blocks_roundtrip():
+    """The .asb format's optional `+ k` line (round 13): a scan-shaped
+    keyless record block parses back digest-addressed; a keyed block in
+    the same file still digest-verifies; a corrupt digest raises."""
+    import base64
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+    from cassandra2aerospike_spark.sinks.asb_backup import (
+        ASB_VERSION_LINE,
+        _parse_asb_file,
+        digest_record_block,
+        record_block,
+    )
+
+    dig = aw.key_digest("s1", b"k1")
+    d64 = base64.b64encode(dig).decode()
+    content = "\n".join(
+        [
+            ASB_VERSION_LINE,
+            "# namespace n1",
+            "# first-file",
+            digest_record_block("n1", "s1", d64, [("v", "1.00")], 1, 0),
+            record_block("n1", "s1", "77", [("w", "2.00")], 1, 0),
+        ]
+    )
+    first, rows = _parse_asb_file(content, "n1", "s1")
+    assert first
+    assert rows[0] == (None, d64, 1, 0, [("v", "1.00")])
+    assert rows[1][0] == "77" and rows[1][4] == [("w", "2.00")]
+    bad = content.replace(d64, base64.b64encode(b"\x00" * 19).decode())
+    import pytest
+
+    with pytest.raises(ValueError, match="digest"):
+        _parse_asb_file(bad, "n1", "s1")
+
+
+def test_put_digest_routes_and_stores_like_keyed_put():
+    """A digest-addressed put (the asrestore shape) stores under the
+    exact same identity a keyed put of the original key would — and
+    create-only still refuses the second write."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "records")
+        dig = aw.key_digest("records", b"user-9")
+        assert c.wait(c.put_digest(dig, {"v": b"9.00"}, 120)) == "ok"
+        assert c.wait(c.put(b"user-9", {"v": b"X"}, 120)) == "exists"
+        assert srv.records()[("tmx", "records", dig)] == ({"v": b"9.00"}, 120)
+        c.close()
+    finally:
+        srv.close()
