@@ -1069,3 +1069,89 @@ def lsh_topk(
         ),
     )
     return _global_rank(_local_topk(scored, k), k)
+
+
+def pq_codebook_quantized(
+    corpus_q: DataFrame, m: int = 4, k_sub: int = 16, dim: int = 64
+) -> DataFrame:
+    """INTEGER PQ codebook (round 13): (sub int, cid int, c_sub
+    array<long>) rows — per subspace of width dim/m, the k_sub lowest
+    vec_ids' integer slices (the deterministic stand-in pq_codebook
+    uses, here over quantized xq so encode/serve/oracle are exact
+    integer arithmetic end to end).  m*k_sub rows: parquet-persistable
+    as an index artifact and broadcastable whole."""
+    w = dim // m
+    cents = corpus_q.orderBy("vec_id").limit(k_sub)
+    return cents.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.col("vec_id").cast("int").alias("cid"),
+                        F.slice(F.col("xq"), s * w + 1, w).alias("c_sub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.sub", "e.cid", "e.c_sub")
+
+
+def _pq_cb_row(codebook_rows: DataFrame) -> DataFrame:
+    """The whole integer PQ codebook as one broadcastable array row."""
+    return codebook_rows.agg(
+        F.sort_array(F.collect_list(F.struct("sub", "cid", "c_sub"))).alias("cb")
+    )
+
+
+def pq_encode_quantized(
+    vecs_q: DataFrame, codebook_rows: DataFrame, m: int = 4, dim: int = 64
+) -> DataFrame:
+    """Integer PQ encode: per subspace, argmin squared-L2 sub-centroid
+    (ties to the lowest cid) — adds `codes` (array<int>, one chosen cid
+    per subspace).  Entirely in-row after the tiny codebook broadcast:
+    at 100 TB the encode rides the scan stage, no exchange, and the
+    coded posting is m ints instead of dim."""
+    w = dim // m
+    v = vecs_q.crossJoin(F.broadcast(_pq_cb_row(codebook_rows)))
+
+    def best(s: int) -> Column:
+        sub_slice = F.slice(F.col("xq"), s * w + 1, w)
+        cands = F.filter(F.col("cb"), lambda e: e["sub"] == F.lit(s))
+        scored = F.transform(
+            cands,
+            lambda e: F.struct(
+                _dist2_q(sub_slice, e["c_sub"]).alias("d"),
+                e["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(scored)["cid"]
+
+    return v.select(
+        *vecs_q.columns, F.array(*[best(s) for s in range(m)]).alias("codes")
+    )
+
+
+def pq_reconstruct_quantized(
+    coded: DataFrame, codebook_rows: DataFrame
+) -> DataFrame:
+    """Integer PQ reconstruction from stored codes: adds `recon`
+    (array<long>, the concatenated chosen sub-centroids) via an in-row
+    codebook lookup — the serve-side half of the persisted PQ index
+    (the artifact stores m ints per vector; the broadcast codebook
+    re-materializes the dim-long reconstruction inside the scan)."""
+    c = coded.crossJoin(F.broadcast(_pq_cb_row(codebook_rows)))
+    recon = F.flatten(
+        F.transform(
+            F.col("codes"),
+            lambda cid, s: F.element_at(
+                F.filter(
+                    F.col("cb"),
+                    lambda e: (e["sub"] == s) & (e["cid"] == cid),
+                ),
+                1,
+            )["c_sub"],
+        )
+    )
+    return c.select(*coded.columns, recon.alias("recon"))

@@ -660,6 +660,107 @@ def q_sim_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+def q_sim_hybrid_index_rrf_topk(spark, sf_dir):
+    """HYBRID RETRIEVAL OVER THE PERSISTED INDEX (round 13, VERDICT r12
+    task 6): the r12 hybrid row's vector leg brute-forced a broadcast
+    GEMM over every doc vector; the 100 TB story composes the two r12
+    pieces instead — vector ranks come from the PERSISTED IVF serving
+    path (stored centroids + postings parquet: per query, probe the
+    nprobe=2 nearest stored cells in-row, equi-join the cell-bounded
+    postings, exact integer squared-L2), restricted to document
+    vectors, fused with the BM25 leg by the same integer RRF join.
+    The index is the SHARED artifact of sim_index_persist_topk (train
+    once, arrivals appended — candidates here join against doc_ids, so
+    the appended non-doc ids drop out by construction).  Recall follows
+    the index (nprobe cells, not the whole corpus) — exactly what
+    deploying an ANN index means — and the oracle replays the stored
+    k-means, the probes and the cell restriction, so the row is still
+    exact cross-engine.  Scale: the vector leg reads index parquet
+    (cell-pruned), never the embedding column of the corpus; fusion
+    stays a tiny top-k full-outer join."""
+    from ..functions import similarity as S
+    from .sim_q import persisted_ivf_paths
+
+    d = _docs(spark, sf_dir)
+    text_ranks = bm25_topk(spark, d).select(
+        "q_id", "doc_id", F.col("rank").alias("rt")
+    )
+    cent_dir, post_dir = persisted_ivf_paths(spark, sf_dir)
+    cb = spark.read.parquet(cent_dir)
+    postings = spark.read.parquet(post_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.quantize_vec(F.col("embedding")).alias("xq")
+    )
+    q_ids = sorted({q for q, _ in BM25_QUERIES})
+    qframe = spark.createDataFrame(
+        [(q, 1000 + 37 * q) for q in q_ids], "q_id int, qvec_id int"
+    )
+    qvecs = qframe.join(emb, qframe.qvec_id == emb.vec_id).select(
+        "q_id", F.col("xq").alias("q_xq")
+    )
+    cb_row = cb.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c_vec"))).alias("codebook")
+    )
+    probes = (
+        qvecs.crossJoin(F.broadcast(cb_row))
+        .select(
+            "q_id",
+            "q_xq",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        F.transform(
+                            "codebook",
+                            lambda c: F.struct(
+                                S._dist2_q(F.col("q_xq"), c["c_vec"]).alias("d2"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    2,  # nprobe=2
+                )
+            ).alias("pr"),
+        )
+        .select("q_id", "q_xq", F.col("pr.cid").alias("cell"))
+    )
+    scored = (
+        probes.join(postings, "cell")
+        .join(
+            d.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )  # doc vectors only: appended non-doc ids drop out here
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            S._dist2_q(F.col("q_xq"), F.col("xq")).cast("long").alias("d2"),
+        )
+    )
+    wv = Window.partitionBy("q_id").orderBy("d2", "doc_id")
+    vec_ranks = (
+        scored.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= 5)
+        .select("q_id", "doc_id", "rv")
+    )
+    fused = text_ranks.join(vec_ranks, ["q_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.expr(
+            "coalesce(1000000 div (60 + rt), 0)"
+            " + coalesce(1000000 div (60 + rv), 0)"
+        ).cast("long"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "q_id",
+            "doc_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "rrf",
+        )
+    )
+
+
 BPE_MERGES = 6  # learned merge rounds (oracle unrolls the same count)
 _BPE_SEP = "\x1f"  # symbol delimiter (absent from the corpus by filter)
 
@@ -1747,6 +1848,7 @@ QUERIES = {
     "text_dup_span_removal": q_text_dup_span_removal,
     "text_bm25_topk": q_text_bm25_topk,
     "sim_hybrid_rrf_topk": q_sim_hybrid_rrf_topk,
+    "sim_hybrid_index_rrf_topk": q_sim_hybrid_index_rrf_topk,
     "text_ngram_lm": q_text_ngram_lm,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
@@ -1924,5 +2026,153 @@ ORACLES["text_bm25_topk"] = (
     )
     SELECT q_id, doc_id, CAST(rnk AS INT) AS rank, score
     FROM ranked WHERE rnk <= {BM25_K}
+"""
+)
+
+
+# hybrid over the PERSISTED index: same BM25 leg; the vector leg
+# replays the stored integer k-means (c0->c2), the base+arrival
+# postings, the nprobe=2 probes and the doc-id restriction — the exact
+# cells the Spark side serves from parquet
+ORACLES["sim_hybrid_index_rrf_topk"] = (
+    _TOKS
+    + f"""
+    , tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(t)) AS DOUBLE) AS total
+      FROM toks
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), q(q_id, tok) AS (VALUES {_BM25_VALUES}
+    ), contrib AS (
+      SELECT q.q_id, tf.doc_id, tf.tok,
+             ((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.total / s.n)))) AS c
+      FROM q
+      JOIN tf ON tf.tok = q.tok
+      JOIN dfreq ON dfreq.tok = q.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ), scored_t AS (
+      SELECT q_id, doc_id,
+             list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+                 (acc, x) -> acc + x
+             ) AS score
+      FROM contrib GROUP BY 1, 2
+    ), ranked_t AS (
+      SELECT q_id, doc_id, rt FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, doc_id) AS rt
+        FROM scored_t) WHERE rt <= 5
+    ), emq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ), c0 AS (SELECT CAST(vec_id AS INT) AS cid, xq AS c_vec FROM emq WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, xq, cell FROM (
+        SELECT emq.vec_id, emq.xq, c.cid AS cell,
+               row_number() OVER (PARTITION BY emq.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(emq.xq, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        FROM emq CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    s1 AS (
+      SELECT cell, pos, sum(v) AS s, count(*) AS n
+      FROM (SELECT cell, unnest(xq) AS v,
+                   generate_subscripts(xq, 1) AS pos FROM a1)
+      GROUP BY cell, pos
+    ),
+    c1 AS (
+      SELECT cell AS cid,
+             list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                  ORDER BY pos) AS c_vec
+      FROM s1 GROUP BY cell
+    ),
+    a2 AS (
+      SELECT vec_id, xq, cell FROM (
+        SELECT emq.vec_id, emq.xq, c.cid AS cell,
+               row_number() OVER (PARTITION BY emq.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(emq.xq, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        FROM emq CROSS JOIN c1 c
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT cell, pos, sum(v) AS s, count(*) AS n
+      FROM (SELECT cell, unnest(xq) AS v,
+                   generate_subscripts(xq, 1) AS pos FROM a2)
+      GROUP BY cell, pos
+    ),
+    c2 AS (
+      SELECT cell AS cid,
+             list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                  ORDER BY pos) AS c_vec
+      FROM s2 GROUP BY cell
+    ),
+    corpus AS (
+      SELECT vec_id, xq FROM emq
+      UNION ALL
+      SELECT vec_id + 2000000, list_transform(xq, x -> x + 3)
+      FROM emq WHERE vec_id % 9 = 0
+    ),
+    postings AS (
+      SELECT vec_id, xq, cell FROM (
+        SELECT co.vec_id, co.xq, c.cid AS cell,
+               row_number() OVER (PARTITION BY co.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(co.xq, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        FROM corpus co CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    qv AS (
+      SELECT qq.q_id,
+             list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q_xq
+      FROM (SELECT DISTINCT q_id FROM q) qq
+      JOIN embeddings e ON e.vec_id = 1000 + 37 * qq.q_id
+    ),
+    probes AS (
+      SELECT q_id, q_xq, cell FROM (
+        SELECT qv.q_id, qv.q_xq, c.cid AS cell,
+               row_number() OVER (PARTITION BY qv.q_id ORDER BY
+                 list_sum(list_transform(list_zip(qv.q_xq, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        FROM qv CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    ),
+    ranked_v AS (
+      SELECT q_id, doc_id, rv FROM (
+        SELECT pr.q_id, po.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY pr.q_id ORDER BY
+                 list_sum(list_transform(list_zip(pr.q_xq, po.xq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), po.vec_id) AS rv
+        FROM probes pr
+        JOIN postings po ON po.cell = pr.cell
+        JOIN documents dd ON dd.doc_id = po.vec_id
+      ) WHERE rv <= 5
+    ), fused AS (
+      SELECT coalesce(t.q_id, v.q_id) AS q_id,
+             coalesce(t.doc_id, v.doc_id) AS doc_id,
+             CAST(coalesce(1000000 // (60 + t.rt), 0)
+                  + coalesce(1000000 // (60 + v.rv), 0) AS BIGINT) AS rrf
+      FROM ranked_t t FULL JOIN ranked_v v
+        ON t.q_id = v.q_id AND t.doc_id = v.doc_id
+    )
+    SELECT q_id, doc_id, CAST(fused_rank AS INT) AS fused_rank, rrf
+    FROM (SELECT q_id, doc_id, rrf,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY rrf DESC, doc_id) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= 5
 """
 )
