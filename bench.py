@@ -106,6 +106,14 @@ HEADLINE = [
     "s42_wire_cluster_scan_source",
     # round-12: hybrid BM25+vector retrieval fused by RRF
     "sim_hybrid_rrf_topk",
+    # round-13: scan surviving a live handoff (generation-checked range
+    # restarts), the backup->.asb->restore->verify capstone across two
+    # clusters, the persisted PQ index, and hybrid retrieval served
+    # from the persisted IVF index
+    "s44_wire_scan_during_handoff",
+    "s45_backup_restore_verified",
+    "sim_index_persist_pq",
+    "sim_hybrid_index_rrf_topk",
 ]
 
 

@@ -64,6 +64,18 @@ job shapes against SSTable-style run directories:
                                        #   s30_asof_merge semantics; the
                                        #   reference always merges to
                                        #   latest)
+        [--backup DIR]                 # ROUND 13: asbackup job — scan the
+                                       #   -h cluster (generation-checked
+                                       #   partition-range sweeps; survives
+                                       #   concurrent migrations) into a
+                                       #   keyless digest-addressed .asb
+                                       #   file series (no -i inputs)
+        [--restore DIR]                # ROUND 13: asrestore job — .asb
+                                       #   series -> digest-addressed puts
+                                       #   routed by the cluster's own
+                                       #   discovered map; --verify then
+                                       #   re-scans and compares digest +
+                                       #   bins + ttl (exit 1 on mismatch)
 
 Every reference flag is accepted, so a migrating invocation runs
 unmodified; help moved to --help because the reference uses -h for
@@ -191,6 +203,213 @@ def _display_value(v: bytes) -> str:
     return "0x" + v.hex()
 
 
+def _backup_restore(args, p) -> int:
+    """The asbackup/asrestore job shapes over the wire cluster (round
+    13 — the operational loop the reference binary cannot run, having
+    no read path):
+
+      --backup DIR:  generation-checked partition-sliced scan of the
+        -h cluster -> KEYLESS digest-addressed .asb files in DIR (the
+        s44 sweep protocol: a range whose node generations moved
+        mid-sweep restarts idempotently, so a concurrent migration
+        cannot duplicate or drop records).
+      --restore DIR: read the .asb series -> digest-addressed puts
+        routed by the cluster's OWN discovered partition map, riding
+        the -a bounded-async window; with --verify, re-scan the
+        cluster afterwards and compare digest+bins+ttl against the
+        backup (exit 1 on any mismatch)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+    from .sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        cols_str_to_bins,
+        fetch_partition_map,
+        partition_id,
+    )
+    from .sinks.asb_backup import read_asb_scan, write_asb_scan
+    from .sinks.kv_sink import bounded_async_foreach_writer
+
+    nodes = []
+    for hp in args.hosts:
+        h_, _, port_s = hp.partition(":")
+        nodes.append((h_, int(port_s) if port_s else 3000))
+    ns = args.namespace or "test"
+    set_name = args.set_name or "records"
+    user = args.username
+    credential = None
+    if user:
+        from .sinks.bcrypt_py import hashpw
+
+        credential = hashpw(args.password or "")
+    now_s = args.now_s if args.now_s is not None else int(_time.time())
+    spark = get_spark("cassandra2aerospike")
+    if args.parallelism:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
+    n_ranges = max(1, args.parallelism or 8)
+    span = N_PARTITIONS // n_ranges
+    sc = spark.sparkContext
+
+    def sweep():
+        """Generation-checked pid-range sweep of the cluster (the s44
+        protocol) -> (DataFrame, restart accumulator)."""
+        import pandas as pd
+
+        acc_restart = sc.accumulator(0)
+        ranges_df = spark.createDataFrame(
+            [
+                (r, r * span, span if r < n_ranges - 1 else N_PARTITIONS - r * span)
+                for r in range(n_ranges)
+            ],
+            "rng int, begin int, count int",
+        ).repartition(n_ranges, "rng")
+
+        def scan_range(batches):
+            def tend_gens():
+                return [fetch_partition_map(h, p_, ns)[0] for h, p_ in nodes]
+
+            for pdf in batches:
+                for begin, count in zip(pdf["begin"], pdf["count"]):
+                    for _attempt in range(8):
+                        gens = tend_gens()
+                        rows = []
+                        for h, p_ in nodes:
+                            c = WireClient(
+                                h, p_, ns, set_name,
+                                user=user, credential=credential,
+                            )
+                            for digest, ttl, bins in c.scan(
+                                int(begin), int(count)
+                            ):
+                                rows.append(
+                                    (
+                                        digest.hex(),
+                                        ",".join(
+                                            sorted(
+                                                f"{n}={v.decode()}"
+                                                for n, v in bins.items()
+                                            )
+                                        ),
+                                        int(ttl),
+                                    )
+                                )
+                            c.close()
+                        if tend_gens() == gens:
+                            break
+                        acc_restart.add(1)
+                    else:
+                        raise RuntimeError(
+                            "backup scan range never stabilized"
+                        )
+                    yield pd.DataFrame(
+                        {
+                            "digest_hex": [r[0] for r in rows],
+                            "cols_str": [r[1] for r in rows],
+                            "ttl": [r[2] for r in rows],
+                        }
+                    )
+
+        return (
+            ranges_df.mapInPandas(
+                scan_range, "digest_hex string, cols_str string, ttl long"
+            ),
+            acc_restart,
+        )
+
+    t0 = _time.time()
+    if args.backup_dir:
+        scanned, acc_restart = sweep()
+        scanned = scanned.cache()
+        n = scanned.count()
+        write_asb_scan(
+            scanned, args.backup_dir, ns, set_name, now_s,
+            n_files=max(4, n_ranges // 2),
+        )
+        scanned.unpersist()
+        print(
+            f"# backup: {n} records -> {args.backup_dir}  "
+            f"({n_ranges} partition ranges, {acc_restart.value} "
+            f"mid-migration restarts, {_time.time() - t0:.1f}s)"
+        )
+        return 0
+
+    # ---- restore ----
+    restore_stream = read_asb_scan(
+        spark, args.restore_dir, ns, set_name, now_s
+    )
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h_, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h_, p_, ns)
+        for pt in owned:
+            pmap[pt] = idx
+    if any(x == -1 for x in pmap):
+        p.error("restore cluster: partition map has unowned partitions")
+    acc_ok, acc_exists = sc.accumulator(0), sc.accumulator(0)
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h_, p_, ns, set_name, user=user, credential=credential)
+                for h_, p_ in nodes
+            ]
+        digest = bytes.fromhex(rd["digest_hex"])
+        c = cl[pmap[partition_id(digest)]]
+        return (
+            c.put_digest(digest, cols_str_to_bins(rd["cols_str"]), int(rd["ttl"])),
+            c,
+        )
+
+    def wait(h):
+        handle, c = h
+        d = c.wait(handle)
+        if d == "ok":
+            acc_ok.add(1)
+            return True
+        if d == "exists":
+            acc_exists.add(1)  # create-only: a re-run restore is idempotent
+            return True
+        if d == "retry":
+            return False
+        raise RuntimeError(f"restore: unexpected disposition {d}")
+
+    bounded_async_foreach_writer(
+        restore_stream.repartition(max(4, n_ranges // 2)), put, wait,
+        max_in_flight=args.max_async,
+    )
+    print(
+        f"# restore: {acc_ok.value} records written, {acc_exists.value} "
+        f"already existing <- {args.restore_dir}  ({_time.time() - t0:.1f}s)"
+    )
+    if args.verify_sink:
+        scanned, _acc = sweep()
+        backup = read_asb_scan(spark, args.restore_dir, ns, set_name, now_s)
+        vstats = (
+            backup.alias("a")
+            .join(scanned.alias("b"), "digest_hex", "full_outer")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (
+                        F.col("a.cols_str").eqNullSafe(F.col("b.cols_str"))
+                        & F.col("a.ttl").eqNullSafe(F.col("b.ttl"))
+                    ).cast("long")
+                ).alias("n_equal"),
+            )
+            .first()
+        )
+        mism = vstats["n"] - vstats["n_equal"]
+        print(f"# verify: {vstats['n_equal']} records match the backup, {mism} mismatches")
+        if mism:
+            print("# VERIFY FAILED", file=sys.stderr)
+            return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from .operators.merge import ETERNAL, filter_expired
     from .session import get_spark
@@ -232,11 +451,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--asof", dest="asof_us", type=int, default=None)
     p.add_argument("--verify", dest="verify_sink", action="store_true")
     p.add_argument("--since", dest="since_us", type=int, default=None)
+    # round 13: the asbackup/asrestore job shapes over -h clusters
+    p.add_argument("--backup", dest="backup_dir", default=None)
+    p.add_argument("--restore", dest="restore_dir", default=None)
     args = p.parse_args(argv)
 
     if args.version:
         print("cassandra2aerospike_spark 0.4 (spark-graft)")
         return 0
+    if args.backup_dir or args.restore_dir:
+        if args.backup_dir and args.restore_dir:
+            p.error("--backup and --restore are mutually exclusive")
+        if not args.hosts:
+            p.error("--backup/--restore operate on a -h cluster")
+        if args.inputs:
+            p.error("--backup/--restore take no -i inputs (cluster <-> files)")
+        return _backup_restore(args, p)
     if not args.inputs:
         p.error("at least one -i <run directory> is required")
     if (args.username or args.password) and (not args.hosts or args.out_dir):

@@ -33,85 +33,41 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring) — ROUND-12 prefix.
+# Checked-prefix priority (see module docstring) — ROUND-13 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
 # (a) queries NEW this round, (b) queries whose code changed this
 # round without a driver re-verify, (c) the stalest driver-signature
-# cohort.  Signature histogram entering r12 (latest green driver round
-# per row): new x3, r06 x29, r08 x49, r10 x44, r11 x50 — this prefix
-# spends 8 slots on (a), 6 on (b) (the whole wire family: the
-# aerospike_wire codec changed RC-11 classification + gained
-# cols_str_to_bins/bounds checks this round), all 29 on the complete
-# r06 cohort, and the rest on the head of the r08 cohort
-# (alphabetical; the checked window covers the first ~10 of them); the
-# remaining r08 rows head the r13 rotation.
+# cohort.  Signature histogram entering r13 (latest green driver round
+# per row): new x4, r08 x42, r10 x44, r11 x44, r12 x50 — this prefix
+# spends 4 slots on (a), 4 on the most behavior-affected (b) rows
+# (s40: the re-tend gating changed; s41: replication is now
+# seq-tagged; s32: the .asb parser grammar generalized to keyless
+# records; sim_index_persist_topk: artifact keying/build changed), and
+# all 42 on the COMPLETE r08 cohort — closing VERDICT r12 task 3: no
+# registry row's latest driver green older than r10 after this round.
+# The remaining code-changed wire rows (s42/s43 gained the additive
+# on_scan hook, stream_cdc_cluster_apply the gated re-tend, s28/s38/
+# stream_* the parse bounds checks) sit at 51+, covered by the pytest
+# oracle-parity suite; the r10 cohort heads the r14 rotation.
 _PRIORITY = [
-    # -- (a) NEW in r12: live partition handoff with client re-tend,
-    #    RF=2 replication + node-death failover, and the persisted
-    #    ANN index (train once / append incrementally / serve from
-    #    storage)
+    # -- (a) NEW in r13: scan re-tend under a live handoff, the
+    #    backup/restore capstone, the persisted PQ index, and hybrid
+    #    retrieval served from the persisted IVF index
+    "s44_wire_scan_during_handoff",
+    "s45_backup_restore_verified",
+    "sim_index_persist_pq",
+    "sim_hybrid_index_rrf_topk",
+    # -- (b) most behavior-affected code-changed rows
     "s40_wire_cluster_handoff",
     "s41_wire_rf2_failover",
+    "s32_asb_backup_roundtrip",
     "sim_index_persist_topk",
-    "text_dsir_select",
-    "stream_cdc_cluster_apply",
-    "s42_wire_cluster_scan_source",
-    "s43_wire_partition_scan_source",
-    "sim_hybrid_rrf_topk",
-    # -- (b) wire family: r12 changed the shared codec (partition-
-    #    unavailable classification, record-response bounds checks,
-    #    cols_str_to_bins) under all of these
-    "s36_wire_cluster_sink",
-    "s38_wire_readback_verify",
-    "s39_e2e_migration_verified",
-    "s28_aerospike_wire_sink",
-    "stream_aerospike_wire_sink",
-    "stream_cdc_wire_apply",
-    # -- (c) the FULL r06 cohort (29 rows)
-    "pipeline_corpus_prep",
-    "s10_clustering_merge",
-    "s13_dry_run",
-    "s14_run_accounting",
-    "s21_schema_evolution_merge",
-    "s2_run_identity",
-    "sample_hash_split",
-    "scalar_dates",
-    "scalar_json",
-    "sim_cosine_topk_fast",
-    "sim_kmeans_cells",
-    "sim_semantic_dedup",
-    "stream_corpus_dedup",
-    "stream_dedup_keys",
-    "stream_late_data",
-    "stream_session_windows",
-    "stream_sstable_ingest",
-    "stream_stream_join",
-    "stream_window_counts",
-    "text_chunk_windows",
-    "text_pack_sequences",
-    "text_term_freq",
-    "token_md5",
-    "token_resume",
-    "token_ring_buckets",
-    "udaf_expiry_fold",
-    "udtf_tokenize",
-    "win_frame_analytics",
-    "win_lag_lead",
-    # -- (c) the first 12 of the r08 cohort (alphabetical); the other
-    #    37 r08 rows sit at positions 51+ and head the r13 rotation
-    "a2_row_tombstone_max",
-    "a4_expiry_fold_first",
-    "a5_pivot_wide",
-    "a7_counter_reconcile",
-    "agg_collect",
-    "agg_cube",
-    "agg_distinct",
+    # -- (c) the COMPLETE r08 cohort (42 rows)
     "agg_grouping_sets",
     "agg_minmax_stats",
     "agg_pricing_summary",
     "agg_rollup",
     "agg_salted_skew",
-    # -- position 51+: the remaining r08 cohort, first in line for r13
     "compaction_roundtrip",
     "counter_merge",
     "dedup_edit_distance",
@@ -149,6 +105,17 @@ _PRIORITY = [
     "win_rank",
     "win_running_sum",
     "win_topk_per_group",
+    # -- position 51+: the code-changed wire rows not fitting above,
+    #    then the r10 cohort (first in line for r14)
+    "s42_wire_cluster_scan_source",
+    "s43_wire_partition_scan_source",
+    "stream_cdc_cluster_apply",
+    "s36_wire_cluster_sink",
+    "s38_wire_readback_verify",
+    "s39_e2e_migration_verified",
+    "s28_aerospike_wire_sink",
+    "stream_aerospike_wire_sink",
+    "stream_cdc_wire_apply",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

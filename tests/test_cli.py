@@ -585,3 +585,73 @@ def test_cli_cluster_retend_and_verify_failover(runs_dir, capsys):
     finally:
         for srv in servers:
             srv.close()
+
+
+def test_cli_backup_restore_roundtrip(runs_dir, tmp_path, capsys):
+    """Round 13: the asbackup/asrestore job shapes.  Populate a 3-node
+    cluster through the normal wire-sink path, `--backup` it into a
+    keyless .asb series, `--restore` into a FRESH 2-node cluster (a
+    different layout — the digest-addressed records must route by the
+    target's own map), `--verify` compares digest+bins+ttl, and the
+    two clusters end bin-for-bin identical."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireServer,
+    )
+
+    src = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 3 == i},
+            info_namespace="tmx",
+        )
+        for i in range(3)
+    ]
+    dst = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 2 == i},
+            info_namespace="tmx",
+        )
+        for i in range(2)
+    ]
+    bdir = str(tmp_path / "asb_backup")
+    try:
+        hosts_src = [x for s in src for x in ("-h", f"127.0.0.1:{s.port}")]
+        hosts_dst = [x for s in dst for x in ("-h", f"127.0.0.1:{s.port}")]
+        # populate the source cluster through the ordinary sink path
+        assert main(["-i", runs_dir, "-n", "tmx", "-t", "recs"] + hosts_src + NOW) == 0
+        n_src = sum(len(s.records()) for s in src)
+        assert n_src > 0
+        # backup: no -i, generation-checked sweep -> .asb
+        assert main(hosts_src + ["-n", "tmx", "-t", "recs", "--backup", bdir] + NOW) == 0
+        out = capsys.readouterr().out
+        assert f"# backup: {n_src} records" in out
+        # restore into the differently-shaped cluster + verify
+        assert (
+            main(
+                hosts_dst
+                + ["-n", "tmx", "-t", "recs", "--restore", bdir, "--verify"]
+                + NOW
+            )
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert f"# restore: {n_src} records written, 0 already existing" in out
+        assert f"# verify: {n_src} records match the backup, 0 mismatches" in out
+        # bin-for-bin identity across the two clusters
+        def store(servers):
+            merged = {}
+            for s in servers:
+                merged.update(s.records())
+            return merged
+
+        assert store(src) == store(dst)
+        # a SECOND restore is idempotent (create-only: all 'exists')
+        assert main(hosts_dst + ["-n", "tmx", "-t", "recs", "--restore", bdir] + NOW) == 0
+        out = capsys.readouterr().out
+        assert f"# restore: 0 records written, {n_src} already existing" in out
+        # flag hygiene: no hosts -> argparse error
+        with pytest.raises(SystemExit):
+            main(["--backup", bdir])
+    finally:
+        for s in src + dst:
+            s.close()

@@ -230,8 +230,9 @@ def test_asb_record_block_grammar_and_parse_roundtrip():
     content = "\n".join(["Version 3.1", "# namespace tmx", "# first-file", blk])
     first, rows = ab._parse_asb_file(content, "tmx", "records")
     assert first is True
-    assert rows == [("42", 1, 0, [("click", "1.25"), ("view", "7.00")])]
-    assert f"+ d {base64.b64encode(key_digest('records', b'42')).decode()}" in blk
+    d64 = base64.b64encode(key_digest("records", b"42")).decode()
+    assert rows == [("42", d64, 1, 0, [("click", "1.25"), ("view", "7.00")])]
+    assert f"+ d {d64}" in blk
 
     import pytest
 
@@ -314,11 +315,16 @@ def test_asb_record_block_property(key, bins, gen, exp):
     record grammar, not just the fixture shapes."""
     from cassandra2aerospike_spark.sinks import asb_backup as ab
 
+    import base64
+
+    from cassandra2aerospike_spark.sinks.aerospike_wire import key_digest
+
     blk = ab.record_block("tmx", "records", str(key), bins, gen, exp)
     content = "\n".join(["Version 3.1", "# namespace tmx", blk])
     first, rows = ab._parse_asb_file(content, "tmx", "records")
     assert first is False
-    assert rows == [(str(key), gen, exp, bins)]
+    d64 = base64.b64encode(key_digest("records", str(key).encode())).decode()
+    assert rows == [(str(key), d64, gen, exp, bins)]
 
 
 def test_asb_write_rejects_pre_epoch_expiry(spark, tmp_path):
