@@ -113,6 +113,7 @@ HEADLINE = [
     "s44_wire_scan_during_handoff",
     "s45_backup_restore_verified",
     "sim_index_persist_pq",
+    "sim_index_persist_sq8",
     "sim_hybrid_index_rrf_topk",
 ]
 

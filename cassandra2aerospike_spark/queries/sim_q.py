@@ -585,6 +585,102 @@ def q_sim_index_persist_pq(spark, sf_dir):
     )
 
 
+def q_sim_index_persist_sq8(spark, sf_dir):
+    """X3 PRODUCTION SHAPE #3 (round 13): the SQ8 index as a PERSISTED
+    ARTIFACT — completing the persisted ladder (IVF r12, PQ r13).
+    Build once (atomic rename-into-place, corpus-content+rev-keyed):
+    the per-dimension [min, max] ranges train over the BASE corpus into
+    `stats/` (one row), every base vector affine-codes to 8-bit levels
+    against those ranges into `codes/` (4x compression below the
+    int-quantized domain).  A LATER ARRIVAL batch (every vec_id % 11 ==
+    0 re-arrives as vec_id + 4,000,000 with each component + 7) encodes
+    against the SAME stored ranges — no retraining; out-of-range values
+    CLAMP to [0, 255], exactly what a scalar quantizer does to drifted
+    arrivals — and appends.  SERVING reads parquet only: reconstruct
+    in-row from codes + broadcast ranges, asymmetric integer squared-L2
+    against query vectors, top-5.  Integer end-to-end -> exact oracle
+    (the oracle replays training, the clamped encode and the recon
+    arithmetic; non-negative operands make Spark's truncating div and
+    DuckDB's floor // identical)."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    base = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+    index_dir = _index_cache_dir(sf_dir, "sq8-int|rev=1")
+    stats_dir = os.path.join(index_dir, "stats")
+    codes_dir = os.path.join(index_dir, "codes")
+    encode_expr = """zip_with(xq, arrays_zip(mn_arr, mx_arr), (v, s) ->
+        CASE WHEN s.mx_arr > s.mn_arr
+             THEN greatest(0L, least(255L,
+                  ((v - s.mn_arr) * 255) div (s.mx_arr - s.mn_arr)))
+             ELSE 0L END)"""
+    if not os.path.exists(index_dir):
+
+        def build(tmp: str) -> None:
+            tmp_stats = os.path.join(tmp, "stats")
+            tmp_codes = os.path.join(tmp, "codes")
+            dims = (
+                base.select(F.posexplode("xq").alias("pos", "v"))
+                .groupBy("pos")
+                .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            )
+            dims.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                    lambda s: s["mn"],
+                ).alias("mn_arr"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("mx_arr"),
+            ).write.mode("overwrite").parquet(tmp_stats)
+            stats_stored = spark.read.parquet(tmp_stats)
+
+            def encode(vecs):
+                return vecs.crossJoin(F.broadcast(stats_stored)).select(
+                    "vec_id", F.expr(encode_expr).alias("codes")
+                )
+
+            encode(base).write.mode("overwrite").parquet(tmp_codes)
+            arrivals = base.filter(F.col("vec_id") % 11 == 0).select(
+                (F.col("vec_id") + 4_000_000).alias("vec_id"),
+                F.transform("xq", lambda x: x + F.lit(7)).alias("xq"),
+            )
+            encode(arrivals).write.mode("append").parquet(tmp_codes)
+
+        _atomic_build(index_dir, build)
+    # ---- serving: parquet in, in-row reconstruction, integer ADC ----
+    stats = spark.read.parquet(stats_dir)
+    codes = spark.read.parquet(codes_dir)
+    recon = codes.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            """zip_with(codes, arrays_zip(mn_arr, mx_arr), (c, s) ->
+            CASE WHEN s.mx_arr > s.mn_arr
+                 THEN s.mn_arr + (c * (s.mx_arr - s.mn_arr)) div 255
+                 ELSE s.mn_arr END)"""
+        ).alias("recon"),
+    )
+    queries = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("xq").alias("q_xq")
+    )
+    scored = recon.join(
+        F.broadcast(queries), F.col("q_id") != F.col("vec_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        S._dist2_q(F.col("q_xq"), F.col("recon")).cast("long").alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"), "d2")
+    )
+
+
 def q_sim_semantic_dedup(spark, sf_dir):
     """X3+X1 bridge — SemDeDup-style SEMANTIC deduplication (public
     method: cluster the embedding space, drop within-cluster vectors
@@ -1401,6 +1497,59 @@ ORACLES = {
               FROM scored)
         WHERE rank <= 5
     """,
+    # the persisted-SQ8 serve replay: ranges trained on the BASE corpus,
+    # arrivals encoded against them with [0,255] clamping, recon + ADC
+    # integer arithmetic (non-negative operands: truncating div == //)
+    "sim_index_persist_sq8": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        stats AS (
+          SELECT list(mn ORDER BY pos) AS mn_arr, list(mx ORDER BY pos) AS mx_arr
+          FROM (SELECT pos, min(v) AS mn, max(v) AS mx
+                FROM (SELECT unnest(xq) AS v,
+                             generate_subscripts(xq, 1) AS pos FROM q)
+                GROUP BY pos)
+        ),
+        corpus AS (
+          SELECT vec_id, xq FROM q
+          UNION ALL
+          SELECT vec_id + 4000000, list_transform(xq, x -> x + 7)
+          FROM q WHERE vec_id % 11 = 0
+        ),
+        enc AS (
+          SELECT vec_id,
+                 list_transform(list_zip(xq, mn_arr, mx_arr),
+                     t -> CASE WHEN t[3] > t[2]
+                               THEN greatest(0, least(255,
+                                    ((t[1] - t[2]) * 255) // (t[3] - t[2])))
+                               ELSE 0 END) AS codes
+          FROM corpus CROSS JOIN stats
+        ),
+        recon AS (
+          SELECT vec_id,
+                 list_transform(list_zip(codes, mn_arr, mx_arr),
+                     t -> CASE WHEN t[3] > t[2]
+                               THEN t[2] + (t[1] * (t[3] - t[2])) // 255
+                               ELSE t[2] END) AS rec
+          FROM enc CROSS JOIN stats
+        ),
+        qs AS (SELECT vec_id AS q_id, xq AS q_xq FROM q WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT qs.q_id, r.vec_id,
+                 list_sum(list_transform(list_zip(qs.q_xq, r.rec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM qs CROSS JOIN recon r WHERE qs.q_id <> r.vec_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, CAST(d2 AS BIGINT) AS d2
+        FROM (SELECT q_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """,
     # the persisted-PQ serve replay: codebook = per-sub slices of the 16
     # lowest vec_ids, encode = per-(vec, sub) integer argmin (ties to
     # lowest cid), recon = chosen sub-centroids concatenated in sub
@@ -1601,6 +1750,7 @@ QUERIES = {
     "sim_kmeans_cells": q_sim_kmeans_cells,
     "sim_index_persist_topk": q_sim_index_persist_topk,
     "sim_index_persist_pq": q_sim_index_persist_pq,
+    "sim_index_persist_sq8": q_sim_index_persist_sq8,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
