@@ -112,6 +112,7 @@ HEADLINE = [
     # from the persisted IVF index
     "s44_wire_scan_during_handoff",
     "s45_backup_restore_verified",
+    "stream_asb_incremental_backup",
     "sim_index_persist_pq",
     "sim_index_persist_sq8",
     "sim_hybrid_index_rrf_topk",

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from ..streaming import (
     stream_aerospike_wire_sink,
+    stream_asb_incremental_backup,
     stream_cdc_incremental,
     stream_cdc_cluster_apply,
     stream_cdc_wire_apply,
@@ -25,6 +26,7 @@ QUERIES = {
     "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
     "stream_cdc_wire_apply": stream_cdc_wire_apply,
     "stream_cdc_cluster_apply": stream_cdc_cluster_apply,
+    "stream_asb_incremental_backup": stream_asb_incremental_backup,
     "stream_snapshot_cdc": stream_snapshot_cdc,
     "stream_cdc_incremental": stream_cdc_incremental,
     "stream_window_counts": stream_window_counts,
@@ -330,6 +332,40 @@ ORACLES["stream_cdc_wire_apply"] = (
            CASE WHEN expiry = 4294967295 THEN 4294967295
                 ELSE expiry - 1719792000 END AS ttl
     FROM rec_c2
+"""
+)
+
+
+# stream_asb_incremental_backup: per key, the live cumulative-merge
+# state at the LARGEST generation that touched the key and left it
+# live — latest-segment-wins replay of backups that cannot carry
+# deletes; keys never live in any emitted batch are absent
+ORACLES["stream_asb_incremental_backup"] = (
+    "WITH "
+    + ", ".join(_cum_merge_cte(b) for b in (0, 1, 2))
+    + """
+    , pres AS (
+      SELECT DISTINCT user_id AS key, CAST(epoch_us(ts) % 3 AS INT) AS g
+      FROM events
+    ), em AS (
+      SELECT p.key, p.g, r.cols_str, r.expiry
+      FROM pres p JOIN rec_c0 r ON r.key = p.key
+      WHERE p.g = 0 AND r.cols_str IS NOT NULL
+      UNION ALL
+      SELECT p.key, p.g, r.cols_str, r.expiry
+      FROM pres p JOIN rec_c1 r ON r.key = p.key
+      WHERE p.g = 1 AND r.cols_str IS NOT NULL
+      UNION ALL
+      SELECT p.key, p.g, r.cols_str, r.expiry
+      FROM pres p JOIN rec_c2 r ON r.key = p.key
+      WHERE p.g = 2 AND r.cols_str IS NOT NULL
+    ), last AS (
+      SELECT key, max(g) AS g FROM em GROUP BY key
+    )
+    SELECT em.key, em.cols_str,
+           CASE WHEN em.expiry = 4294967295 THEN 4294967295
+                ELSE em.expiry - 1719792000 END AS ttl
+    FROM em JOIN last ON em.key = last.key AND em.g = last.g
 """
 )
 

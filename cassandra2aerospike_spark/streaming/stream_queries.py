@@ -1076,6 +1076,116 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INCREMENTAL BACKUP (round 13): the CDC stream's
+    per-microbatch live emissions land as an ORDERED SERIES of keyless
+    digest-addressed .asb segments (one segment directory per batch_id,
+    overwritten on checkpoint replay — the incremental-backup job the
+    ecosystem runs with asbackup's modified-after mode), and a restore
+    REPLAYS the segments in order with latest-segment-wins semantics
+    (asrestore --replace).  Deletes are NOT captured — the .asb format
+    carries records, not tombstones, exactly like the real tool — so a
+    key whose final CDC state is dead survives the restore at its LAST
+    LIVE version: the documented semantic gap of backup-without-deletes,
+    encoded in the oracle (per key: the live cumulative-merge state at
+    the LARGEST generation that touched the key and left it live; keys
+    never live in any emitted batch are absent).
+
+    Scale shape: each segment write is the distributed .asb sink (no
+    driver rows); the replay is one union of per-segment file-parallel
+    reads with a per-digest latest-wins window — segment count is the
+    backup cadence, not the data size — and digests map back to keys
+    through the distributed digest join."""
+    from ..operators import merge as M
+    from ..queries.pipeline_q import _digest_hex_records
+    from ..sinks.asb_backup import read_asb_scan, write_asb_scan
+    from ..sources import load_table
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    res = _cdc_incremental_result(spark, table_dir)
+    ns, set_name = "tmx", "cdc"
+    eternal, now_s = M.ETERNAL, M.NOW_EPOCH_S
+    seg_root = tempfile.mkdtemp(prefix="asb_incr_")
+
+    def write_segment(batch_df: DataFrame, batch_id: int) -> None:
+        live = batch_df.filter(F.col("cols_str").isNotNull()).select(
+            _digest_hex_records(F.lit(set_name), F.col("key")).alias(
+                "digest_hex"
+            ),
+            "cols_str",
+            F.when(F.col("expiry") == eternal, F.lit(0xFFFFFFFF))
+            .otherwise(F.col("expiry") - now_s)
+            .cast("long")
+            .alias("ttl"),
+        )
+        # batch_id-keyed subdir, overwritten: a checkpoint replay of the
+        # same batch rewrites its segment instead of duplicating records
+        write_asb_scan(
+            live,
+            os.path.join(seg_root, f"segment={batch_id:05d}"),
+            ns,
+            set_name,
+            now_s,
+            n_files=2,
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_asbincr_")
+    q = (
+        res.writeStream.outputMode("update")
+        .foreachBatch(write_segment)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # ---- restore replay: segments in order, latest wins per digest ----
+    segs = sorted(
+        d for d in os.listdir(seg_root) if d.startswith("segment=")
+    )
+    if not segs:
+        raise RuntimeError("incremental backup produced no segments")
+    frames = [
+        read_asb_scan(
+            spark, os.path.join(seg_root, s), ns, set_name, now_s
+        ).select("digest_hex", "cols_str", "ttl", F.lit(i).alias("seg"))
+        for i, s in enumerate(segs)
+    ]
+    allr = frames[0]
+    for fr in frames[1:]:
+        allr = allr.unionByName(fr)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest_hex").orderBy(F.col("seg").desc())
+    final = (
+        allr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("digest_hex", "cols_str", "ttl")
+    )
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+        .select(
+            "key",
+            _digest_hex_records(F.lit(set_name), F.col("key")).alias(
+                "digest_hex"
+            ),
+        )
+    )
+    return keyed.join(final, "digest_hex", "inner").select(
+        "key", "cols_str", "ttl"
+    )
+
+
 def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS CDC -> SECURED CLUSTER sync surviving a LIVE HANDOFF
     (round 12): stream_cdc_wire_apply's contract — REPLACE puts + real
