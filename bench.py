@@ -115,6 +115,7 @@ HEADLINE = [
     "stream_asb_incremental_backup",
     "sim_index_persist_pq",
     "sim_index_persist_sq8",
+    "sim_index_drift_topk",
     "sim_hybrid_index_rrf_topk",
 ]
 

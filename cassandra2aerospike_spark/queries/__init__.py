@@ -52,18 +52,19 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 _PRIORITY = [
     # -- (a) NEW in r13: scan re-tend under a live handoff, the
     #    backup/restore capstone, the streaming incremental backup,
-    #    the persisted PQ and SQ8 indexes, and hybrid retrieval served
-    #    from the persisted IVF index
+    #    the persisted PQ and SQ8 indexes, the driver-verified drift
+    #    policy, and hybrid retrieval served from the persisted index
     "s44_wire_scan_during_handoff",
     "s45_backup_restore_verified",
     "stream_asb_incremental_backup",
     "sim_index_persist_pq",
     "sim_index_persist_sq8",
+    "sim_index_drift_topk",
     "sim_hybrid_index_rrf_topk",
-    # -- (b) most behavior-affected code-changed rows (s40: re-tend
-    #    gating; s41: seq-tagged replication)
+    # -- (b) the most behavior-affected code-changed row (re-tend
+    #    gating changed under it); s41's seq-tagged replication is
+    #    unit-tested + parity-covered at 51+
     "s40_wire_cluster_handoff",
-    "s41_wire_rf2_failover",
     # -- (c) the COMPLETE r08 cohort (42 rows)
     "agg_grouping_sets",
     "agg_minmax_stats",
@@ -107,10 +108,11 @@ _PRIORITY = [
     "win_rank",
     "win_running_sum",
     "win_topk_per_group",
-    # -- position 51+: the code-changed rows not fitting above (s32's
-    #    parser grammar + sim_index_persist_topk's artifact keying are
-    #    unit- and parity-covered), then the r10 cohort (first in line
-    #    for r14)
+    # -- position 51+: the code-changed rows not fitting above (s41's
+    #    replication sequencing, s32's parser grammar and
+    #    sim_index_persist_topk's artifact keying are unit- and
+    #    parity-covered), then the r10 cohort (first in line for r14)
+    "s41_wire_rf2_failover",
     "s32_asb_backup_roundtrip",
     "sim_index_persist_topk",
     "s42_wire_cluster_scan_source",

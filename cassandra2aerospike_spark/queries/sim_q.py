@@ -681,6 +681,57 @@ def q_sim_index_persist_sq8(spark, sf_dir):
     )
 
 
+def q_sim_index_drift_topk(spark, sf_dir):
+    """X3 PRODUCTION SHAPE #4 (round 13): the persisted-index DRIFT
+    POLICY, driver-verified end to end.  Build the cell-partitioned IVF
+    index (k=4 integer k-means) over the base corpus, then append a
+    LARGE arrival batch (every vec_id % 3 == 0 re-arrives as vec_id +
+    5,000,000 with each component + 9) — per-cell lifetime appends
+    cross the 1/4-of-train-size threshold, so the drifted cells are
+    RETRAINED: each splits in two by a deterministic integer 2-means
+    over its members (init = the two lowest member vec_ids, 2 Lloyd
+    iterations, floor-mean centroids), the smaller-init subcell keeps
+    the old cell id, the other takes max(cid)+1+i (i = the cell's rank
+    among drifted cells ascending), and ONLY the drifted cells'
+    postings partitions are rewritten.  Everything — build, append,
+    drift decision, splits — runs ONCE inside the atomic content-keyed
+    artifact build; SERVING reads the refreshed parquet only (nprobe=2
+    probes against the final centroid set).  Integer end-to-end -> the
+    exact oracle replays the full lifecycle in DuckDB: initial k-means,
+    assignment, per-cell append counters, the threshold, the per-cell
+    2-means, the id remap and the final probe/top-5."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    base = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+    outer_dir = _index_cache_dir(sf_dir, "ivf-drift|k=4|iters=2|rev=1")
+    index_dir = os.path.join(outer_dir, "idx")
+    if not os.path.exists(outer_dir):
+
+        def build(tmp: str) -> None:
+            idx = os.path.join(tmp, "idx")
+            ivf_index_build(spark, base, idx, k=4, iters=2)
+            arrivals = base.filter(F.col("vec_id") % 3 == 0).select(
+                (F.col("vec_id") + 5_000_000).alias("vec_id"),
+                F.transform("xq", lambda x: x + F.lit(9)).alias("xq"),
+            )
+            split = ivf_index_append(spark, idx, arrivals)
+            if not split:
+                raise RuntimeError(
+                    "drift row: the arrival batch never crossed the "
+                    "retrain threshold"
+                )
+
+        _atomic_build(outer_dir, build)
+    queries = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("xq").alias("q_xq")
+    )
+    out = ivf_index_serve_topk(spark, index_dir, queries, k=5, nprobe=2)
+    return out.select(
+        "q_id", "vec_id", F.col("rank").cast("int").alias("rank"), "d2"
+    )
+
+
 def q_sim_semantic_dedup(spark, sf_dir):
     """X3+X1 bridge — SemDeDup-style SEMANTIC deduplication (public
     method: cluster the embedding space, drop within-cluster vectors
@@ -1497,6 +1548,200 @@ ORACLES = {
               FROM scored)
         WHERE rank <= 5
     """,
+    # the drift-policy replay: initial k=4 integer k-means (c0->c2),
+    # base+arrival assignment with per-cell train/append counters, the
+    # 1/4 threshold, per-drifted-cell integer 2-means (init = 2 lowest
+    # member vec_ids, 2 Lloyd iterations), the smaller-init-keeps-id /
+    # max+1+rank remap, re-assignment of ONLY drifted cells' postings,
+    # then nprobe=2 serving over the final centroid set
+    "sim_index_drift_topk": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, xq AS c_vec FROM q WHERE vec_id < 4),
+        a1 AS (
+          SELECT vec_id, xq, cell FROM (
+            SELECT q.vec_id, q.xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c0 c
+          ) WHERE rn = 1
+        ),
+        s1 AS (
+          SELECT cell, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM a1)
+          GROUP BY cell, pos
+        ),
+        c1 AS (
+          SELECT cell AS cid,
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM s1 GROUP BY cell
+        ),
+        a2 AS (
+          SELECT vec_id, xq, cell FROM (
+            SELECT q.vec_id, q.xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM q CROSS JOIN c1 c
+          ) WHERE rn = 1
+        ),
+        s2 AS (
+          SELECT cell, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM a2)
+          GROUP BY cell, pos
+        ),
+        c2 AS (
+          SELECT cell AS cid,
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM s2 GROUP BY cell
+        ),
+        corpus AS (
+          SELECT vec_id, xq, 0 AS is_arr FROM q
+          UNION ALL
+          SELECT vec_id + 5000000, list_transform(xq, x -> x + 9), 1
+          FROM q WHERE vec_id % 3 = 0
+        ),
+        post_all AS (
+          SELECT vec_id, xq, is_arr, cell FROM (
+            SELECT co.vec_id, co.xq, co.is_arr, c.cid AS cell,
+                   row_number() OVER (PARTITION BY co.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(co.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM corpus co CROSS JOIN c2 c
+          ) WHERE rn = 1
+        ),
+        cnt AS (
+          SELECT cell,
+                 sum(CASE WHEN is_arr = 0 THEN 1 ELSE 0 END) AS tn,
+                 sum(is_arr) AS an,
+                 count(*) AS nm
+          FROM post_all GROUP BY cell
+        ),
+        drift AS (
+          SELECT cell FROM cnt WHERE tn > 0 AND an * 4 >= tn AND nm >= 2
+        ),
+        newid AS (
+          SELECT cell,
+                 (SELECT max(cid) FROM c2)
+                 + row_number() OVER (ORDER BY cell) AS new_cid
+          FROM drift
+        ),
+        members AS (
+          SELECT p.vec_id, p.xq, p.cell FROM post_all p
+          JOIN drift d ON p.cell = d.cell
+        ),
+        d_init AS (
+          SELECT cell, CAST(vec_id AS INT) AS scid, xq AS c_vec FROM (
+            SELECT cell, vec_id, xq,
+                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+            FROM members) WHERE rn <= 2
+        ),
+        d_a1 AS (
+          SELECT cell, vec_id, xq, scid FROM (
+            SELECT m.cell, m.vec_id, m.xq, c.scid,
+                   row_number() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(m.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.scid) AS rn
+            FROM members m JOIN d_init c ON c.cell = m.cell
+          ) WHERE rn = 1
+        ),
+        d_s1 AS (
+          SELECT cell, scid, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, scid, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM d_a1)
+          GROUP BY cell, scid, pos
+        ),
+        d_c1 AS (
+          SELECT cell, scid,
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM d_s1 GROUP BY cell, scid
+        ),
+        d_a2 AS (
+          SELECT cell, vec_id, xq, scid FROM (
+            SELECT m.cell, m.vec_id, m.xq, c.scid,
+                   row_number() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(m.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.scid) AS rn
+            FROM members m JOIN d_c1 c ON c.cell = m.cell
+          ) WHERE rn = 1
+        ),
+        d_s2 AS (
+          SELECT cell, scid, pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT cell, scid, unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM d_a2)
+          GROUP BY cell, scid, pos
+        ),
+        d_c2 AS (
+          SELECT cell, scid,
+                 list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                      ORDER BY pos) AS c_vec
+          FROM d_s2 GROUP BY cell, scid
+        ),
+        d_a3 AS (
+          SELECT cell, vec_id, xq, scid FROM (
+            SELECT m.cell, m.vec_id, m.xq, c.scid,
+                   row_number() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(m.xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.scid) AS rn
+            FROM members m JOIN d_c2 c ON c.cell = m.cell
+          ) WHERE rn = 1
+        ),
+        keepmin AS (SELECT cell, min(scid) AS min_scid FROM d_c2 GROUP BY cell),
+        remap AS (
+          SELECT d.cell, d.scid,
+                 CASE WHEN d.scid = k.min_scid THEN d.cell
+                      ELSE CAST(n.new_cid AS INT) END AS fcid
+          FROM (SELECT DISTINCT cell, scid FROM d_c2) d
+          JOIN keepmin k ON d.cell = k.cell
+          JOIN newid n ON d.cell = n.cell
+        ),
+        fc AS (
+          SELECT cid, c_vec FROM c2
+          WHERE cid NOT IN (SELECT cell FROM drift)
+          UNION ALL
+          SELECT r.fcid AS cid, d.c_vec
+          FROM d_c2 d JOIN remap r ON d.cell = r.cell AND d.scid = r.scid
+        ),
+        fp AS (
+          SELECT vec_id, xq, cell FROM post_all
+          WHERE cell NOT IN (SELECT cell FROM drift)
+          UNION ALL
+          SELECT a.vec_id, a.xq, r.fcid AS cell
+          FROM d_a3 a JOIN remap r ON a.cell = r.cell AND a.scid = r.scid
+        ),
+        qs AS (SELECT vec_id AS q_id, xq AS q_xq FROM q WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT q_id, q_xq, cell FROM (
+            SELECT qs.q_id, qs.q_xq, c.cid AS cell,
+                   row_number() OVER (PARTITION BY qs.q_id ORDER BY
+                     list_sum(list_transform(list_zip(qs.q_xq, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM qs CROSS JOIN fc c
+          ) WHERE rn <= 2
+        ),
+        scored AS (
+          SELECT pr.q_id, po.vec_id,
+                 list_sum(list_transform(list_zip(pr.q_xq, po.xq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM probes pr JOIN fp po ON po.cell = pr.cell
+          WHERE pr.q_id <> po.vec_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, CAST(d2 AS BIGINT) AS d2
+        FROM (SELECT q_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """,
     # the persisted-SQ8 serve replay: ranges trained on the BASE corpus,
     # arrivals encoded against them with [0,255] clamping, recon + ADC
     # integer arithmetic (non-negative operands: truncating div == //)
@@ -1751,6 +1996,7 @@ QUERIES = {
     "sim_index_persist_topk": q_sim_index_persist_topk,
     "sim_index_persist_pq": q_sim_index_persist_pq,
     "sim_index_persist_sq8": q_sim_index_persist_sq8,
+    "sim_index_drift_topk": q_sim_index_drift_topk,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "mm_binary_meta": q_mm_binary_meta,
