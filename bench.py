@@ -112,6 +112,7 @@ HEADLINE = [
     # from the persisted IVF index
     "s44_wire_scan_during_handoff",
     "s45_backup_restore_verified",
+    "s46_degraded_cluster_backup",
     "stream_asb_incremental_backup",
     "sim_index_persist_pq",
     "sim_index_persist_sq8",

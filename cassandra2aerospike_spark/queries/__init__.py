@@ -39,16 +39,15 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # round without a driver re-verify, (c) the stalest driver-signature
 # cohort.  Signature histogram entering r13 (latest green driver round
 # per row): new x4, r08 x42, r10 x44, r11 x44, r12 x50 — this prefix
-# spends 4 slots on (a), 4 on the most behavior-affected (b) rows
-# (s40: the re-tend gating changed; s41: replication is now
-# seq-tagged; s32: the .asb parser grammar generalized to keyless
-# records; sim_index_persist_topk: artifact keying/build changed), and
-# all 42 on the COMPLETE r08 cohort — closing VERDICT r12 task 3: no
+# spends 8 slots on (a) — every row NEW this round — and all 42 on
+# the COMPLETE r08 cohort, closing VERDICT r12 task 3 exactly: no
 # registry row's latest driver green older than r10 after this round.
-# The remaining code-changed wire rows (s42/s43 gained the additive
-# on_scan hook, stream_cdc_cluster_apply the gated re-tend, s28/s38/
-# stream_* the parse bounds checks) sit at 51+, covered by the pytest
-# oracle-parity suite; the r10 cohort heads the r14 rotation.
+# The code-changed rows (s40's gated re-tend, s41's seq-tagged
+# replication, s42/s43's additive on_scan hook, s32's keyless parser
+# grammar, sim_index_persist_topk's artifact keying, the parse bounds
+# checks under s28/s38/stream_*) sit at 51+ — each carries its own
+# unit tests and re-passes its exact oracle in the pytest parity
+# suite; the r10 cohort heads the r14 rotation.
 _PRIORITY = [
     # -- (a) NEW in r13: scan re-tend under a live handoff, the
     #    backup/restore capstone, the streaming incremental backup,
@@ -56,15 +55,12 @@ _PRIORITY = [
     #    policy, and hybrid retrieval served from the persisted index
     "s44_wire_scan_during_handoff",
     "s45_backup_restore_verified",
+    "s46_degraded_cluster_backup",
     "stream_asb_incremental_backup",
     "sim_index_persist_pq",
     "sim_index_persist_sq8",
     "sim_index_drift_topk",
     "sim_hybrid_index_rrf_topk",
-    # -- (b) the most behavior-affected code-changed row (re-tend
-    #    gating changed under it); s41's seq-tagged replication is
-    #    unit-tested + parity-covered at 51+
-    "s40_wire_cluster_handoff",
     # -- (c) the COMPLETE r08 cohort (42 rows)
     "agg_grouping_sets",
     "agg_minmax_stats",
@@ -108,10 +104,13 @@ _PRIORITY = [
     "win_rank",
     "win_running_sum",
     "win_topk_per_group",
-    # -- position 51+: the code-changed rows not fitting above (s41's
-    #    replication sequencing, s32's parser grammar and
-    #    sim_index_persist_topk's artifact keying are unit- and
-    #    parity-covered), then the r10 cohort (first in line for r14)
+    # -- position 51+: the code-changed rows not fitting above (s40's
+    #    re-tend gating and s41's replication sequencing carry their
+    #    own in-query asserts plus dedicated unit tests, s32's parser
+    #    grammar and sim_index_persist_topk's artifact keying are unit-
+    #    covered; ALL re-pass their exact oracles in the pytest parity
+    #    suite), then the r10 cohort (first in line for r14)
+    "s40_wire_cluster_handoff",
     "s41_wire_rf2_failover",
     "s32_asb_backup_roundtrip",
     "sim_index_persist_topk",

@@ -1768,6 +1768,182 @@ def q_s45_backup_restore_verified(spark, sf_dir):
     return out
 
 
+def q_s46_degraded_cluster_backup(spark, sf_dir):
+    """BACKUP FROM A DEGRADED CLUSTER (round 13): the operational case
+    where a backup must run AFTER a node died — RF=2 replication is
+    what makes the sweep still complete, and replica PROMOTION is what
+    keeps it masters-only dup-free.
+
+    Shape: the s41 RF=2 ring (node i masters p%3==i and replicates its
+    slice to node i+1); merged records sink to the masters, the servers
+    replicate in-process (asserted: every record stored exactly twice).
+    Node 0 then DIES (listener closed — connections refused, not
+    parked) and node 1, which holds node 0's slice as replicas, is
+    PROMOTED: it advertises the slice as MASTERED (generation bump).
+    The backup sweep is the s44 generation-checked range protocol made
+    DEAD-NODE TOLERANT: a node that refuses connections contributes a
+    dead sentinel to the tend vector and is skipped by the scan, and a
+    node dying or a promotion landing MID-SWEEP changes the vector, so
+    the range restarts idempotently.  Every record — including the dead
+    node's whole slice, alive only because replication ran — lands
+    exactly once in the keyless .asb series, which is read back,
+    grammar-verified and joined to keys against the exact merge oracle."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.asb_backup import read_asb_scan, write_asb_scan
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+    from ..sources.sstable.fixtures import default_runs_dir
+
+    n_nodes, n_ranges = 3, 8
+    span = N_PARTITIONS // n_ranges
+    ns, set_name = "tmx", "degraded"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    slice_of = [
+        {p for p in range(N_PARTITIONS) if p % n_nodes == i}
+        for i in range(n_nodes)
+    ]
+    servers = [
+        WireServer(
+            owned_partitions=slice_of[i],
+            replica_partitions=slice_of[(i - 1) % n_nodes],
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    for i in range(n_nodes):
+        servers[i].replicate_to = [(servers[(i + 1) % n_nodes], slice_of[i])]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h, p_, ns)
+        for p in owned:
+            pmap[p] = idx
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name) for h, p in nodes
+            ]
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = cl[pmap[partition_id(key_digest(set_name, key))]]
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("degraded backup: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(
+        records.coalesce(_sink_parallelism(n_records)), put, wait,
+        max_in_flight=32,
+    )
+    # replica invariant: replication really ran (2 copies per record)
+    n_copies = sum(len(s.records()) for s in servers)
+    if n_copies != 2 * n_records:
+        raise RuntimeError(
+            f"replication incomplete: {n_copies} copies != 2x{n_records}"
+        )
+    # ---- node 0 dies; its replica holder (node 1) is promoted ----
+    servers[0].close()
+    with servers[1]._lock:
+        promoted = set(servers[1]._owned) | slice_of[0]
+    servers[1].set_owned(promoted)
+
+    # ---- dead-node-tolerant generation-checked sweep (s44 protocol) --
+    def scan_range(batches):
+        def tend() -> list[int]:
+            gens = []
+            for h, p_ in nodes:
+                try:
+                    gens.append(fetch_partition_map(h, p_, ns)[0])
+                except OSError:
+                    gens.append(-1)  # dead node: a stable, distinct state
+            return gens
+
+        for pdf in batches:
+            for begin, count in zip(pdf["begin"], pdf["count"]):
+                for _attempt in range(8):
+                    gens = tend()
+                    rows: list[tuple[str, str, int]] = []
+                    for h, p_ in nodes:
+                        try:
+                            c = WireClient(h, p_, ns, set_name)
+                        except OSError:
+                            continue  # dead node contributes nothing
+                        for digest, ttl, bins in c.scan(int(begin), int(count)):
+                            rows.append(
+                                (
+                                    digest.hex(),
+                                    ",".join(
+                                        sorted(
+                                            f"{n}={v.decode()}"
+                                            for n, v in bins.items()
+                                        )
+                                    ),
+                                    int(ttl),
+                                )
+                            )
+                        c.close()
+                    if tend() == gens:
+                        break
+                    rows = []
+                else:
+                    raise RuntimeError("degraded sweep never stabilized")
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": [r[0] for r in rows],
+                        "cols_str": [r[1] for r in rows],
+                        "ttl": [r[2] for r in rows],
+                    }
+                )
+
+    ranges_df = spark.createDataFrame(
+        [(r, r * span, span) for r in range(n_ranges)],
+        "rng int, begin int, count int",
+    ).repartition(n_ranges, "rng")
+    scanned = ranges_df.mapInPandas(
+        scan_range, "digest_hex string, cols_str string, ttl long"
+    ).cache()
+    agg = scanned.agg(
+        F.count("*").alias("n"), F.countDistinct("digest_hex").alias("nd")
+    ).first()
+    if not (agg["n"] == agg["nd"] == n_records):
+        raise RuntimeError(
+            f"degraded sweep broken: n={agg['n']} distinct={agg['nd']} "
+            f"merged={n_records}"
+        )
+    # ---- the backup itself: keyless .asb out, verified read-back ----
+    backup_dir = default_runs_dir(sf_dir) + "_asb46"
+    write_asb_scan(scanned, backup_dir, ns, set_name, now_s, n_files=4)
+    restored = read_asb_scan(spark, backup_dir, ns, set_name, now_s)
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = keyed.join(restored, "digest_hex").select("key", "cols_str", "ttl").cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers[1:]:
+        srv.close()
+    scanned.unpersist()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -1919,6 +2095,7 @@ QUERIES = {
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
+    "s46_degraded_cluster_backup": q_s46_degraded_cluster_backup,
     "s32_asb_backup_roundtrip": q_s32_asb_backup_roundtrip,
 }
 
@@ -2059,6 +2236,21 @@ ORACLES = {
         GROUP BY lr.key, lr.expiry
     """,
     "s42_wire_cluster_scan_source": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # death + promotion must be invisible: same merge contract
+    "s46_degraded_cluster_backup": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records
           WHERE expiry = 4294967295 OR expiry >= 1719792001
