@@ -1097,6 +1097,159 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # round-13 backup-family slope probe: the asbackup job shape —
+        # partition-sliced masters-only SWEEP of a filled 3-node
+        # cluster (8 pid-range mapInPandas tasks, each scanning every
+        # node) STRAIGHT INTO the keyless .asb sink — over xN-replicated
+        # merged records.  The fill is untimed (it is the wire probe's
+        # axis); the timed region is scan -> .asb write, the backup's
+        # own cost.  Records/s holding across the 3x step shows the
+        # sweep+serialize path is scan-bound, not per-record-bound.
+        def backup_probe(factor: int) -> tuple[float, int]:
+            import shutil
+            import tempfile as _tf
+
+            import pandas as _pd
+
+            from cassandra2aerospike_spark.sinks.aerospike_wire import (
+                N_PARTITIONS,
+                WireClient,
+                WireServer,
+                fetch_partition_map,
+                key_digest,
+                partition_id,
+            )
+            from cassandra2aerospike_spark.sinks.asb_backup import (
+                read_asb_scan,
+                write_asb_scan,
+            )
+            from cassandra2aerospike_spark.sinks.kv_sink import (
+                bounded_async_foreach_writer,
+            )
+
+            ns_, set_ = "tmx", "bkup"
+            recs = (
+                merge.merge_records(ev)
+                .withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn(
+                    "key", F.col("key") + F.col("rep").cast("long") * 10_000_000
+                )
+                .drop("rep")
+                .select("key", "columns", "expiry")
+                .persist()
+            )
+            n = recs.count()
+            servers = [
+                WireServer(
+                    owned_partitions={
+                        p for p in range(N_PARTITIONS) if p % 3 == i
+                    },
+                    info_namespace=ns_,
+                )
+                for i in range(3)
+            ]
+            nodes = [(s_.host, s_.port) for s_ in servers]
+            pmap = [-1] * N_PARTITIONS
+            for idx, (h_, p_) in enumerate(nodes):
+                _g, owned = fetch_partition_map(h_, p_, ns_)
+                for pt in owned:
+                    pmap[pt] = idx
+            eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+            state: dict = {}
+
+            def put(rd):
+                cl = state.get("clients")
+                if cl is None:
+                    cl = state["clients"] = [
+                        WireClient(h_, p_, ns_, set_) for h_, p_ in nodes
+                    ]
+                key = str(rd["key"]).encode()
+                bins = {
+                    k2: ("%.2f" % v).encode()
+                    for k2, v in rd["columns"].items()
+                }
+                ttl = (
+                    0xFFFFFFFF
+                    if rd["expiry"] == eternal
+                    else int(rd["expiry"]) - now_s
+                )
+                c = cl[pmap[partition_id(key_digest(set_, key))]]
+                return c.put(key, bins, ttl), c
+
+            def wait(h):
+                handle, c = h
+                if c.wait(handle) != "ok":
+                    raise RuntimeError("backup probe: non-ok put")
+                return True
+
+            bounded_async_foreach_writer(recs, put, wait, max_in_flight=32)
+            n_ranges = 8
+            span = N_PARTITIONS // n_ranges
+            ranges_df = spark.createDataFrame(
+                [(r, r * span, span) for r in range(n_ranges)],
+                "rng int, begin int, count int",
+            ).repartition(n_ranges, "rng")
+
+            def scan_range(batches):
+                for pdf in batches:
+                    for begin, count in zip(pdf["begin"], pdf["count"]):
+                        dh, cols, ttls = [], [], []
+                        for h_, p_ in nodes:
+                            c = WireClient(h_, p_, ns_, set_)
+                            for digest, ttl, bins in c.scan(
+                                int(begin), int(count)
+                            ):
+                                dh.append(digest.hex())
+                                cols.append(
+                                    ",".join(
+                                        sorted(
+                                            f"{n2}={v.decode()}"
+                                            for n2, v in bins.items()
+                                        )
+                                    )
+                                )
+                                ttls.append(int(ttl))
+                            c.close()
+                        yield _pd.DataFrame(
+                            {"digest_hex": dh, "cols_str": cols, "ttl": ttls}
+                        )
+
+            out_dir = _tf.mkdtemp(prefix="graft_backup_probe_")
+            t0 = time.time()
+            write_asb_scan(
+                ranges_df.mapInPandas(
+                    scan_range,
+                    "digest_hex string, cols_str string, ttl long",
+                ),
+                out_dir, ns_, set_, now_s, n_files=4,
+            )
+            dt = time.time() - t0
+            n_backed = read_asb_scan(spark, out_dir, ns_, set_, now_s).count()
+            for s_ in servers:
+                s_.close()
+            recs.unpersist()
+            shutil.rmtree(out_dir, ignore_errors=True)
+            if n_backed != n:
+                raise RuntimeError(f"backup probe lost records: {n_backed}/{n}")
+            return n / dt, n
+
+        b5, _ = backup_probe(5)
+        b15, nb15 = backup_probe(15)
+        slope.update(
+            {
+                "backup_recs_per_sec_x5": round(b5),
+                "backup_recs_per_sec_x15": round(b15),
+                "backup_slope_ratio": round(b15 / b5, 3),
+            }
+        )
+        print(
+            f"# backup slope: x5 {b5:,.0f} -> x15 {b15:,.0f} recs/s "
+            f"(ratio {b15 / b5:.2f}, {nb15} records)",
+            file=sys.stderr,
+        )
+
     sim_thru, n_vecs = gemm_probe(10)
     print(f"# similarity GEMM throughput: {sim_thru:,.0f} vecs/s over {n_vecs} vecs x 10 queries", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_SLOPE"):
