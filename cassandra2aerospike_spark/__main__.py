@@ -58,6 +58,13 @@ job shapes against SSTable-style run directories:
                                        #   pass, read every record back
                                        #   (info1 READ) and compare bins
                                        #   + ttl — exit 1 on mismatch
+        [--batch-verify]               # ROUND 13: --verify over the wire
+                                       #   BATCH-INDEX op — per-node digest
+                                       #   batches (the real client's
+                                       #   batch-node split) instead of
+                                       #   pipelined single gets; round
+                                       #   trips per task ~ nodes, not
+                                       #   records (implies --verify)
         [--asof EPOCH_US]              # ROUND 10: point-in-time run —
                                        #   merge only writes at ts <= T,
                                        #   expiry evaluated AT T (the
@@ -450,11 +457,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", dest="limit", type=int, default=20)
     p.add_argument("--asof", dest="asof_us", type=int, default=None)
     p.add_argument("--verify", dest="verify_sink", action="store_true")
+    p.add_argument(
+        "--batch-verify", dest="batch_verify", action="store_true"
+    )
     p.add_argument("--since", dest="since_us", type=int, default=None)
     # round 13: the asbackup/asrestore job shapes over -h clusters
     p.add_argument("--backup", dest="backup_dir", default=None)
     p.add_argument("--restore", dest="restore_dir", default=None)
     args = p.parse_args(argv)
+    if args.batch_verify:
+        args.verify_sink = True
 
     if args.version:
         print("cassandra2aerospike_spark 0.4 (spark-graft)")
@@ -823,7 +835,81 @@ def main(argv: list[str] | None = None) -> int:
                 if single is not None:
                     single.close()
 
-            sink_input.foreachPartition(verify_part)
+            def verify_part_batch(rows):
+                """--batch-verify (round 13): resolve the read-back
+                through the wire BATCH-INDEX op — digests chunked and
+                split per master node (ClusterRouter.batch_read's
+                batch-node split, with its built-in re-tend on
+                per-record UNAVAILABLE and dead-node re-route), so a
+                task's round trips scale with the NODE count instead of
+                its record count.  Single-host runs send one batch per
+                chunk on the lone connection."""
+                from .sinks.aerospike_wire import key_digest
+
+                router = None
+                single = None
+                chunk = max(64, args.max_async * 8)
+                buf: list = []
+
+                def flush():
+                    nonlocal router, single
+                    if not buf:
+                        return
+                    digests = [key_digest(set_name, k) for k, _, _ in buf]
+                    if clustered:
+                        if router is None:
+                            router = ClusterRouter(
+                                nodes, ns, set_name,
+                                user=user, credential=credential, rf2=True,
+                            )
+                        got = router.batch_read(digests)
+                        recs = [got[d] for d in digests]
+                    else:
+                        if single is None:
+                            single = WireClient(
+                                host, port, ns, set_name,
+                                user=user, credential=credential,
+                            )
+                        found, _missing, unavailable = single.batch_get(
+                            digests
+                        )
+                        if unavailable:
+                            raise RuntimeError(
+                                "node answered PARTITION_UNAVAILABLE on "
+                                "a single-host run — nothing to "
+                                "re-route to"
+                            )
+                        recs = [found.get(i) for i in range(len(digests))]
+                    for rec, (_k, want, want_ttl) in zip(recs, buf):
+                        ok = (
+                            rec is not None
+                            and rec[1] == want
+                            and int(rec[0]) == want_ttl & 0xFFFFFFFF
+                        )
+                        (acc_verified if ok else acc_mismatch).add(1)
+                    buf.clear()
+
+                for rd in rows:
+                    k = rd["key"]
+                    if not isinstance(k, (bytes, bytearray)):
+                        k = str(k).encode("utf-8")
+                    k = bytes(k)
+                    want = {
+                        c_["col_name"]: c_["value"] or b""
+                        for c_ in rd["cells"]
+                    }
+                    buf.append((k, want, int(rd["write_ttl"])))
+                    if len(buf) >= chunk:
+                        flush()
+                flush()
+                if router is not None:
+                    router.close()
+                if single is not None:
+                    single.close()
+
+            sink_input.foreachPartition(
+                verify_part_batch if args.batch_verify else verify_part
+            )
             print(
                 f"# verify: {acc_verified.value} records match the sink, "
                 f"{acc_mismatch.value} mismatches"

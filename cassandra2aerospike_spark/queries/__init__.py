@@ -48,6 +48,12 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # checks under s28/s38/stream_*) sit at 51+ — each carries its own
 # unit tests and re-passes its exact oracle in the pytest parity
 # suite; the r10 cohort heads the r14 rotation.
+# LATE r13 additions (landed after this prefix was frozen to keep the
+# task-3 rotation exact): the wire BATCH-INDEX read family
+# (s47_wire_batch_lookup, s48_wire_batch_during_handoff) and the
+# persisted-BQ index (sim_index_persist_bq) sit at 51+ —
+# pytest-oracle-verified at both gate SFs — and head the r14 prefix
+# together with the r10 cohort.
 _PRIORITY = [
     # -- (a) NEW in r13: scan re-tend under a live handoff, the
     #    backup/restore capstone, the streaming incremental backup,

@@ -1944,6 +1944,279 @@ def q_s46_degraded_cluster_backup(spark, sf_dir):
     return out
 
 
+def q_s47_wire_batch_lookup(spark, sf_dir):
+    """THE CLUSTER AS A LOOKUP SOURCE (round 13): after the cluster
+    sink pass, a KEYED subset is read back through the wire BATCH-INDEX
+    op — ONE request per (task, node) carrying every digest the task
+    needs from that node (ClusterRouter.batch_read's batch-node split,
+    exactly how the real client amortizes N lookups into per-node
+    round-trips), each node answering an index-tagged record stream
+    with per-record result codes.  The probe set mixes PRESENT keys
+    (every live key % 5 == 0) with ABSENT ones (the same keys shifted
+    +10,000,000) so both the OK and KEY_NOT_FOUND per-record paths are
+    driver-checked.  Scale shape: lookups stay distributed (mapInPandas
+    batches), requests per task are bounded by the NODE count, not the
+    key count — at 1000 executors that is 1000 x n_nodes round trips
+    for any number of probes.  In-query asserts pin the batching (zero
+    single gets; total batch requests <= tasks x nodes).  Exact oracle:
+    hits equal the merge's live state with the expiry -> write-ttl
+    rule; misses come back found=0/NULL/-1."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "looked_up"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("batch lookup sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # ---- the LOOKUP phase: present probes + absent probes ----
+    present = records.select("key").where(F.col("key") % 5 == 0)
+    probes = present.unionAll(
+        present.select((F.col("key") + 10_000_000).alias("key"))
+    )
+    n_tasks = _sink_parallelism(n_records)
+    probes = probes.repartition(n_tasks)
+
+    def lookup(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(nodes, ns, set_name)
+            digests = [
+                key_digest(set_name, str(int(k)).encode()) for k in pdf["key"]
+            ]
+            got = router.batch_read(digests)
+            found, cols, ttls = [], [], []
+            for d in digests:
+                rec = got[d]
+                if rec is None:
+                    found.append(0)
+                    cols.append(None)
+                    ttls.append(-1)
+                else:
+                    ttl, bins = rec
+                    found.append(1)
+                    cols.append(
+                        ",".join(
+                            sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                        )
+                    )
+                    ttls.append(int(ttl))
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "found": found,
+                    "cols_str": cols,
+                    "ttl": ttls,
+                }
+            )
+
+    out = probes.mapInPandas(
+        lookup, "key long, found int, cols_str string, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    # batching invariants: no per-key round trips — zero single gets
+    # ever issued, and the batch-request count is bounded by
+    # tasks x nodes, not by the probe count
+    n_single_gets = sum(srv._gets for srv in servers)
+    n_batches = sum(srv._batches for srv in servers)
+    if n_single_gets != 0:
+        raise RuntimeError(
+            f"batch lookup degraded to {n_single_gets} single gets"
+        )
+    if not (0 < n_batches <= n_tasks * n_nodes):
+        raise RuntimeError(
+            f"batch lookup issued {n_batches} requests for "
+            f"{n_tasks} tasks x {n_nodes} nodes"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
+def q_s48_wire_batch_during_handoff(spark, sf_dir):
+    """BATCH READS SURVIVING A LIVE HANDOFF (round 13): the batch-index
+    lookup path gets the same cluster-change resilience the put path
+    (s40) and the scan path (s44) already prove.  Executor tasks route
+    batches through the PRE-CUTOVER map (the driver discovers once and
+    tasks inherit it, like the C client's process-level tend); node 0's
+    on_batch hook fires at its FIRST batch request — INSIDE the store
+    lock, BEFORE the snapshot — migrating node 0's whole mastered slice
+    (ownership AND records) to node 1, so that very response answers
+    per-record PARTITION_UNAVAILABLE for every moved digest.
+    ClusterRouter.batch_read collects the refused indexes, re-tends
+    over the info channel, and re-issues ONLY the unresolved digests
+    against the refreshed map — per-record retry, not whole-batch
+    restart.  Asserts: the handoff really moved records, >=1 re-tend
+    was exercised, node 0 ended empty, zero single gets.  Exact oracle:
+    the post-cutover lookup of EVERY live key equals the expected merge
+    — the migration is invisible to the reader."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "batch_cutover"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    servers = []
+    did_handoff = {"n": 0}
+
+    def on_node0_batch(n_batches: int) -> None:
+        if n_batches == 1:
+            did_handoff["n"] = servers[0].handoff(
+                servers[1],
+                {p for p in range(N_PARTITIONS) if p % n_nodes == 0},
+            )
+
+    servers.append(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == 0
+            },
+            on_batch=on_node0_batch,
+            info_namespace=ns,
+        )
+    )
+    servers.extend(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in (1, 2)
+    )
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("batch cutover sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # the write pass used fresh per-task discoveries; the LOOKUP pass
+    # inherits the PRE-handoff map so the cutover lands on stale routes
+    seed = ClusterRouter(nodes, ns, set_name)
+    pmap0 = list(seed.pmap)
+    seed.close()
+    sc = spark.sparkContext
+    acc_retends = sc.accumulator(0)
+    n_tasks = _sink_parallelism(n_records)
+    probes = records.select("key").repartition(n_tasks)
+
+    def lookup(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(
+                    nodes, ns, set_name, initial_pmap=pmap0
+                )
+            digests = [
+                key_digest(set_name, str(int(k)).encode()) for k in pdf["key"]
+            ]
+            got = router.batch_read(digests)
+            acc_retends.add(router.n_retends)
+            cols, ttls = [], []
+            for d in digests:
+                rec = got[d]
+                if rec is None:
+                    raise RuntimeError(
+                        "batch cutover: a live key vanished mid-handoff"
+                    )
+                ttl, bins = rec
+                cols.append(
+                    ",".join(
+                        sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                    )
+                )
+                ttls.append(int(ttl))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "cols_str": cols, "ttl": ttls}
+            )
+
+    out = probes.mapInPandas(
+        lookup, "key long, cols_str string, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    if did_handoff["n"] == 0:
+        raise RuntimeError("batch cutover: handoff never migrated records")
+    if acc_retends.value < 1:
+        raise RuntimeError("batch cutover: no batch ever saw the stale map")
+    if len(servers[0].records()) != 0:
+        raise RuntimeError("batch cutover: node 0 still holds records")
+    if sum(srv._gets for srv in servers) != 0:
+        raise RuntimeError("batch cutover degraded to single gets")
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -2092,6 +2365,8 @@ QUERIES = {
     "s40_wire_cluster_handoff": q_s40_wire_cluster_handoff,
     "s41_wire_rf2_failover": q_s41_wire_rf2_failover,
     "s42_wire_cluster_scan_source": q_s42_wire_cluster_scan_source,
+    "s47_wire_batch_lookup": q_s47_wire_batch_lookup,
+    "s48_wire_batch_during_handoff": q_s48_wire_batch_during_handoff,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -2251,6 +2526,48 @@ ORACLES = {
     """,
     # death + promotion must be invisible: same merge contract
     "s46_degraded_cluster_backup": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # s47: batch-index lookups — hits equal the live merge state under
+    # the expiry -> write-ttl rule, absent probes (key + 10,000,000 —
+    # fixture keys are user_ids far below that) come back
+    # found=0/NULL/-1; the batching invariants are in-query asserts
+    "s47_wire_batch_lookup": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        ), hits AS (
+          SELECT lr.key,
+                 CAST(1 AS INT) AS found,
+                 string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                            ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                            ) AS cols_str,
+                 CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                      ELSE lr.expiry - 1719792000 END AS ttl
+          FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+          WHERE lr.key % 5 = 0
+          GROUP BY lr.key, lr.expiry
+        )
+        SELECT key, found, cols_str, ttl FROM hits
+        UNION ALL
+        SELECT key + 10000000 AS key, CAST(0 AS INT) AS found,
+               CAST(NULL AS VARCHAR) AS cols_str, CAST(-1 AS BIGINT) AS ttl
+        FROM live_records WHERE key % 5 = 0
+    """,
+    # s48: the mid-lookup migration must be invisible — same merge
+    # contract as s44; the re-tend/handoff invariants are in-query
+    "s48_wire_batch_during_handoff": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records
           WHERE expiry = 4294967295 OR expiry >= 1719792001

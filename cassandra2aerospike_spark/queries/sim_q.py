@@ -681,6 +681,110 @@ def q_sim_index_persist_sq8(spark, sf_dir):
     )
 
 
+def q_sim_index_persist_bq(spark, sf_dir):
+    """X3 PRODUCTION SHAPE #5 (round 13): the BINARY-quantization index
+    as a PERSISTED ARTIFACT — completing the persisted ladder's last
+    rung (IVF r12; PQ + SQ8 earlier r13).  Build once (atomic
+    rename-into-place, corpus-content+rev-keyed): the per-dimension
+    floor-mean trains over the BASE corpus into `stats/` (one row);
+    every base vector signs against it — bit d set iff x_d > mean_d,
+    64 bits packed into TWO longs — landing in `signatures/` (the
+    16-byte stage-1 scan payload, 16x below the int-quantized domain)
+    alongside the exact vectors in `vectors/` (every BQ deployment
+    keeps full vectors for the rescore; here they live in the same
+    artifact so SERVING reads index parquet only).  A LATER ARRIVAL
+    batch (every vec_id % 13 == 0 re-arrives as vec_id + 5,000,000
+    with each component + 9) signs against the SAME stored means — no
+    retraining — and appends to both.  Serving: stage 1 ranks by
+    bit_count(xor) Hamming over the signature parquet and keeps 64
+    candidates per query, stage 2 joins only those back to `vectors/`
+    for the exact integer squared-L2 top-5.  Integer end-to-end ->
+    exact oracle (DuckDB replays the training mean, the sign encode of
+    base + arrivals, and both stages)."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    base = emb.select("vec_id", S.quantize_vec(F.col("embedding")).alias("xq"))
+    index_dir = _index_cache_dir(sf_dir, "bq-int|rev=1")
+    stats_dir = os.path.join(index_dir, "stats")
+    sigs_dir = os.path.join(index_dir, "signatures")
+    vecs_dir = os.path.join(index_dir, "vectors")
+    if not os.path.exists(index_dir):
+
+        def build(tmp: str) -> None:
+            tmp_stats = os.path.join(tmp, "stats")
+            tmp_sigs = os.path.join(tmp, "signatures")
+            tmp_vecs = os.path.join(tmp, "vectors")
+            S.bq_mean_stats(emb).write.mode("overwrite").parquet(tmp_stats)
+            stats_stored = spark.read.parquet(tmp_stats)
+
+            def encode(vecs):
+                return vecs.crossJoin(F.broadcast(stats_stored)).select(
+                    "vec_id",
+                    F.expr(S._BQ_LO).alias("lo"),
+                    F.expr(S._BQ_HI).alias("hi"),
+                )
+
+            encode(base).write.mode("overwrite").parquet(tmp_sigs)
+            base.write.mode("overwrite").parquet(tmp_vecs)
+            arrivals = base.filter(F.col("vec_id") % 13 == 0).select(
+                (F.col("vec_id") + 5_000_000).alias("vec_id"),
+                F.transform("xq", lambda x: x + F.lit(9)).alias("xq"),
+            )
+            encode(arrivals).write.mode("append").parquet(tmp_sigs)
+            arrivals.write.mode("append").parquet(tmp_vecs)
+
+        _atomic_build(index_dir, build)
+    # ---- serving: index parquet only — signatures prescreen, exact
+    # rescore against the stored vectors ----
+    stats = spark.read.parquet(stats_dir)
+    sigs = spark.read.parquet(sigs_dir)
+    vecs = spark.read.parquet(vecs_dir)
+    queries = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("xq").alias("q_xq"),
+            F.expr(S._BQ_LO).alias("qlo"),
+            F.expr(S._BQ_HI).alias("qhi"),
+        )
+    )
+    scored1 = sigs.join(
+        F.broadcast(queries.select("q_id", "qlo", "qhi")),
+        F.col("q_id") != F.col("vec_id"),
+    ).select(
+        "q_id",
+        "vec_id",
+        (
+            -(
+                F.bit_count(F.expr("lo ^ qlo"))
+                + F.bit_count(F.expr("hi ^ qhi"))
+            ).cast("long")
+        ).alias("sim"),
+    )
+    cand = S._global_rank(S._local_topk(scored1, 64), 64).select(
+        "q_id", "vec_id"
+    )
+    rescored = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(queries.select("q_id", "q_xq")), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            S._dist2_q(F.col("q_xq"), F.col("xq")).cast("long").alias("d2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"), "d2")
+    )
+
+
 def q_sim_index_drift_topk(spark, sf_dir):
     """X3 PRODUCTION SHAPE #4 (round 13): the persisted-index DRIFT
     POLICY, driver-verified end to end.  Build the cell-partitioned IVF
@@ -1745,6 +1849,68 @@ ORACLES = {
     # the persisted-SQ8 serve replay: ranges trained on the BASE corpus,
     # arrivals encoded against them with [0,255] clamping, recon + ADC
     # integer arithmetic (non-negative operands: truncating div == //)
+    "sim_index_persist_bq": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        allv AS (
+          SELECT vec_id, xq FROM q
+          UNION ALL
+          SELECT vec_id + 5000000 AS vec_id,
+                 list_transform(xq, v -> v + 9) AS xq
+          FROM q WHERE vec_id % 13 = 0
+        ),
+        dims AS (
+          SELECT pos, sum(v) AS s, count(*) AS n
+          FROM (SELECT unnest(xq) AS v,
+                       generate_subscripts(xq, 1) AS pos FROM q)
+          GROUP BY pos
+        ),
+        stats AS (
+          SELECT list((s - (((s % n) + n) % n)) // n ORDER BY pos) AS mean_arr
+          FROM dims
+        ),
+        enc AS (
+          SELECT vec_id, xq,
+                 list_sum(list_transform(range(0, 32), i ->
+                   CASE WHEN xq[i + 1] > mean_arr[i + 1]
+                        THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS lo,
+                 list_sum(list_transform(range(32, 64), i ->
+                   CASE WHEN xq[i + 1] > mean_arr[i + 1]
+                        THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)) AS hi
+          FROM allv, stats
+        ),
+        qs AS (
+          SELECT vec_id AS q_id, xq AS q_xq, lo AS qlo, hi AS qhi
+          FROM enc WHERE vec_id % 50 = 0 AND vec_id < 5000000
+        ),
+        s1 AS (
+          SELECT q_id, e.vec_id,
+                 bit_count(xor(e.lo, qlo)) + bit_count(xor(e.hi, qhi)) AS hd
+          FROM qs CROSS JOIN enc e WHERE q_id <> e.vec_id
+        ),
+        cand AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS rn
+            FROM s1) WHERE rn <= 64
+        ),
+        s2 AS (
+          SELECT c.q_id, c.vec_id,
+                 list_sum(list_transform(list_zip(qs.q_xq, e.xq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+                      JOIN qs ON qs.q_id = c.q_id
+        )
+        SELECT q_id, vec_id, CAST(rank AS INT) AS rank, CAST(d2 AS BIGINT) AS d2
+        FROM (SELECT q_id, vec_id, d2,
+                     row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+              FROM s2)
+        WHERE rank <= 5
+    """,
     "sim_index_persist_sq8": """
         WITH q AS (
           SELECT vec_id,
@@ -1996,6 +2162,7 @@ QUERIES = {
     "sim_index_persist_topk": q_sim_index_persist_topk,
     "sim_index_persist_pq": q_sim_index_persist_pq,
     "sim_index_persist_sq8": q_sim_index_persist_sq8,
+    "sim_index_persist_bq": q_sim_index_persist_bq,
     "sim_index_drift_topk": q_sim_index_drift_topk,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,

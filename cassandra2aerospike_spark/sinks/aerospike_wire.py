@@ -85,12 +85,22 @@ FIELD_DIGEST = 4
 # parallelism scales with the 4096-partition ring, not the node count);
 # payload = two BE u16s (begin_pid, count)
 FIELD_PID_RANGE = 24
+# the batch-index field (the public AS_FIELD_BATCH_INDEX concept): one
+# field packs every digest of a batch read; payload = BE u32 count then
+# count x (BE u32 index + 20B digest) — the namespace/set ride the
+# shared fields once, the protocol's "repeat" compression for the
+# common all-same-set batch
+FIELD_BATCH_INDEX = 40
 
 OP_WRITE = 2
 PARTICLE_BLOB = 4
 
 INFO1_READ = 0x01
 INFO1_GET_ALL = 0x02
+# the batch-index read flag (AS_MSG_INFO1_BATCH, 1 << 3): one request
+# carries MANY digests and the node answers a multi-record stream —
+# the protocol the real client's batch-node split rides
+INFO1_BATCH = 0x08
 INFO2_WRITE = 0x01
 INFO2_DELETE = 0x02
 INFO2_CREATE_ONLY = 0x20
@@ -556,6 +566,134 @@ def parse_scan_record(body: bytes) -> tuple[bytes, int, dict[str, bytes]]:
     return digest, ttl, bins
 
 
+def build_batch(namespace: str, set_name: str, digests: list[bytes]) -> bytes:
+    """One BATCH-INDEX read request (round 13): info1 = READ | GET_ALL
+    | BATCH with namespace + set fields and ONE batch-index field
+    packing every digest (u32 count, then u32 index + 20B digest per
+    record).  The node answers one record response PER ENTRY — the
+    entry's index rides the header's transaction-ttl slot, exactly
+    where the real protocol's batch responses carry it — terminated by
+    an INFO3_LAST message.  This is the multi-key read the ecosystem's
+    clients batch lookups through (the batch-node split lives in
+    ClusterRouter.batch_read); the reference has no read path at all."""
+    for d in digests:
+        if len(d) != DIGEST_SIZE:
+            raise ValueError(f"digest must be {DIGEST_SIZE} bytes")
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    payload = struct.pack(">I", len(digests)) + b"".join(
+        struct.pack(">I", i) + d for i, d in enumerate(digests)
+    )
+    fields.append(
+        struct.pack(">IB", len(payload) + 1, FIELD_BATCH_INDEX) + payload
+    )
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, INFO1_READ | INFO1_GET_ALL | INFO1_BATCH, 0, 0, 0, 0, 0, 0,
+        1000, len(fields), 0,
+    )
+    return _proto_frame(msg + b"".join(fields))
+
+
+def parse_batch_entries(frame: bytes) -> list[tuple[int, bytes]] | None:
+    """Server-side batch-field walk: the request's [(index, digest)]
+    list, or None when the frame carries no batch-index field.  Bounds-
+    checked like every other server-side parse — a count that overruns
+    the field is a truncated request (ValueError -> RC_SERVER_ERROR),
+    not a struct.error killing the handler thread."""
+    if len(frame) < 22:
+        return None
+    n_fields = struct.unpack_from(">H", frame, 18)[0]
+    off = 22
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return None
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return None
+        if frame[off + 4] == FIELD_BATCH_INDEX:
+            data = frame[off + 5 : off + 4 + sz]
+            if len(data) < 4:
+                raise ValueError("aerospike wire: truncated batch field")
+            (count,) = struct.unpack_from(">I", data, 0)
+            need = 4 + count * (4 + DIGEST_SIZE)
+            if len(data) < need:
+                raise ValueError("aerospike wire: truncated batch entries")
+            entries = []
+            p = 4
+            for _ in range(count):
+                (idx,) = struct.unpack_from(">I", data, p)
+                entries.append((idx, data[p + 4 : p + 4 + DIGEST_SIZE]))
+                p += 4 + DIGEST_SIZE
+            return entries
+        off += 4 + sz
+    return None
+
+
+def build_batch_record(
+    index: int, digest: bytes, result_code: int, ttl: int,
+    bins: dict[str, bytes],
+) -> bytes:
+    """One record of a batch response: a record response whose header
+    carries the BATCH INDEX in the transaction-ttl slot (the real
+    protocol's batch-row index position) plus the record's digest as a
+    field.  Per-record result codes: OK with bins, KEY_NOT_FOUND for an
+    absent key, PARTITION_UNAVAILABLE when this node no longer serves
+    the digest's partition (the per-record cluster-change signal the
+    re-tending client re-issues on)."""
+    fields = [struct.pack(">IB", DIGEST_SIZE + 1, FIELD_DIGEST) + digest]
+    ops = []
+    for name, value in bins.items():
+        nb = name.encode()
+        body = struct.pack("BBBB", 1, PARTICLE_BLOB, 0, len(nb)) + nb + value
+        ops.append(struct.pack(">I", len(body)) + body)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, 0, 0, 0, 0, result_code, 1, ttl & 0xFFFFFFFF,
+        index & 0xFFFFFFFF, len(fields), len(ops),
+    )
+    return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
+def parse_batch_record(body: bytes) -> tuple[int, int, bytes, int, dict[str, bytes]]:
+    """(index, result_code, digest, record_ttl, bins) from one batch-
+    stream record (bounds-checked like parse_scan_record)."""
+    if len(body) < 22:
+        raise ValueError("aerospike wire: short batch record")
+    (_hsz, _i1, _i2, _i3, _u, rc, _gen, ttl, index, n_fields, n_ops) = struct.unpack(
+        ">BBBBBBIIIHH", body[:22]
+    )
+    off = 22
+    digest = b""
+    for _ in range(n_fields):
+        if off + 5 > len(body):
+            raise ValueError("aerospike wire: truncated batch field")
+        (sz,) = struct.unpack_from(">I", body, off)
+        if sz < 1 or off + 4 + sz > len(body):
+            raise ValueError("aerospike wire: truncated batch field")
+        if body[off + 4] == FIELD_DIGEST:
+            digest = body[off + 5 : off + 4 + sz]
+        off += 4 + sz
+    bins: dict[str, bytes] = {}
+    for _ in range(n_ops):
+        if off + 8 > len(body):
+            raise ValueError("aerospike wire: truncated batch op")
+        (sz,) = struct.unpack_from(">I", body, off)
+        if sz < 4 or off + 4 + sz > len(body):
+            raise ValueError("aerospike wire: truncated batch op")
+        _op, _ptype, _ver, nlen = struct.unpack_from("BBBB", body, off + 4)
+        if 4 + nlen > sz:
+            raise ValueError("aerospike wire: batch op name overruns op")
+        name = body[off + 8 : off + 8 + nlen].decode()
+        bins[name] = body[off + 8 + nlen : off + 4 + sz]
+        off += 4 + sz
+    return index, rc, digest, ttl, bins
+
+
 def cols_str_to_bins(cols_str: str) -> dict[str, bytes]:
     """Reconstruct a bins dict from a 'name=value,name=value' record
     string (the wire rows' serialized cell list).  Guarded (ADVICE r11):
@@ -849,6 +987,52 @@ class ClusterRouter:
         """Replica node index for `key` (RF=2 maps), -1 when none."""
         return self.rmap[self.pid_for(key)]
 
+    def batch_read(
+        self, digests: list[bytes]
+    ) -> dict[bytes, tuple[int, dict[str, bytes]] | None]:
+        """Cluster batch read (round 13): the real client's BATCH-NODE
+        SPLIT — group the digests by their master under the current
+        map, ONE batch request per node, collect the index-tagged
+        results.  A per-record PARTITION_UNAVAILABLE (ownership moved)
+        or a dead node (connection refused) re-tends the map and
+        re-issues ONLY the unresolved digests; rounds are bounded by
+        max_retends, so a non-converging map fails loudly instead of
+        livelocking.  Returns digest -> (ttl, bins), or None for keys
+        that do not exist."""
+        out: dict[bytes, tuple[int, dict[str, bytes]] | None] = {}
+        pending = list(dict.fromkeys(digests))
+        while pending:
+            by_node: dict[int, list[bytes]] = {}
+            for d in pending:
+                by_node.setdefault(
+                    self.pmap[partition_id(d)], []
+                ).append(d)
+            next_pending: list[bytes] = []
+            for idx, items in by_node.items():
+                try:
+                    found, missing, unavailable = self.client(idx).batch_get(
+                        items
+                    )
+                except OSError:
+                    # dead node: forget the connection, re-route the
+                    # whole group through the refreshed (promoted) map
+                    self.drop_client(idx)
+                    next_pending.extend(items)
+                    continue
+                for i, d in enumerate(items):
+                    if i in found:
+                        out[d] = found[i]
+                    elif i in missing:
+                        out[d] = None
+                    elif i in unavailable:
+                        next_pending.append(d)
+            if next_pending:
+                # one info sweep per ROUND, not per refused record —
+                # max_retends bounds the rounds
+                self.retend()
+            pending = next_pending
+        return out
+
     def drop_client(self, idx: int) -> None:
         """Forget a (dead) node's connection so the next use re-dials."""
         c = self._clients.pop(idx, None)
@@ -1104,6 +1288,48 @@ class WireClient:
                 return
             yield parse_scan_record(body)
 
+    def batch_get(
+        self, digests: list[bytes]
+    ) -> tuple[dict[int, tuple[int, dict[str, bytes]]], set[int], set[int]]:
+        """One batch-index read: send every digest in ONE request, read
+        the index-tagged record stream until INFO3_LAST.  Returns
+        (found: index -> (ttl, bins), missing: not-found indexes,
+        unavailable: indexes whose partition this node no longer serves
+        — the caller re-tends and re-issues those).  Like scan, a batch
+        owns the connection's response stream."""
+        if self._sent != self._received or self._results:
+            raise RuntimeError(
+                "aerospike wire: batch on a connection with in-flight requests"
+            )
+        self.sock.sendall(
+            build_batch(self.namespace, self.set_name, digests)
+        )
+        found: dict[int, tuple[int, dict[str, bytes]]] = {}
+        missing: set[int] = set()
+        unavailable: set[int] = set()
+        while True:
+            typ, body = read_frame(self.sock)
+            if typ != MSG_TYPE:
+                raise ValueError("aerospike wire: non-data frame in batch")
+            if len(body) >= 22 and body[3] & INFO3_LAST:
+                rc = body[5]
+                if rc != RC_OK:
+                    raise RuntimeError(
+                        f"aerospike wire: batch failed, rc {rc}"
+                    )
+                return found, missing, unavailable
+            index, rc, _digest, ttl, bins = parse_batch_record(body)
+            if rc == RC_OK:
+                found[index] = (ttl, bins)
+            elif rc == RC_KEY_NOT_FOUND:
+                missing.add(index)
+            elif rc == RC_PARTITION_UNAVAILABLE:
+                unavailable.add(index)
+            else:
+                raise RuntimeError(
+                    f"aerospike wire: batch record rc {rc}"
+                )
+
     def close(self) -> None:
         self.sock.close()
 
@@ -1165,6 +1391,7 @@ class WireServer:
         on_put=None,
         on_get=None,
         on_scan=None,
+        on_batch=None,
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
         # RLock: the on_put hook fires INSIDE the store critical section
@@ -1189,6 +1416,14 @@ class WireServer:
         # mid-sweep-migration trigger for the scan re-tend row)
         self._on_scan = on_scan
         self._scans = 0
+        # on_batch(n): fires with the running batch-request ordinal
+        # INSIDE the store critical section, BEFORE the snapshot — a
+        # hook that hands off at batch K makes batch K (and everything
+        # later) see the post-cutover ownership deterministically
+        # (round 13: the mid-lookup-migration trigger for the batch
+        # re-tend row)
+        self._on_batch = on_batch
+        self._batches = 0
         self._info_namespace = info_namespace
         self._partition_generation = 1
         self._cred: tuple[str, str] | None = None
@@ -1393,6 +1628,11 @@ class WireServer:
                 ns, st, digest, _b, _t, _co = parse_put(
                     frame, require_digest=False
                 )
+                if frame[1] & INFO1_BATCH:
+                    entries = parse_batch_entries(frame)
+                    if entries is None:
+                        return build_response(RC_SERVER_ERROR)
+                    return self._batch(ns, st, entries)
                 if not digest:
                     return self._scan(ns, st, parse_pid_range(frame))
                 pid = partition_id(digest)
@@ -1455,6 +1695,45 @@ class WireServer:
         # holding it would deadlock the ring topology, see _store_replica
         self._replicate(pid, ns, st, digest, bins, ttl, seq)
         return build_response(RC_OK)
+
+    def _batch(
+        self, ns: str, st: str, entries: list[tuple[int, bytes]]
+    ) -> bytes:
+        """BATCH response: one index-tagged record response per entry
+        (OK + bins / KEY_NOT_FOUND / per-record PARTITION_UNAVAILABLE
+        when the digest's partition is not served here — readable =
+        mastered OR held as replica, same as the single-get rule) plus
+        the INFO3_LAST terminator.  The whole batch snapshots under ONE
+        lock acquisition, so a concurrent handoff lands entirely before
+        or entirely after a batch — never splitting it."""
+        with self._lock:
+            self._batches += 1
+            if self._on_batch is not None:
+                self._on_batch(self._batches)
+            rows = []
+            for index, digest in entries:
+                pid = partition_id(digest)
+                readable = (
+                    self._owned is None
+                    or pid in self._owned
+                    or pid in self._replicas
+                )
+                if not readable:
+                    rows.append(
+                        (index, digest, RC_PARTITION_UNAVAILABLE, 0, {})
+                    )
+                    continue
+                rec = self._store.get((ns, st, digest))
+                if rec is None:
+                    rows.append((index, digest, RC_KEY_NOT_FOUND, 0, {}))
+                else:
+                    rows.append((index, digest, RC_OK, rec[1], rec[0]))
+        out = [
+            build_batch_record(i, d, rc, ttl, bins)
+            for i, d, rc, ttl, bins in rows
+        ]
+        out.append(build_scan_last())
+        return b"".join(out)
 
     def _scan(
         self, ns: str, st: str, pid_range: tuple[int, int] | None = None

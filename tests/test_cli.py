@@ -655,3 +655,62 @@ def test_cli_backup_restore_roundtrip(runs_dir, tmp_path, capsys):
     finally:
         for s in src + dst:
             s.close()
+
+
+def test_cli_batch_verify_single_and_cluster(runs_dir, capsys):
+    """--batch-verify (round 13): the read-back rides the wire
+    BATCH-INDEX op — zero single gets are ever issued; on a cluster the
+    digests split per master node (batch-node split), and tampering
+    with a stored record still exits 1."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireServer,
+    )
+
+    # single host: implies --verify, batches only
+    srv = WireServer()
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{srv.port}",
+            "-n", "tmx", "-t", "recs", "--batch-verify",
+        ] + NOW
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert " 0 mismatches" in out
+        n = len(srv.records())
+        assert f"# verify: {n} records match" in out
+        assert srv._gets == 0, "batch verify degraded to single gets"
+        assert srv._batches > 0
+        with srv._lock:
+            k = next(iter(srv._store))
+            bins, ttl = srv._store[k]
+            srv._store[k] = ({**bins, "tampered": b"x"}, ttl)
+        assert main(argv) == 1
+        assert "1 mismatches" in capsys.readouterr().out
+    finally:
+        srv.close()
+
+    # cluster: per-node batches, still zero single gets
+    servers = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 2 == i},
+            info_namespace="tmx",
+        )
+        for i in range(2)
+    ]
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{servers[0].port}",
+            "-h", f"127.0.0.1:{servers[1].port}",
+            "-n", "tmx", "-t", "recs", "--batch-verify",
+        ] + NOW
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert " 0 mismatches" in out
+        assert all(srv._gets == 0 for srv in servers)
+        assert all(srv._batches > 0 for srv in servers)
+    finally:
+        for srv in servers:
+            srv.close()

@@ -1427,3 +1427,26 @@ def test_sim_hybrid_index_vector_leg_reads_index_parquet(spark):
     assert any("spark_graft_simidx_" in f for f in files), files[:3]
     out = df.collect()
     assert out and all(1 <= r.fused_rank <= 5 for r in out)
+
+
+def test_sim_index_persist_bq_serves_from_storage(spark):
+    """The persisted-BQ contract (round 13): serving reads the stored
+    signature + vector parquet (plan leaves under the index dir);
+    appended arrivals (vec_id >= 5e6, signed against the stored means
+    WITHOUT retraining) are candidates; every query returns exactly 5
+    ranked neighbors and stage 2's exact d2 is non-decreasing in rank."""
+    from collections import Counter
+
+    from cassandra2aerospike_spark.queries.sim_q import q_sim_index_persist_bq
+
+    df = q_sim_index_persist_bq(spark, "/root/testdata/sf0.001")
+    files = df.inputFiles()
+    assert any("spark_graft_simidx_" in f for f in files), files[:3]
+    out = df.collect()
+    assert any(r.vec_id >= 5_000_000 for r in out)  # append is live
+    per_q = Counter(r.q_id for r in out)
+    assert all(v == 5 for v in per_q.values())
+    by_q: dict = {}
+    for r in sorted(out, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append(r.d2)
+    assert all(ds == sorted(ds) for ds in by_q.values())

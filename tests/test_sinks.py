@@ -989,3 +989,177 @@ def test_put_digest_routes_and_stores_like_keyed_put():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_batch_get_mixed_results():
+    """One batch-index request resolves OK / KEY_NOT_FOUND /
+    PARTITION_UNAVAILABLE per record: found entries carry (ttl, bins),
+    absent digests land in `missing`, digests of partitions the node
+    does not serve land in `unavailable` — and indexes map back to the
+    request order."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    keys = [f"bk{i}".encode() for i in range(12)]
+    digs = [aw.key_digest("recs", k) for k in keys]
+    owned = {aw.partition_id(d) for d in digs[:8]}
+    srv = aw.WireServer(owned_partitions=owned)
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "recs")
+        # store the first 5 (their pids are owned); 5..7 owned-but-absent;
+        # 8..11 unowned -> per-record unavailable
+        for k in keys[:5]:
+            assert c.wait(c.put(k, {"v": k}, 77)) == "ok"
+        found, missing, unavailable = c.batch_get(digs)
+        assert sorted(found) == [0, 1, 2, 3, 4]
+        for i in range(5):
+            assert found[i] == (77, {"v": keys[i]})
+        assert missing == {5, 6, 7}
+        assert unavailable == {8, 9, 10, 11}
+        # the connection still pipelines normal requests afterwards
+        assert c.wait(c.put(b"after", {"v": b"1"}, 0)) in ("ok", "unavailable")
+        c.close()
+    finally:
+        srv.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ns=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    set_name=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    keys=st.lists(st.binary(min_size=1, max_size=32), min_size=0, max_size=6),
+    bins=st.dictionaries(_bin_name, st.binary(max_size=128), max_size=8),
+    ttl=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    index=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    rc=st.sampled_from([0, 2, 11]),
+)
+def test_wire_batch_codec_roundtrip_property(
+    ns, set_name, keys, bins, ttl, index, rc
+):
+    """Batch-codec property: build_batch -> parse_batch_entries is the
+    identity on the (index, digest) list; build_batch_record ->
+    parse_batch_record is the identity on (index, rc, digest, ttl,
+    bins); truncating a batch record at ANY byte raises the uniform
+    ValueError, never struct.error."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    digests = [aw.key_digest(set_name, k) for k in keys]
+    req = aw.build_batch(ns, set_name, digests)
+    assert aw.parse_batch_entries(req[8:]) == list(enumerate(digests))
+    # a non-batch read request parses to None, not an empty list
+    assert aw.parse_batch_entries(aw.build_get(ns, set_name, b"k")[8:]) is None
+
+    digest = aw.key_digest(set_name, keys[0] if keys else b"k")
+    frame = aw.build_batch_record(index, digest, rc, ttl, bins)
+    body = frame[8:]
+    assert aw.parse_batch_record(body) == (
+        index, rc, digest, ttl & 0xFFFFFFFF, bins,
+    )
+    for cut in range(22, len(body)):
+        try:
+            aw.parse_batch_record(body[:cut])
+        except ValueError:
+            continue
+        assert cut == len(body)
+
+
+def test_cluster_batch_read_retends_across_handoff_and_death():
+    """ClusterRouter.batch_read survives both cluster-change shapes:
+    a handoff (per-record UNAVAILABLE -> one re-tend per round -> the
+    moved digests re-issue against the new owner) and a dead node
+    (connection refused -> re-tend -> the survivors' promoted map
+    serves everything)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srvs = [
+        aw.WireServer(
+            owned_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 2 == i
+            }
+        )
+        for i in range(2)
+    ]
+    try:
+        nodes = [(s.host, s.port) for s in srvs]
+        router = aw.ClusterRouter(nodes, "tmx", "t")
+        keys = [f"hk{i}".encode() for i in range(30)]
+        for k in keys[:20]:
+            c = router.client_for(k)
+            assert c.wait(c.put(k, {"b": b"v" + k}, 9)) == "ok"
+        digs = [aw.key_digest("t", k) for k in keys]
+        out = router.batch_read(digs)
+        assert sum(1 for v in out.values() if v is not None) == 20
+        assert out[digs[0]] == (9, {"b": b"v" + keys[0]})
+        # handoff: node 0's slice (ownership AND data) moves to node 1;
+        # the router's map is now stale and must re-tend exactly once
+        srvs[0].handoff(
+            srvs[1], {p for p in range(aw.N_PARTITIONS) if p % 2 == 0}
+        )
+        before = router.n_retends
+        out2 = router.batch_read(digs)
+        assert {d: v for d, v in out2.items()} == out
+        assert router.n_retends == before + 1
+        # node death: a fresh router discovered post-handoff routes
+        # everything at node 1 even after node 0 dies
+        router2 = aw.ClusterRouter(nodes, "tmx", "t")
+        srvs[0].close()
+        out3 = router2.batch_read(digs)
+        assert out3 == out
+        router.close()
+        router2.close()
+    finally:
+        for s in srvs:
+            s.close()
+
+
+def test_wire_on_batch_hook_cutover_is_atomic_with_the_batch():
+    """The on_batch hook fires INSIDE the store lock BEFORE the
+    snapshot: a hook that hands off at batch K makes batch K itself
+    answer per-record UNAVAILABLE for every moved digest — the batch is
+    never split across the cutover."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srvs = []
+
+    def on_batch(n):
+        if n == 1:
+            srvs[0].handoff(
+                srvs[1], {p for p in range(aw.N_PARTITIONS) if p % 2 == 0}
+            )
+
+    srvs.append(
+        aw.WireServer(
+            owned_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 2 == 0
+            },
+            on_batch=on_batch,
+        )
+    )
+    srvs.append(
+        aw.WireServer(
+            owned_partitions={
+                p for p in range(aw.N_PARTITIONS) if p % 2 == 1
+            }
+        )
+    )
+    try:
+        nodes = [(s.host, s.port) for s in srvs]
+        router = aw.ClusterRouter(nodes, "tmx", "t")
+        keys = [f"ab{i}".encode() for i in range(16)]
+        node0_keys = [k for k in keys if router.master_idx_for(k) == 0]
+        assert node0_keys, "fixture: no key routed at node 0"
+        for k in keys:
+            c = router.client_for(k)
+            assert c.wait(c.put(k, {"v": k}, 0)) == "ok"
+        pmap0 = list(router.pmap)
+        stale = aw.ClusterRouter(nodes, "tmx", "t", initial_pmap=pmap0)
+        digs = [aw.key_digest("t", k) for k in keys]
+        out = stale.batch_read(digs)
+        # every record resolved despite the mid-read cutover, via retend
+        assert all(out[d] is not None for d in digs)
+        assert stale.n_retends == 1
+        assert len(srvs[0].records()) == 0
+        router.close()
+        stale.close()
+    finally:
+        for s in srvs:
+            s.close()
