@@ -19,8 +19,10 @@ from ..streaming import (
     stream_sstable_ingest,
     stream_stream_join,
     stream_window_counts,
+    stream_wire_batch_enrich,
     streaming_dedup_keys,
 )
+from .merge_q import _CTE
 
 QUERIES = {
     "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
@@ -37,6 +39,7 @@ QUERIES = {
     "stream_sstable_ingest": stream_sstable_ingest,
     "stream_real_sstable_ingest": stream_real_sstable_ingest,
     "stream_corpus_dedup": stream_corpus_dedup,
+    "stream_wire_batch_enrich": stream_wire_batch_enrich,
 }
 
 # transformWithStateInPandas needs the protobuf wire between the JVM and
@@ -373,6 +376,27 @@ ORACLES["stream_asb_incremental_backup"] = (
 # stream_cdc_cluster_apply: identical quiesce contract — the cluster,
 # the mid-stream handoff and the re-tends are invisible at quiesce
 ORACLES["stream_cdc_cluster_apply"] = ORACLES["stream_cdc_wire_apply"]
+
+
+# stream_wire_batch_enrich: every event tagged with its key's live
+# cluster state — found / live-column count / the expiry -> write-ttl
+# rule; keys with no live record (fully tombstoned or expired) come
+# back 0 / 0 / -1.  The batch-read mechanics (batch-node split, zero
+# single gets) are in-query asserts.
+ORACLES["stream_wire_batch_enrich"] = _CTE + """
+    , live_records AS (
+      SELECT key, expiry, n_cols FROM records
+      WHERE expiry = 4294967295 OR expiry >= 1719792001
+    )
+    SELECT e.event_id, e.user_id AS key,
+           CASE WHEN lr.key IS NULL THEN CAST(0 AS INT)
+                ELSE CAST(1 AS INT) END AS found,
+           COALESCE(CAST(lr.n_cols AS INT), CAST(0 AS INT)) AS n_cols,
+           CASE WHEN lr.key IS NULL THEN CAST(-1 AS BIGINT)
+                WHEN lr.expiry = 4294967295 THEN 4294967295
+                ELSE lr.expiry - 1719792000 END AS ttl
+    FROM events e LEFT JOIN live_records lr ON lr.key = e.user_id
+"""
 
 
 ORACLES["stream_aerospike_wire_sink"] = (

@@ -1076,6 +1076,128 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_wire_batch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC ENRICHMENT AGAINST THE LIVE CLUSTER (round 13):
+    every event flowing through a Structured Streaming plan is tagged
+    with the CURRENT cluster state of its key — liveness, live-column
+    count, stored write-ttl — via wire BATCH-INDEX reads.  This is the
+    external-KV lookup-join every production stream runs: the dimension
+    lives in a cluster Spark cannot broadcast or snapshot, so each task
+    resolves the DISTINCT keys of its Arrow batch through
+    ClusterRouter.batch_read — one request per (task, node), the real
+    client's batch-node split — instead of a per-row get.  The
+    enrichment is a stateless mapInPandas ON THE STREAM (the plan stays
+    a genuine streaming query; no foreachBatch detour), so at scale the
+    lookup cost per microbatch is bounded by tasks x nodes round trips.
+    Exact oracle: events LEFT JOIN the live merge state (found /
+    n_cols / the expiry -> write-ttl rule; absent keys 0 / 0 / -1)."""
+    import pandas as pd
+
+    from ..operators import merge as M
+    from ..queries.pipeline_q import _sink_parallelism
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+    from ..sources import load_table
+
+    n_nodes = 3
+    ns, set_name = "tmx", "enrich"
+    eternal, now_s = M.ETERNAL, M.NOW_EPOCH_S
+    records = M.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("enrich sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(
+        records.coalesce(_sink_parallelism(n_records)), put, wait,
+        max_in_flight=32,
+    )
+
+    def enrich(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(nodes, ns, set_name)
+            uniq = sorted({int(k) for k in pdf["key"]})
+            digs = {k: key_digest(set_name, str(k).encode()) for k in uniq}
+            got = router.batch_read(list(digs.values()))
+            found, ncols, ttls = [], [], []
+            for k in pdf["key"]:
+                rec = got[digs[int(k)]]
+                if rec is None:
+                    found.append(0)
+                    ncols.append(0)
+                    ttls.append(-1)
+                else:
+                    ttl, bins = rec
+                    found.append(1)
+                    ncols.append(len(bins))
+                    ttls.append(int(ttl))
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "key": pdf["key"],
+                    "found": found,
+                    "n_cols": ncols,
+                    "ttl": ttls,
+                }
+            )
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", F.col("user_id").alias("key")
+    )
+    enriched = ev.mapInPandas(
+        enrich, "event_id long, key long, found int, n_cols int, ttl long"
+    )
+    out = _run_to_memory(enriched, "append")
+    n_out = out.count()  # materialize while the cluster lives
+    # batching invariants: the lookup never degrades to per-row gets
+    if sum(srv._gets for srv in servers) != 0:
+        raise RuntimeError("stream enrich degraded to single gets")
+    n_batches = sum(srv._batches for srv in servers)
+    if not 0 < n_batches < n_out:
+        raise RuntimeError(
+            f"stream enrich: {n_batches} batch requests for {n_out} events"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING INCREMENTAL BACKUP (round 13): the CDC stream's
     per-microbatch live emissions land as an ORDERED SERIES of keyless
