@@ -2217,6 +2217,163 @@ def q_s48_wire_batch_during_handoff(spark, sf_dir):
     return out
 
 
+def q_s49_wire_cas_refresh(spark, sf_dir):
+    """CHECK-AND-SET REFRESH — optimistic concurrency over the wire
+    (round 13): a migration RE-RUN against a cluster the application
+    kept writing to must not clobber the app's newer records.  The
+    public protocol carries exactly this: AS_MSG_INFO2_GENERATION + the
+    expected generation in the header (the AS_POLICY_GEN_EQ write
+    policy); the server answers AEROSPIKE_ERR_RECORD_GENERATION when
+    the record's write count moved on.  Flow: (1) the cluster sink pass
+    creates every merged record (generation 1); (2) the 'application'
+    replace-puts every key % 3 == 0 (generation -> 2, bins app=WINS,
+    ttl 7777); (3) the REFRESH pass re-ships every record gen-checked
+    at 1 with a sync marker bin — app-touched records answer
+    gen_mismatch and are LEFT ALONE (counted, asserted == the app-write
+    count), untouched records land (generation -> 2).  The CAS rides
+    the same bounded-async pipelined window as every other wire pass.
+    Read-back reports (key, cols_str, gen, ttl): app keys keep app=WINS
+    at ttl 7777, the rest carry original bins + sync=2 — and EVERY
+    record sits at generation 2, proving no write was lost or doubled.
+    Exact oracle replays the three passes relationally."""
+    from ..sinks.aerospike_wire import ClusterRouter, N_PARTITIONS, WireServer
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "cas_refresh"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    sc = spark.sparkContext
+
+    def run_pass(frame, make_put, on_mismatch=None):
+        state: dict = {}
+
+        def put(rd):
+            r = state.get("router")
+            if r is None:
+                r = state["router"] = ClusterRouter(nodes, ns, set_name)
+            key, bins, ttl, expect_gen, create_only = make_put(rd)
+            c = r.client_for(key)
+            return (
+                c.put(
+                    key, bins, ttl,
+                    create_only=create_only, expect_gen=expect_gen,
+                ),
+                c,
+            )
+
+        def wait(h):
+            handle, c = h
+            d = c.wait(handle)
+            if d == "ok":
+                return True
+            if d == "gen_mismatch" and on_mismatch is not None:
+                # the optimistic write lost to a newer generation: the
+                # record is the app's now — count it and move on (the
+                # non-clobbering contract)
+                on_mismatch.add(1)
+                return True
+            raise RuntimeError(f"cas refresh: unexpected disposition {d}")
+
+        bounded_async_foreach_writer(frame, put, wait, max_in_flight=32)
+
+    # pass 1: create every merged record (generation 1)
+    def mk_create(rd):
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        return key, bins, ttl, None, True
+
+    run_pass(sink_records, mk_create)
+
+    # pass 2: the application overwrites every key % 3 == 0
+    app_keys = records.filter(F.col("key") % 3 == 0)
+    n_app = app_keys.count()
+
+    def mk_app(rd):
+        return str(rd["key"]).encode(), {"app": b"WINS"}, 7777, None, False
+
+    run_pass(app_keys.coalesce(max(2, n_tasks // 2)), mk_app)
+
+    # pass 3: the gen-checked refresh — expect the generation THIS
+    # migration created (1); app-touched records refuse
+    acc_mismatch = sc.accumulator(0)
+
+    def mk_refresh(rd):
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        bins["sync"] = b"2"
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        return key, bins, ttl, 1, False
+
+    run_pass(sink_records, mk_refresh, on_mismatch=acc_mismatch)
+    if acc_mismatch.value != n_app:
+        raise RuntimeError(
+            f"cas refresh: {acc_mismatch.value} refusals for "
+            f"{n_app} app-touched records"
+        )
+
+    # read-back with generations: every record must sit at exactly 2
+    probes = records.select("key").repartition(n_tasks)
+
+    def read_back(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(nodes, ns, set_name)
+            keys = [str(int(k)).encode() for k in pdf["key"]]
+            handles = [
+                (c := router.client_for(k), c.get(k)) for k in keys
+            ]
+            cols, gens, ttls = [], [], []
+            for c, h in handles:
+                rec = c.wait_record_gen(h)
+                if rec is None:
+                    raise RuntimeError("cas refresh: record vanished")
+                gen, ttl, bins = rec
+                cols.append(
+                    ",".join(
+                        sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                    )
+                )
+                gens.append(int(gen))
+                ttls.append(int(ttl))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "cols_str": cols, "gen": gens, "ttl": ttls}
+            )
+
+    out = probes.mapInPandas(
+        read_back, "key long, cols_str string, gen int, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    bad_gens = out.where(F.col("gen") != 2).count()
+    if bad_gens:
+        raise RuntimeError(f"cas refresh: {bad_gens} records not at gen 2")
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -2367,6 +2524,7 @@ QUERIES = {
     "s42_wire_cluster_scan_source": q_s42_wire_cluster_scan_source,
     "s47_wire_batch_lookup": q_s47_wire_batch_lookup,
     "s48_wire_batch_during_handoff": q_s48_wire_batch_during_handoff,
+    "s49_wire_cas_refresh": q_s49_wire_cas_refresh,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -2580,6 +2738,35 @@ ORACLES = {
                     ELSE lr.expiry - 1719792000 END AS ttl
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         GROUP BY lr.key, lr.expiry
+    """,
+    # s49: the three-pass CAS refresh replayed relationally — app keys
+    # (key % 3 = 0) keep the app's record at ttl 7777, the rest carry
+    # original bins + the sync marker; every record at generation 2
+    # (create + exactly one surviving replace); the refusal count and
+    # gen sweep are in-query asserts
+    "s49_wire_cas_refresh": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        ), entries AS (
+          SELECT lf.key,
+                 lf.col_name || '=' || printf('%.2f', lf.value) AS entry
+          FROM latest_f lf
+          WHERE lf.key IN (SELECT key FROM live_records)
+          UNION ALL
+          SELECT key, 'sync=2' AS entry FROM live_records
+        ), refreshed AS (
+          SELECT key, string_agg(entry, ',' ORDER BY entry) AS cols_str
+          FROM entries GROUP BY key
+        )
+        SELECT lr.key,
+               CASE WHEN lr.key % 3 = 0 THEN 'app=WINS'
+                    ELSE r.cols_str END AS cols_str,
+               CAST(2 AS INT) AS gen,
+               CASE WHEN lr.key % 3 = 0 THEN CAST(7777 AS BIGINT)
+                    WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN refreshed r ON r.key = lr.key
     """,
     # the cutover must be invisible: same merge contract as s42/s43
     "s44_wire_scan_during_handoff": _CTE + """

@@ -103,11 +103,19 @@ INFO1_GET_ALL = 0x02
 INFO1_BATCH = 0x08
 INFO2_WRITE = 0x01
 INFO2_DELETE = 0x02
+# write only if the record's current generation equals the request
+# header's generation (AS_MSG_INFO2_GENERATION — the public
+# check-and-set write policy AS_POLICY_GEN_EQ rides on); a mismatch
+# answers AEROSPIKE_ERR_RECORD_GENERATION
+INFO2_GENERATION = 0x04
 INFO2_CREATE_ONLY = 0x20
 INFO3_LAST = 0x01  # final message of a multi-record (scan) response
 
 RC_OK = 0
 RC_KEY_NOT_FOUND = 2
+# the CAS refusal (AEROSPIKE_ERR_RECORD_GENERATION): a gen-checked
+# write lost its optimistic race — re-read, reconcile, retry or keep
+RC_GENERATION = 3
 RC_KEY_EXISTS = 5
 RC_TIMEOUT = 9
 RC_KEY_BUSY = 14
@@ -258,12 +266,20 @@ def build_put(
     bins: dict[str, bytes],
     ttl: int,
     create_only: bool = True,
+    expect_gen: int | None = None,
 ) -> bytes:
     """One AS_MSG write request.  `ttl` uses the server convention:
     0 = namespace default, 0xFFFFFFFF = never expire, else seconds —
     exactly the reference's rec.ttl mapping (AerospikeWriter.cpp:233-242).
-    """
+    `expect_gen` (round 13): a CHECK-AND-SET write — INFO2_GENERATION
+    plus the expected generation in the header's generation slot (the
+    public AS_POLICY_GEN_EQ policy); the server refuses with
+    RC_GENERATION when the stored record's generation differs."""
     info2 = INFO2_WRITE | (INFO2_CREATE_ONLY if create_only else 0)
+    gen = 0
+    if expect_gen is not None:
+        info2 |= INFO2_GENERATION
+        gen = expect_gen & 0xFFFFFFFF
     fields = []
     for ftype, data in (
         (FIELD_NAMESPACE, namespace.encode()),
@@ -280,9 +296,18 @@ def build_put(
         ops.append(struct.pack(">I", len(body)) + body)
     msg = struct.pack(
         ">BBBBBBIIIHH",
-        22, 0, info2, 0, 0, 0, 0, ttl & 0xFFFFFFFF, 1000, len(fields), len(ops),
+        22, 0, info2, 0, 0, 0, gen, ttl & 0xFFFFFFFF, 1000,
+        len(fields), len(ops),
     )
     return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
+def parse_put_gen(frame: bytes) -> int | None:
+    """The server-side half of the CAS grammar: the EXPECTED generation
+    of a gen-checked write (INFO2_GENERATION set), else None."""
+    if len(frame) < 22 or not frame[2] & INFO2_GENERATION:
+        return None
+    return struct.unpack_from(">I", frame, 6)[0]
 
 
 def build_put_digest(
@@ -428,9 +453,13 @@ def build_get(namespace: str, set_name: str, key: bytes) -> bytes:
     return _proto_frame(msg + b"".join(fields))
 
 
-def build_record_response(result_code: int, ttl: int, bins: dict[str, bytes]) -> bytes:
+def build_record_response(
+    result_code: int, ttl: int, bins: dict[str, bytes], gen: int = 1
+) -> bytes:
     """Server -> client record response: result code + stored TTL in the
-    header's record_ttl slot, one READ op per bin."""
+    header's record_ttl slot, the record's GENERATION in the header's
+    generation slot (round 13: real write counts, the read half of the
+    CAS loop), one READ op per bin."""
     ops = []
     for name, value in bins.items():
         nb = name.encode()
@@ -438,9 +467,17 @@ def build_record_response(result_code: int, ttl: int, bins: dict[str, bytes]) ->
         ops.append(struct.pack(">I", len(body)) + body)
     msg = struct.pack(
         ">BBBBBBIIIHH",
-        22, 0, 0, 0, 0, result_code, 1, ttl & 0xFFFFFFFF, 0, 0, len(ops),
+        22, 0, 0, 0, 0, result_code, gen & 0xFFFFFFFF, ttl & 0xFFFFFFFF,
+        0, 0, len(ops),
     )
     return _proto_frame(msg + b"".join(ops))
+
+
+def parse_record_gen(body: bytes) -> int:
+    """The record generation from a record response header."""
+    if len(body) < 22:
+        raise ValueError("aerospike wire: short record response")
+    return struct.unpack_from(">I", body, 6)[0]
 
 
 def build_scan(
@@ -1176,11 +1213,12 @@ class WireClient:
     def put(
         self, key: bytes, bins: dict[str, bytes], ttl: int,
         create_only: bool = True,
+        expect_gen: int | None = None,
     ) -> int:
         self.sock.sendall(
             build_put(
                 self.namespace, self.set_name, key, bins, ttl,
-                create_only=create_only,
+                create_only=create_only, expect_gen=expect_gen,
             )
         )
         h = self._sent
@@ -1211,6 +1249,8 @@ class WireClient:
             return "retry"
         if rc == RC_PARTITION_UNAVAILABLE:
             return "unavailable"  # cluster changed: re-tend, then retry
+        if rc == RC_GENERATION:
+            return "gen_mismatch"  # CAS lost: re-read and reconcile
         raise RuntimeError(f"aerospike wire: put failed, result code {rc}")
 
     def put_digest(
@@ -1261,6 +1301,23 @@ class WireClient:
         if rc != RC_OK:
             raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
         return ttl, bins
+
+    def wait_record_gen(self, handle: int):
+        """(gen, ttl, bins) for a pipelined get, or None when absent —
+        the CAS loop's read half: the returned generation feeds the
+        next gen-checked put.  Raises WireUnavailable like
+        wait_record."""
+        body = self._drain_to(handle)
+        rc, ttl, bins = parse_record_response(body)
+        if rc == RC_KEY_NOT_FOUND:
+            return None
+        if rc == RC_PARTITION_UNAVAILABLE:
+            raise WireUnavailable(
+                "aerospike wire: partition unavailable at this node"
+            )
+        if rc != RC_OK:
+            raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
+        return parse_record_gen(body), ttl, bins
 
     def scan(self, pid_begin: int | None = None, pid_count: int | None = None):
         """Stream every record this node serves for (namespace, set) —
@@ -1394,6 +1451,10 @@ class WireServer:
         on_batch=None,
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
+        # per-record write count (round 13): generation 1 on create,
+        # +1 per replace — the version a gen-checked (CAS) write races
+        # against and reads report back
+        self._gens: dict[tuple[str, str, bytes], int] = {}
         # RLock: the on_put hook fires INSIDE the store critical section
         # (so a hook-triggered handoff is atomic with its trigger put —
         # no later put can slip in under the old ownership) and may call
@@ -1501,8 +1562,10 @@ class WireServer:
                 for k, v in self._store.items()
                 if partition_id(k[2]) in partitions
             }
+            moving_gens = {k: self._gens.get(k, 1) for k in moving}
             for k in moving:
                 del self._store[k]
+                self._gens.pop(k, None)
             owned = (
                 self._owned if self._owned is not None
                 else set(range(N_PARTITIONS))
@@ -1511,6 +1574,7 @@ class WireServer:
             self._partition_generation += 1
         with target._lock:
             target._store.update(moving)
+            target._gens.update(moving_gens)
             t_owned = (
                 target._owned if target._owned is not None
                 else set(range(N_PARTITIONS))
@@ -1521,7 +1585,7 @@ class WireServer:
 
     def _store_replica(
         self, ns: str, st: str, digest: bytes,
-        bins: dict[str, bytes] | None, ttl: int, seq: int,
+        bins: dict[str, bytes] | None, ttl: int, seq: int, gen: int = 1,
     ) -> None:
         """Server-side replication target: apply a master's write (or
         delete, bins=None) to this node's store without ownership
@@ -1542,16 +1606,21 @@ class WireServer:
             self._repl_last[k] = seq
             if bins is None:
                 self._store.pop(k, None)
+                self._gens.pop(k, None)
             else:
                 self._store[k] = (bins, ttl)
+                # the replica mirrors the MASTER's generation (it never
+                # counts its own applies): a post-promotion CAS loop
+                # continues against the same version numbers
+                self._gens[k] = gen
 
     def _replicate(
         self, pid: int, ns: str, st: str, digest: bytes,
-        bins: dict[str, bytes] | None, ttl: int, seq: int,
+        bins: dict[str, bytes] | None, ttl: int, seq: int, gen: int = 1,
     ) -> None:
         for target, parts in self.replicate_to:
             if pid in parts:
-                target._store_replica(ns, st, digest, bins, ttl, seq)
+                target._store_replica(ns, st, digest, bins, ttl, seq, gen)
 
     def _info(self, body: bytes) -> bytes:
         """Text info channel: the names the C client's cluster tend
@@ -1643,6 +1712,7 @@ class WireServer:
                         or pid in self._replicas
                     )
                     rec = self._store.get((ns, st, digest)) if readable else None
+                    gen = self._gens.get((ns, st, digest), 1)
                     if readable:
                         self._gets += 1
                         if self._on_get is not None:
@@ -1651,7 +1721,7 @@ class WireServer:
                     return build_response(RC_PARTITION_UNAVAILABLE)
                 if rec is None:
                     return build_record_response(RC_KEY_NOT_FOUND, 0, {})
-                return build_record_response(RC_OK, rec[1], rec[0])
+                return build_record_response(RC_OK, rec[1], rec[0], gen=gen)
             ns, st, digest, bins, ttl, create_only = parse_put(frame)
         except ValueError:
             return build_response(RC_SERVER_ERROR)
@@ -1661,9 +1731,10 @@ class WireServer:
                 if self._owned is not None and pid not in self._owned:
                     return build_response(RC_PARTITION_UNAVAILABLE)
                 gone = self._store.pop((ns, st, digest), None)
+                self._gens.pop((ns, st, digest), None)
                 seq = next(_REPL_SEQ) if gone is not None else 0
             if gone is not None:
-                self._replicate(pid, ns, st, digest, None, 0, seq)
+                self._replicate(pid, ns, st, digest, None, 0, seq, 0)
             return build_response(RC_OK if gone is not None else RC_KEY_NOT_FOUND)
         with self._lock:
             if self._owned is not None and pid not in self._owned:
@@ -1678,7 +1749,14 @@ class WireServer:
             k = (ns, st, digest)
             if create_only and k in self._store:
                 return build_response(RC_KEY_EXISTS)
+            expect = parse_put_gen(frame)
+            if expect is not None and self._gens.get(k, 0) != expect:
+                # the CAS refusal: the record's write count moved on
+                # (or the record no longer exists) — the writer must
+                # re-read and reconcile (AS_POLICY_GEN_EQ semantics)
+                return build_response(RC_GENERATION)
             self._store[k] = (bins, ttl)
+            gen = self._gens[k] = self._gens.get(k, 0) + 1
             # the replication sequence is drawn INSIDE the critical
             # section: same-key ops get seq numbers in their commit
             # order, so the replica's newest-seq-wins rule reproduces
@@ -1693,7 +1771,7 @@ class WireServer:
                 self._on_put(n_puts)
         # forward outside this node's lock (targets take their own):
         # holding it would deadlock the ring topology, see _store_replica
-        self._replicate(pid, ns, st, digest, bins, ttl, seq)
+        self._replicate(pid, ns, st, digest, bins, ttl, seq, gen)
         return build_response(RC_OK)
 
     def _batch(

@@ -1163,3 +1163,94 @@ def test_wire_on_batch_hook_cutover_is_atomic_with_the_batch():
     finally:
         for s in srvs:
             s.close()
+
+
+def test_wire_generation_cas_semantics():
+    """Generation tracking + check-and-set (round 13): creates start at
+    generation 1, every replace bumps it, deletes reset it; a
+    gen-checked put (INFO2_GENERATION + expected gen in the header)
+    lands only when the stored generation matches — RC_GENERATION ->
+    'gen_mismatch' otherwise, store untouched.  expect_gen=0 means
+    'must not exist yet' (the create-shaped CAS)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        k = b"cas-key"
+        assert c.wait(c.put(k, {"v": b"1"}, 0)) == "ok"
+        gen, _ttl, bins = c.wait_record_gen(c.get(k))
+        assert (gen, bins) == (1, {"v": b"1"})
+        # matching CAS lands and bumps
+        assert (
+            c.wait(c.put(k, {"v": b"2"}, 0, create_only=False, expect_gen=1))
+            == "ok"
+        )
+        gen, _ttl, bins = c.wait_record_gen(c.get(k))
+        assert (gen, bins) == (2, {"v": b"2"})
+        # stale CAS refused, store untouched
+        assert (
+            c.wait(c.put(k, {"v": b"3"}, 0, create_only=False, expect_gen=1))
+            == "gen_mismatch"
+        )
+        gen, _ttl, bins = c.wait_record_gen(c.get(k))
+        assert (gen, bins) == (2, {"v": b"2"})
+        # expect_gen=0: only lands on an absent key
+        assert (
+            c.wait(c.put(b"new", {"v": b"x"}, 0, create_only=False, expect_gen=1))
+            == "gen_mismatch"
+        )
+        assert (
+            c.wait(c.put(b"new", {"v": b"x"}, 0, create_only=False, expect_gen=0))
+            == "ok"
+        )
+        # plain replace still bumps; delete resets to a fresh create
+        assert c.wait(c.put(k, {"v": b"4"}, 0, create_only=False)) == "ok"
+        assert c.wait_record_gen(c.get(k))[0] == 3
+        assert c.wait(c.delete(k)) == "ok"
+        assert c.wait(c.put(k, {"v": b"5"}, 0)) == "ok"
+        assert c.wait_record_gen(c.get(k))[0] == 1
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_wire_generation_survives_replication_and_handoff():
+    """The generation is part of the record's identity across cluster
+    dynamics: RF=2 replication mirrors the MASTER's generation (a
+    promoted replica continues the same CAS sequence), and a partition
+    handoff migrates generations with the records."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    all_p = set(range(aw.N_PARTITIONS))
+    master = aw.WireServer(owned_partitions=all_p)
+    replica = aw.WireServer(
+        owned_partitions=set(), replica_partitions=all_p
+    )
+    master.replicate_to = [(replica, all_p)]
+    try:
+        c = aw.WireClient(master.host, master.port, "tmx", "t")
+        k = b"rep-key"
+        assert c.wait(c.put(k, {"v": b"1"}, 0)) == "ok"
+        assert c.wait(c.put(k, {"v": b"2"}, 0, create_only=False)) == "ok"
+        dig = aw.key_digest("t", k)
+        assert replica._gens[("tmx", "t", dig)] == 2
+        # replica read reports the master's generation
+        rc = aw.WireClient(replica.host, replica.port, "tmx", "t")
+        assert rc.wait_record_gen(rc.get(k))[0] == 2
+        # handoff carries generations: CAS continues on the new owner
+        target = aw.WireServer(owned_partitions=set())
+        master.handoff(target, all_p)
+        tc = aw.WireClient(target.host, target.port, "tmx", "t")
+        assert tc.wait_record_gen(tc.get(k))[0] == 2
+        assert (
+            tc.wait(c_put := tc.put(k, {"v": b"3"}, 0, create_only=False,
+                                    expect_gen=2))
+            == "ok"
+        )
+        assert tc.wait_record_gen(tc.get(k))[0] == 3
+        c.close(); rc.close(); tc.close()
+        target.close()
+    finally:
+        master.close()
+        replica.close()
