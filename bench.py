@@ -118,6 +118,15 @@ HEADLINE = [
     "sim_index_persist_sq8",
     "sim_index_drift_topk",
     "sim_hybrid_index_rrf_topk",
+    # round-13 (late): the wire BATCH-INDEX read family (per-node batch
+    # lookups; handoff-resilient), streaming enrichment against the
+    # live cluster, the gen-checked CAS refresh, and the persisted
+    # binary-quantization index
+    "s47_wire_batch_lookup",
+    "s48_wire_batch_during_handoff",
+    "s49_wire_cas_refresh",
+    "stream_wire_batch_enrich",
+    "sim_index_persist_bq",
 ]
 
 

@@ -189,6 +189,39 @@ def q_sample_hash_split(spark, sf_dir):
     return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
+def q_sample_global_shuffle(spark, sf_dir):
+    """GLOBAL DETERMINISTIC SHUFFLE (round 13, X-family): writing
+    pretraining shards needs a REPRODUCIBLE global permutation of the
+    corpus — `orderBy(rand())` / `df.sample` are partition-order-
+    dependent, so the pipeline standard is a seeded hash order.  Each
+    document's shuffle key is the first 60 bits of md5(seed || doc_id);
+    shard = key mod n_shards (8), position = rank within the shard by
+    (key, doc_id).  Any epoch, any cluster size, any partitioning
+    reproduces the identical (shard, pos) layout.
+
+    Scale shape: ONE exchange — the per-shard rank window repartitions
+    by shard and sorts by key, exactly the shuffle a 100 TB shard
+    writer has to pay anyway (it IS the shuffle); everything upstream
+    is in-row hashing.  At 1000 executors use n_shards >= executors
+    and the window never sees skew beyond corpus/n_shards."""
+    d = _docs(spark, sf_dir)
+    n_shards = 8
+    h = F.md5(F.concat(F.lit("shuf42|"), F.col("doc_id").cast("string")))
+    hkey = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    keyed = d.select(
+        "doc_id",
+        hkey.alias("hkey"),
+        (hkey % n_shards).cast("int").alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark DECONTAMINATION — the word-n-gram-overlap filter every
     pretraining pipeline runs before training: flag corpus documents
@@ -1338,6 +1371,20 @@ ORACLES = {
                              i -> array_to_string(t[i : i + 2], ' ')))) END AS n_shingles
         FROM toks
     """,
+    "sample_global_shuffle": """
+        WITH b AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(range(1, 16),
+                     j -> strpos('0123456789abcdef',
+                                 substr(md5('shuf42|' || CAST(doc_id AS VARCHAR)), j, 1)) - 1),
+                     (a, b) -> a * 16 + b) AS hkey
+          FROM documents
+        )
+        SELECT doc_id, CAST(hkey % 8 AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hkey % 8
+                                       ORDER BY hkey, doc_id) AS INT) AS pos
+        FROM b
+    """,
     "sample_hash_split": """
         WITH b AS (
           SELECT doc_id,
@@ -1837,6 +1884,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_term_freq": q_text_term_freq,
     "sample_hash_split": q_sample_hash_split,
+    "sample_global_shuffle": q_sample_global_shuffle,
     "text_decontaminate": q_text_decontaminate,
     "sample_stratified": q_sample_stratified,
     "sample_domain_mix": q_sample_domain_mix,

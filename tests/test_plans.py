@@ -248,3 +248,14 @@ def test_jaccard_shingle_frame_materializes_once(spark, sf_dir, queries):
     assert 0 < executed <= 24, (
         f"{executed} executed stages — above the one-materialization regime"
     )
+
+
+def test_global_shuffle_single_exchange(spark, sf_dir, queries):
+    """The seeded global shuffle (round 13) pays exactly ONE exchange —
+    the per-shard rank window's repartition, the same shuffle a shard
+    writer must pay — over one corpus scan, no joins."""
+    rep = assert_scale_posture(
+        queries["sample_global_shuffle"](spark, sf_dir),
+        max_scans=1, max_exchanges=1,
+    )
+    assert rep.n_sortmerge_joins == 0 and rep.n_broadcast_joins == 0
