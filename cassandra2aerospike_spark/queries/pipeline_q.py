@@ -2374,6 +2374,126 @@ def q_s49_wire_cas_refresh(spark, sf_dir):
     return out
 
 
+def q_s50_wire_touch_ttl_extend(spark, sf_dir):
+    """TTL-EXTENSION SWEEP over the TOUCH op (round 13): ttl-based
+    retention wants to KEEP records alive without rewriting them — the
+    protocol's touch operation (an AS_MSG write carrying a single
+    OP_TOUCH op, no bins) resets the stored TTL to the header's
+    record_ttl and bumps the generation, the cheapest possible
+    keep-alive (request size is independent of record width; at 100 TB
+    the sweep ships ~60 bytes per record instead of the record).  Flow:
+    the cluster sink pass creates every merged record; a distributed
+    touch pass extends every NON-ETERNAL record's ttl by +10,000 s
+    (eternal records are left alone — nothing to extend); the
+    read-back proves bins byte-identical, generation 2 for touched /
+    1 for untouched, and exactly the +10,000 ttl shift.  Exact oracle
+    replays the rule relationally."""
+    from ..sinks.aerospike_wire import ClusterRouter, N_PARTITIONS, WireServer
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "touched"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("touch sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # the touch sweep: non-eternal records only, ttl extended +10,000
+    expiring = records.filter(F.col("expiry") != eternal).select(
+        "key", (F.col("expiry") - now_s + 10_000).alias("new_ttl")
+    )
+    tstate: dict = {}
+
+    def touch_put(rd):
+        r = tstate.get("router")
+        if r is None:
+            r = tstate["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        c = r.client_for(key)
+        return c.touch(key, int(rd["new_ttl"])), c
+
+    def touch_wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("touch sweep: record missing at touch time")
+        return True
+
+    bounded_async_foreach_writer(
+        expiring.coalesce(max(2, n_tasks // 2)), touch_put, touch_wait,
+        max_in_flight=32,
+    )
+
+    # read-back: bins identical, gen 2 iff touched, ttl shifted +10,000
+    probes = records.select("key").repartition(n_tasks)
+
+    def read_back(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(nodes, ns, set_name)
+            keys = [str(int(k)).encode() for k in pdf["key"]]
+            handles = [(c := router.client_for(k), c.get(k)) for k in keys]
+            cols, gens, ttls = [], [], []
+            for c, h in handles:
+                rec = c.wait_record_gen(h)
+                if rec is None:
+                    raise RuntimeError("touch sweep: record vanished")
+                gen, ttl, bins = rec
+                cols.append(
+                    ",".join(
+                        sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                    )
+                )
+                gens.append(int(gen))
+                ttls.append(int(ttl))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "cols_str": cols, "gen": gens, "ttl": ttls}
+            )
+
+    out = probes.mapInPandas(
+        read_back, "key long, cols_str string, gen int, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -2525,6 +2645,7 @@ QUERIES = {
     "s47_wire_batch_lookup": q_s47_wire_batch_lookup,
     "s48_wire_batch_during_handoff": q_s48_wire_batch_during_handoff,
     "s49_wire_cas_refresh": q_s49_wire_cas_refresh,
+    "s50_wire_touch_ttl_extend": q_s50_wire_touch_ttl_extend,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -2767,6 +2888,25 @@ ORACLES = {
                     WHEN lr.expiry = 4294967295 THEN 4294967295
                     ELSE lr.expiry - 1719792000 END AS ttl
         FROM live_records lr JOIN refreshed r ON r.key = lr.key
+    """,
+    # s50: the touch sweep — bins byte-identical to the merge, ttl
+    # shifted +10,000 for non-eternal records (generation 2), eternal
+    # records untouched (generation 1)
+    "s50_wire_touch_ttl_extend": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN CAST(1 AS INT)
+                    ELSE CAST(2 AS INT) END AS gen,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 + 10000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
     """,
     # the cutover must be invisible: same merge contract as s42/s43
     "s44_wire_scan_during_handoff": _CTE + """

@@ -93,6 +93,11 @@ FIELD_PID_RANGE = 24
 FIELD_BATCH_INDEX = 40
 
 OP_WRITE = 2
+# the TTL-refresh op (AS_MSG's touch operation): resets the record's
+# ttl to the request header's record_ttl and bumps the generation
+# WITHOUT carrying or rewriting bins — the cheap "keep this record
+# alive" sweep ttl-based retention runs
+OP_TOUCH = 11
 PARTICLE_BLOB = 4
 
 INFO1_READ = 0x01
@@ -300,6 +305,65 @@ def build_put(
         len(fields), len(ops),
     )
     return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
+def build_touch(
+    namespace: str, set_name: str, key: bytes, ttl: int,
+    expect_gen: int | None = None,
+) -> bytes:
+    """One TOUCH request (round 13): an AS_MSG write carrying a single
+    OP_TOUCH op (no name, no value) — the server resets the stored
+    record's TTL to the header's record_ttl slot and bumps its
+    generation, leaving the bins untouched; KEY_NOT_FOUND for absent
+    records.  Composes with the CAS policy (expect_gen) like any
+    write."""
+    info2 = INFO2_WRITE
+    gen = 0
+    if expect_gen is not None:
+        info2 |= INFO2_GENERATION
+        gen = expect_gen & 0xFFFFFFFF
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+        (FIELD_DIGEST, key_digest(set_name, key)),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    op_body = struct.pack("BBBB", OP_TOUCH, 0, 0, 0)
+    ops = [struct.pack(">I", len(op_body)) + op_body]
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, 0, info2, 0, 0, 0, gen, ttl & 0xFFFFFFFF, 1000,
+        len(fields), len(ops),
+    )
+    return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
+def parse_has_touch(frame: bytes) -> bool:
+    """Server-side: does this write request carry an OP_TOUCH op?
+    (Bounds-checked walk of the op list; malformed frames answer False
+    and fall through to the normal put parse, which raises.)"""
+    if len(frame) < 22:
+        return False
+    n_fields, n_ops = struct.unpack_from(">HH", frame, 18)
+    off = 22
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return False
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return False
+        off += 4 + sz
+    for _ in range(n_ops):
+        if off + 8 > len(frame):
+            return False
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 4 or off + 4 + sz > len(frame):
+            return False
+        if frame[off + 4] == OP_TOUCH:
+            return True
+        off += 4 + sz
+    return False
 
 
 def parse_put_gen(frame: bytes) -> int | None:
@@ -1277,6 +1341,21 @@ class WireClient:
         self._sent += 1
         return h
 
+    def touch(
+        self, key: bytes, ttl: int, expect_gen: int | None = None
+    ) -> int:
+        """Pipelined TTL refresh (OP_TOUCH); redeem with wait() —
+        'ok' | 'not_found' | 'gen_mismatch' (CAS-composed)."""
+        self.sock.sendall(
+            build_touch(
+                self.namespace, self.set_name, key, ttl,
+                expect_gen=expect_gen,
+            )
+        )
+        h = self._sent
+        self._sent += 1
+        return h
+
     def get(self, key: bytes) -> int:
         """Pipelined read: send the request, return the send ordinal;
         redeem with wait_record()."""
@@ -1755,6 +1834,13 @@ class WireServer:
                 # (or the record no longer exists) — the writer must
                 # re-read and reconcile (AS_POLICY_GEN_EQ semantics)
                 return build_response(RC_GENERATION)
+            if parse_has_touch(frame):
+                # TOUCH: reset the stored ttl, bump the generation,
+                # keep the bins — absent records answer NOT_FOUND
+                cur = self._store.get(k)
+                if cur is None:
+                    return build_response(RC_KEY_NOT_FOUND)
+                bins = cur[0]
             self._store[k] = (bins, ttl)
             gen = self._gens[k] = self._gens.get(k, 0) + 1
             # the replication sequence is drawn INSIDE the critical

@@ -1254,3 +1254,30 @@ def test_wire_generation_survives_replication_and_handoff():
     finally:
         master.close()
         replica.close()
+
+
+def test_wire_touch_resets_ttl_keeps_bins():
+    """TOUCH (round 13): resets the stored TTL to the request header's
+    record_ttl and bumps the generation WITHOUT carrying or rewriting
+    bins; absent keys answer not_found; composes with the CAS policy."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        k = b"keepalive"
+        assert c.wait(c.put(k, {"v": b"7", "w": b"8"}, 100)) == "ok"
+        assert c.wait(c.touch(k, 5000)) == "ok"
+        gen, ttl, bins = c.wait_record_gen(c.get(k))
+        assert (gen, ttl, bins) == (2, 5000, {"v": b"7", "w": b"8"})
+        assert c.wait(c.touch(b"absent", 5000)) == "not_found"
+        # CAS-composed: stale expected generation refuses, exact lands
+        assert c.wait(c.touch(k, 9000, expect_gen=1)) == "gen_mismatch"
+        assert c.wait(c.touch(k, 9000, expect_gen=2)) == "ok"
+        gen, ttl, _bins = c.wait_record_gen(c.get(k))
+        assert (gen, ttl) == (3, 9000)
+        # a touch request is ~60B regardless of record width
+        assert len(aw.build_touch("tmx", "t", k, 9000)) < 80
+        c.close()
+    finally:
+        srv.close()
