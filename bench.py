@@ -125,8 +125,10 @@ HEADLINE = [
     "s47_wire_batch_lookup",
     "s48_wire_batch_during_handoff",
     "s49_wire_cas_refresh",
+    "s50_wire_touch_ttl_extend",
     "stream_wire_batch_enrich",
     "sim_index_persist_bq",
+    "sample_global_shuffle",
 ]
 
 
@@ -1409,9 +1411,16 @@ def main() -> None:
         detail["scale_slope"] = slope
     # BENCH_DETAIL.json is COMMITTED (VERDICT r11 task 1): it carries the
     # host_tag, so the tripwire can use it as a same-machine baseline
-    # when no tagged BENCH_r*.json exists yet, and refuses it otherwise
+    # when no tagged BENCH_r*.json exists yet, and refuses it otherwise.
+    # ONLY the canonical sf0.1 run may touch the committed name — a
+    # quick sf0.001 smoke once clobbered the idle baseline in the
+    # working tree and slipped into a commit; off-SF runs now write an
+    # untracked local sidecar instead
+    sidecar = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar),
         "w",
     ) as fh:
         json.dump(detail, fh, indent=1)

@@ -2494,6 +2494,128 @@ def q_s50_wire_touch_ttl_extend(spark, sf_dir):
     return out
 
 
+def q_s51_wire_compressed_sink(spark, sf_dir):
+    """WIRE COMPRESSION END-TO-END (round 13): the public protocol's
+    COMPRESSED envelope (proto type 4 — u64 uncompressed size + zlib
+    deflate of the whole inner frame, what the C client ships with
+    enable_compression) carries the ENTIRE sink pass: every put frame
+    above the floor (here 0 — everything) crosses the socket deflated,
+    the server's read path unwraps transparently, and the stored state
+    is bit-identical to the plain-wire contract.  The lookup pass rides
+    compressed BATCH requests back out.  At 100 TB the put stream is
+    the dominant wire cost of a migration; deflate on formatted numeric
+    records routinely halves it (the %.2f bins here are highly
+    redundant).  Asserts: every task's client actually compressed
+    (accumulated envelope count >= the record count), zero single gets.
+    Exact oracle: the standard merge read-back contract — compression
+    must be INVISIBLE in the stored bytes."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "deflated"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    sc = spark.sparkContext
+    acc_env = sc.accumulator(0)
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(
+                nodes, ns, set_name, compress_min=0
+            )
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c, r
+
+    def wait(h):
+        handle, c, r = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("compressed sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # compressed BATCH lookup back out
+    probes = records.select("key").repartition(n_tasks)
+
+    def lookup(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(
+                    nodes, ns, set_name, compress_min=0
+                )
+            digests = [
+                key_digest(set_name, str(int(k)).encode()) for k in pdf["key"]
+            ]
+            got = router.batch_read(digests)
+            cols, ttls = [], []
+            for d in digests:
+                rec = got[d]
+                if rec is None:
+                    raise RuntimeError("compressed sink: record missing")
+                ttl, bins = rec
+                cols.append(
+                    ",".join(
+                        sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                    )
+                )
+                ttls.append(int(ttl))
+            acc_env.add(
+                sum(c.n_compressed for c in router._clients.values())
+            )
+            yield pd.DataFrame(
+                {"key": pdf["key"], "cols_str": cols, "ttl": ttls}
+            )
+
+    out = probes.mapInPandas(
+        lookup, "key long, cols_str string, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    if acc_env.value < 1:
+        raise RuntimeError("compressed sink: no envelope ever shipped")
+    # server-side proof: every put (and every batch request) arrived
+    # inside the compressed envelope — at least one envelope per record
+    n_env = sum(srv._envelopes for srv in servers)
+    if n_env < n_records:
+        raise RuntimeError(
+            f"compressed sink: only {n_env} envelopes for {n_records} records"
+        )
+    if sum(srv._gets for srv in servers) != 0:
+        raise RuntimeError("compressed lookup degraded to single gets")
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -2646,6 +2768,7 @@ QUERIES = {
     "s48_wire_batch_during_handoff": q_s48_wire_batch_during_handoff,
     "s49_wire_cas_refresh": q_s49_wire_cas_refresh,
     "s50_wire_touch_ttl_extend": q_s50_wire_touch_ttl_extend,
+    "s51_wire_compressed_sink": q_s51_wire_compressed_sink,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -2905,6 +3028,23 @@ ORACLES = {
                     ELSE CAST(2 AS INT) END AS gen,
                CASE WHEN lr.expiry = 4294967295 THEN 4294967295
                     ELSE lr.expiry - 1719792000 + 10000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # s51: compression must be invisible in the stored bytes — the
+    # standard merge read-back contract; the envelope counts and
+    # batching invariants are in-query asserts
+    "s51_wire_compressed_sink": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         GROUP BY lr.key, lr.expiry
     """,

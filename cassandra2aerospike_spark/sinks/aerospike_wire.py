@@ -49,6 +49,11 @@ PROTO_VERSION = 2
 MSG_TYPE = 3
 ADMIN_MSG_TYPE = 2  # the security/admin channel (AS_ADMIN_MESSAGE_TYPE)
 INFO_MSG_TYPE = 1  # the text info channel (AS_INFO_MESSAGE_TYPE)
+# the compressed envelope (AS_COMPRESSED_MESSAGE_TYPE): body = u64
+# uncompressed size + zlib deflate of a complete inner proto frame —
+# what the C client emits with enable_compression for messages above
+# its size floor
+COMPRESSED_MSG_TYPE = 4
 
 # admin commands (public security protocol, AdminCommand.java /
 # as_admin.c)
@@ -252,16 +257,62 @@ def _read_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
+def compress_frame(frame: bytes) -> bytes:
+    """Wrap a complete proto frame in the COMPRESSED proto envelope
+    (round 13 — the public AS_COMPRESSED_MSG the C client sends when
+    `enable_compression` is on and the message clears its size floor):
+    proto type 4, body = BE u64 UNCOMPRESSED length + zlib deflate of
+    the whole inner frame.  The peer's read path unwraps transparently,
+    so compression composes with every message type."""
+    import zlib
+
+    body = struct.pack(">Q", len(frame)) + zlib.compress(frame)
+    return _proto_frame(body, COMPRESSED_MSG_TYPE)
+
+
 def read_frame(sock: socket.socket) -> tuple[int, bytes]:
     """(message type, body) — 3 = AS_MSG data, 2 = admin/security,
-    1 = text info."""
+    1 = text info.  A COMPRESSED envelope (type 4) is unwrapped
+    transparently (see read_frame_ex)."""
+    typ, body, _compressed = read_frame_ex(sock)
+    return typ, body
+
+
+def read_frame_ex(sock: socket.socket) -> tuple[int, bytes, bool]:
+    """(message type, body, arrived_compressed) — the COMPRESSED
+    envelope (type 4) is unwrapped here: its body is the u64
+    uncompressed size + zlib deflate of a complete inner frame, which
+    is then parsed as usual (size cross-checked — a mismatch is a
+    corrupt envelope, not a short read)."""
     (hdr,) = struct.unpack(">Q", _read_exact(sock, 8))
     version, typ = hdr >> 56, (hdr >> 48) & 0xFF
     if version != PROTO_VERSION or typ not in (
-        MSG_TYPE, ADMIN_MSG_TYPE, INFO_MSG_TYPE,
+        MSG_TYPE, ADMIN_MSG_TYPE, INFO_MSG_TYPE, COMPRESSED_MSG_TYPE,
     ):
         raise ValueError(f"aerospike wire: bad proto header {version}/{typ}")
-    return typ, _read_exact(sock, hdr & 0xFFFFFFFFFFFF)
+    body = _read_exact(sock, hdr & 0xFFFFFFFFFFFF)
+    if typ != COMPRESSED_MSG_TYPE:
+        return typ, body, False
+    import zlib
+
+    if len(body) < 8:
+        raise ValueError("aerospike wire: short compressed envelope")
+    (usize,) = struct.unpack_from(">Q", body, 0)
+    try:
+        inner = zlib.decompress(body[8:])
+    except zlib.error as e:
+        raise ValueError(f"aerospike wire: bad compressed body: {e}") from None
+    if len(inner) != usize or len(inner) < 8:
+        raise ValueError("aerospike wire: compressed size mismatch")
+    (ihdr,) = struct.unpack(">Q", inner[:8])
+    iversion, ityp = ihdr >> 56, (ihdr >> 48) & 0xFF
+    if (
+        iversion != PROTO_VERSION
+        or ityp not in (MSG_TYPE, ADMIN_MSG_TYPE, INFO_MSG_TYPE)
+        or (ihdr & 0xFFFFFFFFFFFF) != len(inner) - 8
+    ):
+        raise ValueError("aerospike wire: bad inner frame in envelope")
+    return ityp, inner[8:], True
 
 
 def build_put(
@@ -980,6 +1031,7 @@ class ClusterRouter:
         rf2: bool = False,
         max_retends: int = 64,
         initial_pmap: list[int] | None = None,
+        compress_min: int | None = None,
     ):
         self.nodes = list(nodes)
         self.namespace = namespace
@@ -987,6 +1039,7 @@ class ClusterRouter:
         self._user = user
         self._credential = credential
         self._rf2 = rf2
+        self._compress_min = compress_min
         self._max_retends = max_retends
         self._clients: dict[int, WireClient] = {}
         self.pmap: list[int] = []
@@ -1074,6 +1127,7 @@ class ClusterRouter:
             c = self._clients[idx] = WireClient(
                 h, p, self.namespace, self.set_name,
                 user=self._user, credential=self._credential,
+                compress_min=self._compress_min,
             )
         return c
 
@@ -1222,6 +1276,7 @@ class WireClient:
         password: str | None = None,
         credential: str | None = None,
         session_token: bytes | None = None,
+        compress_min: int | None = None,
     ):
         self.sock = socket.create_connection((host, port))
         # pipelined small frames: Nagle + delayed-ACK turns each put
@@ -1232,6 +1287,12 @@ class WireClient:
         self._sent = 0
         self._received = 0
         self._results: dict[int, int] = {}
+        # enable_compression (round 13): data frames at or above this
+        # size ship inside the COMPRESSED proto envelope (type 4); the
+        # server's read path unwraps transparently.  None = off, the
+        # C-client default
+        self.compress_min = compress_min
+        self.n_compressed = 0
         self.session_token: bytes | None = None
         # security handshake before any data message (the real client
         # order): a session token AUTHENTICATEs outright; credentials
@@ -1274,12 +1335,20 @@ class WireClient:
             )
         return rc, rfields
 
+    def _send(self, frame: bytes) -> None:
+        """Ship one data frame, inside the compressed envelope when
+        enable_compression is on and the frame clears the size floor."""
+        if self.compress_min is not None and len(frame) >= self.compress_min:
+            frame = compress_frame(frame)
+            self.n_compressed += 1
+        self.sock.sendall(frame)
+
     def put(
         self, key: bytes, bins: dict[str, bytes], ttl: int,
         create_only: bool = True,
         expect_gen: int | None = None,
     ) -> int:
-        self.sock.sendall(
+        self._send(
             build_put(
                 self.namespace, self.set_name, key, bins, ttl,
                 create_only=create_only, expect_gen=expect_gen,
@@ -1323,7 +1392,7 @@ class WireClient:
     ) -> int:
         """Pipelined digest-addressed put (the asrestore write shape);
         redeem with wait()."""
-        self.sock.sendall(
+        self._send(
             build_put_digest(
                 self.namespace, self.set_name, digest, bins, ttl,
                 create_only=create_only,
@@ -1336,7 +1405,7 @@ class WireClient:
     def delete(self, key: bytes) -> int:
         """Pipelined delete; redeem with wait() ('ok' | 'not_found' —
         deleting an absent key is idempotent, not an error)."""
-        self.sock.sendall(build_delete(self.namespace, self.set_name, key))
+        self._send(build_delete(self.namespace, self.set_name, key))
         h = self._sent
         self._sent += 1
         return h
@@ -1346,7 +1415,7 @@ class WireClient:
     ) -> int:
         """Pipelined TTL refresh (OP_TOUCH); redeem with wait() —
         'ok' | 'not_found' | 'gen_mismatch' (CAS-composed)."""
-        self.sock.sendall(
+        self._send(
             build_touch(
                 self.namespace, self.set_name, key, ttl,
                 expect_gen=expect_gen,
@@ -1359,7 +1428,7 @@ class WireClient:
     def get(self, key: bytes) -> int:
         """Pipelined read: send the request, return the send ordinal;
         redeem with wait_record()."""
-        self.sock.sendall(build_get(self.namespace, self.set_name, key))
+        self._send(build_get(self.namespace, self.set_name, key))
         h = self._sent
         self._sent += 1
         return h
@@ -1410,7 +1479,7 @@ class WireClient:
             raise RuntimeError(
                 "aerospike wire: scan on a connection with in-flight requests"
             )
-        self.sock.sendall(
+        self._send(
             build_scan(self.namespace, self.set_name, pid_begin, pid_count)
         )
         while True:
@@ -1437,7 +1506,7 @@ class WireClient:
             raise RuntimeError(
                 "aerospike wire: batch on a connection with in-flight requests"
             )
-        self.sock.sendall(
+        self._send(
             build_batch(self.namespace, self.set_name, digests)
         )
         found: dict[int, tuple[int, dict[str, bytes]]] = {}
@@ -1564,6 +1633,8 @@ class WireServer:
         # re-tend row)
         self._on_batch = on_batch
         self._batches = 0
+        # requests that arrived inside the COMPRESSED envelope (type 4)
+        self._envelopes = 0
         self._info_namespace = info_namespace
         self._partition_generation = 1
         self._cred: tuple[str, str] | None = None
@@ -1588,7 +1659,10 @@ class WireServer:
                 authed = outer._cred is None
                 try:
                     while True:
-                        typ, body = read_frame(self.request)
+                        typ, body, compressed = read_frame_ex(self.request)
+                        if compressed:
+                            with outer._lock:
+                                outer._envelopes += 1
                         if typ == INFO_MSG_TYPE:
                             self.request.sendall(outer._info(body))
                         elif typ == ADMIN_MSG_TYPE:

@@ -1281,3 +1281,90 @@ def test_wire_touch_resets_ttl_keeps_bins():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_compressed_envelope_roundtrip_and_errors():
+    """The COMPRESSED proto envelope (round 13): compress_frame wraps a
+    complete inner frame (type 4, u64 uncompressed size + zlib); the
+    read path unwraps transparently for EVERY message type; corrupt
+    envelopes (bad deflate, size mismatch, bad inner header) raise the
+    uniform ValueError."""
+    import socket as socket_mod
+    import struct
+    import zlib
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    inner = aw.build_put("tmx", "t", b"zk", {"v": b"y" * 300}, 9)
+    env = aw.compress_frame(inner)
+    assert len(env) < len(inner)
+    # loop the envelope through a real socketpair -> read_frame_ex
+    a, b = socket_mod.socketpair()
+    try:
+        a.sendall(env)
+        typ, body, compressed = aw.read_frame_ex(b)
+        assert (typ, compressed) == (aw.MSG_TYPE, True)
+        assert body == inner[8:]
+        # plain frames keep flowing on the same connection
+        a.sendall(inner)
+        typ, body2, compressed = aw.read_frame_ex(b)
+        assert (typ, compressed) == (aw.MSG_TYPE, False)
+        assert body2 == inner[8:]
+        # corrupt deflate
+        bad = bytearray(env)
+        bad[-1] ^= 0xFF
+        a.sendall(bytes(bad))
+        try:
+            aw.read_frame_ex(b)
+            raise AssertionError("corrupt deflate accepted")
+        except ValueError:
+            pass
+        # size-mismatching envelope
+        lying = aw._proto_frame(
+            struct.pack(">Q", len(inner) + 1) + zlib.compress(inner),
+            aw.COMPRESSED_MSG_TYPE,
+        )
+        a.sendall(lying)
+        try:
+            aw.read_frame_ex(b)
+            raise AssertionError("size mismatch accepted")
+        except ValueError:
+            pass
+    finally:
+        a.close()
+        b.close()
+
+
+def test_wire_client_compression_spans_every_op():
+    """compress_min=0 ships every data op inside the envelope — puts,
+    gets, touch, delete, batch, scan — the server counts the arrivals
+    (_envelopes) and the stored state is identical to the plain wire."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    plain_srv = aw.WireServer()
+    comp_srv = aw.WireServer()
+    try:
+        pc = aw.WireClient(plain_srv.host, plain_srv.port, "tmx", "t")
+        cc = aw.WireClient(
+            comp_srv.host, comp_srv.port, "tmx", "t", compress_min=0
+        )
+        keys = [f"zz{i}".encode() for i in range(8)]
+        for c in (pc, cc):
+            for k in keys:
+                assert c.wait(c.put(k, {"v": k * 20}, 5)) == "ok"
+        assert cc.n_compressed == len(keys)
+        assert comp_srv._envelopes == len(keys)
+        assert plain_srv._envelopes == 0
+        assert comp_srv.records() == plain_srv.records()
+        # reads / touch / batch / scan ride the envelope too
+        assert cc.wait_record_gen(cc.get(keys[0]))[2] == {"v": keys[0] * 20}
+        assert cc.wait(cc.touch(keys[0], 99)) == "ok"
+        found, _m, _u = cc.batch_get([aw.key_digest("t", k) for k in keys])
+        assert len(found) == len(keys)
+        assert len(list(cc.scan())) == len(keys)
+        assert comp_srv._envelopes == len(keys) + 4
+        pc.close()
+        cc.close()
+    finally:
+        plain_srv.close()
+        comp_srv.close()
