@@ -2616,6 +2616,126 @@ def q_s51_wire_compressed_sink(spark, sf_dir):
     return out
 
 
+def q_s52_wire_scan_projection(spark, sf_dir):
+    """PROJECTION PUSHDOWN INTO THE CLUSTER (round 13): the scan op's
+    bin selection (the public as_scan_select concept — OP_READ ops
+    naming the wanted bins, info1 READ without GET_ALL) makes the
+    SERVER drop unrequested bins before they ever cross the wire: the
+    cluster-source twin of parquet ReadSchema pruning, and the reason a
+    narrow analytical read of a wide KV set costs a fraction of a full
+    backup sweep.  Flow: sink the merge, pick the TWO lexicographically
+    smallest live column names (small by contract — the column universe
+    is the dimension, not the data), run one PROJECTED scan task per
+    node, map digests back to keys distributedly.  Records holding
+    neither projected column still arrive (digest + ttl, zero bins) —
+    row identity is never pruned, only width.  Exact oracle: the live
+    merge state restricted to the projected columns, '' where none."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "projected"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("projection sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # the projection: two smallest live column names (tiny dimension)
+    proj = [
+        r["c"]
+        for r in records.select(
+            F.explode(F.map_keys("columns")).alias("c")
+        )
+        .distinct()
+        .orderBy("c")
+        .limit(2)
+        .collect()
+    ]
+
+    nodes_df = spark.createDataFrame(
+        [(i, h, p) for i, (h, p) in enumerate(nodes)],
+        "node int, host string, port int",
+    ).repartition(n_nodes, "node")
+
+    def scan_node(batches):
+        for pdf in batches:
+            for _node, h, p_ in zip(pdf["node"], pdf["host"], pdf["port"]):
+                c = WireClient(h, int(p_), ns, set_name)
+                dh, cols, ttls = [], [], []
+                for digest, ttl, bins in c.scan(bins=proj):
+                    extra = [n for n in bins if n not in proj]
+                    if extra:
+                        raise RuntimeError(
+                            f"projection leak: unrequested bins {extra}"
+                        )
+                    dh.append(digest.hex())
+                    cols.append(
+                        ",".join(
+                            sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                        )
+                    )
+                    ttls.append(int(ttl))
+                c.close()
+                yield pd.DataFrame(
+                    {"digest_hex": dh, "cols_str": cols, "ttl": ttls}
+                )
+
+    scanned = nodes_df.mapInPandas(
+        scan_node, "digest_hex string, cols_str string, ttl long"
+    )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = keyed.join(scanned, "digest_hex").select("key", "cols_str", "ttl").cache()
+    n_out = out.count()  # materialize while the cluster lives
+    if n_out != n_records:
+        raise RuntimeError(
+            f"projected scan dropped rows: {n_out} != {n_records} — "
+            "projection must prune width, never row identity"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -2769,6 +2889,7 @@ QUERIES = {
     "s49_wire_cas_refresh": q_s49_wire_cas_refresh,
     "s50_wire_touch_ttl_extend": q_s50_wire_touch_ttl_extend,
     "s51_wire_compressed_sink": q_s51_wire_compressed_sink,
+    "s52_wire_scan_projection": q_s52_wire_scan_projection,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -3043,6 +3164,30 @@ ORACLES = {
                string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
                           ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
                           ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # s52: the projected scan — live records restricted to the two
+    # smallest live column names, '' where a record holds neither
+    # (row identity survives projection); the projection-leak check is
+    # an in-query assert
+    "s52_wire_scan_projection": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        ), proj AS (
+          SELECT DISTINCT col_name FROM latest_f
+          WHERE key IN (SELECT key FROM live_records)
+          ORDER BY col_name LIMIT 2
+        )
+        SELECT lr.key,
+               coalesce(string_agg(
+                   lf.col_name || '=' || printf('%.2f', lf.value), ','
+                   ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+               ) FILTER (WHERE lf.col_name IN (SELECT col_name FROM proj)),
+               '') AS cols_str,
                CASE WHEN lr.expiry = 4294967295 THEN 4294967295
                     ELSE lr.expiry - 1719792000 END AS ttl
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key

@@ -600,6 +600,7 @@ def build_scan(
     set_name: str,
     pid_begin: int | None = None,
     pid_count: int | None = None,
+    bins: list[str] | None = None,
 ) -> bytes:
     """One SCAN request (round 12 — the live-cluster read the ecosystem's
     asbackup performs): info1 = READ | GET_ALL with namespace + set
@@ -609,7 +610,14 @@ def build_scan(
     With a PID range (the public partition-filter concept) the node
     returns only records in partitions [pid_begin, pid_begin+pid_count)
     — the knob that lets scan-task parallelism scale with the
-    4096-partition ring instead of the node count."""
+    4096-partition ring instead of the node count.
+
+    `bins` (round 13 — the public as_scan_select concept): PROJECTED
+    scan — info1 = READ without GET_ALL plus one OP_READ op naming each
+    requested bin; the node returns only those bins per record, so a
+    narrow read of wide records ships a fraction of the bytes (column
+    pruning pushed INTO the cluster, the wire twin of parquet
+    ReadSchema pruning)."""
     fields = []
     for ftype, data in (
         (FIELD_NAMESPACE, namespace.encode()),
@@ -623,12 +631,48 @@ def build_scan(
         fields.append(
             struct.pack(">IB", len(data) + 1, FIELD_PID_RANGE) + data
         )
+    ops = []
+    if bins is not None:
+        for name in bins:
+            nb = name.encode()
+            body = struct.pack("BBBB", 1, 0, 0, len(nb)) + nb
+            ops.append(struct.pack(">I", len(body)) + body)
+    info1 = INFO1_READ | (0 if bins is not None else INFO1_GET_ALL)
     msg = struct.pack(
         ">BBBBBBIIIHH",
-        22, INFO1_READ | INFO1_GET_ALL, 0, 0, 0, 0, 0, 0, 1000,
-        len(fields), 0,
+        22, info1, 0, 0, 0, 0, 0, 0, 1000,
+        len(fields), len(ops),
     )
-    return _proto_frame(msg + b"".join(fields))
+    return _proto_frame(msg + b"".join(fields) + b"".join(ops))
+
+
+def parse_scan_bins(frame: bytes) -> list[str] | None:
+    """Server-side: the projected bin names of a scan request (OP_READ
+    ops), or None for a read-all (GET_ALL) scan.  Bounds-checked."""
+    if len(frame) < 22 or frame[1] & INFO1_GET_ALL:
+        return None
+    n_fields, n_ops = struct.unpack_from(">HH", frame, 18)
+    off = 22
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return None
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return None
+        off += 4 + sz
+    names: list[str] = []
+    for _ in range(n_ops):
+        if off + 8 > len(frame):
+            raise ValueError("aerospike wire: truncated scan op list")
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 4 or off + 4 + sz > len(frame):
+            raise ValueError("aerospike wire: truncated scan op list")
+        _op, _pt, _ver, nlen = struct.unpack_from("BBBB", frame, off + 4)
+        if 4 + nlen > sz:
+            raise ValueError("aerospike wire: scan op name overruns op")
+        names.append(frame[off + 8 : off + 8 + nlen].decode())
+        off += 4 + sz
+    return names
 
 
 def parse_pid_range(frame: bytes) -> tuple[int, int] | None:
@@ -1467,10 +1511,17 @@ class WireClient:
             raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
         return parse_record_gen(body), ttl, bins
 
-    def scan(self, pid_begin: int | None = None, pid_count: int | None = None):
+    def scan(
+        self,
+        pid_begin: int | None = None,
+        pid_count: int | None = None,
+        bins: list[str] | None = None,
+    ):
         """Stream every record this node serves for (namespace, set) —
         optionally restricted to the partition range [pid_begin,
-        pid_begin+pid_count): one scan request, yield (digest, ttl,
+        pid_begin+pid_count) and/or PROJECTED to named bins (the
+        as_scan_select shape: narrow reads of wide records ship only
+        the requested bins): one scan request, yield (digest, ttl,
         bins) until the INFO3_LAST terminator.  A scan owns the
         connection's response stream, so it refuses to start with
         requests in flight (send scans on their own connection, like
@@ -1480,7 +1531,10 @@ class WireClient:
                 "aerospike wire: scan on a connection with in-flight requests"
             )
         self._send(
-            build_scan(self.namespace, self.set_name, pid_begin, pid_count)
+            build_scan(
+                self.namespace, self.set_name, pid_begin, pid_count,
+                bins=bins,
+            )
         )
         while True:
             typ, body = read_frame(self.sock)
@@ -1856,7 +1910,10 @@ class WireServer:
                         return build_response(RC_SERVER_ERROR)
                     return self._batch(ns, st, entries)
                 if not digest:
-                    return self._scan(ns, st, parse_pid_range(frame))
+                    return self._scan(
+                        ns, st, parse_pid_range(frame),
+                        parse_scan_bins(frame),
+                    )
                 pid = partition_id(digest)
                 with self._lock:
                     readable = (
@@ -1974,7 +2031,8 @@ class WireServer:
         return b"".join(out)
 
     def _scan(
-        self, ns: str, st: str, pid_range: tuple[int, int] | None = None
+        self, ns: str, st: str, pid_range: tuple[int, int] | None = None,
+        bins: list[str] | None = None,
     ) -> bytes:
         """SCAN response: every (ns, set) record this node MASTERS as a
         digest-tagged record stream + the INFO3_LAST terminator.
@@ -1996,14 +2054,20 @@ class WireServer:
             if self._on_scan is not None:
                 self._on_scan(self._scans)
             snap = [
-                (k[2], v[1], v[0])
+                (
+                    k[2],
+                    v[1],
+                    v[0]
+                    if bins is None
+                    else {n: b for n, b in v[0].items() if n in bins},
+                )
                 for k, v in self._store.items()
                 if k[0] == ns
                 and k[1] == st
                 and (self._owned is None or partition_id(k[2]) in self._owned)
                 and in_range(partition_id(k[2]))
             ]
-        out = [build_scan_record(d, ttl, bins) for d, ttl, bins in snap]
+        out = [build_scan_record(d, ttl, rb) for d, ttl, rb in snap]
         out.append(build_scan_last())
         return b"".join(out)
 

@@ -1368,3 +1368,30 @@ def test_wire_client_compression_spans_every_op():
     finally:
         plain_srv.close()
         comp_srv.close()
+
+
+def test_wire_scan_projection_prunes_width_not_rows():
+    """Projected scans (round 13): the server returns only the
+    requested bins — records holding none still arrive with zero bins
+    (row identity survives); composes with pid ranges; GET_ALL scans
+    are unchanged."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        for i in range(10):
+            bins = {"a": b"1", "b": b"2"} if i % 2 else {"b": b"2"}
+            assert c.wait(c.put(f"w{i}".encode(), bins, 0)) == "ok"
+        proj = list(c.scan(bins=["a"]))
+        assert len(proj) == 10
+        assert sum(1 for _, _, b in proj if b == {"a": b"1"}) == 5
+        assert sum(1 for _, _, b in proj if b == {}) == 5
+        assert all(set(b) <= {"a"} for _, _, b in proj)
+        # request grammar roundtrip
+        req = aw.build_scan("tmx", "t", bins=["a", "bc"])
+        assert aw.parse_scan_bins(req[8:]) == ["a", "bc"]
+        assert aw.parse_scan_bins(aw.build_scan("tmx", "t")[8:]) is None
+        c.close()
+    finally:
+        srv.close()
