@@ -1261,6 +1261,135 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # round-13 (late): the batch-lookup family — the READ phase
+        # resolves every stored key through per-node BATCH requests
+        # (ClusterRouter.batch_read's batch-node split); per-unit
+        # throughput should RISE with scale as the per-task connect +
+        # tend floor amortizes over more digests per batch
+        def batch_probe(factor: int):
+            import pandas as _pd
+
+            from cassandra2aerospike_spark.operators import merge
+            from cassandra2aerospike_spark.sinks.aerospike_wire import (
+                ClusterRouter,
+                N_PARTITIONS,
+                WireClient,
+                WireServer,
+                fetch_partition_map,
+                key_digest,
+                partition_id,
+            )
+            from cassandra2aerospike_spark.sinks.kv_sink import (
+                bounded_async_foreach_writer,
+            )
+
+            ns_, set_ = "tmx", "blkup"
+            recs = (
+                merge.merge_records(ev)
+                .withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn(
+                    "key", F.col("key") + F.col("rep").cast("long") * 10_000_000
+                )
+                .drop("rep")
+                .select("key", "columns", "expiry")
+                .persist()
+            )
+            n = recs.count()
+            servers = [
+                WireServer(
+                    owned_partitions={
+                        p for p in range(N_PARTITIONS) if p % 3 == i
+                    },
+                    info_namespace=ns_,
+                )
+                for i in range(3)
+            ]
+            nodes = [(s_.host, s_.port) for s_ in servers]
+            pmap = [-1] * N_PARTITIONS
+            for idx, (h_, p_) in enumerate(nodes):
+                _g, owned = fetch_partition_map(h_, p_, ns_)
+                for pt in owned:
+                    pmap[pt] = idx
+            eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+            state: dict = {}
+
+            def put(rd):
+                cl = state.get("clients")
+                if cl is None:
+                    cl = state["clients"] = [
+                        WireClient(h_, p_, ns_, set_) for h_, p_ in nodes
+                    ]
+                key = str(rd["key"]).encode()
+                bins = {
+                    k2: ("%.2f" % v).encode()
+                    for k2, v in rd["columns"].items()
+                }
+                ttl = (
+                    0xFFFFFFFF
+                    if rd["expiry"] == eternal
+                    else int(rd["expiry"]) - now_s
+                )
+                c = cl[pmap[partition_id(key_digest(set_, key))]]
+                return c.put(key, bins, ttl), c
+
+            def wait(h):
+                handle, c = h
+                if c.wait(handle) != "ok":
+                    raise RuntimeError("batch probe: non-ok put")
+                return True
+
+            bounded_async_foreach_writer(recs, put, wait, max_in_flight=32)
+            probes = recs.select("key").repartition(8)
+
+            def lookup(batches):
+                router = None
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    if router is None:
+                        router = ClusterRouter(nodes, ns_, set_)
+                    digs = [
+                        key_digest(set_, str(int(k)).encode())
+                        for k in pdf["key"]
+                    ]
+                    got = router.batch_read(digs)
+                    miss = sum(1 for d in digs if got[d] is None)
+                    yield _pd.DataFrame({"miss": [miss], "n": [len(digs)]})
+
+            t0 = time.time()
+            agg = (
+                probes.mapInPandas(lookup, "miss long, n long")
+                .groupBy()
+                .sum("miss", "n")
+                .first()
+            )
+            dt = time.time() - t0
+            for s_ in servers:
+                s_.close()
+            recs.unpersist()
+            if agg["sum(miss)"] != 0 or agg["sum(n)"] != n:
+                raise RuntimeError(
+                    f"batch probe lost lookups: {agg} for {n}"
+                )
+            return n / dt, n
+
+        bl5, _ = batch_probe(5)
+        bl15, nbl15 = batch_probe(15)
+        slope.update(
+            {
+                "batch_lookup_recs_per_sec_x5": round(bl5),
+                "batch_lookup_recs_per_sec_x15": round(bl15),
+                "batch_lookup_slope_ratio": round(bl15 / bl5, 3),
+            }
+        )
+        print(
+            f"# batch-lookup slope: x5 {bl5:,.0f} -> x15 {bl15:,.0f} recs/s "
+            f"(ratio {bl15 / bl5:.2f}, {nbl15} records)",
+            file=sys.stderr,
+        )
+
     sim_thru, n_vecs = gemm_probe(10)
     print(f"# similarity GEMM throughput: {sim_thru:,.0f} vecs/s over {n_vecs} vecs x 10 queries", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_SLOPE"):
