@@ -111,6 +111,10 @@ INFO1_GET_ALL = 0x02
 # carries MANY digests and the node answers a multi-record stream —
 # the protocol the real client's batch-node split rides
 INFO1_BATCH = 0x08
+# metadata-only read (AS_MSG_INFO1_GET_NOBINDATA): the response carries
+# result code + generation + ttl but NO bins — the aerospike_key_exists
+# probe, and the cheapest read a CAS loop can start from
+INFO1_NOBINDATA = 0x20
 INFO2_WRITE = 0x01
 INFO2_DELETE = 0x02
 # write only if the record's current generation equals the request
@@ -568,6 +572,26 @@ def build_get(namespace: str, set_name: str, key: bytes) -> bytes:
     return _proto_frame(msg + b"".join(fields))
 
 
+def build_exists(namespace: str, set_name: str, key: bytes) -> bytes:
+    """One metadata-only read (round 13 — aerospike_key_exists): info1
+    = READ | NOBINDATA; the node answers generation + ttl with zero
+    ops.  The cheapest read there is — a CAS loop or an existence sweep
+    never pays for the bins."""
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+        (FIELD_DIGEST, key_digest(set_name, key)),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, INFO1_READ | INFO1_NOBINDATA, 0, 0, 0, 0, 0, 0, 1000,
+        len(fields), 0,
+    )
+    return _proto_frame(msg + b"".join(fields))
+
+
 def build_record_response(
     result_code: int, ttl: int, bins: dict[str, bytes], gen: int = 1
 ) -> bytes:
@@ -832,7 +856,7 @@ def parse_batch_entries(frame: bytes) -> list[tuple[int, bytes]] | None:
 
 def build_batch_record(
     index: int, digest: bytes, result_code: int, ttl: int,
-    bins: dict[str, bytes],
+    bins: dict[str, bytes], gen: int = 1,
 ) -> bytes:
     """One record of a batch response: a record response whose header
     carries the BATCH INDEX in the transaction-ttl slot (the real
@@ -849,7 +873,7 @@ def build_batch_record(
         ops.append(struct.pack(">I", len(body)) + body)
     msg = struct.pack(
         ">BBBBBBIIIHH",
-        22, 0, 0, 0, 0, result_code, 1, ttl & 0xFFFFFFFF,
+        22, 0, 0, 0, 0, result_code, gen & 0xFFFFFFFF, ttl & 0xFFFFFFFF,
         index & 0xFFFFFFFF, len(fields), len(ops),
     )
     return _proto_frame(msg + b"".join(fields) + b"".join(ops))
@@ -1494,6 +1518,15 @@ class WireClient:
             raise RuntimeError(f"aerospike wire: get failed, result code {rc}")
         return ttl, bins
 
+    def exists(self, key: bytes) -> int:
+        """Pipelined metadata-only read (INFO1_NOBINDATA — the
+        aerospike_key_exists probe); redeem with wait_record_gen:
+        (generation, ttl, {}) or None."""
+        self._send(build_exists(self.namespace, self.set_name, key))
+        h = self._sent
+        self._sent += 1
+        return h
+
     def wait_record_gen(self, handle: int):
         """(gen, ttl, bins) for a pipelined get, or None when absent —
         the CAS loop's read half: the returned generation feeds the
@@ -1931,6 +1964,9 @@ class WireServer:
                     return build_response(RC_PARTITION_UNAVAILABLE)
                 if rec is None:
                     return build_record_response(RC_KEY_NOT_FOUND, 0, {})
+                if frame[1] & INFO1_NOBINDATA:
+                    # metadata-only read: generation + ttl, zero ops
+                    return build_record_response(RC_OK, rec[1], {}, gen=gen)
                 return build_record_response(RC_OK, rec[1], rec[0], gen=gen)
             ns, st, digest, bins, ttl, create_only = parse_put(frame)
         except ValueError:
@@ -2015,17 +2051,22 @@ class WireServer:
                 )
                 if not readable:
                     rows.append(
-                        (index, digest, RC_PARTITION_UNAVAILABLE, 0, {})
+                        (index, digest, RC_PARTITION_UNAVAILABLE, 0, {}, 0)
                     )
                     continue
                 rec = self._store.get((ns, st, digest))
                 if rec is None:
-                    rows.append((index, digest, RC_KEY_NOT_FOUND, 0, {}))
+                    rows.append((index, digest, RC_KEY_NOT_FOUND, 0, {}, 0))
                 else:
-                    rows.append((index, digest, RC_OK, rec[1], rec[0]))
+                    rows.append(
+                        (
+                            index, digest, RC_OK, rec[1], rec[0],
+                            self._gens.get((ns, st, digest), 1),
+                        )
+                    )
         out = [
-            build_batch_record(i, d, rc, ttl, bins)
-            for i, d, rc, ttl, bins in rows
+            build_batch_record(i, d, rc, ttl, bins, gen=g)
+            for i, d, rc, ttl, bins, g in rows
         ]
         out.append(build_scan_last())
         return b"".join(out)

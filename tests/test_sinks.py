@@ -1395,3 +1395,31 @@ def test_wire_scan_projection_prunes_width_not_rows():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_exists_probe_is_metadata_only():
+    """INFO1_NOBINDATA (round 13): the exists probe answers generation
+    + ttl with zero ops — the response size is independent of record
+    width; absent keys answer None; batch records carry the REAL
+    generation in their header."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        k = b"wide"
+        wide = {f"b{i}": b"x" * 200 for i in range(10)}
+        assert c.wait(c.put(k, wide, 123)) == "ok"
+        assert c.wait(c.put(k, wide, 123, create_only=False)) == "ok"
+        got = c.wait_record_gen(c.exists(k))
+        assert got == (2, 123, {})
+        assert c.wait_record_gen(c.exists(b"nope")) is None
+        # the metadata response is bins-independent small
+        assert len(aw.build_exists("tmx", "t", k)) < 80
+        # batch record header carries the real generation
+        frame = aw.build_batch_record(7, aw.key_digest("t", k), 0, 5, {}, gen=9)
+        import struct
+        assert struct.unpack_from(">I", frame[8:], 6)[0] == 9
+        c.close()
+    finally:
+        srv.close()
