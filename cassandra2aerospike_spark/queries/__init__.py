@@ -50,10 +50,21 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # suite; the r10 cohort heads the r14 rotation.
 # LATE r13 additions (landed after this prefix was frozen to keep the
 # task-3 rotation exact): the wire BATCH-INDEX read family
-# (s47_wire_batch_lookup, s48_wire_batch_during_handoff) and the
-# persisted-BQ index (sim_index_persist_bq) sit at 51+ —
+# (s47_wire_batch_lookup, s48_wire_batch_during_handoff,
+# stream_wire_batch_enrich, CLI --batch-verify), the CAS refresh
+# (s49), the TOUCH sweep (s50), the compressed envelope (s51), scan
+# bin projection (s52), the persisted-BQ index (sim_index_persist_bq)
+# and the seeded global shuffle (sample_global_shuffle) sit at 51+ —
 # pytest-oracle-verified at both gate SFs — and head the r14 prefix
-# together with the r10 cohort.
+# together with the r10 cohort.  NOTE for the r14 rotation: the late
+# additions also touched shared wire-client/server code (generation
+# tracking in every write path, the _send compression hook on every
+# client op) — every wire row re-passed its exact oracle in the
+# post-change full pytest run, and the prefix's s44-s46 +
+# stream_asb_incremental_backup rows get fresh driver signatures over
+# the changed code this round; the remaining wire rows (s28, s32,
+# s36-s43, stream_cdc_*) belong in the r14 prefix alongside the r10
+# cohort.
 _PRIORITY = [
     # -- (a) NEW in r13: scan re-tend under a live handoff, the
     #    backup/restore capstone, the streaming incremental backup,
