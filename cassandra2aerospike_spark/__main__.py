@@ -65,6 +65,12 @@ job shapes against SSTable-style run directories:
                                        #   pipelined single gets; round
                                        #   trips per task ~ nodes, not
                                        #   records (implies --verify)
+        [--compress]                   # ROUND 13: client compression —
+                                       #   data frames >= 128 B ship in
+                                       #   the COMPRESSED proto envelope
+                                       #   (type 4, zlib) on every wire
+                                       #   path: sink, verify, backup,
+                                       #   restore (enable_compression)
         [--asof EPOCH_US]              # ROUND 10: point-in-time run —
                                        #   merge only writes at ts <= T,
                                        #   expiry evaluated AT T (the
@@ -253,6 +259,7 @@ def _backup_restore(args, p) -> int:
 
         credential = hashpw(args.password or "")
     now_s = args.now_s if args.now_s is not None else int(_time.time())
+    compress_min = 128 if args.compress else None
     spark = get_spark("cassandra2aerospike")
     if args.parallelism:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
@@ -287,6 +294,7 @@ def _backup_restore(args, p) -> int:
                             c = WireClient(
                                 h, p_, ns, set_name,
                                 user=user, credential=credential,
+                                compress_min=compress_min,
                             )
                             for digest, ttl, bins in c.scan(
                                 int(begin), int(count)
@@ -361,7 +369,10 @@ def _backup_restore(args, p) -> int:
         cl = state.get("clients")
         if cl is None:
             cl = state["clients"] = [
-                WireClient(h_, p_, ns, set_name, user=user, credential=credential)
+                WireClient(
+                    h_, p_, ns, set_name, user=user,
+                    credential=credential, compress_min=compress_min,
+                )
                 for h_, p_ in nodes
             ]
         digest = bytes.fromhex(rd["digest_hex"])
@@ -460,6 +471,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--batch-verify", dest="batch_verify", action="store_true"
     )
+    p.add_argument("--compress", dest="compress", action="store_true")
     p.add_argument("--since", dest="since_us", type=int, default=None)
     # round 13: the asbackup/asrestore job shapes over -h clusters
     p.add_argument("--backup", dest="backup_dir", default=None)
@@ -654,6 +666,7 @@ def main(argv: list[str] | None = None) -> int:
             credential = hashpw(args.password or "")
         user = args.username
         sc = spark.sparkContext
+        compress_min = 128 if args.compress else None
         acc_ok, acc_exists, acc_retry = (sc.accumulator(0) for _ in range(3))
         # accounting via ONE explicit agg pass, NOT observe():
         # foreachPartition executes through the RDD path, which never
@@ -673,7 +686,8 @@ def main(argv: list[str] | None = None) -> int:
             r = state.get("router")
             if r is None:
                 r = state["router"] = ClusterRouter(
-                    nodes, ns, set_name, user=user, credential=credential
+                    nodes, ns, set_name, user=user, credential=credential,
+                    compress_min=compress_min,
                 )
             return r
 
@@ -694,6 +708,7 @@ def main(argv: list[str] | None = None) -> int:
                     c = state["client"] = WireClient(
                         host, port, ns, set_name,
                         user=user, credential=credential,
+                        compress_min=compress_min,
                     )
             return c.put(k, bins, int(rd["write_ttl"])), c, k, idx
 
@@ -800,7 +815,7 @@ def main(argv: list[str] | None = None) -> int:
                             router = ClusterRouter(
                                 nodes, ns, set_name,
                                 user=user, credential=credential,
-                                rf2=True,
+                                rf2=True, compress_min=compress_min,
                             )
                         if len(pend) >= window:
                             redeem()
@@ -822,6 +837,7 @@ def main(argv: list[str] | None = None) -> int:
                             single = WireClient(
                                 host, port, ns, set_name,
                                 user=user, credential=credential,
+                                compress_min=compress_min,
                             )
                         if len(pend) >= window:
                             redeem()
@@ -861,6 +877,7 @@ def main(argv: list[str] | None = None) -> int:
                             router = ClusterRouter(
                                 nodes, ns, set_name,
                                 user=user, credential=credential, rf2=True,
+                                compress_min=compress_min,
                             )
                         got = router.batch_read(digests)
                         recs = [got[d] for d in digests]
@@ -869,6 +886,7 @@ def main(argv: list[str] | None = None) -> int:
                             single = WireClient(
                                 host, port, ns, set_name,
                                 user=user, credential=credential,
+                                compress_min=compress_min,
                             )
                         found, _missing, unavailable = single.batch_get(
                             digests

@@ -714,3 +714,29 @@ def test_cli_batch_verify_single_and_cluster(runs_dir, capsys):
     finally:
         for srv in servers:
             srv.close()
+
+
+def test_cli_compress_flag_ships_envelopes(runs_dir, capsys):
+    """--compress (round 13): the sink's data frames cross the socket
+    inside the compressed proto envelope — the server counts the
+    arrivals; the stored state and --verify outcome are identical to a
+    plain-wire run."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import WireServer
+
+    plain, comp = WireServer(), WireServer()
+    try:
+        base = ["-i", runs_dir, "-n", "tmx", "-t", "recs", "--verify"] + NOW
+        assert main(base + ["-h", f"127.0.0.1:{plain.port}"]) == 0
+        assert (
+            main(base + ["-h", f"127.0.0.1:{comp.port}", "--compress"]) == 0
+        )
+        out = capsys.readouterr().out
+        assert " 0 mismatches" in out
+        assert plain._envelopes == 0
+        # frames above the 128 B floor arrived deflated (small records
+        # stay plain — the real client's size-floor behavior)
+        assert comp._envelopes > 0
+        assert comp.records() == plain.records()
+    finally:
+        plain.close()
+        comp.close()
