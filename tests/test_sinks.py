@@ -1423,3 +1423,35 @@ def test_wire_exists_probe_is_metadata_only():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_batch_requires_auth_on_secured_cluster():
+    """Batch-index reads honor the security gate like every data
+    message: unauthenticated connections draw RC_NOT_AUTHENTICATED,
+    a LOGINed client batches normally."""
+    import pytest
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+    from cassandra2aerospike_spark.sinks.bcrypt_py import hashpw
+
+    salt6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"
+    srv = aw.WireServer(credentials=("bu", "pw"), credential_salt=salt6)
+    try:
+        cred = hashpw("pw", salt6)
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t", user="bu", credential=cred)
+        k = b"sec-batch"
+        assert c.wait(c.put(k, {"v": b"1"}, 0)) == "ok"
+        found, missing, _ = c.batch_get([aw.key_digest("t", k)])
+        assert found[0] == (0, {"v": b"1"}) and not missing
+        c.close()
+        # no handshake: the batch answers NOT_AUTHENTICATED (a plain
+        # result-code response, surfaced as the batch-failed error)
+        import socket as s_mod
+
+        sock = s_mod.create_connection((srv.host, srv.port))
+        sock.sendall(aw.build_batch("tmx", "t", [aw.key_digest("t", k)]))
+        _typ, body = aw.read_frame(sock)
+        assert body[5] == aw.RC_NOT_AUTHENTICATED
+        sock.close()
+    finally:
+        srv.close()
