@@ -126,6 +126,8 @@ HEADLINE = [
     "s48_wire_batch_during_handoff",
     "s49_wire_cas_refresh",
     "s50_wire_touch_ttl_extend",
+    "s51_wire_compressed_sink",
+    "s52_wire_scan_projection",
     "stream_wire_batch_enrich",
     "sim_index_persist_bq",
     "sample_global_shuffle",
@@ -1340,7 +1342,9 @@ def main() -> None:
                     raise RuntimeError("batch probe: non-ok put")
                 return True
 
-            bounded_async_foreach_writer(recs, put, wait, max_in_flight=32)
+            bounded_async_foreach_writer(
+                recs.coalesce(8), put, wait, max_in_flight=32
+            )
             probes = recs.select("key").repartition(8)
 
             def lookup(batches):

@@ -1770,6 +1770,11 @@ class WireServer:
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+            # 32 executor tasks x several nodes connect in one burst;
+            # socketserver's default backlog of 5 can overflow the
+            # accept queue and RST the excess (observed as a flaky
+            # ConnectionResetError in the x15 slope probes)
+            request_queue_size = 128
 
         self._server = Server(("127.0.0.1", 0), Handler)
         self.host, self.port = self._server.server_address
