@@ -57,6 +57,42 @@ def q_sim_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_queries_frame(emb), emb, k=5, n_centroids=16, nprobe=2)
 
 
+def q_sim_recall_report(spark, sf_dir):
+    """X3 OPERATIONAL METRIC (round 13, late): RECALL@k of the IVF
+    index against exact brute-force ground truth, per nprobe — the
+    evaluation every ANN deployment runs before trusting an index (and
+    re-runs after drift/retrain).  For nprobe in {1, 2}: hits = how
+    many of the exact top-5 the IVF top-5 recovers, possible = the
+    ground-truth size, recall_bp = hits*10000 div possible (integer
+    basis points — no float recall, so the row hash-matches exactly).
+    nprobe=2 must recover at least as much as nprobe=1 (the monotone
+    recall knob, unit-tested since round 4 — here driver-checked with
+    the exact numbers).  Scale shape: both sides are the existing
+    bounded top-k plans; the comparison is an equi-join of two
+    (q_id, vec_id) sets plus two 1-row aggregates."""
+    emb = _emb(spark, sf_dir)
+    q = _queries_frame(emb)
+    truth = S.brute_force_topk(q, emb, k=5).select("q_id", "vec_id")
+    possible = truth.agg(F.count("*").alias("possible"))
+    parts = []
+    for nprobe in (1, 2):
+        ivf = S.ivf_topk(q, emb, k=5, n_centroids=16, nprobe=nprobe).select(
+            "q_id", "vec_id"
+        )
+        hits = ivf.join(truth, ["q_id", "vec_id"]).agg(
+            F.count("*").alias("hits")
+        )
+        parts.append(
+            hits.crossJoin(possible).select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "hits",
+                "possible",
+                F.expr("hits * 10000 div possible").alias("recall_bp"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
 def q_sim_pq_topk(spark, sf_dir):
     """X3 scale path #3: product quantization + asymmetric distance —
     the corpus compressed to 4 sub-centroid codes (16-dim subspaces,
@@ -1849,6 +1885,72 @@ ORACLES = {
     # the persisted-SQ8 serve replay: ranges trained on the BASE corpus,
     # arrivals encoded against them with [0,255] clamping, recon + ADC
     # integer arithmetic (non-negative operands: truncating div == //)
+    # recall@5 of IVF (nprobe 1 and 2) vs the exact brute top-5 —
+    # integer hits/possible/basis-points, so the metric hashes exactly
+    "sim_recall_report": """
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS c_vec
+          FROM embeddings WHERE vec_id < 16
+        ),
+        corpus_scored AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 list_inner_product(e.embedding::DOUBLE[], c.c_vec)
+                 / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(c.c_vec, c.c_vec))) AS sim
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus_cells AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM corpus_scored) WHERE rn = 1
+        ),
+        q_cells AS (
+          SELECT vec_id AS q_id, embedding AS q_vec, cid AS cell, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM corpus_scored WHERE vec_id % 50 = 0) WHERE rn <= 2
+        ),
+        truth AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     list_inner_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                     / (sqrt(list_inner_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                        * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                     DESC, e.vec_id) AS rank
+            FROM embeddings e
+            CROSS JOIN (SELECT DISTINCT q_id, q_vec FROM q_cells) q
+            WHERE q.q_id != e.vec_id)
+          WHERE rank <= 5
+        ),
+        ivf AS (
+          SELECT np, q_id, vec_id FROM (
+            SELECT np.np, s.q_id, s.vec_id,
+                   row_number() OVER (PARTITION BY np.np, s.q_id
+                                      ORDER BY s.sim DESC, s.vec_id) AS rank
+            FROM (SELECT 1 AS np UNION ALL SELECT 2) np
+            JOIN (
+              SELECT q.q_id, e.vec_id, q.rn,
+                     list_inner_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                     / (sqrt(list_inner_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                        * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                         AS sim
+              FROM corpus_cells e JOIN q_cells q ON e.cell = q.cell
+              WHERE q.q_id != e.vec_id
+            ) s ON s.rn <= np.np)
+          WHERE rank <= 5
+        ),
+        counts AS (
+          SELECT i.np AS nprobe, count(*) AS hits
+          FROM ivf i JOIN truth t ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+          GROUP BY i.np
+        )
+        SELECT CAST(nprobe AS INT) AS nprobe, hits,
+               (SELECT count(*) FROM truth) AS possible,
+               hits * 10000 // (SELECT count(*) FROM truth) AS recall_bp
+        FROM counts
+    """,
     "sim_index_persist_bq": """
         WITH q AS (
           SELECT vec_id,
@@ -2163,6 +2265,7 @@ QUERIES = {
     "sim_index_persist_pq": q_sim_index_persist_pq,
     "sim_index_persist_sq8": q_sim_index_persist_sq8,
     "sim_index_persist_bq": q_sim_index_persist_bq,
+    "sim_recall_report": q_sim_recall_report,
     "sim_index_drift_topk": q_sim_index_drift_topk,
     "sim_semantic_dedup": q_sim_semantic_dedup,
     "sim_embedding_neardup": q_sim_embedding_neardup,
