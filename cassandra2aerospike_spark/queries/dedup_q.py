@@ -128,6 +128,41 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).select("doc_a", "doc_b", "jaccard")
 
 
+def q_dedup_lsh_recall_report(spark, sf_dir):
+    """X2 OPERATIONAL METRIC (round 13, late): measured RECALL of the
+    MinHash-LSH dedup pipeline against exact ground truth — the number
+    every production dedup run should report before trusting its
+    banding parameters.  Ground truth = the PREFIX-FILTER exact Jaccard
+    pairs at the same 0.5 threshold and the same 3-gram shingles
+    (provably lossless, so it IS the naive all-pairs truth); the LSH
+    side verifies candidates with the same exact Jaccard, so LSH pairs
+    are a SUBSET of truth by construction (asserted in-query with a
+    left-anti join) and recall_bp = n_lsh * 10000 div n_exact measures
+    exactly what the 4x4 banding misses.  One row, all integers."""
+    d = _docs(spark, sf_dir)
+    ckpt = _ckpt_dir(sf_dir, "sets_k3")
+    lsh = D.minhash_lsh_pairs(
+        d, n_hashes=16, n_bands=4, rows_per_band=4, k=3,
+        threshold=0.5, checkpoint_dir=ckpt,
+    ).select("doc_a", "doc_b")
+    exact = D.prefix_filter_jaccard_pairs(
+        d, k=3, t_num=1, t_den=2, checkpoint_dir=ckpt,
+    ).select("doc_a", "doc_b")
+    stray = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    if stray:
+        raise RuntimeError(
+            f"lsh recall: {stray} verified LSH pairs missing from the "
+            "exact ground truth — the truth side is broken"
+        )
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    return n_lsh.crossJoin(n_exact).select(
+        "n_lsh",
+        "n_exact",
+        F.expr("n_lsh * 10000 div n_exact").alias("recall_bp"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """X2 endgame: near-dup PAIRS -> dedup CLUSTERS via distributed
     connected components (min-label propagation to fixpoint); cluster id
@@ -429,6 +464,24 @@ ORACLES = {
         SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard
         FROM jac WHERE jaccard >= 0.6
     """,
+    # measured LSH recall vs the exact all-pairs truth at the same
+    # threshold/shingles — the subset property makes hits == n_lsh
+    "dedup_lsh_recall_report": _JACCARD
+    + _LSH_BODY
+    + """
+        , lsh AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= 0.5
+        ),
+        exact AS (
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+        )
+        SELECT (SELECT count(*) FROM lsh) AS n_lsh,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM lsh) * 10000
+                   // (SELECT count(*) FROM exact) AS recall_bp
+    """,
     "dedup_minhash_lsh": _JACCARD
     + _LSH_BODY
     + """
@@ -597,6 +650,39 @@ def _corpus_prep_oracle() -> str:
 ORACLES["pipeline_corpus_prep"] = _corpus_prep_oracle()
 
 
+# the capstone manifest: the FULL corpus-prep oracle nested as a CTE,
+# then the seeded shuffle + in-shard sequence packing replayed in SQL
+ORACLES["pipeline_training_manifest"] = (
+    "WITH prep AS ("
+    + _corpus_prep_oracle()
+    + """), kept AS (
+      SELECT doc_id, n_tokens FROM prep WHERE keep = 1
+    ), keyed AS (
+      SELECT doc_id, n_tokens,
+             list_reduce(list_transform(range(1, 16),
+                 j -> strpos('0123456789abcdef',
+                             substr(md5('shuf42|' || CAST(doc_id AS VARCHAR)), j, 1)) - 1),
+                 (a, b) -> a * 16 + b) AS hkey
+      FROM kept
+    ), ordered AS (
+      SELECT doc_id, n_tokens, hkey % 8 AS shard,
+             row_number() OVER (PARTITION BY hkey % 8
+                                ORDER BY hkey, doc_id) AS pos,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY hkey % 8 ORDER BY hkey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+      FROM keyed
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard, CAST(pos AS INT) AS pos,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+           CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+    FROM ordered
+"""
+)
+
+
 def q_pipeline_corpus_prep(spark, sf_dir):
     """Capstone X1+X2+X4 composition — the decision pipeline a pretraining
     corpus actually materializes, as ONE query:
@@ -656,12 +742,66 @@ def q_pipeline_corpus_prep(spark, sf_dir):
     )
 
 
+def q_pipeline_training_manifest(spark, sf_dir):
+    """THE NORTH-STAR CAPSTONE (round 13, late — registry row #200):
+    raw documents -> TRAINING-READY SHARD MANIFEST in one query,
+    composing the three pipeline stages every pretraining run chains:
+
+      1. corpus prep (the pipeline_corpus_prep decision: Gopher quality
+         gate + exact dedup + LSH near-dup clusters -> keep = 1);
+      2. the SEEDED GLOBAL SHUFFLE over the kept docs (md5(seed||id)
+         keys, shard = 60-bit key mod 8, pos = in-shard rank) — the
+         reproducible permutation the shard writer needs;
+      3. sequence PACKING in shuffle order (cumulative token budget
+         2048 per sequence WITHIN the shard) — so the manifest says
+         exactly which training sequence and offset each surviving
+         document lands at, on any cluster size, every epoch.
+
+    Output: (doc_id, shard, pos, n_tokens, seq_id, seq_offset) for
+    every kept document.  Every stage inherits its standalone query's
+    100 TB posture; the only NEW shuffle is the shard-rank window —
+    the one the shard writer must pay anyway.  The oracle nests the
+    full corpus-prep oracle as a CTE and replays the shuffle + packing
+    arithmetic (all integers)."""
+    from pyspark.sql import Window
+
+    prep = q_pipeline_corpus_prep(spark, sf_dir)
+    kept = prep.filter(F.col("keep") == 1).select("doc_id", "n_tokens")
+    h = F.md5(F.concat(F.lit("shuf42|"), F.col("doc_id").cast("string")))
+    hkey = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    keyed = kept.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        hkey.alias("hkey"),
+        (hkey % 8).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(wc), F.lit(0)).cast("long")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "n_tokens",
+        cum_before.alias("cum_before"),
+    ).select(
+        "doc_id",
+        "shard",
+        "pos",
+        "n_tokens",
+        F.expr("cum_before div 2048").cast("long").alias("seq_id"),
+        (F.col("cum_before") % 2048).cast("long").alias("seq_offset"),
+    )
+
+
 QUERIES = {
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
+    "pipeline_training_manifest": q_pipeline_training_manifest,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_jaccard_prefix_filter": q_dedup_jaccard_prefix_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "dedup_edit_distance": q_dedup_edit_distance,
