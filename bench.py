@@ -131,6 +131,10 @@ HEADLINE = [
     "stream_wire_batch_enrich",
     "sim_index_persist_bq",
     "sample_global_shuffle",
+    # round-13 (late): the operational metrics + the north-star capstone
+    "sim_recall_report",
+    "dedup_lsh_recall_report",
+    "pipeline_training_manifest",
 ]
 
 
