@@ -222,6 +222,69 @@ def q_sample_global_shuffle(spark, sf_dir):
     )
 
 
+def q_agg_countmin_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH heavy hitters (round 13, late — the classic
+    100 TB frequency sketch, Cormode & Muthukrishnan 2005): token
+    frequencies folded into a d=4 x w=256 integer counter matrix (four
+    md5-derived hash rows), heavy hitters estimated as the MIN over
+    the four bucket counters.  At corpus scale the sketch is the ONLY
+    thing that fits — 1024 integers summarize any number of tokens —
+    and the overestimate property (est >= true, never under) is what
+    makes it safe for hot-key/skew detection.  The row reports the
+    top-20 true-frequency tokens with their true and estimated counts
+    plus the never-underestimates flag; everything is integer md5
+    arithmetic, so the whole sketch build + query replays exactly in
+    DuckDB (est is deterministic — not approximate-vs-approximate but
+    the SAME sketch on both engines).
+
+    Scale shape: one token explode -> (a) the d x w sketch via a
+    1024-group partial agg (map-side combined, broadcastable), (b) the
+    top-20 true counts; the estimate join touches 20 x 4 rows."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+
+    def bucket(row: int):
+        h = F.md5(F.concat(F.lit(f"cms{row}|"), F.col("tok")))
+        return (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 256
+        ).cast("int")
+
+    rows = [
+        toks.select(F.lit(r).alias("d"), bucket(r).alias("bucket"))
+        for r in range(4)
+    ]
+    from functools import reduce as _reduce
+
+    cms = (
+        _reduce(lambda a, b: a.unionAll(b), rows)
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "tok")
+        .limit(20)
+    )
+    probes = top
+    for r in range(4):
+        probes = probes.withColumn(f"b{r}", bucket(r))
+    est = probes
+    for r in range(4):
+        cr = cms.where(F.col("d") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        est = est.join(F.broadcast(cr), f"b{r}")
+    return est.select(
+        "tok",
+        "true_cnt",
+        F.least("c0", "c1", "c2", "c3").alias("est_cnt"),
+        (
+            F.least("c0", "c1", "c2", "c3") >= F.col("true_cnt")
+        ).cast("int").alias("never_under"),
+    )
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark DECONTAMINATION — the word-n-gram-overlap filter every
     pretraining pipeline runs before training: flag corpus documents
@@ -1371,6 +1434,37 @@ ORACLES = {
                              i -> array_to_string(t[i : i + 2], ' ')))) END AS n_shingles
         FROM toks
     """,
+    # the CMS is the SAME integer sketch on both engines (md5-bucket
+    # hashing + min over 4 counters) — est is deterministic, not
+    # approximate-vs-approximate
+    "agg_countmin_heavy_hitters": _TOKS + """
+        , tok AS (SELECT unnest(t) AS tok FROM toks),
+        buck AS (
+          SELECT d.d, tok,
+                 list_reduce(list_transform(range(1, 16),
+                     j -> strpos('0123456789abcdef',
+                                 substr(md5('cms' || CAST(d.d AS VARCHAR) || '|' || tok), j, 1)) - 1),
+                     (a, b) -> a * 16 + b) % 256 AS bucket
+          FROM tok, (SELECT unnest(range(0, 4)) AS d) d
+        ),
+        cms AS (
+          SELECT d, bucket, count(*) AS cnt FROM buck GROUP BY d, bucket
+        ),
+        top AS (
+          SELECT tok, count(*) AS true_cnt FROM tok GROUP BY tok
+          ORDER BY true_cnt DESC, tok LIMIT 20
+        ),
+        est AS (
+          SELECT t.tok, t.true_cnt, min(c.cnt) AS est_cnt
+          FROM top t
+          JOIN (SELECT DISTINCT d, tok, bucket FROM buck) b ON b.tok = t.tok
+          JOIN cms c ON c.d = b.d AND c.bucket = b.bucket
+          GROUP BY t.tok, t.true_cnt
+        )
+        SELECT tok, true_cnt, est_cnt,
+               CAST(est_cnt >= true_cnt AS INT) AS never_under
+        FROM est
+    """,
     "sample_global_shuffle": """
         WITH b AS (
           SELECT doc_id,
@@ -1885,6 +1979,7 @@ QUERIES = {
     "text_term_freq": q_text_term_freq,
     "sample_hash_split": q_sample_hash_split,
     "sample_global_shuffle": q_sample_global_shuffle,
+    "agg_countmin_heavy_hitters": q_agg_countmin_heavy_hitters,
     "text_decontaminate": q_text_decontaminate,
     "sample_stratified": q_sample_stratified,
     "sample_domain_mix": q_sample_domain_mix,
