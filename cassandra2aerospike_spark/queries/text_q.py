@@ -285,6 +285,62 @@ def q_agg_countmin_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_text_collocations(spark, sf_dir):
+    """COLLOCATION EXTRACTION (round 13, late — X4): window-4 token
+    co-occurrence counts scored by an integer PMI proxy — the
+    word2vec-style corpus statistic embedding/data-analysis pipelines
+    compute (which word pairs co-occur far above chance).  Pairs come
+    from IN-ROW zips of the token array with its offset-1..4 tails
+    (unordered: least/greatest canonicalization; self-pairs dropped),
+    so no position ever crosses an exchange; counts are two map-side-
+    combining groupBys; pmi_bp = cnt_ab * N * 1e6 div (cnt_a * cnt_b)
+    stays pure integer (log-free, like the BM25 odds-idf move), so the
+    top-20 ranking hash-matches exactly.  Min support 5 keeps the
+    output the heavy tail a 100 TB corpus run would actually emit."""
+    d = _docs(spark, sf_dir)
+    t = d.select(X.tokens(F.col("text")).alias("t"))
+    pair_arrays = [
+        F.expr(
+            f"zip_with(slice(t, 1, greatest(0, size(t)-{k})),"
+            f" slice(t, {k + 1}, greatest(0, size(t)-{k})),"
+            " (a, b) -> struct(least(a, b) AS w1, greatest(a, b) AS w2))"
+        )
+        for k in (1, 2, 3, 4)
+    ]
+    pairs = (
+        t.select(F.explode(F.flatten(F.array(*pair_arrays))).alias("p"))
+        .where(F.col("p.w1") != F.col("p.w2"))
+        .select("p.w1", "p.w2")
+    )
+    toks = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_tot = toks.agg(F.count("*").alias("n"))
+    co = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt_ab"))
+        .where(F.col("cnt_ab") >= 5)
+    )
+    scored = (
+        co.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            "cnt_ab",
+            F.expr("cnt_ab * n * 1000000 div (c_a * c_b)").alias("pmi_bp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pmi_bp").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("w1", "w2", "cnt_ab", F.col("pmi_bp").cast("long").alias("pmi_bp"), "rank")
+    )
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark DECONTAMINATION — the word-n-gram-overlap filter every
     pretraining pipeline runs before training: flag corpus documents
@@ -1434,6 +1490,39 @@ ORACLES = {
                              i -> array_to_string(t[i : i + 2], ' ')))) END AS n_shingles
         FROM toks
     """,
+    # collocations: the same window-4 pair stream, unordered
+    # canonicalization, integer PMI proxy — top-20 exact
+    "text_collocations": _TOKS + """
+        , tk AS (SELECT unnest(t) AS tok FROM toks),
+        uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        tot AS (SELECT count(*) AS n FROM tk),
+        pr AS (
+          SELECT least(p[1], p[2]) AS w1, greatest(p[1], p[2]) AS w2
+          FROM (
+            SELECT unnest(list_zip(t[1 : greatest(len(t) - k.k, 0)],
+                                   t[k.k + 1 : len(t)])) AS p
+            FROM toks, (SELECT unnest(range(1, 5)) AS k) k
+          )
+          WHERE p[1] != p[2]
+        ),
+        co AS (
+          SELECT w1, w2, count(*) AS cnt_ab FROM pr GROUP BY w1, w2
+          HAVING count(*) >= 5
+        ),
+        scored AS (
+          SELECT co.w1, co.w2, co.cnt_ab,
+                 (co.cnt_ab * tot.n * 1000000) // (ua.c * ub.c) AS pmi_bp
+          FROM co JOIN uni ua ON ua.tok = co.w1
+                  JOIN uni ub ON ub.tok = co.w2
+                  CROSS JOIN tot
+        )
+        SELECT w1, w2, cnt_ab, CAST(pmi_bp AS BIGINT) AS pmi_bp,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY pmi_bp DESC, w1, w2)
+                            AS rank
+              FROM scored)
+        WHERE rank <= 20
+    """,
     # the CMS is the SAME integer sketch on both engines (md5-bucket
     # hashing + min over 4 counters) — est is deterministic, not
     # approximate-vs-approximate
@@ -1980,6 +2069,7 @@ QUERIES = {
     "sample_hash_split": q_sample_hash_split,
     "sample_global_shuffle": q_sample_global_shuffle,
     "agg_countmin_heavy_hitters": q_agg_countmin_heavy_hitters,
+    "text_collocations": q_text_collocations,
     "text_decontaminate": q_text_decontaminate,
     "sample_stratified": q_sample_stratified,
     "sample_domain_mix": q_sample_domain_mix,
