@@ -17,6 +17,7 @@ from ..streaming import (
     stream_session_windows,
     stream_real_sstable_ingest,
     stream_sstable_ingest,
+    stream_cms_hot_keys,
     stream_stream_join,
     stream_window_counts,
     stream_wire_batch_enrich,
@@ -40,6 +41,7 @@ QUERIES = {
     "stream_real_sstable_ingest": stream_real_sstable_ingest,
     "stream_corpus_dedup": stream_corpus_dedup,
     "stream_wire_batch_enrich": stream_wire_batch_enrich,
+    "stream_cms_hot_keys": stream_cms_hot_keys,
 }
 
 # transformWithStateInPandas needs the protobuf wire between the JVM and
@@ -376,6 +378,29 @@ ORACLES["stream_asb_incremental_backup"] = (
 # stream_cdc_cluster_apply: identical quiesce contract — the cluster,
 # the mid-stream handoff and the re-tends are invisible at quiesce
 ORACLES["stream_cdc_cluster_apply"] = ORACLES["stream_cdc_wire_apply"]
+
+
+# the windowed streaming CMS is the SAME integer sketch a batch rebuild
+# produces — per (1h window, hash row, bucket) counts, exact
+ORACLES["stream_cms_hot_keys"] = """
+    WITH b AS (
+      SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                 AS window_start_us,
+             user_id
+      FROM events
+    ), buck AS (
+      SELECT window_start_us, d.d,
+             list_reduce(list_transform(range(1, 16),
+                 j -> strpos('0123456789abcdef',
+                             substr(md5('scms' || CAST(d.d AS VARCHAR) || '|'
+                                        || CAST(user_id AS VARCHAR)), j, 1)) - 1),
+                 (a, b) -> a * 16 + b) % 64 AS bucket
+      FROM b, (SELECT unnest(range(0, 2)) AS d) d
+    )
+    SELECT window_start_us, CAST(d AS INT) AS d,
+           CAST(bucket AS INT) AS bucket, count(*) AS cnt
+    FROM buck GROUP BY 1, 2, 3
+"""
 
 
 # stream_wire_batch_enrich: every event tagged with its key's live

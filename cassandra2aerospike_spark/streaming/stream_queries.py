@@ -1076,6 +1076,45 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cms_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING COUNT-MIN SKETCH (round 13, late): per tumbling 1-hour
+    window, the event stream folds user_id frequencies into a d=2 x
+    w=64 integer counter matrix — the windowed hot-key detector a
+    streaming pipeline runs when per-key state would not fit (128
+    counters summarize any number of keys per window).  The sketch IS
+    the streaming aggregation state: one watermarked groupBy on
+    (window, hash-row, bucket), nothing per-key.  Integer md5 bucketing
+    makes the sketch bit-identical to a batch rebuild, so the row
+    carries an exact oracle — the same cross-engine-determinism
+    discipline as the batch CMS row (agg_countmin_heavy_hitters)."""
+
+    ev = stream_events(spark, sf_dir)
+
+    def bucket(row: int):
+        h = F.md5(F.concat(F.lit(f"scms{row}|"), F.col("user_id").cast("string")))
+        return (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 64
+        ).cast("int")
+
+    tagged = ev.select(
+        "ts_event", F.lit(0).alias("d"), bucket(0).alias("bucket")
+    ).unionAll(
+        ev.select("ts_event", F.lit(1).alias("d"), bucket(1).alias("bucket"))
+    )
+    agg = (
+        tagged.withWatermark("ts_event", "10 minutes")
+        .groupBy(F.window("ts_event", "1 hour").alias("w"), "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "d",
+        "bucket",
+        "cnt",
+    )
+
+
 def stream_wire_batch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC ENRICHMENT AGAINST THE LIVE CLUSTER (round 13):
     every event flowing through a Structured Streaming plan is tagged
