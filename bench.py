@@ -341,6 +341,43 @@ def _extract_raw_warm(parsed: dict, names: list[str]) -> dict[str, float]:
     return {unshorten.get(k, k): v for k, v in qw.items()}
 
 
+def _git_detail_versions(repo_dir: str, max_versions: int = 6) -> list[dict]:
+    """Recent COMMITTED versions of BENCH_DETAIL.json via `git show`.
+
+    VERDICT r13 task 2: the driver's post-commit bench run overwrites the
+    working-tree BENCH_DETAIL.json with a contended measurement, and if
+    that file is then committed as-is the idle anchor is lost — the
+    min-of-artifacts baseline silently degrades to contended-only.  Git
+    history still holds every idle anchor ever committed, so the baseline
+    min also folds in the last few committed versions regardless of what
+    the working tree currently says.  Failures (no git, shallow history,
+    file absent in a revision) are ignored — this only ever ADDS
+    candidate baselines."""
+    import subprocess
+
+    out: list[dict] = []
+    try:
+        revs = subprocess.run(
+            ["git", "log", "-n", str(max_versions), "--format=%H", "--", "BENCH_DETAIL.json"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=30,
+        ).stdout.split()
+    except (OSError, subprocess.SubprocessError):
+        return out
+    for rev in revs:
+        try:
+            blob = subprocess.run(
+                ["git", "show", f"{rev}:BENCH_DETAIL.json"],
+                cwd=repo_dir, capture_output=True, text=True, timeout=30,
+            ).stdout
+            d = json.loads(blob)
+            if isinstance(d, dict):
+                d["_git_rev"] = rev[:8]
+                out.append(d)
+        except (OSError, ValueError, subprocess.SubprocessError):
+            continue
+    return out
+
+
 def _prev_raw_warm(repo_dir: str, names: list[str], tag: str, sf=None):
     """Per-query MIN of the RAW warm medians across all same-host-tag,
     same-sf artifacts — the tripwire's second gate (r13, the s37
@@ -365,14 +402,17 @@ def _prev_raw_warm(repo_dir: str, names: list[str], tag: str, sf=None):
         for k, v in _extract_raw_warm(parsed, names).items():
             if k not in merged or v < merged[k]:
                 merged[k] = v
+    details = []
     try:
-        d = json.load(open(os.path.join(repo_dir, "BENCH_DETAIL.json")))
+        details.append(json.load(open(os.path.join(repo_dir, "BENCH_DETAIL.json"))))
+    except (OSError, ValueError):
+        pass
+    details.extend(_git_detail_versions(repo_dir))
+    for d in details:
         if d.get("host_tag") == tag and (sf is None or d.get("sf") == sf):
             for k, v in _extract_raw_warm(d, names).items():
                 if k not in merged or v < merged[k]:
                     merged[k] = v
-    except (OSError, ValueError):
-        pass
     return merged
 
 
@@ -425,14 +465,22 @@ def _prev_normalized(repo_dir: str, names: list[str], tag: str, sf=None):
         qn = _extract_normalized(parsed, names)
         if qn:
             sources.append((f"BENCH_r{int(m.group(1)):02d}", qn))
+    details: list[tuple[str, dict]] = []
     try:
-        d = json.load(open(os.path.join(repo_dir, "BENCH_DETAIL.json")))
+        details.append(
+            ("BENCH_DETAIL", json.load(open(os.path.join(repo_dir, "BENCH_DETAIL.json"))))
+        )
+    except (OSError, ValueError):
+        pass
+    details.extend(
+        (f"BENCH_DETAIL@{d.get('_git_rev', 'git')}", d)
+        for d in _git_detail_versions(repo_dir)
+    )
+    for label, d in details:
         if d.get("host_tag") == tag and (sf is None or d.get("sf") == sf):
             qn = _extract_normalized(d, names)
             if qn:
-                sources.append(("BENCH_DETAIL", qn))
-    except (OSError, ValueError):
-        pass
+                sources.append((label, qn))
     if not sources:
         return None, {}
     merged: dict[str, float] = {}

@@ -200,3 +200,46 @@ def test_prev_raw_warm_min_across_artifacts(tmp_path):
     assert raw == {"s37": 0.91, "q2": 2.0}
     # wrong sf: refused
     assert bench._prev_raw_warm(d, ["s37"], tag, sf=0.01) == {}
+
+
+def _git(d, *args):
+    import subprocess
+
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+        cwd=d, check=True, capture_output=True,
+    )
+
+
+def test_committed_detail_participates_even_when_working_tree_clobbered(tmp_path):
+    """VERDICT r13 task 2: the driver's post-commit bench run overwrites
+    the working-tree BENCH_DETAIL.json with a contended measurement.
+    The committed idle anchor must still participate in the baseline
+    min via git history — the working file being clobbered (or even
+    committed as-is later) cannot lose the best same-tag figure."""
+    bench = _load_bench()
+    d = str(tmp_path)
+    tag = bench.host_tag()
+    _git(d, "init", "-q")
+    # commit the IDLE anchor
+    json.dump(
+        {"queries_warm": {"s33": 1.0}, "qn": {"s33": 1.1}, "host_tag": tag, "sf": 0.1},
+        open(os.path.join(d, "BENCH_DETAIL.json"), "w"),
+    )
+    _git(d, "add", "BENCH_DETAIL.json")
+    _git(d, "commit", "-qm", "idle anchor")
+    # driver clobbers the working tree with a contended run
+    json.dump(
+        {"queries_warm": {"s33": 2.5}, "qn": {"s33": 2.7}, "host_tag": tag, "sf": 0.1},
+        open(os.path.join(d, "BENCH_DETAIL.json"), "w"),
+    )
+    raw = bench._prev_raw_warm(d, ["s33"], tag, sf=0.1)
+    assert raw == {"s33": 1.0}, raw  # idle git version wins the min
+    label, norm = bench._prev_normalized(d, ["s33"], tag, sf=0.1)
+    assert norm == {"s33": 1.1}, norm
+    assert "BENCH_DETAIL@" in label, label
+
+
+def test_git_detail_versions_absent_repo_is_empty(tmp_path):
+    bench = _load_bench()
+    assert bench._git_detail_versions(str(tmp_path)) == []
