@@ -2016,40 +2016,46 @@ def q_s47_wire_batch_lookup(spark, sf_dir):
     probes = probes.repartition(n_tasks)
 
     def lookup(batches):
-        router = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if router is None:
-                router = ClusterRouter(nodes, ns, set_name)
-            digests = [
-                key_digest(set_name, str(int(k)).encode()) for k in pdf["key"]
-            ]
-            got = router.batch_read(digests)
-            found, cols, ttls = [], [], []
-            for d in digests:
-                rec = got[d]
-                if rec is None:
-                    found.append(0)
-                    cols.append(None)
-                    ttls.append(-1)
-                else:
-                    ttl, bins = rec
-                    found.append(1)
-                    cols.append(
-                        ",".join(
-                            sorted(f"{n}={v.decode()}" for n, v in bins.items())
-                        )
+        # Accumulate the WHOLE partition before issuing the batch read:
+        # mapInPandas yields one frame per Arrow batch (default 10k
+        # rows), so a partition larger than maxRecordsPerBatch would
+        # otherwise issue multiple batch rounds per task and break the
+        # tasks x nodes bound asserted below (ADVICE r13).  Partition
+        # size is bounded by the repartition(n_tasks) above, so holding
+        # one partition's keys in memory is the already-accepted cost.
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        digests = [
+            key_digest(set_name, str(int(k)).encode()) for k in pdf["key"]
+        ]
+        got = router.batch_read(digests)
+        found, cols, ttls = [], [], []
+        for d in digests:
+            rec = got[d]
+            if rec is None:
+                found.append(0)
+                cols.append(None)
+                ttls.append(-1)
+            else:
+                ttl, bins = rec
+                found.append(1)
+                cols.append(
+                    ",".join(
+                        sorted(f"{n}={v.decode()}" for n, v in bins.items())
                     )
-                    ttls.append(int(ttl))
-            yield pd.DataFrame(
-                {
-                    "key": pdf["key"],
-                    "found": found,
-                    "cols_str": cols,
-                    "ttl": ttls,
-                }
-            )
+                )
+                ttls.append(int(ttl))
+        yield pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "found": found,
+                "cols_str": cols,
+                "ttl": ttls,
+            }
+        )
 
     out = probes.mapInPandas(
         lookup, "key long, found int, cols_str string, ttl long"

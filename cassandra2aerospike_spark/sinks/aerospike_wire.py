@@ -302,11 +302,19 @@ def read_frame_ex(sock: socket.socket) -> tuple[int, bytes, bool]:
     if len(body) < 8:
         raise ValueError("aerospike wire: short compressed envelope")
     (usize,) = struct.unpack_from(">Q", body, 0)
+    # Bound BEFORE inflating: the declared uncompressed size must fit the
+    # 48-bit proto body limit, and decompression is capped at usize + 1
+    # bytes so a hostile envelope cannot expand into an unbounded
+    # allocation (a 1 KiB deflate stream can inflate ~1000x; unbounded
+    # zlib.decompress would trust the stream, not the declaration).
+    if usize < 8 or usize > 0xFFFFFFFFFFFF:
+        raise ValueError("aerospike wire: compressed size out of range")
     try:
-        inner = zlib.decompress(body[8:])
+        z = zlib.decompressobj()
+        inner = z.decompress(body[8:], usize + 1)
     except zlib.error as e:
         raise ValueError(f"aerospike wire: bad compressed body: {e}") from None
-    if len(inner) != usize or len(inner) < 8:
+    if len(inner) != usize or not z.eof or z.unconsumed_tail or z.unused_data:
         raise ValueError("aerospike wire: compressed size mismatch")
     (ihdr,) = struct.unpack(">Q", inner[:8])
     iversion, ityp = ihdr >> 56, (ihdr >> 48) & 0xFF
@@ -1249,6 +1257,15 @@ class ClusterRouter:
                         out[d] = None
                     elif i in unavailable:
                         next_pending.append(d)
+                    else:
+                        # a node answering the batch MUST account for
+                        # every index it was sent; a silently-dropped
+                        # digest is a protocol violation, surfaced here
+                        # rather than as a bare KeyError in the caller
+                        raise ValueError(
+                            "aerospike wire: batch reply omitted index "
+                            f"{i} (node {idx}, {len(items)} sent)"
+                        )
             if next_pending:
                 # one info sweep per ROUND, not per refused record —
                 # max_retends bounds the rounds
@@ -2001,10 +2018,13 @@ class WireServer:
             if create_only and k in self._store:
                 return build_response(RC_KEY_EXISTS)
             expect = parse_put_gen(frame)
-            if expect is not None and self._gens.get(k, 0) != expect:
-                # the CAS refusal: the record's write count moved on
-                # (or the record no longer exists) — the writer must
-                # re-read and reconcile (AS_POLICY_GEN_EQ semantics)
+            if expect is not None and k in self._store and self._gens.get(k, 0) != expect:
+                # the CAS refusal: the record's write count moved on —
+                # the writer must re-read and reconcile.  Matching
+                # AS_POLICY_GEN_EQ, the generation policy applies only
+                # to EXISTING records: a gen-checked write against an
+                # absent key creates it (the real server's behavior),
+                # it does not answer RC_GENERATION (ADVICE r13)
                 return build_response(RC_GENERATION)
             if parse_has_touch(frame):
                 # TOUCH: reset the stored ttl, bump the generation,

@@ -1195,13 +1195,23 @@ def test_wire_generation_cas_semantics():
         )
         gen, _ttl, bins = c.wait_record_gen(c.get(k))
         assert (gen, bins) == (2, {"v": b"2"})
-        # expect_gen=0: only lands on an absent key
+        # AS_POLICY_GEN_EQ applies only to EXISTING records (ADVICE
+        # r13): a gen-checked write against an absent key CREATES it
+        # like the real server, whatever the expected generation says
         assert (
-            c.wait(c.put(b"new", {"v": b"x"}, 0, create_only=False, expect_gen=1))
+            c.wait(c.put(b"new", {"v": b"x"}, 0, create_only=False, expect_gen=5))
+            == "ok"
+        )
+        gen, _ttl, bins = c.wait_record_gen(c.get(b"new"))
+        assert (gen, bins) == (1, {"v": b"x"})
+        # ...but on an existing record the check is exact: a stale
+        # expectation (incl. expect_gen=0) is refused, store untouched
+        assert (
+            c.wait(c.put(b"new", {"v": b"y"}, 0, create_only=False, expect_gen=0))
             == "gen_mismatch"
         )
         assert (
-            c.wait(c.put(b"new", {"v": b"x"}, 0, create_only=False, expect_gen=0))
+            c.wait(c.put(b"new", {"v": b"y"}, 0, create_only=False, expect_gen=1))
             == "ok"
         )
         # plain replace still bumps; delete resets to a fresh create
@@ -1453,5 +1463,83 @@ def test_wire_batch_requires_auth_on_secured_cluster():
         _typ, body = aw.read_frame(sock)
         assert body[5] == aw.RC_NOT_AUTHENTICATED
         sock.close()
+    finally:
+        srv.close()
+
+
+def test_wire_compressed_envelope_bomb_guard():
+    """ADVICE r13: the read path must bound its allocation by the
+    DECLARED uncompressed size, not trust the deflate stream.  A bomb
+    (tiny frame, huge expansion) whose declaration exceeds the 48-bit
+    proto limit is refused before inflating; one whose declaration LIES
+    small is refused after at most declared+1 bytes of output; trailing
+    garbage after a complete stream is refused too."""
+    import socket as socket_mod
+    import struct
+    import zlib
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    inner = aw.build_put("tmx", "t", b"bk", {"v": b"z" * 64}, 9)
+
+    def send_and_expect_error(env):
+        a, b = socket_mod.socketpair()
+        try:
+            a.sendall(env)
+            try:
+                aw.read_frame_ex(b)
+                raise AssertionError("hostile envelope accepted")
+            except ValueError:
+                pass
+        finally:
+            a.close()
+            b.close()
+
+    # declared size over the 2^48 proto body limit: refused pre-inflate
+    send_and_expect_error(
+        aw._proto_frame(
+            struct.pack(">Q", 1 << 52) + zlib.compress(inner),
+            aw.COMPRESSED_MSG_TYPE,
+        )
+    )
+    # 64 MiB of zeros declared as 16 bytes: inflation stops at 17 bytes
+    bomb = zlib.compress(b"\x00" * (64 << 20))
+    send_and_expect_error(
+        aw._proto_frame(struct.pack(">Q", 16) + bomb, aw.COMPRESSED_MSG_TYPE)
+    )
+    # complete stream + trailing garbage: refused
+    send_and_expect_error(
+        aw._proto_frame(
+            struct.pack(">Q", len(inner)) + zlib.compress(inner) + b"junk",
+            aw.COMPRESSED_MSG_TYPE,
+        )
+    )
+
+
+def test_wire_batch_reply_omitting_index_is_protocol_error():
+    """ADVICE r13: a digest a node's batch reply accounts for in NONE of
+    found/missing/unavailable must raise a protocol error in
+    ClusterRouter.batch_read, not surface later as a bare KeyError."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        router = aw.ClusterRouter(
+            [(srv.host, srv.port)], "tmx", "t"
+        )
+        digests = [aw.key_digest("t", b"omit-1"), aw.key_digest("t", b"omit-2")]
+
+        class _DroppingClient:
+            def batch_get(self, items):
+                # answers for all but the LAST index it was sent
+                return {}, {i: None for i in range(len(items) - 1)}, set()
+
+        router._clients = {i: _DroppingClient() for i in range(4096)}
+        router.client = lambda idx: _DroppingClient()
+        try:
+            router.batch_read(digests)
+            raise AssertionError("dropped index accepted")
+        except ValueError as e:
+            assert "omitted index" in str(e)
     finally:
         srv.close()
