@@ -2742,6 +2742,184 @@ def q_s52_wire_scan_projection(spark, sf_dir):
     return out
 
 
+def q_s53_wire_operate(spark, sf_dir):
+    """OPERATE MULTI-OP TRANSACTIONS (round 14): the read-modify-write
+    shape the C client's aerospike_key_operate runs — ONE AS_MSG
+    carrying an ordered op list the server applies atomically,
+    answering the read ops in the same response.  No get+put race
+    window, one round trip where the naive enrichment pays three: at
+    100 TB an enrichment sweep over a live cluster is wire-bound, and
+    operate halves-to-thirds its round trips while closing the
+    lost-update race entirely (the reference client is write-only,
+    AerospikeWriter.cpp:216-256 — this is frontier beyond it).
+    Flow: (1) the cluster sink creates every merged record (gen 1);
+    (2) an ENRICH pass runs one transaction per record —
+    incr hits += n_cols (absent bin starts at 0), append tag '+s53',
+    write mark=OP, then READ hits in the SAME transaction, asserting
+    read-your-write == n_cols and gen == 2; (3) a RE-SCORE pass hits
+    every key % 4 == 0 with incr hits += 100 + read, asserting the
+    accumulated value and gen 3; (4) read-back rides PURE-READ operates
+    projecting just the hits bin (digest-addressed projection — the
+    single-record twin of the s52 scan projection).  Asserts zero
+    plain gets ever issued and the exact operate count.  Exact oracle
+    replays the arithmetic relationally from the merge contract."""
+    from ..sinks.aerospike_wire import ClusterRouter, N_PARTITIONS, WireServer
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "operated"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+
+    # pass 1: create every merged record (generation 1)
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("operate sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # pass 2: the enrichment transaction — one operate per record
+    estate: dict = {}
+
+    def enrich(rd):
+        r = estate.get("router")
+        if r is None:
+            r = estate["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        n_cols = len(rd["columns"])
+        c = r.client_for(key)
+        h = c.operate(
+            key,
+            [
+                ("incr", "hits", n_cols),
+                ("append", "tag", b"+s53"),
+                ("write", "mark", b"OP"),
+                ("read", "hits"),
+            ],
+            ttl=6000,
+        )
+        return h, c, n_cols
+
+    def enrich_wait(h):
+        handle, c, n_cols = h
+        st, gen, _ttl, bins = c.wait_operate(handle)
+        got = int.from_bytes(bins.get("hits", b""), "big", signed=True)
+        if st != "ok" or gen != 2 or got != n_cols:
+            raise RuntimeError(
+                f"operate enrich: st={st} gen={gen} hits={got} != {n_cols} "
+                "— read-your-write broke inside the transaction"
+            )
+        return True
+
+    bounded_async_foreach_writer(sink_records, enrich, enrich_wait, max_in_flight=32)
+
+    # pass 3: re-score every key % 4 == 0 — the increments accumulate
+    rescored = records.filter(F.col("key") % 4 == 0)
+    n_rescored = rescored.count()
+    rstate: dict = {}
+
+    def rescore(rd):
+        r = rstate.get("router")
+        if r is None:
+            r = rstate["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        c = r.client_for(key)
+        h = c.operate(
+            key, [("incr", "hits", 100), ("read", "hits")], ttl=6060
+        )
+        return h, c, len(rd["columns"]) + 100
+
+    def rescore_wait(h):
+        handle, c, want = h
+        st, gen, _ttl, bins = c.wait_operate(handle)
+        got = int.from_bytes(bins.get("hits", b""), "big", signed=True)
+        if st != "ok" or gen != 3 or got != want:
+            raise RuntimeError(
+                f"operate rescore: st={st} gen={gen} hits={got} != {want}"
+            )
+        return True
+
+    bounded_async_foreach_writer(
+        rescored.coalesce(max(2, n_tasks // 2)), rescore, rescore_wait,
+        max_in_flight=32,
+    )
+
+    # read-back: PURE-READ operates projecting just the hits bin
+    probes = records.select("key").repartition(n_tasks)
+
+    def read_back(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(nodes, ns, set_name)
+            keys = [str(int(k)).encode() for k in pdf["key"]]
+            handles = [
+                (c := router.client_for(k), c.operate(k, [("read", "hits")]))
+                for k in keys
+            ]
+            hits, gens, ttls = [], [], []
+            for c, h in handles:
+                st, gen, ttl, bins = c.wait_operate(h)
+                if st != "ok":
+                    raise RuntimeError(f"operate read-back: {st}")
+                hits.append(
+                    int.from_bytes(bins["hits"], "big", signed=True)
+                )
+                gens.append(int(gen))
+                ttls.append(int(ttl))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "hits": hits, "gen": gens, "ttl": ttls}
+            )
+
+    out = probes.mapInPandas(
+        read_back, "key long, hits long, gen int, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    n_gets = sum(srv._gets for srv in servers)
+    n_ops = sum(srv._operates for srv in servers)
+    if n_gets != 0:
+        raise RuntimeError(f"operate flow degraded to {n_gets} plain gets")
+    if n_ops != 2 * n_records + n_rescored:
+        raise RuntimeError(
+            f"operate count {n_ops} != {2 * n_records + n_rescored}"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -2896,6 +3074,7 @@ QUERIES = {
     "s50_wire_touch_ttl_extend": q_s50_wire_touch_ttl_extend,
     "s51_wire_compressed_sink": q_s51_wire_compressed_sink,
     "s52_wire_scan_projection": q_s52_wire_scan_projection,
+    "s53_wire_operate": q_s53_wire_operate,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -3198,6 +3377,24 @@ ORACLES = {
                     ELSE lr.expiry - 1719792000 END AS ttl
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         GROUP BY lr.key, lr.expiry
+    """,
+    # s53: the operate arithmetic replayed relationally — hits counts
+    # the record's live-column total plus the re-score surcharge for
+    # key % 4 = 0, gen counts the transactions that touched the record
+    # (create + enrich [+ re-score]), ttl is the LAST transaction's;
+    # the read-your-write and op-count invariants are in-query asserts
+    "s53_wire_operate": _CTE + """
+        , live_records AS (
+          SELECT key, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT key,
+               CAST(n_cols + CASE WHEN key % 4 = 0 THEN 100 ELSE 0 END
+                    AS BIGINT) AS hits,
+               CAST(CASE WHEN key % 4 = 0 THEN 3 ELSE 2 END AS INT) AS gen,
+               CAST(CASE WHEN key % 4 = 0 THEN 6060 ELSE 6000 END
+                    AS BIGINT) AS ttl
+        FROM live_records
     """,
     # the cutover must be invisible: same merge contract as s42/s43
     "s44_wire_scan_during_handoff": _CTE + """

@@ -97,12 +97,21 @@ FIELD_PID_RANGE = 24
 # common all-same-set batch
 FIELD_BATCH_INDEX = 40
 
+OP_READ = 1
 OP_WRITE = 2
+# the arithmetic read-modify-write op (AS_MSG's add operation): the
+# server adds the request's signed integer to the stored integer bin
+# atomically — the counter primitive aerospike_key_operate rides
+OP_INCR = 5
+# byte-level read-modify-write: concatenate onto the stored bin
+OP_APPEND = 9
+OP_PREPEND = 10
 # the TTL-refresh op (AS_MSG's touch operation): resets the record's
 # ttl to the request header's record_ttl and bumps the generation
 # WITHOUT carrying or rewriting bins — the cheap "keep this record
 # alive" sweep ttl-based retention runs
 OP_TOUCH = 11
+PARTICLE_INTEGER = 1
 PARTICLE_BLOB = 4
 
 INFO1_READ = 0x01
@@ -134,6 +143,9 @@ RC_KEY_EXISTS = 5
 RC_TIMEOUT = 9
 RC_KEY_BUSY = 14
 RC_SERVER_ERROR = 1
+# AEROSPIKE_ERR_BIN_INCOMPATIBLE_TYPE: an arithmetic op (OP_INCR)
+# against a bin whose stored particle is not an integer
+RC_BIN_TYPE = 12
 # AS_ERR_UNAVAILABLE: the partition is not readable/writable at THIS
 # node right now (ownership moved / migration in flight).  The C client
 # classifies it retryable and lets its background cluster tend refresh
@@ -435,6 +447,198 @@ def parse_put_gen(frame: bytes) -> int | None:
     if len(frame) < 22 or not frame[2] & INFO2_GENERATION:
         return None
     return struct.unpack_from(">I", frame, 6)[0]
+
+
+def build_operate(
+    namespace: str,
+    set_name: str,
+    key: bytes,
+    ops: list[tuple],
+    ttl: int = 0,
+    expect_gen: int | None = None,
+) -> bytes:
+    """One OPERATE request (round 14) — the aerospike_key_operate
+    multi-op transaction: a SINGLE AS_MSG carrying an ordered op list
+    the server applies atomically, answering the read ops' values in
+    one record response.  The read-modify-write primitive: no separate
+    get + put race window, one network round trip.  `ops` entries:
+    ('read', name) | ('write', name, value) | ('incr', name, delta) |
+    ('append', name, value) | ('prepend', name, value) | ('touch',).
+    info1 carries READ when any read op rides along, info2 carries
+    WRITE when any mutating op does — the real client sets exactly
+    these flags for mixed transactions.  Composes with the CAS policy
+    (expect_gen) like any write."""
+    has_read = any(o[0] == "read" for o in ops)
+    has_write = any(o[0] != "read" for o in ops)
+    info1 = INFO1_READ if has_read else 0
+    info2 = INFO2_WRITE if has_write else 0
+    gen = 0
+    if expect_gen is not None:
+        info2 |= INFO2_GENERATION
+        gen = expect_gen & 0xFFFFFFFF
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+        (FIELD_DIGEST, key_digest(set_name, key)),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    encoded = []
+    for o in ops:
+        kind = o[0]
+        if kind == "touch":
+            body = struct.pack("BBBB", OP_TOUCH, 0, 0, 0)
+        else:
+            nb = o[1].encode()
+            if len(nb) > 15:
+                raise ValueError(f"bin name over 15 bytes: {o[1]!r}")
+            if kind == "read":
+                body = struct.pack("BBBB", OP_READ, 0, 0, len(nb)) + nb
+            elif kind == "write":
+                body = (
+                    struct.pack("BBBB", OP_WRITE, PARTICLE_BLOB, 0, len(nb))
+                    + nb + o[2]
+                )
+            elif kind == "incr":
+                body = (
+                    struct.pack("BBBB", OP_INCR, PARTICLE_INTEGER, 0, len(nb))
+                    + nb + struct.pack(">q", o[2])
+                )
+            elif kind == "append":
+                body = (
+                    struct.pack("BBBB", OP_APPEND, PARTICLE_BLOB, 0, len(nb))
+                    + nb + o[2]
+                )
+            elif kind == "prepend":
+                body = (
+                    struct.pack("BBBB", OP_PREPEND, PARTICLE_BLOB, 0, len(nb))
+                    + nb + o[2]
+                )
+            else:
+                raise ValueError(f"unknown operate op kind: {kind!r}")
+        encoded.append(struct.pack(">I", len(body)) + body)
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, info1, info2, 0, 0, 0, gen, ttl & 0xFFFFFFFF, 1000,
+        len(fields), len(encoded),
+    )
+    return _proto_frame(msg + b"".join(fields) + b"".join(encoded))
+
+
+def parse_operate(frame: bytes):
+    """Server-side OPERATE parse (bounds-checked like parse_put):
+    (namespace, set, digest, ttl, expect_gen | None, ops) where ops
+    preserves REQUEST ORDER — read-your-write inside the transaction
+    depends on it.  Raises ValueError on malformed frames."""
+    if len(frame) < 22:
+        raise ValueError("aerospike wire: short operate request")
+    (hsz, _i1, _i2, _i3, _u, _rc, _gen, ttl, _txn, n_fields, n_ops) = struct.unpack(
+        ">BBBBBBIIIHH", frame[:22]
+    )
+    if hsz != 22:
+        raise ValueError(f"aerospike wire: header size {hsz}")
+    off = 22
+    ns = st = ""
+    digest = b""
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            raise ValueError("aerospike wire: truncated operate field")
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            raise ValueError("aerospike wire: truncated operate field")
+        ftype = frame[off + 4]
+        data = frame[off + 5 : off + 4 + sz]
+        off += 4 + sz
+        if ftype == FIELD_NAMESPACE:
+            ns = data.decode()
+        elif ftype == FIELD_SET:
+            st = data.decode()
+        elif ftype == FIELD_DIGEST:
+            digest = data
+    if len(digest) != DIGEST_SIZE:
+        raise ValueError("aerospike wire: operate needs a digest")
+    ops: list[tuple] = []
+    for _ in range(n_ops):
+        if off + 8 > len(frame):
+            raise ValueError("aerospike wire: truncated operate op")
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 4 or off + 4 + sz > len(frame):
+            raise ValueError("aerospike wire: truncated operate op")
+        op, _ptype, _ver, nlen = struct.unpack_from("BBBB", frame, off + 4)
+        if 4 + nlen > sz:
+            raise ValueError("aerospike wire: operate op name overruns op")
+        name = frame[off + 8 : off + 8 + nlen].decode()
+        value = frame[off + 8 + nlen : off + 4 + sz]
+        off += 4 + sz
+        if op == OP_READ:
+            ops.append(("read", name))
+        elif op == OP_WRITE:
+            ops.append(("write", name, value))
+        elif op == OP_INCR:
+            if len(value) != 8:
+                raise ValueError("aerospike wire: OP_INCR delta must be 8 bytes")
+            ops.append(("incr", name, struct.unpack(">q", value)[0]))
+        elif op == OP_APPEND:
+            ops.append(("append", name, value))
+        elif op == OP_PREPEND:
+            ops.append(("prepend", name, value))
+        elif op == OP_TOUCH:
+            ops.append(("touch",))
+        else:
+            raise ValueError(f"aerospike wire: unknown operate op {op}")
+    return ns, st, digest, ttl, parse_put_gen(frame), ops
+
+
+def frame_is_operate(frame: bytes) -> bool:
+    """Dispatch probe: a data frame is an OPERATE transaction when it
+    mixes the READ and WRITE info flags, or when its op list carries a
+    read-modify-write op (INCR/APPEND/PREPEND) or a read op alongside
+    writes — shapes the plain put/get/touch paths never produce.
+    Bounds-check failures answer False and fall through to the normal
+    parse, which raises properly."""
+    if len(frame) < 22:
+        return False
+    if (frame[1] & INFO1_READ) and (frame[2] & INFO2_WRITE):
+        return True
+    pure_read = (
+        frame[1] & INFO1_READ
+        and not frame[1] & (INFO1_GET_ALL | INFO1_BATCH | INFO1_NOBINDATA)
+        and not frame[2]
+    )
+    if not (frame[2] & INFO2_WRITE or pure_read):
+        return False
+    n_fields, n_ops = struct.unpack_from(">HH", frame, 18)
+    off = 22
+    saw_digest = False
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return False
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return False
+        saw_digest = saw_digest or frame[off + 4] == FIELD_DIGEST
+        off += 4 + sz
+    if pure_read:
+        # a digest-addressed projected read (OP_READ ops, no GET_ALL)
+        # is a read-only operate; the SAME flag shape WITHOUT a digest
+        # is a scan and stays on the scan path
+        return saw_digest and n_ops > 0
+    saw_touch = saw_write = False
+    for _ in range(n_ops):
+        if off + 8 > len(frame):
+            return False
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 4 or off + 4 + sz > len(frame):
+            return False
+        op = frame[off + 4]
+        if op in (OP_INCR, OP_APPEND, OP_PREPEND):
+            return True
+        saw_touch = saw_touch or op == OP_TOUCH
+        saw_write = saw_write or op == OP_WRITE
+        off += 4 + sz
+    # a touch RIDING ALONG with writes is an operate shape too — the
+    # plain paths carry either all-writes or a lone touch, never both
+    return saw_touch and saw_write
 
 
 def build_put_digest(
@@ -1510,6 +1714,48 @@ class WireClient:
         self._sent += 1
         return h
 
+    def operate(
+        self,
+        key: bytes,
+        ops: list[tuple],
+        ttl: int = 0,
+        expect_gen: int | None = None,
+    ) -> int:
+        """Pipelined multi-op transaction (aerospike_key_operate): the
+        ordered op list applies atomically server-side, read ops answer
+        in one record response — redeem with wait_operate().  See
+        build_operate for the op grammar."""
+        self._send(
+            build_operate(
+                self.namespace, self.set_name, key, ops, ttl,
+                expect_gen=expect_gen,
+            )
+        )
+        h = self._sent
+        self._sent += 1
+        return h
+
+    def wait_operate(self, handle: int):
+        """(status, gen, ttl, read_bins) for a pipelined operate —
+        status 'ok' | 'not_found' | 'gen_mismatch' | 'bin_type';
+        raises WireUnavailable on the cluster-change code so callers
+        re-tend + retry like any other op."""
+        body = self._drain_to(handle)
+        rc, ttl, bins = parse_record_response(body)
+        if rc == RC_OK:
+            return "ok", parse_record_gen(body), ttl, bins
+        if rc == RC_KEY_NOT_FOUND:
+            return "not_found", 0, 0, {}
+        if rc == RC_GENERATION:
+            return "gen_mismatch", 0, 0, {}
+        if rc == RC_BIN_TYPE:
+            return "bin_type", 0, 0, {}
+        if rc == RC_PARTITION_UNAVAILABLE:
+            raise WireUnavailable(
+                "aerospike wire: partition unavailable at this node"
+            )
+        raise RuntimeError(f"aerospike wire: operate failed, result code {rc}")
+
     def get(self, key: bytes) -> int:
         """Pipelined read: send the request, return the send ordinal;
         redeem with wait_record()."""
@@ -1737,6 +1983,9 @@ class WireServer:
         # re-tend row)
         self._on_batch = on_batch
         self._batches = 0
+        # OPERATE transactions served (round 14) — the multi-op
+        # read-modify-write counter queries assert against
+        self._operates = 0
         # requests that arrived inside the COMPRESSED envelope (type 4)
         self._envelopes = 0
         self._info_namespace = info_namespace
@@ -1955,6 +2204,8 @@ class WireServer:
         with the stored bins + ttl (NOT_FOUND for absent keys) — the
         read-back verify phase; else the create-only write path."""
         try:
+            if frame_is_operate(frame):
+                return self._operate(frame)
             if len(frame) >= 22 and frame[1] & INFO1_READ:
                 ns, st, digest, _b, _t, _co = parse_put(
                     frame, require_digest=False
@@ -2051,6 +2302,80 @@ class WireServer:
         # holding it would deadlock the ring topology, see _store_replica
         self._replicate(pid, ns, st, digest, bins, ttl, seq, gen)
         return build_response(RC_OK)
+
+    def _operate(self, frame: bytes) -> bytes:
+        """OPERATE: apply the ordered op list atomically under ONE lock
+        acquisition and answer the read ops' values in one record
+        response — reads placed AFTER mutations see the mutated values
+        (read-your-write inside the transaction), the whole transaction
+        bumps the generation by exactly one however many mutating ops
+        ride in it, and the CAS policy (INFO2_GENERATION) guards the
+        whole transaction.  The blind-retry failure injection
+        (fail_every) deliberately does NOT apply here: a multi-op
+        transaction is not idempotent (INCR doubles on replay), so the
+        real client never blind-retries operates on timeouts."""
+        try:
+            ns, st, digest, ttl, expect_gen, ops = parse_operate(frame)
+        except ValueError:
+            return build_response(RC_SERVER_ERROR)
+        pid = partition_id(digest)
+        has_write = any(o[0] != "read" for o in ops)
+        with self._lock:
+            if self._owned is not None and pid not in self._owned:
+                return build_response(RC_PARTITION_UNAVAILABLE)
+            self._operates += 1
+            k = (ns, st, digest)
+            cur = self._store.get(k)
+            if cur is None and not has_write:
+                return build_record_response(RC_KEY_NOT_FOUND, 0, {})
+            # AS_POLICY_GEN_EQ semantics: the check applies only to
+            # existing records (an absent key is created)
+            if (
+                expect_gen is not None
+                and cur is not None
+                and self._gens.get(k, 0) != expect_gen
+            ):
+                return build_response(RC_GENERATION)
+            bins = dict(cur[0]) if cur is not None else {}
+            read_bins: dict[str, bytes] = {}
+            for o in ops:
+                kind = o[0]
+                if kind == "read":
+                    if o[1] in bins:
+                        read_bins[o[1]] = bins[o[1]]
+                elif kind == "write":
+                    bins[o[1]] = o[2]
+                elif kind == "incr":
+                    stored = bins.get(o[1])
+                    if stored is not None and len(stored) != 8:
+                        # arithmetic against a non-integer particle
+                        return build_response(RC_BIN_TYPE)
+                    base = (
+                        int.from_bytes(stored, "big", signed=True)
+                        if stored is not None
+                        else 0
+                    )
+                    total = (base + o[2] + (1 << 63)) % (1 << 64) - (1 << 63)
+                    bins[o[1]] = total.to_bytes(8, "big", signed=True)
+                elif kind == "append":
+                    bins[o[1]] = bins.get(o[1], b"") + o[2]
+                elif kind == "prepend":
+                    bins[o[1]] = o[2] + bins.get(o[1], b"")
+                elif kind == "touch":
+                    if cur is None:
+                        return build_response(RC_KEY_NOT_FOUND)
+            if has_write:
+                self._store[k] = (bins, ttl)
+                gen = self._gens[k] = self._gens.get(k, 0) + 1
+                seq = next(_REPL_SEQ)
+            else:
+                gen = self._gens.get(k, 1)
+                ttl = cur[1]
+                seq = None
+        if seq is not None:
+            # forward outside this node's lock, like the put path
+            self._replicate(pid, ns, st, digest, bins, ttl, seq, gen)
+        return build_record_response(RC_OK, ttl, read_bins, gen=gen)
 
     def _batch(
         self, ns: str, st: str, entries: list[tuple[int, bytes]]

@@ -1543,3 +1543,113 @@ def test_wire_batch_reply_omitting_index_is_protocol_error():
             assert "omitted index" in str(e)
     finally:
         srv.close()
+
+
+def test_wire_operate_multi_op_transaction():
+    """OPERATE (round 14): one AS_MSG carries an ordered op list the
+    server applies atomically — reads AFTER mutations see the mutated
+    values, the whole transaction bumps the generation exactly once,
+    INCR treats absent bins as 0 and refuses non-integer particles,
+    and the CAS policy guards the whole transaction."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        k = b"op-key"
+        assert c.wait(c.put(k, {"v": b"base"}, 100)) == "ok"
+        # read-modify-write in ONE transaction: incr-from-absent,
+        # append, write, then read-your-write on all three
+        st, gen, ttl, bins = c.wait_operate(
+            c.operate(
+                k,
+                [
+                    ("incr", "n", 5),
+                    ("append", "v", b"+x"),
+                    ("write", "m", b"OP"),
+                    ("read", "n"),
+                    ("read", "v"),
+                    ("read", "m"),
+                ],
+                ttl=200,
+            )
+        )
+        assert st == "ok" and gen == 2 and ttl == 200
+        assert bins == {"n": (5).to_bytes(8, "big", signed=True),
+                        "v": b"base+x", "m": b"OP"}
+        # second incr accumulates; prepend; touch rides along
+        st, gen, _ttl, bins = c.wait_operate(
+            c.operate(
+                k,
+                [("incr", "n", -2), ("prepend", "v", b"y/"), ("read", "n"),
+                 ("read", "v"), ("touch",)],
+                ttl=300,
+            )
+        )
+        assert st == "ok" and gen == 3
+        assert bins == {"n": (3).to_bytes(8, "big", signed=True),
+                        "v": b"y/base+x"}
+        # pure-read operate: no gen bump, stored ttl answered
+        st, gen, ttl, bins = c.wait_operate(c.operate(k, [("read", "m")]))
+        assert (st, gen, ttl, bins) == ("ok", 3, 300, {"m": b"OP"})
+        # INCR against a non-integer particle refuses, store untouched
+        st, _g, _t, _b = c.wait_operate(c.operate(k, [("incr", "m", 1), ("read", "m")]))
+        assert st == "bin_type"
+        _st, gen, _t, bins = c.wait_operate(c.operate(k, [("read", "m")]))
+        assert gen == 3 and bins == {"m": b"OP"}
+        # CAS guard over the whole transaction
+        st, _g, _t, _b = c.wait_operate(
+            c.operate(k, [("incr", "n", 100), ("read", "n")], ttl=1, expect_gen=1)
+        )
+        assert st == "gen_mismatch"
+        _st, _g, _t, bins = c.wait_operate(c.operate(k, [("read", "n")]))
+        assert bins == {"n": (3).to_bytes(8, "big", signed=True)}
+        # pure-read operate on an absent key answers not_found
+        st, _g, _t, _b = c.wait_operate(c.operate(b"nope", [("read", "v")]))
+        assert st == "not_found"
+        # operate with writes on an absent key CREATES (gen 1)
+        st, gen, _t, bins = c.wait_operate(
+            c.operate(b"fresh", [("incr", "n", 7), ("read", "n")], ttl=50)
+        )
+        assert st == "ok" and gen == 1
+        assert bins == {"n": (7).to_bytes(8, "big", signed=True)}
+        assert srv._operates == 9
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_wire_operate_replicates_and_respects_ownership():
+    """An OPERATE's post-transaction record replicates like any write
+    (same seq ordering), and a node that doesn't master the partition
+    answers PARTITION_UNAVAILABLE for the whole transaction."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    all_p = set(range(aw.N_PARTITIONS))
+    master = aw.WireServer(owned_partitions=all_p)
+    replica = aw.WireServer(owned_partitions=set(), replica_partitions=all_p)
+    master.replicate_to = [(replica, all_p)]
+    nobody = aw.WireServer(owned_partitions=set())
+    try:
+        c = aw.WireClient(master.host, master.port, "tmx", "t")
+        k = b"rep-key"
+        st, gen, _t, bins = c.wait_operate(
+            c.operate(k, [("incr", "n", 9), ("read", "n")], ttl=60)
+        )
+        assert st == "ok" and gen == 1
+        # the replica holds the post-transaction record at the same gen
+        rk = ("tmx", "t", aw.key_digest("t", k))
+        assert replica._store[rk][0] == {"n": (9).to_bytes(8, "big", signed=True)}
+        assert replica._gens[rk] == 1
+        c.close()
+        c2 = aw.WireClient(nobody.host, nobody.port, "tmx", "t")
+        try:
+            c2.wait_operate(c2.operate(k, [("incr", "n", 1), ("read", "n")]))
+            raise AssertionError("unowned operate accepted")
+        except aw.WireUnavailable:
+            pass
+        c2.close()
+    finally:
+        master.close()
+        replica.close()
+        nobody.close()
