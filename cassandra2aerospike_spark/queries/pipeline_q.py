@@ -2742,6 +2742,155 @@ def q_s52_wire_scan_projection(spark, sf_dir):
     return out
 
 
+def q_s54_wire_scan_expr_filter(spark, sf_dir):
+    """SERVER-SIDE EXPRESSION FILTERING ON SCANS (round 14): the public
+    expression-filter concept (AS_FIELD_FILTER, the as_exp predicate
+    tree) — the SERVER evaluates a bin predicate per record and ships
+    ONLY matches, composing with bin projection (s52) so both ROW COUNT
+    and WIDTH prune before the wire.  The cluster-source twin of
+    parquet PushedFilters + ReadSchema: at 100 TB a selective
+    analytical sweep of a live cluster ships the answer, not the set.
+    Flow: sink the merge with an extra integer bin nc = live-column
+    count per record; scan every node with filter
+    AND(bin_exists(<smallest live column>), nc >= 2) projected to
+    [that column, nc]; map digests back to keys distributedly.
+    Asserts: the per-server shipped-record counters sum EXACTLY to the
+    match count (nothing non-matching ever crossed the wire), zero
+    projection leaks.  Tri-state semantics are the public ones: records
+    missing the filtered bin are UNKNOWN, never shipped.  Exact oracle:
+    the live merge restricted to records holding the smallest column
+    with >= 2 live columns."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        exp_bin_exists,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "exprscan"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        bins["nc"] = len(rd["columns"]).to_bytes(8, "big", signed=True)
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("expr scan sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # the filter target: the smallest live column name (tiny dimension)
+    target = (
+        records.select(F.explode(F.map_keys("columns")).alias("c"))
+        .agg(F.min("c"))
+        .collect()[0][0]
+    )
+    filter_exp = (
+        "and",
+        [
+            exp_bin_exists(target),
+            ("cmp", "ge", ("bin_int", "nc"), ("int", 2)),
+        ],
+    )
+    proj = [target, "nc"]
+    # the match count, computed relationally — the wire-volume truth
+    n_match = records.filter(
+        F.col("columns").getItem(target).isNotNull() & (F.size("columns") >= 2)
+    ).count()
+
+    nodes_df = spark.createDataFrame(
+        [(i, h, p) for i, (h, p) in enumerate(nodes)],
+        "node int, host string, port int",
+    ).repartition(n_nodes, "node")
+
+    def scan_node(batches):
+        for pdf in batches:
+            for _node, h, p_ in zip(pdf["node"], pdf["host"], pdf["port"]):
+                c = WireClient(h, int(p_), ns, set_name)
+                dh, vals, ncs, ttls = [], [], [], []
+                for digest, ttl, bins in c.scan(
+                    bins=proj, filter_exp=filter_exp
+                ):
+                    extra = [n for n in bins if n not in proj]
+                    if extra:
+                        raise RuntimeError(
+                            f"projection leak: unrequested bins {extra}"
+                        )
+                    if target not in bins:
+                        raise RuntimeError(
+                            "filter leak: a record without the filtered "
+                            "bin crossed the wire"
+                        )
+                    dh.append(digest.hex())
+                    vals.append(bins[target].decode())
+                    ncs.append(
+                        int.from_bytes(bins["nc"], "big", signed=True)
+                    )
+                    ttls.append(int(ttl))
+                c.close()
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": dh,
+                        "col_val": vals,
+                        "nc": ncs,
+                        "ttl": ttls,
+                    }
+                )
+
+    scanned = nodes_df.mapInPandas(
+        scan_node, "digest_hex string, col_val string, nc long, ttl long"
+    )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = (
+        keyed.join(scanned, "digest_hex")
+        .select("key", "col_val", "nc", "ttl")
+        .cache()
+    )
+    n_out = out.count()  # materialize while the cluster lives
+    shipped = sum(srv._scan_shipped for srv in servers)
+    if n_out != n_match or shipped != n_match:
+        raise RuntimeError(
+            f"expr scan: out={n_out} shipped={shipped} != match={n_match} "
+            "— the server must ship exactly the matching records"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s53_wire_operate(spark, sf_dir):
     """OPERATE MULTI-OP TRANSACTIONS (round 14): the read-modify-write
     shape the C client's aerospike_key_operate runs — ONE AS_MSG
@@ -3075,6 +3224,7 @@ QUERIES = {
     "s51_wire_compressed_sink": q_s51_wire_compressed_sink,
     "s52_wire_scan_projection": q_s52_wire_scan_projection,
     "s53_wire_operate": q_s53_wire_operate,
+    "s54_wire_scan_expr_filter": q_s54_wire_scan_expr_filter,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -3395,6 +3545,28 @@ ORACLES = {
                CAST(CASE WHEN key % 4 = 0 THEN 6060 ELSE 6000 END
                     AS BIGINT) AS ttl
         FROM live_records
+    """,
+    # s54: the expression-filtered scan — live records holding the
+    # smallest live column with >= 2 live columns, projected to that
+    # column's value + the nc counter bin; the shipped-record counter
+    # and projection/filter leak checks are in-query asserts
+    "s54_wire_scan_expr_filter": _CTE + """
+        , live_records AS (
+          SELECT key, expiry, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        ), target AS (
+          SELECT min(col_name) AS c FROM latest_f
+          WHERE key IN (SELECT key FROM live_records)
+        )
+        SELECT lr.key,
+               printf('%.2f', lf.value) AS col_val,
+               CAST(lr.n_cols AS BIGINT) AS nc,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr
+        JOIN latest_f lf
+          ON lf.key = lr.key AND lf.col_name = (SELECT c FROM target)
+        WHERE lr.n_cols >= 2
     """,
     # the cutover must be invisible: same merge contract as s42/s43
     "s44_wire_scan_during_handoff": _CTE + """

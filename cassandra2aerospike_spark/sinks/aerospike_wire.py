@@ -96,6 +96,31 @@ FIELD_PID_RANGE = 24
 # shared fields once, the protocol's "repeat" compression for the
 # common all-same-set batch
 FIELD_BATCH_INDEX = 40
+# the expression-filter field (the public AS_FIELD_FILTER slot): a
+# serialized predicate the SERVER evaluates per record before shipping
+# it — scans prune row count server-side the way projection (OP_READ
+# ops) prunes width.  The op-code values below are the public as_exp
+# codes; values are carried in a compact TLV (the real client inlines
+# them as msgpack — the op semantics, not the value wrapping, are the
+# contract under test)
+FIELD_FILTER_EXP = 43
+
+EXP_CMP_EQ = 1
+EXP_CMP_NE = 2
+EXP_CMP_GT = 3
+EXP_CMP_GE = 4
+EXP_CMP_LT = 5
+EXP_CMP_LE = 6
+EXP_AND = 16
+EXP_OR = 17
+EXP_NOT = 18
+EXP_BIN = 81
+EXP_BIN_TYPE = 82
+# local TLV tags for inline literal values (msgpack stand-ins)
+EXP_VAL_INT = 126
+EXP_VAL_BLOB = 127
+EXP_TYPE_INT = 1  # as_exp result types for EXP_BIN
+EXP_TYPE_BLOB = 4
 
 OP_READ = 1
 OP_WRITE = 2
@@ -837,6 +862,7 @@ def build_scan(
     pid_begin: int | None = None,
     pid_count: int | None = None,
     bins: list[str] | None = None,
+    filter_exp: tuple | None = None,
 ) -> bytes:
     """One SCAN request (round 12 — the live-cluster read the ecosystem's
     asbackup performs): info1 = READ | GET_ALL with namespace + set
@@ -853,7 +879,12 @@ def build_scan(
     requested bin; the node returns only those bins per record, so a
     narrow read of wide records ships a fraction of the bytes (column
     pruning pushed INTO the cluster, the wire twin of parquet
-    ReadSchema pruning)."""
+    ReadSchema pruning).
+
+    `filter_exp` (round 14 — the public expression-filter concept): a
+    predicate AST (see exp_encode) the SERVER evaluates per record
+    before shipping it — only matching records cross the wire, so the
+    scan prunes ROW COUNT server-side the way `bins` prunes width."""
     fields = []
     for ftype, data in (
         (FIELD_NAMESPACE, namespace.encode()),
@@ -866,6 +897,11 @@ def build_scan(
         )
         fields.append(
             struct.pack(">IB", len(data) + 1, FIELD_PID_RANGE) + data
+        )
+    if filter_exp is not None:
+        data = exp_encode(filter_exp)
+        fields.append(
+            struct.pack(">IB", len(data) + 1, FIELD_FILTER_EXP) + data
         )
     ops = []
     if bins is not None:
@@ -930,6 +966,204 @@ def parse_pid_range(frame: bytes) -> tuple[int, int] | None:
             return None
         if frame[off + 4] == FIELD_PID_RANGE and sz == 5:
             return struct.unpack_from(">HH", frame, off + 5)
+        off += 4 + sz
+    return None
+
+
+_EXP_CMP_OPS = {
+    "eq": EXP_CMP_EQ, "ne": EXP_CMP_NE, "gt": EXP_CMP_GT,
+    "ge": EXP_CMP_GE, "lt": EXP_CMP_LT, "le": EXP_CMP_LE,
+}
+_EXP_CMP_NAMES = {v: k for k, v in _EXP_CMP_OPS.items()}
+
+
+def exp_encode(node: tuple) -> bytes:
+    """Serialize an expression AST for the FIELD_FILTER_EXP slot.  AST
+    node forms (plain tuples, the client-side builder surface):
+    ('and'|'or', [children]) | ('not', child) |
+    ('cmp', 'eq|ne|gt|ge|lt|le', lhs, rhs) |
+    ('bin_int'|'bin_blob', name) | ('bin_type', name) |
+    ('int', v) | ('blob', b).  `bin_exists(name)` is the public
+    shorthand for cmp(ne, bin_type(name), int(0))."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        children = node[1]
+        if not 1 <= len(children) <= 255:
+            raise ValueError("exp: and/or arity out of range")
+        return (
+            struct.pack("BB", EXP_AND if kind == "and" else EXP_OR, len(children))
+            + b"".join(exp_encode(c) for c in children)
+        )
+    if kind == "not":
+        return struct.pack("B", EXP_NOT) + exp_encode(node[1])
+    if kind == "cmp":
+        return (
+            struct.pack("B", _EXP_CMP_OPS[node[1]])
+            + exp_encode(node[2])
+            + exp_encode(node[3])
+        )
+    if kind in ("bin_int", "bin_blob"):
+        nb = node[1].encode()
+        if len(nb) > 15:
+            raise ValueError(f"bin name over 15 bytes: {node[1]!r}")
+        rtype = EXP_TYPE_INT if kind == "bin_int" else EXP_TYPE_BLOB
+        return struct.pack("BBB", EXP_BIN, rtype, len(nb)) + nb
+    if kind == "bin_type":
+        nb = node[1].encode()
+        if len(nb) > 15:
+            raise ValueError(f"bin name over 15 bytes: {node[1]!r}")
+        return struct.pack("BB", EXP_BIN_TYPE, len(nb)) + nb
+    if kind == "int":
+        return struct.pack(">Bq", EXP_VAL_INT, node[1])
+    if kind == "blob":
+        return struct.pack(">BI", EXP_VAL_BLOB, len(node[1])) + node[1]
+    raise ValueError(f"exp: unknown node kind {kind!r}")
+
+
+def exp_bin_exists(name: str) -> tuple:
+    """The as_exp_bin_exists shorthand: bin_type(name) != NIL(0)."""
+    return ("cmp", "ne", ("bin_type", name), ("int", 0))
+
+
+def exp_decode(data: bytes) -> tuple:
+    """Server-side parse of a FIELD_FILTER_EXP payload back into the
+    AST (bounds-checked; trailing bytes are a malformed filter)."""
+    node, off = _exp_decode_at(data, 0)
+    if off != len(data):
+        raise ValueError("exp: trailing bytes after expression")
+    return node
+
+
+def _exp_decode_at(data: bytes, off: int) -> tuple[tuple, int]:
+    if off >= len(data):
+        raise ValueError("exp: truncated expression")
+    code = data[off]
+    off += 1
+    if code in (EXP_AND, EXP_OR):
+        if off >= len(data):
+            raise ValueError("exp: truncated and/or")
+        n = data[off]
+        off += 1
+        children = []
+        for _ in range(n):
+            child, off = _exp_decode_at(data, off)
+            children.append(child)
+        return ("and" if code == EXP_AND else "or", children), off
+    if code == EXP_NOT:
+        child, off = _exp_decode_at(data, off)
+        return ("not", child), off
+    if code in _EXP_CMP_NAMES:
+        lhs, off = _exp_decode_at(data, off)
+        rhs, off = _exp_decode_at(data, off)
+        return ("cmp", _EXP_CMP_NAMES[code], lhs, rhs), off
+    if code == EXP_BIN:
+        if off + 2 > len(data):
+            raise ValueError("exp: truncated bin node")
+        rtype, nlen = data[off], data[off + 1]
+        off += 2
+        if off + nlen > len(data):
+            raise ValueError("exp: truncated bin name")
+        name = data[off : off + nlen].decode()
+        off += nlen
+        kind = "bin_int" if rtype == EXP_TYPE_INT else "bin_blob"
+        return (kind, name), off
+    if code == EXP_BIN_TYPE:
+        if off + 1 > len(data):
+            raise ValueError("exp: truncated bin_type node")
+        nlen = data[off]
+        off += 1
+        if off + nlen > len(data):
+            raise ValueError("exp: truncated bin_type name")
+        return ("bin_type", data[off : off + nlen].decode()), off + nlen
+    if code == EXP_VAL_INT:
+        if off + 8 > len(data):
+            raise ValueError("exp: truncated int literal")
+        return ("int", struct.unpack_from(">q", data, off)[0]), off + 8
+    if code == EXP_VAL_BLOB:
+        if off + 4 > len(data):
+            raise ValueError("exp: truncated blob literal")
+        (blen,) = struct.unpack_from(">I", data, off)
+        off += 4
+        if off + blen > len(data):
+            raise ValueError("exp: truncated blob literal")
+        return ("blob", data[off : off + blen]), off + blen
+    raise ValueError(f"exp: unknown op code {code}")
+
+
+def exp_eval(node: tuple, bins: dict[str, bytes]):
+    """Tri-state evaluation against one record's bins, the public
+    expression semantics: an absent or type-incompatible bin yields
+    UNKNOWN (None), comparisons against UNKNOWN stay UNKNOWN, NOT
+    preserves UNKNOWN, AND short-circuits on False / OR on True, and a
+    record ships only when the whole filter answers exactly True."""
+    kind = node[0]
+    if kind == "and":
+        saw_unknown = False
+        for c in node[1]:
+            v = exp_eval(c, bins)
+            if v is False:
+                return False
+            saw_unknown = saw_unknown or v is None
+        return None if saw_unknown else True
+    if kind == "or":
+        saw_unknown = False
+        for c in node[1]:
+            v = exp_eval(c, bins)
+            if v is True:
+                return True
+            saw_unknown = saw_unknown or v is None
+        return None if saw_unknown else False
+    if kind == "not":
+        v = exp_eval(node[1], bins)
+        return None if v is None else not v
+    if kind == "cmp":
+        lhs = exp_eval(node[2], bins)
+        rhs = exp_eval(node[3], bins)
+        if lhs is None or rhs is None or type(lhs) is not type(rhs):
+            return None
+        op = node[1]
+        if op == "eq":
+            return lhs == rhs
+        if op == "ne":
+            return lhs != rhs
+        if op == "gt":
+            return lhs > rhs
+        if op == "ge":
+            return lhs >= rhs
+        if op == "lt":
+            return lhs < rhs
+        return lhs <= rhs
+    if kind == "bin_int":
+        v = bins.get(node[1])
+        if v is None or len(v) != 8:
+            return None
+        return int.from_bytes(v, "big", signed=True)
+    if kind == "bin_blob":
+        return bins.get(node[1])
+    if kind == "bin_type":
+        return EXP_TYPE_BLOB if node[1] in bins else 0
+    if kind == "int":
+        return node[1]
+    if kind == "blob":
+        return node[1]
+    raise ValueError(f"exp: unknown node kind {kind!r}")
+
+
+def parse_scan_filter(frame: bytes):
+    """Server-side: the scan request's expression filter (decoded AST),
+    or None when the request carries no FIELD_FILTER_EXP field."""
+    if len(frame) < 22:
+        return None
+    n_fields = struct.unpack_from(">H", frame, 18)[0]
+    off = 22
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return None
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return None
+        if frame[off + 4] == FIELD_FILTER_EXP:
+            return exp_decode(frame[off + 5 : off + 4 + sz])
         off += 4 + sz
     return None
 
@@ -1812,6 +2046,7 @@ class WireClient:
         pid_begin: int | None = None,
         pid_count: int | None = None,
         bins: list[str] | None = None,
+        filter_exp: tuple | None = None,
     ):
         """Stream every record this node serves for (namespace, set) —
         optionally restricted to the partition range [pid_begin,
@@ -1829,7 +2064,7 @@ class WireClient:
         self._send(
             build_scan(
                 self.namespace, self.set_name, pid_begin, pid_count,
-                bins=bins,
+                bins=bins, filter_exp=filter_exp,
             )
         )
         while True:
@@ -1986,6 +2221,9 @@ class WireServer:
         # OPERATE transactions served (round 14) — the multi-op
         # read-modify-write counter queries assert against
         self._operates = 0
+        # records actually shipped across all scans (round 14) — the
+        # wire-volume counter the expression-filter row asserts against
+        self._scan_shipped = 0
         # requests that arrived inside the COMPRESSED envelope (type 4)
         self._envelopes = 0
         self._info_namespace = info_namespace
@@ -2219,6 +2457,7 @@ class WireServer:
                     return self._scan(
                         ns, st, parse_pid_range(frame),
                         parse_scan_bins(frame),
+                        parse_scan_filter(frame),
                     )
                 pid = partition_id(digest)
                 with self._lock:
@@ -2424,6 +2663,7 @@ class WireServer:
     def _scan(
         self, ns: str, st: str, pid_range: tuple[int, int] | None = None,
         bins: list[str] | None = None,
+        filter_exp: tuple | None = None,
     ) -> bytes:
         """SCAN response: every (ns, set) record this node MASTERS as a
         digest-tagged record stream + the INFO3_LAST terminator.
@@ -2457,7 +2697,12 @@ class WireServer:
                 and k[1] == st
                 and (self._owned is None or partition_id(k[2]) in self._owned)
                 and in_range(partition_id(k[2]))
+                # the expression filter evaluates against the FULL
+                # record (pre-projection), shipping only exact-True —
+                # row-count pruning composing with width pruning
+                and (filter_exp is None or exp_eval(filter_exp, v[0]) is True)
             ]
+            self._scan_shipped += len(snap)
         out = [build_scan_record(d, ttl, rb) for d, ttl, rb in snap]
         out.append(build_scan_last())
         return b"".join(out)

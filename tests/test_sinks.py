@@ -1653,3 +1653,80 @@ def test_wire_operate_replicates_and_respects_ownership():
         master.close()
         replica.close()
         nobody.close()
+
+
+def test_exp_encode_decode_eval_roundtrip():
+    """Expression filters (round 14): the AST round-trips through the
+    wire TLV, and evaluation follows the public tri-state semantics —
+    absent/incompatible bins are UNKNOWN, comparisons against UNKNOWN
+    stay UNKNOWN, NOT preserves UNKNOWN, and only exact-True ships."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    i64 = lambda v: v.to_bytes(8, "big", signed=True)
+    bins = {"n": i64(5), "v": b"hello", "w": b"abc"}
+    exp = ("and", [
+        aw.exp_bin_exists("v"),
+        ("cmp", "ge", ("bin_int", "n"), ("int", 3)),
+        ("not", ("cmp", "eq", ("bin_blob", "w"), ("blob", b"zzz"))),
+    ])
+    assert aw.exp_decode(aw.exp_encode(exp)) == exp
+    assert aw.exp_eval(exp, bins) is True
+    assert aw.exp_eval(exp, {**bins, "n": i64(2)}) is False
+    # absent bin -> UNKNOWN -> whole AND unknown -> does not ship
+    assert aw.exp_eval(exp, {"v": b"x", "w": b"abc"}) is None
+    # incompatible particle width for an int bin -> UNKNOWN
+    assert aw.exp_eval(("cmp", "gt", ("bin_int", "v"), ("int", 0)), bins) is None
+    # NOT(unknown) stays unknown (never un-filters a broken record)
+    assert aw.exp_eval(("not", ("cmp", "eq", ("bin_int", "q"), ("int", 1))), bins) is None
+    # OR short-circuits True past an unknown leg
+    assert aw.exp_eval(
+        ("or", [("cmp", "eq", ("bin_int", "q"), ("int", 1)),
+                aw.exp_bin_exists("n")]), bins
+    ) is True
+    # malformed payloads refuse
+    for bad in (b"", b"\xff", aw.exp_encode(exp) + b"x"):
+        try:
+            aw.exp_decode(bad)
+            raise AssertionError("malformed expression accepted")
+        except ValueError:
+            pass
+
+
+def test_wire_scan_expression_filter_prunes_rows_server_side():
+    """A filtered scan ships ONLY matching records (counter-asserted),
+    composes with projection and the pid-range filter, and an
+    unfiltered scan on the same node still returns everything."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    i64 = lambda v: v.to_bytes(8, "big", signed=True)
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        for k in range(20):
+            bins = {"score": i64(k), "pad": b"x" * 50}
+            if k % 3 == 0:
+                bins["flag"] = b"y"
+            assert c.wait(c.put(f"k{k}".encode(), bins, 0)) == "ok"
+        c.close()
+        exp = ("and", [
+            aw.exp_bin_exists("flag"),
+            ("cmp", "ge", ("bin_int", "score"), ("int", 6)),
+        ])
+        want = {k for k in range(20) if k % 3 == 0 and k >= 6}  # 6,9..18 -> {6,9,12,15,18}
+        sc = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        got = list(sc.scan(filter_exp=exp, bins=["score"]))
+        sc.close()
+        scores = sorted(
+            int.from_bytes(b["score"], "big", signed=True) for _, _, b in got
+        )
+        assert scores == sorted(want)
+        # projection held: no pad/flag bins crossed the wire
+        assert all(set(b) == {"score"} for _, _, b in got)
+        assert srv._scan_shipped == len(want)
+        # unfiltered scan still ships everything
+        sc2 = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        assert len(list(sc2.scan())) == 20
+        sc2.close()
+        assert srv._scan_shipped == len(want) + 20
+    finally:
+        srv.close()
