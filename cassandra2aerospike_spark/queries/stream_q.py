@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from ..streaming import (
     stream_aerospike_wire_sink,
+    stream_asb_backup_rebase,
     stream_asb_incremental_backup,
     stream_cdc_incremental,
     stream_cdc_cluster_apply,
@@ -30,6 +31,7 @@ QUERIES = {
     "stream_cdc_wire_apply": stream_cdc_wire_apply,
     "stream_cdc_cluster_apply": stream_cdc_cluster_apply,
     "stream_asb_incremental_backup": stream_asb_incremental_backup,
+    "stream_asb_backup_rebase": stream_asb_backup_rebase,
     "stream_snapshot_cdc": stream_snapshot_cdc,
     "stream_cdc_incremental": stream_cdc_incremental,
     "stream_window_counts": stream_window_counts,
@@ -378,6 +380,12 @@ ORACLES["stream_asb_incremental_backup"] = (
 # stream_cdc_cluster_apply: identical quiesce contract — the cluster,
 # the mid-stream handoff and the re-tends are invisible at quiesce
 ORACLES["stream_cdc_cluster_apply"] = ORACLES["stream_cdc_wire_apply"]
+
+
+# stream_asb_backup_rebase: compaction must be INVISIBLE — base + tail
+# restores to exactly what the full chain restores to (the equivalence
+# and the chain-shortening are in-query asserts)
+ORACLES["stream_asb_backup_rebase"] = ORACLES["stream_asb_incremental_backup"]
 
 
 # the windowed streaming CMS is the SAME integer sketch a batch rebuild

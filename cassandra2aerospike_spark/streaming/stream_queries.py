@@ -1237,30 +1237,16 @@ def stream_wire_batch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING INCREMENTAL BACKUP (round 13): the CDC stream's
-    per-microbatch live emissions land as an ORDERED SERIES of keyless
-    digest-addressed .asb segments (one segment directory per batch_id,
-    overwritten on checkpoint replay — the incremental-backup job the
-    ecosystem runs with asbackup's modified-after mode), and a restore
-    REPLAYS the segments in order with latest-segment-wins semantics
-    (asrestore --replace).  Deletes are NOT captured — the .asb format
-    carries records, not tombstones, exactly like the real tool — so a
-    key whose final CDC state is dead survives the restore at its LAST
-    LIVE version: the documented semantic gap of backup-without-deletes,
-    encoded in the oracle (per key: the live cumulative-merge state at
-    the LARGEST generation that touched the key and left it live; keys
-    never live in any emitted batch are absent).
-
-    Scale shape: each segment write is the distributed .asb sink (no
-    driver rows); the replay is one union of per-segment file-parallel
-    reads with a per-digest latest-wins window — segment count is the
-    backup cadence, not the data size — and digests map back to keys
-    through the distributed digest join."""
+def _emit_asb_segments(spark: SparkSession, sf_dir: str, set_name: str):
+    """Shared emission half of the streaming incremental-backup rows:
+    the incremental CDC stream's per-microbatch live emissions land as
+    an ORDERED SERIES of keyless digest-addressed .asb segments (one
+    segment directory per batch_id, overwritten on checkpoint replay —
+    asbackup's modified-after mode).  Returns (segment paths in chain
+    order, ns, now_s)."""
     from ..operators import merge as M
     from ..queries.pipeline_q import _digest_hex_records
-    from ..sinks.asb_backup import read_asb_scan, write_asb_scan
-    from ..sources import load_table
+    from ..sinks.asb_backup import write_asb_scan
     from ..sources.sstable.fixtures import (
         build_ma_table_from_events,
         default_runs_dir,
@@ -1270,7 +1256,7 @@ def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
     )
     res = _cdc_incremental_result(spark, table_dir)
-    ns, set_name = "tmx", "cdc"
+    ns = "tmx"
     eternal, now_s = M.ETERNAL, M.NOW_EPOCH_S
     seg_root = tempfile.mkdtemp(prefix="asb_incr_")
 
@@ -1307,18 +1293,34 @@ def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame
         q.processAllAvailable()
     finally:
         q.stop()
-
-    # ---- restore replay: segments in order, latest wins per digest ----
     segs = sorted(
-        d for d in os.listdir(seg_root) if d.startswith("segment=")
+        os.path.join(seg_root, d)
+        for d in os.listdir(seg_root)
+        if d.startswith("segment=")
     )
     if not segs:
         raise RuntimeError("incremental backup produced no segments")
+    return segs, ns, now_s
+
+
+def _replay_asb_chain(
+    spark: SparkSession,
+    seg_paths: list[str],
+    ns: str,
+    set_name: str,
+    now_s: int,
+) -> DataFrame:
+    """Restore replay: union the segments' file-parallel reads in chain
+    order and keep the LATEST segment's record per digest (asrestore
+    --replace over an ordered chain).  One window shuffle; segment
+    count is the backup cadence, not the data size."""
+    from ..sinks.asb_backup import read_asb_scan
+
     frames = [
-        read_asb_scan(
-            spark, os.path.join(seg_root, s), ns, set_name, now_s
-        ).select("digest_hex", "cols_str", "ttl", F.lit(i).alias("seg"))
-        for i, s in enumerate(segs)
+        read_asb_scan(spark, p, ns, set_name, now_s).select(
+            "digest_hex", "cols_str", "ttl", F.lit(i).alias("seg")
+        )
+        for i, p in enumerate(seg_paths)
     ]
     allr = frames[0]
     for fr in frames[1:]:
@@ -1326,11 +1328,21 @@ def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     w = Window.partitionBy("digest_hex").orderBy(F.col("seg").desc())
-    final = (
+    return (
         allr.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("digest_hex", "cols_str", "ttl")
     )
+
+
+def _asb_keys_join(
+    spark: SparkSession, sf_dir: str, final: DataFrame, set_name: str
+) -> DataFrame:
+    """Map restored digests back to user keys distributedly (the .asb
+    chain is keyless, like the real format)."""
+    from ..queries.pipeline_q import _digest_hex_records
+    from ..sources import load_table
+
     keyed = (
         load_table(spark, sf_dir, "events")
         .select(F.col("user_id").alias("key"))
@@ -1345,6 +1357,86 @@ def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame
     return keyed.join(final, "digest_hex", "inner").select(
         "key", "cols_str", "ttl"
     )
+
+
+def stream_asb_incremental_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INCREMENTAL BACKUP (round 13): the CDC stream's
+    per-microbatch live emissions land as an ORDERED SERIES of keyless
+    digest-addressed .asb segments (one segment directory per batch_id,
+    overwritten on checkpoint replay — the incremental-backup job the
+    ecosystem runs with asbackup's modified-after mode), and a restore
+    REPLAYS the segments in order with latest-segment-wins semantics
+    (asrestore --replace).  Deletes are NOT captured — the .asb format
+    carries records, not tombstones, exactly like the real tool — so a
+    key whose final CDC state is dead survives the restore at its LAST
+    LIVE version: the documented semantic gap of backup-without-deletes,
+    encoded in the oracle (per key: the live cumulative-merge state at
+    the LARGEST generation that touched the key and left it live; keys
+    never live in any emitted batch are absent).
+
+    Scale shape: each segment write is the distributed .asb sink (no
+    driver rows); the replay is one union of per-segment file-parallel
+    reads with a per-digest latest-wins window — segment count is the
+    backup cadence, not the data size — and digests map back to keys
+    through the distributed digest join.  (Emission/replay/key-join are
+    the shared helpers above, reused by the rebase row.)"""
+    set_name = "cdc"
+    segs, ns, now_s = _emit_asb_segments(spark, sf_dir, set_name)
+    final = _replay_asb_chain(spark, segs, ns, set_name, now_s)
+    return _asb_keys_join(spark, sf_dir, final, set_name)
+
+
+def stream_asb_backup_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-BACKUP CHAIN COMPACTION (round 14, VERDICT r13 task
+    3): an incremental chain grows with backup cadence FOREVER — at 100
+    TB a months-long chain makes every restore pay the whole history.
+    The real asbackup rotation folds incrementals into a periodic full
+    base (base + short tail); this is that REBASE as a distributed job:
+    all segments but the newest fold latest-wins into ONE base .asb
+    (the same window shuffle the restore itself uses — fold cost is
+    proportional to the folded history, paid once per rotation), and a
+    restore then replays base + tail only.  The job never rewrites the
+    tail, so backups taken DURING a rebase keep appending safely.
+    In-query asserts: (a) the chain was genuinely compacted — read
+    units shrink from len(chain) to 1 + tail (3 -> 2 here); (b) the
+    rebased restore is RECORD-IDENTICAL to the full-chain replay
+    (exceptAll both directions).  Exact oracle: same contract as
+    stream_asb_incremental_backup — compaction must be invisible."""
+    set_name = "cdcrb"
+    segs, ns, now_s = _emit_asb_segments(spark, sf_dir, set_name)
+    if len(segs) < 2:
+        raise RuntimeError(
+            f"rebase needs >= 2 segments, chain has {len(segs)}"
+        )
+    from ..sinks.asb_backup import write_asb_scan
+
+    # ---- the rebase job: fold every segment but the newest ----
+    fold, tail = segs[:-1], segs[-1:]
+    base_df = _replay_asb_chain(spark, fold, ns, set_name, now_s)
+    base_dir = os.path.join(
+        os.path.dirname(segs[0]), f"base={len(fold) - 1:05d}"
+    )
+    write_asb_scan(base_df, base_dir, ns, set_name, now_s, n_files=2)
+
+    # ---- restores: base + tail vs the full chain ----
+    rebased_units = [base_dir, *tail]
+    if not len(rebased_units) < len(segs):
+        raise RuntimeError(
+            f"rebase did not shorten the chain: {len(rebased_units)} "
+            f">= {len(segs)}"
+        )
+    rebased = _replay_asb_chain(
+        spark, rebased_units, ns, set_name, now_s
+    ).cache()
+    full = _replay_asb_chain(spark, segs, ns, set_name, now_s)
+    diff = (
+        rebased.exceptAll(full).count() + full.exceptAll(rebased).count()
+    )
+    if diff:
+        raise RuntimeError(
+            f"rebase changed the restore: {diff} differing records"
+        )
+    return _asb_keys_join(spark, sf_dir, rebased, set_name)
 
 
 def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
