@@ -163,6 +163,86 @@ def q_dedup_lsh_recall_report(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_band_select(spark, sf_dir):
+    """X2 MEASURE -> RETUNE (round 14, VERDICT r13 task 4): close the
+    loop dedup_lsh_recall_report opened — instead of running a FIXED
+    4x4 banding, evaluate the three (bands x rows) layouts of the
+    16-hash signature against the SAME lossless exact truth, pick the
+    CHEAPEST config meeting the recall target, and build the keep-list
+    from the chosen config.  Cost = candidate-pair count (the exact-
+    verify work LSH exists to bound — the number that explodes at 100
+    TB when banding is too aggressive); recall_bp = verified pairs vs
+    truth in basis points.  Selection rule (replayed exactly by the
+    oracle): qualifying configs (recall_bp >= 9000) by ascending cost
+    then bands; if none qualifies, best recall then cost then bands.
+    The scalar counts collected are 3+1 integers — the selection is
+    driver-side arithmetic, the pipelines are all distributed.  Output:
+    the production keep-list built from the CHOSEN config, stamped with
+    (chosen_bands, chosen_rows, chosen_recall_bp)."""
+    docs = _docs(spark, sf_dir)
+    ckpt = _ckpt_dir(sf_dir, "sets_k3")
+    sets = D._materialize_sets(D.shingle_sets(docs, k=3), ckpt)
+    sigs = D.stage_parquet(
+        D.minhash_from_sets(sets, 16), _ckpt_dir(sf_dir, "sigs16")
+    )
+    truth = D.prefix_filter_jaccard_pairs(
+        docs, k=3, t_num=1, t_den=2, checkpoint_dir=ckpt
+    ).select("doc_a", "doc_b")
+    n_exact = truth.count()
+    if n_exact == 0:
+        raise RuntimeError("band select: empty exact truth")
+    target_bp = 9000
+    stats = []
+    for n_bands, rows_pb in ((2, 8), (4, 4), (8, 2)):
+        cand = D.lsh_candidate_pairs(sigs, n_bands, rows_pb)
+        n_cand = cand.count()
+        n_pairs = D.jaccard_on_candidates(cand, sets, 0.5).count()
+        stats.append(
+            (n_bands, rows_pb, n_cand, n_pairs * 10000 // n_exact)
+        )
+    chosen = min(
+        stats,
+        key=lambda s: (
+            s[3] < target_bp,
+            s[2] if s[3] >= target_bp else -s[3],
+            s[2],
+            s[0],
+        ),
+    )
+    b, r, _cost, recall_bp = chosen
+
+    # the keep-list pipeline CONSUMES the chosen config
+    pairs = D.jaccard_on_candidates(D.lsh_candidate_pairs(sigs, b, r), sets, 0.5)
+    exact_rep = (
+        D.exact_clusters(docs)
+        .select(F.col("rep_doc_id").alias("doc_id"))
+        .withColumn("is_exact_rep", F.lit(1))
+    )
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_rep, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("is_exact_rep").isNotNull()
+                & (
+                    F.col("cluster_id").isNull()
+                    | (F.col("cluster_id") == F.col("doc_id"))
+                )
+            )
+            .cast("int")
+            .alias("keep"),
+            F.lit(b).cast("int").alias("chosen_bands"),
+            F.lit(r).cast("int").alias("chosen_rows"),
+            F.lit(recall_bp).cast("int").alias("chosen_recall_bp"),
+        )
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """X2 endgame: near-dup PAIRS -> dedup CLUSTERS via distributed
     connected components (min-label propagation to fixpoint); cluster id
@@ -288,7 +368,9 @@ def q_dedup_edit_distance(spark, sf_dir):
 
 # ---------------------------------------------------------------- oracles
 
-_LSH_BODY = """
+# the config-independent MinHash half: per-shingle hash + the 16
+# universal-hash signature rows (shared by every banding config)
+_MH_BODY = """
         , shh AS (
           SELECT doc_id,
                  list_reduce(list_transform(range(1, 16),
@@ -302,18 +384,27 @@ _LSH_BODY = """
                       + ((i * 40503 + 7) % 2147483647)) % 2147483647) AS h
           FROM shh, (SELECT unnest(range(0, 16)) AS i)
           GROUP BY doc_id, i
-        ),
-        bands AS (
-          SELECT doc_id, i // 4 AS band,
+        )"""
+
+
+def _lsh_cfg_sql(rows_per_band: int, tag: str = "") -> str:
+    """One banding config's CTEs over the shared mh signature rows:
+    bands{tag} (band key = md5 of the band's signature slice) and
+    cand{tag} (distinct same-bucket pairs)."""
+    return f""",
+        bands{tag} AS (
+          SELECT doc_id, i // {rows_per_band} AS band,
                  md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY i)) AS bkey
-          FROM mh GROUP BY doc_id, i // 4
+          FROM mh GROUP BY doc_id, i // {rows_per_band}
         ),
-        cand AS (
+        cand{tag} AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
+          FROM bands{tag} a JOIN bands{tag} b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        )
-"""
+        )"""
+
+
+_LSH_BODY = _MH_BODY + _lsh_cfg_sql(4) + "\n"
 
 
 _TOKS = """
@@ -652,6 +743,95 @@ ORACLES["pipeline_corpus_prep"] = _corpus_prep_oracle()
 
 # the capstone manifest: the FULL corpus-prep oracle nested as a CTE,
 # then the seeded shuffle + in-shard sequence packing replayed in SQL
+# dedup_lsh_band_select: the selection arithmetic replayed exactly —
+# all three banding configs evaluated against the naive exact truth
+# (the prefix filter is provably lossless, so jac IS the truth), the
+# same (qualify, cost, bands) ordering, and the keep-list built from
+# the chosen config's verified pairs
+ORACLES["dedup_lsh_band_select"] = (
+    _JACCARD
+    + _MH_BODY
+    + _lsh_cfg_sql(8, "_b2")
+    + _lsh_cfg_sql(4, "_b4")
+    + _lsh_cfg_sql(2, "_b8")
+    + """
+    , truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+    v_b2 AS (
+      SELECT c.doc_a, c.doc_b FROM cand_b2 c
+      JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    v_b4 AS (
+      SELECT c.doc_a, c.doc_b FROM cand_b4 c
+      JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    v_b8 AS (
+      SELECT c.doc_a, c.doc_b FROM cand_b8 c
+      JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    stats AS (
+      SELECT 2 AS bands, 8 AS rows_pb,
+             (SELECT count(*) FROM cand_b2) AS n_cand,
+             (SELECT count(*) FROM v_b2) * 10000
+                 // (SELECT count(*) FROM truth) AS recall_bp
+      UNION ALL
+      SELECT 4, 4, (SELECT count(*) FROM cand_b4),
+             (SELECT count(*) FROM v_b4) * 10000
+                 // (SELECT count(*) FROM truth)
+      UNION ALL
+      SELECT 8, 2, (SELECT count(*) FROM cand_b8),
+             (SELECT count(*) FROM v_b8) * 10000
+                 // (SELECT count(*) FROM truth)
+    ),
+    chosen AS (
+      SELECT bands, rows_pb, recall_bp FROM stats
+      ORDER BY (recall_bp >= 9000) DESC,
+               CASE WHEN recall_bp >= 9000 THEN n_cand
+                    ELSE -recall_bp END ASC,
+               n_cand ASC, bands ASC
+      LIMIT 1
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM v_b2 WHERE (SELECT bands FROM chosen) = 2
+      UNION ALL
+      SELECT doc_a, doc_b FROM v_b4 WHERE (SELECT bands FROM chosen) = 4
+      UNION ALL
+      SELECT doc_a, doc_b FROM v_b8 WHERE (SELECT bands FROM chosen) = 8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    exact_rep AS (
+      SELECT min(doc_id) AS doc_id FROM toks
+      GROUP BY md5(array_to_string(t, ' '))
+    )
+    SELECT d.doc_id,
+           CAST(e.doc_id IS NOT NULL
+                AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+                AS INT) AS keep,
+           CAST(ch.bands AS INT) AS chosen_bands,
+           CAST(ch.rows_pb AS INT) AS chosen_rows,
+           CAST(ch.recall_bp AS INT) AS chosen_recall_bp
+    FROM documents d
+    LEFT JOIN exact_rep e ON e.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    CROSS JOIN chosen ch
+"""
+).replace("WITH toks", "WITH RECURSIVE toks", 1)
+
+
 ORACLES["pipeline_training_manifest"] = (
     "WITH prep AS ("
     + _corpus_prep_oracle()
@@ -802,6 +982,7 @@ QUERIES = {
     "dedup_jaccard_prefix_filter": q_dedup_jaccard_prefix_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_recall_report": q_dedup_lsh_recall_report,
+    "dedup_lsh_band_select": q_dedup_lsh_band_select,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "dedup_edit_distance": q_dedup_edit_distance,
