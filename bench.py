@@ -135,6 +135,15 @@ HEADLINE = [
     "sim_recall_report",
     "dedup_lsh_recall_report",
     "pipeline_training_manifest",
+    # round-14: the OPERATE multi-op transaction sweep, server-side
+    # expression-filtered scans, the incremental-backup chain rebase,
+    # and the two measure->retune loops (LSH banding auto-selection,
+    # recall-driven probe-depth retune after index drift)
+    "s53_wire_operate",
+    "s54_wire_scan_expr_filter",
+    "stream_asb_backup_rebase",
+    "dedup_lsh_band_select",
+    "sim_drift_recall_retune",
 ]
 
 

@@ -33,113 +33,80 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring) — ROUND-13 prefix.
+# Checked-prefix priority (see module docstring) — ROUND-14 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) queries NEW this round, (b) queries whose code changed this
-# round without a driver re-verify, (c) the stalest driver-signature
-# cohort.  Signature histogram entering r13 (latest green driver round
-# per row): new x4, r08 x42, r10 x44, r11 x44, r12 x50 — this prefix
-# spends 8 slots on (a) — every row NEW this round — and all 42 on
-# the COMPLETE r08 cohort, closing VERDICT r12 task 3 exactly: no
-# registry row's latest driver green older than r10 after this round.
-# The code-changed rows (s40's gated re-tend, s41's seq-tagged
-# replication, s42/s43's additive on_scan hook, s32's keyless parser
-# grammar, sim_index_persist_topk's artifact keying, the parse bounds
-# checks under s28/s38/stream_*) sit at 51+ — each carries its own
-# unit tests and re-passes its exact oracle in the pytest parity
-# suite; the r10 cohort heads the r14 rotation.
-# LATE r13 additions (landed after this prefix was frozen to keep the
-# task-3 rotation exact): the wire BATCH-INDEX read family
-# (s47_wire_batch_lookup, s48_wire_batch_during_handoff,
-# stream_wire_batch_enrich, CLI --batch-verify), the CAS refresh
-# (s49), the TOUCH sweep (s50), the compressed envelope (s51), scan
-# bin projection (s52), the persisted-BQ index (sim_index_persist_bq)
-# and the seeded global shuffle (sample_global_shuffle) sit at 51+ —
-# pytest-oracle-verified at both gate SFs — and head the r14 prefix
-# together with the r10 cohort.  NOTE for the r14 rotation: the late
-# additions also touched shared wire-client/server code (generation
-# tracking in every write path, the _send compression hook on every
-# client op) — every wire row re-passed its exact oracle in the
-# post-change full pytest run, and the prefix's s44-s46 +
-# stream_asb_incremental_backup rows get fresh driver signatures over
-# the changed code this round; the remaining wire rows (s28, s32,
-# s36-s43, stream_cdc_*) belong in the r14 prefix alongside the r10
-# cohort.
+# (a) the 15 late-r13 rows that have NEVER been driver-signed
+#     (VERDICT r13 task 1 — all passed their exact oracles in the
+#     judge's pytest run but have no CORRECTNESS row),
+# (b) the 5 rows NEW this round (the OPERATE multi-op transaction,
+#     the expression-filtered scan, the backup-chain rebase, the LSH
+#     banding auto-selection, the recall-driven drift retune),
+# (c) stream_asb_incremental_backup, whose emission/replay/key-join
+#     code was refactored into shared helpers this round, and
+# (d) 29 rows of the stalest (r10) cohort.
+# Signature histogram entering r14: never x15, r10 x44, r11 x44,
+# r12 x50, r13 x50.  The 15 deferred r10 rows (the six mm_* media
+# rows, four sim_* quantization-tier rows kin to the r13-signed
+# persisted-index family, text_bpe_encode/text_ngram_lm kin to
+# text_bpe_train/text_quality_classifier which stay in, and
+# scalar_arrays/sample_domain_mix/sample_stratified) are stable
+# unchanged code with kin coverage in this prefix; they head the r15
+# rotation together with the r11 cohort.
 _PRIORITY = [
-    # -- (a) NEW in r13: scan re-tend under a live handoff, the
-    #    backup/restore capstone, the streaming incremental backup,
-    #    the persisted PQ and SQ8 indexes, the driver-verified drift
-    #    policy, and hybrid retrieval served from the persisted index
-    "s44_wire_scan_during_handoff",
-    "s45_backup_restore_verified",
-    "s46_degraded_cluster_backup",
+    # -- (a) never driver-signed (late r13)
+    "s47_wire_batch_lookup",
+    "s48_wire_batch_during_handoff",
+    "s49_wire_cas_refresh",
+    "s50_wire_touch_ttl_extend",
+    "s51_wire_compressed_sink",
+    "s52_wire_scan_projection",
+    "stream_wire_batch_enrich",
+    "stream_cms_hot_keys",
+    "agg_countmin_heavy_hitters",
+    "text_collocations",
+    "sample_global_shuffle",
+    "pipeline_training_manifest",
+    "dedup_lsh_recall_report",
+    "sim_index_persist_bq",
+    "sim_recall_report",
+    # -- (b) NEW in r14
+    "s53_wire_operate",
+    "s54_wire_scan_expr_filter",
+    "stream_asb_backup_rebase",
+    "dedup_lsh_band_select",
+    "sim_drift_recall_retune",
+    # -- (c) refactored this round (shared .asb segment helpers)
     "stream_asb_incremental_backup",
-    "sim_index_persist_pq",
-    "sim_index_persist_sq8",
-    "sim_index_drift_topk",
-    "sim_hybrid_index_rrf_topk",
-    # -- (c) the COMPLETE r08 cohort (42 rows)
-    "agg_grouping_sets",
-    "agg_minmax_stats",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_salted_skew",
-    "compaction_roundtrip",
-    "counter_merge",
-    "dedup_edit_distance",
-    "dedup_jaccard_pairs",
-    "dedup_keep_list",
-    "dedup_simhash_pairs",
-    "f2_live_row_counts",
-    "f3_expired_filter",
-    "f4_ttl_policy",
-    "join_anti",
-    "join_broadcast_star",
-    "join_full_outer",
-    "join_inner",
-    "join_left",
-    "join_range_theta",
-    "join_right",
-    "join_semi",
-    "p4_partitioner_registry",
-    "p5_partitioner_abort",
-    "s12_retry_backpressure",
-    "s22_multi_ck_range_merge",
-    "sim_cosine_topk",
-    "sim_embedding_neardup",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "sim_lsh_topk",
-    "sim_pq_topk",
-    "text_dup_span_removal",
-    "text_gopher_rules",
-    "text_line_dedup",
-    "text_pii_scrub",
-    "text_repetition_rules",
-    "token_murmur3",
-    "win_distribution",
-    "win_rank",
-    "win_running_sum",
-    "win_topk_per_group",
-    # -- position 51+: the code-changed rows not fitting above (s40's
-    #    re-tend gating and s41's replication sequencing carry their
-    #    own in-query asserts plus dedicated unit tests, s32's parser
-    #    grammar and sim_index_persist_topk's artifact keying are unit-
-    #    covered; ALL re-pass their exact oracles in the pytest parity
-    #    suite), then the r10 cohort (first in line for r14)
-    "s40_wire_cluster_handoff",
-    "s41_wire_rf2_failover",
+    # -- (d) the stalest (r10) cohort, 29 of 44
+    "dedup_exact_prefix",
+    "dedup_jaccard_prefix_filter",
+    "layout_zorder",
+    "ma_compaction_roundtrip",
+    "merge_full",
+    "o2_real_resume",
+    "pipeline_sstable_corpus",
+    "s11_create_only_sink",
+    "s15_ma_format_merge",
+    "s16_mixed_era_merge",
+    "s17_ma_clustering_merge",
+    "s18_ma_range_tombstone_merge",
+    "s20_ma_rt_compaction_roundtrip",
+    "s24_collection_merge",
+    "s25_udt_merge",
+    "s26_reversed_ck_merge",
+    "s27_old_wide_merge",
+    "s30_asof_merge",
+    "s31_snapshot_diff",
     "s32_asb_backup_roundtrip",
-    "sim_index_persist_topk",
-    "s42_wire_cluster_scan_source",
-    "s43_wire_partition_scan_source",
-    "stream_cdc_cluster_apply",
-    "s36_wire_cluster_sink",
-    "s38_wire_readback_verify",
-    "s39_e2e_migration_verified",
-    "s28_aerospike_wire_sink",
-    "stream_aerospike_wire_sink",
-    "stream_cdc_wire_apply",
+    "s33_gc_grace_report",
+    "s34_repair_merkle_ranges",
+    "s35_partition_size_histogram",
+    "s8_oldformat_merge",
+    "s9_sstable_merge",
+    "stream_real_sstable_ingest",
+    "text_bm25_topk",
+    "text_bpe_train",
+    "text_quality_classifier",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
