@@ -141,6 +141,7 @@ HEADLINE = [
     # recall-driven probe-depth retune after index drift)
     "s53_wire_operate",
     "s54_wire_scan_expr_filter",
+    "s55_wire_batch_expr_filter",
     "stream_asb_backup_rebase",
     "dedup_lsh_band_select",
     "sim_drift_recall_retune",

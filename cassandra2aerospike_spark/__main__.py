@@ -888,8 +888,8 @@ def main(argv: list[str] | None = None) -> int:
                                 user=user, credential=credential,
                                 compress_min=compress_min,
                             )
-                        found, _missing, unavailable = single.batch_get(
-                            digests
+                        found, _missing, unavailable, _filtered = (
+                            single.batch_get(digests)
                         )
                         if unavailable:
                             raise RuntimeError(

@@ -3069,6 +3069,148 @@ def q_s53_wire_operate(spark, sf_dir):
     return out
 
 
+def q_s55_wire_batch_expr_filter(spark, sf_dir):
+    """EXPRESSION-FILTERED BATCH READS (round 14): the public filter
+    expression rides BATCH-INDEX requests exactly as it rides scans —
+    the server answers AEROSPIKE_FILTERED_OUT per record whose bins
+    evaluate non-True, so a selective multi-key read ships ONLY the
+    matching records' bins while still accounting for every probed
+    digest (filtered is distinct from missing: the caller learns the
+    record exists without paying its width).  At 100 TB this is the
+    point-lookup twin of the filtered scan: an enrichment join against
+    a live cluster where most keys fail the predicate ships the
+    predicate's selectivity, not the key count.  Flow: sink the merge
+    with the nc integer bin; probe EVERY live key PLUS known-absent
+    keys (key + 10M for key % 5 == 0) in per-task batch requests
+    filtered on nc >= 2; each probe resolves to exactly one of
+    match / filtered / missing.  Asserts zero single gets and the
+    batch-request bound, like s47.  Exact oracle: the live merge with
+    a three-way CASE on the column count."""
+    from ..sinks.aerospike_wire import (
+        BATCH_FILTERED,
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "batchexpr"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        bins["nc"] = len(rd["columns"]).to_bytes(8, "big", signed=True)
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("batch expr sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    filter_exp = ("cmp", "ge", ("bin_int", "nc"), ("int", 2))
+    present = records.select("key")
+    probes = present.unionAll(
+        present.where(F.col("key") % 5 == 0).select(
+            (F.col("key") + 10_000_000).alias("key")
+        )
+    ).repartition(n_tasks)
+
+    def lookup(batches):
+        # whole-partition accumulation, like s47 (ADVICE r13)
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        digests = [
+            key_digest(set_name, str(int(k)).encode()) for k in pdf["key"]
+        ]
+        got = router.batch_read(digests, filter_exp=filter_exp)
+        states, ncs, cols, ttls = [], [], [], []
+        for d in digests:
+            rec = got[d]
+            if rec is None:
+                states.append("missing")
+                ncs.append(None)
+                cols.append(None)
+                ttls.append(-1)
+            elif rec is BATCH_FILTERED:
+                # exists, predicate excluded it — no bins crossed
+                states.append("filtered")
+                ncs.append(None)
+                cols.append(None)
+                ttls.append(-1)
+            else:
+                ttl, bins = rec
+                states.append("match")
+                ncs.append(
+                    int.from_bytes(bins.pop("nc"), "big", signed=True)
+                )
+                cols.append(
+                    ",".join(
+                        sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                    )
+                )
+                ttls.append(int(ttl))
+        yield pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "state": states,
+                "nc": pd.array(ncs, dtype="Int64"),
+                "cols_str": cols,
+                "ttl": ttls,
+            }
+        )
+
+    out = probes.mapInPandas(
+        lookup, "key long, state string, nc long, cols_str string, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    n_single_gets = sum(srv._gets for srv in servers)
+    n_batches = sum(srv._batches for srv in servers)
+    if n_single_gets != 0:
+        raise RuntimeError(
+            f"filtered batch degraded to {n_single_gets} single gets"
+        )
+    if not (0 < n_batches <= n_tasks * n_nodes):
+        raise RuntimeError(
+            f"filtered batch issued {n_batches} requests for "
+            f"{n_tasks} tasks x {n_nodes} nodes"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -3225,6 +3367,7 @@ QUERIES = {
     "s52_wire_scan_projection": q_s52_wire_scan_projection,
     "s53_wire_operate": q_s53_wire_operate,
     "s54_wire_scan_expr_filter": q_s54_wire_scan_expr_filter,
+    "s55_wire_batch_expr_filter": q_s55_wire_batch_expr_filter,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -3567,6 +3710,36 @@ ORACLES = {
         JOIN latest_f lf
           ON lf.key = lr.key AND lf.col_name = (SELECT c FROM target)
         WHERE lr.n_cols >= 2
+    """,
+    # s55: the filtered batch — every live key resolves match/filtered
+    # on the n_cols >= 2 predicate, the planted absent probes resolve
+    # missing; no bins for filtered/missing rows (width never ships)
+    "s55_wire_batch_expr_filter": _CTE + """
+        , live_records AS (
+          SELECT key, expiry, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        ), matched AS (
+          SELECT lr.key,
+                 string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                            ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                            ) AS cols_str
+          FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+          WHERE lr.n_cols >= 2
+          GROUP BY lr.key
+        )
+        SELECT lr.key,
+               CASE WHEN lr.n_cols >= 2 THEN 'match' ELSE 'filtered' END AS state,
+               CASE WHEN lr.n_cols >= 2 THEN CAST(lr.n_cols AS BIGINT) END AS nc,
+               m.cols_str,
+               CASE WHEN lr.n_cols < 2 THEN CAST(-1 AS BIGINT)
+                    WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr LEFT JOIN matched m ON m.key = lr.key
+        UNION ALL
+        SELECT key + 10000000 AS key, 'missing' AS state,
+               CAST(NULL AS BIGINT) AS nc, CAST(NULL AS VARCHAR) AS cols_str,
+               CAST(-1 AS BIGINT) AS ttl
+        FROM live_records WHERE key % 5 = 0
     """,
     # the cutover must be invisible: same merge contract as s42/s43
     "s44_wire_scan_during_handoff": _CTE + """

@@ -171,6 +171,29 @@ RC_SERVER_ERROR = 1
 # AEROSPIKE_ERR_BIN_INCOMPATIBLE_TYPE: an arithmetic op (OP_INCR)
 # against a bin whose stored particle is not an integer
 RC_BIN_TYPE = 12
+# AEROSPIKE_FILTERED_OUT: the record exists but the request's filter
+# expression evaluated non-True — distinct from NOT_FOUND so callers
+# can tell "no record" from "record excluded by the predicate"
+RC_FILTERED_OUT = 27
+
+
+class _BatchFiltered:
+    """Sentinel for ClusterRouter.batch_read: the record exists but the
+    request's expression filter excluded it (vs None = no record)."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return "BATCH_FILTERED"
+
+    def __reduce__(self):
+        # pickling resolves back to the module global, so `is`
+        # comparisons hold across Spark's closure serialization
+        # (a pickled copy in an executor closure must be THE sentinel)
+        return "BATCH_FILTERED"
+
+
+BATCH_FILTERED = _BatchFiltered()
 # AS_ERR_UNAVAILABLE: the partition is not readable/writable at THIS
 # node right now (ownership moved / migration in flight).  The C client
 # classifies it retryable and lets its background cluster tend refresh
@@ -1232,11 +1255,19 @@ def parse_scan_record(body: bytes) -> tuple[bytes, int, dict[str, bytes]]:
     return digest, ttl, bins
 
 
-def build_batch(namespace: str, set_name: str, digests: list[bytes]) -> bytes:
+def build_batch(
+    namespace: str,
+    set_name: str,
+    digests: list[bytes],
+    filter_exp: tuple | None = None,
+) -> bytes:
     """One BATCH-INDEX read request (round 13): info1 = READ | GET_ALL
     | BATCH with namespace + set fields and ONE batch-index field
     packing every digest (u32 count, then u32 index + 20B digest per
-    record).  The node answers one record response PER ENTRY — the
+    record).  `filter_exp` (round 14): the public expression filter
+    rides batch requests exactly as it rides scans — the server
+    answers AEROSPIKE_FILTERED_OUT per record whose bins evaluate
+    non-True, so selective multi-key reads ship only the matches.  The node answers one record response PER ENTRY — the
     entry's index rides the header's transaction-ttl slot, exactly
     where the real protocol's batch responses carry it — terminated by
     an INFO3_LAST message.  This is the multi-key read the ecosystem's
@@ -1257,6 +1288,11 @@ def build_batch(namespace: str, set_name: str, digests: list[bytes]) -> bytes:
     fields.append(
         struct.pack(">IB", len(payload) + 1, FIELD_BATCH_INDEX) + payload
     )
+    if filter_exp is not None:
+        data = exp_encode(filter_exp)
+        fields.append(
+            struct.pack(">IB", len(data) + 1, FIELD_FILTER_EXP) + data
+        )
     msg = struct.pack(
         ">BBBBBBIIIHH",
         22, INFO1_READ | INFO1_GET_ALL | INFO1_BATCH, 0, 0, 0, 0, 0, 0,
@@ -1657,7 +1693,7 @@ class ClusterRouter:
         return self.rmap[self.pid_for(key)]
 
     def batch_read(
-        self, digests: list[bytes]
+        self, digests: list[bytes], filter_exp: tuple | None = None
     ) -> dict[bytes, tuple[int, dict[str, bytes]] | None]:
         """Cluster batch read (round 13): the real client's BATCH-NODE
         SPLIT — group the digests by their master under the current
@@ -1667,7 +1703,8 @@ class ClusterRouter:
         re-issues ONLY the unresolved digests; rounds are bounded by
         max_retends, so a non-converging map fails loudly instead of
         livelocking.  Returns digest -> (ttl, bins), or None for keys
-        that do not exist."""
+        that do not exist, or BATCH_FILTERED for records the request's
+        expression filter excluded (filter_exp, round 14)."""
         out: dict[bytes, tuple[int, dict[str, bytes]] | None] = {}
         pending = list(dict.fromkeys(digests))
         while pending:
@@ -1679,9 +1716,9 @@ class ClusterRouter:
             next_pending: list[bytes] = []
             for idx, items in by_node.items():
                 try:
-                    found, missing, unavailable = self.client(idx).batch_get(
-                        items
-                    )
+                    found, missing, unavailable, filtered = self.client(
+                        idx
+                    ).batch_get(items, filter_exp=filter_exp)
                 except OSError:
                     # dead node: forget the connection, re-route the
                     # whole group through the refreshed (promoted) map
@@ -1693,6 +1730,8 @@ class ClusterRouter:
                         out[d] = found[i]
                     elif i in missing:
                         out[d] = None
+                    elif i in filtered:
+                        out[d] = BATCH_FILTERED
                     elif i in unavailable:
                         next_pending.append(d)
                     else:
@@ -2079,24 +2118,30 @@ class WireClient:
             yield parse_scan_record(body)
 
     def batch_get(
-        self, digests: list[bytes]
-    ) -> tuple[dict[int, tuple[int, dict[str, bytes]]], set[int], set[int]]:
+        self, digests: list[bytes], filter_exp: tuple | None = None
+    ) -> tuple[
+        dict[int, tuple[int, dict[str, bytes]]], set[int], set[int], set[int]
+    ]:
         """One batch-index read: send every digest in ONE request, read
         the index-tagged record stream until INFO3_LAST.  Returns
         (found: index -> (ttl, bins), missing: not-found indexes,
         unavailable: indexes whose partition this node no longer serves
-        — the caller re-tends and re-issues those).  Like scan, a batch
-        owns the connection's response stream."""
+        — the caller re-tends and re-issues those, filtered: indexes
+        whose record exists but failed the request's expression filter).
+        Like scan, a batch owns the connection's response stream."""
         if self._sent != self._received or self._results:
             raise RuntimeError(
                 "aerospike wire: batch on a connection with in-flight requests"
             )
         self._send(
-            build_batch(self.namespace, self.set_name, digests)
+            build_batch(
+                self.namespace, self.set_name, digests, filter_exp=filter_exp
+            )
         )
         found: dict[int, tuple[int, dict[str, bytes]]] = {}
         missing: set[int] = set()
         unavailable: set[int] = set()
+        filtered: set[int] = set()
         while True:
             typ, body = read_frame(self.sock)
             if typ != MSG_TYPE:
@@ -2107,7 +2152,7 @@ class WireClient:
                     raise RuntimeError(
                         f"aerospike wire: batch failed, rc {rc}"
                     )
-                return found, missing, unavailable
+                return found, missing, unavailable, filtered
             index, rc, _digest, ttl, bins = parse_batch_record(body)
             if rc == RC_OK:
                 found[index] = (ttl, bins)
@@ -2115,6 +2160,8 @@ class WireClient:
                 missing.add(index)
             elif rc == RC_PARTITION_UNAVAILABLE:
                 unavailable.add(index)
+            elif rc == RC_FILTERED_OUT:
+                filtered.add(index)
             else:
                 raise RuntimeError(
                     f"aerospike wire: batch record rc {rc}"
@@ -2452,7 +2499,9 @@ class WireServer:
                     entries = parse_batch_entries(frame)
                     if entries is None:
                         return build_response(RC_SERVER_ERROR)
-                    return self._batch(ns, st, entries)
+                    return self._batch(
+                        ns, st, entries, parse_scan_filter(frame)
+                    )
                 if not digest:
                     return self._scan(
                         ns, st, parse_pid_range(frame),
@@ -2617,7 +2666,8 @@ class WireServer:
         return build_record_response(RC_OK, ttl, read_bins, gen=gen)
 
     def _batch(
-        self, ns: str, st: str, entries: list[tuple[int, bytes]]
+        self, ns: str, st: str, entries: list[tuple[int, bytes]],
+        filter_exp: tuple | None = None,
     ) -> bytes:
         """BATCH response: one index-tagged record response per entry
         (OK + bins / KEY_NOT_FOUND / per-record PARTITION_UNAVAILABLE
@@ -2646,6 +2696,14 @@ class WireServer:
                 rec = self._store.get((ns, st, digest))
                 if rec is None:
                     rows.append((index, digest, RC_KEY_NOT_FOUND, 0, {}, 0))
+                elif (
+                    filter_exp is not None
+                    and exp_eval(filter_exp, rec[0]) is not True
+                ):
+                    # the record exists but the predicate excluded it:
+                    # FILTERED_OUT, no bins cross the wire (tri-state —
+                    # UNKNOWN filters out, like the scan path)
+                    rows.append((index, digest, RC_FILTERED_OUT, 0, {}, 0))
                 else:
                     rows.append(
                         (

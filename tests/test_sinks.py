@@ -1009,7 +1009,8 @@ def test_wire_batch_get_mixed_results():
         # 8..11 unowned -> per-record unavailable
         for k in keys[:5]:
             assert c.wait(c.put(k, {"v": k}, 77)) == "ok"
-        found, missing, unavailable = c.batch_get(digs)
+        found, missing, unavailable, filtered = c.batch_get(digs)
+        assert filtered == set()
         assert sorted(found) == [0, 1, 2, 3, 4]
         for i in range(5):
             assert found[i] == (77, {"v": keys[i]})
@@ -1369,7 +1370,7 @@ def test_wire_client_compression_spans_every_op():
         # reads / touch / batch / scan ride the envelope too
         assert cc.wait_record_gen(cc.get(keys[0]))[2] == {"v": keys[0] * 20}
         assert cc.wait(cc.touch(keys[0], 99)) == "ok"
-        found, _m, _u = cc.batch_get([aw.key_digest("t", k) for k in keys])
+        found, _m, _u, _f = cc.batch_get([aw.key_digest("t", k) for k in keys])
         assert len(found) == len(keys)
         assert len(list(cc.scan())) == len(keys)
         assert comp_srv._envelopes == len(keys) + 4
@@ -1451,7 +1452,7 @@ def test_wire_batch_requires_auth_on_secured_cluster():
         c = aw.WireClient(srv.host, srv.port, "tmx", "t", user="bu", credential=cred)
         k = b"sec-batch"
         assert c.wait(c.put(k, {"v": b"1"}, 0)) == "ok"
-        found, missing, _ = c.batch_get([aw.key_digest("t", k)])
+        found, missing, _, _f = c.batch_get([aw.key_digest("t", k)])
         assert found[0] == (0, {"v": b"1"}) and not missing
         c.close()
         # no handshake: the batch answers NOT_AUTHENTICATED (a plain
@@ -1530,9 +1531,9 @@ def test_wire_batch_reply_omitting_index_is_protocol_error():
         digests = [aw.key_digest("t", b"omit-1"), aw.key_digest("t", b"omit-2")]
 
         class _DroppingClient:
-            def batch_get(self, items):
+            def batch_get(self, items, filter_exp=None):
                 # answers for all but the LAST index it was sent
-                return {}, {i: None for i in range(len(items) - 1)}, set()
+                return {}, {i: None for i in range(len(items) - 1)}, set(), set()
 
         router._clients = {i: _DroppingClient() for i in range(4096)}
         router.client = lambda idx: _DroppingClient()
@@ -1728,5 +1729,42 @@ def test_wire_scan_expression_filter_prunes_rows_server_side():
         assert len(list(sc2.scan())) == 20
         sc2.close()
         assert srv._scan_shipped == len(want) + 20
+    finally:
+        srv.close()
+
+
+def test_wire_batch_expression_filter():
+    """The expression filter rides BATCH requests like scans (round
+    14): matching records answer OK with bins, existing-but-excluded
+    records answer FILTERED_OUT (distinct from NOT_FOUND), and the
+    router surfaces them as BATCH_FILTERED."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    i64 = lambda v: v.to_bytes(8, "big", signed=True)
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        for k in range(6):
+            assert c.wait(c.put(f"b{k}".encode(), {"n": i64(k)}, 0)) == "ok"
+        c.close()
+        exp = ("cmp", "ge", ("bin_int", "n"), ("int", 3))
+        digs = [aw.key_digest("t", f"b{k}".encode()) for k in range(6)]
+        digs.append(aw.key_digest("t", b"absent"))
+        bc = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        found, missing, unavailable, filtered = bc.batch_get(
+            digs, filter_exp=exp
+        )
+        bc.close()
+        assert sorted(found) == [3, 4, 5]
+        assert filtered == {0, 1, 2}
+        assert missing == {6}
+        assert unavailable == set()
+        # the router maps filtered digests to the BATCH_FILTERED sentinel
+        router = aw.ClusterRouter([(srv.host, srv.port)], "tmx", "t")
+        got = router.batch_read(digs, filter_exp=exp)
+        assert got[digs[5]] == (0, {"n": i64(5)})
+        assert got[digs[1]] is aw.BATCH_FILTERED
+        assert got[digs[6]] is None
+        router.close()
     finally:
         srv.close()
