@@ -142,6 +142,7 @@ HEADLINE = [
     "s53_wire_operate",
     "s54_wire_scan_expr_filter",
     "s55_wire_batch_expr_filter",
+    "s56_filtered_partial_backup",
     "stream_asb_backup_rebase",
     "dedup_lsh_band_select",
     "sim_drift_recall_retune",

@@ -3211,6 +3211,226 @@ def q_s55_wire_batch_expr_filter(spark, sf_dir):
     return out
 
 
+def q_s56_filtered_partial_backup(spark, sf_dir):
+    """FILTERED PARTIAL BACKUP (round 14) — asbackup's filter-exp
+    concept end to end: back up ONLY the records matching a server-side
+    predicate, restore the slice into a second cluster, verify the
+    slice is exact and complete.  At 100 TB this is how tenant
+    extraction, retention-policy archival, and selective migration
+    actually run — the predicate's selectivity is what crosses the
+    wire AND what lands on disk, not the keyspace.
+
+    Flow: merged records (with the nc integer bin) sink to a 3-node
+    cluster A; a partition-sliced masters-only sweep scans WITH
+    filter nc >= 2 — the servers ship exactly the matching records
+    (counter-asserted) — landing as keyless digest-addressed .asb;
+    asrestore-shaped digest puts load the slice into a 2-node cluster
+    B (different layout — backups are cluster-shape-independent); an
+    UNFILTERED sweep of B then proves B holds exactly the matching
+    slice, bin-for-bin + ttl equal to A's filtered sweep.  Exact
+    oracle: the live merge restricted to n_cols >= 2."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        cols_str_to_bins,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.asb_backup import read_asb_scan, write_asb_scan
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+    from ..sources.sstable.fixtures import default_runs_dir
+
+    ns, set_name = "tmx", "partial"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    n_ranges = 8
+    span = N_PARTITIONS // n_ranges
+    filter_exp = ("cmp", "ge", ("bin_int", "nc"), ("int", 2))
+
+    def make_cluster(n_nodes: int):
+        servers = [
+            WireServer(
+                owned_partitions={
+                    p for p in range(N_PARTITIONS) if p % n_nodes == i
+                },
+                info_namespace=ns,
+            )
+            for i in range(n_nodes)
+        ]
+        nodes = [(srv.host, srv.port) for srv in servers]
+        pmap = [-1] * N_PARTITIONS
+        for idx, (h, p_) in enumerate(nodes):
+            _gen, owned = fetch_partition_map(h, p_, ns)
+            for p in owned:
+                pmap[p] = idx
+        return servers, nodes, pmap
+
+    servers_a, nodes_a, pmap_a = make_cluster(3)
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_match = records.filter(F.size("columns") >= 2).count()
+    if not 0 < n_match < n_records:
+        raise RuntimeError(
+            f"partial backup: degenerate selectivity {n_match}/{n_records}"
+        )
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name) for h, p in nodes_a
+            ]
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        bins["nc"] = len(rd["columns"]).to_bytes(8, "big", signed=True)
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = cl[pmap_a[partition_id(key_digest(set_name, key))]]
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("partial backup: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(
+        records.coalesce(_sink_parallelism(n_records)), put, wait,
+        max_in_flight=32,
+    )
+
+    def sweep(nodes, fexp) -> DataFrame:
+        """Partition-sliced masters-only sweep (s45 shape), optionally
+        expression-filtered; the binary nc bin travels as its own
+        column so cols_str stays printable."""
+        ranges_df = spark.createDataFrame(
+            [(r, r * span, span) for r in range(n_ranges)],
+            "rng int, begin int, count int",
+        ).repartition(n_ranges, "rng")
+
+        def scan_range(batches):
+            for pdf in batches:
+                for begin, count in zip(pdf["begin"], pdf["count"]):
+                    dh, ncs, cols, ttls = [], [], [], []
+                    for h, p_ in nodes:
+                        c = WireClient(h, p_, ns, set_name)
+                        for digest, ttl, bins in c.scan(
+                            int(begin), int(count), filter_exp=fexp
+                        ):
+                            dh.append(digest.hex())
+                            ncs.append(
+                                int.from_bytes(
+                                    bins.pop("nc"), "big", signed=True
+                                )
+                            )
+                            cols.append(
+                                ",".join(
+                                    sorted(
+                                        f"{n}={v.decode()}"
+                                        for n, v in bins.items()
+                                    )
+                                )
+                            )
+                            ttls.append(int(ttl))
+                        c.close()
+                    yield pd.DataFrame(
+                        {
+                            "digest_hex": dh,
+                            "nc": ncs,
+                            "cols_str": cols,
+                            "ttl": ttls,
+                        }
+                    )
+
+        return ranges_df.mapInPandas(
+            scan_range,
+            "digest_hex string, nc long, cols_str string, ttl long",
+        )
+
+    scanned_a = sweep(nodes_a, filter_exp).cache()
+    n_a = scanned_a.count()
+    shipped = sum(srv._scan_shipped for srv in servers_a)
+    if n_a != n_match or shipped != n_match:
+        raise RuntimeError(
+            f"partial sweep: swept={n_a} shipped={shipped} != "
+            f"match={n_match} — the predicate must bound the wire"
+        )
+
+    # ---- the PARTIAL .asb + restore into a differently-shaped B ----
+    backup_dir = default_runs_dir(sf_dir) + "_asb56"
+    write_asb_scan(
+        scanned_a.select("digest_hex", "cols_str", "ttl"),
+        backup_dir, ns, set_name, now_s, n_files=4,
+    )
+    nc_by_digest = scanned_a.select("digest_hex", "nc")
+    restore_stream = read_asb_scan(
+        spark, backup_dir, ns, set_name, now_s
+    ).join(nc_by_digest, "digest_hex")
+    servers_b, nodes_b, pmap_b = make_cluster(2)
+    state_b: dict = {}
+
+    def put_restore(rd):
+        cl = state_b.get("clients")
+        if cl is None:
+            cl = state_b["clients"] = [
+                WireClient(h, p, ns, set_name) for h, p in nodes_b
+            ]
+        digest = bytes.fromhex(rd["digest_hex"])
+        bins = cols_str_to_bins(rd["cols_str"])
+        bins["nc"] = int(rd["nc"]).to_bytes(8, "big", signed=True)
+        c = cl[pmap_b[partition_id(digest)]]
+        return c.put_digest(digest, bins, int(rd["ttl"])), c
+
+    bounded_async_foreach_writer(
+        restore_stream.repartition(4), put_restore, wait, max_in_flight=32
+    )
+
+    # ---- verify: B holds EXACTLY the slice, unfiltered sweep ----
+    scanned_b = sweep(nodes_b, None).cache()
+    vstats = (
+        scanned_a.alias("a")
+        .join(scanned_b.alias("b"), "digest_hex", "full_outer")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    F.col("a.cols_str").eqNullSafe(F.col("b.cols_str"))
+                    & F.col("a.ttl").eqNullSafe(F.col("b.ttl"))
+                    & F.col("a.nc").eqNullSafe(F.col("b.nc"))
+                ).cast("long")
+            ).alias("n_equal"),
+        )
+        .first()
+    )
+    if not (vstats["n"] == vstats["n_equal"] == n_match):
+        raise RuntimeError(
+            f"partial restore verify failed: {vstats['n_equal']}/"
+            f"{vstats['n']} equal (expected {n_match})"
+        )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = (
+        keyed.join(scanned_b, "digest_hex")
+        .select(
+            "key", "nc", "cols_str", "ttl",
+            F.lit(1).cast("int").alias("verified"),
+        )
+        .cache()
+    )
+    out.count()  # materialize while both clusters live
+    for srv in servers_a + servers_b:
+        srv.close()
+    scanned_a.unpersist()
+    scanned_b.unpersist()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -3368,6 +3588,7 @@ QUERIES = {
     "s53_wire_operate": q_s53_wire_operate,
     "s54_wire_scan_expr_filter": q_s54_wire_scan_expr_filter,
     "s55_wire_batch_expr_filter": q_s55_wire_batch_expr_filter,
+    "s56_filtered_partial_backup": q_s56_filtered_partial_backup,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -3740,6 +3961,26 @@ ORACLES = {
                CAST(NULL AS BIGINT) AS nc, CAST(NULL AS VARCHAR) AS cols_str,
                CAST(-1 AS BIGINT) AS ttl
         FROM live_records WHERE key % 5 = 0
+    """,
+    # s56: the filtered partial backup — the restored second cluster
+    # holds exactly the live records with >= 2 live columns, bins + nc
+    # + ttl intact; wire-volume and slice-equality are in-query asserts
+    "s56_filtered_partial_backup": _CTE + """
+        , live_records AS (
+          SELECT key, expiry, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               CAST(lr.n_cols AS BIGINT) AS nc,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl,
+               CAST(1 AS INT) AS verified
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        WHERE lr.n_cols >= 2
+        GROUP BY lr.key, lr.expiry, lr.n_cols
     """,
     # the cutover must be invisible: same merge contract as s42/s43
     "s44_wire_scan_during_handoff": _CTE + """
