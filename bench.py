@@ -143,6 +143,7 @@ HEADLINE = [
     "s54_wire_scan_expr_filter",
     "s55_wire_batch_expr_filter",
     "s56_filtered_partial_backup",
+    "s57_sindex_query",
     "stream_asb_backup_rebase",
     "dedup_lsh_band_select",
     "sim_drift_recall_retune",

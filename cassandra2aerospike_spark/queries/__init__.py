@@ -38,21 +38,23 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # (a) the 15 late-r13 rows that have NEVER been driver-signed
 #     (VERDICT r13 task 1 — all passed their exact oracles in the
 #     judge's pytest run but have no CORRECTNESS row),
-# (b) the 7 rows NEW this round (the OPERATE multi-op transaction,
-#     the expression-filtered scan AND batch, the filtered partial
-#     backup, the backup-chain rebase, the LSH banding auto-selection,
-#     the recall-driven drift retune),
+# (b) the 8 rows NEW this round (the OPERATE multi-op transaction,
+#     the expression-filtered scan AND batch, the secondary-index
+#     query family, the filtered partial backup, the backup-chain
+#     rebase, the LSH banding auto-selection, the recall-driven drift
+#     retune),
 # (c) stream_asb_incremental_backup, whose emission/replay/key-join
 #     code was refactored into shared helpers this round, and
-# (d) 27 rows of the stalest (r10) cohort.
+# (d) 26 rows of the stalest (r10) cohort.
 # Signature histogram entering r14: never x15, r10 x44, r11 x44,
 # r12 x50, r13 x50.  The 15 deferred r10 rows (the six mm_* media
 # rows, four sim_* quantization-tier rows kin to the r13-signed
 # persisted-index family, text_bpe_encode/text_ngram_lm kin to
 # text_bpe_train/text_quality_classifier which stay in, and
 # scalar_arrays/sample_domain_mix/sample_stratified, plus
-# text_quality_classifier and s35_partition_size_histogram bumped
-# when the filtered-batch and partial-backup rows landed)
+# text_quality_classifier, s35_partition_size_histogram and
+# dedup_exact_prefix bumped as the filtered-batch, partial-backup and
+# sindex rows landed — each has r11+-signed kin in its family)
 # are stable
 # unchanged code with kin coverage in this prefix; they head the r15
 # rotation together with the r11 cohort.
@@ -78,13 +80,13 @@ _PRIORITY = [
     "s54_wire_scan_expr_filter",
     "s55_wire_batch_expr_filter",
     "s56_filtered_partial_backup",
+    "s57_sindex_query",
     "stream_asb_backup_rebase",
     "dedup_lsh_band_select",
     "sim_drift_recall_retune",
     # -- (c) refactored this round (shared .asb segment helpers)
     "stream_asb_incremental_backup",
-    # -- (d) the stalest (r10) cohort, 27 of 44
-    "dedup_exact_prefix",
+    # -- (d) the stalest (r10) cohort, 26 of 44
     "dedup_jaccard_prefix_filter",
     "layout_zorder",
     "ma_compaction_roundtrip",

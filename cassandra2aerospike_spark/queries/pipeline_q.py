@@ -3431,6 +3431,148 @@ def q_s56_filtered_partial_backup(spark, sf_dir):
     return out
 
 
+def q_s57_sindex_query(spark, sf_dir):
+    """SECONDARY-INDEX QUERIES (round 14) — the as_query read family:
+    a set-addressed read whose INDEX_RANGE field names an INDEXED bin
+    and a predicate (int range here), created first with the public
+    sindex-create info DDL on every node.  Unlike a filtered scan the
+    query REQUIRES the index — an unindexed bin answers
+    AEROSPIKE_ERR_INDEX_NOT_FOUND (negatively asserted in-query) — and
+    unlike a point read it is selective by VALUE, not key: the shape a
+    migration uses to pull 'every record whose counter/score/status
+    lands in a band' without knowing any keys.  Composes with the scan
+    grammar it extends: projection, expression filters and pid slicing
+    all ride along (unit-tested; the row uses the plain form).  Flow:
+    sink the merge with the nc integer bin; sindex-create nc on each
+    node; ONE query task per node streams records with nc in [2, 4];
+    digests map back to keys distributedly.  Asserts: exactly one
+    query served per node, shipped == the relational match count, and
+    the unindexed-bin refusal.  Exact oracle: the live merge with
+    n_cols between 2 and 4."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        encode_index_range,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "sindexed"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            from ..sinks.aerospike_wire import ClusterRouter
+
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        bins["nc"] = len(rd["columns"]).to_bytes(8, "big", signed=True)
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("sindex sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # DDL + the negative check, once, against node 0
+    ddl = WireClient(nodes[0][0], nodes[0][1], ns, set_name)
+    try:
+        list(ddl.query(encode_index_range("nc", 2, 4)))
+        raise RuntimeError("sindex row: unindexed query was accepted")
+    except RuntimeError as e:
+        if "secondary index" not in str(e):
+            raise
+    for h, p_ in nodes:
+        c = WireClient(h, p_, ns, set_name)
+        c.sindex_create("nc", numeric=True)
+        c.close()
+    ddl.close()
+
+    n_match = records.filter(F.size("columns").between(2, 4)).count()
+    nodes_df = spark.createDataFrame(
+        [(i, h, p) for i, (h, p) in enumerate(nodes)],
+        "node int, host string, port int",
+    ).repartition(n_nodes, "node")
+
+    def query_node(batches):
+        for pdf in batches:
+            for _node, h, p_ in zip(pdf["node"], pdf["host"], pdf["port"]):
+                c = WireClient(h, int(p_), ns, set_name)
+                dh, ncs, cols, ttls = [], [], [], []
+                for digest, ttl, bins in c.query(
+                    encode_index_range("nc", 2, 4)
+                ):
+                    dh.append(digest.hex())
+                    ncs.append(
+                        int.from_bytes(bins.pop("nc"), "big", signed=True)
+                    )
+                    cols.append(
+                        ",".join(
+                            sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                        )
+                    )
+                    ttls.append(int(ttl))
+                c.close()
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": dh,
+                        "nc": ncs,
+                        "cols_str": cols,
+                        "ttl": ttls,
+                    }
+                )
+
+    queried = nodes_df.mapInPandas(
+        query_node, "digest_hex string, nc long, cols_str string, ttl long"
+    )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = (
+        keyed.join(queried, "digest_hex")
+        .select("key", "nc", "cols_str", "ttl")
+        .cache()
+    )
+    n_out = out.count()  # materialize while the cluster lives
+    shipped = sum(srv._scan_shipped for srv in servers)
+    n_queries = sum(srv._queries for srv in servers)
+    if n_out != n_match or shipped != n_match:
+        raise RuntimeError(
+            f"sindex query: out={n_out} shipped={shipped} != match={n_match}"
+        )
+    if n_queries != n_nodes + 1:  # one per node + the negative probe
+        raise RuntimeError(f"sindex query count {n_queries} != {n_nodes + 1}")
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -3589,6 +3731,7 @@ QUERIES = {
     "s54_wire_scan_expr_filter": q_s54_wire_scan_expr_filter,
     "s55_wire_batch_expr_filter": q_s55_wire_batch_expr_filter,
     "s56_filtered_partial_backup": q_s56_filtered_partial_backup,
+    "s57_sindex_query": q_s57_sindex_query,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -3980,6 +4123,25 @@ ORACLES = {
                CAST(1 AS INT) AS verified
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         WHERE lr.n_cols >= 2
+        GROUP BY lr.key, lr.expiry, lr.n_cols
+    """,
+    # s57: the secondary-index query — live records whose nc lands in
+    # [2, 4]; the index-required refusal and per-node query counts are
+    # in-query asserts
+    "s57_sindex_query": _CTE + """
+        , live_records AS (
+          SELECT key, expiry, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               CAST(lr.n_cols AS BIGINT) AS nc,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        WHERE lr.n_cols BETWEEN 2 AND 4
         GROUP BY lr.key, lr.expiry, lr.n_cols
     """,
     # the cutover must be invisible: same merge contract as s42/s43

@@ -89,6 +89,12 @@ FIELD_DIGEST = 4
 # as_partition_filter concept: scans address partition ranges so task
 # parallelism scales with the 4096-partition ring, not the node count);
 # payload = two BE u16s (begin_pid, count)
+# the secondary-index query range (the public AS_FIELD_INDEX_RANGE
+# slot): a query (as_query) is a set-addressed read whose INDEX_RANGE
+# field names an indexed bin and its predicate — int range or blob
+# equality; the server answers AEROSPIKE_ERR_INDEX_NOT_FOUND when no
+# secondary index exists on that bin
+FIELD_INDEX_RANGE = 22
 FIELD_PID_RANGE = 24
 # the batch-index field (the public AS_FIELD_BATCH_INDEX concept): one
 # field packs every digest of a batch read; payload = BE u32 count then
@@ -171,6 +177,9 @@ RC_SERVER_ERROR = 1
 # AEROSPIKE_ERR_BIN_INCOMPATIBLE_TYPE: an arithmetic op (OP_INCR)
 # against a bin whose stored particle is not an integer
 RC_BIN_TYPE = 12
+# AEROSPIKE_ERR_INDEX_NOT_FOUND: a query against a bin with no
+# secondary index — queries REQUIRE an index (scans don't)
+RC_INDEX_NOT_FOUND = 201
 # AEROSPIKE_FILTERED_OUT: the record exists but the request's filter
 # expression evaluated non-True — distinct from NOT_FOUND so callers
 # can tell "no record" from "record excluded by the predicate"
@@ -968,6 +977,108 @@ def parse_scan_bins(frame: bytes) -> list[str] | None:
         names.append(frame[off + 8 : off + 8 + nlen].decode())
         off += 4 + sz
     return names
+
+
+def encode_index_range(
+    bin_name: str,
+    lo: int | None = None,
+    hi: int | None = None,
+    eq: bytes | None = None,
+) -> bytes:
+    """The INDEX_RANGE field payload: u8 range count (1), u8 name len +
+    name, u8 particle type, then the predicate — INT (type 1): two >q
+    bounds [lo, hi] inclusive; BLOB (type 4): u32 len + bytes
+    (equality).  One range per query, like the real client's as_query
+    where clause."""
+    nb = bin_name.encode()
+    if len(nb) > 15:
+        raise ValueError(f"bin name over 15 bytes: {bin_name!r}")
+    head = struct.pack("BB", 1, len(nb)) + nb
+    if eq is not None:
+        return head + struct.pack(">BI", EXP_TYPE_BLOB, len(eq)) + eq
+    if lo is None or hi is None:
+        raise ValueError("int index range needs both bounds")
+    return head + struct.pack(">Bqq", EXP_TYPE_INT, lo, hi)
+
+
+def parse_index_range(frame: bytes):
+    """Server-side: the query's index predicate, or None when the
+    request carries no INDEX_RANGE field (then it is a scan).
+    Returns (bin_name, ptype, lo, hi, eq) — bounds for INT, eq bytes
+    for BLOB.  Malformed payloads raise ValueError."""
+    if len(frame) < 22:
+        return None
+    n_fields = struct.unpack_from(">H", frame, 18)[0]
+    off = 22
+    data = None
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return None
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return None
+        if frame[off + 4] == FIELD_INDEX_RANGE:
+            data = frame[off + 5 : off + 4 + sz]
+            break
+        off += 4 + sz
+    if data is None:
+        return None
+    if len(data) < 2 or data[0] != 1:
+        raise ValueError("aerospike wire: bad index-range count")
+    nlen = data[1]
+    if 2 + nlen + 1 > len(data):
+        raise ValueError("aerospike wire: truncated index-range name")
+    name = data[2 : 2 + nlen].decode()
+    ptype = data[2 + nlen]
+    rest = data[3 + nlen :]
+    if ptype == EXP_TYPE_INT:
+        if len(rest) != 16:
+            raise ValueError("aerospike wire: bad int index range")
+        lo, hi = struct.unpack(">qq", rest)
+        return name, ptype, lo, hi, None
+    if ptype == EXP_TYPE_BLOB:
+        if len(rest) < 4:
+            raise ValueError("aerospike wire: bad blob index range")
+        (blen,) = struct.unpack_from(">I", rest, 0)
+        if 4 + blen != len(rest):
+            raise ValueError("aerospike wire: bad blob index range")
+        return name, ptype, None, None, rest[4:]
+    raise ValueError(f"aerospike wire: unknown index particle {ptype}")
+
+
+def build_query(
+    namespace: str,
+    set_name: str,
+    index_range: bytes,
+    pid_begin: int | None = None,
+    pid_count: int | None = None,
+    bins: list[str] | None = None,
+    filter_exp: tuple | None = None,
+) -> bytes:
+    """One secondary-index QUERY request (round 14 — the as_query
+    family): exactly the scan grammar plus the INDEX_RANGE field, so
+    partition slicing, bin projection and the expression filter all
+    compose; the node streams only records whose indexed bin satisfies
+    the predicate, and REFUSES with AEROSPIKE_ERR_INDEX_NOT_FOUND when
+    no secondary index exists on the bin (unlike scans, queries
+    require one)."""
+    frame = build_scan(
+        namespace, set_name, pid_begin, pid_count,
+        bins=bins, filter_exp=filter_exp,
+    )
+    # splice the INDEX_RANGE field in: rebuild via the scan builder's
+    # grammar — header n_fields + the appended field payload
+    body = bytearray(frame[8:])
+    n_fields = struct.unpack_from(">H", bytes(body), 18)[0]
+    struct.pack_into(">H", body, 18, n_fields + 1)
+    field = struct.pack(">IB", len(index_range) + 1, FIELD_INDEX_RANGE) + index_range
+    # ops (if any) sit after the fields; walk past the fields to insert
+    off = 22
+    for _ in range(n_fields):
+        (sz,) = struct.unpack_from(">I", bytes(body), off)
+        off += 4 + sz
+    body[off:off] = field
+    return _proto_frame(bytes(body))
 
 
 def parse_pid_range(frame: bytes) -> tuple[int, int] | None:
@@ -2117,6 +2228,72 @@ class WireClient:
                 return
             yield parse_scan_record(body)
 
+    def info(self, names: list[str]) -> dict[str, str]:
+        """One text-info round trip on this connection (not pipelined —
+        refuses with requests in flight, like scan/batch)."""
+        if self._sent != self._received or self._results:
+            raise RuntimeError(
+                "aerospike wire: info on a connection with in-flight requests"
+            )
+        self.sock.sendall(build_info_request(names))
+        typ, body = read_frame(self.sock)
+        if typ != INFO_MSG_TYPE:
+            raise ValueError("aerospike wire: non-info reply to info")
+        return parse_info_response(body)
+
+    def sindex_create(self, bin_name: str, numeric: bool = True) -> None:
+        """Create a secondary index on `bin_name` for this client's
+        (namespace, set) — the public sindex-create info command the
+        real asadm/clients issue.  Idempotent on the in-process server."""
+        kind = "numeric" if numeric else "string"
+        cmd = (
+            f"sindex-create:ns={self.namespace};set={self.set_name};"
+            f"indexname=idx_{bin_name};indexdata={bin_name},{kind}"
+        )
+        resp = self.info([cmd])
+        if resp.get(cmd) != "OK":
+            raise RuntimeError(f"aerospike wire: sindex-create failed: {resp}")
+
+    def query(
+        self,
+        index_range: bytes,
+        pid_begin: int | None = None,
+        pid_count: int | None = None,
+        bins: list[str] | None = None,
+        filter_exp: tuple | None = None,
+    ):
+        """Secondary-index QUERY (round 14): stream every record whose
+        indexed bin satisfies `index_range` (encode_index_range) —
+        same multi-record response as scan, same composability
+        (partition slice / projection / expression filter), but the
+        node answers INDEX_NOT_FOUND unless a secondary index exists
+        on the bin.  Owns the response stream like scan."""
+        if self._sent != self._received or self._results:
+            raise RuntimeError(
+                "aerospike wire: query on a connection with in-flight requests"
+            )
+        self._send(
+            build_query(
+                self.namespace, self.set_name, index_range,
+                pid_begin, pid_count, bins=bins, filter_exp=filter_exp,
+            )
+        )
+        while True:
+            typ, body = read_frame(self.sock)
+            if typ != MSG_TYPE:
+                raise ValueError("aerospike wire: non-data frame in query")
+            if len(body) >= 22 and body[3] & INFO3_LAST:
+                rc = body[5]
+                if rc == RC_INDEX_NOT_FOUND:
+                    raise RuntimeError(
+                        "aerospike wire: query needs a secondary index "
+                        "on the bin (sindex-create first)"
+                    )
+                if rc != RC_OK:
+                    raise RuntimeError(f"aerospike wire: query failed, rc {rc}")
+                return
+            yield parse_scan_record(body)
+
     def batch_get(
         self, digests: list[bytes], filter_exp: tuple | None = None
     ) -> tuple[
@@ -2271,6 +2448,11 @@ class WireServer:
         # records actually shipped across all scans (round 14) — the
         # wire-volume counter the expression-filter row asserts against
         self._scan_shipped = 0
+        # secondary indexes (round 14): (ns, set, bin) registered via
+        # the sindex-create info command; queries against unindexed
+        # bins answer AEROSPIKE_ERR_INDEX_NOT_FOUND, like the server
+        self._sindexes: set[tuple[str, str, str]] = set()
+        self._queries = 0
         # requests that arrived inside the COMPRESSED envelope (type 4)
         self._envelopes = 0
         self._info_namespace = info_namespace
@@ -2443,9 +2625,30 @@ class WireServer:
             + ("," + partitions_to_b64(replicas) if replicas else ""),
         }
         names = parse_info_request(body)
-        return build_info_response(
-            {k: v for k, v in values.items() if k in names}
-        )
+        out: dict[str, str] = {}
+        for n in names:
+            if n.startswith(("sindex-create:", "sindex-delete:")):
+                # the public sindex DDL rides the info channel
+                params = dict(
+                    kv.split("=", 1)
+                    for kv in n.split(":", 1)[1].split(";")
+                    if "=" in kv
+                )
+                ixd = params.get("indexdata", "")
+                key = (
+                    params.get("ns", ""),
+                    params.get("set", ""),
+                    ixd.split(",", 1)[0],
+                )
+                with self._lock:
+                    if n.startswith("sindex-create:"):
+                        self._sindexes.add(key)
+                    else:
+                        self._sindexes.discard(key)
+                out[n] = "OK"
+            elif n in values:
+                out[n] = values[n]
+        return build_info_response(out)
 
     def _admin(self, body: bytes):
         """-> (result_code, response fields, connection_now_authed)."""
@@ -2507,6 +2710,7 @@ class WireServer:
                         ns, st, parse_pid_range(frame),
                         parse_scan_bins(frame),
                         parse_scan_filter(frame),
+                        parse_index_range(frame),
                     )
                 pid = partition_id(digest)
                 with self._lock:
@@ -2722,6 +2926,7 @@ class WireServer:
         self, ns: str, st: str, pid_range: tuple[int, int] | None = None,
         bins: list[str] | None = None,
         filter_exp: tuple | None = None,
+        index_range: tuple | None = None,
     ) -> bytes:
         """SCAN response: every (ns, set) record this node MASTERS as a
         digest-tagged record stream + the INFO3_LAST terminator.
@@ -2738,7 +2943,29 @@ class WireServer:
                 pid_range[0] <= pid < pid_range[0] + pid_range[1]
             )
 
+        def index_hit(rec_bins: dict[str, bytes]) -> bool:
+            """The query predicate against the indexed bin — evaluated
+            on the store snapshot (the in-process server's 'index' is
+            the semantic contract: registry-gated predicate reads; the
+            real server's btree maintenance is out of scope)."""
+            if index_range is None:
+                return True
+            name, ptype, lo, hi, eq = index_range
+            v = rec_bins.get(name)
+            if v is None:
+                return False  # unset bins are never indexed
+            if ptype == EXP_TYPE_INT:
+                if len(v) != 8:
+                    return False
+                return lo <= int.from_bytes(v, "big", signed=True) <= hi
+            return v == eq
+
         with self._lock:
+            if index_range is not None:
+                self._queries += 1
+                if (ns, st, index_range[0]) not in self._sindexes:
+                    # queries REQUIRE a secondary index (scans don't)
+                    return build_scan_last(RC_INDEX_NOT_FOUND)
             self._scans += 1
             if self._on_scan is not None:
                 self._on_scan(self._scans)
@@ -2755,6 +2982,7 @@ class WireServer:
                 and k[1] == st
                 and (self._owned is None or partition_id(k[2]) in self._owned)
                 and in_range(partition_id(k[2]))
+                and index_hit(v[0])
                 # the expression filter evaluates against the FULL
                 # record (pre-projection), shipping only exact-True —
                 # row-count pruning composing with width pruning

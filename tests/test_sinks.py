@@ -1768,3 +1768,71 @@ def test_wire_batch_expression_filter():
         router.close()
     finally:
         srv.close()
+
+
+def test_wire_sindex_query_family():
+    """Secondary-index queries (round 14): sindex-create DDL over the
+    info channel, int-range and blob-equality predicates, composition
+    with projection + expression filter + pid slicing, INDEX_NOT_FOUND
+    for unindexed bins, and index visibility for post-create writes."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    i64 = lambda v: v.to_bytes(8, "big", signed=True)
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        for k in range(10):
+            bins = {"score": i64(k), "grp": b"even" if k % 2 == 0 else b"odd",
+                    "pad": b"x" * 40}
+            assert c.wait(c.put(f"q{k}".encode(), bins, 0)) == "ok"
+        # querying before the index exists refuses with a clear error
+        try:
+            list(c.query(aw.encode_index_range("score", 2, 5)))
+            raise AssertionError("unindexed query accepted")
+        except RuntimeError as e:
+            assert "secondary index" in str(e)
+        c.sindex_create("score", numeric=True)
+        c.sindex_create("grp", numeric=False)
+        # int range [2, 5]
+        got = sorted(
+            int.from_bytes(b["score"], "big", signed=True)
+            for _, _, b in c.query(
+                aw.encode_index_range("score", 2, 5), bins=["score"]
+            )
+        )
+        assert got == [2, 3, 4, 5]
+        # blob equality
+        evens = list(c.query(aw.encode_index_range("grp", eq=b"even")))
+        assert len(evens) == 5
+        # composition: range AND expression filter AND projection
+        rows = list(
+            c.query(
+                aw.encode_index_range("score", 0, 9),
+                bins=["score"],
+                filter_exp=("cmp", "eq", ("bin_blob", "grp"), ("blob", b"odd")),
+            )
+        )
+        assert sorted(
+            int.from_bytes(b["score"], "big", signed=True) for _, _, b in rows
+        ) == [1, 3, 5, 7, 9]
+        assert all(set(b) == {"score"} for _, _, b in rows)
+        # a write AFTER create is immediately queryable
+        assert c.wait(c.put(b"q10", {"score": i64(3), "grp": b"odd"}, 0)) == "ok"
+        got = sorted(
+            int.from_bytes(b["score"], "big", signed=True)
+            for _, _, b in c.query(aw.encode_index_range("score", 3, 3))
+        )
+        assert got == [3, 3]
+        assert srv._queries == 5
+        # pid slicing composes: a full-ring sweep over 4 slices finds
+        # every match exactly once
+        n = 0
+        for begin in range(0, aw.N_PARTITIONS, aw.N_PARTITIONS // 4):
+            n += len(list(c.query(
+                aw.encode_index_range("score", 2, 5),
+                pid_begin=begin, pid_count=aw.N_PARTITIONS // 4,
+            )))
+        assert n == 5  # scores 2,3,4,5 plus q10's second 3
+        c.close()
+    finally:
+        srv.close()
