@@ -266,6 +266,7 @@ def _backup_restore(args, p) -> int:
     n_ranges = max(1, args.parallelism or 8)
     span = N_PARTITIONS // n_ranges
     sc = spark.sparkContext
+    backup_fexp = parse_filter_predicate(args.backup_filter)
 
     def sweep():
         """Generation-checked pid-range sweep of the cluster (the s44
@@ -297,7 +298,8 @@ def _backup_restore(args, p) -> int:
                                 compress_min=compress_min,
                             )
                             for digest, ttl, bins in c.scan(
-                                int(begin), int(count)
+                                int(begin), int(count),
+                                filter_exp=backup_fexp,
                             ):
                                 rows.append(
                                     (
@@ -428,6 +430,35 @@ def _backup_restore(args, p) -> int:
     return 0
 
 
+def parse_filter_predicate(text: str | None):
+    """`--filter` grammar -> an expression AST for the scan's
+    FIELD_FILTER_EXP slot (asbackup's filter-exp concept): a partial
+    backup ships only the records the SERVER matched.  Forms:
+    'bin>=N' / 'bin<=N' (integer bin), 'bin==STR' (blob equality),
+    'bin exists'.  None passes everything (a full backup)."""
+    import re as _re
+
+    if text is None:
+        return None
+    m = _re.fullmatch(r"\s*(\w+)\s+exists\s*", text)
+    if m:
+        from .sinks.aerospike_wire import exp_bin_exists
+
+        return exp_bin_exists(m.group(1))
+    m = _re.fullmatch(r"\s*(\w+)\s*(>=|<=|==)\s*(.+?)\s*", text)
+    if not m:
+        raise SystemExit(f"bad --filter {text!r}: want bin>=N, bin<=N, "
+                         "bin==STR or 'bin exists'")
+    name, op, val = m.groups()
+    if op == "==":
+        return ("cmp", "eq", ("bin_blob", name), ("blob", val.encode()))
+    try:
+        n = int(val)
+    except ValueError:
+        raise SystemExit(f"bad --filter {text!r}: {op} needs an integer")
+    return ("cmp", "ge" if op == ">=" else "le", ("bin_int", name), ("int", n))
+
+
 def main(argv: list[str] | None = None) -> int:
     from .operators.merge import ETERNAL, filter_expired
     from .session import get_spark
@@ -475,6 +506,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--since", dest="since_us", type=int, default=None)
     # round 13: the asbackup/asrestore job shapes over -h clusters
     p.add_argument("--backup", dest="backup_dir", default=None)
+    p.add_argument("--filter", dest="backup_filter", default=None)
     p.add_argument("--restore", dest="restore_dir", default=None)
     args = p.parse_args(argv)
     if args.batch_verify:

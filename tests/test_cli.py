@@ -740,3 +740,95 @@ def test_cli_compress_flag_ships_envelopes(runs_dir, capsys):
     finally:
         plain.close()
         comp.close()
+
+
+def test_cli_filtered_partial_backup(runs_dir, tmp_path, capsys):
+    """Round 14: `--backup --filter 'bin exists'` — the server-side
+    expression filter prunes the sweep, so the .asb holds ONLY the
+    matching slice; restore + verify into a fresh cluster round-trips
+    exactly that slice."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireServer,
+    )
+
+    src = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 3 == i},
+            info_namespace="tmx",
+        )
+        for i in range(3)
+    ]
+    dst = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 2 == i},
+            info_namespace="tmx",
+        )
+        for i in range(2)
+    ]
+    bdir = str(tmp_path / "asb_partial")
+    try:
+        hosts_src = [x for s in src for x in ("-h", f"127.0.0.1:{s.port}")]
+        hosts_dst = [x for s in dst for x in ("-h", f"127.0.0.1:{s.port}")]
+        assert main(["-i", runs_dir, "-n", "tmx", "-t", "recs"] + hosts_src + NOW) == 0
+        store = {}
+        for s in src:
+            store.update(s.records())
+        target = min(n for bins, _ttl in store.values() for n in bins)
+        n_match = sum(1 for bins, _ttl in store.values() if target in bins)
+        n_all = len(store)
+        assert 0 < n_match < n_all
+        assert (
+            main(
+                hosts_src
+                + ["-n", "tmx", "-t", "recs", "--backup", bdir,
+                   "--filter", f"{target} exists"]
+                + NOW
+            )
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert f"# backup: {n_match} records" in out
+        assert (
+            main(
+                hosts_dst
+                + ["-n", "tmx", "-t", "recs", "--restore", bdir, "--verify"]
+                + NOW
+            )
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert f"# restore: {n_match} records written" in out
+        assert f"# verify: {n_match} records match the backup, 0 mismatches" in out
+        dstore = {}
+        for s in dst:
+            dstore.update(s.records())
+        assert len(dstore) == n_match
+        assert all(target in bins for bins, _ttl in dstore.values())
+    finally:
+        for s in src + dst:
+            s.close()
+
+
+def test_cli_filter_predicate_grammar():
+    from cassandra2aerospike_spark.__main__ import parse_filter_predicate
+
+    assert parse_filter_predicate(None) is None
+    assert parse_filter_predicate("nc>=2") == (
+        "cmp", "ge", ("bin_int", "nc"), ("int", 2)
+    )
+    assert parse_filter_predicate("nc<=9") == (
+        "cmp", "le", ("bin_int", "nc"), ("int", 9)
+    )
+    assert parse_filter_predicate("grp==even") == (
+        "cmp", "eq", ("bin_blob", "grp"), ("blob", b"even")
+    )
+    assert parse_filter_predicate("flag exists") == (
+        "cmp", "ne", ("bin_type", "flag"), ("int", 0)
+    )
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_filter_predicate("nc >> 3")
+    with pytest.raises(SystemExit):
+        parse_filter_predicate("nc>=abc")
