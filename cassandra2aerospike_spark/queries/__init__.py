@@ -54,10 +54,18 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # scalar_arrays/sample_domain_mix/sample_stratified, plus
 # text_quality_classifier, s35_partition_size_histogram and
 # dedup_exact_prefix bumped as the filtered-batch, partial-backup and
-# sindex rows landed — each has r11+-signed kin in its family)
-# are stable
-# unchanged code with kin coverage in this prefix; they head the r15
-# rotation together with the r11 cohort.
+# sindex rows landed — each has r11+-signed kin in its family) are
+# stable unchanged code with kin coverage in this prefix; they head
+# the r15 rotation together with the r11 cohort.
+# NOTE for the r15 rotation: r14 also touched shared wire code every
+# wire row traverses — the operate/query dispatch probe in _apply,
+# the bomb-guarded compressed envelope, the real CAS-on-absent
+# semantics, and batch_get's 4-tuple return — every wire row
+# re-passed its exact oracle in the post-change full pytest suite
+# (596 passed), the r13-signed s44-s46 get fresh coverage through the
+# r14 rows built on the same paths (s53-s57 exercise put/scan/batch/
+# operate/query + envelope + router), and the remaining r12-signed
+# wire rows (s28, s36-s43, stream_cdc_*) belong in the r15 prefix.
 _PRIORITY = [
     # -- (a) never driver-signed (late r13)
     "s47_wire_batch_lookup",
