@@ -144,6 +144,7 @@ HEADLINE = [
     "s55_wire_batch_expr_filter",
     "s56_filtered_partial_backup",
     "s57_sindex_query",
+    "s58_wire_operate_during_handoff",
     "stream_asb_backup_rebase",
     "dedup_lsh_band_select",
     "sim_drift_recall_retune",

@@ -38,14 +38,14 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # (a) the 15 late-r13 rows that have NEVER been driver-signed
 #     (VERDICT r13 task 1 — all passed their exact oracles in the
 #     judge's pytest run but have no CORRECTNESS row),
-# (b) the 8 rows NEW this round (the OPERATE multi-op transaction,
-#     the expression-filtered scan AND batch, the secondary-index
-#     query family, the filtered partial backup, the backup-chain
-#     rebase, the LSH banding auto-selection, the recall-driven drift
-#     retune),
+# (b) the 9 rows NEW this round (the OPERATE multi-op transaction
+#     and its live-handoff variant, the expression-filtered scan AND
+#     batch, the secondary-index query family, the filtered partial
+#     backup, the backup-chain rebase, the LSH banding auto-selection,
+#     the recall-driven drift retune),
 # (c) stream_asb_incremental_backup, whose emission/replay/key-join
 #     code was refactored into shared helpers this round, and
-# (d) 26 rows of the stalest (r10) cohort.
+# (d) 25 rows of the stalest (r10) cohort.
 # Signature histogram entering r14: never x15, r10 x44, r11 x44,
 # r12 x50, r13 x50.  The 15 deferred r10 rows (the six mm_* media
 # rows, four sim_* quantization-tier rows kin to the r13-signed
@@ -53,8 +53,9 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 # text_bpe_train/text_quality_classifier which stay in, and
 # scalar_arrays/sample_domain_mix/sample_stratified, plus
 # text_quality_classifier, s35_partition_size_histogram and
-# dedup_exact_prefix bumped as the filtered-batch, partial-backup and
-# sindex rows landed — each has r11+-signed kin in its family) are
+# dedup_exact_prefix and ma_compaction_roundtrip bumped as the
+# filtered-batch, partial-backup, sindex and operate-handoff rows
+# landed — each has r11+-signed kin in its family) are
 # stable unchanged code with kin coverage in this prefix; they head
 # the r15 rotation together with the r11 cohort.
 # NOTE for the r15 rotation: r14 also touched shared wire code every
@@ -89,15 +90,15 @@ _PRIORITY = [
     "s55_wire_batch_expr_filter",
     "s56_filtered_partial_backup",
     "s57_sindex_query",
+    "s58_wire_operate_during_handoff",
     "stream_asb_backup_rebase",
     "dedup_lsh_band_select",
     "sim_drift_recall_retune",
     # -- (c) refactored this round (shared .asb segment helpers)
     "stream_asb_incremental_backup",
-    # -- (d) the stalest (r10) cohort, 26 of 44
+    # -- (d) the stalest (r10) cohort, 25 of 44
     "dedup_jaccard_prefix_filter",
     "layout_zorder",
-    "ma_compaction_roundtrip",
     "merge_full",
     "o2_real_resume",
     "pipeline_sstable_corpus",

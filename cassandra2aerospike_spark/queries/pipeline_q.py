@@ -3573,6 +3573,184 @@ def q_s57_sindex_query(spark, sf_dir):
     return out
 
 
+def q_s58_wire_operate_during_handoff(spark, sf_dir):
+    """OPERATE TRANSACTIONS SURVIVING A LIVE HANDOFF (round 14): the
+    multi-op read-modify-write path gets the same cluster-change
+    resilience the put (s40), scan (s44) and batch (s48) paths already
+    prove — and adds the property that matters most for non-idempotent
+    ops: PARTITION_UNAVAILABLE is a REFUSAL (the server answers before
+    applying anything), so a re-tend + re-issue can never double-apply
+    an INCR.  Flow: sink the merge; the enrichment pass runs one
+    transaction per record (incr hits += n_cols from absent, write
+    mark, then READ hits in the SAME transaction) through per-task
+    routers seeded with the PRE-cutover map; node 0's on_operate hook
+    fires at its 3rd applied transaction — INSIDE the store lock —
+    migrating its whole mastered slice to node 1, so stale-routed
+    operates draw UNAVAILABLE, re-tend, and re-issue against the
+    refreshed map.  Proofs: read-your-write holds across the retry
+    (the transaction's own read answers exactly n_cols), and the
+    read-back shows EVERY record at generation 2 with hits == n_cols —
+    a double-applied increment would read 2x and generation 3.  Exact
+    oracle: live records -> (key, n_cols, 2, 6000)."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        WireUnavailable,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "op_handoff"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    slice0 = {p for p in range(N_PARTITIONS) if p % n_nodes == 0}
+    servers: list = []
+    did_handoff = {"n": -1}
+
+    def on_node0_operate(n_ops: int) -> None:
+        if n_ops == 3:
+            did_handoff["n"] = servers[0].handoff(servers[1], slice0)
+
+    servers.append(
+        WireServer(
+            owned_partitions=slice0,
+            info_namespace=ns,
+            on_operate=on_node0_operate,
+        )
+    )
+    servers.extend(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in (1, 2)
+    )
+    nodes = [(srv.host, srv.port) for srv in servers]
+
+    # pass 1: plain create puts (fresh discovery; the handoff fires
+    # later, on the operate counter)
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("operate handoff sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # pass 2: the enrichment transactions on the STALE map
+    seed = ClusterRouter(nodes, ns, set_name)
+    pmap0 = list(seed.pmap)
+    seed.close()
+    sc = spark.sparkContext
+    acc_unavail = sc.accumulator(0)
+    estate: dict = {}
+
+    def enrich(rd):
+        r = estate.get("router")
+        if r is None:
+            r = estate["router"] = ClusterRouter(
+                nodes, ns, set_name, initial_pmap=pmap0
+            )
+        key = str(rd["key"]).encode()
+        n_cols = len(rd["columns"])
+        idx = r.master_idx_for(key)
+        c = r.client(idx)
+        h = c.operate(
+            key,
+            [("incr", "hits", n_cols), ("write", "mark", b"OP"), ("read", "hits")],
+            ttl=6000,
+        )
+        return h, c, r, key, idx, n_cols
+
+    def enrich_wait(h):
+        handle, c, r, key, idx, n_cols = h
+        try:
+            st, gen, _ttl, bins = c.wait_operate(handle)
+        except WireUnavailable:
+            # refused BEFORE applying: re-tend, requeue — the refusal
+            # semantics are what make retrying an INCR safe
+            acc_unavail.add(1)
+            r.retend_if_stale(key, idx)
+            return False
+        got = int.from_bytes(bins.get("hits", b""), "big", signed=True)
+        if st != "ok" or gen != 2 or got != n_cols:
+            raise RuntimeError(
+                f"operate handoff: st={st} gen={gen} hits={got} != {n_cols}"
+            )
+        return True
+
+    bounded_async_foreach_writer(sink_records, enrich, enrich_wait, max_in_flight=32)
+
+    if did_handoff["n"] <= 0:
+        raise RuntimeError("operate handoff never migrated records")
+    if acc_unavail.value < 1:
+        raise RuntimeError("operate handoff: no transaction saw the stale map")
+    if len(servers[0].records()) != 0:
+        raise RuntimeError("operate handoff: node 0 still holds records")
+
+    # read-back: pure-read operates via a FRESH (post-cutover) discovery
+    probes = records.select("key").repartition(n_tasks)
+
+    def read_back(batches):
+        router = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if router is None:
+                router = ClusterRouter(nodes, ns, set_name)
+            keys = [str(int(k)).encode() for k in pdf["key"]]
+            handles = [
+                (c := router.client_for(k), c.operate(k, [("read", "hits")]))
+                for k in keys
+            ]
+            hits, gens, ttls = [], [], []
+            for c, h in handles:
+                st, gen, ttl, bins = c.wait_operate(h)
+                if st != "ok":
+                    raise RuntimeError(f"operate handoff read-back: {st}")
+                hits.append(int.from_bytes(bins["hits"], "big", signed=True))
+                gens.append(int(gen))
+                ttls.append(int(ttl))
+            yield pd.DataFrame(
+                {"key": pdf["key"], "hits": hits, "gen": gens, "ttl": ttls}
+            )
+
+    out = probes.mapInPandas(
+        read_back, "key long, hits long, gen int, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    doubled = out.where(F.col("gen") != 2).count()
+    if doubled:
+        raise RuntimeError(
+            f"operate handoff: {doubled} records not at generation 2 — "
+            "a refused transaction was double-applied"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -3732,6 +3910,7 @@ QUERIES = {
     "s55_wire_batch_expr_filter": q_s55_wire_batch_expr_filter,
     "s56_filtered_partial_backup": q_s56_filtered_partial_backup,
     "s57_sindex_query": q_s57_sindex_query,
+    "s58_wire_operate_during_handoff": q_s58_wire_operate_during_handoff,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -4143,6 +4322,20 @@ ORACLES = {
         FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
         WHERE lr.n_cols BETWEEN 2 AND 4
         GROUP BY lr.key, lr.expiry, lr.n_cols
+    """,
+    # s58: the mid-enrichment cutover must be invisible — every live
+    # record at hits = n_cols, generation 2, the enrich ttl; the
+    # refusal/no-double-apply invariants are in-query asserts
+    "s58_wire_operate_during_handoff": _CTE + """
+        , live_records AS (
+          SELECT key, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT key,
+               CAST(n_cols AS BIGINT) AS hits,
+               CAST(2 AS INT) AS gen,
+               CAST(6000 AS BIGINT) AS ttl
+        FROM live_records
     """,
     # the cutover must be invisible: same merge contract as s42/s43
     "s44_wire_scan_during_handoff": _CTE + """

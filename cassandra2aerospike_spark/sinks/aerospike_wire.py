@@ -2406,6 +2406,7 @@ class WireServer:
         on_get=None,
         on_scan=None,
         on_batch=None,
+        on_operate=None,
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
         # per-record write count (round 13): generation 1 on create,
@@ -2443,8 +2444,11 @@ class WireServer:
         self._on_batch = on_batch
         self._batches = 0
         # OPERATE transactions served (round 14) — the multi-op
-        # read-modify-write counter queries assert against
+        # read-modify-write counter queries assert against; the hook
+        # fires INSIDE the critical section after a mutating
+        # transaction applies, like on_put (handoff triggers)
         self._operates = 0
+        self._on_operate = on_operate
         # records actually shipped across all scans (round 14) — the
         # wire-volume counter the expression-filter row asserts against
         self._scan_shipped = 0
@@ -2860,6 +2864,8 @@ class WireServer:
                 self._store[k] = (bins, ttl)
                 gen = self._gens[k] = self._gens.get(k, 0) + 1
                 seq = next(_REPL_SEQ)
+                if self._on_operate is not None:
+                    self._on_operate(self._operates)
             else:
                 gen = self._gens.get(k, 1)
                 ttl = cur[1]
