@@ -506,6 +506,77 @@ def parse_put_gen(frame: bytes) -> int | None:
     return struct.unpack_from(">I", frame, 6)[0]
 
 
+def encode_op(o: tuple) -> bytes:
+    """One op of the operate grammar, length-prefixed — the SAME
+    encoding whether the op rides a single OPERATE transaction or a
+    batch-write entry's sub-transaction (the public protocol reuses
+    the as_msg op framing in both places)."""
+    kind = o[0]
+    if kind == "touch":
+        body = struct.pack("BBBB", OP_TOUCH, 0, 0, 0)
+    else:
+        nb = o[1].encode()
+        if len(nb) > 15:
+            raise ValueError(f"bin name over 15 bytes: {o[1]!r}")
+        if kind == "read":
+            body = struct.pack("BBBB", OP_READ, 0, 0, len(nb)) + nb
+        elif kind == "write":
+            body = (
+                struct.pack("BBBB", OP_WRITE, PARTICLE_BLOB, 0, len(nb))
+                + nb + o[2]
+            )
+        elif kind == "incr":
+            body = (
+                struct.pack("BBBB", OP_INCR, PARTICLE_INTEGER, 0, len(nb))
+                + nb + struct.pack(">q", o[2])
+            )
+        elif kind == "append":
+            body = (
+                struct.pack("BBBB", OP_APPEND, PARTICLE_BLOB, 0, len(nb))
+                + nb + o[2]
+            )
+        elif kind == "prepend":
+            body = (
+                struct.pack("BBBB", OP_PREPEND, PARTICLE_BLOB, 0, len(nb))
+                + nb + o[2]
+            )
+        else:
+            raise ValueError(f"unknown operate op kind: {kind!r}")
+    return struct.pack(">I", len(body)) + body
+
+
+def decode_op(buf: bytes, off: int) -> tuple[tuple, int]:
+    """The inverse of encode_op: (op tuple, next offset).  Bounds-
+    checked with the uniform ValueError so truncated frames surface as
+    RC_SERVER_ERROR, never a struct.error killing the handler."""
+    if off + 8 > len(buf):
+        raise ValueError("aerospike wire: truncated operate op")
+    (sz,) = struct.unpack_from(">I", buf, off)
+    if sz < 4 or off + 4 + sz > len(buf):
+        raise ValueError("aerospike wire: truncated operate op")
+    op, _ptype, _ver, nlen = struct.unpack_from("BBBB", buf, off + 4)
+    if 4 + nlen > sz:
+        raise ValueError("aerospike wire: operate op name overruns op")
+    name = buf[off + 8 : off + 8 + nlen].decode()
+    value = buf[off + 8 + nlen : off + 4 + sz]
+    off += 4 + sz
+    if op == OP_READ:
+        return ("read", name), off
+    if op == OP_WRITE:
+        return ("write", name, value), off
+    if op == OP_INCR:
+        if len(value) != 8:
+            raise ValueError("aerospike wire: OP_INCR delta must be 8 bytes")
+        return ("incr", name, struct.unpack(">q", value)[0]), off
+    if op == OP_APPEND:
+        return ("append", name, value), off
+    if op == OP_PREPEND:
+        return ("prepend", name, value), off
+    if op == OP_TOUCH:
+        return ("touch",), off
+    raise ValueError(f"aerospike wire: unknown operate op {op}")
+
+
 def build_operate(
     namespace: str,
     set_name: str,
@@ -540,40 +611,7 @@ def build_operate(
         (FIELD_DIGEST, key_digest(set_name, key)),
     ):
         fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
-    encoded = []
-    for o in ops:
-        kind = o[0]
-        if kind == "touch":
-            body = struct.pack("BBBB", OP_TOUCH, 0, 0, 0)
-        else:
-            nb = o[1].encode()
-            if len(nb) > 15:
-                raise ValueError(f"bin name over 15 bytes: {o[1]!r}")
-            if kind == "read":
-                body = struct.pack("BBBB", OP_READ, 0, 0, len(nb)) + nb
-            elif kind == "write":
-                body = (
-                    struct.pack("BBBB", OP_WRITE, PARTICLE_BLOB, 0, len(nb))
-                    + nb + o[2]
-                )
-            elif kind == "incr":
-                body = (
-                    struct.pack("BBBB", OP_INCR, PARTICLE_INTEGER, 0, len(nb))
-                    + nb + struct.pack(">q", o[2])
-                )
-            elif kind == "append":
-                body = (
-                    struct.pack("BBBB", OP_APPEND, PARTICLE_BLOB, 0, len(nb))
-                    + nb + o[2]
-                )
-            elif kind == "prepend":
-                body = (
-                    struct.pack("BBBB", OP_PREPEND, PARTICLE_BLOB, 0, len(nb))
-                    + nb + o[2]
-                )
-            else:
-                raise ValueError(f"unknown operate op kind: {kind!r}")
-        encoded.append(struct.pack(">I", len(body)) + body)
+    encoded = [encode_op(o) for o in ops]
     msg = struct.pack(
         ">BBBBBBIIIHH",
         22, info1, info2, 0, 0, 0, gen, ttl & 0xFFFFFFFF, 1000,
@@ -616,34 +654,51 @@ def parse_operate(frame: bytes):
         raise ValueError("aerospike wire: operate needs a digest")
     ops: list[tuple] = []
     for _ in range(n_ops):
-        if off + 8 > len(frame):
-            raise ValueError("aerospike wire: truncated operate op")
-        (sz,) = struct.unpack_from(">I", frame, off)
-        if sz < 4 or off + 4 + sz > len(frame):
-            raise ValueError("aerospike wire: truncated operate op")
-        op, _ptype, _ver, nlen = struct.unpack_from("BBBB", frame, off + 4)
-        if 4 + nlen > sz:
-            raise ValueError("aerospike wire: operate op name overruns op")
-        name = frame[off + 8 : off + 8 + nlen].decode()
-        value = frame[off + 8 + nlen : off + 4 + sz]
-        off += 4 + sz
-        if op == OP_READ:
-            ops.append(("read", name))
-        elif op == OP_WRITE:
-            ops.append(("write", name, value))
-        elif op == OP_INCR:
-            if len(value) != 8:
-                raise ValueError("aerospike wire: OP_INCR delta must be 8 bytes")
-            ops.append(("incr", name, struct.unpack(">q", value)[0]))
-        elif op == OP_APPEND:
-            ops.append(("append", name, value))
-        elif op == OP_PREPEND:
-            ops.append(("prepend", name, value))
-        elif op == OP_TOUCH:
-            ops.append(("touch",))
-        else:
-            raise ValueError(f"aerospike wire: unknown operate op {op}")
+        o, off = decode_op(frame, off)
+        ops.append(o)
     return ns, st, digest, ttl, parse_put_gen(frame), ops
+
+
+def apply_op_list(
+    cur: tuple[dict[str, bytes], int] | None, ops: list[tuple]
+) -> tuple[int, dict[str, bytes], dict[str, bytes]]:
+    """The atomic op-list semantics shared by the single-OPERATE path
+    and each batch-write sub-transaction: apply the ordered ops against
+    the record's current bins, answering (result_code, new_bins,
+    read_bins).  Read ops placed after mutations see the mutated values
+    (read-your-write inside the transaction); OP_INCR against a
+    non-integer particle answers RC_BIN_TYPE; OP_TOUCH against an
+    absent record answers RC_KEY_NOT_FOUND; a non-OK code applies
+    NOTHING (the caller never stores the partial result)."""
+    bins = dict(cur[0]) if cur is not None else {}
+    read_bins: dict[str, bytes] = {}
+    for o in ops:
+        kind = o[0]
+        if kind == "read":
+            if o[1] in bins:
+                read_bins[o[1]] = bins[o[1]]
+        elif kind == "write":
+            bins[o[1]] = o[2]
+        elif kind == "incr":
+            stored = bins.get(o[1])
+            if stored is not None and len(stored) != 8:
+                # arithmetic against a non-integer particle
+                return RC_BIN_TYPE, {}, {}
+            base = (
+                int.from_bytes(stored, "big", signed=True)
+                if stored is not None
+                else 0
+            )
+            total = (base + o[2] + (1 << 63)) % (1 << 64) - (1 << 63)
+            bins[o[1]] = total.to_bytes(8, "big", signed=True)
+        elif kind == "append":
+            bins[o[1]] = bins.get(o[1], b"") + o[2]
+        elif kind == "prepend":
+            bins[o[1]] = o[2] + bins.get(o[1], b"")
+        elif kind == "touch":
+            if cur is None:
+                return RC_KEY_NOT_FOUND, {}, {}
+    return RC_OK, bins, read_bins
 
 
 def frame_is_operate(frame: bytes) -> bool:
@@ -1447,6 +1502,116 @@ def parse_batch_entries(frame: bytes) -> list[tuple[int, bytes]] | None:
     return None
 
 
+def build_batch_write(
+    namespace: str,
+    set_name: str,
+    entries: list[tuple[int, bytes, list[tuple], int, int | None]],
+) -> bytes:
+    """One BATCH-WRITE request (round 15) — the public batch-write /
+    batch-operate form (Aerospike server 6.0+): the batch-index field
+    carries one SUB-TRANSACTION per record — the entry's ordered op
+    list in the same op grammar OPERATE uses (encode_op), its ttl, and
+    an optional per-record generation check — and the node answers one
+    index-tagged record response PER ENTRY with a PER-RECORD result
+    code (OK / GEN_MISMATCH / NOT_FOUND / BIN_TYPE / per-record
+    PARTITION_UNAVAILABLE).  This is how a migration sink amortizes N
+    puts into per-node round trips: requests per task are bounded by
+    the NODE count, not the record count.  Frontier beyond the
+    reference (write-only, one record per put,
+    AerospikeWriter.cpp:216-256).  info1 = BATCH, info2 = WRITE — the
+    flag pair no other request shape produces.
+
+    Entry wire layout inside the batch field (after the u32 count):
+    u32 index + 20B digest + u8 flags (bit0: expect_gen present) +
+    [u32 expect_gen] + u32 ttl + u16 n_ops + n_ops length-prefixed ops."""
+    fields = []
+    for ftype, data in (
+        (FIELD_NAMESPACE, namespace.encode()),
+        (FIELD_SET, set_name.encode()),
+    ):
+        fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
+    parts = [struct.pack(">I", len(entries))]
+    for index, digest, ops, ttl, expect_gen in entries:
+        if len(digest) != DIGEST_SIZE:
+            raise ValueError(f"digest must be {DIGEST_SIZE} bytes")
+        flags = 0 if expect_gen is None else 1
+        head = struct.pack(">I", index) + digest + bytes([flags])
+        if expect_gen is not None:
+            head += struct.pack(">I", expect_gen & 0xFFFFFFFF)
+        encoded = [encode_op(o) for o in ops]
+        head += struct.pack(">IH", ttl & 0xFFFFFFFF, len(encoded))
+        parts.append(head + b"".join(encoded))
+    payload = b"".join(parts)
+    fields.append(
+        struct.pack(">IB", len(payload) + 1, FIELD_BATCH_INDEX) + payload
+    )
+    msg = struct.pack(
+        ">BBBBBBIIIHH",
+        22, INFO1_BATCH, INFO2_WRITE, 0, 0, 0, 0, 0, 1000, len(fields), 0,
+    )
+    return _proto_frame(msg + b"".join(fields))
+
+
+def parse_batch_write_entries(
+    frame: bytes,
+) -> list[tuple[int, bytes, list[tuple], int, int | None]] | None:
+    """Server-side batch-WRITE field walk: the request's
+    [(index, digest, ops, ttl, expect_gen)] list, or None when the
+    frame carries no batch-index field.  Bounds-checked like
+    parse_batch_entries — truncated entries raise the uniform
+    ValueError (-> RC_SERVER_ERROR), never struct.error."""
+    if len(frame) < 22:
+        return None
+    n_fields = struct.unpack_from(">H", frame, 18)[0]
+    off = 22
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return None
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return None
+        if frame[off + 4] == FIELD_BATCH_INDEX:
+            data = frame[off + 5 : off + 4 + sz]
+            if len(data) < 4:
+                raise ValueError("aerospike wire: truncated batch field")
+            (count,) = struct.unpack_from(">I", data, 0)
+            entries: list[tuple[int, bytes, list[tuple], int, int | None]] = []
+            p = 4
+            for _ in range(count):
+                if p + 4 + DIGEST_SIZE + 1 > len(data):
+                    raise ValueError(
+                        "aerospike wire: truncated batch-write entry"
+                    )
+                (idx,) = struct.unpack_from(">I", data, p)
+                p += 4
+                digest = data[p : p + DIGEST_SIZE]
+                p += DIGEST_SIZE
+                flags = data[p]
+                p += 1
+                expect_gen: int | None = None
+                if flags & 1:
+                    if p + 4 > len(data):
+                        raise ValueError(
+                            "aerospike wire: truncated batch-write gen"
+                        )
+                    (expect_gen,) = struct.unpack_from(">I", data, p)
+                    p += 4
+                if p + 6 > len(data):
+                    raise ValueError(
+                        "aerospike wire: truncated batch-write entry head"
+                    )
+                ttl, n_ops = struct.unpack_from(">IH", data, p)
+                p += 6
+                ops: list[tuple] = []
+                for _ in range(n_ops):
+                    o, p = decode_op(data, p)
+                    ops.append(o)
+                entries.append((idx, digest, ops, ttl, expect_gen))
+            return entries
+        off += 4 + sz
+    return None
+
+
 def build_batch_record(
     index: int, digest: bytes, result_code: int, ttl: int,
     bins: dict[str, bytes], gen: int = 1,
@@ -1857,6 +2022,64 @@ class ClusterRouter:
             if next_pending:
                 # one info sweep per ROUND, not per refused record —
                 # max_retends bounds the rounds
+                self.retend()
+            pending = next_pending
+        return out
+
+    def batch_operate(
+        self, items: list[tuple[bytes, list[tuple], int, int | None]]
+    ) -> dict[bytes, tuple[str, int, int, dict[str, bytes]]]:
+        """Cluster batch WRITE (round 15): the batch-node split applied
+        to per-record write/operate sub-transactions — group the
+        (digest, ops, ttl, expect_gen) items by their master under the
+        current map, ONE batch-write request per node, collect the
+        index-tagged per-record results.  A per-record
+        PARTITION_UNAVAILABLE (a REFUSAL answered before that entry
+        applied anything — the server contract that makes this safe) or
+        a dead node re-tends the map and re-issues ONLY the unresolved
+        entries, so a retried INCR never double-applies.  Duplicate
+        digests in one call are refused up front: two sub-transactions
+        against one record in one batch would make the retry
+        non-idempotent.  Returns digest -> (status, gen, ttl,
+        read_bins); status 'ok' | 'gen_mismatch' | 'not_found' |
+        'bin_type'."""
+        if len({it[0] for it in items}) != len(items):
+            raise ValueError(
+                "aerospike wire: duplicate digests in one batch_operate"
+            )
+        out: dict[bytes, tuple[str, int, int, dict[str, bytes]]] = {}
+        pending = list(items)
+        while pending:
+            by_node: dict[int, list[tuple]] = {}
+            for it in pending:
+                by_node.setdefault(
+                    self.pmap[partition_id(it[0])], []
+                ).append(it)
+            next_pending: list[tuple] = []
+            for idx, group in by_node.items():
+                try:
+                    res = self.client(idx).batch_write(
+                        [(d, ops, ttl, eg) for d, ops, ttl, eg in group]
+                    )
+                except OSError:
+                    self.drop_client(idx)
+                    next_pending.extend(group)
+                    continue
+                for i, it in enumerate(group):
+                    if i not in res:
+                        # strict per-record accounting, like batch_read:
+                        # a silently-dropped entry is a protocol error
+                        raise ValueError(
+                            "aerospike wire: batch-write reply omitted "
+                            f"index {i} (node {idx}, {len(group)} sent)"
+                        )
+                    st, gen, ttl_, rb = res[i]
+                    if st == "unavailable":
+                        next_pending.append(it)
+                    else:
+                        out[it[0]] = (st, gen, ttl_, rb)
+            if next_pending:
+                # one info sweep per ROUND, not per refused record
                 self.retend()
             pending = next_pending
         return out
@@ -2344,6 +2567,57 @@ class WireClient:
                     f"aerospike wire: batch record rc {rc}"
                 )
 
+    def batch_write(
+        self, entries: list[tuple[bytes, list[tuple], int, int | None]]
+    ) -> dict[int, tuple[str, int, int, dict[str, bytes]]]:
+        """One batch-write request (round 15): every (digest, ops, ttl,
+        expect_gen) sub-transaction in ONE request, the index-tagged
+        record stream read until INFO3_LAST.  Returns index -> (status,
+        gen, ttl, read_bins) with status 'ok' | 'gen_mismatch' |
+        'not_found' | 'bin_type' | 'unavailable' — every per-record
+        result code the server can answer, surfaced per entry so the
+        router re-tends exactly the refused records.  Like scan and
+        batch-read, a batch owns the connection's response stream."""
+        if self._sent != self._received or self._results:
+            raise RuntimeError(
+                "aerospike wire: batch on a connection with in-flight requests"
+            )
+        self._send(
+            build_batch_write(
+                self.namespace,
+                self.set_name,
+                [(i, d, ops, ttl, eg) for i, (d, ops, ttl, eg) in enumerate(entries)],
+            )
+        )
+        out: dict[int, tuple[str, int, int, dict[str, bytes]]] = {}
+        while True:
+            typ, body = read_frame(self.sock)
+            if typ != MSG_TYPE:
+                raise ValueError("aerospike wire: non-data frame in batch")
+            if len(body) >= 22 and body[3] & INFO3_LAST:
+                rc = body[5]
+                if rc != RC_OK:
+                    raise RuntimeError(
+                        f"aerospike wire: batch write failed, rc {rc}"
+                    )
+                return out
+            index, rc, _digest, ttl, bins = parse_batch_record(body)
+            gen = struct.unpack_from(">I", body, 6)[0]
+            if rc == RC_OK:
+                out[index] = ("ok", gen, ttl, bins)
+            elif rc == RC_GENERATION:
+                out[index] = ("gen_mismatch", 0, 0, {})
+            elif rc == RC_KEY_NOT_FOUND:
+                out[index] = ("not_found", 0, 0, {})
+            elif rc == RC_BIN_TYPE:
+                out[index] = ("bin_type", 0, 0, {})
+            elif rc == RC_PARTITION_UNAVAILABLE:
+                out[index] = ("unavailable", 0, 0, {})
+            else:
+                raise RuntimeError(
+                    f"aerospike wire: batch write record rc {rc}"
+                )
+
     def close(self) -> None:
         self.sock.close()
 
@@ -2407,6 +2681,7 @@ class WireServer:
         on_scan=None,
         on_batch=None,
         on_operate=None,
+        on_batch_write=None,
     ):
         self._store: dict[tuple[str, str, bytes], tuple[dict[str, bytes], int]] = {}
         # per-record write count (round 13): generation 1 on create,
@@ -2443,6 +2718,14 @@ class WireServer:
         # re-tend row)
         self._on_batch = on_batch
         self._batches = 0
+        # on_batch_write(n): fires with the running batch-WRITE ordinal
+        # INSIDE the store critical section, BEFORE any entry applies —
+        # a hook that hands off at batch-write K makes every entry of
+        # batch K (and everything later) see the post-cutover ownership,
+        # so refused entries provably applied nothing (round 15: the
+        # mid-migration trigger for the batch-write re-tend row)
+        self._on_batch_write = on_batch_write
+        self._batch_writes = 0
         # OPERATE transactions served (round 14) — the multi-op
         # read-modify-write counter queries assert against; the hook
         # fires INSIDE the critical section after a mutating
@@ -2698,6 +2981,20 @@ class WireServer:
         try:
             if frame_is_operate(frame):
                 return self._operate(frame)
+            if (
+                len(frame) >= 22
+                and frame[1] & INFO1_BATCH
+                and frame[2] & INFO2_WRITE
+            ):
+                # BATCH-WRITE (round 15): the flag pair no other
+                # request shape carries — per-record sub-transactions
+                ns, st, _d, _b, _t, _co = parse_put(
+                    frame, require_digest=False
+                )
+                entries = parse_batch_write_entries(frame)
+                if entries is None:
+                    return build_response(RC_SERVER_ERROR)
+                return self._batch_write(ns, st, entries)
             if len(frame) >= 22 and frame[1] & INFO1_READ:
                 ns, st, digest, _b, _t, _co = parse_put(
                     frame, require_digest=False
@@ -2799,6 +3096,73 @@ class WireServer:
         self._replicate(pid, ns, st, digest, bins, ttl, seq, gen)
         return build_response(RC_OK)
 
+    def _batch_write(
+        self, ns: str, st: str,
+        entries: list[tuple[int, bytes, list[tuple], int, int | None]],
+    ) -> bytes:
+        """BATCH-WRITE response (round 15): one index-tagged record
+        response per entry, each sub-transaction applied ATOMICALLY
+        under the node's store lock with exactly the single-OPERATE
+        semantics (apply_op_list; gen bumps once per mutating entry,
+        AS_POLICY_GEN_EQ checks existing records only, read ops answer
+        post-mutation values).  The whole batch applies under ONE lock
+        acquisition, so a concurrent handoff lands entirely before or
+        entirely after it — and PARTITION_UNAVAILABLE is a per-record
+        REFUSAL answered BEFORE that entry applies anything, so a
+        re-tending client's re-issue can never double-apply an INCR
+        (the same refuse-before-apply contract the single-operate
+        handoff row proves).  Writes require MASTERED partitions
+        (replicas refuse), matching the put path.  Replication forwards
+        are collected inside the lock and sent outside it, like _apply."""
+        results: list[tuple[int, bytes, int, int, dict[str, bytes], int]] = []
+        repl: list[tuple] = []
+        with self._lock:
+            self._batch_writes += 1
+            if self._on_batch_write is not None:
+                self._on_batch_write(self._batch_writes)
+            for index, digest, ops, ttl, expect_gen in entries:
+                pid = partition_id(digest)
+                if self._owned is not None and pid not in self._owned:
+                    results.append(
+                        (index, digest, RC_PARTITION_UNAVAILABLE, 0, {}, 0)
+                    )
+                    continue
+                k = (ns, st, digest)
+                cur = self._store.get(k)
+                has_write = any(o[0] != "read" for o in ops)
+                if cur is None and not has_write:
+                    results.append((index, digest, RC_KEY_NOT_FOUND, 0, {}, 0))
+                    continue
+                if (
+                    expect_gen is not None
+                    and cur is not None
+                    and self._gens.get(k, 0) != expect_gen
+                ):
+                    results.append((index, digest, RC_GENERATION, 0, {}, 0))
+                    continue
+                rc, bins, read_bins = apply_op_list(cur, ops)
+                if rc != RC_OK:
+                    results.append((index, digest, rc, 0, {}, 0))
+                    continue
+                if has_write:
+                    self._store[k] = (bins, ttl)
+                    gen = self._gens[k] = self._gens.get(k, 0) + 1
+                    seq = next(_REPL_SEQ)
+                    repl.append((pid, ns, st, digest, bins, ttl, seq, gen))
+                    out_ttl = ttl
+                else:
+                    gen = self._gens.get(k, 1)
+                    out_ttl = cur[1]
+                results.append((index, digest, RC_OK, out_ttl, read_bins, gen))
+        for r in repl:
+            self._replicate(*r)
+        out = [
+            build_batch_record(i, d, rc, ttl, bins, gen=g)
+            for i, d, rc, ttl, bins, g in results
+        ]
+        out.append(build_scan_last())
+        return b"".join(out)
+
     def _operate(self, frame: bytes) -> bytes:
         """OPERATE: apply the ordered op list atomically under ONE lock
         acquisition and answer the read ops' values in one record
@@ -2832,34 +3196,9 @@ class WireServer:
                 and self._gens.get(k, 0) != expect_gen
             ):
                 return build_response(RC_GENERATION)
-            bins = dict(cur[0]) if cur is not None else {}
-            read_bins: dict[str, bytes] = {}
-            for o in ops:
-                kind = o[0]
-                if kind == "read":
-                    if o[1] in bins:
-                        read_bins[o[1]] = bins[o[1]]
-                elif kind == "write":
-                    bins[o[1]] = o[2]
-                elif kind == "incr":
-                    stored = bins.get(o[1])
-                    if stored is not None and len(stored) != 8:
-                        # arithmetic against a non-integer particle
-                        return build_response(RC_BIN_TYPE)
-                    base = (
-                        int.from_bytes(stored, "big", signed=True)
-                        if stored is not None
-                        else 0
-                    )
-                    total = (base + o[2] + (1 << 63)) % (1 << 64) - (1 << 63)
-                    bins[o[1]] = total.to_bytes(8, "big", signed=True)
-                elif kind == "append":
-                    bins[o[1]] = bins.get(o[1], b"") + o[2]
-                elif kind == "prepend":
-                    bins[o[1]] = o[2] + bins.get(o[1], b"")
-                elif kind == "touch":
-                    if cur is None:
-                        return build_response(RC_KEY_NOT_FOUND)
+            rc, bins, read_bins = apply_op_list(cur, ops)
+            if rc != RC_OK:
+                return build_response(rc)
             if has_write:
                 self._store[k] = (bins, ttl)
                 gen = self._gens[k] = self._gens.get(k, 0) + 1

@@ -1836,3 +1836,137 @@ def test_wire_sindex_query_family():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_batch_write_codec_roundtrip():
+    """build_batch_write -> parse_batch_write_entries is the identity on
+    (index, digest, ops, ttl, expect_gen) lists across every op kind
+    and both gen-flag shapes; truncating anywhere raises the uniform
+    ValueError, never struct.error."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    entries = [
+        (0, aw.key_digest("t", b"a"),
+         [("write", "v", b"x"), ("read", "v")], 100, None),
+        (7, aw.key_digest("t", b"b"),
+         [("incr", "n", -12), ("append", "v", b"+"), ("prepend", "v", b"-"),
+          ("touch",)], 0xFFFFFFFF, 3),
+        (2, aw.key_digest("t", b"c"), [], 0, 0),
+    ]
+    req = aw.build_batch_write("ns", "t", entries)
+    assert aw.parse_batch_write_entries(req[8:]) == entries
+    # a read-batch frame parses via its own walk, not this one; a
+    # frame with no batch field answers None
+    assert aw.parse_batch_write_entries(aw.build_get("ns", "t", b"k")[8:]) is None
+    body = req[8:]
+    # find the batch field payload and truncate inside it
+    for cut in range(60, len(body)):
+        try:
+            aw.parse_batch_write_entries(body[:cut])
+        except ValueError:
+            continue
+
+
+def test_wire_batch_write_mixed_results():
+    """One batch-write request: per-record sub-transactions apply with
+    single-OPERATE semantics (create at gen 1, read-your-write, CAS on
+    existing only, INCR type refusal) and answer PER-RECORD result
+    codes — ok / gen_mismatch / not_found / bin_type / unavailable —
+    without one record's failure touching its neighbors."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    keys = [f"bw{i}".encode() for i in range(6)]
+    digs = [aw.key_digest("t", k) for k in keys]
+    owned = {aw.partition_id(d) for d in digs[:5]}
+    srv = aw.WireServer(owned_partitions=owned)
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        # seed key 1 (gen 1) and key 3 with a blob bin for the type error
+        assert c.wait(c.put(keys[1], {"n": b"\0" * 8}, 10)) == "ok"
+        assert c.wait(c.put(keys[3], {"m": b"blob"}, 10)) == "ok"
+        res = c.batch_write([
+            # create with read-your-write
+            (digs[0], [("incr", "n", 5), ("read", "n")], 100, None),
+            # CAS mismatch: key 1 is at gen 1, expect 9
+            (digs[1], [("write", "v", b"x")], 100, 9),
+            # pure-read sub-transaction on an absent key
+            (digs[2], [("read", "n")], 0, None),
+            # INCR against the blob particle: refused, nothing applied
+            (digs[3], [("incr", "m", 1)], 100, None),
+            # CAS on ABSENT creates (AS_POLICY_GEN_EQ semantics)
+            (digs[4], [("write", "v", b"new"), ("read", "v")], 50, 7),
+            # partition not mastered here: per-record refusal
+            (digs[5], [("write", "v", b"z")], 100, None),
+        ])
+        assert res[0][0] == "ok" and res[0][1] == 1 and res[0][2] == 100
+        assert res[0][3] == {"n": (5).to_bytes(8, "big", signed=True)}
+        assert res[1][0] == "gen_mismatch"
+        assert res[2][0] == "not_found"
+        assert res[3][0] == "bin_type"
+        assert res[4][0] == "ok" and res[4][1] == 1
+        assert res[4][3] == {"v": b"new"}
+        assert res[5][0] == "unavailable"
+        # the failures applied NOTHING
+        got = srv.records()
+        assert got[("tmx", "t", digs[1])] == ({"n": b"\0" * 8}, 10)
+        assert got[("tmx", "t", digs[3])] == ({"m": b"blob"}, 10)
+        assert ("tmx", "t", digs[2]) not in got
+        assert ("tmx", "t", digs[5]) not in got
+        assert srv._batch_writes == 1 and srv._puts == 2
+        # the connection still pipelines normal requests afterwards
+        assert c.wait(c.put(b"bw-after", {"v": b"1"}, 0)) in ("ok", "unavailable")
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_cluster_batch_operate_retends_without_double_apply():
+    """ClusterRouter.batch_operate under a live handoff: node 0 hands
+    its whole mastered slice to node 1 INSIDE the lock at its first
+    batch-write, BEFORE any entry applies — so the stale-routed
+    entries are refused, the router re-tends, re-issues ONLY those, and
+    the non-idempotent INCRs land exactly once (every record gen 1,
+    value == its single delta)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    n_nodes = 2
+    slices = [
+        {p for p in range(aw.N_PARTITIONS) if p % n_nodes == i}
+        for i in range(n_nodes)
+    ]
+    servers: list = []
+
+    def on_bw(n):
+        if n == 1:
+            servers[0].handoff(servers[1], slices[0])
+
+    servers.append(aw.WireServer(owned_partitions=slices[0], on_batch_write=on_bw))
+    servers.append(aw.WireServer(owned_partitions=slices[1]))
+    try:
+        nodes = [(s.host, s.port) for s in servers]
+        router = aw.ClusterRouter(nodes, "tmx", "t")
+        keys = [f"bo{i}".encode() for i in range(40)]
+        items = [
+            (aw.key_digest("t", k), [("incr", "n", i + 1), ("read", "n")], 60, None)
+            for i, k in enumerate(keys)
+        ]
+        out = router.batch_operate(items)
+        assert len(out) == len(items)
+        for i, (d, _ops, _ttl, _eg) in enumerate(items):
+            st, gen, ttl, bins = out[d]
+            assert (st, gen, ttl) == ("ok", 1, 60)
+            assert bins == {"n": (i + 1).to_bytes(8, "big", signed=True)}
+        # the handoff really happened: node 0 ended empty, node 1 has all
+        assert len(servers[0].records()) == 0
+        assert len(servers[1].records()) == len(keys)
+        # duplicate digests in one call are refused up front
+        d0 = items[0][0]
+        try:
+            router.batch_operate([(d0, [("incr", "n", 1)], 0, None)] * 2)
+            raise AssertionError("duplicate digests must be refused")
+        except ValueError:
+            pass
+        router.close()
+    finally:
+        for s in servers:
+            s.close()
