@@ -3751,6 +3751,433 @@ def q_s58_wire_operate_during_handoff(spark, sf_dir):
     return out
 
 
+def _batch_sink_frame(records):
+    """The merge contract projected to the scalar columns a batched
+    wire pass ships: (key, n_cols, bins_csv 'name=%.2f' sorted, ttl
+    by the expiry -> write-ttl rule) — all built JVM-side so the
+    pandas stage only encodes bytes."""
+    kv = F.transform(
+        F.map_entries("columns"),
+        lambda e: F.concat(
+            e["key"], F.lit("="), F.format_string("%.2f", e["value"])
+        ),
+    )
+    return (
+        F.size(F.map_keys(F.col("columns"))).alias("n_cols"),
+        F.array_join(F.sort_array(kv), ",").alias("bins_csv"),
+        F.when(F.col("expiry") == merge.ETERNAL, F.lit(0xFFFFFFFF))
+        .otherwise(F.col("expiry") - merge.NOW_EPOCH_S)
+        .cast("long")
+        .alias("ttl"),
+    )
+
+
+def q_s59_wire_batch_write(spark, sf_dir):
+    """BATCH WRITES (round 15) — the public batch-write/batch-operate
+    op family (Aerospike server 6.0+): ONE request per (task, node)
+    carrying per-record WRITE/OPERATE sub-transactions, each answered
+    with a per-record result code.  This turns the migration sink's
+    N round trips into tasks x nodes round trips — the number that
+    matters at 100 TB, where the reference pays one request per record
+    (write-only, AerospikeWriter.cpp:216-256; the batch-write form is
+    frontier beyond it).  Four batched passes, ZERO single puts/gets/
+    operates across the whole row:
+
+      1. MIGRATION: every merged record created through batch-write
+         sub-transactions (one write op per column) — all 'ok' gen 1;
+      2. ENRICH: per-record [incr hits += n_cols, read hits] with a
+         CAS-guarded tag write (expect_gen=1) riding on key % 5 == 0 —
+         read-your-write == n_cols asserted in-task, gen 2;
+      3. MIXED RESULT CODES in one batch: key % 7 == 0 re-sent with
+         expect_gen=1 (now gen 2) -> per-record GEN_MISMATCH applying
+         NOTHING, alongside key+10M creations (key % 3 == 0) whose
+         expect_gen rides an ABSENT key -> creates (AS_POLICY_GEN_EQ
+         applies to existing records only) — both statuses asserted
+         per record in-task;
+      4. READ-BACK: pure-read sub-transactions projecting hits/tag/src
+         + generation, through the same batch path.
+
+    In-query asserts: zero single puts, gets, and operates ever issued;
+    batch-request count bounded by passes x tasks x nodes.  Exact
+    oracle: live records -> (n_cols, tag iff %5, gen 2, ttl 6000) plus
+    the created cohort at gen 1 / ttl 7777."""
+    from ..sinks.aerospike_wire import ClusterRouter, N_PARTITIONS, WireServer, key_digest
+
+    n_nodes = 3
+    ns, set_name = "tmx", "batch_written"
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    sink = records.select(
+        "key", *_batch_sink_frame(records)
+    ).repartition(n_tasks)
+
+    def run_batch(batches, build_items, check):
+        """Accumulate the WHOLE partition (s47's batching contract:
+        one batch round per task, so requests stay bounded by
+        tasks x nodes), issue ONE batch_operate, verify per record."""
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        items, expect = build_items(pdf)
+        got = router.batch_operate(items)
+        out = check(pdf, items, expect, got)
+        if out is not None:
+            yield out
+
+    # ---- pass 1: batched migration (every record created via ops) ----
+    def migrate(batches):
+        def build(pdf):
+            items = []
+            for k, csv, ttl in zip(pdf["key"], pdf["bins_csv"], pdf["ttl"]):
+                ops = [
+                    ("write", kv.split("=", 1)[0], kv.split("=", 1)[1].encode())
+                    for kv in csv.split(",")
+                ]
+                items.append(
+                    (key_digest(set_name, str(int(k)).encode()), ops, int(ttl), None)
+                )
+            return items, None
+
+        def check(pdf, items, _e, got):
+            for d, _ops, _ttl, _eg in items:
+                st, gen, _t, _b = got[d]
+                if st != "ok" or gen != 1:
+                    raise RuntimeError(f"batch migration: st={st} gen={gen}")
+            return pd.DataFrame({"n": [len(items)]})
+
+        yield from run_batch(batches, build, check)
+
+    n_migrated = sink.mapInPandas(migrate, "n long").agg(F.sum("n")).first()[0]
+    if n_migrated != n_records:
+        raise RuntimeError(f"batch migration wrote {n_migrated} != {n_records}")
+
+    # ---- pass 2: enrichment sub-transactions with per-record CAS ----
+    def enrich(batches):
+        def build(pdf):
+            items = []
+            for k, nc in zip(pdf["key"], pdf["n_cols"]):
+                k, nc = int(k), int(nc)
+                ops = [("incr", "hits", nc)]
+                eg = None
+                if k % 5 == 0:
+                    ops.append(("write", "tag", b"BW"))
+                    eg = 1  # CAS-guarded: every record is at gen 1 here
+                ops.append(("read", "hits"))
+                items.append(
+                    (key_digest(set_name, str(k).encode()), ops, 6000, eg)
+                )
+            return items, {it[0]: int(nc) for it, nc in zip(items, pdf["n_cols"])}
+
+        def check(pdf, items, expect, got):
+            for d, _ops, _ttl, _eg in items:
+                st, gen, _t, bins = got[d]
+                hits = int.from_bytes(bins.get("hits", b""), "big", signed=True)
+                if st != "ok" or gen != 2 or hits != expect[d]:
+                    raise RuntimeError(
+                        f"batch enrich: st={st} gen={gen} hits={hits} != "
+                        f"{expect[d]} — read-your-write broke"
+                    )
+            return pd.DataFrame({"n": [len(items)]})
+
+        yield from run_batch(batches, build, check)
+
+    sink.mapInPandas(enrich, "n long").agg(F.sum("n")).first()
+
+    # ---- pass 3: mixed result codes in ONE batch per task ----
+    mixed = (
+        records.select("key")
+        .where((F.col("key") % 7 == 0) | (F.col("key") % 3 == 0))
+        .repartition(max(2, n_tasks // 2))
+    )
+
+    def mixed_batch(batches):
+        def build(pdf):
+            items, expect = [], {}
+            for k in pdf["key"]:
+                k = int(k)
+                if k % 7 == 0:
+                    # stale CAS: the record moved to gen 2 in pass 2
+                    d = key_digest(set_name, str(k).encode())
+                    items.append((d, [("write", "tag2", b"X")], 6000, 1))
+                    expect[d] = "gen_mismatch"
+                if k % 3 == 0:
+                    # CAS against an ABSENT key creates (gen policy
+                    # applies to existing records only)
+                    d = key_digest(set_name, str(k + 10_000_000).encode())
+                    items.append(
+                        (d, [("write", "src", str(k).encode())], 7777, 9)
+                    )
+                    expect[d] = "ok"
+            return items, expect
+
+        def check(pdf, items, expect, got):
+            for d, _ops, _ttl, _eg in items:
+                if got[d][0] != expect[d]:
+                    raise RuntimeError(
+                        f"mixed batch: {got[d][0]} != {expect[d]}"
+                    )
+            return pd.DataFrame({"n": [len(items)]})
+
+        yield from run_batch(batches, build, check)
+
+    mixed.mapInPandas(mixed_batch, "n long").agg(F.sum("n")).first()
+
+    # ---- read-back: pure-read sub-transactions via the same path ----
+    probes = records.select("key").unionAll(
+        records.select("key")
+        .where(F.col("key") % 3 == 0)
+        .select((F.col("key") + 10_000_000).alias("key"))
+    ).repartition(n_tasks)
+
+    def read_back(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        items = [
+            (
+                key_digest(set_name, str(int(k)).encode()),
+                [("read", "hits"), ("read", "tag"), ("read", "src")],
+                0,
+                None,
+            )
+            for k in pdf["key"]
+        ]
+        got = router.batch_operate(items)
+        hits, tags, srcs, gens, ttls = [], [], [], [], []
+        for d, _ops, _ttl, _eg in items:
+            st, gen, ttl, bins = got[d]
+            if st != "ok":
+                raise RuntimeError(f"batch read-back: {st}")
+            h = bins.get("hits")
+            hits.append(
+                None if h is None else int.from_bytes(h, "big", signed=True)
+            )
+            tags.append(bins.get("tag", b"").decode() or None)
+            srcs.append(bins.get("src", b"").decode() or None)
+            gens.append(int(gen))
+            ttls.append(int(ttl))
+        yield pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "hits": hits,
+                "tag": tags,
+                "src": srcs,
+                "gen": gens,
+                "ttl": ttls,
+            }
+        )
+
+    out = probes.mapInPandas(
+        read_back, "key long, hits long, tag string, src string, gen int, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    n_puts = sum(srv._puts for srv in servers)
+    n_gets = sum(srv._gets for srv in servers)
+    n_ops = sum(srv._operates for srv in servers)
+    n_bw = sum(srv._batch_writes for srv in servers)
+    if (n_puts, n_gets, n_ops) != (0, 0, 0):
+        raise RuntimeError(
+            f"batch-write row degraded: puts={n_puts} gets={n_gets} "
+            f"operates={n_ops} — every pass must batch"
+        )
+    if not (0 < n_bw <= 4 * n_tasks * n_nodes):
+        raise RuntimeError(
+            f"batch-write issued {n_bw} requests for 4 passes x "
+            f"{n_tasks} tasks x {n_nodes} nodes"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
+def q_s60_wire_batch_write_during_handoff(spark, sf_dir):
+    """BATCH WRITES SURVIVING A LIVE HANDOFF (round 15): the batch-write
+    path gets the resilience variant every other wire op family has
+    (put s40, scan s44, batch-read s48, operate s58) — and inherits the
+    property that matters for non-idempotent sub-transactions:
+    PARTITION_UNAVAILABLE is a per-record REFUSAL answered BEFORE that
+    entry applies anything (WireServer._batch_write holds the store
+    lock for the whole batch; the hook fires before any entry), so
+    ClusterRouter.batch_operate's re-tend + re-issue of exactly the
+    refused entries can never double-apply an INCR.  Flow: sink the
+    merge (plain creates); the enrichment pass sends per-record
+    [incr hits += n_cols, read hits] batches through routers seeded
+    with the PRE-cutover map; node 0's on_batch_write hook fires at its
+    FIRST batch-write — INSIDE the store lock, BEFORE any entry — and
+    migrates node 0's whole mastered slice to node 1, so that very
+    batch answers per-record UNAVAILABLE for every entry it carried.
+    Proofs: read-your-write holds across the retry (the re-issued
+    transaction's own read answers exactly n_cols), node 0 ends empty
+    having applied ZERO batch entries, and the read-back shows EVERY
+    record at generation 2 with hits == n_cols — a double-applied
+    increment would read 2x and generation 3.  Exact oracle: live
+    records -> (key, n_cols, 2, 6000)."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "bw_handoff"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    slice0 = {p for p in range(N_PARTITIONS) if p % n_nodes == 0}
+    servers: list = []
+    did_handoff = {"n": -1}
+
+    def on_node0_batch_write(n_bw: int) -> None:
+        if n_bw == 1:
+            did_handoff["n"] = servers[0].handoff(servers[1], slice0)
+
+    servers.append(
+        WireServer(
+            owned_partitions=slice0,
+            info_namespace=ns,
+            on_batch_write=on_node0_batch_write,
+        )
+    )
+    servers.extend(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in (1, 2)
+    )
+    nodes = [(srv.host, srv.port) for srv in servers]
+
+    # pass 1: plain create puts (fresh discovery; the handoff fires
+    # later, on the batch-write counter)
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("bw handoff sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    # pass 2: the INCR batches on the STALE map — the handoff fires at
+    # node 0's first batch-write, refusing that whole batch pre-apply
+    seed = ClusterRouter(nodes, ns, set_name)
+    pmap0 = list(seed.pmap)
+    seed.close()
+    enrich_in = records.select(
+        "key", F.size(F.map_keys(F.col("columns"))).alias("n_cols")
+    ).repartition(n_tasks)
+
+    def enrich(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name, initial_pmap=pmap0)
+        items, expect = [], {}
+        for k, nc in zip(pdf["key"], pdf["n_cols"]):
+            d = key_digest(set_name, str(int(k)).encode())
+            items.append(
+                (d, [("incr", "hits", int(nc)), ("read", "hits")], 6000, None)
+            )
+            expect[d] = int(nc)
+        got = router.batch_operate(items)
+        for d, _ops, _ttl, _eg in items:
+            st, gen, _t, bins = got[d]
+            hits = int.from_bytes(bins.get("hits", b""), "big", signed=True)
+            if st != "ok" or gen != 2 or hits != expect[d]:
+                raise RuntimeError(
+                    f"bw handoff enrich: st={st} gen={gen} hits={hits} != "
+                    f"{expect[d]} — a refused INCR was double-applied"
+                )
+        yield pd.DataFrame({"n": [len(items)]})
+
+    n_enriched = (
+        enrich_in.mapInPandas(enrich, "n long").agg(F.sum("n")).first()[0]
+    )
+    if n_enriched != n_records:
+        raise RuntimeError(f"bw handoff enriched {n_enriched} != {n_records}")
+    if did_handoff["n"] <= 0:
+        raise RuntimeError("bw handoff never migrated records")
+    if len(servers[0].records()) != 0:
+        raise RuntimeError("bw handoff: node 0 still holds records")
+
+    # read-back: pure-read batches via a FRESH (post-cutover) discovery
+    probes = records.select("key").repartition(n_tasks)
+
+    def read_back(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        items = [
+            (key_digest(set_name, str(int(k)).encode()), [("read", "hits")], 0, None)
+            for k in pdf["key"]
+        ]
+        got = router.batch_operate(items)
+        hits, gens, ttls = [], [], []
+        for d, _ops, _ttl, _eg in items:
+            st, gen, ttl, bins = got[d]
+            if st != "ok":
+                raise RuntimeError(f"bw handoff read-back: {st}")
+            hits.append(int.from_bytes(bins["hits"], "big", signed=True))
+            gens.append(int(gen))
+            ttls.append(int(ttl))
+        yield pd.DataFrame(
+            {"key": pdf["key"], "hits": hits, "gen": gens, "ttl": ttls}
+        )
+
+    out = probes.mapInPandas(
+        read_back, "key long, hits long, gen int, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    doubled = out.where(F.col("gen") != 2).count()
+    if doubled:
+        raise RuntimeError(
+            f"bw handoff: {doubled} records not at generation 2 — "
+            "a refused batch entry was double-applied"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -3911,6 +4338,8 @@ QUERIES = {
     "s56_filtered_partial_backup": q_s56_filtered_partial_backup,
     "s57_sindex_query": q_s57_sindex_query,
     "s58_wire_operate_during_handoff": q_s58_wire_operate_during_handoff,
+    "s59_wire_batch_write": q_s59_wire_batch_write,
+    "s60_wire_batch_write_during_handoff": q_s60_wire_batch_write_during_handoff,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -4327,6 +4756,45 @@ ORACLES = {
     # record at hits = n_cols, generation 2, the enrich ttl; the
     # refusal/no-double-apply invariants are in-query asserts
     "s58_wire_operate_during_handoff": _CTE + """
+        , live_records AS (
+          SELECT key, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT key,
+               CAST(n_cols AS BIGINT) AS hits,
+               CAST(2 AS INT) AS gen,
+               CAST(6000 AS BIGINT) AS ttl
+        FROM live_records
+    """,
+    # s59: four batched passes — migration, enrich (+CAS tag on %5),
+    # mixed result codes (stale CAS on %7 applies NOTHING; CAS on the
+    # absent +10M cohort creates), pure-read read-back.  Live records
+    # land at (hits=n_cols, gen 2, ttl 6000); the created cohort at
+    # (src=the source key, gen 1, ttl 7777)
+    "s59_wire_batch_write": _CTE + """
+        , live_records AS (
+          SELECT key, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT key,
+               CAST(n_cols AS BIGINT) AS hits,
+               CASE WHEN key % 5 = 0 THEN 'BW' END AS tag,
+               CAST(NULL AS VARCHAR) AS src,
+               CAST(2 AS INT) AS gen,
+               CAST(6000 AS BIGINT) AS ttl
+        FROM live_records
+        UNION ALL
+        SELECT key + 10000000,
+               CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR),
+               CAST(key AS VARCHAR),
+               CAST(1 AS INT),
+               CAST(7777 AS BIGINT)
+        FROM live_records WHERE key % 3 = 0
+    """,
+    # s60: the cutover must be invisible AND apply-exactly-once — the
+    # same post-state as the single-operate handoff row
+    "s60_wire_batch_write_during_handoff": _CTE + """
         , live_records AS (
           SELECT key, n_cols FROM records
           WHERE expiry = 4294967295 OR expiry >= 1719792001
