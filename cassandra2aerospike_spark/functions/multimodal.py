@@ -915,3 +915,88 @@ def resize_media_real(
     return media_df.select("doc_id", "payload").mapInPandas(
         resize_batches, RESIZE_REAL_SCHEMA
     )
+
+
+def synthesize_gradient_images(docs: DataFrame, plant_every: int = 7) -> DataFrame:
+    """Fixture adapter for the X2 x X5 perceptual-hash dedup bridge
+    (round 15): one 9x8 GRAYSCALE-GRADIENT 24-bit BMP per document —
+    pixel v(d, r, c) = (m1 + m2*(r+1)^2 + m3*(c+1)^2 + m4*(r+1)*(c+1))
+    % 250 with the per-doc mixers m1 = (d*2654435761) % 1000003,
+    m2 = (d*40503 + 17) % 997, m3 = (d*69621 + 31) % 983,
+    m4 = (d*48271 + 7) % 991 (Knuth/Lehmer multipliers: measured dHash
+    bit mean 0.497 over the fixture, so LSH buckets stay O(1)) — plus a
+    PLANTED NEAR-DUPLICATE for every doc_id % plant_every == 0:
+    img_id = doc_id + 1_000_000, every pixel shifted by +1 + d%2
+    (base < 250, shift <= 2: no 8-bit wrap, so the shift preserves
+    every dHash gradient comparison exactly while leaving an integer
+    pixel distance of 72 or 144 for the verifier).  The synthesize ->
+    decode -> hash round trip keeps the byte-level decode REAL while
+    every downstream stage has a closed-form integer oracle."""
+    import struct as _struct
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = 9, 8
+        stride = (w * 3 + 3) & ~3
+        rr = np.arange(h, dtype=np.int64)[:, None] + 1
+        cc = np.arange(w, dtype=np.int64)[None, :] + 1
+        hdr = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                2835, 2835, 0, 0,
+            )
+        )
+
+        def bmp_of(d: int, delta: int) -> bytes:
+            m1 = (d * 2654435761) % 1000003
+            m2 = (d * 40503 + 17) % 997
+            m3 = (d * 69621 + 31) % 983
+            m4 = (d * 48271 + 7) % 991
+            v = ((m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250
+                 + delta).astype(np.uint8)
+            rows = []
+            for y in range(h - 1, -1, -1):  # bottom-up, grayscale r=g=b=v
+                row = np.repeat(v[y], 3).tobytes()
+                rows.append(row.ljust(stride, b"\x00"))
+            return hdr + b"".join(rows)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ids.append(d)
+                payloads.append(bmp_of(d, 0))
+                if d % plant_every == 0:
+                    ids.append(d + 1_000_000)
+                    payloads.append(bmp_of(d, 1 + d % 2))
+            yield pd.DataFrame({"img_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "img_id long, payload binary"
+    )
+
+
+def decode_gray_pixels(media_df: DataFrame) -> DataFrame:
+    """REAL pixel decode for the perceptual-hash path: each BMP payload
+    byte-decoded (decode_bmp — stride padding, bottom-up flip, BGR->RGB)
+    and flattened to the row-major grayscale pixel array (channel 0;
+    the gradient fixture stores r=g=b).  Zero shuffles; rides the scan."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pxs = [], [], [], []
+            for img_id, p in zip(pdf["img_id"], pdf["payload"]):
+                img = decode_bmp(bytes(p))
+                ids.append(int(img_id))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                pxs.append([int(x) for x in img[:, :, 0].reshape(-1)])
+            out = pd.DataFrame({"img_id": ids, "w": ws, "h": hs, "px": pxs})
+            out["w"] = out["w"].astype("Int32")
+            out["h"] = out["h"].astype("Int32")
+            yield out
+
+    return media_df.select("img_id", "payload").mapInPandas(
+        decode_batches, "img_id long, w int, h int, px array<int>"
+    )

@@ -974,7 +974,171 @@ def q_pipeline_training_manifest(spark, sf_dir):
     )
 
 
+def q_mm_phash_dedup(spark, sf_dir):
+    """IMAGE NEAR-DUP DEDUP (round 15, X2 x X5 bridge): the perceptual-
+    hash pipeline a multimodal training corpus runs, end to end on REAL
+    bytes — synthesize one gradient BMP per document (plus a planted
+    pixel-shifted near-duplicate for every doc_id % 7 == 0,
+    functions/multimodal.synthesize_gradient_images), DECODE the bytes
+    for real (decode_bmp: stride padding, bottom-up flip), compute the
+    64-bit dHash declaratively from the decoded pixels (bit(r, c) =
+    px[r][c] > px[r][c+1] — the standard difference hash, JVM-side
+    comparisons, stored as 4 x 16-bit band values so banding needs no
+    64-bit shifts), prescreen with BANDED HAMMING LSH (any shared
+    band -> candidate; the same bucket-grouped in-row pair expansion
+    q_dedup_simhash_pairs uses — ONE pass, one shuffle to the bucket,
+    no self-join), verify candidates EXACTLY (full 64-bit Hamming <= 2
+    via per-band bit_count(xor) AND integer pixel distance
+    sum|a-b| <= 144 via zip_with over the decoded arrays), and emit the
+    keep-list: drop the larger img_id of every verified pair.  The
+    planted copies shift every pixel by a constant (no 8-bit wrap), so
+    their dHash is IDENTICAL (Hamming 0) and their pixel distance is
+    exactly 72 or 144 — caught by construction; the mixed gradient
+    keeps accidental collisions at zero measured and bucket sizes O(1)
+    (bit mean 0.497), so the candidate count stays linear at 100 TB.
+    Exact oracle: the generating arithmetic replayed relationally
+    (pixels -> lead() comparisons -> band sums -> band self-join ->
+    Hamming + pixel-distance verify)."""
+    from ..functions import multimodal as M
+
+    px_df = M.decode_gray_pixels(
+        M.synthesize_gradient_images(_docs(spark, sf_dir))
+    )
+    px = F.col("px")
+
+    def band_val(b: int):
+        terms = []
+        for rr in (2 * b, 2 * b + 1):
+            for c in range(8):
+                w = 1 << ((rr % 2) * 8 + c)
+                terms.append(
+                    F.when(px[rr * 9 + c] > px[rr * 9 + c + 1], w).otherwise(0)
+                )
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("int")
+
+    sigs = px_df.select(
+        "img_id", "px",
+        F.array(*[band_val(b) for b in range(4)]).alias("bands"),
+    )
+    bands = sigs.select(
+        F.struct("img_id", "bands", "px").alias("el"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("bands")[b].alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("el", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    members = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_set("el")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda b: F.struct(
+                    a["img_id"].alias("img_a"),
+                    b["img_id"].alias("img_b"),
+                    F.aggregate(
+                        F.zip_with(
+                            a["bands"], b["bands"],
+                            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ).alias("hamming"),
+                    F.aggregate(
+                        F.zip_with(a["px"], b["px"], lambda x, y: F.abs(x - y)),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ).alias("pixdist"),
+                ),
+            ),
+        )
+    )
+    verified = (
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.img_a", "p.img_b", "p.hamming", "p.pixdist")
+        .distinct()
+        .filter((F.col("hamming") <= 2) & (F.col("pixdist") <= 144))
+    )
+    dups = (
+        verified.select(F.col("img_b").alias("img_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        sigs.select("img_id")
+        .join(dups, "img_id", "left")
+        .select("img_id", F.col("dup").isNull().cast("int").alias("keep"))
+    )
+
+
+ORACLES["mm_phash_dedup"] = """
+    WITH corpus AS (
+      SELECT doc_id AS img_id, doc_id AS d, 0 AS delta FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1 + doc_id % 2
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    px AS (
+      SELECT img_id, r, c,
+             ((d * 2654435761) % 1000003
+              + ((d * 40503 + 17) % 997) * (r + 1) * (r + 1)
+              + ((d * 69621 + 31) % 983) * (c + 1) * (c + 1)
+              + ((d * 48271 + 7) % 991) * (r + 1) * (c + 1)) % 250
+             + delta AS v
+      FROM corpus,
+           (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS r),
+           (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS c)
+    ),
+    bits AS (
+      SELECT img_id, r, c,
+             CAST(v > lead(v) OVER (PARTITION BY img_id, r ORDER BY c)
+                  AS INT) AS bit
+      FROM px QUALIFY c < 8
+    ),
+    bands AS (
+      SELECT img_id, r // 2 AS band,
+             CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS bval
+      FROM bits GROUP BY img_id, r // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+      FROM bands a
+      JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                   AND a.img_id < b.img_id
+    ),
+    verified AS (
+      SELECT cd.img_a, cd.img_b
+      FROM cand cd
+      WHERE (SELECT sum(bit_count(xor(ba.bval, bb.bval)))
+             FROM bands ba JOIN bands bb ON bb.band = ba.band
+             WHERE ba.img_id = cd.img_a AND bb.img_id = cd.img_b) <= 2
+        AND (SELECT sum(abs(pa.v - pb.v))
+             FROM px pa JOIN px pb ON pb.r = pa.r AND pb.c = pa.c
+                  AND pa.img_id = cd.img_a AND pb.img_id = cd.img_b) <= 144
+    )
+    SELECT img_id,
+           CAST(img_id NOT IN (SELECT img_b FROM verified) AS INT) AS keep
+    FROM corpus
+"""
+
+
 QUERIES = {
+    "mm_phash_dedup": q_mm_phash_dedup,
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
     "pipeline_training_manifest": q_pipeline_training_manifest,
