@@ -974,6 +974,67 @@ def q_pipeline_training_manifest(spark, sf_dir):
     )
 
 
+def q_pipeline_bpe_manifest(spark, sf_dir):
+    """TOKEN-TRUE TRAINING MANIFEST (round 15): the
+    pipeline_training_manifest capstone re-based on the TRAINED
+    TOKENIZER's actual token counts — the composition a real
+    pretraining run performs, closing the r14 gap where packing
+    counted raw whitespace tokens while a driver-green BPE sat unused:
+
+      1. corpus prep (pipeline_corpus_prep: Gopher gate + exact dedup
+         + LSH near-dup clusters -> keep = 1);
+      2. BPE train -> encode (text_bpe_train/text_bpe_encode: the K
+         learned merges applied corpus-wide) giving each document its
+         POST-MERGE symbol count — the number of tokens the tokenizer
+         would actually emit;
+      3. the seeded md5 global shuffle (ONE exchange) + in-shard
+         packing into 2048-TOKEN sequences, where the cumulative budget
+         now advances by the BPE token count, so the manifest's
+         (seq_id, seq_offset) boundaries are the ones the shard writer
+         and the training loader will really see.
+
+    Every stage inherits its standalone row's audited shape; the only
+    join added is kept-ids x per-doc counts (both one row per doc).
+    The oracle nests the FULL corpus-prep oracle and the FULL unrolled
+    BPE train+encode CTE chain into the packing arithmetic — all
+    integers, exact in both engines."""
+    from pyspark.sql import Window
+
+    from .text_q import q_text_bpe_encode
+
+    prep = q_pipeline_corpus_prep(spark, sf_dir)
+    kept_ids = prep.filter(F.col("keep") == 1).select("doc_id")
+    counts = q_text_bpe_encode(spark, sf_dir).select(
+        "doc_id", F.col("n_sym_after").cast("long").alias("n_tokens")
+    )
+    kept = kept_ids.join(counts, "doc_id")
+    h = F.md5(F.concat(F.lit("shuf42|"), F.col("doc_id").cast("string")))
+    hkey = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    keyed = kept.select(
+        "doc_id",
+        "n_tokens",
+        hkey.alias("hkey"),
+        (hkey % 8).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(wc), F.lit(0)).cast("long")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "n_tokens",
+        cum_before.alias("cum_before"),
+    ).select(
+        "doc_id",
+        "shard",
+        "pos",
+        "n_tokens",
+        F.expr("cum_before div 2048").cast("long").alias("seq_id"),
+        (F.col("cum_before") % 2048).cast("long").alias("seq_offset"),
+    )
+
+
 def q_mm_phash_dedup(spark, sf_dir):
     """IMAGE NEAR-DUP DEDUP (round 15, X2 x X5 bridge): the perceptual-
     hash pipeline a multimodal training corpus runs, end to end on REAL
@@ -1137,7 +1198,49 @@ ORACLES["mm_phash_dedup"] = """
 """
 
 
+from .text_q import ORACLES as _text_oracles  # noqa: E402 — no cycle:
+# text_q only imports dedup_q lazily inside function bodies
+
+# the token-true manifest: corpus-prep decision CTE + the FULL unrolled
+# BPE train+encode chain + the same shuffle/packing arithmetic, with the
+# cumulative budget advancing by the BPE post-merge symbol count
+ORACLES["pipeline_bpe_manifest"] = (
+    "WITH prep AS ("
+    + _corpus_prep_oracle()
+    + "), bpe AS ("
+    + _text_oracles["text_bpe_encode"]
+    + """), kept AS (
+      SELECT p.doc_id, CAST(b.n_sym_after AS BIGINT) AS n_tokens
+      FROM prep p JOIN bpe b ON b.doc_id = p.doc_id
+      WHERE p.keep = 1
+    ), keyed AS (
+      SELECT doc_id, n_tokens,
+             list_reduce(list_transform(range(1, 16),
+                 j -> strpos('0123456789abcdef',
+                             substr(md5('shuf42|' || CAST(doc_id AS VARCHAR)), j, 1)) - 1),
+                 (a, b) -> a * 16 + b) AS hkey
+      FROM kept
+    ), ordered AS (
+      SELECT doc_id, n_tokens, hkey % 8 AS shard,
+             row_number() OVER (PARTITION BY hkey % 8
+                                ORDER BY hkey, doc_id) AS pos,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY hkey % 8 ORDER BY hkey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+      FROM keyed
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard, CAST(pos AS INT) AS pos,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+           CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+    FROM ordered
+"""
+)
+
+
 QUERIES = {
+    "pipeline_bpe_manifest": q_pipeline_bpe_manifest,
     "mm_phash_dedup": q_mm_phash_dedup,
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
