@@ -148,6 +148,13 @@ HEADLINE = [
     "stream_asb_backup_rebase",
     "dedup_lsh_band_select",
     "sim_drift_recall_retune",
+    # round-15: the batch-WRITE op family (per-record sub-transactions,
+    # batch-node split, handoff-safe non-idempotent retries), image
+    # near-dup dedup over real pixel decode, and the token-true manifest
+    "s59_wire_batch_write",
+    "s60_wire_batch_write_during_handoff",
+    "mm_phash_dedup",
+    "pipeline_bpe_manifest",
 ]
 
 

