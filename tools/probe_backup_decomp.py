@@ -67,12 +67,11 @@ def main() -> int:
         bounded_async_foreach_writer,
     )
 
+    from cassandra2aerospike_spark.sources import load_table
+
     spark = get_spark("probe_backup_decomp")
     sc = spark.sparkContext
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    from cassandra2aerospike_spark.sources import normalize_events
-
-    ev = normalize_events(ev)
+    ev = load_table(spark, sf_dir, "events")
 
     def probe(factor: int) -> dict:
         ns_, set_ = "tmx", "bkup"
