@@ -505,6 +505,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compress", dest="compress", action="store_true")
     p.add_argument("--since", dest="since_us", type=int, default=None)
     # round 13: the asbackup/asrestore job shapes over -h clusters
+    p.add_argument("--batch-write", dest="batch_write", action="store_true")
     p.add_argument("--backup", dest="backup_dir", default=None)
     p.add_argument("--filter", dest="backup_filter", default=None)
     p.add_argument("--restore", dest="restore_dir", default=None)
@@ -768,9 +769,92 @@ def main(argv: list[str] | None = None) -> int:
             acc_retry.add(1)
             return False  # transient: requeued by the bounded window
 
-        bounded_async_foreach_writer(
-            sink_input, put, wait, max_in_flight=args.max_async
-        )
+        if args.batch_write:
+            # --batch-write (round 15): the batch-write sink — the same
+            # CREATE-only + EXISTS-is-not-an-error migration semantics,
+            # but per-record sub-transactions BATCHED BY MASTER NODE
+            # (ClusterRouter.batch_operate's batch-node split), so wire
+            # round trips per task are bounded by nodes x chunks, not
+            # by the record count.  Per-record result codes keep the
+            # accounting exact; PARTITION_UNAVAILABLE re-tends inside
+            # batch_operate (refusal precedes application, so the
+            # re-issue can never double-create).
+            from .sinks.aerospike_wire import key_digest
+
+            chunk_rows = max(256, args.max_async * 16)
+
+            def sink_partition(rows):
+                router = None
+                single = None
+                buf: list = []
+
+                def flush():
+                    nonlocal router, single
+                    if not buf:
+                        return
+                    items = []
+                    for rd in buf:
+                        bins = {
+                            c_["col_name"]: c_["value"] or b""
+                            for c_ in rd["cells"]
+                        }
+                        k = rd["key"]
+                        if not isinstance(k, (bytes, bytearray)):
+                            k = str(k).encode("utf-8")
+                        items.append(
+                            (
+                                key_digest(set_name, bytes(k)),
+                                [("write", n_, v_) for n_, v_ in bins.items()],
+                                int(rd["write_ttl"]),
+                                None,
+                                True,  # create-only
+                            )
+                        )
+                    buf.clear()
+                    if clustered:
+                        if router is None:
+                            router = ClusterRouter(
+                                nodes, ns, set_name,
+                                user=user, credential=credential,
+                                compress_min=compress_min,
+                            )
+                        got = router.batch_operate(items)
+                        results = (got[d] for d, *_ in items)
+                    else:
+                        if single is None:
+                            single = WireClient(
+                                host, port, ns, set_name,
+                                user=user, credential=credential,
+                                compress_min=compress_min,
+                            )
+                        res = single.batch_write(items)
+                        results = (res[i] for i in range(len(items)))
+                    for st, _gen, _ttl, _bins in results:
+                        if st == "ok":
+                            acc_ok.add(1)
+                        elif st == "exists":
+                            acc_exists.add(1)
+                        elif st == "unavailable":
+                            raise RuntimeError(
+                                "node answered PARTITION_UNAVAILABLE on a "
+                                "single-host run — nothing to re-route to"
+                            )
+                        else:
+                            raise RuntimeError(
+                                f"batch-write sink: unexpected status {st}"
+                            )
+
+                for row in rows:
+                    buf.append(row)
+                    if len(buf) >= chunk_rows:
+                        flush()
+                flush()
+
+            sink_input.foreachPartition(sink_partition)
+        else:
+            bounded_async_foreach_writer(
+                sink_input, put, wait, max_in_flight=args.max_async
+            )
         if args.verify_sink:
             # --verify (round 11): read every shipped record back over
             # the wire (info1 READ|GET_ALL) from executor tasks and

@@ -1522,8 +1522,11 @@ def build_batch_write(
     flag pair no other request shape produces.
 
     Entry wire layout inside the batch field (after the u32 count):
-    u32 index + 20B digest + u8 flags (bit0: expect_gen present) +
-    [u32 expect_gen] + u32 ttl + u16 n_ops + n_ops length-prefixed ops."""
+    u32 index + 20B digest + u8 flags (bit0: expect_gen present;
+    bit1: CREATE-ONLY — the entry refuses with per-record KEY_EXISTS
+    instead of replacing, the migration sink's idempotence policy) +
+    [u32 expect_gen] + u32 ttl + u16 n_ops + n_ops length-prefixed ops.
+    Entries may be 5-tuples or 6-tuples (trailing create_only bool)."""
     fields = []
     for ftype, data in (
         (FIELD_NAMESPACE, namespace.encode()),
@@ -1531,10 +1534,11 @@ def build_batch_write(
     ):
         fields.append(struct.pack(">IB", len(data) + 1, ftype) + data)
     parts = [struct.pack(">I", len(entries))]
-    for index, digest, ops, ttl, expect_gen in entries:
+    for index, digest, ops, ttl, expect_gen, *rest in entries:
+        create_only = bool(rest[0]) if rest else False
         if len(digest) != DIGEST_SIZE:
             raise ValueError(f"digest must be {DIGEST_SIZE} bytes")
-        flags = 0 if expect_gen is None else 1
+        flags = (0 if expect_gen is None else 1) | (2 if create_only else 0)
         head = struct.pack(">I", index) + digest + bytes([flags])
         if expect_gen is not None:
             head += struct.pack(">I", expect_gen & 0xFFFFFFFF)
@@ -1575,7 +1579,9 @@ def parse_batch_write_entries(
             if len(data) < 4:
                 raise ValueError("aerospike wire: truncated batch field")
             (count,) = struct.unpack_from(">I", data, 0)
-            entries: list[tuple[int, bytes, list[tuple], int, int | None]] = []
+            entries: list[
+                tuple[int, bytes, list[tuple], int, int | None, bool]
+            ] = []
             p = 4
             for _ in range(count):
                 if p + 4 + DIGEST_SIZE + 1 > len(data):
@@ -1606,7 +1612,9 @@ def parse_batch_write_entries(
                 for _ in range(n_ops):
                     o, p = decode_op(data, p)
                     ops.append(o)
-                entries.append((idx, digest, ops, ttl, expect_gen))
+                entries.append(
+                    (idx, digest, ops, ttl, expect_gen, bool(flags & 2))
+                )
             return entries
         off += 4 + sz
     return None
@@ -2040,9 +2048,10 @@ class ClusterRouter:
         entries, so a retried INCR never double-applies.  Duplicate
         digests in one call are refused up front: two sub-transactions
         against one record in one batch would make the retry
-        non-idempotent.  Returns digest -> (status, gen, ttl,
-        read_bins); status 'ok' | 'gen_mismatch' | 'not_found' |
-        'bin_type'."""
+        non-idempotent.  Items are (digest, ops, ttl, expect_gen) or
+        (..., create_only) 5-tuples.  Returns digest -> (status, gen,
+        ttl, read_bins); status 'ok' | 'exists' | 'gen_mismatch' |
+        'not_found' | 'bin_type'."""
         if len({it[0] for it in items}) != len(items):
             raise ValueError(
                 "aerospike wire: duplicate digests in one batch_operate"
@@ -2058,9 +2067,7 @@ class ClusterRouter:
             next_pending: list[tuple] = []
             for idx, group in by_node.items():
                 try:
-                    res = self.client(idx).batch_write(
-                        [(d, ops, ttl, eg) for d, ops, ttl, eg in group]
-                    )
+                    res = self.client(idx).batch_write(list(group))
                 except OSError:
                     self.drop_client(idx)
                     next_pending.extend(group)
@@ -2568,16 +2575,17 @@ class WireClient:
                 )
 
     def batch_write(
-        self, entries: list[tuple[bytes, list[tuple], int, int | None]]
+        self, entries: list[tuple]
     ) -> dict[int, tuple[str, int, int, dict[str, bytes]]]:
         """One batch-write request (round 15): every (digest, ops, ttl,
-        expect_gen) sub-transaction in ONE request, the index-tagged
-        record stream read until INFO3_LAST.  Returns index -> (status,
-        gen, ttl, read_bins) with status 'ok' | 'gen_mismatch' |
-        'not_found' | 'bin_type' | 'unavailable' — every per-record
-        result code the server can answer, surfaced per entry so the
-        router re-tends exactly the refused records.  Like scan and
-        batch-read, a batch owns the connection's response stream."""
+        expect_gen[, create_only]) sub-transaction in ONE request, the
+        index-tagged record stream read until INFO3_LAST.  Returns
+        index -> (status, gen, ttl, read_bins) with status 'ok' |
+        'exists' (create-only refused) | 'gen_mismatch' | 'not_found' |
+        'bin_type' | 'unavailable' — every per-record result code the
+        server can answer, surfaced per entry so the router re-tends
+        exactly the refused records.  Like scan and batch-read, a batch
+        owns the connection's response stream."""
         if self._sent != self._received or self._results:
             raise RuntimeError(
                 "aerospike wire: batch on a connection with in-flight requests"
@@ -2586,7 +2594,7 @@ class WireClient:
             build_batch_write(
                 self.namespace,
                 self.set_name,
-                [(i, d, ops, ttl, eg) for i, (d, ops, ttl, eg) in enumerate(entries)],
+                [(i, *e) for i, e in enumerate(entries)],
             )
         )
         out: dict[int, tuple[str, int, int, dict[str, bytes]]] = {}
@@ -2605,6 +2613,8 @@ class WireClient:
             gen = struct.unpack_from(">I", body, 6)[0]
             if rc == RC_OK:
                 out[index] = ("ok", gen, ttl, bins)
+            elif rc == RC_KEY_EXISTS:
+                out[index] = ("exists", 0, 0, {})
             elif rc == RC_GENERATION:
                 out[index] = ("gen_mismatch", 0, 0, {})
             elif rc == RC_KEY_NOT_FOUND:
@@ -3120,7 +3130,8 @@ class WireServer:
             self._batch_writes += 1
             if self._on_batch_write is not None:
                 self._on_batch_write(self._batch_writes)
-            for index, digest, ops, ttl, expect_gen in entries:
+            for index, digest, ops, ttl, expect_gen, *rest in entries:
+                create_only = bool(rest[0]) if rest else False
                 pid = partition_id(digest)
                 if self._owned is not None and pid not in self._owned:
                     results.append(
@@ -3132,6 +3143,12 @@ class WireServer:
                 has_write = any(o[0] != "read" for o in ops)
                 if cur is None and not has_write:
                     results.append((index, digest, RC_KEY_NOT_FOUND, 0, {}, 0))
+                    continue
+                if create_only and cur is not None:
+                    # the migration sink's idempotence policy: an
+                    # existing record refuses per-record, applying
+                    # nothing (EXISTS is the caller's not-an-error)
+                    results.append((index, digest, RC_KEY_EXISTS, 0, {}, 0))
                     continue
                 if (
                     expect_gen is not None

@@ -832,3 +832,60 @@ def test_cli_filter_predicate_grammar():
         parse_filter_predicate("nc >> 3")
     with pytest.raises(SystemExit):
         parse_filter_predicate("nc>=abc")
+
+
+def test_cli_batch_write_sink(runs_dir, capsys):
+    """--batch-write (round 15): the wire sink rides per-record
+    CREATE-only sub-transactions batched by master node — identical
+    final cluster state and accounting to the put path (same records,
+    same owners, replay writes nothing), but ZERO single puts ever
+    issued and batch requests bounded by tasks x nodes x chunks."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireServer,
+        partition_id,
+    )
+
+    servers = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % 2 == i},
+            info_namespace="tmx",
+        )
+        for i in range(2)
+    ]
+    try:
+        argv = [
+            "-i", runs_dir,
+            "-h", f"127.0.0.1:{servers[0].port}",
+            "-h", f"127.0.0.1:{servers[1].port}",
+            "-n", "tmx", "-t", "recs", "--batch-write", "--verify",
+        ] + NOW
+        assert main(argv) == 0
+        out = capsys.readouterr().out
+        assert " 0 mismatches" in out
+        assert all(srv._puts == 0 for srv in servers), "degraded to single puts"
+        assert all(srv._batch_writes >= 1 for srv in servers)
+        per_node = [srv.records() for srv in servers]
+        assert all(per_node), "both nodes must hold records"
+        for i, store in enumerate(per_node):
+            for (_ns, _st, digest) in store:
+                assert partition_id(digest) % 2 == i
+        # replay: per-record 'exists' -> create-only idempotence holds
+        assert main(argv) == 0
+        assert "written: 0" in capsys.readouterr().out
+        # single-host batch path: one node owning everything
+        single = WireServer(info_namespace="tmx")
+        try:
+            argv1 = [
+                "-i", runs_dir, "-h", f"127.0.0.1:{single.port}",
+                "-n", "tmx", "-t", "recs", "--batch-write",
+            ] + NOW
+            assert main(argv1) == 0
+            assert "written: " in capsys.readouterr().out
+            assert single._puts == 0 and single._batch_writes >= 1
+            assert len(single.records()) == sum(len(s) for s in per_node)
+        finally:
+            single.close()
+    finally:
+        for srv in servers:
+            srv.close()

@@ -1847,14 +1847,19 @@ def test_wire_batch_write_codec_roundtrip():
 
     entries = [
         (0, aw.key_digest("t", b"a"),
-         [("write", "v", b"x"), ("read", "v")], 100, None),
+         [("write", "v", b"x"), ("read", "v")], 100, None, False),
         (7, aw.key_digest("t", b"b"),
          [("incr", "n", -12), ("append", "v", b"+"), ("prepend", "v", b"-"),
-          ("touch",)], 0xFFFFFFFF, 3),
-        (2, aw.key_digest("t", b"c"), [], 0, 0),
+          ("touch",)], 0xFFFFFFFF, 3, False),
+        (2, aw.key_digest("t", b"c"), [], 0, 0, True),
     ]
     req = aw.build_batch_write("ns", "t", entries)
     assert aw.parse_batch_write_entries(req[8:]) == entries
+    # the 5-tuple (no create-only) build form parses to create_only=False
+    req5 = aw.build_batch_write("ns", "t", [e[:5] for e in entries[:2]])
+    assert aw.parse_batch_write_entries(req5[8:]) == [
+        e[:5] + (False,) for e in entries[:2]
+    ]
     # a read-batch frame parses via its own walk, not this one; a
     # frame with no batch field answers None
     assert aw.parse_batch_write_entries(aw.build_get("ns", "t", b"k")[8:]) is None
@@ -1970,3 +1975,36 @@ def test_cluster_batch_operate_retends_without_double_apply():
     finally:
         for s in servers:
             s.close()
+
+
+def test_wire_batch_write_create_only():
+    """Per-record CREATE-ONLY in a batch write: existing records refuse
+    with 'exists' applying nothing; absent records create at gen 1 —
+    the CLI --batch-write sink's idempotence policy (EXISTS is not an
+    error, AerospikeWriter.cpp:137-161 semantics batched)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        d1 = aw.key_digest("t", b"co1")
+        d2 = aw.key_digest("t", b"co2")
+        assert c.wait(c.put(b"co1", {"v": b"orig"}, 9)) == "ok"
+        res = c.batch_write([
+            (d1, [("write", "v", b"clobber")], 100, None, True),
+            (d2, [("write", "v", b"new")], 100, None, True),
+        ])
+        assert res[0][0] == "exists"
+        assert res[1][0] == "ok" and res[1][1] == 1
+        got = srv.records()
+        assert got[("tmx", "t", d1)] == ({"v": b"orig"}, 9)
+        assert got[("tmx", "t", d2)] == ({"v": b"new"}, 100)
+        # a re-run is a no-op: everything answers exists
+        res2 = c.batch_write([
+            (d1, [("write", "v", b"x")], 1, None, True),
+            (d2, [("write", "v", b"y")], 1, None, True),
+        ])
+        assert res2[0][0] == res2[1][0] == "exists"
+        c.close()
+    finally:
+        srv.close()
