@@ -153,6 +153,7 @@ HEADLINE = [
     # near-dup dedup over real pixel decode, and the token-true manifest
     "s59_wire_batch_write",
     "s60_wire_batch_write_during_handoff",
+    "stream_cdc_batch_apply",
     "mm_phash_dedup",
     "pipeline_bpe_manifest",
 ]

@@ -929,9 +929,19 @@ def synthesize_gradient_images(docs: DataFrame, plant_every: int = 7) -> DataFra
     img_id = doc_id + 1_000_000, every pixel shifted by +1 + d%2
     (base < 250, shift <= 2: no 8-bit wrap, so the shift preserves
     every dHash gradient comparison exactly while leaving an integer
-    pixel distance of 72 or 144 for the verifier).  The synthesize ->
-    decode -> hash round trip keeps the byte-level decode REAL while
-    every downstream stage has a closed-form integer oracle."""
+    pixel distance of 72 or 144 for the verifier).
+
+    CROSS-FORMAT: sources alternate container by parity (doc_id % 2 ==
+    0 -> 24-bit BMP, == 1 -> real 8-bit truecolor PNG through
+    encode_png — spec-valid chunks, CRCs, deflate), and every planted
+    copy is stored in the OPPOSITE container from its source, so the
+    near-dup pairs the pipeline must catch are BMP <-> PNG — the
+    format-invariance a real image dedup needs (the same picture
+    re-encoded must still dedup).  Both containers are lossless, so
+    the decoded pixels — and the closed-form integer oracle — are
+    identical either way.  The synthesize -> decode -> hash round trip
+    keeps the byte-level decode REAL while every downstream stage has
+    an exact oracle."""
     import struct as _struct
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -948,13 +958,18 @@ def synthesize_gradient_images(docs: DataFrame, plant_every: int = 7) -> DataFra
             )
         )
 
-        def bmp_of(d: int, delta: int) -> bytes:
+        def gray(d: int, delta: int) -> np.ndarray:
             m1 = (d * 2654435761) % 1000003
             m2 = (d * 40503 + 17) % 997
             m3 = (d * 69621 + 31) % 983
             m4 = (d * 48271 + 7) % 991
-            v = ((m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250
-                 + delta).astype(np.uint8)
+            return ((m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250
+                    + delta).astype(np.uint8)
+
+        def blob_of(d: int, delta: int, as_png: bool) -> bytes:
+            v = gray(d, delta)
+            if as_png:
+                return encode_png(np.repeat(v[:, :, None], 3, axis=2))
             rows = []
             for y in range(h - 1, -1, -1):  # bottom-up, grayscale r=g=b=v
                 row = np.repeat(v[y], 3).tobytes()
@@ -966,10 +981,13 @@ def synthesize_gradient_images(docs: DataFrame, plant_every: int = 7) -> DataFra
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 ids.append(d)
-                payloads.append(bmp_of(d, 0))
+                payloads.append(blob_of(d, 0, as_png=bool(d % 2)))
                 if d % plant_every == 0:
+                    # the near-dup lives in the OTHER container
                     ids.append(d + 1_000_000)
-                    payloads.append(bmp_of(d, 1 + d % 2))
+                    payloads.append(
+                        blob_of(d, 1 + d % 2, as_png=not (d % 2))
+                    )
             yield pd.DataFrame({"img_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(
@@ -978,16 +996,23 @@ def synthesize_gradient_images(docs: DataFrame, plant_every: int = 7) -> DataFra
 
 
 def decode_gray_pixels(media_df: DataFrame) -> DataFrame:
-    """REAL pixel decode for the perceptual-hash path: each BMP payload
-    byte-decoded (decode_bmp — stride padding, bottom-up flip, BGR->RGB)
-    and flattened to the row-major grayscale pixel array (channel 0;
-    the gradient fixture stores r=g=b).  Zero shuffles; rides the scan."""
+    """REAL pixel decode for the perceptual-hash path: each payload
+    byte-decoded by its magic — BMP (decode_bmp: stride padding,
+    bottom-up flip, BGR->RGB) or PNG (decode_png: chunk walk, zlib
+    inflate, per-scanline unfilter) — and flattened to the row-major
+    grayscale pixel array (channel 0; the gradient fixture stores
+    r=g=b).  Zero shuffles; rides the scan."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, pxs = [], [], [], []
             for img_id, p in zip(pdf["img_id"], pdf["payload"]):
-                img = decode_bmp(bytes(p))
+                p = bytes(p)
+                img = (
+                    decode_png(p)
+                    if p[:8] == b"\x89PNG\r\n\x1a\n"
+                    else decode_bmp(p)
+                )
                 ids.append(int(img_id))
                 hs.append(img.shape[0])
                 ws.append(img.shape[1])

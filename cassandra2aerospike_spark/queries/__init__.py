@@ -35,9 +35,10 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 
 # Checked-prefix priority (see module docstring) — ROUND-15 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) the 4 rows NEW this round (the batch-WRITE op family and its
-#     live-handoff variant, image near-dup dedup over real pixel
-#     decode, the token-true BPE-packed manifest),
+# (a) the 5 rows NEW this round (the batch-WRITE op family, its
+#     live-handoff variant and the batched streaming CDC applier,
+#     image near-dup dedup over real pixel decode, the token-true
+#     BPE-packed manifest),
 # (b) ALL 19 rows of the stalest (r10) cohort — VERDICT r14 task 1,
 # (c) the r12-signed wire rows named by the r14 rotation note (s28,
 #     s36, s38-s43, stream_aerospike_wire_sink, stream_cdc_cluster_
@@ -45,8 +46,9 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 #     all traverse, and r15 touched it again (the operate op grammar
 #     factored into encode_op/decode_op + apply_op_list, and a new
 #     dispatch branch in WireServer._apply every wire request passes),
-# (d) 16 of the r11 cohort, wire/stream-adjacent and merge-core rows
-#     first.
+# (d) 15 of the r11 cohort, wire/stream-adjacent and merge-core rows
+#     first (join_asof rotated out to make the 50th slot; it heads the
+#     r16 rotation with the rest of the r11 cohort).
 # Signature histogram entering r15: r10 x19, r11 x44, r12 x50,
 # r13 x49, r14 x50 (212 rows, all driver-green at least once; zero
 # regressions ever).  After this prefix signs, no row is older than
@@ -59,6 +61,7 @@ _PRIORITY = [
     # -- (a) NEW in r15
     "s59_wire_batch_write",
     "s60_wire_batch_write_during_handoff",
+    "stream_cdc_batch_apply",
     "mm_phash_dedup",
     "pipeline_bpe_manifest",
     # -- (b) the whole r10 cohort
@@ -109,7 +112,6 @@ _PRIORITY = [
     "dedup_incremental",
     "o2_layout_resume",
     "src_formats_roundtrip",
-    "join_asof",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1038,10 +1038,15 @@ def q_pipeline_bpe_manifest(spark, sf_dir):
 def q_mm_phash_dedup(spark, sf_dir):
     """IMAGE NEAR-DUP DEDUP (round 15, X2 x X5 bridge): the perceptual-
     hash pipeline a multimodal training corpus runs, end to end on REAL
-    bytes — synthesize one gradient BMP per document (plus a planted
-    pixel-shifted near-duplicate for every doc_id % 7 == 0,
-    functions/multimodal.synthesize_gradient_images), DECODE the bytes
-    for real (decode_bmp: stride padding, bottom-up flip), compute the
+    bytes — synthesize one gradient image per document, containers
+    ALTERNATING by parity (24-bit BMP / real truecolor PNG through
+    encode_png), plus a planted pixel-shifted near-duplicate for every
+    doc_id % 7 == 0 stored in the OPPOSITE container from its source
+    (functions/multimodal.synthesize_gradient_images) — so every pair
+    the pipeline must catch is BMP <-> PNG: the format-invariance a
+    real image dedup needs.  DECODE the bytes for real (decode_bmp /
+    decode_png by magic: stride padding + bottom-up flip, or chunk walk
+    + inflate + unfilter; both lossless), compute the
     64-bit dHash declaratively from the decoded pixels (bit(r, c) =
     px[r][c] > px[r][c+1] — the standard difference hash, JVM-side
     comparisons, stored as 4 x 16-bit band values so banding needs no

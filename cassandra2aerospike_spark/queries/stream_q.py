@@ -9,6 +9,7 @@ from ..streaming import (
     stream_asb_backup_rebase,
     stream_asb_incremental_backup,
     stream_cdc_incremental,
+    stream_cdc_batch_apply,
     stream_cdc_cluster_apply,
     stream_cdc_wire_apply,
     stream_snapshot_cdc,
@@ -30,6 +31,7 @@ QUERIES = {
     "stream_aerospike_wire_sink": stream_aerospike_wire_sink,
     "stream_cdc_wire_apply": stream_cdc_wire_apply,
     "stream_cdc_cluster_apply": stream_cdc_cluster_apply,
+    "stream_cdc_batch_apply": stream_cdc_batch_apply,
     "stream_asb_incremental_backup": stream_asb_incremental_backup,
     "stream_asb_backup_rebase": stream_asb_backup_rebase,
     "stream_snapshot_cdc": stream_snapshot_cdc,
@@ -380,6 +382,8 @@ ORACLES["stream_asb_incremental_backup"] = (
 # stream_cdc_cluster_apply: identical quiesce contract — the cluster,
 # the mid-stream handoff and the re-tends are invisible at quiesce
 ORACLES["stream_cdc_cluster_apply"] = ORACLES["stream_cdc_wire_apply"]
+# the batch-write applier must be invisible at quiesce — same contract
+ORACLES["stream_cdc_batch_apply"] = ORACLES["stream_cdc_wire_apply"]
 
 
 # stream_asb_backup_rebase: compaction must be INVISIBLE — base + tail

@@ -1524,9 +1524,15 @@ def build_batch_write(
     Entry wire layout inside the batch field (after the u32 count):
     u32 index + 20B digest + u8 flags (bit0: expect_gen present;
     bit1: CREATE-ONLY — the entry refuses with per-record KEY_EXISTS
-    instead of replacing, the migration sink's idempotence policy) +
-    [u32 expect_gen] + u32 ttl + u16 n_ops + n_ops length-prefixed ops.
-    Entries may be 5-tuples or 6-tuples (trailing create_only bool)."""
+    instead of replacing, the migration sink's idempotence policy;
+    bit2: DELETE — a record-level removal sub-transaction, the public
+    batch grammar's delete record type: ops list empty, answers OK or
+    KEY_NOT_FOUND, idempotent for CDC appliers; bit3: REPLACE — the
+    write policy AS_POLICY_EXISTS_CREATE_OR_REPLACE: ops apply onto an
+    EMPTY record, discarding stored bins, the whole-record semantics a
+    CDC applier needs) + [u32 expect_gen] + u32 ttl + u16 n_ops +
+    n_ops length-prefixed ops.  Entries may be 5/6/7/8-tuples
+    (trailing create_only, delete, replace bools)."""
     fields = []
     for ftype, data in (
         (FIELD_NAMESPACE, namespace.encode()),
@@ -1536,9 +1542,24 @@ def build_batch_write(
     parts = [struct.pack(">I", len(entries))]
     for index, digest, ops, ttl, expect_gen, *rest in entries:
         create_only = bool(rest[0]) if rest else False
+        delete = bool(rest[1]) if len(rest) > 1 else False
+        replace = bool(rest[2]) if len(rest) > 2 else False
         if len(digest) != DIGEST_SIZE:
             raise ValueError(f"digest must be {DIGEST_SIZE} bytes")
-        flags = (0 if expect_gen is None else 1) | (2 if create_only else 0)
+        if delete and (ops or create_only or replace):
+            raise ValueError(
+                "aerospike wire: a delete sub-transaction carries no ops"
+            )
+        if create_only and replace:
+            raise ValueError(
+                "aerospike wire: create-only and replace are exclusive"
+            )
+        flags = (
+            (0 if expect_gen is None else 1)
+            | (2 if create_only else 0)
+            | (4 if delete else 0)
+            | (8 if replace else 0)
+        )
         head = struct.pack(">I", index) + digest + bytes([flags])
         if expect_gen is not None:
             head += struct.pack(">I", expect_gen & 0xFFFFFFFF)
@@ -1613,7 +1634,8 @@ def parse_batch_write_entries(
                     o, p = decode_op(data, p)
                     ops.append(o)
                 entries.append(
-                    (idx, digest, ops, ttl, expect_gen, bool(flags & 2))
+                    (idx, digest, ops, ttl, expect_gen,
+                     bool(flags & 2), bool(flags & 4), bool(flags & 8))
                 )
             return entries
         off += 4 + sz
@@ -3132,6 +3154,8 @@ class WireServer:
                 self._on_batch_write(self._batch_writes)
             for index, digest, ops, ttl, expect_gen, *rest in entries:
                 create_only = bool(rest[0]) if rest else False
+                delete = bool(rest[1]) if len(rest) > 1 else False
+                replace = bool(rest[2]) if len(rest) > 2 else False
                 pid = partition_id(digest)
                 if self._owned is not None and pid not in self._owned:
                     results.append(
@@ -3140,6 +3164,29 @@ class WireServer:
                     continue
                 k = (ns, st, digest)
                 cur = self._store.get(k)
+                if delete:
+                    # the batch grammar's DELETE record type: remove
+                    # under the same CAS policy, idempotent on absence
+                    if (
+                        expect_gen is not None
+                        and cur is not None
+                        and self._gens.get(k, 0) != expect_gen
+                    ):
+                        results.append(
+                            (index, digest, RC_GENERATION, 0, {}, 0)
+                        )
+                        continue
+                    gone = self._store.pop(k, None)
+                    self._gens.pop(k, None)
+                    if gone is not None:
+                        seq = next(_REPL_SEQ)
+                        repl.append((pid, ns, st, digest, None, 0, seq, 0))
+                        results.append((index, digest, RC_OK, 0, {}, 0))
+                    else:
+                        results.append(
+                            (index, digest, RC_KEY_NOT_FOUND, 0, {}, 0)
+                        )
+                    continue
                 has_write = any(o[0] != "read" for o in ops)
                 if cur is None and not has_write:
                     results.append((index, digest, RC_KEY_NOT_FOUND, 0, {}, 0))
@@ -3157,7 +3204,11 @@ class WireServer:
                 ):
                     results.append((index, digest, RC_GENERATION, 0, {}, 0))
                     continue
-                rc, bins, read_bins = apply_op_list(cur, ops)
+                # REPLACE policy: ops apply onto an empty record (the
+                # gen check above still ran against the stored record)
+                rc, bins, read_bins = apply_op_list(
+                    None if replace else cur, ops
+                )
                 if rc != RC_OK:
                     results.append((index, digest, rc, 0, {}, 0))
                     continue

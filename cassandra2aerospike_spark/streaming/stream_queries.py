@@ -1617,6 +1617,146 @@ def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cdc_batch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS CDC -> CLUSTER sync through BATCH WRITES (round 15):
+    the stream_cdc_cluster_apply contract — REPLACE puts + wire
+    DELETEs, store == from-scratch migration at quiesce — but every
+    micro-batch partition ships as ONE batch-write request per master
+    node (ClusterRouter.batch_operate's batch-node split): live
+    emissions ride write-op sub-transactions, dead emissions ride the
+    batch grammar's DELETE record type, and per-record result codes
+    keep the accounting exact.  This is the modern client's CDC-apply
+    shape: wire round trips per micro-batch are bounded by
+    tasks x nodes, not by the emission count — at 100 TB the apply
+    stream is wire-bound and this is the number that matters.  Asserts
+    ZERO single puts/gets across the whole run (the sink is entirely
+    batched) and per-record statuses in-task ('ok' for writes, 'ok' |
+    idempotent 'not_found' for deletes).  Same exact oracle as the
+    per-record rows — the batching must be invisible at quiesce."""
+    from ..operators import merge as M
+    from ..queries.pipeline_q import _digest_hex_records
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        cols_str_to_bins,
+        key_digest,
+    )
+    from ..sources import load_table
+    from ..sources.sstable.fixtures import (
+        build_ma_table_from_events,
+        default_runs_dir,
+    )
+
+    table_dir = build_ma_table_from_events(
+        spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
+    )
+    res = _cdc_incremental_result(spark, table_dir)
+    n_nodes = 3
+    ns, set_name = "tmx", "cdc_b"
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    eternal, now_s = M.ETERNAL, M.NOW_EPOCH_S
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        def part(rows):
+            items, is_delete = [], {}
+            for r in rows:
+                d = key_digest(set_name, str(r["key"]).encode())
+                if r["cols_str"] is None:
+                    items.append((d, [], 0, None, False, True))
+                    is_delete[d] = True
+                else:
+                    bins = cols_str_to_bins(r["cols_str"])
+                    ttl = (
+                        0xFFFFFFFF
+                        if r["expiry"] == eternal
+                        else int(r["expiry"]) - now_s
+                    )
+                    # REPLACE policy (flags bit3): whole-record update —
+                    # a later emission with fewer columns must not leave
+                    # stale bins behind
+                    items.append(
+                        (
+                            d,
+                            [("write", n, v) for n, v in bins.items()],
+                            ttl, None, False, False, True,
+                        )
+                    )
+                    is_delete[d] = False
+            if not items:
+                return
+            router = ClusterRouter(nodes, ns, set_name)
+            got = router.batch_operate(items)
+            for it in items:
+                st = got[it[0]][0]
+                ok = (
+                    st in ("ok", "not_found")
+                    if is_delete[it[0]]
+                    else st == "ok"
+                )
+                if not ok:
+                    raise RuntimeError(f"cdc batch apply: status {st}")
+            router.close()
+
+        batch_df.foreachPartition(part)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcbatch_")
+    q = (
+        res.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_puts = sum(srv._puts for srv in servers)
+    n_gets = sum(srv._gets for srv in servers)
+    n_bw = sum(srv._batch_writes for srv in servers)
+    if (n_puts, n_gets) != (0, 0) or n_bw < 1:
+        raise RuntimeError(
+            f"cdc batch apply degraded: puts={n_puts} gets={n_gets} "
+            f"batch_writes={n_bw} — the sink must be entirely batched"
+        )
+    store: dict = {}
+    for srv in servers:
+        store.update(srv.records())
+        srv.close()
+    store_rows = []
+    for (s_ns, s_set, digest), (bins, ttl) in store.items():
+        if s_ns != ns or s_set != set_name:
+            raise RuntimeError("cdc batch apply: foreign record stored")
+        entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
+        store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
+    store_df = spark.createDataFrame(
+        store_rows, "digest_hex string, cols_str string, ttl long"
+    )
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+        .select(
+            "key",
+            _digest_hex_records(F.lit(set_name), F.col("key")).alias(
+                "digest_hex"
+            ),
+        )
+    )
+    return keyed.join(F.broadcast(store_df), "digest_hex", "inner").select(
+        "key", "cols_str", "ttl"
+    )
+
+
 def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's TRUE production shape, modernized (round 9): a
     live Cassandra data directory streamed CONTINUOUSLY into Aerospike

@@ -1847,19 +1847,29 @@ def test_wire_batch_write_codec_roundtrip():
 
     entries = [
         (0, aw.key_digest("t", b"a"),
-         [("write", "v", b"x"), ("read", "v")], 100, None, False),
+         [("write", "v", b"x"), ("read", "v")], 100, None, False, False, False),
         (7, aw.key_digest("t", b"b"),
          [("incr", "n", -12), ("append", "v", b"+"), ("prepend", "v", b"-"),
-          ("touch",)], 0xFFFFFFFF, 3, False),
-        (2, aw.key_digest("t", b"c"), [], 0, 0, True),
+          ("touch",)], 0xFFFFFFFF, 3, False, False, True),  # replace
+        (2, aw.key_digest("t", b"c"), [], 0, 0, True, False, False),
+        (3, aw.key_digest("t", b"d"), [], 0, None, False, True, False),  # delete
     ]
     req = aw.build_batch_write("ns", "t", entries)
     assert aw.parse_batch_write_entries(req[8:]) == entries
-    # the 5-tuple (no create-only) build form parses to create_only=False
+    # the 5-tuple (no trailing flags) build form parses to False, False
     req5 = aw.build_batch_write("ns", "t", [e[:5] for e in entries[:2]])
     assert aw.parse_batch_write_entries(req5[8:]) == [
-        e[:5] + (False,) for e in entries[:2]
+        e[:5] + (False, False, False) for e in entries[:2]
     ]
+    # a delete sub-transaction refuses to carry ops
+    try:
+        aw.build_batch_write(
+            "ns", "t",
+            [(0, aw.key_digest("t", b"x"), [("touch",)], 0, None, False, True)],
+        )
+        raise AssertionError("delete with ops must be refused")
+    except ValueError:
+        pass
     # a read-batch frame parses via its own walk, not this one; a
     # frame with no batch field answers None
     assert aw.parse_batch_write_entries(aw.build_get("ns", "t", b"k")[8:]) is None
@@ -2008,3 +2018,36 @@ def test_wire_batch_write_create_only():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_batch_write_delete_subtransactions():
+    """Batch DELETE record type: removes under the store lock with the
+    same CAS policy, answers OK / KEY_NOT_FOUND (idempotent), and
+    replicates the removal like the single-delete path."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    all_p = set(range(aw.N_PARTITIONS))
+    master = aw.WireServer(owned_partitions=all_p)
+    replica = aw.WireServer(owned_partitions=set(), replica_partitions=all_p)
+    master.replicate_to = [(replica, all_p)]
+    try:
+        c = aw.WireClient(master.host, master.port, "tmx", "t")
+        d1, d2, d3 = (aw.key_digest("t", f"bd{i}".encode()) for i in range(3))
+        assert c.wait(c.put(b"bd0", {"v": b"0"}, 9)) == "ok"
+        assert c.wait(c.put(b"bd1", {"v": b"1"}, 9)) == "ok"
+        res = c.batch_write([
+            (d1, [], 0, None, False, True),       # delete existing
+            (d2, [], 0, 7, False, True),          # CAS delete, gen is 1 -> mismatch
+            (d3, [], 0, None, False, True),       # delete absent -> not_found
+        ])
+        assert res[0][0] == "ok"
+        assert res[1][0] == "gen_mismatch"
+        assert res[2][0] == "not_found"
+        store = master.records()
+        assert ("tmx", "t", d1) not in store and ("tmx", "t", d2) in store
+        # the removal replicated (replica applied newest-seq delete)
+        assert ("tmx", "t", d1) not in replica.records()
+        c.close()
+    finally:
+        master.close()
+        replica.close()
