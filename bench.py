@@ -156,6 +156,7 @@ HEADLINE = [
     "stream_cdc_batch_apply",
     "mm_phash_dedup",
     "pipeline_bpe_manifest",
+    "pipeline_multimodal_prep",
 ]
 
 

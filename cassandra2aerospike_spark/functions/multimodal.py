@@ -1025,3 +1025,63 @@ def decode_gray_pixels(media_df: DataFrame) -> DataFrame:
     return media_df.select("img_id", "payload").mapInPandas(
         decode_batches, "img_id long, w int, h int, px array<int>"
     )
+
+
+def synthesize_doc_images(docs: DataFrame, alias_every: int = 7) -> DataFrame:
+    """Fixture adapter for the MULTIMODAL corpus-prep capstone (round
+    15): ONE image per document, keyed by the document id itself —
+    the corpus where an image near-dup decision must gate the same
+    keep-list as the text decisions.  Every doc_id % alias_every == 0
+    (and >= 1) displays the PREVIOUS document's gradient, pixel-shifted
+    by +1 + d%2 — so (d-1, d) are image near-duplicates and the
+    dedup's drop-the-larger rule must drop doc d.  d-1 is never itself
+    aliased (d % 7 == 0 -> (d-1) % 7 == 6), so the pair's smaller side
+    always shows its own gradient; and d-1/d have opposite parity, so
+    every near-dup pair crosses the BMP <-> PNG container boundary
+    like the planted mm_phash_dedup pairs.  Same pixel arithmetic as
+    synthesize_gradient_images -> same closed-form oracle."""
+    import struct as _struct
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = 9, 8
+        stride = (w * 3 + 3) & ~3
+        rr = np.arange(h, dtype=np.int64)[:, None] + 1
+        cc = np.arange(w, dtype=np.int64)[None, :] + 1
+        hdr = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                2835, 2835, 0, 0,
+            )
+        )
+
+        def gray(d: int, delta: int) -> np.ndarray:
+            m1 = (d * 2654435761) % 1000003
+            m2 = (d * 40503 + 17) % 997
+            m3 = (d * 69621 + 31) % 983
+            m4 = (d * 48271 + 7) % 991
+            return ((m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250
+                    + delta).astype(np.uint8)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                aliased = d % alias_every == 0 and d >= 1
+                v = gray(d - 1 if aliased else d, (1 + d % 2) if aliased else 0)
+                if d % 2:  # container by parity: aliased pairs cross formats
+                    blob = encode_png(np.repeat(v[:, :, None], 3, axis=2))
+                else:
+                    rows = []
+                    for y in range(h - 1, -1, -1):
+                        row = np.repeat(v[y], 3).tobytes()
+                        rows.append(row.ljust(stride, b"\x00"))
+                    blob = hdr + b"".join(rows)
+                ids.append(d)
+                payloads.append(blob)
+            yield pd.DataFrame({"img_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "img_id long, payload binary"
+    )

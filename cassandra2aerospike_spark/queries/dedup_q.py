@@ -1070,6 +1070,21 @@ def q_mm_phash_dedup(spark, sf_dir):
     px_df = M.decode_gray_pixels(
         M.synthesize_gradient_images(_docs(spark, sf_dir))
     )
+    dups = _phash_dup_ids(px_df)
+    return (
+        px_df.select("img_id")
+        .join(dups, "img_id", "left")
+        .select("img_id", F.col("dup").isNull().cast("int").alias("keep"))
+    )
+
+
+def _phash_dup_ids(px_df):
+    """The dHash near-dup DROP LIST over a decoded-pixel frame
+    (img_id, px array<int> of 72): declarative 64-bit dHash as 4x16-bit
+    bands -> banded-Hamming bucket-grouped in-row pair expansion ->
+    exact verify (Hamming <= 2 AND sum|a-b| <= 144) -> the larger
+    img_id of every verified pair, as (img_id, dup=1).  Shared by the
+    standalone phash row and the multimodal corpus-prep capstone."""
     px = F.col("px")
 
     def band_val(b: int):
@@ -1140,25 +1155,66 @@ def q_mm_phash_dedup(spark, sf_dir):
         .distinct()
         .filter((F.col("hamming") <= 2) & (F.col("pixdist") <= 144))
     )
-    dups = (
+    return (
         verified.select(F.col("img_b").alias("img_id"))
         .distinct()
         .withColumn("dup", F.lit(1))
     )
+
+
+def q_pipeline_multimodal_prep(spark, sf_dir):
+    """MULTIMODAL CORPUS PREP (round 15 capstone — X1+X2+X4+X5 in one
+    keep-list): the decision pipeline a multimodal pretraining corpus
+    runs, where a document survives only if BOTH its text and its
+    image do:
+
+      1. TEXT: the full pipeline_corpus_prep decision (Gopher quality
+         gate + exact dedup + MinHash-LSH near-dup clusters);
+      2. IMAGE: each document's image (one per doc, keyed by doc_id;
+         every doc_id % 7 == 0 displays the PREVIOUS doc's gradient
+         pixel-shifted and in the OPPOSITE container — BMP <-> PNG —
+         functions/multimodal.synthesize_doc_images) through the REAL
+         decode -> dHash -> banded-Hamming -> exact-verify drop list
+         (_phash_dup_ids: drop the larger id of every verified pair);
+      3. the verdict row: (doc_id, text_keep, image_keep, keep =
+         text_keep AND image_keep).
+
+    This is the composition the standalone rows exist for — the image
+    near-dup decision gates the SAME manifest as the text decisions,
+    which is what 'images are first-class corpus members' means.
+    Every stage inherits its standalone row's audited plan shape; the
+    only new operator is a doc_id-keyed left join of two keep frames.
+    Exact oracle: the corpus-prep CTE joined against the relational
+    dHash pipeline replay."""
+    from ..functions import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    prep = q_pipeline_corpus_prep(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("text_keep")
+    )
+    px_df = M.decode_gray_pixels(M.synthesize_doc_images(docs))
+    dups = _phash_dup_ids(px_df).select(
+        F.col("img_id").alias("doc_id"), "dup"
+    )
     return (
-        sigs.select("img_id")
-        .join(dups, "img_id", "left")
-        .select("img_id", F.col("dup").isNull().cast("int").alias("keep"))
+        prep.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("text_keep").cast("int").alias("text_keep"),
+            F.col("dup").isNull().cast("int").alias("image_keep"),
+            ((F.col("text_keep") == 1) & F.col("dup").isNull())
+            .cast("int")
+            .alias("keep"),
+        )
     )
 
 
-ORACLES["mm_phash_dedup"] = """
-    WITH corpus AS (
-      SELECT doc_id AS img_id, doc_id AS d, 0 AS delta FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, doc_id, 1 + doc_id % 2
-      FROM documents WHERE doc_id % 7 = 0
-    ),
+# the dHash pipeline replayed relationally (pixels -> lead()
+# comparisons -> band sums -> band self-join -> Hamming + pixel
+# verify), parametrized only by the preceding `corpus (img_id, d,
+# delta)` CTE — shared by the standalone phash row and the multimodal
+# corpus-prep capstone
+_PHASH_PIPE = """
     px AS (
       SELECT img_id, r, c,
              ((d * 2654435761) % 1000003
@@ -1197,6 +1253,16 @@ ORACLES["mm_phash_dedup"] = """
              FROM px pa JOIN px pb ON pb.r = pa.r AND pb.c = pa.c
                   AND pa.img_id = cd.img_a AND pb.img_id = cd.img_b) <= 144
     )
+"""
+
+ORACLES["mm_phash_dedup"] = """
+    WITH corpus AS (
+      SELECT doc_id AS img_id, doc_id AS d, 0 AS delta FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1 + doc_id % 2
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+""" + _PHASH_PIPE + """
     SELECT img_id,
            CAST(img_id NOT IN (SELECT img_b FROM verified) AS INT) AS keep
     FROM corpus
@@ -1244,8 +1310,38 @@ ORACLES["pipeline_bpe_manifest"] = (
 )
 
 
+# the multimodal keep-list: text decision (full corpus-prep CTE) AND
+# image decision (the dHash pipeline over the aliased doc-image corpus:
+# doc_id % 7 == 0 displays doc_id - 1's gradient, shifted)
+ORACLES["pipeline_multimodal_prep"] = (
+    "WITH prep AS ("
+    + _corpus_prep_oracle()
+    + """),
+    corpus AS (
+      SELECT doc_id AS img_id,
+             CASE WHEN doc_id % 7 = 0 AND doc_id >= 1
+                  THEN doc_id - 1 ELSE doc_id END AS d,
+             CASE WHEN doc_id % 7 = 0 AND doc_id >= 1
+                  THEN 1 + doc_id % 2 ELSE 0 END AS delta
+      FROM documents
+    ),
+"""
+    + _PHASH_PIPE
+    + """
+    SELECT p.doc_id,
+           CAST(p.keep AS INT) AS text_keep,
+           CAST(v.img_b IS NULL AS INT) AS image_keep,
+           CAST(p.keep = 1 AND v.img_b IS NULL AS INT) AS keep
+    FROM prep p
+    LEFT JOIN (SELECT DISTINCT img_b FROM verified) v
+           ON v.img_b = p.doc_id
+"""
+)
+
+
 QUERIES = {
     "pipeline_bpe_manifest": q_pipeline_bpe_manifest,
+    "pipeline_multimodal_prep": q_pipeline_multimodal_prep,
     "mm_phash_dedup": q_mm_phash_dedup,
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
