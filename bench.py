@@ -157,6 +157,7 @@ HEADLINE = [
     "mm_phash_dedup",
     "pipeline_bpe_manifest",
     "pipeline_multimodal_prep",
+    "mm_audio_fp_dedup",
 ]
 
 

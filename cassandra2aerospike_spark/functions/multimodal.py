@@ -314,10 +314,11 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_wav_pcm(payload: bytes):
-    """REAL audio decode: RIFF/WAVE 16-bit PCM -> int16 sample array ->
-    (n_samples, rms, peak, zero_crossings).  Raises ValueError on
-    non-PCM16 or truncated chunks."""
+def wav_pcm_samples(payload: bytes) -> np.ndarray:
+    """REAL audio decode, sample half: RIFF/WAVE 16-bit PCM -> the
+    (channel-downmixed) sample array.  The chunk walk is the format
+    contract; features and fingerprints both build on this.  Raises
+    ValueError on non-PCM16 or truncated chunks."""
     import struct as _struct
 
     n = len(payload)
@@ -347,7 +348,14 @@ def decode_wav_pcm(payload: bytes):
     if channels > 1:  # downmix interleaved channels for the features
         usable = len(samples) - len(samples) % channels
         samples = samples[:usable].reshape(-1, channels).mean(axis=1)
-    x = samples.astype(np.float64)
+    return samples
+
+
+def decode_wav_pcm(payload: bytes):
+    """REAL audio decode: RIFF/WAVE 16-bit PCM -> int16 sample array ->
+    (n_samples, rms, peak, zero_crossings).  Raises ValueError on
+    non-PCM16 or truncated chunks."""
+    x = wav_pcm_samples(payload).astype(np.float64)
     n_samples = len(x)
     if n_samples == 0:
         return 0, 0.0, 0, 0
@@ -1084,4 +1092,76 @@ def synthesize_doc_images(docs: DataFrame, alias_every: int = 7) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         synth_batches, "img_id long, payload binary"
+    )
+
+
+def synthesize_audio_clips(docs: DataFrame, alias_every: int = 9) -> DataFrame:
+    """Fixture adapter for AUDIO near-dup dedup (round 15): one mono
+    PCM16 WAV per document, keyed by the document id — sample
+    s(d, i) = ((m1 + m2*(i+1) + m3*(i+1)^2) % 2001) - 1000 over
+    n = 96 + d%32 samples (same Knuth/Lehmer mixers as the image
+    fixture; measured delta-sign bit mean 0.5005, max 16-bit-band
+    bucket 17 at 5k docs).  Every doc_id % alias_every == 0 (and >= 1)
+    stores the PREVIOUS document's samples SCALED x2 — the
+    loudness-changed re-encode that a robust audio fingerprint must
+    still catch: positive scaling preserves every delta sign and every
+    zero crossing while changing every byte.  |sample| <= 2000 keeps
+    the scaled copy inside int16.  d-1 is never itself aliased, so the
+    pair's smaller side is always an original."""
+    import struct as _struct
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+
+        def samples(d: int, scale: int) -> np.ndarray:
+            n = 96 + d % 32
+            i = np.arange(n, dtype=np.int64) + 1
+            m1 = (d * 2654435761) % 1000003
+            m2 = (d * 40503 + 17) % 997
+            m3 = (d * 69621 + 31) % 983
+            v = ((m1 + m2 * i + m3 * i * i) % 2001) - 1000
+            return (v * scale).astype("<i2")
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                aliased = d % alias_every == 0 and d >= 1
+                body = samples(d - 1 if aliased else d, 2 if aliased else 1).tobytes()
+                blob = (
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+                    + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(body)) + body
+                )
+                ids.append(d)
+                payloads.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "clip_id long, payload binary"
+    )
+
+
+def decode_pcm_samples(media_df: DataFrame, head: int = 65) -> DataFrame:
+    """REAL sample decode for the audio-fingerprint path: each WAV
+    payload byte-decoded (wav_pcm_samples — the RIFF chunk walk) and
+    projected to (n_samples, the first `head` samples as ints) — the
+    fingerprint window.  Zero shuffles; rides the scan."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, heads = [], [], []
+            for clip_id, p in zip(pdf["clip_id"], pdf["payload"]):
+                x = wav_pcm_samples(bytes(p))
+                ids.append(int(clip_id))
+                ns.append(len(x))
+                heads.append([int(s) for s in x[:head]])
+            out = pd.DataFrame({"clip_id": ids, "n_samples": ns, "s": heads})
+            out["n_samples"] = out["n_samples"].astype("Int32")
+            yield out
+
+    return media_df.select("clip_id", "payload").mapInPandas(
+        decode_batches, "clip_id long, n_samples int, s array<int>"
     )

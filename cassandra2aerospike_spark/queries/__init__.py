@@ -35,10 +35,11 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 
 # Checked-prefix priority (see module docstring) — ROUND-15 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) the 6 rows NEW this round (the batch-WRITE op family, its
+# (a) the 7 rows NEW this round (the batch-WRITE op family, its
 #     live-handoff variant and the batched streaming CDC applier,
-#     image near-dup dedup over real pixel decode, the token-true
-#     BPE-packed manifest, the multimodal corpus-prep capstone),
+#     image AND audio near-dup dedup over real byte decode, the
+#     token-true BPE-packed manifest, the multimodal corpus-prep
+#     capstone),
 # (b) ALL 19 rows of the stalest (r10) cohort — VERDICT r14 task 1,
 # (c) the r12-signed wire rows named by the r14 rotation note (s28,
 #     s36, s38-s43, stream_aerospike_wire_sink, stream_cdc_cluster_
@@ -46,10 +47,10 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 #     all traverse, and r15 touched it again (the operate op grammar
 #     factored into encode_op/decode_op + apply_op_list, and a new
 #     dispatch branch in WireServer._apply every wire request passes),
-# (d) 14 of the r11 cohort, wire/stream-adjacent and merge-core rows
-#     first (join_asof and src_formats_roundtrip rotated out to make
-#     room for the new rows; they head the r16 rotation with the rest
-#     of the r11 cohort).
+# (d) 13 of the r11 cohort, wire/stream-adjacent and merge-core rows
+#     first (join_asof, src_formats_roundtrip and o2_layout_resume
+#     rotated out to make room for the new rows; they head the r16
+#     rotation with the rest of the r11 cohort).
 # Signature histogram entering r15: r10 x19, r11 x44, r12 x50,
 # r13 x49, r14 x50 (212 rows, all driver-green at least once; zero
 # regressions ever).  After this prefix signs, no row is older than
@@ -66,6 +67,7 @@ _PRIORITY = [
     "mm_phash_dedup",
     "pipeline_bpe_manifest",
     "pipeline_multimodal_prep",
+    "mm_audio_fp_dedup",
     # -- (b) the whole r10 cohort
     "dedup_exact_prefix",
     "ma_compaction_roundtrip",
@@ -112,7 +114,6 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_incremental",
-    "o2_layout_resume",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1162,6 +1162,170 @@ def _phash_dup_ids(px_df):
     )
 
 
+def q_mm_audio_fp_dedup(spark, sf_dir):
+    """AUDIO NEAR-DUP DEDUP (round 15, X2 x X5): the delta-sign
+    fingerprint pipeline — the loudness-invariant audio analogue of
+    the image dHash — end to end on REAL bytes: synthesize one mono
+    PCM16 WAV per document (every doc_id % 9 == 0 stores the PREVIOUS
+    document's samples SCALED x2 — a re-encode that changes every byte
+    but no delta sign, functions/multimodal.synthesize_audio_clips),
+    DECODE the bytes for real (wav_pcm_samples: the RIFF chunk walk),
+    compute the 64-bit delta-sign fingerprint declaratively over the
+    first 65 decoded samples (bit j = s[j+1] > s[j], stored as 4 x
+    16-bit bands), prescreen with the same banded-Hamming bucket-
+    grouped in-row pair expansion the image row uses, verify candidates
+    exactly (full Hamming <= 2 AND equal zero-crossing count — both
+    invariant under positive scaling, both integers), and emit the
+    keep-list (drop the larger clip_id of every verified pair).
+    Measured: bit mean 0.5005, max band bucket 17 at 5k clips — the
+    candidate count stays linear.  Exact oracle: the sample arithmetic
+    replayed relationally (lead() deltas -> band sums -> band self-join
+    -> Hamming + zero-cross verify)."""
+    from ..functions import multimodal as M
+
+    clips = M.decode_pcm_samples(
+        M.synthesize_audio_clips(_docs(spark, sf_dir))
+    )
+    s = F.col("s")
+
+    def band_val(b: int):
+        terms = []
+        for j in range(16 * b, 16 * b + 16):
+            terms.append(
+                F.when(s[j + 1] > s[j], 1 << (j % 16)).otherwise(0)
+            )
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("int")
+
+    zc_terms = [
+        F.when((s[i] >= 0) != (s[i + 1] >= 0), 1).otherwise(0)
+        for i in range(64)
+    ]
+    zc = zc_terms[0]
+    for t in zc_terms[1:]:
+        zc = zc + t
+    sigs = clips.select(
+        "clip_id",
+        F.array(*[band_val(b) for b in range(4)]).alias("bands"),
+        zc.cast("int").alias("zc"),
+    )
+    bands = sigs.select(
+        F.struct("clip_id", "bands", "zc").alias("el"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("bands")[b].alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("el", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    members = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_set("el")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda b: F.struct(
+                    a["clip_id"].alias("clip_a"),
+                    b["clip_id"].alias("clip_b"),
+                    F.aggregate(
+                        F.zip_with(
+                            a["bands"], b["bands"],
+                            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ).alias("hamming"),
+                    (a["zc"] == b["zc"]).alias("zc_eq"),
+                ),
+            ),
+        )
+    )
+    verified = (
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.clip_a", "p.clip_b", "p.hamming", "p.zc_eq")
+        .distinct()
+        .filter((F.col("hamming") <= 2) & F.col("zc_eq"))
+    )
+    dups = (
+        verified.select(F.col("clip_b").alias("clip_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        sigs.select("clip_id")
+        .join(dups, "clip_id", "left")
+        .select("clip_id", F.col("dup").isNull().cast("int").alias("keep"))
+    )
+
+
+ORACLES["mm_audio_fp_dedup"] = """
+    WITH corpus AS (
+      SELECT doc_id AS clip_id,
+             CASE WHEN doc_id % 9 = 0 AND doc_id >= 1
+                  THEN doc_id - 1 ELSE doc_id END AS d,
+             CASE WHEN doc_id % 9 = 0 AND doc_id >= 1
+                  THEN 2 ELSE 1 END AS scale
+      FROM documents
+    ),
+    smp AS (
+      SELECT clip_id, i,
+             (((d * 2654435761) % 1000003
+               + ((d * 40503 + 17) % 997) * (i + 1)
+               + ((d * 69621 + 31) % 983) * (i + 1) * (i + 1)) % 2001
+              - 1000) * scale AS v
+      FROM corpus,
+           (SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS i)
+    ),
+    bits AS (
+      SELECT clip_id, i,
+             CAST(lead(v) OVER (PARTITION BY clip_id ORDER BY i) > v
+                  AS INT) AS bit,
+             CAST((v >= 0) !=
+                  (lead(v) OVER (PARTITION BY clip_id ORDER BY i) >= 0)
+                  AS INT) AS flip
+      FROM smp QUALIFY i < 64
+    ),
+    bands AS (
+      SELECT clip_id, i // 16 AS band,
+             CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS bval
+      FROM bits GROUP BY clip_id, i // 16
+    ),
+    zc AS (
+      SELECT clip_id, sum(flip) AS n_flip FROM bits GROUP BY clip_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.clip_id AS clip_a, b.clip_id AS clip_b
+      FROM bands a
+      JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                   AND a.clip_id < b.clip_id
+    ),
+    verified AS (
+      SELECT cd.clip_a, cd.clip_b
+      FROM cand cd
+      WHERE (SELECT sum(bit_count(xor(ba.bval, bb.bval)))
+             FROM bands ba JOIN bands bb ON bb.band = ba.band
+             WHERE ba.clip_id = cd.clip_a AND bb.clip_id = cd.clip_b) <= 2
+        AND (SELECT n_flip FROM zc WHERE clip_id = cd.clip_a)
+            = (SELECT n_flip FROM zc WHERE clip_id = cd.clip_b)
+    )
+    SELECT clip_id,
+           CAST(clip_id NOT IN (SELECT clip_b FROM verified) AS INT) AS keep
+    FROM corpus
+"""
+
+
 def q_pipeline_multimodal_prep(spark, sf_dir):
     """MULTIMODAL CORPUS PREP (round 15 capstone — X1+X2+X4+X5 in one
     keep-list): the decision pipeline a multimodal pretraining corpus
@@ -1343,6 +1507,7 @@ QUERIES = {
     "pipeline_bpe_manifest": q_pipeline_bpe_manifest,
     "pipeline_multimodal_prep": q_pipeline_multimodal_prep,
     "mm_phash_dedup": q_mm_phash_dedup,
+    "mm_audio_fp_dedup": q_mm_audio_fp_dedup,
     "dedup_exact_prefix": q_dedup_exact_prefix,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
     "pipeline_training_manifest": q_pipeline_training_manifest,
