@@ -2051,3 +2051,64 @@ def test_wire_batch_write_delete_subtransactions():
     finally:
         master.close()
         replica.close()
+
+
+_op_strategy = st.one_of(
+    st.tuples(st.just("read"), _bin_name),
+    st.tuples(st.just("write"), _bin_name, st.binary(max_size=64)),
+    st.tuples(
+        st.just("incr"), _bin_name,
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    ),
+    st.tuples(st.just("append"), _bin_name, st.binary(max_size=64)),
+    st.tuples(st.just("prepend"), _bin_name, st.binary(max_size=64)),
+    st.just(("touch",)),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ns=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    set_name=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    entries=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=0xFFFFFFFF),   # index
+            st.binary(min_size=4, max_size=24),               # key seed
+            st.lists(_op_strategy, max_size=5),               # ops
+            st.integers(min_value=0, max_value=0xFFFFFFFF),   # ttl
+            st.one_of(st.none(),
+                      st.integers(min_value=0, max_value=0xFFFFFFFF)),
+            st.sampled_from(["plain", "create_only", "replace", "delete"]),
+        ),
+        max_size=6,
+    ),
+)
+def test_wire_batch_write_codec_roundtrip_property(ns, set_name, entries):
+    """Batch-write codec property: build -> parse is the identity across
+    every op kind, every policy-flag shape, and every gen-flag shape;
+    truncating the frame at ANY byte raises the uniform ValueError,
+    never struct.error."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    built = []
+    for idx, seed, ops, ttl, eg, policy in entries:
+        d = aw.key_digest(set_name, seed)
+        if policy == "delete":
+            built.append((idx, d, [], ttl, eg, False, True, False))
+        elif policy == "create_only":
+            built.append((idx, d, ops, ttl, eg, True, False, False))
+        elif policy == "replace":
+            built.append((idx, d, ops, ttl, eg, False, False, True))
+        else:
+            built.append((idx, d, ops, ttl, eg, False, False, False))
+    req = aw.build_batch_write(ns, set_name, built)
+    assert aw.parse_batch_write_entries(req[8:]) == built
+    body = req[8:]
+    for cut in range(22, len(body)):
+        try:
+            got = aw.parse_batch_write_entries(body[:cut])
+        except ValueError:
+            continue
+        # a shorter prefix may still parse if the batch field closed
+        # before the cut — but then it must equal the full result
+        assert got is None or got == built
