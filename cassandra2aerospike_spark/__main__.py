@@ -793,6 +793,8 @@ def main(argv: list[str] | None = None) -> int:
                     if not buf:
                         return
                     items = []
+                    seen: set = set()
+                    dup_exists = 0
                     for rd in buf:
                         bins = {
                             c_["col_name"]: c_["value"] or b""
@@ -801,9 +803,20 @@ def main(argv: list[str] | None = None) -> int:
                         k = rd["key"]
                         if not isinstance(k, (bytes, bytearray)):
                             k = str(k).encode("utf-8")
+                        dig = key_digest(set_name, bytes(k))
+                        if dig in seen:
+                            # two rows with one key in a chunk: the
+                            # per-record put path answered the later
+                            # one EXISTS; batch_operate refuses
+                            # duplicate digests outright, so the first
+                            # wins and the rest count as exists here
+                            # (ADVICE r15)
+                            dup_exists += 1
+                            continue
+                        seen.add(dig)
                         items.append(
                             (
-                                key_digest(set_name, bytes(k)),
+                                dig,
                                 [("write", n_, v_) for n_, v_ in bins.items()],
                                 int(rd["write_ttl"]),
                                 None,
@@ -811,6 +824,10 @@ def main(argv: list[str] | None = None) -> int:
                             )
                         )
                     buf.clear()
+                    if dup_exists:
+                        acc_exists.add(dup_exists)
+                    if not items:
+                        return
                     if clustered:
                         if router is None:
                             router = ClusterRouter(
@@ -844,11 +861,20 @@ def main(argv: list[str] | None = None) -> int:
                                 f"batch-write sink: unexpected status {st}"
                             )
 
-                for row in rows:
-                    buf.append(row)
-                    if len(buf) >= chunk_rows:
-                        flush()
-                flush()
+                try:
+                    for row in rows:
+                        buf.append(row)
+                        if len(buf) >= chunk_rows:
+                            flush()
+                    flush()
+                finally:
+                    # close like the verify paths do at partition end —
+                    # long-lived Python workers otherwise leak sockets
+                    # (ADVICE r15)
+                    if router is not None:
+                        router.close()
+                    if single is not None:
+                        single.close()
 
             sink_input.foreachPartition(sink_partition)
         else:

@@ -660,7 +660,9 @@ def parse_operate(frame: bytes):
 
 
 def apply_op_list(
-    cur: tuple[dict[str, bytes], int] | None, ops: list[tuple]
+    cur: tuple[dict[str, bytes], int] | None,
+    ops: list[tuple],
+    exists: bool | None = None,
 ) -> tuple[int, dict[str, bytes], dict[str, bytes]]:
     """The atomic op-list semantics shared by the single-OPERATE path
     and each batch-write sub-transaction: apply the ordered ops against
@@ -669,7 +671,15 @@ def apply_op_list(
     (read-your-write inside the transaction); OP_INCR against a
     non-integer particle answers RC_BIN_TYPE; OP_TOUCH against an
     absent record answers RC_KEY_NOT_FOUND; a non-OK code applies
-    NOTHING (the caller never stores the partial result)."""
+    NOTHING (the caller never stores the partial result).
+
+    `exists` decouples record existence from the bins baseline: a
+    REPLACE sub-transaction applies onto EMPTY bins (cur=None) but the
+    record may well exist — its touch ops must check the stored
+    record, not the baseline (ADVICE r15).  Defaults to
+    ``cur is not None`` for the plain-update callers."""
+    if exists is None:
+        exists = cur is not None
     bins = dict(cur[0]) if cur is not None else {}
     read_bins: dict[str, bytes] = {}
     for o in ops:
@@ -696,9 +706,32 @@ def apply_op_list(
         elif kind == "prepend":
             bins[o[1]] = o[2] + bins.get(o[1], b"")
         elif kind == "touch":
-            if cur is None:
+            if not exists:
                 return RC_KEY_NOT_FOUND, {}, {}
     return RC_OK, bins, read_bins
+
+
+def batch_entry_replay_safe(item: tuple) -> bool:
+    """True when re-issuing this batch-write entry after an IN-DOUBT
+    send (the node died before the reply drained, so it may already
+    have applied) cannot change the final stored state: DELETE and
+    REPLACE entries (absolute outcomes), CREATE-ONLY entries (a replay
+    answers 'exists' at worst), and plain updates whose ops are all
+    read/write/touch (write SETS a value; a second set is the same
+    value).  INCR/APPEND/PREPEND on a plain update are
+    read-modify-write — a replay double-applies them, so the router
+    answers 'in_doubt' instead of retrying (ADVICE r15).  Note a
+    replayed entry's REPORTED status can still differ from the first
+    application's (a replayed CAS sees the bumped gen and answers
+    gen_mismatch; a replayed create-only answers exists): state is
+    exactly-once, reporting is at-least-once."""
+    _digest, ops, _ttl, _expect_gen, *rest = item
+    create_only = bool(rest[0]) if rest else False
+    delete = bool(rest[1]) if len(rest) > 1 else False
+    replace = bool(rest[2]) if len(rest) > 2 else False
+    if delete or replace or create_only:
+        return True
+    return all(o[0] in ("read", "write", "touch") for o in ops)
 
 
 def frame_is_operate(frame: bytes) -> bool:
@@ -1564,6 +1597,14 @@ def build_batch_write(
         if expect_gen is not None:
             head += struct.pack(">I", expect_gen & 0xFFFFFFFF)
         encoded = [encode_op(o) for o in ops]
+        if len(encoded) > 0xFFFF:
+            # the wire grammar's op count is a u16 — surface the
+            # violation as the module's uniform ValueError, never a
+            # struct.error out of pack (ADVICE r15)
+            raise ValueError(
+                "aerospike wire: batch-write entry carries "
+                f"{len(encoded)} ops (max 65535)"
+            )
         head += struct.pack(">IH", ttl & 0xFFFFFFFF, len(encoded))
         parts.append(head + b"".join(encoded))
     payload = b"".join(parts)
@@ -2065,15 +2106,23 @@ class ClusterRouter:
         current map, ONE batch-write request per node, collect the
         index-tagged per-record results.  A per-record
         PARTITION_UNAVAILABLE (a REFUSAL answered before that entry
-        applied anything — the server contract that makes this safe) or
-        a dead node re-tends the map and re-issues ONLY the unresolved
-        entries, so a retried INCR never double-applies.  Duplicate
-        digests in one call are refused up front: two sub-transactions
-        against one record in one batch would make the retry
-        non-idempotent.  Items are (digest, ops, ttl, expect_gen) or
-        (..., create_only) 5-tuples.  Returns digest -> (status, gen,
+        applied anything — the server contract that makes this safe)
+        re-tends the map and re-issues ONLY the unresolved entries, so
+        a refused INCR never double-applies.  Dead-node retries are
+        DIFFERENT (ADVICE r15): a connect failure proves nothing was
+        sent, so everything retries; a send/reply failure leaves the
+        batch IN DOUBT — the node may have applied it before dying —
+        so only entries whose replay cannot change stored state
+        (delete, replace, create-only, and plain updates with
+        read/write/touch ops only) re-issue, and read-modify-write
+        entries (INCR/APPEND/PREPEND on a plain update) answer status
+        'in_doubt' for the caller to decide.  Duplicate digests in one
+        call are refused up front: two sub-transactions against one
+        record in one batch would make the retry non-idempotent.
+        Items are (digest, ops, ttl, expect_gen) or (..., create_only
+        [, delete, replace]) tuples.  Returns digest -> (status, gen,
         ttl, read_bins); status 'ok' | 'exists' | 'gen_mismatch' |
-        'not_found' | 'bin_type'."""
+        'not_found' | 'bin_type' | 'in_doubt'."""
         if len({it[0] for it in items}) != len(items):
             raise ValueError(
                 "aerospike wire: duplicate digests in one batch_operate"
@@ -2089,10 +2138,26 @@ class ClusterRouter:
             next_pending: list[tuple] = []
             for idx, group in by_node.items():
                 try:
-                    res = self.client(idx).batch_write(list(group))
+                    cli = self.client(idx)
                 except OSError:
+                    # connect failed: nothing was SENT — every entry
+                    # re-routes safely after a re-tend
                     self.drop_client(idx)
                     next_pending.extend(group)
+                    continue
+                try:
+                    res = cli.batch_write(list(group))
+                except OSError:
+                    # send/reply failure: the node may have applied the
+                    # batch before dying.  Replay-safe entries retry;
+                    # read-modify-write entries surface as in_doubt
+                    # rather than risk a double-apply (ADVICE r15).
+                    self.drop_client(idx)
+                    for it in group:
+                        if batch_entry_replay_safe(it):
+                            next_pending.append(it)
+                        else:
+                            out[it[0]] = ("in_doubt", 0, 0, {})
                     continue
                 for i, it in enumerate(group):
                     if i not in res:
@@ -3205,9 +3270,11 @@ class WireServer:
                     results.append((index, digest, RC_GENERATION, 0, {}, 0))
                     continue
                 # REPLACE policy: ops apply onto an empty record (the
-                # gen check above still ran against the stored record)
+                # gen check above still ran against the stored record);
+                # `exists` keeps touch checking the STORED record, not
+                # the empty replace baseline (ADVICE r15)
                 rc, bins, read_bins = apply_op_list(
-                    None if replace else cur, ops
+                    None if replace else cur, ops, exists=cur is not None
                 )
                 if rc != RC_OK:
                     results.append((index, digest, rc, 0, {}, 0))

@@ -2112,3 +2112,152 @@ def test_wire_batch_write_codec_roundtrip_property(ns, set_name, entries):
         # a shorter prefix may still parse if the batch field closed
         # before the cut — but then it must equal the full result
         assert got is None or got == built
+
+
+def test_wire_batch_write_op_count_guard():
+    """ADVICE r15: an entry with more than 65535 ops raises the
+    module's uniform ValueError (the wire op count is a u16), never a
+    struct.error out of pack."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    d = aw.key_digest("t", b"guard")
+    ops = [("write", "v", b"x")] * 65536
+    try:
+        aw.build_batch_write("tmx", "t", [(0, d, ops, 0, None)])
+        raise AssertionError("65536 ops must be refused")
+    except ValueError as e:
+        assert "65535" in str(e)
+    # exactly 65535 still encodes
+    req = aw.build_batch_write("tmx", "t", [(0, d, ops[:65535], 0, None)])
+    parsed = aw.parse_batch_write_entries(req[8:])
+    assert parsed is not None and len(parsed[0][2]) == 65535
+
+
+def test_wire_batch_write_replace_touch_checks_stored_record():
+    """ADVICE r15: a REPLACE entry whose op list carries a touch must
+    check record EXISTENCE against the store, not against the empty
+    replace baseline — touch+replace on an existing record applies;
+    on an absent record it answers not_found."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+        d1 = aw.key_digest("t", b"rt1")
+        d2 = aw.key_digest("t", b"rt2")
+        assert c.wait(c.put(b"rt1", {"old": b"gone", "keep": b"no"}, 9)) == "ok"
+        res = c.batch_write([
+            # replace an EXISTING record, touch rides along: applies,
+            # old bins wiped, only the new bin survives
+            (d1, [("touch",), ("write", "v", b"new")], 77, None,
+             False, False, True),
+            # replace an ABSENT record with a touch: not_found, nothing
+            # created
+            (d2, [("touch",), ("write", "v", b"x")], 77, None,
+             False, False, True),
+        ])
+        assert res[0][0] == "ok"
+        assert res[1][0] == "not_found"
+        store = srv.records()
+        assert store[("tmx", "t", d1)] == ({"v": b"new"}, 77)
+        assert ("tmx", "t", d2) not in store
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_batch_entry_replay_safe_classification():
+    """The in-doubt classifier: delete/replace/create-only and plain
+    read/write/touch updates are replay-safe; INCR/APPEND/PREPEND on a
+    plain update are not."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        batch_entry_replay_safe as safe,
+    )
+
+    d = b"\0" * 20
+    assert safe((d, [], 0, None, False, True))                 # delete
+    assert safe((d, [("incr", "n", 1)], 0, None, False, False, True))  # replace
+    assert safe((d, [("incr", "n", 1)], 0, None, True))        # create-only
+    assert safe((d, [("write", "v", b"x"), ("read", "v")], 0, None))
+    assert safe((d, [("touch",)], 0, None))
+    assert not safe((d, [("incr", "n", 1)], 0, None))
+    assert not safe((d, [("append", "v", b"x")], 0, None))
+    assert not safe((d, [("write", "v", b"x"), ("prepend", "v", b"y")], 0, None))
+
+
+def test_cluster_batch_operate_in_doubt_on_dead_reply(monkeypatch):
+    """ADVICE r15 (medium): a node that APPLIES a batch but dies before
+    the reply drains must not get its non-idempotent entries blindly
+    re-issued.  Replay-safe entries (plain writes) retry and land;
+    INCR entries answer 'in_doubt' and are applied EXACTLY ONCE on the
+    server."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer(owned_partitions=set(range(aw.N_PARTITIONS)))
+    try:
+        orig = aw.WireClient.batch_write
+        state = {"n": 0}
+
+        def dies_after_apply(self, entries):
+            res = orig(self, entries)
+            state["n"] += 1
+            if state["n"] == 1:
+                # the server applied and replied, but the router never
+                # sees the reply: indistinguishable from a dead node
+                raise OSError("connection reset before reply drained")
+            return res
+
+        monkeypatch.setattr(aw.WireClient, "batch_write", dies_after_apply)
+        router = aw.ClusterRouter([(srv.host, srv.port)], "tmx", "t")
+        d_w = aw.key_digest("t", b"idw")
+        d_i = aw.key_digest("t", b"idi")
+        out = router.batch_operate([
+            (d_w, [("write", "v", b"val")], 60, None),
+            (d_i, [("incr", "n", 5)], 60, None),
+        ])
+        # the write replayed (state unchanged by the second apply)
+        assert out[d_w][0] == "ok"
+        # the INCR surfaced as in_doubt instead of double-applying
+        assert out[d_i][0] == "in_doubt"
+        store = srv.records()
+        assert store[("tmx", "t", d_w)][0] == {"v": b"val"}
+        # applied exactly once: 5, not 10
+        assert store[("tmx", "t", d_i)][0] == {
+            "n": (5).to_bytes(8, "big", signed=True)
+        }
+        router.close()
+    finally:
+        srv.close()
+
+
+def test_cluster_batch_operate_connect_failure_retries_everything():
+    """A CONNECT failure proves nothing was sent, so even INCR entries
+    re-route after a re-tend — only send/reply failures go in-doubt.
+    One cluster node is a dead address; the live node owns everything
+    after the re-tend."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+    import socket
+
+    # reserve a port that refuses connections
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead = probe.getsockname()
+    probe.close()
+
+    srv = aw.WireServer(owned_partitions=set(range(aw.N_PARTITIONS)))
+    try:
+        router = aw.ClusterRouter([(srv.host, srv.port)], "tmx", "t")
+        # poison half the map toward the dead address
+        router.nodes = [(srv.host, srv.port), dead]
+        for p in range(0, aw.N_PARTITIONS, 2):
+            router.pmap[p] = 1
+        d_i = aw.key_digest("t", b"cfi")
+        out = router.batch_operate([(d_i, [("incr", "n", 3)], 60, None)])
+        assert out[d_i][0] == "ok"
+        store = srv.records()
+        assert store[("tmx", "t", d_i)][0] == {
+            "n": (3).to_bytes(8, "big", signed=True)
+        }
+        router.close()
+    finally:
+        srv.close()
