@@ -158,6 +158,13 @@ HEADLINE = [
     "pipeline_bpe_manifest",
     "pipeline_multimodal_prep",
     "mm_audio_fp_dedup",
+    # round-16: video near-dup (the last X2 modality), the all-modality
+    # AV corpus-prep capstone, and the CDT list/map op family (single
+    # OPERATE + batch sub-transactions + handoff safety)
+    "mm_video_fp_dedup",
+    "pipeline_multimodal_prep_av",
+    "s61_wire_cdt_ops",
+    "s62_wire_cdt_during_handoff",
 ]
 
 
@@ -399,6 +406,78 @@ def _git_detail_versions(repo_dir: str, max_versions: int = 6) -> list[dict]:
         except (OSError, ValueError, subprocess.SubprocessError):
             continue
     return out
+
+
+# Per-row variance class (VERDICT r15 task 4): rows whose MEASURED
+# fresh-session day-to-day spread exceeds the global 1.5x line get a
+# row-specific flag threshold — retiring the r13-r15 ritual of manually
+# adjudicating the same two rows as environment every round.  The
+# factor IS the measured benign spread on byte-identical code:
+#   dedup_lsh_recall_report: all-time-min 3.7; committed flags 8.0
+#     (r15) / 7.1 (r14) / 7.9 (r13) each refuted by a fresh-session or
+#     driver re-measure at 4.2-4.9 -> benign swing observed to 2.16x.
+#   pipeline_training_manifest: all-time-min 2.47; flags 4.21/3.9/4.1
+#     refuted at 2.57-3.1 -> benign swing observed to 1.70x.
+# Both are pandas-UDF + checkpoint heavy: wall time is dominated by
+# Python-worker fork, Arrow transfer and tmpfs checkpoint I/O, whose
+# contention swing the calibration probes only partly normalize.  A
+# flag on these rows now requires exceeding the measured benign factor
+# (plus margin) x the all-time-min; crossings of the plain 1.5x line
+# are still LOGGED (stderr + `variance_waived`) so the raw signal is
+# never silently eaten.
+VARIANCE_FACTOR = {
+    "dedup_lsh_recall_report": 2.3,
+    "pipeline_training_manifest": 1.9,
+}
+
+
+def flag_threshold(name: str) -> float:
+    """The per-row regression multiplier: the global 1.5x line unless
+    the row's documented fresh-session spread is wider."""
+    return max(1.5, VARIANCE_FACTOR.get(name, 1.5))
+
+
+def classify_regressions(warm, warm_norm, prev_norm, prev_raw, prev_tag):
+    """The tripwire's flag decision, factored for unit tests: raw 1.5x
+    crossings split into (regressions, variance_waived) by each row's
+    flag_threshold.  A flag requires BOTH the normalized and the raw
+    warm series to exceed the row's threshold x the same-host baseline
+    min (the r12 s37 rule); crossings of 1.5x that stay inside the
+    row's documented variance class are returned as waived — logged,
+    never silently eaten."""
+
+    def _raw_regressed(n: str, factor: float) -> bool:
+        # no raw baseline -> can't exonerate, the normalized flag stands
+        return n not in prev_raw or warm[n] > factor * prev_raw[n]
+
+    def _entry(n: str) -> dict:
+        return {
+            "query": n,
+            "prev_normalized": round(prev_norm[n], 3),
+            "now_normalized": warm_norm[n],
+            "prev_raw": round(prev_raw[n], 3) if n in prev_raw else None,
+            "now_raw": warm[n],
+            "baseline": prev_tag,
+            "threshold": flag_threshold(n),
+        }
+
+    raw_flags = [
+        n
+        for n in warm_norm
+        if n in prev_norm
+        and prev_norm[n] >= 0.5
+        and warm_norm[n] > 1.5 * prev_norm[n]
+        and _raw_regressed(n, 1.5)
+    ]
+    regressions = [
+        _entry(n)
+        for n in raw_flags
+        if warm_norm[n] > flag_threshold(n) * prev_norm[n]
+        and _raw_regressed(n, flag_threshold(n))
+    ]
+    flagged = {r["query"] for r in regressions}
+    variance_waived = [_entry(n) for n in raw_flags if n not in flagged]
+    return regressions, variance_waived
 
 
 def _prev_raw_warm(repo_dir: str, names: list[str], tag: str, sf=None):
@@ -1505,25 +1584,17 @@ def main() -> None:
     prev_tag, prev_norm = _prev_normalized(repo_dir, names, tag, sf)
     prev_raw = _prev_raw_warm(repo_dir, names, tag, sf)
 
-    def _raw_regressed(n: str) -> bool:
-        # no raw baseline -> can't exonerate, the normalized flag stands
-        return n not in prev_raw or warm[n] > 1.5 * prev_raw[n]
-
-    regressions = [
-        {
-            "query": n,
-            "prev_normalized": round(prev_norm[n], 3),
-            "now_normalized": warm_norm[n],
-            "prev_raw": round(prev_raw[n], 3) if n in prev_raw else None,
-            "now_raw": warm[n],
-            "baseline": prev_tag,
-        }
-        for n in warm_norm
-        if n in prev_norm
-        and prev_norm[n] >= 0.5
-        and warm_norm[n] > 1.5 * prev_norm[n]
-        and _raw_regressed(n)
-    ]
+    regressions, variance_waived = classify_regressions(
+        warm, warm_norm, prev_norm, prev_raw, prev_tag
+    )
+    for w in variance_waived:
+        print(
+            f"# variance-waived {w['query']}: normalized warm "
+            f"{w['prev_normalized']}s -> {w['now_normalized']}s crosses "
+            f"1.5x but not the row's documented {w['threshold']}x "
+            "fresh-session spread — logged, not flagged",
+            file=sys.stderr,
+        )
     # confirmation pass (r12): a 1-3 s query's 3-sample warm median
     # bounces ~1.4-2.1 s on byte-identical code (measured same-day),
     # which crosses the 1.5x line as pure noise.  Each flagged entry
@@ -1540,6 +1611,7 @@ def main() -> None:
         confirmed = []
         for r in regressions:
             name = r["query"]
+            thr = flag_threshold(name)
             samples = []
             for _ in range(5):
                 t0 = time.time()
@@ -1547,8 +1619,8 @@ def main() -> None:
                 samples.append(time.time() - t0)
             remed = statistics.median(samples)
             renorm = round(remed / max(speed, 1e-9), 2)
-            raw_still = name not in prev_raw or remed > 1.5 * prev_raw[name]
-            if renorm > 1.5 * prev_norm[name] and raw_still:
+            raw_still = name not in prev_raw or remed > thr * prev_raw[name]
+            if renorm > thr * prev_norm[name] and raw_still:
                 r["confirm_normalized"] = renorm
                 r["confirm_raw"] = round(remed, 2)
                 confirmed.append(r)
@@ -1579,6 +1651,9 @@ def main() -> None:
         "qn": short_map(warm_norm),
         "host_tag": tag,
         "regressions": regressions,
+        # 1.5x crossings absorbed by a row's documented variance class
+        # (names only here; full entries in the detail sidecar)
+        "variance_waived": [w["query"] for w in variance_waived],
         "value_warm": round(sum(warm.values()), 3),
         "warm_k": k_warm,
         "calibration_sec": calib,
@@ -1615,6 +1690,10 @@ def main() -> None:
     detail["queries_warm"] = warm
     detail["queries_warm_normalized"] = warm_norm  # full-name twin of qn
     detail["queries_spread"] = spread
+    # the per-row variance class + any 1.5x crossings it absorbed this
+    # run (VERDICT r15 task 4): the raw signal stays on the record
+    detail["variance_class"] = VARIANCE_FACTOR
+    detail["variance_waived"] = variance_waived
     if slope:
         detail["scale_slope"] = slope
     # BENCH_DETAIL.json is COMMITTED (VERDICT r11 task 1): it carries the

@@ -1165,3 +1165,96 @@ def decode_pcm_samples(media_df: DataFrame, head: int = 65) -> DataFrame:
     return media_df.select("clip_id", "payload").mapInPandas(
         decode_batches, "clip_id long, n_samples int, s array<int>"
     )
+
+
+def synthesize_video_clips(docs: DataFrame, alias_every: int = 11) -> DataFrame:
+    """Fixture adapter for VIDEO near-dup dedup (round 16, the last X2
+    modality): one animated GIF per document — 4 full-size 9x8
+    grayscale frames, frame content cf drawn from the same
+    Knuth/Lehmer gradient family as the image fixture but with
+    per-FRAME mixers (cf folded into every multiplier), so each frame
+    of each clip is an independent ~0.5-bit-mean dHash and LSH buckets
+    stay O(1).  Every doc_id % alias_every == 0 plants a NEAR-DUPLICATE
+    clip (clip_id = doc_id + 1_000_000) that is both RE-ENCODED and
+    TEMPORALLY OFFSET: its 4 frames show the source's content frames
+    1..4 (head-trimmed by one — frame 4 is content the source never
+    displays) with every pixel shifted by +1 + d%2 (no 8-bit wrap), so
+    exactly 3 of its frames match a source frame at Hamming 0 /
+    pixel distance 72 or 144, and a clip-level threshold of >= 3
+    verified frame pairs catches every planted pair by construction.
+    pixel v(d, cf, r, c) =
+      ((d*2654435761 + cf*1315423911) % 1000003
+       + ((d*40503   + cf*2246822519 + 17) % 997) * (r+1)^2
+       + ((d*69621   + cf*3266489917 + 31) % 983) * (c+1)^2
+       + ((d*48271   + cf*668265263  +  7) % 991) * (r+1)*(c+1)) % 250
+      + delta
+    Values stay < 252, so the shared GIF palette (<= 256 grays across
+    all frames) always fits and the container round trip is lossless —
+    the closed-form integer oracle survives the REAL encode/decode."""
+    from .gif_py import encode_gif_animation
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = 9, 8
+        rr = np.arange(h, dtype=np.int64)[:, None] + 1
+        cc = np.arange(w, dtype=np.int64)[None, :] + 1
+
+        def gray(d: int, cf: int, delta: int) -> np.ndarray:
+            m1 = (d * 2654435761 + cf * 1315423911) % 1000003
+            m2 = (d * 40503 + cf * 2246822519 + 17) % 997
+            m3 = (d * 69621 + cf * 3266489917 + 31) % 983
+            m4 = (d * 48271 + cf * 668265263 + 7) % 991
+            return ((m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250
+                    + delta).astype(np.uint8)
+
+        def clip_of(d: int, f_off: int, delta: int) -> bytes:
+            frames = [
+                np.repeat(gray(d, g + f_off, delta)[:, :, None], 3, axis=2)
+                for g in range(4)
+            ]
+            return encode_gif_animation(frames)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ids.append(d)
+                payloads.append(clip_of(d, 0, 0))
+                if d % alias_every == 0:
+                    ids.append(d + 1_000_000)
+                    payloads.append(clip_of(d, 1, 1 + d % 2))
+            yield pd.DataFrame({"clip_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "clip_id long, payload binary"
+    )
+
+
+def decode_gray_frame_pixels(media_df: DataFrame) -> DataFrame:
+    """REAL per-frame pixel decode for the video-fingerprint path:
+    every frame of each animated GIF byte-decoded (gif_py.
+    decode_gif_frames — the full multi-image LZW walk) and flattened
+    to (clip_id, fidx, n_frames, row-major grayscale pixel array) —
+    the flatMap-over-frames shape the image dHash machinery then
+    consumes per frame.  Zero shuffles; rides the scan."""
+    from .gif_py import decode_gif_frames
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fis, nfs, pxs = [], [], [], []
+            for clip_id, p in zip(pdf["clip_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(p))
+                for fi, img in enumerate(frames):
+                    ids.append(int(clip_id))
+                    fis.append(fi)
+                    nfs.append(len(frames))
+                    pxs.append([int(x) for x in img[:, :, 0].reshape(-1)])
+            out = pd.DataFrame(
+                {"clip_id": ids, "fidx": fis, "n_frames": nfs, "px": pxs}
+            )
+            out["fidx"] = out["fidx"].astype("Int32")
+            out["n_frames"] = out["n_frames"].astype("Int32")
+            yield out
+
+    return media_df.select("clip_id", "payload").mapInPandas(
+        decode_batches, "clip_id long, fidx int, n_frames int, px array<int>"
+    )

@@ -33,87 +33,79 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-# Checked-prefix priority (see module docstring) — ROUND-15 prefix.
+# Checked-prefix priority (see module docstring) — ROUND-16 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) the 7 rows NEW this round (the batch-WRITE op family, its
-#     live-handoff variant and the batched streaming CDC applier,
-#     image AND audio near-dup dedup over real byte decode, the
-#     token-true BPE-packed manifest, the multimodal corpus-prep
-#     capstone),
-# (b) ALL 19 rows of the stalest (r10) cohort — VERDICT r14 task 1,
-# (c) the r12-signed wire rows named by the r14 rotation note (s28,
-#     s36, s38-s43, stream_aerospike_wire_sink, stream_cdc_cluster_
-#     apply, stream_cdc_wire_apply): r14 touched shared wire code they
-#     all traverse, and r15 touched it again (the operate op grammar
-#     factored into encode_op/decode_op + apply_op_list, and a new
-#     dispatch branch in WireServer._apply every wire request passes),
-# (d) 13 of the r11 cohort, wire/stream-adjacent and merge-core rows
-#     first (join_asof, src_formats_roundtrip and o2_layout_resume
-#     rotated out to make room for the new rows; they head the r16
-#     rotation with the rest of the r11 cohort).
-# Signature histogram entering r15: r10 x19, r11 x44, r12 x50,
-# r13 x49, r14 x50 (212 rows, all driver-green at least once; zero
+# (a) the 4 rows NEW this round (video near-dup dedup — the last X2
+#     modality, the all-modality AV corpus-prep capstone, the CDT
+#     list/map op family and its live-handoff safety variant),
+# (b) the 3 r15-signed batch-write rows whose shared code changed
+#     this round (batch_operate's in-doubt dead-node split, the
+#     apply_op_list exists flag, the op-count guard — s59/s60/
+#     stream_cdc_batch_apply all traverse them),
+# (c) ALL 31 rows of the stalest (r11) cohort — VERDICT r15 task 1,
+# (d) 12 of the r12 cohort: the ten named by the r15 rotation note
+#     (a2, a4_first, a5_pivot, s13, s14, s21, token_md5, token_resume,
+#     udaf, udtf) plus pipeline_corpus_prep (its decision CTE is
+#     traversed by both new capstones) and a7_counter_reconcile.
+# Signature histogram entering r16: r11 x31, r12 x39, r13 x49,
+# r14 x50, r15 x50 (219 rows, all driver-green at least once; zero
 # regressions ever).  After this prefix signs, no row is older than
-# r11; the remaining 28 r11 rows head the r16 rotation, followed by
-# the 39 r12 rows.  The r14-signed wire rows (s47-s58) also traverse
-# the r15 wire-code touches — they re-passed their exact oracles in
-# the full post-change pytest suite and rotate behind the older
-# cohorts rather than consuming fresh slots two rounds running.
+# r12; the remaining 27 r12 rows head the r17 rotation.
 _PRIORITY = [
-    # -- (a) NEW in r15
+    # -- (a) NEW in r16
+    "mm_video_fp_dedup",
+    "pipeline_multimodal_prep_av",
+    "s61_wire_cdt_ops",
+    "s62_wire_cdt_during_handoff",
+    # -- (b) r15 rows over the re-touched batch-write code
     "s59_wire_batch_write",
     "s60_wire_batch_write_during_handoff",
     "stream_cdc_batch_apply",
-    "mm_phash_dedup",
-    "pipeline_bpe_manifest",
-    "pipeline_multimodal_prep",
-    "mm_audio_fp_dedup",
-    # -- (b) the whole r10 cohort
-    "dedup_exact_prefix",
-    "ma_compaction_roundtrip",
-    "mm_binary_meta",
-    "mm_media_probe",
-    "mm_real_decode",
-    "mm_real_frame_sample",
-    "mm_real_resize",
-    "mm_video_probe",
-    "s35_partition_size_histogram",
-    "sample_domain_mix",
-    "sample_stratified",
-    "scalar_arrays",
-    "sim_bq_topk",
-    "sim_chunk_pool_topk",
-    "sim_mrl_topk",
-    "sim_sq8_topk",
-    "text_bpe_encode",
-    "text_ngram_lm",
-    "text_quality_classifier",
-    # -- (c) r12-signed wire rows over the re-touched shared wire code
-    "s28_aerospike_wire_sink",
-    "s36_wire_cluster_sink",
-    "s38_wire_readback_verify",
-    "s39_e2e_migration_verified",
-    "s40_wire_cluster_handoff",
-    "s41_wire_rf2_failover",
-    "s42_wire_cluster_scan_source",
-    "s43_wire_partition_scan_source",
-    "stream_aerospike_wire_sink",
-    "stream_cdc_cluster_apply",
-    "stream_cdc_wire_apply",
-    # -- (d) r11 cohort, wire/stream-adjacent + merge core first
-    "stream_cdc_incremental",
-    "stream_snapshot_cdc",
-    "stream_stateful_lww",
-    "s19_mc_era_merge",
-    "s29_bloom_lookup_merge",
-    "s37_marshal_types_merge",
-    "j1_kway_merge",
-    "j3_range_tombstone_cover",
-    "a1_lww_latest",
-    "f1_live_cells",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_incremental",
+    # -- (c) the whole r11 cohort
+    "a4_expiry_fold_last",
+    "a5_record_assembly",
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "agg_bitwise",
+    "agg_percentiles",
+    "agg_session_windows_batch",
+    "agg_stats_moments",
+    "gm_sessionize",
+    "join_asof",
+    "join_bucketed_colocated",
+    "o2_layout_resume",
+    "scalar_conditional",
+    "scalar_maps",
+    "scalar_math_safe",
+    "scalar_strings_hex",
+    "series_gap_fill",
+    "set_ops_all",
+    "set_ops_distinct",
+    "sort_multi_limit",
+    "src_formats_roundtrip",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_rare_token_filter",
+    "text_salient_terms",
+    "text_token_stats",
+    "topk_global",
+    "unpivot_melt",
+    "win_range_frame",
+    # -- (d) 12 of the r12 cohort
+    "a2_row_tombstone_max",
+    "a4_expiry_fold_first",
+    "a5_pivot_wide",
+    "s13_dry_run",
+    "s14_run_accounting",
+    "s21_schema_evolution_merge",
+    "token_md5",
+    "token_resume",
+    "udaf_expiry_fold",
+    "udtf_tokenize",
+    "pipeline_corpus_prep",
+    "a7_counter_reconcile",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1186,6 +1186,22 @@ def q_mm_audio_fp_dedup(spark, sf_dir):
     clips = M.decode_pcm_samples(
         M.synthesize_audio_clips(_docs(spark, sf_dir))
     )
+    dups = _audio_fp_dup_ids(clips)
+    return (
+        clips.select("clip_id")
+        .join(dups, "clip_id", "left")
+        .select("clip_id", F.col("dup").isNull().cast("int").alias("keep"))
+    )
+
+
+def _audio_fp_dup_ids(clips):
+    """The delta-sign fingerprint DROP LIST over a decoded-sample frame
+    (clip_id, s array<int> of 65): 64-bit delta-sign fingerprint as
+    4x16-bit bands -> banded-Hamming bucket-grouped in-row pair
+    expansion -> exact verify (Hamming <= 2 AND equal zero-crossing
+    count) -> the larger clip_id of every verified pair, as (clip_id,
+    dup=1).  Shared by the standalone audio row and the AV multimodal
+    corpus-prep capstone."""
     s = F.col("s")
 
     def band_val(b: int):
@@ -1258,20 +1274,66 @@ def q_mm_audio_fp_dedup(spark, sf_dir):
         .distinct()
         .filter((F.col("hamming") <= 2) & F.col("zc_eq"))
     )
-    dups = (
+    return (
         verified.select(F.col("clip_b").alias("clip_id"))
         .distinct()
         .withColumn("dup", F.lit(1))
     )
-    return (
-        sigs.select("clip_id")
-        .join(dups, "clip_id", "left")
-        .select("clip_id", F.col("dup").isNull().cast("int").alias("keep"))
+
+
+# the delta-sign fingerprint pipeline replayed relationally (samples ->
+# lead() deltas -> band sums -> band self-join -> Hamming + zero-cross
+# verify), parametrized only by the preceding `acorpus (clip_id, d,
+# scale)` CTE — a-prefixed names so it composes with _PHASH_PIPE in one
+# WITH (the AV capstone); shared by the standalone audio row
+_AUDIO_FP_PIPE = """
+    asmp AS (
+      SELECT clip_id, i,
+             (((d * 2654435761) % 1000003
+               + ((d * 40503 + 17) % 997) * (i + 1)
+               + ((d * 69621 + 31) % 983) * (i + 1) * (i + 1)) % 2001
+              - 1000) * scale AS v
+      FROM acorpus,
+           (SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS i)
+    ),
+    abits AS (
+      SELECT clip_id, i,
+             CAST(lead(v) OVER (PARTITION BY clip_id ORDER BY i) > v
+                  AS INT) AS bit,
+             CAST((v >= 0) !=
+                  (lead(v) OVER (PARTITION BY clip_id ORDER BY i) >= 0)
+                  AS INT) AS flip
+      FROM asmp QUALIFY i < 64
+    ),
+    abands AS (
+      SELECT clip_id, i // 16 AS band,
+             CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS bval
+      FROM abits GROUP BY clip_id, i // 16
+    ),
+    azc AS (
+      SELECT clip_id, sum(flip) AS n_flip FROM abits GROUP BY clip_id
+    ),
+    acand AS (
+      SELECT DISTINCT a.clip_id AS clip_a, b.clip_id AS clip_b
+      FROM abands a
+      JOIN abands b ON b.band = a.band AND b.bval = a.bval
+                    AND a.clip_id < b.clip_id
+    ),
+    averified AS (
+      SELECT cd.clip_a, cd.clip_b
+      FROM acand cd
+      WHERE (SELECT sum(bit_count(xor(ba.bval, bb.bval)))
+             FROM abands ba JOIN abands bb ON bb.band = ba.band
+             WHERE ba.clip_id = cd.clip_a AND bb.clip_id = cd.clip_b) <= 2
+        AND (SELECT n_flip FROM azc WHERE clip_id = cd.clip_a)
+            = (SELECT n_flip FROM azc WHERE clip_id = cd.clip_b)
     )
+"""
 
-
-ORACLES["mm_audio_fp_dedup"] = """
-    WITH corpus AS (
+# the audio corpus CTE (synthesize_audio_clips replayed): doc_id % 9
+# == 0 stores the PREVIOUS document's samples scaled x2
+_AUDIO_CORPUS = """
+    acorpus AS (
       SELECT doc_id AS clip_id,
              CASE WHEN doc_id % 9 = 0 AND doc_id >= 1
                   THEN doc_id - 1 ELSE doc_id END AS d,
@@ -1279,51 +1341,15 @@ ORACLES["mm_audio_fp_dedup"] = """
                   THEN 2 ELSE 1 END AS scale
       FROM documents
     ),
-    smp AS (
-      SELECT clip_id, i,
-             (((d * 2654435761) % 1000003
-               + ((d * 40503 + 17) % 997) * (i + 1)
-               + ((d * 69621 + 31) % 983) * (i + 1) * (i + 1)) % 2001
-              - 1000) * scale AS v
-      FROM corpus,
-           (SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS i)
-    ),
-    bits AS (
-      SELECT clip_id, i,
-             CAST(lead(v) OVER (PARTITION BY clip_id ORDER BY i) > v
-                  AS INT) AS bit,
-             CAST((v >= 0) !=
-                  (lead(v) OVER (PARTITION BY clip_id ORDER BY i) >= 0)
-                  AS INT) AS flip
-      FROM smp QUALIFY i < 64
-    ),
-    bands AS (
-      SELECT clip_id, i // 16 AS band,
-             CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS bval
-      FROM bits GROUP BY clip_id, i // 16
-    ),
-    zc AS (
-      SELECT clip_id, sum(flip) AS n_flip FROM bits GROUP BY clip_id
-    ),
-    cand AS (
-      SELECT DISTINCT a.clip_id AS clip_a, b.clip_id AS clip_b
-      FROM bands a
-      JOIN bands b ON b.band = a.band AND b.bval = a.bval
-                   AND a.clip_id < b.clip_id
-    ),
-    verified AS (
-      SELECT cd.clip_a, cd.clip_b
-      FROM cand cd
-      WHERE (SELECT sum(bit_count(xor(ba.bval, bb.bval)))
-             FROM bands ba JOIN bands bb ON bb.band = ba.band
-             WHERE ba.clip_id = cd.clip_a AND bb.clip_id = cd.clip_b) <= 2
-        AND (SELECT n_flip FROM zc WHERE clip_id = cd.clip_a)
-            = (SELECT n_flip FROM zc WHERE clip_id = cd.clip_b)
-    )
-    SELECT clip_id,
-           CAST(clip_id NOT IN (SELECT clip_b FROM verified) AS INT) AS keep
-    FROM corpus
 """
+
+ORACLES["mm_audio_fp_dedup"] = (
+    "WITH" + _AUDIO_CORPUS + _AUDIO_FP_PIPE + """
+    SELECT clip_id,
+           CAST(clip_id NOT IN (SELECT clip_b FROM averified) AS INT) AS keep
+    FROM acorpus
+"""
+)
 
 
 def q_pipeline_multimodal_prep(spark, sf_dir):
@@ -1503,7 +1529,305 @@ ORACLES["pipeline_multimodal_prep"] = (
 )
 
 
+def q_mm_video_fp_dedup(spark, sf_dir):
+    """VIDEO NEAR-DUP DEDUP (round 16 — the last X2 modality): the
+    frame-fingerprint pipeline a video training corpus runs, end to
+    end on REAL bytes — synthesize one 4-frame animated GIF per
+    document plus, for every doc_id % 11 == 0, a planted near-dup clip
+    that is both RE-ENCODED (every pixel +1 + d%2) and TEMPORALLY
+    OFFSET (head-trimmed by one frame: its frames show the source's
+    content frames 1..4, frame 4 being content the source never
+    displays — functions/multimodal.synthesize_video_clips), DECODE
+    every frame for real (gif_py.decode_gif_frames: the full
+    multi-image LZW walk), dHash EACH FRAME declaratively with the
+    shared image machinery (4 x 16-bit bands, JVM-side comparisons),
+    prescreen FRAME pairs across clips with the banded-Hamming
+    bucket-grouped in-row pair expansion (one shuffle to the bucket,
+    no self-join), verify frame pairs exactly (full Hamming <= 2 via
+    bit_count(xor) AND pixel distance sum|a-b| <= 144 via zip_with),
+    and call two clips near-dups when >= 3 DISTINCT frame pairs
+    verify — the planted copies match on exactly 3 of 4 frames at
+    Hamming 0 by construction, so recall is exact, while a single
+    accidental frame collision can never fabricate a clip pair.  Emit
+    the keep-list (drop the larger clip_id).  Per-frame mixers keep
+    the dHash bit mean ~0.5, so band buckets stay O(1) and the
+    candidate count is linear in frames — the 100 TB posture of the
+    image row, one explode deeper.  Exact oracle: the generating
+    arithmetic replayed relationally (frame grid -> lead() comparisons
+    -> band sums -> band self-join -> frame verify -> >= 3 frame-pair
+    count per clip pair)."""
+    from ..functions import multimodal as M
+
+    frames = M.decode_gray_frame_pixels(
+        M.synthesize_video_clips(_docs(spark, sf_dir))
+    )
+    dups = _video_fp_dup_ids(frames)
+    return (
+        frames.select("clip_id")
+        .distinct()
+        .join(dups, "clip_id", "left")
+        .select("clip_id", F.col("dup").isNull().cast("int").alias("keep"))
+    )
+
+
+def _video_fp_dup_ids(frames, min_frames: int = 3):
+    """The video near-dup DROP LIST over a decoded-frame frame
+    (clip_id, fidx, px array<int> of 72): per-frame 64-bit dHash as
+    4x16-bit bands -> banded-Hamming bucket-grouped in-row pair
+    expansion ACROSS clips -> exact frame verify (Hamming <= 2 AND
+    sum|a-b| <= 144) -> clip pairs with >= min_frames distinct
+    verified frame pairs -> the larger clip_id, as (clip_id, dup=1)."""
+    px = F.col("px")
+
+    def band_val(b: int):
+        terms = []
+        for rr in (2 * b, 2 * b + 1):
+            for c in range(8):
+                w = 1 << ((rr % 2) * 8 + c)
+                terms.append(
+                    F.when(px[rr * 9 + c] > px[rr * 9 + c + 1], w).otherwise(0)
+                )
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("int")
+
+    sigs = frames.select(
+        "clip_id", "fidx", "px",
+        F.array(*[band_val(b) for b in range(4)]).alias("bands"),
+    )
+    bands = sigs.select(
+        F.struct("clip_id", "fidx", "bands", "px").alias("el"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("bands")[b].alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("el", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    members = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_set("el")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda b: F.struct(
+                    a["clip_id"].alias("clip_a"),
+                    a["fidx"].alias("fa"),
+                    b["clip_id"].alias("clip_b"),
+                    b["fidx"].alias("fb"),
+                    F.aggregate(
+                        F.zip_with(
+                            a["bands"], b["bands"],
+                            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ).alias("hamming"),
+                    F.aggregate(
+                        F.zip_with(a["px"], b["px"], lambda x, y: F.abs(x - y)),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ).alias("pixdist"),
+                ),
+            ),
+        )
+    )
+    fver = (
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.clip_a", "p.fa", "p.clip_b", "p.fb", "p.hamming", "p.pixdist")
+        .filter(F.col("clip_a") != F.col("clip_b"))
+        .distinct()
+        .filter((F.col("hamming") <= 2) & (F.col("pixdist") <= 144))
+    )
+    cver = (
+        fver.groupBy("clip_a", "clip_b")
+        .agg(F.countDistinct("fa", "fb").alias("nfp"))
+        .filter(F.col("nfp") >= min_frames)
+    )
+    return (
+        cver.select(F.col("clip_b").alias("clip_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+
+
+ORACLES["mm_video_fp_dedup"] = """
+    WITH vcorpus AS (
+      SELECT doc_id AS clip_id, doc_id AS d,
+             0 AS f_off, 0 AS delta
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 1 + doc_id % 2
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    vfr AS (
+      SELECT clip_id, d, g, g + f_off AS cf, delta
+      FROM vcorpus, (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS g)
+    ),
+    vpx AS (
+      SELECT clip_id, g, r, c,
+             ((d * 2654435761 + cf * 1315423911) % 1000003
+              + ((d * 40503 + cf * 2246822519 + 17) % 997)
+                * (r + 1) * (r + 1)
+              + ((d * 69621 + cf * 3266489917 + 31) % 983)
+                * (c + 1) * (c + 1)
+              + ((d * 48271 + cf * 668265263 + 7) % 991)
+                * (r + 1) * (c + 1)) % 250
+             + delta AS v
+      FROM vfr,
+           (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS r),
+           (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS c)
+    ),
+    vbits AS (
+      SELECT clip_id, g, r, c,
+             CAST(v > lead(v) OVER (PARTITION BY clip_id, g, r ORDER BY c)
+                  AS INT) AS bit
+      FROM vpx QUALIFY c < 8
+    ),
+    vbands AS (
+      SELECT clip_id, g, r // 2 AS band,
+             CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS bval
+      FROM vbits GROUP BY clip_id, g, r // 2
+    ),
+    vcand AS (
+      SELECT DISTINCT a.clip_id AS clip_a, a.g AS fa,
+                      b.clip_id AS clip_b, b.g AS fb
+      FROM vbands a
+      JOIN vbands b ON b.band = a.band AND b.bval = a.bval
+                    AND a.clip_id < b.clip_id
+    ),
+    vfver AS (
+      SELECT cd.clip_a, cd.fa, cd.clip_b, cd.fb
+      FROM vcand cd
+      WHERE (SELECT sum(bit_count(xor(ba.bval, bb.bval)))
+             FROM vbands ba JOIN vbands bb ON bb.band = ba.band
+             WHERE ba.clip_id = cd.clip_a AND ba.g = cd.fa
+               AND bb.clip_id = cd.clip_b AND bb.g = cd.fb) <= 2
+        AND (SELECT sum(abs(pa.v - pb.v))
+             FROM vpx pa JOIN vpx pb
+               ON pb.r = pa.r AND pb.c = pa.c
+             WHERE pa.clip_id = cd.clip_a AND pa.g = cd.fa
+               AND pb.clip_id = cd.clip_b AND pb.g = cd.fb) <= 144
+    ),
+    vcver AS (
+      SELECT clip_a, clip_b
+      FROM vfver GROUP BY clip_a, clip_b
+      HAVING count(DISTINCT (fa, fb)) >= 3
+    )
+    SELECT clip_id,
+           CAST(clip_id NOT IN (SELECT clip_b FROM vcver) AS INT) AS keep
+    FROM vcorpus
+"""
+
+
+def q_pipeline_multimodal_prep_av(spark, sf_dir):
+    """MULTIMODAL CORPUS PREP, ALL MODALITIES (round 16 capstone —
+    X1+X2+X4+X5 over text AND image AND audio): the full corpus-prep
+    decision where a document survives only if EVERY implemented
+    modality's gate passes:
+
+      1. TEXT: the full pipeline_corpus_prep decision (Gopher quality
+         gate + exact dedup + MinHash-LSH near-dup clusters);
+      2. IMAGE: the document's image (synthesize_doc_images: doc_id %
+         7 == 0 displays the previous doc's gradient, shifted, in the
+         opposite container) through the real-decode dHash drop list
+         (_phash_dup_ids);
+      3. AUDIO: the document's clip (synthesize_audio_clips: doc_id %
+         9 == 0 stores the previous doc's samples scaled x2) through
+         the real-decode delta-sign fingerprint drop list
+         (_audio_fp_dup_ids);
+      4. the verdict row: (doc_id, text_keep, image_keep, audio_keep,
+         keep = all three).
+
+    This closes the r15 gap: the audio near-dup decision now gates the
+    SAME manifest as the text and image decisions — every modality the
+    engine decodes is a first-class corpus member.  Each stage
+    inherits its standalone row's audited plan shape; the only new
+    operators are two doc_id-keyed left joins of keep frames.  Exact
+    oracle: the corpus-prep CTE joined against both fingerprint
+    pipeline replays composed in one WITH."""
+    from ..functions import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    prep = q_pipeline_corpus_prep(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("text_keep")
+    )
+    img_dups = _phash_dup_ids(
+        M.decode_gray_pixels(M.synthesize_doc_images(docs))
+    ).select(F.col("img_id").alias("doc_id"), F.col("dup").alias("img_dup"))
+    aud_dups = _audio_fp_dup_ids(
+        M.decode_pcm_samples(M.synthesize_audio_clips(docs))
+    ).select(F.col("clip_id").alias("doc_id"), F.col("dup").alias("aud_dup"))
+    return (
+        prep.join(img_dups, "doc_id", "left")
+        .join(aud_dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("text_keep").cast("int").alias("text_keep"),
+            F.col("img_dup").isNull().cast("int").alias("image_keep"),
+            F.col("aud_dup").isNull().cast("int").alias("audio_keep"),
+            (
+                (F.col("text_keep") == 1)
+                & F.col("img_dup").isNull()
+                & F.col("aud_dup").isNull()
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+# the AV keep-list: text decision (full corpus-prep CTE) AND image
+# decision (_PHASH_PIPE over the aliased doc-image corpus) AND audio
+# decision (_AUDIO_FP_PIPE over the aliased clip corpus) in one WITH —
+# the a-prefixed audio CTE names exist so the two pipelines compose
+ORACLES["pipeline_multimodal_prep_av"] = (
+    "WITH prep AS ("
+    + _corpus_prep_oracle()
+    + """),
+    corpus AS (
+      SELECT doc_id AS img_id,
+             CASE WHEN doc_id % 7 = 0 AND doc_id >= 1
+                  THEN doc_id - 1 ELSE doc_id END AS d,
+             CASE WHEN doc_id % 7 = 0 AND doc_id >= 1
+                  THEN 1 + doc_id % 2 ELSE 0 END AS delta
+      FROM documents
+    ),
+"""
+    + _PHASH_PIPE
+    + ","
+    + _AUDIO_CORPUS
+    + _AUDIO_FP_PIPE
+    + """
+    SELECT p.doc_id,
+           CAST(p.keep AS INT) AS text_keep,
+           CAST(v.img_b IS NULL AS INT) AS image_keep,
+           CAST(av.clip_b IS NULL AS INT) AS audio_keep,
+           CAST(p.keep = 1 AND v.img_b IS NULL AND av.clip_b IS NULL
+                AS INT) AS keep
+    FROM prep p
+    LEFT JOIN (SELECT DISTINCT img_b FROM verified) v
+           ON v.img_b = p.doc_id
+    LEFT JOIN (SELECT DISTINCT clip_b FROM averified) av
+           ON av.clip_b = p.doc_id
+"""
+)
+
+
 QUERIES = {
+    "mm_video_fp_dedup": q_mm_video_fp_dedup,
+    "pipeline_multimodal_prep_av": q_pipeline_multimodal_prep_av,
     "pipeline_bpe_manifest": q_pipeline_bpe_manifest,
     "pipeline_multimodal_prep": q_pipeline_multimodal_prep,
     "mm_phash_dedup": q_mm_phash_dedup,

@@ -4178,6 +4178,467 @@ def q_s60_wire_batch_write_during_handoff(spark, sf_dir):
     return out
 
 
+def q_s61_wire_cdt_ops(spark, sf_dir):
+    """CDT LIST/MAP OPERATIONS (round 16) — the public client's
+    remaining op family: ordered-list and map sub-transactions
+    (cdt-read/cdt-modify op codes) riding the SAME encode_op/decode_op
+    grammar as every single OPERATE and batch-write entry.  The
+    reference writes blob-only bins (AerospikeWriter.cpp:225-229);
+    typed collection bins are frontier beyond it, matching the
+    engine's typed-bin posture.  Five batched passes, ZERO single
+    puts/gets/operates:
+
+      1. MIGRATION: each merged record created through ONE batch
+         entry whose ops list_append every column name into the
+         K-ordered 'names' list (appended in REVERSE-sorted order —
+         the ordered list must sort, not echo) and map_put every
+         column name -> value into the 'cols' map, closing with a
+         list_size whose result must equal n_cols — all 'ok' gen 1;
+      2. ENRICH: per-record [map_incr stats.n += n_cols, map_get
+         stats.n] — read-your-write inside the map asserted, gen 2;
+      3. MIXED per-record result codes in one batch: key % 4 == 0
+         sends a LIST op against the MAP bin -> RC_BIN_TYPE applying
+         NOTHING (the CDT type refusal), key % 6 == 0 sends a stale
+         CAS map_incr (expect_gen=1, records at gen 2) ->
+         GEN_MISMATCH applying nothing — both asserted per record,
+         and the read-back proves stats.n never moved;
+      4. READ A: [list_size names, map_get cols[first]] batched;
+      5. READ B: [list_get_rank names rank 0, map_get stats.n] —
+         the rank-0 read must answer the lexicographically SMALLEST
+         column name (asserted against the data in-task and emitted).
+
+    Exact oracle: live records -> (n_names = n_cols, first_name =
+    min col, first_val = its %.2f value, stats_n = n_cols, gen 2,
+    ttl 6000)."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+
+    n_nodes = 3
+    ns, set_name = "tmx", "cdt_ops"
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    sink = records.select(
+        "key", *_batch_sink_frame(records)
+    ).repartition(n_tasks)
+
+    def run_batch(batches, build_items, check):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        items, expect = build_items(pdf)
+        got = router.batch_operate(items)
+        out = check(pdf, items, expect, got)
+        if out is not None:
+            yield out
+
+    # ---- pass 1: CDT migration (list_append + map_put per column) ----
+    def migrate(batches):
+        def build(pdf):
+            items = []
+            for k, csv, ttl in zip(pdf["key"], pdf["bins_csv"], pdf["ttl"]):
+                ops = []
+                # reverse-sorted appends: the K-ordered list must SORT
+                for kv in reversed(csv.split(",")):
+                    name, val = kv.split("=", 1)
+                    ops.append(("list_append", "names", name.encode()))
+                    ops.append(("map_put", "cols", name.encode(), val.encode()))
+                ops.append(("list_size", "names"))
+                items.append(
+                    (key_digest(set_name, str(int(k)).encode()), ops, int(ttl), None)
+                )
+            return items, {
+                key_digest(set_name, str(int(k)).encode()): int(nc)
+                for k, nc in zip(pdf["key"], pdf["n_cols"])
+            }
+
+        def check(pdf, items, expect, got):
+            for d, _ops, _ttl, _eg in items:
+                st, gen, _t, bins = got[d]
+                size = int.from_bytes(bins.get("names", b""), "big")
+                if st != "ok" or gen != 1 or size != expect[d]:
+                    raise RuntimeError(
+                        f"cdt migration: st={st} gen={gen} size={size} != "
+                        f"{expect[d]}"
+                    )
+            return pd.DataFrame({"n": [len(items)]})
+
+        yield from run_batch(batches, build, check)
+
+    n_migrated = sink.mapInPandas(migrate, "n long").agg(F.sum("n")).first()[0]
+    if n_migrated != n_records:
+        raise RuntimeError(f"cdt migration wrote {n_migrated} != {n_records}")
+
+    # ---- pass 2: map_incr enrichment with read-your-write ----
+    def enrich(batches):
+        def build(pdf):
+            items = []
+            for k, nc in zip(pdf["key"], pdf["n_cols"]):
+                items.append(
+                    (
+                        key_digest(set_name, str(int(k)).encode()),
+                        [
+                            ("map_incr", "stats", b"n", int(nc)),
+                            ("map_get", "stats", b"n"),
+                        ],
+                        6000,
+                        None,
+                    )
+                )
+            return items, {
+                key_digest(set_name, str(int(k)).encode()): int(nc)
+                for k, nc in zip(pdf["key"], pdf["n_cols"])
+            }
+
+        def check(pdf, items, expect, got):
+            for d, _ops, _ttl, _eg in items:
+                st, gen, _t, bins = got[d]
+                n = int.from_bytes(bins.get("stats", b""), "big", signed=True)
+                if st != "ok" or gen != 2 or n != expect[d]:
+                    raise RuntimeError(
+                        f"cdt enrich: st={st} gen={gen} stats.n={n} != "
+                        f"{expect[d]} — map read-your-write broke"
+                    )
+            return pd.DataFrame({"n": [len(items)]})
+
+        yield from run_batch(batches, build, check)
+
+    sink.mapInPandas(enrich, "n long").agg(F.sum("n")).first()
+
+    # ---- pass 3: per-record CDT type + CAS refusals in one batch ----
+    mixed = (
+        records.select("key")
+        .where((F.col("key") % 4 == 0) | (F.col("key") % 6 == 0))
+        .repartition(max(2, n_tasks // 2))
+    )
+
+    def mixed_batch(batches):
+        def build(pdf):
+            items, expect = [], {}
+            for k in pdf["key"]:
+                k = int(k)
+                d = key_digest(set_name, str(k).encode())
+                if k % 4 == 0:
+                    # a LIST op against the MAP bin: the CDT type
+                    # refusal, per record, applying nothing
+                    items.append((d, [("list_append", "cols", b"boom")], 6000, None))
+                    expect[d] = "bin_type"
+                elif k % 6 == 0:
+                    # stale CAS: records moved to gen 2 in pass 2
+                    items.append(
+                        (d, [("map_incr", "stats", b"n", 1)], 6000, 1)
+                    )
+                    expect[d] = "gen_mismatch"
+            return items, expect
+
+        def check(pdf, items, expect, got):
+            for d, _ops, _ttl, _eg in items:
+                if got[d][0] != expect[d]:
+                    raise RuntimeError(
+                        f"cdt mixed: {got[d][0]} != {expect[d]}"
+                    )
+            return pd.DataFrame({"n": [len(items)]})
+
+        yield from run_batch(batches, build, check)
+
+    mixed.mapInPandas(mixed_batch, "n long").agg(F.sum("n")).first()
+
+    # ---- read-backs: two pure-CDT-read passes (one read per bin per
+    # entry — results are keyed by bin, like the public record frame) --
+    probes = sink.select("key", "n_cols", "bins_csv").repartition(n_tasks)
+
+    def read_a(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        firsts = [csv.split(",")[0].split("=", 1)[0] for csv in pdf["bins_csv"]]
+        items = [
+            (
+                key_digest(set_name, str(int(k)).encode()),
+                [("list_size", "names"), ("map_get", "cols", fn.encode())],
+                0,
+                None,
+            )
+            for k, fn in zip(pdf["key"], firsts)
+        ]
+        got = router.batch_operate(items)
+        sizes, vals = [], []
+        for d, _ops, _ttl, _eg in items:
+            st, _gen, _t, bins = got[d]
+            if st != "ok":
+                raise RuntimeError(f"cdt read A: {st}")
+            sizes.append(int.from_bytes(bins["names"], "big"))
+            vals.append(bins["cols"].decode())
+        yield pd.DataFrame(
+            {"key": pdf["key"], "n_names": sizes, "first_val": vals}
+        )
+
+    part_a = probes.mapInPandas(
+        read_a, "key long, n_names long, first_val string"
+    )
+
+    def read_b(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        firsts = [csv.split(",")[0].split("=", 1)[0] for csv in pdf["bins_csv"]]
+        items = [
+            (
+                key_digest(set_name, str(int(k)).encode()),
+                [("list_get_rank", "names", 0), ("map_get", "stats", b"n")],
+                0,
+                None,
+            )
+            for k in pdf["key"]
+        ]
+        got = router.batch_operate(items)
+        names, stats, gens, ttls = [], [], [], []
+        for (d, _ops, _ttl, _eg), fn in zip(items, firsts):
+            st, gen, ttl, bins = got[d]
+            if st != "ok":
+                raise RuntimeError(f"cdt read B: {st}")
+            rank0 = bins["names"].decode()
+            if rank0 != fn:
+                raise RuntimeError(
+                    f"cdt rank 0 answered {rank0!r} != smallest column "
+                    f"{fn!r} — the list is not K-ordered"
+                )
+            names.append(rank0)
+            stats.append(int.from_bytes(bins["stats"], "big", signed=True))
+            gens.append(int(gen))
+            ttls.append(int(ttl))
+        yield pd.DataFrame(
+            {
+                "key": pdf["key"],
+                "first_name": names,
+                "stats_n": stats,
+                "gen": gens,
+                "ttl": ttls,
+            }
+        )
+
+    part_b = probes.mapInPandas(
+        read_b, "key long, first_name string, stats_n long, gen int, ttl long"
+    )
+    out = part_a.join(part_b, "key").select(
+        "key", "n_names", "first_name", "first_val", "stats_n", "gen", "ttl"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    n_puts = sum(srv._puts for srv in servers)
+    n_gets = sum(srv._gets for srv in servers)
+    n_ops = sum(srv._operates for srv in servers)
+    n_bw = sum(srv._batch_writes for srv in servers)
+    if (n_puts, n_gets, n_ops) != (0, 0, 0):
+        raise RuntimeError(
+            f"cdt row degraded: puts={n_puts} gets={n_gets} "
+            f"operates={n_ops} — every pass must batch"
+        )
+    if not (0 < n_bw <= 5 * n_tasks * n_nodes):
+        raise RuntimeError(
+            f"cdt ops issued {n_bw} batch requests for 5 passes x "
+            f"{n_tasks} tasks x {n_nodes} nodes"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
+def q_s62_wire_cdt_during_handoff(spark, sf_dir):
+    """CDT MAP_INCR SURVIVING A LIVE HANDOFF (round 16) — the
+    handoff-safety variant the CDT family needs, because map_incr is a
+    read-modify-write INSIDE a collection: a double-apply corrupts the
+    map silently.  Same shape as the s60 batch-write handoff: plain
+    creates seed the records, then per-record [map_incr stats.n +=
+    n_cols, map_get stats.n] batches ride routers seeded with the
+    PRE-cutover map; node 0's hook fires at its FIRST batch-write —
+    inside the store lock, before any entry — and migrates its whole
+    mastered slice to node 1, so that batch answers per-record
+    UNAVAILABLE (the refusal-BEFORE-apply contract), the router
+    re-tends, and the re-issued map_incr lands exactly once.  Proofs:
+    the re-issued transaction's own map_get answers exactly n_cols,
+    node 0 ends empty having applied zero batch entries, and every
+    record reads back at generation 2 with stats.n == n_cols — a
+    double-applied map_incr would read 2x and generation 3.  Exact
+    oracle: live records -> (key, stats_n = n_cols, gen 2, ttl 6000)."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireServer,
+        key_digest,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "cdt_handoff"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    n_tasks = _sink_parallelism(n_records)
+    sink_records = records.coalesce(n_tasks)
+    slice0 = {p for p in range(N_PARTITIONS) if p % n_nodes == 0}
+    servers: list = []
+    did_handoff = {"n": -1}
+
+    def on_node0_batch_write(n_bw: int) -> None:
+        if n_bw == 1:
+            did_handoff["n"] = servers[0].handoff(servers[1], slice0)
+
+    servers.append(
+        WireServer(
+            owned_partitions=slice0,
+            info_namespace=ns,
+            on_batch_write=on_node0_batch_write,
+        )
+    )
+    servers.extend(
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in (1, 2)
+    )
+    nodes = [(srv.host, srv.port) for srv in servers]
+
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("cdt handoff sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    seed = ClusterRouter(nodes, ns, set_name)
+    pmap0 = list(seed.pmap)
+    seed.close()
+    enrich_in = records.select(
+        "key", F.size(F.map_keys(F.col("columns"))).alias("n_cols")
+    ).repartition(n_tasks)
+
+    def enrich(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name, initial_pmap=pmap0)
+        items, expect = [], {}
+        for k, nc in zip(pdf["key"], pdf["n_cols"]):
+            d = key_digest(set_name, str(int(k)).encode())
+            items.append(
+                (
+                    d,
+                    [
+                        ("map_incr", "stats", b"n", int(nc)),
+                        ("map_get", "stats", b"n"),
+                    ],
+                    6000,
+                    None,
+                )
+            )
+            expect[d] = int(nc)
+        got = router.batch_operate(items)
+        for d, _ops, _ttl, _eg in items:
+            st, gen, _t, bins = got[d]
+            n = int.from_bytes(bins.get("stats", b""), "big", signed=True)
+            if st != "ok" or gen != 2 or n != expect[d]:
+                raise RuntimeError(
+                    f"cdt handoff enrich: st={st} gen={gen} stats.n={n} != "
+                    f"{expect[d]} — a refused map_incr was double-applied"
+                )
+        yield pd.DataFrame({"n": [len(items)]})
+
+    n_enriched = (
+        enrich_in.mapInPandas(enrich, "n long").agg(F.sum("n")).first()[0]
+    )
+    if n_enriched != n_records:
+        raise RuntimeError(f"cdt handoff enriched {n_enriched} != {n_records}")
+    if did_handoff["n"] <= 0:
+        raise RuntimeError("cdt handoff never migrated records")
+    if len(servers[0].records()) != 0:
+        raise RuntimeError("cdt handoff: node 0 still holds records")
+
+    probes = records.select("key").repartition(n_tasks)
+
+    def read_back(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        router = ClusterRouter(nodes, ns, set_name)
+        items = [
+            (
+                key_digest(set_name, str(int(k)).encode()),
+                [("map_get", "stats", b"n")],
+                0,
+                None,
+            )
+            for k in pdf["key"]
+        ]
+        got = router.batch_operate(items)
+        stats, gens, ttls = [], [], []
+        for d, _ops, _ttl, _eg in items:
+            st, gen, ttl, bins = got[d]
+            if st != "ok":
+                raise RuntimeError(f"cdt handoff read-back: {st}")
+            stats.append(int.from_bytes(bins["stats"], "big", signed=True))
+            gens.append(int(gen))
+            ttls.append(int(ttl))
+        yield pd.DataFrame(
+            {"key": pdf["key"], "stats_n": stats, "gen": gens, "ttl": ttls}
+        )
+
+    out = probes.mapInPandas(
+        read_back, "key long, stats_n long, gen int, ttl long"
+    ).cache()
+    out.count()  # materialize while the cluster lives
+    doubled = out.where(F.col("gen") != 2).count()
+    if doubled:
+        raise RuntimeError(
+            f"cdt handoff: {doubled} records not at generation 2 — "
+            "a refused map_incr was double-applied"
+        )
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 def q_s13_dry_run(spark, sf_dir):
     """S13: dry-run golden output — first 20 merged records as
     deterministic text (key, sorted name=value list, timeout suffix for
@@ -4340,6 +4801,8 @@ QUERIES = {
     "s58_wire_operate_during_handoff": q_s58_wire_operate_during_handoff,
     "s59_wire_batch_write": q_s59_wire_batch_write,
     "s60_wire_batch_write_during_handoff": q_s60_wire_batch_write_during_handoff,
+    "s61_wire_cdt_ops": q_s61_wire_cdt_ops,
+    "s62_wire_cdt_during_handoff": q_s62_wire_cdt_during_handoff,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -4801,6 +5264,38 @@ ORACLES = {
         )
         SELECT key,
                CAST(n_cols AS BIGINT) AS hits,
+               CAST(2 AS INT) AS gen,
+               CAST(6000 AS BIGINT) AS ttl
+        FROM live_records
+    """,
+    # s61: the CDT op family — the K-ordered list answers min(col) at
+    # rank 0, the map holds col -> %.2f value and stats.n == n_cols
+    # after the map_incr enrichment; the type/CAS refusals applied
+    # nothing (stats.n and gen unmoved); reads ride batches
+    "s61_wire_cdt_ops": _CTE + """
+        , live_records AS (
+          SELECT key, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               CAST(lr.n_cols AS BIGINT) AS n_names,
+               min(lf.col_name) AS first_name,
+               min_by(printf('%.2f', lf.value), lf.col_name) AS first_val,
+               CAST(lr.n_cols AS BIGINT) AS stats_n,
+               CAST(2 AS INT) AS gen,
+               CAST(6000 AS BIGINT) AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.n_cols
+    """,
+    # s62: the cutover must be invisible AND apply-exactly-once for a
+    # read-modify-write INSIDE a collection — same post-state as s60
+    "s62_wire_cdt_during_handoff": _CTE + """
+        , live_records AS (
+          SELECT key, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT key,
+               CAST(n_cols AS BIGINT) AS stats_n,
                CAST(2 AS INT) AS gen,
                CAST(6000 AS BIGINT) AS ttl
         FROM live_records

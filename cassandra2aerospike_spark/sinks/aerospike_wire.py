@@ -142,8 +142,37 @@ OP_PREPEND = 10
 # WITHOUT carrying or rewriting bins — the cheap "keep this record
 # alive" sweep ttl-based retention runs
 OP_TOUCH = 11
+# the CDT (collection data type) op codes — AS_MSG's cdt-read /
+# cdt-modify operations, the list/map op family the public client
+# rides for ordered-list and map sub-transactions (round 16).  The
+# real client packs each sub-op's code + parameters as msgpack inside
+# the op value; this module carries the same (sub-op byte, parameters)
+# information in its uniform length-prefixed framing instead — same
+# shape, same per-op result discipline, no msgpack dependency.
+OP_CDT_READ = 3
+OP_CDT_MODIFY = 4
 PARTICLE_INTEGER = 1
 PARTICLE_BLOB = 4
+# the CDT particle types (as_particle: map 19, list 20)
+PARTICLE_MAP = 19
+PARTICLE_LIST = 20
+
+# CDT sub-op codes (module-local; the public grammar's list/map op
+# families, one byte leading the op value)
+CDT_LIST_APPEND = 1
+CDT_LIST_SIZE = 2
+CDT_LIST_GET_RANK = 3
+CDT_MAP_PUT = 4
+CDT_MAP_INCR = 5
+CDT_MAP_GET = 6
+CDT_MAP_SIZE = 7
+
+# op kinds whose application reads but never mutates — the has_write /
+# info-flag classification shared by build_operate, the server's
+# operate and batch-write paths, and the replay-safety classifier
+READ_OP_KINDS = frozenset(
+    {"read", "list_size", "list_get_rank", "map_get", "map_size"}
+)
 
 INFO1_READ = 0x01
 INFO1_GET_ALL = 0x02
@@ -506,11 +535,76 @@ def parse_put_gen(frame: bytes) -> int | None:
     return struct.unpack_from(">I", frame, 6)[0]
 
 
+# ------------------------------------------------ CDT particle codec
+# Canonical stored representation of the two collection particles
+# (round 16): a 4-byte magic + length-prefixed entries, elements (and
+# map keys) kept SORTED — the K-ordered list/map the public server
+# stores, which makes get-by-rank an index lookup and the packed bytes
+# deterministic (replication equality, scan/backup round trips, and
+# the relational oracle all compare bytes).  unpack_* answer None on a
+# non-collection particle so callers map it to RC_BIN_TYPE, matching
+# how OP_INCR treats a non-8-byte bin.
+
+_LIST_MAGIC = b"LST1"
+_MAP_MAGIC = b"MAP1"
+
+
+def pack_list(elems: list[bytes]) -> bytes:
+    out = bytearray(_LIST_MAGIC)
+    for e in sorted(elems):
+        out += struct.pack(">I", len(e)) + e
+    return bytes(out)
+
+
+def unpack_list(blob: bytes) -> list[bytes] | None:
+    if blob[:4] != _LIST_MAGIC:
+        return None
+    out: list[bytes] = []
+    off = 4
+    while off < len(blob):
+        if off + 4 > len(blob):
+            return None
+        (sz,) = struct.unpack_from(">I", blob, off)
+        if off + 4 + sz > len(blob):
+            return None
+        out.append(blob[off + 4 : off + 4 + sz])
+        off += 4 + sz
+    return out
+
+
+def pack_map(m: dict[bytes, bytes]) -> bytes:
+    out = bytearray(_MAP_MAGIC)
+    for k in sorted(m):
+        v = m[k]
+        out += struct.pack(">II", len(k), len(v)) + k + v
+    return bytes(out)
+
+
+def unpack_map(blob: bytes) -> dict[bytes, bytes] | None:
+    if blob[:4] != _MAP_MAGIC:
+        return None
+    out: dict[bytes, bytes] = {}
+    off = 4
+    while off < len(blob):
+        if off + 8 > len(blob):
+            return None
+        kl, vl = struct.unpack_from(">II", blob, off)
+        if off + 8 + kl + vl > len(blob):
+            return None
+        out[blob[off + 8 : off + 8 + kl]] = blob[off + 8 + kl : off + 8 + kl + vl]
+        off += 8 + kl + vl
+    return out
+
+
 def encode_op(o: tuple) -> bytes:
     """One op of the operate grammar, length-prefixed — the SAME
     encoding whether the op rides a single OPERATE transaction or a
     batch-write entry's sub-transaction (the public protocol reuses
-    the as_msg op framing in both places)."""
+    the as_msg op framing in both places).  CDT kinds (round 16):
+    ('list_append', bin, elem) | ('list_size', bin) |
+    ('list_get_rank', bin, rank) | ('map_put', bin, key, value) |
+    ('map_incr', bin, key, delta) | ('map_get', bin, key) |
+    ('map_size', bin)."""
     kind = o[0]
     if kind == "touch":
         body = struct.pack("BBBB", OP_TOUCH, 0, 0, 0)
@@ -539,6 +633,45 @@ def encode_op(o: tuple) -> bytes:
             body = (
                 struct.pack("BBBB", OP_PREPEND, PARTICLE_BLOB, 0, len(nb))
                 + nb + o[2]
+            )
+        elif kind == "list_append":
+            body = (
+                struct.pack("BBBB", OP_CDT_MODIFY, PARTICLE_LIST, 0, len(nb))
+                + nb + bytes([CDT_LIST_APPEND])
+                + struct.pack(">I", len(o[2])) + o[2]
+            )
+        elif kind == "list_size":
+            body = (
+                struct.pack("BBBB", OP_CDT_READ, PARTICLE_LIST, 0, len(nb))
+                + nb + bytes([CDT_LIST_SIZE])
+            )
+        elif kind == "list_get_rank":
+            body = (
+                struct.pack("BBBB", OP_CDT_READ, PARTICLE_LIST, 0, len(nb))
+                + nb + bytes([CDT_LIST_GET_RANK]) + struct.pack(">q", o[2])
+            )
+        elif kind == "map_put":
+            body = (
+                struct.pack("BBBB", OP_CDT_MODIFY, PARTICLE_MAP, 0, len(nb))
+                + nb + bytes([CDT_MAP_PUT])
+                + struct.pack(">II", len(o[2]), len(o[3])) + o[2] + o[3]
+            )
+        elif kind == "map_incr":
+            body = (
+                struct.pack("BBBB", OP_CDT_MODIFY, PARTICLE_MAP, 0, len(nb))
+                + nb + bytes([CDT_MAP_INCR])
+                + struct.pack(">I", len(o[2])) + o[2] + struct.pack(">q", o[3])
+            )
+        elif kind == "map_get":
+            body = (
+                struct.pack("BBBB", OP_CDT_READ, PARTICLE_MAP, 0, len(nb))
+                + nb + bytes([CDT_MAP_GET])
+                + struct.pack(">I", len(o[2])) + o[2]
+            )
+        elif kind == "map_size":
+            body = (
+                struct.pack("BBBB", OP_CDT_READ, PARTICLE_MAP, 0, len(nb))
+                + nb + bytes([CDT_MAP_SIZE])
             )
         else:
             raise ValueError(f"unknown operate op kind: {kind!r}")
@@ -574,6 +707,56 @@ def decode_op(buf: bytes, off: int) -> tuple[tuple, int]:
         return ("prepend", name, value), off
     if op == OP_TOUCH:
         return ("touch",), off
+    if op in (OP_CDT_READ, OP_CDT_MODIFY):
+        if not value:
+            raise ValueError("aerospike wire: CDT op carries no sub-op")
+        sub, params = value[0], value[1:]
+
+        def framed(buf_: bytes, pos: int) -> tuple[bytes, int]:
+            if pos + 4 > len(buf_):
+                raise ValueError("aerospike wire: truncated CDT param")
+            (n,) = struct.unpack_from(">I", buf_, pos)
+            if pos + 4 + n > len(buf_):
+                raise ValueError("aerospike wire: truncated CDT param")
+            return buf_[pos + 4 : pos + 4 + n], pos + 4 + n
+
+        if sub == CDT_LIST_APPEND and op == OP_CDT_MODIFY:
+            elem, end = framed(params, 0)
+            if end != len(params):
+                raise ValueError("aerospike wire: CDT list-append overrun")
+            return ("list_append", name, elem), off
+        if sub == CDT_LIST_SIZE and op == OP_CDT_READ:
+            if params:
+                raise ValueError("aerospike wire: CDT list-size overrun")
+            return ("list_size", name), off
+        if sub == CDT_LIST_GET_RANK and op == OP_CDT_READ:
+            if len(params) != 8:
+                raise ValueError("aerospike wire: CDT rank must be 8 bytes")
+            return ("list_get_rank", name, struct.unpack(">q", params)[0]), off
+        if sub == CDT_MAP_PUT and op == OP_CDT_MODIFY:
+            if len(params) < 8:
+                raise ValueError("aerospike wire: truncated CDT map-put")
+            kl, vl = struct.unpack_from(">II", params, 0)
+            if 8 + kl + vl != len(params):
+                raise ValueError("aerospike wire: CDT map-put overrun")
+            return ("map_put", name, params[8 : 8 + kl],
+                    params[8 + kl : 8 + kl + vl]), off
+        if sub == CDT_MAP_INCR and op == OP_CDT_MODIFY:
+            k, end = framed(params, 0)
+            if end + 8 != len(params):
+                raise ValueError("aerospike wire: CDT map-incr overrun")
+            return ("map_incr", name, k,
+                    struct.unpack_from(">q", params, end)[0]), off
+        if sub == CDT_MAP_GET and op == OP_CDT_READ:
+            k, end = framed(params, 0)
+            if end != len(params):
+                raise ValueError("aerospike wire: CDT map-get overrun")
+            return ("map_get", name, k), off
+        if sub == CDT_MAP_SIZE and op == OP_CDT_READ:
+            if params:
+                raise ValueError("aerospike wire: CDT map-size overrun")
+            return ("map_size", name), off
+        raise ValueError(f"aerospike wire: unknown CDT sub-op {sub}")
     raise ValueError(f"aerospike wire: unknown operate op {op}")
 
 
@@ -596,8 +779,8 @@ def build_operate(
     WRITE when any mutating op does — the real client sets exactly
     these flags for mixed transactions.  Composes with the CAS policy
     (expect_gen) like any write."""
-    has_read = any(o[0] == "read" for o in ops)
-    has_write = any(o[0] != "read" for o in ops)
+    has_read = any(o[0] in READ_OP_KINDS for o in ops)
+    has_write = any(o[0] not in READ_OP_KINDS for o in ops)
     info1 = INFO1_READ if has_read else 0
     info2 = INFO2_WRITE if has_write else 0
     gen = 0
@@ -708,6 +891,78 @@ def apply_op_list(
         elif kind == "touch":
             if not exists:
                 return RC_KEY_NOT_FOUND, {}, {}
+        # ---- CDT list/map sub-transactions (round 16): each op
+        # unpacks the canonical K-ordered particle, mutates or reads,
+        # and answers its result through read_bins (new size for
+        # mutations, the element/value for reads — the public client's
+        # per-op result, keyed by bin like every other read).  A CDT op
+        # against a non-collection particle answers RC_BIN_TYPE
+        # applying NOTHING, exactly like OP_INCR on a non-integer.
+        elif kind == "list_append":
+            stored = bins.get(o[1])
+            lst = [] if stored is None else unpack_list(stored)
+            if lst is None:
+                return RC_BIN_TYPE, {}, {}
+            lst.append(o[2])
+            bins[o[1]] = pack_list(lst)
+            read_bins[o[1]] = len(lst).to_bytes(8, "big")
+        elif kind == "list_size":
+            stored = bins.get(o[1])
+            if stored is not None:
+                lst = unpack_list(stored)
+                if lst is None:
+                    return RC_BIN_TYPE, {}, {}
+                read_bins[o[1]] = len(lst).to_bytes(8, "big")
+        elif kind == "list_get_rank":
+            stored = bins.get(o[1])
+            if stored is not None:
+                lst = unpack_list(stored)
+                if lst is None:
+                    return RC_BIN_TYPE, {}, {}
+                # canonical storage is sorted: rank IS the index
+                # (negative ranks count from the largest element)
+                if -len(lst) <= o[2] < len(lst):
+                    read_bins[o[1]] = lst[o[2]]
+        elif kind == "map_put":
+            stored = bins.get(o[1])
+            m = {} if stored is None else unpack_map(stored)
+            if m is None:
+                return RC_BIN_TYPE, {}, {}
+            m[o[2]] = o[3]
+            bins[o[1]] = pack_map(m)
+            read_bins[o[1]] = len(m).to_bytes(8, "big")
+        elif kind == "map_incr":
+            stored = bins.get(o[1])
+            m = {} if stored is None else unpack_map(stored)
+            if m is None:
+                return RC_BIN_TYPE, {}, {}
+            cur_v = m.get(o[2])
+            if cur_v is not None and len(cur_v) != 8:
+                return RC_BIN_TYPE, {}, {}
+            base = (
+                int.from_bytes(cur_v, "big", signed=True)
+                if cur_v is not None
+                else 0
+            )
+            total = (base + o[3] + (1 << 63)) % (1 << 64) - (1 << 63)
+            m[o[2]] = total.to_bytes(8, "big", signed=True)
+            bins[o[1]] = pack_map(m)
+            read_bins[o[1]] = m[o[2]]
+        elif kind == "map_get":
+            stored = bins.get(o[1])
+            if stored is not None:
+                m = unpack_map(stored)
+                if m is None:
+                    return RC_BIN_TYPE, {}, {}
+                if o[2] in m:
+                    read_bins[o[1]] = m[o[2]]
+        elif kind == "map_size":
+            stored = bins.get(o[1])
+            if stored is not None:
+                m = unpack_map(stored)
+                if m is None:
+                    return RC_BIN_TYPE, {}, {}
+                read_bins[o[1]] = len(m).to_bytes(8, "big")
     return RC_OK, bins, read_bins
 
 
@@ -717,21 +972,23 @@ def batch_entry_replay_safe(item: tuple) -> bool:
     have applied) cannot change the final stored state: DELETE and
     REPLACE entries (absolute outcomes), CREATE-ONLY entries (a replay
     answers 'exists' at worst), and plain updates whose ops are all
-    read/write/touch (write SETS a value; a second set is the same
-    value).  INCR/APPEND/PREPEND on a plain update are
-    read-modify-write — a replay double-applies them, so the router
-    answers 'in_doubt' instead of retrying (ADVICE r15).  Note a
-    replayed entry's REPORTED status can still differ from the first
-    application's (a replayed CAS sees the bumped gen and answers
-    gen_mismatch; a replayed create-only answers exists): state is
-    exactly-once, reporting is at-least-once."""
+    read/write/touch/map_put (write and map_put SET a value; a second
+    set is the same value).  INCR/APPEND/PREPEND — and the CDT
+    read-modify-writes list_append and map_incr — on a plain update
+    double-apply on replay, so the router answers 'in_doubt' instead
+    of retrying (ADVICE r15).  Note a replayed entry's REPORTED status
+    can still differ from the first application's (a replayed CAS sees
+    the bumped gen and answers gen_mismatch; a replayed create-only
+    answers exists): state is exactly-once, reporting is
+    at-least-once."""
     _digest, ops, _ttl, _expect_gen, *rest = item
     create_only = bool(rest[0]) if rest else False
     delete = bool(rest[1]) if len(rest) > 1 else False
     replace = bool(rest[2]) if len(rest) > 2 else False
     if delete or replace or create_only:
         return True
-    return all(o[0] in ("read", "write", "touch") for o in ops)
+    safe = READ_OP_KINDS | {"write", "touch", "map_put"}
+    return all(o[0] in safe for o in ops)
 
 
 def frame_is_operate(frame: bytes) -> bool:
@@ -776,7 +1033,7 @@ def frame_is_operate(frame: bytes) -> bool:
         if sz < 4 or off + 4 + sz > len(frame):
             return False
         op = frame[off + 4]
-        if op in (OP_INCR, OP_APPEND, OP_PREPEND):
+        if op in (OP_INCR, OP_APPEND, OP_PREPEND, OP_CDT_READ, OP_CDT_MODIFY):
             return True
         saw_touch = saw_touch or op == OP_TOUCH
         saw_write = saw_write or op == OP_WRITE
@@ -3252,7 +3509,7 @@ class WireServer:
                             (index, digest, RC_KEY_NOT_FOUND, 0, {}, 0)
                         )
                     continue
-                has_write = any(o[0] != "read" for o in ops)
+                has_write = any(o[0] not in READ_OP_KINDS for o in ops)
                 if cur is None and not has_write:
                     results.append((index, digest, RC_KEY_NOT_FOUND, 0, {}, 0))
                     continue
@@ -3314,7 +3571,7 @@ class WireServer:
         except ValueError:
             return build_response(RC_SERVER_ERROR)
         pid = partition_id(digest)
-        has_write = any(o[0] != "read" for o in ops)
+        has_write = any(o[0] not in READ_OP_KINDS for o in ops)
         with self._lock:
             if self._owned is not None and pid not in self._owned:
                 return build_response(RC_PARTITION_UNAVAILABLE)

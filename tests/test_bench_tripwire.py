@@ -243,3 +243,57 @@ def test_committed_detail_participates_even_when_working_tree_clobbered(tmp_path
 def test_git_detail_versions_absent_repo_is_empty(tmp_path):
     bench = _load_bench()
     assert bench._git_detail_versions(str(tmp_path)) == []
+
+
+def test_variance_class_thresholds():
+    """VERDICT r15 task 4: the two rows with three rounds of identical
+    environment adjudications carry a measured per-row threshold above
+    the global 1.5x line; everything else stays at 1.5x."""
+    bench = _load_bench()
+    assert bench.flag_threshold("dedup_lsh_recall_report") == 2.3
+    assert bench.flag_threshold("pipeline_training_manifest") == 1.9
+    assert bench.flag_threshold("merge_full") == 1.5
+    # the class only ever RAISES the bar
+    assert all(v > 1.5 for v in bench.VARIANCE_FACTOR.values())
+
+
+def test_classify_regressions_variance_waiver():
+    """A 1.5x crossing inside a row's documented spread is WAIVED (but
+    returned, so it stays on the record); a crossing beyond the row's
+    threshold — or any crossing on a normal row — is a regression."""
+    bench = _load_bench()
+    warm = {
+        "dedup_lsh_recall_report": 8.0,   # 3.7 baseline: 2.16x — waived
+        "pipeline_training_manifest": 5.2,  # 2.47 baseline: 2.1x > 1.9 — flagged
+        "merge_full": 3.2,                # 2.0 baseline: 1.6x — flagged
+        "a1_lww_latest": 1.2,             # 1.0 baseline: 1.2x — clean
+    }
+    prev_norm = {
+        "dedup_lsh_recall_report": 3.7,
+        "pipeline_training_manifest": 2.47,
+        "merge_full": 2.0,
+        "a1_lww_latest": 1.0,
+    }
+    regs, waived = bench.classify_regressions(
+        warm, dict(warm), prev_norm, dict(prev_norm), "min(test)"
+    )
+    assert {r["query"] for r in regs} == {
+        "pipeline_training_manifest", "merge_full",
+    }
+    assert [w["query"] for w in waived] == ["dedup_lsh_recall_report"]
+    assert waived[0]["threshold"] == 2.3
+    # raw exoneration still applies at the row's threshold: the same
+    # normalized crossing with a raw series that did NOT move is noise
+    regs2, waived2 = bench.classify_regressions(
+        {"merge_full": 2.0}, {"merge_full": 3.2},
+        {"merge_full": 2.0}, {"merge_full": 2.0}, "min(test)",
+    )
+    assert regs2 == [] and waived2 == []
+
+
+def test_classify_regressions_small_baselines_exempt():
+    bench = _load_bench()
+    regs, waived = bench.classify_regressions(
+        {"q": 0.9}, {"q": 0.9}, {"q": 0.4}, {"q": 0.4}, "min(test)"
+    )
+    assert regs == [] and waived == []

@@ -1450,3 +1450,94 @@ def test_sim_index_persist_bq_serves_from_storage(spark):
     for r in sorted(out, key=lambda r: (r.q_id, r.rank)):
         by_q.setdefault(r.q_id, []).append(r.d2)
     assert all(ds == sorted(ds) for ds in by_q.values())
+
+
+def test_video_clip_fixture_roundtrip_and_dedup(spark):
+    """Round 16 video near-dup: the synthesized animated GIFs decode
+    back to the closed-form gradient exactly (lossless container), the
+    planted offset copies match the source on exactly 3 of 4 frames,
+    and the keep-list drops exactly the planted clip ids."""
+    import numpy as np
+
+    from cassandra2aerospike_spark.functions import multimodal as M
+    from cassandra2aerospike_spark.functions.gif_py import decode_gif_frames
+    from cassandra2aerospike_spark.queries.dedup_q import _video_fp_dup_ids
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    media = M.synthesize_video_clips(docs).collect()
+    by_id = {r.clip_id: bytes(r.payload) for r in media}
+    # 40 docs + copies for 0, 11, 22, 33
+    assert set(by_id) == set(range(40)) | {1_000_000, 1_000_011,
+                                           1_000_022, 1_000_033}
+
+    def gray(d, cf, delta):
+        rr = np.arange(8, dtype=np.int64)[:, None] + 1
+        cc = np.arange(9, dtype=np.int64)[None, :] + 1
+        m1 = (d * 2654435761 + cf * 1315423911) % 1000003
+        m2 = (d * 40503 + cf * 2246822519 + 17) % 997
+        m3 = (d * 69621 + cf * 3266489917 + 31) % 983
+        m4 = (d * 48271 + cf * 668265263 + 7) % 991
+        return (m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250 + delta
+
+    # the real GIF decode returns the closed form exactly, per frame
+    frames7 = decode_gif_frames(by_id[7])
+    assert len(frames7) == 4
+    for g, img in enumerate(frames7):
+        assert np.array_equal(img[:, :, 0].astype(np.int64), gray(7, g, 0))
+    # the planted copy of 11: content frames 1..4, every pixel +2
+    frames_cp = decode_gif_frames(by_id[1_000_011])
+    for g, img in enumerate(frames_cp):
+        assert np.array_equal(
+            img[:, :, 0].astype(np.int64), gray(11, g + 1, 2)
+        )
+    # exactly 3 of the copy's frames equal a source frame up to the
+    # shift; frame 3 (content 4) matches nothing in the source
+    src = [f[:, :, 0].astype(int) for f in decode_gif_frames(by_id[11])]
+    matches = sum(
+        1
+        for cp in (f[:, :, 0].astype(int) for f in frames_cp)
+        for s in src
+        if np.abs(cp - s).sum() <= 144
+    )
+    assert matches == 3
+
+    # the full pipeline drops exactly the planted ids
+    dups = _video_fp_dup_ids(
+        M.decode_gray_frame_pixels(M.synthesize_video_clips(docs))
+    )
+    got = {r.clip_id for r in dups.collect()}
+    assert got == {1_000_000, 1_000_011, 1_000_022, 1_000_033}
+
+
+def test_multimodal_prep_av_gates_compose(spark):
+    """The AV capstone keep-list is the AND of the three modality
+    gates, and each gate visibly removes documents at this scale."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.queries.dedup_q import (
+        q_pipeline_multimodal_prep_av,
+    )
+
+    out = q_pipeline_multimodal_prep_av(
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+    agg = out.agg(
+        F.sum("text_keep").alias("t"),
+        F.sum("image_keep").alias("i"),
+        F.sum("audio_keep").alias("a"),
+        F.sum("keep").alias("k"),
+        F.count("*").alias("n"),
+    ).first()
+    assert agg.n == 500
+    # every gate drops someone, and the final keep is strictly under
+    # the loosest single gate (the gates compose)
+    assert agg.t < agg.n and agg.i < agg.n and agg.a < agg.n
+    assert agg.k < min(agg.t, agg.i, agg.a) or agg.k == 0
+    bad = out.filter(
+        F.col("keep")
+        != ((F.col("text_keep") == 1) & (F.col("image_keep") == 1)
+            & (F.col("audio_keep") == 1)).cast("int")
+    ).count()
+    assert bad == 0

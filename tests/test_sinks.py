@@ -2063,6 +2063,21 @@ _op_strategy = st.one_of(
     st.tuples(st.just("append"), _bin_name, st.binary(max_size=64)),
     st.tuples(st.just("prepend"), _bin_name, st.binary(max_size=64)),
     st.just(("touch",)),
+    # the CDT list/map family (round 16) rides the same op framing
+    st.tuples(st.just("list_append"), _bin_name, st.binary(max_size=32)),
+    st.tuples(st.just("list_size"), _bin_name),
+    st.tuples(
+        st.just("list_get_rank"), _bin_name,
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    ),
+    st.tuples(st.just("map_put"), _bin_name, st.binary(max_size=16),
+              st.binary(max_size=32)),
+    st.tuples(
+        st.just("map_incr"), _bin_name, st.binary(max_size=16),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    ),
+    st.tuples(st.just("map_get"), _bin_name, st.binary(max_size=16)),
+    st.tuples(st.just("map_size"), _bin_name),
 )
 
 
@@ -2261,3 +2276,121 @@ def test_cluster_batch_operate_connect_failure_retries_everything():
         router.close()
     finally:
         srv.close()
+
+
+def test_wire_cdt_op_codec_roundtrip():
+    """CDT op encode -> decode is the identity for every list/map
+    sub-op; malformed CDT payloads raise the uniform ValueError."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    ops = [
+        ("list_append", "names", b"zeta"),
+        ("list_append", "names", b""),
+        ("list_size", "names"),
+        ("list_get_rank", "names", 0),
+        ("list_get_rank", "names", -1),
+        ("map_put", "cols", b"a", b"1.00"),
+        ("map_put", "cols", b"", b""),
+        ("map_incr", "stats", b"n", -(2**63)),
+        ("map_get", "cols", b"a"),
+        ("map_size", "cols"),
+    ]
+    for o in ops:
+        enc = aw.encode_op(o)
+        dec, off = aw.decode_op(enc, 0)
+        assert dec == o and off == len(enc)
+        # truncation at any byte is the uniform ValueError
+        for cut in range(len(enc)):
+            try:
+                got, end = aw.decode_op(enc[:cut], 0)
+                assert end <= cut
+            except ValueError:
+                pass
+
+
+def test_wire_cdt_particle_codec():
+    """pack/unpack list+map: canonical (sorted) storage, and a
+    non-collection blob answers None (-> RC_BIN_TYPE), never raises."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    assert aw.unpack_list(aw.pack_list([b"b", b"a", b"a"])) == [b"a", b"a", b"b"]
+    assert aw.unpack_map(aw.pack_map({b"k2": b"v", b"k1": b""})) == {
+        b"k1": b"", b"k2": b"v",
+    }
+    assert aw.pack_list([b"b", b"a"]) == aw.pack_list([b"a", b"b"])
+    for blob in (b"", b"blob", b"\x00" * 8, b"LST1\x00\x00\x00\x09x",
+                 b"MAP1\x00\x00\x00\x01\x00\x00\x00\x09k"):
+        assert aw.unpack_list(blob) is None or blob[:4] == b"LST1"
+        assert aw.unpack_map(blob) is None or blob[:4] == b"MAP1"
+    # truncated entries under a valid magic are None, not an exception
+    assert aw.unpack_list(b"LST1\x00\x00\x00\x09x") is None
+    assert aw.unpack_map(b"MAP1\x00\x00\x00\x01\x00\x00\x00\x09k") is None
+
+
+def test_wire_cdt_semantics_end_to_end():
+    """The CDT family over a live server: K-ordered list ranks, map
+    put/incr/get/size, per-op results keyed by bin, the type refusal
+    applying NOTHING (gen unmoved), and CDT reads classified as reads
+    (a pure-CDT-read on an absent key answers not_found, never
+    creates)."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "t")
+
+        def op(key, ops, ttl=0, eg=None):
+            return c.wait_operate(c.operate(key, ops, ttl, expect_gen=eg))
+
+        st, gen, _t, bins = op(b"k1", [
+            ("list_append", "names", b"zeta"),
+            ("list_append", "names", b"alpha"),
+            ("list_append", "names", b"midge"),
+            ("map_put", "cols", b"alpha", b"1.50"),
+            ("map_incr", "stats", b"n", 2),
+        ], ttl=60)
+        assert (st, gen) == ("ok", 1)
+        assert bins["names"] == (3).to_bytes(8, "big")   # list size result
+        assert bins["stats"] == (2).to_bytes(8, "big", signed=True)
+        assert op(b"k1", [("list_get_rank", "names", 0)])[3] == {"names": b"alpha"}
+        assert op(b"k1", [("list_get_rank", "names", -1)])[3] == {"names": b"zeta"}
+        assert op(b"k1", [("list_get_rank", "names", 5)])[3] == {}  # out of range
+        assert op(b"k1", [("map_get", "cols", b"alpha")])[3] == {"cols": b"1.50"}
+        assert op(b"k1", [("map_get", "cols", b"nope")])[3] == {}
+        assert op(b"k1", [("map_size", "cols")])[3] == {"cols": (1).to_bytes(8, "big")}
+        # map_incr accumulates inside the map
+        st, gen, _t, bins = op(b"k1", [("map_incr", "stats", b"n", 5)], ttl=60)
+        assert bins["stats"] == (7).to_bytes(8, "big", signed=True)
+        # the CDT type refusal: a list op against the map bin applies
+        # NOTHING — gen unmoved, map intact
+        st, *_ = op(b"k1", [("list_append", "cols", b"x"),
+                            ("map_incr", "stats", b"n", 100)], ttl=60)
+        assert st == "bin_type"
+        st, gen2, _t, bins = op(b"k1", [("map_get", "stats", b"n")])
+        assert bins["stats"] == (7).to_bytes(8, "big", signed=True)
+        assert gen2 == gen
+        # a pure-CDT-read on an absent key is a READ: not_found
+        st, *_ = op(b"k-absent", [("list_size", "names")])
+        assert st == "not_found"
+        assert ("tmx", "t", aw.key_digest("t", b"k-absent")) not in srv.records()
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_batch_entry_replay_safe_cdt_kinds():
+    """CDT replay classification: map_put and the CDT reads are
+    replay-safe; list_append and map_incr are not."""
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        batch_entry_replay_safe as safe,
+    )
+
+    d = b"\0" * 20
+    assert safe((d, [("map_put", "b", b"k", b"v"), ("map_get", "b", b"k")], 0, None))
+    assert safe((d, [("list_size", "b"), ("list_get_rank", "b", 0),
+                     ("map_size", "b")], 0, None))
+    assert not safe((d, [("list_append", "b", b"x")], 0, None))
+    assert not safe((d, [("map_incr", "b", b"k", 1)], 0, None))
+    # under replace/create-only even RMW CDT entries are replay-safe
+    assert safe((d, [("list_append", "b", b"x")], 0, None, True))
+    assert safe((d, [("map_incr", "b", b"k", 1)], 0, None, False, False, True))

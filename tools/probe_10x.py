@@ -15,7 +15,19 @@ Per-decade throughput RATIO >= ~0.8 is the pass bar: cells/s and
 docs/s holding across a 10x step is one decade of the 100x story
 measured, not extrapolated.
 
+Round 16 adds the remaining heavy families (VERDICT r15 task 5), each
+behind its own flag so every leg runs in a fresh session:
+
+  * --media: the full byte-level decode (PCM/BMP/PNG/JPEG/GIF) over
+    x1 -> x10 replicated blob sets (25k -> 250k blobs at sf0.1);
+  * --wire: the secured 3-node cluster put path (LOGIN + digest
+    routing + bounded-async pipelining) over x5 -> x50 replicated
+    merged records;
+  * --batch: the s59-shape batched migration (ONE batch-write per
+    task x node, create-only write ops per record) over x5 -> x50.
+
 Usage: SPARK_GRAFT_CPUS=32 python tools/probe_10x.py [sf_dir]
+       [--lsh-only | --media | --wire | --batch]
 Prints one JSON line.
 """
 
@@ -46,6 +58,13 @@ def main() -> int:
     spark = get_spark("probe_10x")
     ev = load_table(spark, sf_dir, "events")
     out: dict = {"metric": "scale_10x", "sf_dir": sf_dir}
+
+    if "--media" in sys.argv:
+        return _media_leg(spark, sf_dir, out)
+    if "--wire" in sys.argv:
+        return _wire_leg(spark, sf_dir, out, batched=False)
+    if "--batch" in sys.argv:
+        return _wire_leg(spark, sf_dir, out, batched=True)
 
     def merge_probe(factor: int) -> tuple[float, int]:
         amp = (
@@ -149,6 +168,200 @@ def _report_merge(out: dict, m30: float, m300: float, n300: int) -> None:
         f"({n300:,} cells, ratio {m300 / m30:.2f})",
         file=sys.stderr,
     )
+
+
+def _media_leg(spark, sf_dir: str, out: dict) -> int:
+    """Media-decode 10x step: synthesize-then-persist xN replicated
+    real blobs (5 formats per source doc, every % 5 branch), time the
+    full byte decode only.  The decode is embarrassingly parallel
+    (mapInPandas over the scan, zero shuffles), so blobs/s holding
+    across the decade is the expected — and now measured — shape."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.functions import multimodal as mm
+    from cassandra2aerospike_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def media_probe(factor: int) -> tuple[float, int]:
+        media_docs = (
+            docs.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(5 * factor - 1)))
+            )
+            .withColumn("doc_id", F.col("doc_id") * 5 * factor + F.col("rep"))
+            .drop("rep")
+        )
+        media = mm.synthesize_av_media(media_docs).persist()
+        n_media = media.count()  # materialize so only DECODE is timed
+        mm.decode_media(media).count()  # warm
+        t0 = time.time()
+        mm.decode_media(media).count()
+        rate = n_media / (time.time() - t0)
+        media.unpersist()
+        spark.catalog.clearCache()
+        return rate, n_media
+
+    r1, n1 = media_probe(1)
+    r10, n10 = media_probe(10)
+    out.update(
+        {
+            "media_blobs_per_sec_x1": round(r1),
+            "media_blobs_per_sec_x10": round(r10),
+            "media_blobs_x10": n10,
+            "media_10x_ratio": round(r10 / r1, 3),
+        }
+    )
+    print(
+        f"# media 10x step: x1 {r1:,.0f} -> x10 {r10:,.0f} blobs/s "
+        f"({n1:,} -> {n10:,} blobs, ratio {r10 / r1:.2f})",
+        file=sys.stderr,
+    )
+    print(json.dumps(out))
+    return 0
+
+
+def _wire_leg(spark, sf_dir: str, out: dict, batched: bool) -> int:
+    """Wire-path 10x step (x5 -> x50 replicated merged records against
+    a fresh 3-node cluster per factor).  batched=False: the per-record
+    put path (bounded-async pipelining).  batched=True: the s59-shape
+    batch-write migration — ONE batch_operate per task, create-only
+    write ops per record, so wire round trips stay tasks x nodes while
+    records grow 10x; recs/s should IMPROVE as the batch amortizes."""
+    from pyspark.sql import functions as F
+
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.queries.pipeline_q import _sink_parallelism
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        ClusterRouter,
+        WireServer,
+        key_digest,
+    )
+    from cassandra2aerospike_spark.sinks.kv_sink import (
+        bounded_async_foreach_writer,
+    )
+    from cassandra2aerospike_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+
+    def wire_probe(factor: int) -> tuple[float, int]:
+        recs = (
+            merge.merge_records(ev)
+            .withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .withColumn(
+                "key", F.col("key") + F.col("rep").cast("long") * 10_000_000
+            )
+            .drop("rep")
+            .select("key", "columns", "expiry")
+            .persist()
+        )
+        n = recs.count()
+        n_tasks = _sink_parallelism(n)
+        sink = recs.coalesce(n_tasks)
+        servers = [
+            WireServer(
+                owned_partitions={
+                    p for p in range(N_PARTITIONS) if p % 3 == i
+                },
+                info_namespace="tmx",
+            )
+            for i in range(3)
+        ]
+        nodes = [(s_.host, s_.port) for s_ in servers]
+
+        if batched:
+            def sink_partition(rows):
+                import pandas as _pd  # noqa: F401 — worker-side import
+
+                router = ClusterRouter(nodes, "tmx", "recs")
+                items = []
+                for rd in rows:
+                    bins = {
+                        k2: ("%.2f" % v).encode()
+                        for k2, v in rd["columns"].items()
+                    }
+                    ttl = (
+                        0xFFFFFFFF
+                        if rd["expiry"] == eternal
+                        else int(rd["expiry"]) - now_s
+                    )
+                    items.append(
+                        (
+                            key_digest("recs", str(rd["key"]).encode()),
+                            [("write", k2, v) for k2, v in bins.items()],
+                            ttl,
+                            None,
+                            True,
+                        )
+                    )
+                got = router.batch_operate(items)
+                if any(got[d][0] != "ok" for d, *_ in items):
+                    raise RuntimeError("batch probe: non-ok create")
+                router.close()
+
+            t0 = time.time()
+            sink.foreachPartition(sink_partition)
+            dt = time.time() - t0
+        else:
+            state: dict = {}
+
+            def put(rd):
+                r = state.get("router")
+                if r is None:
+                    r = state["router"] = ClusterRouter(nodes, "tmx", "recs")
+                key = str(rd["key"]).encode()
+                bins = {
+                    k2: ("%.2f" % v).encode()
+                    for k2, v in rd["columns"].items()
+                }
+                ttl = (
+                    0xFFFFFFFF
+                    if rd["expiry"] == eternal
+                    else int(rd["expiry"]) - now_s
+                )
+                c = r.client_for(key)
+                return c.put(key, bins, ttl), c
+
+            def wait(h):
+                handle, c = h
+                if c.wait(handle) != "ok":
+                    raise RuntimeError("wire probe: unexpected non-ok put")
+                return True
+
+            t0 = time.time()
+            bounded_async_foreach_writer(sink, put, wait, max_in_flight=32)
+            dt = time.time() - t0
+
+        n_stored = sum(len(s_.records()) for s_ in servers)
+        for s_ in servers:
+            s_.close()
+        recs.unpersist()
+        spark.catalog.clearCache()
+        if n_stored != n:
+            raise RuntimeError(f"wire probe lost records: {n_stored}/{n}")
+        return n / dt, n
+
+    name = "batch" if batched else "wire"
+    r5, n5 = wire_probe(5)
+    r50, n50 = wire_probe(50)
+    out.update(
+        {
+            f"{name}_recs_per_sec_x5": round(r5),
+            f"{name}_recs_per_sec_x50": round(r50),
+            f"{name}_recs_x50": n50,
+            f"{name}_10x_ratio": round(r50 / r5, 3),
+        }
+    )
+    print(
+        f"# {name} 10x step: x5 {r5:,.0f} -> x50 {r50:,.0f} recs/s "
+        f"({n5:,} -> {n50:,} records, ratio {r50 / r5:.2f})",
+        file=sys.stderr,
+    )
+    print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":
