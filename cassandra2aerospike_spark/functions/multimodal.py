@@ -1258,3 +1258,50 @@ def decode_gray_frame_pixels(media_df: DataFrame) -> DataFrame:
     return media_df.select("clip_id", "payload").mapInPandas(
         decode_batches, "clip_id long, fidx int, n_frames int, px array<int>"
     )
+
+
+def synthesize_doc_videos(docs: DataFrame, alias_every: int = 13) -> DataFrame:
+    """Fixture adapter for the ALL-MODALITY corpus-prep capstone
+    (round 16): ONE 4-frame animated GIF per document, keyed by the
+    document id itself.  Every doc_id % alias_every == 0 (and >= 1)
+    shows the PREVIOUS document's clip RE-ENCODED (every pixel
+    +1 + d%2) and TEMPORALLY OFFSET (content frames 1..4 — head-
+    trimmed by one), so (d-1, d) are clip near-duplicates matching on
+    exactly 3 of 4 frames and the dedup's drop-the-larger rule must
+    drop doc d.  d-1 is never itself aliased (d % 13 == 0 ->
+    (d-1) % 13 == 12).  Same per-frame gradient arithmetic as
+    synthesize_video_clips -> same closed-form oracle."""
+    from .gif_py import encode_gif_animation
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = 9, 8
+        rr = np.arange(h, dtype=np.int64)[:, None] + 1
+        cc = np.arange(w, dtype=np.int64)[None, :] + 1
+
+        def gray(d: int, cf: int, delta: int) -> np.ndarray:
+            m1 = (d * 2654435761 + cf * 1315423911) % 1000003
+            m2 = (d * 40503 + cf * 2246822519 + 17) % 997
+            m3 = (d * 69621 + cf * 3266489917 + 31) % 983
+            m4 = (d * 48271 + cf * 668265263 + 7) % 991
+            return ((m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250
+                    + delta).astype(np.uint8)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                aliased = d % alias_every == 0 and d >= 1
+                src, f_off, delta = (
+                    (d - 1, 1, 1 + d % 2) if aliased else (d, 0, 0)
+                )
+                frames = [
+                    np.repeat(gray(src, g + f_off, delta)[:, :, None], 3, axis=2)
+                    for g in range(4)
+                ]
+                ids.append(d)
+                payloads.append(encode_gif_animation(frames))
+            yield pd.DataFrame({"clip_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "clip_id long, payload binary"
+    )

@@ -1662,15 +1662,13 @@ def _video_fp_dup_ids(frames, min_frames: int = 3):
     )
 
 
-ORACLES["mm_video_fp_dedup"] = """
-    WITH vcorpus AS (
-      SELECT doc_id AS clip_id, doc_id AS d,
-             0 AS f_off, 0 AS delta
-      FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, doc_id, 1, 1 + doc_id % 2
-      FROM documents WHERE doc_id % 11 = 0
-    ),
+# the per-frame dHash video pipeline replayed relationally (frame grid
+# -> lead() comparisons -> band sums -> band self-join -> frame verify
+# -> >= 3 distinct frame pairs per clip pair), parametrized only by the
+# preceding `vcorpus (clip_id, d, f_off, delta)` CTE — v-prefixed names
+# so it composes with the image and audio pipes in one WITH; shared by
+# the standalone video row and the all-modality corpus-prep capstone
+_VIDEO_FP_PIPE = """
     vfr AS (
       SELECT clip_id, d, g, g + f_off AS cf, delta
       FROM vcorpus, (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS g)
@@ -1725,17 +1723,33 @@ ORACLES["mm_video_fp_dedup"] = """
       FROM vfver GROUP BY clip_a, clip_b
       HAVING count(DISTINCT (fa, fb)) >= 3
     )
+"""
+
+ORACLES["mm_video_fp_dedup"] = (
+    """
+    WITH vcorpus AS (
+      SELECT doc_id AS clip_id, doc_id AS d,
+             0 AS f_off, 0 AS delta
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1, 1 + doc_id % 2
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+"""
+    + _VIDEO_FP_PIPE
+    + """
     SELECT clip_id,
            CAST(clip_id NOT IN (SELECT clip_b FROM vcver) AS INT) AS keep
     FROM vcorpus
 """
+)
 
 
 def q_pipeline_multimodal_prep_av(spark, sf_dir):
     """MULTIMODAL CORPUS PREP, ALL MODALITIES (round 16 capstone —
-    X1+X2+X4+X5 over text AND image AND audio): the full corpus-prep
-    decision where a document survives only if EVERY implemented
-    modality's gate passes:
+    X1+X2+X4+X5 over text AND image AND audio AND video): the full
+    corpus-prep decision where a document survives only if EVERY
+    implemented modality's gate passes:
 
       1. TEXT: the full pipeline_corpus_prep decision (Gopher quality
          gate + exact dedup + MinHash-LSH near-dup clusters);
@@ -1747,16 +1761,20 @@ def q_pipeline_multimodal_prep_av(spark, sf_dir):
          9 == 0 stores the previous doc's samples scaled x2) through
          the real-decode delta-sign fingerprint drop list
          (_audio_fp_dup_ids);
-      4. the verdict row: (doc_id, text_keep, image_keep, audio_keep,
-         keep = all three).
+      4. VIDEO: the document's 4-frame clip (synthesize_doc_videos:
+         doc_id % 13 == 0 shows the previous doc's clip re-encoded
+         AND head-trimmed one frame) through the real multi-frame
+         decode -> per-frame dHash -> >= 3-frame-pair drop list
+         (_video_fp_dup_ids);
+      5. the verdict row: (doc_id, text_keep, image_keep, audio_keep,
+         video_keep, keep = all four).
 
-    This closes the r15 gap: the audio near-dup decision now gates the
-    SAME manifest as the text and image decisions — every modality the
-    engine decodes is a first-class corpus member.  Each stage
-    inherits its standalone row's audited plan shape; the only new
-    operators are two doc_id-keyed left joins of keep frames.  Exact
-    oracle: the corpus-prep CTE joined against both fingerprint
-    pipeline replays composed in one WITH."""
+    This closes the r15 gap and its r16 extension: every modality the
+    engine decodes — text, image, audio, video — gates the SAME
+    manifest; each stage inherits its standalone row's audited plan
+    shape, and the composition is three doc_id-keyed left joins of
+    keep frames.  Exact oracle: the corpus-prep CTE joined against all
+    three fingerprint pipeline replays composed in one WITH."""
     from ..functions import multimodal as M
 
     docs = _docs(spark, sf_dir)
@@ -1769,18 +1787,24 @@ def q_pipeline_multimodal_prep_av(spark, sf_dir):
     aud_dups = _audio_fp_dup_ids(
         M.decode_pcm_samples(M.synthesize_audio_clips(docs))
     ).select(F.col("clip_id").alias("doc_id"), F.col("dup").alias("aud_dup"))
+    vid_dups = _video_fp_dup_ids(
+        M.decode_gray_frame_pixels(M.synthesize_doc_videos(docs))
+    ).select(F.col("clip_id").alias("doc_id"), F.col("dup").alias("vid_dup"))
     return (
         prep.join(img_dups, "doc_id", "left")
         .join(aud_dups, "doc_id", "left")
+        .join(vid_dups, "doc_id", "left")
         .select(
             "doc_id",
             F.col("text_keep").cast("int").alias("text_keep"),
             F.col("img_dup").isNull().cast("int").alias("image_keep"),
             F.col("aud_dup").isNull().cast("int").alias("audio_keep"),
+            F.col("vid_dup").isNull().cast("int").alias("video_keep"),
             (
                 (F.col("text_keep") == 1)
                 & F.col("img_dup").isNull()
                 & F.col("aud_dup").isNull()
+                & F.col("vid_dup").isNull()
             )
             .cast("int")
             .alias("keep"),
@@ -1788,10 +1812,12 @@ def q_pipeline_multimodal_prep_av(spark, sf_dir):
     )
 
 
-# the AV keep-list: text decision (full corpus-prep CTE) AND image
-# decision (_PHASH_PIPE over the aliased doc-image corpus) AND audio
-# decision (_AUDIO_FP_PIPE over the aliased clip corpus) in one WITH —
-# the a-prefixed audio CTE names exist so the two pipelines compose
+# the all-modality keep-list: text decision (full corpus-prep CTE) AND
+# image decision (_PHASH_PIPE over the aliased doc-image corpus) AND
+# audio decision (_AUDIO_FP_PIPE over the aliased clip corpus) AND
+# video decision (_VIDEO_FP_PIPE over the aliased doc-video corpus) in
+# one WITH — the a-/v-prefixed CTE names exist so the three fingerprint
+# pipelines compose
 ORACLES["pipeline_multimodal_prep_av"] = (
     "WITH prep AS ("
     + _corpus_prep_oracle()
@@ -1809,18 +1835,34 @@ ORACLES["pipeline_multimodal_prep_av"] = (
     + ","
     + _AUDIO_CORPUS
     + _AUDIO_FP_PIPE
+    + """,
+    vcorpus AS (
+      SELECT doc_id AS clip_id,
+             CASE WHEN doc_id % 13 = 0 AND doc_id >= 1
+                  THEN doc_id - 1 ELSE doc_id END AS d,
+             CASE WHEN doc_id % 13 = 0 AND doc_id >= 1
+                  THEN 1 ELSE 0 END AS f_off,
+             CASE WHEN doc_id % 13 = 0 AND doc_id >= 1
+                  THEN 1 + doc_id % 2 ELSE 0 END AS delta
+      FROM documents
+    ),
+"""
+    + _VIDEO_FP_PIPE
     + """
     SELECT p.doc_id,
            CAST(p.keep AS INT) AS text_keep,
            CAST(v.img_b IS NULL AS INT) AS image_keep,
            CAST(av.clip_b IS NULL AS INT) AS audio_keep,
+           CAST(vv.clip_b IS NULL AS INT) AS video_keep,
            CAST(p.keep = 1 AND v.img_b IS NULL AND av.clip_b IS NULL
-                AS INT) AS keep
+                AND vv.clip_b IS NULL AS INT) AS keep
     FROM prep p
     LEFT JOIN (SELECT DISTINCT img_b FROM verified) v
            ON v.img_b = p.doc_id
     LEFT JOIN (SELECT DISTINCT clip_b FROM averified) av
            ON av.clip_b = p.doc_id
+    LEFT JOIN (SELECT DISTINCT clip_b FROM vcver) vv
+           ON vv.clip_b = p.doc_id
 """
 )
 

@@ -1512,8 +1512,9 @@ def test_video_clip_fixture_roundtrip_and_dedup(spark):
 
 
 def test_multimodal_prep_av_gates_compose(spark):
-    """The AV capstone keep-list is the AND of the three modality
-    gates, and each gate visibly removes documents at this scale."""
+    """The all-modality capstone keep-list is the AND of the four
+    modality gates, and each gate visibly removes documents at this
+    scale."""
     from pyspark.sql import functions as F
 
     from cassandra2aerospike_spark.queries.dedup_q import (
@@ -1527,6 +1528,7 @@ def test_multimodal_prep_av_gates_compose(spark):
         F.sum("text_keep").alias("t"),
         F.sum("image_keep").alias("i"),
         F.sum("audio_keep").alias("a"),
+        F.sum("video_keep").alias("v"),
         F.sum("keep").alias("k"),
         F.count("*").alias("n"),
     ).first()
@@ -1534,10 +1536,16 @@ def test_multimodal_prep_av_gates_compose(spark):
     # every gate drops someone, and the final keep is strictly under
     # the loosest single gate (the gates compose)
     assert agg.t < agg.n and agg.i < agg.n and agg.a < agg.n
-    assert agg.k < min(agg.t, agg.i, agg.a) or agg.k == 0
+    assert agg.v < agg.n
+    # the video gate drops exactly the doc_id % 13 == 0 cohort (>= 1)
+    assert agg.n - agg.v == sum(
+        1 for d in range(500) if d % 13 == 0 and d >= 1
+    )
+    assert agg.k < min(agg.t, agg.i, agg.a, agg.v) or agg.k == 0
     bad = out.filter(
         F.col("keep")
         != ((F.col("text_keep") == 1) & (F.col("image_keep") == 1)
-            & (F.col("audio_keep") == 1)).cast("int")
+            & (F.col("audio_keep") == 1) & (F.col("video_keep") == 1)
+            ).cast("int")
     ).count()
     assert bad == 0
