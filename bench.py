@@ -165,6 +165,11 @@ HEADLINE = [
     "pipeline_multimodal_prep_av",
     "s61_wire_cdt_ops",
     "s62_wire_cdt_during_handoff",
+    # round-16 (late): paged/resumable scans — digest-cursor pagination —
+    # and incremental image near-dup against the persisted fingerprint
+    # store (the continuous-ingest image-modality shape)
+    "s63_wire_paged_scan_source",
+    "mm_phash_incremental",
 ]
 
 

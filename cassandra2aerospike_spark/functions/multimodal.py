@@ -1305,3 +1305,75 @@ def synthesize_doc_videos(docs: DataFrame, alias_every: int = 13) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         synth_batches, "clip_id long, payload binary"
     )
+
+
+def synthesize_image_batch(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for INCREMENTAL image near-dup dedup (round 16):
+    the NEW-ARRIVALS batch checked against an already-fingerprinted
+    corpus.  One image per document, img_id = 2_000_000 + doc_id:
+
+      * doc_id % 5 == 0 — the CORPUS document's own gradient (content
+        key d) re-encoded in the OPPOSITE container and pixel-shifted
+        +1 + d%2: a near-duplicate of corpus image d that the
+        fingerprint store must catch WITHOUT re-decoding the corpus;
+      * doc_id % 5 == 1 — the gradient of content key 600_000 + d + 1,
+        shifted: a near-duplicate of its own BATCH-MATE
+        2_000_000 + d + 1 (whose content key is 600_000 + d + 1),
+        so in-batch pairs exist alongside corpus hits;
+      * otherwise — a fresh gradient (content key 600_000 + d, a key
+        range no corpus image uses), delta 0.
+
+    Same pixel arithmetic as synthesize_gradient_images -> same
+    closed-form oracle; dup rows live in the opposite container from
+    the batch originals so every pair still crosses BMP <-> PNG."""
+    import struct as _struct
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = 9, 8
+        stride = (w * 3 + 3) & ~3
+        rr = np.arange(h, dtype=np.int64)[:, None] + 1
+        cc = np.arange(w, dtype=np.int64)[None, :] + 1
+        hdr = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                2835, 2835, 0, 0,
+            )
+        )
+
+        def gray(k: int, delta: int) -> np.ndarray:
+            m1 = (k * 2654435761) % 1000003
+            m2 = (k * 40503 + 17) % 997
+            m3 = (k * 69621 + 31) % 983
+            m4 = (k * 48271 + 7) % 991
+            return ((m1 + m2 * rr * rr + m3 * cc * cc + m4 * rr * cc) % 250
+                    + delta).astype(np.uint8)
+
+        def blob_of(k: int, delta: int, as_png: bool) -> bytes:
+            v = gray(k, delta)
+            if as_png:
+                return encode_png(np.repeat(v[:, :, None], 3, axis=2))
+            rows = []
+            for y in range(h - 1, -1, -1):
+                row = np.repeat(v[y], 3).tobytes()
+                rows.append(row.ljust(stride, b"\x00"))
+            return hdr + b"".join(rows)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 5 == 0:
+                    key, delta, as_png = d, 1 + d % 2, not (d % 2)
+                elif d % 5 == 1:
+                    key, delta, as_png = 600_000 + d + 1, 1 + d % 2, not (d % 2)
+                else:
+                    key, delta, as_png = 600_000 + d, 0, bool(d % 2)
+                ids.append(2_000_000 + d)
+                payloads.append(blob_of(key, delta, as_png))
+            yield pd.DataFrame({"img_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "img_id long, payload binary"
+    )

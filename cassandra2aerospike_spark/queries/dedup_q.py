@@ -1078,13 +1078,12 @@ def q_mm_phash_dedup(spark, sf_dir):
     )
 
 
-def _phash_dup_ids(px_df):
-    """The dHash near-dup DROP LIST over a decoded-pixel frame
-    (img_id, px array<int> of 72): declarative 64-bit dHash as 4x16-bit
-    bands -> banded-Hamming bucket-grouped in-row pair expansion ->
-    exact verify (Hamming <= 2 AND sum|a-b| <= 144) -> the larger
-    img_id of every verified pair, as (img_id, dup=1).  Shared by the
-    standalone phash row and the multimodal corpus-prep capstone."""
+def _dhash_sigs(px_df):
+    """(img_id, px, bands): the 64-bit dHash of a decoded-pixel frame
+    as 4x16-bit band values — bit(r, c) = px[r][c] > px[r][c+1],
+    computed declaratively (JVM-side comparisons, no UDF).  The bands
+    ARE the persistable fingerprint: 4 ints per image, what the
+    incremental row checkpoints so the corpus is never re-decoded."""
     px = F.col("px")
 
     def band_val(b: int):
@@ -1100,10 +1099,18 @@ def _phash_dup_ids(px_df):
             out = out + t
         return out.cast("int")
 
-    sigs = px_df.select(
+    return px_df.select(
         "img_id", "px",
         F.array(*[band_val(b) for b in range(4)]).alias("bands"),
     )
+
+
+def _phash_verified_pairs(sigs):
+    """Verified near-dup PAIRS over a dHash signature frame (img_id,
+    px, bands): banded-Hamming bucket-grouped in-row pair expansion
+    (one shuffle to the bucket, no self-join) -> exact verify (full
+    Hamming <= 2 via bit_count(xor) AND integer pixel distance
+    sum|a-b| <= 144 via zip_with) -> (img_a < img_b) pair frame."""
     bands = sigs.select(
         F.struct("img_id", "bands", "px").alias("el"),
         F.explode(
@@ -1149,17 +1156,136 @@ def _phash_dup_ids(px_df):
             ),
         )
     )
-    verified = (
+    return (
         members.select(F.explode(pairs).alias("p"))
         .select("p.img_a", "p.img_b", "p.hamming", "p.pixdist")
         .distinct()
         .filter((F.col("hamming") <= 2) & (F.col("pixdist") <= 144))
     )
+
+
+def _phash_dup_ids(px_df):
+    """The dHash near-dup DROP LIST over a decoded-pixel frame
+    (img_id, px array<int> of 72): declarative 64-bit dHash as 4x16-bit
+    bands -> banded-Hamming bucket-grouped in-row pair expansion ->
+    exact verify (Hamming <= 2 AND sum|a-b| <= 144) -> the larger
+    img_id of every verified pair, as (img_id, dup=1).  Shared by the
+    standalone phash row and the multimodal corpus-prep capstones."""
     return (
-        verified.select(F.col("img_b").alias("img_id"))
+        _phash_verified_pairs(_dhash_sigs(px_df))
+        .select(F.col("img_b").alias("img_id"))
         .distinct()
         .withColumn("dup", F.lit(1))
     )
+
+
+def q_mm_phash_incremental(spark, sf_dir):
+    """INCREMENTAL image near-dup dedup (round 16 — the continuous-
+    ingest production shape for the image modality, the X5 analogue of
+    dedup_incremental): a NEW batch of images checked against an
+    already-fingerprinted corpus WITHOUT re-decoding — or re-shuffling
+    — the corpus.
+
+    The corpus side IS a persisted fingerprint store: the dHash band
+    signatures (4 ints per image — not pixels, not payloads) of every
+    corpus image, staged to parquet ONCE (stage_parquet, keyed on the
+    fixture's mtime + code fingerprint) and scanned per batch.  The
+    new batch (synthesize_image_batch: every doc_id % 5 == 0 is a
+    re-encoded pixel-shifted copy of its corpus image, % 5 == 1 a copy
+    of its own batch-mate, the rest fresh) is decoded for real
+    (cross-format BMP/PNG by magic), hashed declaratively, and:
+
+      1. CORPUS hits — band-bucket equi-join of the batch signatures
+         against the fingerprint store (any shared 16-bit band ->
+         candidate; linear candidates, O(1) buckets), verified at
+         full Hamming <= 2 FROM THE STORED BANDS ALONE — the pixel-
+         distance second factor needs pixels the store deliberately
+         does not hold; an 8-byte fingerprint per corpus image is the
+         whole storage bill, which is what makes the store viable at
+         100 TB — decision 'dup_of_corpus', rep = min matching
+         corpus img_id;
+      2. IN-BATCH pairs — the full two-factor verify
+         (_phash_verified_pairs: Hamming AND pixel distance; the
+         batch's own pixels are in hand) — decision 'dup_in_batch'
+         for the larger img_id, rep = min verified partner;
+      3. survivors 'keep'.
+
+    Corpus-hit precedence over in-batch (matching dedup_incremental).
+    Exact oracle: the generating arithmetic of BOTH sides replayed
+    relationally with the same two verify rules."""
+    from pyspark.sql import Window
+
+    from ..functions import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    corpus_fp = D.stage_parquet(
+        _dhash_sigs(
+            M.decode_gray_pixels(M.synthesize_gradient_images(docs))
+        )
+        .filter(F.col("img_id") < 1_000_000)
+        .select("img_id", "bands"),
+        _ckpt_dir(sf_dir, "phash_fp"),
+    )
+    batch_sigs = _dhash_sigs(
+        M.decode_gray_pixels(M.synthesize_image_batch(docs))
+    ).cache()
+
+    def explode_bands(df, id_alias):
+        return df.select(
+            F.col("img_id").alias(id_alias),
+            F.col("bands").alias(f"{id_alias}_bands"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col("bands")[b].alias("bval"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            id_alias, f"{id_alias}_bands",
+            F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+        )
+
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("new_id_bands"), F.col("old_id_bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    corpus_hits = (
+        explode_bands(batch_sigs, "new_id")
+        .join(explode_bands(corpus_fp, "old_id"), ["band", "bval"])
+        .select("new_id", "old_id", "new_id_bands", "old_id_bands")
+        .distinct()
+        .filter(hamming <= 2)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("corpus_rep"))
+    )
+    in_batch = (
+        _phash_verified_pairs(batch_sigs)
+        .groupBy(F.col("img_b").alias("new_id"))
+        .agg(F.min("img_a").alias("batch_rep"))
+    )
+    out = (
+        batch_sigs.select(F.col("img_id").alias("new_id"))
+        .join(corpus_hits, "new_id", "left")
+        .join(in_batch, "new_id", "left")
+        .select(
+            F.col("new_id").alias("img_id"),
+            F.when(F.col("corpus_rep").isNotNull(), "dup_of_corpus")
+            .when(F.col("batch_rep").isNotNull(), "dup_in_batch")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("corpus_rep", "batch_rep").alias("dup_of"),
+        )
+    )
+    return out
 
 
 def q_mm_audio_fp_dedup(spark, sf_dir):
@@ -1867,8 +1993,92 @@ ORACLES["pipeline_multimodal_prep_av"] = (
 )
 
 
+# the incremental image pipeline replayed relationally: BOTH corpora's
+# generating arithmetic (corpus originals + the % 5 batch rules) -> the
+# shared dHash grid -> side-separated band joins -> the two verify
+# rules (bands-only vs the corpus fingerprint store, bands + pixel
+# distance in-batch) -> dedup_incremental's decision precedence
+ORACLES["mm_phash_incremental"] = """
+    WITH allimgs AS (
+      SELECT doc_id AS img_id, doc_id AS k, 0 AS delta, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             CASE WHEN doc_id % 5 = 0 THEN doc_id
+                  WHEN doc_id % 5 = 1 THEN 600000 + doc_id + 1
+                  ELSE 600000 + doc_id END,
+             CASE WHEN doc_id % 5 IN (0, 1) THEN 1 + doc_id % 2
+                  ELSE 0 END,
+             1
+      FROM documents
+    ),
+    px AS (
+      SELECT img_id, is_new, r, c,
+             ((k * 2654435761) % 1000003
+              + ((k * 40503 + 17) % 997) * (r + 1) * (r + 1)
+              + ((k * 69621 + 31) % 983) * (c + 1) * (c + 1)
+              + ((k * 48271 + 7) % 991) * (r + 1) * (c + 1)) % 250
+             + delta AS v
+      FROM allimgs,
+           (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS r),
+           (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS c)
+    ),
+    bits AS (
+      SELECT img_id, is_new, r, c,
+             CAST(v > lead(v) OVER (PARTITION BY img_id, r ORDER BY c)
+                  AS INT) AS bit
+      FROM px QUALIFY c < 8
+    ),
+    bands AS (
+      SELECT img_id, is_new, r // 2 AS band,
+             CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS bval
+      FROM bits GROUP BY img_id, is_new, r // 2
+    ),
+    cross_cand AS (
+      SELECT DISTINCT n.img_id AS new_id, o.img_id AS old_id
+      FROM bands n JOIN bands o ON o.band = n.band AND o.bval = n.bval
+      WHERE n.is_new = 1 AND o.is_new = 0
+    ),
+    corpus_hits AS (
+      SELECT new_id, min(old_id) AS corpus_rep
+      FROM cross_cand cc
+      WHERE (SELECT sum(bit_count(xor(bn.bval, bo.bval)))
+             FROM bands bn JOIN bands bo ON bo.band = bn.band
+             WHERE bn.img_id = cc.new_id AND bo.img_id = cc.old_id) <= 2
+      GROUP BY new_id
+    ),
+    batch_cand AS (
+      SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+      FROM bands a JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                AND a.img_id < b.img_id
+      WHERE a.is_new = 1 AND b.is_new = 1
+    ),
+    batch_hits AS (
+      SELECT img_b AS new_id, min(img_a) AS batch_rep
+      FROM batch_cand cd
+      WHERE (SELECT sum(bit_count(xor(ba.bval, bb.bval)))
+             FROM bands ba JOIN bands bb ON bb.band = ba.band
+             WHERE ba.img_id = cd.img_a AND bb.img_id = cd.img_b) <= 2
+        AND (SELECT sum(abs(pa.v - pb.v))
+             FROM px pa JOIN px pb ON pb.r = pa.r AND pb.c = pa.c
+                  AND pa.img_id = cd.img_a AND pb.img_id = cd.img_b) <= 144
+      GROUP BY img_b
+    )
+    SELECT n.img_id,
+           CASE WHEN ch.corpus_rep IS NOT NULL THEN 'dup_of_corpus'
+                WHEN bh.batch_rep IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'keep' END AS decision,
+           coalesce(ch.corpus_rep, bh.batch_rep) AS dup_of
+    FROM allimgs n
+    LEFT JOIN corpus_hits ch ON ch.new_id = n.img_id
+    LEFT JOIN batch_hits bh ON bh.new_id = n.img_id
+    WHERE n.is_new = 1
+"""
+
+
 QUERIES = {
     "mm_video_fp_dedup": q_mm_video_fp_dedup,
+    "mm_phash_incremental": q_mm_phash_incremental,
     "pipeline_multimodal_prep_av": q_pipeline_multimodal_prep_av,
     "pipeline_bpe_manifest": q_pipeline_bpe_manifest,
     "pipeline_multimodal_prep": q_pipeline_multimodal_prep,

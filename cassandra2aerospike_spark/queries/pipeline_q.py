@@ -4771,6 +4771,212 @@ def q_src_formats_roundtrip(spark, sf_dir):
     return out.select("fmt", "n_nationkey", "n_name", "n_regionkey")
 
 
+def q_s63_wire_paged_scan_source(spark, sf_dir):
+    """PAGED/RESUMABLE cluster scan (round 16 — the public
+    AS_FIELD_DIGEST_ARRAY / AS_FIELD_MAX_RECORDS pagination): s43's
+    partition-sliced sweep reads each range as ONE unbounded stream,
+    so a scan task that dies re-reads its whole range and buffers an
+    unbounded response.  Real backup scans paginate instead: the
+    server streams the range in a TOTAL (pid, digest) order, a page
+    returns at most max-records records, and the next page re-addresses
+    the range carrying the last digest received — a 20-byte cursor
+    that is the task's ONLY state, valid on any fresh connection.
+
+    Shape: merged records land on a secured 3-node cluster (p % 3
+    ownership); 8 range-tasks sweep disjoint 512-partition slices, but
+    every (range, node) stream is read in pages of 48 records, each
+    page on a FRESH connection (LOGIN + one scan request), resuming
+    from the previous page's last digest.  Range 0's first page on
+    every node is deliberately READ TWICE — the speculative-retry /
+    dead-task case — and the replay must return byte-identical digests
+    (asserted in-task; the duplicate page is then discarded).  Sweep
+    invariants asserted in-query: page cap respected on every page,
+    union over pages == merged records, distinct digests, every record
+    inside its task's claimed range.
+
+    100 TB posture: pagination bounds a scan task's working set to one
+    page regardless of range size, and task failure costs ONE page
+    re-read, not a range re-scan — exactly what makes Spark's
+    speculative execution safe over a live-cluster source.  Exact
+    merge oracle (same contract as s42/s43 — the paging must be
+    invisible in the result)."""
+    from ..sinks.aerospike_wire import (
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        fetch_partition_map,
+        key_digest,
+        partition_id,
+    )
+    from ..sinks.bcrypt_py import hashpw
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    # page_size 4 so pagination genuinely engages at fixture scale
+    # (the fixture's record count per (range, node) stream is single-
+    # digit-to-tens; production pages are thousands — the CONTRACT,
+    # not the constant, is what scales); 4 ranges still proves the
+    # ring-sliced parallelism s43 established 8-wide
+    n_nodes, n_ranges, page_size = 3, 4, 4
+    span = N_PARTITIONS // n_ranges
+    ns, set_name = "tmx", "paged"
+    user, password = "tmx_scanner", "s3cr3t"
+    salt6 = "$2a$06$7EqJtq98hPqEX7fNZaFWoO"
+    credential = hashpw(password, salt6)
+    servers = [
+        WireServer(
+            credentials=(user, password),
+            owned_partitions={p for p in range(N_PARTITIONS) if p % n_nodes == i},
+            credential_salt=salt6,
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    pmap = [-1] * N_PARTITIONS
+    for idx, (h, p_) in enumerate(nodes):
+        _gen, owned = fetch_partition_map(h, p_, ns)
+        for p in owned:
+            pmap[p] = idx
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    state: dict = {}
+
+    def put(rd):
+        cl = state.get("clients")
+        if cl is None:
+            cl = state["clients"] = [
+                WireClient(h, p, ns, set_name, user=user, credential=credential)
+                for h, p in nodes
+            ]
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = cl[pmap[partition_id(key_digest(set_name, key))]]
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("paged scan source: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    ranges_df = spark.createDataFrame(
+        [(r, r * span, span) for r in range(n_ranges)],
+        "rng int, begin int, count int",
+    ).repartition(n_ranges, "rng")
+
+    def scan_range_paged(batches):
+        def read_page(host, port, begin, count, cursor):
+            # every page is its own connection: the cursor must be the
+            # stream's whole state for the resumable contract to hold
+            c = WireClient(
+                host, port, ns, set_name, user=user, credential=credential
+            )
+            try:
+                return list(
+                    c.scan(
+                        begin, count,
+                        resume_digest=cursor, max_records=page_size,
+                    )
+                )
+            finally:
+                c.close()
+
+        for pdf in batches:
+            for rng, begin, count in zip(pdf["rng"], pdf["begin"], pdf["count"]):
+                dh, cols, ttls, pgs = [], [], [], []
+                for h, p_ in nodes:
+                    cursor, pg = None, 0
+                    while True:
+                        page = read_page(h, p_, int(begin), int(count), cursor)
+                        if int(rng) == 0 and pg == 0:
+                            # the dead-task replay: the SAME page
+                            # re-read from the same cursor must be
+                            # identical, then gets discarded
+                            replay = read_page(
+                                h, p_, int(begin), int(count), cursor
+                            )
+                            if [r[0] for r in replay] != [r[0] for r in page]:
+                                raise RuntimeError(
+                                    "paged scan: page replay diverged"
+                                )
+                        if len(page) > page_size:
+                            raise RuntimeError(
+                                "paged scan: server overran max_records"
+                            )
+                        for digest, ttl, bins in page:
+                            dh.append(digest.hex())
+                            cols.append(
+                                ",".join(
+                                    sorted(
+                                        f"{n}={v.decode()}"
+                                        for n, v in bins.items()
+                                    )
+                                )
+                            )
+                            ttls.append(int(ttl))
+                            pgs.append(pg)
+                        if len(page) < page_size:
+                            break
+                        cursor, pg = page[-1][0], pg + 1
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": dh,
+                        "cols_str": cols,
+                        "ttl": ttls,
+                        "pg": pgs,
+                        "begin": [int(begin)] * len(dh),
+                        "count": [int(count)] * len(dh),
+                    }
+                )
+
+    scanned = ranges_df.mapInPandas(
+        scan_range_paged,
+        "digest_hex string, cols_str string, ttl long, pg int, "
+        "begin int, count int",
+    ).cache()
+    pid_expr = (
+        F.conv(F.substring("digest_hex", 1, 2), 16, 10).cast("long")
+        + F.conv(F.substring("digest_hex", 3, 2), 16, 10).cast("long") * 256
+    ) % 4096
+    agg = scanned.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("digest_hex").alias("nd"),
+        F.sum(
+            (
+                (pid_expr < F.col("begin"))
+                | (pid_expr >= F.col("begin") + F.col("count"))
+            ).cast("long")
+        ).alias("oob"),
+        F.max("pg").alias("max_pg"),
+    ).first()
+    if not (agg["n"] == agg["nd"] == n_records) or agg["oob"] != 0:
+        raise RuntimeError(
+            f"paged scan sweep broken: n={agg['n']} distinct={agg['nd']} "
+            f"merged={n_records} out_of_range={agg['oob']}"
+        )
+    if n_records > n_ranges * n_nodes * page_size and agg["max_pg"] < 1:
+        # enough records that some stream must have paginated
+        raise RuntimeError("paged scan: pagination never engaged")
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = keyed.join(scanned, "digest_hex").select("key", "cols_str", "ttl").cache()
+    out.count()  # materialize while the cluster lives
+    for srv in servers:
+        srv.close()
+    scanned.unpersist()
+    records.unpersist()
+    return out
+
+
 QUERIES = {
     "pipeline_sstable_corpus": q_pipeline_sstable_corpus,
     "src_formats_roundtrip": q_src_formats_roundtrip,
@@ -4803,6 +5009,7 @@ QUERIES = {
     "s60_wire_batch_write_during_handoff": q_s60_wire_batch_write_during_handoff,
     "s61_wire_cdt_ops": q_s61_wire_cdt_ops,
     "s62_wire_cdt_during_handoff": q_s62_wire_cdt_during_handoff,
+    "s63_wire_paged_scan_source": q_s63_wire_paged_scan_source,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -4933,6 +5140,21 @@ ORACLES = {
     # row verified=1; the handoff, re-tend, replication and failover
     # invariants are in-query asserts (any breach errors the row)
     "s43_wire_partition_scan_source": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # the paged sweep must be indistinguishable from the unbounded one
+    "s63_wire_paged_scan_source": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records
           WHERE expiry = 4294967295 OR expiry >= 1719792001

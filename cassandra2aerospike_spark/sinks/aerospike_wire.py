@@ -96,6 +96,20 @@ FIELD_DIGEST = 4
 # secondary index exists on that bin
 FIELD_INDEX_RANGE = 22
 FIELD_PID_RANGE = 24
+# the scan-resume cursor + page cap (the public AS_FIELD_DIGEST_ARRAY /
+# AS_FIELD_MAX_RECORDS slots): a resumable scan streams its partition
+# range in a TOTAL (pid, digest) order; a page returns at most
+# max-records records; the next page re-addresses the SAME range
+# carrying the last digest received, and the server resumes strictly
+# after it.  The 20-byte cursor is the only client-side state, so an
+# interrupted — or speculatively re-executed — scan task resumes (or
+# idempotently re-reads its page) instead of re-reading the range.
+# House subset of the public grammar: ONE digest in the array (the
+# range's total order makes one cursor sufficient; the real client
+# tracks one per partition); max-records is a BE u64 like the public
+# field, 0 = unlimited.
+FIELD_DIGEST_ARRAY = 12
+FIELD_MAX_RECORDS = 13
 # the batch-index field (the public AS_FIELD_BATCH_INDEX concept): one
 # field packs every digest of a batch read; payload = BE u32 count then
 # count x (BE u32 index + 20B digest) — the namespace/set ride the
@@ -199,6 +213,10 @@ RC_KEY_NOT_FOUND = 2
 # the CAS refusal (AEROSPIKE_ERR_RECORD_GENERATION): a gen-checked
 # write lost its optimistic race — re-read, reconcile, retry or keep
 RC_GENERATION = 3
+# AEROSPIKE_ERR_REQUEST_INVALID: a semantically malformed request the
+# grammar alone can't reject — e.g. a scan-resume cursor whose digest
+# lies outside the request's own partition range
+RC_PARAMETER = 4
 RC_KEY_EXISTS = 5
 RC_TIMEOUT = 9
 RC_KEY_BUSY = 14
@@ -1240,6 +1258,8 @@ def build_scan(
     pid_count: int | None = None,
     bins: list[str] | None = None,
     filter_exp: tuple | None = None,
+    resume_digest: bytes | None = None,
+    max_records: int | None = None,
 ) -> bytes:
     """One SCAN request (round 12 — the live-cluster read the ecosystem's
     asbackup performs): info1 = READ | GET_ALL with namespace + set
@@ -1261,7 +1281,14 @@ def build_scan(
     `filter_exp` (round 14 — the public expression-filter concept): a
     predicate AST (see exp_encode) the SERVER evaluates per record
     before shipping it — only matching records cross the wire, so the
-    scan prunes ROW COUNT server-side the way `bins` prunes width."""
+    scan prunes ROW COUNT server-side the way `bins` prunes width.
+
+    `resume_digest` / `max_records` (round 16 — the public
+    AS_FIELD_DIGEST_ARRAY / AS_FIELD_MAX_RECORDS pagination): the
+    server streams the range in total (pid, digest) order, returns at
+    most `max_records` records (0/None = unlimited), and a request
+    carrying `resume_digest` resumes strictly AFTER that cursor — the
+    20-byte bookmark is the scan's whole client-side state."""
     fields = []
     for ftype, data in (
         (FIELD_NAMESPACE, namespace.encode()),
@@ -1274,6 +1301,21 @@ def build_scan(
         )
         fields.append(
             struct.pack(">IB", len(data) + 1, FIELD_PID_RANGE) + data
+        )
+    if resume_digest is not None:
+        if len(resume_digest) != DIGEST_SIZE:
+            raise ValueError(
+                f"scan resume digest must be {DIGEST_SIZE} bytes"
+            )
+        fields.append(
+            struct.pack(">IB", DIGEST_SIZE + 1, FIELD_DIGEST_ARRAY)
+            + resume_digest
+        )
+    if max_records is not None:
+        if not 0 <= max_records <= 0xFFFFFFFFFFFFFFFF:
+            raise ValueError("scan max_records out of u64 range")
+        fields.append(
+            struct.pack(">IBQ", 9, FIELD_MAX_RECORDS, max_records)
         )
     if filter_exp is not None:
         data = exp_encode(filter_exp)
@@ -1447,6 +1489,42 @@ def parse_pid_range(frame: bytes) -> tuple[int, int] | None:
             return struct.unpack_from(">HH", frame, off + 5)
         off += 4 + sz
     return None
+
+
+def _scan_field(frame: bytes, ftype: int) -> bytes | None:
+    """The payload of the first `ftype` field in a scan request, or
+    None — the same bounds-checked field walk as parse_pid_range."""
+    if len(frame) < 22:
+        return None
+    (n_fields,) = struct.unpack_from(">H", frame, 18)
+    off = 22
+    for _ in range(n_fields):
+        if off + 5 > len(frame):
+            return None
+        (sz,) = struct.unpack_from(">I", frame, off)
+        if sz < 1 or off + 4 + sz > len(frame):
+            return None
+        if frame[off + 4] == ftype:
+            return frame[off + 5 : off + 4 + sz]
+        off += 4 + sz
+    return None
+
+
+def parse_scan_resume(frame: bytes) -> bytes | None:
+    """Server-side: the scan request's resume cursor (one 20-byte
+    digest in the DIGEST_ARRAY field), or None."""
+    data = _scan_field(frame, FIELD_DIGEST_ARRAY)
+    return data if data is not None and len(data) == DIGEST_SIZE else None
+
+
+def parse_scan_max_records(frame: bytes) -> int | None:
+    """Server-side: the scan request's page cap (BE u64 MAX_RECORDS
+    field; 0 means unlimited, returned as None), or None."""
+    data = _scan_field(frame, FIELD_MAX_RECORDS)
+    if data is None or len(data) != 8:
+        return None
+    n = struct.unpack(">Q", data)[0]
+    return n if n else None
 
 
 _EXP_CMP_OPS = {
@@ -2771,6 +2849,8 @@ class WireClient:
         pid_count: int | None = None,
         bins: list[str] | None = None,
         filter_exp: tuple | None = None,
+        resume_digest: bytes | None = None,
+        max_records: int | None = None,
     ):
         """Stream every record this node serves for (namespace, set) —
         optionally restricted to the partition range [pid_begin,
@@ -2780,7 +2860,14 @@ class WireClient:
         bins) until the INFO3_LAST terminator.  A scan owns the
         connection's response stream, so it refuses to start with
         requests in flight (send scans on their own connection, like
-        the real client does)."""
+        the real client does).
+
+        PAGED/RESUMABLE form (round 16): with `max_records` the server
+        returns one page of the range's total (pid, digest) order;
+        pass the last digest received as the next call's
+        `resume_digest` — on any connection, to any node serving the
+        range — and the stream continues strictly after it.  A page
+        shorter than `max_records` means the range is exhausted."""
         if self._sent != self._received or self._results:
             raise RuntimeError(
                 "aerospike wire: scan on a connection with in-flight requests"
@@ -2789,6 +2876,7 @@ class WireClient:
             build_scan(
                 self.namespace, self.set_name, pid_begin, pid_count,
                 bins=bins, filter_exp=filter_exp,
+                resume_digest=resume_digest, max_records=max_records,
             )
         )
         while True:
@@ -3366,6 +3454,8 @@ class WireServer:
                         parse_scan_bins(frame),
                         parse_scan_filter(frame),
                         parse_index_range(frame),
+                        parse_scan_resume(frame),
+                        parse_scan_max_records(frame),
                     )
                 pid = partition_id(digest)
                 with self._lock:
@@ -3664,6 +3754,8 @@ class WireServer:
         bins: list[str] | None = None,
         filter_exp: tuple | None = None,
         index_range: tuple | None = None,
+        resume: bytes | None = None,
+        max_records: int | None = None,
     ) -> bytes:
         """SCAN response: every (ns, set) record this node MASTERS as a
         digest-tagged record stream + the INFO3_LAST terminator.
@@ -3673,7 +3765,15 @@ class WireServer:
         sweep to [begin, begin+count).  The snapshot is taken under the
         lock; frames are built outside it.  At fixture scale the whole
         stream returns as one sendall; a production server chunks —
-        the client's framing loop is already incremental either way."""
+        the client's framing loop is already incremental either way.
+
+        The stream is TOTALLY ORDERED by (pid, digest) — the resumable
+        contract (round 16): `resume` drops everything at or before the
+        cursor (PARAMETER error when the cursor's partition is outside
+        the request's own range), `max_records` caps the page.  A
+        re-issued page is byte-identical as long as the stored state
+        hasn't changed — what makes a speculatively re-executed scan
+        task safe."""
 
         def in_range(pid: int) -> bool:
             return pid_range is None or (
@@ -3706,6 +3806,10 @@ class WireServer:
             self._scans += 1
             if self._on_scan is not None:
                 self._on_scan(self._scans)
+            if resume is not None and not in_range(partition_id(resume)):
+                # the cursor names a partition the request's own range
+                # excludes — a malformed resume, not an empty page
+                return build_scan_last(RC_PARAMETER)
             snap = [
                 (
                     k[2],
@@ -3725,6 +3829,15 @@ class WireServer:
                 # row-count pruning composing with width pruning
                 and (filter_exp is None or exp_eval(filter_exp, v[0]) is True)
             ]
+            # total (pid, digest) order — the resumable-stream contract
+            snap.sort(key=lambda r: (partition_id(r[0]), r[0]))
+            if resume is not None:
+                cursor = (partition_id(resume), resume)
+                snap = [
+                    r for r in snap if (partition_id(r[0]), r[0]) > cursor
+                ]
+            if max_records is not None:
+                snap = snap[:max_records]
             self._scan_shipped += len(snap)
         out = [build_scan_record(d, ttl, rb) for d, ttl, rb in snap]
         out.append(build_scan_last())

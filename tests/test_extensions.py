@@ -1549,3 +1549,45 @@ def test_multimodal_prep_av_gates_compose(spark):
             ).cast("int")
     ).count()
     assert bad == 0
+
+
+def test_mm_phash_incremental_decisions(spark):
+    """The incremental image dedup's decision histogram matches the
+    fixture's construction: every doc_id % 5 == 0 batch image is a
+    dup_of_corpus with rep = its corpus image; every % 5 == 2 image
+    whose predecessor exists is the larger side of an in-batch pair;
+    the rest keep.  The corpus fingerprint checkpoint holds bands
+    only — no pixels, no payloads."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from cassandra2aerospike_spark.queries.dedup_q import (
+        QUERIES, _ckpt_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["mm_phash_incremental"](spark, sf).cache()
+    rows = {r["img_id"]: r for r in out.collect()}
+    n_docs = len(rows)
+    for d in range(n_docs):
+        r = rows[2_000_000 + d]
+        if d % 5 == 0:
+            assert r["decision"] == "dup_of_corpus" and r["dup_of"] == d
+        elif d % 5 == 2 and d >= 1:
+            # the larger side of the (d-1, d) in-batch pair
+            assert r["decision"] == "dup_in_batch"
+            assert r["dup_of"] == 2_000_000 + d - 1
+        else:
+            assert r["decision"] == "keep" and r["dup_of"] is None
+    out.unpersist()
+    # the fingerprint store is bands-only (4 ints + id per image)
+    ckpt = _ckpt_dir(sf, "phash_fp")
+    schema = papq.read_schema(
+        next(
+            os.path.join(ckpt, f)
+            for f in os.listdir(ckpt)
+            if f.endswith(".parquet")
+        )
+    )
+    assert set(schema.names) == {"img_id", "bands"}

@@ -2394,3 +2394,82 @@ def test_batch_entry_replay_safe_cdt_kinds():
     # under replace/create-only even RMW CDT entries are replay-safe
     assert safe((d, [("list_append", "b", b"x")], 0, None, True))
     assert safe((d, [("map_incr", "b", b"k", 1)], 0, None, False, False, True))
+
+
+def test_wire_paged_scan_resume_contract():
+    """Round 16 resumable scans: the stream is totally ordered by
+    (pid, digest); max_records caps a page; a resume cursor continues
+    strictly after it ON A FRESH CONNECTION (the 20-byte bookmark is
+    the whole client-side state); re-issuing a page returns the
+    identical page; an out-of-range cursor answers PARAMETER error."""
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "pg")
+        for i in range(40):
+            assert c.wait(c.put(f"k{i}".encode(), {"v": b"%d" % i}, 0)) == "ok"
+        full = list(c.scan())
+        order = [(aw.partition_id(d), d) for d, _, _ in full]
+        assert order == sorted(order)  # total (pid, digest) order
+        c.close()
+
+        # page through on a FRESH connection per page
+        pages, cursor = [], None
+        while True:
+            pc = aw.WireClient(srv.host, srv.port, "tmx", "pg")
+            page = list(pc.scan(resume_digest=cursor, max_records=7))
+            pc.close()
+            pages.append(page)
+            if len(page) < 7:
+                break
+            cursor = page[-1][0]
+        assert [r for p in pages for r in p] == full
+        assert all(len(p) == 7 for p in pages[:-1])
+
+        # a re-issued page (speculative task retry) is identical
+        pc = aw.WireClient(srv.host, srv.port, "tmx", "pg")
+        again = list(pc.scan(resume_digest=pages[0][-1][0], max_records=7))
+        pc.close()
+        assert again == pages[1]
+
+        # pagination composes with a pid range; cursor outside the
+        # request's own range answers PARAMETER
+        mid_d = full[len(full) // 2][0]
+        mid_pid = aw.partition_id(mid_d)
+        rc = aw.WireClient(srv.host, srv.port, "tmx", "pg")
+        in_r = list(rc.scan(mid_pid, 1, resume_digest=mid_d))
+        assert all(aw.partition_id(d) == mid_pid for d, _, _ in in_r)
+        assert mid_d not in [d for d, _, _ in in_r]  # strictly after
+        rc.close()
+        rc = aw.WireClient(srv.host, srv.port, "tmx", "pg")
+        try:
+            list(rc.scan((mid_pid + 1) % 4096, 1, resume_digest=mid_d))
+            raise AssertionError("out-of-range cursor must fail")
+        except RuntimeError as e:
+            assert f"rc {aw.RC_PARAMETER}" in str(e)
+        finally:
+            rc.close()
+
+        # grammar roundtrip + guards
+        req = aw.build_scan("tmx", "pg", resume_digest=mid_d, max_records=7)
+        assert aw.parse_scan_resume(req[8:]) == mid_d
+        assert aw.parse_scan_max_records(req[8:]) == 7
+        plain = aw.build_scan("tmx", "pg")
+        assert aw.parse_scan_resume(plain[8:]) is None
+        assert aw.parse_scan_max_records(plain[8:]) is None
+        unlim = aw.build_scan("tmx", "pg", max_records=0)
+        assert aw.parse_scan_max_records(unlim[8:]) is None  # 0 = unlimited
+        for bad in (b"short", b"x" * 21):
+            try:
+                aw.build_scan("tmx", "pg", resume_digest=bad)
+                raise AssertionError("bad digest must raise")
+            except ValueError:
+                pass
+        try:
+            aw.build_scan("tmx", "pg", max_records=1 << 64)
+            raise AssertionError("oversize max_records must raise")
+        except ValueError:
+            pass
+    finally:
+        srv.close()
