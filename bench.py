@@ -170,6 +170,7 @@ HEADLINE = [
     # store (the continuous-ingest image-modality shape)
     "s63_wire_paged_scan_source",
     "mm_phash_incremental",
+    "s64_wire_cdt_sindex_query",
 ]
 
 

@@ -4977,6 +4977,171 @@ def q_s63_wire_paged_scan_source(spark, sf_dir):
     return out
 
 
+def q_s64_wire_cdt_sindex_query(spark, sf_dir):
+    """SECONDARY INDEX ON A CDT MAP VALUE (round 16 — the public
+    sindex-on-CDT-with-context concept, server 6.1+): s57 indexes a
+    top-level integer bin; real document-store records keep their
+    fields INSIDE one map particle, and the index must reach through
+    it.  Here every merged record is stored as a SINGLE K-ordered map
+    bin `attrs` — each merge column a map entry plus an integer `nc`
+    entry (the column count) — and the value-selective read is served
+    by an index created WITH a map-key context
+    (sindex_create(..., ctx_map_key=b'nc')): the query's INDEX_RANGE
+    carries the same context, and the server evaluates the range
+    against the value AT THAT KEY inside the particle.
+
+    Context specificity asserted in-query (the real server's rule): a
+    PLAIN `attrs` index exists on every node, yet the context query
+    refuses INDEX_NOT_FOUND until the context index is created — an
+    index only serves queries carrying its exact context.  Then one
+    query task per node streams records with map['nc'] in [2, 4];
+    shipped == the relational match count; digests map back to keys
+    distributedly and the map particle is unpacked CLIENT-side back
+    into the column string (round-tripping the K-ordered packing).
+
+    100 TB posture: identical to s57 — the predicate prunes ROW COUNT
+    server-side before the wire, parallelism rides nodes (and composes
+    with pid slicing, unit-tested), and the document-store layout
+    means no per-column bin explosion at the sink.  Exact oracle: the
+    live merge with n_cols between 2 and 4 (the particle layout must
+    be invisible in the result)."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+        encode_index_range,
+        pack_map,
+        unpack_map,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_nodes = 3
+    ns, set_name = "tmx", "cdtixed"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    servers = [
+        WireServer(
+            owned_partitions={
+                p for p in range(N_PARTITIONS) if p % n_nodes == i
+            },
+            info_namespace=ns,
+        )
+        for i in range(n_nodes)
+    ]
+    nodes = [(srv.host, srv.port) for srv in servers]
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes, ns, set_name)
+        key = str(rd["key"]).encode()
+        entries = {
+            k.encode(): ("%.2f" % v).encode() for k, v in rd["columns"].items()
+        }
+        entries[b"nc"] = len(rd["columns"]).to_bytes(8, "big", signed=True)
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, {"attrs": pack_map(entries)}, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("cdt sindex sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    ctx_range = encode_index_range("attrs", 2, 4, ctx_map_key=b"nc")
+    # plain index first, everywhere — then prove it does NOT serve the
+    # context query (context specificity), then the context DDL
+    for h, p_ in nodes:
+        c = WireClient(h, p_, ns, set_name)
+        c.sindex_create("attrs", numeric=True)
+        c.close()
+    probe = WireClient(nodes[0][0], nodes[0][1], ns, set_name)
+    try:
+        list(probe.query(ctx_range))
+        raise RuntimeError("cdt sindex row: context query served sans index")
+    except RuntimeError as e:
+        if "secondary index" not in str(e):
+            raise
+    probe.close()
+    for h, p_ in nodes:
+        c = WireClient(h, p_, ns, set_name)
+        c.sindex_create("attrs", numeric=True, ctx_map_key=b"nc")
+        c.close()
+
+    n_match = records.filter(F.size("columns").between(2, 4)).count()
+    nodes_df = spark.createDataFrame(
+        [(i, h, p) for i, (h, p) in enumerate(nodes)],
+        "node int, host string, port int",
+    ).repartition(n_nodes, "node")
+
+    def query_node(batches):
+        for pdf in batches:
+            for _node, h, p_ in zip(pdf["node"], pdf["host"], pdf["port"]):
+                c = WireClient(h, int(p_), ns, set_name)
+                dh, ncs, cols, ttls = [], [], [], []
+                for digest, ttl, bins in c.query(
+                    encode_index_range("attrs", 2, 4, ctx_map_key=b"nc")
+                ):
+                    m = unpack_map(bins["attrs"])
+                    ncs.append(
+                        int.from_bytes(m.pop(b"nc"), "big", signed=True)
+                    )
+                    dh.append(digest.hex())
+                    cols.append(
+                        ",".join(
+                            sorted(
+                                f"{n.decode()}={v.decode()}"
+                                for n, v in m.items()
+                            )
+                        )
+                    )
+                    ttls.append(int(ttl))
+                c.close()
+                yield pd.DataFrame(
+                    {
+                        "digest_hex": dh,
+                        "nc": ncs,
+                        "cols_str": cols,
+                        "ttl": ttls,
+                    }
+                )
+
+    queried = nodes_df.mapInPandas(
+        query_node, "digest_hex string, nc long, cols_str string, ttl long"
+    )
+    keyed = records.select(
+        "key",
+        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex"),
+    )
+    out = (
+        keyed.join(queried, "digest_hex")
+        .select("key", "nc", "cols_str", "ttl")
+        .cache()
+    )
+    n_out = out.count()  # materialize while the cluster lives
+    shipped = sum(srv._scan_shipped for srv in servers)
+    n_queries = sum(srv._queries for srv in servers)
+    if n_out != n_match or shipped != n_match:
+        raise RuntimeError(
+            f"cdt sindex query: out={n_out} shipped={shipped} != match={n_match}"
+        )
+    if n_queries != n_nodes + 1:  # one per node + the specificity probe
+        raise RuntimeError(f"cdt sindex query count {n_queries} != {n_nodes + 1}")
+    for srv in servers:
+        srv.close()
+    records.unpersist()
+    return out
+
+
 QUERIES = {
     "pipeline_sstable_corpus": q_pipeline_sstable_corpus,
     "src_formats_roundtrip": q_src_formats_roundtrip,
@@ -5010,6 +5175,7 @@ QUERIES = {
     "s61_wire_cdt_ops": q_s61_wire_cdt_ops,
     "s62_wire_cdt_during_handoff": q_s62_wire_cdt_during_handoff,
     "s63_wire_paged_scan_source": q_s63_wire_paged_scan_source,
+    "s64_wire_cdt_sindex_query": q_s64_wire_cdt_sindex_query,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -5422,6 +5588,23 @@ ORACLES = {
     # [2, 4]; the index-required refusal and per-node query counts are
     # in-query asserts
     "s57_sindex_query": _CTE + """
+        , live_records AS (
+          SELECT key, expiry, n_cols FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               CAST(lr.n_cols AS BIGINT) AS nc,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        WHERE lr.n_cols BETWEEN 2 AND 4
+        GROUP BY lr.key, lr.expiry, lr.n_cols
+    """,
+    # s64: the map-particle layout must be invisible — same contract
+    "s64_wire_cdt_sindex_query": _CTE + """
         , live_records AS (
           SELECT key, expiry, n_cols FROM records
           WHERE expiry = 4294967295 OR expiry >= 1719792001

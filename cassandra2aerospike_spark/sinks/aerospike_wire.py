@@ -1371,21 +1371,35 @@ def encode_index_range(
     lo: int | None = None,
     hi: int | None = None,
     eq: bytes | None = None,
+    ctx_map_key: bytes | None = None,
 ) -> bytes:
     """The INDEX_RANGE field payload: u8 range count (1), u8 name len +
     name, u8 particle type, then the predicate — INT (type 1): two >q
     bounds [lo, hi] inclusive; BLOB (type 4): u32 len + bytes
     (equality).  One range per query, like the real client's as_query
-    where clause."""
+    where clause.
+
+    `ctx_map_key` (round 16 — the public sindex-on-CDT-with-context
+    concept, server 6.1+): the predicate addresses the VALUE AT THIS
+    MAP KEY inside the bin's K-ordered map particle instead of the bin
+    itself — appended as u8 ctx kind (1 = map-key) + u8 key len + key
+    (the house length-prefixed stand-in for the client's msgpack'd
+    as_cdt_ctx)."""
     nb = bin_name.encode()
     if len(nb) > 15:
         raise ValueError(f"bin name over 15 bytes: {bin_name!r}")
     head = struct.pack("BB", 1, len(nb)) + nb
     if eq is not None:
-        return head + struct.pack(">BI", EXP_TYPE_BLOB, len(eq)) + eq
-    if lo is None or hi is None:
-        raise ValueError("int index range needs both bounds")
-    return head + struct.pack(">Bqq", EXP_TYPE_INT, lo, hi)
+        out = head + struct.pack(">BI", EXP_TYPE_BLOB, len(eq)) + eq
+    else:
+        if lo is None or hi is None:
+            raise ValueError("int index range needs both bounds")
+        out = head + struct.pack(">Bqq", EXP_TYPE_INT, lo, hi)
+    if ctx_map_key is not None:
+        if not 1 <= len(ctx_map_key) <= 255:
+            raise ValueError("index context map key must be 1..255 bytes")
+        out += struct.pack("BB", 1, len(ctx_map_key)) + ctx_map_key
+    return out
 
 
 def parse_index_range(frame: bytes):
@@ -1418,18 +1432,31 @@ def parse_index_range(frame: bytes):
     name = data[2 : 2 + nlen].decode()
     ptype = data[2 + nlen]
     rest = data[3 + nlen :]
+
+    def ctx_of(tail: bytes) -> bytes | None:
+        """The optional CDT context suffix: kind 1 (map key) + len +
+        key; empty tail = no context, anything else malformed."""
+        if not tail:
+            return None
+        if len(tail) < 2 or tail[0] != 1 or 2 + tail[1] != len(tail):
+            raise ValueError("aerospike wire: bad index-range context")
+        return tail[2 : 2 + tail[1]]
+
     if ptype == EXP_TYPE_INT:
-        if len(rest) != 16:
+        if len(rest) < 16:
             raise ValueError("aerospike wire: bad int index range")
-        lo, hi = struct.unpack(">qq", rest)
-        return name, ptype, lo, hi, None
+        lo, hi = struct.unpack_from(">qq", rest, 0)
+        return name, ptype, lo, hi, None, ctx_of(rest[16:])
     if ptype == EXP_TYPE_BLOB:
         if len(rest) < 4:
             raise ValueError("aerospike wire: bad blob index range")
         (blen,) = struct.unpack_from(">I", rest, 0)
-        if 4 + blen != len(rest):
+        if 4 + blen > len(rest):
             raise ValueError("aerospike wire: bad blob index range")
-        return name, ptype, None, None, rest[4:]
+        return (
+            name, ptype, None, None, rest[4 : 4 + blen],
+            ctx_of(rest[4 + blen :]),
+        )
     raise ValueError(f"aerospike wire: unknown index particle {ptype}")
 
 
@@ -2903,15 +2930,27 @@ class WireClient:
             raise ValueError("aerospike wire: non-info reply to info")
         return parse_info_response(body)
 
-    def sindex_create(self, bin_name: str, numeric: bool = True) -> None:
+    def sindex_create(
+        self,
+        bin_name: str,
+        numeric: bool = True,
+        ctx_map_key: bytes | None = None,
+    ) -> None:
         """Create a secondary index on `bin_name` for this client's
         (namespace, set) — the public sindex-create info command the
-        real asadm/clients issue.  Idempotent on the in-process server."""
+        real asadm/clients issue.  Idempotent on the in-process server.
+
+        `ctx_map_key` (round 16): index the value AT THIS MAP KEY
+        inside the bin's K-ordered map particle (the public
+        sindex-on-CDT `context=` parameter) — queries must carry the
+        same context to be served by this index."""
         kind = "numeric" if numeric else "string"
         cmd = (
             f"sindex-create:ns={self.namespace};set={self.set_name};"
             f"indexname=idx_{bin_name};indexdata={bin_name},{kind}"
         )
+        if ctx_map_key is not None:
+            cmd += f";context=mapkey-{ctx_map_key.hex()}"
         resp = self.info([cmd])
         if resp.get(cmd) != "OK":
             raise RuntimeError(f"aerospike wire: sindex-create failed: {resp}")
@@ -3180,7 +3219,7 @@ class WireServer:
         # secondary indexes (round 14): (ns, set, bin) registered via
         # the sindex-create info command; queries against unindexed
         # bins answer AEROSPIKE_ERR_INDEX_NOT_FOUND, like the server
-        self._sindexes: set[tuple[str, str, str]] = set()
+        self._sindexes: set[tuple[str, str, str, str]] = set()
         self._queries = 0
         # requests that arrived inside the COMPRESSED envelope (type 4)
         self._envelopes = 0
@@ -3368,6 +3407,7 @@ class WireServer:
                     params.get("ns", ""),
                     params.get("set", ""),
                     ixd.split(",", 1)[0],
+                    params.get("context", ""),
                 )
                 with self._lock:
                     if n.startswith("sindex-create:"):
@@ -3787,10 +3827,20 @@ class WireServer:
             real server's btree maintenance is out of scope)."""
             if index_range is None:
                 return True
-            name, ptype, lo, hi, eq = index_range
+            name, ptype, lo, hi, eq, ctx = index_range
             v = rec_bins.get(name)
             if v is None:
                 return False  # unset bins are never indexed
+            if ctx is not None:
+                # CDT context: the indexed value is the map entry at
+                # the context key; non-map particles and absent keys
+                # are simply not in the index
+                m = unpack_map(v)
+                if m is None:
+                    return False
+                v = m.get(ctx)
+                if v is None:
+                    return False
             if ptype == EXP_TYPE_INT:
                 if len(v) != 8:
                     return False
@@ -3800,8 +3850,15 @@ class WireServer:
         with self._lock:
             if index_range is not None:
                 self._queries += 1
-                if (ns, st, index_range[0]) not in self._sindexes:
-                    # queries REQUIRE a secondary index (scans don't)
+                ctx_tag = (
+                    ""
+                    if index_range[5] is None
+                    else "mapkey-" + index_range[5].hex()
+                )
+                if (ns, st, index_range[0], ctx_tag) not in self._sindexes:
+                    # queries REQUIRE a secondary index (scans don't) —
+                    # and an index WITH a context only serves queries
+                    # with that same context (the real server's rule)
                     return build_scan_last(RC_INDEX_NOT_FOUND)
             self._scans += 1
             if self._on_scan is not None:

@@ -2473,3 +2473,72 @@ def test_wire_paged_scan_resume_contract():
             pass
     finally:
         srv.close()
+
+
+def test_wire_sindex_cdt_context():
+    """Round 16 sindex-on-CDT: an index created with a map-key context
+    serves range queries over the VALUE AT THAT KEY inside the bin's
+    K-ordered map particle; queries with a different (or no) context
+    answer INDEX_NOT_FOUND; non-map particles and maps missing the key
+    are simply not in the index."""
+    import struct
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "cdt")
+        for i in range(10):
+            m = {b"price": struct.pack(">q", i * 10), b"qty": struct.pack(">q", i)}
+            assert c.wait(c.put(f"m{i}".encode(), {"attrs": aw.pack_map(m)}, 0)) == "ok"
+        # a record whose attrs bin is NOT a map, and one missing the key
+        assert c.wait(c.put(b"blob", {"attrs": b"not-a-map"}, 0)) == "ok"
+        assert c.wait(
+            c.put(b"nokey", {"attrs": aw.pack_map({b"qty": struct.pack(">q", 3)})}, 0)
+        ) == "ok"
+
+        rng = aw.encode_index_range("attrs", 20, 50, ctx_map_key=b"price")
+        # context index not created yet -> INDEX_NOT_FOUND, even though
+        # a plain attrs index exists
+        c.sindex_create("attrs", numeric=True)
+        try:
+            list(c.query(rng))
+            raise AssertionError("context query must need the context index")
+        except RuntimeError as e:
+            assert "needs a secondary index" in str(e)
+        c.sindex_create("attrs", numeric=True, ctx_map_key=b"price")
+        got = sorted(
+            int.from_bytes(aw.unpack_map(b["attrs"])[b"price"], "big")
+            for _, _, b in c.query(rng)
+        )
+        assert got == [20, 30, 40, 50]  # i in 2..5; blob/nokey excluded
+        # the plain (no-context) index still serves nothing useful here
+        # but remains a distinct registry entry: a no-context query on
+        # attrs is served (registry hit) and matches no record (the
+        # map particle is never 8 bytes)
+        assert list(c.query(aw.encode_index_range("attrs", 0, 1 << 40))) == []
+        # codec roundtrip incl. context, and the blob-eq form
+        parsed = aw.parse_index_range(
+            aw.build_query("tmx", "cdt", rng)[8:]
+        )
+        assert parsed == ("attrs", aw.EXP_TYPE_INT, 20, 50, None, b"price")
+        rng_eq = aw.encode_index_range("attrs", eq=b"x", ctx_map_key=b"tag")
+        parsed = aw.parse_index_range(aw.build_query("tmx", "cdt", rng_eq)[8:])
+        assert parsed == ("attrs", aw.EXP_TYPE_BLOB, None, None, b"x", b"tag")
+        # malformed context suffix raises
+        try:
+            aw.parse_index_range(
+                aw.build_query("tmx", "cdt", rng + b"\x07")[8:]
+            )
+            raise AssertionError("trailing garbage must raise")
+        except ValueError:
+            pass
+        for bad in (b"", b"x" * 256):
+            try:
+                aw.encode_index_range("attrs", 0, 1, ctx_map_key=bad)
+                raise AssertionError("bad ctx key must raise")
+            except ValueError:
+                pass
+        c.close()
+    finally:
+        srv.close()
