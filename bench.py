@@ -171,6 +171,7 @@ HEADLINE = [
     "s63_wire_paged_scan_source",
     "mm_phash_incremental",
     "s64_wire_cdt_sindex_query",
+    "pipeline_length_buckets",
 ]
 
 

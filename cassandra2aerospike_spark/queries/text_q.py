@@ -1195,6 +1195,43 @@ FROM feats f, w{CLF_ROUNDS} w
 
 
 ORACLES = {
+    # length buckets: the same value-histogram -> ceil-quartile
+    # threshold -> CASE arithmetic, per-bucket padding accounting
+    "pipeline_length_buckets": _TOKS
+    + """
+        , nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+        hist AS (SELECT n_tokens AS v, count(*) AS cnt FROM nt GROUP BY 1),
+        cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS c,
+                       (SELECT count(*) FROM nt) AS n FROM hist),
+        th AS (SELECT
+            min(CASE WHEN c >= (n * 1 + 3) // 4 THEN v END) AS t0,
+            min(CASE WHEN c >= (n * 2 + 3) // 4 THEN v END) AS t1,
+            min(CASE WHEN c >= (n * 3 + 3) // 4 THEN v END) AS t2
+          FROM cum),
+        bucketed AS (
+          SELECT n_tokens,
+                 CASE WHEN n_tokens <= t0 THEN 0
+                      WHEN n_tokens <= t1 THEN 1
+                      WHEN n_tokens <= t2 THEN 2
+                      ELSE 3 END AS bucket
+          FROM nt, th
+        ),
+        per AS (
+          SELECT bucket, count(*) AS n_docs, max(n_tokens) AS cap,
+                 sum(n_tokens) AS sum_tokens
+          FROM bucketed GROUP BY bucket
+          UNION ALL
+          SELECT -1, count(*), max(n_tokens), sum(n_tokens) FROM nt
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(cap AS BIGINT) AS cap,
+               CAST(sum_tokens AS BIGINT) AS sum_tokens,
+               CAST(n_docs * cap AS BIGINT) AS padded,
+               CAST((10000 * (n_docs * cap - sum_tokens))
+                    // (n_docs * cap) AS BIGINT) AS waste_bp
+        FROM per
+    """,
     "text_quality_classifier": _classifier_oracle(),
     # duplicated-substring spans: same 12-gram hash, global frequency,
     # same gaps-and-islands merge (adjacency merges: start <= prev_end+1)
@@ -2055,9 +2092,86 @@ def q_text_dup_span_removal(spark, sf_dir):
     )
 
 
+def q_pipeline_length_buckets(spark, sf_dir):
+    """LENGTH-BUCKETED BATCH PACKING (round 16, X4 — the padding-
+    efficiency op every fixed-context training pipeline runs before
+    batching): documents batched together pad to the batch's longest
+    member, so batching short and long docs together wastes compute —
+    the standard fix is length bucketing by EXACT token-count
+    quartiles, then batching within buckets.
+
+    Distributed shape for the quantile step: the corpus never sorts
+    globally — token counts have a BOUNDED VALUE DOMAIN (hundreds of
+    distinct lengths at any corpus size), so exact quartile thresholds
+    come from a VALUE HISTOGRAM (one groupBy(n_tokens).count(), tiny
+    by contract like the sim_q codebook folds) cumulated on the
+    driver; thresholds broadcast back as literals.  t_b = the smallest
+    length whose cumulative count reaches ceil(n*(b+1)/4) (integer
+    arithmetic, deterministic under ties).
+
+    Output: one row per bucket (0..3) plus the UNBUCKETED baseline
+    (bucket = -1, cap = global max): n_docs, cap (the bucket's pad
+    target), sum_tokens, padded = n_docs * cap, and waste_bp — the
+    basis points of padded compute that is padding.  The buckets'
+    total padded cost is strictly below the baseline's (test-pinned):
+    the row MEASURES the efficiency win instead of asserting it.
+    Exact oracle: the same histogram -> threshold -> CASE arithmetic
+    in SQL."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    hist = sorted(
+        (r["n_tokens"], r["cnt"])
+        for r in d.groupBy("n_tokens").agg(F.count("*").alias("cnt")).collect()
+    )
+    n = sum(c for _, c in hist)
+    thresholds, cum, b = [], 0, 0
+    for v, c in hist:
+        cum += c
+        while b < 3 and cum >= (n * (b + 1) + 3) // 4:
+            thresholds.append(v)
+            b += 1
+    t0, t1, t2 = thresholds
+    bucket = (
+        F.when(F.col("n_tokens") <= t0, 0)
+        .when(F.col("n_tokens") <= t1, 1)
+        .when(F.col("n_tokens") <= t2, 2)
+        .otherwise(3)
+    )
+    per = d.select("n_tokens", bucket.alias("bucket"))
+    summary = (
+        per.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("cap"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .unionByName(
+            per.agg(
+                F.lit(-1).alias("bucket"),
+                F.count("*").alias("n_docs"),
+                F.max("n_tokens").alias("cap"),
+                F.sum("n_tokens").alias("sum_tokens"),
+            )
+        )
+    )
+    return summary.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("cap").cast("long").alias("cap"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        (F.col("n_docs") * F.col("cap")).cast("long").alias("padded"),
+    ).withColumn(
+        # exact integer division on both engines (no double rounding)
+        "waste_bp",
+        F.expr("(10000 * (padded - sum_tokens)) div padded").cast("long"),
+    )
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_line_dedup": q_text_line_dedup,
+    "pipeline_length_buckets": q_pipeline_length_buckets,
     "text_quality": q_text_quality,
     "text_gopher_rules": q_text_gopher_rules,
     "text_quality_classifier": q_text_quality_classifier,

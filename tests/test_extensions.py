@@ -1591,3 +1591,37 @@ def test_mm_phash_incremental_decisions(spark):
         )
     )
     assert set(schema.names) == {"img_id", "bands"}
+
+
+def test_pipeline_length_buckets_efficiency(spark):
+    """Length bucketing: bucket sizes are exact ceil-quartiles of the
+    corpus, every bucket's pad target is its own max, and the buckets'
+    total padded compute is strictly below the unbucketed baseline —
+    the efficiency claim the row exists to measure."""
+    from cassandra2aerospike_spark.queries.text_q import QUERIES
+
+    rows = {
+        r["bucket"]: r
+        for r in QUERIES["pipeline_length_buckets"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {-1, 0, 1, 2, 3}
+    base = rows[-1]
+    n = base["n_docs"]
+    # quartile allocation: cumulative doc counts hit the ceil targets
+    cum = 0
+    for b in range(3):
+        cum += rows[b]["n_docs"]
+        assert cum >= (n * (b + 1) + 3) // 4
+        # and not overshooting past the next value class: removing the
+        # bucket's longest length class would drop below the target
+        assert cum - rows[b]["n_docs"] < (n * (b + 1) + 3) // 4
+    assert sum(rows[b]["n_docs"] for b in range(4)) == n
+    # caps ascend and the global cap is bucket 3's
+    assert rows[0]["cap"] <= rows[1]["cap"] <= rows[2]["cap"] <= rows[3]["cap"]
+    assert rows[3]["cap"] == base["cap"]
+    # the measured win: bucketed padding strictly cheaper
+    bucketed_padded = sum(rows[b]["padded"] for b in range(4))
+    assert bucketed_padded < base["padded"]
+    assert all(rows[b]["waste_bp"] <= base["waste_bp"] for b in range(4))
