@@ -172,6 +172,7 @@ HEADLINE = [
     "mm_phash_incremental",
     "s64_wire_cdt_sindex_query",
     "pipeline_length_buckets",
+    "s65_wire_cluster_to_cluster",
 ]
 
 

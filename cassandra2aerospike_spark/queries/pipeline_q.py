@@ -5142,6 +5142,205 @@ def q_s64_wire_cdt_sindex_query(spark, sf_dir):
     return out
 
 
+def q_s65_wire_cluster_to_cluster(spark, sf_dir):
+    """CLUSTER-TO-CLUSTER MIGRATION (round 16 capstone — the XDR-shaped
+    pipe, composing the round's two new wire families): records flow
+    from a live 3-node source cluster into a live 2-node destination
+    cluster with a DIFFERENT topology, entirely through the public op
+    grammar — PAGED scans out of A (the s63 digest-cursor pagination),
+    BATCH-WRITES into B (the s59 sub-transaction family via
+    ClusterRouter.batch_operate) — no intermediate files, no
+    single-record round trips anywhere in the ship phase.
+
+    Shape: merged records sink onto cluster A (p % 3 ownership); 4
+    range-tasks ship disjoint 1024-partition slices — each task pages
+    its slice out of every A node (page cap 16, fresh connection per
+    page: the resumable-cursor contract in a real pipe) and turns each
+    page DIRECTLY into create-only batch-write items routed to B's
+    masters (p % 2 ownership — every digest re-routes to a different
+    topology).  Per-record results checked in-task ('ok' required);
+    in-query asserts: A shipped each record exactly once (scan counter
+    == merged), B served ZERO single puts (the ship is batch-only) and
+    >= 1 batch per node, and B's scan-back equals the merged record
+    count with distinct digests.
+
+    100 TB posture: the ship phase's unit of work is (slice, page) —
+    task memory is one page, task failure costs one page re-read plus
+    idempotent create-only re-writes (KEY_EXISTS is the replay's
+    no-op), round trips per page are bounded by B's node count.  Exact
+    merge oracle over B's scanned state: two clusters and a re-keyed
+    topology must be invisible in the result."""
+    from ..sinks.aerospike_wire import (
+        ClusterRouter,
+        N_PARTITIONS,
+        WireClient,
+        WireServer,
+    )
+    from ..sinks.kv_sink import bounded_async_foreach_writer
+
+    n_a, n_b, n_ranges, page_size = 3, 2, 4, 16
+    span = N_PARTITIONS // n_ranges
+    ns = "tmx"
+    set_a, set_b = "xdr_src", "xdr_dst"
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    servers_a = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % n_a == i},
+            info_namespace=ns,
+        )
+        for i in range(n_a)
+    ]
+    servers_b = [
+        WireServer(
+            owned_partitions={p for p in range(N_PARTITIONS) if p % n_b == i},
+            info_namespace=ns,
+        )
+        for i in range(n_b)
+    ]
+    nodes_a = [(srv.host, srv.port) for srv in servers_a]
+    nodes_b = [(srv.host, srv.port) for srv in servers_b]
+    records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
+    n_records = records.count()
+    sink_records = records.coalesce(_sink_parallelism(n_records))
+    state: dict = {}
+
+    def put(rd):
+        r = state.get("router")
+        if r is None:
+            r = state["router"] = ClusterRouter(nodes_a, ns, set_a)
+        key = str(rd["key"]).encode()
+        bins = {k: ("%.2f" % v).encode() for k, v in rd["columns"].items()}
+        ttl = (
+            0xFFFFFFFF if rd["expiry"] == eternal else int(rd["expiry"]) - now_s
+        )
+        c = r.client_for(key)
+        return c.put(key, bins, ttl), c
+
+    def wait(h):
+        handle, c = h
+        if c.wait(handle) != "ok":
+            raise RuntimeError("xdr sink: unexpected non-ok put")
+        return True
+
+    bounded_async_foreach_writer(sink_records, put, wait, max_in_flight=32)
+
+    ranges_df = spark.createDataFrame(
+        [(r, r * span, span) for r in range(n_ranges)],
+        "rng int, begin int, count int",
+    ).repartition(n_ranges, "rng")
+
+    def ship_range(batches):
+        for pdf in batches:
+            for begin, count in zip(pdf["begin"], pdf["count"]):
+                router_b = ClusterRouter(nodes_b, ns, set_b)
+                shipped = 0
+                for h, p_ in nodes_a:
+                    cursor = None
+                    while True:
+                        c = WireClient(h, p_, ns, set_a)
+                        page = list(
+                            c.scan(
+                                int(begin), int(count),
+                                resume_digest=cursor, max_records=page_size,
+                            )
+                        )
+                        c.close()
+                        if page:
+                            items = [
+                                (
+                                    digest,
+                                    [
+                                        ("write", n, v)
+                                        for n, v in sorted(bins.items())
+                                    ],
+                                    int(ttl),
+                                    None,
+                                    True,  # create-only: replay-safe
+                                )
+                                for digest, ttl, bins in page
+                            ]
+                            res = router_b.batch_operate(items)
+                            bad = {
+                                d.hex(): st
+                                for d, (st, *_x) in res.items()
+                                if st != "ok"
+                            }
+                            if bad:
+                                raise RuntimeError(f"xdr ship: {bad}")
+                            shipped += len(page)
+                        if len(page) < page_size:
+                            break
+                        cursor = page[-1][0]
+                router_b.close()
+                yield pd.DataFrame({"shipped": [shipped]})
+
+    total_shipped = (
+        ranges_df.mapInPandas(ship_range, "shipped long")
+        .agg(F.sum("shipped"))
+        .first()[0]
+    )
+    scanned_a = sum(srv._scan_shipped for srv in servers_a)
+    b_single_puts = sum(srv._puts for srv in servers_b)
+    b_batches = [srv._batch_writes for srv in servers_b]
+    if total_shipped != n_records or scanned_a != n_records:
+        raise RuntimeError(
+            f"xdr: shipped={total_shipped} scanned={scanned_a} != {n_records}"
+        )
+    if b_single_puts != 0 or min(b_batches) < 1:
+        raise RuntimeError(
+            f"xdr: single_puts={b_single_puts} batches={b_batches}"
+        )
+
+    # read the DESTINATION back: one scan task per B node, digest join
+    nodes_df = spark.createDataFrame(
+        [(i, h, p) for i, (h, p) in enumerate(nodes_b)],
+        "node int, host string, port int",
+    ).repartition(n_b, "node")
+
+    def scan_b(batches):
+        for pdf in batches:
+            for _node, h, p_ in zip(pdf["node"], pdf["host"], pdf["port"]):
+                c = WireClient(h, int(p_), ns, set_b)
+                dh, cols, ttls = [], [], []
+                for digest, ttl, bins in c.scan():
+                    dh.append(digest.hex())
+                    cols.append(
+                        ",".join(
+                            sorted(f"{n}={v.decode()}" for n, v in bins.items())
+                        )
+                    )
+                    ttls.append(int(ttl))
+                c.close()
+                yield pd.DataFrame(
+                    {"digest_hex": dh, "cols_str": cols, "ttl": ttls}
+                )
+
+    scanned = nodes_df.mapInPandas(
+        scan_b, "digest_hex string, cols_str string, ttl long"
+    ).cache()
+    agg = scanned.agg(
+        F.count("*").alias("n"), F.countDistinct("digest_hex").alias("nd")
+    ).first()
+    if not (agg["n"] == agg["nd"] == n_records):
+        raise RuntimeError(
+            f"xdr readback: n={agg['n']} distinct={agg['nd']} != {n_records}"
+        )
+    keyed = records.select(
+        "key",
+        # the digest IS the record's identity across clusters: B stores
+        # the digests A computed (key_digest over the SOURCE set), so
+        # the inversion joins on set_a even though B's set is set_b
+        _digest_hex_records(F.lit(set_a), F.col("key")).alias("digest_hex"),
+    )
+    out = keyed.join(scanned, "digest_hex").select("key", "cols_str", "ttl").cache()
+    out.count()  # materialize while the clusters live
+    for srv in servers_a + servers_b:
+        srv.close()
+    scanned.unpersist()
+    records.unpersist()
+    return out
+
+
 QUERIES = {
     "pipeline_sstable_corpus": q_pipeline_sstable_corpus,
     "src_formats_roundtrip": q_src_formats_roundtrip,
@@ -5176,6 +5375,7 @@ QUERIES = {
     "s62_wire_cdt_during_handoff": q_s62_wire_cdt_during_handoff,
     "s63_wire_paged_scan_source": q_s63_wire_paged_scan_source,
     "s64_wire_cdt_sindex_query": q_s64_wire_cdt_sindex_query,
+    "s65_wire_cluster_to_cluster": q_s65_wire_cluster_to_cluster,
     "s43_wire_partition_scan_source": q_s43_wire_partition_scan_source,
     "s44_wire_scan_during_handoff": q_s44_wire_scan_during_handoff,
     "s45_backup_restore_verified": q_s45_backup_restore_verified,
@@ -5306,6 +5506,21 @@ ORACLES = {
     # row verified=1; the handoff, re-tend, replication and failover
     # invariants are in-query asserts (any breach errors the row)
     "s43_wire_partition_scan_source": _CTE + """
+        , live_records AS (
+          SELECT key, expiry FROM records
+          WHERE expiry = 4294967295 OR expiry >= 1719792001
+        )
+        SELECT lr.key,
+               string_agg(lf.col_name || '=' || printf('%.2f', lf.value), ','
+                          ORDER BY lf.col_name || '=' || printf('%.2f', lf.value)
+                          ) AS cols_str,
+               CASE WHEN lr.expiry = 4294967295 THEN 4294967295
+                    ELSE lr.expiry - 1719792000 END AS ttl
+        FROM live_records lr JOIN latest_f lf ON lf.key = lr.key
+        GROUP BY lr.key, lr.expiry
+    """,
+    # s65: two clusters + a re-keyed topology must be invisible too
+    "s65_wire_cluster_to_cluster": _CTE + """
         , live_records AS (
           SELECT key, expiry FROM records
           WHERE expiry = 4294967295 OR expiry >= 1719792001
