@@ -24,10 +24,13 @@ behind its own flag so every leg runs in a fresh session:
     routing + bounded-async pipelining) over x5 -> x50 replicated
     merged records;
   * --batch: the s59-shape batched migration (ONE batch-write per
-    task x node, create-only write ops per record) over x5 -> x50.
+    task x node, create-only write ops per record) over x5 -> x50;
+  * --scan (round 16 late): the PAGED read side — 8 pid-range tasks,
+    512-record pages on fresh connections with digest-cursor resume,
+    x5 -> x50, plus the unbounded sweep at x50 (pagination's price).
 
 Usage: SPARK_GRAFT_CPUS=32 python tools/probe_10x.py [sf_dir]
-       [--lsh-only | --media | --wire | --batch]
+       [--lsh-only | --media | --wire | --batch | --scan]
 Prints one JSON line.
 """
 
@@ -65,6 +68,8 @@ def main() -> int:
         return _wire_leg(spark, sf_dir, out, batched=False)
     if "--batch" in sys.argv:
         return _wire_leg(spark, sf_dir, out, batched=True)
+    if "--scan" in sys.argv:
+        return _scan_leg(spark, sf_dir, out)
 
     def merge_probe(factor: int) -> tuple[float, int]:
         amp = (
@@ -358,6 +363,166 @@ def _wire_leg(spark, sf_dir: str, out: dict, batched: bool) -> int:
     print(
         f"# {name} 10x step: x5 {r5:,.0f} -> x50 {r50:,.0f} recs/s "
         f"({n5:,} -> {n50:,} records, ratio {r50 / r5:.2f})",
+        file=sys.stderr,
+    )
+    print(json.dumps(out))
+    return 0
+
+
+def _scan_leg(spark, sf_dir: str, out: dict) -> int:
+    """Read-side 10x step for the PAGED scan path (round 16): fill a
+    3-node cluster with x5 then x50 replicated merged records (batch
+    writes), then sweep it back through 8 disjoint pid ranges, every
+    (range, node) stream read in 512-record pages on fresh connections
+    with the digest-cursor resume.  Reports paged recs/s at both
+    factors (the decade ratio) and, at x50, the UNBOUNDED sweep on the
+    same stored state — the measured price of pagination (extra
+    connections + per-page re-addressing) vs the resumability it
+    buys."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cassandra2aerospike_spark.operators import merge
+    from cassandra2aerospike_spark.queries.pipeline_q import _sink_parallelism
+    from cassandra2aerospike_spark.sinks.aerospike_wire import (
+        N_PARTITIONS,
+        ClusterRouter,
+        WireClient,
+        WireServer,
+        key_digest,
+    )
+    from cassandra2aerospike_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
+    n_ranges, page_size = 8, 512
+    span = N_PARTITIONS // n_ranges
+
+    def scan_probe(factor: int) -> tuple[float, float | None, int]:
+        recs = (
+            merge.merge_records(ev)
+            .withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .withColumn(
+                "key", F.col("key") + F.col("rep").cast("long") * 10_000_000
+            )
+            .drop("rep")
+            .select("key", "columns", "expiry")
+            .persist()
+        )
+        n = recs.count()
+        servers = [
+            WireServer(
+                owned_partitions={
+                    p for p in range(N_PARTITIONS) if p % 3 == i
+                },
+                info_namespace="tmx",
+            )
+            for i in range(3)
+        ]
+        nodes = [(s_.host, s_.port) for s_ in servers]
+
+        def sink_partition(rows):
+            router = ClusterRouter(nodes, "tmx", "recs")
+            items = []
+            for rd in rows:
+                bins = {
+                    k2: ("%.2f" % v).encode()
+                    for k2, v in rd["columns"].items()
+                }
+                ttl = (
+                    0xFFFFFFFF
+                    if rd["expiry"] == eternal
+                    else int(rd["expiry"]) - now_s
+                )
+                items.append(
+                    (
+                        key_digest("recs", str(rd["key"]).encode()),
+                        [("write", k2, v) for k2, v in bins.items()],
+                        ttl,
+                        None,
+                        True,
+                    )
+                )
+            got = router.batch_operate(items)
+            if any(got[d][0] != "ok" for d, *_ in items):
+                raise RuntimeError("scan probe: non-ok create")
+            router.close()
+
+        recs.coalesce(_sink_parallelism(n)).foreachPartition(sink_partition)
+        recs.unpersist()
+        spark.catalog.clearCache()
+
+        ranges_df = spark.createDataFrame(
+            [(r, r * span, span) for r in range(n_ranges)],
+            "rng int, begin int, count int",
+        ).repartition(n_ranges, "rng")
+
+        def sweep(paged: bool):
+            def scan_range(batches):
+                import pandas as _pd
+
+                for pdf in batches:
+                    for begin, count in zip(pdf["begin"], pdf["count"]):
+                        got = 0
+                        for h, p_ in nodes:
+                            if not paged:
+                                c = WireClient(h, p_, "tmx", "recs")
+                                for _rec in c.scan(int(begin), int(count)):
+                                    got += 1
+                                c.close()
+                                continue
+                            cursor = None
+                            while True:
+                                c = WireClient(h, p_, "tmx", "recs")
+                                page = list(
+                                    c.scan(
+                                        int(begin), int(count),
+                                        resume_digest=cursor,
+                                        max_records=page_size,
+                                    )
+                                )
+                                c.close()
+                                got += len(page)
+                                if len(page) < page_size:
+                                    break
+                                cursor = page[-1][0]
+                        yield _pd.DataFrame({"got": [got]})
+
+            t0 = time.time()
+            total = (
+                ranges_df.mapInPandas(scan_range, "got long")
+                .agg(F.sum("got"))
+                .first()[0]
+            )
+            dt = time.time() - t0
+            if total != n:
+                raise RuntimeError(f"scan probe lost records: {total}/{n}")
+            return n / dt
+
+        sweep(paged=True)  # warm (JVM + server page sort)
+        paged_rate = sweep(paged=True)
+        unpaged_rate = sweep(paged=False) if factor == 50 else None
+        for s_ in servers:
+            s_.close()
+        return paged_rate, unpaged_rate, n
+
+    p5, _u5, n5 = scan_probe(5)
+    p50, u50, n50 = scan_probe(50)
+    out.update(
+        {
+            "scan_paged_recs_per_sec_x5": round(p5),
+            "scan_paged_recs_per_sec_x50": round(p50),
+            "scan_recs_x50": n50,
+            "scan_10x_ratio": round(p50 / p5, 3),
+            "scan_unpaged_recs_per_sec_x50": round(u50),
+            "scan_paging_overhead_ratio": round(u50 / p50, 3),
+        }
+    )
+    print(
+        f"# paged scan 10x step: x5 {p5:,.0f} -> x50 {p50:,.0f} recs/s "
+        f"({n5:,} -> {n50:,} records, ratio {p50 / p5:.2f}); unbounded "
+        f"at x50 {u50:,.0f} recs/s (paging overhead x{u50 / p50:.2f})",
         file=sys.stderr,
     )
     print(json.dumps(out))
