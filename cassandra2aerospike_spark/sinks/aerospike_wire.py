@@ -1468,6 +1468,8 @@ def build_query(
     pid_count: int | None = None,
     bins: list[str] | None = None,
     filter_exp: tuple | None = None,
+    resume_digest: bytes | None = None,
+    max_records: int | None = None,
 ) -> bytes:
     """One secondary-index QUERY request (round 14 — the as_query
     family): exactly the scan grammar plus the INDEX_RANGE field, so
@@ -1479,6 +1481,7 @@ def build_query(
     frame = build_scan(
         namespace, set_name, pid_begin, pid_count,
         bins=bins, filter_exp=filter_exp,
+        resume_digest=resume_digest, max_records=max_records,
     )
     # splice the INDEX_RANGE field in: rebuild via the scan builder's
     # grammar — header n_fields + the appended field payload
@@ -2962,13 +2965,17 @@ class WireClient:
         pid_count: int | None = None,
         bins: list[str] | None = None,
         filter_exp: tuple | None = None,
+        resume_digest: bytes | None = None,
+        max_records: int | None = None,
     ):
         """Secondary-index QUERY (round 14): stream every record whose
         indexed bin satisfies `index_range` (encode_index_range) —
         same multi-record response as scan, same composability
-        (partition slice / projection / expression filter), but the
-        node answers INDEX_NOT_FOUND unless a secondary index exists
-        on the bin.  Owns the response stream like scan."""
+        (partition slice / projection / expression filter — and, round
+        16, digest-cursor pagination: queries page and resume exactly
+        like scans, the server path is shared), but the node answers
+        INDEX_NOT_FOUND unless a secondary index exists on the bin.
+        Owns the response stream like scan."""
         if self._sent != self._received or self._results:
             raise RuntimeError(
                 "aerospike wire: query on a connection with in-flight requests"
@@ -2977,6 +2984,7 @@ class WireClient:
             build_query(
                 self.namespace, self.set_name, index_range,
                 pid_begin, pid_count, bins=bins, filter_exp=filter_exp,
+                resume_digest=resume_digest, max_records=max_records,
             )
         )
         while True:

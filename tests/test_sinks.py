@@ -2542,3 +2542,38 @@ def test_wire_sindex_cdt_context():
         c.close()
     finally:
         srv.close()
+
+
+def test_wire_query_pagination_rides_the_scan_path():
+    """Round 16: secondary-index queries page and resume exactly like
+    scans — the server path is shared, so max_records caps a query
+    page and the digest cursor resumes it on a fresh connection."""
+    import struct
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "qpg")
+        for i in range(30):
+            assert c.wait(
+                c.put(f"q{i}".encode(), {"s": struct.pack(">q", i % 3)}, 0)
+            ) == "ok"
+        c.sindex_create("s", numeric=True)
+        rng = aw.encode_index_range("s", 0, 1)  # 20 of 30 records
+        full = list(c.query(rng))
+        assert len(full) == 20
+        c.close()
+        pages, cursor = [], None
+        while True:
+            pc = aw.WireClient(srv.host, srv.port, "tmx", "qpg")
+            page = list(pc.query(rng, resume_digest=cursor, max_records=6))
+            pc.close()
+            pages.append(page)
+            if len(page) < 6:
+                break
+            cursor = page[-1][0]
+        assert [r for p in pages for r in p] == full
+        assert all(len(p) == 6 for p in pages[:-1])
+    finally:
+        srv.close()
