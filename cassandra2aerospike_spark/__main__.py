@@ -83,6 +83,12 @@ job shapes against SSTable-style run directories:
                                        #   concurrent migrations) into a
                                        #   keyless digest-addressed .asb
                                        #   file series (no -i inputs)
+        [--page-records N]             # ROUND 16: paged backup scans —
+                                       #   each (range, node) stream reads
+                                       #   in N-record pages on fresh
+                                       #   connections with the digest-
+                                       #   cursor resume; task memory is
+                                       #   one page (absent = unbounded)
         [--restore DIR]                # ROUND 13: asrestore job — .asb
                                        #   series -> digest-addressed puts
                                        #   routed by the cluster's own
@@ -260,6 +266,7 @@ def _backup_restore(args, p) -> int:
         credential = hashpw(args.password or "")
     now_s = args.now_s if args.now_s is not None else int(_time.time())
     compress_min = 128 if args.compress else None
+    page_records = args.page_records
     spark = get_spark("cassandra2aerospike")
     if args.parallelism:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
@@ -292,28 +299,43 @@ def _backup_restore(args, p) -> int:
                         gens = tend_gens()
                         rows = []
                         for h, p_ in nodes:
-                            c = WireClient(
-                                h, p_, ns, set_name,
-                                user=user, credential=credential,
-                                compress_min=compress_min,
-                            )
-                            for digest, ttl, bins in c.scan(
-                                int(begin), int(count),
-                                filter_exp=backup_fexp,
-                            ):
-                                rows.append(
-                                    (
-                                        digest.hex(),
-                                        ",".join(
-                                            sorted(
-                                                f"{n}={v.decode()}"
-                                                for n, v in bins.items()
-                                            )
-                                        ),
-                                        int(ttl),
+                            # --page-records: read the stream in pages
+                            # with the digest-cursor resume (round 16)
+                            # — task memory bounded by the page, each
+                            # page its own connection; the generation
+                            # check still wraps the WHOLE range attempt
+                            cursor = None
+                            while True:
+                                c = WireClient(
+                                    h, p_, ns, set_name,
+                                    user=user, credential=credential,
+                                    compress_min=compress_min,
+                                )
+                                page = list(
+                                    c.scan(
+                                        int(begin), int(count),
+                                        filter_exp=backup_fexp,
+                                        resume_digest=cursor,
+                                        max_records=page_records,
                                     )
                                 )
-                            c.close()
+                                c.close()
+                                for digest, ttl, bins in page:
+                                    rows.append(
+                                        (
+                                            digest.hex(),
+                                            ",".join(
+                                                sorted(
+                                                    f"{n}={v.decode()}"
+                                                    for n, v in bins.items()
+                                                )
+                                            ),
+                                            int(ttl),
+                                        )
+                                    )
+                                if not page_records or len(page) < page_records:
+                                    break
+                                cursor = page[-1][0]
                         if tend_gens() == gens:
                             break
                         acc_restart.add(1)
@@ -508,6 +530,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-write", dest="batch_write", action="store_true")
     p.add_argument("--backup", dest="backup_dir", default=None)
     p.add_argument("--filter", dest="backup_filter", default=None)
+    # round 16: paged backup scans — digest-cursor resume, one page per
+    # connection, task memory bounded by the page (0/absent = unbounded)
+    p.add_argument("--page-records", dest="page_records", type=int, default=None)
     p.add_argument("--restore", dest="restore_dir", default=None)
     args = p.parse_args(argv)
     if args.batch_verify:
