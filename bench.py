@@ -173,6 +173,7 @@ HEADLINE = [
     "s64_wire_cdt_sindex_query",
     "pipeline_length_buckets",
     "s65_wire_cluster_to_cluster",
+    "mm_audio_fp_incremental",
 ]
 
 

@@ -1377,3 +1377,60 @@ def synthesize_image_batch(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         synth_batches, "img_id long, payload binary"
     )
+
+
+def synthesize_audio_batch(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for INCREMENTAL audio near-dup dedup (round 16):
+    the new-arrivals clip batch checked against an already-
+    fingerprinted corpus.  One mono PCM16 WAV per document,
+    clip_id = 2_000_000 + doc_id:
+
+      * doc_id % 5 == 0 — the CORPUS document's own samples SCALED x2
+        (the loudness-changed re-encode: every byte differs, every
+        delta sign and zero crossing survives) — a near-duplicate of
+        corpus clip d the fingerprint store must catch;
+      * doc_id % 5 == 1 — content key 600_000 + d + 1 scaled x2: a
+        near-duplicate of its own batch-mate 2_000_000 + d + 1;
+      * otherwise — a fresh clip (content key 600_000 + d, scale 1).
+
+    Same sample arithmetic as synthesize_audio_clips -> same
+    closed-form oracle."""
+    import struct as _struct
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+
+        def samples(k: int, scale: int) -> np.ndarray:
+            n = 96 + k % 32
+            i = np.arange(n, dtype=np.int64) + 1
+            m1 = (k * 2654435761) % 1000003
+            m2 = (k * 40503 + 17) % 997
+            m3 = (k * 69621 + 31) % 983
+            v = ((m1 + m2 * i + m3 * i * i) % 2001) - 1000
+            return (v * scale).astype("<i2")
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 5 == 0:
+                    key, scale = d, 2
+                elif d % 5 == 1:
+                    key, scale = 600_000 + d + 1, 2
+                else:
+                    key, scale = 600_000 + d, 1
+                body = samples(key, scale).tobytes()
+                blob = (
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+                    + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(body)) + body
+                )
+                ids.append(2_000_000 + d)
+                payloads.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth_batches, "clip_id long, payload binary"
+    )

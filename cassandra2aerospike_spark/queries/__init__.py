@@ -35,24 +35,26 @@ for _mod in (merge_q, relational_q, text_q, dedup_q, sim_q, tokens_q, pipeline_q
 
 # Checked-prefix priority (see module docstring) — ROUND-16 prefix.
 # The driver signs the first 50 registry rows; slots are spent on
-# (a) the 9 rows NEW this round (video near-dup dedup — the last X2
+# (a) the 10 rows NEW this round (video near-dup dedup — the last X2
 #     modality, the all-modality AV corpus-prep capstone, the CDT
 #     list/map op family and its live-handoff safety variant, the
 #     paged/resumable digest-cursor scan source, the incremental
 #     image near-dup over the persisted fingerprint store, the
-#     CDT-context sindex query, quartile length bucketing, and the
-#     cluster-to-cluster migration capstone),
+#     CDT-context sindex query, quartile length bucketing, the
+#     cluster-to-cluster migration capstone, and the incremental
+#     audio near-dup),
 # (b) the 3 r15-signed batch-write rows whose shared code changed
 #     this round (batch_operate's in-doubt dead-node split, the
 #     apply_op_list exists flag, the op-count guard — s59/s60/
 #     stream_cdc_batch_apply all traverse them),
 # (c) ALL 31 rows of the stalest (r11) cohort — VERDICT r15 task 1,
-# (d) 7 of the r12 cohort, from the ten named by the r15 rotation note
-#     (a2, a4_first, a5_pivot, s13, s14, s21, token_md5).  token_resume,
+# (d) 6 of the r12 cohort, from the ten named by the r15 rotation note
+#     (a2, a4_first, a5_pivot, s13, s14, s21).  token_md5, token_resume,
 #     udaf_expiry_fold, udtf_tokenize, pipeline_corpus_prep and
-#     a7_counter_reconcile sit at positions 51-55 — bumped past the
-#     50-cut by the five late r16 rows; they head r17 with the other
-#     r12 rows.
+#     a7_counter_reconcile sit at positions 51-56 — bumped past the
+#     50-cut by the six late r16 rows (new rows need first-ever
+#     signatures; the bumped r12 rows already hold driver greens and
+#     head r17 with the rest of their cohort).
 # Signature histogram entering r16: r11 x31, r12 x39, r13 x49,
 # r14 x50, r15 x50 (219 rows, all driver-green at least once; zero
 # regressions ever).  After this prefix signs, no row is older than
@@ -68,6 +70,7 @@ _PRIORITY = [
     "s64_wire_cdt_sindex_query",
     "pipeline_length_buckets",
     "s65_wire_cluster_to_cluster",
+    "mm_audio_fp_incremental",
     # -- (b) r15 rows over the re-touched batch-write code
     "s59_wire_batch_write",
     "s60_wire_batch_write_during_handoff",
@@ -104,7 +107,7 @@ _PRIORITY = [
     "topk_global",
     "unpivot_melt",
     "win_range_frame",
-    # -- (d) 7 of the r12 cohort (+ the 5 bumped past the 50-cut)
+    # -- (d) 6 of the r12 cohort (+ the 6 bumped past the 50-cut)
     "a2_row_tombstone_max",
     "a4_expiry_fold_first",
     "a5_pivot_wide",

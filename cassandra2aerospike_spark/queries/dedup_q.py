@@ -1288,6 +1288,104 @@ def q_mm_phash_incremental(spark, sf_dir):
     return out
 
 
+def q_mm_audio_fp_incremental(spark, sf_dir):
+    """INCREMENTAL audio near-dup dedup (round 16 — the continuous-
+    ingest shape for the audio modality, completing the incremental
+    matrix: text (dedup_incremental), image (mm_phash_incremental),
+    embeddings (the persisted-index appends), now audio): a NEW batch
+    of clips checked against an already-fingerprinted corpus WITHOUT
+    re-decoding — or re-shuffling — the corpus.
+
+    Unlike the image store (whose pixel-distance second factor is
+    deliberately unavailable), the audio fingerprint store carries the
+    FULL standalone verify: the delta-sign bands AND the zero-crossing
+    count are 5 ints per clip (_audio_sigs), so corpus hits get the
+    exact two-factor check — Hamming <= 2 AND equal zero crossings —
+    from the store alone.  The batch (synthesize_audio_batch: doc_id %
+    5 == 0 a loudness-scaled copy of its corpus clip, % 5 == 1 a
+    scaled copy of its batch-mate, the rest fresh) decodes for real
+    (RIFF chunk walk), fingerprints declaratively, band-bucket
+    equi-joins the store for corpus hits and runs the shared
+    _audio_verified_pairs for in-batch pairs.  Decision precedence
+    mirrors dedup_incremental: dup_of_corpus (rep = min matching
+    corpus clip) > dup_in_batch (drop the larger, rep = min partner)
+    > keep.  Exact oracle replaying both corpora's arithmetic."""
+    from ..functions import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    corpus_fp = D.stage_parquet(
+        _audio_sigs(
+            M.decode_pcm_samples(
+                M.synthesize_audio_clips(docs, alias_every=1_000_000_000)
+            )
+        ).select("clip_id", "bands", "zc"),
+        _ckpt_dir(sf_dir, "audio_fp"),
+    )
+    batch_sigs = _audio_sigs(
+        M.decode_pcm_samples(M.synthesize_audio_batch(docs))
+    ).cache()
+
+    def explode_bands(df, id_alias):
+        return df.select(
+            F.col("clip_id").alias(id_alias),
+            F.col("bands").alias(f"{id_alias}_bands"),
+            F.col("zc").alias(f"{id_alias}_zc"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col("bands")[b].alias("bval"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            id_alias, f"{id_alias}_bands", f"{id_alias}_zc",
+            F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+        )
+
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("new_id_bands"), F.col("old_id_bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    corpus_hits = (
+        explode_bands(batch_sigs, "new_id")
+        .join(explode_bands(corpus_fp, "old_id"), ["band", "bval"])
+        .select(
+            "new_id", "old_id", "new_id_bands", "old_id_bands",
+            "new_id_zc", "old_id_zc",
+        )
+        .distinct()
+        .filter((hamming <= 2) & (F.col("new_id_zc") == F.col("old_id_zc")))
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("corpus_rep"))
+    )
+    in_batch = (
+        _audio_verified_pairs(batch_sigs)
+        .groupBy(F.col("clip_b").alias("new_id"))
+        .agg(F.min("clip_a").alias("batch_rep"))
+    )
+    return (
+        batch_sigs.select(F.col("clip_id").alias("new_id"))
+        .join(corpus_hits, "new_id", "left")
+        .join(in_batch, "new_id", "left")
+        .select(
+            F.col("new_id").alias("clip_id"),
+            F.when(F.col("corpus_rep").isNotNull(), "dup_of_corpus")
+            .when(F.col("batch_rep").isNotNull(), "dup_in_batch")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("corpus_rep", "batch_rep").alias("dup_of"),
+        )
+    )
+
+
 def q_mm_audio_fp_dedup(spark, sf_dir):
     """AUDIO NEAR-DUP DEDUP (round 15, X2 x X5): the delta-sign
     fingerprint pipeline — the loudness-invariant audio analogue of
@@ -1320,14 +1418,13 @@ def q_mm_audio_fp_dedup(spark, sf_dir):
     )
 
 
-def _audio_fp_dup_ids(clips):
-    """The delta-sign fingerprint DROP LIST over a decoded-sample frame
-    (clip_id, s array<int> of 65): 64-bit delta-sign fingerprint as
-    4x16-bit bands -> banded-Hamming bucket-grouped in-row pair
-    expansion -> exact verify (Hamming <= 2 AND equal zero-crossing
-    count) -> the larger clip_id of every verified pair, as (clip_id,
-    dup=1).  Shared by the standalone audio row and the AV multimodal
-    corpus-prep capstone."""
+def _audio_sigs(clips):
+    """(clip_id, bands, zc): the 64-bit delta-sign fingerprint of a
+    decoded-sample frame as 4x16-bit band values plus the zero-crossing
+    count — computed declaratively.  bands + zc ARE the persistable
+    fingerprint (5 ints per clip): unlike the image store, the audio
+    verify's second factor (equal zero crossings) is a scalar, so the
+    incremental row's checkpoint carries the FULL two-factor verify."""
     s = F.col("s")
 
     def band_val(b: int):
@@ -1348,11 +1445,18 @@ def _audio_fp_dup_ids(clips):
     zc = zc_terms[0]
     for t in zc_terms[1:]:
         zc = zc + t
-    sigs = clips.select(
+    return clips.select(
         "clip_id",
         F.array(*[band_val(b) for b in range(4)]).alias("bands"),
         zc.cast("int").alias("zc"),
     )
+
+
+def _audio_verified_pairs(sigs):
+    """Verified near-dup PAIRS over an audio signature frame (clip_id,
+    bands, zc): banded-Hamming bucket-grouped in-row pair expansion ->
+    exact verify (Hamming <= 2 AND equal zero-crossing count) ->
+    (clip_a < clip_b) pair frame."""
     bands = sigs.select(
         F.struct("clip_id", "bands", "zc").alias("el"),
         F.explode(
@@ -1394,14 +1498,23 @@ def _audio_fp_dup_ids(clips):
             ),
         )
     )
-    verified = (
+    return (
         members.select(F.explode(pairs).alias("p"))
         .select("p.clip_a", "p.clip_b", "p.hamming", "p.zc_eq")
         .distinct()
         .filter((F.col("hamming") <= 2) & F.col("zc_eq"))
     )
+
+
+def _audio_fp_dup_ids(clips):
+    """The delta-sign fingerprint DROP LIST over a decoded-sample frame
+    (clip_id, s array<int> of 65): fingerprint -> banded-Hamming pair
+    expansion -> exact verify -> the larger clip_id of every verified
+    pair, as (clip_id, dup=1).  Shared by the standalone audio row and
+    the AV multimodal corpus-prep capstone."""
     return (
-        verified.select(F.col("clip_b").alias("clip_id"))
+        _audio_verified_pairs(_audio_sigs(clips))
+        .select(F.col("clip_b").alias("clip_id"))
         .distinct()
         .withColumn("dup", F.lit(1))
     )
@@ -2076,9 +2189,96 @@ ORACLES["mm_phash_incremental"] = """
 """
 
 
+# the incremental audio pipeline replayed relationally: both corpora's
+# sample arithmetic -> the shared delta-sign grid -> side-separated
+# band joins -> the SAME two-factor verify on both sides (the store
+# carries bands AND zero crossings) -> the decision precedence
+ORACLES["mm_audio_fp_incremental"] = """
+    WITH allclips AS (
+      SELECT doc_id AS clip_id, doc_id AS k, 1 AS scale, 0 AS is_new
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             CASE WHEN doc_id % 5 = 0 THEN doc_id
+                  WHEN doc_id % 5 = 1 THEN 600000 + doc_id + 1
+                  ELSE 600000 + doc_id END,
+             CASE WHEN doc_id % 5 IN (0, 1) THEN 2 ELSE 1 END,
+             1
+      FROM documents
+    ),
+    smp AS (
+      SELECT clip_id, is_new, i,
+             (((k * 2654435761) % 1000003
+               + ((k * 40503 + 17) % 997) * (i + 1)
+               + ((k * 69621 + 31) % 983) * (i + 1) * (i + 1)) % 2001
+              - 1000) * scale AS v
+      FROM allclips,
+           (SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS i)
+    ),
+    bits AS (
+      SELECT clip_id, is_new, i,
+             CAST(lead(v) OVER (PARTITION BY clip_id ORDER BY i) > v
+                  AS INT) AS bit,
+             CAST((v >= 0) !=
+                  (lead(v) OVER (PARTITION BY clip_id ORDER BY i) >= 0)
+                  AS INT) AS flip
+      FROM smp QUALIFY i < 64
+    ),
+    bands AS (
+      SELECT clip_id, is_new, i // 16 AS band,
+             CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS bval
+      FROM bits GROUP BY clip_id, is_new, i // 16
+    ),
+    zc AS (
+      SELECT clip_id, sum(flip) AS n_flip FROM bits GROUP BY clip_id
+    ),
+    cross_cand AS (
+      SELECT DISTINCT n.clip_id AS new_id, o.clip_id AS old_id
+      FROM bands n JOIN bands o ON o.band = n.band AND o.bval = n.bval
+      WHERE n.is_new = 1 AND o.is_new = 0
+    ),
+    corpus_hits AS (
+      SELECT new_id, min(old_id) AS corpus_rep
+      FROM cross_cand cc
+      WHERE (SELECT sum(bit_count(xor(bn.bval, bo.bval)))
+             FROM bands bn JOIN bands bo ON bo.band = bn.band
+             WHERE bn.clip_id = cc.new_id AND bo.clip_id = cc.old_id) <= 2
+        AND (SELECT n_flip FROM zc WHERE clip_id = cc.new_id)
+            = (SELECT n_flip FROM zc WHERE clip_id = cc.old_id)
+      GROUP BY new_id
+    ),
+    batch_cand AS (
+      SELECT DISTINCT a.clip_id AS clip_a, b.clip_id AS clip_b
+      FROM bands a JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                AND a.clip_id < b.clip_id
+      WHERE a.is_new = 1 AND b.is_new = 1
+    ),
+    batch_hits AS (
+      SELECT clip_b AS new_id, min(clip_a) AS batch_rep
+      FROM batch_cand cd
+      WHERE (SELECT sum(bit_count(xor(ba.bval, bb.bval)))
+             FROM bands ba JOIN bands bb ON bb.band = ba.band
+             WHERE ba.clip_id = cd.clip_a AND bb.clip_id = cd.clip_b) <= 2
+        AND (SELECT n_flip FROM zc WHERE clip_id = cd.clip_a)
+            = (SELECT n_flip FROM zc WHERE clip_id = cd.clip_b)
+      GROUP BY clip_b
+    )
+    SELECT n.clip_id,
+           CASE WHEN ch.corpus_rep IS NOT NULL THEN 'dup_of_corpus'
+                WHEN bh.batch_rep IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'keep' END AS decision,
+           coalesce(ch.corpus_rep, bh.batch_rep) AS dup_of
+    FROM allclips n
+    LEFT JOIN corpus_hits ch ON ch.new_id = n.clip_id
+    LEFT JOIN batch_hits bh ON bh.new_id = n.clip_id
+    WHERE n.is_new = 1
+"""
+
+
 QUERIES = {
     "mm_video_fp_dedup": q_mm_video_fp_dedup,
     "mm_phash_incremental": q_mm_phash_incremental,
+    "mm_audio_fp_incremental": q_mm_audio_fp_incremental,
     "pipeline_multimodal_prep_av": q_pipeline_multimodal_prep_av,
     "pipeline_bpe_manifest": q_pipeline_bpe_manifest,
     "pipeline_multimodal_prep": q_pipeline_multimodal_prep,

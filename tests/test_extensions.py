@@ -1625,3 +1625,42 @@ def test_pipeline_length_buckets_efficiency(spark):
     bucketed_padded = sum(rows[b]["padded"] for b in range(4))
     assert bucketed_padded < base["padded"]
     assert all(rows[b]["waste_bp"] <= base["waste_bp"] for b in range(4))
+
+
+def test_mm_audio_fp_incremental_decisions(spark):
+    """The incremental audio dedup's decision histogram matches the
+    fixture: % 5 == 0 clips are loudness-scaled corpus copies
+    (dup_of_corpus, rep = the corpus clip), % 5 == 2 clips are the
+    larger side of an in-batch pair, the rest keep.  The fingerprint
+    checkpoint holds bands + zero-crossing count only."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from cassandra2aerospike_spark.queries.dedup_q import (
+        QUERIES, _ckpt_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["mm_audio_fp_incremental"](spark, sf).cache()
+    rows = {r["clip_id"]: r for r in out.collect()}
+    n_docs = len(rows)
+    for d in range(n_docs):
+        r = rows[2_000_000 + d]
+        if d % 5 == 0:
+            assert r["decision"] == "dup_of_corpus" and r["dup_of"] == d
+        elif d % 5 == 2 and d >= 1:
+            assert r["decision"] == "dup_in_batch"
+            assert r["dup_of"] == 2_000_000 + d - 1
+        else:
+            assert r["decision"] == "keep" and r["dup_of"] is None
+    out.unpersist()
+    ckpt = _ckpt_dir(sf, "audio_fp")
+    schema = papq.read_schema(
+        next(
+            os.path.join(ckpt, f)
+            for f in os.listdir(ckpt)
+            if f.endswith(".parquet")
+        )
+    )
+    assert set(schema.names) == {"clip_id", "bands", "zc"}
