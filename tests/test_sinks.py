@@ -2577,3 +2577,44 @@ def test_wire_query_pagination_rides_the_scan_path():
         assert all(len(p) == 6 for p in pages[:-1])
     finally:
         srv.close()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_records=st.integers(min_value=0, max_value=60),
+    page_size=st.integers(min_value=1, max_value=17),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wire_paged_scan_reassembly_property(n_records, page_size, seed):
+    """Property: for ANY record population and page size, paging a
+    scan with the digest cursor reassembles exactly the unbounded
+    stream — same records, same order, no dups, no gaps — and every
+    non-final page is exactly full."""
+    import random
+
+    from cassandra2aerospike_spark.sinks import aerospike_wire as aw
+
+    rng = random.Random(seed)
+    srv = aw.WireServer()
+    try:
+        c = aw.WireClient(srv.host, srv.port, "tmx", "prop")
+        for i in range(n_records):
+            bins = {
+                f"b{j}": rng.randbytes(rng.randrange(1, 9))
+                for j in range(rng.randrange(1, 4))
+            }
+            assert c.wait(c.put(b"k%d" % i, bins, rng.randrange(0, 1000))) == "ok"
+        full = list(c.scan())
+        pages, cursor = [], None
+        while True:
+            page = list(c.scan(resume_digest=cursor, max_records=page_size))
+            pages.append(page)
+            if len(page) < page_size:
+                break
+            cursor = page[-1][0]
+        assert [r for p in pages for r in p] == full
+        assert all(len(p) == page_size for p in pages[:-1])
+        assert len(pages[-1]) < page_size
+        c.close()
+    finally:
+        srv.close()
