@@ -494,19 +494,28 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev_ckpt = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        ckpt = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                # change flag computed IN the fold join (r17, guide
+                # §1.2): the fixpoint probe used to be a separate
+                # new-vs-old join per round; the old label is already on
+                # the row here, so the flag rides the same pass and the
+                # probe below is a bare scan of the checkpointed frame.
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("chg"),
             )
             # localCheckpoint (not just persist): TRUNCATES lineage each
             # round, so the logical plan stays O(1) per round instead of
@@ -516,15 +525,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             # here, so the old round's storage can be freed immediately.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = ckpt.filter("chg").limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = ckpt
+        labels = ckpt.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()

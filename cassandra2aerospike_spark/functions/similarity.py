@@ -169,6 +169,77 @@ def brute_force_topk_fast(
     return _global_rank(scored, k)
 
 
+def exact_l2q_topk_fast(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact integer-L2 top-k via one int64 GEMM per Arrow batch — the
+    vectorized twin of the crossJoin + `_dist2_q` fold (r17, guide §4.2
+    'hand whole batches to native code').  Unlike the float cosine twin
+    (`brute_force_topk_fast`, rows-only) this one is EXACT, not just
+    rank-equivalent: every distance is int64 arithmetic
+    (d2 = |q|² + |c|² − 2·q·c), associative and overflow-free for
+    scale-1000 quantized vectors (|x| ≤ ~10³ ⇒ every term ≤ ~10⁸·dim),
+    so the (d2, vec_id) ranking is bit-identical to the expression-tree
+    fold under any batch split.  Each batch emits only its local
+    top-(k+1) per query — the q_id == vec_id self-pair is filtered
+    after, so the boundary candidate must survive — and the final rank
+    exchange carries ≤ (k+1) × n_batches rows per query, never the
+    scored cross product.
+
+    Expects `queries` (q_id, q_xq: array<long>) — small by contract
+    (sampled) — and `corpus` (vec_id, xq: array<long>).  Returns the
+    exact (q_id, vec_id) top-k under (d2 asc, vec_id asc), identical to
+
+        queries.crossJoin(corpus).filter(q_id != vec_id)
+               .withColumn(rn, row_number over (q_id order d2, vec_id))
+               .filter(rn <= k)
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("q_id", "q_xq").collect()  # small by contract
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q_xq for r in q_rows], dtype=np.int64)
+    q_sq = (q_mat * q_mat).sum(axis=1)
+
+    def score_batches(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf["xq"]), dtype=np.int64)
+            c_ids = pdf["vec_id"].to_numpy()
+            if len(c_ids) == 0:
+                continue
+            c_sq = (c_mat * c_mat).sum(axis=1)
+            d2 = q_sq[None, :] + c_sq[:, None] - 2 * (c_mat @ q_mat.T)
+            n_c, n_q = d2.shape
+            kk = min(k + 1, n_c)
+            out_q, out_v, out_d = [], [], []
+            for j in range(n_q):
+                top = np.lexsort((c_ids, d2[:, j]))[:kk]
+                out_q.append(np.full(kk, q_ids[j]))
+                out_v.append(c_ids[top])
+                out_d.append(d2[top, j])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "d2": np.concatenate(out_d),
+                }
+            )
+
+    scored = (
+        spread(corpus)
+        .select("vec_id", "xq")
+        .mapInPandas(score_batches, "q_id long, vec_id long, d2 long")
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id")
+    )
+
+
 def centroid_frame(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
     """Deterministic coarse-quantizer codebook: the n lowest vec_ids stand
     in for trained k-means centroids (engine-portable; a real deployment

@@ -148,18 +148,43 @@ def q_dedup_lsh_recall_report(spark, sf_dir):
     exact = D.prefix_filter_jaccard_pairs(
         d, k=3, t_num=1, t_den=2, checkpoint_dir=ckpt,
     ).select("doc_a", "doc_b")
-    stray = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    # ONE action for all three counts (r17, guide §1.2/§2.4): the
+    # left-anti stray probe plus the two count() actions used to execute
+    # the LSH pipeline twice and the exact-truth pipeline twice per run
+    # (4 full pipeline executions); tagging the two pair sets and
+    # folding one groupBy computes n_lsh, n_exact AND the subset proof
+    # in a single pass of each pipeline.  Both sides emit distinct
+    # pairs (candidates are .distinct() upstream), so per-pair flags
+    # are exact.
+    row = (
+        lsh.withColumn("src", F.lit(1))
+        .unionByName(exact.withColumn("src", F.lit(2)))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("src") == 1, 1).otherwise(0)).alias("in_lsh"),
+            F.max(F.when(F.col("src") == 2, 1).otherwise(0)).alias("in_exact"),
+        )
+        .agg(
+            F.sum("in_lsh").alias("n_lsh"),
+            F.sum("in_exact").alias("n_exact"),
+            F.sum(
+                F.when((F.col("in_lsh") == 1) & (F.col("in_exact") == 0), 1)
+                .otherwise(0)
+            ).alias("stray"),
+        )
+        .collect()[0]
+    )
+    n_lsh = int(row["n_lsh"] or 0)
+    n_exact = int(row["n_exact"] or 0)
+    stray = int(row["stray"] or 0)
     if stray:
         raise RuntimeError(
             f"lsh recall: {stray} verified LSH pairs missing from the "
             "exact ground truth — the truth side is broken"
         )
-    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    return n_lsh.crossJoin(n_exact).select(
-        "n_lsh",
-        "n_exact",
-        F.expr("n_lsh * 10000 div n_exact").alias("recall_bp"),
+    return spark.createDataFrame(
+        [(n_lsh, n_exact, n_lsh * 10000 // n_exact if n_exact else None)],
+        "n_lsh long, n_exact long, recall_bp long",
     )
 
 
@@ -192,11 +217,46 @@ def q_dedup_lsh_band_select(spark, sf_dir):
     if n_exact == 0:
         raise RuntimeError("band select: empty exact truth")
     target_bp = 9000
+    # ONE action for all six counts (r17, guide §1.2/§2.4): the three
+    # (bands x rows) layouts used to run as six separate count()
+    # actions (candidate count + verified count per config), each
+    # re-executing its candidate pipeline.  Tagging each config's
+    # candidate pairs and running the verification join ONCE over the
+    # union yields per-config (n_cand, n_pairs) in a single job; the
+    # verification join preserves every candidate (both doc ids come
+    # from `sigs`, which derive from `sets`), so counting candidates
+    # after the join equals counting them before it.
+    cfgs = ((2, 8), (4, 4), (8, 2))
+    cand_u = None
+    for i, (n_bands, rows_pb) in enumerate(cfgs):
+        c = D.lsh_candidate_pairs(sigs, n_bands, rows_pb).withColumn(
+            "cfg", F.lit(i)
+        )
+        cand_u = c if cand_u is None else cand_u.unionByName(c)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    jacc = n_inter.cast("double") / (
+        F.size("set_a") + F.size("set_b") - n_inter
+    ).cast("double")
+    by_cfg = {
+        int(r["cfg"]): r
+        for r in (
+            cand_u.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .groupBy("cfg")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.sum((jacc >= F.lit(0.5)).cast("long")).alias("n_pairs"),
+            )
+            .collect()
+        )
+    }
     stats = []
-    for n_bands, rows_pb in ((2, 8), (4, 4), (8, 2)):
-        cand = D.lsh_candidate_pairs(sigs, n_bands, rows_pb)
-        n_cand = cand.count()
-        n_pairs = D.jaccard_on_candidates(cand, sets, 0.5).count()
+    for i, (n_bands, rows_pb) in enumerate(cfgs):
+        r = by_cfg.get(i)
+        n_cand = int(r["n_cand"]) if r is not None else 0
+        n_pairs = int(r["n_pairs"]) if r is not None else 0
         stats.append(
             (n_bands, rows_pb, n_cand, n_pairs * 10000 // n_exact)
         )

@@ -922,33 +922,10 @@ def q_sim_drift_recall_retune(spark, sf_dir):
         _atomic_build(outer_dir, build)
 
     def truth_topk(queries, corp):
-        from pyspark.sql import Window
-
-        j = (
-            queries.crossJoin(
-                corp.select(
-                    F.col("vec_id").alias("t_id"), F.col("xq").alias("t_xq")
-                )
-            )
-            .filter(F.col("q_id") != F.col("t_id"))
-            .select(
-                "q_id",
-                "t_id",
-                F.aggregate(
-                    F.zip_with(
-                        "q_xq", "t_xq", lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy("d2", "t_id")
-        return (
-            j.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 5)
-            .select("q_id", F.col("t_id").alias("vec_id"))
-        )
+        # exact int64-GEMM twin of the old crossJoin + zip_with fold
+        # (r17, guide §4.2): same (d2, vec_id) total order, bit-identical
+        # distances — see exact_l2q_topk_fast for the overflow argument
+        return S.exact_l2q_topk_fast(queries, corp, k=5)
 
     base_q = base.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("xq").alias("q_xq")

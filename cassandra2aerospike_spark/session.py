@@ -37,6 +37,22 @@ def get_spark(app_name: str = "cassandra2aerospike_spark", cpus: int | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch sizing (r17, guide §4.2): the default 10k-row
+        # batches make a wide-but-narrow-typed frame cross the Python
+        # boundary in hundreds of per-batch handoffs; 64k rows cuts the
+        # handoff count ~6x for the GEMM/fingerprint pipelines while
+        # maxBytesPerBatch (the Spark 4 knob) keeps blob-carrying rows
+        # (media decode: ~KB binary cells) bounded to the same memory
+        # the old row cap implied — sizes are env-overridable, and both
+        # budgets are per-task constants, not local-core tuning.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_ROWS", "65536"),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BYTES", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -66,6 +66,50 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_state_partitions(spark: SparkSession, table_dir: str) -> int:
+    """Scale-adaptive state-partition count for a stateful stream over a
+    real table directory (r17, guide §2 'derive partitioning from input
+    size, not a constant').  Stateful operators pin their shuffle count
+    from spark.sql.shuffle.partitions at the first microbatch and AQE
+    cannot coalesce them, so a cores-sized constant gives a tiny fixture
+    32 state-store tasks per microbatch — each paying an Arrow+Python
+    worker handoff and a state-store commit for a handful of keys.  Size
+    to ~4 MiB of source bytes per state partition, clamped to [8, 4x
+    cores]; a real multi-GB table saturates the cap, so production
+    behavior is unchanged.  Override with SPARK_GRAFT_STATE_PARTITIONS."""
+    from ..session import default_parallelism
+
+    override = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if override:
+        return max(1, int(override))
+    total = 0
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return max(8, min(4 * default_parallelism(), total // (4 << 20)))
+
+
+class _scaled_shuffle_partitions:
+    """Context manager: pin spark.sql.shuffle.partitions for the stream
+    execution region (stateful operators read it at first-batch planning;
+    a checkpointed restart keeps its recorded value regardless)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Execute the streaming plan to completion into a memory sink and
     return the materialized result."""
@@ -926,23 +970,26 @@ def stream_cdc_incremental(
             spark, sf_dir, default_runs_dir(sf_dir) + "_ma"
         )
     res = _cdc_incremental_result(spark, table_dir, gc_grace_ms)
+    n_state = _stream_state_partitions(spark, table_dir)
     if ckpt is None:
         if gc_grace_ms is None:
-            return _run_to_memory(res, "update")
+            with _scaled_shuffle_partitions(spark, n_state):
+                return _run_to_memory(res, "update")
         # timers armed: availableNow, NOT processAllAvailable — with
         # processing-time timers the engine keeps scheduling timer-check
         # batches and processAllAvailable never settles; availableNow
         # drains the source, fires any EXPIRED timers, and terminates
         name = "stream_out_" + uuid.uuid4().hex[:12]
-        q = (
-            res.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _scaled_shuffle_partitions(spark, n_state):
+            q = (
+                res.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     # explicit checkpoint: the resume path — a restart against the same
     # ckpt recovers the GroupState store and continues the fold from the
@@ -965,15 +1012,16 @@ def stream_cdc_incremental(
     w = res.writeStream.outputMode("update").foreachBatch(land).option(
         "checkpointLocation", ckpt
     )
-    if gc_grace_ms is not None:
-        q = w.trigger(availableNow=True).start()
-        q.awaitTermination()
-    else:
-        q = w.start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with _scaled_shuffle_partitions(spark, n_state):
+        if gc_grace_ms is not None:
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = w.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     return spark.read.parquet(os.path.join(out_dir, "b*"))
 
 
@@ -1039,16 +1087,19 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.foreachPartition(part)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_cdcwire_")
-    q = (
-        res.writeStream.outputMode("update")
-        .foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scaled_shuffle_partitions(
+        spark, _stream_state_partitions(spark, table_dir)
+    ):
+        q = (
+            res.writeStream.outputMode("update")
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     store = srv.records()
     srv.close()
     store_rows = []
@@ -1283,16 +1334,19 @@ def _emit_asb_segments(spark: SparkSession, sf_dir: str, set_name: str):
         )
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_asbincr_")
-    q = (
-        res.writeStream.outputMode("update")
-        .foreachBatch(write_segment)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scaled_shuffle_partitions(
+        spark, _stream_state_partitions(spark, table_dir)
+    ):
+        q = (
+            res.writeStream.outputMode("update")
+            .foreachBatch(write_segment)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     segs = sorted(
         os.path.join(seg_root, d)
         for d in os.listdir(seg_root)
@@ -1325,13 +1379,21 @@ def _replay_asb_chain(
     allr = frames[0]
     for fr in frames[1:]:
         allr = allr.unionByName(fr)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("digest_hex").orderBy(F.col("seg").desc())
+    # latest-segment-wins as a hash aggregation, not a window (r17,
+    # guide §2.3 "aggregate before you shuffle"): max_by on the segment
+    # ordinal does partial map-side aggregation and needs no per-group
+    # sort; a digest appears at most once per segment, so the argmax is
+    # deterministic and row-identical to the old row_number()==1 pick.
     return (
-        allr.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("digest_hex", "cols_str", "ttl")
+        allr.groupBy("digest_hex")
+        .agg(
+            F.max_by(F.struct("cols_str", "ttl"), "seg").alias("latest")
+        )
+        .select(
+            "digest_hex",
+            F.col("latest.cols_str").alias("cols_str"),
+            F.col("latest.ttl").alias("ttl"),
+        )
     )
 
 
@@ -1429,9 +1491,20 @@ def stream_asb_backup_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rebased_units, ns, set_name, now_s
     ).cache()
     full = _replay_asb_chain(spark, segs, ns, set_name, now_s)
-    diff = (
-        rebased.exceptAll(full).count() + full.exceptAll(rebased).count()
+    # symmetric multiset difference in ONE pass (r17, guide §1.2): the
+    # two exceptAll counts executed the full-chain replay twice and took
+    # two jobs; |A\B| + |B\A| == sum over distinct rows of
+    # |cnt_A - cnt_B|, which one union + one aggregation computes with
+    # a single execution of each replay.
+    diff_row = (
+        rebased.withColumn("side", F.lit(1))
+        .unionByName(full.withColumn("side", F.lit(-1)))
+        .groupBy("digest_hex", "cols_str", "ttl")
+        .agg(F.sum("side").alias("d"))
+        .agg(F.sum(F.abs(F.col("d"))).alias("diff"))
+        .collect()[0]
     )
+    diff = int(diff_row["diff"] or 0)
     if diff:
         raise RuntimeError(
             f"rebase changed the restore: {diff} differing records"
@@ -1572,16 +1645,19 @@ def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.foreachPartition(part)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_cdccluster_")
-    q = (
-        res.writeStream.outputMode("update")
-        .foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scaled_shuffle_partitions(
+        spark, _stream_state_partitions(spark, table_dir)
+    ):
+        q = (
+            res.writeStream.outputMode("update")
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     if moved["n"] < 0:
         raise RuntimeError("cdc cluster apply: handoff never fired")
     if acc_unavail.value < 1:
@@ -1710,16 +1786,19 @@ def stream_cdc_batch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.foreachPartition(part)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_cdcbatch_")
-    q = (
-        res.writeStream.outputMode("update")
-        .foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scaled_shuffle_partitions(
+        spark, _stream_state_partitions(spark, table_dir)
+    ):
+        q = (
+            res.writeStream.outputMode("update")
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     n_puts = sum(srv._puts for srv in servers)
     n_gets = sum(srv._gets for srv in servers)
     n_bw = sum(srv._batch_writes for srv in servers)
