@@ -755,21 +755,25 @@ def q_s40_wire_cluster_handoff(spark, sf_dir):
     ns, set_name = "tmx", "records"
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
     records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
-    n_records = records.count()
-    sink_records = records.coalesce(_sink_parallelism(n_records))
     # how many records node 0 masters (deterministic: digest routing) —
-    # the handoff triggers at HALF that, so stale-routed puts remain
-    keyed = records.select(
-        _digest_hex_records(F.lit(set_name), F.col("key")).alias("digest_hex")
-    )
+    # the handoff triggers at HALF that, so stale-routed puts remain.
     # partition_id = LE u32 of the first 4 digest bytes masked to 4096:
     # only the low 12 bits matter, i.e. byte0 + 256*byte1 mod 4096 —
-    # pure Catalyst, no per-row Python beyond the digest UDF itself
+    # pure Catalyst, no per-row Python beyond the digest UDF itself.
+    # ONE action computes n_records AND n_node0 (r17, guide §1.2: the
+    # two counts were two full passes / two jobs over the same cached
+    # frame; the digest UDF runs once either way).
+    digest_hex = _digest_hex_records(F.lit(set_name), F.col("key"))
     pid_expr = (
-        F.conv(F.substring("digest_hex", 1, 2), 16, 10).cast("long")
-        + F.conv(F.substring("digest_hex", 3, 2), 16, 10).cast("long") * 256
+        F.conv(F.substring(digest_hex, 1, 2), 16, 10).cast("long")
+        + F.conv(F.substring(digest_hex, 3, 2), 16, 10).cast("long") * 256
     ) % 4096
-    n_node0 = keyed.where(pid_expr % 3 == 0).count()
+    stats = records.agg(
+        F.count("*").alias("n"),
+        F.sum((pid_expr % 3 == 0).cast("long")).alias("n0"),
+    ).first()
+    n_records, n_node0 = int(stats["n"]), int(stats["n0"] or 0)
+    sink_records = records.coalesce(_sink_parallelism(n_records))
     trigger_at = max(1, int(n_node0) // 2)
 
     servers = []
@@ -2249,7 +2253,13 @@ def q_s49_wire_cas_refresh(spark, sf_dir):
     ns, set_name = "tmx", "cas_refresh"
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
     records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
-    n_records = records.count()
+    # one action for n_records AND the pass-2 app-key count (r17, guide
+    # §1.2: was two jobs over the same cached frame)
+    stats = records.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("key") % 3 == 0).cast("long")).alias("n_app"),
+    ).first()
+    n_records, n_app = int(stats["n"]), int(stats["n_app"] or 0)
     n_tasks = _sink_parallelism(n_records)
     sink_records = records.coalesce(n_tasks)
     servers = [
@@ -2307,9 +2317,9 @@ def q_s49_wire_cas_refresh(spark, sf_dir):
 
     run_pass(sink_records, mk_create)
 
-    # pass 2: the application overwrites every key % 3 == 0
+    # pass 2: the application overwrites every key % 3 == 0 (n_app
+    # already computed in the up-front stats action)
     app_keys = records.filter(F.col("key") % 3 == 0)
-    n_app = app_keys.count()
 
     def mk_app(rd):
         return str(rd["key"]).encode(), {"app": b"WINS"}, 7777, None, False
@@ -2370,8 +2380,15 @@ def q_s49_wire_cas_refresh(spark, sf_dir):
     out = probes.mapInPandas(
         read_back, "key long, cols_str string, gen int, ttl long"
     ).cache()
-    out.count()  # materialize while the cluster lives
-    bad_gens = out.where(F.col("gen") != 2).count()
+    # materialize while the cluster lives + gen check in ONE action
+    # (r17, guide §1.2; the full-scan agg fills the cache exactly as
+    # count() did)
+    bad_gens = int(
+        out.agg(
+            F.sum((F.col("gen") != 2).cast("long")).alias("bad")
+        ).first()["bad"]
+        or 0
+    )
     if bad_gens:
         raise RuntimeError(f"cas refresh: {bad_gens} records not at gen 2")
     for srv in servers:
@@ -2919,7 +2936,13 @@ def q_s53_wire_operate(spark, sf_dir):
     ns, set_name = "tmx", "operated"
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
     records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
-    n_records = records.count()
+    # one action for n_records AND the pass-3 rescore-key count (r17,
+    # guide §1.2: was two jobs over the same cached frame)
+    stats = records.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("key") % 4 == 0).cast("long")).alias("n_r"),
+    ).first()
+    n_records, n_rescored = int(stats["n"]), int(stats["n_r"] or 0)
     n_tasks = _sink_parallelism(n_records)
     sink_records = records.coalesce(n_tasks)
     servers = [
@@ -2993,7 +3016,6 @@ def q_s53_wire_operate(spark, sf_dir):
 
     # pass 3: re-score every key % 4 == 0 — the increments accumulate
     rescored = records.filter(F.col("key") % 4 == 0)
-    n_rescored = rescored.count()
     rstate: dict = {}
 
     def rescore(rd):
@@ -3268,8 +3290,12 @@ def q_s56_filtered_partial_backup(spark, sf_dir):
 
     servers_a, nodes_a, pmap_a = make_cluster(3)
     records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
-    n_records = records.count()
-    n_match = records.filter(F.size("columns") >= 2).count()
+    # one action for n_records AND the filter-match count (r17, §1.2)
+    stats = records.agg(
+        F.count("*").alias("n"),
+        F.sum((F.size("columns") >= 2).cast("long")).alias("m"),
+    ).first()
+    n_records, n_match = int(stats["n"]), int(stats["m"] or 0)
     if not 0 < n_match < n_records:
         raise RuntimeError(
             f"partial backup: degenerate selectivity {n_match}/{n_records}"
@@ -3461,7 +3487,12 @@ def q_s57_sindex_query(spark, sf_dir):
     ns, set_name = "tmx", "sindexed"
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
     records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
-    n_records = records.count()
+    # one action for n_records AND the sindex-match count (r17, §1.2)
+    stats = records.agg(
+        F.count("*").alias("n"),
+        F.sum((F.size("columns").between(2, 4)).cast("long")).alias("m"),
+    ).first()
+    n_records, n_match = int(stats["n"]), int(stats["m"] or 0)
     sink_records = records.coalesce(_sink_parallelism(n_records))
     servers = [
         WireServer(
@@ -3512,7 +3543,7 @@ def q_s57_sindex_query(spark, sf_dir):
         c.close()
     ddl.close()
 
-    n_match = records.filter(F.size("columns").between(2, 4)).count()
+    # n_match computed in the opening stats action (r17, §1.2)
     nodes_df = spark.createDataFrame(
         [(i, h, p) for i, (h, p) in enumerate(nodes)],
         "node int, host string, port int",
@@ -3738,8 +3769,12 @@ def q_s58_wire_operate_during_handoff(spark, sf_dir):
     out = probes.mapInPandas(
         read_back, "key long, hits long, gen int, ttl long"
     ).cache()
-    out.count()  # materialize while the cluster lives
-    doubled = out.where(F.col("gen") != 2).count()
+    # materialize + gen check in ONE action (r17, §1.2; the full-scan
+    # agg fills the cache exactly as count() did)
+    doubled = int(
+        out.agg(F.sum((F.col("gen") != 2).cast("long")).alias("d")).first()["d"]
+        or 0
+    )
     if doubled:
         raise RuntimeError(
             f"operate handoff: {doubled} records not at generation 2 — "
@@ -4165,8 +4200,12 @@ def q_s60_wire_batch_write_during_handoff(spark, sf_dir):
     out = probes.mapInPandas(
         read_back, "key long, hits long, gen int, ttl long"
     ).cache()
-    out.count()  # materialize while the cluster lives
-    doubled = out.where(F.col("gen") != 2).count()
+    # materialize + gen check in ONE action (r17, §1.2; the full-scan
+    # agg fills the cache exactly as count() did)
+    doubled = int(
+        out.agg(F.sum((F.col("gen") != 2).cast("long")).alias("d")).first()["d"]
+        or 0
+    )
     if doubled:
         raise RuntimeError(
             f"bw handoff: {doubled} records not at generation 2 — "
@@ -4626,8 +4665,12 @@ def q_s62_wire_cdt_during_handoff(spark, sf_dir):
     out = probes.mapInPandas(
         read_back, "key long, stats_n long, gen int, ttl long"
     ).cache()
-    out.count()  # materialize while the cluster lives
-    doubled = out.where(F.col("gen") != 2).count()
+    # materialize + gen check in ONE action (r17, §1.2; the full-scan
+    # agg fills the cache exactly as count() did)
+    doubled = int(
+        out.agg(F.sum((F.col("gen") != 2).cast("long")).alias("d")).first()["d"]
+        or 0
+    )
     if doubled:
         raise RuntimeError(
             f"cdt handoff: {doubled} records not at generation 2 — "
@@ -5020,7 +5063,12 @@ def q_s64_wire_cdt_sindex_query(spark, sf_dir):
     ns, set_name = "tmx", "cdtixed"
     eternal, now_s = merge.ETERNAL, merge.NOW_EPOCH_S
     records = merge.merge_records(load_table(spark, sf_dir, "events")).cache()
-    n_records = records.count()
+    # one action for n_records AND the sindex-match count (r17, §1.2)
+    stats = records.agg(
+        F.count("*").alias("n"),
+        F.sum((F.size("columns").between(2, 4)).cast("long")).alias("m"),
+    ).first()
+    n_records, n_match = int(stats["n"]), int(stats["m"] or 0)
     sink_records = records.coalesce(_sink_parallelism(n_records))
     servers = [
         WireServer(
@@ -5077,7 +5125,7 @@ def q_s64_wire_cdt_sindex_query(spark, sf_dir):
         c.sindex_create("attrs", numeric=True, ctx_map_key=b"nc")
         c.close()
 
-    n_match = records.filter(F.size("columns").between(2, 4)).count()
+    # n_match computed in the opening stats action (r17, §1.2)
     nodes_df = spark.createDataFrame(
         [(i, h, p) for i, (h, p) in enumerate(nodes)],
         "node int, host string, port int",
