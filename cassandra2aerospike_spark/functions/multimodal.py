@@ -35,6 +35,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# r18 (guide §2.5 input parallelism / §4): every synthesize_* adapter
+# feeds a CPU-heavy pure-Python mapInPandas chain (codec encode + real
+# byte decode) that runs entirely within the scan's partitioning — for
+# the single-small-file documents fixture that was ONE serial task
+# (profiled: mm_video_fp_dedup spent 4.8 s wall in one task at 0.1 s
+# JVM CPU while 31 cores idled).  spread_scan round-robins the tiny
+# (doc_id[, text]) rows across cores first, and is a structural no-op
+# whenever the scan already has >= cores splits (the 100 TB case) or
+# the input is a derived frame.
+from ..sources.tables import spread_scan
+
 FEATURE_SCHEMA = (
     "doc_id long, byte_len int, width int, height int, n_frames int, features array<double>"
 )
@@ -272,7 +283,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return spread_scan(docs.select("doc_id", "text"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "doc_id long, payload binary"
     )
 
@@ -649,7 +660,7 @@ def synthesize_av_media(docs: DataFrame) -> DataFrame:
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "doc_id long, payload binary"
     )
 
@@ -759,7 +770,7 @@ def synthesize_mp4(docs: DataFrame) -> DataFrame:
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return spread_scan(docs.select("doc_id", "text"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "doc_id long, payload binary"
     )
 
@@ -824,7 +835,7 @@ def synthesize_animations(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_gif_animation(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "doc_id long, payload binary"
     )
 
@@ -998,7 +1009,7 @@ def synthesize_gradient_images(docs: DataFrame, plant_every: int = 7) -> DataFra
                     )
             yield pd.DataFrame({"img_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "img_id long, payload binary"
     )
 
@@ -1090,7 +1101,7 @@ def synthesize_doc_images(docs: DataFrame, alias_every: int = 7) -> DataFrame:
                 payloads.append(blob)
             yield pd.DataFrame({"img_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "img_id long, payload binary"
     )
 
@@ -1139,7 +1150,7 @@ def synthesize_audio_clips(docs: DataFrame, alias_every: int = 9) -> DataFrame:
                 payloads.append(blob)
             yield pd.DataFrame({"clip_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "clip_id long, payload binary"
     )
 
@@ -1224,7 +1235,7 @@ def synthesize_video_clips(docs: DataFrame, alias_every: int = 11) -> DataFrame:
                     payloads.append(clip_of(d, 1, 1 + d % 2))
             yield pd.DataFrame({"clip_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "clip_id long, payload binary"
     )
 
@@ -1302,7 +1313,7 @@ def synthesize_doc_videos(docs: DataFrame, alias_every: int = 13) -> DataFrame:
                 payloads.append(encode_gif_animation(frames))
             yield pd.DataFrame({"clip_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "clip_id long, payload binary"
     )
 
@@ -1374,7 +1385,7 @@ def synthesize_image_batch(docs: DataFrame) -> DataFrame:
                 payloads.append(blob_of(key, delta, as_png))
             yield pd.DataFrame({"img_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "img_id long, payload binary"
     )
 
@@ -1431,6 +1442,6 @@ def synthesize_audio_batch(docs: DataFrame) -> DataFrame:
                 payloads.append(blob)
             yield pd.DataFrame({"clip_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id"), min_bytes_per_core=0).mapInPandas(
         synth_batches, "clip_id long, payload binary"
     )

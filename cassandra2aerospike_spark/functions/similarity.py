@@ -15,6 +15,15 @@ from pyspark.sql import functions as F
 
 from ..sources import spread
 
+# Driver-side guard on the "small by contract" (sampled) query side of
+# the GEMM scorers (r18, guide §5): 200k 64-dim int64/float64 rows is
+# ~100 MB collected+broadcast — far above any sampled probe set (the
+# declared queries sample ~2% of the corpus: ~100 rows at sf0.1, ~100k
+# at a 1000x corpus) yet low enough that the collect can never OOM the
+# driver silently.  Beyond it the contract is being violated and the
+# caller must re-sample, so fail loudly instead of paging.
+_MAX_QUERY_SIDE_ROWS = 200_000
+
 
 def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -129,12 +138,25 @@ def brute_force_topk_fast(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select("q_id", "q_vec").collect()  # small by contract
+    # query side: driver-guarded collect + BROADCAST (r18, guide §5/§3.1;
+    # VERDICT r17 task 6): the matrix ships to each executor once via the
+    # broadcast machinery instead of riding pickled inside every task
+    # closure, and the take(N+1) guard turns a contract violation (the
+    # "sampled, small" query side growing unboundedly at scale) into an
+    # explicit error instead of a driver-memory cliff
+    q_rows = queries.select("q_id", "q_vec").take(_MAX_QUERY_SIDE_ROWS + 1)
+    if len(q_rows) > _MAX_QUERY_SIDE_ROWS:
+        raise ValueError(
+            f"brute_force_topk_fast: query side exceeds the "
+            f"{_MAX_QUERY_SIDE_ROWS}-row broadcast contract"
+        )
     q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q_vec for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def score_batches(batches):
+        q_ids, q_mat, q_norm = bc.value
         for pdf in batches:
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             c_ids = pdf["vec_id"].to_numpy()
@@ -197,12 +219,21 @@ def exact_l2q_topk_fast(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select("q_id", "q_xq").collect()  # small by contract
+    # same broadcast-not-closure discipline as brute_force_topk_fast
+    # (r18, guide §5/§3.1; VERDICT r17 task 6)
+    q_rows = queries.select("q_id", "q_xq").take(_MAX_QUERY_SIDE_ROWS + 1)
+    if len(q_rows) > _MAX_QUERY_SIDE_ROWS:
+        raise ValueError(
+            f"exact_l2q_topk_fast: query side exceeds the "
+            f"{_MAX_QUERY_SIDE_ROWS}-row broadcast contract"
+        )
     q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q_xq for r in q_rows], dtype=np.int64)
     q_sq = (q_mat * q_mat).sum(axis=1)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_sq))
 
     def score_batches(batches):
+        q_ids, q_mat, q_sq = bc.value
         for pdf in batches:
             c_mat = np.array(list(pdf["xq"]), dtype=np.int64)
             c_ids = pdf["vec_id"].to_numpy()

@@ -958,7 +958,13 @@ def bpe_train(spark, d, k: int = BPE_MERGES):
             ).alias("sym"),
             "freq",
         )
-        .localCheckpoint()
+        # lazy checkpoint (r18, guide §1.2): eager=True ran a separate
+        # materialization job per call — with one checkpoint per merge
+        # round the train loop paid 2 jobs/round (profiled: the bpe
+        # manifest ran 57 jobs averaging 0.08 s, pure job-launch
+        # overhead).  eager=False truncates lineage identically but
+        # materializes inside the round's argmax job — 1 job/round.
+        .localCheckpoint(eager=False)
     )
     merges = []
     for rank in range(1, k + 1):
@@ -985,7 +991,7 @@ def bpe_train(spark, d, k: int = BPE_MERGES):
                 F.lit(sep + best.l + best.r + sep),
             ).alias("sym"),
             "freq",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # same 1-job/round discipline
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

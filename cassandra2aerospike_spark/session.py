@@ -37,17 +37,19 @@ def get_spark(app_name: str = "cassandra2aerospike_spark", cpus: int | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch sizing (r17, guide §4.2): the default 10k-row
-        # batches make a wide-but-narrow-typed frame cross the Python
-        # boundary in hundreds of per-batch handoffs; 64k rows cuts the
-        # handoff count ~6x for the GEMM/fingerprint pipelines while
-        # maxBytesPerBatch (the Spark 4 knob) keeps blob-carrying rows
-        # (media decode: ~KB binary cells) bounded to the same memory
-        # the old row cap implied — sizes are env-overridable, and both
-        # budgets are per-task constants, not local-core tuning.
+        # Arrow batch sizing (r18, reverting the r17 64k experiment):
+        # the r17 session-wide 65536-row batches were the driver-confirmed
+        # prime suspect for 5+ mapInPandas regressions (the per-batch
+        # score matrix of the persisted-index probes is O(batch x n_q),
+        # so 6.5x bigger batches inflate per-task allocations ~6.5x on a
+        # page-fault-fragile host) and a same-host A/B this round showed
+        # NO offsetting win at 64k on any of the affected rows.  Batch
+        # size is a per-operator tradeoff, not a session constant — the
+        # session stays at Spark's 10k/64MiB defaults (env-overridable
+        # for experiments).
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_ROWS", "65536"),
+            os.environ.get("SPARK_GRAFT_ARROW_ROWS", "10000"),
         )
         .config(
             "spark.sql.execution.arrow.maxBytesPerBatch",

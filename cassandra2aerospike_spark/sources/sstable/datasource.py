@@ -653,25 +653,97 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         if not self.directory:
             raise ValueError("sstable_run stream requires a path")
         self.verify = options.get("verify_checksums", "true").lower() == "true"
+        # token-range sub-split per admitted sstable (r18, guide §2.5
+        # "one huge unsplittable file" / §1.2): the stream planned ONE
+        # InputPartition per generation, so every microbatch's decode —
+        # pure-Python vint/chunk work, the CPython-bound regime — ran as
+        # a single serial task (measured 0.8 s/batch at sf0.1 while 31
+        # cores idled; at scale one flushed multi-GB sstable would pin a
+        # task for minutes).  Same Summary-sample split, same default,
+        # as the batch reader; read() already handles bounded slices.
+        self.splits = int(options.get("splits_per_run", "8"))
         # layout "ma": stream a REAL Cassandra table directory — each
         # newly-flushed/compacted sstable (any era) is a microbatch,
         # the continuous-ingest story over actual Cassandra data files
         self.layout = options.get("layout", "sgr")
 
-    def _gen_names(self) -> dict[int, list[str | None]]:
-        """generation -> Data.db filenames ([None] for SGR runs).  A list
-        per generation: two eras can collide on one generation number
-        (tmx-events-ka-2-* alongside ma-2-big-*) and BOTH must stream —
-        collapsing to one name would silently drop an sstable the batch
-        reader reads."""
+    def _gen_names(self) -> dict[int, list[tuple[int | None, str | None]]]:
+        """generation -> (version code, Data.db filename) pairs
+        ((None, None) for SGR runs).  A list per generation: two eras can
+        collide on one generation number (tmx-events-ka-2-* alongside
+        ma-2-big-*) and BOTH must stream — collapsing to one name would
+        silently drop an sstable the batch reader reads."""
         if self.layout == "ma":
             from .old_format import discover_cassandra_sstables
 
-            out: dict[int, list[str | None]] = {}
-            for _v, g, name in discover_cassandra_sstables(self.directory):
-                out.setdefault(g, []).append(name)
+            out: dict[int, list[tuple[int | None, str | None]]] = {}
+            for v, g, name in discover_cassandra_sstables(self.directory):
+                out.setdefault(g, []).append((v, name))
             return out
-        return {g: [None] for g in discover_runs(self.directory)}
+        return {g: [(None, None)] for g in discover_runs(self.directory)}
+
+    def _slices_for(self, gen: int, vcode: int | None, name: str | None):
+        """Token-range sub-split of one admitted sstable at Summary
+        sample boundaries — the batch reader's O2 discipline applied to
+        the stream plan.  Only under Murmur3 (token math must match the
+        file's own partition order); any missing/unreadable Summary
+        falls back to the whole-file slice."""
+        whole = [
+            RunSlice(
+                self.directory, gen, None, None, self.verify, self.layout, name
+            )
+        ]
+        if self.splits <= 1:
+            return whole
+        try:
+            if self.layout == "ma":
+                from .ma_format import (
+                    MURMUR3_CLASS,
+                    MaReader,
+                    murmur3_token,
+                    read_summary,
+                )
+                from .old_format import V_KA, V_MA, OldReader
+
+                if vcode is None or name is None:
+                    return whole
+                if vcode >= V_MA:
+                    rd = MaReader(
+                        self.directory, gen, verify_checksums=False,
+                        prefix=name[: -len("-Data.db")],
+                    )
+                    pner = rd.stats.partitioner
+                else:
+                    rd = OldReader(self.directory, name, verify_checksums=False)
+                    pner = rd.partitioner
+                if pner != MURMUR3_CLASS:
+                    return whole
+                samples = [
+                    murmur3_token(k)
+                    for k, _ in read_summary(
+                        rd.path("Summary"), extra_header=vcode >= V_KA
+                    )
+                ]
+            else:
+                samples = _summary_tokens(self.directory, gen)
+        except (FileNotFoundError, ValueError, OSError):
+            return whole
+        if len(samples) <= 1:
+            return whole
+        step = max(1, len(samples) // self.splits)
+        bounds = [samples[i] for i in range(step, len(samples), step)][
+            : self.splits - 1
+        ]
+        edges: list[tuple[int | None, int | None]] = []
+        prev: int | None = None
+        for b in bounds:
+            edges.append((prev, b))
+            prev = b
+        edges.append((prev, None))
+        return [
+            RunSlice(self.directory, gen, s, e, self.verify, self.layout, name)
+            for s, e in edges
+        ]
 
     def initialOffset(self):
         return {"max_gen": 0}
@@ -694,10 +766,11 @@ class SSTableRunStreamReader(DataSourceStreamReader):
         self._floor = max(self._floor, lo, hi)
         names = self._gen_names()
         return [
-            RunSlice(self.directory, gen, None, None, self.verify, self.layout, name)
+            part
             for gen in sorted(names)
             if lo < gen <= hi  # hi < lo (stale floor after restart) -> empty
-            for name in names[gen]
+            for vcode, name in names[gen]
+            for part in self._slices_for(gen, vcode, name)
         ]
 
     def read(self, part: RunSlice):

@@ -123,7 +123,9 @@ def _parse_bytes_conf(v: str, default: int = 134217728) -> int:
     return parsed if parsed > 0 else default  # '0' would divide-by-zero
 
 
-def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
+def spread_scan(
+    df: DataFrame, n: int | None = None, min_bytes_per_core: int = 1 << 20
+) -> DataFrame:
     """Round-robin an UNDER-partitioned scan before a compute-heavy narrow
     projection (regex tokenization, vector math).
 
@@ -170,8 +172,13 @@ def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
         # floor: an exchange is its own stage (scheduling + codegen); it
         # only pays for itself when each core gets meaningful compute.
         # Below ~1 MiB/core of input the single-task projection is
-        # cheaper than the extra stage.
-        if total < n * (1 << 20):
+        # cheaper than the extra stage.  Callers whose per-ROW cost is
+        # decoupled from input bytes (media synthesis + codec decode:
+        # a 12-byte doc_id row fans out to a GIF encode + LZW walk)
+        # pass min_bytes_per_core=0 to spread regardless (r18 — the
+        # byte floor left mm_video_fp_dedup's whole Python pipeline in
+        # one serial task, 4.8 s wall at 0.1 s JVM CPU).
+        if total < n * min_bytes_per_core:
             return df
     return df.repartition(n)
 

@@ -297,3 +297,85 @@ def test_classify_regressions_small_baselines_exempt():
         {"q": 0.9}, {"q": 0.9}, {"q": 0.4}, {"q": 0.4}, "min(test)"
     )
     assert regs == [] and waived == []
+
+
+def test_headline_short3_map_round_trips():
+    """r18 (VERDICT r17 task 2): the 3-char alias map must decode back
+    to full names losslessly for every headline query, including the
+    one known 3-char collision (sim_ivf_topk / sim_ivfpq_topk), which
+    falls back to full names in the emitted map."""
+    bench = _load_bench()
+    values = {n: 1.0 for n in bench.HEADLINE}
+    m = bench.short_map3(values)
+    un = bench._unshorten_map(bench.HEADLINE)
+    decoded = {un.get(k, k) for k in m}
+    assert decoded == set(bench.HEADLINE)
+    # colliding pair rides as full names
+    assert "sim_ivf_topk" in m and "sim_ivfpq_topk" in m
+
+
+def test_unshorten_map_accepts_both_alias_schemes():
+    """Pre-r18 artifacts carry 4-char aliases, r18+ carry 3-char; the
+    readers must decode both (and full names) so historical baselines
+    keep contributing to the tripwire min."""
+    bench = _load_bench()
+    names = ["s29_bloom_lookup_merge", "text_quality"]
+    un = bench._unshorten_map(names)
+    for n in names:
+        assert un[bench.short_name(n)] == n
+        assert un[bench.short_name3(n)] == n
+        assert un[n] == n
+
+
+def test_stdout_line_fits_driver_window_with_qn():
+    """The driver tail-captures exactly 2000 chars; the one-line JSON
+    with all 100 headline queries in the compact qn map and every
+    scalar must fit after trimming — and the trim must NEVER drop the
+    qn map, even with many flagged regressions (VERDICT r17 task 2)."""
+    import json as _json
+
+    bench = _load_bench()
+
+    def _compact_val(v):
+        v = round(v, 1)
+        return int(v) if v >= 10 or v == int(v) else v
+
+    def make_out(n_regs):
+        return {
+            "metric": "headline_query_suite",
+            "value": 342.747,
+            "unit": "sec",
+            "queries": {n: 3.251 for n in bench.HEADLINE},
+            "qn": bench.short_map3(
+                {n: _compact_val(3.25) for n in bench.HEADLINE}
+            ),
+            "host_tag": "22931373",
+            "regressions": [
+                {"q": bench.short_name3(n), "p": 1.25, "n": 2.31, "c": 2.11}
+                for n in bench.HEADLINE[:n_regs]
+            ],
+            "variance_waived": ["dedup_lsh_recall_report"],
+            "value_warm": 300.1,
+            "warm_k": 3,
+            "calibration_sec": 0.7,
+            "calibration_ref_sec": 0.7,
+            "host_speed_factor": 0.867,
+            "value_warm_normalized": 323.806,
+            "sf": 0.1,
+            "merge_throughput_rows_per_sec": 1000000,
+            "sstable_merge_rows_per_sec_normalized": 432251,
+            "real_ma_merge_rows_per_sec_normalized": 415582,
+            "merge_rows_per_sec_normalized": 759828,
+        }
+
+    for n_regs in (0, 1, 10):
+        out = make_out(n_regs)
+        line = bench._fit_stdout_line(out)
+        assert len(line) <= 1980, (n_regs, len(line))
+        parsed = _json.loads(line)
+        assert len(parsed["qn"]) == len(bench.HEADLINE), n_regs
+        # the flag signal survives at least as a count
+        regs = parsed["regressions"]
+        assert (regs == n_regs) if isinstance(regs, int) else (
+            len(regs) == n_regs
+        )
