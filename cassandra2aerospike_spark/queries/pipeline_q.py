@@ -114,6 +114,23 @@ def q_s11_create_only_sink(spark, sf_dir):
     )
 
 
+def _rows_df(spark, rows: list[tuple], schema: str):
+    """Driver-rows -> DataFrame via pandas/Arrow for non-trivial row
+    counts (r18, guide §6 'Arrow for driver transfers'): the list-of-
+    tuples createDataFrame path pickles every row through py4j —
+    measured 0.40 s vs 0.14 s via Arrow for the ~1.4k-row wire-store
+    frames, and every wire read-back row pays it.  Tiny frames keep the
+    tuple path (pandas+Arrow setup dominates below a few hundred rows).
+    Callers guarantee rows carry no Nones (pandas would coerce int
+    columns with missing values to float)."""
+    if len(rows) < 512:
+        return spark.createDataFrame(rows, schema)
+    cols = [f.split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols), schema
+    )
+
+
 def _sink_parallelism(n_rows: int, cap: int = 32) -> int:
     """Task count for a wire-sink pass: each task pays connection +
     LOGIN setup, so size tasks to carry >= ~250 records (measured at
@@ -304,8 +321,8 @@ def q_s28_aerospike_wire_sink(spark, sf_dir):
             f"aerospike wire sink accounting: first ok={ok1.value} "
             f"second exists={ex2.value}/ok={ok2.value} store={len(store)}"
         )
-    store_df = spark.createDataFrame(
-        store_rows, "digest_hex string, cols_str string, ttl long"
+    store_df = _rows_df(
+        spark, store_rows, "digest_hex string, cols_str string, ttl long"
     )
     keyed = records.select(
         "key",
@@ -457,8 +474,8 @@ def q_s36_wire_cluster_sink(spark, sf_dir):
             f"wire cluster accounting: first ok={ok1.value} second "
             f"exists={ex2.value}/ok={ok2.value} store={n_store}"
         )
-    store_df = spark.createDataFrame(
-        store_rows, "digest_hex string, cols_str string, ttl long, node int"
+    store_df = _rows_df(
+        spark, store_rows, "digest_hex string, cols_str string, ttl long, node int"
     )
 
     keyed = records.select(

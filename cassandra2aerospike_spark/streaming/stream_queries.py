@@ -66,6 +66,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rows_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-rows -> DataFrame via the Arrow path for non-trivial row
+    counts (see queries.pipeline_q._rows_df; lazy import avoids a
+    module cycle)."""
+    from ..queries.pipeline_q import _rows_df as _impl
+
+    return _impl(spark, rows, schema)
+
+
 def _stream_state_partitions(spark: SparkSession, table_dir: str) -> int:
     """Scale-adaptive state-partition count for a stateful stream over a
     real table directory (r17, guide §2 'derive partitioning from input
@@ -1108,8 +1117,8 @@ def stream_cdc_wire_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("cdc wire apply: foreign record stored")
         entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
         store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
-    store_df = spark.createDataFrame(
-        store_rows, "digest_hex string, cols_str string, ttl long"
+    store_df = _rows_df(
+        spark, store_rows, "digest_hex string, cols_str string, ttl long"
     )
     keyed = (
         load_table(spark, sf_dir, "events")
@@ -1674,8 +1683,8 @@ def stream_cdc_cluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("cdc cluster apply: foreign record stored")
         entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
         store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
-    store_df = spark.createDataFrame(
-        store_rows, "digest_hex string, cols_str string, ttl long"
+    store_df = _rows_df(
+        spark, store_rows, "digest_hex string, cols_str string, ttl long"
     )
     keyed = (
         load_table(spark, sf_dir, "events")
@@ -1817,8 +1826,8 @@ def stream_cdc_batch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("cdc batch apply: foreign record stored")
         entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
         store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
-    store_df = spark.createDataFrame(
-        store_rows, "digest_hex string, cols_str string, ttl long"
+    store_df = _rows_df(
+        spark, store_rows, "digest_hex string, cols_str string, ttl long"
     )
     keyed = (
         load_table(spark, sf_dir, "events")
@@ -1935,8 +1944,8 @@ def stream_aerospike_wire_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("stream wire sink: foreign record stored")
         entries = sorted(f"{n}={v.decode()}" for n, v in bins.items())
         store_rows.append((digest.hex(), ",".join(entries), int(ttl)))
-    store_df = spark.createDataFrame(
-        store_rows, "digest_hex string, cols_str string, ttl long"
+    store_df = _rows_df(
+        spark, store_rows, "digest_hex string, cols_str string, ttl long"
     )
     keyed = (
         load_table(spark, sf_dir, "events")
